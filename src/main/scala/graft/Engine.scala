@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
+import org.apache.spark.sql.types.DecimalType
+
+/** Session + IO helpers shared by every operator module.
+  *
+  * Scale design: the config below is sized for the local[32] harness but is
+  * chosen so the identical code runs unchanged on a 1000-executor cluster —
+  * AQE does runtime partition coalescing and skew-join splitting, shuffle
+  * partition count is explicit (cluster deployments override it), and no
+  * operator in this library ever collects data to the driver.
+  */
+object Engine {
+  def session(cores: Int = 32): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+      // default; read the raw int64 and convert in table() below.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Read one of the driver-generated parquet tables under `dir`.
+    * Plain `spark.read.parquet` gives predicate pushdown + column pruning
+    * (the reference needed bespoke Projectable/FilterableTableSource
+    * interfaces for the same — flink-table sources package). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // With nanosAsLong the events.ts column arrives as int64 nanos; convert
+    // to a proper TimestampType (µs) with integer division — the values are
+    // µs-precision, and double arithmetic would lose bits at 1e18.
+    df.schema.find(f => f.name == "ts" && f.dataType == types.LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case None    => df
+    }
+  }
+}
+
+/** A named query plus its DuckDB oracle SQL (None → driver does a weaker
+  * rows-only check). `run` takes (session, sf-dir) per the driver contract. */
+final case class Q(name: String, oracle: Option[String])(
+    val run: (SparkSession, String) => DataFrame)
+
+trait QueryModule {
+  def all: Seq[Q]
+  protected def q(name: String, oracle: String)(
+      f: (SparkSession, String) => DataFrame): Q = Q(name, Some(oracle))(f)
+  protected def qNoOracle(name: String)(
+      f: (SparkSession, String) => DataFrame): Q = Q(name, None)(f)
+  protected def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+}
+
+/** Cross-engine bit-determinism helpers.
+  *
+  * Floating-point SUM/AVG are order-dependent, and Spark's partial
+  * aggregation order differs from DuckDB's sequential scan — a raw
+  * `sum(double)` would hash-mismatch the oracle in the low bits. Routing the
+  * per-row value through an exact DECIMAL accumulator makes the aggregate
+  * order-independent and bit-identical in both engines; the final cast back
+  * to double is a single deterministic IEEE rounding. Per-row double
+  * arithmetic (+,*,-,/ in a fixed expression order) is itself deterministic,
+  * so only the aggregation boundary needs the decimal detour.
+  */
+object Det {
+  val DEC: DecimalType = DecimalType(30, 8)
+  /** Order-independent double sum (exact decimal accumulation). */
+  def dsum(c: Column): Column = sum(c.cast(DEC)).cast("double")
+  /** Deterministic mean over non-null rows: exact sum / row count. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+  /** DuckDB text of [[dsum]]. */
+  def DSUM(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(30,8))) AS DOUBLE)"
+  /** DuckDB text of [[davg]]. */
+  def DAVG(e: String): String = s"(${DSUM(e)} / COUNT(*))"
+}

@@ -1,0 +1,212 @@
+package graft.functions
+
+import graft.{Q, QueryModule}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function conformance queries — one per category of the reference's
+  * function catalog (flink-table/.../validate/FunctionCatalog.scala:154-282:
+  * string :188-204, math :207-237, temporal :240-249, hashing :276-282,
+  * comparison/conditional :154-172). Every function maps to a Spark built-in
+  * (codegen'd); the oracle SQL re-expresses the same computation in DuckDB's
+  * dialect (regexp_replace needs the 'g' flag there, dayofweek is 0-based,
+  * ceil returns DOUBLE, etc.).
+  *
+  * Transcendentals (exp/ln/sin/...) are wrapped in round(x, 6): JVM Math and
+  * C libm may differ in the last ulp, and 6 decimals is tight enough for any
+  * analytical use while absorbing that difference (and the half-rounding
+  * divergence between Spark's shortest-repr HALF_UP and DuckDB's
+  * true-binary-value rounding, which bites at finer scales).
+  */
+object ScalarQueries extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+
+    q("qs1_string_funcs",
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_uc,
+        |  lower(p_brand) AS brand_lc,
+        |  substr(p_name, 1, 12) AS name_prefix,
+        |  length(p_name) AS name_len,
+        |  lpad(p_brand, 12, '*') AS brand_lpad,
+        |  rpad(p_brand, 12, '#') AS brand_rpad,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  replace(p_type, ' ', '_') AS type_us,
+        |  instr(p_name, 'a') AS first_a,
+        |  reverse(p_brand) AS brand_rev,
+        |  repeat(p_brand, 2) AS brand_x2,
+        |  translate(p_type, 'aeiou', 'AEIOU') AS type_vowels,
+        |  trim(concat('  ', p_brand, '  ')) AS brand_trim,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_uc"),
+        lower(col("p_brand")).as("brand_lc"),
+        substring(col("p_name"), 1, 12).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+        rpad(col("p_brand"), 12, "#").as("brand_rpad"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_type"), " ", "_").as("type_us"),
+        instr(col("p_name"), "a").cast("long").as("first_a"),
+        reverse(col("p_brand")).as("brand_rev"),
+        repeat(col("p_brand"), 2).as("brand_x2"),
+        translate(col("p_type"), "aeiou", "AEIOU").as("type_vowels"),
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("brand_trim"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"))
+        .orderBy(col("p_partkey"))
+    },
+
+    q("qs2_math_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(0.0 - l_extendedprice) AS abs_price,
+        |  CAST(ceil(l_discount * 100.0) AS BIGINT) AS ceil_disc,
+        |  CAST(floor(l_discount * 100.0) AS BIGINT) AS floor_disc,
+        |  round(sqrt(l_extendedprice), 2) AS sqrt_price,
+        |  round(exp(l_discount), 6) AS exp_disc,
+        |  round(ln(l_extendedprice), 6) AS ln_price,
+        |  round(log10(l_extendedprice), 6) AS log10_price,
+        |  round(pow(1.0 + l_discount, 2.0), 6) AS pow_disc,
+        |  CAST(l_quantity AS INTEGER) % 7 AS qty_mod7,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_disc,
+        |  l_extendedprice * 0.1 AS price_tenth,
+        |  round(sin(l_discount), 6) AS sin_disc,
+        |  round(cos(l_discount), 6) AS cos_disc,
+        |  round(tan(l_discount), 6) AS tan_disc,
+        |  round(atan(l_discount), 6) AS atan_disc,
+        |  round(degrees(l_discount), 6) AS deg_disc,
+        |  round(radians(l_quantity), 6) AS rad_qty,
+        |  round(pi(), 6) AS pi_val
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount,
+        |  l_quantity, l_partkey, l_suppkey""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(lit(0.0) - col("l_extendedprice")).as("abs_price"),
+        ceil(col("l_discount") * 100.0).as("ceil_disc"),
+        floor(col("l_discount") * 100.0).as("floor_disc"),
+        round(sqrt(col("l_extendedprice")), 2).as("sqrt_price"),
+        round(exp(col("l_discount")), 6).as("exp_disc"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        round(log10(col("l_extendedprice")), 6).as("log10_price"),
+        round(pow(lit(1.0) + col("l_discount"), 2.0), 6).as("pow_disc"),
+        (col("l_quantity").cast("int") % 7).as("qty_mod7"),
+        signum(col("l_discount") - 0.05).as("sign_disc"),
+        (col("l_extendedprice") * 0.1).as("price_tenth"),
+        round(sin(col("l_discount")), 6).as("sin_disc"),
+        round(cos(col("l_discount")), 6).as("cos_disc"),
+        round(tan(col("l_discount")), 6).as("tan_disc"),
+        round(atan(col("l_discount")), 6).as("atan_disc"),
+        round(degrees(col("l_discount")), 6).as("deg_disc"),
+        round(radians(col("l_quantity")), 6).as("rad_qty"),
+        round(lit(math.Pi), 6).as("pi_val"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("l_discount"), col("l_quantity"), col("l_partkey"),
+          col("l_suppkey"))
+    },
+
+    // Temporal functions. DuckDB dayofweek is 0-based (Sunday=0), Spark's is
+    // 1-based (Sunday=1) → +1 on the oracle side. add-month / diff / trunc /
+    // format all use interval arithmetic valid in both engines.
+    q("qs3_temporal_funcs",
+      """SELECT o_orderkey,
+        |  extract(year FROM o_orderdate) AS yr,
+        |  extract(month FROM o_orderdate) AS mo,
+        |  extract(day FROM o_orderdate) AS dy,
+        |  quarter(o_orderdate) AS qtr,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M') AS formatted,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  o_orderdate + INTERVAL 1 MONTH AS plus_month,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_1999,
+        |  CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |       AND TIMESTAMP '1995-01-01 00:00:00' < o_orderdate
+        |       THEN TRUE ELSE FALSE END AS in_window
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dy"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm").as("formatted"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 1 MONTH")).as("plus_month"),
+        datediff(lit("1999-01-01").cast("date"), col("o_orderdate"))
+          .cast("long").as("days_to_1999"),
+        (col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp")
+          && lit("1995-01-01 00:00:00").cast("timestamp") < col("o_orderdate"))
+          .as("in_window"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // Hash functions (FunctionCatalog.scala:276-282). md5/sha256 hash the
+    // UTF-8 bytes identically in both engines. sha1/sha224/... have no
+    // DuckDB twin — covered by unit tests instead.
+    q("qs4_hash_funcs",
+      """SELECT c_custkey,
+        |  md5(c_name) AS md5_name,
+        |  sha256(c_name) AS sha256_name,
+        |  md5(concat(c_name, '|', c_mktsegment)) AS md5_composite
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        md5(col("c_name")).as("md5_name"),
+        sha2(col("c_name"), 256).as("sha256_name"),
+        md5(concat(col("c_name"), lit("|"), col("c_mktsegment")))
+          .as("md5_composite"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Conditional / null-handling operators (IF, CASE, NULLIF, COALESCE,
+    // IS [NOT] DISTINCT FROM — FunctionCatalog.scala:154-172, :319-320).
+    q("qs5_conditional_funcs",
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'O') AS status_or_null,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+        |  CASE WHEN o_totalprice > 100000.0 THEN 'big' ELSE 'small' END AS bucket,
+        |  o_orderstatus IS NOT DISTINCT FROM 'F' AS is_f,
+        |  greatest(o_totalprice, 150000.0) AS at_least,
+        |  least(o_totalprice, 150000.0) AS at_most,
+        |  o_orderpriority IS NULL AS prio_null,
+        |  o_orderpriority IS NOT NULL AS prio_not_null
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+          .as("status_filled"),
+        when(col("o_totalprice") > 100000.0, "big").otherwise("small")
+          .as("bucket"),
+        (col("o_orderstatus") <=> lit("F")).as("is_f"),
+        greatest(col("o_totalprice"), lit(150000.0)).as("at_least"),
+        least(col("o_totalprice"), lit(150000.0)).as("at_most"),
+        col("o_orderpriority").isNull.as("prio_null"),
+        col("o_orderpriority").isNotNull.as("prio_not_null"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // Collection constructors/access (FunctionCatalog.scala:252-265):
+    // array/map/struct build + element_at/cardinality, rendered to flat
+    // hash-stable columns.
+    q("qs6_collection_funcs",
+      """SELECT n_nationkey,
+        |  ['k', n_name][1] AS first_elem,
+        |  len(['k', n_name]) AS arr_len,
+        |  array_to_string([n_name, 'x', 'y'], '-') AS arr_join,
+        |  struct_extract({'key': n_nationkey, 'name': n_name}, 'name') AS s_name,
+        |  (map { 'nk': n_nationkey }['nk'])[1] AS m_val
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      t(s, d, "nation").select(
+        col("n_nationkey"),
+        element_at(array(lit("k"), col("n_name")), 1).as("first_elem"),
+        size(array(lit("k"), col("n_name"))).cast("long").as("arr_len"),
+        concat_ws("-", array(col("n_name"), lit("x"), lit("y"))).as("arr_join"),
+        struct(col("n_nationkey").as("key"), col("n_name").as("name"))
+          .getField("name").as("s_name"),
+        element_at(map(lit("nk"), col("n_nationkey")), "nk").as("m_val"))
+        .orderBy(col("n_nationkey"))
+    }
+  )
+}

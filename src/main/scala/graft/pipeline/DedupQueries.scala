@@ -1,0 +1,202 @@
+package graft.pipeline
+
+import graft.{Q, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact
+  * (hash-groupBy), content fingerprinting, MinHash+LSH near-dup candidates,
+  * word-n-gram Jaccard, and SimHash.
+  *
+  * Cross-engine determinism: MinHash uses `substr(md5(seed || shingle), 1,
+  * 16)` as the hash — fixed-width lowercase hex, so lexicographic MIN equals
+  * numeric MIN and both engines agree bit-for-bit with no custom hash UDF.
+  *
+  * Scale notes: every stage is a pure column expression (shingling, hashing
+  * and the signature MIN are array lambdas — no explode, no shuffle until
+  * the band self-join). The LSH band join shuffles only (band, band_value)
+  * keys, i.e. the classic band-bucket-join; hot buckets are exactly the
+  * near-duplicate clusters the operator exists to find. The Jaccard verifier
+  * joins only within shingle blocks (inverted-index join), never all-pairs.
+  */
+object DedupQueries extends QueryModule {
+
+  private val NumHashes = 8
+  private val NumBands = 4 // 2 hashes per band
+
+  /** tokens + word-trigram shingles as array columns (no explode). */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("tk", split(col("text"), " "))
+      .withColumn("sh", expr(
+        """CASE WHEN size(tk) >= 3
+          |  THEN transform(sequence(0, size(tk) - 3),
+          |         i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))
+          |  ELSE array() END""".stripMargin))
+
+  /** MinHash signature columns h0..h7. */
+  private def withSig(df: DataFrame): DataFrame =
+    (0 until NumHashes).foldLeft(withShingles(df)) { (acc, j) =>
+      acc.withColumn(s"h$j", expr(
+        s"coalesce(array_min(transform(sh, x -> substr(md5(concat('s$j|', x)), 1, 16))), '')"))
+    }
+
+  /** Shared DuckDB CTE prefix: tokens → shingles → signature columns. */
+  private val duckSig: String = {
+    val hs = (0 until NumHashes).map(j =>
+      s"coalesce(list_aggregate(list_transform(sh, x -> substr(md5('s$j|' || x), 1, 16)), 'min'), '') AS h$j")
+      .mkString(",\n    ")
+    s"""WITH tkx AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |shx AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+       |    THEN list_transform(generate_series(1, len(tk) - 2),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+       |    ELSE [] END AS sh FROM tkx),
+       |sig AS (SELECT doc_id,
+       |    $hs
+       |  FROM shx)""".stripMargin
+  }
+
+  private val sigCols = (0 until NumHashes).map(j => s"h$j")
+
+  def all: Seq[Q] = Seq(
+
+    // Exact dedup via content-hash groupBy: keep lowest doc_id per distinct
+    // text (deterministic survivor choice, unlike dropDuplicates).
+    q("qp1_dedup_exact",
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin) {
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy(col("keep_id"))
+    },
+
+    // Normalized content fingerprint (lowercase + whitespace collapse →
+    // md5): catches trivially-reformatted duplicates.
+    q("qp2_fingerprint",
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+            .as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+
+    // MinHash signature per document (8 hashes over word trigrams).
+    q("qp3_minhash_sig",
+      s"""$duckSig
+         |SELECT doc_id, concat_ws(',', ${sigCols.mkString(", ")}) AS sig
+         |FROM sig ORDER BY doc_id""".stripMargin) { (s, d) =>
+      withSig(t(s, d, "documents"))
+        .select(col("doc_id"),
+          concat_ws(",", sigCols.map(col): _*).as("sig"))
+        .orderBy(col("doc_id"))
+    },
+
+    // LSH candidate pairs: 4 bands × 2 hashes; docs agreeing on any band
+    // become a candidate pair. Shuffle key = (band, band_value).
+    q("qp4_minhash_pairs",
+      s"""$duckSig,
+         |bands AS (SELECT doc_id, b.band,
+         |    CASE b.band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+         |                WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bv
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val bandStructs = (0 until NumBands).map { b =>
+        struct(lit(b).as("band"),
+          concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bv"))
+      }
+      val bands = withSig(t(s, d, "documents"))
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Exact word-trigram Jaccard, blocked by shared shingle (inverted-index
+    // join — never all-pairs) within a language; top-5 most similar pairs
+    // per language.
+    q("qp5_ngram_jaccard",
+      """WITH tkx AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |shd AS (SELECT DISTINCT doc_id, lang, unnest(
+        |    CASE WHEN len(tk) >= 3
+        |      THEN list_transform(generate_series(1, len(tk) - 2),
+        |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |      ELSE [] END) AS s
+        |  FROM tkx),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+        |inter AS (SELECT x.lang, x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS ni
+        |  FROM shd x JOIN shd y
+        |    ON x.lang = y.lang AND x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY x.lang, x.doc_id, y.doc_id),
+        |jac AS (SELECT i.lang, i.doc_a, i.doc_b,
+        |    CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard
+        |  FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+        |               JOIN cnt cb ON cb.doc_id = i.doc_b),
+        |r AS (SELECT lang, doc_a, doc_b, jaccard, row_number() OVER (
+        |    PARTITION BY lang ORDER BY jaccard DESC, doc_a, doc_b) AS rnk
+        |  FROM jac)
+        |SELECT lang, doc_a, doc_b, jaccard, rnk FROM r WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val shd = withShingles(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
+        .distinct()
+      val cnt = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = shd.as("x")
+        .join(shd.as("y"),
+          col("x.lang") === col("y.lang") && col("x.s") === col("y.s")
+            && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.lang").as("lang"), col("x.doc_id").as("doc_a"),
+          col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("ni"))
+      val jac = inter
+        .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .select(col("lang"), col("doc_a"), col("doc_b"),
+          (col("ni").cast("double")
+            / (col("ca.n") + col("cb.n") - col("ni"))).as("jaccard"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      jac.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 5)
+        .orderBy(col("lang"), col("rnk"))
+    },
+
+    // SimHash-64 near-dup fingerprint: per-token md5-derived 60-bit hash,
+    // bitwise majority vote → one long per doc + 4 × 16-bit LSH bands.
+    // (No DuckDB oracle — bit-level hex decomposition isn't expressible
+    // there; covered by DedupSpec unit tests. Production path: a codegen'd
+    // Catalyst Expression — see graft.functions.)
+    qNoOracle("qp6_simhash") { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("tk", split(col("text"), " "))
+        .withColumn("hs", expr(
+          "transform(tk, w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT))"))
+        .withColumn("bitsum", expr(
+          """aggregate(hs, transform(sequence(0, 63), b -> 0L),
+            |  (acc, h) -> zip_with(acc, sequence(0, 63),
+            |    (c, b) -> c + IF((shiftright(h, CAST(b AS INT)) & 1L) = 1L, 1L, -1L)))""".stripMargin))
+        .withColumn("simhash", expr(
+          """aggregate(zip_with(bitsum, sequence(0, 63),
+            |  (c, b) -> IF(c > 0L, shiftleft(1L, CAST(b AS INT)), 0L)),
+            |  0L, (a, x) -> a + x)""".stripMargin))
+        .select(col("doc_id"), col("simhash"),
+          col("simhash").bitwiseAND(lit(0xFFFFL)).as("band0"),
+          shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)).as("band1"),
+          shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)).as("band2"),
+          shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)).as("band3"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

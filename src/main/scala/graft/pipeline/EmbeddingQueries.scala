@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import graft.{Q, QueryModule}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (Array[Float] column):
+  * exact squared-norms, brute-force cosine top-k (the correctness baseline),
+  * and a random-hyperplane LSH bucketing (the 100 TB scale path — candidates
+  * come from a bucket equi-join instead of an all-pairs product).
+  *
+  * Determinism: float×float products are exact in double; the only
+  * nondeterminism in a dot product is summation order, so both sides use a
+  * sequential left fold over the array (Spark `aggregate` ≡ DuckDB
+  * `list_reduce`) — bit-identical, no shuffle, no decimal detour. Only
+  * row-wise aggregation of those doubles (qe4) goes through the DECIMAL(30,8)
+  * order-independent accumulator.
+  */
+object EmbeddingQueries extends QueryModule {
+
+  /** Sequential-fold dot product of two float arrays (exact per-element
+    * products, left-to-right summation). */
+  private def dotExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b,
+       |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |  0D, (acc, v) -> acc + v)""".stripMargin
+
+  private def normExpr(a: String): String = dotExpr(a, a)
+
+  /** DuckDB twin of [[normExpr]]. */
+  private val duckNorm =
+    "list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)"
+
+  /** 16 deterministic pseudo-random hyperplanes (fixed seed). */
+  private lazy val planes: Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(16)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // Per-vector squared L2 norm — array-native, shuffle-free.
+    q("qe1_embed_norm",
+      s"""SELECT vec_id, $duckNorm AS sq_norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"), expr(normExpr("embedding")).as("sq_norm"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Brute-force cosine top-3 for the first 20 query vectors. The tiny
+    // query side is broadcast; the big side streams — no shuffle of the
+    // corpus. This is the exactness baseline for the LSH variant below.
+    q("qe2_knn_brute",
+      s"""WITH norms AS (SELECT vec_id, $duckNorm AS nrm FROM embeddings),
+         |qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |p AS (SELECT qv.qid, n.vec_id AS nid, qv.qe, n.embedding AS ne
+         |  FROM qv JOIN embeddings n ON n.vec_id <> qv.qid),
+         |dots AS (SELECT qid, nid,
+         |    list_reduce(list_transform(generate_series(1, len(qe)),
+         |      i -> CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)), (a, b) -> a + b) AS dot
+         |  FROM p),
+         |cosx AS (SELECT d.qid, d.nid, d.dot / sqrt(nq.nrm * nn.nrm) AS cosine
+         |  FROM dots d JOIN norms nq ON nq.vec_id = d.qid
+         |              JOIN norms nn ON nn.vec_id = d.nid
+         |  WHERE nq.nrm > 0 AND nn.nrm > 0),
+         |r AS (SELECT qid, nid, cosine, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rnk FROM cosx)
+         |SELECT qid, nid, cosine, rnk FROM r WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val norms = e.select(col("vec_id"), expr(normExpr("embedding")).as("nrm"))
+      val qv = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .join(norms.withColumnRenamed("vec_id", "qid")
+          .withColumnRenamed("nrm", "qnrm"), "qid")
+      val nv = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        .join(norms.withColumnRenamed("vec_id", "nid")
+          .withColumnRenamed("nrm", "nnrm"), "nid")
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+      nv.join(broadcast(qv), col("nid") =!= col("qid"))
+        .where(col("qnrm") > 0 && col("nnrm") > 0)
+        .withColumn("cosine",
+          expr(dotExpr("qe", "ne")) / sqrt(col("qnrm") * col("nnrm")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("qid"), col("nid"), col("cosine"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
+    // Scale path: random-hyperplane LSH — 16-bit sign bucket per vector.
+    // At 100 TB the bucket column becomes the join/cluster key and the
+    // all-pairs product above is replaced by a per-bucket (or multi-probe)
+    // equi-join. No oracle (plane constants live Spark-side); verified by
+    // EmbeddingSpec recall tests against qe2.
+    qNoOracle("qe3_lsh_buckets") { (s, d) =>
+      val planeCols = planes.zipWithIndex.map { case (p, i) =>
+        val arr = p.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+        s"IF(aggregate(zip_with(embedding, $arr, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v) > 0D, shiftleft(1L, $i), 0L)"
+      }.mkString(" + ")
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), expr(planeCols).as("bucket"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Per-label aggregate of squared norms: fold-exact per row, then an
+    // order-independent DECIMAL(30,8) row aggregation.
+    q("qe4_label_stats",
+      s"""SELECT label, COUNT(*) AS n,
+         |  CAST(SUM(CAST($duckNorm AS DECIMAL(30,8))) AS DOUBLE) AS sum_sq_norm
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      t(s, d, "embeddings")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr(normExpr("embedding")).cast(graft.Det.DEC))
+            .cast("double").as("sum_sq_norm"))
+        .orderBy(col("label"))
+    }
+  )
+}

@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import graft.{Q, QueryModule}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads are opaque `binary` columns
+  * with typed metadata alongside. The container has no image/audio codecs,
+  * so the decode step is a clearly-marked deterministic STUB — what is real
+  * (and tested) is the Spark-side plumbing: binary schema, byte slicing into
+  * frames, per-frame feature rows, and metadata extraction, all as column
+  * expressions that scale without driver involvement.
+  *
+  * The payload here is the UTF-8 encoding of documents.text standing in for
+  * real media bytes (inputs stay driver-generated; only the column is
+  * derived).
+  */
+object MultimodalQueries extends QueryModule {
+
+  private val FrameBytes = 64
+
+  def all: Seq[Q] = Seq(
+
+    // Metadata extraction over a binary payload column: byte length,
+    // content hash, STUB-parsed "dimensions" derived from the byte length
+    // (a real decoder would read the container header).
+    q("qm1_media_meta",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_md5,
+        |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS stub_width,
+        |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS stub_height,
+        |  CAST(octet_length(encode(text)) // 64 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("byte_len"),
+          md5(col("text")).as("content_md5"),
+          (length(col("payload")) % 640).cast("long").as("stub_width"),
+          (length(col("payload")) % 480).cast("long").as("stub_height"),
+          floor(length(col("payload")) / FrameBytes).cast("long").as("n_frames"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Frame sampling: slice the payload into fixed-size frames, keep every
+    // 4th frame, and compute a per-frame STUB feature (crc32 of the frame
+    // bytes — a real pipeline would run the decoder here). Generates rows
+    // via an array sequence + explode: fully distributed, no driver loop.
+    qNoOracle("qm2_frame_sample") { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("n_frames", floor(length(col("payload")) / FrameBytes).cast("int"))
+        .where(col("n_frames") > 0)
+        .withColumn("frame_id",
+          explode(expr("sequence(0, n_frames - 1)")))
+        .where(col("frame_id") % 4 === 0) // sample every 4th frame
+        .withColumn("frame_bytes",
+          expr(s"substring(payload, frame_id * $FrameBytes + 1, $FrameBytes)"))
+        .select(col("doc_id"), col("frame_id"),
+          crc32(col("frame_bytes")).as("stub_feature"),
+          length(col("frame_bytes")).cast("long").as("frame_len"))
+        .orderBy(col("doc_id"), col("frame_id"))
+    }
+  )
+}

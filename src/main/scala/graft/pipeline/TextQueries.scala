@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import graft.{Q, QueryModule}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token statistics,
+  * quality scoring, n-gram-heuristic language ID, and tokenizer counting.
+  * All are pure column expressions (array lambdas / regexes) — fully
+  * parallel, shuffle-free, codegen-friendly.
+  */
+object TextQueries extends QueryModule {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "in")
+  private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  // Marker-word profiles for the language-ID heuristic. Deterministic CASE
+  // cascade; ties resolve in declaration order (en > de > es > fr > zh).
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and"),
+    "de" -> Seq("der", "die", "das"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "la", "les"),
+    "zh" -> Seq("de", "shi", "bu"))
+
+  def all: Seq[Q] = Seq(
+
+    // Per-document statistics: token count, char count, mean token length,
+    // stopword ratio.
+    q("qt1_text_stats",
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  (CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |     / len(string_split(text, ' '))) AS avg_token_len,
+         |  (CAST(len(list_filter(string_split(text, ' '),
+         |       w -> w IN ($stopList))) AS DOUBLE)
+         |     / len(string_split(text, ' '))) AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          ((length(col("text")) - (size(col("tk")) - 1)).cast("double")
+            / size(col("tk"))).as("avg_token_len"),
+          (expr(s"size(filter(tk, w -> w IN ($stopList)))").cast("double")
+            / size(col("tk"))).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality score: bounded length score + stopword signal + token-length
+    // sanity, combined with fixed weights (all double arithmetic in an
+    // identical evaluation order in both engines).
+    q("qt2_quality_score",
+      s"""WITH f AS (SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS nc,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |        w -> w IN ($stopList))) AS DOUBLE) AS ns
+         |  FROM documents)
+         |SELECT doc_id,
+         |  (0.4 * least(nc / 500.0, 1.0)
+         |   + 0.3 * least((ns / nt) * 5.0, 1.0)
+         |   + 0.3 * least(((nc - (nt - 1.0)) / nt) / 8.0, 1.0)) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("tk", split(col("text"), " "))
+        .withColumn("nc", length(col("text")).cast("double"))
+        .withColumn("nt", size(col("tk")).cast("double"))
+        .withColumn("ns",
+          expr(s"size(filter(tk, w -> w IN ($stopList)))").cast("double"))
+        .select(col("doc_id"),
+          (lit(0.4) * least(col("nc") / 500.0, lit(1.0))
+            + lit(0.3) * least((col("ns") / col("nt")) * 5.0, lit(1.0))
+            + lit(0.3) * least(((col("nc") - (col("nt") - 1.0)) / col("nt")) / 8.0,
+              lit(1.0))).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // N-gram/marker-word language-ID heuristic: count marker hits per
+    // language profile, argmax with fixed tie order, then confusion counts
+    // against the labeled lang column.
+    q("qt3_langid", {
+      val scores = LangMarkers.map { case (l, ws) =>
+        val list = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(tk, w -> w IN ($list))) AS sc_$l"
+      }.mkString(",\n    ")
+      val langs = LangMarkers.map(_._1)
+      val caseExpr = langs.init.map { l =>
+        val ge = langs.filter(_ != l).map(o => s"sc_$l >= sc_$o").mkString(" AND ")
+        s"WHEN $ge THEN '$l'"
+      }.mkString("\n    ")
+      s"""WITH tkx AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |    $scores
+         |  FROM tkx),
+         |pred AS (SELECT lang, CASE
+         |    $caseExpr
+         |    ELSE '${langs.last}' END AS lang_pred
+         |  FROM sc)
+         |SELECT lang, lang_pred, COUNT(*) AS n FROM pred
+         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+    }) { (s, d) =>
+      val langs = LangMarkers.map(_._1)
+      val withScores = LangMarkers.foldLeft(
+        t(s, d, "documents").withColumn("tk", split(col("text"), " "))) {
+        case (df, (l, ws)) =>
+          val list = ws.map(w => s"'$w'").mkString(", ")
+          df.withColumn(s"sc_$l", expr(s"size(filter(tk, w -> w IN ($list)))"))
+      }
+      val pred = langs.init.foldRight(lit(langs.last)) { (l, els) =>
+        val ge = langs.filter(_ != l)
+          .map(o => col(s"sc_$l") >= col(s"sc_$o"))
+          .reduce(_ && _)
+        when(ge, l).otherwise(els)
+      }
+      withScores.withColumn("lang_pred", pred)
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))
+    },
+
+    // Tokenizer counting: whitespace tokens vs a BPE-ish regex tokenizer
+    // (letter runs / single digits / single punctuation).
+    q("qt4_token_count",
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long")
+            .as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // JSON field extraction from the events props column (reference:
+    // flink-json JsonRowDeserializationSchema.java:52 → from_json /
+    // get_json_object).
+    q("qt5_json_extract",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+        t(s, d, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).cast("long").as("sum_k"), count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+    }
+  )
+}
