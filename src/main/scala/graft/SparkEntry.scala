@@ -18,7 +18,8 @@ object SparkEntry {
     graft.pipeline.DedupQueries,
     graft.pipeline.TextQueries,
     graft.pipeline.EmbeddingQueries,
-    graft.pipeline.MultimodalQueries)
+    graft.pipeline.MultimodalQueries,
+    graft.streaming.CepQueries)
 
   private lazy val allQueries: Seq[Q] = modules.flatMap(_.all)
 

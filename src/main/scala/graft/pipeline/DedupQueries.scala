@@ -25,7 +25,7 @@ object DedupQueries extends QueryModule {
   private val NumBands = 4 // 2 hashes per band
 
   /** tokens + word-trigram shingles as array columns (no explode). */
-  private def withShingles(df: DataFrame): DataFrame =
+  private[graft] def withShingles(df: DataFrame): DataFrame =
     df.withColumn("tk", split(col("text"), " "))
       .withColumn("sh", expr(
         """CASE WHEN size(tk) >= 3
@@ -34,7 +34,7 @@ object DedupQueries extends QueryModule {
           |  ELSE array() END""".stripMargin))
 
   /** MinHash signature columns h0..h7. */
-  private def withSig(df: DataFrame): DataFrame =
+  private[graft] def withSig(df: DataFrame): DataFrame =
     (0 until NumHashes).foldLeft(withShingles(df)) { (acc, j) =>
       acc.withColumn(s"h$j", expr(
         s"coalesce(array_min(transform(sh, x -> substr(md5(concat('s$j|', x)), 1, 16))), '')"))

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.{Q, QueryModule}
+import java.sql.Timestamp
+
+/** CEP pattern matching exposed on the batch surface: the same
+  * [[Cep.Pattern]] NFA that runs in `flatMapGroupsWithState` for streams
+  * (reference: flink-cep CEP.pattern / PatternStream.select), here driven
+  * by matchBatch over the events table so the DuckDB oracle can check it.
+  *
+  * Semantics under test: begin("view").followedBy("error").within(1h) with
+  * relaxed contiguity + first-occurrence = every view event pairs with the
+  * first error of the same user within the following hour — in SQL, a
+  * MIN(ts) over a time-bounded self-join.
+  */
+object CepQueries extends QueryModule {
+
+  final case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class CepMatch(user_id: Long, start_ts: Timestamp, end_ts: Timestamp)
+
+  private val HourMicros = 3600L * 1000 * 1000
+
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+  def all: Seq[Q] = Seq(
+    q("qc1_cep_view_error",
+      """SELECT v.user_id, CAST(v.ts AS TIMESTAMP) AS start_ts,
+        |  MIN(CAST(e.ts AS TIMESTAMP)) AS end_ts
+        |FROM events v JOIN events e ON e.user_id = v.user_id
+        |  AND e.event_type = 'error'
+        |  AND CAST(e.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
+        |  AND CAST(e.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '1 hour'
+        |WHERE v.event_type = 'view'
+        |GROUP BY v.user_id, v.ts
+        |ORDER BY v.user_id, start_ts""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ds = t(s, d, "events")
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventRow]
+      val pattern = Cep.Pattern.begin[EventRow]("view")(_.event_type == "view")
+        .followedBy("error")(_.event_type == "error")
+        .within(HourMicros)
+      Cep.matchBatch(ds, (e: EventRow) => e.user_id,
+        (e: EventRow) => micros(e.ts), pattern) { (u, m) =>
+        CepMatch(u, m("view").ts, m("error").ts)
+      }.toDF().orderBy("user_id", "start_ts")
+    }
+  )
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming re-expression of the reference's DataStream /
+  * streaming-Table surface (SURVEY.md §2.6, §2.11):
+  *
+  *  - watermarks: `assignTimestampsAndWatermarks` with bounded
+  *    out-of-orderness (DataStream.java:888,
+  *    BoundedOutOfOrdernessTimestampExtractor.java) → [[withEventTime]].
+  *    Punctuated watermarks have no Spark analog (documented gap).
+  *  - group windows TUMBLE/HOP/SESSION (windows.scala:162-468,
+  *    DataStreamGroupWindowAggregate.scala:48) → [[tumble]]/[[hop]]/
+  *    [[session]] column builders usable in `groupBy` on both batch and
+  *    streaming frames (Spark unifies the two engines the reference keeps
+  *    separate).
+  *  - streaming distinct (`DataStream`-side dedup with state TTL) →
+  *    [[dedup]] (dropDuplicates bounded by watermark state eviction).
+  *  - interval join (KeyedStream.java:414 intervalJoin,
+  *    TimeBoundedStreamJoin.scala:55) → [[intervalJoin]]: stream-stream
+  *    equi-join with a time-range predicate; watermarks bound state.
+  *  - keyed process function with state + timers (KeyedProcessFunction
+  *    .java:52 processElement:71/onTimer:85) → [[keyedProcess]] over
+  *    `flatMapGroupsWithState` (timers ≈ GroupStateTimeout).
+  *  - count windows (KeyedStream.java:642 countWindow) → [[countWindow]]:
+  *    no Spark primitive; emulated with a counting state buffer.
+  *
+  * Scale notes: all stateful ops are keyed — state lives in the
+  * executor-local state store partitioned by key hash, so a 1000-executor
+  * cluster shards state horizontally. Watermark-based eviction (or explicit
+  * processing-time timeouts for unbounded patterns) keeps per-key state
+  * bounded; nothing here buffers unboundedly.
+  */
+object StreamOps {
+
+  /** Event-time assignment with bounded out-of-orderness: the Spark
+    * equivalent of `assignTimestampsAndWatermarks(new
+    * BoundedOutOfOrdernessTimestampExtractor(delay))`. */
+  def withEventTime(df: DataFrame, tsCol: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+
+  /** TUMBLE window key (windows.scala Tumble DSL). */
+  def tumble(ts: Column, size: String): Column = window(ts, size)
+
+  /** HOP (sliding) window key (windows.scala Slide DSL). */
+  def hop(ts: Column, size: String, slide: String): Column =
+    window(ts, size, slide)
+
+  /** SESSION window key with merge-on-gap semantics
+    * (MergingWindowAssigner.java). */
+  def session(ts: Column, gap: String): Column = session_window(ts, gap)
+
+  /** Streaming distinct rows by key columns; requires a prior watermark for
+    * state eviction (Flink: distinct + idle-state retention,
+    * queryConfig.scala:72). */
+  def dedup(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Interval (time-bounded) stream-stream inner join:
+    * `right.ts ∈ [left.ts + lower, left.ts + upper]` on an equi-key.
+    * Both inputs must carry watermarks. Mirrors
+    * `a.intervalJoin(b).between(lower, upper)` (KeyedStream.java:448). */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      lower: String, upper: String): DataFrame =
+    left.join(right,
+      expr(s"$leftKey = $rightKey AND " +
+        s"$rightTs BETWEEN $leftTs - INTERVAL $lower AND $leftTs + INTERVAL $upper"))
+
+  /** Keyed process function: per-key state + timeout timers, the analog of
+    * `KeyedProcessFunction.processElement/onTimer`. The `fn` receives
+    * (key, new events iterator, state handle) and emits zero or more
+    * outputs; set a timeout on the state handle to get onTimer-style
+    * callbacks (fn is invoked with an empty iterator on timeout).
+    */
+  def keyedProcess[K: Encoder, I, S: Encoder, O: Encoder](
+      ds: Dataset[I], key: I => K,
+      timeout: GroupStateTimeout = GroupStateTimeout.EventTimeTimeout(),
+      mode: OutputMode = OutputMode.Append())(
+      fn: (K, Iterator[I], GroupState[S]) => Iterator[O]): Dataset[O] =
+    ds.groupByKey(key).flatMapGroupsWithState[S, O](mode, timeout)(fn)
+
+  /** Per-key tumbling COUNT window (KeyedStream.countWindow(n)): buffers a
+    * running (count, aggregate) in keyed state and emits every `n`
+    * elements. `zero`/`add`/`emit` define the aggregate. State is O(1) per
+    * key. Works on batch Datasets too (single group pass).
+    */
+  def countWindow[K: Encoder, I, A: Encoder, O: Encoder](
+      ds: Dataset[I], key: I => K, n: Int, zero: A)(
+      add: (A, I) => A)(
+      emit: (K, A) => O)(implicit tupleEnc: Encoder[(Long, A)]): Dataset[O] = {
+    require(n > 0, "count window size must be positive")
+    ds.groupByKey(key).flatMapGroupsWithState[(Long, A), O](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (k: K, it: Iterator[I], state: GroupState[(Long, A)]) =>
+        var (cnt, acc) = state.getOption.getOrElse((0L, zero))
+        val out = scala.collection.mutable.ArrayBuffer.empty[O]
+        it.foreach { e =>
+          cnt += 1; acc = add(acc, e)
+          if (cnt == n) { out += emit(k, acc); cnt = 0; acc = zero }
+        }
+        state.update((cnt, acc))
+        out.iterator
+    }
+  }
+}

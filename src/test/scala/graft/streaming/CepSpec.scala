@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.streaming.Cep._
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.Encoder
+
+case class Ev(user: Long, typ: String, ts: Long)
+case class MatchOut(user: Long, startTs: Long, endTs: Long)
+
+class CepSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val loginThenError =
+    Pattern.begin[Ev]("login")(_.typ == "login")
+      .followedBy("error")(_.typ == "error")
+      .within(100L)
+
+  test("advance: strict next dies on gap, relaxed followedBy survives") {
+    val strict = Pattern.begin[Ev]("a")(_.typ == "a").next("b")(_.typ == "b")
+    val relaxed = Pattern.begin[Ev]("a")(_.typ == "a").followedBy("b")(_.typ == "b")
+    val a = Ev(1, "a", 0); val x = Ev(1, "x", 1); val b = Ev(1, "b", 2)
+
+    val (p1, m1) = advance(strict, Vector.empty, a, 0)
+    val (p2, m2) = advance(strict, p1, x, 1)
+    val (_, m3) = advance(strict, p2, b, 2)
+    assert(m1.isEmpty && m2.isEmpty && m3.isEmpty) // a-x-b: strict killed
+
+    val (q1, _) = advance(relaxed, Vector.empty, a, 0)
+    val (q2, _) = advance(relaxed, q1, x, 1)
+    val (_, n3) = advance(relaxed, q2, b, 2)
+    assert(n3 == Vector(Vector(a, b))) // relaxed skipped x
+  }
+
+  test("advance: within prunes old partials") {
+    val a = Ev(1, "login", 0); val e = Ev(1, "error", 500)
+    val (p1, _) = advance(loginThenError, Vector.empty, a, 0)
+    val (_, m) = advance(loginThenError, p1, e, 500)
+    assert(m.isEmpty) // 500 > within(100)
+  }
+
+  test("matchBatch finds login→error sequences per user") {
+    val events = Seq(
+      Ev(1, "login", 10), Ev(1, "view", 20), Ev(1, "error", 30),
+      Ev(2, "login", 10), Ev(2, "view", 500), // user 2: no error
+      Ev(3, "error", 5), Ev(3, "login", 10), Ev(3, "error", 90),
+      Ev(4, "login", 0), Ev(4, "error", 200) // outside within window
+    ).toDS()
+    val got = Cep.matchBatch(events, (e: Ev) => e.user, (e: Ev) => e.ts,
+      loginThenError) { (u, m) =>
+      MatchOut(u, m("login").ts, m("error").ts)
+    }.collect().sortBy(_.user)
+    assert(got.toSeq == Seq(MatchOut(1, 10, 30), MatchOut(3, 10, 90)))
+  }
+
+  test("matchBatch: every start opens a partial (overlapping matches)") {
+    val events = Seq(
+      Ev(9, "login", 1), Ev(9, "login", 2), Ev(9, "error", 3)).toDS()
+    val got = Cep.matchBatch(events, (e: Ev) => e.user, (e: Ev) => e.ts,
+      loginThenError) { (u, m) => MatchOut(u, m("login").ts, m("error").ts) }
+      .collect().sortBy(_.startTs)
+    assert(got.toSeq == Seq(MatchOut(9, 1, 3), MatchOut(9, 2, 3)))
+  }
+
+  test("matchStream carries partials across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val stEnc: Encoder[Vector[Partial[Ev]]] = ExpressionEncoder()
+    val input = MemoryStream[Ev]
+    val matched = Cep.matchStream(input.toDS(), (e: Ev) => e.user,
+      (e: Ev) => e.ts, loginThenError) { (u, m) =>
+      MatchOut(u, m("login").ts, m("error").ts)
+    }
+    val query = matched.writeStream.outputMode("append")
+      .format("memory").queryName("cep_out").start()
+    try {
+      input.addData(Ev(7, "login", 10), Ev(7, "view", 20))
+      query.processAllAvailable()
+      assert(spark.table("cep_out").count() == 0)
+      input.addData(Ev(7, "error", 40)) // completes the pattern next batch
+      query.processAllAvailable()
+      val got = spark.table("cep_out").as[MatchOut].collect()
+      assert(got.toSeq == Seq(MatchOut(7, 10, 40)))
+    } finally query.stop()
+  }
+}

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Click(user: Long, kind: String, ts: Timestamp, value: Double)
+
+class StreamOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("streaming tumble agg with watermark (append mode emits closed windows)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Click]
+    val agg = StreamOps.withEventTime(input.toDF(), "ts", "10 minutes")
+      .groupBy(StreamOps.tumble(col("ts"), "1 hour"), col("kind"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("tumble_out").start()
+    try {
+      input.addData(
+        Click(1, "view", t("2024-01-01 00:10:00"), 1.0),
+        Click(2, "view", t("2024-01-01 00:40:00"), 2.0),
+        Click(3, "click", t("2024-01-01 00:50:00"), 5.0))
+      q.processAllAvailable()
+      // advance watermark past 01:00 + 10m so the 00:00 window closes
+      input.addData(Click(4, "view", t("2024-01-01 02:00:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumble_out")
+        .select(col("window.start").cast("string"), col("kind"), col("n"), col("v"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00", "view", 2L, 3.0),
+        ("2024-01-01 00:00:00", "click", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming session windows merge on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Click]
+    val agg = StreamOps.withEventTime(input.toDF(), "ts", "5 minutes")
+      .groupBy(StreamOps.session(col("ts"), "10 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      input.addData(
+        Click(1, "a", t("2024-01-01 00:00:00"), 0),
+        Click(1, "a", t("2024-01-01 00:05:00"), 0), // merges (gap 5 < 10)
+        Click(1, "a", t("2024-01-01 00:30:00"), 0)) // new session
+      q.processAllAvailable()
+      input.addData(Click(2, "a", t("2024-01-01 03:00:00"), 0)) // close all
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select(col("session_window.start").cast("string"), col("user"), col("n"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00", 1L, 2L),
+        ("2024-01-01 00:30:00", 1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated keys within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Click]
+    val out = StreamOps.dedup(
+      StreamOps.withEventTime(input.toDF(), "ts", "1 hour"),
+      Seq("user", "kind"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(
+        Click(1, "view", t("2024-01-01 00:00:00"), 1.0),
+        Click(1, "view", t("2024-01-01 00:01:00"), 2.0),
+        Click(1, "click", t("2024-01-01 00:02:00"), 3.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("interval join matches events within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[Click]
+    val ships = MemoryStream[Click]
+    val joined = StreamOps.intervalJoin(
+      StreamOps.withEventTime(orders.toDF().toDF("o_user", "o_kind", "o_ts", "o_v"), "o_ts", "1 hour"),
+      StreamOps.withEventTime(ships.toDF().toDF("s_user", "s_kind", "s_ts", "s_v"), "s_ts", "1 hour"),
+      "o_user", "s_user", "o_ts", "s_ts", "'0' MINUTE", "'30' MINUTE")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+    try {
+      orders.addData(Click(1, "order", t("2024-01-01 00:00:00"), 0))
+      ships.addData(
+        Click(1, "ship", t("2024-01-01 00:20:00"), 0), // within 30m
+        Click(1, "ship", t("2024-01-01 00:50:00"), 0)) // outside
+      q.processAllAvailable()
+      val got = spark.table("ij_out")
+        .select(col("o_user"), col("s_ts").cast("string"))
+        .as[(Long, String)].collect().toSeq
+      assert(got == Seq((1L, "2024-01-01 00:20:00")))
+    } finally q.stop()
+  }
+
+  test("countWindow emits every n elements per key (streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Click]
+    val out = StreamOps.countWindow(input.toDS(), (c: Click) => c.user, 2, 0.0)(
+      (acc, c) => acc + c.value)((k, acc) => (k, acc))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cw_out").start()
+    try {
+      input.addData(
+        Click(1, "a", t("2024-01-01 00:00:00"), 1.0),
+        Click(1, "a", t("2024-01-01 00:01:00"), 2.0),
+        Click(1, "a", t("2024-01-01 00:02:00"), 4.0)) // 3rd buffers
+      q.processAllAvailable()
+      input.addData(Click(1, "a", t("2024-01-01 00:03:00"), 8.0)) // completes 2nd window
+      q.processAllAvailable()
+      val got = spark.table("cw_out").as[(Long, Double)].collect().toSeq
+      assert(got == Seq((1L, 3.0), (1L, 12.0)))
+    } finally q.stop()
+  }
+
+  test("keyedProcess: stateful running max per key (batch mode)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val ds = Seq(Click(1, "a", t("2024-01-01 00:00:00"), 3.0),
+      Click(1, "a", t("2024-01-01 00:01:00"), 7.0),
+      Click(2, "a", t("2024-01-01 00:00:00"), 5.0)).toDS()
+    val out = StreamOps.keyedProcess[Long, Click, Double, (Long, Double)](
+      ds, _.user, GroupStateTimeout.NoTimeout(), OutputMode.Append()) {
+      (k, it, state) =>
+        val mx = (state.getOption.toIterator ++ it.map(_.value)).max
+        state.update(mx)
+        Iterator((k, mx))
+    }
+    assert(out.collect().toSet == Set((1L, 7.0), (2L, 5.0)))
+  }
+}
