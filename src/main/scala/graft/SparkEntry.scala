@@ -19,7 +19,8 @@ object SparkEntry {
     graft.pipeline.TextQueries,
     graft.pipeline.EmbeddingQueries,
     graft.pipeline.MultimodalQueries,
-    graft.streaming.CepQueries)
+    graft.streaming.CepQueries,
+    graft.graph.GraphQueries)
 
   private lazy val allQueries: Seq[Q] = modules.flatMap(_.all)
 

@@ -1,0 +1,124 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph algorithms as iterative DataFrame joins — the capability slice of
+  * the reference's Gelly library (SURVEY.md §2.12): PageRank
+  * (flink-gelly library/linkanalysis/PageRank.java), ConnectedComponents
+  * (library/ConnectedComponents.java, scatter-gather min-label propagation)
+  * and SingleSourceShortestPaths (library/SingleSourceShortestPaths.java).
+  *
+  * The reference runs these on dedicated iteration operators
+  * (runScatterGatherIteration, Graph.java:1730); Spark-first, each
+  * iteration is a join + aggregate on DataFrames with the loop on the
+  * driver — the standard GraphX/GraphFrames pattern. Every iteration
+  * shuffles by vertex id only; `localCheckpoint` every few rounds truncates
+  * the growing lineage so plans stay constant-size at any iteration count
+  * (crucial at scale — without it the plan tree grows linearly and
+  * re-optimization dominates).
+  *
+  * Graphs are (src, dst) edge DataFrames; vertex ids are longs.
+  */
+object GraphOps {
+
+  private def checkpointEvery = 5
+
+  private def maybeCheckpoint(df: DataFrame, i: Int): DataFrame =
+    if (i % checkpointEvery == 0) df.localCheckpoint(eager = true) else df
+
+  /** Undirected view of an edge list (plus self-loops removed). */
+  private def undirect(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Min-label propagation until fixpoint: every vertex ends with the
+    * smallest vertex id reachable from it (component id). */
+  def connectedComponents(spark: SparkSession, edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val und = undirect(edges).cache()
+    val vertices = und.select(col("src").as("id")).distinct()
+    var labels = vertices.withColumn("comp", col("id"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      i += 1
+      // candidate = min neighbor label; adopt if smaller
+      val nbr = und.join(labels, und("src") === labels("id"))
+        .groupBy(col("dst").as("nid"))
+        .agg(min(col("comp")).as("nbrMin"))
+      val next = labels.join(nbr, labels("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbrMin"), col("comp"))).as("comp"),
+          (col("nbrMin") < col("comp")).as("chg"))
+      val cached = maybeCheckpoint(
+        next.select(col("id"), col("comp"), col("chg")), i).cache()
+      changed = cached.where(col("chg")).count()
+      labels = cached.select(col("id"), col("comp"))
+    }
+    labels
+  }
+
+  /** Single-source shortest (hop-count or weighted) paths via iterative
+    * relaxation; unreachable vertices are absent from the result. */
+  def sssp(spark: SparkSession, edges: DataFrame, source: Long,
+      maxIter: Int = 50): DataFrame = {
+    val und = undirect(edges).cache()
+    var dist = und.sparkSession.range(1)
+      .select(lit(source).as("id"), lit(0.0).as("dist"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      i += 1
+      val relaxed = und.join(dist, und("src") === dist("id"))
+        .select(col("dst").as("id"), (col("dist") + 1.0).as("dist"))
+      val next = dist.union(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+      val cached = maybeCheckpoint(next, i).cache()
+      val newCount = cached.count()
+      val improved = cached.as("n")
+        .join(dist.as("o"), col("n.id") === col("o.id"), "left")
+        .where(col("o.dist").isNull || col("n.dist") < col("o.dist"))
+        .count()
+      changed = improved
+      dist = cached
+      if (newCount == 0) changed = 0
+    }
+    dist
+  }
+
+  /** PageRank with damping 0.85, fixed iteration count (the reference's
+    * PageRank.java default behavior on a fixed budget). Dangling mass is
+    * redistributed uniformly each round so ranks sum to |V|. */
+  def pageRank(spark: SparkSession, edges: DataFrame,
+      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst")).distinct().cache()
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    val n = vertices.count().toDouble
+    val outDeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("double").as("deg")).cache()
+    var ranks = vertices.withColumn("rank", lit(1.0))
+    for (i <- 1 to iters) {
+      val withDeg = ranks.join(outDeg, Seq("id"), "left")
+      val contribs = withDeg.where(col("deg").isNotNull)
+        .join(e, col("id") === e("src"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+      val danglingMass = withDeg.where(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0))).first().getDouble(0)
+      val gathered = vertices.join(
+        contribs.groupBy(col("id")).agg(sum(col("c")).as("inRank")),
+        Seq("id"), "left")
+      val next = gathered.select(col("id"),
+        (lit(1.0 - damping) + lit(damping) *
+          (coalesce(col("inRank"), lit(0.0)) + lit(danglingMass / n)))
+          .as("rank"))
+      ranks = maybeCheckpoint(next, i).cache()
+    }
+    ranks
+  }
+}

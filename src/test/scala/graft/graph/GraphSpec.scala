@@ -1,0 +1,47 @@
+package graft.graph
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  // two triangles + a bridge vertex chain + an isolated pair
+  private lazy val edges = Seq(
+    (1L, 2L), (2L, 3L), (3L, 1L), // triangle A
+    (10L, 11L), (11L, 12L), (12L, 10L), // triangle B
+    (3L, 10L), // bridge joins A and B
+    (20L, 21L) // separate component
+  ).toDF("src", "dst")
+
+  test("connectedComponents labels components by min vertex id") {
+    val comp = GraphOps.connectedComponents(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 10L, 11L, 12L).forall(comp(_) == 1L))
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+  }
+
+  test("sssp computes hop distances and omits unreachable vertices") {
+    val dist = GraphOps.sssp(spark, edges, 1L)
+      .as[(Long, Double)].collect().toMap
+    assert(dist(1L) == 0.0 && dist(2L) == 1.0 && dist(3L) == 1.0)
+    assert(dist(10L) == 2.0 && dist(11L) == 3.0)
+    assert(!dist.contains(20L))
+  }
+
+  test("pageRank: ranks sum to |V| and the bridge hubs rank highest") {
+    val pr = GraphOps.pageRank(spark, edges, iters = 15)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(pr.values.sum - pr.size) < 1e-6)
+    // edges are directed: 10 is the only vertex with two in-edges (from 12
+    // and from the bridge 3) → highest rank; 20 receives nothing → lowest
+    assert(pr.maxBy(_._2)._1 == 10L)
+    assert(pr.minBy(_._2)._1 == 20L)
+  }
+
+  test("trade-graph edges alternate customer(even) / supplier(odd) ids") {
+    val e = GraphQueries.tradeEdges(spark, sf).as[(Long, Long)].collect()
+    assert(e.nonEmpty)
+    assert(e.forall { case (s2, d2) => s2 % 2 == 0 && d2 % 2 == 1 })
+  }
+}
