@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hot paths.
+  *
+  * [[FloatDotProduct]] replaces the `aggregate(zip_with(...))` lambda chain
+  * used for embedding dot products: higher-order functions are interpreted
+  * closure-per-element, while this expression whole-stage-codegens to a
+  * tight primitive loop over the ArrayData (no boxing, no per-element
+  * virtual calls). Summation is the same left-to-right double fold, so
+  * results are bit-identical to the lambda formulation (and to the DuckDB
+  * oracle's list_reduce).
+  *
+  * [[SimHash64]] computes the 64-bit SimHash of a token array (md5-derived
+  * 60-bit token hashes, bitwise majority vote) in one pass — the reference
+  * operation is a per-document fingerprint for near-dup detection. Eval is
+  * JVM-side (md5 dominates; codegen would save nothing), matching the SQL
+  * lambda formulation bit-for-bit.
+  */
+object GraftFunctions {
+
+  /** Idempotently register the expressions as SQL functions on a session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => FloatDotProduct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      exprs => SimHash64(exprs.head), "scala_udf")
+  }
+
+  def dot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("graft_dot", a, b)
+  }
+
+  def simhash64(spark: SparkSession, tokens: Column): Column = {
+    register(spark); call_function("graft_simhash64", tokens)
+  }
+}
+
+case class FloatDotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects two array<float> args, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class SimHash64(child: Expression)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash64 expects array<string>, got $other")
+  }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[ArrayData]
+    val votes = new Array[Long](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < tokens.numElements()) {
+      val tok = tokens.getUTF8String(i)
+      val h = SimHash64.tokenHash(md, tok)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0L) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  private val HexDigits = "0123456789abcdef"
+
+  /** First 15 hex chars of md5(token) as a 60-bit long — identical to the
+    * SQL `CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)`. */
+  private[functions] def tokenHash(md: java.security.MessageDigest,
+      tok: UTF8String): Long = {
+    md.reset()
+    val digest = md.digest(tok.getBytes)
+    // 15 hex chars = 7.5 bytes: bytes 0..6 fully + high nibble of byte 7
+    var h = 0L
+    var i = 0
+    while (i < 7) {
+      h = (h << 8) | (digest(i) & 0xFFL)
+      i += 1
+    }
+    (h << 4) | ((digest(7) & 0xF0L) >> 4)
+  }
+
+  /** For tests: hash from a plain string. */
+  def tokenHash(s: String): Long =
+    tokenHash(java.security.MessageDigest.getInstance("MD5"),
+      UTF8String.fromString(s))
+}

@@ -179,18 +179,13 @@ object DedupQueries extends QueryModule {
     // there; covered by DedupSpec unit tests. Production path: a codegen'd
     // Catalyst Expression — see graft.functions.)
     qNoOracle("qp6_simhash") { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
       t(s, d, "documents")
         .withColumn("tk", split(col("text"), " "))
-        .withColumn("hs", expr(
-          "transform(tk, w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT))"))
-        .withColumn("bitsum", expr(
-          """aggregate(hs, transform(sequence(0, 63), b -> 0L),
-            |  (acc, h) -> zip_with(acc, sequence(0, 63),
-            |    (c, b) -> c + IF((shiftright(h, CAST(b AS INT)) & 1L) = 1L, 1L, -1L)))""".stripMargin))
-        .withColumn("simhash", expr(
-          """aggregate(zip_with(bitsum, sequence(0, 63),
-            |  (c, b) -> IF(c > 0L, shiftleft(1L, CAST(b AS INT)), 0L)),
-            |  0L, (a, x) -> a + x)""".stripMargin))
+        // native single-pass expression (graft.functions.SimHash64); the
+        // equivalent SQL-lambda formulation is kept bit-identical by
+        // ExpressionsSpec
+        .withColumn("simhash", expr("graft_simhash64(tk)"))
         .select(col("doc_id"), col("simhash"),
           col("simhash").bitwiseAND(lit(0xFFFFL)).as("band0"),
           shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)).as("band1"),

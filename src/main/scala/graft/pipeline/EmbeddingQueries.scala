@@ -19,11 +19,11 @@ import org.apache.spark.sql.functions._
 object EmbeddingQueries extends QueryModule {
 
   /** Sequential-fold dot product of two float arrays (exact per-element
-    * products, left-to-right summation). */
-  private def dotExpr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b,
-       |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |  0D, (acc, v) -> acc + v)""".stripMargin
+    * products, left-to-right summation) — the codegen'd
+    * [[graft.functions.FloatDotProduct]] expression, bit-identical to the
+    * `aggregate(zip_with(...))` lambda chain it replaces but ~an order of
+    * magnitude cheaper per row (primitive loop vs interpreted closures). */
+  private def dotExpr(a: String, b: String): String = s"graft_dot($a, $b)"
 
   private def normExpr(a: String): String = dotExpr(a, a)
 
@@ -43,6 +43,7 @@ object EmbeddingQueries extends QueryModule {
     q("qe1_embed_norm",
       s"""SELECT vec_id, $duckNorm AS sq_norm
          |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
       t(s, d, "embeddings")
         .select(col("vec_id"), expr(normExpr("embedding")).as("sq_norm"))
         .orderBy(col("vec_id"))
@@ -68,6 +69,7 @@ object EmbeddingQueries extends QueryModule {
          |    PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rnk FROM cosx)
          |SELECT qid, nid, cosine, rnk FROM r WHERE rnk <= 3
          |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
       val e = t(s, d, "embeddings")
       val norms = e.select(col("vec_id"), expr(normExpr("embedding")).as("nrm"))
       val qv = e.where(col("vec_id") < 20)
@@ -109,6 +111,7 @@ object EmbeddingQueries extends QueryModule {
       s"""SELECT label, COUNT(*) AS n,
          |  CAST(SUM(CAST($duckNorm AS DECIMAL(30,8))) AS DOUBLE) AS sum_sq_norm
          |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
       t(s, d, "embeddings")
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"),

@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class ExpressionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("graft_dot matches the lambda fold bit-for-bit (codegen + interpreted)") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.1f, -0.2f), Array(0.3f, 0.4f)),
+      (Array.empty[Float], Array.empty[Float])
+    ).toDF("a", "b")
+    val got = df.select(
+      expr("graft_dot(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+        .as("lambda"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (n, l) => assert(n == l) }
+    assert(got.head._1 == 32.0)
+  }
+
+  test("graft_dot on the embeddings table equals the qe1 norm column") {
+    GraftFunctions.register(spark)
+    val e = graft.Engine.table(spark, sf, "embeddings")
+    val both = e.select(
+      expr("graft_dot(embedding, embedding)").as("native"),
+      expr("aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+        .as("lambda"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, l) => assert(n == l) }
+  }
+
+  test("simhash64 expression equals the SQL lambda formulation") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "spark engines process queries with catalyst",
+      "one"
+    ).toDF("text").withColumn("tk", split($"text", " "))
+    val got = docs.select(
+      expr("graft_simhash64(tk)").as("native"),
+      expr(
+        """aggregate(zip_with(
+          |  aggregate(transform(tk, w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)),
+          |    transform(sequence(0, 63), b -> 0L),
+          |    (acc, h) -> zip_with(acc, sequence(0, 63),
+          |      (c, b) -> c + IF((shiftright(h, CAST(b AS INT)) & 1L) = 1L, 1L, -1L))),
+          |  sequence(0, 63),
+          |  (c, b) -> IF(c > 0L, shiftleft(1L, CAST(b AS INT)), 0L)),
+          |  0L, (a, x) -> a + x)""".stripMargin).as("lambda"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, l) => assert(n == l) }
+  }
+
+  test("tokenHash matches conv(substr(md5(w),1,15),16,10)") {
+    val words = Seq("hello", "spark", "a", "zz9")
+    val viaSql = words.toDF("w")
+      .select(expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"))
+      .as[Long].collect()
+    words.zip(viaSql).foreach { case (w, expected) =>
+      assert(SimHash64.tokenHash(w) == expected, w)
+    }
+  }
+}
