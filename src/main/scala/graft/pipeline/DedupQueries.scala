@@ -153,12 +153,19 @@ object DedupQueries extends QueryModule {
         .select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
         .distinct()
       val cnt = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = shd.as("x")
-        .join(shd.as("y"),
-          col("x.lang") === col("y.lang") && col("x.s") === col("y.s")
-            && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.lang").as("lang"), col("x.doc_id").as("doc_a"),
-          col("y.doc_id").as("doc_b"))
+      // Inverted index: posting list per (lang, shingle), then generate the
+      // doc-id combinations map-side. Pair counts partial-aggregate before
+      // the shuffle, so only distinct pairs move — the equivalent self-join
+      // would shuffle every (pair, shingle) occurrence.
+      val postings = shd.groupBy(col("lang"), col("s"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .where(size(col("ds")) > 1)
+      val inter = postings
+        .select(col("lang"), explode(expr(
+          """flatten(transform(ds, (a, i) ->
+            |  transform(slice(ds, i + 2, size(ds) - i - 1),
+            |            b -> struct(a AS da, b AS db))))""".stripMargin)).as("p"))
+        .groupBy(col("lang"), col("p.da").as("doc_a"), col("p.db").as("doc_b"))
         .agg(count(lit(1)).as("ni"))
       val jac = inter
         .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
