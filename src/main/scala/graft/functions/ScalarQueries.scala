@@ -207,6 +207,27 @@ object ScalarQueries extends QueryModule {
           .getField("name").as("s_name"),
         element_at(map(lit("nk"), col("n_nationkey")), "nk").as("m_val"))
         .orderBy(col("n_nationkey"))
+    },
+
+    // COLLECT multiset via the Aggregator-based UDAF (reference:
+    // CollectAggFunction.scala / SQL COLLECT → MULTISET), rendered as a
+    // canonical "value:count" string for the hash compare.
+    q("qs7_collect_multiset",
+      """WITH c AS (SELECT l_orderkey, CAST(l_quantity AS INTEGER) AS qty,
+        |    COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_orderkey,
+        |  string_agg(qty || ':' || n, ',' ORDER BY qty) AS multiset
+        |FROM c GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      graft.functions.Udafs.register(s)
+      t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(expr("graft_multiset(CAST(l_quantity AS INT))").as("ms"))
+        .select(col("l_orderkey"), expr(
+          """array_join(transform(array_sort(map_entries(ms)),
+            |  e -> concat(CAST(e.key AS STRING), ':', CAST(e.value AS STRING))), ',')""".stripMargin)
+          .as("multiset"))
+        .orderBy(col("l_orderkey"))
     }
   )
 }
