@@ -84,6 +84,50 @@ object StreamOps {
       fn: (K, Iterator[I], GroupState[S]) => Iterator[O]): Dataset[O] =
     ds.groupByKey(key).flatMapGroupsWithState[S, O](mode, timeout)(fn)
 
+  /** Broadcast-state pattern (DataStream.broadcast(MapStateDescriptor) +
+    * KeyedBroadcastProcessFunction): a control/lookup table joined into the
+    * stream. In Spark the static side is broadcast into every task of each
+    * micro-batch — re-read per batch when the source supports it, which is
+    * the reference's "refreshable control stream" use case. */
+  def broadcastJoin(stream: DataFrame, control: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(control), keys, "left")
+
+  /** Ordered async I/O (AsyncDataStream.orderedWait, AsyncDataStream
+    * .java:102): per-partition pipelined lookups with up to `parallelism`
+    * requests in flight, emitting results in input order. The async client
+    * is created per partition via `mkClient` (e.g. an HTTP/DB handle). */
+  def asyncMapOrdered[I, O: Encoder, C](ds: Dataset[I], parallelism: Int)(
+      mkClient: () => C)(fn: (C, I) => O): Dataset[O] =
+    ds.mapPartitions { it =>
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      import java.util.concurrent.Executors
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pool = Executors.newFixedThreadPool(parallelism)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val client = mkClient()
+        val inFlight = scala.collection.mutable.Queue.empty[Future[O]]
+        def fill(): Unit =
+          while (inFlight.size < parallelism && it.hasNext) {
+            val elem = it.next() // pull on the caller thread — the source
+            inFlight.enqueue(Future(fn(client, elem))) // iterator isn't thread-safe
+          }
+        fill()
+        new Iterator[O] {
+          def hasNext: Boolean = inFlight.nonEmpty
+          def next(): O = {
+            val f = inFlight.dequeue()
+            fill()
+            val r = Await.result(f, Duration.Inf)
+            if (inFlight.isEmpty) pool.shutdown()
+            r
+          }
+        }
+      }
+    }
+
   /** Per-key tumbling COUNT window (KeyedStream.countWindow(n)): buffers a
     * running (count, aggregate) in keyed state and emits every `n`
     * elements. `zero`/`add`/`emit` define the aggregate. State is O(1) per

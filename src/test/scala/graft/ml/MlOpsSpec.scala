@@ -1,0 +1,48 @@
+package graft.ml
+
+import graft.{Engine, SparkSuite}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.functions._
+
+class MlOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val vecs = MlOps.toVectors(
+    Engine.table(spark, sf, "embeddings"), "embedding", "features")
+
+  test("standard scaler: zero mean, unit variance per dimension") {
+    val scaled = MlOps.standardScale(vecs, "features", "scaled")
+    val arr = scaled.select("scaled").collect()
+      .map(_.getAs[Vector](0).toArray)
+    val dim0 = arr.map(_(0))
+    val mean = dim0.sum / dim0.length
+    val varr = dim0.map(x => (x - mean) * (x - mean)).sum / (dim0.length - 1)
+    assert(math.abs(mean) < 1e-9)
+    assert(math.abs(varr - 1.0) < 1e-6)
+  }
+
+  test("min-max scaler bounds every dimension to [0,1]") {
+    val scaled = MlOps.minMaxScale(vecs, "features", "scaled")
+    val arr = scaled.select("scaled").collect().map(_.getAs[Vector](0).toArray)
+    assert(arr.flatten.forall(v => v >= -1e-12 && v <= 1.0 + 1e-12))
+  }
+
+  test("LSH similarity join finds close pairs and respects threshold") {
+    val pairs = MlOps.approxSimilarityJoin(
+      vecs.select($"vec_id", $"features"), "vec_id", "features",
+      threshold = 6.0)
+    val rows = pairs.as[(Long, Long, Double)].collect()
+    assert(rows.forall { case (a, b, d) => a < b && d <= 6.0 })
+  }
+
+  test("linear regression recovers a known linear relationship") {
+    val train = spark.range(200).select(
+      $"id".cast("double").as("x"))
+      .withColumn("label", $"x" * 3.0 + 7.0)
+    val withFeatures = MlOps.toVectors(
+      train.withColumn("arr", array($"x".cast("float"))), "arr", "features")
+    val (_, coefs) = MlOps.linearRegression(withFeatures, "features", "label")
+    assert(math.abs(coefs(0) - 3.0) < 1e-6)
+    assert(math.abs(coefs(1) - 7.0) < 1e-4)
+  }
+}

@@ -124,6 +124,38 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("broadcastJoin enriches a stream with a static control table") {
+    implicit val sqlCtx = spark.sqlContext
+    val control = Seq((1L, "gold"), (2L, "silver")).toDF("user", "tier")
+    val input = MemoryStream[Click]
+    val out = StreamOps.broadcastJoin(input.toDF(), control, Seq("user"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("bj_out").start()
+    try {
+      input.addData(
+        Click(1, "view", t("2024-01-01 00:00:00"), 1.0),
+        Click(3, "view", t("2024-01-01 00:00:01"), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("bj_out").select($"user", $"tier")
+        .as[(Long, Option[String])].collect().toSet
+      assert(got == Set((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+
+  test("asyncMapOrdered preserves input order and processes every element") {
+    val n = 50
+    val ds = spark.range(n).as[Long]
+    val out = StreamOps.asyncMapOrdered(ds.coalesce(1), parallelism = 4)(
+      () => "client") { (_, i) =>
+      // simulate variable-latency lookups
+      Thread.sleep((i % 3) * 2)
+      i * 10
+    }.collect()
+    // ordered-wait semantics: output order == input order despite the
+    // variable per-element latency
+    assert(out.toSeq == (0L until n).map(_ * 10))
+  }
+
   test("keyedProcess: stateful running max per key (batch mode)") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val ds = Seq(Click(1, "a", t("2024-01-01 00:00:00"), 3.0),
