@@ -35,6 +35,8 @@ object GraftFunctions {
       exprs => FloatDotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash64",
       exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash_bands",
+      exprs => MinHashBands(exprs.head), "scala_udf")
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -130,6 +132,88 @@ case class SimHash64(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** MinHash LSH band values of a shingle array in one pass: for seeds
+  * j = 0..3, hash every shingle with md5("s<j>|" + shingle); the two
+  * 16-hex-char halves of the digest are two independent MinHash components
+  * (min taken lexicographically = numerically for fixed-width lowercase
+  * hex). Band b = minLow(b) || minHigh(b) — 4 bands × 2 rows, the classic
+  * (b=4, r=2) LSH layout. Bit-identical to the SQL-lambda formulation
+  * `min(substr(md5(concat('s<j>|', x)), 1|17, 16))` but one digest per
+  * seed per shingle and no per-element interpreted closures or garbage.
+  * Empty input → 4 empty strings (matching coalesce(min(...), '')).
+  */
+case class MinHashBands(child: Expression)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val NumSeeds = 4
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_bands expects array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val seedPrefixes: Array[Array[Byte]] =
+    Array.tabulate(NumSeeds)(j => s"s$j|".getBytes("UTF-8"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val shingles = input.asInstanceOf[ArrayData]
+    val n = shingles.numElements()
+    val out = new Array[Any](NumSeeds)
+    if (n == 0) {
+      var b = 0
+      while (b < NumSeeds) { out(b) = UTF8String.EMPTY_UTF8; b += 1 }
+    } else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      // running minima as 16-char hex strings, low half and high half
+      val minLow = new Array[String](NumSeeds)
+      val minHigh = new Array[String](NumSeeds)
+      var i = 0
+      while (i < n) {
+        val sh = shingles.getUTF8String(i).getBytes
+        var j = 0
+        while (j < NumSeeds) {
+          md.reset()
+          md.update(seedPrefixes(j))
+          md.update(sh)
+          val hex = MinHashBands.toHex(md.digest())
+          val low = hex.substring(0, 16)
+          val high = hex.substring(16, 32)
+          if (minLow(j) == null || low < minLow(j)) minLow(j) = low
+          if (minHigh(j) == null || high < minHigh(j)) minHigh(j) = high
+          j += 1
+        }
+        i += 1
+      }
+      var b = 0
+      while (b < NumSeeds) {
+        out(b) = UTF8String.fromString(minLow(b) + minHigh(b))
+        b += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashBands {
+  private val Hex = "0123456789abcdef".toCharArray
+  private[functions] def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = Hex((bytes(i) >> 4) & 0xF)
+      out(2 * i + 1) = Hex(bytes(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
 }
 
 object SimHash64 {

@@ -33,18 +33,26 @@ object DedupQueries extends QueryModule {
           |         i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))
           |  ELSE array() END""".stripMargin))
 
-  /** MinHash signature columns h0..h7. */
+  /** MinHash signature columns h0..h7. One md5 per seed-pair: the 128-bit
+    * digest yields two independent 64-bit (16-hex-char) hash values, so 8
+    * signature components cost 4 md5 evaluations per shingle instead of 8.
+    * Fixed-width lowercase hex keeps lexicographic MIN == numeric MIN. */
   private[graft] def withSig(df: DataFrame): DataFrame =
-    (0 until NumHashes).foldLeft(withShingles(df)) { (acc, j) =>
-      acc.withColumn(s"h$j", expr(
-        s"coalesce(array_min(transform(sh, x -> substr(md5(concat('s$j|', x)), 1, 16))), '')"))
+    (0 until NumHashes / 2).foldLeft(withShingles(df)) { (acc, j) =>
+      acc
+        .withColumn(s"h${2 * j}", expr(
+          s"coalesce(array_min(transform(sh, x -> substr(md5(concat('s$j|', x)), 1, 16))), '')"))
+        .withColumn(s"h${2 * j + 1}", expr(
+          s"coalesce(array_min(transform(sh, x -> substr(md5(concat('s$j|', x)), 17, 16))), '')"))
     }
 
   /** Shared DuckDB CTE prefix: tokens → shingles → signature columns. */
   private val duckSig: String = {
-    val hs = (0 until NumHashes).map(j =>
-      s"coalesce(list_aggregate(list_transform(sh, x -> substr(md5('s$j|' || x), 1, 16)), 'min'), '') AS h$j")
-      .mkString(",\n    ")
+    val hs = (0 until NumHashes).map { k =>
+      val j = k / 2
+      val off = if (k % 2 == 0) 1 else 17
+      s"coalesce(list_aggregate(list_transform(sh, x -> substr(md5('s$j|' || x), $off, 16)), 'min'), '') AS h$k"
+    }.mkString(",\n    ")
     s"""WITH tkx AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |shx AS (SELECT doc_id, CASE WHEN len(tk) >= 3
        |    THEN list_transform(generate_series(1, len(tk) - 2),
@@ -54,8 +62,6 @@ object DedupQueries extends QueryModule {
        |    $hs
        |  FROM shx)""".stripMargin
   }
-
-  private val sigCols = (0 until NumHashes).map(j => s"h$j")
 
   def all: Seq[Q] = Seq(
 
@@ -84,14 +90,19 @@ object DedupQueries extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
-    // MinHash signature per document (8 hashes over word trigrams).
+    // MinHash signature per document (8 hashes over word trigrams, grouped
+    // into 4 two-hash bands). Computed by the native one-pass
+    // graft.functions.MinHashBands expression; the oracle derives the same
+    // band strings from the per-component SQL formulation.
     q("qp3_minhash_sig",
       s"""$duckSig
-         |SELECT doc_id, concat_ws(',', ${sigCols.mkString(", ")}) AS sig
+         |SELECT doc_id,
+         |  concat_ws(',', h0 || h1, h2 || h3, h4 || h5, h6 || h7) AS sig
          |FROM sig ORDER BY doc_id""".stripMargin) { (s, d) =>
-      withSig(t(s, d, "documents"))
+      graft.functions.GraftFunctions.register(s)
+      withShingles(t(s, d, "documents"))
         .select(col("doc_id"),
-          concat_ws(",", sigCols.map(col): _*).as("sig"))
+          array_join(expr("graft_minhash_bands(sh)"), ",").as("sig"))
         .orderBy(col("doc_id"))
     },
 
@@ -107,13 +118,13 @@ object DedupQueries extends QueryModule {
          |FROM bands x JOIN bands y
          |  ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val bandStructs = (0 until NumBands).map { b =>
-        struct(lit(b).as("band"),
-          concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bv"))
-      }
-      val bands = withSig(t(s, d, "documents"))
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+      graft.functions.GraftFunctions.register(s)
+      // cache: the self-join would otherwise evaluate the MinHash scan
+      // twice (at 100 TB this materialization is a checkpoint table)
+      val bands = withShingles(t(s, d, "documents"))
+        .select(col("doc_id"),
+          posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
+        .cache()
       bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
@@ -123,49 +134,77 @@ object DedupQueries extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // Exact word-trigram Jaccard, blocked by shared shingle (inverted-index
-    // join — never all-pairs) within a language; top-5 most similar pairs
-    // per language.
-    q("qp5_ngram_jaccard",
-      """WITH tkx AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
-        |shd AS (SELECT DISTINCT doc_id, lang, unnest(
-        |    CASE WHEN len(tk) >= 3
-        |      THEN list_transform(generate_series(1, len(tk) - 2),
-        |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-        |      ELSE [] END) AS s
-        |  FROM tkx),
-        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
-        |inter AS (SELECT x.lang, x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS ni
-        |  FROM shd x JOIN shd y
-        |    ON x.lang = y.lang AND x.s = y.s AND x.doc_id < y.doc_id
-        |  GROUP BY x.lang, x.doc_id, y.doc_id),
-        |jac AS (SELECT i.lang, i.doc_a, i.doc_b,
-        |    CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard
-        |  FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
-        |               JOIN cnt cb ON cb.doc_id = i.doc_b),
-        |r AS (SELECT lang, doc_a, doc_b, jaccard, row_number() OVER (
-        |    PARTITION BY lang ORDER BY jaccard DESC, doc_a, doc_b) AS rnk
-        |  FROM jac)
-        |SELECT lang, doc_a, doc_b, jaccard, rnk FROM r WHERE rnk <= 5
-        |ORDER BY lang, rnk""".stripMargin) { (s, d) =>
+    // Exact word-trigram Jaccard over MinHash-LSH candidate pairs — the
+    // canonical 100 TB near-dup pipeline: LSH proposes (band equi-join, no
+    // all-pairs, no hot-shingle quadratics), exact Jaccard verifies, top-5
+    // most similar pairs per language reported. The oracle replicates the
+    // full candidates→verify pipeline in SQL.
+    q("qp5_ngram_jaccard", {
+      val hs = (0 until NumHashes).map { k =>
+        val j = k / 2
+        val off = if (k % 2 == 0) 1 else 17
+        s"coalesce(list_aggregate(list_transform(sh, x -> substr(md5('s$j|' || x), $off, 16)), 'min'), '') AS h$k"
+      }.mkString(",\n    ")
+      s"""WITH tkx AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+         |shx AS (SELECT doc_id, lang, CASE WHEN len(tk) >= 3
+         |    THEN list_transform(generate_series(1, len(tk) - 2),
+         |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |    ELSE [] END AS sh FROM tkx),
+         |sigl AS (SELECT doc_id, lang,
+         |    $hs
+         |  FROM shx),
+         |bands AS (SELECT doc_id, lang, b.band,
+         |    CASE b.band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+         |                WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bv
+         |  FROM sigl, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |cand AS (SELECT DISTINCT x.lang, x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.lang = y.lang AND x.band = y.band AND x.bv = y.bv
+         |    AND x.doc_id < y.doc_id
+         |  WHERE x.bv <> ''),
+         |shd AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shx),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+         |inter AS (SELECT c.lang, c.doc_a, c.doc_b, COUNT(*) AS ni
+         |  FROM cand c JOIN shd a ON a.doc_id = c.doc_a
+         |              JOIN shd b ON b.doc_id = c.doc_b AND b.s = a.s
+         |  GROUP BY c.lang, c.doc_a, c.doc_b),
+         |jac AS (SELECT i.lang, i.doc_a, i.doc_b,
+         |    CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard
+         |  FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+         |               JOIN cnt cb ON cb.doc_id = i.doc_b),
+         |r AS (SELECT lang, doc_a, doc_b, jaccard, CAST(row_number() OVER (
+         |    PARTITION BY lang ORDER BY jaccard DESC, doc_a, doc_b) AS BIGINT) AS rnk
+         |  FROM jac)
+         |SELECT lang, doc_a, doc_b, jaccard, rnk FROM r WHERE rnk <= 5
+         |ORDER BY lang, rnk""".stripMargin
+    }) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val shd = withShingles(t(s, d, "documents"))
-        .select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
+      graft.functions.GraftFunctions.register(s)
+      // materialize the shingle arrays once: every downstream branch
+      // (bands x2, shd x3) would otherwise re-run the shingling lambda —
+      // and a Generate over the raw expression re-evaluates it per output
+      // row. At 100 TB this cache is a checkpoint table.
+      val docs = withShingles(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), col("sh")).cache()
+      val bands = docs.select(col("doc_id"), col("lang"),
+        posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
+        .where(col("bv") =!= "")
+        .cache() // reused by both sides of the candidate self-join
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.lang") === col("y.lang") && col("x.band") === col("y.band")
+            && col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.lang").as("lang"), col("x.doc_id").as("doc_a"),
+          col("y.doc_id").as("doc_b"))
         .distinct()
+      val shd = docs.select(col("doc_id"), explode(col("sh")).as("s")).distinct()
+        .cache() // reused by cnt and both intersection sides
       val cnt = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      // Inverted index: posting list per (lang, shingle), then generate the
-      // doc-id combinations map-side. Pair counts partial-aggregate before
-      // the shuffle, so only distinct pairs move — the equivalent self-join
-      // would shuffle every (pair, shingle) occurrence.
-      val postings = shd.groupBy(col("lang"), col("s"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .where(size(col("ds")) > 1)
-      val inter = postings
-        .select(col("lang"), explode(expr(
-          """flatten(transform(ds, (a, i) ->
-            |  transform(slice(ds, i + 2, size(ds) - i - 1),
-            |            b -> struct(a AS da, b AS db))))""".stripMargin)).as("p"))
-        .groupBy(col("lang"), col("p.da").as("doc_a"), col("p.db").as("doc_b"))
+      val inter = cand
+        .join(shd.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(shd.as("b"),
+          col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+        .groupBy(col("lang"), col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("ni"))
       val jac = inter
         .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))

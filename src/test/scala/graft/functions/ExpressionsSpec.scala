@@ -65,4 +65,24 @@ class ExpressionsSpec extends SparkSuite {
       assert(SimHash64.tokenHash(w) == expected, w)
     }
   }
+
+  test("minhash bands expression equals the SQL lambda formulation") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "a b c",
+      "one two" // < 3 tokens → empty shingles → empty band strings
+    ).toDF("text")
+    val sh = graft.pipeline.DedupQueries.withShingles(docs)
+    val viaSql = (0 until 4).map { j =>
+      concat(
+        expr(s"coalesce(array_min(transform(sh, x -> substr(md5(concat('s$j|', x)), 1, 16))), '')"),
+        expr(s"coalesce(array_min(transform(sh, x -> substr(md5(concat('s$j|', x)), 17, 16))), '')"))
+    }
+    val rows = sh.select(
+      expr("graft_minhash_bands(sh)").as("native"),
+      array(viaSql: _*).as("lambda"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (n, l) => assert(n == l) }
+  }
 }
