@@ -1,0 +1,110 @@
+package graft
+
+import org.scalacheck.{Gen, Test => SCTest, Prop}
+
+/** Property-based equivalence tests (the layer SURVEY.md §5 notes the
+  * reference lacks): engine results vs brute-force Scala computations on
+  * random small inputs. ScalaCheck drives the generation; each property
+  * runs 30 cases.
+  */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val rowsGen: Gen[List[(Int, Long)]] =
+    Gen.listOfN(60, Gen.zip(Gen.choose(0, 5), Gen.choose(-100L, 100L)))
+
+  test("groupBy sum/count/min/max match brute force") {
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "v")
+      val got = df.groupBy($"k")
+        .agg(org.apache.spark.sql.functions.sum($"v").as("s"),
+          org.apache.spark.sql.functions.count($"v").as("c"),
+          org.apache.spark.sql.functions.min($"v").as("mn"),
+          org.apache.spark.sql.functions.max($"v").as("mx"))
+        .as[(Int, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val exp = rows.groupBy(_._1).map { case (k, vs) =>
+        k -> ((vs.map(_._2).sum, vs.size.toLong, vs.map(_._2).min, vs.map(_._2).max))
+      }
+      got == exp
+    })
+  }
+
+  test("inner equi-join matches brute-force nested loop") {
+    check(Prop.forAll(rowsGen, rowsGen) { (l, r) =>
+      val got = l.toDF("k", "a").join(r.toDF("k", "b"), "k")
+        .as[(Int, Long, Long)].collect().toList.sorted
+      val exp = (for {
+        (lk, la) <- l; (rk, rb) <- r if lk == rk
+      } yield (lk, la, rb)).sorted
+      got == exp
+    })
+  }
+
+  test("exceptAll / intersectAll have multiset semantics") {
+    val vals = Gen.listOfN(40, Gen.choose(0, 8))
+    check(Prop.forAll(vals, vals) { (a, b) =>
+      def multi(xs: List[Int]) = xs.groupBy(identity).view.mapValues(_.size).toMap
+      val (ma, mb) = (multi(a), multi(b))
+      val gotInter = a.toDF("v").intersectAll(b.toDF("v")).as[Int]
+        .collect().toList
+      val expInter = ma.map { case (k, n) => k -> math.min(n, mb.getOrElse(k, 0)) }
+        .filter(_._2 > 0)
+      val gotExc = a.toDF("v").exceptAll(b.toDF("v")).as[Int].collect().toList
+      val expExc = ma.map { case (k, n) => k -> (n - mb.getOrElse(k, 0)) }
+        .filter(_._2 > 0)
+      multi(gotInter) == expInter && multi(gotExc) == expExc
+    })
+  }
+
+  test("CEP relaxed pattern matches brute-force first-occurrence pairing") {
+    import graft.streaming.Cep
+    val evGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 200L), Gen.oneOf("a", "b", "x")))
+    val pattern = Cep.Pattern.begin[(Long, String)]("a")(_._2 == "a")
+      .followedBy("b")(_._2 == "b").within(50L)
+    check(Prop.forAll(evGen) { evsRaw =>
+      // distinct timestamps keep ordering unambiguous
+      val evs = evsRaw.distinctBy(_._1).sortBy(_._1)
+      var partials = Vector.empty[Cep.Partial[(Long, String)]]
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      evs.foreach { e =>
+        val (next, ms) = Cep.advance(pattern, partials, e, e._1)
+        partials = next
+        ms.foreach(m => got += ((m(0)._1, m(1)._1)))
+      }
+      // brute force: each 'a' pairs with the first 'b' strictly after it
+      // within 50 ticks
+      val exp = for {
+        a <- evs if a._2 == "a"
+        b <- evs.find(e => e._2 == "b" && e._1 > a._1 && e._1 - a._1 <= 50L)
+      } yield (a._1, b._1)
+      got.toList.sorted == exp.sorted
+    })
+  }
+
+  test("window running sum equals prefix sums") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    check(Prop.forAll(rowsGen) { rows =>
+      val indexed = rows.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+      val w = Window.partitionBy($"k").orderBy($"i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = indexed.toDF("k", "v", "i")
+        .select($"k", $"i", sum($"v").over(w).as("rs"))
+        .as[(Int, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val exp = indexed.groupBy(_._1).flatMap { case (k, vs) =>
+        val sorted = vs.sortBy(_._3)
+        sorted.zip(sorted.scanLeft(0L)(_ + _._2).tail)
+          .map { case ((_, _, i), rs) => (k, i) -> rs }
+      }
+      got == exp
+    })
+  }
+}

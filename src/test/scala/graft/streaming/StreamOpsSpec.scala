@@ -124,6 +124,23 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("update-mode rolling keyed agg re-emits per micro-batch (keyBy().sum parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Click]
+    val agg = input.toDF().groupBy($"user").agg(sum($"value").as("total"))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("roll_out").start()
+    try {
+      input.addData(Click(1, "a", t("2024-01-01 00:00:00"), 1.0))
+      q.processAllAvailable()
+      input.addData(Click(1, "a", t("2024-01-01 00:01:00"), 2.0))
+      q.processAllAvailable()
+      // update mode appends the refreshed per-key row each batch
+      val rows = spark.table("roll_out").as[(Long, Double)].collect().toSeq
+      assert(rows == Seq((1L, 1.0), (1L, 3.0)))
+    } finally q.stop()
+  }
+
   test("broadcastJoin enriches a stream with a static control table") {
     implicit val sqlCtx = spark.sqlContext
     val control = Seq((1L, "gold"), (2L, "silver")).toDF("user", "tier")
