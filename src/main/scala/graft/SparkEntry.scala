@@ -13,6 +13,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     graft.operators.BatchQueries,
+    graft.operators.SqlQueries,
     graft.operators.WindowQueries,
     graft.functions.ScalarQueries,
     graft.pipeline.DedupQueries,
