@@ -84,6 +84,44 @@ object StreamOps {
       fn: (K, Iterator[I], GroupState[S]) => Iterator[O]): Dataset[O] =
     ds.groupByKey(key).flatMapGroupsWithState[S, O](mode, timeout)(fn)
 
+  /** Streaming event-time OVER aggregate (reference:
+    * RowTimeUnboundedOver.scala — per-row running aggregate ordered by
+    * rowtime, emitted once the watermark passes the row). Spark has no
+    * streaming window functions (SURVEY.md §7.4), so this is the stateful
+    * emulation: per key, buffer rows above the watermark, and on every
+    * batch/timeout emit the now-final rows in event-time order with the
+    * running accumulator. State per key = accumulator + not-yet-final rows
+    * (bounded by the watermark delay). Input must carry a watermark.
+    *
+    * @param ts  event time in epoch micros
+    * @return (key, tsMicros, value, runningAgg) rows in final order
+    */
+  def eventTimeRunningSum[K: Encoder, I](
+      ds: Dataset[I], key: I => K, ts: I => Long, value: I => Double)(
+      implicit stateEnc: Encoder[(Double, Seq[(Long, Double)])],
+      outEnc: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] =
+    ds.groupByKey(key).flatMapGroupsWithState[
+      (Double, Seq[(Long, Double)]), (K, Long, Double, Double)](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (k: K, it: Iterator[I], state: GroupState[(Double, Seq[(Long, Double)])]) =>
+        val (acc0, buf0) = state.getOption.getOrElse((0.0, Seq.empty))
+        val buf = buf0 ++ it.map(i => (ts(i), value(i)))
+        val wmMicros = state.getCurrentWatermarkMs() * 1000L
+        // rows at or below the watermark are final: emit in event-time order
+        val (ready, pending) = buf.partition(_._1 <= wmMicros)
+        var acc = acc0
+        val out = ready.sortBy(r => r) .map { case (t0, v) =>
+          acc += v
+          (k, t0, v, acc)
+        }
+        state.update((acc, pending))
+        // re-arm after every invocation (including timeout firings) so the
+        // next watermark advance flushes the remaining buffer
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        out.iterator
+    }
+
   /** Broadcast-state pattern (DataStream.broadcast(MapStateDescriptor) +
     * KeyedBroadcastProcessFunction): a control/lookup table joined into the
     * stream. In Spark the static side is broadcast into every task of each

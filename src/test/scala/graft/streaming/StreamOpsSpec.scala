@@ -124,6 +124,43 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("event-time running sum (streaming OVER emulation) emits in order past watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val stEnc: org.apache.spark.sql.Encoder[(Double, Seq[(Long, Double)])] =
+      ExpressionEncoder()
+    def us(s: String) = Timestamp.valueOf(s).getTime * 1000L
+    val input = MemoryStream[Click]
+    val withWm = StreamOps.withEventTime(input.toDF(), "ts", "10 minutes")
+      .as[Click]
+    val out = StreamOps.eventTimeRunningSum[Long, Click](
+      withWm, _.user, c => c.ts.getTime * 1000L, _.value)
+    val q = out.toDF().toDF("user", "ts_us", "v", "running")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("over_out").start()
+    try {
+      // out-of-order arrivals within the watermark delay
+      input.addData(
+        Click(1, "a", t("2024-01-01 00:05:00"), 2.0),
+        Click(1, "a", t("2024-01-01 00:01:00"), 1.0))
+      q.processAllAvailable()
+      input.addData(Click(1, "a", t("2024-01-01 01:00:00"), 8.0)) // advances wm
+      q.processAllAvailable()
+      input.addData(Click(2, "a", t("2024-01-01 03:00:00"), 0.0)) // advance wm
+      q.processAllAvailable()
+      // timeout fires on the batch after the watermark passes 01:00
+      input.addData(Click(2, "a", t("2024-01-01 04:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("over_out").as[(Long, Long, Double, Double)]
+        .collect().filter(_._1 == 1L).sortBy(_._2)
+      // running sums follow EVENT time (1.0 at 00:01 before 2.0 at 00:05)
+      assert(got.map(r => (r._2, r._4)).toSeq == Seq(
+        (us("2024-01-01 00:01:00"), 1.0),
+        (us("2024-01-01 00:05:00"), 3.0),
+        (us("2024-01-01 01:00:00"), 11.0)))
+    } finally q.stop()
+  }
+
   test("update-mode rolling keyed agg re-emits per micro-batch (keyBy().sum parity)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Click]
