@@ -210,6 +210,47 @@ class StreamOpsSpec extends SparkSuite {
     assert(out.toSeq == (0L until n).map(_ * 10))
   }
 
+  test("late data beyond the watermark is dropped (allowedLateness semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Click]
+    val agg = StreamOps.withEventTime(input.toDF(), "ts", "10 minutes")
+      .groupBy(StreamOps.tumble(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      input.addData(Click(1, "a", t("2024-01-01 00:30:00"), 0))
+      q.processAllAvailable()
+      input.addData(Click(1, "a", t("2024-01-01 05:00:00"), 0)) // wm → 04:50
+      q.processAllAvailable()
+      // this row's window (00:00) is final — it must be dropped
+      input.addData(Click(1, "a", t("2024-01-01 00:45:00"), 0))
+      input.addData(Click(1, "a", t("2024-01-01 09:00:00"), 0)) // close 05:00 win
+      q.processAllAvailable()
+      val rows = spark.table("late_out")
+        .select(col("window.start").cast("string"), col("n"))
+        .as[(String, Long)].collect().toMap
+      assert(rows("2024-01-01 00:00:00") == 1L) // late row not counted
+    } finally q.stop()
+  }
+
+  test("complete output mode re-emits the full result table (BatchTableSink contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Click]
+    val agg = input.toDF().groupBy($"kind").agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("complete_out").start()
+    try {
+      input.addData(Click(1, "view", t("2024-01-01 00:00:00"), 0))
+      q.processAllAvailable()
+      input.addData(Click(2, "click", t("2024-01-01 00:01:00"), 0))
+      q.processAllAvailable()
+      // memory sink in complete mode holds the latest full table
+      val rows = spark.table("complete_out").as[(String, Long)].collect().toSet
+      assert(rows == Set(("view", 1L), ("click", 1L)))
+    } finally q.stop()
+  }
+
   test("keyedProcess: stateful running max per key (batch mode)") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val ds = Seq(Click(1, "a", t("2024-01-01 00:00:00"), 3.0),
