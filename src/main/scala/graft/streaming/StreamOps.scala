@@ -84,6 +84,52 @@ object StreamOps {
       fn: (K, Iterator[I], GroupState[S]) => Iterator[O]): Dataset[O] =
     ds.groupByKey(key).flatMapGroupsWithState[S, O](mode, timeout)(fn)
 
+  /** Side-output routing (OutputTag / split-select,
+    * SingleOutputStreamOperator.java:409): Spark has no in-plan multi-way
+    * split, so the pattern is N filtered branches of one DataFrame — with
+    * a shared `persist`/upstream source the scan is shared per micro-batch
+    * via exchange reuse. Tags map to disjoint-or-not predicates; rows
+    * matching no predicate land under `defaultTag` if given. */
+  def sideOutputs(df: DataFrame, routes: Map[String, Column],
+      defaultTag: Option[String] = None): Map[String, DataFrame] = {
+    val tagged = routes.map { case (tag, pred) => tag -> df.where(pred) }
+    defaultTag match {
+      case Some(tag) =>
+        val noneMatch = routes.values.map(!_).reduce(_ && _)
+        tagged + (tag -> df.where(noneMatch))
+      case None => tagged
+    }
+  }
+
+  /** Dynamic-gap session windows (DynamicEventTimeSessionWindows — the
+    * assigner whose gap is a function of the element, with no Spark
+    * analog): per-key, event-time-sorted pass that closes a session when
+    * the gap to the previous event exceeds `gapFor(event)` of that
+    * previous event. Batch formulation (one sorted scan per key); the
+    * streaming twin buffers in keyed state like eventTimeRunningSum. */
+  def dynamicGapSessions[K: Encoder, I](
+      ds: Dataset[I], key: I => K, ts: I => Long, gapFor: I => Long)(
+      implicit outEnc: Encoder[(K, Long, Long, Int)]): Dataset[(K, Long, Long, Int)] =
+    ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[I]) =>
+      val sorted = it.toVector.sortBy(ts)
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        val out = Vector.newBuilder[(K, Long, Long, Int)]
+        var start = ts(sorted.head)
+        var last = sorted.head
+        var n = 1
+        sorted.tail.foreach { e =>
+          if (ts(e) - ts(last) >= gapFor(last)) {
+            out += ((k, start, ts(last), n))
+            start = ts(e); n = 0
+          }
+          last = e; n += 1
+        }
+        out += ((k, start, ts(last), n))
+        out.result().iterator
+      }
+    }
+
   /** Streaming event-time OVER aggregate (reference:
     * RowTimeUnboundedOver.scala — per-row running aggregate ordered by
     * rowtime, emitted once the watermark passes the row). Spark has no

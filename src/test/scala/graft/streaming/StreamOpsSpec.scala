@@ -210,6 +210,58 @@ class StreamOpsSpec extends SparkSuite {
     assert(out.toSeq == (0L until n).map(_ * 10))
   }
 
+  test("sideOutputs routes rows into tagged branches with a default") {
+    val df = Seq(
+      Click(1, "view", t("2024-01-01 00:00:00"), 1.0),
+      Click(2, "click", t("2024-01-01 00:01:00"), 2.0),
+      Click(3, "error", t("2024-01-01 00:02:00"), 3.0)).toDF()
+    val routed = StreamOps.sideOutputs(df,
+      Map("views" -> ($"kind" === "view"), "clicks" -> ($"kind" === "click")),
+      defaultTag = Some("other"))
+    assert(routed("views").count() == 1)
+    assert(routed("clicks").count() == 1)
+    assert(routed("other").as[Click].head().kind == "error")
+  }
+
+  test("dynamic-gap sessions close based on a per-event gap function") {
+    val events = Seq(
+      // user 1: gap after "view" is 10, after "error" is 2
+      Click(1, "view", t("2024-01-01 00:00:00"), 0),
+      Click(1, "view", t("2024-01-01 00:00:05"), 0), // within 10 → same
+      Click(1, "error", t("2024-01-01 00:00:10"), 0), // within 10 → same
+      Click(1, "view", t("2024-01-01 00:00:13"), 0) // 3 >= 2 (error gap) → new
+    ).toDS()
+    def secs(c: Click) = c.ts.getTime / 1000
+    val got = StreamOps.dynamicGapSessions[Long, Click](
+      events, _.user, secs, c => if (c.kind == "error") 2L else 10L)
+      .collect().sortBy(_._2)
+    assert(got.toSeq == Seq(
+      (1L, secs(events.collect()(0)), secs(events.collect()(2)), 3),
+      (1L, secs(events.collect()(3)), secs(events.collect()(3)), 1)))
+  }
+
+  test("streaming query resumes from checkpoint without duplicating epochs") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    def writeBatch(n: Int): Unit =
+      Seq.tabulate(5)(i => n * 100 + i).toDF("v")
+        .coalesce(1).write.mode("append").json(s"$srcDir")
+    def startQuery() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("v INT"))
+      .json(srcDir)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .start()
+    writeBatch(1)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    writeBatch(2)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val vals = spark.read.parquet(outDir).as[Int].collect().sorted
+    // exactly-once across the restart: 10 distinct values, no dupes
+    assert(vals.toSeq == (Seq.tabulate(5)(100 + _) ++ Seq.tabulate(5)(200 + _)))
+  }
+
   test("late data beyond the watermark is dropped (allowedLateness semantics)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Click]
