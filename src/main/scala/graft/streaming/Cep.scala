@@ -28,7 +28,10 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   */
 object Cep {
 
-  final case class Step[E](name: String, pred: E => Boolean, strict: Boolean)
+  final case class Step[E](name: String, pred: E => Boolean, strict: Boolean,
+      minReps: Int = 1, maxReps: Int = 1) {
+    def looping: Boolean = maxReps > minReps || maxReps == Int.MaxValue
+  }
 
   final class Pattern[E] private[Cep] (
       val steps: Vector[Step[E]], val withinMs: Option[Long])
@@ -39,6 +42,18 @@ object Cep {
     /** Relaxed contiguity: non-matching events in between are skipped. */
     def followedBy(name: String)(pred: E => Boolean): Pattern[E] =
       new Pattern(steps :+ Step(name, pred, strict = false), withinMs)
+    /** The previous step must match exactly `n` consecutive occurrences
+      * (Pattern.times, Pattern.java:292). */
+    def times(n: Int): Pattern[E] = {
+      require(n >= 1, "times(n) requires n >= 1")
+      new Pattern(steps.init :+ steps.last.copy(minReps = n, maxReps = n),
+        withinMs)
+    }
+    /** The previous step matches one or more consecutive occurrences,
+      * greedily extended (Pattern.oneOrMore, Pattern.java:340). */
+    def oneOrMore: Pattern[E] = new Pattern(
+      steps.init :+ steps.last.copy(minReps = 1, maxReps = Int.MaxValue),
+      withinMs)
     /** Partial matches older than `ms` (vs the current event) are pruned. */
     def within(ms: Long): Pattern[E] = new Pattern(steps, Some(ms))
   }
@@ -48,48 +63,103 @@ object Cep {
       new Pattern(Vector(Step(name, pred, strict = true)), None)
   }
 
-  /** An in-flight partial match: events bound to steps 0..events.size-1. */
-  final case class Partial[E](startTs: Long, events: Vector[E])
+  /** An in-flight partial match: one event group per entered step
+    * (`groups.last` is the current step's run); `runOpen` marks whether
+    * that run can still be extended (repetition contiguity is consecutive —
+    * a non-matching event closes or kills the run). */
+  final case class Partial[E](startTs: Long, groups: Vector[Vector[E]],
+      runOpen: Boolean) {
+    def stepIdx: Int = groups.size - 1
+  }
 
   /** Core NFA transition: feed one event, return surviving partials and any
-    * completed matches (as step-aligned event vectors). Pure — shared by
-    * the batch and streaming drivers below.
+    * completed matches (as per-step event groups). Pure — shared by the
+    * batch and streaming drivers below. A final `oneOrMore` run completes
+    * when broken by a non-matching event (maximal/greedy) or, in batch, at
+    * end of input.
     */
   def advance[E](pattern: Pattern[E], partials: Vector[Partial[E]],
-      e: E, ts: Long): (Vector[Partial[E]], Vector[Vector[E]]) = {
+      e: E, ts: Long): (Vector[Partial[E]], Vector[Vector[Vector[E]]]) = {
     val alive = partials.filter(p =>
       pattern.withinMs.forall(w => ts - p.startTs <= w))
     val out = Vector.newBuilder[Partial[E]]
-    val matches = Vector.newBuilder[Vector[E]]
+    val matches = Vector.newBuilder[Vector[Vector[E]]]
+    val lastIdx = pattern.steps.size - 1
+
     alive.foreach { p =>
-      val step = pattern.steps(p.events.size)
-      if (step.pred(e)) {
-        val adv = p.copy(events = p.events :+ e)
-        if (adv.events.size == pattern.steps.size) matches += adv.events
-        else out += adv
-        // followedBy = first occurrence only: the partial is consumed.
-      } else if (!step.strict) {
-        out += p // relaxed: skip this event, keep waiting
-      } // strict non-match: partial dies
+      val s = pattern.steps(p.stepIdx)
+      val reps = p.groups.last.size
+
+      // 1) greedily extend the current run
+      val extended = p.runOpen && reps < s.maxReps && s.pred(e)
+      if (extended) {
+        val g2 = p.groups.updated(p.stepIdx, p.groups.last :+ e)
+        if (p.stepIdx == lastIdx && !s.looping && reps + 1 == s.maxReps)
+          matches += g2 // fixed-count final step (times(n)) completed
+        else if (reps + 1 == s.maxReps && !s.looping)
+          out += Partial(p.startTs, g2, runOpen = false) // middle run full
+        else
+          out += Partial(p.startTs, g2, runOpen = true)
+      }
+
+      // 2) transition out of a satisfied run
+      if (reps >= s.minReps) {
+        if (p.stepIdx < lastIdx) {
+          val s2 = pattern.steps(p.stepIdx + 1)
+          if (s2.pred(e)) {
+            val g2 = p.groups :+ Vector(e)
+            if (p.stepIdx + 1 == lastIdx && !s2.looping && s2.maxReps == 1)
+              matches += g2
+            else out += Partial(p.startTs, g2, runOpen = true)
+          } else if (!s2.strict && !extended) {
+            // relaxed next step: keep waiting with the run closed (greedy:
+            // only when this event didn't extend the run — runs are maximal)
+            out += Partial(p.startTs, p.groups, runOpen = false)
+          } // strict next step, no match: partial dies
+        } else if (s.looping && p.runOpen && !s.pred(e)) {
+          matches += p.groups // breaking event completes the maximal run
+        }
+      }
+      // run not yet satisfied and event didn't extend it: partial dies
+      // (repetition contiguity is consecutive)
     }
-    if (pattern.steps.head.pred(e)) {
-      if (pattern.steps.size == 1) matches += Vector(e)
-      else out += Partial(ts, Vector(e))
+
+    // 3) every matching event also opens a fresh partial (noSkip)
+    val s0 = pattern.steps.head
+    if (s0.pred(e)) {
+      val g = Vector(Vector(e))
+      if (pattern.steps.size == 1 && !s0.looping && s0.maxReps == 1)
+        matches += g
+      else out += Partial(ts, g, runOpen = true)
     }
     (out.result(), matches.result())
   }
 
   /** Run a pattern over a batch Dataset: one event-time-sorted scan per
-    * key. `finish` shapes (key, step-name → event) into the output row. */
+    * key. `finish` shapes (key, step-name → first event of the step's
+    * group) into the output row; use [[matchBatchGroups]] to see full
+    * repetition groups. Final greedy runs flush at end of input. */
   def matchBatch[K, E, O: Encoder](ds: Dataset[E], key: E => K,
       ts: E => Long, pattern: Pattern[E])(
       finish: (K, Map[String, E]) => O)(implicit ke: Encoder[K]): Dataset[O] =
+    matchBatchGroups(ds, key, ts, pattern) { (k, groups) =>
+      finish(k, groups.view.mapValues(_.head).toMap)
+    }
+
+  /** Like [[matchBatch]] but exposing every matched event per step —
+    * required for quantified steps (times/oneOrMore). */
+  def matchBatchGroups[K, E, O: Encoder](ds: Dataset[E], key: E => K,
+      ts: E => Long, pattern: Pattern[E])(
+      finish: (K, Map[String, Seq[E]]) => O)(
+      implicit ke: Encoder[K]): Dataset[O] =
     ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
-      runSorted(k, it, key, ts, pattern, Vector.empty, finish)._1.iterator
+      runSorted(k, it, ts, pattern, Vector.empty, finish,
+        flushAtEnd = true)._1.iterator
     }
 
   /** Run a pattern over a streaming Dataset: partials persist in keyed
-    * state across micro-batches. */
+    * state across micro-batches; final greedy runs stay pending until a
+    * breaking event arrives (documented subset). */
   def matchStream[K, E, O: Encoder](ds: Dataset[E], key: E => K,
       ts: E => Long, pattern: Pattern[E])(
       finish: (K, Map[String, E]) => O)(
@@ -97,21 +167,37 @@ object Cep {
     ds.groupByKey(key).flatMapGroupsWithState[Vector[Partial[E]], O](
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (k, it, state) =>
       val partials = state.getOption.getOrElse(Vector.empty)
-      val (outs, remaining) = runSorted(k, it, key, ts, pattern, partials, finish)
+      val (outs, remaining) = runSorted(k, it, ts, pattern, partials,
+        (kk: K, groups: Map[String, Seq[E]]) =>
+          finish(kk, groups.view.mapValues(_.head).toMap),
+        flushAtEnd = false)
       state.update(remaining)
       outs.iterator
     }
 
-  private def runSorted[K, E, O](k: K, it: Iterator[E], key: E => K,
+  private def runSorted[K, E, O](k: K, it: Iterator[E],
       ts: E => Long, pattern: Pattern[E], init: Vector[Partial[E]],
-      finish: (K, Map[String, E]) => O): (Vector[O], Vector[Partial[E]]) = {
+      finish: (K, Map[String, Seq[E]]) => O,
+      flushAtEnd: Boolean): (Vector[O], Vector[Partial[E]]) = {
     val names = pattern.steps.map(_.name)
+    def shape(m: Vector[Vector[E]]): O =
+      finish(k, names.zip(m.map(_.toSeq)).toMap)
     var partials = init
     val outs = Vector.newBuilder[O]
     it.toVector.sortBy(ts).foreach { e =>
       val (next, matches) = advance(pattern, partials, e, ts(e))
       partials = next
-      matches.foreach(m => outs += finish(k, names.zip(m).toMap))
+      matches.foreach(m => outs += shape(m))
+    }
+    if (flushAtEnd) {
+      val lastIdx = pattern.steps.size - 1
+      val lastStep = pattern.steps(lastIdx)
+      partials.foreach { p =>
+        if (p.stepIdx == lastIdx && lastStep.looping && p.runOpen
+          && p.groups.last.size >= lastStep.minReps)
+          outs += shape(p.groups)
+      }
+      partials = Vector.empty
     }
     (outs.result(), partials)
   }

@@ -77,7 +77,7 @@ class PropertySpec extends SparkSuite {
       evs.foreach { e =>
         val (next, ms) = Cep.advance(pattern, partials, e, e._1)
         partials = next
-        ms.foreach(m => got += ((m(0)._1, m(1)._1)))
+        ms.foreach(m => got += ((m(0).head._1, m(1).head._1)))
       }
       // brute force: each 'a' pairs with the first 'b' strictly after it
       // within 50 ticks

@@ -30,7 +30,40 @@ class CepSpec extends SparkSuite {
     val (q1, _) = advance(relaxed, Vector.empty, a, 0)
     val (q2, _) = advance(relaxed, q1, x, 1)
     val (_, n3) = advance(relaxed, q2, b, 2)
-    assert(n3 == Vector(Vector(a, b))) // relaxed skipped x
+    assert(n3 == Vector(Vector(Vector(a), Vector(b)))) // relaxed skipped x
+  }
+
+  test("times(n) requires exactly n consecutive occurrences") {
+    val p3 = Pattern.begin[Ev]("a")(_.typ == "a").times(3)
+    val evs = Seq(Ev(1, "a", 1), Ev(1, "a", 2), Ev(1, "a", 3), Ev(1, "a", 4),
+      Ev(1, "b", 5), Ev(1, "a", 6), Ev(1, "a", 7)).toDS()
+    val got = Cep.matchBatchGroups(evs, (e: Ev) => e.user, (e: Ev) => e.ts, p3) {
+      (u, m) => (u, m("a").map(_.ts))
+    }.collect().toSeq.sortBy(_._2.head)
+    // runs: a1..a4 gives starts at 1 and 2; the trailing a6,a7 is too short
+    assert(got == Seq((1L, Seq(1L, 2L, 3L)), (1L, Seq(2L, 3L, 4L))))
+  }
+
+  test("oneOrMore captures the maximal greedy run") {
+    val p = Pattern.begin[Ev]("a")(_.typ == "a").oneOrMore
+      .followedBy("b")(_.typ == "b")
+    val evs = Seq(Ev(2, "a", 1), Ev(2, "a", 2), Ev(2, "x", 3),
+      Ev(2, "b", 4)).toDS()
+    val got = Cep.matchBatchGroups(evs, (e: Ev) => e.user, (e: Ev) => e.ts, p) {
+      (u, m) => (u, m("a").map(_.ts), m("b").map(_.ts))
+    }.collect().toSeq.sortBy(_._2.head)
+    // runs starting at a1 (maximal a1,a2) and at a2, both end at b4
+    assert(got == Seq((2L, Seq(1L, 2L), Seq(4L)), (2L, Seq(2L), Seq(4L))))
+  }
+
+  test("final oneOrMore flushes the maximal run at end of batch input") {
+    val p = Pattern.begin[Ev]("start")(_.typ == "s")
+      .followedBy("errs")(_.typ == "e").oneOrMore
+    val evs = Seq(Ev(3, "s", 1), Ev(3, "e", 2), Ev(3, "e", 3)).toDS()
+    val got = Cep.matchBatchGroups(evs, (e: Ev) => e.user, (e: Ev) => e.ts, p) {
+      (u, m) => (u, m("errs").map(_.ts))
+    }.collect().toSeq
+    assert(got.contains((3L, Seq(2L, 3L)))) // maximal run flushed
   }
 
   test("advance: within prunes old partials") {
