@@ -14,7 +14,9 @@ object Bench {
     "q10_left_join", "q21_sort_limit_offset",
     "qw1_running_sum", "qw5_tumble", "qw7_session",
     "qp1_dedup_exact", "qp4_minhash_pairs", "qp5_ngram_jaccard",
-    "qt1_text_stats", "qe2_knn_brute", "qm1_media_meta")
+    "qp7_curation_pipeline", "qt1_text_stats", "qe2_knn_brute",
+    "qm1_media_meta", "qsql1_shipping_priority", "qg1_connected_components",
+    "qc1_cep_view_error")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

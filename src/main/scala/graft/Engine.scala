@@ -71,6 +71,14 @@ trait QueryModule {
   * to double is a single deterministic IEEE rounding. Per-row double
   * arithmetic (+,*,-,/ in a fixed expression order) is itself deterministic,
   * so only the aggregation boundary needs the decimal detour.
+  *
+  * CAVEAT — computed ("dirty") doubles: the double→DECIMAL cast itself can
+  * diverge between engines (Spark rounds the shortest decimal repr HALF_UP,
+  * DuckDB rounds the true binary value), which matters once values carry
+  * digits at the cast scale. Raw data columns with few decimals are safe;
+  * for derived doubles aggregate `floor(x * 10^k)` as integers instead —
+  * floor on a double is a pure binary op, identical everywhere (see
+  * qp7_curation_pipeline).
   */
 object Det {
   val DEC: DecimalType = DecimalType(30, 8)

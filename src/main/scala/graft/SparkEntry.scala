@@ -20,6 +20,7 @@ object SparkEntry {
     graft.pipeline.TextQueries,
     graft.pipeline.EmbeddingQueries,
     graft.pipeline.MultimodalQueries,
+    graft.pipeline.CurationQueries,
     graft.streaming.CepQueries,
     graft.graph.GraphQueries)
 

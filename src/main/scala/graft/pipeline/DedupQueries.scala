@@ -47,7 +47,7 @@ object DedupQueries extends QueryModule {
     }
 
   /** Shared DuckDB CTE prefix: tokens → shingles → signature columns. */
-  private val duckSig: String = {
+  private[pipeline] val duckSig: String = {
     val hs = (0 until NumHashes).map { k =>
       val j = k / 2
       val off = if (k % 2 == 0) 1 else 17
