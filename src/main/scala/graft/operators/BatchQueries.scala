@@ -486,6 +486,41 @@ object BatchQueries extends QueryModule {
         .orderBy(col("qty"))
     },
 
+    // Null-safe equi-join (IS NOT DISTINCT FROM / <=> — reference
+    // FunctionCatalog.scala:319): nullable keys derived via nullif, so NULL
+    // keys pair with NULL keys.
+    q("q29_nullsafe_join",
+      """WITH a AS (SELECT c_custkey, nullif(c_nationkey % 5, 0) AS k FROM customer),
+        |     b AS (SELECT s_suppkey, nullif(s_nationkey % 5, 0) AS k FROM supplier)
+        |SELECT a.k AS k, COUNT(*) AS n_pairs
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |GROUP BY a.k ORDER BY k NULLS FIRST""".stripMargin) { (s, d) =>
+      val a = t(s, d, "customer")
+        .select(col("c_custkey"), nullif(col("c_nationkey") % 5, lit(0)).as("k"))
+      val b = t(s, d, "supplier")
+        .select(col("s_suppkey"), nullif(col("s_nationkey") % 5, lit(0)).as("ak"))
+      a.join(b, col("k") <=> col("ak"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("k").asc_nulls_first)
+    },
+
+    // posexplode / UNNEST WITH ORDINALITY: token positions per document.
+    q("q30_posexplode",
+      """SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, tk[i] AS word
+        |FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |     generate_series(1, 5) g(i)
+        |WHERE len(tk) >= 5 AND doc_id < 50
+        |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .where(col("doc_id") < 50)
+        .withColumn("tk", split(col("text"), " "))
+        .where(size(col("tk")) >= 5)
+        .select(col("doc_id"),
+          posexplode(expr("slice(tk, 1, 5)")).as(Seq("pos", "word")))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
     // Row-level dedup (reference: DataSet.distinct / DataSetDistinct.scala).
     q("q28_distinct_rows",
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders

@@ -70,6 +70,14 @@ object SqlQueries extends QueryModule {
         |FROM ranked WHERE rn = 1
         |ORDER BY o_custkey""".stripMargin),
 
+    sqlBoth("qsql6_correlated_scalar",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT avg(o2.o_totalprice) FROM orders o2
+        |  WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin),
+
     sqlBoth("qsql5_case_agg_filter",
       """SELECT l_returnflag,
         |  COUNT(CASE WHEN l_quantity >= 25.0 THEN 1 END) AS n_big,

@@ -171,6 +171,21 @@ object WindowQueries extends QueryModule {
         .orderBy(col("user_id"), col("s_start"))
     },
 
+    // Exact DISTINCT aggregation inside a time window (distinct users per
+    // hour) — reference: DistinctAccumulator within group windows.
+    q("qw9_window_distinct",
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start,
+        |  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .select(col("window.start").as("w_start"), col("n_users"),
+          col("n_events"))
+        .orderBy(col("w_start"))
+    },
+
     // RANGE frame over a numeric ordering (reference: RANGE INTERVAL
     // PRECEDING — RowTimeBoundedRangeOver.scala): all orders within 1000.0
     // of the current price.
