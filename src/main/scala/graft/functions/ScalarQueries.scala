@@ -209,6 +209,37 @@ object ScalarQueries extends QueryModule {
         .orderBy(col("n_nationkey"))
     },
 
+    // Array/collection function catalog over real array data (tokens):
+    // sort, distinct, contains, position, min/max, slice, flatten.
+    q("qs8_array_funcs",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ')[1:8] AS a
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  array_to_string(list_sort(a), ' ') AS sorted_tokens,
+        |  CAST(len(list_distinct(a)) AS INTEGER) AS n_distinct,
+        |  list_contains(a, 'the') AS has_the,
+        |  CAST(coalesce(list_position(a, 'data'), 0) AS INTEGER) AS data_pos,
+        |  list_min(a) AS min_tok,
+        |  list_max(a) AS max_tok,
+        |  array_to_string(a[2:4], '|') AS mid_slice,
+        |  array_to_string(flatten([a[1:2], a[3:4]]), ',') AS flat
+        |FROM tk ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .where(col("doc_id") < 100)
+        .withColumn("a", expr("slice(split(text, ' '), 1, 8)"))
+        .select(col("doc_id"),
+          array_join(array_sort(col("a")), " ").as("sorted_tokens"),
+          size(array_distinct(col("a"))).as("n_distinct"),
+          array_contains(col("a"), "the").as("has_the"),
+          array_position(col("a"), "data").cast("int").as("data_pos"),
+          array_min(col("a")).as("min_tok"),
+          array_max(col("a")).as("max_tok"),
+          array_join(expr("slice(a, 2, 3)"), "|").as("mid_slice"),
+          array_join(flatten(array(expr("slice(a, 1, 2)"),
+            expr("slice(a, 3, 2)"))), ",").as("flat"))
+        .orderBy(col("doc_id"))
+    },
+
     // COLLECT multiset via the Aggregator-based UDAF (reference:
     // CollectAggFunction.scala / SQL COLLECT → MULTISET), rendered as a
     // canonical "value:count" string for the hash compare.

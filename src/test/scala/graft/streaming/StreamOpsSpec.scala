@@ -104,6 +104,34 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("windowed stream-stream join pairs events in the same tumbling window") {
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[Click]
+    val r = MemoryStream[Click]
+    def bucketed(m: MemoryStream[Click], prefix: String) =
+      StreamOps.withEventTime(m.toDF(), "ts", "10 minutes")
+        .select(col("user").as(s"${prefix}_user"), col("kind").as(s"${prefix}_kind"),
+          window(col("ts"), "1 hour").as(s"${prefix}_w"))
+    val joined = bucketed(l, "l").join(bucketed(r, "r"),
+      expr("l_user = r_user AND l_w = r_w"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("wj_out").start()
+    try {
+      l.addData(Click(1, "view", t("2024-01-01 00:10:00"), 0))
+      r.addData(
+        Click(1, "buy", t("2024-01-01 00:50:00"), 0), // same window
+        Click(1, "buy", t("2024-01-01 01:10:00"), 0)) // next window
+      l.addData(Click(9, "view", t("2024-01-01 06:00:00"), 0)) // advance wm
+      r.addData(Click(9, "buy", t("2024-01-01 06:00:00"), 0))
+      q.processAllAvailable()
+      val got = spark.table("wj_out")
+        .select(col("l_user"), col("l_w.start").cast("string"))
+        .as[(Long, String)].collect().toSet
+      assert(got.contains((1L, "2024-01-01 00:00:00")))
+      assert(!got.exists { case (u, w) => u == 1L && w == "2024-01-01 01:00:00" })
+    } finally q.stop()
+  }
+
   test("countWindow emits every n elements per key (streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Click]
