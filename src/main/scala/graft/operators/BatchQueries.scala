@@ -127,6 +127,60 @@ object BatchQueries extends QueryModule {
         .orderBy(col("l_returnflag"))
     },
 
+    // Exact percentiles (median/p90), floor-scaled to cents: engines may
+    // differ in interpolation rounding at the last ulp, so compare integers.
+    q("q31_percentiles",
+      """SELECT o_orderpriority,
+        |  CAST(floor(quantile_cont(o_totalprice, 0.5) * 100.0) AS BIGINT) AS median_cents,
+        |  CAST(floor(quantile_cont(o_totalprice, 0.9) * 100.0) AS BIGINT) AS p90_cents
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            floor(expr("percentile(o_totalprice, 0.5)") * 100.0).cast("long")
+              .as("median_cents"),
+            floor(expr("percentile(o_totalprice, 0.9)") * 100.0).cast("long")
+              .as("p90_cents"))
+          .orderBy(col("o_orderpriority"))
+    },
+
+    // Correlation & covariance from exact decimal sums (same determinism
+    // strategy as q4's stddev): corr(qty, price) per return flag.
+    q("q32_corr_covar", {
+      val n = "CAST(COUNT(*) AS DOUBLE)"
+      val sx = DSUM("l_quantity")
+      val sy = DSUM("l_extendedprice")
+      val sxy = DSUM("l_quantity * l_extendedprice")
+      val sx2 = DSUM("l_quantity * l_quantity")
+      val sy2 = DSUM("l_extendedprice * l_extendedprice")
+      // floor-scaled outputs: the 18+-digit DECIMAL sums round to double
+      // differently per engine at the last ulp, so integers at 1e-9/1e-3
+      // grids are compared instead of raw doubles
+      s"""SELECT l_returnflag,
+         |  CAST(floor(((($n * $sxy) - ($sx * $sy))
+         |    / (sqrt(($n * $sx2) - ($sx * $sx))
+         |       * sqrt(($n * $sy2) - ($sy * $sy)))) * 1000000000.0) AS BIGINT) AS corr_e9,
+         |  CAST(floor((($sxy / $n) - (($sx / $n) * ($sy / $n))) * 1000.0) AS BIGINT) AS covar_m3
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    }) { (s, d) =>
+      val n = count(lit(1)).cast("double")
+      val sx = dsum(col("l_quantity"))
+      val sy = dsum(col("l_extendedprice"))
+      val sxy = dsum(col("l_quantity") * col("l_extendedprice"))
+      val sx2 = dsum(col("l_quantity") * col("l_quantity"))
+      val sy2 = dsum(col("l_extendedprice") * col("l_extendedprice"))
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          floor((((n * sxy) - (sx * sy))
+            / (sqrt((n * sx2) - (sx * sx)) * sqrt((n * sy2) - (sy * sy))))
+            * 1000000000.0).cast("long").as("corr_e9"),
+          floor(((sxy / n) - ((sx / n) * (sy / n))) * 1000.0).cast("long")
+            .as("covar_m3"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // max_by/min_by with struct tie-break (reference minBy/maxBy "first"
     // semantics, KeyedStream.java:849-986, made deterministic here by
     // including the unique key in the ordering struct).
