@@ -34,16 +34,23 @@ object Engine {
     * Plain `spark.read.parquet` gives predicate pushdown + column pruning
     * (the reference needed bespoke Projectable/FilterableTableSource
     * interfaces for the same — flink-table sources package). */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // With nanosAsLong the events.ts column arrives as int64 nanos; convert
-    // to a proper TimestampType (µs) with integer division — the values are
-    // µs-precision, and double arithmetic would lose bits at 1e18.
-    df.schema.find(f => f.name == "ts" && f.dataType == types.LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None    => df
-    }
-  }
+  // Reuse the reader per (session, dir, table): every spark.read.parquet
+  // re-lists files and re-reads footers, a fixed ~30ms that dominates
+  // sub-second queries. Plans are immutable, so sharing is safe.
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    tableCache.computeIfAbsent((spark, dir, name), { _ =>
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // With nanosAsLong the events.ts column arrives as int64 nanos;
+      // convert to TimestampType (µs) with integer division — the values
+      // are µs-precision, and double arithmetic would lose bits at 1e18.
+      df.schema.find(f => f.name == "ts" && f.dataType == types.LongType) match {
+        case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case None    => df
+      }
+    })
 }
 
 /** A named query plus its DuckDB oracle SQL (None → driver does a weaker
