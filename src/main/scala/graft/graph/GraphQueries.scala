@@ -83,6 +83,100 @@ object GraphQueries extends QueryModule {
       GraphOps.pageRank(s, tradeEdges(s, d))
         .select(col("id"), round(col("rank"), 6).as("rank"))
         .orderBy(col("id"))
+    },
+
+    // Triangle enumeration (reference: flink-gelly TriangleEnumerator /
+    // TriangleListing) over the customer co-purchase projection: an edge
+    // joins customers sharing a qualifying supplier; triangles are the
+    // classic e1⋈e2⋈e3 with a < b < c (each triangle listed once).
+    q("qg4_triangles",
+      s"""WITH te AS (
+         |  SELECT c.c_custkey AS cust, su.s_suppkey AS supp
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $Threshold),
+         |co AS (SELECT DISTINCT a.cust AS a, b.cust AS b
+         |  FROM te a JOIN te b ON a.supp = b.supp AND a.cust < b.cust)
+         |SELECT CAST(e1.a AS BIGINT) AS a, CAST(e1.b AS BIGINT) AS b,
+         |  CAST(e2.b AS BIGINT) AS c
+         |FROM co e1 JOIN co e2 ON e2.a = e1.b
+         |  JOIN co e3 ON e3.a = e1.a AND e3.b = e2.b
+         |ORDER BY a, b, c""".stripMargin) { (s, d) =>
+      val co = coPurchaseEdges(s, d).cache()
+      co.as("e1")
+        .join(co.as("e2"), col("e2.a") === col("e1.b"))
+        .join(co.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").cast("long").as("a"),
+          col("e1.b").cast("long").as("b"),
+          col("e2.b").cast("long").as("c"))
+        .orderBy(col("a"), col("b"), col("c"))
+    },
+
+    // Jaccard index per edge (reference: flink-gelly library JaccardIndex):
+    // neighborhood overlap of the edge's endpoints in the co-purchase
+    // graph. Pure integer-ratio arithmetic — deterministic.
+    q("qg5_jaccard_index",
+      s"""WITH te AS (
+         |  SELECT c.c_custkey AS cust, su.s_suppkey AS supp
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $Threshold),
+         |co AS (SELECT DISTINCT a.cust AS a, b.cust AS b
+         |  FROM te a JOIN te b ON a.supp = b.supp AND a.cust < b.cust),
+         |nbr AS (SELECT a AS v, b AS n FROM co UNION ALL SELECT b, a FROM co),
+         |deg AS (SELECT v, COUNT(*) AS d FROM nbr GROUP BY v),
+         |inter AS (SELECT e.a, e.b, COUNT(*) AS ni
+         |  FROM co e JOIN nbr x ON x.v = e.a JOIN nbr y ON y.v = e.b AND y.n = x.n
+         |  GROUP BY e.a, e.b)
+         |SELECT CAST(e.a AS BIGINT) AS a, CAST(e.b AS BIGINT) AS b,
+         |  (CAST(coalesce(i.ni, 0) AS DOUBLE)
+         |     / (da.d + db.d - coalesce(i.ni, 0))) AS jaccard
+         |FROM co e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+         |  LEFT JOIN inter i ON i.a = e.a AND i.b = e.b
+         |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val co = coPurchaseEdges(s, d).cache()
+      val nbr = co.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(co.select(col("b").as("v"), col("a").as("n")))
+      val deg = nbr.groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val inter = co.as("e")
+        .join(nbr.as("x"), col("x.v") === col("e.a"))
+        .join(nbr.as("y"),
+          col("y.v") === col("e.b") && col("y.n") === col("x.n"))
+        .groupBy(col("e.a").as("ia"), col("e.b").as("ib"))
+        .agg(count(lit(1)).as("ni"))
+      co.as("e")
+        .join(deg.as("da"), col("da.v") === col("e.a"))
+        .join(deg.as("db"), col("db.v") === col("e.b"))
+        .join(inter,
+          col("ia") === col("e.a") && col("ib") === col("e.b"), "left")
+        .select(col("e.a").cast("long").as("a"),
+          col("e.b").cast("long").as("b"),
+          (coalesce(col("ni"), lit(0L)).cast("double")
+            / (col("da.d") + col("db.d") - coalesce(col("ni"), lit(0L))))
+            .as("jaccard"))
+        .orderBy(col("a"), col("b"))
     }
   )
+
+  /** Customer co-purchase projection of the trade graph: customers linked
+    * by a shared qualifying supplier (a < b, distinct). */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val te = t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_custkey"), col("s_suppkey"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= Threshold)
+      .select(col("c_custkey").as("cust"), col("s_suppkey").as("supp"))
+    te.as("x").join(te.as("y"),
+      col("x.supp") === col("y.supp") && col("x.cust") < col("y.cust"))
+      .select(col("x.cust").as("a"), col("y.cust").as("b"))
+      .distinct()
+  }
 }

@@ -168,6 +168,38 @@ object StreamOps {
         out.iterator
     }
 
+  /** Streaming bounded OVER aggregate, `ROWS <n> PRECEDING` frame
+    * (reference: RowTimeBoundedRowsOver.scala — per-row aggregate over the
+    * last n+1 rows in event-time order, emitted once the watermark passes).
+    * State per key = pending rows above the watermark plus the last n
+    * finalized values (the frame tail) — O(n + watermark-delay) bounded.
+    */
+  def eventTimeRowsFrameSum[K: Encoder, I](
+      ds: Dataset[I], key: I => K, ts: I => Long, value: I => Double,
+      precedingRows: Int)(
+      implicit stateEnc: Encoder[(Seq[Double], Seq[(Long, Double)])],
+      outEnc: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] = {
+    require(precedingRows >= 0)
+    ds.groupByKey(key).flatMapGroupsWithState[
+      (Seq[Double], Seq[(Long, Double)]), (K, Long, Double, Double)](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (k: K, it: Iterator[I], state: GroupState[(Seq[Double], Seq[(Long, Double)])]) =>
+        val (tail0, buf0) = state.getOption.getOrElse((Seq.empty, Seq.empty))
+        val buf = buf0 ++ it.map(i => (ts(i), value(i)))
+        val wmMicros = state.getCurrentWatermarkMs() * 1000L
+        val (ready, pending) = buf.partition(_._1 <= wmMicros)
+        var tail = tail0
+        val out = ready.sortBy(r => r).map { case (t0, v) =>
+          tail = (tail :+ v).takeRight(precedingRows + 1)
+          (k, t0, v, tail.sum)
+        }
+        state.update((tail, pending))
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        out.iterator
+    }
+  }
+
   /** Broadcast-state pattern (DataStream.broadcast(MapStateDescriptor) +
     * KeyedBroadcastProcessFunction): a control/lookup table joined into the
     * stream. In Spark the static side is broadcast into every task of each

@@ -189,6 +189,37 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("event-time ROWS-2-PRECEDING frame sum matches the batch window") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val stEnc: org.apache.spark.sql.Encoder[(Seq[Double], Seq[(Long, Double)])] =
+      ExpressionEncoder()
+    val clicks = Seq(
+      Click(1, "a", t("2024-01-01 00:01:00"), 1.0),
+      Click(1, "a", t("2024-01-01 00:02:00"), 2.0),
+      Click(1, "a", t("2024-01-01 00:03:00"), 4.0),
+      Click(1, "a", t("2024-01-01 00:04:00"), 8.0))
+    val input = MemoryStream[Click]
+    val withWm = StreamOps.withEventTime(input.toDF(), "ts", "10 minutes").as[Click]
+    val out = StreamOps.eventTimeRowsFrameSum[Long, Click](
+      withWm, _.user, c => c.ts.getTime * 1000L, _.value, precedingRows = 2)
+    val q = out.toDF().toDF("user", "ts_us", "v", "fsum")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("frame_out").start()
+    try {
+      input.addData(clicks: _*)
+      q.processAllAvailable()
+      input.addData(Click(2, "a", t("2024-01-01 05:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData(Click(2, "a", t("2024-01-01 09:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("frame_out").where($"user" === 1)
+        .orderBy($"ts_us").select($"fsum").as[Double].collect().toSeq
+      // batch-window equivalent: sums over rows [i-2, i]
+      assert(got == Seq(1.0, 3.0, 7.0, 14.0))
+    } finally q.stop()
+  }
+
   test("update-mode rolling keyed agg re-emits per micro-batch (keyBy().sum parity)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Click]
