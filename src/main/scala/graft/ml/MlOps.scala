@@ -57,6 +57,19 @@ object MlOps {
         col(s"datasetB.$idCol").as("id_b"), col("dist"))
   }
 
+  /** ALS collaborative filtering (reference: flink-ml
+    * recommendation/ALS.scala — same latent-factor model): fit on
+    * (user, item, rating) and return the model's predictions for the
+    * training pairs. */
+  def als(ratings: DataFrame, userCol: String, itemCol: String,
+      ratingCol: String, rank: Int = 8, iters: Int = 8): DataFrame = {
+    val model = new org.apache.spark.ml.recommendation.ALS()
+      .setUserCol(userCol).setItemCol(itemCol).setRatingCol(ratingCol)
+      .setRank(rank).setMaxIter(iters).setSeed(42L).setNonnegative(true)
+      .fit(ratings)
+    model.setColdStartStrategy("drop").transform(ratings)
+  }
+
   /** Linear regression pipeline (reference: MultipleLinearRegression). */
   def linearRegression(train: DataFrame, featuresCol: String,
       labelCol: String): (DataFrame, Array[Double]) = {

@@ -71,7 +71,9 @@ object EmbeddingQueries extends QueryModule {
          |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       val e = t(s, d, "embeddings")
+      // cached: both join sides (query + corpus) consume the norms
       val norms = e.select(col("vec_id"), expr(normExpr("embedding")).as("nrm"))
+        .cache()
       val qv = e.where(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         .join(norms.withColumnRenamed("vec_id", "qid")

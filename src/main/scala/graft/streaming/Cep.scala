@@ -29,33 +29,54 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 object Cep {
 
   final case class Step[E](name: String, pred: E => Boolean, strict: Boolean,
-      minReps: Int = 1, maxReps: Int = 1) {
+      minReps: Int = 1, maxReps: Int = 1,
+      negPred: Option[E => Boolean] = None, optional: Boolean = false) {
     def looping: Boolean = maxReps > minReps || maxReps == Int.MaxValue
   }
 
   final class Pattern[E] private[Cep] (
-      val steps: Vector[Step[E]], val withinMs: Option[Long])
+      val steps: Vector[Step[E]], val withinMs: Option[Long],
+      private val pendingNot: Option[E => Boolean] = None)
     extends Serializable {
+    private def add(st: Step[E]): Pattern[E] =
+      new Pattern(steps :+ st.copy(negPred = pendingNot), withinMs, None)
     /** Strict contiguity: the very next event must match. */
     def next(name: String)(pred: E => Boolean): Pattern[E] =
-      new Pattern(steps :+ Step(name, pred, strict = true), withinMs)
+      add(Step(name, pred, strict = true))
     /** Relaxed contiguity: non-matching events in between are skipped. */
     def followedBy(name: String)(pred: E => Boolean): Pattern[E] =
-      new Pattern(steps :+ Step(name, pred, strict = false), withinMs)
+      add(Step(name, pred, strict = false))
+    /** Negative condition (Pattern.notFollowedBy, Pattern.java:252): if a
+      * matching event arrives before the NEXT declared step matches, the
+      * partial dies. Must be followed by another step (as in the
+      * reference, which forbids terminal notFollowedBy without within). */
+    def notFollowedBy(name: String)(pred: E => Boolean): Pattern[E] =
+      new Pattern(steps, withinMs, Some(pred))
+    /** The previous step becomes skippable (Pattern.optional,
+      * Pattern.java:319). Not supported on the final step. */
+    def optional: Pattern[E] = new Pattern(
+      steps.init :+ steps.last.copy(optional = true), withinMs, pendingNot)
     /** The previous step must match exactly `n` consecutive occurrences
       * (Pattern.times, Pattern.java:292). */
     def times(n: Int): Pattern[E] = {
       require(n >= 1, "times(n) requires n >= 1")
       new Pattern(steps.init :+ steps.last.copy(minReps = n, maxReps = n),
-        withinMs)
+        withinMs, pendingNot)
     }
     /** The previous step matches one or more consecutive occurrences,
       * greedily extended (Pattern.oneOrMore, Pattern.java:340). */
     def oneOrMore: Pattern[E] = new Pattern(
       steps.init :+ steps.last.copy(minReps = 1, maxReps = Int.MaxValue),
-      withinMs)
+      withinMs, pendingNot)
     /** Partial matches older than `ms` (vs the current event) are pruned. */
-    def within(ms: Long): Pattern[E] = new Pattern(steps, Some(ms))
+    def within(ms: Long): Pattern[E] = new Pattern(steps, Some(ms), pendingNot)
+
+    private[Cep] def validated: Pattern[E] = {
+      require(pendingNot.isEmpty,
+        "notFollowedBy must be followed by another pattern step")
+      require(!steps.last.optional, "the final pattern step cannot be optional")
+      this
+    }
   }
 
   object Pattern {
@@ -105,17 +126,39 @@ object Cep {
       // 2) transition out of a satisfied run
       if (reps >= s.minReps) {
         if (p.stepIdx < lastIdx) {
-          val s2 = pattern.steps(p.stepIdx + 1)
-          if (s2.pred(e)) {
-            val g2 = p.groups :+ Vector(e)
-            if (p.stepIdx + 1 == lastIdx && !s2.looping && s2.maxReps == 1)
-              matches += g2
-            else out += Partial(p.startTs, g2, runOpen = true)
-          } else if (!s2.strict && !extended) {
-            // relaxed next step: keep waiting with the run closed (greedy:
-            // only when this event didn't extend the run — runs are maximal)
-            out += Partial(p.startTs, p.groups, runOpen = false)
-          } // strict next step, no match: partial dies
+          val immediate = pattern.steps(p.stepIdx + 1)
+          val banned = immediate.negPred.exists(_(e))
+          if (!banned) {
+            // candidate targets: the next step plus anything reachable by
+            // skipping optional steps (empty groups keep names aligned)
+            var j = p.stepIdx + 1
+            var scanning = true
+            var transitioned = false
+            while (scanning && j <= lastIdx) {
+              val sj = pattern.steps(j)
+              if (sj.pred(e)) {
+                val g2 = p.groups ++
+                  Vector.fill(j - p.stepIdx - 1)(Vector.empty[E]) :+ Vector(e)
+                val trailingOptional =
+                  (j + 1 to lastIdx).forall(pattern.steps(_).optional)
+                if (!sj.looping && sj.maxReps == 1 &&
+                  (j == lastIdx || trailingOptional)) {
+                  val padded = g2 ++
+                    Vector.fill(lastIdx - j)(Vector.empty[E])
+                  matches += padded
+                  if (j < lastIdx) out += Partial(p.startTs, g2, runOpen = true)
+                } else out += Partial(p.startTs, g2, runOpen = true)
+                transitioned = true
+              }
+              scanning = sj.optional
+              j += 1
+            }
+            if (!transitioned && !immediate.strict && !extended) {
+              // relaxed next step: keep waiting with the run closed
+              // (greedy: only when this event didn't extend the run)
+              out += Partial(p.startTs, p.groups, runOpen = false)
+            } // strict next step, no match: partial dies
+          } // banned: partial dies (notFollowedBy)
         } else if (s.looping && p.runOpen && !s.pred(e)) {
           matches += p.groups // breaking event completes the maximal run
         }
@@ -143,7 +186,7 @@ object Cep {
       ts: E => Long, pattern: Pattern[E])(
       finish: (K, Map[String, E]) => O)(implicit ke: Encoder[K]): Dataset[O] =
     matchBatchGroups(ds, key, ts, pattern) { (k, groups) =>
-      finish(k, groups.view.mapValues(_.head).toMap)
+      finish(k, groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap)
     }
 
   /** Like [[matchBatch]] but exposing every matched event per step —
@@ -152,9 +195,12 @@ object Cep {
       ts: E => Long, pattern: Pattern[E])(
       finish: (K, Map[String, Seq[E]]) => O)(
       implicit ke: Encoder[K]): Dataset[O] =
-    ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
-      runSorted(k, it, ts, pattern, Vector.empty, finish,
-        flushAtEnd = true)._1.iterator
+    {
+      val pat = pattern.validated
+      ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
+        runSorted(k, it, ts, pat, Vector.empty, finish,
+          flushAtEnd = true)._1.iterator
+      }
     }
 
   /** Run a pattern over a streaming Dataset: partials persist in keyed
@@ -163,17 +209,19 @@ object Cep {
   def matchStream[K, E, O: Encoder](ds: Dataset[E], key: E => K,
       ts: E => Long, pattern: Pattern[E])(
       finish: (K, Map[String, E]) => O)(
-      implicit ke: Encoder[K], se: Encoder[Vector[Partial[E]]]): Dataset[O] =
+      implicit ke: Encoder[K], se: Encoder[Vector[Partial[E]]]): Dataset[O] = {
+    pattern.validated
     ds.groupByKey(key).flatMapGroupsWithState[Vector[Partial[E]], O](
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (k, it, state) =>
       val partials = state.getOption.getOrElse(Vector.empty)
       val (outs, remaining) = runSorted(k, it, ts, pattern, partials,
         (kk: K, groups: Map[String, Seq[E]]) =>
-          finish(kk, groups.view.mapValues(_.head).toMap),
+          finish(kk, groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap),
         flushAtEnd = false)
       state.update(remaining)
       outs.iterator
     }
+  }
 
   private def runSorted[K, E, O](k: K, it: Iterator[E],
       ts: E => Long, pattern: Pattern[E], init: Vector[Partial[E]],

@@ -35,6 +35,27 @@ class MlOpsSpec extends SparkSuite {
     assert(rows.forall { case (a, b, d) => a < b && d <= 6.0 })
   }
 
+  test("ALS fits customer-part purchase quantities (recommendation parity)") {
+    val ratings = Engine.table(spark, sf, "lineitem")
+      .join(Engine.table(spark, sf, "orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey".cast("int").as("user"),
+        $"l_partkey".cast("int").as("item"))
+      .agg(sum($"l_quantity").cast("float").as("rating"))
+      .cache()
+    val preds = MlOps.als(ratings, "user", "item", "rating")
+    val joined = preds.select($"rating", $"prediction").as[(Float, Float)]
+      .collect()
+    assert(joined.nonEmpty)
+    val rmse = math.sqrt(joined.map { case (r, p) =>
+      val dd = (r - p).toDouble; dd * dd
+    }.sum / joined.length)
+    val mean = joined.map(_._1.toDouble).sum / joined.length
+    val base = math.sqrt(joined.map { case (r, _) =>
+      val dd = r - mean; dd * dd
+    }.sum / joined.length)
+    assert(rmse < base, s"ALS rmse $rmse should beat mean-baseline $base")
+  }
+
   test("linear regression recovers a known linear relationship") {
     val train = spark.range(200).select(
       $"id".cast("double").as("x"))

@@ -116,4 +116,48 @@ class CepSpec extends SparkSuite {
       assert(got.toSeq == Seq(MatchOut(7, 10, 40)))
     } finally query.stop()
   }
+
+  test("notFollowedBy kills partials when the banned event intervenes") {
+    val p = Pattern.begin[Ev]("login")(_.typ == "login")
+      .notFollowedBy("logout")(_.typ == "logout")
+      .followedBy("error")(_.typ == "error")
+    val evs = Seq(
+      Ev(1, "login", 1), Ev(1, "error", 2), // clean → match
+      Ev(2, "login", 1), Ev(2, "logout", 2), Ev(2, "error", 3) // banned
+    ).toDS()
+    val got = Cep.matchBatch(evs, (e: Ev) => e.user, (e: Ev) => e.ts, p) {
+      (u, m) => (u, m("login").ts, m("error").ts)
+    }.collect().toSeq
+    assert(got == Seq((1L, 1L, 2L)))
+  }
+
+  test("optional middle step matches with and without the optional event") {
+    val p = Pattern.begin[Ev]("a")(_.typ == "a")
+      .followedBy("b")(_.typ == "b").optional
+      .followedBy("c")(_.typ == "c")
+    val evs = Seq(
+      Ev(1, "a", 1), Ev(1, "c", 2), // skip b
+      Ev(2, "a", 1), Ev(2, "b", 2), Ev(2, "c", 3) // with b
+    ).toDS()
+    val got = Cep.matchBatchGroups(evs, (e: Ev) => e.user, (e: Ev) => e.ts, p) {
+      (u, m) => (u, m("b").map(_.ts), m("c").map(_.ts))
+    }.collect().toSeq.sortBy(_._1)
+    assert(got.contains((1L, Seq.empty[Long], Seq(2L))))
+    assert(got.contains((2L, Seq(2L), Seq(3L))))
+  }
+
+  test("pattern validation rejects terminal notFollowedBy and optional") {
+    val bad1 = Pattern.begin[Ev]("a")(_.typ == "a")
+      .notFollowedBy("x")(_.typ == "x")
+    val bad2 = Pattern.begin[Ev]("a")(_.typ == "a")
+      .followedBy("b")(_.typ == "b").optional
+    assertThrows[IllegalArgumentException] {
+      Cep.matchBatch(Seq(Ev(1, "a", 1)).toDS(), (e: Ev) => e.user,
+        (e: Ev) => e.ts, bad1)((u, _) => u).collect()
+    }
+    assertThrows[IllegalArgumentException] {
+      Cep.matchBatch(Seq(Ev(1, "a", 1)).toDS(), (e: Ev) => e.user,
+        (e: Ev) => e.ts, bad2)((u, _) => u).collect()
+    }
+  }
 }
