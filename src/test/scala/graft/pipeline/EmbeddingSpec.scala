@@ -44,6 +44,25 @@ class EmbeddingSpec extends SparkSuite {
     }
   }
 
+  test("IVF search recalls most of the exact top-3 neighbors") {
+    val e = graft.Engine.table(spark, sf, "embeddings")
+    val index = SimilarityOps.ivfIndex(spark, e, "vec_id", "embedding", k = 8)
+    val queryIds = (0L until 20L).toSeq
+    val approx = SimilarityOps.ivfSearch(spark, index, queryIds,
+      "vec_id", "embedding", topK = 3, nprobe = 3)
+      .select($"qid", $"nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // exact top-3 via the brute-force query
+    val exact = run("qe2_knn_brute").select($"qid", $"nid")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.5, s"IVF mean recall@3 was $meanRecall")
+  }
+
   test("qe3 LSH buckets: same-bucket pairs are more similar than average") {
     val buckets = run("qe3_lsh_buckets").select($"vec_id", $"bucket")
       .as[(Long, Long)].collect()
