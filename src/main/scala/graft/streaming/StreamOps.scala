@@ -168,6 +168,29 @@ object StreamOps {
         out.iterator
     }
 
+  /** Streaming event-time-ordered emission (reference: DataStreamSort /
+    * RowTimeSortProcessFunction — streaming sort is only legal on a time
+    * attribute ascending): buffers rows above the watermark per key and
+    * releases them in event-time order once final. The degenerate
+    * [[eventTimeRunningSum]] without an aggregate. */
+  def eventTimeSorted[K: Encoder, I](
+      ds: Dataset[I], key: I => K, ts: I => Long, value: I => Double)(
+      implicit stateEnc: Encoder[Seq[(Long, Double)]],
+      outEnc: Encoder[(K, Long, Double)]): Dataset[(K, Long, Double)] =
+    ds.groupByKey(key).flatMapGroupsWithState[
+      Seq[(Long, Double)], (K, Long, Double)](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (k: K, it: Iterator[I], state: GroupState[Seq[(Long, Double)]]) =>
+        val buf = state.getOption.getOrElse(Seq.empty) ++
+          it.map(i => (ts(i), value(i)))
+        val wmMicros = state.getCurrentWatermarkMs() * 1000L
+        val (ready, pending) = buf.partition(_._1 <= wmMicros)
+        state.update(pending)
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        ready.sortBy(r => r).map { case (t0, v) => (k, t0, v) }.iterator
+    }
+
   /** Streaming bounded OVER aggregate, `ROWS <n> PRECEDING` frame
     * (reference: RowTimeBoundedRowsOver.scala — per-row aggregate over the
     * last n+1 rows in event-time order, emitted once the watermark passes).

@@ -189,6 +189,34 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("eventTimeSorted releases out-of-order rows in event-time order") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val stEnc: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+      ExpressionEncoder()
+    val input = MemoryStream[Click]
+    val withWm = StreamOps.withEventTime(input.toDF(), "ts", "10 minutes").as[Click]
+    val out = StreamOps.eventTimeSorted[Long, Click](
+      withWm, _.user, c => c.ts.getTime * 1000L, _.value)
+    val q = out.toDF().toDF("user", "ts_us", "v")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sorted_out").start()
+    try {
+      input.addData( // arrival order scrambled vs event time
+        Click(1, "a", t("2024-01-01 00:03:00"), 3.0),
+        Click(1, "a", t("2024-01-01 00:01:00"), 1.0),
+        Click(1, "a", t("2024-01-01 00:02:00"), 2.0))
+      q.processAllAvailable()
+      input.addData(Click(2, "a", t("2024-01-01 05:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData(Click(2, "a", t("2024-01-01 09:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sorted_out").where($"user" === 1)
+        .select($"v").as[Double].collect().toSeq
+      assert(got == Seq(1.0, 2.0, 3.0)) // event-time order, not arrival
+    } finally q.stop()
+  }
+
   test("event-time ROWS-2-PRECEDING frame sum matches the batch window") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
@@ -297,6 +325,40 @@ class StreamOpsSpec extends SparkSuite {
     assert(got.toSeq == Seq(
       (1L, secs(events.collect()(0)), secs(events.collect()(2)), 3),
       (1L, secs(events.collect()(3)), secs(events.collect()(3)), 1)))
+  }
+
+  test("retraction chain (agg→agg) via foreachBatch upsert state (SURVEY §7.4.1)") {
+    // count events per user, then count users per event-count — the second
+    // aggregate needs retractions (a user moving 1→2 must decrement bucket
+    // 1). Flink emits retractions in-stream; here foreachBatch maintains a
+    // keyed state table per epoch and recomputes the second level exactly.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Click]
+    val state = scala.collection.mutable.Map.empty[Long, Long] // user → count
+    val dist = scala.collection.mutable.Map.empty[Long, Long] // count → users
+    val q = input.toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val deltas = batch.groupBy(col("user"))
+          .agg(count(lit(1)).as("n")).as[(Long, Long)].collect()
+        state.synchronized {
+          deltas.foreach { case (u, n) =>
+            state.update(u, state.getOrElse(u, 0L) + n) // MERGE-style upsert
+          }
+          dist.clear()
+          state.values.foreach(c => dist.update(c, dist.getOrElse(c, 0L) + 1))
+        }
+        ()
+    }.start()
+    try {
+      input.addData(Click(1, "a", t("2024-01-01 00:00:00"), 0),
+        Click(2, "a", t("2024-01-01 00:00:01"), 0))
+      q.processAllAvailable()
+      assert(dist.toMap == Map(1L -> 2L)) // both users at count 1
+      input.addData(Click(1, "a", t("2024-01-01 00:00:02"), 0))
+      q.processAllAvailable()
+      // user 1 moved from bucket 1 to bucket 2 — the retraction case
+      assert(dist.toMap == Map(1L -> 1L, 2L -> 1L))
+    } finally q.stop()
   }
 
   test("streaming query resumes from checkpoint without duplicating epochs") {
