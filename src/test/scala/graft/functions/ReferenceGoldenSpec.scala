@@ -110,4 +110,29 @@ class ReferenceGoldenSpec extends SparkSuite {
     assert(eval("LPAD('111',-2,'??')") == "")
     assert(eval("RPAD('111',-2,'??')") == "")
   }
+
+  // Temporal literals and interval arithmetic ported from
+  // TemporalTypesTest.scala:33-120 (value semantics — interval *display*
+  // formats differ by engine, so arithmetic results are compared instead).
+  private val temporalCases: Seq[(String, String, String)] = Seq(
+    ("CAST(DATE '1990-10-14' AS STRING)", "1990-10-14", "testTimePointLiterals"),
+    ("CAST(CAST('1500-04-30' AS DATE) AS STRING)", "1500-04-30", "testTimePointLiterals"),
+    ("CAST(TIMESTAMP '1990-10-14 23:00:00.123' AS STRING)",
+      "1990-10-14 23:00:00.123", "testTimePointLiterals"),
+    ("CAST(CAST('1500-04-30 12:00:00' AS TIMESTAMP) AS STRING)",
+      "1500-04-30 12:00:00", "testTimePointLiterals"),
+    ("CAST(DATE '1990-10-14' + INTERVAL 12 DAY AS STRING)",
+      "1990-10-26", "testTimeIntervalLiterals"),
+    ("CAST(DATE '1990-10-14' + INTERVAL 1 YEAR AS STRING)",
+      "1991-10-14", "testTimeIntervalLiterals"),
+    ("CAST(TIMESTAMP '1990-10-14 00:00:00' + INTERVAL 1 HOUR AS STRING)",
+      "1990-10-14 01:00:00", "testTimeIntervalLiterals"),
+    ("CAST(TIMESTAMP '1990-10-14 00:00:00' + INTERVAL 3 MINUTE AS STRING)",
+      "1990-10-14 00:03:00", "testTimeIntervalLiterals"))
+
+  temporalCases.foreach { case (expr, expected, ref) =>
+    test(s"$ref: $expr") {
+      assert(eval(expr) == expected)
+    }
+  }
 }
