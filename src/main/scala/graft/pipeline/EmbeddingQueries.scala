@@ -107,6 +107,35 @@ object EmbeddingQueries extends QueryModule {
         .orderBy(col("vec_id"))
     },
 
+    // Embedding-cosine near-duplicate pairs (the fourth dedup method of
+    // the pipeline mandate): exact cosine over all ordered pairs at oracle
+    // scale; at 100 TB the pair generation comes from the LSH buckets
+    // (qe3) / IVF (SimilarityOps) instead of the cross join — the verify
+    // arithmetic is identical.
+    q("qe5_cosine_dedup",
+      s"""WITH norms AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_reduce(list_transform(generate_series(1, len(a.embedding)),
+         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+         |      (x, y) -> x + y) / sqrt(a.nrm * b.nrm) AS cosine
+         |  FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+         |  WHERE a.nrm > 0 AND b.nrm > 0)
+         |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr(normExpr("embedding")).as("nrm"))
+        .where(col("nrm") > 0)
+        .cache()
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          (expr(dotExpr("a.embedding", "b.embedding"))
+            / sqrt(col("a.nrm") * col("b.nrm"))).as("cosine"))
+        .where(col("cosine") >= 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Per-label aggregate of squared norms: fold-exact per row, then an
     // order-independent DECIMAL(30,8) row aggregation.
     q("qe4_label_stats",

@@ -42,6 +42,29 @@ object MultimodalQueries extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Overlapping analysis windows (audio-style: 64-byte frames with 50%
+    // hop): each byte offset 0, 32, 64, … starts a frame while a full
+    // frame fits. Oracled via generate_series over hop positions.
+    q("qm3_overlap_frames",
+      """SELECT doc_id, CAST(h AS INTEGER) AS frame_start,
+        |  CAST(least(blen - h, 64) AS INTEGER) AS frame_len
+        |FROM (SELECT doc_id, octet_length(encode(text)) AS blen FROM documents),
+        |  generate_series(0, 100000, 32) g(h)
+        |WHERE h + 64 <= blen AND doc_id < 50
+        |ORDER BY doc_id, frame_start""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .where(col("doc_id") < 50)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("blen", length(col("payload")))
+        .withColumn("frame_start",
+          explode(expr("sequence(0, greatest(blen - 64, 0), 32)")))
+        .where(col("frame_start") + 64 <= col("blen"))
+        .select(col("doc_id"), col("frame_start"),
+          length(expr("substring(payload, frame_start + 1, 64)"))
+            .as("frame_len"))
+        .orderBy(col("doc_id"), col("frame_start"))
+    },
+
     // Frame sampling: slice the payload into fixed-size frames, keep every
     // 4th frame, and compute a per-frame STUB feature (crc32 of the frame
     // bytes — a real pipeline would run the decoder here). Generates rows
