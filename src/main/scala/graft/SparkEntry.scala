@@ -22,6 +22,7 @@ object SparkEntry {
     graft.pipeline.MultimodalQueries,
     graft.pipeline.CurationQueries,
     graft.streaming.CepQueries,
+    graft.streaming.CepQuantQuery,
     graft.graph.GraphQueries)
 
   private lazy val allQueries: Seq[Q] = modules.flatMap(_.all)

@@ -178,28 +178,38 @@ object Cep {
     (out.result(), matches.result())
   }
 
+  /** After-match skip strategies (flink-cep AfterMatchSkipStrategy):
+    * NoSkip emits every match from every start (the default);
+    * SkipPastLastEvent discards all open partials when a match completes,
+    * so matches never overlap. */
+  sealed trait AfterMatchSkip extends Serializable
+  case object NoSkip extends AfterMatchSkip
+  case object SkipPastLastEvent extends AfterMatchSkip
+
   /** Run a pattern over a batch Dataset: one event-time-sorted scan per
     * key. `finish` shapes (key, step-name → first event of the step's
     * group) into the output row; use [[matchBatchGroups]] to see full
     * repetition groups. Final greedy runs flush at end of input. */
   def matchBatch[K, E, O: Encoder](ds: Dataset[E], key: E => K,
-      ts: E => Long, pattern: Pattern[E])(
+      ts: E => Long, pattern: Pattern[E],
+      skip: AfterMatchSkip = NoSkip)(
       finish: (K, Map[String, E]) => O)(implicit ke: Encoder[K]): Dataset[O] =
-    matchBatchGroups(ds, key, ts, pattern) { (k, groups) =>
+    matchBatchGroups(ds, key, ts, pattern, skip) { (k, groups) =>
       finish(k, groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap)
     }
 
   /** Like [[matchBatch]] but exposing every matched event per step —
     * required for quantified steps (times/oneOrMore). */
   def matchBatchGroups[K, E, O: Encoder](ds: Dataset[E], key: E => K,
-      ts: E => Long, pattern: Pattern[E])(
+      ts: E => Long, pattern: Pattern[E],
+      skip: AfterMatchSkip = NoSkip)(
       finish: (K, Map[String, Seq[E]]) => O)(
       implicit ke: Encoder[K]): Dataset[O] =
     {
       val pat = pattern.validated
       ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
         runSorted(k, it, ts, pat, Vector.empty, finish,
-          flushAtEnd = true)._1.iterator
+          flushAtEnd = true, skip)._1.iterator
       }
     }
 
@@ -217,7 +227,7 @@ object Cep {
       val (outs, remaining) = runSorted(k, it, ts, pattern, partials,
         (kk: K, groups: Map[String, Seq[E]]) =>
           finish(kk, groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap),
-        flushAtEnd = false)
+        flushAtEnd = false, NoSkip)
       state.update(remaining)
       outs.iterator
     }
@@ -226,7 +236,8 @@ object Cep {
   private def runSorted[K, E, O](k: K, it: Iterator[E],
       ts: E => Long, pattern: Pattern[E], init: Vector[Partial[E]],
       finish: (K, Map[String, Seq[E]]) => O,
-      flushAtEnd: Boolean): (Vector[O], Vector[Partial[E]]) = {
+      flushAtEnd: Boolean,
+      skip: AfterMatchSkip = NoSkip): (Vector[O], Vector[Partial[E]]) = {
     val names = pattern.steps.map(_.name)
     def shape(m: Vector[Vector[E]]): O =
       finish(k, names.zip(m.map(_.toSeq)).toMap)
@@ -235,7 +246,12 @@ object Cep {
     it.toVector.sortBy(ts).foreach { e =>
       val (next, matches) = advance(pattern, partials, e, ts(e))
       partials = next
-      matches.foreach(m => outs += shape(m))
+      if (skip == SkipPastLastEvent && matches.nonEmpty) {
+        // only the earliest-started match survives; everything else —
+        // including co-completing matches — is skipped past
+        outs += shape(matches.head)
+        partials = Vector.empty
+      } else matches.foreach(m => outs += shape(m))
     }
     if (flushAtEnd) {
       val lastIdx = pattern.steps.size - 1

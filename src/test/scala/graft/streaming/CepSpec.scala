@@ -160,4 +160,20 @@ class CepSpec extends SparkSuite {
         (e: Ev) => e.ts, bad2)((u, _) => u).collect()
     }
   }
+
+  test("SkipPastLastEvent prevents overlapping matches") {
+    val events = Seq(
+      Ev(9, "login", 1), Ev(9, "login", 2), Ev(9, "error", 3),
+      Ev(9, "login", 4), Ev(9, "error", 5)).toDS()
+    val noSkip = Cep.matchBatch(events, (e: Ev) => e.user, (e: Ev) => e.ts,
+      loginThenError) { (u, m) => (m("login").ts, m("error").ts) }
+      .collect().toSeq.sorted
+    assert(noSkip == Seq((1L, 3L), (2L, 3L), (4L, 5L)))
+    val skipped = Cep.matchBatch(events, (e: Ev) => e.user, (e: Ev) => e.ts,
+      loginThenError, Cep.SkipPastLastEvent) {
+      (u, m) => (m("login").ts, m("error").ts)
+    }.collect().toSeq.sorted
+    // the overlapping (2,3) match is discarded after (1,3) completes
+    assert(skipped == Seq((1L, 3L), (4L, 5L)))
+  }
 }
