@@ -186,6 +186,41 @@ object WindowQueries extends QueryModule {
         .orderBy(col("w_start"))
     },
 
+    // Dynamic-gap sessions (DynamicEventTimeSessionWindows): the gap after
+    // an 'error' event is 2 minutes, otherwise 10 minutes — computed by
+    // StreamOps.dynamicGapSessions; the oracle is gaps-and-islands with a
+    // lag-dependent gap.
+    q("qw10_dynamic_sessions",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |g AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 0
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >=
+        |           (CASE WHEN lag(event_type) OVER w = 'error'
+        |                 THEN 120000000 ELSE 600000000 END) THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+        |SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end, COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val ds = t(s, d, "events")
+          .selectExpr("user_id", "ts", "event_type")
+          .as[(Long, java.sql.Timestamp, String)]
+        def micros(t: java.sql.Timestamp): Long =
+          t.getTime * 1000 + (t.getNanos / 1000) % 1000
+        graft.streaming.StreamOps.dynamicGapSessions[Long, (Long, java.sql.Timestamp, String)](
+          ds, _._1, e => micros(e._2),
+          e => if (e._3 == "error") 120000000L else 600000000L)
+          .toDF("user_id", "start_us", "end_us", "n")
+          .select(col("user_id"),
+            expr("timestamp_micros(start_us)").as("s_start"),
+            expr("timestamp_micros(end_us)").as("s_end"),
+            col("n").cast("long").as("n"))
+          .orderBy(col("user_id"), col("s_start"))
+    },
+
     // RANGE frame over a numeric ordering (reference: RANGE INTERVAL
     // PRECEDING — RowTimeBoundedRangeOver.scala): all orders within 1000.0
     // of the current price.
