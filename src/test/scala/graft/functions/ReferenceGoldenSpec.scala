@@ -135,4 +135,24 @@ class ReferenceGoldenSpec extends SparkSuite {
       assert(eval(expr) == expected)
     }
   }
+
+  // Hash functions ported from ScalarFunctionsTest.testHashFunctions
+  // (:1935): the reference's exact digests for 'test' across md5/sha1/sha2.
+  private val hashCases: Seq[(String, String)] = Seq(
+    ("MD5('test')", "098f6bcd4621d373cade4e832627b4f6"),
+    ("SHA1('test')", "a94a8fe5ccb19ba61c4c0873d391e987982fbbd3"),
+    ("SHA2('test', 224)",
+      "90a3ed9e32b2aaf4c61c410eb925426119e1a9dc53d4286ade99a809"),
+    ("SHA2('test', 256)",
+      "9f86d081884c7d659a2feaa0c55ad015a3bf4f1b2b0b822cd15d6c15b0f00a08"),
+    ("SHA2('test', 384)",
+      "768412320f7b0aa5812fce428dc4706b3cae50e02a64caa16a782249bfe8efc4b7ef1ccb126255d196047dfedf17a0a9"),
+    ("SHA2('test', 512)",
+      "ee26b0dd4af7e749aa1a8ee3c10ae9923f618980772e473f8819a5d4940e0db27ac185f8a0e1d5f84f88bc887fd67b143732c304cc5fa9ad8e6f57f50028a8ff"))
+
+  hashCases.foreach { case (expr, expected) =>
+    test(s"testHashFunctions: $expr") {
+      assert(eval(expr) == expected)
+    }
+  }
 }
