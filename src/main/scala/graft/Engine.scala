@@ -36,11 +36,17 @@ object Engine {
     * interfaces for the same — flink-table sources package). */
   // Reuse the reader per (session, dir, table): every spark.read.parquet
   // re-lists files and re-reads footers, a fixed ~30ms that dominates
-  // sub-second queries. Plans are immutable, so sharing is safe.
+  // sub-second queries. Plans are immutable, so sharing is safe. Entries
+  // for stopped sessions are purged on access so a long-lived JVM that
+  // cycles sessions doesn't retain them (and their plans) forever.
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def purgeStopped(): Unit =
+    tableCache.keySet.removeIf(_._1.sparkContext.isStopped)
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    purgeStopped()
     tableCache.computeIfAbsent((spark, dir, name), { _ =>
       val df = spark.read.parquet(s"$dir/$name.parquet")
       // With nanosAsLong the events.ts column arrives as int64 nanos;
@@ -51,6 +57,7 @@ object Engine {
         case None    => df
       }
     })
+  }
 }
 
 /** A named query plus its DuckDB oracle SQL (None → driver does a weaker
@@ -91,11 +98,12 @@ object Det {
   val DEC: DecimalType = DecimalType(30, 8)
   /** Order-independent double sum (exact decimal accumulation). */
   def dsum(c: Column): Column = sum(c.cast(DEC)).cast("double")
-  /** Deterministic mean over non-null rows: exact sum / row count. */
-  def davg(c: Column): Column = dsum(c) / count(lit(1))
+  /** Deterministic mean over non-null rows (SQL AVG semantics): exact
+    * null-skipping sum / non-null count. */
+  def davg(c: Column): Column = dsum(c) / count(c)
   /** DuckDB text of [[dsum]]. */
   def DSUM(e: String): String =
     s"CAST(SUM(CAST(($e) AS DECIMAL(30,8))) AS DOUBLE)"
   /** DuckDB text of [[davg]]. */
-  def DAVG(e: String): String = s"(${DSUM(e)} / COUNT(*))"
+  def DAVG(e: String): String = s"(${DSUM(e)} / COUNT($e))"
 }

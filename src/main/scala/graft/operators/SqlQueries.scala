@@ -20,15 +20,21 @@ object SqlQueries extends QueryModule {
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem")
 
-  // register the views once per (session, dir): repeated registration
-  // re-lists the parquet files and dominates sub-second queries
+  // Register the views once per session *for the current dir*: repeated
+  // registration re-lists the parquet files and dominates sub-second
+  // queries, but temp views are session-global — memoizing per (session,
+  // dir) would let a dir switch leave stale views behind. Tracking the
+  // last-registered dir re-registers exactly when the dir changes.
   private val registered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   private def sqlBoth(name: String, text: String): Q =
     Q(name, Some(text)) { (s: SparkSession, d: String) =>
-      if (registered.add((s, d)))
-        tables.foreach(n => t(s, d, n).createOrReplaceTempView(n))
+      registered.keySet.removeIf(_.sparkContext.isStopped)
+      registered.compute(s, (_, prev) => {
+        if (prev != d) tables.foreach(n => t(s, d, n).createOrReplaceTempView(n))
+        d
+      })
       s.sql(text)
     }
 

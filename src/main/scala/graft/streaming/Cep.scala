@@ -189,12 +189,16 @@ object Cep {
   /** Run a pattern over a batch Dataset: one event-time-sorted scan per
     * key. `finish` shapes (key, step-name → first event of the step's
     * group) into the output row; use [[matchBatchGroups]] to see full
-    * repetition groups. Final greedy runs flush at end of input. */
+    * repetition groups. Final greedy runs flush at end of input.
+    * `tie` breaks event-time ties deterministically (e.g. an event id) —
+    * without it, same-timestamp events are fed to the NFA in shuffle
+    * order, which is nondeterministic across runs. */
   def matchBatch[K, E, O: Encoder](ds: Dataset[E], key: E => K,
       ts: E => Long, pattern: Pattern[E],
-      skip: AfterMatchSkip = NoSkip)(
+      skip: AfterMatchSkip = NoSkip,
+      tie: E => Long = (_: E) => 0L)(
       finish: (K, Map[String, E]) => O)(implicit ke: Encoder[K]): Dataset[O] =
-    matchBatchGroups(ds, key, ts, pattern, skip) { (k, groups) =>
+    matchBatchGroups(ds, key, ts, pattern, skip, tie) { (k, groups) =>
       finish(k, groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap)
     }
 
@@ -202,14 +206,15 @@ object Cep {
     * required for quantified steps (times/oneOrMore). */
   def matchBatchGroups[K, E, O: Encoder](ds: Dataset[E], key: E => K,
       ts: E => Long, pattern: Pattern[E],
-      skip: AfterMatchSkip = NoSkip)(
+      skip: AfterMatchSkip = NoSkip,
+      tie: E => Long = (_: E) => 0L)(
       finish: (K, Map[String, Seq[E]]) => O)(
       implicit ke: Encoder[K]): Dataset[O] =
     {
       val pat = pattern.validated
       ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
         runSorted(k, it, ts, pat, Vector.empty, finish,
-          flushAtEnd = true, skip)._1.iterator
+          flushAtEnd = true, skip, tie)._1.iterator
       }
     }
 
@@ -217,7 +222,8 @@ object Cep {
     * state across micro-batches; final greedy runs stay pending until a
     * breaking event arrives (documented subset). */
   def matchStream[K, E, O: Encoder](ds: Dataset[E], key: E => K,
-      ts: E => Long, pattern: Pattern[E])(
+      ts: E => Long, pattern: Pattern[E],
+      tie: E => Long = (_: E) => 0L)(
       finish: (K, Map[String, E]) => O)(
       implicit ke: Encoder[K], se: Encoder[Vector[Partial[E]]]): Dataset[O] = {
     pattern.validated
@@ -227,7 +233,7 @@ object Cep {
       val (outs, remaining) = runSorted(k, it, ts, pattern, partials,
         (kk: K, groups: Map[String, Seq[E]]) =>
           finish(kk, groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap),
-        flushAtEnd = false, NoSkip)
+        flushAtEnd = false, NoSkip, tie)
       state.update(remaining)
       outs.iterator
     }
@@ -237,13 +243,14 @@ object Cep {
       ts: E => Long, pattern: Pattern[E], init: Vector[Partial[E]],
       finish: (K, Map[String, Seq[E]]) => O,
       flushAtEnd: Boolean,
-      skip: AfterMatchSkip = NoSkip): (Vector[O], Vector[Partial[E]]) = {
+      skip: AfterMatchSkip = NoSkip,
+      tie: E => Long = (_: E) => 0L): (Vector[O], Vector[Partial[E]]) = {
     val names = pattern.steps.map(_.name)
     def shape(m: Vector[Vector[E]]): O =
       finish(k, names.zip(m.map(_.toSeq)).toMap)
     var partials = init
     val outs = Vector.newBuilder[O]
-    it.toVector.sortBy(ts).foreach { e =>
+    it.toVector.sortBy(e => (ts(e), tie(e))).foreach { e =>
       val (next, matches) = advance(pattern, partials, e, ts(e))
       partials = next
       if (skip == SkipPastLastEvent && matches.nonEmpty) {

@@ -15,14 +15,16 @@ object CepQuantQuery extends QueryModule {
 
   def all: Seq[Q] = Seq(
     q("qc2_cep_double_error",
+      // Window order (ts, event_id) matches the NFA's stream order, so
+      // same-timestamp events pair identically in both engines.
       """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
         |    lag(CAST(ts AS TIMESTAMP)) OVER w AS pts,
         |    lag(event_type) OVER w AS ptyp
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, pts AS first_ts, ts AS second_ts
         |FROM o WHERE event_type = 'error' AND ptyp = 'error'
-        |ORDER BY user_id, first_ts""".stripMargin) { (s, d) =>
+        |ORDER BY user_id, first_ts, second_ts""".stripMargin) { (s, d) =>
       import s.implicits._
       val ds = t(s, d, "events")
         .selectExpr("event_id", "ts", "user_id", "event_type", "value")
@@ -32,10 +34,11 @@ object CepQuantQuery extends QueryModule {
       def micros(t: Timestamp): Long =
         t.getTime * 1000 + (t.getNanos / 1000) % 1000
       Cep.matchBatchGroups(ds, (e: EventRow) => e.user_id,
-        (e: EventRow) => micros(e.ts), pattern) { (u, m) =>
+        (e: EventRow) => micros(e.ts), pattern,
+        tie = (e: EventRow) => e.event_id) { (u, m) =>
         val errs = m("err")
         PairOut(u, errs.head.ts, errs(1).ts)
-      }.toDF().orderBy("user_id", "first_ts")
+      }.toDF().orderBy("user_id", "first_ts", "second_ts")
     }
   )
 }

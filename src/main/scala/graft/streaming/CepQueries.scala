@@ -26,16 +26,23 @@ object CepQueries extends QueryModule {
 
   def all: Seq[Q] = Seq(
     q("qc1_cep_view_error",
+      // Stream order is (ts, event_id) — the oracle's "after" predicate
+      // uses the same total order, so same-timestamp view/error pairs
+      // agree between the NFA and SQL. The GROUP BY collapses duplicate
+      // (user, ts) views exactly like the Spark-side min aggregation.
       """SELECT v.user_id, CAST(v.ts AS TIMESTAMP) AS start_ts,
         |  MIN(CAST(e.ts AS TIMESTAMP)) AS end_ts
         |FROM events v JOIN events e ON e.user_id = v.user_id
         |  AND e.event_type = 'error'
-        |  AND CAST(e.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
+        |  AND (CAST(e.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
+        |       OR (CAST(e.ts AS TIMESTAMP) = CAST(v.ts AS TIMESTAMP)
+        |           AND e.event_id > v.event_id))
         |  AND CAST(e.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '1 hour'
         |WHERE v.event_type = 'view'
         |GROUP BY v.user_id, v.ts
         |ORDER BY v.user_id, start_ts""".stripMargin) { (s, d) =>
       import s.implicits._
+      import org.apache.spark.sql.functions.min
       val ds = t(s, d, "events")
         .selectExpr("event_id", "ts", "user_id", "event_type", "value")
         .as[EventRow]
@@ -43,9 +50,12 @@ object CepQueries extends QueryModule {
         .followedBy("error")(_.event_type == "error")
         .within(HourMicros)
       Cep.matchBatch(ds, (e: EventRow) => e.user_id,
-        (e: EventRow) => micros(e.ts), pattern) { (u, m) =>
+        (e: EventRow) => micros(e.ts), pattern,
+        tie = (e: EventRow) => e.event_id) { (u, m) =>
         CepMatch(u, m("view").ts, m("error").ts)
-      }.toDF().orderBy("user_id", "start_ts")
+      }.toDF()
+        .groupBy("user_id", "start_ts").agg(min("end_ts").as("end_ts"))
+        .orderBy("user_id", "start_ts")
     }
   )
 }

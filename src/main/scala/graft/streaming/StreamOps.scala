@@ -245,6 +245,11 @@ object StreamOps {
       if (!it.hasNext) Iterator.empty
       else {
         val pool = Executors.newFixedThreadPool(parallelism)
+        // The drain-to-empty path below misses early termination (limit/
+        // take, task failure, an exception from fn) — tie pool shutdown to
+        // task completion so no partition ever leaks its threads.
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
         val client = mkClient()
         val inFlight = scala.collection.mutable.Queue.empty[Future[O]]
