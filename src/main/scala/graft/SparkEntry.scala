@@ -15,6 +15,7 @@ object SparkEntry {
     graft.operators.BatchQueries,
     graft.operators.SqlQueries,
     graft.operators.WindowQueries,
+    graft.operators.AsofQueries,
     graft.functions.ScalarQueries,
     graft.pipeline.DedupQueries,
     graft.pipeline.TextQueries,

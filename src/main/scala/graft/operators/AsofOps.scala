@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.{Q, QueryModule}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join and bounded range-count — the two temporal
+  * join shapes a training-data / feature pipeline needs that plain equi-join
+  * can't express (reference analog: the event-time interval join,
+  * flink-streaming-java IntervalJoinOperator; batch as-of join has no
+  * reference operator — DuckDB's ASOF JOIN serves as the oracle).
+  *
+  * Scale design: both operators avoid the naive key-join-then-filter plan,
+  * whose worst case is |probe_k| × |build_k| intermediate rows per key (a
+  * hot key with 1M events each side would materialize 10^12 pairs). Instead
+  * the two inputs are UNIONed with a side tag and processed by ONE window
+  * pass: hash-shuffle on the key, sort within partition by (ts, tag), then
+  * a running `last(...)` (as-of) or a RANGE-frame `sum` (range count).
+  * Cost is O(n log n) per partition, one shuffle total, and the sort spills
+  * gracefully — the same plan Spark uses for any window aggregate, so AQE
+  * skew handling applies unchanged on a 1000-executor cluster.
+  */
+object AsofOps {
+
+  /** For every probe row, attach the payload of the *latest* build row with
+    * `build.ts <= probe.ts` on the same key (inclusive, like SQL ASOF).
+    *
+    * Output = all probe columns + `asof_ts` (matched build timestamp) +
+    * `asof_<c>` for each payload column; unmatched probe rows are dropped
+    * when `leftJoin = false`, kept with nulls otherwise.
+    *
+    * Build rows sort before probe rows at equal timestamps (tag 0 < 1), so
+    * a build row at exactly probe.ts matches. Rows with identical
+    * (key, ts, tag) have no defined winner — callers needing total
+    * determinism must ensure per-side (key, ts) uniqueness.
+    */
+  def asofJoin(probe: DataFrame, build: DataFrame, key: String, ts: String,
+      payload: Seq[String], leftJoin: Boolean = false): DataFrame = {
+    val probeRest = probe.columns.toSeq.filterNot(c => c == key || c == ts)
+    val bSide = build.select(
+      (col(key) +: col(ts).as("_ts") +: lit(0).as("_tag") +:
+        probeRest.map(c => lit(null).cast(probe.schema(c).dataType).as(c))) ++:
+        payload.map(c => col(c).as(s"_b_$c")): _*)
+    val pSide = probe.select(
+      (col(key) +: col(ts).as("_ts") +: lit(1).as("_tag") +:
+        probeRest.map(col)) ++:
+        payload.map(c => lit(null).cast(build.schema(c).dataType).as(s"_b_$c")): _*)
+    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = bSide.unionByName(pSide)
+      .withColumn("asof_ts",
+        last(when(col("_tag") === 0, col("_ts")), ignoreNulls = true).over(w))
+      .withColumns(payload.map(c =>
+        s"asof_$c" -> last(col(s"_b_$c"), ignoreNulls = true).over(w)).toMap)
+      .where(col("_tag") === 1)
+    val joined = if (leftJoin) matched else matched.where(col("asof_ts").isNotNull)
+    joined.select(
+      (col(key) +: col("_ts").as(ts) +: probeRest.map(col)) ++:
+        ("asof_ts" +: payload.map(c => s"asof_$c")).map(col): _*)
+  }
+
+  /** For every probe row, the count of build rows on the same key with
+    * `build.ts ∈ [probe.ts - window, probe.ts]` (both ends inclusive, like
+    * SQL BETWEEN). Same union-and-window plan as [[asofJoin]]; the frame is
+    * a RANGE over epoch microseconds, so sub-second bounds stay exact.
+    * Output = all probe columns + `n_in_range` (0 when none — left-join
+    * semantics). */
+  def rangeCount(probe: DataFrame, build: DataFrame, key: String, ts: String,
+      windowMicros: Long): DataFrame = {
+    val probeRest = probe.columns.toSeq.filterNot(c => c == key || c == ts)
+    val bSide = build.select(
+      col(key) +: col(ts).as("_ts") +: lit(1).as("_hit") +:
+        probeRest.map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
+    val pSide = probe.select(
+      col(key) +: col(ts).as("_ts") +: lit(0).as("_hit") +: probeRest.map(col): _*)
+    val w = Window.partitionBy(key).orderBy(unix_micros(col("_ts")))
+      .rangeBetween(-windowMicros, 0)
+    bSide.unionByName(pSide)
+      .withColumn("n_in_range", sum(col("_hit")).over(w))
+      .where(col("_hit") === 0)
+      .select(col(key) +: col("_ts").as(ts) +: probeRest.map(col) :+
+        col("n_in_range"): _*)
+  }
+}

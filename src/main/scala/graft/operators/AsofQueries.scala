@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.{Q, QueryModule}
+import org.apache.spark.sql.functions._
+
+/** Oracled queries for the temporal-join operators in [[AsofOps]], over the
+  * events table (purchases probe, views build). DuckDB's native ASOF JOIN
+  * is the oracle for the as-of join — an independent implementation of the
+  * same semantics, so agreement is strong evidence. Determinism: events has
+  * no duplicate (user_id, ts) within an event type (verified at sf0.01 and
+  * sf0.1), all output columns are raw data values, and event_id is a unique
+  * total order key.
+  */
+object AsofQueries extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+
+    // Each purchase joined to the user's most recent view at-or-before the
+    // purchase instant (inner: purchases with no prior view drop).
+    q("qj1_asof_join",
+      """WITH v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  v.ts AS asof_ts, v.value AS asof_value
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsofOps.asofJoin(purchases, views, "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts"), col("asof_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // Views within the 7 days before each purchase (inclusive bounds),
+    // counted by a single RANGE-frame window pass — the batch twin of the
+    // streaming interval join, without the per-key quadratic of a
+    // key-join-then-filter plan.
+    q("qj2_range_count",
+      """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, CAST(COUNT(v.ts) AS BIGINT) AS n_in_range
+        |FROM p LEFT JOIN v ON v.user_id = p.user_id
+        |  AND v.ts BETWEEN p.ts - INTERVAL 7 DAY AND p.ts
+        |GROUP BY p.event_id, p.user_id, p.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsofOps.rangeCount(purchases, views, "user_id", "ts",
+        7L * 86400 * 1000000)
+        .select(col("event_id"), col("user_id"), col("ts"), col("n_in_range"))
+        .orderBy(col("event_id"))
+    }
+  )
+}

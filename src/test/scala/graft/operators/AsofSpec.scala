@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Semantics of the union-and-window as-of join / range count on hand-built
+  * edge cases: inclusive equality, latest-wins, per-key isolation, inner vs
+  * left unmatched handling, inclusive range bounds. */
+class AsofSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val build = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 10.0),
+    (1L, ts("2024-01-01 12:00:00"), 12.0),
+    (2L, ts("2024-01-01 11:00:00"), 21.0)
+  ).toDF("user_id", "ts", "value")
+
+  private lazy val probe = Seq(
+    (100L, 1L, ts("2024-01-01 11:00:00")), // between the two builds -> 10.0
+    (101L, 1L, ts("2024-01-01 12:00:00")), // equal ts -> inclusive, 12.0
+    (102L, 2L, ts("2024-01-01 10:30:00")), // before any build on key 2
+    (103L, 3L, ts("2024-01-01 12:00:00")) // key with no build rows
+  ).toDF("event_id", "user_id", "ts")
+
+  test("asofJoin picks latest build at-or-before probe ts, inner drops unmatched") {
+    val out = AsofOps.asofJoin(probe, build, "user_id", "ts", Seq("value"))
+      .orderBy("event_id")
+      .select("event_id", "asof_value").as[(Long, Double)].collect()
+    assert(out === Seq((100L, 10.0), (101L, 12.0)))
+  }
+
+  test("asofJoin left keeps unmatched probes with null payload") {
+    val out = AsofOps.asofJoin(probe, build, "user_id", "ts", Seq("value"),
+        leftJoin = true)
+      .orderBy("event_id")
+      .select("event_id", "asof_value").collect()
+    assert(out.length === 4)
+    assert(out.filter(_.isNullAt(1)).map(_.getLong(0)).toSeq === Seq(102L, 103L))
+  }
+
+  test("asofJoin preserves probe columns and match timestamp") {
+    val row = AsofOps.asofJoin(probe, build, "user_id", "ts", Seq("value"))
+      .where($"event_id" === 100L).collect().head
+    assert(row.getAs[java.sql.Timestamp]("ts") === ts("2024-01-01 11:00:00"))
+    assert(row.getAs[java.sql.Timestamp]("asof_ts") === ts("2024-01-01 10:00:00"))
+    assert(row.getAs[Long]("user_id") === 1L)
+  }
+
+  test("rangeCount counts builds in [probe-window, probe], inclusive ends") {
+    val out = AsofOps.rangeCount(probe, build, "user_id", "ts",
+        2L * 3600 * 1000000) // 2h window
+      .orderBy("event_id")
+      .select("event_id", "n_in_range").as[(Long, Long)].collect()
+    // 100: build@10:00 within [09:00,11:00] -> 1
+    // 101: builds@10:00 (exactly window edge) and @12:00 (equal ts) -> 2
+    // 102: no build at-or-before on key 2 within window -> 0
+    // 103: no builds on key 3 -> 0
+    assert(out === Seq((100L, 1L), (101L, 2L), (102L, 0L), (103L, 0L)))
+  }
+
+  test("oracled queries produce deterministic nonempty output on sf0.001") {
+    val j1 = run("qj1_asof_join").collect()
+    val j2 = run("qj2_range_count").collect()
+    assert(j1.nonEmpty && j2.nonEmpty)
+    // as-of invariant: matched view ts <= purchase ts
+    assert(run("qj1_asof_join")
+      .where(col("asof_ts") > col("ts")).count() === 0)
+  }
+}
