@@ -135,4 +135,38 @@ object GraphOps {
     }
     ranks
   }
+
+  /** Synchronous label propagation (community detection — reference:
+    * flink-gelly library/LabelPropagation.java), made fully deterministic:
+    * a FIXED iteration count (no convergence race) and a total tie-break —
+    * each vertex adopts the most frequent neighbor label, ties to the
+    * smallest label. Determinism matters twice: the DuckDB oracle unrolls
+    * the same iterations as SQL, and synchronous LPA on bipartite-ish
+    * graphs oscillates rather than converges, so "run to fixpoint" is not
+    * well-defined anyway (the reference caps iterations for the same
+    * reason).
+    *
+    * Each iteration = one edge-join + one (vertex, label) count + one
+    * per-vertex argmax window — all hash-shuffles on vertex id, no
+    * all-pairs step, so the round cost is O(E) shuffled bytes at any
+    * cluster size. */
+  def labelPropagation(spark: SparkSession, edges: DataFrame,
+      iterations: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = undirect(edges).cache()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (i <- 1 to iterations) {
+      val counts = und.join(labels, und("src") === labels("id"))
+        .groupBy(col("dst").as("v"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("v"))
+        .orderBy(col("c").desc, col("lbl").asc)
+      val next = counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("v").as("id"), col("lbl"))
+      labels = maybeCheckpoint(next, i).cache()
+    }
+    labels
+  }
 }

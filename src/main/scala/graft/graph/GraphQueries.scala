@@ -160,8 +160,50 @@ object GraphQueries extends QueryModule {
             / (col("da.d") + col("db.d") - coalesce(col("ni"), lit(0L))))
             .as("jaccard"))
         .orderBy(col("a"), col("b"))
+    },
+
+    // Label propagation (reference: flink-gelly library/LabelPropagation
+    // .java) on the co-purchase graph: 4 synchronous iterations, ties to
+    // the smallest label — deterministic by construction, so the oracle
+    // can unroll the exact same iterations as SQL CTEs.
+    q("qg6_label_propagation", {
+      val iters = LpaIters
+      val sb = new StringBuilder(
+        s"""WITH te AS (
+           |  SELECT c.c_custkey AS cust, su.s_suppkey AS supp
+           |  FROM lineitem l
+           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= $Threshold),
+           |co AS (SELECT DISTINCT a.cust AS a, b.cust AS b
+           |  FROM te a JOIN te b ON a.supp = b.supp AND a.cust < b.cust),
+           |e AS (SELECT a AS src, b AS dst FROM co UNION ALL SELECT b, a FROM co),
+           |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e)""".stripMargin)
+      for (i <- 1 to iters) sb.append(
+        s""",
+           |c$i AS (SELECT e.dst AS v, l.lbl, COUNT(*) AS c
+           |  FROM e JOIN l${i - 1} l ON l.id = e.src GROUP BY 1, 2),
+           |l$i AS (SELECT v AS id, lbl FROM (
+           |  SELECT v, lbl, row_number() OVER (
+           |    PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM c$i)
+           |  WHERE rn = 1)""".stripMargin)
+      sb.append(
+        s"""
+           |SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS label
+           |FROM l$iters ORDER BY id""".stripMargin)
+      sb.toString
+    }) { (s, d) =>
+      val co = coPurchaseEdges(s, d)
+      GraphOps.labelPropagation(s,
+          co.select(col("a").as("src"), col("b").as("dst")), LpaIters)
+        .select(col("id").cast("long").as("id"),
+          col("lbl").cast("long").as("label"))
+        .orderBy(col("id"))
     }
   )
+
+  private val LpaIters = 4
 
   /** Customer co-purchase projection of the trade graph: customers linked
     * by a shared qualifying supplier (a < b, distinct). */

@@ -39,6 +39,19 @@ class GraphSpec extends SparkSuite {
     assert(pr.minBy(_._2)._1 == 20L)
   }
 
+  test("labelPropagation: labels stay within the component, dense side wins") {
+    val lbl = GraphOps.labelPropagation(spark, edges, iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    // a vertex's label is always some vertex id of its own component
+    val compA = Set(1L, 2L, 3L, 10L, 11L, 12L)
+    assert(compA.forall(v => compA.contains(lbl(v))))
+    assert(Set(20L, 21L).forall(v => Set(20L, 21L).contains(lbl(v))))
+    // deterministic: a second run yields the identical assignment
+    val again = GraphOps.labelPropagation(spark, edges, iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(again === lbl)
+  }
+
   test("trade-graph edges alternate customer(even) / supplier(odd) ids") {
     val e = GraphQueries.tradeEdges(spark, sf).as[(Long, Long)].collect()
     assert(e.nonEmpty)
