@@ -1,0 +1,224 @@
+package graft.plans
+
+import graft.streaming.Cep
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, Predicate, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** CEP as a *planned* operator — the SURVEY §7.3 "revisit if CEP becomes a
+  * planned operator" path, i.e. preference order (c) from the build plan:
+  * custom `LogicalPlan` + `SparkStrategy` + physical `SparkPlan`, the same
+  * machinery Spark uses for MATCH_RECOGNIZE-class operators it doesn't
+  * have (reference: flink-cep CEPOperatorUtils builds a one-input stream
+  * transformation; here the planner owns the data movement instead).
+  *
+  * Why plan it rather than wrap `flatMapGroups` (the library path in
+  * [[graft.streaming.Cep]])?
+  *  - The physical node *declares* `ClusteredDistribution(key)` +
+  *    `(key, ts, tie)` child ordering; `EnsureRequirements` then inserts
+  *    exactly one hash shuffle and one sort — and can elide either when an
+  *    upstream operator already provides it (bucketed source, prior
+  *    window), which a Dataset-level groupByKey can never do.
+  *  - The NFA streams over each key run without materializing the group:
+  *    memory is bounded by open partial matches (within-pruned), not by
+  *    group size — the difference between OOM and not on a hot key with
+  *    10^8 events.
+  *  - Predicates stay Catalyst expressions, evaluated code-gen'd via
+  *    `Predicate.create`, not opaque lambdas behind an encoder boundary.
+  *
+  * Supported subset: begin/next/followedBy + within + NoSkip after-match —
+  * the planned twin of the library NFA's core; quantifiers and skip
+  * strategies stay on the library path.
+  */
+object CepPlan {
+
+  /** Logical node. All expressions arrive resolved (built from `df.col`),
+    * so the node itself is resolved on construction; `outputAttrs` is a
+    * constructor field (not derived per-call) to keep exprIds stable under
+    * plan transforms. */
+  final case class CepMatchPlan(
+      keyExpr: Expression, tsExpr: Expression, tieExpr: Expression,
+      stepNames: Seq[String], stepPreds: Seq[Expression],
+      stepStrict: Seq[Boolean], withinMicros: Option[Long],
+      outputAttrs: Seq[Attribute], child: LogicalPlan) extends UnaryNode {
+    override def output: Seq[Attribute] = outputAttrs
+    // the physical operator re-emits every child column per matched step,
+    // so the whole child row is "referenced" — keeps ColumnPruning from
+    // inserting a Project that would shift field ordinals under us
+    override def references: AttributeSet = AttributeSet(child.output)
+    override def producedAttributes: AttributeSet = AttributeSet(outputAttrs)
+    override protected def withNewChildInternal(newChild: LogicalPlan) =
+      copy(child = newChild)
+  }
+
+  /** Planner rule: one-to-one translation, child planned by Spark. */
+  object CepStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case p: CepMatchPlan =>
+        CepExec(p.keyExpr, p.tsExpr, p.tieExpr, p.stepNames, p.stepPreds,
+          p.stepStrict, p.withinMicros, p.outputAttrs,
+          planLater(p.child)) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Physical operator. Declares distribution + ordering requirements and
+    * runs the shared NFA ([[Cep.advance]]) over each sorted key run. */
+  final case class CepExec(
+      keyExpr: Expression, tsExpr: Expression, tieExpr: Expression,
+      stepNames: Seq[String], stepPreds: Seq[Expression],
+      stepStrict: Seq[Boolean], withinMicros: Option[Long],
+      outputAttrs: Seq[Attribute], child: SparkPlan) extends UnaryExecNode {
+
+    override def output: Seq[Attribute] = outputAttrs
+    override def producedAttributes: AttributeSet = AttributeSet(outputAttrs)
+    override def outputPartitioning: Partitioning = child.outputPartitioning
+    override def requiredChildDistribution: Seq[Distribution] =
+      ClusteredDistribution(Seq(keyExpr)) :: Nil
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(Seq(
+      SortOrder(keyExpr, Ascending), SortOrder(tsExpr, Ascending),
+      SortOrder(tieExpr, Ascending)))
+    override protected def withNewChildInternal(newChild: SparkPlan) =
+      copy(child = newChild)
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val childOutput = child.output
+      val nCols = childOutput.size
+      val nSteps = stepNames.size
+      val colTypes = childOutput.map(_.dataType)
+      val (kE, tsE, tieE) = (keyExpr, tsExpr, tieExpr)
+      val (names, preds, strict, within) =
+        (stepNames, stepPreds, stepStrict, withinMicros)
+      val outTypes = outputAttrs.map(_.dataType).toArray
+
+      child.execute().mapPartitions({ rows =>
+        val keyEval = BindReferences.bindReference(kE, childOutput)
+        val tsEval = BindReferences.bindReference(tsE, childOutput)
+        val bound = preds.map { p =>
+          val bp = Predicate.create(p, childOutput); bp.initialize(0); bp
+        }
+        var pat = Cep.Pattern.begin[InternalRow](names.head)(bound.head.eval)
+        for (i <- 1 until nSteps)
+          pat = if (strict(i)) pat.next(names(i))(bound(i).eval)
+                else pat.followedBy(names(i))(bound(i).eval)
+        within.foreach(w => pat = pat.within(w))
+        val pattern = pat
+        val lastIdx = nSteps - 1
+        val lastLooping = pattern.steps.last.looping
+        val proj = UnsafeProjection.create(outTypes)
+
+        new Iterator[InternalRow] {
+          private val queue = new scala.collection.mutable.Queue[InternalRow]
+          private var curKey: Any = null
+          private var haveKey = false
+          private var partials = Vector.empty[Cep.Partial[InternalRow]]
+
+          private def emit(key: Any, groups: Vector[Vector[InternalRow]]): Unit = {
+            val vals = new Array[Any](1 + nSteps * nCols)
+            vals(0) = key
+            var s = 0
+            while (s < nSteps) {
+              if (groups(s).nonEmpty) {
+                val r = groups(s).head
+                var c = 0
+                while (c < nCols) {
+                  vals(1 + s * nCols + c) = r.get(c, colTypes(c)); c += 1
+                }
+              }
+              s += 1
+            }
+            queue += proj(new GenericInternalRow(vals)).copy()
+          }
+
+          /** end-of-run flush: a satisfied greedy final run completes. */
+          private def flush(): Unit = {
+            if (lastLooping) partials.foreach { p =>
+              if (p.stepIdx == lastIdx && p.runOpen &&
+                p.groups.last.size >= pattern.steps(lastIdx).minReps)
+                emit(curKey, p.groups)
+            }
+            partials = Vector.empty
+          }
+
+          private def pump(): Unit = {
+            while (queue.isEmpty && rows.hasNext) {
+              val row = rows.next().copy()
+              val k = keyEval.eval(row)
+              if (!haveKey || !java.util.Objects.equals(k, curKey)) {
+                if (haveKey) flush()
+                curKey = k; haveKey = true
+              }
+              val ts = tsEval.eval(row).asInstanceOf[Long]
+              val (next, matches) = Cep.advance(pattern, partials, row, ts)
+              partials = next
+              matches.foreach(m => emit(curKey, m))
+            }
+            if (queue.isEmpty && !rows.hasNext && haveKey) {
+              flush(); haveKey = false
+            }
+          }
+
+          override def hasNext: Boolean = { pump(); queue.nonEmpty }
+          override def next(): InternalRow = { pump(); queue.dequeue() }
+        }
+      }, preservesPartitioning = true)
+    }
+  }
+
+  /** Register the strategy on a session (idempotent). For spark-submit
+    * deployments, `spark.sql.extensions=graft.plans.CepExtensions` does the
+    * same via the extensions API. */
+  def register(spark: SparkSession): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    if (!exp.extraStrategies.contains(CepStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ CepStrategy
+  }
+
+  /** Build a planned CEP match over `df`.
+    *
+    * @param steps (name, predicate, strict) — strict=false ⇒ followedBy
+    *              (relaxed contiguity); the first step's flag is ignored.
+    * @return one row per match: `key`, then every child column per step as
+    *         `<step>_<col>` (first event of the step's group, null where a
+    *         step matched nothing).
+    */
+  def matchPattern(df: DataFrame, key: Column, ts: Column, tie: Column,
+      steps: Seq[(String, Column, Boolean)],
+      withinMicros: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "at least one pattern step")
+    val spark = df.sparkSession
+    register(spark)
+    val child = GraftSqlShim.analyzed(df)
+    // resolve attribute names against the analyzed child up front, so the
+    // node enters the analyzer already resolved (its output types depend
+    // on the key expression's type)
+    def resolve(c: Column): Expression =
+      GraftSqlShim.expr(c).transform {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          child.output.find(_.name == u.name).getOrElse(throw new
+              IllegalArgumentException(s"column ${u.name} not in ${child.output}"))
+      }
+    val keyE = resolve(key)
+    val outAttrs = AttributeReference("key", keyE.dataType)() +:
+      steps.flatMap { case (name, _, _) =>
+        child.output.map(a =>
+          AttributeReference(s"${name}_${a.name}", a.dataType, nullable = true)())
+      }
+    GraftSqlShim.ofRows(spark, CepMatchPlan(
+      keyE, resolve(ts), resolve(tie),
+      steps.map(_._1), steps.map(s => resolve(s._2)), steps.map(_._3),
+      withinMicros, outAttrs, child))
+  }
+}
+
+/** `spark.sql.extensions` entry point for cluster deployments. */
+class CepExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => CepPlan.CepStrategy)
+}

@@ -56,6 +56,36 @@ object CepQueries extends QueryModule {
       }.toDF()
         .groupBy("user_id", "start_ts").agg(min("end_ts").as("end_ts"))
         .orderBy("user_id", "start_ts")
+    },
+
+    // The same view→error pattern through the PLANNED operator
+    // (graft.plans.CepPlan: custom LogicalPlan + SparkStrategy + physical
+    // node; the planner inserts the key shuffle and (key, ts, tie) sort).
+    // Shares qc1's oracle: two independent execution paths, one truth.
+    q("qc3_cep_planned",
+      """SELECT v.user_id, CAST(v.ts AS TIMESTAMP) AS start_ts,
+        |  MIN(CAST(e.ts AS TIMESTAMP)) AS end_ts
+        |FROM events v JOIN events e ON e.user_id = v.user_id
+        |  AND e.event_type = 'error'
+        |  AND (CAST(e.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
+        |       OR (CAST(e.ts AS TIMESTAMP) = CAST(v.ts AS TIMESTAMP)
+        |           AND e.event_id > v.event_id))
+        |  AND CAST(e.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '1 hour'
+        |WHERE v.event_type = 'view'
+        |GROUP BY v.user_id, v.ts
+        |ORDER BY v.user_id, start_ts""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions.{col, min}
+      val ev = t(s, d, "events")
+        .selectExpr("event_id", "ts", "user_id", "event_type")
+      graft.plans.CepPlan.matchPattern(ev,
+          key = col("user_id"), ts = col("ts"), tie = col("event_id"),
+          steps = Seq(
+            ("view", col("event_type") === "view", false),
+            ("error", col("event_type") === "error", false)),
+          withinMicros = Some(HourMicros))
+        .groupBy(col("key").as("user_id"), col("view_ts").as("start_ts"))
+        .agg(min(col("error_ts")).as("end_ts"))
+        .orderBy("user_id", "start_ts")
     }
   )
 }
