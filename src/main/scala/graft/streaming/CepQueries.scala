@@ -17,6 +17,8 @@ object CepQueries extends QueryModule {
 
   final case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
+  final case class SlimRow(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String)
   final case class CepMatch(user_id: Long, start_ts: Timestamp, end_ts: Timestamp)
 
   private val HourMicros = 3600L * 1000 * 1000
@@ -43,15 +45,24 @@ object CepQueries extends QueryModule {
         |ORDER BY v.user_id, start_ts""".stripMargin) { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.functions.min
+      // Relaxed contiguity (followedBy) lets the pattern skip every event
+      // it doesn't reference, so restricting the scan to the referenced
+      // event types is semantics-preserving — and pushes the filter into
+      // the parquet scan, shrinking the NFA's input ~2.5× (pattern-
+      // irrelevant types can neither start, extend, nor complete a step;
+      // `within` pruning is against match completion times, unaffected).
+      // NOT valid for strict `next` / consecutive-repetition patterns
+      // (see qc2, which must scan all events).
       val ds = t(s, d, "events")
-        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
-        .as[EventRow]
-      val pattern = Cep.Pattern.begin[EventRow]("view")(_.event_type == "view")
+        .where("event_type IN ('view', 'error')")
+        .selectExpr("event_id", "ts", "user_id", "event_type")
+        .as[SlimRow]
+      val pattern = Cep.Pattern.begin[SlimRow]("view")(_.event_type == "view")
         .followedBy("error")(_.event_type == "error")
         .within(HourMicros)
-      Cep.matchBatch(ds, (e: EventRow) => e.user_id,
-        (e: EventRow) => micros(e.ts), pattern,
-        tie = (e: EventRow) => e.event_id) { (u, m) =>
+      Cep.matchBatch(ds, (e: SlimRow) => e.user_id,
+        (e: SlimRow) => micros(e.ts), pattern,
+        tie = (e: SlimRow) => e.event_id) { (u, m) =>
         CepMatch(u, m("view").ts, m("error").ts)
       }.toDF()
         .groupBy("user_id", "start_ts").agg(min("end_ts").as("end_ts"))
@@ -75,7 +86,9 @@ object CepQueries extends QueryModule {
         |GROUP BY v.user_id, v.ts
         |ORDER BY v.user_id, start_ts""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.functions.{col, min}
+      // same semantics-preserving pre-filter as qc1 (relaxed contiguity)
       val ev = t(s, d, "events")
+        .where("event_type IN ('view', 'error')")
         .selectExpr("event_id", "ts", "user_id", "event_type")
       graft.plans.CepPlan.matchPattern(ev,
           key = col("user_id"), ts = col("ts"), tie = col("event_id"),
