@@ -223,6 +223,45 @@ object StreamOps {
     }
   }
 
+  /** Idle-state TTL core (reference: StreamQueryConfig
+    * .withIdleStateRetentionTime, queryConfig.scala — every stateful
+    * operator evicts state for keys idle longer than the retention time):
+    * a per-key running aggregate that emits updates on data and a terminal
+    * `(key, acc, evicted=true)` record when the key sits idle for `ttlMs`
+    * of processing time, removing its state.
+    *
+    * Exposed as a bare `keyedProcess`-signature function so it can be
+    * driven by a virtual-clock harness (the reference tests TTL with a
+    * manual TimeService test harness; Spark's analog is TestGroupState —
+    * a real streaming query cannot fire processing-time timers under
+    * `processAllAvailable` without new data arriving).
+    *
+    * Timer contract (per GroupState scaladoc): the timeout is cleared on
+    * every invocation unless set again, so the function re-arms on each
+    * data batch. */
+  def ttlAggregateFn[K, I, A](ttlMs: Long, zero: A, add: (A, I) => A):
+      (K, Iterator[I], GroupState[A]) => Iterator[(K, A, Boolean)] =
+    (k: K, it: Iterator[I], state: GroupState[A]) =>
+      if (state.hasTimedOut) {
+        val acc = state.get
+        state.remove()
+        Iterator.single((k, acc, true))
+      } else {
+        val acc = it.foldLeft(state.getOption.getOrElse(zero))(add)
+        state.update(acc)
+        state.setTimeoutDuration(ttlMs)
+        Iterator.single((k, acc, false))
+      }
+
+  /** [[ttlAggregateFn]] wired into a streaming/batch Dataset via
+    * [[keyedProcess]] with ProcessingTimeTimeout + Update mode. */
+  def runningAggWithTtl[K: Encoder, I, A: Encoder](
+      ds: Dataset[I], key: I => K, ttlMs: Long, zero: A)(add: (A, I) => A)(
+      implicit outEnc: Encoder[(K, A, Boolean)]): Dataset[(K, A, Boolean)] =
+    keyedProcess[K, I, A, (K, A, Boolean)](ds, key,
+      GroupStateTimeout.ProcessingTimeTimeout(), OutputMode.Update())(
+      ttlAggregateFn(ttlMs, zero, add))
+
   /** Broadcast-state pattern (DataStream.broadcast(MapStateDescriptor) +
     * KeyedBroadcastProcessFunction): a control/lookup table joined into the
     * stream. In Spark the static side is broadcast into every task of each
