@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Graph algorithms as iterative DataFrame joins — the capability slice of
   * the reference's Gelly library (SURVEY.md §2.12): PageRank
@@ -46,32 +47,44 @@ object GraphOps {
     * key-partitioned shuffles, so total work is O(E log d), not O(E d). */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
-    val und = undirect(edges).cache()
-    val vertices = und.select(col("src").as("id")).distinct()
-    var labels = vertices.withColumn("comp", col("id"))
-    var changed = 1L
+    val und = undirect(edges)
+    // self-edges fold "min over neighbors ∪ self" into ONE aggregate (no
+    // left-join back onto the labels), and guarantee every vertex appears
+    // in the aggregate output
+    val selfed = und.unionAll(
+        und.select(col("src")).distinct()
+          .select(col("src"), col("src").as("dst")))
+      .cache()
+    var labels = selfed.select(col("dst").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var prevSum: java.math.BigDecimal = null
+    var done = false
     var i = 0
-    // neighbor-min then pointer-jump; labels are always ids of vertices in
-    // the same component, so the fixpoint is the component minimum
+    // neighbor-min (self-inclusive) then pointer-jump (comp ← comp(comp)):
+    // two key-partitioned shuffles per round. Labels move only downward,
+    // so the DECIMAL label sum strictly decreases iff any vertex changed —
+    // convergence is one cheap scalar aggregate instead of a per-vertex
+    // change flag (decimal: a long sum overflows at ~10^10 vertices of
+    // ~10^10 ids).
     def round(cur: DataFrame): DataFrame = {
-      val nbr = und.join(cur, und("src") === cur("id"))
-        .groupBy(col("dst").as("nid"))
-        .agg(min(col("comp")).as("nbrMin"))
-      val stepped = cur.join(nbr, cur("id") === col("nid"), "left")
-        .select(cur("id").as("id"), cur("comp").as("prev"),
-          least(cur("comp"), coalesce(col("nbrMin"), cur("comp"))).as("comp"))
-      val ptr = stepped.select(col("id").as("pid"), col("comp").as("pcomp"))
-      stepped.join(ptr, stepped("comp") === col("pid"), "left")
-        .select(stepped("id"), stepped("prev"),
-          least(stepped("comp"), coalesce(col("pcomp"), stepped("comp")))
-            .as("comp"))
-        .select(col("id"), col("comp"), (col("comp") < col("prev")).as("chg"))
+      val nbr = selfed.join(cur, selfed("src") === cur("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("comp")).as("comp"))
+      val ptr = nbr.select(col("id").as("pid"), col("comp").as("pcomp"))
+      nbr.join(ptr, nbr("comp") === col("pid"), "left")
+        .select(nbr("id"),
+          least(nbr("comp"), coalesce(col("pcomp"), nbr("comp"))).as("comp"))
     }
-    while (changed > 0 && i < maxIter) {
+    while (!done && i < maxIter) {
       i += 1
       val cached = maybeCheckpoint(round(labels), i).cache()
-      changed = cached.where(col("chg")).count()
-      labels = cached.select(col("id"), col("comp"))
+      val sum0 = cached
+        .agg(sum(col("comp").cast(DecimalType(38, 0)))).first()
+        .getDecimal(0)
+      done = sum0 == null || // empty graph
+        (prevSum != null && prevSum.compareTo(sum0) == 0)
+      prevSum = sum0
+      labels = cached
     }
     labels
   }
