@@ -30,7 +30,8 @@ object Cep {
 
   final case class Step[E](name: String, pred: E => Boolean, strict: Boolean,
       minReps: Int = 1, maxReps: Int = 1,
-      negPred: Option[E => Boolean] = None, optional: Boolean = false) {
+      negPred: Option[E => Boolean] = None, optional: Boolean = false,
+      untilPred: Option[E => Boolean] = None, allPrefixes: Boolean = false) {
     def looping: Boolean = maxReps > minReps || maxReps == Int.MaxValue
   }
 
@@ -68,6 +69,41 @@ object Cep {
     def oneOrMore: Pattern[E] = new Pattern(
       steps.init :+ steps.last.copy(minReps = 1, maxReps = Int.MaxValue),
       withinMs, pendingNot)
+    /** The previous step matches between `from` and `to` consecutive
+      * occurrences (Pattern.times(from, to), Pattern.java:304). Greedy by
+      * default: the maximal run ≤ `to` is emitted; see [[allPrefixes]]. */
+    def times(from: Int, to: Int): Pattern[E] = {
+      require(from >= 1 && to >= from, "times(from, to) requires 1 <= from <= to")
+      new Pattern(steps.init :+ steps.last.copy(minReps = from, maxReps = to),
+        withinMs, pendingNot)
+    }
+    /** The previous step matches `n` or more consecutive occurrences
+      * (Pattern.timesOrMore, Pattern.java:328). */
+    def timesOrMore(n: Int): Pattern[E] = {
+      require(n >= 1, "timesOrMore(n) requires n >= 1")
+      new Pattern(
+        steps.init :+ steps.last.copy(minReps = n, maxReps = Int.MaxValue),
+        withinMs, pendingNot)
+    }
+    /** Stop condition for the previous quantified step (Pattern.until,
+      * Pattern.java:359): an event matching `pred` closes the run without
+      * being absorbed by it (it may still match the NEXT step on the same
+      * event, as in the reference's until tests). */
+    def until(pred: E => Boolean): Pattern[E] = {
+      require(steps.last.looping, "until requires a quantified step")
+      new Pattern(steps.init :+ steps.last.copy(untilPred = Some(pred)),
+        withinMs, pendingNot)
+    }
+    /** Reference-default (non-greedy) emission for the previous quantified
+      * step: every run prefix of length ≥ min is a match, and each loop
+      * extension also forks a stopped-run branch that may transition later
+      * — flink-cep's default quantifier semantics (our default stays
+      * greedy/maximal, Flink's `.greedy()`). */
+    def allPrefixes: Pattern[E] = {
+      require(steps.last.looping, "allPrefixes requires a quantified step")
+      new Pattern(steps.init :+ steps.last.copy(allPrefixes = true),
+        withinMs, pendingNot)
+    }
     /** Partial matches older than `ms` (vs the current event) are pruned. */
     def within(ms: Long): Pattern[E] = new Pattern(steps, Some(ms), pendingNot)
 
@@ -111,16 +147,26 @@ object Cep {
       val s = pattern.steps(p.stepIdx)
       val reps = p.groups.last.size
 
+      // until stop-condition (checked before the loop predicate, as in the
+      // reference): closes the run; the event may still transition below
+      val untilHit = s.looping && s.untilPred.exists(_(e))
+
       // 1) greedily extend the current run
-      val extended = p.runOpen && reps < s.maxReps && s.pred(e)
+      val extended = !untilHit && p.runOpen && reps < s.maxReps && s.pred(e)
       if (extended) {
         val g2 = p.groups.updated(p.stepIdx, p.groups.last :+ e)
-        if (p.stepIdx == lastIdx && !s.looping && reps + 1 == s.maxReps)
-          matches += g2 // fixed-count final step (times(n)) completed
-        else if (reps + 1 == s.maxReps && !s.looping)
-          out += Partial(p.startTs, g2, runOpen = false) // middle run full
-        else
-          out += Partial(p.startTs, g2, runOpen = true)
+        val capped = reps + 1 == s.maxReps
+        if (p.stepIdx == lastIdx) {
+          if (s.allPrefixes) { if (reps + 1 >= s.minReps) matches += g2 }
+          else if (capped) matches += g2 // times(n) / times(from,to) full
+          if (!capped) out += Partial(p.startTs, g2, runOpen = true)
+        } else {
+          // reference-default branching: extending a satisfied run also
+          // forks a stopped copy that can transition on a later event
+          if (s.allPrefixes && s.looping && reps >= s.minReps)
+            out += Partial(p.startTs, p.groups, runOpen = false)
+          out += Partial(p.startTs, g2, runOpen = !capped)
+        }
       }
 
       // 2) transition out of a satisfied run
@@ -147,7 +193,13 @@ object Cep {
                     Vector.fill(lastIdx - j)(Vector.empty[E])
                   matches += padded
                   if (j < lastIdx) out += Partial(p.startTs, g2, runOpen = true)
-                } else out += Partial(p.startTs, g2, runOpen = true)
+                } else {
+                  // entering a final allPrefixes loop: the length-1 run is
+                  // already a match when min <= 1 (extensions emit the rest)
+                  if (j == lastIdx && sj.looping && sj.allPrefixes &&
+                    sj.minReps <= 1) matches += g2
+                  out += Partial(p.startTs, g2, runOpen = true)
+                }
                 transitioned = true
               }
               scanning = sj.optional
@@ -159,9 +211,10 @@ object Cep {
               out += Partial(p.startTs, p.groups, runOpen = false)
             } // strict next step, no match: partial dies
           } // banned: partial dies (notFollowedBy)
-        } else if (s.looping && p.runOpen && !s.pred(e)) {
-          matches += p.groups // breaking event completes the maximal run
-        }
+        } else if (s.looping && p.runOpen && !s.allPrefixes &&
+          (!s.pred(e) || untilHit)) {
+          matches += p.groups // breaking/until event completes the maximal
+        } // run (greedy mode; allPrefixes already emitted every prefix)
       }
       // run not yet satisfied and event didn't extend it: partial dies
       // (repetition contiguity is consecutive)
@@ -173,7 +226,11 @@ object Cep {
       val g = Vector(Vector(e))
       if (pattern.steps.size == 1 && !s0.looping && s0.maxReps == 1)
         matches += g
-      else out += Partial(ts, g, runOpen = true)
+      else {
+        if (pattern.steps.size == 1 && s0.looping && s0.allPrefixes &&
+          s0.minReps <= 1) matches += g
+        out += Partial(ts, g, runOpen = true)
+      }
     }
     (out.result(), matches.result())
   }
@@ -265,6 +322,7 @@ object Cep {
       val lastStep = pattern.steps(lastIdx)
       partials.foreach { p =>
         if (p.stepIdx == lastIdx && lastStep.looping && p.runOpen
+          && !lastStep.allPrefixes // prefixes were emitted as they formed
           && p.groups.last.size >= lastStep.minReps)
           outs += shape(p.groups)
       }

@@ -39,6 +39,45 @@ object CepQuantQuery extends QueryModule {
         val errs = m("err")
         PairOut(u, errs.head.ts, errs(1).ts)
       }.toDF().orderBy("user_id", "first_ts", "second_ts")
+    },
+
+    // times(2,3) range quantifier: greedy-maximal runs of 2-3 CONSECUTIVE
+    // errors per user, one match per start offset (noSkip), capped at 3 —
+    // in SQL, gaps-and-islands over the per-user event sequence with a
+    // per-offset LEAST(3, remaining) window.
+    q("qc4_cep_times_range",
+      """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |e AS (SELECT user_id, ts, rn,
+        |    rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM o WHERE event_type = 'error'),
+        |runs AS (SELECT user_id, grp, COUNT(*) AS len, MIN(rn) AS rn0
+        |  FROM e GROUP BY 1, 2),
+        |pos AS (SELECT e.user_id, e.ts AS first_ts, e.rn, e.grp,
+        |    (r.len - (e.rn - r.rn0)) AS remain
+        |  FROM e JOIN runs r ON r.user_id = e.user_id AND r.grp = e.grp),
+        |m AS (SELECT user_id, first_ts, grp,
+        |    rn + LEAST(3, remain) - 1 AS last_rn
+        |  FROM pos WHERE remain >= 2)
+        |SELECT m.user_id AS user_id, m.first_ts, e2.ts AS last_ts
+        |FROM m JOIN e e2 ON e2.user_id = m.user_id AND e2.rn = m.last_rn
+        |ORDER BY m.user_id, m.first_ts""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ds = t(s, d, "events")
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventRow]
+      val pattern = Cep.Pattern.begin[EventRow]("err")(_.event_type == "error")
+        .times(2, 3)
+      def micros(t: Timestamp): Long =
+        t.getTime * 1000 + (t.getNanos / 1000) % 1000
+      Cep.matchBatchGroups(ds, (e: EventRow) => e.user_id,
+        (e: EventRow) => micros(e.ts), pattern,
+        tie = (e: EventRow) => e.event_id) { (u, m) =>
+        val errs = m("err")
+        (u, errs.head.ts, errs.last.ts)
+      }.toDF("user_id", "first_ts", "last_ts")
+        .orderBy("user_id", "first_ts")
     }
   )
 }

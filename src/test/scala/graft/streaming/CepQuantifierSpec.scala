@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.streaming.Cep._
+
+/** Quantifier-range, until-condition and reference-default (allPrefixes)
+  * emission semantics. The two until cases are verbatim ports of the
+  * reference's consecutive until tests
+  * (flink-cep nfa/UntilConditionITCase.java:159
+  * testUntilConditionFollowedByOneOrMoreConsecutive and :208 ...Consecutive2
+  * — UNTIL_CONDITION is price == 5.0), including their exact expected match
+  * lists: our `oneOrMore.allPrefixes.until(...)` is the reference's default
+  * `oneOrMore().consecutive().until(...)`.
+  */
+class CepQuantifierSpec extends SparkSuite {
+
+  // (id, name, price) mirroring the reference's Event(id, name, price)
+  private case class RE(id: Int, name: String, price: Double)
+
+  private def feed(pattern: Pattern[RE], events: Seq[(RE, Long)],
+      flush: Boolean = true): Vector[Vector[Vector[RE]]] = {
+    var partials = Vector.empty[Partial[RE]]
+    val all = Vector.newBuilder[Vector[Vector[RE]]]
+    events.foreach { case (e, ts) =>
+      val (next, ms) = advance(pattern, partials, e, ts)
+      partials = next
+      ms.foreach(all += _)
+    }
+    if (flush) {
+      val lastIdx = pattern.steps.size - 1
+      val lastStep = pattern.steps(lastIdx)
+      partials.foreach { p =>
+        if (p.stepIdx == lastIdx && lastStep.looping && p.runOpen &&
+          !lastStep.allPrefixes && p.groups.last.size >= lastStep.minReps)
+          all += p.groups
+      }
+    }
+    all.result()
+  }
+
+  private def names(m: Vector[Vector[RE]]): Seq[Seq[Int]] = m.map(_.map(_.id))
+
+  test("port: until + oneOrMore consecutive (UntilConditionITCase:159)") {
+    val start = RE(40, "c", 1.0)
+    val mid1 = RE(41, "a", 2.0)
+    val mid2 = RE(42, "a", 3.0)
+    val breaking = RE(45, "a", 5.0)
+    val ignored = RE(46, "a", 6.0)
+    val pattern = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").oneOrMore.allPrefixes
+      .until(_.price == 5.0)
+      .followedBy("end")(_.price == 5.0)
+    val got = feed(pattern,
+      Seq(start -> 1L, mid1 -> 3L, mid2 -> 4L, breaking -> 7L, ignored -> 8L))
+      .map(m => m.map(_.map(_.id)))
+    // reference expectation: {start, mid1, mid2, breaking}, {start, mid1, breaking}
+    assert(got.toSet === Set(
+      Vector(Vector(40), Vector(41, 42), Vector(45)),
+      Vector(Vector(40), Vector(41), Vector(45))))
+  }
+
+  test("port: until + oneOrMore consecutive 2 (UntilConditionITCase:208)") {
+    val start = RE(40, "c", 1.0)
+    val mid1 = RE(41, "a", 2.0)
+    val mid2 = RE(42, "b", 3.0)
+    val mid3 = RE(43, "a", 4.0)
+    val breaking = RE(45, "a", 5.0)
+    val ignored = RE(46, "a", 6.0)
+    val pattern = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").oneOrMore.allPrefixes
+      .until(_.price == 5.0)
+      .followedBy("end")(_.price == 5.0)
+    val got = feed(pattern, Seq(start -> 1L, mid1 -> 3L, mid2 -> 4L,
+      mid3 -> 5L, breaking -> 7L, ignored -> 8L))
+      .map(m => m.map(_.map(_.id)))
+    // reference expectation: only {start, mid1, breaking} — the 'b' event
+    // breaks the consecutive run, the stopped branch transitions at the
+    // until event
+    assert(got.toSet === Set(Vector(Vector(40), Vector(41), Vector(45))))
+  }
+
+  test("times(from, to): greedy-maximal run within the range") {
+    val p = Pattern.begin[RE]("a")(_.name == "a").times(2, 3)
+    val a = (i: Int) => RE(i, "a", i.toDouble)
+    val x = RE(99, "x", 0.0)
+    // run of 4 'a's: capped at 3 (maximal within range), emitted at cap
+    assert(feed(p, Seq(a(1) -> 1L, a(2) -> 2L, a(3) -> 3L, a(4) -> 4L, x -> 5L))
+      .map(names).map(_.head).toSet
+      === Set(Seq(1, 2, 3), Seq(2, 3, 4), Seq(3, 4))) // noSkip: later starts too
+    // run of 2 broken by x: emitted on the breaking event
+    assert(feed(p, Seq(a(1) -> 1L, a(2) -> 2L, x -> 3L))
+      .map(names).map(_.head) === Vector(Seq(1, 2)))
+    // run of 1: never satisfies min=2
+    assert(feed(p, Seq(a(1) -> 1L, x -> 2L)).isEmpty)
+  }
+
+  test("timesOrMore(n): maximal greedy run with at least n reps") {
+    val p = Pattern.begin[RE]("a")(_.name == "a").timesOrMore(2)
+    val a = (i: Int) => RE(i, "a", i.toDouble)
+    val x = RE(99, "x", 0.0)
+    assert(feed(p, Seq(a(1) -> 1L, a(2) -> 2L, a(3) -> 3L, x -> 4L))
+      .map(names).map(_.head).toSet === Set(Seq(1, 2, 3), Seq(2, 3)))
+    assert(feed(p, Seq(a(1) -> 1L, x -> 2L)).isEmpty)
+  }
+
+  test("until in greedy mode completes the maximal run at the until event") {
+    val p = Pattern.begin[RE]("s")(_.name == "s")
+      .followedBy("a")(_.name == "a").oneOrMore.until(_.price == 5.0)
+      .followedBy("end")(_.price == 5.0)
+    val s = RE(1, "s", 0.0)
+    val a1 = RE(2, "a", 1.0); val a2 = RE(3, "a", 2.0)
+    val u = RE(4, "a", 5.0)
+    // greedy: only the maximal run transitions at the until event
+    assert(feed(p, Seq(s -> 1L, a1 -> 2L, a2 -> 3L, u -> 4L))
+      .map(names).toSet === Set(Seq(Seq(1), Seq(2, 3), Seq(4))))
+  }
+
+  test("allPrefixes on a final oneOrMore emits every prefix as it forms") {
+    val p = Pattern.begin[RE]("a")(_.name == "a").oneOrMore.allPrefixes
+    val a = (i: Int) => RE(i, "a", i.toDouble)
+    val got = feed(p, Seq(a(1) -> 1L, a(2) -> 2L))
+    // prefixes: [1], [1,2] and (noSkip) [2]
+    assert(got.map(names).map(_.head).toSet === Set(Seq(1), Seq(1, 2), Seq(2)))
+  }
+}
