@@ -223,6 +223,56 @@ object StreamOps {
     }
   }
 
+  /** Streaming as-of join — the streaming twin of
+    * `graft.operators.AsofOps.asofJoin` (reference analog: the event-time
+    * interval join with an unbounded lower bound, which the reference's
+    * TimeBoundedStreamJoin cannot express without retaining infinite
+    * state; the as-of reformulation CAN, because only the latest
+    * watermark-covered build row matters).
+    *
+    * One tagged input stream (`isBuild`) carries both sides plus a
+    * watermark. A probe row finalizes once the watermark passes its event
+    * time — under bounded out-of-orderness every build at-or-before it has
+    * then arrived — and emits the latest build at-or-before its timestamp
+    * (inclusive, like the batch operator; unmatched probes drop = inner).
+    * State per key = pending rows above the watermark + ONE retained
+    * build (the latest at-or-below the watermark): any older build can
+    * never be the answer for any future probe, so state is bounded by the
+    * watermark horizon regardless of stream length.
+    *
+    * @return (key, probeTs, probeValue, buildTs, buildValue)
+    */
+  def eventTimeAsofJoin[K: Encoder, I](
+      ds: Dataset[I], key: I => K, ts: I => Long, value: I => Double,
+      isBuild: I => Boolean)(
+      implicit stateEnc: Encoder[(Seq[(Long, Double)], Seq[(Long, Double)])],
+      outEnc: Encoder[(K, Long, Double, Long, Double)]):
+      Dataset[(K, Long, Double, Long, Double)] =
+    ds.groupByKey(key).flatMapGroupsWithState[
+      (Seq[(Long, Double)], Seq[(Long, Double)]),
+      (K, Long, Double, Long, Double)](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (k: K, it: Iterator[I],
+          state: GroupState[(Seq[(Long, Double)], Seq[(Long, Double)])]) =>
+        val (builds0, probes0) = state.getOption.getOrElse((Seq.empty, Seq.empty))
+        val incoming = it.toVector
+        val builds = (builds0 ++ incoming.filter(isBuild(_))
+          .map(i => (ts(i), value(i)))).sortBy(r => r)
+        val probes = probes0 ++ incoming.filterNot(isBuild(_))
+          .map(i => (ts(i), value(i)))
+        val wmMicros = state.getCurrentWatermarkMs() * 1000L
+        val (ready, pending) = probes.partition(_._1 <= wmMicros)
+        val out = ready.sortBy(r => r).flatMap { case (pt, pv) =>
+          builds.takeWhile(_._1 <= pt).lastOption
+            .map { case (bt, bv) => (k, pt, pv, bt, bv) }
+        }
+        val (covered, ahead) = builds.partition(_._1 <= wmMicros)
+        state.update((covered.takeRight(1) ++ ahead, pending))
+        if (pending.nonEmpty || ahead.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        out.iterator
+    }
+
   /** Idle-state TTL core (reference: StreamQueryConfig
     * .withIdleStateRetentionTime, queryConfig.scala — every stateful
     * operator evicts state for keys idle longer than the retention time):

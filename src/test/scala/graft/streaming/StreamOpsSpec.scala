@@ -438,4 +438,68 @@ class StreamOpsSpec extends SparkSuite {
     }
     assert(out.collect().toSet == Set((1L, 7.0), (2L, 5.0)))
   }
+
+  test("streaming as-of join matches probes to the latest covered build") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val stEnc: org.apache.spark.sql.Encoder[(Seq[(Long, Double)], Seq[(Long, Double)])] =
+      ExpressionEncoder()
+    def us(s: String) = Timestamp.valueOf(s).getTime * 1000L
+    val input = MemoryStream[Click] // kind "b" = build side, "p" = probe
+    val withWm = StreamOps.withEventTime(input.toDF(), "ts", "10 minutes").as[Click]
+    val out = StreamOps.eventTimeAsofJoin[Long, Click](
+      withWm, _.user, c => c.ts.getTime * 1000L, _.value, _.kind == "b")
+    val q = out.toDF().toDF("user", "pts", "pv", "bts", "bv")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_out").start()
+    try {
+      input.addData(
+        Click(1, "b", t("2024-01-01 00:01:00"), 10.0),
+        Click(1, "p", t("2024-01-01 00:05:00"), 1.0),
+        Click(1, "b", t("2024-01-01 00:10:00"), 12.0),
+        Click(1, "p", t("2024-01-01 00:10:00"), 2.0), // equal ts: inclusive
+        Click(1, "p", t("2024-01-01 00:02:00"), 3.0), // out-of-order probe
+        Click(2, "p", t("2024-01-01 00:30:00"), 4.0)) // no build: inner-drops
+      q.processAllAvailable()
+      // advance the watermark far past every probe, then once more so the
+      // event-time timer flushes the buffered probes
+      input.addData(Click(3, "b", t("2024-01-01 02:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData(Click(3, "b", t("2024-01-01 03:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_out").where($"user" === 1L)
+        .orderBy($"pts").as[(Long, Long, Double, Long, Double)]
+        .collect().toSeq
+      assert(got === Seq(
+        (1L, us("2024-01-01 00:02:00"), 3.0, us("2024-01-01 00:01:00"), 10.0),
+        (1L, us("2024-01-01 00:05:00"), 1.0, us("2024-01-01 00:01:00"), 10.0),
+        (1L, us("2024-01-01 00:10:00"), 2.0, us("2024-01-01 00:10:00"), 12.0)))
+      assert(spark.table("asof_out").where($"user" === 2L).count() === 0)
+    } finally q.stop()
+  }
+
+  test("streaming as-of join agrees with the batch operator on sf0.001") {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val stEnc: org.apache.spark.sql.Encoder[(Seq[(Long, Double)], Seq[(Long, Double)])] =
+      ExpressionEncoder()
+    // batch surface of the same stateful op (single pass, wm = +inf at end)
+    val ev = graft.Engine.table(spark, sf, "events")
+      .where(col("event_type").isin("view", "purchase"))
+      .selectExpr("user_id", "event_type", "ts", "value",
+        "event_id") // deterministic columns
+    val ds = ev.as[(Long, String, Timestamp, Double, Long)]
+    val streamed = StreamOps.eventTimeAsofJoin[Long, (Long, String, Timestamp, Double, Long)](
+      ds, _._1, r => r._3.getTime * 1000L + (r._3.getNanos / 1000) % 1000,
+      _._4, _._2 == "view")
+      .collect().map(r => (r._1, r._2, r._4)).toSet
+    val batch = graft.operators.AsofOps.asofJoin(
+      ev.where($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value", $"event_id"),
+      ev.where($"event_type" === "view").select($"user_id", $"ts", $"value"),
+      "user_id", "ts", Seq("value"))
+      .select($"user_id",
+        (unix_micros($"ts")).as("pts"), unix_micros($"asof_ts").as("bts"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2, r._3)).toSet
+    assert(streamed === batch)
+  }
 }
