@@ -35,6 +35,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Current watermark in event-time micros, or +infinity when the
+    * operator runs over a batch Dataset. Batch `flatMapGroupsWithState`
+    * (MapGroupsExec) has no watermark — `getCurrentWatermarkMs` throws
+    * `SparkUnsupportedOperationException` — and the correct batch
+    * semantics of every watermark-gated operator here is "all rows are
+    * final" (the reference's batch/stream unification makes the same
+    * choice: a bounded input's watermark jumps to +inf at end of input).
+    * With everything final, the `pending`/`ahead` buffers are empty, so
+    * the `setTimeoutTimestamp` calls (equally unsupported in batch) are
+    * never reached. */
+  private def watermarkMicrosOrMax(state: GroupState[_]): Long =
+    try state.getCurrentWatermarkMs() * 1000L
+    catch { case _: UnsupportedOperationException => Long.MaxValue }
+
   /** Event-time assignment with bounded out-of-orderness: the Spark
     * equivalent of `assignTimestampsAndWatermarks(new
     * BoundedOutOfOrdernessTimestampExtractor(delay))`. */
@@ -152,7 +166,7 @@ object StreamOps {
       (k: K, it: Iterator[I], state: GroupState[(Double, Seq[(Long, Double)])]) =>
         val (acc0, buf0) = state.getOption.getOrElse((0.0, Seq.empty))
         val buf = buf0 ++ it.map(i => (ts(i), value(i)))
-        val wmMicros = state.getCurrentWatermarkMs() * 1000L
+        val wmMicros = watermarkMicrosOrMax(state)
         // rows at or below the watermark are final: emit in event-time order
         val (ready, pending) = buf.partition(_._1 <= wmMicros)
         var acc = acc0
@@ -183,7 +197,7 @@ object StreamOps {
       (k: K, it: Iterator[I], state: GroupState[Seq[(Long, Double)]]) =>
         val buf = state.getOption.getOrElse(Seq.empty) ++
           it.map(i => (ts(i), value(i)))
-        val wmMicros = state.getCurrentWatermarkMs() * 1000L
+        val wmMicros = watermarkMicrosOrMax(state)
         val (ready, pending) = buf.partition(_._1 <= wmMicros)
         state.update(pending)
         if (pending.nonEmpty)
@@ -209,7 +223,7 @@ object StreamOps {
       (k: K, it: Iterator[I], state: GroupState[(Seq[Double], Seq[(Long, Double)])]) =>
         val (tail0, buf0) = state.getOption.getOrElse((Seq.empty, Seq.empty))
         val buf = buf0 ++ it.map(i => (ts(i), value(i)))
-        val wmMicros = state.getCurrentWatermarkMs() * 1000L
+        val wmMicros = watermarkMicrosOrMax(state)
         val (ready, pending) = buf.partition(_._1 <= wmMicros)
         var tail = tail0
         val out = ready.sortBy(r => r).map { case (t0, v) =>
@@ -260,7 +274,7 @@ object StreamOps {
           .map(i => (ts(i), value(i)))).sortBy(r => r)
         val probes = probes0 ++ incoming.filterNot(isBuild(_))
           .map(i => (ts(i), value(i)))
-        val wmMicros = state.getCurrentWatermarkMs() * 1000L
+        val wmMicros = watermarkMicrosOrMax(state)
         val (ready, pending) = probes.partition(_._1 <= wmMicros)
         val out = ready.sortBy(r => r).flatMap { case (pt, pv) =>
           builds.takeWhile(_._1 <= pt).lastOption
