@@ -33,17 +33,26 @@ object Bench {
       headline.filter(qs.contains).foreach { name =>
         try qs(name)(spark, warmDir).count()
         catch { case _: Throwable => () }
+        spark.catalog.clearCache() // warm codegen, don't pin warmup caches
       }
+    var failed = List.empty[String]
     val results = headline.filter(qs.contains).map { name =>
       val fn = qs(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        failed ::= name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // query-scoped caches end with the query
+      name -> sec
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fjson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failed":$fjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -14,19 +14,28 @@ import org.apache.spark.sql.types.DecimalType
   * (runScatterGatherIteration, Graph.java:1730); Spark-first, each
   * iteration is a join + aggregate on DataFrames with the loop on the
   * driver — the standard GraphX/GraphFrames pattern. Every iteration
-  * shuffles by vertex id only; `localCheckpoint` every few rounds truncates
-  * the growing lineage so plans stay constant-size at any iteration count
+  * shuffles by vertex id only; an eager `localCheckpoint` per round
+  * truncates lineage so plans stay constant-size at any iteration count
   * (crucial at scale — without it the plan tree grows linearly and
-  * re-optimization dominates).
+  * re-optimization dominates) — see [[materialize]] for why checkpointing
+  * beats `.cache()` here.
   *
   * Graphs are (src, dst) edge DataFrames; vertex ids are longs.
   */
 object GraphOps {
 
-  private def checkpointEvery = 5
-
-  private def maybeCheckpoint(df: DataFrame, i: Int): DataFrame =
-    if (i % checkpointEvery == 0) df.localCheckpoint(eager = true) else df
+  /** Per-iteration materialization. Eager localCheckpoint, NOT `.cache()`:
+    * a cached round whose plan contains the previous round's cached plan
+    * makes `unpersist()` of the old round invalidate-and-rebuild the new
+    * round's CacheManager entry (dependent-cache recache), silently
+    * recomputing whole iteration chains; and never unpersisting pins every
+    * round's blocks for the session lifetime. Checkpointing instead cuts
+    * the plan to a LogicalRDD (constant-size lineage at any iteration
+    * count), registers nothing in the CacheManager, and the previous
+    * round's blocks become GC-reclaimable the moment the driver drops its
+    * reference (ContextCleaner unpersists them). */
+  private def materialize(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
 
   /** Undirected view of an edge list (plus self-loops removed). */
   private def undirect(edges: DataFrame): DataFrame = {
@@ -77,15 +86,18 @@ object GraphOps {
     }
     while (!done && i < maxIter) {
       i += 1
-      val cached = maybeCheckpoint(round(labels), i).cache()
-      val sum0 = cached
+      val next = materialize(round(labels))
+      val sum0 = next
         .agg(sum(col("comp").cast(DecimalType(38, 0)))).first()
         .getDecimal(0)
       done = sum0 == null || // empty graph
         (prevSum != null && prevSum.compareTo(sum0) == 0)
       prevSum = sum0
-      labels = cached
+      labels = next
     }
+    // the final labels plan is a LogicalRDD with no reference to selfed,
+    // so releasing the input cache cannot invalidate the result
+    selfed.unpersist()
     labels
   }
 
@@ -96,24 +108,29 @@ object GraphOps {
     val und = undirect(edges).cache()
     var dist = und.sparkSession.range(1)
       .select(lit(source).as("id"), lit(0.0).as("dist"))
-    var changed = 1L
+    // Convergence in ONE scalar action per round (the CC pattern): the
+    // frontier only grows vertices and only lowers distances, so the
+    // (count, exact-decimal dist sum) pair changes iff any vertex was
+    // added or improved — no second join-and-count action needed.
+    var prevCount = -1L
+    var prevSum: java.math.BigDecimal = null
+    var done = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (!done && i < maxIter) {
       i += 1
       val relaxed = und.join(dist, und("src") === dist("id"))
         .select(col("dst").as("id"), (col("dist") + 1.0).as("dist"))
-      val next = dist.union(relaxed)
-        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
-      val cached = maybeCheckpoint(next, i).cache()
-      val newCount = cached.count()
-      val improved = cached.as("n")
-        .join(dist.as("o"), col("n.id") === col("o.id"), "left")
-        .where(col("o.dist").isNull || col("n.dist") < col("o.dist"))
-        .count()
-      changed = improved
-      dist = cached
-      if (newCount == 0) changed = 0
+      val next = materialize(dist.union(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist")))
+      val row = next.agg(count(lit(1)),
+        sum(col("dist").cast(DecimalType(38, 8)))).first()
+      val (n, s) = (row.getLong(0), row.getDecimal(1))
+      done = n == 0 ||
+        (n == prevCount && prevSum != null && prevSum.compareTo(s) == 0)
+      prevCount = n; prevSum = s
+      dist = next
     }
+    und.unpersist()
     dist
   }
 
@@ -144,8 +161,9 @@ object GraphOps {
         (lit(1.0 - damping) + lit(damping) *
           (coalesce(col("inRank"), lit(0.0)) + lit(danglingMass / n)))
           .as("rank"))
-      ranks = maybeCheckpoint(next, i).cache()
+      ranks = materialize(next)
     }
+    e.unpersist(); vertices.unpersist(); outDeg.unpersist()
     ranks
   }
 
@@ -178,8 +196,9 @@ object GraphOps {
       val next = counts.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("v").as("id"), col("lbl"))
-      labels = maybeCheckpoint(next, i).cache()
+      labels = materialize(next)
     }
+    und.unpersist()
     labels
   }
 }
