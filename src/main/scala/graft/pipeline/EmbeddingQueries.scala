@@ -108,10 +108,18 @@ object EmbeddingQueries extends QueryModule {
     },
 
     // Embedding-cosine near-duplicate pairs (the fourth dedup method of
-    // the pipeline mandate): exact cosine over all ordered pairs at oracle
-    // scale; at 100 TB the pair generation comes from the LSH buckets
-    // (qe3) / IVF (SimilarityOps) instead of the cross join — the verify
-    // arithmetic is identical.
+    // the pipeline mandate), in the scale-correct shape: hyperplane-LSH
+    // band buckets propose candidates (8 bands × 8 sign bits, one-pass
+    // native HyperplaneBands expression), exact cosine verifies — the
+    // qp4/qp5 candidates→verify pattern applied to embeddings. No
+    // unconditioned self cross join anywhere: the only self-join is the
+    // (band, key) equi-join, whose expected bucket size is ~n/256 for
+    // near-orthogonal vectors while true near-dups (cosine ≥0.9) collide
+    // with probability ≥0.94 (recall math on HyperplaneBands; the planted
+    // near-dup recall spec in EmbeddingSpec holds the claim). The oracle
+    // stays the exhaustive formulation — at oracle SFs the max pairwise
+    // cosine is ~0.6, so both plans produce the identical (empty ≥0.8)
+    // answer; the recall spec covers the regime where they could differ.
     q("qe5_cosine_dedup",
       s"""WITH norms AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
          |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -127,11 +135,23 @@ object EmbeddingQueries extends QueryModule {
         .select(col("vec_id"), col("embedding"),
           expr(normExpr("embedding")).as("nrm"))
         .where(col("nrm") > 0)
-        .cache()
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          (expr(dotExpr("a.embedding", "b.embedding"))
-            / sqrt(col("a.nrm") * col("b.nrm"))).as("cosine"))
+        .cache() // reused by the band scan and both verify sides
+      val banded = e.select(col("vec_id"),
+        posexplode(expr("graft_hyperplane_bands(embedding)"))
+          .as(Seq("band", "bkey")))
+      val cand = banded.as("x")
+        .join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+            && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+          col("nrm").as("na")), "id_a")
+        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+          col("nrm").as("nb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (expr(dotExpr("ea", "eb")) / sqrt(col("na") * col("nb"))).as("cosine"))
         .where(col("cosine") >= 0.8)
         .orderBy(col("id_a"), col("id_b"))
     },

@@ -63,6 +63,47 @@ class EmbeddingSpec extends SparkSuite {
     assert(meanRecall >= 0.5, s"IVF mean recall@3 was $meanRecall")
   }
 
+  test("qe5 LSH candidate path finds planted near-duplicates, exactly verified") {
+    // qe5's bucketed plan is only meaningful where near-dups exist; the
+    // testdata embeddings are near-orthogonal (max pairwise cosine ~0.6),
+    // so plant real near-duplicates and assert the LSH candidates + exact
+    // verify recover them. Fixed seeds everywhere → deterministic outcome.
+    val rnd = new scala.util.Random(123)
+    def gauss(n: Int) = Array.fill(n)(rnd.nextGaussian().toFloat)
+    val base = (0L until 300L).map(id => id -> gauss(64)).toMap
+    val planted = (0L until 10L).map { i =>
+      val v = base(i)
+      val noise = gauss(64)
+      val dup = v.zip(noise).map { case (x, e) => x + 0.15f * e }
+      (i, 1000L + i, dup)
+    }
+    val rows = base.toSeq.map { case (id, v) => (id, v, "base") } ++
+      planted.map { case (_, did, dv) => (did, dv, "dup") }
+    val dir = java.nio.file.Files.createTempDirectory("qe5spec").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.SparkEntry.queries("qe5_cosine_dedup")(spark, dir)
+      .select($"id_a", $"id_b", $"cosine")
+      .as[(Long, Long, Double)].collect()
+    val all = rows.map(r => r._1 -> r._2).toMap
+    // no false positives: every reported pair truly has cosine >= 0.8
+    got.foreach { case (a, b, c) =>
+      val truth = cosine(all(a), all(b))
+      assert(math.abs(truth - c) < 1e-9 && truth >= 0.8, s"pair ($a,$b)")
+    }
+    // recall: every planted pair with true cosine >= 0.9 must be found
+    // (HyperplaneBands per-pair recall >= 0.94 there; with these fixed
+    // seeds the concrete outcome is all-found, and stays so every run)
+    val gotPairs = got.map { case (a, b, _) => (a, b) }.toSet
+    planted.foreach { case (a, b, dv) =>
+      val truth = cosine(base(a), dv)
+      if (truth >= 0.9)
+        assert(gotPairs.contains((a, b)), s"missed planted pair ($a,$b) cos=$truth")
+    }
+    assert(planted.count { case (a, _, dv) => cosine(base(a), dv) >= 0.9 } >= 8,
+      "planting produced too few strong near-dups to be a meaningful test")
+  }
+
   test("qe3 LSH buckets: same-bucket pairs are more similar than average") {
     val buckets = run("qe3_lsh_buckets").select($"vec_id", $"bucket")
       .as[(Long, Long)].collect()
