@@ -34,30 +34,35 @@ object AsofOps {
     * a build row at exactly probe.ts matches. Rows with identical
     * (key, ts, tag) have no defined winner — callers needing total
     * determinism must ensure per-side (key, ts) uniqueness.
+    *
+    * The build side travels as ONE struct(ts, payload...) column and the
+    * match is a single `last(struct, ignoreNulls)`: every `asof_*` output
+    * column comes from the SAME matched build row. (Per-column `last`s
+    * would silently fall back to an OLDER row for any payload column that
+    * is NULL on the matched row — DuckDB ASOF returns the matched row's
+    * NULL, and so does this.)
     */
   def asofJoin(probe: DataFrame, build: DataFrame, key: String, ts: String,
       payload: Seq[String], leftJoin: Boolean = false): DataFrame = {
     val probeRest = probe.columns.toSeq.filterNot(c => c == key || c == ts)
     val bSide = build.select(
       (col(key) +: col(ts).as("_ts") +: lit(0).as("_tag") +:
-        probeRest.map(c => lit(null).cast(probe.schema(c).dataType).as(c))) ++:
-        payload.map(c => col(c).as(s"_b_$c")): _*)
+        probeRest.map(c => lit(null).cast(probe.schema(c).dataType).as(c))) :+
+        struct(col(ts).as("__asof_ts") +: payload.map(col): _*).as("_b"): _*)
     val pSide = probe.select(
       (col(key) +: col(ts).as("_ts") +: lit(1).as("_tag") +:
-        probeRest.map(col)) ++:
-        payload.map(c => lit(null).cast(build.schema(c).dataType).as(s"_b_$c")): _*)
+        probeRest.map(col)) :+
+        lit(null).cast(bSide.schema("_b").dataType).as("_b"): _*)
     val w = Window.partitionBy(key).orderBy(col("_ts"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = bSide.unionByName(pSide)
-      .withColumn("asof_ts",
-        last(when(col("_tag") === 0, col("_ts")), ignoreNulls = true).over(w))
-      .withColumns(payload.map(c =>
-        s"asof_$c" -> last(col(s"_b_$c"), ignoreNulls = true).over(w)).toMap)
+      .withColumn("_match", last(col("_b"), ignoreNulls = true).over(w))
       .where(col("_tag") === 1)
-    val joined = if (leftJoin) matched else matched.where(col("asof_ts").isNotNull)
+    val joined = if (leftJoin) matched else matched.where(col("_match").isNotNull)
     joined.select(
       (col(key) +: col("_ts").as(ts) +: probeRest.map(col)) ++:
-        ("asof_ts" +: payload.map(c => s"asof_$c")).map(col): _*)
+        (col("_match.__asof_ts").as("asof_ts") +:
+          payload.map(c => col(s"_match.$c").as(s"asof_$c"))): _*)
   }
 
   /** For every probe row, the count of build rows on the same key with

@@ -49,6 +49,25 @@ class AsofSpec extends SparkSuite {
     assert(row.getAs[Long]("user_id") === 1L)
   }
 
+  test("asofJoin returns the matched row's NULL payload, not an older row's value") {
+    // build: key 1 has a non-null value at 10:00 and a NULL value at 11:00;
+    // a probe at 11:30 matches the 11:00 row, whose payload is NULL — the
+    // per-column-last formulation would leak 10.0 from the older row here.
+    val b = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(10.0), Some("a")),
+      (1L, ts("2024-01-01 11:00:00"), None, Some("b"))
+    ).toDF("user_id", "ts", "value", "tag2")
+    val p = Seq((200L, 1L, ts("2024-01-01 11:30:00")))
+      .toDF("event_id", "user_id", "ts")
+    val row = AsofOps.asofJoin(p, b, "user_id", "ts", Seq("value", "tag2"))
+      .collect().head
+    assert(row.getAs[java.sql.Timestamp]("asof_ts") === ts("2024-01-01 11:00:00"))
+    assert(row.isNullAt(row.fieldIndex("asof_value")),
+      "NULL payload on the matched row must stay NULL")
+    assert(row.getAs[String]("asof_tag2") === "b",
+      "all asof_* columns must come from the same matched build row")
+  }
+
   test("rangeCount counts builds in [probe-window, probe], inclusive ends") {
     val out = AsofOps.rangeCount(probe, build, "user_id", "ts",
         2L * 3600 * 1000000) // 2h window
