@@ -10,13 +10,20 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * so the pattern engine is a library operator over keyed state, exactly as
   * SURVEY.md §7 plans it.
   *
-  * Supported subset (documented; the reference's full DSL includes
-  * optional/greedy/times and skip strategies):
+  * Supported surface (Pattern.java:123-474):
   *  - `begin(name)(pred)` — pattern start
   *  - `.next(name)(pred)` — strict contiguity (STRICT in NFA.java)
   *  - `.followedBy(name)(pred)` — relaxed contiguity, first occurrence
+  *  - `.notFollowedBy` / `.optional` / `.or` / `.subtype[S]`
+  *  - quantifiers `times(n)` / `times(from,to)` / `timesOrMore` /
+  *    `oneOrMore` with `.consecutive` (DSL default) vs `.relaxed`
+  *    (reference default) repetition contiguity, `.greedy` (DSL default)
+  *    vs `.allPrefixes` (reference default) emission, and `.until`
   *  - `.within(ms)` — time-to-live for partial matches (Pattern.java:474)
-  *  - after-match: every start event opens its own partial (noSkip).
+  *  - after-match skip: NoSkip (default), SkipPastLastEvent,
+  *    SkipToFirst/SkipToLast(step) (AfterMatchSkipStrategy.java).
+  *  - not supported: `allowCombinations` (followedByAny-style
+  *    non-deterministic repetition branching) — documented gap.
   *
   * Events are processed in event-time order per group (batch: one sorted
   * scan; streaming: sorted within each micro-batch, partials carried in
@@ -31,8 +38,12 @@ object Cep {
   final case class Step[E](name: String, pred: E => Boolean, strict: Boolean,
       minReps: Int = 1, maxReps: Int = 1,
       negPred: Option[E => Boolean] = None, optional: Boolean = false,
-      untilPred: Option[E => Boolean] = None, allPrefixes: Boolean = false) {
+      untilPred: Option[E => Boolean] = None, allPrefixes: Boolean = false,
+      relaxedReps: Boolean = false) {
     def looping: Boolean = maxReps > minReps || maxReps == Int.MaxValue
+    /** Any repetition at all — times(n) included (looping excludes fixed
+      * times(n), whose run length is exact). */
+    def multiRep: Boolean = maxReps > 1
   }
 
   final class Pattern[E] private[Cep] (
@@ -102,6 +113,50 @@ object Cep {
     def allPrefixes: Pattern[E] = {
       require(steps.last.looping, "allPrefixes requires a quantified step")
       new Pattern(steps.init :+ steps.last.copy(allPrefixes = true),
+        withinMs, pendingNot)
+    }
+    /** OR-condition on the previous step (Pattern.or, Pattern.java:219):
+      * the step matches events satisfying either predicate. */
+    def or(pred2: E => Boolean): Pattern[E] = {
+      val s = steps.last
+      val base = s.pred
+      new Pattern(steps.init :+ s.copy(pred = e => base(e) || pred2(e)),
+        withinMs, pendingNot)
+    }
+    /** Subtype condition on the previous step (Pattern.subtype,
+      * Pattern.java:180): the step additionally requires the event to be an
+      * instance of `S`. */
+    def subtype[S <: E](implicit ct: scala.reflect.ClassTag[S]): Pattern[E] = {
+      val s = steps.last
+      val base = s.pred
+      new Pattern(
+        steps.init :+ s.copy(pred = e => ct.runtimeClass.isInstance(e) && base(e)),
+        withinMs, pendingNot)
+    }
+    /** Relaxed repetition contiguity for the previous quantified step
+      * (the reference's DEFAULT for oneOrMore/times — IterativeCondition
+      * with relaxed internal contiguity): non-matching events between
+      * repetitions are skipped instead of closing the run. Our DSL default
+      * is consecutive (Flink's `.consecutive()`, Pattern.java:368); this
+      * opts into the reference default. */
+    def relaxed: Pattern[E] = {
+      require(steps.last.multiRep, "relaxed requires a quantified step")
+      new Pattern(steps.init :+ steps.last.copy(relaxedReps = true),
+        withinMs, pendingNot)
+    }
+    /** Strict repetition contiguity (Pattern.consecutive, Pattern.java:368)
+      * — the DSL default; explicit form for ported reference tests. */
+    def consecutive: Pattern[E] = {
+      require(steps.last.multiRep, "consecutive requires a quantified step")
+      new Pattern(steps.init :+ steps.last.copy(relaxedReps = false),
+        withinMs, pendingNot)
+    }
+    /** Greedy (maximal-run-only) emission (Pattern.greedy,
+      * Pattern.java:340) — the DSL default; explicit form clears a prior
+      * [[allPrefixes]]. */
+    def greedy: Pattern[E] = {
+      require(steps.last.looping, "greedy requires a quantified step")
+      new Pattern(steps.init :+ steps.last.copy(allPrefixes = false),
         withinMs, pendingNot)
     }
     /** Partial matches older than `ms` (vs the current event) are pruned. */
@@ -205,19 +260,31 @@ object Cep {
               scanning = sj.optional
               j += 1
             }
-            if (!transitioned && !immediate.strict && !extended) {
-              // relaxed next step: keep waiting with the run closed
-              // (greedy: only when this event didn't extend the run)
-              out += Partial(p.startTs, p.groups, runOpen = false)
-            } // strict next step, no match: partial dies
+            if (!transitioned && !extended) {
+              if (s.multiRep && s.relaxedReps && p.runOpen && !untilHit) {
+                // relaxed repetition contiguity: the gap event is skipped
+                // and the run stays extendable (reference default mode)
+                out += Partial(p.startTs, p.groups, runOpen = true)
+              } else if (!immediate.strict) {
+                // relaxed next step: keep waiting with the run closed
+                // (greedy: only when this event didn't extend the run)
+                out += Partial(p.startTs, p.groups, runOpen = false)
+              } // strict next step, no match: partial dies
+            }
           } // banned: partial dies (notFollowedBy)
-        } else if (s.looping && p.runOpen && !s.allPrefixes &&
-          (!s.pred(e) || untilHit)) {
-          matches += p.groups // breaking/until event completes the maximal
-        } // run (greedy mode; allPrefixes already emitted every prefix)
+        } else if (s.looping && p.runOpen && (!s.pred(e) || untilHit)) {
+          if (s.relaxedReps && !untilHit) {
+            out += p // relaxed gap inside the final run: skip the event
+          } else if (!s.allPrefixes) {
+            matches += p.groups // breaking/until event completes the maximal
+          } // run (greedy mode; allPrefixes already emitted every prefix)
+        }
+      } else if (!extended && s.multiRep && s.relaxedReps && p.runOpen &&
+        !untilHit && !s.pred(e)) {
+        out += p // relaxed gap inside a not-yet-satisfied run
       }
-      // run not yet satisfied and event didn't extend it: partial dies
-      // (repetition contiguity is consecutive)
+      // otherwise: run not yet satisfied and the event didn't extend it —
+      // partial dies (consecutive repetition contiguity, the DSL default)
     }
 
     // 3) every matching event also opens a fresh partial (noSkip)
@@ -238,10 +305,15 @@ object Cep {
   /** After-match skip strategies (flink-cep AfterMatchSkipStrategy):
     * NoSkip emits every match from every start (the default);
     * SkipPastLastEvent discards all open partials when a match completes,
-    * so matches never overlap. */
+    * so matches never overlap; SkipToFirst/SkipToLast discard the partials
+    * that started strictly before the first/last event of the named step's
+    * group in the completed match (AfterMatchSkipStrategy.skipToFirst/
+    * skipToLast — partials at or after the boundary survive). */
   sealed trait AfterMatchSkip extends Serializable
   case object NoSkip extends AfterMatchSkip
   case object SkipPastLastEvent extends AfterMatchSkip
+  final case class SkipToFirst(stepName: String) extends AfterMatchSkip
+  final case class SkipToLast(stepName: String) extends AfterMatchSkip
 
   /** Run a pattern over a batch Dataset: one event-time-sorted scan per
     * key. `finish` shapes (key, step-name → first event of the step's
@@ -310,12 +382,33 @@ object Cep {
     it.toVector.sortBy(e => (ts(e), tie(e))).foreach { e =>
       val (next, matches) = advance(pattern, partials, e, ts(e))
       partials = next
-      if (skip == SkipPastLastEvent && matches.nonEmpty) {
-        // only the earliest-started match survives; everything else —
-        // including co-completing matches — is skipped past
-        outs += shape(matches.head)
-        partials = Vector.empty
-      } else matches.foreach(m => outs += shape(m))
+      if (matches.isEmpty) ()
+      else skip match {
+        case SkipPastLastEvent =>
+          // only the earliest-started match survives; everything else —
+          // including co-completing matches — is skipped past
+          outs += shape(matches.head)
+          partials = Vector.empty
+        case SkipToFirst(_) | SkipToLast(_) =>
+          matches.foreach(m => outs += shape(m))
+          // prune partials started strictly before the boundary event of
+          // the earliest completed match (reference prunePartialMatches)
+          val (name, useFirst) = skip match {
+            case SkipToFirst(n) => (n, true)
+            case SkipToLast(n) => (n, false)
+            case _ => throw new MatchError(skip) // unreachable
+          }
+          val idx = names.indexOf(name)
+          if (idx >= 0) {
+            val g = matches.head(idx)
+            if (g.nonEmpty) {
+              val boundary = if (useFirst) ts(g.head) else ts(g.last)
+              partials = partials.filter(_.startTs >= boundary)
+            }
+          }
+        case NoSkip =>
+          matches.foreach(m => outs += shape(m))
+      }
     }
     if (flushAtEnd) {
       val lastIdx = pattern.steps.size - 1

@@ -78,6 +78,39 @@ object CepQuantQuery extends QueryModule {
         (u, errs.head.ts, errs.last.ts)
       }.toDF("user_id", "first_ts", "last_ts")
         .orderBy("user_id", "first_ts")
+    },
+
+    // or-condition + consecutive quantifier (Pattern.or, Pattern.java:219 +
+    // consecutive, :368): pairs of CONSECUTIVE events per user where each
+    // is an error OR a purchase — the widened-predicate twin of qc2. The
+    // SQL oracle widens the lag() check identically.
+    q("qc5_cep_or_consecutive",
+      """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER w AS pts,
+        |    lag(event_type) OVER w AS ptyp
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, pts AS first_ts, ts AS second_ts
+        |FROM o WHERE event_type IN ('error', 'purchase')
+        |  AND ptyp IN ('error', 'purchase')
+        |ORDER BY user_id, first_ts, second_ts""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ds = t(s, d, "events")
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventRow]
+      val pattern = Cep.Pattern
+        .begin[EventRow]("bad")(_.event_type == "error")
+        .or(_.event_type == "purchase")
+        .times(2).consecutive
+      def micros(t: Timestamp): Long =
+        t.getTime * 1000 + (t.getNanos / 1000) % 1000
+      Cep.matchBatchGroups(ds, (e: EventRow) => e.user_id,
+        (e: EventRow) => micros(e.ts), pattern,
+        tie = (e: EventRow) => e.event_id) { (u, m) =>
+        val g = m("bad")
+        PairOut(u, g.head.ts, g(1).ts)
+      }.toDF("user_id", "first_ts", "second_ts")
+        .orderBy("user_id", "first_ts", "second_ts")
     }
   )
 }

@@ -122,4 +122,81 @@ class CepQuantifierSpec extends SparkSuite {
     // prefixes: [1], [1,2] and (noSkip) [2]
     assert(got.map(names).map(_.head).toSet === Set(Seq(1), Seq(1, 2), Seq(2)))
   }
+
+  test("port: start-with-times consecutive (NFAITCase testStartWithTimes)") {
+    // begin("middle" a).times(2).consecutive().followedBy("end1" b) on
+    // a1@2 a2@3 a3@4 b@6 — reference expects {a1 a2 b} and {a2 a3 b}
+    val a = (i: Int) => RE(40 + i, "a", (1 + i).toDouble)
+    val b = RE(44, "b", 5.0)
+    val p = Pattern.begin[RE]("middle")(_.name == "a").times(2).consecutive
+      .followedBy("end1")(_.name == "b")
+    val got = feed(p,
+      Seq(a(1) -> 2L, a(2) -> 3L, a(3) -> 4L, b -> 6L)).map(names)
+    assert(got.toSet === Set(
+      Seq(Seq(41, 42), Seq(44)), Seq(Seq(42, 43), Seq(44))))
+  }
+
+  test("relaxed repetition contiguity skips gap events (reference default mode)") {
+    val c = RE(1, "c", 0.0); val b = RE(9, "b", 9.0)
+    val f = (i: Int) => RE(80 + i, "f", 0.0)
+    val a = (i: Int) => RE(40 + i, "a", i.toDouble)
+    val events = Seq(c -> 1L, a(1) -> 2L, f(1) -> 3L, a(2) -> 4L, b -> 5L)
+    // relaxed: the 'f' between a1 and a2 is skipped, run completes
+    val relaxedP = Pattern.begin[RE]("start")(_.name == "c")
+      .next("middle")(_.name == "a").times(2).relaxed
+      .followedBy("end")(_.name == "b")
+    assert(feed(relaxedP, events).map(names).toSet ===
+      Set(Seq(Seq(1), Seq(41, 42), Seq(9))))
+    // consecutive (DSL default): the 'f' kills the open run — no match
+    val consecutiveP = Pattern.begin[RE]("start")(_.name == "c")
+      .next("middle")(_.name == "a").times(2)
+      .followedBy("end")(_.name == "b")
+    assert(feed(consecutiveP, events).isEmpty)
+  }
+
+  test("relaxed oneOrMore extends across gaps; greedy transition takes the maximal run") {
+    val s = RE(1, "s", 0.0); val e = RE(9, "e", 9.0)
+    val f = RE(80, "f", 0.0)
+    val a = (i: Int) => RE(40 + i, "a", i.toDouble)
+    val p = Pattern.begin[RE]("s")(_.name == "s")
+      .followedBy("a")(_.name == "a").oneOrMore.relaxed.greedy
+      .followedBy("e")(_.name == "e")
+    val got = feed(p, Seq(s -> 1L, a(1) -> 2L, f -> 3L, a(2) -> 4L, e -> 5L))
+      .map(names)
+    // run survives the gap; greedy: only the maximal [a1, a2] transitions
+    assert(got.toSet === Set(Seq(Seq(1), Seq(41, 42), Seq(9))))
+  }
+
+  test("or-condition widens a step (Pattern.or)") {
+    val p = Pattern.begin[RE]("s")(_.name == "s")
+      .followedBy("m")((e: RE) => e.name == "a").or(_.name == "b")
+      .followedBy("e")(_.name == "e")
+    val s = RE(1, "s", 0.0); val b = RE(2, "b", 0.0); val e = RE(3, "e", 0.0)
+    assert(feed(p, Seq(s -> 1L, b -> 2L, e -> 3L)).map(names).toSet ===
+      Set(Seq(Seq(1), Seq(2), Seq(3))))
+  }
+
+  test("subtype condition filters by runtime class (Pattern.subtype)") {
+    sealed trait Base { def id: Int }
+    case class Click(id: Int) extends Base
+    case class View(id: Int) extends Base
+    val p = Pattern.begin[Base]("s")(_.id == 1)
+      .followedBy("m")((_: Base) => true).subtype[Click]
+    val got = feed2(p, Seq(
+      (View(1): Base) -> 1L, (View(2): Base) -> 2L, (Click(3): Base) -> 3L))
+    assert(got.map(_.map(_.map(_.id))).toSet === Set(Seq(Seq(1), Seq(3))))
+  }
+
+  // feed for arbitrary event types (the RE-typed feed is above)
+  private def feed2[E](pattern: Pattern[E], events: Seq[(E, Long)]):
+      Vector[Vector[Vector[E]]] = {
+    var partials = Vector.empty[Partial[E]]
+    val all = Vector.newBuilder[Vector[Vector[E]]]
+    events.foreach { case (e, ts) =>
+      val (next, ms) = advance(pattern, partials, e, ts)
+      partials = next
+      ms.foreach(all += _)
+    }
+    all.result()
+  }
 }

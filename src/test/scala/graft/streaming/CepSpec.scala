@@ -176,4 +176,31 @@ class CepSpec extends SparkSuite {
     // the overlapping (2,3) match is discarded after (1,3) completes
     assert(skipped == Seq((1L, 3L), (4L, 5L)))
   }
+
+  test("port: SKIP_TO_FIRST[end] (AfterMatchSkipITCase testSkipToFirst)") {
+    // every event matches both steps; start.times(2).next(end).times(2)
+    // over ab1..ab6 — reference expects {ab1 ab2 ab3 ab4}, {ab3 ab4 ab5 ab6}
+    val p = Pattern.begin[Ev]("start")(_.typ.contains("a")).times(2)
+      .next("end")(_.typ.contains("b")).times(2)
+    val events = (1 to 6).map(i => Ev(5, "ab", i)).toDS()
+    val got = Cep.matchBatchGroups(events, (e: Ev) => e.user, (e: Ev) => e.ts,
+      p, Cep.SkipToFirst("end")) { (u, m) =>
+      (m("start").map(_.ts), m("end").map(_.ts))
+    }.collect().toSeq.sortBy(_._1.head)
+    assert(got == Seq(
+      (Seq(1L, 2L), Seq(3L, 4L)), (Seq(3L, 4L), Seq(5L, 6L))))
+  }
+
+  test("port: SKIP_TO_LAST[end] (AfterMatchSkipITCase testSkipToLast)") {
+    // reference expects {ab1 ab2 ab3 ab4}, {ab4 ab5 ab6 ab7} over ab1..ab7
+    val p = Pattern.begin[Ev]("start")(_.typ.contains("a")).times(2)
+      .next("end")(_.typ.contains("b")).times(2)
+    val events = (1 to 7).map(i => Ev(6, "ab", i)).toDS()
+    val got = Cep.matchBatchGroups(events, (e: Ev) => e.user, (e: Ev) => e.ts,
+      p, Cep.SkipToLast("end")) { (u, m) =>
+      (m("start").map(_.ts), m("end").map(_.ts))
+    }.collect().toSeq.sortBy(_._1.head)
+    assert(got == Seq(
+      (Seq(1L, 2L), Seq(3L, 4L)), (Seq(4L, 5L), Seq(6L, 7L))))
+  }
 }
