@@ -147,16 +147,45 @@ object CepPlan {
 
           private def pump(): Unit = {
             while (queue.isEmpty && rows.hasNext) {
-              val row = rows.next().copy()
-              val k = keyEval.eval(row)
-              if (!haveKey || !java.util.Objects.equals(k, curKey)) {
-                if (haveKey) flush()
-                curKey = k; haveKey = true
+              val raw = rows.next()
+              val tsVal = tsEval.eval(raw)
+              // a NULL event time has no position in the stream order —
+              // skip the row (unboxing would silently feed it at epoch 0,
+              // corrupting matches and within-pruning)
+              if (tsVal != null) {
+                // copy only rows the NFA can retain: a row is stored only
+                // when it opens a partial (step-0 match) or joins an
+                // existing one, so with no partials open only step-0
+                // matters; otherwise any step match may be stored. Rows
+                // failing this still close runs / kill partials but are
+                // never stored, so the reused child buffer passes through
+                // uncopied.
+                var retainable = bound(0).eval(raw)
+                if (!retainable && partials.nonEmpty) {
+                  var i = 1
+                  while (!retainable && i < nSteps) {
+                    if (bound(i).eval(raw)) retainable = true
+                    i += 1
+                  }
+                }
+                val row = if (retainable) raw.copy() else raw
+                val k = keyEval.eval(row)
+                if (!haveKey || !java.util.Objects.equals(k, curKey)) {
+                  if (haveKey) flush()
+                  // curKey outlives this row: detach buffer-backed values
+                  // (string keys off an UNCOPIED row alias the reused
+                  // child buffer)
+                  curKey = k match {
+                    case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+                    case other => other
+                  }
+                  haveKey = true
+                }
+                val (next, matches) =
+                  Cep.advance(pattern, partials, row, tsVal.asInstanceOf[Long])
+                partials = next
+                matches.foreach(m => emit(curKey, m))
               }
-              val ts = tsEval.eval(row).asInstanceOf[Long]
-              val (next, matches) = Cep.advance(pattern, partials, row, ts)
-              partials = next
-              matches.foreach(m => emit(curKey, m))
             }
             if (queue.isEmpty && !rows.hasNext && haveKey) {
               flush(); haveKey = false

@@ -192,8 +192,17 @@ object Cep {
     */
   def advance[E](pattern: Pattern[E], partials: Vector[Partial[E]],
       e: E, ts: Long): (Vector[Partial[E]], Vector[Vector[Vector[E]]]) = {
-    val alive = partials.filter(p =>
-      pattern.withinMs.forall(w => ts - p.startTs <= w))
+    // fast path: nothing pending and the event can't start a pattern —
+    // zero allocation (most events in a filtered stream hit this or the
+    // pruned-empty case, and the NFA runs once per event per key)
+    if (partials.isEmpty && !pattern.steps.head.pred(e))
+      return (Vector.empty, Vector.empty)
+    val alive = pattern.withinMs match {
+      case None => partials
+      case Some(w) => // avoid the filter allocation when nothing expired
+        if (partials.forall(p => ts - p.startTs <= w)) partials
+        else partials.filter(p => ts - p.startTs <= w)
+    }
     val out = Vector.newBuilder[Partial[E]]
     val matches = Vector.newBuilder[Vector[Vector[E]]]
     val lastIdx = pattern.steps.size - 1

@@ -44,7 +44,7 @@ object CepQueries extends QueryModule {
         |GROUP BY v.user_id, v.ts
         |ORDER BY v.user_id, start_ts""".stripMargin) { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.functions.min
+      import org.apache.spark.sql.functions.{col, expr, min}
       // Relaxed contiguity (followedBy) lets the pattern skip every event
       // it doesn't reference, so restricting the scan to the referenced
       // event types is semantics-preserving — and pushes the filter into
@@ -53,19 +53,26 @@ object CepQueries extends QueryModule {
       // `within` pruning is against match completion times, unaffected).
       // NOT valid for strict `next` / consecutive-repetition patterns
       // (see qc2, which must scan all events).
+      // The event time crosses the encoder boundary as epoch MICROS:
+      // primitive-long tuple encoding is several times cheaper per row
+      // than constructing java.sql.Timestamp objects, and
+      // micros↔timestamp is lossless both ways.
       val ds = t(s, d, "events")
         .where("event_type IN ('view', 'error')")
-        .selectExpr("event_id", "ts", "user_id", "event_type")
-        .as[SlimRow]
-      val pattern = Cep.Pattern.begin[SlimRow]("view")(_.event_type == "view")
-        .followedBy("error")(_.event_type == "error")
+        .selectExpr("event_id", "unix_micros(ts) AS tsu", "user_id",
+          "CAST(event_type = 'view' AS INT) AS is_view")
+        .as[(Long, Long, Long, Int)]
+      type Row4 = (Long, Long, Long, Int)
+      val pattern = Cep.Pattern.begin[Row4]("view")(_._4 == 1)
+        .followedBy("error")(_._4 == 0)
         .within(HourMicros)
-      Cep.matchBatch(ds, (e: SlimRow) => e.user_id,
-        (e: SlimRow) => micros(e.ts), pattern,
-        tie = (e: SlimRow) => e.event_id) { (u, m) =>
-        CepMatch(u, m("view").ts, m("error").ts)
-      }.toDF()
-        .groupBy("user_id", "start_ts").agg(min("end_ts").as("end_ts"))
+      Cep.matchBatch(ds, (e: Row4) => e._3, (e: Row4) => e._2, pattern,
+        tie = (e: Row4) => e._1) { (u, m) =>
+        (u, m("view")._2, m("error")._2)
+      }.toDF("user_id", "start_us", "end_us")
+        .groupBy(col("user_id"),
+          expr("timestamp_micros(start_us)").as("start_ts"))
+        .agg(min(expr("timestamp_micros(end_us)")).as("end_ts"))
         .orderBy("user_id", "start_ts")
     },
 

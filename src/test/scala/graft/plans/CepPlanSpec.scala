@@ -57,6 +57,43 @@ class CepPlanSpec extends SparkSuite {
     assert(got === Set((1L, 1L, 3L)))
   }
 
+  test("rows with NULL event time are skipped, not fed at epoch 0") {
+    // a null-ts error for user 1 would (if unboxed to 0L) sort first and
+    // never match, OR complete a bogus match at epoch 0 — it must simply
+    // be ignored
+    val withNull = events.unionByName(Seq(
+      (8L, null.asInstanceOf[java.sql.Timestamp], "error", 1L)
+    ).toDF("event_id", "ts", "event_type", "user_id"))
+    val got = CepPlan.matchPattern(withNull,
+      key = col("user_id"), ts = col("ts"), tie = col("event_id"),
+      steps = Seq(
+        ("view", col("event_type") === "view", false),
+        ("error", col("event_type") === "error", false)),
+      withinMicros = Some(hourMicros))
+      .select($"key", $"view_event_id", $"error_event_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 3L)), "null-ts row must not affect matches")
+  }
+
+  test("string keys survive uncopied gap rows (buffer aliasing guard)") {
+    // key boundary occurs on a row that matches NO step predicate (so the
+    // row is not copied); the retained key must not alias the reused
+    // child-row buffer
+    val df = Seq(
+      ("u1", 1L, "view"), ("u1", 2L, "error"),
+      ("u2", 3L, "other"), // uncopied row opens key u2
+      ("u2", 4L, "view"), ("u2", 5L, "error")
+    ).toDF("k", "ts", "event_type")
+    val got = CepPlan.matchPattern(df,
+      key = col("k"), ts = col("ts"), tie = col("ts"),
+      steps = Seq(
+        ("view", col("event_type") === "view", false),
+        ("error", col("event_type") === "error", false)))
+      .select($"key", $"view_ts", $"error_ts")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("u1", 1L, 2L), ("u2", 4L, 5L)))
+  }
+
   test("planner inserts exactly one hash shuffle and one sort below CepExec") {
     val df = planned
     df.collect() // materialize the AQE final plan
