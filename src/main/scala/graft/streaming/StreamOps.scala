@@ -287,6 +287,39 @@ object StreamOps {
         out.iterator
     }
 
+  /** Late-data side output (reference: WindowedStream.sideOutputLateData,
+    * WindowedStream.java:178 — WindowOperator.java:356-434 routes
+    * watermark-late rows to an OutputTag instead of silently dropping
+    * them). Tags every row against the operator-observed watermark:
+    * `(true, row)` = late (a downstream watermark-gated aggregate would
+    * drop it), `(false, row)` = on time. Batch input has no watermark →
+    * nothing is late.
+    *
+    * The input must carry `withWatermark` for the tag to be meaningful in
+    * streaming; Spark evaluates the watermark at batch start, exactly the
+    * horizon its stateful operators use for dropping. Split the result
+    * with [[sideOutputLateData]]. */
+  def tagLate[K: Encoder, I](ds: Dataset[I], key: I => K, ts: I => Long)(
+      implicit stateEnc: Encoder[Long],
+      tagEnc: Encoder[(Boolean, I)]): Dataset[(Boolean, I)] =
+    ds.groupByKey(key).flatMapGroupsWithState[Long, (Boolean, I)](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (_: K, it: Iterator[I], state: GroupState[Long]) =>
+        val wm = try state.getCurrentWatermarkMs() * 1000L
+          catch { case _: UnsupportedOperationException => Long.MinValue }
+        it.map(i => (ts(i) < wm, i)).toVector.iterator
+    }
+
+  /** [[tagLate]] split into (onTime, late) branches — the late rows are
+    * the side output a reference job would consume from the OutputTag. */
+  def sideOutputLateData[K: Encoder, I: Encoder](ds: Dataset[I], key: I => K,
+      ts: I => Long)(implicit stateEnc: Encoder[Long],
+      tagEnc: Encoder[(Boolean, I)]): (Dataset[I], Dataset[I]) = {
+    val tagged = tagLate(ds, key, ts)
+    (tagged.filter((t: (Boolean, I)) => !t._1).map(_._2),
+      tagged.filter((t: (Boolean, I)) => t._1).map(_._2))
+  }
+
   /** Idle-state TTL core (reference: StreamQueryConfig
     * .withIdleStateRetentionTime, queryConfig.scala — every stateful
     * operator evicts state for keys idle longer than the retention time):

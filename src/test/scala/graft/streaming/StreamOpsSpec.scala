@@ -407,6 +407,42 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("late rows land in the side output instead of vanishing (sideOutputLateData)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Click]
+    val watermarked = StreamOps.withEventTime(input.toDF(), "ts", "10 minutes")
+      .as[Click]
+    val tagged = StreamOps.tagLate(watermarked,
+      (c: Click) => c.user, (c: Click) => c.ts.getTime * 1000)
+    val q = tagged.toDF("late", "row").writeStream.outputMode("append")
+      .format("memory").queryName("late_tagged").start()
+    try {
+      input.addData(Click(1, "a", t("2024-01-01 00:30:00"), 0))
+      q.processAllAvailable()
+      input.addData(Click(1, "a", t("2024-01-01 05:00:00"), 0)) // wm → 04:50
+      q.processAllAvailable()
+      // below the 04:50 watermark: a windowed agg would drop it silently —
+      // here it must surface in the late channel
+      input.addData(Click(1, "late", t("2024-01-01 00:45:00"), 0))
+      q.processAllAvailable()
+      val got = spark.table("late_tagged")
+        .select($"late", $"row.kind".as[String])
+        .as[(Boolean, String)].collect().toSet
+      assert(got.contains((true, "late")), s"late row missing/untagged in $got")
+      assert(got.contains((false, "a")))
+      assert(!got.contains((true, "a")), "on-time rows must not be tagged late")
+    } finally q.stop()
+  }
+
+  test("batch input tags nothing late (no watermark = -inf)") {
+    val ds = Seq(
+      Click(1, "a", t("2024-01-01 00:30:00"), 0),
+      Click(1, "b", t("2024-01-01 05:00:00"), 0)).toDS()
+    val (onTime, late) = StreamOps.sideOutputLateData(ds,
+      (c: Click) => c.user, (c: Click) => c.ts.getTime * 1000)
+    assert(late.count() === 0 && onTime.count() === 2)
+  }
+
   test("complete output mode re-emits the full result table (BatchTableSink contract)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Click]
