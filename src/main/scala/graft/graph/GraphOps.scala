@@ -167,6 +167,83 @@ object GraphOps {
     ranks
   }
 
+  /** HITS hubs-and-authorities (reference: flink-gelly
+    * library/linkanalysis/HITS.java) with a FIXED iteration count and NO
+    * per-round normalization: starting from hub = auth = 1, each round is
+    * auth(v) ← Σ hub(u) over in-edges with the previous hubs, then
+    * hub(u) ← Σ auth(v) over out-edges with the NEW authorities — all
+    * integer sums, so scores stay exactly representable and bit-identical
+    * in any engine (the qg6 determinism pattern; the reference's
+    * epsilon-convergent normalized variant is a driver-side rescale away).
+    * Each round is two key-partitioned shuffles — O(E) bytes.
+    * Sums accumulate in DECIMAL(38,0) (a long would overflow first at
+    * high degree × iterations).
+    *
+    * @param edges directed (src, dst) edge DataFrame
+    * @return (id, hub, auth) with BIGINT scores
+    */
+  def hits(spark: SparkSession, edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().cache()
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    var scores = vertices
+      .withColumn("hub", lit(1L)).withColumn("auth", lit(1L))
+    val dec = DecimalType(38, 0)
+    for (_ <- 1 to iters) {
+      val auth = e.join(scores.select(col("id"), col("hub")),
+          e("src") === col("id"))
+        .groupBy(col("dst").as("aid"))
+        .agg(sum(col("hub").cast(dec)).cast("long").as("auth"))
+      val withAuth = vertices
+        .join(auth, vertices("id") === col("aid"), "left")
+        .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"))
+      val hub = e.join(withAuth.select(col("id").as("hid"), col("auth")),
+          e("dst") === col("hid"))
+        .groupBy(col("src").as("sid"))
+        .agg(sum(col("auth").cast(dec)).cast("long").as("hub"))
+      scores = materialize(withAuth
+        .join(hub, withAuth("id") === col("sid"), "left")
+        .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"),
+          col("auth")))
+    }
+    e.unpersist(); vertices.unpersist()
+    scores
+  }
+
+  /** Adamic–Adar similarity (reference: flink-gelly
+    * library/similarity/AdamicAdar.java): for vertex pairs sharing
+    * neighbors, score = Σ over common neighbors w of 1/ln(deg(w)).
+    * Shape: one neighbor-list self-join on the shared vertex + one
+    * aggregate — per-pair work proportional to co-neighborhood size, all
+    * hash-shuffled on vertex ids (no all-pairs step).
+    *
+    * Determinism: 1/ln(d) is a computed double, so each TERM is floored
+    * at 10^6 scale and the aggregation sums exact integers (the Det
+    * "dirty double" rule — a raw double sum would be order-dependent).
+    *
+    * @param edges undirected edge DataFrame (a, b)
+    * @return (a, b, score_scaled) where score_scaled =
+    *         Σ floor(1e6 / ln(deg(w))) as BIGINT
+    */
+  def adamicAdar(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val und = undirect(edges.select(col("a").as("src"), col("b").as("dst")))
+      .select(col("src").as("v"), col("dst").as("n"))
+    val deg = und.groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // per-neighbor weight: common neighbor w contributes 1/ln(deg(w));
+    // materialized once — both sides of the pair self-join read it.
+    // Degree-1 vertices can never be a COMMON neighbor (they have one
+    // neighbor), so dropping them is semantics-free and avoids ln(1)=0.
+    val weighted = materialize(und.join(deg.where(col("d") > 1), "n")
+      .select(col("v"), col("n"),
+        floor(lit(1e6) / log(col("d").cast("double"))).cast("long").as("w")))
+    weighted.as("x")
+      .join(weighted.as("y"),
+        col("x.n") === col("y.n") && col("x.v") < col("y.v"))
+      .groupBy(col("x.v").as("a"), col("y.v").as("b"))
+      .agg(sum(col("x.w")).as("score_scaled"))
+  }
+
   /** Synchronous label propagation (community detection — reference:
     * flink-gelly library/LabelPropagation.java), made fully deterministic:
     * a FIXED iteration count (no convergence race) and a total tie-break —

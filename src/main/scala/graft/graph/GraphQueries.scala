@@ -201,9 +201,83 @@ object GraphQueries extends QueryModule {
           col("lbl").cast("long").as("label"))
         .orderBy(col("id"))
     }
+    ,
+
+    // Adamic–Adar similarity (reference: flink-gelly library/similarity/
+    // AdamicAdar.java) on the co-purchase graph: per vertex pair sharing
+    // neighbors, Σ 1/ln(deg(common neighbor)), each term floor-scaled to
+    // 10^6 so the aggregate sums exact integers (Det dirty-double rule).
+    q("qg7_adamic_adar",
+      s"""WITH te AS (
+         |  SELECT c.c_custkey AS cust, su.s_suppkey AS supp
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $Threshold),
+         |co AS (SELECT DISTINCT a.cust AS a, b.cust AS b
+         |  FROM te a JOIN te b ON a.supp = b.supp AND a.cust < b.cust),
+         |nbr AS (SELECT a AS v, b AS n FROM co UNION ALL SELECT b, a FROM co),
+         |deg AS (SELECT n, COUNT(*) AS d FROM nbr GROUP BY n),
+         |w AS (SELECT v, n, CAST(FLOOR(1000000.0 / ln(d)) AS BIGINT) AS w
+         |  FROM nbr JOIN deg USING (n) WHERE d > 1)
+         |SELECT CAST(x.v AS BIGINT) AS a, CAST(y.v AS BIGINT) AS b,
+         |  CAST(SUM(x.w) AS BIGINT) AS score_scaled
+         |FROM w x JOIN w y ON x.n = y.n AND x.v < y.v
+         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin) { (s, d) =>
+      GraphOps.adamicAdar(s, coPurchaseEdges(s, d))
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+          col("score_scaled"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // HITS hubs and authorities (reference: flink-gelly
+    // library/linkanalysis/HITS.java) on the directed customer→supplier
+    // trade graph, 3 fixed unnormalized iterations — integer scores are
+    // exact in both engines, so the oracle unrolls the same rounds as
+    // CTEs (the qg6 pattern).
+    q("qg8_hits", {
+      val sb = new StringBuilder(
+        s"""WITH $duckDirectedEdges,
+           |verts AS (SELECT src AS id FROM de UNION SELECT dst FROM de),
+           |h0 AS (SELECT id, CAST(1 AS BIGINT) AS hub,
+           |  CAST(1 AS BIGINT) AS auth FROM verts)""".stripMargin)
+      for (i <- 1 to HitsIters) sb.append(
+        s""",
+           |a$i AS (SELECT e.dst AS id, CAST(SUM(h.hub) AS BIGINT) AS auth
+           |  FROM de e JOIN h${i - 1} h ON h.id = e.src GROUP BY 1),
+           |wa$i AS (SELECT v.id, CAST(COALESCE(a$i.auth, 0) AS BIGINT) AS auth
+           |  FROM verts v LEFT JOIN a$i ON a$i.id = v.id),
+           |hb$i AS (SELECT e.src AS id, CAST(SUM(w.auth) AS BIGINT) AS hub
+           |  FROM de e JOIN wa$i w ON w.id = e.dst GROUP BY 1),
+           |h$i AS (SELECT v.id, CAST(COALESCE(hb$i.hub, 0) AS BIGINT) AS hub,
+           |    wa$i.auth
+           |  FROM verts v LEFT JOIN hb$i ON hb$i.id = v.id
+           |  JOIN wa$i ON wa$i.id = v.id)""".stripMargin)
+      sb.append(
+        s"""
+           |SELECT CAST(id AS BIGINT) AS id, hub, auth
+           |FROM h$HitsIters ORDER BY id""".stripMargin)
+      sb.toString
+    }) { (s, d) =>
+      GraphOps.hits(s, tradeEdges(s, d), HitsIters)
+        .select(col("id"), col("hub"), col("auth"))
+        .orderBy(col("id"))
+    }
   )
 
   private val LpaIters = 4
+  private val HitsIters = 3
+
+  /** Directed customer→supplier edge CTE shared by the HITS oracle. */
+  private val duckDirectedEdges =
+    s"""de AS (
+       |  SELECT c.c_custkey * 2 AS src, su.s_suppkey * 2 + 1 AS dst
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $Threshold)""".stripMargin
 
   /** Customer co-purchase projection of the trade graph: customers linked
     * by a shared qualifying supplier (a < b, distinct). */

@@ -52,6 +52,28 @@ class GraphSpec extends SparkSuite {
     assert(again === lbl)
   }
 
+  test("hits: integer scores match the hand-computed fixpoint rounds") {
+    // star: 1→3, 2→3 plus 3→4: hubs 1,2 point at the authority 3
+    val star = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphOps.hits(spark, star, iters = 1)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // round 1: auth = in-hub sums (3: 1+1=2, 4: 1), then hub = out-auth
+    // sums with NEW auths (1: 2, 2: 2, 3: 1)
+    assert(got(3L) === ((1L, 2L)))
+    assert(got(1L) === ((2L, 0L)) && got(2L) === ((2L, 0L)))
+    assert(got(4L) === ((0L, 1L)))
+  }
+
+  test("adamicAdar scores pairs by inverse-log degree of shared neighbors") {
+    // 1-3, 2-3 (common neighbor 3, deg 3); 3 also joins 4; 1-2 not linked
+    val g = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = GraphOps.adamicAdar(spark, g)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val w3 = math.floor(1e6 / math.log(3)).toLong // deg(3) = 3
+    // pairs sharing neighbor 3: (1,2), (1,4), (2,4) — each scores w3
+    assert(got === Map((1L, 2L) -> w3, (1L, 4L) -> w3, (2L, 4L) -> w3))
+  }
+
   test("trade-graph edges alternate customer(even) / supplier(odd) ids") {
     val e = GraphQueries.tradeEdges(spark, sf).as[(Long, Long)].collect()
     assert(e.nonEmpty)
