@@ -70,6 +70,18 @@ object MlOps {
     model.setColdStartStrategy("drop").transform(ratings)
   }
 
+  /** Linear SVM classifier (reference: flink-ml classification/SVM.scala —
+    * CoCoA-optimized soft-margin linear SVM; spark.ml's LinearSVC solves
+    * the same hinge-loss objective with OWLQN). Returns predictions for
+    * `data` with a `prediction` column in {0.0, 1.0}. */
+  def linearSvm(train: DataFrame, featuresCol: String, labelCol: String,
+      data: DataFrame, maxIter: Int = 20, regParam: Double = 0.01): DataFrame = {
+    val svc = new org.apache.spark.ml.classification.LinearSVC()
+      .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+      .setMaxIter(maxIter).setRegParam(regParam)
+    svc.fit(train).transform(data)
+  }
+
   /** Linear regression pipeline (reference: MultipleLinearRegression). */
   def linearRegression(train: DataFrame, featuresCol: String,
       labelCol: String): (DataFrame, Array[Double]) = {

@@ -56,6 +56,25 @@ class MlOpsSpec extends SparkSuite {
     assert(rmse < base, s"ALS rmse $rmse should beat mean-baseline $base")
   }
 
+  test("linear SVM separates labels and beats the majority-class baseline") {
+    // linearly separable task on real data: label = quality proxy from
+    // the embeddings table's own label column (binary split at median)
+    val labeled = Engine.table(spark, sf, "embeddings")
+      .withColumn("cls", (col("label") % 2 === 0).cast("double"))
+    val train = MlOps.toVectors(labeled, "embedding", "features")
+    val preds = MlOps.linearSvm(train, "features", "cls", train)
+      .select($"cls", $"prediction").as[(Double, Double)].collect()
+    val acc = preds.count(p => p._1 == p._2).toDouble / preds.length
+    val majority = {
+      val pos = preds.count(_._1 == 1.0).toDouble / preds.length
+      math.max(pos, 1 - pos)
+    }
+    assert(acc >= majority,
+      s"SVM train accuracy $acc must not lose to majority baseline $majority")
+    assert(preds.map(_._2).distinct.length == 2,
+      "SVM must actually use both classes")
+  }
+
   test("linear regression recovers a known linear relationship") {
     val train = spark.range(200).select(
       $"id".cast("double").as("x"))
