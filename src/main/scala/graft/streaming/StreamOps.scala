@@ -237,6 +237,47 @@ object StreamOps {
     }
   }
 
+  /** Streaming bounded OVER aggregate, `RANGE <interval> PRECEDING` frame
+    * (reference: RowTimeBoundedRangeOver.scala:254 — per-row aggregate
+    * over rows whose event time lies in [rowTs − range, rowTs], emitted
+    * once the watermark passes the row). The time-based twin of
+    * [[eventTimeRowsFrameSum]]: the retained frame tail is evicted by
+    * TIMESTAMP (older than the newest finalized row's ts − range) instead
+    * of by count. State per key = pending rows above the watermark + the
+    * frame-tail (ts, value) pairs within the range horizon — bounded by
+    * range/event-rate, exactly the reference's state contract.
+    *
+    * @param rangeMicros frame width in event-time micros, both ends
+    *                    inclusive (SQL RANGE BETWEEN ... AND CURRENT ROW)
+    * @return (key, tsMicros, value, frameSum) in final order
+    */
+  def eventTimeRangeFrameSum[K: Encoder, I](
+      ds: Dataset[I], key: I => K, ts: I => Long, value: I => Double,
+      rangeMicros: Long)(
+      implicit stateEnc: Encoder[(Seq[(Long, Double)], Seq[(Long, Double)])],
+      outEnc: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] = {
+    require(rangeMicros >= 0)
+    ds.groupByKey(key).flatMapGroupsWithState[
+      (Seq[(Long, Double)], Seq[(Long, Double)]), (K, Long, Double, Double)](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (k: K, it: Iterator[I],
+          state: GroupState[(Seq[(Long, Double)], Seq[(Long, Double)])]) =>
+        val (tail0, buf0) = state.getOption.getOrElse((Seq.empty, Seq.empty))
+        val buf = buf0 ++ it.map(i => (ts(i), value(i)))
+        val wmMicros = watermarkMicrosOrMax(state)
+        val (ready, pending) = buf.partition(_._1 <= wmMicros)
+        var tail = tail0
+        val out = ready.sortBy(r => r).map { case (t0, v) =>
+          tail = (tail :+ ((t0, v))).dropWhile(_._1 < t0 - rangeMicros)
+          (k, t0, v, tail.map(_._2).sum)
+        }
+        state.update((tail, pending))
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        out.iterator
+    }
+  }
+
   /** Streaming as-of join — the streaming twin of
     * `graft.operators.AsofOps.asofJoin` (reference analog: the event-time
     * interval join with an unbounded lower bound, which the reference's

@@ -248,6 +248,49 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("event-time RANGE-2min-PRECEDING frame sum matches the batch RANGE window") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val stEnc: org.apache.spark.sql.Encoder[(Seq[(Long, Double)], Seq[(Long, Double)])] =
+      ExpressionEncoder()
+    // minute gaps 1,2,3,6 — the 00:06 row's 2-minute frame holds only
+    // itself, unlike a ROWS frame which would still reach back
+    val clicks = Seq(
+      Click(1, "a", t("2024-01-01 00:01:00"), 1.0),
+      Click(1, "a", t("2024-01-01 00:02:00"), 2.0),
+      Click(1, "a", t("2024-01-01 00:03:00"), 4.0),
+      Click(1, "a", t("2024-01-01 00:06:00"), 8.0))
+    val input = MemoryStream[Click]
+    val withWm = StreamOps.withEventTime(input.toDF(), "ts", "10 minutes").as[Click]
+    val out = StreamOps.eventTimeRangeFrameSum[Long, Click](
+      withWm, _.user, c => c.ts.getTime * 1000L, _.value,
+      rangeMicros = 2L * 60 * 1000 * 1000)
+    val q = out.toDF().toDF("user", "ts_us", "v", "fsum")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("range_frame_out").start()
+    try {
+      input.addData(clicks: _*)
+      q.processAllAvailable()
+      input.addData(Click(2, "a", t("2024-01-01 05:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData(Click(2, "a", t("2024-01-01 09:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("range_frame_out").where($"user" === 1)
+        .orderBy($"ts_us").select($"fsum").as[Double].collect().toSeq
+      // RANGE [ts-2min, ts]: 1; 1+2; 1+2+4; 8 (gap exceeds the range)
+      assert(got == Seq(1.0, 3.0, 7.0, 8.0))
+      // parity with the batch RANGE-frame window (the qw8 shape)
+      val batch = clicks.toDF()
+        .selectExpr("user", "unix_micros(ts) AS ts_us", "value")
+        .selectExpr("user", "ts_us", "value",
+          """sum(value) OVER (PARTITION BY user ORDER BY ts_us
+            |RANGE BETWEEN 120000000 PRECEDING AND CURRENT ROW) AS fsum"""
+            .stripMargin.replace("\n", " "))
+        .orderBy($"ts_us").select($"fsum").as[Double].collect().toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("update-mode rolling keyed agg re-emits per micro-batch (keyBy().sum parity)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Click]
