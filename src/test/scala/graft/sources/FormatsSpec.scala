@@ -84,6 +84,47 @@ class FormatsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("TxnSink.exactlyOnce skips replayed epochs (2PC sink contract)") {
+    import graft.streaming.TxnSink
+    val logDir = tmp()
+    val writes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink = TxnSink.exactlyOnce(new TxnSink.FileCommitLog(logDir)) {
+      (_, id) => writes += id
+    }
+    val df = spark.range(1).toDF()
+    sink(df, 0L); sink(df, 1L)
+    sink(df, 1L) // replay after simulated failure: must be a no-op
+    sink(df, 2L)
+    assert(writes.toSeq == Seq(0L, 1L, 2L), "replayed epoch must not rewrite")
+    // a fresh sink instance over the same log (query restart) also skips
+    val writes2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val restarted = TxnSink.exactlyOnce(new TxnSink.FileCommitLog(logDir)) {
+      (_, id) => writes2 += id
+    }
+    restarted(df, 2L); restarted(df, 3L)
+    assert(writes2.toSeq == Seq(3L), "restart must resume from the log")
+  }
+
+  test("TxnSink drives a real streaming query through foreachBatch") {
+    import graft.streaming.TxnSink
+    implicit val sqlCtx = spark.sqlContext
+    val logDir = tmp()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink = TxnSink.exactlyOnce(new TxnSink.FileCommitLog(logDir)) {
+      (df, _) => out.synchronized { out ++= df.as[Long].collect() }; ()
+    }
+    val q = input.toDS().writeStream.foreachBatch {
+      (ds: org.apache.spark.sql.Dataset[Long], id: Long) => sink(ds.toDF(), id)
+    }.start()
+    try {
+      input.addData(1L, 2L); q.processAllAvailable()
+      input.addData(3L); q.processAllAvailable()
+      assert(out.sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(new java.io.File(logDir).list().count(_.endsWith(".committed")) == 2)
+    } finally q.stop()
+  }
+
   test("foreachBatch sink gets exactly the epoch's rows (generic sink surface)") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
