@@ -20,10 +20,10 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   *    (reference default) repetition contiguity, `.greedy` (DSL default)
   *    vs `.allPrefixes` (reference default) emission, and `.until`
   *  - `.within(ms)` — time-to-live for partial matches (Pattern.java:474)
+  *  - `.allowCombinations` (followedByAny-style non-deterministic
+  *    repetition branching)
   *  - after-match skip: NoSkip (default), SkipPastLastEvent,
   *    SkipToFirst/SkipToLast(step) (AfterMatchSkipStrategy.java).
-  *  - not supported: `allowCombinations` (followedByAny-style
-  *    non-deterministic repetition branching) — documented gap.
   *
   * Events are processed in event-time order per group (batch: one sorted
   * scan; streaming: sorted within each micro-batch, partials carried in
@@ -39,7 +39,7 @@ object Cep {
       minReps: Int = 1, maxReps: Int = 1,
       negPred: Option[E => Boolean] = None, optional: Boolean = false,
       untilPred: Option[E => Boolean] = None, allPrefixes: Boolean = false,
-      relaxedReps: Boolean = false) {
+      relaxedReps: Boolean = false, combos: Boolean = false) {
     def looping: Boolean = maxReps > minReps || maxReps == Int.MaxValue
     /** Any repetition at all — times(n) included (looping excludes fixed
       * times(n), whose run length is exact). */
@@ -144,6 +144,17 @@ object Cep {
       new Pattern(steps.init :+ steps.last.copy(relaxedReps = true),
         withinMs, pendingNot)
     }
+    /** Non-deterministic relaxed repetition (Pattern.allowCombinations,
+      * Pattern.java:383 — followedByAny-style internal contiguity): every
+      * extension of the quantified run also forks a branch that SKIPS the
+      * event, so all subsequences (combinations), not just contiguous-ish
+      * runs, become matches. Implies [[relaxed]]. */
+    def allowCombinations: Pattern[E] = {
+      require(steps.last.multiRep, "allowCombinations requires a quantified step")
+      new Pattern(
+        steps.init :+ steps.last.copy(relaxedReps = true, combos = true),
+        withinMs, pendingNot)
+    }
     /** Strict repetition contiguity (Pattern.consecutive, Pattern.java:368)
       * — the DSL default; explicit form for ported reference tests. */
     def consecutive: Pattern[E] = {
@@ -227,10 +238,15 @@ object Cep {
         } else {
           // reference-default branching: extending a satisfied run also
           // forks a stopped copy that can transition on a later event
-          if (s.allPrefixes && s.looping && reps >= s.minReps)
+          // (subsumed by the open combos fork below when enabled)
+          if (s.allPrefixes && s.looping && reps >= s.minReps && !s.combos)
             out += Partial(p.startTs, p.groups, runOpen = false)
           out += Partial(p.startTs, g2, runOpen = !capped)
         }
+        // allowCombinations: the event may also be SKIPPED — fork the
+        // unextended run still open, so later events form combinations
+        if (s.combos)
+          out += Partial(p.startTs, p.groups, runOpen = true)
       }
 
       // 2) transition out of a satisfied run

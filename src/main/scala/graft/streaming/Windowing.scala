@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom trigger + evictor windowing (reference:
+  * flink-streaming-java windowing/triggers/ — CountTrigger, DeltaTrigger,
+  * PurgingTrigger — and windowing/evictors/ — CountEvictor, TimeEvictor,
+  * DeltaEvictor — composed over GlobalWindows by WindowOperator).
+  *
+  * Spark has no trigger/evictor surface (its windows are
+  * watermark-driven), so this is the library re-expression over keyed
+  * state, mirroring the reference's composition exactly:
+  *
+  *  - a [[Trigger]] decides per element whether the window FIREs (emit)
+  *    and whether it purges (clear the buffer) — `PurgingTrigger(t)` ≡
+  *    the same trigger with `purge = true`;
+  *  - an [[Evictor]] trims the buffer just before emission
+  *    (evictBefore);
+  *  - the window function sees the evicted buffer in arrival order.
+  *
+  * The reference's two countWindow overloads are direct compositions
+  * (KeyedStream.java:642,664):
+  *  - `countWindow(n)` = CountTrigger(n, purge) — [[StreamOps.countWindow]]
+  *    keeps that O(1)-state fast path;
+  *  - `countWindow(size, slide)` = CountTrigger(slide, no purge) +
+  *    CountEvictor(size) — [[countSlideWindow]].
+  *
+  * Scale: state per key = the retained buffer, bounded by the evictor
+  * (count/time bound) for the standard compositions; keys shard across
+  * the state store as with every keyed operator here.
+  */
+object Windowing {
+
+  sealed trait TriggerResult
+  case object Continue extends TriggerResult
+  case object Fire extends TriggerResult
+  case object FireAndPurge extends TriggerResult
+
+  /** Per-element trigger decision. `count` = elements since last purge
+    * (current element included); `ref` = DeltaTrigger's stored data
+    * point — the element that caused the previous fire, or the window's
+    * first element before any fire (DeltaTrigger.java keeps exactly this
+    * reference in its ValueState). */
+  trait Trigger[I] extends Serializable {
+    def onElement(e: I, count: Long, ref: Option[I]): TriggerResult
+  }
+
+  object Triggers {
+    /** CountTrigger.java: fire every `n` elements. `purge` = wrapped in
+      * PurgingTrigger (tumbling); without it the buffer carries over
+      * (sliding compositions). */
+    def count[I](n: Long, purge: Boolean = true): Trigger[I] = {
+      require(n > 0)
+      (e: I, cnt: Long, lf: Option[I]) =>
+        if (cnt % n == 0) { if (purge) FireAndPurge else Fire } else Continue
+    }
+
+    /** DeltaTrigger.java: fire when `delta(reference, current)` exceeds
+      * `threshold`; the reference is the last firing element (or the
+      * window's first element before any fire). */
+    def delta[I](threshold: Double, deltaFn: (I, I) => Double,
+        purge: Boolean = true): Trigger[I] =
+      (e: I, cnt: Long, ref: Option[I]) => ref match {
+        case Some(prev) if deltaFn(prev, e) > threshold =>
+          if (purge) FireAndPurge else Fire
+        case _ => Continue
+      }
+  }
+
+  /** Buffer trim applied before emission (Evictor.evictBefore). */
+  trait Evictor[I] extends Serializable {
+    def evict(buf: Seq[I]): Seq[I]
+  }
+
+  object Evictors {
+    /** CountEvictor.java: keep the last `n` elements. */
+    def count[I](n: Int): Evictor[I] = { buf: Seq[I] => buf.takeRight(n) }
+
+    /** TimeEvictor.java: keep elements within `windowMicros` of the
+      * buffer's max timestamp. */
+    def time[I](ts: I => Long, windowMicros: Long): Evictor[I] =
+      (buf: Seq[I]) =>
+        if (buf.isEmpty) buf
+        else { val hi = buf.map(ts).max; buf.filter(ts(_) >= hi - windowMicros) }
+
+    /** DeltaEvictor.java: evict elements whose delta vs the LAST element
+      * exceeds `threshold`. */
+    def delta[I](threshold: Double, deltaFn: (I, I) => Double): Evictor[I] =
+      (buf: Seq[I]) =>
+        if (buf.isEmpty) buf
+        else { val last = buf.last; buf.filter(e => deltaFn(e, last) <= threshold) }
+  }
+
+  /** GlobalWindows + trigger [+ evictor] + window function: buffers per
+    * key, consults the trigger per element in arrival order, applies the
+    * evictor on fire and emits `emit(key, evictedBuffer)`. Works on batch
+    * Datasets identically (one pass per group, no flush at end — exactly
+    * the reference: GlobalWindows never fire without a trigger). */
+  /** @param retain cap on retained elements per key for non-purging
+    *               triggers. The reference's evicting WindowOperator
+    *               retains the FULL buffer (a documented Flink scale
+    *               hazard); bounded compositions (count/time evictors)
+    *               should set the cap that makes retention O(cap). */
+  def triggeredWindow[K: Encoder, I, O: Encoder](
+      ds: Dataset[I], key: I => K, trigger: Trigger[I],
+      evictor: Option[Evictor[I]] = None,
+      retain: Option[Int] = None)(
+      emit: (K, Seq[I]) => O)(
+      implicit stateEnc: Encoder[(Seq[I], Option[I], Long)]): Dataset[O] =
+    ds.groupByKey(key).flatMapGroupsWithState[(Seq[I], Option[I], Long), O](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (k: K, it: Iterator[I], state: GroupState[(Seq[I], Option[I], Long)]) =>
+        var (buf, lastFired, cnt) = state.getOption.getOrElse(
+          (Seq.empty[I], Option.empty[I], 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[O]
+        it.foreach { e =>
+          buf = buf :+ e
+          retain.foreach(r => if (buf.size > r) buf = buf.takeRight(r))
+          cnt += 1
+          // DeltaTrigger's reference: last firing element, else the
+          // window's first element (only meaningful when e isn't it)
+          val ref = lastFired.orElse(if (buf.size > 1) buf.headOption else None)
+          trigger.onElement(e, cnt, ref) match {
+            case Continue => ()
+            case fire =>
+              val window = evictor.fold(buf)(_.evict(buf))
+              out += emit(k, window)
+              lastFired = Some(e)
+              if (fire == FireAndPurge) { buf = Seq.empty; cnt = 0 }
+          }
+        }
+        state.update((buf, lastFired, cnt))
+        out.iterator
+    }
+
+  /** The reference's sliding count window `countWindow(size, slide)`
+    * (KeyedStream.java:664): emit the last `size` elements every `slide`
+    * elements. Retention is capped at size+slide — the elements any
+    * future window can still reference — so state stays O(size+slide)
+    * per key where the reference retains everything. */
+  def countSlideWindow[K: Encoder, I, O: Encoder](
+      ds: Dataset[I], key: I => K, size: Int, slide: Int)(
+      emit: (K, Seq[I]) => O)(
+      implicit stateEnc: Encoder[(Seq[I], Option[I], Long)]): Dataset[O] =
+    triggeredWindow(ds, key,
+      Triggers.count[I](slide, purge = false),
+      Some(Evictors.count[I](size)),
+      retain = Some(size + slide))(emit)
+}

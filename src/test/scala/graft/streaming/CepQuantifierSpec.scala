@@ -187,6 +187,35 @@ class CepQuantifierSpec extends SparkSuite {
     assert(got.map(_.map(_.map(_.id))).toSet === Set(Seq(Seq(1), Seq(3))))
   }
 
+  test("port: times(2).allowCombinations (NFAITCase testTimes)") {
+    // c@1 a1@2 a2@3 a3@4 b@6 — reference expects {c a1 a2 b}, {c a1 a3 b}
+    val c = RE(40, "c", 1.0); val b = RE(44, "b", 5.0)
+    val a = (i: Int) => RE(40 + i, "a", (1 + i).toDouble)
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .next("middle")(_.name == "a").times(2).allowCombinations
+      .followedBy("end1")(_.name == "b")
+    val got = feed(p, Seq(c -> 1L, a(1) -> 2L, a(2) -> 3L, a(3) -> 4L, b -> 6L))
+      .map(names)
+    assert(got.toSet === Set(
+      Seq(Seq(40), Seq(41, 42), Seq(44)),
+      Seq(Seq(40), Seq(41, 43), Seq(44))))
+  }
+
+  test("port: times(2).allowCombinations with gaps (NFAITCase testTimesNonStrictWithNext)") {
+    // c a1 f a2 f a3 b — same expected matches, the f gaps are skipped
+    val c = RE(40, "c", 1.0); val b = RE(44, "b", 5.0)
+    val f = (i: Int) => RE(20 + i, "f", 1.0)
+    val a = (i: Int) => RE(40 + i, "a", (1 + i).toDouble)
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .next("middle")(_.name == "a").times(2).allowCombinations
+      .followedBy("end1")(_.name == "b")
+    val got = feed(p, Seq(c -> 1L, a(1) -> 2L, f(1) -> 3L, a(2) -> 4L,
+      f(2) -> 5L, a(3) -> 6L, b -> 7L)).map(names)
+    assert(got.toSet === Set(
+      Seq(Seq(40), Seq(41, 42), Seq(44)),
+      Seq(Seq(40), Seq(41, 43), Seq(44))))
+  }
+
   // feed for arbitrary event types (the RE-typed feed is above)
   private def feed2[E](pattern: Pattern[E], events: Seq[(E, Long)]):
       Vector[Vector[Vector[E]]] = {

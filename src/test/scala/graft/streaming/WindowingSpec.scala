@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.streaming.Windowing._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Trigger/evictor compositions vs the reference's WindowOperator
+  * semantics: CountTrigger tumble parity, the countWindow(size, slide)
+  * composition, DeltaTrigger's reference-point contract, and Time/Delta
+  * evictors. */
+class WindowingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val nums: Seq[(Long, Double)] =
+    Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0).map((1L, _))
+
+  test("CountTrigger with purge = tumbling count windows (countWindow(n) parity)") {
+    val got = triggeredWindow(nums.toDS(), (r: (Long, Double)) => r._1,
+      Triggers.count[(Long, Double)](3))(
+      (k, w) => (k, w.map(_._2).sum)).collect().toSeq
+    assert(got == Seq((1L, 6.0), (1L, 15.0))) // [1,2,3], [4,5,6]; 7 pending
+  }
+
+  test("countSlideWindow(size=3, slide=2) emits the last 3 every 2 (reference overload)") {
+    val got = countSlideWindow(nums.toDS(), (r: (Long, Double)) => r._1,
+      size = 3, slide = 2)((k, w) => w.map(_._2)).collect().toSeq
+    // fires at elements 2,4,6 with the last ≤3 elements each time
+    assert(got == Seq(Seq(1.0, 2.0), Seq(2.0, 3.0, 4.0), Seq(4.0, 5.0, 6.0)))
+  }
+
+  test("DeltaTrigger fires when the delta vs the reference point exceeds the threshold") {
+    val vals = Seq(1.0, 1.5, 2.0, 5.0, 5.5, 9.0).map((1L, _))
+    val got = triggeredWindow(vals.toDS(), (r: (Long, Double)) => r._1,
+      Triggers.delta[(Long, Double)](2.5, (a, b) => b._2 - a._2))(
+      (k, w) => w.map(_._2)).collect().toSeq
+    // ref=1.0 until 5.0 fires (delta 4.0 > 2.5, purge); then ref=5.0,
+    // 9.0 fires (delta 4.0)
+    assert(got == Seq(Seq(1.0, 1.5, 2.0, 5.0), Seq(5.5, 9.0)))
+  }
+
+  test("TimeEvictor keeps only elements within the window of the newest timestamp") {
+    val ev = Evictors.time[(Long, Double)](r => (r._2 * 1000000).toLong, 2000000L)
+    assert(ev.evict(Seq((1L, 1.0), (1L, 2.0), (1L, 3.5), (1L, 4.0)))
+      == Seq((1L, 2.0), (1L, 3.5), (1L, 4.0)))
+  }
+
+  test("DeltaEvictor drops elements too far from the last element") {
+    val ev = Evictors.delta[(Long, Double)](1.0, (e, last) => last._2 - e._2)
+    assert(ev.evict(Seq((1L, 1.0), (1L, 3.0), (1L, 3.5), (1L, 4.0)))
+      == Seq((1L, 3.0), (1L, 3.5), (1L, 4.0)))
+  }
+
+  test("triggered windows run identically on a real stream across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val out = triggeredWindow(input.toDS(), (r: (Long, Double)) => r._1,
+      Triggers.count[(Long, Double)](3))((k, w) => (k, w.map(_._2).sum))
+    val q = out.toDF("k", "s").writeStream.outputMode("append")
+      .format("memory").queryName("trig_out").start()
+    try {
+      input.addData((1L, 1.0), (1L, 2.0)) // buffer carries across batches
+      q.processAllAvailable()
+      input.addData((1L, 3.0), (1L, 4.0))
+      q.processAllAvailable()
+      input.addData((1L, 5.0), (1L, 6.0))
+      q.processAllAvailable()
+      val got = spark.table("trig_out").as[(Long, Double)].collect().toSeq
+      assert(got == Seq((1L, 6.0), (1L, 15.0)))
+    } finally q.stop()
+  }
+}
