@@ -244,6 +244,121 @@ object GraphOps {
       .agg(sum(col("x.w")).as("score_scaled"))
   }
 
+  /** Triadic census (reference: flink-gelly library/clustering/undirected/
+    * TriadicCensus.java): counts of the four undirected triad classes over
+    * all C(n,3) vertex triples — 0/1/2 edges and triangles — derived in
+    * closed form from n, m, the wedge count w = Σ C(d,2) and the triangle
+    * count t (the same identities the reference uses):
+    * T3 = t, T2 = w − 3t, T1 = m(n−2) − 2w + 3t, T0 = C(n,3) − T1 − T2 − T3.
+    * One degree aggregate + one triangle join — no per-triple work, all
+    * exact integers.
+    *
+    * @param edges undirected (a, b) with a < b, deduplicated
+    * @return single row (t0, t1, t2, t3)
+    */
+  def triadicCensus(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val co = edges.select(col("a").cast("long"), col("b").cast("long"))
+    val nbr = co.select(col("a").as("v"))
+      .unionAll(co.select(col("b").as("v")))
+    val deg = nbr.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val stats = deg.agg(count(lit(1)).as("n"),
+      sum(expr("d * (d - 1) DIV 2")).cast("long").as("w"))
+    val m = co.agg(count(lit(1)).as("m"))
+    val t = co.as("e1")
+      .join(co.as("e2"), col("e2.a") === col("e1.b"))
+      .join(co.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("t"))
+    stats.crossJoin(m).crossJoin(t)
+      .selectExpr(
+        "n * (n - 1) * (n - 2) DIV 6 - (m * (n - 2) - 2 * w + 3 * t) " +
+          "- (w - 3 * t) - t AS t0",
+        "m * (n - 2) - 2 * w + 3 * t AS t1",
+        "w - 3 * t AS t2",
+        "t AS t3")
+  }
+
+  /** Local clustering coefficient (reference: flink-gelly
+    * library/clustering/undirected/LocalClusteringCoefficient.java): per
+    * vertex, triangles(v) / C(deg(v), 2). Triangle membership counts and
+    * degrees are exact integers; the final coefficient is one double
+    * division of exact ints — bit-identical across engines.
+    *
+    * @param edges undirected (a, b) with a < b, deduplicated
+    * @return (v, triangles, degree, coeff) per vertex, coeff = 0 for
+    *         degree < 2
+    */
+  def localClusteringCoefficient(spark: SparkSession,
+      edges: DataFrame): DataFrame = {
+    val co = edges.select(col("a").cast("long"), col("b").cast("long"))
+    val deg = co.select(col("a").as("v"))
+      .unionAll(co.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val tri = co.as("e1")
+      .join(co.as("e2"), col("e2.a") === col("e1.b"))
+      .join(co.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("ta"), col("e1.b").as("tb"), col("e2.b").as("tc"))
+    val perVertex = tri.select(col("ta").as("v"))
+      .unionAll(tri.select(col("tb").as("v")))
+      .unionAll(tri.select(col("tc").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("tc"))
+    deg.join(perVertex, Seq("v"), "left")
+      .select(col("v"), coalesce(col("tc"), lit(0L)).as("triangles"),
+        col("d").as("degree"),
+        when(col("d") >= 2,
+          coalesce(col("tc"), lit(0L)).cast("double") * 2
+            / (col("d") * (col("d") - 1)))
+          .otherwise(0.0).as("coeff"))
+  }
+
+  /** Graph summarization (reference: flink-gelly library/Summarization
+    * .java): contract vertices by a group value; output the summary
+    * edges between groups with multiplicities. One projection + one
+    * aggregate — the canonical "schema graph" operation.
+    *
+    * @param edges undirected (a, b)
+    * @param group vertex id → group id column expression
+    * @return (ga, gb, n_edges) with ga <= gb
+    */
+  def summarize(spark: SparkSession, edges: DataFrame,
+      group: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val grouped = edges.select(group(col("a").cast("long")).as("g1"),
+      group(col("b").cast("long")).as("g2"))
+    grouped.select(least(col("g1"), col("g2")).as("ga"),
+        greatest(col("g1"), col("g2")).as("gb"))
+      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("n_edges"))
+  }
+
+  /** Community detection with hop attenuation (reference: flink-gelly
+    * library/CommunityDetection.java): label propagation where each label
+    * carries a score; a vertex adopts the label with the highest score sum
+    * among neighbors (ties to smallest label) and the adopted label's
+    * score decays by `delta` per hop. Fixed iteration count and total
+    * tie-breaks keep it deterministic (scores stay in exact 0.5 steps for
+    * the default delta). */
+  def communityDetection(spark: SparkSession, edges: DataFrame,
+      iterations: Int = 4, delta: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = undirect(edges).cache()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).withColumn("score", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val sums = und.join(labels, und("src") === labels("id"))
+        .groupBy(col("dst").as("v"), col("lbl"))
+        .agg(sum(col("score")).as("s"), max(col("score")).as("mx"))
+      val w = Window.partitionBy(col("v"))
+        .orderBy(col("s").desc, col("lbl").asc)
+      val next = sums.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("v").as("id"), col("lbl"),
+          greatest(col("mx") - delta, lit(0.0)).as("score"))
+      labels = materialize(next)
+    }
+    und.unpersist()
+    labels.select(col("id"), col("lbl"))
+  }
+
   /** Synchronous label propagation (community detection — reference:
     * flink-gelly library/LabelPropagation.java), made fully deterministic:
     * a FIXED iteration count (no convergence race) and a total tie-break —

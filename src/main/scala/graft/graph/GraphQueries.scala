@@ -263,11 +263,86 @@ object GraphQueries extends QueryModule {
       GraphOps.hits(s, tradeEdges(s, d), HitsIters)
         .select(col("id"), col("hub"), col("auth"))
         .orderBy(col("id"))
+    },
+
+    // Triadic census (reference: flink-gelly clustering/undirected/
+    // TriadicCensus.java): closed-form triad-class counts from n, m,
+    // wedges and triangles — one row, four exact integers.
+    q("qg9_triadic_census",
+      s"""WITH $duckCo,
+         |nbr AS (SELECT a AS v FROM co UNION ALL SELECT b FROM co),
+         |deg AS (SELECT v, COUNT(*) AS d FROM nbr GROUP BY v),
+         |s AS (SELECT COUNT(*) AS n,
+         |  CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w FROM deg),
+         |mm AS (SELECT COUNT(*) AS m FROM co),
+         |tri AS (SELECT COUNT(*) AS t FROM co e1
+         |  JOIN co e2 ON e2.a = e1.b
+         |  JOIN co e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT
+         |  CAST(n * (n - 1) * (n - 2) // 6
+         |    - (m * (n - 2) - 2 * w + 3 * t) - (w - 3 * t) - t AS BIGINT) AS t0,
+         |  CAST(m * (n - 2) - 2 * w + 3 * t AS BIGINT) AS t1,
+         |  CAST(w - 3 * t AS BIGINT) AS t2,
+         |  CAST(t AS BIGINT) AS t3
+         |FROM s, mm, tri""".stripMargin) { (s, d) =>
+      GraphOps.triadicCensus(s, coPurchaseEdges(s, d))
+    },
+
+    // Local clustering coefficient (reference: clustering/undirected/
+    // LocalClusteringCoefficient.java): triangles(v) / C(deg(v), 2) —
+    // one double division of exact integers per vertex.
+    q("qg10_clustering_coeff",
+      s"""WITH $duckCo,
+         |nbr AS (SELECT a AS v FROM co UNION ALL SELECT b FROM co),
+         |deg AS (SELECT v, COUNT(*) AS d FROM nbr GROUP BY v),
+         |tri AS (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc FROM co e1
+         |  JOIN co e2 ON e2.a = e1.b
+         |  JOIN co e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tv AS (SELECT ta AS v FROM tri UNION ALL SELECT tb FROM tri
+         |  UNION ALL SELECT tc FROM tri),
+         |tc AS (SELECT v, COUNT(*) AS t FROM tv GROUP BY v)
+         |SELECT CAST(deg.v AS BIGINT) AS v,
+         |  CAST(COALESCE(tc.t, 0) AS BIGINT) AS triangles,
+         |  CAST(deg.d AS BIGINT) AS degree,
+         |  CASE WHEN deg.d >= 2
+         |    THEN CAST(COALESCE(tc.t, 0) AS DOUBLE) * 2 / (deg.d * (deg.d - 1))
+         |    ELSE 0.0 END AS coeff
+         |FROM deg LEFT JOIN tc ON tc.v = deg.v
+         |ORDER BY v""".stripMargin) { (s, d) =>
+      GraphOps.localClusteringCoefficient(s, coPurchaseEdges(s, d))
+        .select(col("v"), col("triangles"), col("degree"), col("coeff"))
+        .orderBy(col("v"))
+    },
+
+    // Graph summarization (reference: library/Summarization.java):
+    // contract vertices by group (customer id mod 10) and count the
+    // summary edges between groups.
+    q("qg11_summarize",
+      s"""WITH $duckCo
+         |SELECT CAST(LEAST(a % 10, b % 10) AS BIGINT) AS ga,
+         |  CAST(GREATEST(a % 10, b % 10) AS BIGINT) AS gb,
+         |  COUNT(*) AS n_edges
+         |FROM co GROUP BY 1, 2 ORDER BY ga, gb""".stripMargin) { (s, d) =>
+      GraphOps.summarize(s, coPurchaseEdges(s, d), v => v % 10)
+        .select(col("ga"), col("gb"), col("n_edges"))
+        .orderBy(col("ga"), col("gb"))
     }
   )
 
   private val LpaIters = 4
   private val HitsIters = 3
+
+  /** Shared DuckDB CTE: co-purchase projection (a < b, distinct). */
+  private val duckCo =
+    s"""te AS (
+       |  SELECT c.c_custkey AS cust, su.s_suppkey AS supp
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $Threshold),
+       |co AS (SELECT DISTINCT a.cust AS a, b.cust AS b
+       |  FROM te a JOIN te b ON a.supp = b.supp AND a.cust < b.cust)""".stripMargin
 
   /** Directed customer→supplier edge CTE shared by the HITS oracle. */
   private val duckDirectedEdges =

@@ -74,6 +74,22 @@ class GraphSpec extends SparkSuite {
     assert(got === Map((1L, 2L) -> w3, (1L, 4L) -> w3, (2L, 4L) -> w3))
   }
 
+  test("communityDetection assigns one community per dense cluster, deterministically") {
+    val lbl = GraphOps.communityDetection(spark, edges, iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    // labels stay within the component
+    val compA = Set(1L, 2L, 3L, 10L, 11L, 12L)
+    assert(compA.forall(v => compA.contains(lbl(v))))
+    assert(Set(20L, 21L).forall(v => Set(20L, 21L).contains(lbl(v))))
+    // each triangle coalesces on one label
+    assert(Set(1L, 2L, 3L).map(lbl).size == 1)
+    assert(Set(10L, 11L, 12L).map(lbl).size == 1)
+    // deterministic across runs
+    val again = GraphOps.communityDetection(spark, edges, iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(again === lbl)
+  }
+
   test("trade-graph edges alternate customer(even) / supplier(odd) ids") {
     val e = GraphQueries.tradeEdges(spark, sf).as[(Long, Long)].collect()
     assert(e.nonEmpty)
