@@ -82,6 +82,96 @@ object MlOps {
     svc.fit(train).transform(data)
   }
 
+  /** Polynomial feature expansion (reference: flink-ml
+    * preprocessing/PolynomialFeatures.scala → spark.ml
+    * PolynomialExpansion, same monomial basis up to `degree`). */
+  def polynomialFeatures(df: DataFrame, inCol: String, outCol: String,
+      degree: Int = 2): DataFrame =
+    new org.apache.spark.ml.feature.PolynomialExpansion()
+      .setInputCol(inCol).setOutputCol(outCol).setDegree(degree)
+      .transform(df)
+
+  /** Train/test split (reference: flink-ml pipeline/Splitter.scala
+    * trainTestSplit): seeded random partition — deterministic per seed. */
+  def trainTestSplit(df: DataFrame, trainFraction: Double,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    val Array(train, test) =
+      df.randomSplit(Array(trainFraction, 1.0 - trainFraction), seed)
+    (train, test)
+  }
+
+  /** K-fold assignment (reference: Splitter.kFoldSplit): adds a
+    * deterministic `fold` column in [0, k) — a hash partition, so folds
+    * are reproducible across runs/cluster sizes without materializing k
+    * DataFrames. */
+  def kFold(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.withColumn("fold", pmod(xxhash64(col(idCol)), lit(k)).cast("int"))
+
+  /** Stochastic Outlier Selection (reference: flink-ml
+    * outlier/StochasticOutlierSelection.scala — same affinity →
+    * binding-probability → outlier-probability pipeline): per point,
+    * a Gaussian affinity over squared distances with the bandwidth
+    * solved per-row so the distribution's perplexity hits the target;
+    * outlier probability of j = Π over i of (1 − binding(i→j)).
+    *
+    * SOS is inherently all-pairs — the reference broadcasts the full
+    * dataset too (StochasticOutlierSelection.scala computes a dense
+    * distance matrix). Scope it to a candidate set (a bucket, a
+    * partition, a sample) at scale; the per-row beta search runs
+    * distributed via groupByKey over the pair rows.
+    *
+    * @param df (id, Array[Float]) rows
+    * @return (id, outlier_prob)
+    */
+  def stochasticOutlierSelection(df: DataFrame, idCol: String,
+      vecCol: String, perplexity: Double = 4.5): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val base = df.select(col(idCol).cast("long").as("pid"),
+      col(vecCol).cast("array<float>").as("v"))
+    val pairs = base.as("x").join(base.as("y"), col("x.pid") =!= col("y.pid"))
+      .select(col("x.pid").as("i"), col("y.pid").as("j"),
+        (expr("graft_dot(x.v, x.v)") + expr("graft_dot(y.v, y.v)")
+          - lit(2.0) * expr("graft_dot(x.v, y.v)")).as("d2"))
+      .as[(Long, Long, Double)]
+    // per source row i: bisection on beta until the affinity
+    // distribution's perplexity matches, then emit binding probs i→j
+    val bindings = pairs.groupByKey(_._1).flatMapGroups {
+      (i: Long, it: Iterator[(Long, Long, Double)]) =>
+        val ds = it.map(t => (t._2, t._3)).toArray
+        val logPerp = math.log(perplexity)
+        def entropyAndAff(beta: Double): (Double, Array[Double]) = {
+          val aff = ds.map { case (_, d2) => math.exp(-d2 * beta) }
+          val sumA = aff.sum
+          if (sumA <= 0) (0.0, aff)
+          else {
+            // H = log(sumA) + beta * sum(d2 * a) / sumA
+            val h = math.log(sumA) +
+              beta * ds.zip(aff).map { case ((_, d2), a) => d2 * a }.sum / sumA
+            (h, aff)
+          }
+        }
+        var lo = 1e-12; var hi = 1e12; var beta = 1.0
+        var aff = Array.empty[Double]
+        var iter = 0
+        while (iter < 64) {
+          beta = math.sqrt(lo * hi)
+          val (h, a) = entropyAndAff(beta)
+          aff = a
+          if (h > logPerp) lo = beta else hi = beta
+          iter += 1
+        }
+        val sumA = aff.sum
+        if (sumA <= 0) Iterator.empty
+        else ds.zip(aff).iterator.map { case ((j, _), a) => (j, a / sumA) }
+    }.toDF("j", "b")
+    // outlier prob of j = Π over senders i of (1 - b_ij): high when no
+    // other point binds to j (the SOS paper's f(x); product via log-sum)
+    bindings.groupBy(col("j").as(idCol))
+      .agg(exp(sum(log(lit(1.0) - col("b")))).as("outlier_prob"))
+  }
+
   /** Linear regression pipeline (reference: MultipleLinearRegression). */
   def linearRegression(train: DataFrame, featuresCol: String,
       labelCol: String): (DataFrame, Array[Double]) = {

@@ -75,6 +75,49 @@ class MlOpsSpec extends SparkSuite {
       "SVM must actually use both classes")
   }
 
+  test("polynomial expansion produces the degree-2 monomial basis") {
+    val df = MlOps.toVectors(
+      Seq((1L, Array(2.0f, 3.0f))).toDF("id", "arr"), "arr", "features")
+    val out = MlOps.polynomialFeatures(df, "features", "poly", degree = 2)
+      .select("poly").collect().head.getAs[Vector](0).toArray
+    // spark.ml basis order: x, x^2, y, xy, y^2
+    assert(out.toSeq == Seq(2.0, 4.0, 3.0, 6.0, 9.0))
+  }
+
+  test("train/test split partitions the data deterministically per seed") {
+    val df = spark.range(1000).toDF("id")
+    val (tr1, te1) = MlOps.trainTestSplit(df, 0.8, seed = 7L)
+    val (tr2, te2) = MlOps.trainTestSplit(df, 0.8, seed = 7L)
+    assert(tr1.count() + te1.count() == 1000)
+    assert(tr1.collect().toSet == tr2.collect().toSet)
+    assert(te1.collect().toSet == te2.collect().toSet)
+    val frac = tr1.count().toDouble / 1000
+    assert(frac > 0.7 && frac < 0.9)
+  }
+
+  test("kFold assigns every row to exactly one of k roughly-even folds") {
+    val folds = MlOps.kFold(spark.range(1000).toDF("id"), "id", 5)
+      .groupBy("fold").count().as[(Int, Long)].collect().toMap
+    assert(folds.keySet == Set(0, 1, 2, 3, 4))
+    assert(folds.values.sum == 1000L)
+    assert(folds.values.forall(n => n > 100 && n < 300))
+  }
+
+  test("SOS ranks a planted outlier above every inlier") {
+    // tight cluster at origin + one far point
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 20L).map(i =>
+      (i, Array.fill(4)(rnd.nextGaussian().toFloat * 0.1f))) :+
+      (99L, Array(5.0f, 5.0f, 5.0f, 5.0f))
+    val got = MlOps.stochasticOutlierSelection(
+      rows.toDF("id", "v"), "id", "v")
+      .as[(Long, Double)].collect().toMap
+    val outlierProb = got(99L)
+    assert(got.filter(_._1 != 99L).values.forall(_ < outlierProb),
+      s"outlier 99 must outrank inliers: $got")
+    assert(outlierProb > 0.5)
+  }
+
   test("linear regression recovers a known linear relationship") {
     val train = spark.range(200).select(
       $"id".cast("double").as("x"))
