@@ -167,6 +167,45 @@ object GraphOps {
     ranks
   }
 
+  /** Integer-scaled PageRank (the oracle-able twin of [[pageRank]], same
+    * determinism idea as [[hits]]): ranks live as scaled integers
+    * (`scale` = 1.0) and every division is an explicit floor — so a SQL
+    * engine unrolling the same rounds reproduces the BITS, not just the
+    * approximate values. Per round, with integer ops only:
+    * c(v) = Σ_{u→v} rank(u) DIV outdeg(u); D = Σ_{dangling} rank(u);
+    * rank'(v) = (15·scale) DIV 100 + (85 · (c(v) + D DIV n)) DIV 100.
+    * The floor error vs float PageRank is ≤ n·iters ulps of 1/scale —
+    * irrelevant for ranking, decisive for cross-engine verification. */
+  def pageRankScaled(spark: SparkSession, edges: DataFrame,
+      iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst")).distinct().cache()
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    val n = vertices.count()
+    val outDeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg")).cache()
+    var ranks = vertices.withColumn("rank", lit(scale))
+    val base = scale * 15 / 100
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(outDeg, Seq("id"), "left")
+      val contribs = withDeg.where(col("deg").isNotNull)
+        .join(e, col("id") === e("src"))
+        .select(col("dst").as("cid"), expr("rank DIV deg").as("c"))
+      val dangling = withDeg.where(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0L))).first().getLong(0)
+      val dShare = dangling / n // integer floor, matches SQL DIV
+      val gathered = vertices.join(
+        contribs.groupBy(col("cid")).agg(sum(col("c")).as("cin")),
+        vertices("id") === col("cid"), "left")
+      ranks = materialize(gathered.select(col("id"),
+        (lit(base) + expr(s"(85 * (coalesce(cin, 0L) + $dShare)) DIV 100"))
+          .as("rank")))
+    }
+    e.unpersist(); vertices.unpersist(); outDeg.unpersist()
+    ranks
+  }
+
   /** HITS hubs-and-authorities (reference: flink-gelly
     * library/linkanalysis/HITS.java) with a FIXED iteration count and NO
     * per-round normalization: starting from hub = auth = 1, each round is

@@ -265,6 +265,39 @@ object GraphQueries extends QueryModule {
         .orderBy(col("id"))
     },
 
+    // Integer-scaled PageRank with bit-exact floor arithmetic — the
+    // oracled twin of qg3 (which keeps the reference's float fixpoint,
+    // rows-only checked). 3 rounds unrolled as CTEs like qg8.
+    q("qg12_pagerank_scaled", {
+      val sb = new StringBuilder(
+        s"""WITH $duckDirectedEdges,
+           |verts AS (SELECT src AS id FROM de UNION SELECT dst FROM de),
+           |deg AS (SELECT src AS id, COUNT(*) AS deg FROM de GROUP BY 1),
+           |nn AS (SELECT COUNT(*) AS n FROM verts),
+           |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM verts)""".stripMargin)
+      for (i <- 1 to PrIters) sb.append(
+        s""",
+           |c$i AS (SELECT e.dst AS id,
+           |    CAST(SUM(r.rank // d.deg) AS BIGINT) AS c
+           |  FROM de e JOIN r${i - 1} r ON r.id = e.src
+           |  JOIN deg d ON d.id = e.src GROUP BY 1),
+           |d$i AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dm
+           |  FROM r${i - 1} r LEFT JOIN deg d ON d.id = r.id
+           |  WHERE d.id IS NULL),
+           |r$i AS (SELECT v.id, CAST(150000 + (85 * (COALESCE(c$i.c, 0)
+           |    + (SELECT dm FROM d$i) // (SELECT n FROM nn))) // 100 AS BIGINT) AS rank
+           |  FROM verts v LEFT JOIN c$i ON c$i.id = v.id)""".stripMargin)
+      sb.append(
+        s"""
+           |SELECT CAST(id AS BIGINT) AS id, rank FROM r$PrIters
+           |ORDER BY id""".stripMargin)
+      sb.toString
+    }) { (s, d) =>
+      GraphOps.pageRankScaled(s, tradeEdges(s, d), PrIters)
+        .select(col("id"), col("rank"))
+        .orderBy(col("id"))
+    },
+
     // Triadic census (reference: flink-gelly clustering/undirected/
     // TriadicCensus.java): closed-form triad-class counts from n, m,
     // wedges and triangles — one row, four exact integers.
@@ -331,6 +364,7 @@ object GraphQueries extends QueryModule {
 
   private val LpaIters = 4
   private val HitsIters = 3
+  private val PrIters = 3
 
   /** Shared DuckDB CTE: co-purchase projection (a < b, distinct). */
   private val duckCo =

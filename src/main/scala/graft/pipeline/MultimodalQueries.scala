@@ -66,10 +66,25 @@ object MultimodalQueries extends QueryModule {
     },
 
     // Frame sampling: slice the payload into fixed-size frames, keep every
-    // 4th frame, and compute a per-frame STUB feature (crc32 of the frame
+    // 4th frame, and compute a per-frame STUB feature (md5 of the frame
     // bytes — a real pipeline would run the decoder here). Generates rows
     // via an array sequence + explode: fully distributed, no driver loop.
-    qNoOracle("qm2_frame_sample") { (s, d) =>
+    // Oracle note: DuckDB 1.0 has no BLOB substring, so the oracle slices
+    // the VARCHAR — identical bytes because the driver corpus is pure
+    // ASCII (verified: octet_length == length for every row at every SF);
+    // the Spark side stays byte-true for arbitrary binary payloads.
+    q("qm2_frame_sample",
+      s"""WITH f AS (SELECT doc_id, text,
+         |    octet_length(encode(text)) // $FrameBytes AS n_frames
+         |  FROM documents),
+         |fr AS (SELECT doc_id, text,
+         |    unnest(generate_series(0, CAST(n_frames AS INT) - 1)) AS frame_id
+         |  FROM f WHERE n_frames > 0)
+         |SELECT doc_id, CAST(frame_id AS INT) AS frame_id,
+         |  md5(substring(text, frame_id * $FrameBytes + 1, $FrameBytes)) AS stub_feature,
+         |  CAST(length(substring(text, frame_id * $FrameBytes + 1, $FrameBytes)) AS BIGINT) AS frame_len
+         |FROM fr WHERE frame_id % 4 = 0
+         |ORDER BY doc_id, frame_id""".stripMargin) { (s, d) =>
       t(s, d, "documents")
         .withColumn("payload", col("text").cast("binary"))
         .withColumn("n_frames", floor(length(col("payload")) / FrameBytes).cast("int"))
@@ -80,7 +95,7 @@ object MultimodalQueries extends QueryModule {
         .withColumn("frame_bytes",
           expr(s"substring(payload, frame_id * $FrameBytes + 1, $FrameBytes)"))
         .select(col("doc_id"), col("frame_id"),
-          crc32(col("frame_bytes")).as("stub_feature"),
+          md5(col("frame_bytes")).as("stub_feature"),
           length(col("frame_bytes")).cast("long").as("frame_len"))
         .orderBy(col("doc_id"), col("frame_id"))
     }
