@@ -39,11 +39,20 @@ object Cep {
       minReps: Int = 1, maxReps: Int = 1,
       negPred: Option[E => Boolean] = None, optional: Boolean = false,
       untilPred: Option[E => Boolean] = None, allPrefixes: Boolean = false,
-      relaxedReps: Boolean = false, combos: Boolean = false) {
+      relaxedReps: Boolean = false, combos: Boolean = false,
+      ctxPred: Option[(E, Map[String, Seq[E]]) => Boolean] = None) {
     def looping: Boolean = maxReps > minReps || maxReps == Int.MaxValue
     /** Any repetition at all — times(n) included (looping excludes fixed
       * times(n), whose run length is exact). */
     def multiRep: Boolean = maxReps > 1
+    /** Evaluate the step condition; `ctx` (events matched so far per step
+      * in THIS branch — IterativeCondition.Context.getEventsForPattern)
+      * is only built when the step actually declared an iterative
+      * condition, keeping the plain-predicate hot path allocation-free. */
+    def eval(e: E, ctx: => Map[String, Seq[E]]): Boolean = ctxPred match {
+      case None => pred(e)
+      case Some(f) => f(e, ctx)
+    }
   }
 
   final class Pattern[E] private[Cep] (
@@ -58,6 +67,17 @@ object Cep {
     /** Relaxed contiguity: non-matching events in between are skipped. */
     def followedBy(name: String)(pred: E => Boolean): Pattern[E] =
       add(Step(name, pred, strict = false))
+    /** Strict-contiguity step with an ITERATIVE condition
+      * (IterativeCondition.java:59 — the predicate also sees the events
+      * matched so far per step in this branch, via
+      * `ctx("stepName")`). */
+    def nextIter(name: String)(
+        pred: (E, Map[String, Seq[E]]) => Boolean): Pattern[E] =
+      add(Step(name, _ => false, strict = true, ctxPred = Some(pred)))
+    /** Relaxed-contiguity step with an ITERATIVE condition. */
+    def followedByIter(name: String)(
+        pred: (E, Map[String, Seq[E]]) => Boolean): Pattern[E] =
+      add(Step(name, _ => false, strict = false, ctxPred = Some(pred)))
     /** Negative condition (Pattern.notFollowedBy, Pattern.java:252): if a
       * matching event arrives before the NEXT declared step matches, the
       * partial dies. Must be followed by another step (as in the
@@ -119,19 +139,32 @@ object Cep {
       * the step matches events satisfying either predicate. */
     def or(pred2: E => Boolean): Pattern[E] = {
       val s = steps.last
-      val base = s.pred
-      new Pattern(steps.init :+ s.copy(pred = e => base(e) || pred2(e)),
-        withinMs, pendingNot)
+      val updated = s.ctxPred match {
+        case Some(f) =>
+          val g: (E, Map[String, Seq[E]]) => Boolean =
+            (e, c) => f(e, c) || pred2(e)
+          s.copy(ctxPred = Some(g))
+        case None =>
+          val base = s.pred
+          s.copy(pred = (e: E) => base(e) || pred2(e))
+      }
+      new Pattern(steps.init :+ updated, withinMs, pendingNot)
     }
     /** Subtype condition on the previous step (Pattern.subtype,
       * Pattern.java:180): the step additionally requires the event to be an
       * instance of `S`. */
     def subtype[S <: E](implicit ct: scala.reflect.ClassTag[S]): Pattern[E] = {
       val s = steps.last
-      val base = s.pred
-      new Pattern(
-        steps.init :+ s.copy(pred = e => ct.runtimeClass.isInstance(e) && base(e)),
-        withinMs, pendingNot)
+      val updated = s.ctxPred match {
+        case Some(f) =>
+          val g: (E, Map[String, Seq[E]]) => Boolean =
+            (e, c) => ct.runtimeClass.isInstance(e) && f(e, c)
+          s.copy(ctxPred = Some(g))
+        case None =>
+          val base = s.pred
+          s.copy(pred = (e: E) => ct.runtimeClass.isInstance(e) && base(e))
+      }
+      new Pattern(steps.init :+ updated, withinMs, pendingNot)
     }
     /** Relaxed repetition contiguity for the previous quantified step
       * (the reference's DEFAULT for oneOrMore/times — IterativeCondition
@@ -203,10 +236,25 @@ object Cep {
     */
   def advance[E](pattern: Pattern[E], partials: Vector[Partial[E]],
       e: E, ts: Long): (Vector[Partial[E]], Vector[Vector[Vector[E]]]) = {
+    // Iterative-condition context for a partial: step name → events
+    // matched so far in this branch (empty for not-yet-entered steps).
+    // Built lazily per evaluation via Step.eval — plain predicates never
+    // pay for it.
+    def ctxOf(groups: Vector[Vector[E]]): Map[String, Seq[E]] = {
+      val b = Map.newBuilder[String, Seq[E]]
+      var i = 0
+      while (i < pattern.steps.size) {
+        b += pattern.steps(i).name ->
+          (if (i < groups.size) groups(i) else Vector.empty[E])
+        i += 1
+      }
+      b.result()
+    }
+    lazy val emptyCtx: Map[String, Seq[E]] = ctxOf(Vector.empty)
     // fast path: nothing pending and the event can't start a pattern —
     // zero allocation (most events in a filtered stream hit this or the
     // pruned-empty case, and the NFA runs once per event per key)
-    if (partials.isEmpty && !pattern.steps.head.pred(e))
+    if (partials.isEmpty && !pattern.steps.head.eval(e, emptyCtx))
       return (Vector.empty, Vector.empty)
     val alive = pattern.withinMs match {
       case None => partials
@@ -227,7 +275,8 @@ object Cep {
       val untilHit = s.looping && s.untilPred.exists(_(e))
 
       // 1) greedily extend the current run
-      val extended = !untilHit && p.runOpen && reps < s.maxReps && s.pred(e)
+      val extended = !untilHit && p.runOpen && reps < s.maxReps &&
+        s.eval(e, ctxOf(p.groups))
       if (extended) {
         val g2 = p.groups.updated(p.stepIdx, p.groups.last :+ e)
         val capped = reps + 1 == s.maxReps
@@ -262,7 +311,7 @@ object Cep {
             var transitioned = false
             while (scanning && j <= lastIdx) {
               val sj = pattern.steps(j)
-              if (sj.pred(e)) {
+              if (sj.eval(e, ctxOf(p.groups))) {
                 val g2 = p.groups ++
                   Vector.fill(j - p.stepIdx - 1)(Vector.empty[E]) :+ Vector(e)
                 val trailingOptional =
@@ -297,7 +346,8 @@ object Cep {
               } // strict next step, no match: partial dies
             }
           } // banned: partial dies (notFollowedBy)
-        } else if (s.looping && p.runOpen && (!s.pred(e) || untilHit)) {
+        } else if (s.looping && p.runOpen &&
+          (!s.eval(e, ctxOf(p.groups)) || untilHit)) {
           if (s.relaxedReps && !untilHit) {
             out += p // relaxed gap inside the final run: skip the event
           } else if (!s.allPrefixes) {
@@ -305,7 +355,7 @@ object Cep {
           } // run (greedy mode; allPrefixes already emitted every prefix)
         }
       } else if (!extended && s.multiRep && s.relaxedReps && p.runOpen &&
-        !untilHit && !s.pred(e)) {
+        !untilHit && !s.eval(e, ctxOf(p.groups))) {
         out += p // relaxed gap inside a not-yet-satisfied run
       }
       // otherwise: run not yet satisfied and the event didn't extend it —
@@ -314,7 +364,7 @@ object Cep {
 
     // 3) every matching event also opens a fresh partial (noSkip)
     val s0 = pattern.steps.head
-    if (s0.pred(e)) {
+    if (s0.eval(e, emptyCtx)) {
       val g = Vector(Vector(e))
       if (pattern.steps.size == 1 && !s0.looping && s0.maxReps == 1)
         matches += g

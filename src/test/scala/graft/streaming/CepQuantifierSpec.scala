@@ -216,6 +216,39 @@ class CepQuantifierSpec extends SparkSuite {
       Seq(Seq(40), Seq(41, 43), Seq(44))))
   }
 
+  test("port: iterative condition over prior step's events " +
+      "(IterativeConditionsITCase testIterativeWithPrevPatternDependency)") {
+    // start(1.0)@1 start(2.0)@2 end@4; end fires only when the matched
+    // starts' prices sum to >= 2.0 — reference expects {s1 s2 end}, {s2 end}
+    val s1 = RE(40, "start", 1.0); val s2 = RE(41, "start", 2.0)
+    val end = RE(46, "end", 1.0)
+    val p = Pattern.begin[RE]("start")(_.name == "start").oneOrMore.allPrefixes
+      .followedByIter("end") { (e, ctx) =>
+        e.name == "end" && ctx("start").map(_.price).sum >= 2.0
+      }
+    val got = feed(p, Seq(s1 -> 1L, s2 -> 2L, end -> 4L)).map(names)
+    assert(got.toSet === Set(
+      Seq(Seq(40, 41), Seq(46)), Seq(Seq(41), Seq(46))))
+  }
+
+  test("iterative condition composes with the or combinator") {
+    // start price 1.0 fails the iterative 'a' branch (needs price > 4),
+    // so only the or'd 'b' branch can complete the pattern
+    val sLow = RE(1, "s", 1.0)
+    val a = RE(2, "a", 1.0); val b = RE(3, "b", 0.0)
+    val p = Pattern.begin[RE]("s")(_.name == "s")
+      .followedByIter("m") { (e, ctx) =>
+        e.name == "a" && ctx("s").exists(_.price > 4.0)
+      }.or(_.name == "b")
+    val got = feed(p, Seq(sLow -> 1L, a -> 2L, b -> 3L)).map(names)
+    assert(got.toSet === Set(Seq(Seq(1), Seq(3))))
+    // with a high-price start, 'a' satisfies the iterative branch first
+    // (followedBy = first occurrence, so the partial is then consumed)
+    val sHigh = RE(1, "s", 5.0)
+    val got2 = feed(p, Seq(sHigh -> 1L, a -> 2L, b -> 3L)).map(names)
+    assert(got2.toSet === Set(Seq(Seq(1), Seq(2))))
+  }
+
   // feed for arbitrary event types (the RE-typed feed is above)
   private def feed2[E](pattern: Pattern[E], events: Seq[(E, Long)]):
       Vector[Vector[Vector[E]]] = {
