@@ -167,6 +167,50 @@ object GraphOps {
     ranks
   }
 
+  /** Vertex-centric (scatter-gather / Pregel) iteration surface
+    * (reference: Graph.runScatterGatherIteration, Graph.java:1730, and
+    * runVertexCentricIteration — ScatterFunction.sendMessageToAllNeighbors
+    * / GatherFunction.updateVertex): the generic API the concrete
+    * algorithms above are specializations of.
+    *
+    *  - scatter: every vertex sends `msg(state)` along its out-edges
+    *  - gather:  per target vertex, messages combine via the `merge`
+    *    aggregate expression
+    *  - apply:   `update(oldState, mergedMsg)` (mergedMsg NULL when no
+    *    messages arrived — Flink vertices simply don't update then)
+    *
+    * Each superstep = one key-partitioned join + one aggregate, O(E)
+    * shuffled bytes; rounds materialize via localCheckpoint like every
+    * iteration here. Fixed `supersteps` (the reference's
+    * setMaximumNumberOfIterations contract; algorithms needing
+    * convergence detection fold it into the state like
+    * [[connectedComponents]]'s label sum).
+    *
+    * @param edges    directed (src, dst) — undirect upstream for
+    *                 symmetric propagation
+    * @param initial  (id, state) initial vertex states
+    */
+  def scatterGather(spark: SparkSession, edges: DataFrame, initial: DataFrame,
+      supersteps: Int)(
+      msg: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      merge: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      update: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .cache()
+    var verts = materialize(
+      initial.select(col("id").cast("long"), col("state")))
+    for (_ <- 1 to supersteps) {
+      val msgs = e.join(verts, e("src") === verts("id"))
+        .select(col("dst").as("mid"), msg(col("state")).as("m"))
+        .groupBy(col("mid")).agg(merge(col("m")).as("msg"))
+      verts = materialize(verts.join(msgs, verts("id") === col("mid"), "left")
+        .select(col("id"), update(col("state"), col("msg")).as("state")))
+    }
+    e.unpersist()
+    verts
+  }
+
   /** Integer-scaled PageRank (the oracle-able twin of [[pageRank]], same
     * determinism idea as [[hits]]): ranks live as scaled integers
     * (`scale` = 1.0) and every division is an explicit floor — so a SQL

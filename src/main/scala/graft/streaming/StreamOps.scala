@@ -85,6 +85,28 @@ object StreamOps {
       expr(s"$leftKey = $rightKey AND " +
         s"$rightTs BETWEEN $leftTs - INTERVAL $lower AND $leftTs + INTERVAL $upper"))
 
+  /** Outer interval join (the reference's outer TimeBoundedStreamJoin /
+    * windowed outer joins, which 1.6 could only express time-bounded):
+    * [[intervalJoin]] with left/right/full outer semantics. Spark emits
+    * the null-padded side once the watermark guarantees no match can
+    * arrive — both inputs MUST carry watermarks, and the time-range
+    * predicate is what bounds the join state (unbounded streaming outer
+    * joins without a time bound stay impossible, same as the
+    * reference). */
+  def intervalJoinOuter(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      lower: String, upper: String,
+      joinType: String): DataFrame = {
+    require(Seq("left_outer", "right_outer", "full_outer").contains(joinType),
+      s"outer join type expected, got $joinType")
+    left.join(right,
+      expr(s"$leftKey = $rightKey AND " +
+        s"$rightTs BETWEEN $leftTs - INTERVAL $lower AND $leftTs + INTERVAL $upper"),
+      joinType)
+  }
+
   /** Keyed process function: per-key state + timeout timers, the analog of
     * `KeyedProcessFunction.processElement/onTimer`. The `fn` receives
     * (key, new events iterator, state handle) and emits zero or more
@@ -97,6 +119,33 @@ object StreamOps {
       mode: OutputMode = OutputMode.Append())(
       fn: (K, Iterator[I], GroupState[S]) => Iterator[O]): Dataset[O] =
     ds.groupByKey(key).flatMapGroupsWithState[S, O](mode, timeout)(fn)
+
+  /** Two-input keyed process with SHARED per-key state (reference:
+    * `a.connect(b).keyBy(...).process(CoProcessFunction)` —
+    * KeyedCoProcessOperator, processElement1/processElement2 over the
+    * same keyed state). Both sides are tagged into one union and
+    * processed per key per micro-batch; `fn` sees the key, this batch's
+    * elements from each side, and the state handle (set a timeout for
+    * onTimer-style callbacks, as in [[keyedProcess]]). The reference
+    * makes no cross-input ordering guarantee; here side A's batch
+    * elements precede side B's within an invocation. */
+  def connectProcess[K: Encoder, A, B, S: Encoder, O: Encoder](
+      left: Dataset[A], right: Dataset[B], keyA: A => K, keyB: B => K,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout(),
+      mode: OutputMode = OutputMode.Append())(
+      fn: (K, Seq[A], Seq[B], GroupState[S]) => Iterator[O])(
+      implicit tagEnc: Encoder[(Option[A], Option[B])]): Dataset[O] = {
+    val tagged = left.map(a => (Option(a), Option.empty[B]))
+      .union(right.map(b => (Option.empty[A], Option(b))))
+    tagged
+      .groupByKey((t: (Option[A], Option[B])) =>
+        t._1.map(keyA).getOrElse(keyB(t._2.get)))
+      .flatMapGroupsWithState[S, O](mode, timeout) {
+        (k: K, it: Iterator[(Option[A], Option[B])], state: GroupState[S]) =>
+          val buf = it.toVector
+          fn(k, buf.flatMap(_._1), buf.flatMap(_._2), state)
+      }
+  }
 
   /** Side-output routing (OutputTag / split-select,
     * SingleOutputStreamOperator.java:409): Spark has no in-plan multi-way

@@ -90,6 +90,39 @@ class GraphSpec extends SparkSuite {
     assert(again === lbl)
   }
 
+  test("scatterGather expresses connected components (vertex-centric API parity)") {
+    // min-label propagation as a generic scatter-gather program
+    val und = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+    val initial = und.select($"src".as("id")).distinct()
+      .withColumn("state", $"id")
+    val sg = GraphOps.scatterGather(spark, und, initial, supersteps = 10)(
+      msg = identity,
+      merge = min,
+      update = (state, msg) => least(state, coalesce(msg, state)))
+      .as[(Long, Long)].collect().toMap
+    val cc = GraphOps.connectedComponents(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(sg === cc)
+  }
+
+  test("scatterGather expresses SSSP hop counts") {
+    val und = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+    val initial = und.select($"src".as("id")).distinct()
+      .withColumn("state",
+        when($"id" === 1L, 0.0).otherwise(lit(Double.MaxValue)))
+    val sg = GraphOps.scatterGather(spark, und, initial, supersteps = 10)(
+      msg = s => when(s < Double.MaxValue, s + 1.0).otherwise(s),
+      merge = min,
+      update = (state, msg) => least(state, coalesce(msg, state)))
+      .where($"state" < Double.MaxValue)
+      .as[(Long, Double)].collect().toMap
+    val dist = GraphOps.sssp(spark, edges, 1L)
+      .as[(Long, Double)].collect().toMap
+    assert(sg === dist)
+  }
+
   test("trade-graph edges alternate customer(even) / supplier(odd) ids") {
     val e = GraphQueries.tradeEdges(spark, sf).as[(Long, Long)].collect()
     assert(e.nonEmpty)

@@ -104,6 +104,62 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("connectProcess shares keyed state between two inputs (CoProcessFunction)") {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val tagEnc: org.apache.spark.sql.Encoder[(Option[(Long, Double)], Option[(Long, Double)])] =
+      ExpressionEncoder()
+    // control stream sets a per-key threshold; data stream emits values
+    // above the latest threshold for its key (default 0.0) — the classic
+    // CoProcessFunction composition, driven per-key via shared state
+    val control = Seq((1L, 5.0), (2L, 100.0)).toDS()
+    val data = Seq((1L, 3.0), (1L, 7.0), (2L, 50.0), (3L, 1.0)).toDS()
+    val out = StreamOps.connectProcess[Long, (Long, Double), (Long, Double),
+      Double, (Long, Double)](
+      control, data, _._1, _._1)(
+      (k, ctrl, rows, state) => {
+        ctrl.lastOption.foreach(c => state.update(c._2))
+        val threshold = state.getOption.getOrElse(0.0)
+        rows.filter(_._2 > threshold).iterator
+      }).collect().toSet
+    // key 1: threshold 5 → only 7.0; key 2: threshold 100 → nothing;
+    // key 3: no control → default 0 → 1.0 passes
+    assert(out === Set((1L, 7.0), (3L, 1.0)))
+  }
+
+  test("left-outer interval join emits unmatched rows null-padded after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[Click]
+    val ships = MemoryStream[Click]
+    val joined = StreamOps.intervalJoinOuter(
+      StreamOps.withEventTime(orders.toDF().toDF("o_user", "o_kind", "o_ts", "o_v"), "o_ts", "10 minutes"),
+      StreamOps.withEventTime(ships.toDF().toDF("s_user", "s_kind", "s_ts", "s_v"), "s_ts", "10 minutes"),
+      "o_user", "s_user", "o_ts", "s_ts", "'0' MINUTE", "'30' MINUTE",
+      "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ijo_out").start()
+    try {
+      orders.addData(
+        Click(1, "matched", t("2024-01-01 00:00:00"), 0),
+        Click(2, "unmatched", t("2024-01-01 00:00:00"), 0))
+      ships.addData(Click(1, "ship", t("2024-01-01 00:20:00"), 0))
+      q.processAllAvailable()
+      // push both watermarks far past the join window so user 2's
+      // null-padded row becomes final
+      orders.addData(Click(9, "late-driver", t("2024-01-01 06:00:00"), 0))
+      ships.addData(Click(9, "late-driver", t("2024-01-01 06:00:00"), 0))
+      q.processAllAvailable()
+      ships.addData(Click(9, "x", t("2024-01-01 07:00:00"), 0))
+      q.processAllAvailable()
+      val got = spark.table("ijo_out")
+        .select($"o_user", $"o_kind", $"s_kind")
+        .as[(Long, String, Option[String])].collect()
+        .filter(r => r._1 == 1L || r._1 == 2L).toSet
+      assert(got.contains((1L, "matched", Some("ship"))))
+      assert(got.contains((2L, "unmatched", None)),
+        s"unmatched left row must surface null-padded, got $got")
+    } finally q.stop()
+  }
+
   test("windowed stream-stream join pairs events in the same tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val l = MemoryStream[Click]
