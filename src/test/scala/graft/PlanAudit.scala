@@ -1,22 +1,61 @@
 package graft
+
+/** Physical-plan audit of the claims the docs make: pushdown reaches the
+  * scan, constant-size dims broadcast, top-k plans as TakeOrderedAndProject,
+  * similarity queries contain NO unconditioned cross join, and the planned
+  * CEP operator gets exactly one shuffle + one sort from EnsureRequirements.
+  * Prints PASS/FAIL per assertion; exit code 1 if any fail. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val s = Engine.session(8)
     val d = "/root/testdata/sf0.01"
-    def plan(name: String): String = {
-      val p = SparkEntry.queries(name)(s, d).queryExecution.executedPlan.toString
-      println(s"===== $name =====")
-      println(p.linesIterator.take(45).mkString("\n")); p
+    var failed = 0
+    def plan(name: String): String =
+      SparkEntry.queries(name)(s, d).queryExecution.executedPlan.toString
+    def check(label: String, ok: Boolean): Unit = {
+      println(s"${if (ok) "PASS" else "FAIL"}  $label")
+      if (!ok) failed += 1
     }
+
     val q1 = plan("q1_pricing_summary")
-    println("q1 pushed filter: " + q1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    check("q1 filter pushed to parquet scan",
+      q1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
     val q9 = plan("q9_revenue_by_nation")
-    println("q9 broadcast: " + q9.contains("BroadcastHashJoin"))
+    check("q9 dimension join broadcasts", q9.contains("BroadcastHashJoin"))
     val q22 = plan("q22_topk")
-    println("q22 takeOrdered: " + q22.contains("TakeOrderedAndProject"))
-    val qe2 = SparkEntry.queries("qe2_knn_brute")(s, d).queryExecution.executedPlan.toString
-    println("qe2 broadcast NLJ: " + qe2.contains("BroadcastNestedLoopJoin"))
-    println("qe2 whole plan joins: " + qe2.linesIterator.filter(_.contains("Join")).mkString(" | "))
+    check("q22 top-k plans as TakeOrderedAndProject",
+      q22.contains("TakeOrderedAndProject"))
+    val qe2 = plan("qe2_knn_brute")
+    check("qe2 bounded query side broadcasts (BNLJ acceptable: 20-row side)",
+      qe2.contains("BroadcastNestedLoopJoin") || qe2.contains("BroadcastHashJoin"))
+
+    // similarity/dedup: the scale claims — no unconditioned cross joins
+    for (name <- Seq("qe5_cosine_dedup", "qp4_minhash_pairs",
+        "qp5_ngram_jaccard")) {
+      val p = plan(name)
+      check(s"$name has no Cartesian product", !p.contains("CartesianProduct"))
+      check(s"$name has no broadcast nested-loop join",
+        !p.contains("BroadcastNestedLoopJoin"))
+    }
+
+    // planned CEP operator: exactly one exchange + one sort below CepExec
+    val qc3 = plan("qc3_cep_planned")
+    val cepIdx = qc3.linesIterator.indexWhere(_.contains("- Cep "))
+    val below = qc3.linesIterator.toVector.drop(cepIdx)
+    check("qc3 has a CepExec node", cepIdx >= 0)
+    check("qc3 exactly one shuffle below CepExec",
+      below.count(_.contains("Exchange hashpartitioning")) == 1)
+    check("qc3 exactly one sort below CepExec",
+      below.count(_.contains("Sort [")) == 1)
+
+    // frame sampling: scan should prune to the two referenced columns
+    val qm2 = plan("qm2_frame_sample")
+    check("qm2 scan reads only doc_id + text",
+      qm2.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+
     s.stop()
+    if (failed > 0) {
+      println(s"$failed plan assertions FAILED"); sys.exit(1)
+    } else println("all plan assertions passed")
   }
 }
