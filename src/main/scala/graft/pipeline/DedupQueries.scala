@@ -162,7 +162,9 @@ object DedupQueries extends QueryModule {
          |    ON x.lang = y.lang AND x.band = y.band AND x.bv = y.bv
          |    AND x.doc_id < y.doc_id
          |  WHERE x.bv <> ''),
-         |shd AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shx),
+         |shd AS (SELECT DISTINCT doc_id,
+         |    unhex(substr(md5(s0), 1, 16)) AS s
+         |  FROM (SELECT doc_id, unnest(sh) AS s0 FROM shx) u),
          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
          |inter AS (SELECT c.lang, c.doc_a, c.doc_b, COUNT(*) AS ni
          |  FROM cand c JOIN shd a ON a.doc_id = c.doc_a
@@ -197,7 +199,16 @@ object DedupQueries extends QueryModule {
         .select(col("x.lang").as("lang"), col("x.doc_id").as("doc_a"),
           col("y.doc_id").as("doc_b"))
         .distinct()
-      val shd = docs.select(col("doc_id"), explode(col("sh")).as("s")).distinct()
+      // inverted-index rows carry an 8-byte md5-prefix surrogate instead
+      // of the shingle STRING: ~3× narrower join/shuffle keys for the
+      // verify join. unhex(substr(md5, 1, 16)) is bit-identical in both
+      // engines, so even a (astronomically unlikely, ~2^-37 here) 64-bit
+      // collision affects both sides identically and the oracle stays
+      // exact.
+      val shd = docs.select(col("doc_id"), explode(col("sh")).as("s0"))
+        .select(col("doc_id"),
+          unhex(substring(md5(col("s0")), 1, 16)).as("s"))
+        .distinct()
         .cache() // reused by cnt and both intersection sides
       val cnt = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = cand
