@@ -39,6 +39,8 @@ object GraftFunctions {
       exprs => MinHashBands(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_hyperplane_bands",
       exprs => HyperplaneBands(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_split_rows",
+      exprs => SplitRows(exprs(0), exprs(1)), "scala_udf")
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -202,6 +204,43 @@ case class MinHashBands(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Native Catalyst table function (UDTF): split a string into one row per
+  * token — the reference's canonical `TableFunction` example (`Split` in
+  * the flink-table UDTF docs; TableFunction.java:41 collect()-per-row).
+  * A true `Generator` expression, so the planner runs it in a `Generate`
+  * node exactly like explode — per-partition, no UDF-wrapping, usable
+  * from SQL (`LATERAL VIEW graft_split_rows(text, ' ')`) and the column
+  * API. NULL input or delimiter yields no rows (Flink: no collect). */
+case class SplitRows(child: Expression, delim: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.Generator
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child, delim)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && delim.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_split_rows expects (string, string), got " +
+        s"${child.dataType} / ${delim.dataType}")
+
+  override def elementSchema: StructType =
+    StructType(StructField("token", StringType, nullable = false) :: Nil)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow):
+      IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val s = child.eval(input).asInstanceOf[UTF8String]
+    val d = delim.eval(input).asInstanceOf[UTF8String]
+    if (s == null || d == null) Nil
+    else s.split(d, -1).toSeq
+      .map(t => org.apache.spark.sql.catalyst.InternalRow(t))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), delim = newChildren(1))
 }
 
 /** Random-hyperplane LSH band keys of a float embedding in one pass:

@@ -259,6 +259,26 @@ object ScalarQueries extends QueryModule {
             |  e -> concat(CAST(e.key AS STRING), ':', CAST(e.value AS STRING))), ',')""".stripMargin)
           .as("multiset"))
         .orderBy(col("l_orderkey"))
+    },
+
+    // UDTF through a NATIVE Catalyst Generator (reference: TableFunction
+    // `Split` from the flink-table UDTF docs — collect() per row): the
+    // planner runs graft.functions.SplitRows inside a Generate node like
+    // explode, not a UDF-wrapped array. Counted per token so the output
+    // is deterministic.
+    q("qs9_udtf_split",
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id < 100)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      t(s, d, "documents")
+        .where(col("doc_id") < 100)
+        .select(expr("graft_split_rows(text, ' ')").as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(30)
     }
   )
 }

@@ -85,4 +85,20 @@ class ExpressionsSpec extends SparkSuite {
       .as[(Seq[String], Seq[String])].collect()
     rows.foreach { case (n, l) => assert(n == l) }
   }
+
+  test("SplitRows is a true Generator: plans as Generate, matches explode(split)") {
+    GraftFunctions.register(spark)
+    val df = Seq("a b c", "x y", "", "solo").toDF("text")
+    val viaGen = df.select(expr("graft_split_rows(text, ' ')").as("token"))
+    assert(viaGen.queryExecution.executedPlan.toString.contains("Generate"),
+      "the UDTF must run in a Generate node, not a UDF projection")
+    val got = viaGen.as[String].collect().sorted.toSeq
+    val expected = df.select(explode(split($"text", " ")).as("t"))
+      .as[String].collect().sorted.toSeq
+    assert(got == expected)
+    // NULL input produces no rows (Flink TableFunction: no collect call)
+    val withNull = Seq(Some("a b"), None).toDF("text")
+    assert(withNull.select(expr("graft_split_rows(text, ' ')"))
+      .count() == 2)
+  }
 }
