@@ -22,6 +22,37 @@ class UdafSpec extends SparkSuite {
     assert(math.abs(got - 2.5) < 1e-12) // (1*1 + 3*3) / 4
   }
 
+  test("HLL sketch estimates distinct counts within error bounds") {
+    Udafs.register(spark)
+    val n = 50000
+    val est = spark.range(n)
+      .selectExpr("CAST(id AS STRING) AS s")
+      .agg(expr("graft_hll(s)")).as[Long].head()
+    // p=12 → standard error ~1.6%; allow 5 sigma
+    assert(math.abs(est - n).toDouble / n < 0.08,
+      s"HLL estimate $est too far from $n")
+    // small cardinalities go through linear counting: near-exact
+    val small = spark.range(100).selectExpr("CAST(id AS STRING) AS s")
+      .agg(expr("graft_hll(s)")).as[Long].head()
+    assert(math.abs(small - 100) <= 2, s"small-range estimate was $small")
+  }
+
+  test("HLL sketches merge: overlapping partial sketches combine by register max") {
+    // the property that matters at 100 TB: per-shard sketches built
+    // independently (different days/tables) merge into the exact sketch
+    // the union would have produced — duplicates across shards collapse
+    val agg = new Udafs.HllAgg()
+    var s1 = agg.zero
+    var s2 = agg.zero
+    (0 until 30000).foreach(i => s1 = agg.reduce(s1, i.toString))
+    (15000 until 45000).foreach(i => s2 = agg.reduce(s2, i.toString))
+    val est = agg.finish(agg.merge(s1.clone, s2))
+    assert(math.abs(est - 45000).toDouble / 45000 < 0.08,
+      s"merged estimate $est vs exact 45000")
+    // self-merge changes nothing (idempotent register max)
+    assert(agg.finish(agg.merge(s1.clone, s1)) == agg.finish(s1))
+  }
+
   test("scalar UDF registration surface (ScalarFunction parity)") {
     spark.udf.register("graft_double_it", (x: Long) => x * 2)
     val got = spark.sql("SELECT graft_double_it(21)").as[Long].head()
