@@ -458,6 +458,47 @@ object StreamOps {
       keys: Seq[String]): DataFrame =
     stream.join(broadcast(control), keys, "left")
 
+  /** Broadcast MAP state updated by a control STREAM (the reference's
+    * full KeyedBroadcastProcessFunction contract: processBroadcastElement
+    * updates a MapState replicated to every task; processElement reads
+    * it). The rules map lives driver-side across micro-batches — control
+    * streams are low-volume by definition (the reference replicates them
+    * to every parallel instance for the same reason) — and is shipped
+    * into each batch's tasks via closure broadcast. Recovery: replay the
+    * control stream (rule updates are last-write-wins idempotent) or
+    * snapshot [[BroadcastRules.current]] with the checkpoint. */
+  final class BroadcastRules[K, R] extends Serializable {
+    @volatile private var map: Map[K, R] = Map.empty
+    def current: Map[K, R] = map
+    private[StreamOps] def apply(updates: Seq[(K, R)]): Unit =
+      synchronized { map ++= updates }
+  }
+
+  /** foreachBatch body wiring a tagged control+data union through the
+    * broadcast-state pattern: control elements of the batch update
+    * `rules` FIRST (reference processBroadcastElement ordering within a
+    * batch is likewise unspecified vs data — we give control priority),
+    * then every data element is processed DISTRIBUTED against the
+    * updated map (shipped to tasks by closure broadcast; only the
+    * low-volume control side ever touches the driver). Outputs of each
+    * batch go to `sink` as a Dataset. Use with
+    * `union.writeStream.foreachBatch(broadcastProcess(...))` where
+    * `union = control.map(c => (Some(c), None)) union data.map(d =>
+    * (None, Some(d)))` (the [[connectProcess]] tagging). */
+  def broadcastProcess[C, D, K, R, O](
+      rules: BroadcastRules[K, R],
+      toRule: C => (K, R),
+      process: (D, Map[K, R]) => IterableOnce[O])(
+      sink: Dataset[O] => Unit)(
+      implicit cEnc: Encoder[C], dEnc: Encoder[D], oEnc: Encoder[O]):
+      (Dataset[(Option[C], Option[D])], Long) => Unit =
+    (batch: Dataset[(Option[C], Option[D])], _: Long) => {
+      val ctrl = batch.flatMap(_._1.toSeq).collect() // control side: tiny
+      rules(ctrl.map(toRule).toSeq)
+      val snapshot = rules.current
+      sink(batch.flatMap(_._2.toSeq).flatMap(d => process(d, snapshot)))
+    }
+
   /** Ordered async I/O (AsyncDataStream.orderedWait, AsyncDataStream
     * .java:102): per-partition pipelined lookups with up to `parallelism`
     * requests in flight, emitting results in input order. The async client

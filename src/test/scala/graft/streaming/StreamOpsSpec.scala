@@ -104,6 +104,41 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("broadcastProcess: control stream updates rules applied to later batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val tagEnc: org.apache.spark.sql.Encoder[(Option[(String, Double)], Option[(String, Double)])] =
+      ExpressionEncoder()
+    val control = MemoryStream[(String, Double)] // (kind, threshold)
+    val data = MemoryStream[(String, Double)] // (kind, value)
+    val union = control.toDS().map(c => (Option(c), Option.empty[(String, Double)]))
+      .union(data.toDS().map(d => (Option.empty[(String, Double)], Option(d))))
+    val rules = new StreamOps.BroadcastRules[String, Double]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val q = union.writeStream.foreachBatch(
+      StreamOps.broadcastProcess[(String, Double), (String, Double),
+        String, Double, (String, Double)](
+        rules,
+        toRule = c => (c._1, c._2),
+        process = (d, r) =>
+          if (d._2 > r.getOrElse(d._1, 0.0)) Seq(d) else Nil) {
+        ds => out.synchronized { out ++= ds.collect() }; ()
+      }).start()
+    try {
+      control.addData(("a", 5.0))
+      q.processAllAvailable()
+      data.addData(("a", 3.0), ("a", 7.0), ("b", 1.0))
+      q.processAllAvailable()
+      // rule for a = 5 → only 7.0 passes; no rule for b → default 0 → 1.0
+      assert(out.toSet === Set(("a", 7.0), ("b", 1.0)))
+      control.addData(("b", 10.0)) // rule update changes later batches
+      q.processAllAvailable()
+      data.addData(("b", 5.0), ("b", 11.0))
+      q.processAllAvailable()
+      assert(out.toSet === Set(("a", 7.0), ("b", 1.0), ("b", 11.0)))
+    } finally q.stop()
+  }
+
   test("connectProcess shares keyed state between two inputs (CoProcessFunction)") {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     implicit val tagEnc: org.apache.spark.sql.Encoder[(Option[(Long, Double)], Option[(Long, Double)])] =
