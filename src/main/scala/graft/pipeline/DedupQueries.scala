@@ -230,6 +230,45 @@ object DedupQueries extends QueryModule {
         .orderBy(col("lang"), col("rnk"))
     },
 
+    // The dedup END-GAME: LSH candidate pairs → connected components →
+    // one canonical survivor (min doc_id) per near-duplicate cluster —
+    // what a 100 TB pipeline actually executes to drop near-dups. Reuses
+    // the qp4 band join for pairs and the GraphOps hash-min components
+    // (O(log d) rounds); the oracle walks the same pairs with a
+    // recursive CTE. Output: every clustered doc with its canonical id.
+    q("qp8_dedup_clusters",
+      s"""${duckSig.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |bands AS (SELECT doc_id, b.band,
+         |    CASE b.band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+         |                WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bv
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |e AS (SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM e
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r)
+         |SELECT CAST(id AS BIGINT) AS doc_id,
+         |  CAST(MIN(r) AS BIGINT) AS canonical_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val bands = withShingles(t(s, d, "documents"))
+        .select(col("doc_id"),
+          posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
+      val pairs = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+        .distinct()
+      graft.graph.GraphOps.connectedComponents(s, pairs)
+        .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash-64 near-dup fingerprint: per-token md5-derived 60-bit hash,
     // bitwise majority vote → one long per doc + 4 × 16-bit LSH bands.
     // (No DuckDB oracle — bit-level hex decomposition isn't expressible
