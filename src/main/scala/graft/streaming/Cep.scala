@@ -40,7 +40,8 @@ object Cep {
       negPred: Option[E => Boolean] = None, optional: Boolean = false,
       untilPred: Option[E => Boolean] = None, allPrefixes: Boolean = false,
       relaxedReps: Boolean = false, combos: Boolean = false,
-      ctxPred: Option[(E, Map[String, Seq[E]]) => Boolean] = None) {
+      ctxPred: Option[(E, Map[String, Seq[E]]) => Boolean] = None,
+      negNextOnly: Boolean = false) {
     def looping: Boolean = maxReps > minReps || maxReps == Int.MaxValue
     /** Any repetition at all — times(n) included (looping excludes fixed
       * times(n), whose run length is exact). */
@@ -57,10 +58,12 @@ object Cep {
 
   final class Pattern[E] private[Cep] (
       val steps: Vector[Step[E]], val withinMs: Option[Long],
-      private val pendingNot: Option[E => Boolean] = None)
+      private val pendingNot: Option[E => Boolean] = None,
+      private val pendingNotNext: Boolean = false)
     extends Serializable {
     private def add(st: Step[E]): Pattern[E] =
-      new Pattern(steps :+ st.copy(negPred = pendingNot), withinMs, None)
+      new Pattern(steps :+ st.copy(negPred = pendingNot,
+        negNextOnly = pendingNotNext), withinMs, None)
     /** Strict contiguity: the very next event must match. */
     def next(name: String)(pred: E => Boolean): Pattern[E] =
       add(Step(name, pred, strict = true))
@@ -84,29 +87,36 @@ object Cep {
       * reference, which forbids terminal notFollowedBy without within). */
     def notFollowedBy(name: String)(pred: E => Boolean): Pattern[E] =
       new Pattern(steps, withinMs, Some(pred))
+    /** Strict negative condition (Pattern.notNext, Pattern.java:238):
+      * the partial dies only if the IMMEDIATELY next event (after the
+      * previous step's latest match) matches `pred`; later matches are
+      * irrelevant. Must be followed by another step, like
+      * [[notFollowedBy]]. */
+    def notNext(name: String)(pred: E => Boolean): Pattern[E] =
+      new Pattern(steps, withinMs, Some(pred), pendingNotNext = true)
     /** The previous step becomes skippable (Pattern.optional,
       * Pattern.java:319). Not supported on the final step. */
     def optional: Pattern[E] = new Pattern(
-      steps.init :+ steps.last.copy(optional = true), withinMs, pendingNot)
+      steps.init :+ steps.last.copy(optional = true), withinMs, pendingNot, pendingNotNext)
     /** The previous step must match exactly `n` consecutive occurrences
       * (Pattern.times, Pattern.java:292). */
     def times(n: Int): Pattern[E] = {
       require(n >= 1, "times(n) requires n >= 1")
       new Pattern(steps.init :+ steps.last.copy(minReps = n, maxReps = n),
-        withinMs, pendingNot)
+        withinMs, pendingNot, pendingNotNext)
     }
     /** The previous step matches one or more consecutive occurrences,
       * greedily extended (Pattern.oneOrMore, Pattern.java:340). */
     def oneOrMore: Pattern[E] = new Pattern(
       steps.init :+ steps.last.copy(minReps = 1, maxReps = Int.MaxValue),
-      withinMs, pendingNot)
+      withinMs, pendingNot, pendingNotNext)
     /** The previous step matches between `from` and `to` consecutive
       * occurrences (Pattern.times(from, to), Pattern.java:304). Greedy by
       * default: the maximal run ≤ `to` is emitted; see [[allPrefixes]]. */
     def times(from: Int, to: Int): Pattern[E] = {
       require(from >= 1 && to >= from, "times(from, to) requires 1 <= from <= to")
       new Pattern(steps.init :+ steps.last.copy(minReps = from, maxReps = to),
-        withinMs, pendingNot)
+        withinMs, pendingNot, pendingNotNext)
     }
     /** The previous step matches `n` or more consecutive occurrences
       * (Pattern.timesOrMore, Pattern.java:328). */
@@ -114,7 +124,7 @@ object Cep {
       require(n >= 1, "timesOrMore(n) requires n >= 1")
       new Pattern(
         steps.init :+ steps.last.copy(minReps = n, maxReps = Int.MaxValue),
-        withinMs, pendingNot)
+        withinMs, pendingNot, pendingNotNext)
     }
     /** Stop condition for the previous quantified step (Pattern.until,
       * Pattern.java:359): an event matching `pred` closes the run without
@@ -123,7 +133,7 @@ object Cep {
     def until(pred: E => Boolean): Pattern[E] = {
       require(steps.last.looping, "until requires a quantified step")
       new Pattern(steps.init :+ steps.last.copy(untilPred = Some(pred)),
-        withinMs, pendingNot)
+        withinMs, pendingNot, pendingNotNext)
     }
     /** Reference-default (non-greedy) emission for the previous quantified
       * step: every run prefix of length ≥ min is a match, and each loop
@@ -133,7 +143,7 @@ object Cep {
     def allPrefixes: Pattern[E] = {
       require(steps.last.looping, "allPrefixes requires a quantified step")
       new Pattern(steps.init :+ steps.last.copy(allPrefixes = true),
-        withinMs, pendingNot)
+        withinMs, pendingNot, pendingNotNext)
     }
     /** OR-condition on the previous step (Pattern.or, Pattern.java:219):
       * the step matches events satisfying either predicate. */
@@ -148,7 +158,7 @@ object Cep {
           val base = s.pred
           s.copy(pred = (e: E) => base(e) || pred2(e))
       }
-      new Pattern(steps.init :+ updated, withinMs, pendingNot)
+      new Pattern(steps.init :+ updated, withinMs, pendingNot, pendingNotNext)
     }
     /** Subtype condition on the previous step (Pattern.subtype,
       * Pattern.java:180): the step additionally requires the event to be an
@@ -164,7 +174,7 @@ object Cep {
           val base = s.pred
           s.copy(pred = (e: E) => ct.runtimeClass.isInstance(e) && base(e))
       }
-      new Pattern(steps.init :+ updated, withinMs, pendingNot)
+      new Pattern(steps.init :+ updated, withinMs, pendingNot, pendingNotNext)
     }
     /** Relaxed repetition contiguity for the previous quantified step
       * (the reference's DEFAULT for oneOrMore/times — IterativeCondition
@@ -175,7 +185,7 @@ object Cep {
     def relaxed: Pattern[E] = {
       require(steps.last.multiRep, "relaxed requires a quantified step")
       new Pattern(steps.init :+ steps.last.copy(relaxedReps = true),
-        withinMs, pendingNot)
+        withinMs, pendingNot, pendingNotNext)
     }
     /** Non-deterministic relaxed repetition (Pattern.allowCombinations,
       * Pattern.java:383 — followedByAny-style internal contiguity): every
@@ -186,14 +196,14 @@ object Cep {
       require(steps.last.multiRep, "allowCombinations requires a quantified step")
       new Pattern(
         steps.init :+ steps.last.copy(relaxedReps = true, combos = true),
-        withinMs, pendingNot)
+        withinMs, pendingNot, pendingNotNext)
     }
     /** Strict repetition contiguity (Pattern.consecutive, Pattern.java:368)
       * — the DSL default; explicit form for ported reference tests. */
     def consecutive: Pattern[E] = {
       require(steps.last.multiRep, "consecutive requires a quantified step")
       new Pattern(steps.init :+ steps.last.copy(relaxedReps = false),
-        withinMs, pendingNot)
+        withinMs, pendingNot, pendingNotNext)
     }
     /** Greedy (maximal-run-only) emission (Pattern.greedy,
       * Pattern.java:340) — the DSL default; explicit form clears a prior
@@ -201,10 +211,10 @@ object Cep {
     def greedy: Pattern[E] = {
       require(steps.last.looping, "greedy requires a quantified step")
       new Pattern(steps.init :+ steps.last.copy(allPrefixes = false),
-        withinMs, pendingNot)
+        withinMs, pendingNot, pendingNotNext)
     }
     /** Partial matches older than `ms` (vs the current event) are pruned. */
-    def within(ms: Long): Pattern[E] = new Pattern(steps, Some(ms), pendingNot)
+    def within(ms: Long): Pattern[E] = new Pattern(steps, Some(ms), pendingNot, pendingNotNext)
 
     private[Cep] def validated: Pattern[E] = {
       require(pendingNot.isEmpty,
@@ -224,7 +234,7 @@ object Cep {
     * that run can still be extended (repetition contiguity is consecutive —
     * a non-matching event closes or kills the run). */
   final case class Partial[E](startTs: Long, groups: Vector[Vector[E]],
-      runOpen: Boolean) {
+      runOpen: Boolean, virgin: Boolean = false) {
     def stepIdx: Int = groups.size - 1
   }
 
@@ -283,14 +293,17 @@ object Cep {
         if (p.stepIdx == lastIdx) {
           if (s.allPrefixes) { if (reps + 1 >= s.minReps) matches += g2 }
           else if (capped) matches += g2 // times(n) / times(from,to) full
-          if (!capped) out += Partial(p.startTs, g2, runOpen = true)
+          if (!capped) out += Partial(p.startTs, g2, runOpen = true,
+            virgin = true)
         } else {
           // reference-default branching: extending a satisfied run also
           // forks a stopped copy that can transition on a later event
           // (subsumed by the open combos fork below when enabled)
           if (s.allPrefixes && s.looping && reps >= s.minReps && !s.combos)
             out += Partial(p.startTs, p.groups, runOpen = false)
-          out += Partial(p.startTs, g2, runOpen = !capped)
+          // virgin: the next event is "immediately after" this step's
+          // latest match — the reference point for a following notNext
+          out += Partial(p.startTs, g2, runOpen = !capped, virgin = true)
         }
         // allowCombinations: the event may also be SKIPPED — fork the
         // unextended run still open, so later events form combinations
@@ -302,7 +315,10 @@ object Cep {
       if (reps >= s.minReps) {
         if (p.stepIdx < lastIdx) {
           val immediate = pattern.steps(p.stepIdx + 1)
-          val banned = immediate.negPred.exists(_(e))
+          // notFollowedBy bans any time before the next step matches;
+          // notNext only bans the event immediately after entry/extension
+          val banned = immediate.negPred.exists(_(e)) &&
+            (!immediate.negNextOnly || p.virgin)
           if (!banned) {
             // candidate targets: the next step plus anything reachable by
             // skipping optional steps (empty groups keep names aligned)
@@ -321,13 +337,14 @@ object Cep {
                   val padded = g2 ++
                     Vector.fill(lastIdx - j)(Vector.empty[E])
                   matches += padded
-                  if (j < lastIdx) out += Partial(p.startTs, g2, runOpen = true)
+                  if (j < lastIdx)
+                    out += Partial(p.startTs, g2, runOpen = true, virgin = true)
                 } else {
                   // entering a final allPrefixes loop: the length-1 run is
                   // already a match when min <= 1 (extensions emit the rest)
                   if (j == lastIdx && sj.looping && sj.allPrefixes &&
                     sj.minReps <= 1) matches += g2
-                  out += Partial(p.startTs, g2, runOpen = true)
+                  out += Partial(p.startTs, g2, runOpen = true, virgin = true)
                 }
                 transitioned = true
               }
@@ -349,14 +366,17 @@ object Cep {
         } else if (s.looping && p.runOpen &&
           (!s.eval(e, ctxOf(p.groups)) || untilHit)) {
           if (s.relaxedReps && !untilHit) {
-            out += p // relaxed gap inside the final run: skip the event
+            // relaxed gap inside the final run: skip the event (no
+            // longer virgin for a notNext — an event intervened)
+            out += (if (p.virgin) p.copy(virgin = false) else p)
           } else if (!s.allPrefixes) {
             matches += p.groups // breaking/until event completes the maximal
           } // run (greedy mode; allPrefixes already emitted every prefix)
         }
       } else if (!extended && s.multiRep && s.relaxedReps && p.runOpen &&
         !untilHit && !s.eval(e, ctxOf(p.groups))) {
-        out += p // relaxed gap inside a not-yet-satisfied run
+        // relaxed gap inside a not-yet-satisfied run
+        out += (if (p.virgin) p.copy(virgin = false) else p)
       }
       // otherwise: run not yet satisfied and the event didn't extend it —
       // partial dies (consecutive repetition contiguity, the DSL default)
@@ -371,7 +391,7 @@ object Cep {
       else {
         if (pattern.steps.size == 1 && s0.looping && s0.allPrefixes &&
           s0.minReps <= 1) matches += g
-        out += Partial(ts, g, runOpen = true)
+        out += Partial(ts, g, runOpen = true, virgin = true)
       }
     }
     (out.result(), matches.result())

@@ -249,6 +249,35 @@ class CepQuantifierSpec extends SparkSuite {
     assert(got2.toSet === Set(Seq(Seq(1), Seq(2))))
   }
 
+  test("port: notFollowedBy kills only pre-match intruders (NotPatternITCase testNotFollowedBy)") {
+    // a1 c1 b1 c2 d: b1 arrives AFTER c1 matched the middle step, so the
+    // a1→c1 branch survives; reference expects exactly {a1, c1, d}
+    val a1 = RE(40, "a", 1.0); val c1 = RE(41, "c", 2.0)
+    val b1 = RE(42, "b", 3.0); val c2 = RE(43, "c", 4.0)
+    val d = RE(44, "d", 4.0)
+    val p = Pattern.begin[RE]("start")(_.name == "a")
+      .notFollowedBy("not")(_.name == "b")
+      .followedBy("middle")(_.name == "c")
+      .followedBy("end")(_.name == "d")
+    val got = feed(p,
+      Seq(a1 -> 1L, c1 -> 2L, b1 -> 3L, c2 -> 4L, d -> 5L)).map(names)
+    assert(got.toSet === Set(Seq(Seq(40), Seq(41), Seq(44))))
+  }
+
+  test("notNext bans only the immediately-following event (Pattern.notNext)") {
+    val a = RE(1, "a", 0.0); val b = RE(2, "b", 0.0)
+    val x = RE(3, "x", 0.0); val c = RE(4, "c", 0.0)
+    val p = Pattern.begin[RE]("a")(_.name == "a")
+      .notNext("not")(_.name == "b")
+      .followedBy("c")(_.name == "c")
+    // b directly after a: partial dies, no match
+    assert(feed(p, Seq(a -> 1L, b -> 2L, c -> 3L)).isEmpty)
+    // an x intervenes before b: b is no longer "next" — match survives
+    // (notFollowedBy would still kill this one)
+    assert(feed(p, Seq(a -> 1L, x -> 2L, b -> 3L, c -> 4L)).map(names).toSet
+      === Set(Seq(Seq(1), Seq(4))))
+  }
+
   // feed for arbitrary event types (the RE-typed feed is above)
   private def feed2[E](pattern: Pattern[E], events: Seq[(E, Long)]):
       Vector[Vector[Vector[E]]] = {
