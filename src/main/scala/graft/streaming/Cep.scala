@@ -447,6 +447,7 @@ object Cep {
     * breaking event arrives (documented subset). */
   def matchStream[K, E, O: Encoder](ds: Dataset[E], key: E => K,
       ts: E => Long, pattern: Pattern[E],
+      skip: AfterMatchSkip = NoSkip,
       tie: E => Long = (_: E) => 0L)(
       finish: (K, Map[String, E]) => O)(
       implicit ke: Encoder[K], se: Encoder[Vector[Partial[E]]]): Dataset[O] = {
@@ -457,7 +458,7 @@ object Cep {
       val (outs, remaining) = runSorted(k, it, ts, pattern, partials,
         (kk: K, groups: Map[String, Seq[E]]) =>
           finish(kk, groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap),
-        flushAtEnd = false, NoSkip, tie)
+        flushAtEnd = false, skip, tie)
       state.update(remaining)
       outs.iterator
     }

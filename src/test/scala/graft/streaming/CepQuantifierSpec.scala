@@ -278,6 +278,34 @@ class CepQuantifierSpec extends SparkSuite {
       === Set(Seq(Seq(1), Seq(4))))
   }
 
+  test("port: greedy zero-or-more consumes the maximal run (GreedyITCase testGreedyZeroOrMore)") {
+    // c a1 a2 a3 d with c a*? d greedy — reference expects ONLY the
+    // maximal {c, a1 a2 a3, d}
+    val c = RE(40, "c", 1.0); val d = RE(44, "d", 3.0)
+    val a = (i: Int) => RE(40 + i, "a", 2.0)
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").oneOrMore.optional
+      .followedBy("end")(_.name == "d")
+    val got = feed(p,
+      Seq(c -> 1L, a(1) -> 2L, a(2) -> 3L, a(3) -> 4L, d -> 5L)).map(names)
+    assert(got.toSet === Set(Seq(Seq(40), Seq(41, 42, 43), Seq(44))))
+  }
+
+  test("port: greedy one-or-more across gaps (GreedyITCase testGreedyOneOrMoreInBetween)") {
+    // c . a1 . a2 . a3 d (dots are dummies) with relaxed greedy a+ —
+    // reference expects only the maximal {c, a1 a2 a3, d}
+    val c = RE(40, "c", 1.0); val d = RE(44, "d", 3.0)
+    val a = (i: Int) => RE(40 + i, "a", 2.0)
+    val dummy = (i: Int) => RE(i, "dummy", 1111.0)
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").oneOrMore.relaxed.greedy
+      .followedBy("end")(_.name == "d")
+    val got = feed(p, Seq(c -> 1L, dummy(1) -> 2L, a(1) -> 3L,
+      dummy(2) -> 4L, a(2) -> 5L, dummy(3) -> 6L, a(3) -> 7L, d -> 8L))
+      .map(names)
+    assert(got.toSet === Set(Seq(Seq(40), Seq(41, 42, 43), Seq(44))))
+  }
+
   // feed for arbitrary event types (the RE-typed feed is above)
   private def feed2[E](pattern: Pattern[E], events: Seq[(E, Long)]):
       Vector[Vector[Vector[E]]] = {
