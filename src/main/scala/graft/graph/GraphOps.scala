@@ -86,6 +86,10 @@ object GraphOps {
     }
     while (!done && i < maxIter) {
       i += 1
+      // one propagation round per materialization: batching two rounds
+      // per checkpoint was measured 2× SLOWER at sf0.1 (the deeper lazy
+      // plan defeats exchange reuse on the pointer-jump self-join, which
+      // then recomputes the aggregate)
       val next = materialize(round(labels))
       val sum0 = next
         .agg(sum(col("comp").cast(DecimalType(38, 0)))).first()
