@@ -193,6 +193,50 @@ object StreamOps {
       }
     }
 
+  /** Streaming twin of [[dynamicGapSessions]]
+    * (DynamicEventTimeSessionWindows): per key, buffer (ts, gap) pairs in
+    * state and emit a session once the watermark passes `lastTs +
+    * gapFor(last)` — beyond that point no event can extend or merge into
+    * it (an extender would need ts < lastTs + gap, which the watermark
+    * now excludes). Batch input (watermark = +inf) emits everything —
+    * exact parity with the batch operator.
+    *
+    * @return (key, startTs, endTs, count) per closed session
+    */
+  def eventTimeDynamicGapSessions[K: Encoder, I](
+      ds: Dataset[I], key: I => K, ts: I => Long, gapFor: I => Long)(
+      implicit stateEnc: Encoder[Seq[(Long, Long)]],
+      outEnc: Encoder[(K, Long, Long, Int)]): Dataset[(K, Long, Long, Int)] =
+    ds.groupByKey(key).flatMapGroupsWithState[
+      Seq[(Long, Long)], (K, Long, Long, Int)](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (k: K, it: Iterator[I], state: GroupState[Seq[(Long, Long)]]) =>
+        val buf = (state.getOption.getOrElse(Seq.empty) ++
+          it.map(i => (ts(i), gapFor(i)))).sortBy(identity)
+        val wm = watermarkMicrosOrMax(state)
+        val out = Vector.newBuilder[(K, Long, Long, Int)]
+        val keep = Vector.newBuilder[(Long, Long)]
+        var cur = Vector.empty[(Long, Long)]
+        def flush(): Unit =
+          if (cur.nonEmpty) {
+            // final iff the watermark already excludes any extender
+            if (cur.last._1 + cur.last._2 <= wm)
+              out += ((k, cur.head._1, cur.last._1, cur.size))
+            else cur.foreach(keep += _)
+            cur = Vector.empty
+          }
+        buf.foreach { e =>
+          if (cur.nonEmpty && e._1 - cur.last._1 >= cur.last._2) flush()
+          cur = cur :+ e
+        }
+        flush() // tail session: same watermark finality test
+        val remaining = keep.result()
+        state.update(remaining)
+        if (remaining.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        out.result().iterator
+    }
+
   /** Streaming event-time OVER aggregate (reference:
     * RowTimeUnboundedOver.scala — per-row running aggregate ordered by
     * rowtime, emitted once the watermark passes the row). Spark has no

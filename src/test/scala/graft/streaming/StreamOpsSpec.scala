@@ -339,6 +339,51 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dynamic-gap sessions close only past the watermark, match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val stEnc: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+      ExpressionEncoder()
+    // per-event gap: 2 minutes for kind "a", 30s otherwise
+    def gapOf(c: Click): Long =
+      if (c.kind == "a") 120L * 1000000 * 60 / 60 else 30L * 1000000
+    val clicks = Seq(
+      Click(1, "a", t("2024-01-01 00:00:00"), 0),
+      Click(1, "a", t("2024-01-01 00:01:00"), 0), // same session (gap 2m)
+      Click(1, "a", t("2024-01-01 00:10:00"), 0)) // new session
+    val input = MemoryStream[Click]
+    val withWm = StreamOps.withEventTime(input.toDF(), "ts", "1 minute").as[Click]
+    val out = StreamOps.eventTimeDynamicGapSessions[Long, Click](
+      withWm, _.user, c => c.ts.getTime * 1000, gapOf)
+    val q = out.toDF("user", "start_us", "end_us", "n")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dyn_sess_out").start()
+    try {
+      input.addData(clicks: _*)
+      q.processAllAvailable()
+      // first session [00:00, 00:01] closes once wm > 00:03 (end+gap);
+      // wm after batch 1 = 00:09 → emitted. second session still open.
+      val afterFirst = spark.table("dyn_sess_out")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(afterFirst.map(r => (r._2, r._3, r._4)) ===
+        Set((t("2024-01-01 00:00:00").getTime * 1000,
+          t("2024-01-01 00:01:00").getTime * 1000, 2)))
+      input.addData(Click(2, "b", t("2024-01-01 01:00:00"), 0)) // push wm
+      q.processAllAvailable()
+      input.addData(Click(2, "b", t("2024-01-01 02:00:00"), 0)) // fire timeout
+      q.processAllAvailable()
+      val all = spark.table("dyn_sess_out")
+        .where($"user" === 1).as[(Long, Long, Long, Int)].collect().toSet
+      assert(all.map(_._4) === Set(2, 1), s"second session must close: $all")
+      // batch parity: same events through the batch operator
+      val batch = StreamOps.dynamicGapSessions[Long, Click](
+        clicks.toDS(), _.user, c => c.ts.getTime * 1000, gapOf)
+        .collect().toSet
+      assert(batch.map(r => (r._2, r._3, r._4)) ===
+        all.map(r => (r._2, r._3, r._4)))
+    } finally q.stop()
+  }
+
   test("event-time RANGE-2min-PRECEDING frame sum matches the batch RANGE window") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
