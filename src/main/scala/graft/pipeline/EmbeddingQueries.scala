@@ -31,12 +31,6 @@ object EmbeddingQueries extends QueryModule {
   private val duckNorm =
     "list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)"
 
-  /** 16 deterministic pseudo-random hyperplanes (fixed seed). */
-  private lazy val planes: Seq[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(16)(Array.fill(64)(rnd.nextGaussian()))
-  }
-
   def all: Seq[Q] = Seq(
 
     // Per-vector squared L2 norm — array-native, shuffle-free.
@@ -92,18 +86,21 @@ object EmbeddingQueries extends QueryModule {
         .orderBy(col("qid"), col("rnk"))
     },
 
-    // Scale path: random-hyperplane LSH — 16-bit sign bucket per vector.
-    // At 100 TB the bucket column becomes the join/cluster key and the
-    // all-pairs product above is replaced by a per-bucket (or multi-probe)
-    // equi-join. No oracle (plane constants live Spark-side); verified by
-    // EmbeddingSpec recall tests against qe2.
+    // Scale path: random-hyperplane LSH — 16-bit sign bucket per vector,
+    // composed from two 8-bit bands of the one-pass codegen'd
+    // HyperplaneBands expression (replacing 16 interpreted lambda dot
+    // products per row). At 100 TB the bucket column becomes the
+    // join/cluster key and the all-pairs product above is replaced by a
+    // per-bucket (or multi-probe) equi-join. No oracle (plane constants
+    // live Spark-side); verified by EmbeddingSpec recall tests against
+    // qe2.
     qNoOracle("qe3_lsh_buckets") { (s, d) =>
-      val planeCols = planes.zipWithIndex.map { case (p, i) =>
-        val arr = p.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
-        s"IF(aggregate(zip_with(embedding, $arr, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v) > 0D, shiftleft(1L, $i), 0L)"
-      }.mkString(" + ")
+      graft.functions.GraftFunctions.register(s)
       t(s, d, "embeddings")
-        .select(col("vec_id"), col("label"), expr(planeCols).as("bucket"))
+        .withColumn("hb", expr("graft_hyperplane_bands(embedding)"))
+        .select(col("vec_id"), col("label"),
+          (col("hb").getItem(0)
+            + shiftleft(col("hb").getItem(1), 8)).as("bucket"))
         .orderBy(col("vec_id"))
     },
 
