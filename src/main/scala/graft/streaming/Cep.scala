@@ -311,8 +311,11 @@ object Cep {
           out += Partial(p.startTs, p.groups, runOpen = true)
       }
 
-      // 2) transition out of a satisfied run
-      if (reps >= s.minReps) {
+      // 2) transition out of a satisfied run. An OPTIONAL step holding a
+      // closed empty run is the "committed past it without consuming"
+      // branch (created by the skip-fork below) — satisfied by
+      // definition.
+      if (reps >= s.minReps || (s.optional && reps == 0 && !p.runOpen)) {
         if (p.stepIdx < lastIdx) {
           val immediate = pattern.steps(p.stepIdx + 1)
           // notFollowedBy bans any time before the next step matches;
@@ -346,6 +349,17 @@ object Cep {
                     sj.minReps <= 1) matches += g2
                   out += Partial(p.startTs, g2, runOpen = true, virgin = true)
                 }
+                // entering an OPTIONAL step also forks the branch that
+                // skips it entirely (committed past it, empty closed
+                // run) — the reference's proceed-ε edge. Suppressed for
+                // greedy loops, whose non-consuming branch must die once
+                // the loop could consume (GreedyITCase contract).
+                if (sj.optional && (!sj.looping || sj.allPrefixes) &&
+                  j < lastIdx)
+                  out += Partial(p.startTs,
+                    p.groups ++ Vector.fill(j - p.stepIdx - 1)(
+                      Vector.empty[E]) :+ Vector.empty[E],
+                    runOpen = false)
                 transitioned = true
               }
               scanning = sj.optional

@@ -306,6 +306,28 @@ class CepQuantifierSpec extends SparkSuite {
     assert(got.toSet === Set(Seq(Seq(40), Seq(41, 42, 43), Seq(44))))
   }
 
+  test("port: zero-or-more over repeated same elements " +
+      "(SameElementITCase testEagerZeroOrMoreSameElement)") {
+    // c, a1 a1 a1 (same element), a2, d(gap), a3 a3, b — c (a*)? b with
+    // the reference's default eager emission expects every run PREFIX
+    // (lengths 0..6), exactly once each, with the run continuing across
+    // the 'd' gap
+    val c = RE(40, "c", 1.0); val b = RE(44, "b", 5.0)
+    val a1 = RE(41, "a", 2.0); val a2 = RE(42, "a", 3.0)
+    val a3 = RE(43, "a", 4.0); val d = RE(50, "d", 6.0)
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").oneOrMore.relaxed.allPrefixes
+      .optional
+      .followedBy("end")(_.name == "b")
+    val got = feed(p, Seq(c -> 1L, a1 -> 3L, a1 -> 3L, a1 -> 3L, a2 -> 4L,
+      d -> 5L, a3 -> 6L, a3 -> 6L, b -> 7L)).map(names)
+    val run = Seq(41, 41, 41, 42, 43, 43)
+    val expected = (0 to 6).map(n =>
+      Seq(Seq(40), run.take(n), Seq(44))).toSet
+    assert(got.size == 7, s"expected 7 matches, got ${got.size}: $got")
+    assert(got.toSet === expected)
+  }
+
   // feed for arbitrary event types (the RE-typed feed is above)
   private def feed2[E](pattern: Pattern[E], events: Seq[(E, Long)]):
       Vector[Vector[Vector[E]]] = {
