@@ -112,10 +112,15 @@ object Cep {
       withinMs, pendingNot, pendingNotNext)
     /** The previous step matches between `from` and `to` consecutive
       * occurrences (Pattern.times(from, to), Pattern.java:304). Greedy by
-      * default: the maximal run ≤ `to` is emitted; see [[allPrefixes]]. */
+      * default: the maximal run ≤ `to` is emitted; see [[allPrefixes]].
+      * `from = 0` is the reference's zero-consumption form —
+      * times(1, to) plus optional. */
     def times(from: Int, to: Int): Pattern[E] = {
-      require(from >= 1 && to >= from, "times(from, to) requires 1 <= from <= to")
-      new Pattern(steps.init :+ steps.last.copy(minReps = from, maxReps = to),
+      require(from >= 0 && to >= from && to >= 1,
+        "times(from, to) requires 0 <= from <= to, to >= 1")
+      new Pattern(steps.init :+ steps.last.copy(
+        minReps = math.max(from, 1), maxReps = to,
+        optional = steps.last.optional || from == 0),
         withinMs, pendingNot, pendingNotNext)
     }
     /** The previous step matches `n` or more consecutive occurrences
@@ -353,8 +358,10 @@ object Cep {
                 // skips it entirely (committed past it, empty closed
                 // run) — the reference's proceed-ε edge. Suppressed for
                 // greedy loops, whose non-consuming branch must die once
-                // the loop could consume (GreedyITCase contract).
-                if (sj.optional && (!sj.looping || sj.allPrefixes) &&
+                // the loop could consume (GreedyITCase contract);
+                // allPrefixes/combos loops are non-greedy and keep it.
+                if (sj.optional &&
+                  (!sj.looping || sj.allPrefixes || sj.combos) &&
                   j < lastIdx)
                   out += Partial(p.startTs,
                     p.groups ++ Vector.fill(j - p.stepIdx - 1)(

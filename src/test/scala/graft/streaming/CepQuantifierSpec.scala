@@ -328,6 +328,40 @@ class CepQuantifierSpec extends SparkSuite {
     assert(got.toSet === expected)
   }
 
+  test("port: times(1,3).allowCombinations (TimesRangeITCase testTimesRange)") {
+    // c a1 a2 a3 b — reference expects lengths 3, 2 (both combinations
+    // anchored at a1), and 1; never a run not starting at a1 (strict next)
+    val c = RE(40, "c", 1.0); val b = RE(44, "b", 5.0)
+    val a = (i: Int) => RE(40 + i, "a", (1 + i).toDouble)
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .next("middle")(_.name == "a").times(1, 3).allowCombinations
+      .followedBy("end1")(_.name == "b")
+    val got = feed(p,
+      Seq(c -> 1L, a(1) -> 2L, a(2) -> 3L, a(3) -> 4L, b -> 6L)).map(names)
+    assert(got.toSet === Set(
+      Seq(Seq(40), Seq(41, 42, 43), Seq(44)),
+      Seq(Seq(40), Seq(41, 42), Seq(44)),
+      Seq(Seq(40), Seq(41, 43), Seq(44)),
+      Seq(Seq(40), Seq(41), Seq(44))))
+  }
+
+  test("port: times(0,2).allowCombinations (TimesRangeITCase testTimesRangeFromZero)") {
+    // same events, times(0,2) — reference adds the zero-consumption
+    // {c, b} and drops length 3
+    val c = RE(40, "c", 1.0); val b = RE(44, "b", 5.0)
+    val a = (i: Int) => RE(40 + i, "a", (1 + i).toDouble)
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .next("middle")(_.name == "a").times(0, 2).allowCombinations
+      .followedBy("end1")(_.name == "b")
+    val got = feed(p,
+      Seq(c -> 1L, a(1) -> 2L, a(2) -> 3L, a(3) -> 4L, b -> 6L)).map(names)
+    assert(got.toSet === Set(
+      Seq(Seq(40), Seq(41, 42), Seq(44)),
+      Seq(Seq(40), Seq(41, 43), Seq(44)),
+      Seq(Seq(40), Seq(41), Seq(44)),
+      Seq(Seq(40), Seq(), Seq(44))))
+  }
+
   // feed for arbitrary event types (the RE-typed feed is above)
   private def feed2[E](pattern: Pattern[E], events: Seq[(E, Long)]):
       Vector[Vector[Vector[E]]] = {
