@@ -362,6 +362,23 @@ class CepQuantifierSpec extends SparkSuite {
       Seq(Seq(40), Seq(), Seq(44))))
   }
 
+  test("port: timesOrMore(2).allowCombinations (TimesOrMoreITCase testTimesOrMore)") {
+    // c a1 a2 a3 b — reference expects runs of >= 2 anchored at a1:
+    // {a1 a2 a3}, {a1 a2}, {a1 a3}; never {a2 a3} (followedBy = first
+    // occurrence consumes the c partial on a1)
+    val c = RE(40, "c", 1.0); val b = RE(44, "b", 5.0)
+    val a = (i: Int) => RE(40 + i, "a", (1 + i).toDouble)
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").timesOrMore(2).allowCombinations
+      .followedBy("end1")(_.name == "b")
+    val got = feed(p,
+      Seq(c -> 1L, a(1) -> 2L, a(2) -> 3L, a(3) -> 4L, b -> 6L)).map(names)
+    assert(got.toSet === Set(
+      Seq(Seq(40), Seq(41, 42, 43), Seq(44)),
+      Seq(Seq(40), Seq(41, 42), Seq(44)),
+      Seq(Seq(40), Seq(41, 43), Seq(44))))
+  }
+
   // feed for arbitrary event types (the RE-typed feed is above)
   private def feed2[E](pattern: Pattern[E], events: Seq[(E, Long)]):
       Vector[Vector[Vector[E]]] = {
