@@ -41,7 +41,7 @@ object Cep {
       untilPred: Option[E => Boolean] = None, allPrefixes: Boolean = false,
       relaxedReps: Boolean = false, combos: Boolean = false,
       ctxPred: Option[(E, Map[String, Seq[E]]) => Boolean] = None,
-      negNextOnly: Boolean = false) {
+      negNextOnly: Boolean = false, anyMatch: Boolean = false) {
     def looping: Boolean = maxReps > minReps || maxReps == Int.MaxValue
     /** Any repetition at all — times(n) included (looping excludes fixed
       * times(n), whose run length is exact). */
@@ -70,6 +70,12 @@ object Cep {
     /** Relaxed contiguity: non-matching events in between are skipped. */
     def followedBy(name: String)(pred: E => Boolean): Pattern[E] =
       add(Step(name, pred, strict = false))
+    /** Relaxed NON-DETERMINISTIC contiguity (Pattern.followedByAny,
+      * Pattern.java:171 — SKIP_TILL_ANY): every matching occurrence
+      * branches; the pre-transition partial stays alive to match later
+      * occurrences too, instead of consuming on the first. */
+    def followedByAny(name: String)(pred: E => Boolean): Pattern[E] =
+      add(Step(name, pred, strict = false, anyMatch = true))
     /** Strict-contiguity step with an ITERATIVE condition
       * (IterativeCondition.java:59 — the predicate also sees the events
       * matched so far per step in this branch, via
@@ -367,6 +373,10 @@ object Cep {
                     p.groups ++ Vector.fill(j - p.stepIdx - 1)(
                       Vector.empty[E]) :+ Vector.empty[E],
                     runOpen = false)
+                // SKIP_TILL_ANY: the source partial stays alive to take
+                // later occurrences of this step as well
+                if (sj.anyMatch)
+                  out += (if (p.virgin) p.copy(virgin = false) else p)
                 transitioned = true
               }
               scanning = sj.optional

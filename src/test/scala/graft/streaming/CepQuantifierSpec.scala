@@ -379,6 +379,28 @@ class CepQuantifierSpec extends SparkSuite {
       Seq(Seq(40), Seq(41, 43), Seq(44))))
   }
 
+  test("port: followedByAny branching (NFAITCase testBranchingPattern)") {
+    // start, m1 m2 m3 (volume>5 via price field here), n1 n2, end — with
+    // every step followedByAny the reference expects the full 3×2 cross
+    // of middle × next-one, each completed by end (6 matches)
+    val start = RE(40, "start", 1.0)
+    val m = (i: Int) => RE(40 + i, "foo", 10.0) // "volume" > 5
+    val n = (i: Int) => RE(43 + i, "next-one", 2.0)
+    val end = RE(46, "end", 1.0)
+    val p = Pattern.begin[RE]("start")(_.name == "start")
+      .followedByAny("middle-first")(e => e.name == "foo" && e.price > 5.0)
+      .followedByAny("middle-second")(_.name == "next-one")
+      .followedByAny("end")(_.name == "end")
+    val got = feed(p, Seq(start -> 1L, m(1) -> 3L, m(2) -> 4L, m(3) -> 5L,
+      n(1) -> 6L, n(2) -> 7L, end -> 8L)).map(names)
+    val expected = (for {
+      mi <- 41 to 43
+      nj <- 44 to 45
+    } yield Seq(Seq(40), Seq(mi), Seq(nj), Seq(46))).toSet
+    assert(got.size == 6, s"expected 6 branches, got ${got.size}")
+    assert(got.toSet === expected)
+  }
+
   // feed for arbitrary event types (the RE-typed feed is above)
   private def feed2[E](pattern: Pattern[E], events: Seq[(E, Long)]):
       Vector[Vector[Vector[E]]] = {
