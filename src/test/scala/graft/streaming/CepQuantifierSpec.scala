@@ -401,6 +401,25 @@ class CepQuantifierSpec extends SparkSuite {
     assert(got.toSet === expected)
   }
 
+  test("port: followedByAny + oneOrMore eager (NFAITCase testAtLeastOneEager)") {
+    // start a1 a2 a3 b — anyMatch entry × eager prefixes: the reference
+    // expects every CONTIGUOUS run {a1 a2 a3},{a1 a2},{a2 a3},{a1},{a2},
+    // {a3} with end, and NOT the combination {a1 a3}
+    val s = RE(40, "c", 1.0); val b = RE(44, "b", 5.0)
+    val a = (i: Int) => RE(40 + i, "a", (1 + i).toDouble)
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedByAny("middle")(_.name == "a").oneOrMore.relaxed.allPrefixes
+      .followedByAny("end1")(_.name == "b")
+    val got = feed(p,
+      Seq(s -> 1L, a(1) -> 2L, a(2) -> 3L, a(3) -> 4L, b -> 6L)).map(names)
+    val expected = Set(
+      Seq(41, 42, 43), Seq(41, 42), Seq(42, 43),
+      Seq(41), Seq(42), Seq(43)
+    ).map(run => Seq(Seq(40), run, Seq(44)))
+    assert(got.size == 6, s"expected 6 matches, got ${got.size}: $got")
+    assert(got.toSet === expected)
+  }
+
   // feed for arbitrary event types (the RE-typed feed is above)
   private def feed2[E](pattern: Pattern[E], events: Seq[(E, Long)]):
       Vector[Vector[Vector[E]]] = {
