@@ -39,19 +39,23 @@ object Bench {
     val results = headline.filter(qs.contains).map { name =>
       val fn = qs(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
+      // A failed query records the -1 sentinel (never its partial elapsed
+      // time) so the headline total only ever sums completed runs and stays
+      // comparable across runs with different failure sets.
+      val sec =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          failed ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+        }
       spark.catalog.clearCache() // query-scoped caches end with the query
       name -> sec
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fjson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"failed":$fjson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -215,6 +215,97 @@ object GraphOps {
     verts
   }
 
+  /** Gather-Sum-Apply iteration surface (reference:
+    * Graph.runGatherSumApplyIteration, Graph.java:1768 —
+    * GatherFunction/SumFunction/ApplyFunction): the GSA decomposition of
+    * vertex-centric programs. Differs from [[scatterGather]] only in the
+    * hook signatures — `gather` sees the EDGE (source state + edge
+    * weight), matching the reference's Neighbor<VV, EV> argument, where
+    * scatter-gather's `msg` sees the source state alone.
+    *
+    *  - gather: per edge, a partial value from (srcState, edgeWeight)
+    *  - sum:    aggregate expression combining partials per target vertex
+    *  - apply:  `(oldState, summed)` → new state (summed NULL when no
+    *            in-edges fired; the reference doesn't update then)
+    *
+    * Same data movement as [[scatterGather]]: one key-partitioned join +
+    * one partial-aggregated `groupBy` per superstep, O(E) shuffled bytes,
+    * rounds materialized via localCheckpoint.
+    *
+    * @param edges (src, dst[, weight]) — a missing weight column gathers
+    *              NULL (unweighted graphs ignore it)
+    */
+  def gatherSumApply(spark: SparkSession, edges: DataFrame,
+      initial: DataFrame, supersteps: Int)(
+      gather: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column,
+      sum: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      apply: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): DataFrame = {
+    val w = if (edges.columns.contains("weight")) col("weight")
+      else lit(null).cast("double")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      w.as("weight")).cache()
+    var verts = materialize(
+      initial.select(col("id").cast("long"), col("state")))
+    for (_ <- 1 to supersteps) {
+      val partials = e.join(verts, e("src") === verts("id"))
+        .select(col("dst").as("mid"),
+          gather(col("state"), col("weight")).as("g"))
+      val msgs = partials.groupBy(col("mid")).agg(sum(col("g")).as("msg"))
+      verts = materialize(verts.join(msgs, verts("id") === col("mid"), "left")
+        .select(col("id"), apply(col("state"), col("msg")).as("state")))
+    }
+    e.unpersist()
+    verts
+  }
+
+  /** Pregel / vertex-centric compute surface (reference:
+    * Graph.runVertexCentricIteration, Graph.java:1697 — ComputeFunction
+    * .sendMessageTo + MessageCombiner): per superstep every EDGE TRIPLET
+    * (srcState, dstState, weight) may send a message to its destination
+    * (`sendToDst` returning NULL sends nothing — the reference's
+    * conditional sendMessageTo), messages combine per vertex via the
+    * `combine` aggregate, and `vprog` computes the new state (combined
+    * NULL when the inbox is empty — a reference vertex halts then).
+    *
+    * The triplet join is the one extra shuffle vs [[scatterGather]]
+    * (dst state must be co-located with the edge); programs that don't
+    * read `dstState` should prefer scatter-gather's cheaper shape. That
+    * mirrors the reference's own guidance (vertex-centric is the most
+    * general, most expensive model).
+    */
+  def pregel(spark: SparkSession, edges: DataFrame, initial: DataFrame,
+      supersteps: Int)(
+      sendToDst: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      combine: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      vprog: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): DataFrame = {
+    val w = if (edges.columns.contains("weight")) col("weight")
+      else lit(null).cast("double")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      w.as("weight")).cache()
+    var verts = materialize(
+      initial.select(col("id").cast("long"), col("state")))
+    for (_ <- 1 to supersteps) {
+      val srcSide = verts.select(col("id").as("sid"),
+        col("state").as("srcState"))
+      val dstSide = verts.select(col("id").as("did"),
+        col("state").as("dstState"))
+      val msgs = e.join(srcSide, e("src") === col("sid"))
+        .join(dstSide, e("dst") === col("did"))
+        .select(col("dst").as("mid"),
+          sendToDst(col("srcState"), col("dstState"), col("weight")).as("m"))
+        .where(col("m").isNotNull) // NULL = no message sent
+        .groupBy(col("mid")).agg(combine(col("m")).as("msg"))
+      verts = materialize(verts.join(msgs, verts("id") === col("mid"), "left")
+        .select(col("id"), vprog(col("state"), col("msg")).as("state")))
+    }
+    e.unpersist()
+    verts
+  }
+
   /** Integer-scaled PageRank (the oracle-able twin of [[pageRank]], same
     * determinism idea as [[hits]]): ranks live as scaled integers
     * (`scale` = 1.0) and every division is an explicit floor — so a SQL

@@ -186,21 +186,28 @@ object WindowQueries extends QueryModule {
         .orderBy(col("w_start"))
     },
 
-    // Dynamic-gap sessions (DynamicEventTimeSessionWindows): the gap after
-    // an 'error' event is 2 minutes, otherwise 10 minutes — computed by
-    // StreamOps.dynamicGapSessions; the oracle is gaps-and-islands with a
-    // lag-dependent gap.
+    // Dynamic-gap sessions (DynamicEventTimeSessionWindows): each event
+    // proposes [ts, ts+gap) — 2 minutes after an 'error', 10 minutes
+    // otherwise — and overlapping windows merge, so the session's
+    // extension horizon is the running MAX(ts+gap) over merged elements
+    // (not the last element's gap). Computed by
+    // StreamOps.dynamicGapSessions; the oracle is gaps-and-islands
+    // breaking where ts >= MAX(ts+gap) over all preceding rows (gaps are
+    // positive, so a prior session's horizon can never exceed the current
+    // session's running max — the partition-wide MAX is safe).
     q("qw10_dynamic_sessions",
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
         |g AS (SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL THEN 0
-        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >=
-        |           (CASE WHEN lag(event_type) OVER w = 'error'
-        |                 THEN 120000000 ELSE 600000000 END) THEN 1
-        |         ELSE 0 END AS brk
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |    MAX(epoch_us(ts) + CASE WHEN event_type = 'error'
+        |                            THEN 120000000 ELSE 600000000 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS horizon
+        |  FROM e),
+        |b AS (SELECT user_id, ts,
+        |    CASE WHEN horizon IS NULL OR epoch_us(ts) < horizon
+        |         THEN 0 ELSE 1 END AS brk FROM g),
         |s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b)
         |SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin) {
       (s, d) =>

@@ -230,7 +230,12 @@ object Cep {
     private[Cep] def validated: Pattern[E] = {
       require(pendingNot.isEmpty,
         "notFollowedBy must be followed by another pattern step")
-      require(!steps.last.optional, "the final pattern step cannot be optional")
+      // covers .optional AND times(0, n) (which sets optional): the
+      // zero-occurrence path of a final step would require emitting a
+      // match on no event — unsupported, so reject rather than silently
+      // dropping the reference's zero-occurrence match
+      require(!steps.last.optional,
+        "the final pattern step cannot be optional (nor times(0, n))")
       this
     }
   }
@@ -517,21 +522,32 @@ object Cep {
           outs += shape(matches.head)
           partials = Vector.empty
         case SkipToFirst(_) | SkipToLast(_) =>
-          matches.foreach(m => outs += shape(m))
-          // prune partials started strictly before the boundary event of
-          // the earliest completed match (reference prunePartialMatches)
+          // the earliest-started match is always emitted; the boundary it
+          // defines then prunes BOTH the co-completing matches that started
+          // before it (reference AfterMatchSkipStrategy.prune discards
+          // completed-but-unemitted matches too) and the open partials
+          outs += shape(matches.head)
           val (name, useFirst) = skip match {
             case SkipToFirst(n) => (n, true)
             case SkipToLast(n) => (n, false)
             case _ => throw new MatchError(skip) // unreachable
           }
           val idx = names.indexOf(name)
-          if (idx >= 0) {
+          val boundaryOpt = if (idx >= 0) {
             val g = matches.head(idx)
-            if (g.nonEmpty) {
-              val boundary = if (useFirst) ts(g.head) else ts(g.last)
+            if (g.nonEmpty) Some(if (useFirst) ts(g.head) else ts(g.last))
+            else None
+          } else None
+          boundaryOpt match {
+            case Some(boundary) =>
+              matches.tail.foreach { m =>
+                val startTs = m.flatten.headOption
+                  .map(ts).getOrElse(Long.MinValue)
+                if (startTs >= boundary) outs += shape(m)
+              }
               partials = partials.filter(_.startTs >= boundary)
-            }
+            case None =>
+              matches.tail.foreach(m => outs += shape(m))
           }
         case NoSkip =>
           matches.foreach(m => outs += shape(m))

@@ -166,10 +166,13 @@ object StreamOps {
 
   /** Dynamic-gap session windows (DynamicEventTimeSessionWindows — the
     * assigner whose gap is a function of the element, with no Spark
-    * analog): per-key, event-time-sorted pass that closes a session when
-    * the gap to the previous event exceeds `gapFor(event)` of that
-    * previous event. Batch formulation (one sorted scan per key); the
-    * streaming twin buffers in keyed state like eventTimeRunningSum. */
+    * analog): each element proposes the window [ts, ts+gap) and overlapping
+    * windows merge, so a session's extension horizon is max(ts_i + gap_i)
+    * over ALL merged elements — not just the last one (an early event with
+    * a large gap keeps the session open past later small-gap events). An
+    * event at ts >= horizon starts a new session. Batch formulation (one
+    * sorted scan per key); the streaming twin buffers in keyed state like
+    * eventTimeRunningSum. */
   def dynamicGapSessions[K: Encoder, I](
       ds: Dataset[I], key: I => K, ts: I => Long, gapFor: I => Long)(
       implicit outEnc: Encoder[(K, Long, Long, Int)]): Dataset[(K, Long, Long, Int)] =
@@ -179,27 +182,30 @@ object StreamOps {
       else {
         val out = Vector.newBuilder[(K, Long, Long, Int)]
         var start = ts(sorted.head)
-        var last = sorted.head
+        var horizon = ts(sorted.head) + gapFor(sorted.head)
+        var lastTs = ts(sorted.head)
         var n = 1
         sorted.tail.foreach { e =>
-          if (ts(e) - ts(last) >= gapFor(last)) {
-            out += ((k, start, ts(last), n))
-            start = ts(e); n = 0
+          if (ts(e) >= horizon) {
+            out += ((k, start, lastTs, n))
+            start = ts(e); n = 0; horizon = Long.MinValue
           }
-          last = e; n += 1
+          horizon = math.max(horizon, ts(e) + gapFor(e))
+          lastTs = ts(e); n += 1
         }
-        out += ((k, start, ts(last), n))
+        out += ((k, start, lastTs, n))
         out.result().iterator
       }
     }
 
   /** Streaming twin of [[dynamicGapSessions]]
     * (DynamicEventTimeSessionWindows): per key, buffer (ts, gap) pairs in
-    * state and emit a session once the watermark passes `lastTs +
-    * gapFor(last)` — beyond that point no event can extend or merge into
-    * it (an extender would need ts < lastTs + gap, which the watermark
-    * now excludes). Batch input (watermark = +inf) emits everything —
-    * exact parity with the batch operator.
+    * state and emit a session once the watermark passes its horizon
+    * `max(ts_i + gap_i)` over the merged elements — beyond that point no
+    * event can extend or merge into it (an extender would need
+    * ts < horizon, which the watermark now excludes). Batch input
+    * (watermark = +inf) emits everything — exact parity with the batch
+    * operator.
     *
     * @return (key, startTs, endTs, count) per closed session
     */
@@ -217,17 +223,19 @@ object StreamOps {
         val out = Vector.newBuilder[(K, Long, Long, Int)]
         val keep = Vector.newBuilder[(Long, Long)]
         var cur = Vector.empty[(Long, Long)]
+        var horizon = Long.MinValue // session end = max(ts + gap) so far
         def flush(): Unit =
           if (cur.nonEmpty) {
             // final iff the watermark already excludes any extender
-            if (cur.last._1 + cur.last._2 <= wm)
+            if (horizon <= wm)
               out += ((k, cur.head._1, cur.last._1, cur.size))
             else cur.foreach(keep += _)
-            cur = Vector.empty
+            cur = Vector.empty; horizon = Long.MinValue
           }
         buf.foreach { e =>
-          if (cur.nonEmpty && e._1 - cur.last._1 >= cur.last._2) flush()
+          if (cur.nonEmpty && e._1 >= horizon) flush()
           cur = cur :+ e
+          horizon = math.max(horizon, e._1 + e._2)
         }
         flush() // tail session: same watermark finality test
         val remaining = keep.result()

@@ -84,12 +84,13 @@ object Windowing {
         if (buf.isEmpty) buf
         else { val hi = buf.map(ts).max; buf.filter(ts(_) >= hi - windowMicros) }
 
-    /** DeltaEvictor.java: evict elements whose delta vs the LAST element
-      * exceeds `threshold`. */
+    /** DeltaEvictor.java: evicts when getDelta(e, last) >= threshold, i.e.
+      * keeps only elements strictly below the threshold — elements exactly
+      * at the threshold are evicted. */
     def delta[I](threshold: Double, deltaFn: (I, I) => Double): Evictor[I] =
       (buf: Seq[I]) =>
         if (buf.isEmpty) buf
-        else { val last = buf.last; buf.filter(e => deltaFn(e, last) <= threshold) }
+        else { val last = buf.last; buf.filter(e => deltaFn(e, last) < threshold) }
   }
 
   /** GlobalWindows + trigger [+ evictor] + window function: buffers per

@@ -123,6 +123,46 @@ class GraphSpec extends SparkSuite {
     assert(sg === dist)
   }
 
+  test("gatherSumApply expresses weighted SSSP (GSA API parity)") {
+    // weighted shortest paths: gather = srcDist + edgeWeight, sum = min,
+    // apply = least — the canonical GSA program (GSASingleSourceShortestPaths)
+    val wEdges = Seq(
+      (1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 5.0), // direct 1→3 is longer
+      (3L, 4L, 2.0)).toDF("src", "dst", "weight")
+    val und = wEdges.union(
+      wEdges.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+    val initial = und.select($"src".as("id")).distinct()
+      .withColumn("state",
+        when($"id" === 1L, 0.0).otherwise(lit(Double.MaxValue)))
+    val gsa = GraphOps.gatherSumApply(spark, und, initial, supersteps = 6)(
+      gather = (s, w) => when(s < Double.MaxValue, s + w).otherwise(s),
+      sum = min,
+      apply = (state, msg) => least(state, coalesce(msg, state)))
+      .as[(Long, Double)].collect().toMap
+    // 1→2→3 (2.0) beats the direct 5.0 edge; 4 via 3 = 4.0
+    assert(gsa === Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> 4.0))
+  }
+
+  test("pregel expresses connected components with conditional sends") {
+    // vertex-centric CC: a triplet only sends when the source label beats
+    // the destination's (ComputeFunction.sendMessageTo under a condition —
+    // NULL send = no message), which also shows vprog leaving the state
+    // untouched on an empty inbox
+    val und = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+    val initial = und.select($"src".as("id")).distinct()
+      .withColumn("state", $"id")
+    val pr = GraphOps.pregel(spark, und, initial, supersteps = 10)(
+      sendToDst = (srcState, dstState, _) =>
+        when(srcState < dstState, srcState), // otherwise NULL → no message
+      combine = min,
+      vprog = (state, msg) => least(state, coalesce(msg, state)))
+      .as[(Long, Long)].collect().toMap
+    val cc = GraphOps.connectedComponents(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(pr === cc)
+  }
+
   test("trade-graph edges alternate customer(even) / supplier(odd) ids") {
     val e = GraphQueries.tradeEdges(spark, sf).as[(Long, Long)].collect()
     assert(e.nonEmpty)

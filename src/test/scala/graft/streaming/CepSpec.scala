@@ -44,6 +44,30 @@ class CepSpec extends SparkSuite {
     assert(got == Seq((1L, Seq(1L, 2L, 3L)), (1L, Seq(2L, 3L, 4L))))
   }
 
+  test("a final optional or times(0, n) step is rejected up front") {
+    // the zero-occurrence path of a FINAL step would need a match emitted
+    // on no event — unsupported, so the entry points must reject it
+    // (Pattern.java's documented optional restriction) instead of silently
+    // dropping the reference's zero-occurrence match
+    val evs = Seq(Ev(1, "a", 1)).toDS()
+    val pOpt = Pattern.begin[Ev]("a")(_.typ == "a")
+      .followedBy("b")(_.typ == "b").optional
+    val e1 = intercept[IllegalArgumentException] {
+      Cep.matchBatchGroups(evs, (e: Ev) => e.user, (e: Ev) => e.ts, pOpt) {
+        (u, m) => (u, m("b").size)
+      }
+    }
+    assert(e1.getMessage.contains("final pattern step"))
+    val pZero = Pattern.begin[Ev]("a")(_.typ == "a")
+      .followedBy("b")(_.typ == "b").times(0, 2)
+    val e2 = intercept[IllegalArgumentException] {
+      Cep.matchBatchGroups(evs, (e: Ev) => e.user, (e: Ev) => e.ts, pZero) {
+        (u, m) => (u, m("b").size)
+      }
+    }
+    assert(e2.getMessage.contains("final pattern step"))
+  }
+
   test("oneOrMore captures the maximal greedy run") {
     val p = Pattern.begin[Ev]("a")(_.typ == "a").oneOrMore
       .followedBy("b")(_.typ == "b")
@@ -202,5 +226,30 @@ class CepSpec extends SparkSuite {
     }.collect().toSeq.sortBy(_._1.head)
     assert(got == Seq(
       (Seq(1L, 2L), Seq(3L, 4L)), (Seq(4L, 5L), Seq(6L, 7L))))
+  }
+
+  test("SkipToLast discards co-completing matches starting before the boundary") {
+    // a1 a2 a3 b: three greedy-oneOrMore matches complete on the SAME b
+    // event, starting at a1/a2/a3. The earliest ({a1 a2 a3}) is emitted and
+    // sets the boundary at the last 'as' event (ts 3); the {a2 a3} match
+    // started before it and must be DISCARDED (AfterMatchSkipStrategy
+    // prunes completed-but-unemitted matches too, not just partials);
+    // {a3} starts at the boundary and survives.
+    val p = Pattern.begin[Ev]("as")(_.typ == "a").oneOrMore
+      .followedBy("b")(_.typ == "b")
+    val evs = Seq(Ev(1, "a", 1), Ev(1, "a", 2), Ev(1, "a", 3),
+      Ev(1, "b", 4)).toDS()
+    val got = Cep.matchBatchGroups(evs, (e: Ev) => e.user, (e: Ev) => e.ts,
+      p, Cep.SkipToLast("as")) { (u, m) =>
+      (m("as").map(_.ts), m("b").map(_.ts))
+    }.collect().toSeq.sortBy(_._1.head)
+    assert(got == Seq((Seq(1L, 2L, 3L), Seq(4L)), (Seq(3L), Seq(4L))))
+    // SkipToFirst("b"): boundary = the b event itself (ts 4) — every other
+    // co-completing match starts before it, so only the earliest survives
+    val gotFirst = Cep.matchBatchGroups(evs, (e: Ev) => e.user,
+      (e: Ev) => e.ts, p, Cep.SkipToFirst("b")) { (u, m) =>
+      (m("as").map(_.ts), m("b").map(_.ts))
+    }.collect().toSeq.sortBy(_._1.head)
+    assert(gotFirst == Seq((Seq(1L, 2L, 3L), Seq(4L))))
   }
 }

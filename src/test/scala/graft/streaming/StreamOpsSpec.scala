@@ -361,7 +361,8 @@ class StreamOpsSpec extends SparkSuite {
     try {
       input.addData(clicks: _*)
       q.processAllAvailable()
-      // first session [00:00, 00:01] closes once wm > 00:03 (end+gap);
+      // first session [00:00, 00:01] closes once wm > 00:03 (horizon =
+      // max(ts+gap));
       // wm after batch 1 = 00:09 → emitted. second session still open.
       val afterFirst = spark.table("dyn_sess_out")
         .as[(Long, Long, Long, Int)].collect().toSet
@@ -381,6 +382,47 @@ class StreamOpsSpec extends SparkSuite {
         .collect().toSet
       assert(batch.map(r => (r._2, r._3, r._4)) ===
         all.map(r => (r._2, r._3, r._4)))
+    } finally q.stop()
+  }
+
+  test("streaming dynamic-gap sessions honor an earlier element's larger gap") {
+    // decreasing gaps (the reference-divergence case from
+    // DynamicEventTimeSessionWindows): (00:00 gap 10m), (00:01 gap 30s).
+    // The session horizon is max(ts+gap) = 00:10, NOT 00:01:30 — so the
+    // watermark reaching 00:02 must NOT close it, and an event at 00:05
+    // still merges in.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val stEnc: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+      ExpressionEncoder()
+    def gapOf(c: Click): Long =
+      if (c.kind == "a") 600L * 1000000 else 30L * 1000000
+    val input = MemoryStream[Click]
+    val withWm = StreamOps.withEventTime(input.toDF(), "ts", "1 minute").as[Click]
+    val out = StreamOps.eventTimeDynamicGapSessions[Long, Click](
+      withWm, _.user, c => c.ts.getTime * 1000, gapOf)
+    val q = out.toDF("user", "start_us", "end_us", "n")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dyn_sess_merge_out").start()
+    try {
+      input.addData(
+        Click(1, "a", t("2024-01-01 00:00:00"), 0), // horizon 00:10
+        Click(1, "b", t("2024-01-01 00:01:00"), 0), // horizon stays 00:10
+        Click(2, "b", t("2024-01-01 00:03:00"), 0)) // wm → 00:02
+      q.processAllAvailable()
+      // wm = 00:02 > last+gap(last) = 00:01:30 but < horizon 00:10:
+      // the session must still be open
+      assert(spark.table("dyn_sess_merge_out").where($"user" === 1).count() === 0)
+      input.addData(Click(1, "b", t("2024-01-01 00:05:00"), 0)) // merges in
+      input.addData(Click(2, "b", t("2024-01-01 01:00:00"), 0)) // wm → 00:59
+      q.processAllAvailable()
+      input.addData(Click(2, "b", t("2024-01-01 02:00:00"), 0)) // fire timeout
+      q.processAllAvailable()
+      val got = spark.table("dyn_sess_merge_out").where($"user" === 1)
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(got.map(r => (r._2, r._3, r._4)) ===
+        Set((t("2024-01-01 00:00:00").getTime * 1000,
+          t("2024-01-01 00:05:00").getTime * 1000, 3)))
     } finally q.stop()
   }
 
@@ -489,21 +531,27 @@ class StreamOpsSpec extends SparkSuite {
     assert(routed("other").as[Click].head().kind == "error")
   }
 
-  test("dynamic-gap sessions close based on a per-event gap function") {
+  test("dynamic-gap sessions merge on max(ts+gap) across elements") {
+    // gap after "view" is 10s, after "error" is 2s. The horizon is the
+    // MAX(ts+gap) over the merged session (DynamicEventTimeSessionWindows
+    // merges [ts, ts+gap) windows): the error@10 only proposes [10,12),
+    // but view@5 already proposed [5,15), so view@13 still merges in —
+    // the last element's small gap does NOT close the session early.
     val events = Seq(
-      // user 1: gap after "view" is 10, after "error" is 2
-      Click(1, "view", t("2024-01-01 00:00:00"), 0),
-      Click(1, "view", t("2024-01-01 00:00:05"), 0), // within 10 → same
-      Click(1, "error", t("2024-01-01 00:00:10"), 0), // within 10 → same
-      Click(1, "view", t("2024-01-01 00:00:13"), 0) // 3 >= 2 (error gap) → new
+      Click(1, "view", t("2024-01-01 00:00:00"), 0), // horizon 10
+      Click(1, "view", t("2024-01-01 00:00:05"), 0), // horizon 15
+      Click(1, "error", t("2024-01-01 00:00:10"), 0), // horizon stays 15
+      Click(1, "view", t("2024-01-01 00:00:13"), 0), // 13 < 15 → merges; horizon 23
+      Click(1, "view", t("2024-01-01 00:00:30"), 0) // 30 >= 23 → new session
     ).toDS()
     def secs(c: Click) = c.ts.getTime / 1000
     val got = StreamOps.dynamicGapSessions[Long, Click](
       events, _.user, secs, c => if (c.kind == "error") 2L else 10L)
       .collect().sortBy(_._2)
+    val e = events.collect()
     assert(got.toSeq == Seq(
-      (1L, secs(events.collect()(0)), secs(events.collect()(2)), 3),
-      (1L, secs(events.collect()(3)), secs(events.collect()(3)), 1)))
+      (1L, secs(e(0)), secs(e(3)), 4),
+      (1L, secs(e(4)), secs(e(4)), 1)))
   }
 
   test("retraction chain (agg→agg) via foreachBatch upsert state (SURVEY §7.4.1)") {

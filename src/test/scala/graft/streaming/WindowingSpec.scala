@@ -46,8 +46,10 @@ class WindowingSpec extends SparkSuite {
 
   test("DeltaEvictor drops elements too far from the last element") {
     val ev = Evictors.delta[(Long, Double)](1.0, (e, last) => last._2 - e._2)
+    // delta >= threshold evicts: 3.0 sits exactly at the 1.0 threshold and
+    // goes (DeltaEvictor.java evicts on getDelta >= threshold)
     assert(ev.evict(Seq((1L, 1.0), (1L, 3.0), (1L, 3.5), (1L, 4.0)))
-      == Seq((1L, 3.0), (1L, 3.5), (1L, 4.0)))
+      == Seq((1L, 3.5), (1L, 4.0)))
   }
 
   test("triggered windows run identically on a real stream across micro-batches") {
