@@ -614,4 +614,42 @@ object StreamOps {
         out.iterator
     }
   }
+
+  /** Queryable state (reference: KeyedStream.asQueryableState,
+    * KeyedStream.java:1004 / QueryableStateStream — a keyed stream's
+    * latest value per key becomes externally queryable by key through the
+    * QueryableStateClient): Spark's in-memory sink in Complete mode IS
+    * that state snapshot — the streaming aggregation's result table,
+    * registered under `name`, refreshed atomically per micro-batch and
+    * readable by ANY thread via `spark.table(name)` while the query runs.
+    *
+    * `keyed` must be an aggregated (update/complete-capable) frame whose
+    * first column is the key — exactly the reference's contract that
+    * queryable state exposes keyed AGGREGATING state (asQueryableState
+    * with a ReducingStateDescriptor).
+    *
+    * Returns the running query plus a `lookup(key)` client. At cluster
+    * scale the same pattern swaps `format("memory")` for a key-value
+    * `foreachBatch` upsert (see [[TxnSink]]); memory-sink keeps the
+    * single-process contract the reference's client test harness uses.
+    */
+  final case class QueryableState(
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      spark: org.apache.spark.sql.SparkSession, name: String) {
+    /** Point lookup by key — the QueryableStateClient.getKvState analog. */
+    def lookup(key: Any): Option[org.apache.spark.sql.Row] = {
+      val df = spark.table(name)
+      val keyCol = df.columns.head
+      df.where(col(keyCol) === lit(key)).collect().headOption
+    }
+  }
+
+  def asQueryableState(keyed: DataFrame, name: String): QueryableState = {
+    val q = keyed.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .start()
+    QueryableState(q, keyed.sparkSession, name)
+  }
 }

@@ -554,6 +554,31 @@ class StreamOpsSpec extends SparkSuite {
       (1L, secs(e(4)), secs(e(4)), 1)))
   }
 
+  test("asQueryableState exposes keyed aggregate state to point lookups") {
+    // KeyedStream.asQueryableState contract: the latest aggregated value
+    // per key is queryable by key WHILE the stream runs, and reflects
+    // later micro-batches
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Click]
+    val counts = input.toDF().groupBy(col("user"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val qs = StreamOps.asQueryableState(counts, "qstate_counts")
+    try {
+      input.addData(Click(1, "a", t("2024-01-01 00:00:00"), 2.0),
+        Click(1, "a", t("2024-01-01 00:01:00"), 3.0),
+        Click(2, "b", t("2024-01-01 00:02:00"), 1.0))
+      qs.query.processAllAvailable()
+      val r1 = qs.lookup(1L).get
+      assert(r1.getAs[Long]("n") === 2L && r1.getAs[Double]("total") === 5.0)
+      assert(qs.lookup(99L).isEmpty) // unknown key, like an unknown kvState
+      input.addData(Click(1, "a", t("2024-01-01 00:03:00"), 10.0))
+      qs.query.processAllAvailable()
+      val r2 = qs.lookup(1L).get // state visible with the new epoch applied
+      assert(r2.getAs[Long]("n") === 3L && r2.getAs[Double]("total") === 15.0)
+      assert(qs.lookup(2L).get.getAs[Long]("n") === 1L)
+    } finally qs.query.stop()
+  }
+
   test("retraction chain (agg→agg) via foreachBatch upsert state (SURVEY §7.4.1)") {
     // count events per user, then count users per event-count — the second
     // aggregate needs retractions (a user moving 1→2 must decrement bucket
