@@ -24,6 +24,7 @@ object SparkEntry {
     graft.pipeline.CurationQueries,
     graft.streaming.CepQueries,
     graft.streaming.CepQuantQuery,
+    graft.streaming.GroupCepQuery,
     graft.graph.GraphQueries)
 
   private lazy val allQueries: Seq[Q] = modules.flatMap(_.all)

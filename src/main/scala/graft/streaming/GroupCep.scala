@@ -1,0 +1,440 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** CEP pattern GROUPS (reference: flink-cep GroupPattern.java — patterns
+  * whose elements are themselves patterns, quantifiable as a unit:
+  * `c (a b){2} d`, `c (a (b c){3}){0,2} e`, …) re-expressed as a
+  * recursive epsilon-NFA, conformance-pinned by verbatim ports of
+  * flink-cep/src/test/java/.../nfa/GroupITCase.java.
+  *
+  * Why a second matcher instead of extending [[Cep.advance]]: the linear
+  * NFA models a pattern as a flat step vector with per-step quantifiers —
+  * its zero-allocation hot path and 15+ ported conformance cases depend on
+  * that shape. Groups need loop-back over a SUB-pattern (and nesting), a
+  * different state machine. This driver mirrors the reference compiler's
+  * state-graph semantics (NFACompiler.java:createGroupPatternState /
+  * createLoopingGroupPatternState) directly as a tree walk:
+  *
+  *  - each element boundary carries a consuming mode: STRICT (`next`, no
+  *    ignore edge), TILL_NEXT (`followedBy`, ignore = non-matching events
+  *    only — the waiting branch is consumed by its first take), TILL_ANY
+  *    (`followedByAny`, ignore = all events — the waiting branch survives
+  *    its own takes and can re-fire later; NFACompiler.getIgnoreCondition);
+  *  - a group's first step takes the GROUP's mode on entry and the group's
+  *    LOOP mode on repetition re-entry (`consecutive()` → STRICT,
+  *    `allowCombinations()` → TILL_ANY, default TILL_NEXT;
+  *    getInnerIgnoreCondition / isCurrentGroupPatternFirstOfLoop);
+  *  - completing a group's last element forks: exit (reps >= min) and/or
+  *    loop back (reps < max) — which is why `(a b)+ d` emits every
+  *    repetition count, not just the maximal one (GroupITCase
+  *    testGroupFollowedByOneOrMore);
+  *  - `until` on a quantified group conjoins NOT(until) onto every take
+  *    AND ignore edge inside that group (extendWithUntilCondition), so an
+  *    until-event kills all in-group branches outright;
+  *  - `notFollowedBy` attaches a persistent stop condition to the entry of
+  *    the following element (branch dies if the banned event arrives
+  *    before that element takes); `notNext` stops only while the branch
+  *    has not yet ignored an event (NFACompiler.createMiddleStates).
+  */
+object GroupCep {
+
+  // consuming modes (Quantifier.ConsumingStrategy)
+  final val Strict = 0
+  final val TillNext = 1
+  final val TillAny = 2
+
+  /** Pattern element: a named step, a quantified sub-pattern, or a
+    * negative (stop) condition. `mode` is the boundary contiguity to the
+    * PREVIOUS element. */
+  sealed trait GElem[E]
+  final case class GLeaf[E](name: String, pred: E => Boolean, mode: Int)
+      extends GElem[E]
+  final case class GGroup[E](elems: Vector[GElem[E]], mode: Int,
+      min: Int, max: Int, optional: Boolean, loopMode: Int,
+      untilPred: Option[E => Boolean]) extends GElem[E]
+  final case class GNot[E](name: String, pred: E => Boolean,
+      nextOnly: Boolean) extends GElem[E]
+
+  /** Builder mirroring the reference's Pattern/GroupPattern surface.
+    * Quantifiers apply to the last appended element; a quantified plain
+    * step is wrapped into a singleton group (same NFA shape the reference
+    * compiles it to). */
+  final class GPattern[E] private[GroupCep] (
+      val elems: Vector[GElem[E]], val withinMs: Option[Long]) {
+
+    private def append(e: GElem[E]) = new GPattern(elems :+ e, withinMs)
+
+    def followedBy(name: String)(pred: E => Boolean): GPattern[E] =
+      append(GLeaf(name, pred, TillNext))
+    def next(name: String)(pred: E => Boolean): GPattern[E] =
+      append(GLeaf(name, pred, Strict))
+    def followedByAny(name: String)(pred: E => Boolean): GPattern[E] =
+      append(GLeaf(name, pred, TillAny))
+    def followedBy(sub: GPattern[E]): GPattern[E] =
+      append(GGroup(sub.elems, TillNext, 1, 1, optional = false, TillNext, None))
+    def next(sub: GPattern[E]): GPattern[E] =
+      append(GGroup(sub.elems, Strict, 1, 1, optional = false, TillNext, None))
+    def followedByAny(sub: GPattern[E]): GPattern[E] =
+      append(GGroup(sub.elems, TillAny, 1, 1, optional = false, TillNext, None))
+    def notFollowedBy(name: String)(pred: E => Boolean): GPattern[E] =
+      append(GNot(name, pred, nextOnly = false))
+    def notNext(name: String)(pred: E => Boolean): GPattern[E] =
+      append(GNot(name, pred, nextOnly = true))
+
+    private def quantified(f: GGroup[E] => GGroup[E]): GPattern[E] = {
+      val g = elems.last match {
+        case g: GGroup[E] => g
+        case l: GLeaf[E] =>
+          GGroup[E](Vector(l.copy(mode = TillNext)), l.mode, 1, 1,
+            optional = false, TillNext, None)
+        case _: GNot[E] =>
+          throw new IllegalArgumentException(
+            "cannot quantify a notFollowedBy/notNext element")
+      }
+      new GPattern(elems.init :+ f(g), withinMs)
+    }
+
+    def times(n: Int): GPattern[E] = {
+      require(n >= 1, "times(n) requires n >= 1")
+      quantified(_.copy(min = n, max = n))
+    }
+    def times(from: Int, to: Int): GPattern[E] = {
+      require(from >= 0 && to >= from && to >= 1,
+        "times(from, to) requires 0 <= from <= to, to >= 1")
+      quantified(g => g.copy(min = math.max(from, 1), max = to,
+        optional = g.optional || from == 0))
+    }
+    def oneOrMore: GPattern[E] =
+      quantified(_.copy(min = 1, max = Int.MaxValue))
+    def optional: GPattern[E] = quantified(_.copy(optional = true))
+    def consecutive: GPattern[E] = quantified(_.copy(loopMode = Strict))
+    def allowCombinations: GPattern[E] = quantified(_.copy(loopMode = TillAny))
+    def until(pred: E => Boolean): GPattern[E] =
+      quantified(_.copy(untilPred = Some(pred)))
+    def within(ms: Long): GPattern[E] = new GPattern(elems, Some(ms))
+
+    private[GroupCep] def validated: GPattern[E] = {
+      require(elems.nonEmpty, "empty pattern")
+      require(!elems.head.isInstanceOf[GNot[_]],
+        "a pattern cannot begin with notFollowedBy/notNext")
+      require(!elems.last.isInstanceOf[GNot[_]],
+        "notFollowedBy/notNext must be followed by another pattern element")
+      elems.last match {
+        case g: GGroup[E] => require(!g.optional,
+          "the final pattern element cannot be optional (nor times(0, n))")
+        case _ => ()
+      }
+      this
+    }
+  }
+
+  object GPattern {
+    def begin[E](name: String)(pred: E => Boolean): GPattern[E] =
+      new GPattern(Vector(GLeaf(name, pred, TillNext)), None)
+    def begin[E](sub: GPattern[E]): GPattern[E] =
+      new GPattern(Vector(GGroup(sub.elems, TillNext, 1, 1,
+        optional = false, TillNext, None)), None)
+  }
+
+  // ---- compiled form: leaf slots + a parent-linked element tree ----
+
+  private sealed trait Node
+  private final case class SNode(slot: Int, mode: Int) extends Node
+  private final case class GNode(id: Int, children: Vector[Node], mode: Int,
+      min: Int, max: Int, optional: Boolean, loopMode: Int,
+      untilIdx: Int) extends Node // untilIdx: index into untils, -1 = none
+
+  /** A frontier target after an epsilon walk: a slot to wait on (with its
+    * consuming mode and group-repetition counters) or pattern completion. */
+  private final case class At(slot: Int, mode: Int, reps: Map[Int, Int])
+
+  final class Compiled[E] private[GroupCep] (pattern: GPattern[E])
+      extends Serializable {
+    private[GroupCep] val withinMs = pattern.withinMs
+    @transient private val slotNames = Vector.newBuilder[String]
+    @transient private val slotPreds = Vector.newBuilder[E => Boolean]
+    @transient private val untilsB = Vector.newBuilder[E => Boolean]
+    // per-slot stop conditions (notFollowedBy persistent / notNext fresh-only)
+    @transient private val stopsFollowB = scala.collection.mutable.Map
+      .empty[Int, List[E => Boolean]]
+    @transient private val stopsNextB = scala.collection.mutable.Map
+      .empty[Int, List[E => Boolean]]
+    @transient private val slotUntilB = scala.collection.mutable.Map.empty[Int, Int]
+    private var nSlots = 0
+    private var nGroups = 0
+    @transient private val parentB = scala.collection.mutable.Map.empty[Node, GNode]
+
+    /** Builds the node for an element; `untilIdx` = innermost enclosing
+      * group's until (reference: getTakeCondition consults only
+      * currentGroupPattern — the innermost group). */
+    private def build(e: GElem[E], untilIdx: Int): Node = e match {
+      case GLeaf(name, pred, mode) =>
+        val s = nSlots; nSlots += 1
+        slotNames += name; slotPreds += pred
+        if (untilIdx >= 0) slotUntilB(s) = untilIdx
+        SNode(s, mode)
+      case g: GGroup[E] =>
+        val id = nGroups; nGroups += 1
+        val gUntil = g.untilPred match {
+          case Some(p) => untilsB += p; untilsCount += 1; untilsCount - 1
+          case None => -1
+        }
+        // this group's until scopes over its DIRECT slots; a nested group
+        // re-scopes to its own (possibly absent) until — the reference's
+        // currentGroupPattern is the innermost group, with no fallthrough
+        val children = buildSeq(g.elems, gUntil)
+        val node = GNode(id, children, g.mode, g.min, g.max, g.optional,
+          g.loopMode, gUntil)
+        children.foreach(parentB(_) = node)
+        node
+      case _: GNot[E] =>
+        throw new IllegalStateException("GNot handled in buildSeq")
+    }
+    private var untilsCount = 0
+
+    /** Builds a sibling sequence, converting GNot elements into stop
+      * conditions on the entry slots of the following elements (walking
+      * through optional elements like getCurrentNotCondition). */
+    private def buildSeq(elems: Vector[GElem[E]], untilIdx: Int): Vector[Node] = {
+      val nodes = Vector.newBuilder[Node]
+      var pendingNots = List.empty[(E => Boolean, Boolean)]
+      elems.foreach {
+        case GNot(_, pred, nextOnly) =>
+          pendingNots ::= (pred, nextOnly)
+        case e =>
+          val n = build(e, untilIdx)
+          nodes += n
+          if (pendingNots.nonEmpty) {
+            firstSlots(n).foreach { s =>
+              pendingNots.foreach { case (pred, nextOnly) =>
+                if (nextOnly) stopsNextB(s) = pred :: stopsNextB.getOrElse(s, Nil)
+                else stopsFollowB(s) = pred :: stopsFollowB.getOrElse(s, Nil)
+              }
+            }
+            // nots stay pending only across optional elements
+            if (!isOptional(n)) pendingNots = Nil
+          }
+      }
+      nodes.result()
+    }
+
+    private def isOptional(n: Node): Boolean = n match {
+      case _: SNode => false
+      case g: GNode => g.optional || g.min == 0
+    }
+    private def firstSlots(n: Node): Vector[Int] = n match {
+      case SNode(s, _) => Vector(s)
+      case g: GNode =>
+        val out = Vector.newBuilder[Int]
+        var scanning = true
+        g.children.foreach { c =>
+          if (scanning) { out ++= firstSlots(c); scanning = isOptional(c) }
+        }
+        out.result()
+    }
+
+    private val realRoot: GNode = {
+      val children = buildSeq(pattern.elems, -1)
+      val r = GNode(nGroups, children, TillNext, 1, 1, optional = false,
+        TillNext, -1)
+      nGroups += 1
+      children.foreach(parentB(_) = r)
+      r
+    }
+    private val parents: Map[Node, GNode] = parentB.toMap
+    private val names = slotNames.result()
+    private val preds = slotPreds.result()
+    private val untils = untilsB.result()
+    private val stopsFollow = stopsFollowB.toMap
+    private val stopsNext = stopsNextB.toMap
+    private val slotUntil = slotUntilB.toMap
+    private val slotNodes: Map[Int, SNode] = {
+      def collect(n: Node): Vector[SNode] = n match {
+        case s: SNode => Vector(s)
+        case g: GNode => g.children.flatMap(collect)
+      }
+      collect(realRoot).map(s => s.slot -> s).toMap
+    }
+
+    private def declMode(n: Node): Int = n match {
+      case SNode(_, m) => m
+      case g: GNode => g.mode
+    }
+    /** Group ids strictly inside `g` (their counters reset on re-entry). */
+    private def clearInside(g: GNode, reps: Map[Int, Int]): Map[Int, Int] = {
+      def ids(n: Node): Vector[Int] = n match {
+        case _: SNode => Vector.empty
+        case gg: GNode => gg.id +: gg.children.flatMap(ids)
+      }
+      val inside = g.children.flatMap(ids)
+      if (inside.isEmpty) reps else reps -- inside
+    }
+
+    /** Epsilon-enter an element with the boundary mode `mode`:
+      * group entry resets its counters and may also skip it entirely. */
+    private def enter(n: Node, mode: Int, reps: Map[Int, Int],
+        out: scala.collection.mutable.Builder[At, Vector[At]], done: () => Unit): Unit = n match {
+      case SNode(s, _) => out += At(s, mode, reps)
+      case g: GNode =>
+        val r = clearInside(g, reps).updated(g.id, 0)
+        enter(g.children.head, mode, r, out, done)
+        if (g.optional || g.min == 0) continueAfter(g, reps, out, done)
+    }
+
+    /** Epsilon-walk after completing element `n`: next sibling, or close a
+      * repetition of the parent group (exit and/or loop-back forks), or
+      * complete the pattern at the root. */
+    private def continueAfter(n: Node, reps: Map[Int, Int],
+        out: scala.collection.mutable.Builder[At, Vector[At]], done: () => Unit): Unit =
+      parents.get(n) match {
+        case None => done() // n is the root
+        case Some(p) =>
+          val idx = p.children.indexWhere(_ eq n)
+          if (idx < p.children.size - 1) {
+            val sib = p.children(idx + 1)
+            enter(sib, declMode(sib), reps, out, done)
+          } else if (p.id == realRoot.id) {
+            done()
+          } else {
+            val r = reps.getOrElse(p.id, 0) + 1
+            if (r >= p.min) continueAfter(p, reps - p.id, out, done)
+            if (r < p.max)
+              enter(p.children.head, p.loopMode,
+                clearInside(p, reps).updated(p.id, r), out, done)
+          }
+      }
+
+    private[GroupCep] def succ(slot: Int,
+        reps: Map[Int, Int]): (Vector[At], Boolean) = {
+      val out = Vector.newBuilder[At]
+      var complete = false
+      continueAfter(slotNodes(slot), reps, out, () => complete = true)
+      (out.result(), complete)
+    }
+    private[GroupCep] lazy val startFrontier: Vector[At] = {
+      val out = Vector.newBuilder[At]
+      val first = realRoot.children.head
+      enter(first, declMode(first), Map.empty, out, () => ())
+      out.result()
+    }
+    private[GroupCep] def predOf(s: Int): E => Boolean = preds(s)
+    private[GroupCep] def nameOf(s: Int): String = names(s)
+    private[GroupCep] def stopsFollowOf(s: Int): List[E => Boolean] =
+      stopsFollow.getOrElse(s, Nil)
+    private[GroupCep] def stopsNextOf(s: Int): List[E => Boolean] =
+      stopsNext.getOrElse(s, Nil)
+    private[GroupCep] def untilOf(s: Int): Option[E => Boolean] =
+      slotUntil.get(s).map(untils)
+    def stepNames: Vector[String] = names.distinct
+  }
+
+  def compile[E](pattern: GPattern[E]): Compiled[E] =
+    new Compiled(pattern.validated)
+
+  /** An in-flight branch: waiting on `slot` with consuming mode `mode`;
+    * `fresh` = has not ignored an event since arriving (notNext window). */
+  final case class GConf[E](slot: Int, mode: Int, reps: Map[Int, Int],
+      captured: Vector[(Int, E)], startTs: Long, fresh: Boolean)
+
+  /** One NFA transition over all live branches. Pure; shared by the batch
+    * and streaming drivers. Returns surviving branches and completed
+    * matches as (slotIdx, event) capture lists in match order. */
+  def advance[E](c: Compiled[E], confs: Vector[GConf[E]], e: E,
+      ts: Long): (Vector[GConf[E]], Vector[Vector[(Int, E)]]) = {
+    val alive = c.withinMs match {
+      case None => confs
+      case Some(w) => confs.filter(p => ts - p.startTs <= w)
+    }
+    val out = Vector.newBuilder[GConf[E]]
+    val matches = Vector.newBuilder[Vector[(Int, E)]]
+
+    def fire(conf: GConf[E]): Unit = {
+      val cap2 = conf.captured :+ (conf.slot -> e)
+      val (targets, complete) = c.succ(conf.slot, conf.reps)
+      if (complete) matches += cap2
+      targets.foreach { t =>
+        out += GConf(t.slot, t.mode, t.reps, cap2, conf.startTs, fresh = true)
+      }
+    }
+
+    alive.foreach { conf =>
+      val stopped = c.stopsFollowOf(conf.slot).exists(_(e)) ||
+        (conf.fresh && c.stopsNextOf(conf.slot).exists(_(e)))
+      val untilKill = c.untilOf(conf.slot).exists(_(e))
+      if (!stopped && !untilKill) {
+        val takes = c.predOf(conf.slot)(e)
+        if (takes) {
+          fire(conf)
+          // TILL_ANY: the waiting branch survives its own take and can
+          // re-fire on a later occurrence
+          if (conf.mode == TillAny) out += conf.copy(fresh = false)
+        } else if (conf.mode != Strict) {
+          out += conf.copy(fresh = false) // ignore edge
+        } // strict: branch dies
+      } // stop/until: branch dies
+    }
+
+    // the start state is always active: try to open new branches
+    c.startFrontier.foreach { t =>
+      if (c.predOf(t.slot)(e))
+        fire(GConf(t.slot, t.mode, t.reps, Vector.empty, ts, fresh = true))
+    }
+    (out.result().distinct, matches.result().distinct)
+  }
+
+  /** Shapes a capture list into step-name → events (capture order). */
+  def toGroups[E](c: Compiled[E],
+      captured: Vector[(Int, E)]): Map[String, Seq[E]] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Vector[E]]
+    c.stepNames.foreach(n => m(n) = Vector.empty)
+    captured.foreach { case (s, e) => val n = c.nameOf(s); m(n) = m(n) :+ e }
+    m.toMap
+  }
+
+  /** Run a group pattern over a batch Dataset: one event-time-sorted scan
+    * per key (the [[Cep.matchBatchGroups]] twin for group patterns). */
+  def matchBatchGroups[K, E, O: Encoder](ds: Dataset[E], key: E => K,
+      ts: E => Long, pattern: GPattern[E],
+      tie: E => Long = (_: E) => 0L)(
+      finish: (K, Map[String, Seq[E]]) => O)(
+      implicit ke: Encoder[K]): Dataset[O] = {
+    val compiled = compile(pattern)
+    ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
+      var confs = Vector.empty[GConf[E]]
+      val outs = Vector.newBuilder[O]
+      it.toVector.sortBy(e => (ts(e), tie(e))).foreach { e =>
+        val (next, ms) = advance(compiled, confs, e, ts(e))
+        confs = next
+        ms.foreach(m => outs += finish(k, toGroups(compiled, m)))
+      }
+      outs.result().iterator
+    }
+  }
+
+  /** Streaming twin: branches persist in keyed state across micro-batches.
+    * Events must arrive in event-time order per key within a batch (sort
+    * applied); cross-batch late events are not re-ordered — feed through
+    * [[StreamOps.eventTimeSorted]] first when that matters. */
+  def matchStream[K, E, O: Encoder](ds: Dataset[E], key: E => K,
+      ts: E => Long, pattern: GPattern[E],
+      tie: E => Long = (_: E) => 0L)(
+      finish: (K, Map[String, Seq[E]]) => O)(
+      implicit ke: Encoder[K],
+      se: Encoder[Vector[GConf[E]]]): Dataset[O] = {
+    val compiled = compile(pattern)
+    ds.groupByKey(key).flatMapGroupsWithState[Vector[GConf[E]], O](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (k, it, state) =>
+      var confs = state.getOption.getOrElse(Vector.empty)
+      val outs = Vector.newBuilder[O]
+      it.toVector.sortBy(e => (ts(e), tie(e))).foreach { e =>
+        val (next, ms) = advance(compiled, confs, e, ts(e))
+        confs = next
+        ms.foreach(m => outs += finish(k, toGroups(compiled, m)))
+      }
+      state.update(confs)
+      outs.result().iterator
+    }
+  }
+}

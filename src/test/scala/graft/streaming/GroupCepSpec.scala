@@ -1,0 +1,361 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.streaming.GroupCep._
+
+/** Verbatim ports of flink-cep GroupITCase.java — the reference's exact
+  * event sequences and expected match lists (flattened capture order,
+  * compared as sets like the reference's compareMaps). */
+class GroupCepSpec extends SparkSuite {
+
+  private case class RE(id: Int, name: String, price: Double)
+
+  /** Feeds events through the raw NFA, returning flattened id lists per
+    * match (the reference's List<Event> shape). */
+  private def feed(pattern: GPattern[RE],
+      events: Seq[(RE, Long)]): Vector[Seq[Int]] = {
+    val c = GroupCep.compile(pattern)
+    var confs = Vector.empty[GConf[RE]]
+    val all = Vector.newBuilder[Seq[Int]]
+    events.foreach { case (e, ts) =>
+      val (next, ms) = GroupCep.advance(c, confs, e, ts)
+      confs = next
+      ms.foreach(m => all += m.map(_._2.id))
+    }
+    all.result()
+  }
+
+  private def feedWithRemaining(pattern: GPattern[RE],
+      events: Seq[(RE, Long)]): (Vector[Seq[Int]], Int) = {
+    val c = GroupCep.compile(pattern)
+    var confs = Vector.empty[GConf[RE]]
+    val all = Vector.newBuilder[Seq[Int]]
+    events.foreach { case (e, ts) =>
+      val (next, ms) = GroupCep.advance(c, confs, e, ts)
+      confs = next
+      ms.foreach(m => all += m.map(_._2.id))
+    }
+    (all.result(), confs.size)
+  }
+
+  private val c = RE(40, "c", 1.0)
+
+  test("port: c (a b){2} d (GroupITCase testGroupFollowedByTimes)") {
+    val (a1, b1, a2, b2, d) = (RE(41, "a", 2.0), RE(42, "b", 3.0),
+      RE(43, "a", 4.0), RE(44, "b", 5.0), RE(45, "d", 6.0))
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .followedBy(GPattern.begin[RE]("middle1")(_.name == "a")
+        .followedBy("middle2")(_.name == "b")).times(2)
+      .followedBy("end")(_.name == "d")
+    val got = feed(p, Seq(c -> 1L, a1 -> 2L, b1 -> 3L, a2 -> 4L, b2 -> 5L,
+      d -> 6L))
+    assert(got.toSet === Set(Seq(40, 41, 42, 43, 44, 45)))
+  }
+
+  test("port: c (a b)? d (testGroupFollowedByOptional)") {
+    val (a1, a2, b, d) = (RE(41, "a", 2.0), RE(42, "a", 2.0),
+      RE(43, "b", 3.0), RE(44, "d", 4.0))
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .followedBy(GPattern.begin[RE]("middle1")(_.name == "a")
+        .followedBy("middle2")(_.name == "b")).optional
+      .followedBy("end")(_.name == "d")
+    val got = feed(p, Seq(c -> 1L, a1 -> 2L, a2 -> 3L, b -> 4L, d -> 5L))
+    assert(got.toSet === Set(Seq(40, 44), Seq(40, 41, 43, 44)))
+  }
+
+  test("port: c (a b){2}? d, incomplete group (testFollowedByGroupTimesOptional)") {
+    val (a, d) = (RE(41, "a", 2.0), RE(45, "d", 3.0))
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .followedBy(GPattern.begin[RE]("middle1")(_.name == "a")
+        .followedBy("middle2")(_.name == "b")).times(2).optional
+      .followedBy("end")(_.name == "d")
+    val got = feed(p, Seq(c -> 1L, a -> 2L, d -> 3L))
+    assert(got.toSet === Set(Seq(40, 45)))
+  }
+
+  test("port: c (a b)+ d (testGroupFollowedByOneOrMore)") {
+    val (a1, b1, a2, b2, d) = (RE(41, "a", 2.0), RE(42, "b", 3.0),
+      RE(43, "a", 4.0), RE(44, "b", 5.0), RE(45, "d", 6.0))
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .followedBy(GPattern.begin[RE]("middle1")(_.name == "a")
+        .followedBy("middle2")(_.name == "b")).oneOrMore
+      .followedBy("end")(_.name == "d")
+    val got = feed(p, Seq(c -> 1L, a1 -> 2L, b1 -> 3L, a2 -> 4L, b2 -> 5L,
+      d -> 6L))
+    assert(got.toSet === Set(
+      Seq(40, 41, 42, 45),
+      Seq(40, 41, 42, 43, 44, 45)))
+  }
+
+  test("port: c (a b)* d (testGroupFollowedByZeroOrMore)") {
+    val (a1, b1, a2, b2, d) = (RE(41, "a", 2.0), RE(42, "b", 3.0),
+      RE(43, "a", 4.0), RE(44, "b", 5.0), RE(45, "d", 6.0))
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .followedBy(GPattern.begin[RE]("middle1")(_.name == "a")
+        .followedBy("middle2")(_.name == "b")).oneOrMore.optional
+      .followedBy("end")(_.name == "d")
+    val got = feed(p, Seq(c -> 1L, a1 -> 2L, b1 -> 3L, a2 -> 4L, b2 -> 5L,
+      d -> 6L))
+    assert(got.toSet === Set(
+      Seq(40, 45),
+      Seq(40, 41, 42, 45),
+      Seq(40, 41, 42, 43, 44, 45)))
+  }
+
+  test("port: c any (a b){2} combinations d (testGroupFollowedByAnyTimesCombinations)") {
+    val (a1, b1, a2, b2, a3, b3, d) = (RE(41, "a", 2.0), RE(42, "b", 3.0),
+      RE(43, "a", 4.0), RE(44, "b", 5.0), RE(45, "a", 4.0), RE(46, "b", 5.0),
+      RE(47, "d", 6.0))
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .followedByAny(GPattern.begin[RE]("middle1")(_.name == "a")
+        .followedBy("middle2")(_.name == "b")).times(2).allowCombinations
+      .followedBy("end")(_.name == "d")
+    val got = feed(p, Seq(c -> 1L, a1 -> 2L, b1 -> 3L, a2 -> 4L, b2 -> 5L,
+      a3 -> 6L, b3 -> 7L, d -> 8L))
+    assert(got.toSet === Set(
+      Seq(40, 41, 42, 43, 44, 47),
+      Seq(40, 41, 42, 45, 46, 47),
+      Seq(40, 43, 44, 45, 46, 47)))
+  }
+
+  test("port: c any (a b){2}? d (testGroupFollowedByAnyTimesOptional)") {
+    val (a1, b1, a2, b2, a3, b3, d) = (RE(41, "a", 2.0), RE(42, "b", 3.0),
+      RE(43, "a", 4.0), RE(44, "b", 5.0), RE(45, "a", 4.0), RE(46, "b", 5.0),
+      RE(47, "d", 6.0))
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .followedByAny(GPattern.begin[RE]("middle1")(_.name == "a")
+        .followedBy("middle2")(_.name == "b")).times(2).optional
+      .followedBy("end")(_.name == "d")
+    val got = feed(p, Seq(c -> 1L, a1 -> 2L, b1 -> 3L, a2 -> 4L, b2 -> 5L,
+      a3 -> 6L, b3 -> 7L, d -> 8L))
+    assert(got.toSet === Set(
+      Seq(40, 47),
+      Seq(40, 41, 42, 43, 44, 47),
+      Seq(40, 43, 44, 45, 46, 47)))
+  }
+
+  test("port: c any (a b){1,} d (testGroupFollowedByAnyOneOrMore)") {
+    val (a1, b1, a2, b2, a3, b3, d) = (RE(41, "a", 2.0), RE(42, "b", 3.0),
+      RE(43, "a", 4.0), RE(44, "b", 5.0), RE(45, "a", 4.0), RE(46, "b", 5.0),
+      RE(47, "d", 6.0))
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .followedByAny(GPattern.begin[RE]("middle1")(_.name == "a")
+        .followedBy("middle2")(_.name == "b")).oneOrMore
+      .followedBy("end")(_.name == "d")
+    val got = feed(p, Seq(c -> 1L, a1 -> 2L, b1 -> 3L, a2 -> 4L, b2 -> 5L,
+      a3 -> 6L, b3 -> 7L, d -> 8L))
+    assert(got.toSet === Set(
+      Seq(40, 41, 42, 47),
+      Seq(40, 43, 44, 47),
+      Seq(40, 45, 46, 47),
+      Seq(40, 41, 42, 43, 44, 47),
+      Seq(40, 43, 44, 45, 46, 47),
+      Seq(40, 41, 42, 43, 44, 45, 46, 47)))
+  }
+
+  test("port: c next (a b)* consecutive d (testGroupNextZeroOrMore)") {
+    val (a1, b1, a2, b2, a3, b3, d) = (RE(41, "a", 2.0), RE(42, "b", 3.0),
+      RE(43, "a", 3.0), RE(44, "b", 3.0), RE(45, "a", 4.0), RE(46, "b", 3.0),
+      RE(47, "d", 1.0))
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .next(GPattern.begin[RE]("middle1")(_.name == "a")
+        .followedBy("middle2")(_.name == "b"))
+      .oneOrMore.optional.consecutive
+      .followedBy("end")(_.name == "d")
+    val got = feed(p, Seq(c -> 1L, a1 -> 3L, b1 -> 4L, a2 -> 5L, b2 -> 6L,
+      a3 -> 7L, b3 -> 8L, d -> 9L))
+    assert(got.toSet === Set(
+      Seq(40, 47),
+      Seq(40, 41, 42, 47),
+      Seq(40, 41, 42, 43, 44, 47),
+      Seq(40, 41, 42, 43, 44, 45, 46, 47)))
+  }
+
+  test("port: c any (a b) ^d e (testGroupNotFollowedBy)") {
+    val (a1, b1, d, a2, b2, e) = (RE(41, "a", 2.0), RE(42, "b", 3.0),
+      RE(43, "d", 3.0), RE(44, "a", 4.0), RE(45, "b", 5.0), RE(46, "e", 6.0))
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .followedByAny(GPattern.begin[RE]("middle1")(_.name == "a")
+        .followedBy("middle2")(_.name == "b"))
+      .notFollowedBy("notPattern")(_.name == "d")
+      .followedBy("end")(_.name == "e")
+    val got = feed(p, Seq(c -> 1L, a1 -> 2L, b1 -> 3L, d -> 4L, a2 -> 5L,
+      b2 -> 6L, e -> 7L))
+    assert(got.toSet === Set(Seq(40, 44, 45, 46)))
+  }
+
+  test("port: c any (a b) notNext d e (testGroupNotNext)") {
+    val (a1, b1, d, a2, b2, e) = (RE(41, "a", 2.0), RE(42, "b", 3.0),
+      RE(43, "d", 3.0), RE(44, "a", 4.0), RE(45, "b", 5.0), RE(46, "e", 6.0))
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .followedByAny(GPattern.begin[RE]("middle1")(_.name == "a")
+        .followedBy("middle2")(_.name == "b"))
+      .notNext("notPattern")(_.name == "d")
+      .followedBy("end")(_.name == "e")
+    val got = feed(p, Seq(c -> 1L, a1 -> 2L, b1 -> 3L, d -> 4L, a2 -> 5L,
+      b2 -> 6L, e -> 7L))
+    assert(got.toSet === Set(Seq(40, 44, 45, 46)))
+  }
+
+  test("port: d (a (b c)*)? e nested groups (testGroupNest)") {
+    val (d, a1, b1, c1, b2, c2, e) = (RE(40, "d", 1.0), RE(41, "a", 2.0),
+      RE(42, "b", 3.0), RE(43, "c", 4.0), RE(44, "b", 5.0), RE(45, "c", 4.0),
+      RE(46, "e", 6.0))
+    val p = GPattern.begin[RE]("start")(_.name == "d")
+      .followedBy(GPattern.begin[RE]("middle1")(_.name == "a")
+        .followedBy(GPattern.begin[RE]("middle2")(_.name == "b")
+          .followedBy("middle3")(_.name == "c")).oneOrMore.optional)
+      .optional
+      .followedBy("end")(_.name == "e")
+    val got = feed(p, Seq(d -> 1L, a1 -> 2L, b1 -> 3L, c1 -> 4L, b2 -> 5L,
+      c2 -> 6L, e -> 7L))
+    assert(got.toSet === Set(
+      Seq(40, 46),
+      Seq(40, 41, 46),
+      Seq(40, 41, 42, 43, 46),
+      Seq(40, 41, 42, 43, 44, 45, 46)))
+  }
+
+  test("port: d any (a (b c){3}){0,2} e (testGroupNestTimes)") {
+    val d = RE(40, "d", 1.0); val e = RE(55, "e", 6.0)
+    val a1 = RE(41, "a", 2.0); val a2 = RE(48, "a", 2.0)
+    val bs1 = Seq(RE(42, "b", 3.0), RE(44, "b", 5.0), RE(46, "b", 5.0))
+    val cs1 = Seq(RE(43, "c", 4.0), RE(45, "c", 4.0), RE(47, "c", 4.0))
+    val bs2 = Seq(RE(49, "b", 3.0), RE(51, "b", 5.0), RE(53, "b", 5.0))
+    val cs2 = Seq(RE(50, "c", 4.0), RE(52, "c", 4.0), RE(54, "c", 4.0))
+    val p = GPattern.begin[RE]("start")(_.name == "d")
+      .followedByAny(GPattern.begin[RE]("middle1")(_.name == "a")
+        .followedBy(GPattern.begin[RE]("middle2")(_.name == "b")
+          .followedBy("middle3")(_.name == "c")).times(3)).times(0, 2)
+      .followedBy("end")(_.name == "e")
+    val events = (Seq(d) ++ Seq(a1) ++
+      (bs1 zip cs1).flatMap { case (b, cc) => Seq(b, cc) } ++ Seq(a2) ++
+      (bs2 zip cs2).flatMap { case (b, cc) => Seq(b, cc) } ++ Seq(e))
+      .zipWithIndex.map { case (ev, i) => ev -> (i + 1).toLong }
+    val got = feed(p, events)
+    val block1 = Seq(41, 42, 43, 44, 45, 46, 47)
+    val block2 = Seq(48, 49, 50, 51, 52, 53, 54)
+    assert(got.toSet === Set(
+      Seq(40, 55),
+      40 +: (block1 :+ 55),
+      40 +: (block2 :+ 55),
+      40 +: (block1 ++ block2 :+ 55)))
+  }
+
+  test("port: nested consecutive with a breaking event (testGroupNestTimesConsecutive)") {
+    val d = RE(40, "d", 1.0); val e = RE(55, "e", 6.0)
+    val breaking = RE(0, "breaking", 99.0)
+    val a1 = RE(41, "a", 2.0); val a2 = RE(48, "a", 2.0)
+    val bs1 = Seq(RE(42, "b", 3.0), RE(44, "b", 5.0), RE(46, "b", 5.0))
+    val cs1 = Seq(RE(43, "c", 4.0), RE(45, "c", 4.0), RE(47, "c", 4.0))
+    val bs2 = Seq(RE(49, "b", 3.0), RE(51, "b", 5.0), RE(53, "b", 5.0))
+    val cs2 = Seq(RE(50, "c", 4.0), RE(52, "c", 4.0), RE(54, "c", 4.0))
+    val p = GPattern.begin[RE]("start")(_.name == "d")
+      .followedByAny(GPattern.begin[RE]("middle1")(_.name == "a")
+        .followedBy(GPattern.begin[RE]("middle2")(_.name == "b")
+          .followedBy("middle3")(_.name == "c")).times(3).consecutive)
+      .times(0, 2).consecutive
+      .followedBy("end")(_.name == "e")
+    // breaking lands between a2's first (b c) and second (b c)
+    val events = (Seq(d, a1) ++
+      (bs1 zip cs1).flatMap { case (b, cc) => Seq(b, cc) } ++
+      Seq(a2, bs2(0), cs2(0), breaking, bs2(1), cs2(1), bs2(2), cs2(2), e))
+      .zipWithIndex.map { case (ev, i) => ev -> (i + 1).toLong }
+    val got = feed(p, events)
+    val block1 = Seq(41, 42, 43, 44, 45, 46, 47)
+    assert(got.toSet === Set(
+      Seq(40, 55),
+      40 +: (block1 :+ 55)))
+  }
+
+  test("port: begin group (a b){1,2} d (testGroupBegin)") {
+    val (a1, b1, a2, b2, d) = (RE(41, "a", 2.0), RE(42, "b", 3.0),
+      RE(43, "a", 4.0), RE(44, "b", 5.0), RE(45, "d", 6.0))
+    val p = GPattern.begin(GPattern.begin[RE]("middle1")(_.name == "a")
+        .followedBy("middle2")(_.name == "b")).times(1, 2)
+      .followedBy("end")(_.name == "d")
+    val got = feed(p, Seq(a1 -> 1L, b1 -> 2L, a2 -> 3L, b2 -> 4L, d -> 5L))
+    assert(got.toSet === Set(
+      Seq(41, 42, 45),
+      Seq(43, 44, 45),
+      Seq(41, 42, 43, 44, 45)))
+  }
+
+  test("port: c (a b)+ until d, d (testGroupFollowedByOneOrMoreWithUntilCondition)") {
+    val (a1, b1, a2, b2, d) = (RE(41, "a", 2.0), RE(42, "b", 3.0),
+      RE(43, "a", 4.0), RE(44, "b", 5.0), RE(45, "d", 6.0))
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .followedBy(GPattern.begin[RE]("middle1")(_.name == "a")
+        .followedBy("middle2")(_.name == "b")).oneOrMore
+      .until(_.name == "d")
+      .followedBy("end")(_.name == "d")
+    val (got, remaining) = feedWithRemaining(p,
+      Seq(c -> 1L, a1 -> 2L, b1 -> 3L, a2 -> 4L, b2 -> 5L, d -> 6L))
+    assert(got.toSet === Set(
+      Seq(40, 41, 42, 45),
+      Seq(40, 41, 42, 43, 44, 45)))
+    // the reference asserts only the start state remains; our start state
+    // is implicit, so the equivalent is: no partial branches survive
+    assert(remaining === 0)
+  }
+
+  test("the final pattern element cannot be optional") {
+    val bad = GPattern.begin[RE]("start")(_.name == "c")
+      .followedBy(GPattern.begin[RE]("middle1")(_.name == "a")
+        .followedBy("middle2")(_.name == "b")).times(0, 2)
+    assertThrows[IllegalArgumentException] { GroupCep.compile(bad) }
+  }
+
+  test("streaming driver: group branches persist across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val sqlCtx = spark.sqlContext
+    type R = (Long, String, Long)
+    implicit val stEnc: org.apache.spark.sql.Encoder[Vector[GConf[R]]] =
+      ExpressionEncoder()
+    val p = GPattern.begin[R]("start")(_._2 == "c")
+      .followedBy(GPattern.begin[R]("m1")(_._2 == "a")
+        .followedBy("m2")(_._2 == "b")).times(1, 2)
+      .followedBy("end")(_._2 == "d")
+    val input = MemoryStream[R]
+    val out = GroupCep.matchStream(input.toDS(), (e: R) => e._1,
+      (e: R) => e._3, p) { (k, g) => (k, g("m1").size, g("end").head._3) }
+    val q = out.toDF("user", "reps", "end_ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gcep_stream_out").start()
+    try {
+      // the (a b) prefix arrives in batch 1, the rest in batch 2 — the
+      // partial branch must survive the micro-batch boundary in state
+      input.addData((1L, "c", 1L), (1L, "a", 2L), (1L, "b", 3L))
+      q.processAllAvailable()
+      assert(spark.table("gcep_stream_out").count() === 0)
+      input.addData((1L, "a", 4L), (1L, "b", 5L), (1L, "d", 6L))
+      q.processAllAvailable()
+      val got = spark.table("gcep_stream_out")
+        .as[(Long, Int, Long)].collect().toSet
+      // exit fork after rep 1 and rep 2: both matches complete on d
+      assert(got === Set((1L, 1, 6L), (1L, 2, 6L)))
+    } finally q.stop()
+  }
+
+  test("batch driver: group matches over a keyed Dataset with capture groups") {
+    import spark.implicits._
+    // two users; only user 1 completes c (a b){2} d
+    val ds = Seq(
+      (1L, "c", 1L), (1L, "a", 2L), (1L, "b", 3L), (1L, "a", 4L),
+      (1L, "b", 5L), (1L, "d", 6L),
+      (2L, "c", 1L), (2L, "a", 2L), (2L, "b", 3L), (2L, "d", 4L)
+    ).toDS()
+    val p = GPattern.begin[(Long, String, Long)]("start")(_._2 == "c")
+      .followedBy(GPattern.begin[(Long, String, Long)]("m1")(_._2 == "a")
+        .followedBy("m2")(_._2 == "b")).times(2)
+      .followedBy("end")(_._2 == "d")
+    val got = GroupCep.matchBatchGroups(ds, (e: (Long, String, Long)) => e._1,
+      (e: (Long, String, Long)) => e._3, p) { (k, groups) =>
+      (k, groups("m1").map(_._3), groups("m2").map(_._3),
+        groups("end").map(_._3))
+    }.collect().toSeq
+    assert(got === Seq((1L, Seq(2L, 4L), Seq(3L, 5L), Seq(6L))))
+  }
+}
