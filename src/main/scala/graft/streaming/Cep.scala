@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder}
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Complex-event-processing subset: the reference's CEP pattern DSL
   * (flink-cep Pattern.java:123-474 — begin/next/followedBy/where/within,
@@ -480,7 +480,13 @@ object Cep {
 
   /** Run a pattern over a streaming Dataset: partials persist in keyed
     * state across micro-batches; final greedy runs stay pending until a
-    * breaking event arrives (documented subset). */
+    * breaking event arrives (documented subset).
+    *
+    * Patterns with `within` require a watermarked input: idle keys' expired
+    * partials are pruned by event-time timers (reference: within-pruning on
+    * watermark advance in flink-cep/.../nfa/NFA.java advanceTime), so state
+    * stays bounded even for keys that go quiet. Patterns without `within`
+    * keep partials indefinitely — the reference's semantics. */
   def matchStream[K, E, O: Encoder](ds: Dataset[E], key: E => K,
       ts: E => Long, pattern: Pattern[E],
       skip: AfterMatchSkip = NoSkip,
@@ -488,17 +494,50 @@ object Cep {
       finish: (K, Map[String, E]) => O)(
       implicit ke: Encoder[K], se: Encoder[Vector[Partial[E]]]): Dataset[O] = {
     pattern.validated
+    val timeoutConf =
+      if (pattern.withinMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     ds.groupByKey(key).flatMapGroupsWithState[Vector[Partial[E]], O](
-      OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (k, it, state) =>
-      val partials = state.getOption.getOrElse(Vector.empty)
-      val (outs, remaining) = runSorted(k, it, ts, pattern, partials,
-        (kk: K, groups: Map[String, Seq[E]]) =>
-          finish(kk, groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap),
-        flushAtEnd = false, skip, tie)
-      state.update(remaining)
-      outs.iterator
-    }
+      OutputMode.Append(), timeoutConf)(
+      matchStreamFn(pattern, ts, skip, tie, finish))
   }
+
+  /** The per-key state-transition function behind [[matchStream]], exposed
+    * so a TestGroupState harness can exercise the within-expiry timeout
+    * path deterministically. */
+  def matchStreamFn[K, E, O](pattern: Pattern[E], ts: E => Long,
+      skip: AfterMatchSkip, tie: E => Long,
+      finish: (K, Map[String, E]) => O):
+      (K, Iterator[E], GroupState[Vector[Partial[E]]]) => Iterator[O] =
+    (k: K, it: Iterator[E], state: GroupState[Vector[Partial[E]]]) =>
+      if (state.hasTimedOut) {
+        val w = pattern.withinMs.get
+        val wm = state.getCurrentWatermarkMs()
+        val live = state.getOption.getOrElse(Vector.empty)
+          .filter(p => wm - p.startTs <= w)
+        if (live.isEmpty) state.remove()
+        else {
+          state.update(live)
+          state.setTimeoutTimestamp(live.map(_.startTs).min + w + 1)
+        }
+        Iterator.empty
+      } else {
+        val partials = state.getOption.getOrElse(Vector.empty)
+        val (outs, remaining) = runSorted(k, it, ts, pattern, partials,
+          (kk: K, groups: Map[String, Seq[E]]) =>
+            finish(kk, groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap),
+          flushAtEnd = false, skip, tie)
+        if (remaining.isEmpty) state.remove()
+        else {
+          state.update(remaining)
+          pattern.withinMs.foreach { w =>
+            val target = remaining.map(_.startTs).min + w + 1
+            state.setTimeoutTimestamp(
+              math.max(target, state.getCurrentWatermarkMs() + 1))
+          }
+        }
+        outs.iterator
+      }
 
   private def runSorted[K, E, O](k: K, it: Iterator[E],
       ts: E => Long, pattern: Pattern[E], init: Vector[Partial[E]],

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder}
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** CEP pattern GROUPS (reference: flink-cep GroupPattern.java — patterns
   * whose elements are themselves patterns, quantifiable as a unit:
@@ -381,8 +381,30 @@ object GroupCep {
       if (c.predOf(t.slot)(e))
         fire(GConf(t.slot, t.mode, t.reps, Vector.empty, ts, fresh = true))
     }
-    (out.result().distinct, matches.result().distinct)
+    (dedupBy(out.result())(c =>
+        (c.slot, c.mode, c.reps, c.startTs, c.fresh, c.captured.length)),
+      dedupBy(matches.result())(m => (m.length, m.map(_._1))))
   }
+
+  /** Order-preserving dedup that hashes only a cheap structural key and
+    * deep-compares solely within same-key buckets. A plain `.distinct`
+    * hashes every GConf's full `captured` event vector on every event —
+    * O(match length) per branch per event, quadratic along a long
+    * `oneOrMore` scan. Epsilon-fork duplicates always share (slot, mode,
+    * reps, startTs, length), so the cheap key finds them; buckets are
+    * near-always singletons. */
+  private def dedupBy[T](xs: Vector[T])(cheap: T => Any): Vector[T] =
+    if (xs.length <= 1) xs
+    else {
+      val buckets = scala.collection.mutable.HashMap.empty[Any, List[T]]
+      val b = Vector.newBuilder[T]
+      xs.foreach { x =>
+        val k = cheap(x)
+        val seen = buckets.getOrElse(k, Nil)
+        if (!seen.contains(x)) { buckets(k) = x :: seen; b += x }
+      }
+      b.result()
+    }
 
   /** Shapes a capture list into step-name → events (capture order). */
   def toGroups[E](c: Compiled[E],
@@ -413,10 +435,60 @@ object GroupCep {
     }
   }
 
+  /** The per-key state-transition function behind [[matchStream]], exposed
+    * so a TestGroupState harness can drive the timeout path directly (the
+    * reference tests within-pruning via NFA watermark advance in
+    * flink-cep/.../nfa/NFATest.java; Spark's analog is TestGroupState).
+    *
+    * When the pattern has `within`, idle keys are pruned by event-time
+    * timers: on timeout, branches whose within horizon has passed the
+    * watermark are dropped and the timer re-arms on the oldest survivor
+    * (reference: flink-cep/.../nfa/NFA.java advanceTime pruning). Without
+    * this, a key that goes quiet would retain partial branches forever. */
+  def matchStreamFn[K, E, O](compiled: Compiled[E], ts: E => Long,
+      tie: E => Long, finish: (K, Map[String, Seq[E]]) => O):
+      (K, Iterator[E], GroupState[Vector[GConf[E]]]) => Iterator[O] =
+    (k: K, it: Iterator[E], state: GroupState[Vector[GConf[E]]]) =>
+      if (state.hasTimedOut) {
+        val w = compiled.withinMs.get
+        val wm = state.getCurrentWatermarkMs()
+        val live = state.getOption.getOrElse(Vector.empty)
+          .filter(c => wm - c.startTs <= w)
+        if (live.isEmpty) state.remove()
+        else {
+          state.update(live)
+          state.setTimeoutTimestamp(live.map(_.startTs).min + w + 1)
+        }
+        Iterator.empty
+      } else {
+        var confs = state.getOption.getOrElse(Vector.empty)
+        val outs = Vector.newBuilder[O]
+        it.toVector.sortBy(e => (ts(e), tie(e))).foreach { e =>
+          val (next, ms) = advance(compiled, confs, e, ts(e))
+          confs = next
+          ms.foreach(m => outs += finish(k, toGroups(compiled, m)))
+        }
+        if (confs.isEmpty) state.remove()
+        else {
+          state.update(confs)
+          compiled.withinMs.foreach { w =>
+            val target = confs.map(_.startTs).min + w + 1
+            state.setTimeoutTimestamp(
+              math.max(target, state.getCurrentWatermarkMs() + 1))
+          }
+        }
+        outs.result().iterator
+      }
+
   /** Streaming twin: branches persist in keyed state across micro-batches.
     * Events must arrive in event-time order per key within a batch (sort
     * applied); cross-batch late events are not re-ordered — feed through
-    * [[StreamOps.eventTimeSorted]] first when that matters. */
+    * [[StreamOps.eventTimeSorted]] first when that matters.
+    *
+    * Patterns with `within` require a watermarked input (`withWatermark`
+    * upstream): expiry of idle keys' partial branches rides event-time
+    * timers, bounding state. Patterns without `within` keep partials
+    * indefinitely — exactly the reference's semantics. */
   def matchStream[K, E, O: Encoder](ds: Dataset[E], key: E => K,
       ts: E => Long, pattern: GPattern[E],
       tie: E => Long = (_: E) => 0L)(
@@ -424,17 +496,11 @@ object GroupCep {
       implicit ke: Encoder[K],
       se: Encoder[Vector[GConf[E]]]): Dataset[O] = {
     val compiled = compile(pattern)
+    val timeoutConf =
+      if (compiled.withinMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     ds.groupByKey(key).flatMapGroupsWithState[Vector[GConf[E]], O](
-      OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (k, it, state) =>
-      var confs = state.getOption.getOrElse(Vector.empty)
-      val outs = Vector.newBuilder[O]
-      it.toVector.sortBy(e => (ts(e), tie(e))).foreach { e =>
-        val (next, ms) = advance(compiled, confs, e, ts(e))
-        confs = next
-        ms.foreach(m => outs += finish(k, toGroups(compiled, m)))
-      }
-      state.update(confs)
-      outs.result().iterator
-    }
+      OutputMode.Append(), timeoutConf)(
+      matchStreamFn(compiled, ts, tie, finish))
   }
 }

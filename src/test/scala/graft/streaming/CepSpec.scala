@@ -122,9 +122,17 @@ class CepSpec extends SparkSuite {
 
   test("matchStream carries partials across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_millis
     implicit val stEnc: Encoder[Vector[Partial[Ev]]] = ExpressionEncoder()
     val input = MemoryStream[Ev]
-    val matched = Cep.matchStream(input.toDS(), (e: Ev) => e.user,
+    // within(100) patterns ride event-time timers for state expiry, so the
+    // input must carry a watermark (matchStream's documented contract)
+    val watermarked = input.toDS()
+      .withColumn("eventTime", timestamp_millis($"ts"))
+      .withWatermark("eventTime", "0 milliseconds")
+      .as[Ev]
+    val matched = Cep.matchStream(watermarked, (e: Ev) => e.user,
       (e: Ev) => e.ts, loginThenError) { (u, m) =>
       MatchOut(u, m("login").ts, m("error").ts)
     }
@@ -139,6 +147,25 @@ class CepSpec extends SparkSuite {
       val got = spark.table("cep_out").as[MatchOut].collect()
       assert(got.toSeq == Seq(MatchOut(7, 10, 40)))
     } finally query.stop()
+  }
+
+  test("within: idle key's expired partials are pruned by the event-time timer") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val p = Pattern.begin[Ev]("login")(_.typ == "login")
+      .followedBy("error")(_.typ == "error").within(100L)
+    val h = new VirtualClockHarness[Long, Ev, Vector[Partial[Ev]], MatchOut](
+      GroupStateTimeout.EventTimeTimeout(),
+      Cep.matchStreamFn[Long, Ev, MatchOut](p, _.ts, Cep.NoSkip, _ => 0L,
+        (u, m) => MatchOut(u, m("login").ts, m("error").ts)))
+    assert(h.input(7L, Ev(7, "login", 0L)).isEmpty)
+    assert(h.stateOf(7L).exists(_.nonEmpty))
+    assert(h.timerOf(7L).contains(101L))
+    // short of the horizon: the partial survives and can still complete
+    assert(h.advanceWatermarkTo(50L).isEmpty)
+    assert(h.stateOf(7L).exists(_.nonEmpty))
+    // past the horizon: the idle key's state is observably cleared
+    assert(h.advanceWatermarkTo(150L).isEmpty)
+    assert(h.stateOf(7L).isEmpty && h.timerOf(7L).isEmpty)
   }
 
   test("notFollowedBy kills partials when the banned event intervenes") {

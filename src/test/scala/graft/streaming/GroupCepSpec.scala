@@ -311,32 +311,134 @@ class GroupCepSpec extends SparkSuite {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     implicit val sqlCtx = spark.sqlContext
-    type R = (Long, String, Long)
-    implicit val stEnc: org.apache.spark.sql.Encoder[Vector[GConf[R]]] =
+    // Ev is file-scope (CepSpec.scala) so ExpressionEncoder can find its
+    // TypeTag — a method-local type alias can't provide one.
+    implicit val stEnc: org.apache.spark.sql.Encoder[Vector[GConf[Ev]]] =
       ExpressionEncoder()
-    val p = GPattern.begin[R]("start")(_._2 == "c")
-      .followedBy(GPattern.begin[R]("m1")(_._2 == "a")
-        .followedBy("m2")(_._2 == "b")).times(1, 2)
-      .followedBy("end")(_._2 == "d")
-    val input = MemoryStream[R]
-    val out = GroupCep.matchStream(input.toDS(), (e: R) => e._1,
-      (e: R) => e._3, p) { (k, g) => (k, g("m1").size, g("end").head._3) }
+    val p = GPattern.begin[Ev]("start")(_.typ == "c")
+      .followedBy(GPattern.begin[Ev]("m1")(_.typ == "a")
+        .followedBy("m2")(_.typ == "b")).times(1, 2)
+      .followedBy("end")(_.typ == "d")
+    val input = MemoryStream[Ev]
+    val out = GroupCep.matchStream(input.toDS(), (e: Ev) => e.user,
+      (e: Ev) => e.ts, p) { (k, g) => (k, g("m1").size, g("end").head.ts) }
     val q = out.toDF("user", "reps", "end_ts")
       .writeStream.outputMode("append")
       .format("memory").queryName("gcep_stream_out").start()
     try {
       // the (a b) prefix arrives in batch 1, the rest in batch 2 — the
       // partial branch must survive the micro-batch boundary in state
-      input.addData((1L, "c", 1L), (1L, "a", 2L), (1L, "b", 3L))
+      input.addData(Ev(1L, "c", 1L), Ev(1L, "a", 2L), Ev(1L, "b", 3L))
       q.processAllAvailable()
       assert(spark.table("gcep_stream_out").count() === 0)
-      input.addData((1L, "a", 4L), (1L, "b", 5L), (1L, "d", 6L))
+      input.addData(Ev(1L, "a", 4L), Ev(1L, "b", 5L), Ev(1L, "d", 6L))
       q.processAllAvailable()
       val got = spark.table("gcep_stream_out")
         .as[(Long, Int, Long)].collect().toSet
       // exit fork after rep 1 and rep 2: both matches complete on d
       assert(got === Set((1L, 1, 6L), (1L, 2, 6L)))
     } finally q.stop()
+  }
+
+  test("long oneOrMore-style match scans in linear time (no per-event deep hashing)") {
+    // c (a){K} d with consecutive contiguity: one branch whose captured
+    // vector grows to K. A `.distinct` that hashes the full capture list
+    // every event makes the scan O(K^2); the structural-key dedup keeps it
+    // O(K). 4x the events must stay well under the 16x a quadratic scan
+    // would cost (generous 12x bound for JIT/GC noise, min-of-3 samples).
+    def scanNanos(k: Int): Long = {
+      val p = GPattern.begin[RE]("s")(_.name == "c")
+        .followedBy(GPattern.begin[RE]("a")(_.name == "a"))
+        .times(k).consecutive
+        .followedBy("end")(_.name == "d")
+      val compiled = GroupCep.compile(p)
+      val a = RE(1, "a", 0.0)
+      val t0 = System.nanoTime()
+      var confs = GroupCep.advance(compiled, Vector.empty, c, 0L)._1
+      var i = 0
+      while (i < k) {
+        confs = GroupCep.advance(compiled, confs, a, i + 1L)._1
+        i += 1
+      }
+      val (_, ms) = GroupCep.advance(compiled, confs, RE(2, "d", 0.0), k + 1L)
+      assert(ms.size === 1 && ms.head.size === k + 2)
+      System.nanoTime() - t0
+    }
+    (1 to 3).foreach(_ => scanNanos(500)) // JIT warmup
+    val small = (1 to 3).map(_ => scanNanos(2000)).min
+    val large = (1 to 3).map(_ => scanNanos(8000)).min
+    assert(large < 12L * math.max(small, 1000000L),
+      s"4x events cost ${large.toDouble / small}x — scan is not linear")
+  }
+
+  test("within: idle key's expired branches are pruned by the event-time timer") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    // c (a b){2} d within 100ms — the key receives a prefix then goes
+    // quiet; without timer pruning its partial branches would live forever
+    // (reference: flink-cep NFA.java within-pruning on watermark advance)
+    val p = GPattern.begin[(RE, Long)]("start")(_._1.name == "c")
+      .followedBy(GPattern.begin[(RE, Long)]("m1")(_._1.name == "a")
+        .followedBy("m2")(_._1.name == "b")).times(2)
+      .followedBy("end")(_._1.name == "d").within(100L)
+    val compiled = GroupCep.compile(p)
+    val h = new VirtualClockHarness[Long, (RE, Long), Vector[GConf[(RE, Long)]], Int](
+      GroupStateTimeout.EventTimeTimeout(),
+      GroupCep.matchStreamFn[Long, (RE, Long), Int](
+        compiled, _._2, _ => 0L, (_, g) => g("end").head._1.id))
+    val (a1, b1) = (RE(41, "a", 2.0), RE(42, "b", 3.0))
+    assert(h.input(1L, (c, 0L), (a1, 10L), (b1, 20L)).isEmpty)
+    assert(h.stateOf(1L).exists(_.nonEmpty))
+    // timer armed at oldest branch's startTs + within + 1
+    assert(h.timerOf(1L).contains(101L))
+    // watermark short of the horizon: branches survive
+    assert(h.advanceWatermarkTo(50L).isEmpty)
+    assert(h.stateOf(1L).exists(_.nonEmpty))
+    // watermark past startTs + within: all branches pruned, state removed
+    assert(h.advanceWatermarkTo(150L).isEmpty)
+    assert(h.stateOf(1L).isEmpty && h.timerOf(1L).isEmpty)
+  }
+
+  test("within: timer prunes only expired branches and re-arms on the oldest survivor") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val p = GPattern.begin[(RE, Long)]("start")(_._1.name == "c")
+      .followedBy(GPattern.begin[(RE, Long)]("m1")(_._1.name == "a")
+        .followedBy("m2")(_._1.name == "b")).times(2)
+      .followedBy("end")(_._1.name == "d").within(100L)
+    val compiled = GroupCep.compile(p)
+    val h = new VirtualClockHarness[Long, (RE, Long), Vector[GConf[(RE, Long)]], Int](
+      GroupStateTimeout.EventTimeTimeout(),
+      GroupCep.matchStreamFn[Long, (RE, Long), Int](
+        compiled, _._2, _ => 0L, (_, g) => g("end").head._1.id))
+    h.input(1L, (c, 0L))   // branch with startTs 0
+    h.input(1L, (c, 80L))  // second branch with startTs 80
+    assert(h.stateOf(1L).exists(_.size === 2))
+    // wm=120: the startTs=0 branch is past its horizon (120 > 100), the
+    // startTs=80 one is not (40 <= 100) — prune one, keep one, re-arm
+    assert(h.advanceWatermarkTo(120L).isEmpty)
+    assert(h.stateOf(1L).exists(s => s.size === 1 && s.head.startTs === 80L))
+    assert(h.timerOf(1L).contains(181L))
+    // wm past the survivor's horizon: state fully cleared
+    assert(h.advanceWatermarkTo(181L).isEmpty)
+    assert(h.stateOf(1L).isEmpty && h.timerOf(1L).isEmpty)
+  }
+
+  test("within: a match inside the horizon still completes under the timer regime") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val p = GPattern.begin[(RE, Long)]("start")(_._1.name == "c")
+      .followedBy(GPattern.begin[(RE, Long)]("m1")(_._1.name == "a")
+        .followedBy("m2")(_._1.name == "b")).times(2)
+      .followedBy("end")(_._1.name == "d").within(100L)
+    val compiled = GroupCep.compile(p)
+    val h = new VirtualClockHarness[Long, (RE, Long), Vector[GConf[(RE, Long)]], Int](
+      GroupStateTimeout.EventTimeTimeout(),
+      GroupCep.matchStreamFn[Long, (RE, Long), Int](
+        compiled, _._2, _ => 0L, (_, g) => g("end").head._1.id))
+    val (a1, b1, a2, b2, d) = (RE(41, "a", 2.0), RE(42, "b", 3.0),
+      RE(43, "a", 4.0), RE(44, "b", 5.0), RE(45, "d", 6.0))
+    h.input(1L, (c, 0L), (a1, 10L), (b1, 20L))
+    h.advanceWatermarkTo(30L)
+    val got = h.input(1L, (a2, 40L), (b2, 50L), (d, 60L))
+    assert(got === Seq(45))
   }
 
   test("batch driver: group matches over a keyed Dataset with capture groups") {

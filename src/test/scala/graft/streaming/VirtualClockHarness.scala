@@ -18,10 +18,17 @@ import scala.collection.mutable
   * GroupState contract instead: per-key state, per-key timers, and the
   * documented clear-unless-reset timeout semantics, under a clock the test
   * advances explicitly.
+  *
+  * With `EventTimeTimeout` the virtual clock is the WATERMARK: use
+  * [[advanceWatermarkTo]] (the analog of the reference harness's
+  * processWatermark) and timers fire against it, mirroring
+  * flink-cep's within-pruning on watermark advance.
   */
 final class VirtualClockHarness[K, I, S, O](
     timeoutConf: GroupStateTimeout,
     fn: (K, Iterator[I], GroupState[S]) => Iterator[O]) {
+
+  private val eventTime = timeoutConf == GroupStateTimeout.EventTimeTimeout()
 
   private var clockMs = 0L
   private val states = mutable.LinkedHashMap.empty[K, S]
@@ -38,7 +45,9 @@ final class VirtualClockHarness[K, I, S, O](
         case Some(s) => Optional.of(s)
         case None    => Optional.empty[S]()
       },
-      timeoutConf, clockMs, Optional.empty[Long](), timedOut)
+      timeoutConf, clockMs,
+      if (eventTime) Optional.of(clockMs) else Optional.empty[Long](),
+      timedOut)
     val out = fn(k, it, st).toVector
     if (st.isRemoved) { states.remove(k); timers.remove(k) }
     else {
@@ -64,5 +73,12 @@ final class VirtualClockHarness[K, I, S, O](
     clockMs = toMs
     val due = timers.collect { case (k, t) if t <= clockMs => k }.toSeq
     due.flatMap(k => invoke(k, Iterator.empty, timedOut = true))
+  }
+
+  /** Event-time alias for [[advanceTo]]: advance the watermark and fire
+    * due event-time timers. Only meaningful under EventTimeTimeout. */
+  def advanceWatermarkTo(wmMs: Long): Seq[O] = {
+    require(eventTime, "advanceWatermarkTo requires EventTimeTimeout")
+    advanceTo(wmMs)
   }
 }
