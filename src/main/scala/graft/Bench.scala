@@ -38,18 +38,26 @@ object Bench {
     var failed = List.empty[String]
     val results = headline.filter(qs.contains).map { name =>
       val fn = qs(name)
-      val t0 = System.nanoTime()
-      // A failed query records the -1 sentinel (never its partial elapsed
-      // time) so the headline total only ever sums completed runs and stays
-      // comparable across runs with different failure sets.
+      // Median-of-3: single samples on this box swing up to ±3x (documented
+      // in ENGINE.md), which fabricates phantom regressions in round-over-
+      // round comparison. The median absorbs one outlier sample per query.
+      val samples = (1 to 3).flatMap { _ =>
+        val t0 = System.nanoTime()
+        // A failed sample records no time (never its partial elapsed) so
+        // the headline total only ever sums completed runs and stays
+        // comparable across runs with different failure sets.
+        val s =
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            None
+          }
+        spark.catalog.clearCache() // query-scoped caches end with the query
+        s
+      }
       val sec =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          failed ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
-        }
-      spark.catalog.clearCache() // query-scoped caches end with the query
+        if (samples.isEmpty) { failed ::= name; -1.0 }
+        else samples.sorted.apply(samples.size / 2)
       name -> sec
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -248,6 +248,8 @@ object CepPlan {
 
 /** `spark.sql.extensions` entry point for cluster deployments. */
 class CepExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => CepPlan.CepStrategy)
+    ext.injectPlannerStrategy(_ => GroupCepPlan.GroupCepStrategy)
+  }
 }

@@ -1,0 +1,277 @@
+package graft.plans
+
+import graft.streaming.GroupCep
+import graft.streaming.GroupCep.{GConf, GPattern}
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BasePredicate, BindReferences, Expression, GenericInternalRow, Predicate, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+
+/** Pattern GROUPS through the planned-operator path — the [[CepPlan]]
+  * machinery (custom LogicalPlan + SparkStrategy + SparkPlan declaring
+  * ClusteredDistribution + (key, ts, tie) ordering) driving the
+  * [[GroupCep]] epsilon-NFA instead of the linear one (reference:
+  * flink-cep GroupPattern through the same CEPOperatorUtils
+  * transformation as plain patterns).
+  *
+  * Why the planned path matters at scale (same argument as [[CepPlan]]):
+  * one Exchange + one Sort that EnsureRequirements can elide when the
+  * child already provides them, sorted-run streaming instead of
+  * groupByKey's full-group buffering, and leaf predicates evaluated as
+  * code-gen'd Catalyst `Predicate`s rather than lambdas behind an encoder
+  * boundary.
+  *
+  * Supported subset: leaves (followedBy/next/followedByAny) and one or
+  * more quantified sub-groups with times/optional/consecutive/
+  * allowCombinations + within — the planned twin of the GroupCep core.
+  * `until`, negative steps, and after-match skip stay on the library path.
+  */
+object GroupCepPlan {
+
+  /** Public pattern spec: a sequence of elements, each a leaf step or a
+    * quantified sub-group. `strict` ⇒ `next` contiguity to the previous
+    * element, `any` ⇒ `followedByAny`; default relaxed `followedBy`. The
+    * first element's contiguity flags are ignored (pattern start). */
+  sealed trait GSpec
+  final case class GLeafSpec(name: String, pred: Column,
+      strict: Boolean = false, any: Boolean = false) extends GSpec
+  final case class GGroupSpec(elems: Seq[GSpec], min: Int = 1, max: Int = 1,
+      optional: Boolean = false, consecutive: Boolean = false,
+      combinations: Boolean = false, strict: Boolean = false,
+      any: Boolean = false) extends GSpec
+
+  /** Serializable skeleton shipped to executors: structure only, leaf
+    * predicates referenced by index into the plan's expression list. */
+  sealed trait Skel extends Serializable
+  final case class LeafSkel(name: String, predIdx: Int, strict: Boolean,
+      any: Boolean) extends Skel
+  final case class GroupSkel(elems: Seq[Skel], min: Int, max: Int,
+      optional: Boolean, consecutive: Boolean, combinations: Boolean,
+      strict: Boolean, any: Boolean) extends Skel
+
+  /** Logical node; resolved on construction (expressions come from
+    * `df.col` against the analyzed child), `outputAttrs` fixed to keep
+    * exprIds stable under plan transforms. */
+  final case class GroupCepMatchPlan(
+      keyExpr: Expression, tsExpr: Expression, tieExpr: Expression,
+      skeleton: Seq[Skel], leafPreds: Seq[Expression],
+      stepNames: Seq[String], withinMicros: Option[Long],
+      outputAttrs: Seq[Attribute], child: LogicalPlan) extends UnaryNode {
+    override def output: Seq[Attribute] = outputAttrs
+    // every child column is re-emitted per matched step — see CepMatchPlan
+    override def references: AttributeSet = AttributeSet(child.output)
+    override def producedAttributes: AttributeSet = AttributeSet(outputAttrs)
+    override protected def withNewChildInternal(newChild: LogicalPlan) =
+      copy(child = newChild)
+  }
+
+  object GroupCepStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case p: GroupCepMatchPlan =>
+        GroupCepExec(p.keyExpr, p.tsExpr, p.tieExpr, p.skeleton, p.leafPreds,
+          p.stepNames, p.withinMicros, p.outputAttrs,
+          planLater(p.child)) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Rebuild the GPattern from the skeleton with bound predicates — runs
+    * once per partition; pattern compilation is cheap next to the scan. */
+  private def buildPattern(skel: Seq[Skel],
+      bound: IndexedSeq[BasePredicate]): GPattern[InternalRow] = {
+    def build(elems: Seq[Skel]): GPattern[InternalRow] = {
+      var p: GPattern[InternalRow] = null
+      elems.foreach {
+        case l: LeafSkel =>
+          val f: InternalRow => Boolean = bound(l.predIdx).eval _
+          p = if (p == null) GPattern.begin(l.name)(f)
+          else if (l.strict) p.next(l.name)(f)
+          else if (l.any) p.followedByAny(l.name)(f)
+          else p.followedBy(l.name)(f)
+        case g: GroupSkel =>
+          val sub = build(g.elems)
+          p = if (p == null) GPattern.begin(sub)
+          else if (g.strict) p.next(sub)
+          else if (g.any) p.followedByAny(sub)
+          else p.followedBy(sub)
+          if (g.min != 1 || g.max != 1)
+            p = if (g.min == g.max) p.times(g.min) else p.times(g.min, g.max)
+          if (g.optional) p = p.optional
+          if (g.consecutive) p = p.consecutive
+          if (g.combinations) p = p.allowCombinations
+      }
+      p
+    }
+    build(skel)
+  }
+
+  /** Physical operator: shared [[GroupCep.advance]] NFA over each sorted
+    * key run. Output: `key`, then per step its capture COUNT and every
+    * child column of the step's first captured event (null if none). */
+  final case class GroupCepExec(
+      keyExpr: Expression, tsExpr: Expression, tieExpr: Expression,
+      skeleton: Seq[Skel], leafPreds: Seq[Expression],
+      stepNames: Seq[String], withinMicros: Option[Long],
+      outputAttrs: Seq[Attribute], child: SparkPlan) extends UnaryExecNode {
+
+    override def output: Seq[Attribute] = outputAttrs
+    override def producedAttributes: AttributeSet = AttributeSet(outputAttrs)
+    override def outputPartitioning: Partitioning = child.outputPartitioning
+    override def requiredChildDistribution: Seq[Distribution] =
+      ClusteredDistribution(Seq(keyExpr)) :: Nil
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(Seq(
+      SortOrder(keyExpr, Ascending), SortOrder(tsExpr, Ascending),
+      SortOrder(tieExpr, Ascending)))
+    override protected def withNewChildInternal(newChild: SparkPlan) =
+      copy(child = newChild)
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val childOutput = child.output
+      val nCols = childOutput.size
+      val nSteps = stepNames.size
+      val colTypes = childOutput.map(_.dataType)
+      val (kE, tsE) = (keyExpr, tsExpr)
+      val (skel, preds, names, within) =
+        (skeleton, leafPreds, stepNames, withinMicros)
+      val outTypes = outputAttrs.map(_.dataType).toArray
+
+      child.execute().mapPartitions({ rows =>
+        val keyEval = BindReferences.bindReference(kE, childOutput)
+        val tsEval = BindReferences.bindReference(tsE, childOutput)
+        val bound = preds.map { p =>
+          val bp = Predicate.create(p, childOutput); bp.initialize(0); bp
+        }.toIndexedSeq
+        var pat = buildPattern(skel, bound)
+        within.foreach(w => pat = pat.within(w))
+        val compiled = GroupCep.compile(pat)
+        val nPreds = bound.size
+        val proj = UnsafeProjection.create(outTypes)
+
+        new Iterator[InternalRow] {
+          private val queue = new scala.collection.mutable.Queue[InternalRow]
+          private var curKey: Any = null
+          private var haveKey = false
+          private var confs = Vector.empty[GConf[InternalRow]]
+
+          private def emit(key: Any, captured: Vector[(Int, InternalRow)]): Unit = {
+            val groups = GroupCep.toGroups(compiled, captured)
+            val vals = new Array[Any](1 + nSteps * (1 + nCols))
+            vals(0) = key
+            var s = 0
+            while (s < nSteps) {
+              val g = groups(names(s))
+              vals(1 + s * (1 + nCols)) = g.size.toLong
+              if (g.nonEmpty) {
+                val r = g.head
+                var c = 0
+                while (c < nCols) {
+                  vals(2 + s * (1 + nCols) + c) = r.get(c, colTypes(c)); c += 1
+                }
+              }
+              s += 1
+            }
+            queue += proj(new GenericInternalRow(vals)).copy()
+          }
+
+          private def pump(): Unit = {
+            while (queue.isEmpty && rows.hasNext) {
+              val raw = rows.next()
+              val tsVal = tsEval.eval(raw)
+              // NULL event time has no stream position — skip (see CepExec)
+              if (tsVal != null) {
+                // copy only rows the NFA can capture: any leaf match may be
+                // stored in a branch; non-matching rows only close strict
+                // runs / serve ignore edges and pass through uncopied
+                var retainable = false
+                var i = 0
+                while (!retainable && i < nPreds) {
+                  if (bound(i).eval(raw)) retainable = true
+                  i += 1
+                }
+                val row = if (retainable) raw.copy() else raw
+                val k = keyEval.eval(row)
+                if (!haveKey || !java.util.Objects.equals(k, curKey)) {
+                  // group patterns have no end-of-run greedy flush — a key
+                  // switch just resets the branch set
+                  confs = Vector.empty
+                  curKey = k match {
+                    case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+                    case other => other
+                  }
+                  haveKey = true
+                }
+                val (next, matches) =
+                  GroupCep.advance(compiled, confs, row, tsVal.asInstanceOf[Long])
+                confs = next
+                matches.foreach(m => emit(curKey, m))
+              }
+            }
+          }
+
+          override def hasNext: Boolean = { pump(); queue.nonEmpty }
+          override def next(): InternalRow = { pump(); queue.dequeue() }
+        }
+      }, preservesPartitioning = true)
+    }
+  }
+
+  /** Register the strategy on a session (idempotent); also injected by
+    * [[CepExtensions]] for `spark.sql.extensions` deployments. */
+  def register(spark: SparkSession): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    if (!exp.extraStrategies.contains(GroupCepStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ GroupCepStrategy
+  }
+
+  /** Build a planned group-pattern match over `df`.
+    *
+    * @return one row per match: `key`, then per step `<step>_count` and
+    *         every child column as `<step>_<col>` (first captured event of
+    *         the step's group, null where the step captured nothing).
+    */
+  def matchGroupPattern(df: DataFrame, key: Column, ts: Column, tie: Column,
+      elems: Seq[GSpec], withinMicros: Option[Long] = None): DataFrame = {
+    require(elems.nonEmpty, "at least one pattern element")
+    val spark = df.sparkSession
+    register(spark)
+    val child = GraftSqlShim.analyzed(df)
+    def resolve(c: Column): Expression =
+      GraftSqlShim.expr(c).transform {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          child.output.find(_.name == u.name).getOrElse(throw new
+              IllegalArgumentException(s"column ${u.name} not in ${child.output}"))
+      }
+    val predsB = Seq.newBuilder[Expression]
+    var nPreds = 0
+    def skeletonOf(e: GSpec): Skel = e match {
+      case l: GLeafSpec =>
+        predsB += resolve(l.pred); nPreds += 1
+        LeafSkel(l.name, nPreds - 1, l.strict, l.any)
+      case g: GGroupSpec =>
+        GroupSkel(g.elems.map(skeletonOf), g.min, g.max, g.optional,
+          g.consecutive, g.combinations, g.strict, g.any)
+    }
+    val skeleton = elems.map(skeletonOf)
+    def leafNames(e: GSpec): Seq[String] = e match {
+      case l: GLeafSpec => Seq(l.name)
+      case g: GGroupSpec => g.elems.flatMap(leafNames)
+    }
+    val stepNames = elems.flatMap(leafNames).distinct
+    val keyE = resolve(key)
+    val outAttrs = AttributeReference("key", keyE.dataType)() +:
+      stepNames.flatMap { name =>
+        AttributeReference(s"${name}_count", LongType, nullable = false)() +:
+          child.output.map(a =>
+            AttributeReference(s"${name}_${a.name}", a.dataType, nullable = true)())
+      }
+    GraftSqlShim.ofRows(spark, GroupCepMatchPlan(
+      keyE, resolve(ts), resolve(tie), skeleton, predsB.result(), stepNames,
+      withinMicros, outAttrs, child))
+  }
+}

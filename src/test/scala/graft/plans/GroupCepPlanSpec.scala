@@ -1,0 +1,100 @@
+package graft.plans
+
+import graft.SparkSuite
+import graft.streaming.GroupCep
+import graft.plans.GroupCepPlan.{GGroupSpec, GLeafSpec}
+import org.apache.spark.sql.functions._
+
+/** The planned group-pattern operator must agree with the library
+  * epsilon-NFA (same `GroupCep.advance` core, different driver) and must
+  * get its shuffle + sort from the planner. */
+class GroupCepPlanSpec extends SparkSuite {
+  import spark.implicits._
+
+  // user 1 completes c (a b){1,2} d with two reps — the exit fork after
+  // rep 1 and after rep 2 both complete on d (two matches); user 2 has
+  // only one rep; user 3 never starts
+  private lazy val events = Seq(
+    (1L, 1L, "c", 1L), (2L, 2L, "a", 1L), (3L, 3L, "b", 1L),
+    (4L, 4L, "a", 1L), (5L, 5L, "b", 1L), (6L, 6L, "d", 1L),
+    (10L, 1L, "c", 2L), (11L, 2L, "a", 2L), (12L, 3L, "b", 2L),
+    (13L, 4L, "d", 2L),
+    (20L, 1L, "a", 3L), (21L, 2L, "b", 3L), (22L, 3L, "d", 3L)
+  ).toDF("event_id", "ts", "name", "user_id")
+
+  private def planned = GroupCepPlan.matchGroupPattern(events,
+    key = col("user_id"), ts = col("ts"), tie = col("event_id"),
+    elems = Seq(
+      GLeafSpec("s", col("name") === "c"),
+      GGroupSpec(Seq(
+        GLeafSpec("a", col("name") === "a"),
+        GLeafSpec("b", col("name") === "b")), min = 1, max = 2),
+      GLeafSpec("e", col("name") === "d")))
+
+  test("planned group operator matches the library epsilon-NFA result") {
+    val got = planned
+      .select($"key", $"a_count", $"s_event_id", $"e_event_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val p = GroupCep.GPattern.begin[(Long, Long, String, Long)]("s")(_._3 == "c")
+      .followedBy(GroupCep.GPattern.begin[(Long, Long, String, Long)]("a")(_._3 == "a")
+        .followedBy("b")(_._3 == "b")).times(1, 2)
+      .followedBy("e")(_._3 == "d")
+    val lib = GroupCep.matchBatchGroups(
+      events.as[(Long, Long, String, Long)],
+      (e: (Long, Long, String, Long)) => e._4,
+      (e: (Long, Long, String, Long)) => e._2, p,
+      tie = (e: (Long, Long, String, Long)) => e._1) { (u, g) =>
+      (u, g("a").size.toLong, g("s").head._1, g("e").head._1)
+    }.collect().toSet
+
+    assert(got === lib)
+    assert(got === Set((1L, 1L, 1L, 6L), (1L, 2L, 1L, 6L), (2L, 1L, 10L, 13L)))
+  }
+
+  test("per-step counts and first-event columns (nulls for empty groups)") {
+    val rows = planned.where($"key" === 1L).collect()
+    assert(rows.length === 2)
+    val twoRep = rows.find(_.getAs[Long]("a_count") == 2L).get
+    assert(twoRep.getAs[Long]("b_count") === 2L)
+    assert(twoRep.getAs[Long]("a_event_id") === 2L) // first capture of 'a'
+    assert(twoRep.getAs[Long]("s_count") === 1L)
+    assert(twoRep.getAs[Long]("e_event_id") === 6L)
+  }
+
+  test("optional middle group emits zero-count match with null step columns") {
+    val df = Seq(
+      (1L, 1L, "c", 7L), (2L, 2L, "d", 7L) // s then e, no (a b)
+    ).toDF("event_id", "ts", "name", "user_id")
+    val got = GroupCepPlan.matchGroupPattern(df,
+      key = col("user_id"), ts = col("ts"), tie = col("event_id"),
+      elems = Seq(
+        GLeafSpec("s", col("name") === "c"),
+        GGroupSpec(Seq(
+          GLeafSpec("a", col("name") === "a"),
+          GLeafSpec("b", col("name") === "b")), optional = true),
+        GLeafSpec("e", col("name") === "d")))
+    val row = got.collect().head
+    assert(row.getAs[Long]("a_count") === 0L)
+    assert(row.isNullAt(row.fieldIndex("a_event_id")))
+    assert(row.getAs[Long]("e_event_id") === 2L)
+  }
+
+  test("planner inserts exactly one hash shuffle and one sort below GroupCepExec") {
+    val df = planned
+    df.collect() // materialize the AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("GroupCep user_id"))
+    assert(!p.contains("!GroupCep"))
+    assert(p.contains("Exchange hashpartitioning(user_id"))
+    assert(p.contains("Sort [user_id"))
+    assert("Exchange ".r.findAllIn(p).size === 1) // exactly one shuffle
+  }
+
+  test("qc8 (planned) agrees with qc7 (library) on sf0.001 events") {
+    val got = run("qc8_cep_group_planned").collect().toSeq
+    val lib = run("qc7_cep_group_times").collect().toSeq
+    assert(got.nonEmpty && got === lib)
+  }
+}
