@@ -636,11 +636,27 @@ object StreamOps {
   final case class QueryableState(
       query: org.apache.spark.sql.streaming.StreamingQuery,
       spark: org.apache.spark.sql.SparkSession, name: String) {
-    /** Point lookup by key — the QueryableStateClient.getKvState analog. */
+    @volatile private var cachedEpoch: Long = Long.MinValue
+    @volatile private var cached: Map[Any, org.apache.spark.sql.Row] = Map.empty
+    private[streaming] var snapshotsBuilt: Int = 0 // observability for specs
+
+    /** Point lookup by key — the QueryableStateClient.getKvState analog.
+      * The epoch's result table is materialized ONCE into a driver-side
+      * hash map and reused until the next micro-batch commits, so repeated
+      * lookups are O(1) map probes, not per-call table scans (anything
+      * that fits the memory sink fits the map; the cluster-scale swap is
+      * a KV-store upsert via foreachBatch — see [[TxnSink]]). */
     def lookup(key: Any): Option[org.apache.spark.sql.Row] = {
-      val df = spark.table(name)
-      val keyCol = df.columns.head
-      df.where(col(keyCol) === lit(key)).collect().headOption
+      val epoch = Option(query.lastProgress).map(_.batchId).getOrElse(-1L)
+      if (epoch != cachedEpoch) synchronized {
+        if (epoch != cachedEpoch) {
+          cached = spark.table(name).collect()
+            .iterator.map(r => r.get(0) -> r).toMap
+          snapshotsBuilt += 1
+          cachedEpoch = epoch
+        }
+      }
+      cached.get(key)
     }
   }
 

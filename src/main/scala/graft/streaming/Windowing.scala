@@ -66,6 +66,39 @@ object Windowing {
           if (purge) FireAndPurge else Fire
         case _ => Continue
       }
+
+    /** ContinuousEventTimeTrigger.java: periodic EARLY firings at aligned
+      * `interval` boundaries. The reference registers a chain of
+      * event-time timers at `ts - ts % interval + interval`
+      * (ContinuousEventTimeTrigger.java:71); element-driven keyed state
+      * has no timer callbacks, so the trigger fires when the current
+      * element's time reaches the first aligned boundary past the
+      * reference element (the last firing element, else the window's
+      * first). An event-time gap spanning several boundaries fires once —
+      * the reference's intermediate timer fires would each re-emit the
+      * identical buffer. */
+    def continuousEventTime[I](ts: I => Long, intervalMicros: Long,
+        purge: Boolean = false): Trigger[I] = {
+      require(intervalMicros > 0)
+      (e: I, cnt: Long, ref: Option[I]) => ref match {
+        case Some(prev) =>
+          val boundary =
+            ts(prev) - Math.floorMod(ts(prev), intervalMicros) + intervalMicros
+          if (ts(e) >= boundary) { if (purge) FireAndPurge else Fire }
+          else Continue
+        case None => Continue
+      }
+    }
+
+    /** ContinuousProcessingTimeTrigger.java analog: the same periodic
+      * firing against a PROCESSING-time attribute. Spark's keyed state has
+      * no per-element wall-clock callbacks; the idiomatic mapping is an
+      * ingest-time column stamped at the source (`current_timestamp()` on
+      * read), which is the machine-clock reading the reference trigger
+      * uses. */
+    def continuousProcessingTime[I](ingestTs: I => Long,
+        intervalMicros: Long, purge: Boolean = false): Trigger[I] =
+      continuousEventTime(ingestTs, intervalMicros, purge)
   }
 
   /** Buffer trim applied before emission (Evictor.evictBefore). */

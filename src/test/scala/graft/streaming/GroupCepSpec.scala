@@ -340,6 +340,29 @@ class GroupCepSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("within prunes expired group branches on advance (NFAITCase clearing-buffer shape on groups)") {
+    // GroupITCase has no within cases; the reference covers expiry via
+    // NFA.advanceTime pruning (NFAITCase testTimesClearingBuffer) — the
+    // same horizon applied here to a quantified-group pattern
+    val (a1, b1, a2, b2) = (RE(41, "a", 2.0), RE(42, "b", 3.0),
+      RE(43, "a", 4.0), RE(44, "b", 5.0))
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .followedBy(GPattern.begin[RE]("m1")(_.name == "a")
+        .followedBy("m2")(_.name == "b")).times(2)
+      .followedBy("end")(_.name == "d").within(8L)
+    // the completing event arrives past the horizon: the branch started at
+    // ts 1 is pruned (11 - 1 > 8) before 'd' is offered — no match, and no
+    // partial survives ('d' cannot re-open the start)
+    val (expired, remaining) = feedWithRemaining(p,
+      Seq(c -> 1L, a1 -> 2L, b1 -> 3L, a2 -> 4L, b2 -> 5L, RE(45, "d", 6.0) -> 11L))
+    assert(expired.isEmpty)
+    assert(remaining === 0)
+    // the identical sequence inside the horizon matches
+    val (got, _) = feedWithRemaining(p,
+      Seq(c -> 1L, a1 -> 2L, b1 -> 3L, a2 -> 4L, b2 -> 5L, RE(45, "d", 6.0) -> 6L))
+    assert(got.toSet === Set(Seq(40, 41, 42, 43, 44, 45)))
+  }
+
   test("long oneOrMore-style match scans in linear time (no per-event deep hashing)") {
     // c (a){K} d with consecutive contiguity: one branch whose captured
     // vector grows to K. A `.distinct` that hashes the full capture list

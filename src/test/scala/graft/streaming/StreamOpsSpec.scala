@@ -571,11 +571,15 @@ class StreamOpsSpec extends SparkSuite {
       val r1 = qs.lookup(1L).get
       assert(r1.getAs[Long]("n") === 2L && r1.getAs[Double]("total") === 5.0)
       assert(qs.lookup(99L).isEmpty) // unknown key, like an unknown kvState
+      // repeated lookups within one epoch reuse the materialized snapshot
+      // (point lookups must not rescan the table per call)
+      assert(qs.snapshotsBuilt === 1)
       input.addData(Click(1, "a", t("2024-01-01 00:03:00"), 10.0))
       qs.query.processAllAvailable()
       val r2 = qs.lookup(1L).get // state visible with the new epoch applied
       assert(r2.getAs[Long]("n") === 3L && r2.getAs[Double]("total") === 15.0)
       assert(qs.lookup(2L).get.getAs[Long]("n") === 1L)
+      assert(qs.snapshotsBuilt === 2) // one rebuild per committed epoch
     } finally qs.query.stop()
   }
 

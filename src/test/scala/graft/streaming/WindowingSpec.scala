@@ -28,6 +28,35 @@ class WindowingSpec extends SparkSuite {
     assert(got == Seq(Seq(1.0, 2.0), Seq(2.0, 3.0, 4.0), Seq(4.0, 5.0, 6.0)))
   }
 
+  test("ContinuousEventTimeTrigger fires periodically at aligned interval boundaries") {
+    // interval 100: boundaries at 100, 200, 300, ... relative to the
+    // aligned time of the last firing element (first element before any
+    // fire) — early firings while the global window stays open
+    val evs: Seq[(Long, Long)] =
+      Seq(0L, 10L, 100L, 150L, 210L, 390L).map((1L, _))
+    val got = triggeredWindow(evs.toDS(), (r: (Long, Long)) => r._1,
+      Triggers.continuousEventTime[(Long, Long)](_._2, 100L))(
+      (k, w) => w.map(_._2)).collect().toSeq
+    // fire at ts=100 (first boundary after aligned(0)+100), at ts=210
+    // (aligned(100)+100=200), at ts=390 (aligned(210)+100=300); buffer
+    // accumulates (no purge) — each early firing sees the full window
+    assert(got == Seq(
+      Seq(0L, 10L, 100L),
+      Seq(0L, 10L, 100L, 150L, 210L),
+      Seq(0L, 10L, 100L, 150L, 210L, 390L)))
+  }
+
+  test("ContinuousEventTimeTrigger with purge = aligned event-time batches") {
+    val evs: Seq[(Long, Long)] =
+      Seq(0L, 10L, 100L, 150L, 210L).map((1L, _))
+    val got = triggeredWindow(evs.toDS(), (r: (Long, Long)) => r._1,
+      Triggers.continuousEventTime[(Long, Long)](_._2, 100L, purge = true))(
+      (k, w) => w.map(_._2)).collect().toSeq
+    // purge on each aligned firing: [0,10,100] then [150,210]; nothing
+    // pending after 210 fires (aligned(100)+100=200 <= 210)
+    assert(got == Seq(Seq(0L, 10L, 100L), Seq(150L, 210L)))
+  }
+
   test("DeltaTrigger fires when the delta vs the reference point exceeds the threshold") {
     val vals = Seq(1.0, 1.5, 2.0, 5.0, 5.5, 9.0).map((1L, _))
     val got = triggeredWindow(vals.toDS(), (r: (Long, Double)) => r._1,
