@@ -55,6 +55,20 @@ object StreamOps {
   def withEventTime(df: DataFrame, tsCol: String, delay: String): DataFrame =
     df.withWatermark(tsCol, delay)
 
+  /** Newline-delimited text over a TCP socket
+    * (StreamExecutionEnvironment.socketTextStream →
+    * flink-streaming-java functions/source/SocketTextStreamFunction.java:46:
+    * read until delimiter, strip trailing `\r` when the delimiter is
+    * `\n`). Spark's built-in socket source has the same record framing
+    * (line-oriented, CRLF-tolerant); one column `value: string`. The
+    * reference's `maxNumRetries` reconnect loop maps to the *query's*
+    * restart policy rather than the source (a failed epoch replays from
+    * the checkpoint). Exercised over loopback in SocketSpec. */
+  def socketTextStream(spark: org.apache.spark.sql.SparkSession,
+      hostname: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", hostname).option("port", port).load()
+
   /** TUMBLE window key (windows.scala Tumble DSL). */
   def tumble(ts: Column, size: String): Column = window(ts, size)
 
