@@ -273,29 +273,12 @@ object StreamOps {
     */
   def eventTimeRunningSum[K: Encoder, I](
       ds: Dataset[I], key: I => K, ts: I => Long, value: I => Double)(
-      implicit stateEnc: Encoder[(Double, Seq[(Long, Double)])],
+      implicit stateEnc: Encoder[OverWindows.OverState[I]],
+      midEnc: Encoder[(K, I, Seq[Double])],
       outEnc: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] =
-    ds.groupByKey(key).flatMapGroupsWithState[
-      (Double, Seq[(Long, Double)]), (K, Long, Double, Double)](
-      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-      (k: K, it: Iterator[I], state: GroupState[(Double, Seq[(Long, Double)])]) =>
-        val (acc0, buf0) = state.getOption.getOrElse((0.0, Seq.empty))
-        val buf = buf0 ++ it.map(i => (ts(i), value(i)))
-        val wmMicros = watermarkMicrosOrMax(state)
-        // rows at or below the watermark are final: emit in event-time order
-        val (ready, pending) = buf.partition(_._1 <= wmMicros)
-        var acc = acc0
-        val out = ready.sortBy(r => r) .map { case (t0, v) =>
-          acc += v
-          (k, t0, v, acc)
-        }
-        state.update((acc, pending))
-        // re-arm after every invocation (including timeout firings) so the
-        // next watermark advance flushes the remaining buffer
-        if (pending.nonEmpty)
-          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
-        out.iterator
-    }
+    OverWindows.eventTimeOverAgg(ds, key, ts, value,
+        OverWindows.UnboundedRows, Seq(OverWindows.Agg.sum))
+      .map { case (k, i, aggs) => (k, ts(i), value(i), aggs.head) }
 
   /** Streaming event-time-ordered emission (reference: DataStreamSort /
     * RowTimeSortProcessFunction — streaming sort is only legal on a time
@@ -329,27 +312,13 @@ object StreamOps {
   def eventTimeRowsFrameSum[K: Encoder, I](
       ds: Dataset[I], key: I => K, ts: I => Long, value: I => Double,
       precedingRows: Int)(
-      implicit stateEnc: Encoder[(Seq[Double], Seq[(Long, Double)])],
+      implicit stateEnc: Encoder[OverWindows.OverState[I]],
+      midEnc: Encoder[(K, I, Seq[Double])],
       outEnc: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] = {
     require(precedingRows >= 0)
-    ds.groupByKey(key).flatMapGroupsWithState[
-      (Seq[Double], Seq[(Long, Double)]), (K, Long, Double, Double)](
-      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-      (k: K, it: Iterator[I], state: GroupState[(Seq[Double], Seq[(Long, Double)])]) =>
-        val (tail0, buf0) = state.getOption.getOrElse((Seq.empty, Seq.empty))
-        val buf = buf0 ++ it.map(i => (ts(i), value(i)))
-        val wmMicros = watermarkMicrosOrMax(state)
-        val (ready, pending) = buf.partition(_._1 <= wmMicros)
-        var tail = tail0
-        val out = ready.sortBy(r => r).map { case (t0, v) =>
-          tail = (tail :+ v).takeRight(precedingRows + 1)
-          (k, t0, v, tail.sum)
-        }
-        state.update((tail, pending))
-        if (pending.nonEmpty)
-          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
-        out.iterator
-    }
+    OverWindows.eventTimeOverAgg(ds, key, ts, value,
+        OverWindows.BoundedRows(precedingRows), Seq(OverWindows.Agg.sum))
+      .map { case (k, i, aggs) => (k, ts(i), value(i), aggs.head) }
   }
 
   /** Streaming bounded OVER aggregate, `RANGE <interval> PRECEDING` frame
@@ -369,28 +338,13 @@ object StreamOps {
   def eventTimeRangeFrameSum[K: Encoder, I](
       ds: Dataset[I], key: I => K, ts: I => Long, value: I => Double,
       rangeMicros: Long)(
-      implicit stateEnc: Encoder[(Seq[(Long, Double)], Seq[(Long, Double)])],
+      implicit stateEnc: Encoder[OverWindows.OverState[I]],
+      midEnc: Encoder[(K, I, Seq[Double])],
       outEnc: Encoder[(K, Long, Double, Double)]): Dataset[(K, Long, Double, Double)] = {
     require(rangeMicros >= 0)
-    ds.groupByKey(key).flatMapGroupsWithState[
-      (Seq[(Long, Double)], Seq[(Long, Double)]), (K, Long, Double, Double)](
-      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-      (k: K, it: Iterator[I],
-          state: GroupState[(Seq[(Long, Double)], Seq[(Long, Double)])]) =>
-        val (tail0, buf0) = state.getOption.getOrElse((Seq.empty, Seq.empty))
-        val buf = buf0 ++ it.map(i => (ts(i), value(i)))
-        val wmMicros = watermarkMicrosOrMax(state)
-        val (ready, pending) = buf.partition(_._1 <= wmMicros)
-        var tail = tail0
-        val out = ready.sortBy(r => r).map { case (t0, v) =>
-          tail = (tail :+ ((t0, v))).dropWhile(_._1 < t0 - rangeMicros)
-          (k, t0, v, tail.map(_._2).sum)
-        }
-        state.update((tail, pending))
-        if (pending.nonEmpty)
-          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
-        out.iterator
-    }
+    OverWindows.eventTimeOverAgg(ds, key, ts, value,
+        OverWindows.BoundedRange(rangeMicros), Seq(OverWindows.Agg.sum))
+      .map { case (k, i, aggs) => (k, ts(i), value(i), aggs.head) }
   }
 
   /** Streaming as-of join — the streaming twin of

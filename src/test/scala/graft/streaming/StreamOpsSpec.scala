@@ -246,7 +246,9 @@ class StreamOpsSpec extends SparkSuite {
   test("event-time running sum (streaming OVER emulation) emits in order past watermark") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    implicit val stEnc: org.apache.spark.sql.Encoder[(Double, Seq[(Long, Double)])] =
+    implicit val stEnc: org.apache.spark.sql.Encoder[OverWindows.OverState[Click]] =
+      ExpressionEncoder()
+    implicit val midEnc: org.apache.spark.sql.Encoder[(Long, Click, Seq[Double])] =
       ExpressionEncoder()
     def us(s: String) = Timestamp.valueOf(s).getTime * 1000L
     val input = MemoryStream[Click]
@@ -311,7 +313,9 @@ class StreamOpsSpec extends SparkSuite {
   test("event-time ROWS-2-PRECEDING frame sum matches the batch window") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    implicit val stEnc: org.apache.spark.sql.Encoder[(Seq[Double], Seq[(Long, Double)])] =
+    implicit val stEnc: org.apache.spark.sql.Encoder[OverWindows.OverState[Click]] =
+      ExpressionEncoder()
+    implicit val midEnc: org.apache.spark.sql.Encoder[(Long, Click, Seq[Double])] =
       ExpressionEncoder()
     val clicks = Seq(
       Click(1, "a", t("2024-01-01 00:01:00"), 1.0),
@@ -429,7 +433,9 @@ class StreamOpsSpec extends SparkSuite {
   test("event-time RANGE-2min-PRECEDING frame sum matches the batch RANGE window") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    implicit val stEnc: org.apache.spark.sql.Encoder[(Seq[(Long, Double)], Seq[(Long, Double)])] =
+    implicit val stEnc: org.apache.spark.sql.Encoder[OverWindows.OverState[Click]] =
+      ExpressionEncoder()
+    implicit val midEnc: org.apache.spark.sql.Encoder[(Long, Click, Seq[Double])] =
       ExpressionEncoder()
     // minute gaps 1,2,3,6 — the 00:06 row's 2-minute frame holds only
     // itself, unlike a ROWS frame which would still reach back
