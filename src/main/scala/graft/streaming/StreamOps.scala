@@ -285,23 +285,36 @@ object StreamOps {
     * attribute ascending): buffers rows above the watermark per key and
     * releases them in event-time order once final. The degenerate
     * [[eventTimeRunningSum]] without an aggregate. */
+  /** [[eventTimeSorted]]'s state transition, extracted for the verbatim
+    * SortITCase port (SortITCasePortSpec). Late rows — rowtime at or
+    * below the key's last emitted rowtime — are dropped
+    * (RowTimeSortProcessFunction.processElement `rowtime >
+    * lastTriggeringTs` guard), which is what keeps the emitted stream
+    * globally rowtime-sorted; ties order by `value`, the plan's
+    * secondary sort field (RowTimeSortProcessFunction.onTimer
+    * `Collections.sort(inputs, rowComparator)`). */
+  def eventTimeSortedFn[K, I](ts: I => Long, value: I => Double):
+      (K, Iterator[I], GroupState[(Long, Seq[(Long, Double)])]) =>
+        Iterator[(K, Long, Double)] = { (k, it, state) =>
+    val (lastTrig0, buf0) =
+      state.getOption.getOrElse((Long.MinValue, Seq.empty[(Long, Double)]))
+    val buf = buf0 ++ it.map(i => (ts(i), value(i))).filter(_._1 > lastTrig0)
+    val wmMicros = watermarkMicrosOrMax(state)
+    val (ready, pending) = buf.partition(_._1 <= wmMicros)
+    val out = ready.sortBy(r => r).map { case (t0, v) => (k, t0, v) }
+    state.update((out.lastOption.map(_._2).getOrElse(lastTrig0), pending))
+    if (pending.nonEmpty)
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+    out.iterator
+  }
+
   def eventTimeSorted[K: Encoder, I](
       ds: Dataset[I], key: I => K, ts: I => Long, value: I => Double)(
-      implicit stateEnc: Encoder[Seq[(Long, Double)]],
+      implicit stateEnc: Encoder[(Long, Seq[(Long, Double)])],
       outEnc: Encoder[(K, Long, Double)]): Dataset[(K, Long, Double)] =
-    ds.groupByKey(key).flatMapGroupsWithState[
-      Seq[(Long, Double)], (K, Long, Double)](
-      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-      (k: K, it: Iterator[I], state: GroupState[Seq[(Long, Double)]]) =>
-        val buf = state.getOption.getOrElse(Seq.empty) ++
-          it.map(i => (ts(i), value(i)))
-        val wmMicros = watermarkMicrosOrMax(state)
-        val (ready, pending) = buf.partition(_._1 <= wmMicros)
-        state.update(pending)
-        if (pending.nonEmpty)
-          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
-        ready.sortBy(r => r).map { case (t0, v) => (k, t0, v) }.iterator
-    }
+    ds.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+      eventTimeSortedFn(ts, value))
 
   /** Streaming bounded OVER aggregate, `ROWS <n> PRECEDING` frame
     * (reference: RowTimeBoundedRowsOver.scala — per-row aggregate over the

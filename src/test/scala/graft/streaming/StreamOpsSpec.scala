@@ -223,6 +223,36 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("unbounded stream-stream inner join matches rows across epochs without watermarks") {
+    // SURVEY §2.4 row 49: the reference's unbounded streaming inner join
+    // (both sides' state retained forever). Spark supports exactly this
+    // shape for INNER equi-joins — no watermark, no time bound, state
+    // unbounded (the same state contract the reference has; OUTER
+    // variants are the ones that require watermarks in both engines).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val left = MemoryStream[(Long, String)]
+    val right = MemoryStream[(Long, String)]
+    val joined = left.toDF().toDF("k", "lv")
+      .join(right.toDF().toDF("rk", "rv"), expr("k = rk"))
+    assert(joined.isStreaming)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("unbounded_join_out").start()
+    try {
+      left.addData((1L, "l1")); q.processAllAvailable()
+      // the match arrives EPOCHS later — left state must still hold row 1
+      right.addData((1L, "r1")); q.processAllAvailable()
+      left.addData((2L, "l2")); right.addData((2L, "r2"))
+      q.processAllAvailable()
+      // and again: no watermark ever evicts the epoch-1 left row
+      right.addData((1L, "r3")); q.processAllAvailable()
+      val got = spark.table("unbounded_join_out")
+        .select($"k", $"lv", $"rv").as[(Long, String, String)]
+        .collect().toSet
+      assert(got == Set((1L, "l1", "r1"), (2L, "l2", "r2"), (1L, "l1", "r3")))
+    } finally q.stop()
+  }
+
   test("countWindow emits every n elements per key (streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Click]
@@ -285,7 +315,7 @@ class StreamOpsSpec extends SparkSuite {
   test("eventTimeSorted releases out-of-order rows in event-time order") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    implicit val stEnc: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+    implicit val stEnc: org.apache.spark.sql.Encoder[(Long, Seq[(Long, Double)])] =
       ExpressionEncoder()
     val input = MemoryStream[Click]
     val withWm = StreamOps.withEventTime(input.toDF(), "ts", "10 minutes").as[Click]
