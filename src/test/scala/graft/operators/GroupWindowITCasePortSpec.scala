@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Verbatim ports of the reference's stream Table-API group-window
+  * ITCases (flink-table runtime/stream/table/GroupWindowITCase.scala) —
+  * event-time tumbling + all four sliding alignments. Data fixtures and
+  * expected lists are copied unchanged (the unused double/float/bigdec
+  * payload columns of `data2` are omitted; no ported query references
+  * them). Timestamps in expected strings use Flink's
+  * `java.sql.Timestamp.toString` trimming (".0", ".01", ".005") — [[ts]]
+  * reproduces it.
+  *
+  * Alignment notes: Spark's `window(ts, size, slide)` generates the same
+  * epoch-aligned window set as the reference's
+  * `TimeWindow.getWindowStartWithOffset`, including negative starts
+  * (the 1969-12-31 23:59:59.995 window below). For slide > size —
+  * Flink's non-overlapping "panes with gaps", which Spark's window()
+  * rejects — the equivalent declarative plan is a tumbling window of
+  * the SLIDE period with a pre-aggregation filter keeping only rows
+  * inside the leading `size`-wide pane (SlidingEventTimeWindows
+  * .assignWindows yields no window for the gap rows, which is exactly
+  * the filter).
+  *
+  * WeightedAvg is the original's UDAGG (JavaUserDefinedAggFunctions
+  * .WeightedAvg: sum(v·w) / sum(w), Long floor division); CountDistinct
+  * is collect_set size (no streaming COUNT DISTINCT in Spark — same
+  * trick as the SqlITCase ports in ITCaseSpec).
+  */
+class GroupWindowITCasePortSpec extends SparkSuite {
+  import spark.implicits._
+
+  // GroupWindowITCase.data — (long=rowtime ms, int, string)
+  private val data = Seq(
+    (1L, 1, "Hi"),
+    (2L, 2, "Hello"),
+    (4L, 2, "Hello"),
+    (8L, 3, "Hello world"),
+    (16L, 3, "Hello world"))
+
+  // GroupWindowITCase.data2 — rowtime/int/string projection
+  private val data2 = Seq(
+    (1L, 1, "Hi"),
+    (2L, 2, "Hallo"),
+    (3L, 2, "Hello"),
+    (4L, 5, "Hello"),
+    (7L, 3, "Hello"),
+    (8L, 3, "Hello world"),
+    (16L, 4, "Hello world"),
+    (32L, 4, null.asInstanceOf[String]))
+
+  private val Flush = (1000000L, 0, "zzz_flush")
+
+  /** Flink Timestamp.toString: trailing-zero-trimmed fraction, >=1 digit. */
+  private def ts(t: java.sql.Timestamp): String = {
+    val base = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(t.getTime))
+    val trimmed = base.replaceAll("0+$", "")
+    if (trimmed.endsWith(".")) trimmed + "0" else trimmed
+  }
+
+  private def runWindowed(rows: Seq[(Long, Int, String)],
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      name: String): Seq[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Int, String)]
+    val df = build(input.toDF().toDF("l", "i", "s")
+      .withColumn("rowtime", timestamp_millis($"l"))
+      .withWatermark("rowtime", "0 milliseconds"))
+    val q = df.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      input.addData(rows: _*); q.processAllAvailable()
+      input.addData(Flush); q.processAllAvailable() // source-close watermark analog
+      spark.table(name).collect().toSeq
+    } finally { q.stop(); spark.sql(s"DROP VIEW IF EXISTS $name") }
+  }
+
+  // ---- testEventTimeTumblingWindow (GroupWindowITCase.scala:170)
+  // Tumble 5ms, groupBy(w, string): count, avg(int), weightAvg(long,int),
+  // weightAvg(int,int), min, max, sum, w.start, w.end, countDistinct(long)
+  test("GroupWindowITCase testEventTimeTumblingWindow port") {
+    val got = runWindowed(data, df => df
+      .groupBy(window($"rowtime", "5 milliseconds"), $"s")
+      .agg(
+        expr("count(s) as cnt"),
+        expr("sum(i) div count(i) as avg_i"), // Flink INT avg = floor div
+        expr("sum(l * i) div sum(i) as wavg_l"),
+        expr("sum(cast(i as bigint) * i) div sum(i) as wavg_i"),
+        expr("min(i) as min_i"), expr("max(i) as max_i"),
+        expr("sum(i) as sum_i"),
+        expr("size(collect_set(l)) as cd")), "gw_tumble")
+      .filter(_.getString(1) != "zzz_flush")
+      .map { r =>
+        val w = r.getStruct(0)
+        Seq(r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getInt(6), r.getInt(7), r.getLong(8),
+          ts(w.getTimestamp(0)), ts(w.getTimestamp(1)), r.getInt(9))
+          .mkString(",")
+      }
+    val expected = Seq(
+      "Hello world,1,3,8,3,3,3,3,1970-01-01 00:00:00.005,1970-01-01 00:00:00.01,1",
+      "Hello world,1,3,16,3,3,3,3,1970-01-01 00:00:00.015,1970-01-01 00:00:00.02,1",
+      "Hello,2,2,3,2,2,2,4,1970-01-01 00:00:00.0,1970-01-01 00:00:00.005,2",
+      "Hi,1,1,1,1,1,1,1,1970-01-01 00:00:00.0,1970-01-01 00:00:00.005,1")
+    assert(got.sorted == expected.sorted)
+  }
+
+  // ---- testAllEventTimeSlidingGroupWindowOverTime (GroupWindowITCase.scala:241)
+  // Slide 5ms every 2ms, groupBy(w) only: count, w.start, w.end,
+  // w.rowtime (= end - 1ms)
+  test("GroupWindowITCase testAllEventTimeSlidingGroupWindowOverTime port") {
+    val got = runWindowed(data2, df => df
+      .groupBy(window($"rowtime", "5 milliseconds", "2 milliseconds"))
+      .agg(expr("count(i) as cnt")), "gw_slide_all")
+      .filter(_.getStruct(0).getTimestamp(0).getTime < 1000L) // drop flush windows
+      .map { r =>
+        val w = r.getStruct(0)
+        val end = w.getTimestamp(1)
+        Seq(r.getLong(1), ts(w.getTimestamp(0)), ts(end),
+          ts(new java.sql.Timestamp(end.getTime - 1))).mkString(",")
+      }
+    val expected = Seq(
+      "1,1970-01-01 00:00:00.008,1970-01-01 00:00:00.013,1970-01-01 00:00:00.012",
+      "1,1970-01-01 00:00:00.012,1970-01-01 00:00:00.017,1970-01-01 00:00:00.016",
+      "1,1970-01-01 00:00:00.014,1970-01-01 00:00:00.019,1970-01-01 00:00:00.018",
+      "1,1970-01-01 00:00:00.016,1970-01-01 00:00:00.021,1970-01-01 00:00:00.02",
+      "2,1969-12-31 23:59:59.998,1970-01-01 00:00:00.003,1970-01-01 00:00:00.002",
+      "2,1970-01-01 00:00:00.006,1970-01-01 00:00:00.011,1970-01-01 00:00:00.01",
+      "3,1970-01-01 00:00:00.002,1970-01-01 00:00:00.007,1970-01-01 00:00:00.006",
+      "3,1970-01-01 00:00:00.004,1970-01-01 00:00:00.009,1970-01-01 00:00:00.008",
+      "4,1970-01-01 00:00:00.0,1970-01-01 00:00:00.005,1970-01-01 00:00:00.004",
+      "1,1970-01-01 00:00:00.028,1970-01-01 00:00:00.033,1970-01-01 00:00:00.032",
+      "1,1970-01-01 00:00:00.03,1970-01-01 00:00:00.035,1970-01-01 00:00:00.034",
+      "1,1970-01-01 00:00:00.032,1970-01-01 00:00:00.037,1970-01-01 00:00:00.036")
+    assert(got.sorted == expected.sorted)
+  }
+
+  private def slidingKeyed(size: String, slide: String, name: String):
+      Seq[String] =
+    runWindowed(data2, df => df
+      .groupBy(window($"rowtime", size, slide), $"s")
+      .agg(expr("count(i) as cnt")), name)
+      .filter(r => r.getString(1) != "zzz_flush")
+      .map { r =>
+        val w = r.getStruct(0)
+        Seq(String.valueOf(r.getString(1)), r.getLong(2),
+          ts(w.getTimestamp(0)), ts(w.getTimestamp(1))).mkString(",")
+      }
+
+  // ---- testEventTimeSlidingGroupWindowOverTimeOverlappingFullPane (:280)
+  test("GroupWindowITCase sliding 10ms every 5ms (overlapping full pane) port") {
+    val got = slidingKeyed("10 milliseconds", "5 milliseconds", "gw_slide_fp")
+    val expected = Seq(
+      "Hallo,1,1969-12-31 23:59:59.995,1970-01-01 00:00:00.005",
+      "Hallo,1,1970-01-01 00:00:00.0,1970-01-01 00:00:00.01",
+      "Hello world,1,1970-01-01 00:00:00.0,1970-01-01 00:00:00.01",
+      "Hello world,1,1970-01-01 00:00:00.005,1970-01-01 00:00:00.015",
+      "Hello world,1,1970-01-01 00:00:00.01,1970-01-01 00:00:00.02",
+      "Hello world,1,1970-01-01 00:00:00.015,1970-01-01 00:00:00.025",
+      "Hello,1,1970-01-01 00:00:00.005,1970-01-01 00:00:00.015",
+      "Hello,2,1969-12-31 23:59:59.995,1970-01-01 00:00:00.005",
+      "Hello,3,1970-01-01 00:00:00.0,1970-01-01 00:00:00.01",
+      "Hi,1,1969-12-31 23:59:59.995,1970-01-01 00:00:00.005",
+      "Hi,1,1970-01-01 00:00:00.0,1970-01-01 00:00:00.01",
+      "null,1,1970-01-01 00:00:00.025,1970-01-01 00:00:00.035",
+      "null,1,1970-01-01 00:00:00.03,1970-01-01 00:00:00.04")
+    assert(got.sorted == expected.sorted)
+  }
+
+  // ---- testEventTimeSlidingGroupWindowOverTimeOverlappingSplitPane (:320)
+  test("GroupWindowITCase sliding 5ms every 4ms (overlapping split pane) port") {
+    val got = slidingKeyed("5 milliseconds", "4 milliseconds", "gw_slide_sp")
+    val expected = Seq(
+      "Hallo,1,1970-01-01 00:00:00.0,1970-01-01 00:00:00.005",
+      "Hello world,1,1970-01-01 00:00:00.004,1970-01-01 00:00:00.009",
+      "Hello world,1,1970-01-01 00:00:00.008,1970-01-01 00:00:00.013",
+      "Hello world,1,1970-01-01 00:00:00.012,1970-01-01 00:00:00.017",
+      "Hello world,1,1970-01-01 00:00:00.016,1970-01-01 00:00:00.021",
+      "Hello,2,1970-01-01 00:00:00.0,1970-01-01 00:00:00.005",
+      "Hello,2,1970-01-01 00:00:00.004,1970-01-01 00:00:00.009",
+      "Hi,1,1970-01-01 00:00:00.0,1970-01-01 00:00:00.005",
+      "null,1,1970-01-01 00:00:00.028,1970-01-01 00:00:00.033",
+      "null,1,1970-01-01 00:00:00.032,1970-01-01 00:00:00.037")
+    assert(got.sorted == expected.sorted)
+  }
+
+  /** slide > size: tumble by the SLIDE period, keep only rows inside the
+    * leading `sizeMs`-wide pane, report the window as [start, start+size). */
+  private def sparsePanes(sizeMs: Long, slideMs: Long, name: String):
+      Seq[String] =
+    runWindowed(data2, df => df
+      .filter($"l" % slideMs < sizeMs)
+      .groupBy(window($"rowtime", s"$slideMs milliseconds"), $"s")
+      .agg(expr("count(i) as cnt")), name)
+      .filter(r => r.getString(1) != "zzz_flush")
+      .map { r =>
+        val w = r.getStruct(0)
+        val start = w.getTimestamp(0)
+        Seq(String.valueOf(r.getString(1)), r.getLong(2), ts(start),
+          ts(new java.sql.Timestamp(start.getTime + sizeMs))).mkString(",")
+      }
+
+  // ---- testEventTimeSlidingGroupWindowOverTimeNonOverlappingFullPane (:357)
+  test("GroupWindowITCase sliding 5ms every 10ms (non-overlapping full pane) port") {
+    val got = sparsePanes(5L, 10L, "gw_slide_nofp")
+    val expected = Seq(
+      "Hallo,1,1970-01-01 00:00:00.0,1970-01-01 00:00:00.005",
+      "Hello,2,1970-01-01 00:00:00.0,1970-01-01 00:00:00.005",
+      "Hi,1,1970-01-01 00:00:00.0,1970-01-01 00:00:00.005",
+      "null,1,1970-01-01 00:00:00.03,1970-01-01 00:00:00.035")
+    assert(got.sorted == expected.sorted)
+  }
+
+  // ---- testEventTimeSlidingGroupWindowOverTimeNonOverlappingSplitPane (:388)
+  test("GroupWindowITCase sliding 3ms every 10ms (non-overlapping split pane) port") {
+    val got = sparsePanes(3L, 10L, "gw_slide_nosp")
+    val expected = Seq(
+      "Hallo,1,1970-01-01 00:00:00.0,1970-01-01 00:00:00.003",
+      "Hi,1,1970-01-01 00:00:00.0,1970-01-01 00:00:00.003",
+      "null,1,1970-01-01 00:00:00.03,1970-01-01 00:00:00.033")
+    assert(got.sorted == expected.sorted)
+  }
+}
