@@ -249,8 +249,17 @@ object Cep {
     * (`groups.last` is the current step's run); `runOpen` marks whether
     * that run can still be extended (repetition contiguity is consecutive —
     * a non-matching event closes or kills the run). */
+  /** `proceedSpent`: the branch DECLINED an event that matched the next
+    * (SKIP_TILL_NEXT) step — under relaxed continuity the first element
+    * of the next step must be the first matching event after this run,
+    * so the branch keeps extension rights (combinations) but may never
+    * transition out with its current run (NFAITCase
+    * testMultipleTakesVersionCollision pins this: `m1 m2 m3 | m5` is not
+    * a valid split when m4 matched middle2 and was declined). Extending
+    * the run resets the right — the new run's first-after boundary moved. */
   final case class Partial[E](startTs: Long, groups: Vector[Vector[E]],
-      runOpen: Boolean, virgin: Boolean = false) {
+      runOpen: Boolean, virgin: Boolean = false,
+      proceedSpent: Boolean = false) {
     def stepIdx: Int = groups.size - 1
   }
 
@@ -300,7 +309,13 @@ object Cep {
       // reference): closes the run; the event may still transition below
       val untilHit = s.looping && s.untilPred.exists(_(e))
 
-      // 1) greedily extend the current run
+      // 1) greedily extend the current run. The two SAME-RUN forks
+      // (stopped copy, combos skip) are deferred until after the
+      // transition scan: if this event also matched the next
+      // SKIP_TILL_NEXT step, those continuations decline its first
+      // element and lose their transition right (proceedSpent).
+      var stoppedFork: Partial[E] = null
+      var combosFork: Partial[E] = null
       val extended = !untilHit && p.runOpen && reps < s.maxReps &&
         s.eval(e, ctxOf(p.groups))
       if (extended) {
@@ -316,22 +331,32 @@ object Cep {
           // forks a stopped copy that can transition on a later event
           // (subsumed by the open combos fork below when enabled)
           if (s.allPrefixes && s.looping && reps >= s.minReps && !s.combos)
-            out += Partial(p.startTs, p.groups, runOpen = false)
+            stoppedFork = Partial(p.startTs, p.groups, runOpen = false)
           // virgin: the next event is "immediately after" this step's
           // latest match — the reference point for a following notNext
           out += Partial(p.startTs, g2, runOpen = !capped, virgin = true)
         }
         // allowCombinations: the event may also be SKIPPED — fork the
         // unextended run still open, so later events form combinations
+        // (a barred source's unextended run stays barred); appended after
+        // the scan so a SKIP_TILL_NEXT take can bar it
         if (s.combos)
-          out += Partial(p.startTs, p.groups, runOpen = true)
+          combosFork = Partial(p.startTs, p.groups, runOpen = true,
+            proceedSpent = p.proceedSpent)
       }
+      var tookTillNext = false // next non-any step matched e this round
 
       // 2) transition out of a satisfied run. An OPTIONAL step holding a
       // closed empty run is the "committed past it without consuming"
       // branch (created by the skip-fork below) — satisfied by
-      // definition.
-      if (reps >= s.minReps || (s.optional && reps == 0 && !p.runOpen)) {
+      // definition. A proceedSpent branch skips this entirely: its only
+      // futures are extensions (which reset the right) or combo-gap
+      // survival below.
+      if (p.proceedSpent) {
+        if (!extended && s.multiRep && s.relaxedReps && p.runOpen &&
+          !untilHit && !s.eval(e, ctxOf(p.groups)))
+          out += p // gap event: barred run stays extendable
+      } else if (reps >= s.minReps || (s.optional && reps == 0 && !p.runOpen)) {
         if (p.stepIdx < lastIdx) {
           val immediate = pattern.steps(p.stepIdx + 1)
           // notFollowedBy bans any time before the next step matches;
@@ -382,6 +407,7 @@ object Cep {
                 // later occurrences of this step as well
                 if (sj.anyMatch)
                   out += (if (p.virgin) p.copy(virgin = false) else p)
+                else tookTillNext = true // TILL_NEXT: first element taken
                 transitioned = true
               }
               scanning = sj.optional
@@ -409,13 +435,21 @@ object Cep {
             matches += p.groups // breaking/until event completes the maximal
           } // run (greedy mode; allPrefixes already emitted every prefix)
         }
-      } else if (!extended && s.multiRep && s.relaxedReps && p.runOpen &&
-        !untilHit && !s.eval(e, ctxOf(p.groups))) {
+      } else if (!p.proceedSpent && !extended && s.multiRep &&
+        s.relaxedReps && p.runOpen && !untilHit &&
+        !s.eval(e, ctxOf(p.groups))) {
         // relaxed gap inside a not-yet-satisfied run
         out += (if (p.virgin) p.copy(virgin = false) else p)
       }
       // otherwise: run not yet satisfied and the event didn't extend it —
       // partial dies (consecutive repetition contiguity, the DSL default)
+
+      // deferred same-run forks: barred if a TILL_NEXT step took this
+      // event (the fork declines the next step's mandatory first element)
+      if (stoppedFork != null && !tookTillNext) out += stoppedFork
+      if (combosFork != null)
+        out += (if (tookTillNext) combosFork.copy(proceedSpent = true)
+                else combosFork)
     }
 
     // 3) every matching event also opens a fresh partial (noSkip)
@@ -430,8 +464,42 @@ object Cep {
         out += Partial(ts, g, runOpen = true, virgin = true)
       }
     }
-    (out.result(), matches.result())
+    // Structural dedup = the reference's SharedBuffer version semantics
+    // (NFAITCase testMultipleTakesVersionCollision): distinct NFA paths
+    // that converge on the same computation state — same start, same
+    // captured groups, same run state — are ONE state, not two. Without
+    // it, an anyMatch-kept source re-entering an optional loop re-forks
+    // the skip-ε branch per event, and combination loops double-count
+    // convergent splits. Cheap key first (duplicates always share it),
+    // deep equality only within same-key buckets — the same
+    // linear-cost shape as GroupCep's dedup.
+    // Matches with identical groups are one computation state too: the
+    // stored skip-ε branch and the scan-through-optional path both
+    // represent "loop skipped" and may complete on the same event.
+    (dedupPartials(out.result()), dedupBy(matches.result())(m =>
+      (m.size, m.last.size, m.head.size)))
   }
+
+  /** Order-preserving structural dedup for [[advance]]'s survivors. */
+  private def dedupPartials[E](xs: Vector[Partial[E]]): Vector[Partial[E]] =
+    dedupBy(xs)(p => (p.startTs, p.groups.size, p.groups.last.size,
+      p.runOpen, p.virgin, p.proceedSpent))
+
+  /** Cheap-key-first order-preserving dedup: hash only `cheap(x)`, deep
+    * equality solely within same-key buckets (linear for the near-always
+    * singleton buckets; avoids deep-hashing captured event vectors). */
+  private def dedupBy[T](xs: Vector[T])(cheap: T => Any): Vector[T] =
+    if (xs.length <= 1) xs
+    else {
+      val buckets = scala.collection.mutable.HashMap.empty[Any, List[T]]
+      val b = Vector.newBuilder[T]
+      xs.foreach { x =>
+        val k = cheap(x)
+        val seen = buckets.getOrElse(k, Nil)
+        if (!seen.contains(x)) { buckets(k) = x :: seen; b += x }
+      }
+      b.result()
+    }
 
   /** After-match skip strategies (flink-cep AfterMatchSkipStrategy):
     * NoSkip emits every match from every start (the default);

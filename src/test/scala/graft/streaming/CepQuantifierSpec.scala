@@ -432,4 +432,126 @@ class CepQuantifierSpec extends SparkSuite {
     }
     all.result()
   }
+
+  private def flatIds(ms: Vector[Vector[Vector[RE]]]): Seq[Seq[Int]] =
+    ms.map(_.flatten.map(_.id))
+
+  test("port: zeroOrMore combinations (NFAITCase testZeroOrMore)") {
+    // c, followedByAny(a).oneOrMore.allowCombinations.optional,
+    // followedBy(b) on c@1 a41@3 a42@4 b@6 — 4 matches incl. the empty loop
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedByAny("middle")(_.name == "a").oneOrMore.allowCombinations.optional
+      .followedBy("end1")(_.name == "b")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L,
+      RE(42, "a", 3.0) -> 4L, RE(44, "b", 5.0) -> 6L)))
+    assert(got.toSet === Set(
+      Seq(40, 41, 42, 44), Seq(40, 41, 44), Seq(40, 42, 44), Seq(40, 44)))
+  }
+
+  test("port: complex branching after zeroOrMore (NFAITCase testComplexBranchingAfterZeroOrMore)") {
+    // c, anyAny(a)*combos optional, any(b), any(d), any(e): every middle
+    // combination × both d choices — 16 matches (NFAITCase.java:485)
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedByAny("middle")(_.name == "a").oneOrMore.allowCombinations.optional
+      .followedByAny("end1")(_.name == "b")
+      .followedByAny("end2")(_.name == "d")
+      .followedByAny("end3")(_.name == "e")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L,
+      RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L, RE(43, "a", 4.0) -> 5L,
+      RE(44, "b", 5.0) -> 6L,
+      RE(45, "d", 6.0) -> 7L, RE(46, "d", 7.0) -> 8L,
+      RE(47, "e", 8.0) -> 9L)))
+    val middles = Seq(
+      Seq(41, 42, 43), Seq(41, 42), Seq(41, 43), Seq(42, 43),
+      Seq(41), Seq(42), Seq(43), Seq.empty)
+    val expected = (for (m <- middles; d <- Seq(45, 46))
+      yield (40 +: m) ++ Seq(44, d, 47)).toSet
+    assert(got.size == 16, s"expected 16 matches, got ${got.size}")
+    assert(got.toSet === expected)
+  }
+
+  test("port: zeroOrMore after zeroOrMore (NFAITCase testZeroOrMoreAfterZeroOrMore)") {
+    // two adjacent optional combination loops over different predicates
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedByAny("middle-first")(_.name == "a")
+      .oneOrMore.allowCombinations.optional
+      .followedBy("middle-second")(_.name == "d")
+      .oneOrMore.allowCombinations.optional
+      .followedBy("end")(_.name == "e")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L,
+      RE(42, "d", 3.0) -> 4L, RE(43, "d", 4.0) -> 5L,
+      RE(44, "e", 4.0) -> 6L)))
+    assert(got.toSet === Set(
+      Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 44), Seq(40, 42, 43, 44),
+      Seq(40, 42, 44), Seq(40, 41, 44), Seq(40, 44)))
+  }
+
+  test("port: zeroOrMore after branching (NFAITCase testZeroOrMoreAfterBranching)") {
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedByAny("branching")(_.name == "a")
+      .followedByAny("merging")(_.name == "f")
+      .followedByAny("kleene")(_.name == "d").oneOrMore.allowCombinations.optional
+      .followedBy("end")(_.name == "e")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L,
+      RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L,
+      RE(52, "f", 3.0) -> 5L, // Event(42, "f") in the original; distinct id here
+      RE(43, "d", 4.0) -> 6L, RE(44, "d", 4.0) -> 7L,
+      RE(45, "e", 4.0) -> 8L)))
+    val expected = (for (branch <- Seq(41, 42);
+        kleene <- Seq(Seq.empty[Int], Seq(43), Seq(44), Seq(43, 44)))
+      yield Seq(40, branch, 52) ++ kleene :+ 45).toSet
+    assert(got.size == 8, s"expected 8 matches, got ${got.size}")
+    assert(got.toSet === expected)
+  }
+
+  test("port: adjacent combination loops version collision (NFAITCase testMultipleTakesVersionCollision)") {
+    // two adjacent oneOrMore.allowCombinations loops over the SAME
+    // predicate — every split of every combination must appear exactly as
+    // often as in the reference's SharedBuffer versioning (20 matches,
+    // with duplicates across split points; compared as a multiset of
+    // flattened price sequences, like the original's compareMaps)
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle1")(_.name == "a").oneOrMore.allowCombinations
+      .followedBy("middle2")(_.name == "a").oneOrMore.allowCombinations
+      .followedBy("end")(_.name == "b")
+    val m = (i: Int) => RE(41, "a", (1 + i).toDouble) // m1..m5: price 2..6
+    val got = feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, m(1) -> 3L, m(2) -> 4L, m(3) -> 5L,
+      m(4) -> 6L, m(5) -> 7L, RE(44, "b", 5.0) -> 10L))
+      .map(_.flatten.map(_.price))
+    val c = 1.0; val e = 5.0
+    def seq(ms: Int*) = c +: ms.map(i => (1 + i).toDouble) :+ e
+    val expected = Seq(
+      Seq.fill(4)(seq(1, 2, 3, 4, 5)),
+      Seq.fill(3)(seq(1, 2, 3, 4)), Seq.fill(2)(seq(1, 2, 4, 5)),
+      Seq.fill(2)(seq(1, 2, 3, 5)), Seq.fill(2)(seq(1, 3, 4, 5)),
+      Seq.fill(2)(seq(1, 2, 3)), Seq(seq(1, 3, 4)), Seq(seq(1, 4, 5)),
+      Seq(seq(1, 2, 4)), Seq(seq(1, 2, 5)),
+      Seq(seq(1, 2))).flatten
+    assert(got.size == 20, s"expected 20 matches, got ${got.size}")
+    // multiset equality: same sequences with the same multiplicities
+    assert(got.groupBy(identity).view.mapValues(_.size).toMap ===
+      expected.groupBy(identity).view.mapValues(_.size).toMap)
+  }
+
+  test("port: within-slot result ordering (NFAITCase testNFAResultOrdering)") {
+    // times(4).allowCombinations then times(3).consecutive: exactly one
+    // match, and each slot preserves event order
+    val p = Pattern.begin[RE](
+      "start")(_.name.startsWith("a-")).times(4).allowCombinations
+      .followedByAny("middle")(_.name.startsWith("b-")).times(3).consecutive
+    val a = (i: Int) => RE(41, s"a-$i", (1 + i).toDouble)
+    val b = (i: Int) => RE(41, s"b-$i", (5 + i).toDouble)
+    val got = feed(p, Seq(
+      a(1) -> 1L, a(2) -> 3L, a(3) -> 4L, a(4) -> 5L,
+      b(1) -> 6L, b(2) -> 7L, b(3) -> 10L))
+    assert(got.size == 1, s"expected exactly 1 match, got ${got.size}: " +
+      got.map(_.map(_.map(_.name))))
+    assert(got.head.head.map(_.name) === Vector("a-1", "a-2", "a-3", "a-4"))
+    assert(got.head(1).map(_.name) === Vector("b-1", "b-2", "b-3"))
+  }
 }
