@@ -294,8 +294,8 @@ object Cep {
     val alive = pattern.withinMs match {
       case None => partials
       case Some(w) => // avoid the filter allocation when nothing expired
-        if (partials.forall(p => ts - p.startTs <= w)) partials
-        else partials.filter(p => ts - p.startTs <= w)
+        if (partials.forall(p => ts - p.startTs < w)) partials
+        else partials.filter(p => ts - p.startTs < w)
     }
     val out = Vector.newBuilder[Partial[E]]
     val matches = Vector.newBuilder[Vector[Vector[E]]]
@@ -582,11 +582,11 @@ object Cep {
         val w = pattern.withinMs.get
         val wm = state.getCurrentWatermarkMs()
         val live = state.getOption.getOrElse(Vector.empty)
-          .filter(p => wm - p.startTs <= w)
+          .filter(p => wm - p.startTs < w)
         if (live.isEmpty) state.remove()
         else {
           state.update(live)
-          state.setTimeoutTimestamp(live.map(_.startTs).min + w + 1)
+          state.setTimeoutTimestamp(live.map(_.startTs).min + w)
         }
         Iterator.empty
       } else {
@@ -599,7 +599,7 @@ object Cep {
         else {
           state.update(remaining)
           pattern.withinMs.foreach { w =>
-            val target = remaining.map(_.startTs).min + w + 1
+            val target = remaining.map(_.startTs).min + w
             state.setTimeoutTimestamp(
               math.max(target, state.getCurrentWatermarkMs() + 1))
           }

@@ -39,7 +39,7 @@ object CepQueries extends QueryModule {
         |  AND (CAST(e.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
         |       OR (CAST(e.ts AS TIMESTAMP) = CAST(v.ts AS TIMESTAMP)
         |           AND e.event_id > v.event_id))
-        |  AND CAST(e.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '1 hour'
+        |  AND CAST(e.ts AS TIMESTAMP) < CAST(v.ts AS TIMESTAMP) + INTERVAL '1 hour'
         |WHERE v.event_type = 'view'
         |GROUP BY v.user_id, v.ts
         |ORDER BY v.user_id, start_ts""".stripMargin) { (s, d) =>
@@ -88,7 +88,7 @@ object CepQueries extends QueryModule {
         |  AND (CAST(e.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
         |       OR (CAST(e.ts AS TIMESTAMP) = CAST(v.ts AS TIMESTAMP)
         |           AND e.event_id > v.event_id))
-        |  AND CAST(e.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '1 hour'
+        |  AND CAST(e.ts AS TIMESTAMP) < CAST(v.ts AS TIMESTAMP) + INTERVAL '1 hour'
         |WHERE v.event_type = 'view'
         |GROUP BY v.user_id, v.ts
         |ORDER BY v.user_id, start_ts""".stripMargin) { (s, d) =>

@@ -345,7 +345,7 @@ object GroupCep {
       ts: Long): (Vector[GConf[E]], Vector[Vector[(Int, E)]]) = {
     val alive = c.withinMs match {
       case None => confs
-      case Some(w) => confs.filter(p => ts - p.startTs <= w)
+      case Some(w) => confs.filter(p => ts - p.startTs < w)
     }
     val out = Vector.newBuilder[GConf[E]]
     val matches = Vector.newBuilder[Vector[(Int, E)]]
@@ -453,7 +453,7 @@ object GroupCep {
         val w = compiled.withinMs.get
         val wm = state.getCurrentWatermarkMs()
         val live = state.getOption.getOrElse(Vector.empty)
-          .filter(c => wm - c.startTs <= w)
+          .filter(c => wm - c.startTs < w)
         if (live.isEmpty) state.remove()
         else {
           state.update(live)

@@ -80,10 +80,11 @@ class PropertySpec extends SparkSuite {
         ms.foreach(m => got += ((m(0).head._1, m(1).head._1)))
       }
       // brute force: each 'a' pairs with the first 'b' strictly after it
-      // within 50 ticks
+      // and strictly inside the window (NFA.java prunes the partial at
+      // timestamp - startTs >= windowTime, so a b exactly at +50 is out)
       val exp = for {
         a <- evs if a._2 == "a"
-        b <- evs.find(e => e._2 == "b" && e._1 > a._1 && e._1 - a._1 <= 50L)
+        b <- evs.find(e => e._2 == "b" && e._1 > a._1 && e._1 - a._1 < 50L)
       } yield (a._1, b._1)
       got.toList.sorted == exp.sorted
     })

@@ -538,6 +538,36 @@ class CepQuantifierSpec extends SparkSuite {
       expected.groupBy(identity).view.mapValues(_.size).toMap)
   }
 
+  test("port: strict continuity (NFAITCase testStrictContinuityWithResults/NoResults)") {
+    val p = Pattern.begin[RE]("middle")(_.name == "a")
+      .next("end")(_.name == "b")
+    // adjacent a,b: one match
+    assert(flatIds(feed(p, Seq(
+      RE(41, "a", 2.0) -> 3L, RE(42, "b", 4.0) -> 5L))) === Seq(Seq(41, 42)))
+    // an intruding c breaks strictness: no match
+    assert(feed(p, Seq(
+      RE(41, "a", 2.0) -> 3L, RE(42, "c", 3.0) -> 4L,
+      RE(43, "b", 4.0) -> 5L)).isEmpty)
+  }
+
+  test("port: within prunes at the window boundary (NFAITCase testSimplePatternWithTimeWindowNFA)") {
+    // within(10): the start@1 partial is EXPIRED at end@11 (11 - 1 >= 10,
+    // NFA.java prunes at timestamp - startTs >= windowTime) — only the
+    // start@2 chain matches, and end@13 is out of window for everything
+    val p = Pattern.begin[RE]("start")(_.name == "start")
+      .followedBy("middle")(_.name == "middle")
+      .followedBy("end")(_.name == "end")
+      .within(10L)
+    val got = flatIds(feed(p, Seq(
+      RE(1, "start", 1.0) -> 1L,
+      RE(2, "start", 1.0) -> 2L,
+      RE(3, "middle", 1.0) -> 3L,
+      RE(4, "foobar", 1.0) -> 4L,
+      RE(5, "end", 1.0) -> 11L,
+      RE(6, "end", 1.0) -> 13L)))
+    assert(got === Seq(Seq(2, 3, 5)))
+  }
+
   test("port: within-slot result ordering (NFAITCase testNFAResultOrdering)") {
     // times(4).allowCombinations then times(3).consecutive: exactly one
     // match, and each slot preserves event order
