@@ -286,10 +286,23 @@ object Cep {
       b.result()
     }
     lazy val emptyCtx: Map[String, Seq[E]] = ctxOf(Vector.empty)
+    // Can this event open a fresh partial? A pattern may start at any
+    // step reachable from the head by skipping LEADING OPTIONAL steps
+    // (NFAITCase testBeginWithZeroOrMore: a `b` alone matches
+    // a*-optional b as {b}).
+    def canStart: Boolean = {
+      var j = 0
+      while (j < pattern.steps.size) {
+        if (pattern.steps(j).eval(e, emptyCtx)) return true
+        if (!pattern.steps(j).optional) return false
+        j += 1
+      }
+      false
+    }
     // fast path: nothing pending and the event can't start a pattern —
     // zero allocation (most events in a filtered stream hit this or the
     // pruned-empty case, and the NFA runs once per event per key)
-    if (partials.isEmpty && !pattern.steps.head.eval(e, emptyCtx))
+    if (partials.isEmpty && !canStart)
       return (Vector.empty, Vector.empty)
     val alive = pattern.withinMs match {
       case None => partials
@@ -452,17 +465,29 @@ object Cep {
                 else combosFork)
     }
 
-    // 3) every matching event also opens a fresh partial (noSkip)
-    val s0 = pattern.steps.head
-    if (s0.eval(e, emptyCtx)) {
-      val g = Vector(Vector(e))
-      if (pattern.steps.size == 1 && !s0.looping && s0.maxReps == 1)
-        matches += g
-      else {
-        if (pattern.steps.size == 1 && s0.looping && s0.allPrefixes &&
-          s0.minReps <= 1) matches += g
-        out += Partial(ts, g, runOpen = true, virgin = true)
+    // 3) every matching event also opens a fresh partial (noSkip) — at
+    // the head step, or at any step reachable by skipping leading
+    // optional steps (their groups stay empty, keeping names aligned)
+    var j0 = 0
+    var scanning0 = true
+    while (scanning0 && j0 < pattern.steps.size) {
+      val sj = pattern.steps(j0)
+      if (sj.eval(e, emptyCtx)) {
+        val g = Vector.fill(j0)(Vector.empty[E]) :+ Vector(e)
+        val trailingOptional =
+          (j0 + 1 to lastIdx).forall(pattern.steps(_).optional)
+        if (!sj.looping && sj.maxReps == 1 &&
+          (j0 == lastIdx || trailingOptional)) {
+          matches += (g ++ Vector.fill(lastIdx - j0)(Vector.empty[E]))
+          if (j0 < lastIdx) out += Partial(ts, g, runOpen = true, virgin = true)
+        } else {
+          if (j0 == lastIdx && sj.looping && sj.allPrefixes &&
+            sj.minReps <= 1) matches += g
+          out += Partial(ts, g, runOpen = true, virgin = true)
+        }
       }
+      scanning0 = sj.optional
+      j0 += 1
     }
     // Structural dedup = the reference's SharedBuffer version semantics
     // (NFAITCase testMultipleTakesVersionCollision): distinct NFA paths

@@ -538,6 +538,96 @@ class CepQuantifierSpec extends SparkSuite {
       expected.groupBy(identity).view.mapValues(_.size).toMap)
   }
 
+  test("port: eager zeroOrMore with a gap (NFAITCase testEagerZeroOrMore)") {
+    // Flink-default oneOrMore: relaxed internal contiguity (the d@5 gap
+    // is skipped), EAGER emission (prefixes of the one eager run), entry
+    // bound to the FIRST 'a' (TILL_NEXT) — {c,m2,…} must not appear
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").oneOrMore.relaxed.allPrefixes.optional
+      .followedBy("end1")(_.name == "b")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L,
+      RE(50, "d", 6.0) -> 5L, RE(43, "a", 4.0) -> 6L, RE(44, "b", 5.0) -> 7L)))
+    assert(got.toSet === Set(
+      Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 44), Seq(40, 41, 44),
+      Seq(40, 44)))
+  }
+
+  test("port: begin with zeroOrMore (NFAITCase testBeginWithZeroOrMore)") {
+    val p = Pattern.begin[RE]("middle")(_.name == "a")
+      .oneOrMore.relaxed.allPrefixes.optional
+      .followedBy("end")(_.name == "b")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "a", 2.0) -> 3L, RE(41, "a", 3.0) -> 4L, RE(42, "a", 3.0) -> 5L,
+      RE(43, "b", 4.0) -> 6L)))
+    assert(got.toSet === Set(
+      Seq(40, 41, 42, 43), Seq(40, 41, 43), Seq(41, 42, 43),
+      Seq(40, 43), Seq(41, 43), Seq(42, 43), Seq(43)))
+  }
+
+  test("port: at-least-one combinations (NFAITCase testAtLeastOne/testBeginWithAtLeastOne)") {
+    // anyAny entry + combinations, NO optional: the empty run is absent
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedByAny("middle")(_.name == "a").oneOrMore.allowCombinations
+      .followedByAny("end1")(_.name == "b")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L,
+      RE(44, "b", 5.0) -> 6L)))
+    assert(got.toSet === Set(
+      Seq(40, 41, 42, 44), Seq(40, 41, 44), Seq(40, 42, 44)))
+    // begin with the loop itself: every order-preserving subset start
+    val p2 = Pattern.begin[RE]("start")(_.name == "a").oneOrMore.allowCombinations
+      .followedBy("end")(_.name == "b")
+    val got2 = flatIds(feed(p2, Seq(
+      RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L, RE(43, "a", 4.0) -> 5L,
+      RE(44, "b", 5.0) -> 6L)))
+    assert(got2.toSet === Set(
+      Seq(41, 42, 43, 44), Seq(41, 42, 44), Seq(41, 43, 44), Seq(42, 43, 44),
+      Seq(41, 44), Seq(42, 44), Seq(43, 44)))
+  }
+
+  test("port: optional single step (NFAITCase testOptional)") {
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").optional
+      .followedBy("end1")(_.name == "b")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(43, "a", 4.0) -> 5L, RE(44, "b", 5.0) -> 6L)))
+    assert(got.toSet === Set(Seq(40, 43, 44), Seq(40, 44)))
+  }
+
+  test("port: branching with SKIP_TILL_NEXT middles (NFAITCase testBranchingPatternSkipTillNext)") {
+    // both middles followedBy (TILL_NEXT): each binds its FIRST match —
+    // exactly one result (SubEvent.volume > 5 maps to price > 5 here)
+    val p = Pattern.begin[RE]("start")(_.name == "start")
+      .followedBy("middle-first")(_.price > 5.0)
+      .followedBy("middle-second")(_.name == "next-one")
+      .followedByAny("end")(_.name == "end")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "start", 1.0) -> 1L,
+      RE(41, "foo1", 10.0) -> 3L, RE(42, "foo2", 10.0) -> 4L,
+      RE(43, "foo3", 10.0) -> 5L,
+      RE(44, "next-one", 2.0) -> 6L, RE(45, "next-one", 2.0) -> 7L,
+      RE(46, "end", 1.0) -> 8L)))
+    assert(got === Seq(Seq(40, 41, 44, 46)))
+  }
+
+  test("port: branching with mixed followedByAny/followedBy (NFAITCase testBranchingPatternMixedFollowedBy)") {
+    // anyAny first middle branches on every foo; TILL_NEXT second middle
+    // still binds only the first next-one per branch
+    val p = Pattern.begin[RE]("start")(_.name == "start")
+      .followedByAny("middle-first")(_.price > 5.0)
+      .followedBy("middle-second")(_.name == "next-one")
+      .followedByAny("end")(_.name == "end")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "start", 1.0) -> 1L,
+      RE(41, "foo1", 10.0) -> 3L, RE(42, "foo2", 10.0) -> 4L,
+      RE(43, "foo3", 10.0) -> 5L,
+      RE(44, "next-one", 2.0) -> 6L, RE(45, "next-one", 2.0) -> 7L,
+      RE(46, "end", 1.0) -> 8L)))
+    assert(got.toSet === Set(
+      Seq(40, 41, 44, 46), Seq(40, 42, 44, 46), Seq(40, 43, 44, 46)))
+  }
+
   test("port: strict continuity (NFAITCase testStrictContinuityWithResults/NoResults)") {
     val p = Pattern.begin[RE]("middle")(_.name == "a")
       .next("end")(_.name == "b")
