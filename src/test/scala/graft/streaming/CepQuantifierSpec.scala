@@ -538,6 +538,40 @@ class CepQuantifierSpec extends SparkSuite {
       expected.groupBy(identity).view.mapValues(_.size).toMap)
   }
 
+  test("port: relaxed times(2) eager (NFAITCase testTimesNotStrictWithFollowedByEager)") {
+    // TILL_NEXT entry binds the first 'a'; eager times(2) takes the
+    // first two — exactly one match
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").times(2).relaxed
+      .followedBy("end1")(_.name == "b")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 2L, RE(42, "a", 3.0) -> 4L,
+      RE(43, "a", 4.0) -> 6L, RE(44, "b", 5.0) -> 7L)))
+    assert(got === Seq(Seq(40, 41, 42, 44)))
+  }
+
+  test("port: relaxed times(2) combinations (NFAITCase testTimesNotStrictWithFollowedByNotEager)") {
+    // anyAny entry + allowCombinations: every 2-subset of the three 'a's
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedByAny("middle")(_.name == "a").times(2).allowCombinations
+      .followedBy("end1")(_.name == "b")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 2L, RE(42, "a", 3.0) -> 4L,
+      RE(43, "a", 4.0) -> 6L, RE(44, "b", 5.0) -> 7L)))
+    assert(got.toSet === Set(
+      Seq(40, 41, 42, 44), Seq(40, 42, 43, 44), Seq(40, 41, 43, 44)))
+  }
+
+  test("port: strict times(2) consecutive broken by a gap (NFAITCase testTimesStrictWithNextAndConsecutive)") {
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .next("middle")(_.name == "a").times(2).consecutive
+      .followedBy("end1")(_.name == "b")
+    val got = feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 2L, RE(23, "f", 1.0) -> 3L,
+      RE(42, "a", 3.0) -> 4L, RE(43, "a", 4.0) -> 6L, RE(44, "b", 5.0) -> 7L))
+    assert(got.isEmpty)
+  }
+
   test("port: eager zeroOrMore with a gap (NFAITCase testEagerZeroOrMore)") {
     // Flink-default oneOrMore: relaxed internal contiguity (the d@5 gap
     // is skipped), EAGER emission (prefixes of the one eager run), entry
