@@ -230,12 +230,21 @@ object Cep {
     private[Cep] def validated: Pattern[E] = {
       require(pendingNot.isEmpty,
         "notFollowedBy must be followed by another pattern step")
-      // covers .optional AND times(0, n) (which sets optional): the
-      // zero-occurrence path of a final step would require emitting a
-      // match on no event — unsupported, so reject rather than silently
-      // dropping the reference's zero-occurrence match
-      require(!steps.last.optional,
-        "the final pattern step cannot be optional (nor times(0, n))")
+      // Optional FINAL steps are supported (NFAITCase testEndWithOptional
+      // / testEndWithZeroOrMore: the zero-occurrence match emits the
+      // moment the preceding steps complete). The one untestable-against-
+      // the-reference combination is a GREEDY loop followed by nothing
+      // but optional steps: greedy is a DSL extension (the reference
+      // default is allPrefixes), and its emit-on-break semantics have no
+      // defined zero-consumption interplay — reject that combination.
+      val lastMandatory = steps.lastIndexWhere(!_.optional)
+      val greedyTrailing = steps.zipWithIndex.exists { case (s, i) =>
+        i >= math.max(lastMandatory, 0) && s.looping && s.multiRep &&
+          !s.allPrefixes && i < steps.size - 1
+      }
+      require(!greedyTrailing,
+        "a greedy loop may not be followed by only-optional steps " +
+          "(use the reference-default allPrefixes emission)")
       this
     }
   }
@@ -313,6 +322,15 @@ object Cep {
     val out = Vector.newBuilder[Partial[E]]
     val matches = Vector.newBuilder[Vector[Vector[E]]]
     val lastIdx = pattern.steps.size - 1
+    // all steps after i are optional → a satisfied run at i is already a
+    // match (the reference's chained proceed-ε edges to the final state)
+    def trailingOpt(i: Int): Boolean = {
+      var j = i + 1
+      while (j <= lastIdx && pattern.steps(j).optional) j += 1
+      j > lastIdx
+    }
+    def padded(g: Vector[Vector[E]]): Vector[Vector[E]] =
+      g ++ Vector.fill(pattern.steps.size - g.size)(Vector.empty[E])
 
     alive.foreach { p =>
       val s = pattern.steps(p.stepIdx)
@@ -345,6 +363,12 @@ object Cep {
           // (subsumed by the open combos fork below when enabled)
           if (s.allPrefixes && s.looping && reps >= s.minReps && !s.combos)
             stoppedFork = Partial(p.startTs, p.groups, runOpen = false)
+          // only optional steps remain: the satisfied run is a match NOW
+          // (testEndWith* ports — prefix emission for allPrefixes loops,
+          // exact-count emission for times(n))
+          if (trailingOpt(p.stepIdx) &&
+            (if (s.allPrefixes) reps + 1 >= s.minReps else capped))
+            matches += padded(g2)
           // virgin: the next event is "immediately after" this step's
           // latest match — the reference point for a following notNext
           out += Partial(p.startTs, g2, runOpen = !capped, virgin = true)
@@ -397,10 +421,11 @@ object Cep {
                   if (j < lastIdx)
                     out += Partial(p.startTs, g2, runOpen = true, virgin = true)
                 } else {
-                  // entering a final allPrefixes loop: the length-1 run is
-                  // already a match when min <= 1 (extensions emit the rest)
-                  if (j == lastIdx && sj.looping && sj.allPrefixes &&
-                    sj.minReps <= 1) matches += g2
+                  // entering an allPrefixes loop at the end of the
+                  // mandatory suffix: the length-1 run is already a match
+                  // when min <= 1 (extensions emit the rest)
+                  if (sj.looping && sj.allPrefixes && sj.minReps <= 1 &&
+                    (j == lastIdx || trailingOpt(j))) matches += padded(g2)
                   out += Partial(p.startTs, g2, runOpen = true, virgin = true)
                 }
                 // entering an OPTIONAL step also forks the branch that
@@ -481,8 +506,8 @@ object Cep {
           matches += (g ++ Vector.fill(lastIdx - j0)(Vector.empty[E]))
           if (j0 < lastIdx) out += Partial(ts, g, runOpen = true, virgin = true)
         } else {
-          if (j0 == lastIdx && sj.looping && sj.allPrefixes &&
-            sj.minReps <= 1) matches += g
+          if (sj.looping && sj.allPrefixes && sj.minReps <= 1 &&
+            (j0 == lastIdx || trailingOpt(j0))) matches += padded(g)
           out += Partial(ts, g, runOpen = true, virgin = true)
         }
       }

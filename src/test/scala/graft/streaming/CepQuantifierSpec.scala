@@ -538,6 +538,58 @@ class CepQuantifierSpec extends SparkSuite {
       expected.groupBy(identity).view.mapValues(_.size).toMap)
   }
 
+  test("port: optional first step (NFAITCase testStartWithOptional)") {
+    val p = Pattern.begin[RE]("start")(_.name == "c").optional
+      .followedBy("end1")(_.name == "b")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(44, "b", 5.0) -> 6L)))
+    assert(got.toSet === Set(Seq(40, 44), Seq(44)))
+  }
+
+  test("port: optional final step (NFAITCase testEndWithOptional)") {
+    // the zero-occurrence match {c} emits the moment c completes the
+    // mandatory prefix (proceed-ε chain to the final state)
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").optional
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L)))
+    assert(got.toSet === Set(Seq(40, 41), Seq(40)))
+  }
+
+  test("port: final oneOrMore emits prefixes eagerly (NFAITCase testEndWithOneOrMore)") {
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").oneOrMore.relaxed.allPrefixes
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L,
+      RE(43, "a", 4.0) -> 5L)))
+    assert(got.toSet === Set(
+      Seq(40, 41), Seq(40, 41, 42), Seq(40, 41, 42, 43)))
+  }
+
+  test("port: final zeroOrMore incl. the empty run (NFAITCase testEndWithZeroOrMore)") {
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").oneOrMore.relaxed.allPrefixes.optional
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L,
+      RE(43, "a", 4.0) -> 5L)))
+    assert(got.toSet === Set(
+      Seq(40), Seq(40, 41), Seq(40, 41, 42), Seq(40, 41, 42, 43)))
+  }
+
+  test("port: whole pattern is one zeroOrMore loop (NFAITCase testStartAndEndWithZeroOrMore)") {
+    // single-step pattern: every noSkip start emits its prefixes; no
+    // empty match (zero occurrences of the only step captures nothing)
+    val p = Pattern.begin[RE]("start")(_.name == "a")
+      .oneOrMore.relaxed.allPrefixes.optional
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L,
+      RE(43, "a", 4.0) -> 5L, RE(44, "d", 5.0) -> 6L, RE(45, "d", 5.0) -> 6L,
+      RE(46, "d", 5.0) -> 6L)))
+    assert(got.toSet === Set(
+      Seq(41, 42, 43), Seq(41, 42), Seq(41),
+      Seq(42, 43), Seq(42), Seq(43)))
+  }
+
   test("port: relaxed times(2) eager (NFAITCase testTimesNotStrictWithFollowedByEager)") {
     // TILL_NEXT entry binds the first 'a'; eager times(2) takes the
     // first two — exactly one match

@@ -44,28 +44,31 @@ class CepSpec extends SparkSuite {
     assert(got == Seq((1L, Seq(1L, 2L, 3L)), (1L, Seq(2L, 3L, 4L))))
   }
 
-  test("a final optional or times(0, n) step is rejected up front") {
-    // the zero-occurrence path of a FINAL step would need a match emitted
-    // on no event — unsupported, so the entry points must reject it
-    // (Pattern.java's documented optional restriction) instead of silently
-    // dropping the reference's zero-occurrence match
+  test("final optional / times(0, n) emit the zero-occurrence match; greedy+trailing-optional rejected") {
+    // optional FINAL steps are supported (NFAITCase testEndWithOptional):
+    // the zero-occurrence match emits when the mandatory prefix completes
     val evs = Seq(Ev(1, "a", 1)).toDS()
     val pOpt = Pattern.begin[Ev]("a")(_.typ == "a")
       .followedBy("b")(_.typ == "b").optional
-    val e1 = intercept[IllegalArgumentException] {
-      Cep.matchBatchGroups(evs, (e: Ev) => e.user, (e: Ev) => e.ts, pOpt) {
-        (u, m) => (u, m("b").size)
-      }
-    }
-    assert(e1.getMessage.contains("final pattern step"))
+    val got = Cep.matchBatchGroups(evs, (e: Ev) => e.user, (e: Ev) => e.ts,
+      pOpt) { (u, m) => (u, m("b").size) }.collect().toSeq
+    assert(got == Seq((1L, 0))) // {a} with the optional b unconsumed
     val pZero = Pattern.begin[Ev]("a")(_.typ == "a")
       .followedBy("b")(_.typ == "b").times(0, 2)
-    val e2 = intercept[IllegalArgumentException] {
-      Cep.matchBatchGroups(evs, (e: Ev) => e.user, (e: Ev) => e.ts, pZero) {
-        (u, m) => (u, m("b").size)
-      }
+    val got2 = Cep.matchBatchGroups(evs, (e: Ev) => e.user, (e: Ev) => e.ts,
+      pZero) { (u, m) => (u, m("b").size) }.collect().toSeq
+    assert(got2 == Seq((1L, 0)))
+    // the one rejected combination: a GREEDY loop followed by nothing but
+    // optional steps (greedy is a DSL extension; its emit-on-break
+    // semantics have no zero-consumption interplay in the reference)
+    val pGreedy = Pattern.begin[Ev]("a")(_.typ == "a")
+      .followedBy("b")(_.typ == "b").oneOrMore
+      .followedBy("c")(_.typ == "c").optional
+    val e1 = intercept[IllegalArgumentException] {
+      Cep.matchBatchGroups(evs, (e: Ev) => e.user, (e: Ev) => e.ts,
+        pGreedy) { (u, m) => (u, m("b").size) }
     }
-    assert(e2.getMessage.contains("final pattern step"))
+    assert(e1.getMessage.contains("greedy"))
   }
 
   test("oneOrMore captures the maximal greedy run") {
@@ -199,18 +202,12 @@ class CepSpec extends SparkSuite {
     assert(got.contains((2L, Seq(2L), Seq(3L))))
   }
 
-  test("pattern validation rejects terminal notFollowedBy and optional") {
+  test("pattern validation rejects terminal notFollowedBy") {
     val bad1 = Pattern.begin[Ev]("a")(_.typ == "a")
       .notFollowedBy("x")(_.typ == "x")
-    val bad2 = Pattern.begin[Ev]("a")(_.typ == "a")
-      .followedBy("b")(_.typ == "b").optional
     assertThrows[IllegalArgumentException] {
       Cep.matchBatch(Seq(Ev(1, "a", 1)).toDS(), (e: Ev) => e.user,
         (e: Ev) => e.ts, bad1)((u, _) => u).collect()
-    }
-    assertThrows[IllegalArgumentException] {
-      Cep.matchBatch(Seq(Ev(1, "a", 1)).toDS(), (e: Ev) => e.user,
-        (e: Ev) => e.ts, bad2)((u, _) => u).collect()
     }
   }
 
