@@ -538,6 +538,80 @@ class CepQuantifierSpec extends SparkSuite {
       expected.groupBy(identity).view.mapValues(_.size).toMap)
   }
 
+  // ConsecutiveData fixture: c@1=40, a@..=41/42/43, b@7=44, gap f=23
+  private def consecPort(mid: Pattern[RE] => Pattern[RE],
+      events: Seq[(RE, Long)]): Set[Seq[Int]] = {
+    val p = mid(Pattern.begin[RE]("start")(_.name == "c"))
+      .followedBy("end1")(_.name == "b")
+    flatIds(feed(p, events)).toSet
+  }
+  private val cStart = RE(40, "c", 1.0)
+  private val cM1 = RE(41, "a", 2.0)
+  private val cM2 = RE(42, "a", 3.0)
+  private val cM3 = RE(43, "a", 4.0)
+  private val cEnd = RE(44, "b", 5.0)
+  private val cF = RE(23, "f", 1.0)
+
+  test("port: optional times(3) zero occurrences (NFAITCase testTimesNonStrictOptional1)") {
+    val got = consecPort(
+      _.followedBy("middle")(_.name == "a").times(3).relaxed.optional,
+      Seq(cStart -> 1L, cF -> 2L, cEnd -> 7L))
+    assert(got === Set(Seq(40, 44)))
+  }
+
+  test("port: optional times(2) combinations (NFAITCase testTimesNonStrictOptional2)") {
+    val got = consecPort(
+      _.followedByAny("middle")(_.name == "a").times(2).allowCombinations.optional,
+      Seq(cStart -> 1L, cF -> 2L, cM1 -> 3L, cF.copy(id = 24) -> 4L,
+        cM2 -> 5L, cM3 -> 6L, cEnd -> 7L))
+    assert(got === Set(
+      Seq(40, 41, 42, 44), Seq(40, 41, 43, 44), Seq(40, 42, 43, 44),
+      Seq(40, 44)))
+  }
+
+  test("port: optional times(2) relaxed eager per entry (NFAITCase testTimesNonStrictOptional3)") {
+    val got = consecPort(
+      _.followedByAny("middle")(_.name == "a").times(2).relaxed.optional,
+      Seq(cStart -> 1L, cF -> 2L, cM1 -> 3L, cF.copy(id = 24) -> 4L,
+        cM2 -> 5L, cM3 -> 6L, cEnd -> 7L))
+    assert(got === Set(
+      Seq(40, 41, 42, 44), Seq(40, 42, 43, 44), Seq(40, 44)))
+  }
+
+  test("port: optional times(2) consecutive (NFAITCase testTimesStrictOptional)") {
+    val got = consecPort(
+      _.followedByAny("middle")(_.name == "a").times(2).consecutive.optional,
+      Seq(cStart -> 1L, cF -> 2L, cM1 -> 3L, cF.copy(id = 24) -> 4L,
+        cM2 -> 5L, cM3 -> 6L, cEnd -> 7L))
+    assert(got === Set(Seq(40, 42, 43, 44), Seq(40, 44)))
+  }
+
+  test("port: optional consecutive oneOrMore prefixes (NFAITCase testOneOrMoreStrictOptional)") {
+    val got = consecPort(
+      _.followedByAny("middle")(_.name == "a").oneOrMore.allPrefixes.optional,
+      Seq(cStart -> 1L, cF -> 2L, cM1 -> 3L, cF.copy(id = 24) -> 4L,
+        cM2 -> 5L, cM3 -> 6L, cEnd -> 7L))
+    assert(got === Set(
+      Seq(40, 42, 43, 44), Seq(40, 41, 44), Seq(40, 42, 44),
+      Seq(40, 43, 44), Seq(40, 44)))
+  }
+
+  test("port: strict-entry optional times(2) consecutive (NFAITCase testTimesStrictOptional1)") {
+    val got = consecPort(
+      _.next("middle")(_.name == "a").times(2).consecutive.optional,
+      Seq(cStart -> 1L, cM1 -> 3L, cM2 -> 5L, cM3 -> 6L, cEnd -> 7L))
+    assert(got === Set(Seq(40, 41, 42, 44), Seq(40, 44)))
+  }
+
+  test("port: strict-entry optional times(2) combinations (NFAITCase testOptionalTimesNonStrictWithNext)") {
+    val got = consecPort(
+      _.next("middle")(_.name == "a").times(2).allowCombinations.optional,
+      Seq(cStart -> 1L, cM1 -> 2L, cF -> 3L, cM2 -> 4L,
+        cF.copy(id = 24) -> 5L, cM3 -> 6L, cEnd -> 7L))
+    assert(got === Set(
+      Seq(40, 41, 42, 44), Seq(40, 41, 43, 44), Seq(40, 44)))
+  }
+
   test("port: optional first step (NFAITCase testStartWithOptional)") {
     val p = Pattern.begin[RE]("start")(_.name == "c").optional
       .followedBy("end1")(_.name == "b")
