@@ -620,6 +620,79 @@ object Cep {
       matchStreamFn(pattern, ts, skip, tie, finish))
   }
 
+  /** [[matchStream]] plus the reference's TIMED-OUT-partials channel
+    * (PatternStream.select(timeoutTag, timeoutFn, selectFn) —
+    * flink-cep PatternStream.java: a `within` pattern surfaces expired
+    * partial matches on a side output instead of dropping them).
+    * `onTimeout` shapes an expired partial — step-name → events captured
+    * so far, plus the event-time at which it expired — into the same
+    * output type; tag the two cases inside O (an Either, a case class
+    * with a flag) to split the streams downstream, exactly what the
+    * reference's OutputTag achieves.
+    *
+    * Branch-model note: one timeout is reported per LIVE partial at
+    * expiry. The reference's SharedBuffer additionally keeps
+    * already-transitioned prefixes as separate computation states and
+    * times them out too, so timeout MULTIPLICITIES can exceed ours
+    * (NFAITCase testSimplePatternWithTimeoutHandling reports both
+    * {start} and {start, middle} for one chain); the match channel is
+    * identical. */
+  def matchStreamWithTimeouts[K, E, O: Encoder](ds: Dataset[E], key: E => K,
+      ts: E => Long, pattern: Pattern[E],
+      skip: AfterMatchSkip = NoSkip,
+      tie: E => Long = (_: E) => 0L)(
+      finish: (K, Map[String, E]) => O)(
+      onTimeout: (K, Map[String, Seq[E]], Long) => O)(
+      implicit ke: Encoder[K], se: Encoder[Vector[Partial[E]]]): Dataset[O] = {
+    pattern.validated
+    require(pattern.withinMs.isDefined,
+      "matchStreamWithTimeouts requires a within() pattern")
+    ds.groupByKey(key).flatMapGroupsWithState[Vector[Partial[E]], O](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+      matchStreamWithTimeoutsFn(pattern, ts, skip, tie, finish, onTimeout))
+  }
+
+  /** The state-transition function behind [[matchStreamWithTimeouts]]. */
+  def matchStreamWithTimeoutsFn[K, E, O](pattern: Pattern[E], ts: E => Long,
+      skip: AfterMatchSkip, tie: E => Long,
+      finish: (K, Map[String, E]) => O,
+      onTimeout: (K, Map[String, Seq[E]], Long) => O):
+      (K, Iterator[E], GroupState[Vector[Partial[E]]]) => Iterator[O] = {
+    val names = pattern.steps.map(_.name)
+    def timedOut(k: K, p: Partial[E], at: Long): O =
+      onTimeout(k, names.zip(p.groups.map(_.toSeq)).toMap
+        .filter(_._2.nonEmpty), at)
+    (k: K, it: Iterator[E], state: GroupState[Vector[Partial[E]]]) =>
+      if (state.hasTimedOut) {
+        val w = pattern.withinMs.get
+        val wm = state.getCurrentWatermarkMs()
+        val (live, expired) = state.getOption.getOrElse(Vector.empty)
+          .partition(p => wm - p.startTs < w)
+        if (live.isEmpty) state.remove()
+        else {
+          state.update(live)
+          state.setTimeoutTimestamp(live.map(_.startTs).min + w)
+        }
+        expired.map(p => timedOut(k, p, wm)).iterator
+      } else {
+        val partials = state.getOption.getOrElse(Vector.empty)
+        val touts = Vector.newBuilder[O]
+        val (outs, remaining) = runSorted(k, it, ts, pattern, partials,
+          (kk: K, groups: Map[String, Seq[E]]) =>
+            finish(kk, groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap),
+          flushAtEnd = false, skip, tie,
+          onExpired = (p: Partial[E], at: Long) => touts += timedOut(k, p, at))
+        if (remaining.isEmpty) state.remove()
+        else {
+          state.update(remaining)
+          val target = remaining.map(_.startTs).min + pattern.withinMs.get
+          state.setTimeoutTimestamp(
+            math.max(target, state.getCurrentWatermarkMs() + 1))
+        }
+        (touts.result() ++ outs).iterator
+      }
+  }
+
   /** The per-key state-transition function behind [[matchStream]], exposed
     * so a TestGroupState harness can exercise the within-expiry timeout
     * path deterministically. */
@@ -662,13 +735,25 @@ object Cep {
       finish: (K, Map[String, Seq[E]]) => O,
       flushAtEnd: Boolean,
       skip: AfterMatchSkip = NoSkip,
-      tie: E => Long = (_: E) => 0L): (Vector[O], Vector[Partial[E]]) = {
+      tie: E => Long = (_: E) => 0L,
+      onExpired: (Partial[E], Long) => Unit = (_: Partial[E], _: Long) => ())
+      : (Vector[O], Vector[Partial[E]]) = {
     val names = pattern.steps.map(_.name)
     def shape(m: Vector[Vector[E]]): O =
       finish(k, names.zip(m.map(_.toSeq)).toMap)
     var partials = init
     val outs = Vector.newBuilder[O]
     it.toVector.sortBy(e => (ts(e), tie(e))).foreach { e =>
+      // advanceTime-before-process (NFA.advanceTime called per event in
+      // the reference): surface expired partials before the transition
+      pattern.withinMs.foreach { w =>
+        val t = ts(e)
+        if (!partials.forall(p => t - p.startTs < w)) {
+          val (expired, kept) = partials.partition(p => t - p.startTs >= w)
+          expired.foreach(p => onExpired(p, t))
+          partials = kept
+        }
+      }
       val (next, matches) = advance(pattern, partials, e, ts(e))
       partials = next
       if (matches.isEmpty) ()

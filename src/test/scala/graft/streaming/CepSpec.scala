@@ -173,6 +173,58 @@ class CepSpec extends SparkSuite {
     assert(h.stateOf(7L).isEmpty && h.timerOf(7L).isEmpty)
   }
 
+  test("timed-out partials surface on the timeout channel (PatternStream timeout tag)") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    // the testSimplePatternWithTimeoutHandling script (NFAITCase.java:344):
+    // start@1, start@2, middle@3, foobar@4, end@11, end@13, within(10).
+    // One full match {start@2, middle@3, end@11}; the start@1 chain
+    // expires when event time reaches 11. (Branch-model note from the
+    // scaladoc: one timeout per live partial — the reference's
+    // SharedBuffer also reports already-transitioned prefixes, so its
+    // multiplicities are higher; the match channel is identical.)
+    val p = Pattern.begin[Ev]("start")(_.typ == "start")
+      .followedBy("middle")(_.typ == "middle")
+      .followedBy("end")(_.typ == "end")
+      .within(10L)
+    // output: (isTimeout, startTs, detailTs)
+    val h = new VirtualClockHarness[Long, Ev, Vector[Partial[Ev]],
+      (Boolean, Long, Long)](
+      GroupStateTimeout.EventTimeTimeout(),
+      Cep.matchStreamWithTimeoutsFn[Long, Ev, (Boolean, Long, Long)](
+        p, _.ts, Cep.NoSkip, _ => 0L,
+        (_, m) => (false, m("start").ts, m("end").ts),
+        (_, groups, at) => (true, groups("start").head.ts, at)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Long, Long)]
+    out ++= h.input(7L, Ev(7, "start", 1), Ev(7, "start", 2),
+      Ev(7, "middle", 3), Ev(7, "foobar", 4))
+    assert(out.isEmpty) // nothing matched, nothing expired yet
+    out ++= h.advanceWatermarkTo(11L) // start@1 chain passes the horizon
+    assert(out.toList == List((true, 1L, 11L)))
+    out ++= h.input(7L, Ev(7, "end", 11))
+    assert(out.toList == List((true, 1L, 11L), (false, 2L, 11L)))
+    out ++= h.advanceWatermarkTo(13L)
+    out ++= h.input(7L, Ev(7, "end", 13))
+    assert(out.size == 2) // no further matches or timeouts; state clear
+    assert(h.stateOf(7L).isEmpty)
+  }
+
+  test("in-batch expiry also reports on the timeout channel (advanceTime before process)") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val p = Pattern.begin[Ev]("start")(_.typ == "start")
+      .followedBy("end")(_.typ == "end").within(10L)
+    val h = new VirtualClockHarness[Long, Ev, Vector[Partial[Ev]],
+      (Boolean, Long, Long)](
+      GroupStateTimeout.EventTimeTimeout(),
+      Cep.matchStreamWithTimeoutsFn[Long, Ev, (Boolean, Long, Long)](
+        p, _.ts, Cep.NoSkip, _ => 0L,
+        (_, m) => (false, m("start").ts, m("end").ts),
+        (_, groups, at) => (true, groups("start").head.ts, at)))
+    // start@0 and a LATE-window end@15 arrive in the same micro-batch:
+    // the partial expires against the event's own time before processing
+    val out = h.input(7L, Ev(7, "start", 0), Ev(7, "end", 15))
+    assert(out == Seq((true, 0L, 15L)))
+  }
+
   test("notFollowedBy kills partials when the banned event intervenes") {
     val p = Pattern.begin[Ev]("login")(_.typ == "login")
       .notFollowedBy("logout")(_.typ == "logout")
