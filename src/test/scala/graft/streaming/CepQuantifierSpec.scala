@@ -612,6 +612,59 @@ class CepQuantifierSpec extends SparkSuite {
       Seq(40, 41, 42, 44), Seq(40, 41, 43, 44), Seq(40, 44)))
   }
 
+  // NFAITCase.testOneOrMore / testZeroOrMore strategy-matrix fixture:
+  // c@1, d@2, a41@3, a42@4, a43@4 (tied ts), d@5, a45@6, b46@7
+  private def strategyMatrix(mid: Pattern[RE] => Pattern[RE]): Set[Seq[Int]] = {
+    val p = mid(Pattern.begin[RE]("start")(_.name == "c"))
+      .followedBy("end1")(_.name == "b")
+    flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(50, "d", 6.0) -> 2L,
+      RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L, RE(43, "a", 4.0) -> 4L,
+      RE(51, "d", 6.0) -> 5L, RE(45, "a", 5.0) -> 6L,
+      RE(46, "b", 5.0) -> 7L))).toSet
+  }
+
+  test("port: oneOrMore consuming-strategy matrix (NFAITCase testStrict/SkipTillNext/SkipTillAnyOneOrMore)") {
+    // STRICT (consecutive): the d@5 gap caps the run at a41 a42 a43
+    assert(strategyMatrix(
+      _.followedBy("middle")(_.name == "a").oneOrMore.allPrefixes) === Set(
+      Seq(40, 41, 42, 43, 46), Seq(40, 41, 42, 46), Seq(40, 41, 46)))
+    // SKIP_TILL_NEXT (relaxed, the reference default): a45 joins past d@5
+    assert(strategyMatrix(
+      _.followedBy("middle")(_.name == "a").oneOrMore.relaxed.allPrefixes)
+      === Set(
+      Seq(40, 41, 42, 43, 45, 46), Seq(40, 41, 42, 43, 46),
+      Seq(40, 41, 42, 46), Seq(40, 41, 46)))
+    // SKIP_TILL_ANY (combinations): every subset containing the first 'a'
+    assert(strategyMatrix(
+      _.followedBy("middle")(_.name == "a").oneOrMore.allowCombinations)
+      === Set(
+      Seq(40, 41, 42, 43, 45, 46), Seq(40, 41, 43, 45, 46),
+      Seq(40, 41, 42, 43, 46), Seq(40, 41, 42, 45, 46),
+      Seq(40, 41, 42, 46), Seq(40, 41, 43, 46), Seq(40, 41, 45, 46),
+      Seq(40, 41, 46)))
+  }
+
+  test("port: zeroOrMore consuming-strategy matrix (NFAITCase testStrictEager/SkipTillNext/SkipTillAnyZeroOrMore)") {
+    assert(strategyMatrix(
+      _.followedBy("middle")(_.name == "a").oneOrMore.allPrefixes.optional)
+      === Set(
+      Seq(40, 41, 42, 43, 46), Seq(40, 41, 42, 46), Seq(40, 41, 46),
+      Seq(40, 46)))
+    assert(strategyMatrix(
+      _.followedBy("middle")(_.name == "a")
+        .oneOrMore.relaxed.allPrefixes.optional) === Set(
+      Seq(40, 41, 42, 43, 45, 46), Seq(40, 41, 42, 43, 46),
+      Seq(40, 41, 42, 46), Seq(40, 41, 46), Seq(40, 46)))
+    assert(strategyMatrix(
+      _.followedBy("middle")(_.name == "a")
+        .oneOrMore.allowCombinations.optional) === Set(
+      Seq(40, 41, 42, 43, 45, 46), Seq(40, 41, 42, 45, 46),
+      Seq(40, 41, 43, 45, 46), Seq(40, 41, 45, 46),
+      Seq(40, 41, 42, 43, 46), Seq(40, 41, 42, 46), Seq(40, 41, 43, 46),
+      Seq(40, 41, 46), Seq(40, 46)))
+  }
+
   test("port: optional first step (NFAITCase testStartWithOptional)") {
     val p = Pattern.begin[RE]("start")(_.name == "c").optional
       .followedBy("end1")(_.name == "b")
