@@ -612,6 +612,40 @@ class CepQuantifierSpec extends SparkSuite {
       Seq(40, 41, 42, 44), Seq(40, 41, 43, 44), Seq(40, 44)))
   }
 
+  test("port: condition-less steps match everything (NFAITCase testNoConditionLoopingNFA/testAnyWithNoConditionNFA)") {
+    val evs = Seq(RE(40, "a", 1.0) -> 1L, RE(41, "b", 2.0) -> 2L,
+      RE(42, "c", 3.0) -> 3L, RE(43, "d", 4.0) -> 4L, RE(44, "e", 5.0) -> 5L)
+    // begin.followedBy.oneOrMore, both condition-less: every start event
+    // followed by its contiguous-suffix prefixes
+    val looping = Pattern.begin[RE]("start")(_ => true)
+      .followedBy("end")(_ => true).oneOrMore.relaxed.allPrefixes
+    assert(flatIds(feed(looping, evs)).toSet === Set(
+      Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 43), Seq(40, 41, 42),
+      Seq(40, 41),
+      Seq(41, 42, 43, 44), Seq(41, 42, 43), Seq(41, 42),
+      Seq(42, 43, 44), Seq(42, 43), Seq(43, 44)))
+    // begin.followedByAny, both condition-less: every ordered pair
+    val anyPair = Pattern.begin[RE]("start")(_ => true)
+      .followedByAny("end")(_ => true)
+    assert(flatIds(feed(anyPair, evs)).toSet === Set(
+      Seq(40, 41), Seq(40, 42), Seq(40, 43), Seq(40, 44),
+      Seq(41, 42), Seq(41, 43), Seq(41, 44),
+      Seq(42, 43), Seq(42, 44), Seq(43, 44)))
+  }
+
+  test("port: simple three-step pattern with subtype condition (NFAITCase testSimplePatternNFA)") {
+    // SubEvent.volume > 5 maps to price > 5; barfoo@3 has volume 5.0 and
+    // must not match
+    val p = Pattern.begin[RE]("start")(_.name == "start")
+      .followedBy("middle")(_.price > 5.0)
+      .followedBy("end")(_.name == "end")
+    val got = flatIds(feed(p, Seq(
+      RE(41, "start", 1.0) -> 1L, RE(43, "foobar", 1.0) -> 2L,
+      RE(41, "barfoo", 5.0) -> 3L, RE(42, "foo", 10.0) -> 3L,
+      RE(43, "start", 1.0) -> 4L, RE(43, "end", 1.0) -> 5L)))
+    assert(got === Seq(Seq(41, 42, 43)))
+  }
+
   // NFAITCase.testOneOrMore / testZeroOrMore strategy-matrix fixture:
   // c@1, d@2, a41@3, a42@4, a43@4 (tied ts), d@5, a45@6, b46@7
   private def strategyMatrix(mid: Pattern[RE] => Pattern[RE]): Set[Seq[Int]] = {
