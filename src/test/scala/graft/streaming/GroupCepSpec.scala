@@ -299,6 +299,32 @@ class GroupCepSpec extends SparkSuite {
     assert(remaining === 0)
   }
 
+  test("adjacent combination loops match the SharedBuffer version multiset (NFAITCase testMultipleTakesVersionCollision shape)") {
+    // the same 20-match multiset the library NFA reproduces
+    // (CepQuantifierSpec) — pins that the group engine's epsilon-NFA
+    // neither over-counts convergent splits nor drops duplicates that
+    // differ only in the split point
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle1")(_.name == "a").oneOrMore.allowCombinations
+      .followedBy("middle2")(_.name == "a").oneOrMore.allowCombinations
+      .followedBy("end")(_.name == "b")
+    val m = (i: Int) => RE(i, "a", (1 + i).toDouble)
+    val got = feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, m(1) -> 3L, m(2) -> 4L, m(3) -> 5L,
+      m(4) -> 6L, m(5) -> 7L, RE(46, "b", 5.0) -> 10L))
+    def seq(ms: Int*) = 40 +: ms :+ 46
+    val expected = Seq(
+      Seq.fill(4)(seq(1, 2, 3, 4, 5)),
+      Seq.fill(3)(seq(1, 2, 3, 4)), Seq.fill(2)(seq(1, 2, 4, 5)),
+      Seq.fill(2)(seq(1, 2, 3, 5)), Seq.fill(2)(seq(1, 3, 4, 5)),
+      Seq.fill(2)(seq(1, 2, 3)), Seq(seq(1, 3, 4)), Seq(seq(1, 4, 5)),
+      Seq(seq(1, 2, 4)), Seq(seq(1, 2, 5)),
+      Seq(seq(1, 2))).flatten
+    assert(got.size == 20, s"expected 20 matches, got ${got.size}: $got")
+    assert(got.groupBy(identity).view.mapValues(_.size).toMap ===
+      expected.groupBy(identity).view.mapValues(_.size).toMap)
+  }
+
   test("the final pattern element cannot be optional") {
     val bad = GPattern.begin[RE]("start")(_.name == "c")
       .followedBy(GPattern.begin[RE]("middle1")(_.name == "a")
