@@ -353,8 +353,12 @@ object Cep {
         val g2 = p.groups.updated(p.stepIdx, p.groups.last :+ e)
         val capped = reps + 1 == s.maxReps
         if (p.stepIdx == lastIdx) {
-          if (s.allPrefixes) { if (reps + 1 >= s.minReps) matches += g2 }
-          else if (capped) matches += g2 // times(n) / times(from,to) full
+          // a FINAL-step loop emits every satisfied length AS IT FORMS:
+          // the proceed-to-Final edge fires per extension regardless of
+          // greedy vs allPrefixes (GreedyITCase testEndWithZeroOrMoreGreedy
+          // / testEndWithGreedyTimesRange — greedy only affects emission
+          // when another step follows)
+          if (reps + 1 >= s.minReps) matches += g2
           if (!capped) out += Partial(p.startTs, g2, runOpen = true,
             virgin = true)
         } else {
@@ -421,10 +425,11 @@ object Cep {
                   if (j < lastIdx)
                     out += Partial(p.startTs, g2, runOpen = true, virgin = true)
                 } else {
-                  // entering an allPrefixes loop at the end of the
-                  // mandatory suffix: the length-1 run is already a match
-                  // when min <= 1 (extensions emit the rest)
-                  if (sj.looping && sj.allPrefixes && sj.minReps <= 1 &&
+                  // entering a loop at the end of the mandatory suffix:
+                  // the length-1 run is already a match when min <= 1
+                  // (extensions emit the rest; final-position greedy
+                  // emits eagerly like allPrefixes — see extension block)
+                  if (sj.looping && sj.minReps <= 1 &&
                     (j == lastIdx || trailingOpt(j))) matches += padded(g2)
                   out += Partial(p.startTs, g2, runOpen = true, virgin = true)
                 }
@@ -469,9 +474,10 @@ object Cep {
             // relaxed gap inside the final run: skip the event (no
             // longer virgin for a notNext — an event intervened)
             out += (if (p.virgin) p.copy(virgin = false) else p)
-          } else if (!s.allPrefixes) {
-            matches += p.groups // breaking/until event completes the maximal
-          } // run (greedy mode; allPrefixes already emitted every prefix)
+          }
+          // breaking/until event: nothing to emit — every satisfied
+          // length was already emitted when it formed (eager
+          // proceed-to-Final above)
         }
       } else if (!p.proceedSpent && !extended && s.multiRep &&
         s.relaxedReps && p.runOpen && !untilHit &&
@@ -506,7 +512,7 @@ object Cep {
           matches += (g ++ Vector.fill(lastIdx - j0)(Vector.empty[E]))
           if (j0 < lastIdx) out += Partial(ts, g, runOpen = true, virgin = true)
         } else {
-          if (sj.looping && sj.allPrefixes && sj.minReps <= 1 &&
+          if (sj.looping && sj.minReps <= 1 &&
             (j0 == lastIdx || trailingOpt(j0))) matches += padded(g)
           out += Partial(ts, g, runOpen = true, virgin = true)
         }
@@ -795,17 +801,9 @@ object Cep {
           matches.foreach(m => outs += shape(m))
       }
     }
-    if (flushAtEnd) {
-      val lastIdx = pattern.steps.size - 1
-      val lastStep = pattern.steps(lastIdx)
-      partials.foreach { p =>
-        if (p.stepIdx == lastIdx && lastStep.looping && p.runOpen
-          && !lastStep.allPrefixes // prefixes were emitted as they formed
-          && p.groups.last.size >= lastStep.minReps)
-          outs += shape(p.groups)
-      }
-      partials = Vector.empty
-    }
+    // end-of-input needs no flush: final-step loops emit every satisfied
+    // length as it forms, so open runs have nothing unemitted
+    if (flushAtEnd) partials = Vector.empty
     (outs.result(), partials)
   }
 }

@@ -41,10 +41,11 @@ object CepQuantQuery extends QueryModule {
       }.toDF().orderBy("user_id", "first_ts", "second_ts")
     },
 
-    // times(2,3) range quantifier: greedy-maximal runs of 2-3 CONSECUTIVE
-    // errors per user, one match per start offset (noSkip), capped at 3 —
-    // in SQL, gaps-and-islands over the per-user event sequence with a
-    // per-offset LEAST(3, remaining) window.
+    // times(2,3) range quantifier on a FINAL step: every length in [2,3]
+    // of CONSECUTIVE errors per start offset is its own match (the
+    // reference's eager proceed-to-Final per extension — GreedyITCase
+    // testEndWithGreedyTimesRange) — in SQL, gaps-and-islands with one
+    // row per (offset, len) where the run has >= len remaining.
     q("qc4_cep_times_range",
       """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
@@ -57,12 +58,12 @@ object CepQuantQuery extends QueryModule {
         |pos AS (SELECT e.user_id, e.ts AS first_ts, e.rn, e.grp,
         |    (r.len - (e.rn - r.rn0)) AS remain
         |  FROM e JOIN runs r ON r.user_id = e.user_id AND r.grp = e.grp),
-        |m AS (SELECT user_id, first_ts, grp,
-        |    rn + LEAST(3, remain) - 1 AS last_rn
-        |  FROM pos WHERE remain >= 2)
+        |m AS (SELECT user_id, first_ts, grp, rn + l.len - 1 AS last_rn
+        |  FROM pos CROSS JOIN (VALUES (2), (3)) AS l(len)
+        |  WHERE remain >= l.len)
         |SELECT m.user_id AS user_id, m.first_ts, e2.ts AS last_ts
         |FROM m JOIN e e2 ON e2.user_id = m.user_id AND e2.rn = m.last_rn
-        |ORDER BY m.user_id, m.first_ts""".stripMargin) { (s, d) =>
+        |ORDER BY m.user_id, m.first_ts, last_ts""".stripMargin) { (s, d) =>
       import s.implicits._
       val ds = t(s, d, "events")
         .selectExpr("event_id", "ts", "user_id", "event_type", "value")
@@ -77,7 +78,7 @@ object CepQuantQuery extends QueryModule {
         val errs = m("err")
         (u, errs.head.ts, errs.last.ts)
       }.toDF("user_id", "first_ts", "last_ts")
-        .orderBy("user_id", "first_ts")
+        .orderBy("user_id", "first_ts", "last_ts")
     },
 
     // or-condition + consecutive quantifier (Pattern.or, Pattern.java:219 +

@@ -17,23 +17,16 @@ class CepQuantifierSpec extends SparkSuite {
   // (id, name, price) mirroring the reference's Event(id, name, price)
   private case class RE(id: Int, name: String, price: Double)
 
-  private def feed(pattern: Pattern[RE], events: Seq[(RE, Long)],
-      flush: Boolean = true): Vector[Vector[Vector[RE]]] = {
+  private def feed(pattern: Pattern[RE], events: Seq[(RE, Long)]):
+      Vector[Vector[Vector[RE]]] = {
+    // no end-of-input flush: final-step loops emit every satisfied
+    // length as it forms (eager proceed-to-Final)
     var partials = Vector.empty[Partial[RE]]
     val all = Vector.newBuilder[Vector[Vector[RE]]]
     events.foreach { case (e, ts) =>
       val (next, ms) = advance(pattern, partials, e, ts)
       partials = next
       ms.foreach(all += _)
-    }
-    if (flush) {
-      val lastIdx = pattern.steps.size - 1
-      val lastStep = pattern.steps(lastIdx)
-      partials.foreach { p =>
-        if (p.stepIdx == lastIdx && lastStep.looping && p.runOpen &&
-          !lastStep.allPrefixes && p.groups.last.size >= lastStep.minReps)
-          all += p.groups
-      }
     }
     all.result()
   }
@@ -79,27 +72,30 @@ class CepQuantifierSpec extends SparkSuite {
     assert(got.toSet === Set(Vector(Vector(40), Vector(41), Vector(45))))
   }
 
-  test("times(from, to): greedy-maximal run within the range") {
+  test("times(from, to) on a final step emits every length in range as it forms") {
+    // the reference's eager proceed-to-Final per extension (GreedyITCase
+    // testEndWithGreedyTimesRange): each noSkip start emits at every
+    // satisfied length up to the cap
     val p = Pattern.begin[RE]("a")(_.name == "a").times(2, 3)
     val a = (i: Int) => RE(i, "a", i.toDouble)
     val x = RE(99, "x", 0.0)
-    // run of 4 'a's: capped at 3 (maximal within range), emitted at cap
     assert(feed(p, Seq(a(1) -> 1L, a(2) -> 2L, a(3) -> 3L, a(4) -> 4L, x -> 5L))
       .map(names).map(_.head).toSet
-      === Set(Seq(1, 2, 3), Seq(2, 3, 4), Seq(3, 4))) // noSkip: later starts too
-    // run of 2 broken by x: emitted on the breaking event
+      === Set(Seq(1, 2), Seq(1, 2, 3), Seq(2, 3), Seq(2, 3, 4), Seq(3, 4)))
+    // run of 2: emitted when the second element arrives, not on break
     assert(feed(p, Seq(a(1) -> 1L, a(2) -> 2L, x -> 3L))
       .map(names).map(_.head) === Vector(Seq(1, 2)))
     // run of 1: never satisfies min=2
     assert(feed(p, Seq(a(1) -> 1L, x -> 2L)).isEmpty)
   }
 
-  test("timesOrMore(n): maximal greedy run with at least n reps") {
+  test("timesOrMore(n) on a final step emits every length >= n as it forms") {
     val p = Pattern.begin[RE]("a")(_.name == "a").timesOrMore(2)
     val a = (i: Int) => RE(i, "a", i.toDouble)
     val x = RE(99, "x", 0.0)
     assert(feed(p, Seq(a(1) -> 1L, a(2) -> 2L, a(3) -> 3L, x -> 4L))
-      .map(names).map(_.head).toSet === Set(Seq(1, 2, 3), Seq(2, 3)))
+      .map(names).map(_.head).toSet
+      === Set(Seq(1, 2), Seq(1, 2, 3), Seq(2, 3)))
     assert(feed(p, Seq(a(1) -> 1L, x -> 2L)).isEmpty)
   }
 
@@ -610,6 +606,63 @@ class CepQuantifierSpec extends SparkSuite {
         cF.copy(id = 24) -> 5L, cM3 -> 6L, cEnd -> 7L))
     assert(got === Set(
       Seq(40, 41, 42, 44), Seq(40, 41, 43, 44), Seq(40, 44)))
+  }
+
+  test("port: mid-pattern greedy times(2,5) takes only the maximal run (GreedyITCase testGreedyTimesRange)") {
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").times(2, 5).relaxed
+      .followedBy("end")(_.name == "d")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 2L, RE(42, "a", 2.0) -> 3L,
+      RE(43, "a", 2.0) -> 4L, RE(44, "a", 2.0) -> 5L, RE(45, "d", 2.0) -> 6L)))
+    assert(got === Seq(Seq(40, 41, 42, 43, 44, 45)))
+  }
+
+  test("port: final greedy times(2,5) emits every length in range (GreedyITCase testEndWithGreedyTimesRange)") {
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("end")(_.name == "a").times(2, 5).relaxed
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 2L, RE(42, "a", 2.0) -> 3L,
+      RE(43, "a", 2.0) -> 4L, RE(44, "a", 2.0) -> 5L,
+      RE(45, "dummy", 2.0) -> 6L)))
+    assert(got.toSet === Set(
+      Seq(40, 41, 42), Seq(40, 41, 42, 43), Seq(40, 41, 42, 43, 44)))
+  }
+
+  test("port: final greedy zeroOrMore emits every prefix (GreedyITCase testEndWithZeroOrMoreGreedy)") {
+    // relaxed internal contiguity: the dummy@4 gap is skipped
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("end")(_.name == "a").oneOrMore.relaxed.optional
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 2L, RE(42, "a", 2.0) -> 3L,
+      RE(44, "dummy", 2.0) -> 4L, RE(43, "a", 2.0) -> 5L)))
+    assert(got.toSet === Set(
+      Seq(40), Seq(40, 41), Seq(40, 41, 42), Seq(40, 41, 42, 43)))
+  }
+
+  test("port: final greedy consecutive zeroOrMore stops at the gap (GreedyITCase testEndWithZeroOrMoreConsecutiveGreedy)") {
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("end")(_.name == "a").oneOrMore.consecutive.optional
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 2L, RE(42, "a", 2.0) -> 3L,
+      RE(44, "dummy", 2.0) -> 4L, RE(43, "a", 2.0) -> 5L)))
+    assert(got.toSet === Set(
+      Seq(40), Seq(40, 41), Seq(40, 41, 42)))
+  }
+
+  test("port: greedy zeroOrMore with gap events (GreedyITCase testGreedyZeroOrMoreWithDummyEvents*)") {
+    // dummy after the quantifier's run: the maximal run still reaches d
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").oneOrMore.relaxed.optional
+      .followedBy("end")(_.name == "d")
+    assert(flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 2L, RE(42, "a", 2.0) -> 3L,
+      RE(43, "dummy", 2.0) -> 4L, RE(44, "d", 3.0) -> 5L)))
+      === Seq(Seq(40, 41, 42, 44)))
+    // no 'a' at all: the greedy loop consumes nothing — {c, d} only
+    assert(flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(43, "dummy", 2.0) -> 2L,
+      RE(44, "d", 3.0) -> 5L))) === Seq(Seq(40, 44)))
   }
 
   test("port: condition-less steps match everything (NFAITCase testNoConditionLoopingNFA/testAnyWithNoConditionNFA)") {

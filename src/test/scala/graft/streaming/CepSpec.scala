@@ -83,14 +83,17 @@ class CepSpec extends SparkSuite {
     assert(got == Seq((2L, Seq(1L, 2L), Seq(4L)), (2L, Seq(2L), Seq(4L))))
   }
 
-  test("final oneOrMore flushes the maximal run at end of batch input") {
+  test("final oneOrMore emits every satisfied length as it forms (no end flush needed)") {
+    // eager proceed-to-Final (GreedyITCase testEndWithZeroOrMoreGreedy):
+    // each extension is its own match — nothing is left pending at end
+    // of input
     val p = Pattern.begin[Ev]("start")(_.typ == "s")
       .followedBy("errs")(_.typ == "e").oneOrMore
     val evs = Seq(Ev(3, "s", 1), Ev(3, "e", 2), Ev(3, "e", 3)).toDS()
     val got = Cep.matchBatchGroups(evs, (e: Ev) => e.user, (e: Ev) => e.ts, p) {
       (u, m) => (u, m("errs").map(_.ts))
     }.collect().toSeq
-    assert(got.contains((3L, Seq(2L, 3L)))) // maximal run flushed
+    assert(got.toSet == Set((3L, Seq(2L)), (3L, Seq(2L, 3L))))
   }
 
   test("advance: within prunes old partials") {
