@@ -410,9 +410,24 @@ object Cep {
             var j = p.stepIdx + 1
             var scanning = true
             var transitioned = false
+            var untilKilled = false
             while (scanning && j <= lastIdx) {
               val sj = pattern.steps(j)
-              if (sj.eval(e, ctxOf(p.groups))) {
+              // until fires at loop ENTRY (GreedyITCase
+              // testGreedyUntilWithDummyEventsBeforeQuantifier): the
+              // reference extends the take condition with not(until), so
+              // the event is never captured; an optional loop commits
+              // past with an empty closed run, and the waiting source
+              // dies (its ignore edge is extended with not(until) too)
+              val entryUntil = sj.looping && sj.untilPred.exists(_(e))
+              if (entryUntil) {
+                if (sj.optional && j < lastIdx)
+                  out += Partial(p.startTs,
+                    p.groups ++ Vector.fill(j - p.stepIdx - 1)(
+                      Vector.empty[E]) :+ Vector.empty[E],
+                    runOpen = false)
+                untilKilled = true
+              } else if (sj.eval(e, ctxOf(p.groups))) {
                 val g2 = p.groups ++
                   Vector.fill(j - p.stepIdx - 1)(Vector.empty[E]) :+ Vector(e)
                 val trailingOptional =
@@ -456,7 +471,7 @@ object Cep {
               scanning = sj.optional
               j += 1
             }
-            if (!transitioned && !extended) {
+            if (!transitioned && !extended && !untilKilled) {
               if (s.multiRep && s.relaxedReps && p.runOpen && !untilHit) {
                 // relaxed repetition contiguity: the gap event is skipped
                 // and the run stays extendable (reference default mode)
@@ -466,7 +481,7 @@ object Cep {
                 // (greedy: only when this event didn't extend the run)
                 out += Partial(p.startTs, p.groups, runOpen = false)
               } // strict next step, no match: partial dies
-            }
+            } // untilKilled: the waiting branch dies at the until event
           } // banned: partial dies (notFollowedBy)
         } else if (s.looping && p.runOpen &&
           (!s.eval(e, ctxOf(p.groups)) || untilHit)) {

@@ -665,6 +665,52 @@ class CepQuantifierSpec extends SparkSuite {
       RE(44, "d", 3.0) -> 5L))) === Seq(Seq(40, 44)))
   }
 
+  test("port: greedy oneOrMore + until variants (GreedyITCase remaining cases)") {
+    val c0 = RE(40, "c", 1.0); val d0 = RE(45, "d", 3.0)
+    val dum = RE(44, "dummy", 2.0)
+    // testGreedyOneOrMore: maximal run only
+    val pOne = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").oneOrMore.relaxed
+      .followedBy("end")(_.name == "d")
+    assert(flatIds(feed(pOne, Seq(c0 -> 1L, RE(41, "a", 2.0) -> 2L,
+      RE(42, "a", 2.0) -> 3L, RE(43, "a", 2.0) -> 4L, d0 -> 5L)))
+      === Seq(Seq(40, 41, 42, 43, 45)))
+    // testGreedyOneOrMoreWithDummyEventsAfterQuantifier
+    assert(flatIds(feed(pOne, Seq(c0 -> 1L, RE(41, "a", 2.0) -> 2L,
+      RE(42, "a", 2.0) -> 3L, dum -> 4L, d0 -> 5L)))
+      === Seq(Seq(40, 41, 42, 45)))
+    // testGreedyOneOrMoreWithDummyEventsBeforeQuantifier: min 1 unmet
+    assert(feed(pOne, Seq(c0 -> 1L, dum -> 2L, d0 -> 5L)).isEmpty)
+    // testGreedyUntilZeroOrMoreWithDummyEventsAfterQuantifier: the
+    // price>3 'a' stops the run; the stopped run transitions at d
+    val pUntilZero = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").oneOrMore.relaxed.optional
+      .until(_.price > 3.0)
+      .followedBy("end")(_.name == "d")
+    assert(flatIds(feed(pUntilZero, Seq(c0 -> 1L, RE(41, "a", 2.0) -> 2L,
+      RE(42, "a", 3.0) -> 3L, RE(43, "a", 3.0) -> 4L,
+      RE(44, "a", 4.0) -> 5L, d0 -> 6L)))
+      === Seq(Seq(40, 41, 42, 43, 45)))
+    // testGreedyUntilWithDummyEventsBeforeQuantifier: until fires before
+    // any element — the optional empty run still reaches d
+    assert(flatIds(feed(pUntilZero, Seq(c0 -> 1L, RE(44, "a", 4.0) -> 2L,
+      RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L,
+      RE(43, "a", 3.0) -> 5L, d0 -> 6L)))
+      === Seq(Seq(40, 45)))
+    // testGreedyUntilOneOrMore variants: same with min 1
+    val pUntilOne = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").oneOrMore.relaxed
+      .until(_.price > 3.0)
+      .followedBy("end")(_.name == "d")
+    assert(flatIds(feed(pUntilOne, Seq(c0 -> 1L, RE(41, "a", 2.0) -> 2L,
+      RE(42, "a", 3.0) -> 3L, RE(43, "a", 3.0) -> 4L,
+      RE(44, "a", 4.0) -> 5L, d0 -> 6L)))
+      === Seq(Seq(40, 41, 42, 43, 45)))
+    assert(feed(pUntilOne, Seq(c0 -> 1L, RE(44, "a", 4.0) -> 2L,
+      RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L,
+      RE(43, "a", 3.0) -> 5L, d0 -> 6L)).isEmpty)
+  }
+
   test("port: condition-less steps match everything (NFAITCase testNoConditionLoopingNFA/testAnyWithNoConditionNFA)") {
     val evs = Seq(RE(40, "a", 1.0) -> 1L, RE(41, "b", 2.0) -> 2L,
       RE(42, "c", 3.0) -> 3L, RE(43, "d", 4.0) -> 4L, RE(44, "e", 5.0) -> 5L)
