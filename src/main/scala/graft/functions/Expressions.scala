@@ -28,9 +28,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftFunctions {
 
-  /** Idempotently register the expressions as SQL functions on a session. */
+  /** Idempotently register the expressions as SQL functions on a session.
+    * Skips sessions that already carry the functions so repeated calls
+    * (one per query in Bench/Verify) don't spam the log with
+    * `SimpleFunctionRegistry ... replaced` warnings. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) return
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => FloatDotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash64",

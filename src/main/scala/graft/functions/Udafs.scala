@@ -112,8 +112,13 @@ object Udafs {
   }
 
   /** Register as SQL-callable UDAFs (TableEnvironment.registerFunction
-    * equivalent). */
+    * equivalent). Idempotent per session — repeated calls (one per query
+    * in Bench/Verify) would otherwise log a `replaced a previously
+    * registered function` warning each time. */
   def register(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_multiset")))
+      return
     spark.udf.register("graft_multiset", udaf(new MultisetAgg))
     spark.udf.register("graft_weighted_avg",
       udaf(new WeightedAvgAgg, Encoders.product[WeightedIn]))

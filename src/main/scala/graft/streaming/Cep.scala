@@ -277,6 +277,14 @@ object Cep {
     * batch and streaming drivers below. A final `oneOrMore` run completes
     * when broken by a non-matching event (maximal/greedy) or, in batch, at
     * end of input.
+    *
+    * Event identity is VALUE equality (see the dedup note at the bottom):
+    * the reference's SharedBuffer instead keys on arrival-assigned
+    * EventIds, so two value-identical events at the same timestamp are
+    * distinct there and collapsed here — a documented divergence
+    * (ENGINE.md §2.11); threading arrival sequence numbers through the
+    * state would put an allocation on the per-event hot path for a case
+    * most pipelines consider a duplicate anyway.
     */
   def advance[E](pattern: Pattern[E], partials: Vector[Partial[E]],
       e: E, ts: Long): (Vector[Partial[E]], Vector[Vector[Vector[E]]]) = {
@@ -547,6 +555,17 @@ object Cep {
     // Matches with identical groups are one computation state too: the
     // stored skip-ε branch and the scan-through-optional path both
     // represent "loop skipped" and may complete on the same event.
+    // DIVERGENCE (documented, ENGINE.md §2.11): equality here is VALUE
+    // equality, while the reference's SharedBuffer keys on
+    // arrival-assigned EventIds — two value-identical events at the same
+    // timestamp are distinct computation states (and yield distinct,
+    // value-identical matches) there, one state here. A faithful port
+    // would thread an arrival sequence number through Partial.groups and
+    // every match vector; that is a per-event allocation on this hot
+    // path, bought for duplicate-event multiplicity that batch/SQL
+    // consumers observe as identical output rows. Note a caller-supplied
+    // `tie` cannot stand in for the EventId: it is a deterministic
+    // function of the event value, so value-equal events tie equally.
     (dedupPartials(out.result()), dedupBy(matches.result())(m =>
       (m.size, m.last.size, m.head.size)))
   }
@@ -657,7 +676,11 @@ object Cep {
     * times them out too, so timeout MULTIPLICITIES can exceed ours
     * (NFAITCase testSimplePatternWithTimeoutHandling reports both
     * {start} and {start, middle} for one chain); the match channel is
-    * identical. */
+    * identical. Within a micro-batch the two channels interleave at
+    * their event-time positions (a timeout expiring before a later
+    * match is emitted before it); timeouts fired by watermark advance
+    * between batches surface at the head of the batch that observes
+    * them, which is also when the reference's advanceTime reports. */
   def matchStreamWithTimeouts[K, E, O: Encoder](ds: Dataset[E], key: E => K,
       ts: E => Long, pattern: Pattern[E],
       skip: AfterMatchSkip = NoSkip,
@@ -697,12 +720,13 @@ object Cep {
         expired.map(p => timedOut(k, p, wm)).iterator
       } else {
         val partials = state.getOption.getOrElse(Vector.empty)
-        val touts = Vector.newBuilder[O]
+        // onExpired feeds runSorted's own output buffer, so timeouts are
+        // interleaved with matches at their expiry points in event time
         val (outs, remaining) = runSorted(k, it, ts, pattern, partials,
           (kk: K, groups: Map[String, Seq[E]]) =>
             finish(kk, groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap),
           flushAtEnd = false, skip, tie,
-          onExpired = (p: Partial[E], at: Long) => touts += timedOut(k, p, at))
+          onExpired = (p: Partial[E], at: Long) => Some(timedOut(k, p, at)))
         if (remaining.isEmpty) state.remove()
         else {
           state.update(remaining)
@@ -710,7 +734,7 @@ object Cep {
           state.setTimeoutTimestamp(
             math.max(target, state.getCurrentWatermarkMs() + 1))
         }
-        (touts.result() ++ outs).iterator
+        outs.iterator
       }
   }
 
@@ -757,7 +781,8 @@ object Cep {
       flushAtEnd: Boolean,
       skip: AfterMatchSkip = NoSkip,
       tie: E => Long = (_: E) => 0L,
-      onExpired: (Partial[E], Long) => Unit = (_: Partial[E], _: Long) => ())
+      onExpired: (Partial[E], Long) => Option[O] =
+        (_: Partial[E], _: Long) => None)
       : (Vector[O], Vector[Partial[E]]) = {
     val names = pattern.steps.map(_.name)
     def shape(m: Vector[Vector[E]]): O =
@@ -766,12 +791,14 @@ object Cep {
     val outs = Vector.newBuilder[O]
     it.toVector.sortBy(e => (ts(e), tie(e))).foreach { e =>
       // advanceTime-before-process (NFA.advanceTime called per event in
-      // the reference): surface expired partials before the transition
+      // the reference): surface expired partials before the transition.
+      // Timeout outputs land in the SAME buffer as matches, so the two
+      // channels interleave at their actual event-time positions.
       pattern.withinMs.foreach { w =>
         val t = ts(e)
         if (!partials.forall(p => t - p.startTs < w)) {
           val (expired, kept) = partials.partition(p => t - p.startTs >= w)
-          expired.foreach(p => onExpired(p, t))
+          expired.foreach(p => onExpired(p, t).foreach(outs += _))
           partials = kept
         }
       }

@@ -40,14 +40,25 @@ object RelationalSink {
     s"INSERT INTO $table (${columns.mkString(", ")}) VALUES (${
       columns.map(_ => "?").mkString(", ")})"
 
-  /** Key-conflict upsert (the idempotent-write shape
-    * [[TxnSink.exactlyOnce]]'s contract asks for; ANSI MERGE /
-    * `ON CONFLICT DO UPDATE` at a real target). */
+  /** Key-conflict upsert rendered as ANSI SQL:2003 MERGE (the
+    * idempotent-write shape [[TxnSink.exactlyOnce]]'s contract asks
+    * for). Parameter order is keyCols ++ valueCols, matching the row
+    * layout [[writeBatched]] callers project. Targets with a native
+    * `ON CONFLICT DO UPDATE` can swap the renderer; the executeBatch
+    * contract is unchanged. */
   def upsertStatement(table: String, keyCols: Seq[String],
-      valueCols: Seq[String]): String =
-    s"MERGE INTO $table ON (${keyCols.mkString(", ")}) UPDATE (${
-      valueCols.mkString(", ")}) VALUES (${
-      (keyCols ++ valueCols).map(_ => "?").mkString(", ")})"
+      valueCols: Seq[String]): String = {
+    val all = keyCols ++ valueCols
+    val src = s"(VALUES (${all.map(_ => "?").mkString(", ")})) AS src (${
+      all.mkString(", ")})"
+    val on = keyCols.map(k => s"$table.$k = src.$k").mkString(" AND ")
+    val set = valueCols.map(v => s"$v = src.$v").mkString(", ")
+    val ins = s"(${all.mkString(", ")}) VALUES (${
+      all.map(c => s"src.$c").mkString(", ")})"
+    s"MERGE INTO $table USING $src ON $on " +
+      s"WHEN MATCHED THEN UPDATE SET $set " +
+      s"WHEN NOT MATCHED THEN INSERT $ins"
+  }
 
   /** Write `df` through per-partition batched statements: each task
     * creates its own executor (connection), buffers `batchInterval`

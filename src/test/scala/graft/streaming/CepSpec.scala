@@ -228,6 +228,26 @@ class CepSpec extends SparkSuite {
     assert(out == Seq((true, 0L, 15L)))
   }
 
+  test("timeout and match channels interleave at event-time positions within a batch") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val p = Pattern.begin[Ev]("start")(_.typ == "start")
+      .followedBy("end")(_.typ == "end").within(10L)
+    val h = new VirtualClockHarness[Long, Ev, Vector[Partial[Ev]],
+      (Boolean, Long, Long)](
+      GroupStateTimeout.EventTimeTimeout(),
+      Cep.matchStreamWithTimeoutsFn[Long, Ev, (Boolean, Long, Long)](
+        p, _.ts, Cep.NoSkip, _ => 0L,
+        (_, m) => (false, m("start").ts, m("end").ts),
+        (_, groups, at) => (true, groups("start").head.ts, at)))
+    // match completes at ts=5, the start@6 chain expires at ts=20: the
+    // match precedes the timeout in the output (the old contract emitted
+    // all timeouts first regardless of event-time order)
+    val out = h.input(7L,
+      Ev(7, "start", 0), Ev(7, "end", 5), Ev(7, "start", 6),
+      Ev(7, "other", 20))
+    assert(out == Seq((false, 0L, 5L), (true, 6L, 20L)))
+  }
+
   test("notFollowedBy kills partials when the banned event intervenes") {
     val p = Pattern.begin[Ev]("login")(_.typ == "login")
       .notFollowedBy("logout")(_.typ == "logout")

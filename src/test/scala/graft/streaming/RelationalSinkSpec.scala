@@ -18,7 +18,10 @@ class RelationalSinkSpec extends SparkSuite {
     assert(RelationalSink.insertStatement("t", Seq("a", "b")) ==
       "INSERT INTO t (a, b) VALUES (?, ?)")
     assert(RelationalSink.upsertStatement("t", Seq("k"), Seq("v1", "v2")) ==
-      "MERGE INTO t ON (k) UPDATE (v1, v2) VALUES (?, ?, ?)")
+      "MERGE INTO t USING (VALUES (?, ?, ?)) AS src (k, v1, v2) " +
+        "ON t.k = src.k " +
+        "WHEN MATCHED THEN UPDATE SET v1 = src.v1, v2 = src.v2 " +
+        "WHEN NOT MATCHED THEN INSERT (k, v1, v2) VALUES (src.k, src.v1, src.v2)")
   }
 
   test("writeBatched flushes every batchInterval rows per partition, remainder on close") {
