@@ -10,6 +10,9 @@ object Verify {
     val spark = Engine.session(cpus)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // progress marker — also lets asynchronous executor log noise (e.g.
+      // a codegen fallback stack) be attributed to the query that caused it
+      System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -200,7 +200,10 @@ object ScalarQueries extends QueryModule {
         |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>
       t(s, d, "nation").select(
         col("n_nationkey"),
-        element_at(array(lit("k"), col("n_name")), 1).as("first_elem"),
+        // getItem, not element_at: ElementAt-over-CreateArray hits a
+        // whole-stage-codegen bug in Spark 4.1.2 ("isNull_1 is not an
+        // rvalue") that silently drops the stage to interpreted eval
+        array(lit("k"), col("n_name")).getItem(0).as("first_elem"),
         size(array(lit("k"), col("n_name"))).cast("long").as("arr_len"),
         concat_ws("-", array(col("n_name"), lit("x"), lit("y"))).as("arr_join"),
         struct(col("n_nationkey").as("key"), col("n_name").as("name"))

@@ -271,10 +271,32 @@ object DedupQueries extends QueryModule {
 
     // SimHash-64 near-dup fingerprint: per-token md5-derived 60-bit hash,
     // bitwise majority vote → one long per doc + 4 × 16-bit LSH bands.
-    // (No DuckDB oracle — bit-level hex decomposition isn't expressible
-    // there; covered by DedupSpec unit tests. Production path: a codegen'd
-    // Catalyst Expression — see graft.functions.)
-    qNoOracle("qp6_simhash") { (s, d) =>
+    // Oracle: the bit loop replicated in DuckDB — per bit b, the nibble
+    // holding it is hex char 15 - b//4 of md5(w)[1..15] (the same 60-bit
+    // prefix SimHash64.tokenHash takes), its value decoded via strpos on
+    // the hex alphabet; votes are a ±1 list sum, the fingerprint a sum of
+    // set-bit powers. Bits 60-63 are always 0 on both sides (60-bit token
+    // hashes can never out-vote).
+    q("qp6_simhash",
+      """WITH tkx AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |hx AS (SELECT doc_id,
+        |    list_transform(tk, w -> substr(md5(w), 1, 15)) AS hs FROM tkx),
+        |votes AS (SELECT doc_id, bb.b,
+        |    list_aggregate(list_transform(hs, h -> CASE WHEN
+        |        ((strpos('0123456789abcdef', h[CAST(15 - bb.b // 4 AS INTEGER)]) - 1)
+        |          & (1 << CAST(bb.b % 4 AS INTEGER))) <> 0
+        |      THEN 1 ELSE -1 END), 'sum') AS v
+        |  FROM hx, (SELECT unnest(generate_series(0, 59)) AS b) bb),
+        |sim AS (SELECT doc_id,
+        |    CAST(coalesce(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+        |      ELSE 0 END), 0) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id)
+        |SELECT doc_id, simhash,
+        |  simhash & 65535 AS band0,
+        |  (simhash >> 16) & 65535 AS band1,
+        |  (simhash >> 32) & 65535 AS band2,
+        |  (simhash >> 48) & 65535 AS band3
+        |FROM sim ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       t(s, d, "documents")
         .withColumn("tk", split(col("text"), " "))

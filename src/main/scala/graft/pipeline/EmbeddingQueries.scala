@@ -91,10 +91,29 @@ object EmbeddingQueries extends QueryModule {
     // HyperplaneBands expression (replacing 16 interpreted lambda dot
     // products per row). At 100 TB the bucket column becomes the
     // join/cluster key and the all-pairs product above is replaced by a
-    // per-bucket (or multi-probe) equi-join. No oracle (plane constants
-    // live Spark-side); verified by EmbeddingSpec recall tests against
-    // qe2.
-    qNoOracle("qe3_lsh_buckets") { (s, d) =>
+    // per-bucket (or multi-probe) equi-join. Oracle: the 16 plane
+    // constants the bucket uses are rendered into the SQL as double
+    // literals (Double.toString is shortest-round-trip, so DuckDB parses
+    // back the identical bits); the dot product is the same sequential
+    // left fold both sides, so the sign — and hence every bucket bit —
+    // is deterministic. Bit i of the bucket is plane i's sign
+    // (band0 | band1 << 8 ≡ 1 << pidx for pidx in 0..15).
+    q("qe3_lsh_buckets", {
+      val planeRows = (0 until 16).map { p =>
+        graft.functions.HyperplaneBands.planes(p)
+          .mkString(s"($p, [", ", ", "])")
+      }.mkString(",\n  ")
+      s"""WITH planes (pidx, p) AS (VALUES
+        |  $planeRows),
+        |dots AS (SELECT e.vec_id, e.label, pl.pidx,
+        |    list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i]), (x, y) -> x + y) AS acc
+        |  FROM embeddings e, planes pl)
+        |SELECT vec_id, label,
+        |  CAST(coalesce(sum(CASE WHEN acc > 0 THEN CAST(1 AS BIGINT) << CAST(pidx AS INTEGER)
+        |    ELSE 0 END), 0) AS BIGINT) AS bucket
+        |FROM dots GROUP BY vec_id, label ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       t(s, d, "embeddings")
         .withColumn("hb", expr("graft_hyperplane_bands(embedding)"))
