@@ -31,20 +31,26 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *  - Predicates stay Catalyst expressions, evaluated code-gen'd via
   *    `Predicate.create`, not opaque lambdas behind an encoder boundary.
   *
-  * Supported subset: begin/next/followedBy + within + NoSkip after-match —
-  * the planned twin of the library NFA's core; quantifiers and skip
-  * strategies stay on the library path.
+  * Supported subset: begin/next/followedBy + negative steps
+  * (notFollowedBy/notNext before any non-head step) + within + the full
+  * after-match matrix (NoSkip/SkipPastLastEvent/SkipToFirst/SkipToLast,
+  * via the SAME [[Cep.applySkip]] the library drivers run) — the planned
+  * twin of the library NFA's non-quantified core; quantified steps stay
+  * on the library path ([[GroupCepPlan]] plans quantified sub-groups).
   */
 object CepPlan {
 
   /** Logical node. All expressions arrive resolved (built from `df.col`),
     * so the node itself is resolved on construction; `outputAttrs` is a
     * constructor field (not derived per-call) to keep exprIds stable under
-    * plan transforms. */
+    * plan transforms. `negPreds(i)` bans events before step i matches
+    * (notFollowedBy; notNext when `negNextOnly(i)`). */
   final case class CepMatchPlan(
       keyExpr: Expression, tsExpr: Expression, tieExpr: Expression,
       stepNames: Seq[String], stepPreds: Seq[Expression],
-      stepStrict: Seq[Boolean], withinMicros: Option[Long],
+      stepStrict: Seq[Boolean], negPreds: Seq[Option[Expression]],
+      negNextOnly: Seq[Boolean], skip: Cep.AfterMatchSkip,
+      withinMicros: Option[Long],
       outputAttrs: Seq[Attribute], child: LogicalPlan) extends UnaryNode {
     override def output: Seq[Attribute] = outputAttrs
     // the physical operator re-emits every child column per matched step,
@@ -61,8 +67,8 @@ object CepPlan {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case p: CepMatchPlan =>
         CepExec(p.keyExpr, p.tsExpr, p.tieExpr, p.stepNames, p.stepPreds,
-          p.stepStrict, p.withinMicros, p.outputAttrs,
-          planLater(p.child)) :: Nil
+          p.stepStrict, p.negPreds, p.negNextOnly, p.skip, p.withinMicros,
+          p.outputAttrs, planLater(p.child)) :: Nil
       case _ => Nil
     }
   }
@@ -72,7 +78,9 @@ object CepPlan {
   final case class CepExec(
       keyExpr: Expression, tsExpr: Expression, tieExpr: Expression,
       stepNames: Seq[String], stepPreds: Seq[Expression],
-      stepStrict: Seq[Boolean], withinMicros: Option[Long],
+      stepStrict: Seq[Boolean], negPreds: Seq[Option[Expression]],
+      negNextOnly: Seq[Boolean], skip: Cep.AfterMatchSkip,
+      withinMicros: Option[Long],
       outputAttrs: Seq[Attribute], child: SparkPlan) extends UnaryExecNode {
 
     override def output: Seq[Attribute] = outputAttrs
@@ -94,6 +102,7 @@ object CepPlan {
       val (kE, tsE, tieE) = (keyExpr, tsExpr, tieExpr)
       val (names, preds, strict, within) =
         (stepNames, stepPreds, stepStrict, withinMicros)
+      val (negs, negNext, skipStrat) = (negPreds, negNextOnly, skip)
       val outTypes = outputAttrs.map(_.dataType).toArray
 
       child.execute().mapPartitions({ rows =>
@@ -102,12 +111,23 @@ object CepPlan {
         val bound = preds.map { p =>
           val bp = Predicate.create(p, childOutput); bp.initialize(0); bp
         }
+        val negBound = negs.map(_.map { p =>
+          val bp = Predicate.create(p, childOutput); bp.initialize(0); bp
+        })
         var pat = Cep.Pattern.begin[InternalRow](names.head)(bound.head.eval)
-        for (i <- 1 until nSteps)
+        for (i <- 1 until nSteps) {
+          negBound(i).foreach { nb =>
+            pat = if (negNext(i)) pat.notNext(s"!${names(i)}")(nb.eval)
+                  else pat.notFollowedBy(s"!${names(i)}")(nb.eval)
+          }
           pat = if (strict(i)) pat.next(names(i))(bound(i).eval)
                 else pat.followedBy(names(i))(bound(i).eval)
+        }
         within.foreach(w => pat = pat.within(w))
         val pattern = pat
+        val nameVec = names.toVector
+        val tsOf: InternalRow => Long =
+          r => tsEval.eval(r).asInstanceOf[Long]
         val lastIdx = nSteps - 1
         val lastLooping = pattern.steps.last.looping
         val proj = UnsafeProjection.create(outTypes)
@@ -184,7 +204,9 @@ object CepPlan {
                 val (next, matches) =
                   Cep.advance(pattern, partials, row, tsVal.asInstanceOf[Long])
                 partials = next
-                matches.foreach(m => emit(curKey, m))
+                if (matches.nonEmpty)
+                  partials = Cep.applySkip(skipStrat, nameVec, tsOf,
+                    matches, partials, m => emit(curKey, m))
               }
             }
             if (queue.isEmpty && !rows.hasNext && haveKey) {
@@ -213,14 +235,29 @@ object CepPlan {
     *
     * @param steps (name, predicate, strict) — strict=false ⇒ followedBy
     *              (relaxed contiguity); the first step's flag is ignored.
+    * @param notBefore step name → (banned predicate, nextOnly): a
+    *              notFollowedBy (nextOnly=false) or notNext (true)
+    *              condition guarding entry into that step — the partial
+    *              dies if the banned event arrives before the step
+    *              matches, exactly the library DSL's
+    *              `.notFollowedBy(..).followedBy(step)`. Not allowed on
+    *              the head step (a pattern cannot begin with a negation).
+    * @param skip after-match strategy, shared semantics with the library
+    *              drivers via [[Cep.applySkip]].
     * @return one row per match: `key`, then every child column per step as
     *         `<step>_<col>` (first event of the step's group, null where a
     *         step matched nothing).
     */
   def matchPattern(df: DataFrame, key: Column, ts: Column, tie: Column,
       steps: Seq[(String, Column, Boolean)],
-      withinMicros: Option[Long] = None): DataFrame = {
+      withinMicros: Option[Long] = None,
+      notBefore: Map[String, (Column, Boolean)] = Map.empty,
+      skip: Cep.AfterMatchSkip = Cep.NoSkip): DataFrame = {
     require(steps.nonEmpty, "at least one pattern step")
+    require(!notBefore.contains(steps.head._1),
+      "a pattern cannot begin with notFollowedBy/notNext")
+    val unknown = notBefore.keySet -- steps.map(_._1).toSet
+    require(unknown.isEmpty, s"notBefore names unknown steps: $unknown")
     val spark = df.sparkSession
     register(spark)
     val child = GraftSqlShim.analyzed(df)
@@ -242,6 +279,8 @@ object CepPlan {
     GraftSqlShim.ofRows(spark, CepMatchPlan(
       keyE, resolve(ts), resolve(tie),
       steps.map(_._1), steps.map(s => resolve(s._2)), steps.map(_._3),
+      steps.map(s => notBefore.get(s._1).map(n => resolve(n._1))),
+      steps.map(s => notBefore.get(s._1).exists(_._2)), skip,
       withinMicros, outAttrs, child))
   }
 }

@@ -26,33 +26,47 @@ import org.apache.spark.sql.types.LongType
   * code-gen'd Catalyst `Predicate`s rather than lambdas behind an encoder
   * boundary.
   *
-  * Supported subset: leaves (followedBy/next/followedByAny) and one or
+  * Supported subset: leaves (followedBy/next/followedByAny), one or
   * more quantified sub-groups with times/optional/consecutive/
-  * allowCombinations + within — the planned twin of the GroupCep core.
-  * `until`, negative steps, and after-match skip stay on the library path.
+  * allowCombinations, `until` stop conditions on quantified groups,
+  * negative elements (notFollowedBy/notNext, anywhere a sibling may
+  * follow), and within — the full planned twin of the GroupCep core.
+  * After-match skip stays library-side on the LINEAR path ([[CepPlan]]
+  * plans it); group patterns have no skip in the library either
+  * (matching the reference, whose GroupITCase never composes them).
   */
 object GroupCepPlan {
 
-  /** Public pattern spec: a sequence of elements, each a leaf step or a
-    * quantified sub-group. `strict` ⇒ `next` contiguity to the previous
-    * element, `any` ⇒ `followedByAny`; default relaxed `followedBy`. The
-    * first element's contiguity flags are ignored (pattern start). */
+  /** Public pattern spec: a sequence of elements, each a leaf step, a
+    * quantified sub-group, or a negative condition. `strict` ⇒ `next`
+    * contiguity to the previous element, `any` ⇒ `followedByAny`; default
+    * relaxed `followedBy`. The first element's contiguity flags are
+    * ignored (pattern start). `GGroupSpec.until` attaches the reference's
+    * stop condition: an event matching it kills every in-group branch
+    * outright. `GNotSpec` is notFollowedBy (notNext when `nextOnly`) —
+    * the branch dies if the banned event arrives before the following
+    * element takes. */
   sealed trait GSpec
   final case class GLeafSpec(name: String, pred: Column,
       strict: Boolean = false, any: Boolean = false) extends GSpec
   final case class GGroupSpec(elems: Seq[GSpec], min: Int = 1, max: Int = 1,
       optional: Boolean = false, consecutive: Boolean = false,
       combinations: Boolean = false, strict: Boolean = false,
-      any: Boolean = false) extends GSpec
+      any: Boolean = false, until: Option[Column] = None) extends GSpec
+  final case class GNotSpec(name: String, pred: Column,
+      nextOnly: Boolean = false) extends GSpec
 
-  /** Serializable skeleton shipped to executors: structure only, leaf
-    * predicates referenced by index into the plan's expression list. */
+  /** Serializable skeleton shipped to executors: structure only, leaf/
+    * guard predicates referenced by index into the plan's expression
+    * list (`untilIdx` -1 = none). */
   sealed trait Skel extends Serializable
   final case class LeafSkel(name: String, predIdx: Int, strict: Boolean,
       any: Boolean) extends Skel
   final case class GroupSkel(elems: Seq[Skel], min: Int, max: Int,
       optional: Boolean, consecutive: Boolean, combinations: Boolean,
-      strict: Boolean, any: Boolean) extends Skel
+      strict: Boolean, any: Boolean, untilIdx: Int = -1) extends Skel
+  final case class NotSkel(name: String, predIdx: Int,
+      nextOnly: Boolean) extends Skel
 
   /** Logical node; resolved on construction (expressions come from
     * `df.col` against the analyzed child), `outputAttrs` fixed to keep
@@ -104,11 +118,28 @@ object GroupCepPlan {
           if (g.optional) p = p.optional
           if (g.consecutive) p = p.consecutive
           if (g.combinations) p = p.allowCombinations
+          if (g.untilIdx >= 0) {
+            val f: InternalRow => Boolean = bound(g.untilIdx).eval _
+            p = p.until(f)
+          }
+        case n: NotSkel =>
+          val f: InternalRow => Boolean = bound(n.predIdx).eval _
+          p = if (n.nextOnly) p.notNext(n.name)(f)
+              else p.notFollowedBy(n.name)(f)
       }
       p
     }
     build(skel)
   }
+
+  /** Predicate indices whose match can be CAPTURED by a branch (leaf
+    * steps) — negative/until guards only kill branches, so rows matching
+    * only guards never need the defensive copy in the exec's scan. */
+  private def capturingIdx(skel: Seq[Skel]): Set[Int] = skel.flatMap {
+    case l: LeafSkel => Seq(l.predIdx)
+    case g: GroupSkel => capturingIdx(g.elems)
+    case _: NotSkel => Seq.empty
+  }.toSet
 
   /** Physical operator: shared [[GroupCep.advance]] NFA over each sorted
     * key run. Output: `key`, then per step its capture COUNT and every
@@ -149,7 +180,10 @@ object GroupCepPlan {
         var pat = buildPattern(skel, bound)
         within.foreach(w => pat = pat.within(w))
         val compiled = GroupCep.compile(pat)
-        val nPreds = bound.size
+        // only leaf-step matches can be captured; not/until guard rows
+        // merely kill branches and never need the defensive copy
+        val capturing = capturingIdx(skel).toArray.sorted
+        val nCapturing = capturing.length
         val proj = UnsafeProjection.create(outTypes)
 
         new Iterator[InternalRow] {
@@ -189,8 +223,8 @@ object GroupCepPlan {
                 // runs / serve ignore edges and pass through uncopied
                 var retainable = false
                 var i = 0
-                while (!retainable && i < nPreds) {
-                  if (bound(i).eval(raw)) retainable = true
+                while (!retainable && i < nCapturing) {
+                  if (bound(capturing(i)).eval(raw)) retainable = true
                   i += 1
                 }
                 val row = if (retainable) raw.copy() else raw
@@ -238,6 +272,10 @@ object GroupCepPlan {
   def matchGroupPattern(df: DataFrame, key: Column, ts: Column, tie: Column,
       elems: Seq[GSpec], withinMicros: Option[Long] = None): DataFrame = {
     require(elems.nonEmpty, "at least one pattern element")
+    require(!elems.head.isInstanceOf[GNotSpec],
+      "a pattern cannot begin with notFollowedBy/notNext")
+    require(!elems.last.isInstanceOf[GNotSpec],
+      "notFollowedBy/notNext must be followed by another pattern element")
     val spark = df.sparkSession
     register(spark)
     val child = GraftSqlShim.analyzed(df)
@@ -254,13 +292,23 @@ object GroupCepPlan {
         predsB += resolve(l.pred); nPreds += 1
         LeafSkel(l.name, nPreds - 1, l.strict, l.any)
       case g: GGroupSpec =>
-        GroupSkel(g.elems.map(skeletonOf), g.min, g.max, g.optional,
-          g.consecutive, g.combinations, g.strict, g.any)
+        val inner = g.elems.map(skeletonOf)
+        val untilIdx = g.until match {
+          case Some(u) => predsB += resolve(u); nPreds += 1; nPreds - 1
+          case None => -1
+        }
+        GroupSkel(inner, g.min, g.max, g.optional,
+          g.consecutive, g.combinations, g.strict, g.any, untilIdx)
+      case n: GNotSpec =>
+        predsB += resolve(n.pred); nPreds += 1
+        NotSkel(n.name, nPreds - 1, n.nextOnly)
     }
     val skeleton = elems.map(skeletonOf)
+    // negative elements capture nothing: they contribute no output slots
     def leafNames(e: GSpec): Seq[String] = e match {
       case l: GLeafSpec => Seq(l.name)
       case g: GGroupSpec => g.elems.flatMap(leafNames)
+      case _: GNotSpec => Seq.empty
     }
     val stepNames = elems.flatMap(leafNames).distinct
     val keyE = resolve(key)

@@ -804,48 +804,62 @@ object Cep {
       }
       val (next, matches) = advance(pattern, partials, e, ts(e))
       partials = next
-      if (matches.isEmpty) ()
-      else skip match {
-        case SkipPastLastEvent =>
-          // only the earliest-started match survives; everything else —
-          // including co-completing matches — is skipped past
-          outs += shape(matches.head)
-          partials = Vector.empty
-        case SkipToFirst(_) | SkipToLast(_) =>
-          // the earliest-started match is always emitted; the boundary it
-          // defines then prunes BOTH the co-completing matches that started
-          // before it (reference AfterMatchSkipStrategy.prune discards
-          // completed-but-unemitted matches too) and the open partials
-          outs += shape(matches.head)
-          val (name, useFirst) = skip match {
-            case SkipToFirst(n) => (n, true)
-            case SkipToLast(n) => (n, false)
-            case _ => throw new MatchError(skip) // unreachable
-          }
-          val idx = names.indexOf(name)
-          val boundaryOpt = if (idx >= 0) {
-            val g = matches.head(idx)
-            if (g.nonEmpty) Some(if (useFirst) ts(g.head) else ts(g.last))
-            else None
-          } else None
-          boundaryOpt match {
-            case Some(boundary) =>
-              matches.tail.foreach { m =>
-                val startTs = m.flatten.headOption
-                  .map(ts).getOrElse(Long.MinValue)
-                if (startTs >= boundary) outs += shape(m)
-              }
-              partials = partials.filter(_.startTs >= boundary)
-            case None =>
-              matches.tail.foreach(m => outs += shape(m))
-          }
-        case NoSkip =>
-          matches.foreach(m => outs += shape(m))
-      }
+      if (matches.nonEmpty)
+        partials = applySkip(skip, names, ts, matches, partials,
+          m => outs += shape(m))
     }
     // end-of-input needs no flush: final-step loops emit every satisfied
     // length as it forms, so open runs have nothing unemitted
     if (flushAtEnd) partials = Vector.empty
     (outs.result(), partials)
   }
+
+  /** Apply an after-match skip strategy to the matches one event
+    * completed: emit the survivors (earliest-started first) and return
+    * the open partials that survive the pruning. Shared by the library
+    * drivers ([[matchBatch]]/[[matchStream]] via runSorted) and the
+    * planned operator ([[graft.plans.CepPlan]]'s CepExec), so both paths
+    * carry identical AfterMatchSkipStrategy semantics. */
+  def applySkip[E](skip: AfterMatchSkip, names: Vector[String], ts: E => Long,
+      matches: Vector[Vector[Vector[E]]], partials: Vector[Partial[E]],
+      emit: Vector[Vector[E]] => Unit): Vector[Partial[E]] =
+    skip match {
+      case SkipPastLastEvent =>
+        // only the earliest-started match survives; everything else —
+        // including co-completing matches — is skipped past
+        emit(matches.head)
+        Vector.empty
+      case SkipToFirst(_) | SkipToLast(_) =>
+        // the earliest-started match is always emitted; the boundary it
+        // defines then prunes BOTH the co-completing matches that started
+        // before it (reference AfterMatchSkipStrategy.prune discards
+        // completed-but-unemitted matches too) and the open partials
+        emit(matches.head)
+        val (name, useFirst) = skip match {
+          case SkipToFirst(n) => (n, true)
+          case SkipToLast(n) => (n, false)
+          case _ => throw new MatchError(skip) // unreachable
+        }
+        val idx = names.indexOf(name)
+        val boundaryOpt = if (idx >= 0) {
+          val g = matches.head(idx)
+          if (g.nonEmpty) Some(if (useFirst) ts(g.head) else ts(g.last))
+          else None
+        } else None
+        boundaryOpt match {
+          case Some(boundary) =>
+            matches.tail.foreach { m =>
+              val startTs = m.flatten.headOption
+                .map(ts).getOrElse(Long.MinValue)
+              if (startTs >= boundary) emit(m)
+            }
+            partials.filter(_.startTs >= boundary)
+          case None =>
+            matches.tail.foreach(emit)
+            partials
+        }
+      case NoSkip =>
+        matches.foreach(emit)
+        partials
+    }
 }

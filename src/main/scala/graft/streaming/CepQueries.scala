@@ -106,6 +106,56 @@ object CepQueries extends QueryModule {
         .groupBy(col("key").as("user_id"), col("view_ts").as("start_ts"))
         .agg(min(col("error_ts")).as("end_ts"))
         .orderBy("user_id", "start_ts")
+    },
+
+    // Negative condition + after-match skip through the PLANNED path:
+    // view, notFollowedBy(purchase), followedBy(error), within 1h,
+    // SkipPastLastEvent — the round-6 planned-parity additions exercised
+    // together. Under SkipPastLastEvent a completing error emits only the
+    // earliest-started live view and clears every open partial, so per
+    // user the machine is: views accumulate; a purchase kills them all
+    // (the notFollowedBy stop); an error emits (earliest live view, error)
+    // and clears. The oracle replays exactly that: for each error, the
+    // candidate views are those after the last clearing event (purchase
+    // OR error) and within the hour; MIN(ts) picks the earliest live one.
+    q("qc9_cep_skip_planned",
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+        |  FROM events WHERE event_type IN ('view', 'error', 'purchase')),
+        |cl AS (SELECT *,
+        |    coalesce(max(CASE WHEN event_type IN ('purchase', 'error')
+        |        THEN pos END)
+        |      OVER (PARTITION BY user_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS clear_pos
+        |  FROM ev),
+        |m AS (SELECT e.user_id, e.ts AS end_ts,
+        |    (SELECT min(v.ts) FROM cl v
+        |      WHERE v.user_id = e.user_id AND v.event_type = 'view'
+        |        AND v.pos > e.clear_pos AND v.pos < e.pos
+        |        AND e.ts < v.ts + INTERVAL '1 hour') AS start_ts
+        |  FROM cl e WHERE e.event_type = 'error')
+        |SELECT user_id, start_ts, end_ts FROM m WHERE start_ts IS NOT NULL
+        |ORDER BY user_id, start_ts, end_ts""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      // purchase must stay in the scan: it can kill partials (the same
+      // reason qc2's strict pattern scans all types)
+      val ev = t(s, d, "events")
+        .where("event_type IN ('view', 'error', 'purchase')")
+        .selectExpr("event_id", "ts", "user_id", "event_type")
+      graft.plans.CepPlan.matchPattern(ev,
+          key = col("user_id"), ts = col("ts"), tie = col("event_id"),
+          steps = Seq(
+            ("view", col("event_type") === "view", false),
+            ("error", col("event_type") === "error", false)),
+          withinMicros = Some(HourMicros),
+          notBefore = Map(
+            "error" -> (col("event_type") === "purchase", false)),
+          skip = Cep.SkipPastLastEvent)
+        .select(col("key").as("user_id"), col("view_ts").as("start_ts"),
+          col("error_ts").as("end_ts"))
+        .orderBy("user_id", "start_ts", "end_ts")
     }
   )
 }

@@ -5,6 +5,15 @@ package graft
   * DataFrame implementation against spark.sql of the same text on the same
   * data. Prints one line per comparable query: name, engine sec, baseline
   * sec, ratio. Run: Test/runMain graft.BaselineCompare [sfDir]
+  *
+  * Methodology (same as Bench, for the same reason): each side is run
+  * once untimed to absorb first-run Janino/whole-stage-codegen compile
+  * and JIT warmup, then timed three times and the MEDIAN reported.
+  * Single first-run samples systematically penalize whichever plan
+  * generates more code (typed Dataset pipelines compile encoder
+  * deserializers the SQL side doesn't) and fabricate ±3× noise flips on
+  * this box (ENGINE.md); profiled on qc1 at sf0.1: first run engine
+  * 1.20s vs steady-state 0.25s — the plan didn't change, the JIT did.
   */
 object BaselineCompare {
   def main(args: Array[String]): Unit = {
@@ -16,8 +25,11 @@ object BaselineCompare {
       Engine.table(spark, sfDir, n).createOrReplaceTempView(n))
     // warmup
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    def median3(f: => Unit): Double = {
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      samples.sorted.apply(1)
     }
     var engTotal = 0.0; var baseTotal = 0.0
     SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, sql) =>
@@ -25,8 +37,11 @@ object BaselineCompare {
       catch { case _: Throwable => false }
       if (parsed) {
         try {
-          val b = time(spark.sql(sql).count())
-          val e = time(SparkEntry.queries(name)(spark, sfDir).count())
+          // one untimed run per side: compile + JIT, not plan execution
+          spark.sql(sql).count()
+          SparkEntry.queries(name)(spark, sfDir).count()
+          val b = median3(spark.sql(sql).count())
+          val e = median3(SparkEntry.queries(name)(spark, sfDir).count())
           engTotal += e; baseTotal += b
           println(f"CMP $name%-28s engine=$e%7.2fs baseline=$b%7.2fs ratio=${e / b}%5.2f")
         } catch { case ex: Throwable =>

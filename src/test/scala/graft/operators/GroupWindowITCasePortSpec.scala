@@ -224,4 +224,81 @@ class GroupWindowITCasePortSpec extends SparkSuite {
       "null,1,1970-01-01 00:00:00.03,1970-01-01 00:00:00.033")
     assert(got.sorted == expected.sorted)
   }
+
+  /** Session-window runner with the reference's 10ms-delayed watermark
+    * (TimestampAndWatermarkWithOffset(10L)) and MULTI-BATCH feeding, so
+    * the out-of-order rows of the fixtures arrive in a LATER micro-batch
+    * than the sessions they bridge — merge-under-lateness runs through
+    * the streaming session state, not just in-batch sorting. */
+  private def runSession(batches: Seq[Seq[(Long, Int, String)]],
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      name: String): Seq[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Int, String)]
+    val df = build(input.toDF().toDF("l", "i", "s")
+      .withColumn("rowtime", timestamp_millis($"l"))
+      .withWatermark("rowtime", "10 milliseconds"))
+    val q = df.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(Flush); q.processAllAvailable()
+      spark.table(name).collect().toSeq
+    } finally { q.stop(); spark.sql(s"DROP VIEW IF EXISTS $name") }
+  }
+
+  // ---- testEventTimeSessionGroupWindowOverTime (GroupWindowITCase.scala:98)
+  // Session gap 5ms, groupBy(w, string): count, avg(int),
+  // weightAvg(long,int), weightAvg(int,int), countDistinct(long).
+  // The 4L row arrives in a SECOND batch (the reference's out-of-order
+  // collection) and bridges the provisional [1,7) and [8,13) Hello
+  // sessions into one [1,13) — count 4, avg 15/4=3 floor.
+  test("GroupWindowITCase testEventTimeSessionGroupWindowOverTime port") {
+    val got = runSession(
+      Seq(Seq((1L, 1, "Hello"), (2L, 2, "Hello"), (8L, 8, "Hello"),
+        (9L, 9, "Hello World")),
+        Seq((4L, 4, "Hello"), (16L, 16, "Hello"))),
+      df => df
+        .groupBy(session_window($"rowtime", "5 milliseconds"), $"s")
+        .agg(
+          expr("count(i) as cnt"),
+          expr("sum(i) div count(i) as avg_i"),
+          expr("sum(l * i) div sum(i) as wavg_l"),
+          expr("sum(cast(i as bigint) * i) div sum(i) as wavg_i"),
+          expr("size(collect_set(l)) as cd")), "gw_session")
+      .filter(_.getString(1) != "zzz_flush")
+      .map { r =>
+        Seq(r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getInt(6)).mkString(",")
+      }
+    val expected = Seq(
+      "Hello World,1,9,9,9,1",
+      "Hello,1,16,16,16,1",
+      "Hello,4,3,5,5,4")
+    assert(got.sorted == expected.sorted)
+  }
+
+  // ---- SqlITCase.testDistinctAggWithMergeOnEventTimeSessionGroupWindow
+  // (runtime/stream/sql/SqlITCase.scala:57) — COUNT(DISTINCT b) +
+  // SESSION_END over gap-5ms sessions; the 4L row triggers the merge of
+  // [1,2] with [8,10] and the distinct set dedups ACROSS the merge.
+  test("SqlITCase testDistinctAggWithMergeOnEventTimeSessionGroupWindow port") {
+    val got = runSession(
+      Seq(Seq((1L, 2, "Hello"), (2L, 2, "Hello"), (8L, 2, "Hello"),
+        (10L, 3, "Hello"), (9L, 9, "Hello World")),
+        Seq((4L, 1, "Hello"), (16L, 16, "Hello"))),
+      df => df
+        .groupBy(session_window($"rowtime", "5 milliseconds"), $"s")
+        .agg(expr("size(collect_set(i)) as cd")), "gw_session_distinct")
+      .filter(_.getString(1) != "zzz_flush")
+      .map { r =>
+        val w = r.getStruct(0)
+        Seq(r.getString(1), r.getInt(2), ts(w.getTimestamp(1))).mkString(",")
+      }
+    val expected = Seq(
+      "Hello World,1,1970-01-01 00:00:00.014",
+      "Hello,1,1970-01-01 00:00:00.021",
+      "Hello,3,1970-01-01 00:00:00.015")
+    assert(got.sorted == expected.sorted)
+  }
 }

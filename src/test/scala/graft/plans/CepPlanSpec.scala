@@ -124,6 +124,104 @@ class CepPlanSpec extends SparkSuite {
     assert(row.getAs[java.sql.Timestamp]("error_ts") === ts("2024-01-01 10:20:00"))
   }
 
+  test("notFollowedBy + SkipPastLastEvent through the planned path match the library") {
+    val df = Seq(
+      // user 1: two live views; the first error emits only the earliest
+      // and clears (skip past last event); then a fresh view-error pair
+      (1L, 1L, "view", 1L), (2L, 2L, "view", 1L), (3L, 3L, "error", 1L),
+      (4L, 4L, "view", 1L), (5L, 5L, "error", 1L),
+      // user 2: purchase kills the open view (notFollowedBy), the
+      // following error finds nothing; the later pair matches
+      (10L, 1L, "view", 2L), (11L, 2L, "purchase", 2L), (12L, 3L, "error", 2L),
+      (13L, 4L, "view", 2L), (14L, 5L, "error", 2L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val got = CepPlan.matchPattern(df,
+        key = col("user_id"), ts = col("ts"), tie = col("event_id"),
+        steps = Seq(
+          ("view", col("event_type") === "view", false),
+          ("error", col("event_type") === "error", false)),
+        notBefore = Map(
+          "error" -> (col("event_type") === "purchase", false)),
+        skip = Cep.SkipPastLastEvent)
+      .select($"key", $"view_event_id", $"error_event_id")
+      .as[(Long, Long, Long)].collect().toSet
+
+    type T = (Long, Long, String, Long)
+    val pattern = Cep.Pattern.begin[T]("view")(_._3 == "view")
+      .notFollowedBy("!error")(_._3 == "purchase")
+      .followedBy("error")(_._3 == "error")
+    val lib = Cep.matchBatch(df.as[(Long, Long, String, Long)], (e: T) => e._4, (e: T) => e._2,
+      pattern, skip = Cep.SkipPastLastEvent, tie = (e: T) => e._1) {
+      (u, m) => (u, m("view")._1, m("error")._1)
+    }.collect().toSet
+
+    assert(got === lib)
+    assert(got === Set((1L, 1L, 3L), (1L, 4L, 5L), (2L, 13L, 14L)))
+  }
+
+  test("notNext through the planned path bans only the immediately-following event") {
+    val df = Seq(
+      (1L, 1L, "view", 1L), (2L, 2L, "purchase", 1L), (3L, 3L, "error", 1L),
+      // an ignored event between view and purchase clears the notNext window
+      (10L, 1L, "view", 2L), (11L, 2L, "other", 2L),
+      (12L, 3L, "purchase", 2L), (13L, 4L, "error", 2L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val got = CepPlan.matchPattern(df,
+        key = col("user_id"), ts = col("ts"), tie = col("event_id"),
+        steps = Seq(
+          ("view", col("event_type") === "view", false),
+          ("error", col("event_type") === "error", false)),
+        notBefore = Map(
+          "error" -> (col("event_type") === "purchase", true))) // notNext
+      .select($"key", $"view_event_id", $"error_event_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((2L, 10L, 13L)))
+  }
+
+  test("skip-strategy planned plan keeps the one-Exchange/one-Sort shape") {
+    val df = CepPlan.matchPattern(events,
+      key = col("user_id"), ts = col("ts"), tie = col("event_id"),
+      steps = Seq(
+        ("view", col("event_type") === "view", false),
+        ("error", col("event_type") === "error", false)),
+      withinMicros = Some(hourMicros),
+      notBefore = Map(
+        "error" -> (col("event_type") === "purchase", false)),
+      skip = Cep.SkipPastLastEvent)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("Cep user_id") && !p.contains("!Cep"))
+    assert("Exchange ".r.findAllIn(p).size === 1)
+    assert(p.contains("Sort [user_id"))
+  }
+
+  test("qc9 (planned, notFollowedBy + skip) agrees with the library pipeline on sf0.001") {
+    val got = run("qc9_cep_skip_planned").collect().toSeq
+
+    type T = (Long, Long, Long, Int) // event_id, tsu, user_id, kind
+    val ev = graft.Engine.table(spark, sf, "events")
+      .where("event_type IN ('view', 'error', 'purchase')")
+      .selectExpr("event_id", "unix_micros(ts) AS tsu", "user_id",
+        "CASE event_type WHEN 'view' THEN 1 WHEN 'error' THEN 0 ELSE 2 END AS kind")
+      .as[(Long, Long, Long, Int)]
+    val hour = 3600L * 1000 * 1000
+    val pattern = Cep.Pattern.begin[T]("view")(_._4 == 1)
+      .notFollowedBy("!error")(_._4 == 2)
+      .followedBy("error")(_._4 == 0)
+      .within(hour)
+    val lib = Cep.matchBatch(ev, (e: T) => e._3, (e: T) => e._2, pattern,
+      skip = Cep.SkipPastLastEvent, tie = (e: T) => e._1) { (u, m) =>
+      (u, m("view")._2, m("error")._2)
+    }.toDF("user_id", "start_us", "end_us")
+      .selectExpr("user_id", "timestamp_micros(start_us) AS start_ts",
+        "timestamp_micros(end_us) AS end_ts")
+      .orderBy("user_id", "start_ts", "end_ts")
+      .collect().toSeq
+
+    assert(got.nonEmpty && got === lib)
+  }
+
   test("planned operator agrees with qc1 library pipeline on sf0.001 events") {
     val ev = graft.Engine.table(spark, sf, "events")
       .selectExpr("event_id", "ts", "user_id", "event_type")

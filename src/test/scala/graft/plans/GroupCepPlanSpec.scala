@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.SparkSuite
 import graft.streaming.GroupCep
-import graft.plans.GroupCepPlan.{GGroupSpec, GLeafSpec}
+import graft.plans.GroupCepPlan.{GGroupSpec, GLeafSpec, GNotSpec}
 import org.apache.spark.sql.functions._
 
 /** The planned group-pattern operator must agree with the library
@@ -96,5 +96,77 @@ class GroupCepPlanSpec extends SparkSuite {
     val got = run("qc8_cep_group_planned").collect().toSeq
     val lib = run("qc7_cep_group_times").collect().toSeq
     assert(got.nonEmpty && got === lib)
+  }
+
+  test("until on a quantified group kills in-group branches (planned == library)") {
+    // c a a x a d: the until event x kills the branch still looping on a,
+    // but the exit forks already waiting on d survive — so d completes
+    // a_count 1 and 2, never 3 (which the post-x a would otherwise build)
+    val df = Seq(
+      (1L, 1L, "c", 1L), (2L, 2L, "a", 1L), (3L, 3L, "a", 1L),
+      (4L, 4L, "x", 1L), (5L, 5L, "a", 1L), (6L, 6L, "d", 1L)
+    ).toDF("event_id", "ts", "name", "user_id")
+    val got = GroupCepPlan.matchGroupPattern(df,
+      key = col("user_id"), ts = col("ts"), tie = col("event_id"),
+      elems = Seq(
+        GLeafSpec("s", col("name") === "c"),
+        GGroupSpec(Seq(GLeafSpec("a", col("name") === "a")),
+          min = 1, max = 3, until = Some(col("name") === "x")),
+        GLeafSpec("e", col("name") === "d")))
+      .select($"key", $"a_count").as[(Long, Long)].collect().toSet
+
+    type T = (Long, Long, String, Long)
+    val p = GroupCep.GPattern.begin[T]("s")(_._3 == "c")
+      .followedBy(GroupCep.GPattern.begin[T]("a")(_._3 == "a"))
+      .times(1, 3).until(_._3 == "x")
+      .followedBy("e")(_._3 == "d")
+    val lib = GroupCep.matchBatchGroups(df.as[(Long, Long, String, Long)],
+      (e: T) => e._4, (e: T) => e._2, p, tie = (e: T) => e._1) {
+      (u, g) => (u, g("a").size.toLong)
+    }.collect().toSet
+
+    assert(got === lib)
+    assert(got === Set((1L, 1L), (1L, 2L)))
+  }
+
+  test("notFollowedBy / notNext elements through the planned path (== library)") {
+    val df = Seq(
+      (1L, 1L, "c", 1L), (2L, 2L, "p", 1L), (3L, 3L, "d", 1L), // killed
+      (10L, 1L, "c", 2L), (11L, 2L, "d", 2L), // clean -> match
+      // notNext variant data: an ignored event clears the fresh window
+      (20L, 1L, "c", 3L), (21L, 2L, "z", 3L), (22L, 3L, "p", 3L),
+      (23L, 4L, "d", 3L)
+    ).toDF("event_id", "ts", "name", "user_id")
+
+    val follow = GroupCepPlan.matchGroupPattern(df,
+      key = col("user_id"), ts = col("ts"), tie = col("event_id"),
+      elems = Seq(
+        GLeafSpec("s", col("name") === "c"),
+        GNotSpec("!p", col("name") === "p"),
+        GLeafSpec("e", col("name") === "d")))
+      .select($"key").as[Long].collect().toSet
+    // notFollowedBy: any p before d kills — users 1 and 3 die
+    assert(follow === Set(2L))
+
+    val nextOnly = GroupCepPlan.matchGroupPattern(df,
+      key = col("user_id"), ts = col("ts"), tie = col("event_id"),
+      elems = Seq(
+        GLeafSpec("s", col("name") === "c"),
+        GNotSpec("!p", col("name") === "p", nextOnly = true),
+        GLeafSpec("e", col("name") === "d")))
+      .select($"key").as[Long].collect().toSet
+
+    type T = (Long, Long, String, Long)
+    val p = GroupCep.GPattern.begin[T]("s")(_._3 == "c")
+      .notNext("!p")(_._3 == "p")
+      .followedBy("e")(_._3 == "d")
+    val lib = GroupCep.matchBatchGroups(df.as[(Long, Long, String, Long)],
+      (e: T) => e._4, (e: T) => e._2, p, tie = (e: T) => e._1) {
+      (u, _) => u
+    }.collect().toSet
+    assert(nextOnly === lib)
+    // user 1: p immediately follows c -> dies; user 3: z intervenes, the
+    // fresh window is over, the later p is irrelevant -> match
+    assert(nextOnly === Set(2L, 3L))
   }
 }
