@@ -1020,4 +1020,78 @@ class CepQuantifierSpec extends SparkSuite {
     assert(got.head.head.map(_.name) === Vector("a-1", "a-2", "a-3", "a-4"))
     assert(got.head(1).map(_.name) === Vector("b-1", "b-2", "b-3"))
   }
+
+  // ---- ClearingBuffer family (NFAITCase:2302-2483): after the within
+  // horizon passes, NO partial state survives. The reference asserts
+  // nfaState.getPartialMatches() holds only the perpetual start state;
+  // our model has no explicit start state, so the equivalent assertion
+  // is an EMPTY partial vector after a pruning event. (The fifth case,
+  // testSharedBufferClearing:2833, asserts SharedBuffer node release —
+  // N/A to our state model, which holds events by value inside each
+  // partial and frees them with it; there is no shared ref-counted
+  // buffer to leak.)
+
+  /** Like [[feed]] but also returns the survivors after the last event. */
+  private def feedState(pattern: Pattern[RE], events: Seq[(RE, Long)]):
+      (Vector[Vector[Vector[RE]]], Vector[Partial[RE]]) = {
+    var partials = Vector.empty[Partial[RE]]
+    val all = Vector.newBuilder[Vector[Vector[RE]]]
+    events.foreach { case (e, ts) =>
+      val (next, ms) = advance(pattern, partials, e, ts)
+      partials = next
+      ms.foreach(all += _)
+    }
+    (all.result(), partials)
+  }
+
+  private val Prune = RE(99, "prune", 0.0) // matches no step predicate
+
+  test("port: times partials cleared at the window boundary (NFAITCase testTimesClearingBuffer)") {
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .next("middle")(_.name == "a").times(2).relaxed
+      .followedBy("end1")(_.name == "b")
+      .within(8L)
+    val (ms, survivors) = feedState(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 2L, RE(42, "a", 3.0) -> 3L,
+      RE(43, "a", 4.0) -> 4L, RE(44, "b", 5.0) -> 6L, Prune -> 10L))
+    assert(flatIds(ms).toSet === Set(Seq(40, 41, 42, 44)))
+    assert(survivors.isEmpty)
+  }
+
+  test("port: optional partials cleared at the window boundary (NFAITCase testOptionalClearingBuffer)") {
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").optional
+      .followedBy("end1")(_.name == "b")
+      .within(8L)
+    val (ms, survivors) = feedState(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(43, "a", 4.0) -> 5L, RE(44, "b", 5.0) -> 6L,
+      Prune -> 10L))
+    assert(flatIds(ms).toSet === Set(Seq(40, 43, 44), Seq(40, 44)))
+    assert(survivors.isEmpty)
+  }
+
+  test("port: at-least-one partials cleared at the window boundary (NFAITCase testAtLeastOneClearingBuffer)") {
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").oneOrMore.allowCombinations
+      .followedBy("end1")(_.name == "b")
+      .within(8L)
+    val (ms, survivors) = feedState(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L,
+      RE(44, "b", 5.0) -> 6L, Prune -> 10L))
+    assert(flatIds(ms).toSet === Set(Seq(40, 41, 44), Seq(40, 41, 42, 44)))
+    assert(survivors.isEmpty)
+  }
+
+  test("port: zero-or-more partials cleared at the window boundary (NFAITCase testZeroOrMoreClearingBuffer)") {
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").oneOrMore.allowCombinations.optional
+      .followedBy("end1")(_.name == "b")
+      .within(8L)
+    val (ms, survivors) = feedState(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L,
+      RE(44, "b", 5.0) -> 6L, Prune -> 10L))
+    assert(flatIds(ms).toSet ===
+      Set(Seq(40, 44), Seq(40, 41, 44), Seq(40, 41, 42, 44)))
+    assert(survivors.isEmpty)
+  }
 }
