@@ -25,6 +25,7 @@ object SparkEntry {
     graft.streaming.CepQueries,
     graft.streaming.CepQuantQuery,
     graft.streaming.GroupCepQuery,
+    graft.streaming.MatchRecognizeQuery,
     graft.graph.GraphQueries)
 
   private lazy val allQueries: Seq[Q] = modules.flatMap(_.all)

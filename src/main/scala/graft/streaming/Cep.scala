@@ -462,9 +462,14 @@ object Cep {
                 // greedy loops, whose non-consuming branch must die once
                 // the loop could consume (GreedyITCase contract);
                 // allPrefixes/combos loops are non-greedy and keep it.
+                // Also suppressed when the NEXT step is STRICT: the
+                // proceed-ε must take that step on THIS event (the scan
+                // below already tries it) or die — a stored fork would
+                // wrongly treat a LATER event as "immediately next"
+                // (pinned by MatchRecognizeSpec's A M? B-strict case).
                 if (sj.optional &&
                   (!sj.looping || sj.allPrefixes || sj.combos) &&
-                  j < lastIdx)
+                  j < lastIdx && !pattern.steps(j + 1).strict)
                   out += Partial(p.startTs,
                     p.groups ++ Vector.fill(j - p.stepIdx - 1)(
                       Vector.empty[E]) :+ Vector.empty[E],

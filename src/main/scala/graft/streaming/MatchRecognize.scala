@@ -1,0 +1,221 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
+
+/** MATCH_RECOGNIZE-style SQL entry point over the CEP library — beyond
+  * the 1.6 reference, whose SQL surface registers no pattern functions
+  * (flink-table FunctionCatalog.scala:302-462); Flink grew SQL
+  * MATCH_RECOGNIZE only in 1.7, compiled onto the same flink-cep NFA
+  * this module targets.
+  *
+  * Supported clause subset (parsed order-insensitively from the text):
+  *   PARTITION BY key
+  *   ORDER BY ord[, tie]            -- timestamp or integral columns
+  *   MEASURES m1 AS a1, ...         -- X.col | FIRST(X.col) | LAST(X.col)
+  *                                  --   | COUNT(X.*)
+  *   [ONE ROW PER MATCH]            -- the only supported mode
+  *   [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
+  *     | SKIP TO FIRST X | SKIP TO LAST X]
+  *   PATTERN (A B* C{2,3} ...)      -- quantifiers ? * + {n} {n,m} {n,}
+  *   [WITHIN INTERVAL 'n' SECOND|MINUTE|HOUR|DAY]
+  *   DEFINE A AS <boolean sql expr>, ...   -- undefined variables = TRUE
+  *
+  * Semantics: pattern concatenation is STRICT row adjacency and
+  * quantified variables repeat consecutively, per the SQL standard; but
+  * quantifier EMISSION follows the CEP library (flink-cep) it compiles
+  * onto — a final-position `{2,3}` emits every satisfied length per
+  * start offset, where strict SQL greediness would emit only the
+  * maximal one. AFTER MATCH maps onto [[Cep.AfterMatchSkip]]
+  * (PAST LAST ROW = SkipPastLastEvent, TO NEXT ROW = NoSkip — the
+  * default, matching the library's all-starts semantics).
+  *
+  * Execution shape: DEFINE predicates and the order/tie longs are
+  * evaluated as Catalyst columns BEFORE the NFA (codegen'd, pushed into
+  * the scan where possible); the NFA then reads pre-computed booleans
+  * off each row. The input is projected to the columns the measures
+  * actually reference, so captured groups stay narrow. One hash shuffle
+  * on the partition key (groupByKey), one in-memory sort per key — the
+  * planned operator ([[graft.plans.CepPlan]]) remains the
+  * shuffle-elidable performance path; this is the SQL-text convenience
+  * surface over the same NFA core.
+  */
+object MatchRecognize {
+
+  private sealed trait Measure {
+    def alias: String
+    def field(schema: StructType): StructField
+    def eval(groups: Map[String, Seq[Row]], schema: StructType): Any
+  }
+  private final case class PosMeasure(v: String, c: String, alias: String,
+      last: Boolean) extends Measure {
+    def field(schema: StructType): StructField =
+      StructField(alias, schema(c).dataType, nullable = true)
+    def eval(groups: Map[String, Seq[Row]], schema: StructType): Any = {
+      val g = groups.getOrElse(v, Seq.empty)
+      if (g.isEmpty) null
+      else (if (last) g.last else g.head).getAs[Any](c)
+    }
+  }
+  private final case class CountMeasure(v: String, alias: String)
+      extends Measure {
+    def field(schema: StructType): StructField =
+      StructField(alias, LongType, nullable = false)
+    def eval(groups: Map[String, Seq[Row]], schema: StructType): Any =
+      groups.getOrElse(v, Seq.empty).size.toLong
+  }
+
+  private val PartitionRe = """(?is)PARTITION\s+BY\s+(\w+)""".r
+  private val OrderRe = """(?is)ORDER\s+BY\s+(\w+)(?:\s*,\s*(\w+))?""".r
+  private val MeasuresRe =
+    """(?is)MEASURES\s+(.*?)\s*(?:ONE\s+ROW\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN\s*\()""".r
+  private val SkipRe =
+    """(?is)AFTER\s+MATCH\s+SKIP\s+(?:(PAST\s+LAST\s+ROW)|(TO\s+NEXT\s+ROW)|TO\s+FIRST\s+(\w+)|TO\s+LAST\s+(\w+))""".r
+  private val PatternRe = """(?is)PATTERN\s*\(([^)]*)\)""".r
+  private val WithinRe =
+    """(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)""".r
+  private val DefineRe = """(?is)\bDEFINE\s+(.*)\z""".r
+  private val TokenRe = """(\w+)\s*(\*|\+|\?|\{\d+(?:,\d*)?\})?""".r
+  private val FirstLastRe = """(?is)(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)""".r
+  private val CountRe = """(?is)COUNT\s*\(\s*(\w+)\.\*\s*\)""".r
+  private val ColRe = """(?s)\s*(\w+)\.(\w+)\s*""".r
+
+  /** Split on top-level commas (commas inside parens stay put). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+      case ch => cur += ch
+    }
+    val leftover = cur.result().trim
+    if (leftover.nonEmpty) out += leftover
+    out.result()
+  }
+
+  def apply(df: DataFrame, clause: String): DataFrame = {
+    val partCol = PartitionRe.findFirstMatchIn(clause)
+      .getOrElse(throw new IllegalArgumentException("PARTITION BY required"))
+      .group(1)
+    val om = OrderRe.findFirstMatchIn(clause)
+      .getOrElse(throw new IllegalArgumentException("ORDER BY required"))
+    val (ordCol, tieCol) = (om.group(1), Option(om.group(2)))
+    val patternText = PatternRe.findFirstMatchIn(clause)
+      .getOrElse(throw new IllegalArgumentException("PATTERN required"))
+      .group(1)
+    val tokens = TokenRe.findAllMatchIn(patternText)
+      .map(m => (m.group(1), Option(m.group(2)))).toVector
+    require(tokens.nonEmpty, "PATTERN must name at least one variable")
+    val defines: Map[String, String] =
+      DefineRe.findFirstMatchIn(clause).map(_.group(1)) match {
+        case None => Map.empty
+        case Some(body) => splitTop(body).map { d =>
+          val i = "(?i)\\s+AS\\s+".r.findFirstMatchIn(d).getOrElse(
+            throw new IllegalArgumentException(s"DEFINE entry needs AS: $d"))
+          d.substring(0, i.start).trim -> d.substring(i.end).trim
+        }.toMap
+      }
+    val measures: Seq[Measure] =
+      MeasuresRe.findFirstMatchIn(clause).map(_.group(1)) match {
+        case None => Seq.empty
+        case Some(body) => splitTop(body).map { m =>
+          val i = "(?i)\\s+AS\\s+".r.findAllMatchIn(m).toSeq.lastOption
+            .getOrElse(throw new IllegalArgumentException(
+              s"measure needs AS alias: $m"))
+          val (e, alias) = (m.substring(0, i.start).trim,
+            m.substring(i.end).trim)
+          e match {
+            case FirstLastRe(fl, v, c) =>
+              PosMeasure(v, c, alias, last = fl.equalsIgnoreCase("LAST"))
+            case CountRe(v) => CountMeasure(v, alias)
+            case ColRe(v, c) => PosMeasure(v, c, alias, last = false)
+            case other => throw new IllegalArgumentException(
+              s"unsupported measure expression: $other")
+          }
+        }
+      }
+    val skip: Cep.AfterMatchSkip =
+      SkipRe.findFirstMatchIn(clause) match {
+        case None => Cep.NoSkip // SKIP TO NEXT ROW — library all-starts
+        case Some(m) =>
+          if (m.group(1) != null) Cep.SkipPastLastEvent
+          else if (m.group(2) != null) Cep.NoSkip
+          else if (m.group(3) != null) Cep.SkipToFirst(m.group(3))
+          else Cep.SkipToLast(m.group(4))
+      }
+    val withinMicros: Option[Long] =
+      WithinRe.findFirstMatchIn(clause).map { m =>
+        val n = m.group(1).toLong
+        n * (m.group(2).toUpperCase match {
+          case "SECOND" => 1000000L
+          case "MINUTE" => 60L * 1000000
+          case "HOUR" => 3600L * 1000000
+          case "DAY" => 86400L * 1000000
+        })
+      }
+
+    // event-time long: timestamps in micros, integrals as-is
+    def ordExpr(name: String): Column = df.schema(name).dataType match {
+      case TimestampType => unix_micros(col(name))
+      case _ => col(name).cast("long")
+    }
+    val vars = tokens.map(_._1)
+    def predCol(v: String): Column = defines.get(v) match {
+      case Some(sqlText) =>
+        coalesce(expr(sqlText).cast("boolean"), lit(false))
+      case None => lit(true)
+    }
+    // project to: measure-referenced columns + partition key + internals
+    val needed = (measures.collect { case PosMeasure(_, c, _, _) => c }
+      :+ partCol).distinct
+    val prepared = df
+      .where(col(ordCol).isNotNull)
+      .select(needed.map(col) ++
+        Seq(ordExpr(ordCol).as("__mr_ord"),
+          tieCol.map(ordExpr).getOrElse(lit(0L)).as("__mr_tie")) ++
+        vars.map(v => predCol(v).as(s"__mr_$v")): _*)
+    val schema = prepared.schema
+    val keyIdx = schema.fieldIndex(partCol)
+    val ordIdx = schema.fieldIndex("__mr_ord")
+    val tieIdx = schema.fieldIndex("__mr_tie")
+    val varIdx = vars.map(v => v -> schema.fieldIndex(s"__mr_$v")).toMap
+
+    def pred(v: String): Row => Boolean = {
+      val i = varIdx(v)
+      r => !r.isNullAt(i) && r.getBoolean(i)
+    }
+    var pat: Cep.Pattern[Row] = null
+    tokens.foreach { case (v, quant) =>
+      pat = if (pat == null) Cep.Pattern.begin[Row](v)(pred(v))
+            else pat.next(v)(pred(v)) // SQL concatenation = strict adjacency
+      quant.foreach {
+        case "?" => pat = pat.optional
+        case "*" => pat = pat.oneOrMore.optional
+        case "+" => pat = pat.oneOrMore
+        case b if b.startsWith("{") =>
+          val inner = b.substring(1, b.length - 1)
+          inner.split(",", -1) match {
+            case Array(n) => pat = pat.times(n.toInt)
+            case Array(n, "") => pat = pat.timesOrMore(n.toInt)
+            case Array(n, m) => pat = pat.times(n.toInt, m.toInt)
+          }
+      }
+    }
+    withinMicros.foreach(w => pat = pat.within(w))
+
+    val outSchema = StructType(
+      schema(keyIdx).copy(name = partCol) +: measures.map(_.field(schema)))
+    val keyEnc = Encoders.row(StructType(Seq(schema(keyIdx))))
+    val outEnc = Encoders.row(outSchema)
+    Cep.matchBatchGroups[Row, Row, Row](
+      prepared, (r: Row) => Row(r.get(keyIdx)),
+      (r: Row) => r.getLong(ordIdx), pat, skip,
+      tie = (r: Row) => r.getLong(tieIdx)) { (k, groups) =>
+      Row.fromSeq(k.get(0) +: measures.map(_.eval(groups, schema)))
+    }(outEnc, keyEnc)
+  }
+}

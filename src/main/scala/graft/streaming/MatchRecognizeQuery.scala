@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.{Q, QueryModule}
+
+/** The MATCH_RECOGNIZE SQL surface exercised against the SAME oracles as
+  * the DSL/planned CEP queries: qc10 re-expresses qc1's view→error
+  * pattern as `PATTERN (V S* E)` text (relaxed `followedBy` is spelled
+  * as a strict-adjacency skip-run `S*`, the standard MATCH_RECOGNIZE
+  * idiom), qc11 re-expresses qc4's `times(2,3)` as `PATTERN (E{2,3})`.
+  * Three independent execution paths — library DSL, planned operator,
+  * SQL text — one truth per oracle.
+  */
+object MatchRecognizeQuery extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+
+    q("qc10_match_recognize",
+      // qc1's oracle, verbatim: every view pairs with the first error of
+      // the same user within the following hour
+      """SELECT v.user_id, CAST(v.ts AS TIMESTAMP) AS start_ts,
+        |  MIN(CAST(e.ts AS TIMESTAMP)) AS end_ts
+        |FROM events v JOIN events e ON e.user_id = v.user_id
+        |  AND e.event_type = 'error'
+        |  AND (CAST(e.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
+        |       OR (CAST(e.ts AS TIMESTAMP) = CAST(v.ts AS TIMESTAMP)
+        |           AND e.event_id > v.event_id))
+        |  AND CAST(e.ts AS TIMESTAMP) < CAST(v.ts AS TIMESTAMP) + INTERVAL '1 hour'
+        |WHERE v.event_type = 'view'
+        |GROUP BY v.user_id, v.ts
+        |ORDER BY v.user_id, start_ts""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions.{col, min}
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.ts AS start_ts, E.ts AS end_ts
+          |AFTER MATCH SKIP TO NEXT ROW
+          |PATTERN (V S* E)
+          |WITHIN INTERVAL '1' HOUR
+          |DEFINE V AS event_type = 'view',
+          |       S AS event_type <> 'error',
+          |       E AS event_type = 'error'""".stripMargin)
+        .groupBy(col("user_id"), col("start_ts"))
+        .agg(min(col("end_ts")).as("end_ts"))
+        .orderBy("user_id", "start_ts")
+    },
+
+    q("qc11_match_recognize_times",
+      // qc4's oracle, verbatim: every (offset, length) pair of 2-3
+      // CONSECUTIVE errors per user
+      """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |e AS (SELECT user_id, ts, rn,
+        |    rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM o WHERE event_type = 'error'),
+        |runs AS (SELECT user_id, grp, COUNT(*) AS len, MIN(rn) AS rn0
+        |  FROM e GROUP BY 1, 2),
+        |pos AS (SELECT e.user_id, e.ts AS first_ts, e.rn, e.grp,
+        |    (r.len - (e.rn - r.rn0)) AS remain
+        |  FROM e JOIN runs r ON r.user_id = e.user_id AND r.grp = e.grp),
+        |m AS (SELECT user_id, first_ts, grp, rn + l.len - 1 AS last_rn
+        |  FROM pos CROSS JOIN (VALUES (2), (3)) AS l(len)
+        |  WHERE remain >= l.len)
+        |SELECT m.user_id AS user_id, m.first_ts, e2.ts AS last_ts
+        |FROM m JOIN e e2 ON e2.user_id = m.user_id AND e2.rn = m.last_rn
+        |ORDER BY m.user_id, m.first_ts, last_ts""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES FIRST(E.ts) AS first_ts, LAST(E.ts) AS last_ts
+          |AFTER MATCH SKIP TO NEXT ROW
+          |PATTERN (E{2,3})
+          |DEFINE E AS event_type = 'error'""".stripMargin)
+        .orderBy("user_id", "first_ts", "last_ts")
+    }
+  )
+}
