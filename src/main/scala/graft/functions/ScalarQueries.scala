@@ -282,6 +282,42 @@ object ScalarQueries extends QueryModule {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(30)
+    },
+
+    // Mergeable KMV bottom-k distinct sketch (Udafs.KmvAgg): distinct
+    // l_partkey per returnflag, estimated from the 64 smallest md5-60bit
+    // hashes. DETERMINISTIC (unlike HLL's murmur registers), so the
+    // oracle replicates it bit-for-bit: same hex-nibble hash decode as
+    // qp6, k-th smallest per group, the same exact-in-double
+    // floor(63 · 2^60 / h_k) estimator (63·2^60 has a 6-bit mantissa —
+    // exactly representable; the one division and floor are IEEE on both
+    // engines).
+    q("qs10_kmv_distinct",
+      """WITH v AS (SELECT DISTINCT l_returnflag AS flag,
+        |    CAST(l_partkey AS VARCHAR) AS pk FROM lineitem),
+        |h AS (SELECT DISTINCT flag,
+        |    list_aggregate(list_transform(generate_series(1, 15), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |          substr(md5(pk), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+        |        * (CAST(1 AS BIGINT) << CAST((15 - i) * 4 AS INTEGER))),
+        |      'sum') AS hv
+        |  FROM v),
+        |r AS (SELECT flag, hv,
+        |    row_number() OVER (PARTITION BY flag ORDER BY hv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY flag) AS n
+        |  FROM h)
+        |SELECT flag AS l_returnflag,
+        |  CAST(CASE WHEN MAX(n) < 64 THEN MAX(n)
+        |    ELSE floor(63.0 * 1152921504606846976.0
+        |      / MAX(CASE WHEN rn = 64 THEN hv END)) END AS BIGINT)
+        |    AS approx_distinct
+        |FROM r GROUP BY flag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      graft.functions.Udafs.register(s)
+      t(s, d, "lineitem")
+        .selectExpr("l_returnflag", "CAST(l_partkey AS STRING) AS pk")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("graft_kmv(pk)").as("approx_distinct"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -111,6 +111,75 @@ object Udafs {
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** Mergeable KMV (k-minimum-values / bottom-k theta) distinct sketch
+    * over strings — the DETERMINISTIC companion to [[HllAgg]]: values
+    * hash through the same md5 60-bit prefix as the MinHash/SimHash
+    * expressions, so the estimate is bit-replicable in the DuckDB oracle
+    * (qs10), unlike HLL's murmur registers. The accumulator is the k
+    * smallest distinct hashes, merged by union-and-trim — the same
+    * any-aggregation-tree rollup property as HLL (512 B per sketch at
+    * k=64). Estimate: exact count below k; else floor((k-1) · 2^60 /
+    * h_k) — the classic KMV estimator (Bar-Yossef et al. 2002), relative
+    * error ≈ 1/sqrt(k-2) (~13% at k=64). Bottom-k sketches additionally
+    * support set operations (union = merge; intersection via the theta
+    * framework), which register sketches cannot express exactly. */
+  class KmvAgg(k: Int = 64) extends Aggregator[String, Array[Long], Long] {
+    def zero: Array[Long] = Array.empty[Long]
+
+    private def hash60(v: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(v.getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 7) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+      (h << 4) | ((d(7) & 0xF0L) >> 4)
+    }
+
+    def reduce(buf: Array[Long], v: String): Array[Long] = {
+      if (v == null) return buf
+      val h = hash60(v)
+      val i = java.util.Arrays.binarySearch(buf, h)
+      if (i >= 0) buf // already present
+      else {
+        val at = -i - 1
+        if (at >= k) buf // larger than the current k minima
+        else {
+          val n = math.min(buf.length + 1, k)
+          val out = new Array[Long](n)
+          System.arraycopy(buf, 0, out, 0, at)
+          out(at) = h
+          System.arraycopy(buf, at, out, at + 1, n - at - 1)
+          out
+        }
+      }
+    }
+
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      if (x.isEmpty) return y
+      if (y.isEmpty) return x
+      val out = new Array[Long](math.min(x.length + y.length, k))
+      var (i, j, n) = (0, 0, 0)
+      var last = Long.MinValue
+      while (n < out.length && (i < x.length || j < y.length)) {
+        val v =
+          if (j >= y.length || (i < x.length && x(i) <= y(j))) {
+            val v = x(i); i += 1; v
+          } else { val v = y(j); j += 1; v }
+        if (v != last) { out(n) = v; n = n + 1; last = v }
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    def finish(buf: Array[Long]): Long =
+      if (buf.length < k) buf.length.toLong
+      else math.floor((k - 1).toDouble * 1152921504606846976.0 /* 2^60 */
+        / buf(k - 1).toDouble).toLong
+
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   /** Register as SQL-callable UDAFs (TableEnvironment.registerFunction
     * equivalent). Idempotent per session — repeated calls (one per query
     * in Bench/Verify) would otherwise log a `replaced a previously
@@ -123,5 +192,6 @@ object Udafs {
     spark.udf.register("graft_weighted_avg",
       udaf(new WeightedAvgAgg, Encoders.product[WeightedIn]))
     spark.udf.register("graft_hll", udaf(new HllAgg, Encoders.STRING))
+    spark.udf.register("graft_kmv", udaf(new KmvAgg, Encoders.STRING))
   }
 }

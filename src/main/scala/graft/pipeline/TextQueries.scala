@@ -136,6 +136,40 @@ object TextQueries extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Corpus n-gram statistics: top-5 bigrams per language by count —
+    // the canonical corpus-frequency pass of a training-data pipeline.
+    // Scale shape: explode → map-side partial aggregation on
+    // (lang, bigram) → per-language rank; at 100 TB the pre-aggregated
+    // (lang, bigram, cnt) table is tiny relative to the corpus, so the
+    // window ranks a reduced input. Ties break on bigram text for
+    // cross-engine determinism.
+    q("qt6_top_ngrams",
+      """WITH tkx AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
+        |bg AS (SELECT lang, unnest(list_transform(generate_series(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |  FROM tkx WHERE len(tk) >= 2),
+        |c AS (SELECT lang, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+        |r AS (SELECT lang, bigram, cnt, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY cnt DESC, bigram) AS BIGINT) AS rnk FROM c)
+        |SELECT lang, bigram, cnt, rnk FROM r WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val bg = t(s, d, "documents")
+        .withColumn("tk", split(col("text"), " "))
+        .where(size(col("tk")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
+          .as("bigram"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("bigram"))
+      bg.groupBy(col("lang"), col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 5)
+        .select(col("lang"), col("bigram"), col("cnt"), col("rnk"))
+        .orderBy(col("lang"), col("rnk"))
+    },
+
     // JSON field extraction from the events props column (reference:
     // flink-json JsonRowDeserializationSchema.java:52 → from_json /
     // get_json_object).

@@ -53,6 +53,37 @@ class UdafSpec extends SparkSuite {
     assert(agg.finish(agg.merge(s1.clone, s1)) == agg.finish(s1))
   }
 
+  test("KMV sketch: exact below k, estimator accuracy above, dedup on hash") {
+    Udafs.register(spark)
+    // below k: exact distinct count (duplicates collapse in the sketch)
+    val small = Seq("a", "b", "c", "a", "b").toDF("s")
+      .agg(expr("graft_kmv(s)")).as[Long].head()
+    assert(small == 3L)
+    // above k: KMV estimator, relative error ~1/sqrt(k-2) (~13%), 5 sigma
+    val n = 20000
+    val est = spark.range(n).selectExpr("CAST(id AS STRING) AS s")
+      .repartition(8) // exercise partial-sketch merge across partitions
+      .agg(expr("graft_kmv(s)")).as[Long].head()
+    assert(math.abs(est - n).toDouble / n < 0.65, s"KMV estimate $est vs $n")
+  }
+
+  test("KMV sketches merge: union-and-trim equals the sketch of the union") {
+    val agg = new Udafs.KmvAgg()
+    var s1 = agg.zero
+    var s2 = agg.zero
+    var sBoth = agg.zero
+    (0 until 3000).foreach { i => s1 = agg.reduce(s1, i.toString) }
+    (1500 until 4500).foreach { i => s2 = agg.reduce(s2, i.toString) }
+    (0 until 4500).foreach { i => sBoth = agg.reduce(sBoth, i.toString) }
+    // bottom-k sketches merge EXACTLY: the k minima of the union are the
+    // k minima of the merged minima — duplicates across shards collapse
+    val merged = agg.merge(s1.clone, s2)
+    assert(merged.toSeq == sBoth.toSeq)
+    assert(agg.finish(merged) == agg.finish(sBoth))
+    // self-merge changes nothing
+    assert(agg.merge(s1.clone, s1).toSeq == s1.toSeq)
+  }
+
   test("scalar UDF registration surface (ScalarFunction parity)") {
     spark.udf.register("graft_double_it", (x: Long) => x * 2)
     val got = spark.sql("SELECT graft_double_it(21)").as[Long].head()
