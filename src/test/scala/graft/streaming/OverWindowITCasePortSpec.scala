@@ -424,4 +424,61 @@ class OverWindowITCasePortSpec extends SparkSuite {
       "6,8,Hello world,43,8,5,9,1")
     assert(got.sorted == expected.sorted)
   }
+
+  // ---- testRowTimeUnBoundedPartitionedRowsOver2 (OverWindowITCase.scala:780)
+  // SELECT a, b, c, SUM/COUNT/AVG/MAX/MIN(b) OVER (PARTITION BY a ORDER BY
+  //   rowtime ROWS UNBOUNDED PRECEDING) — a three-watermark script whose
+  // late rows (behind each watermark) are dropped, with same-timestamp
+  // rows emitted in arrival order (stable event-time sort)
+  test("RowTimeUnBoundedPartitionedRowsOver2 port: multi-watermark late-row script") {
+    type R = (Long, String) // (b, c); key = a
+    val script: Seq[Either[(Long, Int, R), Long]] = Seq(
+      Left((14000005L, 1, (1L, "Hi"))),
+      Left((14000000L, 2, (1L, "Hello"))),
+      Left((14000002L, 3, (1L, "Hello"))),
+      Left((14000003L, 1, (2L, "Hello"))),
+      Left((14000004L, 1, (3L, "Hello world"))),
+      Left((14000007L, 3, (2L, "Hello world"))),
+      Left((14000008L, 2, (2L, "Hello world"))),
+      Right(14000010L),
+      // the next 3 elements are late
+      Left((14000008L, 1, (4L, "Hello world"))),
+      Left((14000008L, 2, (3L, "Hello world"))),
+      Left((14000008L, 3, (3L, "Hello world"))),
+      Left((14000012L, 1, (5L, "Hello world"))),
+      Right(14000020L),
+      Left((14000021L, 1, (6L, "Hello world"))),
+      // the next 3 elements are late
+      Left((14000019L, 1, (6L, "Hello world"))),
+      Left((14000018L, 2, (4L, "Hello world"))),
+      Left((14000018L, 3, (4L, "Hello world"))),
+      Left((14000022L, 2, (5L, "Hello world"))),
+      Left((14000022L, 3, (5L, "Hello world"))),
+      Left((14000024L, 1, (7L, "Hello world"))),
+      Left((14000023L, 1, (8L, "Hello world"))),
+      Left((14000021L, 1, (9L, "Hello world"))),
+      Right(14000030L))
+    val got = runScript[Int, R](UnboundedRows,
+      Seq(Agg.sum, Agg.count, Agg.max, Agg.min), _._1.toDouble, script)
+      .map { case (a, (_, (b, c)), as) =>
+        // AVG over BIGINT = floor division (IntegralAvgAggFunction)
+        fmt(a, b, c, as(0).toLong, as(1).toLong,
+          as(0).toLong / as(1).toLong, as(2).toLong, as(3).toLong) }
+    val expected = List(
+      "1,2,Hello,2,1,2,2,2",
+      "1,3,Hello world,5,2,2,3,2",
+      "1,1,Hi,6,3,2,3,1",
+      "2,1,Hello,1,1,1,1,1",
+      "2,2,Hello world,3,2,1,2,1",
+      "3,1,Hello,1,1,1,1,1",
+      "3,2,Hello world,3,2,1,2,1",
+      "1,5,Hello world,11,4,2,5,1",
+      "1,6,Hello world,17,5,3,6,1",
+      "1,9,Hello world,26,6,4,9,1",
+      "1,8,Hello world,34,7,4,9,1",
+      "1,7,Hello world,41,8,5,9,1",
+      "2,5,Hello world,8,3,2,5,1",
+      "3,5,Hello world,8,3,2,5,1")
+    assert(got.sorted == expected.sorted)
+  }
 }
