@@ -137,6 +137,9 @@ object CepPlan {
           private var curKey: Any = null
           private var haveKey = false
           private var partials = Vector.empty[Cep.Partial[InternalRow]]
+          // deferred-emission queue (reference skip semantics); fresh per
+          // key run, null on the NoSkip fast path
+          private var skipQ: Cep.SkipQueue[InternalRow] = null
 
           private def emit(key: Any, groups: Vector[Vector[InternalRow]]): Unit = {
             val vals = new Array[Any](1 + nSteps * nCols)
@@ -155,14 +158,20 @@ object CepPlan {
             queue += proj(new GenericInternalRow(vals)).copy()
           }
 
-          /** end-of-run flush: a satisfied greedy final run completes. */
+          /** end-of-run flush: a satisfied greedy final run completes;
+            * end of the key's input then releases every deferred match
+            * (no live partial blocks emission any more). */
           private def flush(): Unit = {
             if (lastLooping) partials.foreach { p =>
               if (p.stepIdx == lastIdx && p.runOpen &&
-                p.groups.last.size >= pattern.steps(lastIdx).minReps)
-                emit(curKey, p.groups)
+                p.groups.last.size >= pattern.steps(lastIdx).minReps) {
+                if (skipQ == null) emit(curKey, p.groups)
+                else skipQ.add(Vector(p.groups))
+              }
             }
             partials = Vector.empty
+            if (skipQ != null)
+              skipQ.drain(Vector.empty, m => emit(curKey, m))
           }
 
           private def pump(): Unit = {
@@ -200,13 +209,18 @@ object CepPlan {
                     case other => other
                   }
                   haveKey = true
+                  if (skipStrat != Cep.NoSkip)
+                    skipQ = new Cep.SkipQueue[InternalRow](
+                      skipStrat, nameVec, tsOf)
                 }
                 val (next, matches) =
                   Cep.advance(pattern, partials, row, tsVal.asInstanceOf[Long])
                 partials = next
-                if (matches.nonEmpty)
-                  partials = Cep.applySkip(skipStrat, nameVec, tsOf,
-                    matches, partials, m => emit(curKey, m))
+                if (skipQ == null) matches.foreach(m => emit(curKey, m))
+                else {
+                  skipQ.add(matches)
+                  partials = skipQ.drain(partials, m => emit(curKey, m))
+                }
               }
             }
             if (queue.isEmpty && !rows.hasNext && haveKey) {

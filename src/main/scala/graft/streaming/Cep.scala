@@ -265,10 +265,16 @@ object Cep {
     * transition out with its current run (NFAITCase
     * testMultipleTakesVersionCollision pins this: `m1 m2 m3 | m5` is not
     * a valid split when m4 matched middle2 and was declined). Extending
-    * the run resets the right — the new run's first-after boundary moved. */
+    * the run resets the right — the new run's first-after boundary moved.
+    *
+    * `completed`: the entry is not a live NFA state but a COMPLETED match
+    * whose emission an after-match skip strategy has deferred (the
+    * reference's NFAState.completedMatches queue) — it persists in
+    * streaming state until no earlier-started partial is live, and is
+    * never extended, expired, or advanced. */
   final case class Partial[E](startTs: Long, groups: Vector[Vector[E]],
       runOpen: Boolean, virgin: Boolean = false,
-      proceedSpent: Boolean = false) {
+      proceedSpent: Boolean = false, completed: Boolean = false) {
     def stepIdx: Int = groups.size - 1
   }
 
@@ -715,14 +721,22 @@ object Cep {
       if (state.hasTimedOut) {
         val w = pattern.withinMs.get
         val wm = state.getCurrentWatermarkMs()
-        val (live, expired) = state.getOption.getOrElse(Vector.empty)
-          .partition(p => wm - p.startTs < w)
-        if (live.isEmpty) state.remove()
+        val (done, rest) = state.getOption.getOrElse(Vector.empty)
+          .partition(_.completed)
+        val (live, expired) = rest.partition(p => wm - p.startTs < w)
+        // expiring blockers may release deferred matches (skip queue)
+        val (outs, remaining) = runSorted(k, Iterator.empty, ts, pattern,
+          live ++ done,
+          (kk: K, groups: Map[String, Seq[E]]) =>
+            finish(kk, groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap),
+          flushAtEnd = false, skip, tie)
+        val liveStarts = remaining.filter(!_.completed).map(_.startTs)
+        if (remaining.isEmpty) state.remove()
         else {
-          state.update(live)
-          state.setTimeoutTimestamp(live.map(_.startTs).min + w)
+          state.update(remaining)
+          state.setTimeoutTimestamp(liveStarts.min + w)
         }
-        expired.map(p => timedOut(k, p, wm)).iterator
+        (expired.map(p => timedOut(k, p, wm)) ++ outs).iterator
       } else {
         val partials = state.getOption.getOrElse(Vector.empty)
         // onExpired feeds runSorted's own output buffer, so timeouts are
@@ -735,9 +749,11 @@ object Cep {
         if (remaining.isEmpty) state.remove()
         else {
           state.update(remaining)
-          val target = remaining.map(_.startTs).min + pattern.withinMs.get
-          state.setTimeoutTimestamp(
-            math.max(target, state.getCurrentWatermarkMs() + 1))
+          val liveStarts = remaining.filter(!_.completed).map(_.startTs)
+          if (liveStarts.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              liveStarts.min + pattern.withinMs.get,
+              state.getCurrentWatermarkMs() + 1))
         }
         outs.iterator
       }
@@ -750,35 +766,44 @@ object Cep {
       skip: AfterMatchSkip, tie: E => Long,
       finish: (K, Map[String, E]) => O):
       (K, Iterator[E], GroupState[Vector[Partial[E]]]) => Iterator[O] =
-    (k: K, it: Iterator[E], state: GroupState[Vector[Partial[E]]]) =>
+    (k: K, it: Iterator[E], state: GroupState[Vector[Partial[E]]]) => {
+      val shapeFn = (kk: K, groups: Map[String, Seq[E]]) =>
+        finish(kk, groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap)
       if (state.hasTimedOut) {
         val w = pattern.withinMs.get
         val wm = state.getCurrentWatermarkMs()
-        val live = state.getOption.getOrElse(Vector.empty)
-          .filter(p => wm - p.startTs < w)
-        if (live.isEmpty) state.remove()
+        // deferred completed matches never expire; expiring their
+        // blockers may release them (runSorted's restore-drain)
+        val kept = state.getOption.getOrElse(Vector.empty)
+          .filter(p => p.completed || wm - p.startTs < w)
+        val (outs, remaining) = runSorted(k, Iterator.empty, ts, pattern,
+          kept, shapeFn, flushAtEnd = false, skip, tie)
+        val liveStarts = remaining.filter(!_.completed).map(_.startTs)
+        if (remaining.isEmpty) state.remove()
         else {
-          state.update(live)
-          state.setTimeoutTimestamp(live.map(_.startTs).min + w)
+          state.update(remaining)
+          // completed-only residue is impossible: with no live partial
+          // the drain emits everything, so liveStarts is non-empty here
+          state.setTimeoutTimestamp(liveStarts.min + w)
         }
-        Iterator.empty
+        outs.iterator
       } else {
         val partials = state.getOption.getOrElse(Vector.empty)
         val (outs, remaining) = runSorted(k, it, ts, pattern, partials,
-          (kk: K, groups: Map[String, Seq[E]]) =>
-            finish(kk, groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap),
-          flushAtEnd = false, skip, tie)
+          shapeFn, flushAtEnd = false, skip, tie)
         if (remaining.isEmpty) state.remove()
         else {
           state.update(remaining)
           pattern.withinMs.foreach { w =>
-            val target = remaining.map(_.startTs).min + w
-            state.setTimeoutTimestamp(
-              math.max(target, state.getCurrentWatermarkMs() + 1))
+            val liveStarts = remaining.filter(!_.completed).map(_.startTs)
+            if (liveStarts.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(liveStarts.min + w, state.getCurrentWatermarkMs() + 1))
           }
         }
         outs.iterator
       }
+    }
 
   private def runSorted[K, E, O](k: K, it: Iterator[E],
       ts: E => Long, pattern: Pattern[E], init: Vector[Partial[E]],
@@ -792,8 +817,18 @@ object Cep {
     val names = pattern.steps.map(_.name)
     def shape(m: Vector[Vector[E]]): O =
       finish(k, names.zip(m.map(_.toSeq)).toMap)
-    var partials = init
     val outs = Vector.newBuilder[O]
+    // skip strategies run the reference's deferred-emission queue;
+    // NoSkip stays on the allocation-free immediate path
+    val sq = if (skip == NoSkip) null else new SkipQueue[E](skip, names, ts)
+    var partials = init
+    if (sq != null && init.exists(_.completed)) {
+      val (done, live) = init.partition(_.completed)
+      done.foreach(p => sq.restore(p.groups))
+      // a blocker may have expired between batches (the timeout path
+      // filters before calling in): release what this batch can already
+      partials = sq.drain(live, m => outs += shape(m))
+    }
     it.toVector.sortBy(e => (ts(e), tie(e))).foreach { e =>
       // advanceTime-before-process (NFA.advanceTime called per event in
       // the reference): surface expired partials before the transition.
@@ -809,62 +844,104 @@ object Cep {
       }
       val (next, matches) = advance(pattern, partials, e, ts(e))
       partials = next
-      if (matches.nonEmpty)
-        partials = applySkip(skip, names, ts, matches, partials,
-          m => outs += shape(m))
+      if (sq == null) matches.foreach(m => outs += shape(m))
+      else {
+        sq.add(matches)
+        // expiry above may also have unblocked earlier-queued matches
+        partials = sq.drain(partials, m => outs += shape(m))
+      }
     }
-    // end-of-input needs no flush: final-step loops emit every satisfied
-    // length as it forms, so open runs have nothing unemitted
-    if (flushAtEnd) partials = Vector.empty
+    // end-of-input needs no NFA flush: final-step loops emit every
+    // satisfied length as it forms. Batch end kills open partials, which
+    // releases every still-deferred match (pruning applies in order).
+    if (flushAtEnd) {
+      partials = Vector.empty
+      if (sq != null) sq.drain(Vector.empty, m => outs += shape(m))
+    } else if (sq != null && !sq.isEmpty) {
+      // streaming: still-blocked matches persist as completed partials
+      partials = partials ++ sq.toState
+    }
     (outs.result(), partials)
   }
 
-  /** Apply an after-match skip strategy to the matches one event
-    * completed: emit the survivors (earliest-started first) and return
-    * the open partials that survive the pruning. Shared by the library
-    * drivers ([[matchBatch]]/[[matchStream]] via runSorted) and the
-    * planned operator ([[graft.plans.CepPlan]]'s CepExec), so both paths
-    * carry identical AfterMatchSkipStrategy semantics. */
-  def applySkip[E](skip: AfterMatchSkip, names: Vector[String], ts: E => Long,
-      matches: Vector[Vector[Vector[E]]], partials: Vector[Partial[E]],
-      emit: Vector[Vector[E]] => Unit): Vector[Partial[E]] =
-    skip match {
-      case SkipPastLastEvent =>
-        // only the earliest-started match survives; everything else —
-        // including co-completing matches — is skipped past
-        emit(matches.head)
-        Vector.empty
-      case SkipToFirst(_) | SkipToLast(_) =>
-        // the earliest-started match is always emitted; the boundary it
-        // defines then prunes BOTH the co-completing matches that started
-        // before it (reference AfterMatchSkipStrategy.prune discards
-        // completed-but-unemitted matches too) and the open partials
-        emit(matches.head)
-        val (name, useFirst) = skip match {
-          case SkipToFirst(n) => (n, true)
-          case SkipToLast(n) => (n, false)
-          case _ => throw new MatchError(skip) // unreachable
-        }
-        val idx = names.indexOf(name)
-        val boundaryOpt = if (idx >= 0) {
-          val g = matches.head(idx)
-          if (g.nonEmpty) Some(if (useFirst) ts(g.head) else ts(g.last))
-          else None
-        } else None
-        boundaryOpt match {
-          case Some(boundary) =>
-            matches.tail.foreach { m =>
-              val startTs = m.flatten.headOption
-                .map(ts).getOrElse(Long.MinValue)
-              if (startTs >= boundary) emit(m)
+  /** Reference-exact after-match machinery
+    * (NFA.processMatchesAccordingToSkipStrategy): completed matches wait
+    * in a start-ordered queue and are emitted only when NO live partial
+    * started earlier (ties emit — the reference's `isEarlier` is <=);
+    * each emission prunes BOTH the open partials and the still-queued
+    * matches by the strategy's boundary (SkipPastLastEvent: start <= last
+    * event of the emitted match; SkipToFirst/Last: start < first/last
+    * event of the named step's group, no pruning when the group is
+    * empty). This deferral is observable: a match completed while an
+    * earlier-started partial is still live must NOT define a pruning
+    * boundary yet — if the earlier partial later completes, it emits
+    * first and may prune differently (AfterMatchSkipITCase
+    * testSkipBeforeOtherAlreadyCompleted). Shared by the library drivers
+    * (runSorted) and the planned CepExec. NoSkip bypasses the queue
+    * entirely (matches emit as they form — the allocation-free default).
+    */
+  final class SkipQueue[E](skip: AfterMatchSkip, names: Vector[String],
+      ts: E => Long) {
+    private var pending = Vector.empty[Vector[Vector[E]]] // sorted by start
+
+    private def startOf(m: Vector[Vector[E]]): Long =
+      m.flatten.headOption.map(ts).getOrElse(Long.MinValue)
+
+    def add(matches: Vector[Vector[Vector[E]]]): Unit =
+      if (matches.nonEmpty)
+        pending = (pending ++ matches).sortBy(startOf) // stable: ties keep
+          // creation order, the analog of the EventId sequence tiebreak
+
+    /** Restore a deferred match from streaming state. */
+    def restore(m: Vector[Vector[E]]): Unit = pending = pending :+ m
+
+    def isEmpty: Boolean = pending.isEmpty
+
+    /** Deferred matches still blocked by a live partial — persisted into
+      * streaming state as `completed` partials. */
+    def toState: Vector[Partial[E]] =
+      pending.map(m => Partial(startOf(m), m, runOpen = false,
+        completed = true))
+
+    /** Emit every queued match not blocked by a live partial, applying
+      * the strategy's pruning to partials and queue per emission; returns
+      * the surviving partials. */
+    def drain(partials: Vector[Partial[E]],
+        emit: Vector[Vector[E]] => Unit): Vector[Partial[E]] = {
+      var ps = partials
+      var minStart =
+        if (ps.isEmpty) Long.MaxValue else ps.iterator.map(_.startTs).min
+      while (pending.nonEmpty && startOf(pending.head) <= minStart) {
+        val m = pending.head
+        pending = pending.tail
+        emit(m)
+        skip match {
+          case SkipPastLastEvent =>
+            val boundary = m.flatten.iterator.map(ts).max
+            ps = ps.filter(_.startTs > boundary)
+            pending = pending.filter(startOf(_) > boundary)
+          case SkipToFirst(name) =>
+            val idx = names.indexOf(name)
+            val g = if (idx >= 0) m(idx) else Vector.empty
+            if (g.nonEmpty) {
+              val b = ts(g.head)
+              ps = ps.filter(_.startTs >= b)
+              pending = pending.filter(startOf(_) >= b)
             }
-            partials.filter(_.startTs >= boundary)
-          case None =>
-            matches.tail.foreach(emit)
-            partials
+          case SkipToLast(name) =>
+            val idx = names.indexOf(name)
+            val g = if (idx >= 0) m(idx) else Vector.empty
+            if (g.nonEmpty) {
+              val b = ts(g.last)
+              ps = ps.filter(_.startTs >= b)
+              pending = pending.filter(startOf(_) >= b)
+            }
+          case NoSkip => ()
         }
-      case NoSkip =>
-        matches.foreach(emit)
-        partials
+        minStart =
+          if (ps.isEmpty) Long.MaxValue else ps.iterator.map(_.startTs).min
+      }
+      ps
     }
+  }
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.Encoder
 
 case class Ev(user: Long, typ: String, ts: Long)
+case class PEv(user: Long, typ: String, ts: Long, price: Double)
 case class MatchOut(user: Long, startTs: Long, endTs: Long)
 
 class CepSpec extends SparkSuite {
@@ -352,5 +353,134 @@ class CepSpec extends SparkSuite {
       (m("as").map(_.ts), m("b").map(_.ts))
     }.collect().toSeq.sortBy(_._1.head)
     assert(gotFirst == Seq((Seq(1L, 2L, 3L), Seq(4L))))
+  }
+
+  // ---- round-6 ports: the REST of AfterMatchSkipITCase, including the
+  // deferred-emission semantics (a completed match waits while an
+  // earlier-started partial is live; emission prunes partials AND the
+  // queued matches) now implemented by Cep.SkipQueue.
+
+  private def skipMatches(p: Pattern[Ev], skip: Cep.AfterMatchSkip,
+      evs: Seq[Ev]): Seq[Seq[Long]] =
+    Cep.matchBatchGroups(evs.toDS(), (e: Ev) => e.user, (e: Ev) => e.ts,
+      p, skip) { (_, m) =>
+      p.steps.map(_.name).flatMap(n => m(n).map(_.ts))
+    }.collect().toSeq.map(_.toSeq).sortBy(_.headOption.getOrElse(0L))
+
+  test("port: NoSkip a{3} slides one (AfterMatchSkipITCase testSkipToNext)") {
+    val p = Pattern.begin[Ev]("start")(_.typ == "a").times(3)
+    val evs = (1 to 6).map(i => Ev(1, "a", i))
+    assert(skipMatches(p, Cep.NoSkip, evs).toSet ===
+      Set(Seq(1L, 2, 3), Seq(2L, 3, 4), Seq(3L, 4, 5), Seq(4L, 5, 6)))
+  }
+
+  test("port: SkipPastLastEvent a{3} tumbles (AfterMatchSkipITCase testSkipPastLast)") {
+    val p = Pattern.begin[Ev]("start")(_.typ == "a").times(3)
+    val evs = (1 to 6).map(i => Ev(1, "a", i))
+    assert(skipMatches(p, Cep.SkipPastLastEvent, evs).toSet ===
+      Set(Seq(1L, 2, 3), Seq(4L, 5, 6)))
+  }
+
+  test("port: SkipPastLastEvent over followedByAny branches (testSkipPastLast2)") {
+    // a fbAny b fbAny c fb d: d completes MANY co-matches; only the
+    // earliest (a1 b1 c1 d1) emits, everything else is skipped past
+    val p = Pattern.begin[Ev]("a")(_.typ.contains("a"))
+      .followedByAny("b")(_.typ.contains("b"))
+      .followedByAny("c")(_.typ.contains("c"))
+      .followedBy("d")(_.typ.contains("d"))
+    val evs = Seq(Ev(1, "a1", 1), Ev(1, "a2", 2), Ev(1, "b1", 3),
+      Ev(1, "b2", 4), Ev(1, "c1", 5), Ev(1, "c2", 6), Ev(1, "d1", 7),
+      Ev(1, "d2", 8))
+    assert(skipMatches(p, Cep.SkipPastLastEvent, evs) ===
+      Seq(Seq(1L, 3, 5, 7)))
+  }
+
+  test("port: SkipPastLastEvent with strict next (testSkipPastLast3)") {
+    val p = Pattern.begin[Ev]("a")(_.typ.contains("a"))
+      .next("b")(_.typ.contains("b"))
+    val evs = Seq(Ev(1, "a1", 1), Ev(1, "c", 2), Ev(1, "a2", 3),
+      Ev(1, "b2", 4))
+    assert(skipMatches(p, Cep.SkipPastLastEvent, evs) === Seq(Seq(3L, 4)))
+  }
+
+  test("port: SkipToFirst with an optional empty loop (testSkipToFirstWithOptionalMatch)") {
+    val p = Pattern.begin[Ev]("x")(_.typ.contains("x")).oneOrMore.optional
+      .next("b")(_.typ.contains("b"))
+      .next("c")(_.typ.contains("c"))
+    val evs = Seq(Ev(1, "ab1", 1), Ev(1, "c1", 2), Ev(1, "ab2", 3),
+      Ev(1, "c2", 4))
+    assert(skipMatches(p, Cep.SkipToFirst("b"), evs).toSet ===
+      Set(Seq(1L, 2), Seq(3L, 4)))
+  }
+
+  test("port: SkipToFirst at the start position (testSkipToFirstAtStartPosition)") {
+    val p = Pattern.begin[Ev]("b")(_.typ.contains("b"))
+      .next("c")(_.typ.contains("c"))
+    val evs = Seq(Ev(1, "ab1", 1), Ev(1, "c1", 2), Ev(1, "ab2", 3),
+      Ev(1, "c2", 4))
+    assert(skipMatches(p, Cep.SkipToFirst("b"), evs).toSet ===
+      Set(Seq(1L, 2), Seq(3L, 4)))
+  }
+
+  test("port: SkipToFirst/SkipToLast prune the open loop (testSkipTo*WithOneOrMore)") {
+    // a next b+ consecutive: emitting (a2, b2) prunes the still-open run,
+    // so (a2, b2, b3) never forms
+    val p = Pattern.begin[Ev]("a")(_.typ.contains("a"))
+      .next("b")(_.typ.contains("b")).oneOrMore
+    val evs = Seq(Ev(1, "a1", 1), Ev(1, "b1", 2), Ev(1, "a2", 3),
+      Ev(1, "b2", 4), Ev(1, "b3", 5), Ev(1, "a3", 6), Ev(1, "b4", 7))
+    val expected = Set(Seq(1L, 2), Seq(3L, 4), Seq(6L, 7))
+    assert(skipMatches(p, Cep.SkipToFirst("b"), evs).toSet === expected)
+    assert(skipMatches(p, Cep.SkipToLast("b"), evs).toSet === expected)
+  }
+
+  test("port: skip strategies on a leading greedy loop (testSkip*WithOneOrMoreAtBeginning)") {
+    val p = Pattern.begin[Ev]("a")(_.typ.contains("a")).oneOrMore
+      .next("b")(_.typ.contains("b"))
+    val evs = Seq(Ev(1, "a1", 1), Ev(1, "a2", 2), Ev(1, "a3", 3),
+      Ev(1, "b1", 4))
+    // NoSkip: every start's maximal run (docs example)
+    assert(skipMatches(p, Cep.NoSkip, evs).toSet ===
+      Set(Seq(1L, 2, 3, 4), Seq(2L, 3, 4), Seq(3L, 4)))
+    // skipPastLastEvent: only the earliest
+    assert(skipMatches(p, Cep.SkipPastLastEvent, evs) ===
+      Seq(Seq(1L, 2, 3, 4)))
+    // skipToLast("a"): boundary = a3 — {a2..} discarded, {a3, b1} kept
+    assert(skipMatches(p, Cep.SkipToLast("a"), evs).toSet ===
+      Set(Seq(1L, 2, 3, 4), Seq(3L, 4)))
+    // skipToFirst("a"): boundary = a1 — everything survives
+    assert(skipMatches(p, Cep.SkipToFirst("a"), evs).toSet ===
+      Set(Seq(1L, 2, 3, 4), Seq(2L, 3, 4), Seq(3L, 4)))
+  }
+
+  test("port: SkipToFirst discards by the named loop's first event (testSkipToFirstDiscarding)") {
+    val p = Pattern.begin[Ev]("ac")(e =>
+        e.typ.contains("a") || e.typ.contains("c"))
+      .followedBy("bc")(e => e.typ.contains("b") || e.typ.contains("c"))
+      .followedBy("cs")(_.typ.contains("c")).oneOrMore.relaxed
+      .followedBy("d")(_.typ.contains("d"))
+    val evs = Seq(Ev(1, "a", 1), Ev(1, "b", 2), Ev(1, "c1", 3),
+      Ev(1, "c2", 4), Ev(1, "c3", 5), Ev(1, "d", 6))
+    assert(skipMatches(p, Cep.SkipToFirst("cs"), evs).toSet ===
+      Set(Seq(1L, 2, 3, 4, 5, 6), Seq(3L, 4, 5, 6)))
+  }
+
+  test("port: deferred emission before an earlier live partial (testSkipBeforeOtherAlreadyCompleted)") {
+    // (a2 c2 b1) completes FIRST but the a1 chain is still live and
+    // started earlier, so its emission — and its pruning boundary — must
+    // wait; when (a1 c1 b2) completes it emits first and its boundary
+    // (c1) does not kill the queued (a2 c2 b1)
+    val p = Cep.Pattern.begin[PEv]("a")(_.typ.contains("a"))
+      .followedBy("c")(_.typ.contains("c"))
+      .followedByIter("b")((e, ctx) => e.typ.contains("b") &&
+        ctx("a").head.price == e.price)
+    val evs = Seq(PEv(1, "a1", 1, 0.0), PEv(1, "c1", 2, 0.0),
+      PEv(1, "a2", 3, 1.0), PEv(1, "c2", 4, 0.0), PEv(1, "b1", 5, 1.0),
+      PEv(1, "b2", 6, 0.0)).toDS()
+    val got = Cep.matchBatchGroups(evs, (e: PEv) => e.user,
+      (e: PEv) => e.ts, p, Cep.SkipToFirst("c")) { (_, m) =>
+      Seq("a", "c", "b").flatMap(n => m(n).map(_.ts))
+    }.collect().toSeq.map(_.toSeq).sortBy(_.head)
+    assert(got === Seq(Seq(1L, 2, 6), Seq(3L, 4, 5)))
   }
 }
