@@ -41,7 +41,8 @@ object Cep {
       untilPred: Option[E => Boolean] = None, allPrefixes: Boolean = false,
       relaxedReps: Boolean = false, combos: Boolean = false,
       ctxPred: Option[(E, Map[String, Seq[E]]) => Boolean] = None,
-      negNextOnly: Boolean = false, anyMatch: Boolean = false) {
+      negNextOnly: Boolean = false, anyMatch: Boolean = false,
+      untilCtxPred: Option[(E, Map[String, Seq[E]]) => Boolean] = None) {
     def looping: Boolean = maxReps > minReps || maxReps == Int.MaxValue
     /** Any repetition at all — times(n) included (looping excludes fixed
       * times(n), whose run length is exact). */
@@ -144,6 +145,16 @@ object Cep {
     def until(pred: E => Boolean): Pattern[E] = {
       require(steps.last.looping, "until requires a quantified step")
       new Pattern(steps.init :+ steps.last.copy(untilPred = Some(pred)),
+        withinMs, pendingNot, pendingNotNext)
+    }
+    /** ITERATIVE stop condition (IterativeCondition as until,
+      * UntilConditionITCase testIterativeUntilCondition*): the predicate
+      * also sees the events this BRANCH has matched so far per step, so
+      * different branches of the same scan can hit the stop at different
+      * events. */
+    def untilIter(pred: (E, Map[String, Seq[E]]) => Boolean): Pattern[E] = {
+      require(steps.last.looping, "untilIter requires a quantified step")
+      new Pattern(steps.init :+ steps.last.copy(untilCtxPred = Some(pred)),
         withinMs, pendingNot, pendingNotNext)
     }
     /** Reference-default (non-greedy) emission for the previous quantified
@@ -351,8 +362,11 @@ object Cep {
       val reps = p.groups.last.size
 
       // until stop-condition (checked before the loop predicate, as in the
-      // reference): closes the run; the event may still transition below
-      val untilHit = s.looping && s.untilPred.exists(_(e))
+      // reference): closes the run; the event may still transition below.
+      // Iterative untils see THIS branch's captured events, so the stop
+      // can fire per branch (testIterativeUntilConditionOneOrMore).
+      val untilHit = s.looping && (s.untilPred.exists(_(e)) ||
+        s.untilCtxPred.exists(_(e, ctxOf(p.groups))))
 
       // 1) greedily extend the current run. The two SAME-RUN forks
       // (stopped copy, combos skip) are deferred until after the
@@ -431,16 +445,22 @@ object Cep {
               // testGreedyUntilWithDummyEventsBeforeQuantifier): the
               // reference extends the take condition with not(until), so
               // the event is never captured; an optional loop commits
-              // past with an empty closed run, and the waiting source
-              // dies (its ignore edge is extended with not(until) too)
-              val entryUntil = sj.looping && sj.untilPred.exists(_(e))
+              // past with an empty closed run. Whether the WAITING SOURCE
+              // also dies depends on greediness: only greedy loops extend
+              // the ignore edge with not(until); a non-greedy
+              // (allPrefixes/combos) source keeps waiting and may take a
+              // post-until occurrence (UntilConditionITCase
+              // testUntilConditionFollowedByAnyOneOrMore: {c, a-after-
+              // breaking} is a match).
+              val entryUntil = sj.looping && (sj.untilPred.exists(_(e)) ||
+                sj.untilCtxPred.exists(_(e, ctxOf(p.groups))))
               if (entryUntil) {
                 if (sj.optional && j < lastIdx)
                   out += Partial(p.startTs,
                     p.groups ++ Vector.fill(j - p.stepIdx - 1)(
                       Vector.empty[E]) :+ Vector.empty[E],
                     runOpen = false)
-                untilKilled = true
+                if (!sj.allPrefixes && !sj.combos) untilKilled = true
               } else if (sj.eval(e, ctxOf(p.groups))) {
                 val g2 = p.groups ++
                   Vector.fill(j - p.stepIdx - 1)(Vector.empty[E]) :+ Vector(e)

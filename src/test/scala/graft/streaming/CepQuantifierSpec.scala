@@ -1082,6 +1082,131 @@ class CepQuantifierSpec extends SparkSuite {
     assert(survivors.isEmpty)
   }
 
+  // ---- the REST of UntilConditionITCase (the two consecutive cases were
+  // ported in round 5). Reference oneOrMore defaults = relaxed internal
+  // contiguity + allPrefixes emission; UNTIL_CONDITION = price == 5.0.
+
+  test("port: until + oneOrMore relaxed (UntilConditionITCase:58)") {
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").oneOrMore.relaxed.allPrefixes
+      .until(_.price == 5.0)
+      .followedBy("end")(_.price == 5.0)
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L,
+      RE(44, "a", 5.0) -> 6L, RE(45, "a", 6.0) -> 7L)))
+    assert(got.toSet === Set(Seq(40, 41, 42, 44), Seq(40, 41, 44)))
+  }
+
+  test("port: until + oneOrMore combinations (UntilConditionITCase:108)") {
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").oneOrMore.allowCombinations
+      .until(_.price == 5.0)
+      .followedBy("end")(_.price == 5.0)
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L,
+      RE(43, "a", 4.0) -> 5L, RE(44, "a", 5.0) -> 6L, RE(45, "a", 6.0) -> 7L)))
+    assert(got.toSet === Set(
+      Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 44),
+      Seq(40, 41, 43, 44), Seq(40, 41, 44)))
+  }
+
+  test("port: until + zeroOrMore relaxed (UntilConditionITCase:258)") {
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a")
+      .oneOrMore.relaxed.allPrefixes.optional
+      .until(_.price == 5.0)
+      .followedBy("end")(_.price == 5.0)
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L,
+      RE(44, "a", 5.0) -> 6L, RE(45, "a", 6.0) -> 7L)))
+    assert(got.toSet === Set(
+      Seq(40, 41, 42, 44), Seq(40, 41, 44), Seq(40, 44)))
+  }
+
+  test("port: until + zeroOrMore combinations (UntilConditionITCase:308)") {
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a")
+      .oneOrMore.allowCombinations.optional
+      .until(_.price == 5.0)
+      .followedBy("end")(_.price == 5.0)
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L,
+      RE(43, "a", 4.0) -> 5L, RE(44, "a", 5.0) -> 6L, RE(45, "a", 6.0) -> 7L)))
+    assert(got.toSet === Set(
+      Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 44),
+      Seq(40, 41, 43, 44), Seq(40, 41, 44), Seq(40, 44)))
+  }
+
+  test("port: until + zeroOrMore consecutive (UntilConditionITCase:360)") {
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").oneOrMore.allPrefixes.optional
+      .until(_.price == 5.0)
+      .followedBy("end")(_.price == 5.0)
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L,
+      RE(45, "a", 5.0) -> 7L, RE(46, "a", 6.0) -> 8L)))
+    assert(got.toSet === Set(
+      Seq(40, 41, 42, 45), Seq(40, 41, 45), Seq(40, 45)))
+  }
+
+  test("port: until on a FINAL followedByAny loop keeps the source alive (UntilConditionITCase:410)") {
+    // the anyMatch-kept source (c, waiting middle) survives the until
+    // event — only IN-LOOP branches die — so a45 after the breaking
+    // event still forms {c, 45}
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedByAny("middle")(_.name == "a").oneOrMore.relaxed.allPrefixes
+      .until(_.price == 5.0)
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L,
+      RE(44, "a", 5.0) -> 6L, RE(45, "a", 6.0) -> 7L)))
+    assert(got.toSet === Set(
+      Seq(40, 41, 42), Seq(40, 41), Seq(40, 42), Seq(40, 45)))
+  }
+
+  test("port: until on a FINAL followedByAny zeroOrMore loop (UntilConditionITCase:454)") {
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedByAny("middle")(_.name == "a")
+      .oneOrMore.relaxed.allPrefixes.optional
+      .until(_.price == 5.0)
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L,
+      RE(44, "a", 5.0) -> 6L, RE(45, "a", 6.0) -> 7L)))
+    assert(got.toSet === Set(
+      Seq(40, 41, 42), Seq(40, 41), Seq(40, 42), Seq(40, 45), Seq(40)))
+  }
+
+  test("port: until with an empty where (UntilConditionITCase:499)") {
+    // the loop has NO where: every event matches until the stop fires
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_ => true).oneOrMore.relaxed.allPrefixes
+      .until(_.price == 5.0)
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L,
+      RE(43, "d", 1.0) -> 5L, RE(44, "a", 5.0) -> 6L, RE(45, "a", 6.0) -> 7L)))
+    assert(got.toSet === Set(
+      Seq(40, 41, 42, 43), Seq(40, 41, 42), Seq(40, 41)))
+  }
+
+  test("port: ITERATIVE until (UntilConditionITCase testIterativeUntilCondition{One,Zero}OrMore)") {
+    // stop fires when the branch's captured middles sum to 6.0 — a
+    // per-branch stop condition over the branch context
+    def untilSum(e: RE, ctx: Map[String, Seq[RE]]): Boolean =
+      ctx("middle").map(_.price).sum == 6.0
+    val evs = Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L,
+      RE(43, "d", 1.0) -> 5L, RE(44, "a", 5.0) -> 6L, RE(45, "a", 6.0) -> 7L)
+    val one = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_ => true).oneOrMore.relaxed.allPrefixes
+      .untilIter(untilSum)
+    assert(flatIds(feed(one, evs)).toSet === Set(
+      Seq(40, 41, 42, 43), Seq(40, 41, 42), Seq(40, 41)))
+    val zero = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_ => true).oneOrMore.relaxed.allPrefixes.optional
+      .untilIter(untilSum)
+    assert(flatIds(feed(zero, evs)).toSet === Set(
+      Seq(40, 41, 42, 43), Seq(40, 41, 42), Seq(40, 41), Seq(40)))
+  }
+
   test("port: zero-or-more partials cleared at the window boundary (NFAITCase testZeroOrMoreClearingBuffer)") {
     val p = Pattern.begin[RE]("start")(_.name == "c")
       .followedBy("middle")(_.name == "a").oneOrMore.allowCombinations.optional
