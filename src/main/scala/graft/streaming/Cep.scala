@@ -357,7 +357,33 @@ object Cep {
     def padded(g: Vector[Vector[E]]): Vector[Vector[E]] =
       g ++ Vector.fill(pattern.steps.size - g.size)(Vector.empty[E])
 
-    alive.foreach { p =>
+    // A notFollowedBy/notNext guarding a branch's NEXT consuming step
+    // kills the branch on a banned event REGARDLESS of its loop state —
+    // the reference discards the WHOLE path when a stop state is reached
+    // (NFA.doProcess shouldDiscardPath), so a banned event also kills a
+    // not-yet-satisfied run that would otherwise gap-survive
+    // (NotPatternITCase testTimesWithNotFollowedBy). A ban guarding an
+    // OPTIONAL step additionally stays pending along the branch that
+    // committed PAST it without consuming (the skip-ε path), dying on the
+    // same events the unconsumed entry would have
+    // (testNotFollowedByBeforeOptional: no {a, d} match once b
+    // intervened, while the branch that took c has its ban released).
+    def nextBanned(p: Partial[E]): Boolean = {
+      val s = pattern.steps(p.stepIdx)
+      val immBan = p.stepIdx < lastIdx && {
+        val imm = pattern.steps(p.stepIdx + 1)
+        imm.negPred.exists(_(e)) && (!imm.negNextOnly || p.virgin)
+      }
+      def skipBan = s.optional && p.groups.last.isEmpty && !p.runOpen &&
+        s.negPred.exists(_(e)) && (!s.negNextOnly || p.virgin)
+      immBan || skipBan
+    }
+    val unbanned = // ban-free patterns skip the filter allocation
+      if (pattern.steps.exists(_.negPred.isDefined))
+        alive.filter(p => !nextBanned(p))
+      else alive
+
+    unbanned.foreach { p =>
       val s = pattern.steps(p.stepIdx)
       val reps = p.groups.last.size
 
@@ -428,11 +454,9 @@ object Cep {
       } else if (reps >= s.minReps || (s.optional && reps == 0 && !p.runOpen)) {
         if (p.stepIdx < lastIdx) {
           val immediate = pattern.steps(p.stepIdx + 1)
-          // notFollowedBy bans any time before the next step matches;
-          // notNext only bans the event immediately after entry/extension
-          val banned = immediate.negPred.exists(_(e)) &&
-            (!immediate.negNextOnly || p.virgin)
-          if (!banned) {
+          // negative conditions were applied by the `unbanned` pre-filter
+          // (the whole branch dies, not just this transition)
+          locally {
             // candidate targets: the next step plus anything reachable by
             // skipping optional steps (empty groups keep names aligned)
             var j = p.stepIdx + 1

@@ -1021,6 +1021,120 @@ class CepQuantifierSpec extends SparkSuite {
     assert(got.head(1).map(_.name) === Vector("b-1", "b-2", "b-3"))
   }
 
+  // ---- the REST of NotPatternITCase (testNotFollowedBy was ported in
+  // round 5). These pin the round-6 ban-hoist semantics: a banned event
+  // kills the whole branch (incl. not-yet-satisfied loop runs), and a
+  // ban before an OPTIONAL step stays pending along the skip path while
+  // the consuming path releases it.
+
+  test("port: notNext with followedByAny (NotPatternITCase testNotNext)") {
+    val p = Pattern.begin[RE]("start")(_.name == "a")
+      .notNext("not")(_.name == "b")
+      .followedByAny("middle")(_.name == "c")
+      .followedBy("end")(_.name == "d")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "a", 1.0) -> 1L, RE(41, "c", 2.0) -> 2L, RE(42, "b", 3.0) -> 3L,
+      RE(43, "c", 4.0) -> 4L, RE(44, "d", 4.0) -> 5L)))
+    assert(got.toSet === Set(Seq(40, 41, 44), Seq(40, 43, 44)))
+  }
+
+  test("port: notNext kills on the immediate event (NotPatternITCase testNotNextNoMatches)") {
+    val p = Pattern.begin[RE]("start")(_.name == "a")
+      .notNext("not")(_.name == "b")
+      .followedBy("middle")(_.name == "c")
+      .followedBy("end")(_.name == "d")
+    val got = feed(p, Seq(
+      RE(40, "a", 1.0) -> 1L, RE(42, "b", 3.0) -> 2L, RE(41, "c", 2.0) -> 3L,
+      RE(43, "c", 4.0) -> 4L, RE(44, "d", 4.0) -> 5L))
+    assert(got.isEmpty)
+  }
+
+  test("port: notFollowedBy before an optional step (NotPatternITCase testNotFollowedByBeforeOptional)") {
+    val p = Pattern.begin[RE]("start")(_.name == "a")
+      .notFollowedBy("not")(_.name == "b")
+      .followedByAny("middle")(_.name == "c").optional
+      .followedBy("end")(_.name == "d")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "a", 1.0) -> 1L, RE(41, "c", 2.0) -> 2L, RE(42, "b", 3.0) -> 3L,
+      RE(43, "c", 4.0) -> 4L, RE(44, "d", 4.0) -> 5L)))
+    // the skip path and the still-waiting source die at b; the branch
+    // that already took c1 has its ban released
+    assert(got.toSet === Set(Seq(40, 41, 44)))
+  }
+
+  test("port: notFollowedBy after times kills loop runs (NotPatternITCase testTimesWithNotFollowedBy)") {
+    val p = Pattern.begin[RE]("start")(_.name == "a")
+      .followedByAny("middle")(_.name == "b").times(2).relaxed
+      .notFollowedBy("not")(_.name == "c")
+      .followedBy("end")(_.name == "d")
+    val got = feed(p, Seq(
+      RE(40, "a", 1.0) -> 1L, RE(41, "b", 2.0) -> 2L, RE(42, "c", 3.0) -> 3L,
+      RE(43, "b", 4.0) -> 4L, RE(44, "d", 4.0) -> 5L))
+    // c kills the {b1} run before it can reach times(2) — no match
+    assert(got.isEmpty)
+  }
+
+  test("port: ban + skip-the-optional-times interplay (NotPatternITCase testIgnoreStateOfTimesWithNotFollowedBy)") {
+    val p = Pattern.begin[RE]("start")(_.name == "a")
+      .notFollowedBy("not")(_.name == "b")
+      .followedByAny("middle")(_.name == "c").times(2).relaxed.optional
+      .followedBy("end")(_.name == "d")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "a", 1.0) -> 1L, RE(45, "d", 6.0) -> 2L, RE(41, "e", 2.0) -> 3L,
+      RE(43, "b", 4.0) -> 4L, RE(42, "c", 3.0) -> 5L, RE(44, "c", 5.0) -> 6L,
+      RE(46, "d", 7.0) -> 7L)))
+    assert(got.toSet === Set(Seq(40, 45)))
+  }
+
+  test("port: notFollowedBy after times, late c (NotPatternITCase testTimesWithNotFollowedByAfter)") {
+    val p = Pattern.begin[RE]("start")(_.name == "a")
+      .followedByAny("middle")(_.name == "b").times(2).relaxed
+      .notFollowedBy("not")(_.name == "c")
+      .followedBy("end")(_.name == "d")
+    val got = feed(p, Seq(
+      RE(40, "a", 1.0) -> 1L, RE(45, "d", 7.0) -> 2L, RE(41, "e", 2.0) -> 3L,
+      RE(42, "b", 4.0) -> 4L, RE(43, "b", 5.0) -> 5L, RE(44, "c", 3.0) -> 6L,
+      RE(46, "d", 8.0) -> 7L))
+    // the satisfied {b1 b2} run dies at c before any d arrives
+    assert(got.isEmpty)
+  }
+
+  test("port: notFollowedBy before an optional FINAL step (NotPatternITCase testNotFollowedByBeforeOptionalAtTheEnd)") {
+    val p = Pattern.begin[RE]("start")(_.name == "a")
+      .notFollowedBy("not")(_.name == "b")
+      .followedByAny("end")(_.name == "c").optional
+    val got = flatIds(feed(p, Seq(
+      RE(40, "a", 1.0) -> 1L, RE(41, "c", 2.0) -> 2L, RE(42, "b", 3.0) -> 3L,
+      RE(43, "c", 4.0) -> 4L)))
+    // the zero-occurrence match {a} emits eagerly; c2 is unreachable
+    // once b killed the waiting source
+    assert(got.toSet === Set(Seq(40, 41), Seq(40)))
+  }
+
+  test("port: ban released by the consuming loop path (NotPatternITCase testNotFollowedByBeforeOptionalTimes)") {
+    val p = Pattern.begin[RE]("start")(_.name == "a")
+      .notFollowedBy("not")(_.name == "b")
+      .followedByAny("middle")(_.name == "c").times(2).relaxed.optional
+      .followedBy("end")(_.name == "d")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "a", 1.0) -> 1L, RE(41, "c", 2.0) -> 2L, RE(42, "b", 3.0) -> 3L,
+      RE(43, "c", 4.0) -> 4L, RE(44, "d", 4.0) -> 5L)))
+    // the in-loop branch {c1} gap-survives b (its ban was released on
+    // entry) and completes; skip path and waiting source die at b
+    assert(got.toSet === Set(Seq(40, 41, 43, 44)))
+  }
+
+  test("port: only the post-ban start survives (NotPatternITCase testNotFollowedByWithBranchingAtStart)") {
+    val p = Pattern.begin[RE]("start")(_.name == "a")
+      .notFollowedBy("not")(_.name == "b")
+      .followedBy("middle")(_.name == "c")
+      .followedBy("end")(_.name == "d")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "a", 1.0) -> 1L, RE(42, "b", 3.0) -> 2L, RE(41, "c", 2.0) -> 3L,
+      RE(41, "a", 4.0) -> 4L, RE(43, "c", 5.0) -> 5L, RE(43, "d", 6.0) -> 6L)))
+    assert(got.toSet === Set(Seq(41, 43, 43)))
+  }
+
   // ---- ClearingBuffer family (NFAITCase:2302-2483): after the within
   // horizon passes, NO partial state survives. The reference asserts
   // nfaState.getPartialMatches() holds only the perpetual start state;
