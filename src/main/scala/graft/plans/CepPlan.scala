@@ -34,7 +34,7 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * Supported subset: begin/next/followedBy + negative steps
   * (notFollowedBy/notNext before any non-head step) + within + the full
   * after-match matrix (NoSkip/SkipPastLastEvent/SkipToFirst/SkipToLast,
-  * via the SAME [[Cep.applySkip]] the library drivers run) — the planned
+  * via the SAME [[Cep.SkipQueue]] the library drivers run) — the planned
   * twin of the library NFA's non-quantified core; quantified steps stay
   * on the library path ([[GroupCepPlan]] plans quantified sub-groups).
   */
@@ -257,7 +257,7 @@ object CepPlan {
     *              `.notFollowedBy(..).followedBy(step)`. Not allowed on
     *              the head step (a pattern cannot begin with a negation).
     * @param skip after-match strategy, shared semantics with the library
-    *              drivers via [[Cep.applySkip]].
+    *              drivers via [[Cep.SkipQueue]].
     * @return one row per match: `key`, then every child column per step as
     *         `<step>_<col>` (first event of the step's group, null where a
     *         step matched nothing).

@@ -272,10 +272,19 @@ object GroupCepPlan {
   def matchGroupPattern(df: DataFrame, key: Column, ts: Column, tie: Column,
       elems: Seq[GSpec], withinMicros: Option[Long] = None): DataFrame = {
     require(elems.nonEmpty, "at least one pattern element")
-    require(!elems.head.isInstanceOf[GNotSpec],
-      "a pattern cannot begin with notFollowedBy/notNext")
-    require(!elems.last.isInstanceOf[GNotSpec],
-      "notFollowedBy/notNext must be followed by another pattern element")
+    // The head/last negation rules hold RECURSIVELY: a nested group whose
+    // elems end in a GNotSpec would have its pending negation silently
+    // dropped by buildSeq — the reference instead throws
+    // MalformedPatternException (Pattern.java notFollowedBy-terminal).
+    def validateSeq(es: Seq[GSpec]): Unit = {
+      require(es.nonEmpty, "empty pattern group")
+      require(!es.head.isInstanceOf[GNotSpec],
+        "a pattern (or group) cannot begin with notFollowedBy/notNext")
+      require(!es.last.isInstanceOf[GNotSpec],
+        "notFollowedBy/notNext must be followed by another pattern element")
+      es.foreach { case g: GGroupSpec => validateSeq(g.elems); case _ => () }
+    }
+    validateSeq(elems)
     val spark = df.sparkSession
     register(spark)
     val child = GraftSqlShim.analyzed(df)

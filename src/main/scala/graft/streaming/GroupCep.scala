@@ -116,11 +116,17 @@ object GroupCep {
     def within(ms: Long): GPattern[E] = new GPattern(elems, Some(ms))
 
     private[GroupCep] def validated: GPattern[E] = {
-      require(elems.nonEmpty, "empty pattern")
-      require(!elems.head.isInstanceOf[GNot[_]],
-        "a pattern cannot begin with notFollowedBy/notNext")
-      require(!elems.last.isInstanceOf[GNot[_]],
-        "notFollowedBy/notNext must be followed by another pattern element")
+      // recursive: a nested group ending in a negation would silently drop
+      // it in compilation — the reference throws MalformedPatternException
+      def validateSeq(es: Vector[GElem[E]]): Unit = {
+        require(es.nonEmpty, "empty pattern")
+        require(!es.head.isInstanceOf[GNot[_]],
+          "a pattern (or group) cannot begin with notFollowedBy/notNext")
+        require(!es.last.isInstanceOf[GNot[_]],
+          "notFollowedBy/notNext must be followed by another pattern element")
+        es.foreach { case g: GGroup[E] => validateSeq(g.elems); case _ => () }
+      }
+      validateSeq(elems)
       elems.last match {
         case g: GGroup[E] => require(!g.optional,
           "the final pattern element cannot be optional (nor times(0, n))")

@@ -15,11 +15,22 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *   ORDER BY ord[, tie]            -- timestamp or integral columns
   *   MEASURES m1 AS a1, ...         -- X.col | FIRST(X.col) | LAST(X.col)
   *                                  --   | COUNT(X.*)
+  *                                  -- bare X.col means LAST(X.col): SQL:2016
+  *                                  -- FINAL semantics for ONE ROW PER MATCH
   *   [ONE ROW PER MATCH]            -- the only supported mode
   *   [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
   *     | SKIP TO FIRST X | SKIP TO LAST X]
   *   PATTERN (A B* C{2,3} ...)      -- quantifiers ? * + {n} {n,m} {n,}
+  *                                  -- a flat variable sequence ONLY: nested
+  *                                  -- groups `(A B)+`, alternation `A|B`,
+  *                                  -- PERMUTE, anchors are REJECTED with
+  *                                  -- IllegalArgumentException (use the
+  *                                  -- [[GroupCep]] DSL for nested groups)
   *   [WITHIN INTERVAL 'n' SECOND|MINUTE|HOUR|DAY]
+  *                                  -- requires a TimestampType ORDER BY
+  *                                  -- column (wall-clock horizon); rejected
+  *                                  -- against integral orderings, whose
+  *                                  -- raw-unit scale is unknowable here
   *   DEFINE A AS <boolean sql expr>, ...   -- undefined variables = TRUE
   *
   * Semantics: pattern concatenation is STRICT row adjacency and
@@ -107,9 +118,22 @@ object MatchRecognize {
     val patternText = PatternRe.findFirstMatchIn(clause)
       .getOrElse(throw new IllegalArgumentException("PATTERN required"))
       .group(1)
+    // Reject anything the flat-sequence grammar can't express rather than
+    // silently misparsing it: PatternRe truncates at the first ')', so a
+    // nested group like ((A B)+ C) would otherwise quietly become 'A B',
+    // and TokenRe would quietly read 'A|B' as concatenation.
+    if (patternText.exists(c => c == '(' || c == '|'))
+      throw new IllegalArgumentException(
+        "unsupported PATTERN syntax (nested groups / alternation / PERMUTE " +
+          s"are not supported; use the GroupCep DSL): PATTERN ($patternText")
     val tokens = TokenRe.findAllMatchIn(patternText)
       .map(m => (m.group(1), Option(m.group(2)))).toVector
     require(tokens.nonEmpty, "PATTERN must name at least one variable")
+    val consumed = TokenRe.findAllMatchIn(patternText).map(_.matched)
+      .mkString.replaceAll("\\s", "")
+    if (consumed != patternText.replaceAll("\\s", ""))
+      throw new IllegalArgumentException(
+        s"unsupported PATTERN syntax (unparsed text remains): ($patternText)")
     val defines: Map[String, String] =
       DefineRe.findFirstMatchIn(clause).map(_.group(1)) match {
         case None => Map.empty
@@ -132,7 +156,8 @@ object MatchRecognize {
             case FirstLastRe(fl, v, c) =>
               PosMeasure(v, c, alias, last = fl.equalsIgnoreCase("LAST"))
             case CountRe(v) => CountMeasure(v, alias)
-            case ColRe(v, c) => PosMeasure(v, c, alias, last = false)
+            // SQL:2016 ONE ROW PER MATCH is FINAL: bare X.col = LAST(X.col)
+            case ColRe(v, c) => PosMeasure(v, c, alias, last = true)
             case other => throw new IllegalArgumentException(
               s"unsupported measure expression: $other")
           }
@@ -157,6 +182,13 @@ object MatchRecognize {
           case "DAY" => 86400L * 1000000
         })
       }
+
+    // WITHIN's interval converts to MICROSECONDS — only meaningful against
+    // a timestamp ordering; an integral ORDER BY has no wall-clock scale.
+    if (withinMicros.isDefined && df.schema(ordCol).dataType != TimestampType)
+      throw new IllegalArgumentException(
+        s"WITHIN requires a TimestampType ORDER BY column; '$ordCol' is " +
+          df.schema(ordCol).dataType.simpleString)
 
     // event-time long: timestamps in micros, integrals as-is
     def ordExpr(name: String): Column = df.schema(name).dataType match {

@@ -169,4 +169,31 @@ class GroupCepPlanSpec extends SparkSuite {
     // fresh window is over, the later p is irrelevant -> match
     assert(nextOnly === Set(2L, 3L))
   }
+
+  test("a nested group ending (or beginning) with a negation is rejected") {
+    // the reference throws MalformedPatternException for a sequence whose
+    // last element is notFollowedBy — recursively, not just at top level
+    val trailing = intercept[IllegalArgumentException] {
+      GroupCepPlan.matchGroupPattern(events,
+        key = col("user_id"), ts = col("ts"), tie = col("event_id"),
+        elems = Seq(
+          GLeafSpec("s", col("name") === "c"),
+          GGroupSpec(Seq(
+            GLeafSpec("a", col("name") === "a"),
+            GNotSpec("!p", col("name") === "p")), min = 1, max = 2),
+          GLeafSpec("e", col("name") === "d")))
+    }
+    assert(trailing.getMessage.contains("must be followed"))
+
+    val leading = intercept[IllegalArgumentException] {
+      GroupCepPlan.matchGroupPattern(events,
+        key = col("user_id"), ts = col("ts"), tie = col("event_id"),
+        elems = Seq(
+          GLeafSpec("s", col("name") === "c"),
+          GGroupSpec(Seq(
+            GNotSpec("!p", col("name") === "p"),
+            GLeafSpec("a", col("name") === "a")), min = 1, max = 2)))
+    }
+    assert(leading.getMessage.contains("cannot begin"))
+  }
 }

@@ -61,10 +61,14 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(got === Set((1L, 1L, 3L), (2L, 10L, 12L)))
   }
 
-  test("WITHIN prunes partials past the horizon") {
-    val got = MatchRecognize(events,
+  test("WITHIN prunes partials past the horizon (timestamp ordering)") {
+    import org.apache.spark.sql.functions.col
+    // ts longs are epoch seconds: user 1 view@10s..error@30s spans 20s,
+    // user 2's second view@20s reaches error@30s in 10s
+    val tsEvents = events.withColumn("tss", col("ts").cast("timestamp"))
+    val got = MatchRecognize(tsEvents,
       """PARTITION BY user_id
-        |ORDER BY ts, event_id
+        |ORDER BY tss, event_id
         |MEASURES V.event_id AS v_id, E.event_id AS e_id
         |PATTERN (V S* E)
         |WITHIN INTERVAL '15' SECOND
@@ -72,10 +76,58 @@ class MatchRecognizeSpec extends SparkSuite {
         |       S AS event_type <> 'error',
         |       E AS event_type = 'error'""".stripMargin)
       .as[(Long, Long, Long)].collect().toSet
-    // ts is integral (treated as raw longs): 15 SECOND = 15e6 — all fit;
-    // nothing pruned here, just the parse path. The timestamp-typed
-    // pruning runs in qc10 against the DuckDB oracle.
-    assert(got === Set((1L, 1L, 3L), (2L, 10L, 12L), (2L, 11L, 12L)))
+    // (1,1,3): 10s->30s = 20s >= 15s pruned; (2,10,12): 20s pruned;
+    // only (2,11,12): 10s < 15s survives
+    assert(got === Set((2L, 11L, 12L)))
+  }
+
+  test("WITHIN against an integral ORDER BY column is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      MatchRecognize(events,
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS v_id, E.event_id AS e_id
+          |PATTERN (V S* E)
+          |WITHIN INTERVAL '15' SECOND
+          |DEFINE V AS event_type = 'view',
+          |       E AS event_type = 'error'""".stripMargin)
+    }
+    assert(e.getMessage.contains("WITHIN requires a TimestampType"))
+  }
+
+  test("nested groups / alternation / PERMUTE in PATTERN are rejected") {
+    def pat(p: String): String =
+      s"""PARTITION BY user_id
+         |ORDER BY ts
+         |MEASURES A.event_id AS a_id
+         |PATTERN ($p)
+         |DEFINE A AS event_type = 'view'""".stripMargin
+    for (p <- Seq("A (B C){2} D", "(A B)+ C", "A|B", "PERMUTE(A, B)")) {
+      val e = intercept[IllegalArgumentException] {
+        MatchRecognize(events, pat(p))
+      }
+      assert(e.getMessage.contains("unsupported PATTERN syntax"), p)
+    }
+    // stray anchors / unconsumed operators are also rejected, not dropped
+    val e2 = intercept[IllegalArgumentException] {
+      MatchRecognize(events, pat("^A B$"))
+    }
+    assert(e2.getMessage.contains("unsupported PATTERN syntax"))
+  }
+
+  test("bare X.col measure is FINAL (LAST) for quantified variables") {
+    val df = Seq(
+      (1L, 10L, "error", 1L), (2L, 20L, "error", 1L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val got = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES E.event_id AS e_id, FIRST(E.event_id) AS first_id
+        |PATTERN (E{2})
+        |DEFINE E AS event_type = 'error'""".stripMargin)
+      .as[(Long, Long, Long)].collect().toSet
+    // bare E.event_id resolves to the LAST captured event (SQL FINAL)
+    assert(got === Set((1L, 2L, 1L)))
   }
 
   test("optional variable and undefined variable (always TRUE)") {
