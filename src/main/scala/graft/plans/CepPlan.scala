@@ -32,11 +32,13 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *    `Predicate.create`, not opaque lambdas behind an encoder boundary.
   *
   * Supported subset: begin/next/followedBy + negative steps
-  * (notFollowedBy/notNext before any non-head step) + within + the full
-  * after-match matrix (NoSkip/SkipPastLastEvent/SkipToFirst/SkipToLast,
-  * via the SAME [[Cep.SkipQueue]] the library drivers run) — the planned
-  * twin of the library NFA's non-quantified core; quantified steps stay
-  * on the library path ([[GroupCepPlan]] plans quantified sub-groups).
+  * (notFollowedBy/notNext before any non-head step, and TERMINAL — notNext
+  * always, notFollowedBy with within, via the SAME [[Cep.NegGate]] the
+  * library drivers run) + within + the full after-match matrix
+  * (NoSkip/SkipPastLastEvent/SkipToFirst/SkipToLast, via the SAME
+  * [[Cep.SkipQueue]] the library drivers run) — the planned twin of the
+  * library NFA's non-quantified core; quantified steps stay on the
+  * library path ([[GroupCepPlan]] plans quantified sub-groups).
   */
 object CepPlan {
 
@@ -51,6 +53,7 @@ object CepPlan {
       stepStrict: Seq[Boolean], negPreds: Seq[Option[Expression]],
       negNextOnly: Seq[Boolean], skip: Cep.AfterMatchSkip,
       withinMicros: Option[Long],
+      negLast: Option[Expression], negLastNextOnly: Boolean,
       outputAttrs: Seq[Attribute], child: LogicalPlan) extends UnaryNode {
     override def output: Seq[Attribute] = outputAttrs
     // the physical operator re-emits every child column per matched step,
@@ -68,6 +71,7 @@ object CepPlan {
       case p: CepMatchPlan =>
         CepExec(p.keyExpr, p.tsExpr, p.tieExpr, p.stepNames, p.stepPreds,
           p.stepStrict, p.negPreds, p.negNextOnly, p.skip, p.withinMicros,
+          p.negLast, p.negLastNextOnly,
           p.outputAttrs, planLater(p.child)) :: Nil
       case _ => Nil
     }
@@ -81,6 +85,7 @@ object CepPlan {
       stepStrict: Seq[Boolean], negPreds: Seq[Option[Expression]],
       negNextOnly: Seq[Boolean], skip: Cep.AfterMatchSkip,
       withinMicros: Option[Long],
+      negLast: Option[Expression], negLastNextOnly: Boolean,
       outputAttrs: Seq[Attribute], child: SparkPlan) extends UnaryExecNode {
 
     override def output: Seq[Attribute] = outputAttrs
@@ -103,6 +108,7 @@ object CepPlan {
       val (names, preds, strict, within) =
         (stepNames, stepPreds, stepStrict, withinMicros)
       val (negs, negNext, skipStrat) = (negPreds, negNextOnly, skip)
+      val (negL, negLNext) = (negLast, negLastNextOnly)
       val outTypes = outputAttrs.map(_.dataType).toArray
 
       child.execute().mapPartitions({ rows =>
@@ -114,6 +120,9 @@ object CepPlan {
         val negBound = negs.map(_.map { p =>
           val bp = Predicate.create(p, childOutput); bp.initialize(0); bp
         })
+        val negLastBound = negL.map { p =>
+          val bp = Predicate.create(p, childOutput); bp.initialize(0); bp
+        }
         var pat = Cep.Pattern.begin[InternalRow](names.head)(bound.head.eval)
         for (i <- 1 until nSteps) {
           negBound(i).foreach { nb =>
@@ -122,6 +131,12 @@ object CepPlan {
           }
           pat = if (strict(i)) pat.next(names(i))(bound(i).eval)
                 else pat.followedBy(names(i))(bound(i).eval)
+        }
+        // terminal negation (a ban guarding the Final transition) — run
+        // by the SAME Cep.NegGate the library drivers use
+        negLastBound.foreach { nb =>
+          pat = if (negLNext) pat.notNext("!end")(nb.eval)
+                else pat.notFollowedBy("!end")(nb.eval)
         }
         within.foreach(w => pat = pat.within(w))
         val pattern = pat
@@ -140,6 +155,26 @@ object CepPlan {
           // deferred-emission queue (reference skip semantics); fresh per
           // key run, null on the NoSkip fast path
           private var skipQ: Cep.SkipQueue[InternalRow] = null
+          // terminal-negation gate; fresh per key run, null when the
+          // pattern doesn't end in a negation
+          private var gate: Cep.NegGate[InternalRow] = null
+
+          // a confirmed match emits now (NoSkip) or joins the skip queue
+          private def feedMatch(m: Vector[Vector[InternalRow]]): Unit =
+            if (skipQ == null) emit(curKey, m) else skipQ.add(Vector(m))
+
+          // drain the skip queue with gate entries as live blockers,
+          // handing skip-pruning survivors back to the gate
+          private def drainQ(): Unit = if (skipQ != null) {
+            if (gate == null || gate.isEmpty)
+              partials = skipQ.drain(partials, m => emit(curKey, m))
+            else {
+              val merged = skipQ.drain(partials ++ gate.toState,
+                m => emit(curKey, m))
+              partials = merged.filterNot(_.negPending)
+              gate.prunedTo(merged)
+            }
+          }
 
           private def emit(key: Any, groups: Vector[Vector[InternalRow]]): Unit = {
             val vals = new Array[Any](1 + nSteps * nCols)
@@ -159,9 +194,11 @@ object CepPlan {
           }
 
           /** end-of-run flush: a satisfied greedy final run completes;
-            * end of the key's input then releases every deferred match
-            * (no live partial blocks emission any more). */
+            * the terminal-negation gate resolves (notFollowedBy confirms,
+            * notNext never can); end of the key's input then releases
+            * every deferred match (no live partial blocks any more). */
           private def flush(): Unit = {
+            if (gate != null) gate.flushEnd(feedMatch)
             if (lastLooping) partials.foreach { p =>
               if (p.stepIdx == lastIdx && p.runOpen &&
                 p.groups.last.size >= pattern.steps(lastIdx).minReps) {
@@ -212,15 +249,24 @@ object CepPlan {
                   if (skipStrat != Cep.NoSkip)
                     skipQ = new Cep.SkipQueue[InternalRow](
                       skipStrat, nameVec, tsOf)
+                  if (pattern.terminalNot.isDefined)
+                    gate = new Cep.NegGate[InternalRow](
+                      pattern.terminalNot.get, pattern.terminalNotNext,
+                      pattern.withinMs)
                 }
-                val (next, matches) =
-                  Cep.advance(pattern, partials, row, tsVal.asInstanceOf[Long])
+                val t = tsVal.asInstanceOf[Long]
+                if (gate != null) {
+                  // advanceTime: horizon-ripe entries confirm (nfb) or
+                  // drop (notNext); then the event decides the rest
+                  gate.onTime(t, feedMatch, (_, _) => ())
+                  gate.onEvent(row, feedMatch)
+                }
+                val (next, matches) = Cep.advance(pattern, partials, row, t)
                 partials = next
-                if (skipQ == null) matches.foreach(m => emit(curKey, m))
-                else {
-                  skipQ.add(matches)
-                  partials = skipQ.drain(partials, m => emit(curKey, m))
-                }
+                if (gate != null) gate.add(matches, t, tsOf)
+                else if (skipQ == null) matches.foreach(m => emit(curKey, m))
+                else skipQ.add(matches)
+                drainQ()
               }
             }
             if (queue.isEmpty && !rows.hasNext && haveKey) {
@@ -258,6 +304,13 @@ object CepPlan {
     *              the head step (a pattern cannot begin with a negation).
     * @param skip after-match strategy, shared semantics with the library
     *              drivers via [[Cep.SkipQueue]].
+    * @param notAtEnd TERMINAL negation — (banned predicate, nextOnly):
+    *              the pattern ends in notFollowedBy (nextOnly=false,
+    *              requires `withinMicros`: the match emits at the window
+    *              horizon if no banned event arrived — the funnel shape
+    *              "A not followed by B within w") or notNext (true: the
+    *              single next event decides). Same [[Cep.NegGate]]
+    *              semantics as the library drivers.
     * @return one row per match: `key`, then every child column per step as
     *         `<step>_<col>` (first event of the step's group, null where a
     *         step matched nothing).
@@ -266,10 +319,16 @@ object CepPlan {
       steps: Seq[(String, Column, Boolean)],
       withinMicros: Option[Long] = None,
       notBefore: Map[String, (Column, Boolean)] = Map.empty,
-      skip: Cep.AfterMatchSkip = Cep.NoSkip): DataFrame = {
+      skip: Cep.AfterMatchSkip = Cep.NoSkip,
+      notAtEnd: Option[(Column, Boolean)] = None): DataFrame = {
     require(steps.nonEmpty, "at least one pattern step")
     require(!notBefore.contains(steps.head._1),
       "a pattern cannot begin with notFollowedBy/notNext")
+    notAtEnd.foreach { case (_, nextOnly) =>
+      require(nextOnly || withinMicros.isDefined,
+        "NotFollowedBy is not supported as a last part of a Pattern! " +
+          "(without within)")
+    }
     val unknown = notBefore.keySet -- steps.map(_._1).toSet
     require(unknown.isEmpty, s"notBefore names unknown steps: $unknown")
     val spark = df.sparkSession
@@ -295,7 +354,8 @@ object CepPlan {
       steps.map(_._1), steps.map(s => resolve(s._2)), steps.map(_._3),
       steps.map(s => notBefore.get(s._1).map(n => resolve(n._1))),
       steps.map(s => notBefore.get(s._1).exists(_._2)), skip,
-      withinMicros, outAttrs, child))
+      withinMicros, notAtEnd.map(n => resolve(n._1)),
+      notAtEnd.exists(_._2), outAttrs, child))
   }
 }
 

@@ -90,15 +90,24 @@ object Cep {
       add(Step(name, _ => false, strict = false, ctxPred = Some(pred)))
     /** Negative condition (Pattern.notFollowedBy, Pattern.java:252): if a
       * matching event arrives before the NEXT declared step matches, the
-      * partial dies. Must be followed by another step (as in the
-      * reference, which forbids terminal notFollowedBy without within). */
+      * partial dies. As the FINAL pattern element it requires `within`
+      * (the reference NFACompiler.java:108 throws unconditionally —
+      * "NotFollowedBy is not supported as a last part of a Pattern!" —
+      * we extend it with the semantics later standardized in Flink 1.14
+      * / FLINK-23958): the match stays pending and emits when the window
+      * horizon passes without a banned event; a banned event inside the
+      * window kills it. Batch end-of-input emits all pending matches
+      * (time advances past every horizon). */
     def notFollowedBy(name: String)(pred: E => Boolean): Pattern[E] =
       new Pattern(steps, withinMs, Some(pred))
     /** Strict negative condition (Pattern.notNext, Pattern.java:238):
       * the partial dies only if the IMMEDIATELY next event (after the
       * previous step's latest match) matches `pred`; later matches are
-      * irrelevant. Must be followed by another step, like
-      * [[notFollowedBy]]. */
+      * irrelevant. As the FINAL element (NFACompiler.java:241: an IGNORE
+      * edge into Final guarded by !pred): the completed match waits for
+      * exactly one more event — banned kills it, anything else emits it;
+      * a match never followed by any event never emits (reference
+      * parity: NotPatternITCase testNotNextNoMatchesAtTheEnd). */
     def notNext(name: String)(pred: E => Boolean): Pattern[E] =
       new Pattern(steps, withinMs, Some(pred), pendingNotNext = true)
     /** The previous step becomes skippable (Pattern.optional,
@@ -238,9 +247,16 @@ object Cep {
     /** Partial matches older than `ms` (vs the current event) are pruned. */
     def within(ms: Long): Pattern[E] = new Pattern(steps, Some(ms), pendingNot, pendingNotNext)
 
+    /** Terminal negation, when the pattern ends in notFollowedBy/notNext
+      * (the banned predicate guarding the Final transition). */
+    private[graft] def terminalNot: Option[E => Boolean] = pendingNot
+    private[graft] def terminalNotNext: Boolean = pendingNotNext
+
     private[Cep] def validated: Pattern[E] = {
-      require(pendingNot.isEmpty,
-        "notFollowedBy must be followed by another pattern step")
+      require(pendingNot.isEmpty || pendingNotNext || withinMs.isDefined,
+        "NotFollowedBy is not supported as a last part of a Pattern! " +
+          "(without within(); with within() the match emits at the window " +
+          "horizon if no banned event arrived)")
       // Optional FINAL steps are supported (NFAITCase testEndWithOptional
       // / testEndWithZeroOrMore: the zero-occurrence match emits the
       // moment the preceding steps complete). The one untestable-against-
@@ -283,9 +299,16 @@ object Cep {
     * reference's NFAState.completedMatches queue) — it persists in
     * streaming state until no earlier-started partial is live, and is
     * never extended, expired, or advanced. */
+  /** `negPending`: like `completed`, not a live NFA state — a match that
+    * finished every consuming step of a pattern ENDING in a negation and
+    * now waits at the gate ([[NegGate]]): terminal notNext waits for the
+    * single next event, terminal notFollowedBy-with-within waits for the
+    * window horizon; a banned event kills it. Persisted in streaming
+    * state between micro-batches like `completed` entries. */
   final case class Partial[E](startTs: Long, groups: Vector[Vector[E]],
       runOpen: Boolean, virgin: Boolean = false,
-      proceedSpent: Boolean = false, completed: Boolean = false) {
+      proceedSpent: Boolean = false, completed: Boolean = false,
+      negPending: Boolean = false) {
     def stepIdx: Int = groups.size - 1
   }
 
@@ -765,22 +788,24 @@ object Cep {
       if (state.hasTimedOut) {
         val w = pattern.withinMs.get
         val wm = state.getCurrentWatermarkMs()
-        val (done, rest) = state.getOption.getOrElse(Vector.empty)
-          .partition(_.completed)
-        val (live, expired) = rest.partition(p => wm - p.startTs < w)
-        // expiring blockers may release deferred matches (skip queue)
+        // watermark advance inside runSorted: expired partials surface on
+        // the timeout channel, expiring blockers may release deferred
+        // matches (skip queue), and a terminal-notFollowedBy gate
+        // confirms entries whose horizon passed
         val (outs, remaining) = runSorted(k, Iterator.empty, ts, pattern,
-          live ++ done,
+          state.getOption.getOrElse(Vector.empty),
           (kk: K, groups: Map[String, Seq[E]]) =>
             finish(kk, groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap),
-          flushAtEnd = false, skip, tie)
+          flushAtEnd = false, skip, tie,
+          onExpired = (p: Partial[E], at: Long) => Some(timedOut(k, p, at)),
+          advanceTo = Some(wm))
         val liveStarts = remaining.filter(!_.completed).map(_.startTs)
         if (remaining.isEmpty) state.remove()
         else {
           state.update(remaining)
           state.setTimeoutTimestamp(liveStarts.min + w)
         }
-        (expired.map(p => timedOut(k, p, wm)) ++ outs).iterator
+        outs.iterator
       } else {
         val partials = state.getOption.getOrElse(Vector.empty)
         // onExpired feeds runSorted's own output buffer, so timeouts are
@@ -817,17 +842,19 @@ object Cep {
         val w = pattern.withinMs.get
         val wm = state.getCurrentWatermarkMs()
         // deferred completed matches never expire; expiring their
-        // blockers may release them (runSorted's restore-drain)
-        val kept = state.getOption.getOrElse(Vector.empty)
-          .filter(p => p.completed || wm - p.startTs < w)
+        // blockers may release them, and a terminal-notFollowedBy gate
+        // confirms entries whose horizon passed — all inside runSorted's
+        // watermark advance
         val (outs, remaining) = runSorted(k, Iterator.empty, ts, pattern,
-          kept, shapeFn, flushAtEnd = false, skip, tie)
+          state.getOption.getOrElse(Vector.empty),
+          shapeFn, flushAtEnd = false, skip, tie, advanceTo = Some(wm))
         val liveStarts = remaining.filter(!_.completed).map(_.startTs)
         if (remaining.isEmpty) state.remove()
         else {
           state.update(remaining)
           // completed-only residue is impossible: with no live partial
-          // the drain emits everything, so liveStarts is non-empty here
+          // or gate entry the drain emits everything, so liveStarts
+          // (which includes gate entries) is non-empty here
           state.setTimeoutTimestamp(liveStarts.min + w)
         }
         outs.iterator
@@ -856,7 +883,8 @@ object Cep {
       skip: AfterMatchSkip = NoSkip,
       tie: E => Long = (_: E) => 0L,
       onExpired: (Partial[E], Long) => Option[O] =
-        (_: Partial[E], _: Long) => None)
+        (_: Partial[E], _: Long) => None,
+      advanceTo: Option[Long] = None)
       : (Vector[O], Vector[Partial[E]]) = {
     val names = pattern.steps.map(_.name)
     def shape(m: Vector[Vector[E]]): O =
@@ -865,45 +893,87 @@ object Cep {
     // skip strategies run the reference's deferred-emission queue;
     // NoSkip stays on the allocation-free immediate path
     val sq = if (skip == NoSkip) null else new SkipQueue[E](skip, names, ts)
-    var partials = init
-    if (sq != null && init.exists(_.completed)) {
-      val (done, live) = init.partition(_.completed)
-      done.foreach(p => sq.restore(p.groups))
-      // a blocker may have expired between batches (the timeout path
-      // filters before calling in): release what this batch can already
-      partials = sq.drain(live, m => outs += shape(m))
+    // terminal negation runs the pending-emission gate; patterns without
+    // one stay on the gate-free path
+    val gate = pattern.terminalNot match {
+      case Some(p) => new NegGate[E](p, pattern.terminalNotNext,
+        pattern.withinMs)
+      case None => null
     }
+    var partials = init
+    if (gate != null && init.exists(_.negPending)) {
+      val (pend, live) = partials.partition(_.negPending)
+      pend.foreach(gate.restore)
+      partials = live
+    }
+    // a confirmed match emits immediately (NoSkip) or joins the skip queue
+    def feedMatch(m: Vector[Vector[E]]): Unit =
+      if (sq == null) outs += shape(m) else sq.add(Vector(m))
+    def expireCb(p: Partial[E], at: Long): Unit =
+      onExpired(p, at).foreach(outs += _)
+    // drain the skip queue; gate entries are live blockers and are pruned
+    // by emission boundaries like any partial
+    def drainSq(): Unit = if (sq != null) {
+      if (gate == null || gate.isEmpty)
+        partials = sq.drain(partials, m => outs += shape(m))
+      else {
+        val merged = sq.drain(partials ++ gate.toState,
+          m => outs += shape(m))
+        partials = merged.filterNot(_.negPending)
+        gate.prunedTo(merged)
+      }
+    }
+    // surface expired partials as time advances to `t`, and let the gate
+    // confirm/expire its pending entries at the same boundary
+    def timeAdvance(t: Long): Unit = {
+      if (gate != null) gate.onTime(t, feedMatch, expireCb)
+      pattern.withinMs.foreach { w =>
+        if (!partials.forall(p => t - p.startTs < w)) {
+          val (expired, kept) = partials.partition(p => t - p.startTs >= w)
+          expired.foreach(p => expireCb(p, t))
+          partials = kept
+        }
+      }
+    }
+    if (sq != null && partials.exists(_.completed)) {
+      val (done, live) = partials.partition(_.completed)
+      done.foreach(p => sq.restore(p.groups))
+      partials = live
+      // a blocker may have expired between batches: release what this
+      // batch can already
+      drainSq()
+    }
+    // watermark advance between batches (the streaming timeout path):
+    // prune/confirm before any event of this batch
+    advanceTo.foreach { t => timeAdvance(t); drainSq() }
     it.toVector.sortBy(e => (ts(e), tie(e))).foreach { e =>
       // advanceTime-before-process (NFA.advanceTime called per event in
       // the reference): surface expired partials before the transition.
       // Timeout outputs land in the SAME buffer as matches, so the two
       // channels interleave at their actual event-time positions.
-      pattern.withinMs.foreach { w =>
-        val t = ts(e)
-        if (!partials.forall(p => t - p.startTs < w)) {
-          val (expired, kept) = partials.partition(p => t - p.startTs >= w)
-          expired.foreach(p => onExpired(p, t).foreach(outs += _))
-          partials = kept
-        }
-      }
-      val (next, matches) = advance(pattern, partials, e, ts(e))
+      val t = ts(e)
+      timeAdvance(t)
+      // the event decides every pending gate entry before transitioning
+      if (gate != null) gate.onEvent(e, feedMatch)
+      val (next, matches) = advance(pattern, partials, e, t)
       partials = next
-      if (sq == null) matches.foreach(m => outs += shape(m))
-      else {
-        sq.add(matches)
-        // expiry above may also have unblocked earlier-queued matches
-        partials = sq.drain(partials, m => outs += shape(m))
-      }
+      if (gate != null) gate.add(matches, t, ts)
+      else if (sq == null) matches.foreach(m => outs += shape(m))
+      else sq.add(matches)
+      // expiry above may also have unblocked earlier-queued matches
+      drainSq()
     }
     // end-of-input needs no NFA flush: final-step loops emit every
     // satisfied length as it forms. Batch end kills open partials, which
     // releases every still-deferred match (pruning applies in order).
     if (flushAtEnd) {
+      if (gate != null) gate.flushEnd(feedMatch)
       partials = Vector.empty
       if (sq != null) sq.drain(Vector.empty, m => outs += shape(m))
-    } else if (sq != null && !sq.isEmpty) {
-      // streaming: still-blocked matches persist as completed partials
-      partials = partials ++ sq.toState
+    } else {
+      // streaming: still-blocked matches and gate-pending entries persist
+      if (sq != null && !sq.isEmpty) partials = partials ++ sq.toState
+      if (gate != null && !gate.isEmpty) partials = partials ++ gate.toState
     }
     (outs.result(), partials)
   }
@@ -987,5 +1057,85 @@ object Cep {
       }
       ps
     }
+  }
+
+  /** Terminal-negation gate: holds matches that completed every CONSUMING
+    * step of a pattern ending in notFollowedBy/notNext, pending the
+    * negation's verdict (the reference compiles terminal notNext to an
+    * IGNORE edge into Final guarded by !pred — NFACompiler.java:239-245;
+    * terminal notFollowedBy is our within-gated extension, matching the
+    * semantics Flink later standardized in 1.14 / FLINK-23958).
+    *
+    *  - notNext (`nextOnly`): the NEXT event decides every pending entry —
+    *    banned kills, anything else emits. An entry that never sees a
+    *    following event never emits; with `within`, an entry whose window
+    *    passes first expires like a partial (timeout channel).
+    *  - notFollowedBy: a banned event inside the window kills; the window
+    *    horizon passing emits. Batch end-of-input emits all pending.
+    *
+    * Entries count as LIVE partials for [[SkipQueue]] blocking/pruning
+    * (in the reference they are live computation states), so callers
+    * drain the queue over `partials ++ gate.toState` and hand the
+    * survivors back via [[prunedTo]]. Shared by the library drivers
+    * ([[matchBatchGroups]]/[[matchStream]]) and the planned
+    * [[graft.plans.CepPlan.CepExec]]. */
+  final class NegGate[E](ban: E => Boolean, nextOnly: Boolean,
+      withinMs: Option[Long]) {
+    private var pending = Vector.empty[Partial[E]]
+
+    def isEmpty: Boolean = pending.isEmpty
+
+    /** Restore a pending entry from streaming state. */
+    def restore(p: Partial[E]): Unit = pending = pending :+ p
+
+    /** Queue this round's completed matches; `at` is the current event
+      * time (start of an all-empty match, degenerate but total). */
+    def add(matches: Vector[Vector[Vector[E]]], at: Long,
+        ts: E => Long): Unit =
+      if (matches.nonEmpty)
+        pending = pending ++ matches.map { m =>
+          val start = m.iterator.flatten.buffered.headOption
+            .map(ts).getOrElse(at)
+          Partial(start, m, runOpen = false, negPending = true)
+        }
+
+    /** Time advances to `t` (a new event's time, or the watermark):
+      * notFollowedBy entries whose horizon passed emit via `confirm`;
+      * notNext entries whose window passed expire via `expire`. */
+    def onTime(t: Long, confirm: Vector[Vector[E]] => Unit,
+        expire: (Partial[E], Long) => Unit): Unit =
+      withinMs.foreach { w =>
+        if (!pending.forall(p => t - p.startTs < w)) {
+          val (ripe, rest) = pending.partition(p => t - p.startTs >= w)
+          pending = rest
+          if (nextOnly) ripe.foreach(p => expire(p, t))
+          else ripe.foreach(p => confirm(p.groups))
+        }
+      }
+
+    /** An event arrives (after [[onTime]], before the NFA transition):
+      * every pending entry predates it, so it decides them all. */
+    def onEvent(e: E, confirm: Vector[Vector[E]] => Unit): Unit =
+      if (pending.nonEmpty) {
+        if (ban(e)) pending = Vector.empty
+        else if (nextOnly) {
+          pending.foreach(p => confirm(p.groups))
+          pending = Vector.empty
+        } // notFollowedBy: unbanned events pass; the horizon decides
+      }
+
+    /** Batch end-of-input: time advances past every horizon with no more
+      * events — notFollowedBy entries emit, notNext entries never can. */
+    def flushEnd(confirm: Vector[Vector[E]] => Unit): Unit = {
+      if (!nextOnly) pending.foreach(p => confirm(p.groups))
+      pending = Vector.empty
+    }
+
+    /** Pending entries as state/skip-blocker rows. */
+    def toState: Vector[Partial[E]] = pending
+
+    /** Accept the survivors of a [[SkipQueue]] pruning pass. */
+    def prunedTo(survivors: Vector[Partial[E]]): Unit =
+      pending = survivors.filter(_.negPending)
   }
 }

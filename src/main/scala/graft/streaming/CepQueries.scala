@@ -156,6 +156,77 @@ object CepQueries extends QueryModule {
         .select(col("key").as("user_id"), col("view_ts").as("start_ts"),
           col("error_ts").as("end_ts"))
         .orderBy("user_id", "start_ts", "end_ts")
+    },
+
+    // TERMINAL negation — the single most common real CEP ask: "view NOT
+    // followed by purchase within 30 minutes" (an abandonment funnel).
+    // The pattern ENDS in notFollowedBy + within: the match waits at the
+    // Cep.NegGate and emits when the window horizon passes without a
+    // purchase (batch end-of-input = time past every horizon). The 1.6
+    // reference rejects this shape (NFACompiler.java:108); semantics
+    // follow what Flink later standardized (1.14 / FLINK-23958). Oracle:
+    // NOT EXISTS over the same (ts, event_id) total order.
+    q("qc12_cep_funnel",
+      """SELECT v.user_id, CAST(v.ts AS TIMESTAMP) AS view_ts
+        |FROM events v
+        |WHERE v.event_type = 'view'
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM events p
+        |    WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+        |      AND (CAST(p.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
+        |           OR (CAST(p.ts AS TIMESTAMP) = CAST(v.ts AS TIMESTAMP)
+        |               AND p.event_id > v.event_id))
+        |      AND CAST(p.ts AS TIMESTAMP)
+        |          < CAST(v.ts AS TIMESTAMP) + INTERVAL '30 minutes')
+        |ORDER BY v.user_id, view_ts""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, expr}
+      // relaxed contiguity: only the referenced types matter (qc1's
+      // pushdown argument); purchase must stay — it kills pending matches
+      val ds = t(s, d, "events")
+        .where("event_type IN ('view', 'purchase')")
+        .selectExpr("event_id", "unix_micros(ts) AS tsu", "user_id",
+          "CAST(event_type = 'view' AS INT) AS is_view")
+        .as[(Long, Long, Long, Int)]
+      type Row4 = (Long, Long, Long, Int)
+      val pattern = Cep.Pattern.begin[Row4]("view")(_._4 == 1)
+        .notFollowedBy("purchase")(_._4 == 0)
+        .within(30L * 60 * 1000 * 1000)
+      Cep.matchBatch(ds, (e: Row4) => e._3, (e: Row4) => e._2, pattern,
+        tie = (e: Row4) => e._1) { (u, m) =>
+        (u, m("view")._2)
+      }.toDF("user_id", "view_us")
+        .select(col("user_id"), expr("timestamp_micros(view_us)").as("view_ts"))
+        .orderBy("user_id", "view_ts")
+    },
+
+    // The same funnel through the PLANNED operator (CepExec runs the
+    // identical Cep.NegGate); shares qc12's oracle — two independent
+    // execution paths, one truth.
+    q("qc13_cep_funnel_planned",
+      """SELECT v.user_id, CAST(v.ts AS TIMESTAMP) AS view_ts
+        |FROM events v
+        |WHERE v.event_type = 'view'
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM events p
+        |    WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+        |      AND (CAST(p.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
+        |           OR (CAST(p.ts AS TIMESTAMP) = CAST(v.ts AS TIMESTAMP)
+        |               AND p.event_id > v.event_id))
+        |      AND CAST(p.ts AS TIMESTAMP)
+        |          < CAST(v.ts AS TIMESTAMP) + INTERVAL '30 minutes')
+        |ORDER BY v.user_id, view_ts""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      val ev = t(s, d, "events")
+        .where("event_type IN ('view', 'purchase')")
+        .selectExpr("event_id", "ts", "user_id", "event_type")
+      graft.plans.CepPlan.matchPattern(ev,
+          key = col("user_id"), ts = col("ts"), tie = col("event_id"),
+          steps = Seq(("view", col("event_type") === "view", false)),
+          withinMicros = Some(30L * 60 * 1000 * 1000),
+          notAtEnd = Some((col("event_type") === "purchase", false)))
+        .select(col("key").as("user_id"), col("view_ts"))
+        .orderBy("user_id", "view_ts")
     }
   )
 }

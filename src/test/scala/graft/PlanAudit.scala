@@ -48,6 +48,17 @@ object PlanAudit {
     check("qc3 exactly one sort below CepExec",
       below.count(_.contains("Sort [")) == 1)
 
+    // terminal-negation funnel through the planned path: same shape —
+    // the NegGate adds no data movement
+    val qc13 = plan("qc13_cep_funnel_planned")
+    val cep13 = qc13.linesIterator.indexWhere(_.contains("- Cep "))
+    val below13 = qc13.linesIterator.toVector.drop(cep13)
+    check("qc13 has a CepExec node", cep13 >= 0)
+    check("qc13 exactly one shuffle below CepExec",
+      below13.count(_.contains("Exchange hashpartitioning")) == 1)
+    check("qc13 exactly one sort below CepExec",
+      below13.count(_.contains("Sort [")) == 1)
+
     // frame sampling: scan should prune to the two referenced columns
     val qm2 = plan("qm2_frame_sample")
     check("qm2 scan reads only doc_id + text",

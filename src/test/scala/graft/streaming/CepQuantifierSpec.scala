@@ -1333,4 +1333,149 @@ class CepQuantifierSpec extends SparkSuite {
       Set(Seq(40, 44), Seq(40, 41, 44), Seq(40, 41, 42, 44)))
     assert(survivors.isEmpty)
   }
+
+  // ---- the negation × oneOrMore matrix (NotPatternITCase:661-1036,
+  // NotFollowByData fixture). The reference reuses ids across
+  // value-distinct events (B_2..B_6 are all id 42, prices differ); ids
+  // here are DISTINCT so expected lists read by event. Reference-default
+  // mapping as throughout: `.oneOrMore()` = ours
+  // `.oneOrMore.relaxed.allPrefixes`, `.oneOrMore().allowCombinations()`
+  // = ours `.oneOrMore.allowCombinations`.
+
+  private object NFD {
+    val A1 = RE(1, "a", 1.0)
+    val B1 = RE(2, "b", 2.0); val B2 = RE(3, "b", 3.0)
+    val B3 = RE(4, "b", 4.0)
+    val C1 = RE(5, "c", 5.0)
+    val B4 = RE(6, "b", 6.0); val B5 = RE(7, "b", 7.0)
+    val B6 = RE(8, "b", 8.0)
+    val D1 = RE(9, "d", 9.0)
+  }
+
+  private def notNextAfterOneOrMore(any: Boolean): Set[Seq[Int]] = {
+    import NFD._
+    val p0 = Pattern.begin[RE]("a")(_.name == "a")
+    val pb = if (any) p0.followedByAny("b*")(_.name == "b")
+             else p0.followedBy("b*")(_.name == "b")
+    val p = pb.oneOrMore.relaxed.allPrefixes
+      .notNext("not c")(_.name == "c")
+      .followedBy("d")(_.name == "d")
+    flatIds(feed(p, Seq(
+      A1 -> 0L, B1 -> 1L, C1 -> 2L, B2 -> 3L, D1 -> 4L))).toSet
+  }
+
+  test("port: notNext after oneOrMore, skip till next (NotPatternITCase testNotNextAfterOneOrMoreSkipTillNext)") {
+    // followedBy consumed B_1; C_1 is immediately next after it -> dies
+    assert(notNextAfterOneOrMore(any = false) === Set.empty[Seq[Int]])
+  }
+
+  test("port: notNext after oneOrMore, skip till any (NotPatternITCase testNotNextAfterOneOrMoreSkipTillAny)") {
+    // the still-waiting anyMatch source takes B_2, whose next event is D
+    assert(notNextAfterOneOrMore(any = true) === Set(Seq(1, 3, 9)))
+  }
+
+  private def notFollowedByAfterOneOrMore(eager: Boolean,
+      any: Boolean): Set[Seq[Int]] = {
+    import NFD._
+    val p0 = Pattern.begin[RE]("a")(_.name == "a")
+    val pb = if (any) p0.followedByAny("b*")(_.name == "b")
+             else p0.followedBy("b*")(_.name == "b")
+    val pl = if (eager) pb.oneOrMore.relaxed.allPrefixes
+             else pb.oneOrMore.allowCombinations
+    val p = pl.notFollowedBy("not c")(_.name == "c")
+      .followedBy("d")(_.name == "d")
+    flatIds(feed(p, Seq(
+      A1 -> 0L, B1 -> 1L, B2 -> 2L, B3 -> 3L, C1 -> 4L,
+      B4 -> 5L, B5 -> 6L, B6 -> 7L, D1 -> 8L))).toSet
+  }
+
+  test("port: notFollowedBy after oneOrMore eager, next entry (NotPatternITCase testNotFollowedByNextAfterOneOrMoreEager)") {
+    // the single consumed-at-B_1 branch family dies at C_1
+    assert(notFollowedByAfterOneOrMore(eager = true, any = false) ===
+      Set.empty[Seq[Int]])
+  }
+
+  test("port: notFollowedBy after oneOrMore eager, any entry (NotPatternITCase testNotFollowedByAnyAfterOneOrMoreEager)") {
+    // pre-C branches die; post-C contiguous runs complete at D
+    assert(notFollowedByAfterOneOrMore(eager = true, any = true) === Set(
+      Seq(1, 6, 7, 8, 9), Seq(1, 6, 7, 9), Seq(1, 6, 9),
+      Seq(1, 7, 8, 9), Seq(1, 7, 9), Seq(1, 8, 9)))
+  }
+
+  test("port: notFollowedBy after oneOrMore combinations, next entry (NotPatternITCase testNotFollowedByNextAfterOneOrMoreCombinations)") {
+    assert(notFollowedByAfterOneOrMore(eager = false, any = false) ===
+      Set.empty[Seq[Int]])
+  }
+
+  test("port: notFollowedBy after oneOrMore combinations, any entry (NotPatternITCase testNotFollowedByAnyAfterOneOrMoreCombinations)") {
+    assert(notFollowedByAfterOneOrMore(eager = false, any = true) === Set(
+      Seq(1, 6, 7, 8, 9), Seq(1, 6, 7, 9), Seq(1, 6, 8, 9), Seq(1, 6, 9),
+      Seq(1, 7, 8, 9), Seq(1, 7, 9), Seq(1, 8, 9)))
+  }
+
+  private def notFollowedByBeforeLoop(eager: Boolean, any: Boolean,
+      zeroOrMore: Boolean): Set[Seq[Int]] = {
+    import NFD._
+    val p0 = Pattern.begin[RE]("a")(_.name == "a")
+      .notFollowedBy("not c")(_.name == "c")
+    val pb = if (any) p0.followedByAny("b*")(_.name == "b")
+             else p0.followedBy("b*")(_.name == "b")
+    var pl = if (eager) pb.oneOrMore.relaxed.allPrefixes
+             else pb.oneOrMore.allowCombinations
+    if (zeroOrMore) pl = pl.optional
+    val p = pl.followedBy("d")(_.name == "d")
+    flatIds(feed(p, Seq(
+      A1 -> 0L, B1 -> 1L, C1 -> 2L,
+      B4 -> 3L, B5 -> 4L, B6 -> 5L, D1 -> 6L))).toSet
+  }
+
+  // the consuming path releases the ban at B_1 and gap-survives C_1;
+  // the skip path and the waiting source die at C_1 — every match
+  // includes B_1, none starts at B_4+ and there is no zero-run {A, D}
+  private val beforeLoopEager = Set(
+    Seq(1, 2, 6, 7, 8, 9), Seq(1, 2, 6, 7, 9), Seq(1, 2, 6, 9), Seq(1, 2, 9))
+  private val beforeLoopCombos = Set(
+    Seq(1, 2, 6, 7, 8, 9), Seq(1, 2, 6, 7, 9), Seq(1, 2, 6, 8, 9),
+    Seq(1, 2, 6, 9), Seq(1, 2, 7, 8, 9), Seq(1, 2, 7, 9), Seq(1, 2, 8, 9),
+    Seq(1, 2, 9))
+
+  test("port: notFollowedBy before oneOrMore eager (NotPatternITCase testNotFollowedByBeforeOneOrMoreEager)") {
+    assert(notFollowedByBeforeLoop(eager = true, any = false,
+      zeroOrMore = false) === beforeLoopEager)
+  }
+
+  test("port: notFollowedBy before oneOrMore any eager (NotPatternITCase testNotFollowedByAnyBeforeOneOrMoreEager)") {
+    assert(notFollowedByBeforeLoop(eager = true, any = true,
+      zeroOrMore = false) === beforeLoopEager)
+  }
+
+  test("port: notFollowedBy before oneOrMore combinations (NotPatternITCase testNotFollowedByBeforeOneOrMoreCombinations)") {
+    assert(notFollowedByBeforeLoop(eager = false, any = false,
+      zeroOrMore = false) === beforeLoopCombos)
+  }
+
+  test("port: notFollowedBy before oneOrMore any combinations (NotPatternITCase testNotFollowedByAnyBeforeOneOrMoreCombinations)") {
+    assert(notFollowedByBeforeLoop(eager = false, any = true,
+      zeroOrMore = false) === beforeLoopCombos)
+  }
+
+  test("port: notFollowedBy before zeroOrMore eager till-next (NotPatternITCase testNotFollowedByBeforeZeroOrMoreEagerSkipTillNext)") {
+    assert(notFollowedByBeforeLoop(eager = true, any = false,
+      zeroOrMore = true) === beforeLoopEager)
+  }
+
+  test("port: notFollowedBy before zeroOrMore combinations till-next (NotPatternITCase testNotFollowedByBeforeZeroOrMoreCombinationsSkipTillNext)") {
+    assert(notFollowedByBeforeLoop(eager = false, any = false,
+      zeroOrMore = true) === beforeLoopCombos)
+  }
+
+  test("port: notFollowedBy before zeroOrMore eager till-any (NotPatternITCase testNotFollowedByBeforeZeroOrMoreEagerSkipTillAny)") {
+    assert(notFollowedByBeforeLoop(eager = true, any = true,
+      zeroOrMore = true) === beforeLoopEager)
+  }
+
+  test("port: notFollowedBy before zeroOrMore combinations till-any (NotPatternITCase testNotFollowedByBeforeZeroOrMoreCombinationsSkipTillAny)") {
+    assert(notFollowedByBeforeLoop(eager = false, any = true,
+      zeroOrMore = true) === beforeLoopCombos)
+  }
 }
