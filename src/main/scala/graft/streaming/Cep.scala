@@ -835,9 +835,37 @@ object Cep {
       skip: AfterMatchSkip, tie: E => Long,
       finish: (K, Map[String, E]) => O):
       (K, Iterator[E], GroupState[Vector[Partial[E]]]) => Iterator[O] =
+    matchStreamGroupsFn(pattern, ts, skip, tie,
+      (kk: K, groups: Map[String, Seq[E]]) =>
+        finish(kk, groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap))
+
+  /** Like [[matchStream]] but exposing every matched event per step
+    * (PatternStream.flatSelect) — required for quantified steps. Same
+    * state model; the clause surface ([[MatchRecognize]]) routes
+    * streaming inputs here. */
+  def matchStreamGroups[K, E, O: Encoder](ds: Dataset[E], key: E => K,
+      ts: E => Long, pattern: Pattern[E],
+      skip: AfterMatchSkip = NoSkip,
+      tie: E => Long = (_: E) => 0L)(
+      finish: (K, Map[String, Seq[E]]) => O)(
+      implicit ke: Encoder[K],
+      se: Encoder[Vector[Partial[E]]]): Dataset[O] = {
+    pattern.validated
+    val timeoutConf =
+      if (pattern.withinMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(key).flatMapGroupsWithState[Vector[Partial[E]], O](
+      OutputMode.Append(), timeoutConf)(
+      matchStreamGroupsFn(pattern, ts, skip, tie, finish))
+  }
+
+  /** The per-key state-transition function behind [[matchStreamGroups]]
+    * (and, shaped to first-event maps, [[matchStreamFn]]). */
+  def matchStreamGroupsFn[K, E, O](pattern: Pattern[E], ts: E => Long,
+      skip: AfterMatchSkip, tie: E => Long,
+      shapeFn: (K, Map[String, Seq[E]]) => O):
+      (K, Iterator[E], GroupState[Vector[Partial[E]]]) => Iterator[O] =
     (k: K, it: Iterator[E], state: GroupState[Vector[Partial[E]]]) => {
-      val shapeFn = (kk: K, groups: Map[String, Seq[E]]) =>
-        finish(kk, groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap)
       if (state.hasTimedOut) {
         val w = pattern.withinMs.get
         val wm = state.getCurrentWatermarkMs()

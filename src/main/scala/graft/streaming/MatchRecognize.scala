@@ -51,6 +51,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   * planned operator ([[graft.plans.CepPlan]]) remains the
   * shuffle-elidable performance path; this is the SQL-text convenience
   * surface over the same NFA core.
+  *
+  * STREAMING inputs route the same parsed clause onto
+  * [[Cep.matchStreamGroups]]: partial matches persist in keyed state
+  * across micro-batches and complete whenever their events arrive.
+  * WITHIN requires a watermark on the ORDER BY column upstream
+  * (`df.withWatermark(ord, ...)`) — expired partials are then pruned by
+  * event-time timers even on idle keys. Event time runs in epoch MILLIS
+  * under streaming (the GroupState watermark/timer unit; batch uses
+  * parquet-precision micros), so same-millisecond ordering falls back
+  * to the tie column.
   */
 object MatchRecognize {
 
@@ -190,20 +200,31 @@ object MatchRecognize {
         s"WITHIN requires a TimestampType ORDER BY column; '$ordCol' is " +
           df.schema(ordCol).dataType.simpleString)
 
-    // event-time long: timestamps in micros, integrals as-is
+    // Event-time long: timestamps in MICROS for batch (full parquet
+    // precision, oracle-proven ordering) but MILLIS for streaming —
+    // GroupState watermarks and event-time timers are epoch millis, so
+    // the NFA's ts/within must share that unit (the matchStream
+    // contract). Sub-millisecond ordering within one key falls back to
+    // the tie column under streaming.
+    val streamingIn = df.isStreaming
     def ordExpr(name: String): Column = df.schema(name).dataType match {
-      case TimestampType => unix_micros(col(name))
+      case TimestampType =>
+        if (streamingIn) expr(s"unix_millis(`$name`)") else unix_micros(col(name))
       case _ => col(name).cast("long")
     }
+    val withinOrd: Option[Long] =
+      if (streamingIn) withinMicros.map(_ / 1000) else withinMicros
     val vars = tokens.map(_._1)
     def predCol(v: String): Column = defines.get(v) match {
       case Some(sqlText) =>
         coalesce(expr(sqlText).cast("boolean"), lit(false))
       case None => lit(true)
     }
-    // project to: measure-referenced columns + partition key + internals
-    val needed = (measures.collect { case PosMeasure(_, c, _, _) => c }
-      :+ partCol).distinct
+    // project to: measure-referenced columns + partition key + internals;
+    // under streaming ALSO the raw ORDER BY column — its watermark
+    // metadata must reach flatMapGroupsWithState for event-time timeouts
+    val needed = ((measures.collect { case PosMeasure(_, c, _, _) => c }
+      :+ partCol) ++ (if (streamingIn) Seq(ordCol) else Nil)).distinct
     val prepared = df
       .where(col(ordCol).isNotNull)
       .select(needed.map(col) ++
@@ -237,17 +258,33 @@ object MatchRecognize {
           }
       }
     }
-    withinMicros.foreach(w => pat = pat.within(w))
+    withinOrd.foreach(w => pat = pat.within(w))
 
     val outSchema = StructType(
       schema(keyIdx).copy(name = partCol) +: measures.map(_.field(schema)))
     val keyEnc = Encoders.row(StructType(Seq(schema(keyIdx))))
     val outEnc = Encoders.row(outSchema)
-    Cep.matchBatchGroups[Row, Row, Row](
-      prepared, (r: Row) => Row(r.get(keyIdx)),
-      (r: Row) => r.getLong(ordIdx), pat, skip,
-      tie = (r: Row) => r.getLong(tieIdx)) { (k, groups) =>
+    val keyFn = (r: Row) => Row(r.get(keyIdx))
+    val ordFn = (r: Row) => r.getLong(ordIdx)
+    val tieFn = (r: Row) => r.getLong(tieIdx)
+    val finish = (k: Row, groups: Map[String, Seq[Row]]) =>
       Row.fromSeq(k.get(0) +: measures.map(_.eval(groups, schema)))
-    }(outEnc, keyEnc)
+    if (df.isStreaming) {
+      // STREAMING: the same parsed clause compiles onto the streaming NFA
+      // drivers — partials persist in keyed state across micro-batches;
+      // WITHIN patterns require a watermark on the ORDER BY column
+      // upstream (`df.withWatermark(ord, ...)`) so idle keys' expired
+      // partials are pruned by event-time timers. State crosses batches
+      // as kryo-encoded Partial[Row] vectors (opaque binary, like any
+      // flatMapGroupsWithState state).
+      implicit val stateEnc: org.apache.spark.sql.Encoder[
+        Vector[Cep.Partial[Row]]] = Encoders.kryo[Vector[Cep.Partial[Row]]]
+      Cep.matchStreamGroups[Row, Row, Row](
+        prepared, keyFn, ordFn, pat, skip, tie = tieFn)(finish)(
+        outEnc, keyEnc, stateEnc)
+    } else
+      Cep.matchBatchGroups[Row, Row, Row](
+        prepared, keyFn, ordFn, pat, skip, tie = tieFn)(finish)(
+        outEnc, keyEnc)
   }
 }

@@ -153,4 +153,50 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(run("qc11_match_recognize_times").collect().toSeq ===
       run("qc4_cep_times_range").collect().toSeq)
   }
+
+  test("streaming MATCH_RECOGNIZE carries partials across micro-batches (qc10's clause)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.timestamp_seconds
+    implicit val sqlCtx = spark.sqlContext
+    val clause =
+      """PARTITION BY user_id
+        |ORDER BY tss, event_id
+        |MEASURES V.event_id AS v_id, E.event_id AS e_id
+        |PATTERN (V S* E)
+        |WITHIN INTERVAL '1' HOUR
+        |DEFINE V AS event_type = 'view',
+        |       S AS event_type <> 'error',
+        |       E AS event_type = 'error'""".stripMargin
+    // (event_id, secs, event_type, user_id) replayed over THREE batches:
+    // views arrive first, a mid-stream click next, errors only in the
+    // last batch — every match must complete from state
+    val b1 = Seq((1L, 10L, "view", 1L), (10L, 12L, "view", 2L))
+    val b2 = Seq((2L, 25L, "click", 1L), (11L, 26L, "view", 2L))
+    val b3 = Seq((3L, 35L, "error", 1L), (12L, 36L, "error", 2L))
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val streamDf = input.toDF()
+      .toDF("event_id", "secs", "event_type", "user_id")
+      .withColumn("tss", timestamp_seconds($"secs"))
+      .withWatermark("tss", "0 seconds")
+    val query = MatchRecognize(streamDf, clause)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mr_stream_out").start()
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      assert(spark.table("mr_stream_out").count() === 0)
+      input.addData(b2: _*); query.processAllAvailable()
+      assert(spark.table("mr_stream_out").count() === 0)
+      input.addData(b3: _*); query.processAllAvailable()
+      val streamed = spark.table("mr_stream_out")
+        .as[(Long, Long, Long)].collect().toSet
+      // identical clause over the identical rows in one batch
+      val batchDf = (b1 ++ b2 ++ b3)
+        .toDF("event_id", "secs", "event_type", "user_id")
+        .withColumn("tss", timestamp_seconds($"secs"))
+      val batch = MatchRecognize(batchDf, clause)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set((1L, 1L, 3L), (2L, 10L, 12L), (2L, 11L, 12L)))
+    } finally query.stop()
+  }
 }
