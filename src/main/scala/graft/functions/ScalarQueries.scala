@@ -318,6 +318,49 @@ object ScalarQueries extends QueryModule {
         .groupBy(col("l_returnflag"))
         .agg(expr("graft_kmv(pk)").as("approx_distinct"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Mergeable QUANTILE sketch (Udafs.KllAgg — the dashboard trio's
+    // third seat): per event_type, the sketch is the 64 rows with the
+    // smallest md5-60bit(event_id) hashes carrying their `value`s — a
+    // deterministic uniform sample whose membership is a pure function
+    // of the data, so the DuckDB oracle replicates it bit-for-bit (same
+    // hex-nibble hash, bottom-64 by hash, rank over the sample). Median
+    // and p90 are rank statistics of the sample; `value` is a raw
+    // 2-decimal data column, so the doubles compare exactly.
+    q("qs11_kll_quantiles",
+      """WITH h AS (SELECT event_type, value AS v,
+        |    list_aggregate(list_transform(generate_series(1, 15), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |          substr(md5(CAST(event_id AS VARCHAR)),
+        |            CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+        |        * (CAST(1 AS BIGINT) << CAST((15 - i) * 4 AS INTEGER))),
+        |      'sum') AS hv
+        |  FROM events),
+        |d AS (SELECT event_type, hv, MIN(v) AS v FROM h GROUP BY 1, 2),
+        |r AS (SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM d),
+        |s AS (SELECT event_type, v FROM r WHERE rn <= 64),
+        |o AS (SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM s)
+        |SELECT event_type,
+        |  MAX(CASE WHEN vr = (n + 1) // 2 THEN v END) AS median_est,
+        |  MAX(CASE WHEN vr = CAST(ceil(0.9 * n) AS BIGINT) THEN v END)
+        |    AS p90_est
+        |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+      graft.functions.Udafs.register(s)
+      t(s, d, "events")
+        .selectExpr("event_type", "CAST(event_id AS STRING) AS id", "value")
+        .groupBy(col("event_type"))
+        .agg(expr("graft_kll(id, value)").as("sample"))
+        .selectExpr("event_type",
+          "element_at(sample, int((size(sample) + 1) div 2)) AS median_est",
+          "element_at(sample, int(ceil(0.9 * size(sample)))) AS p90_est")
+        .orderBy(col("event_type"))
     }
   )
 }

@@ -123,17 +123,23 @@ object Udafs {
     * error ≈ 1/sqrt(k-2) (~13% at k=64). Bottom-k sketches additionally
     * support set operations (union = merge; intersection via the theta
     * framework), which register sketches cannot express exactly. */
+  /** The md5 60-bit prefix shared by the sketch UDAFs ([[KmvAgg]],
+    * [[KllAgg]]) and the MinHash/SimHash expressions — rendered
+    * bit-identically in DuckDB as a hex-nibble positional sum (qs10/qs11
+    * oracles). */
+  private[functions] def hash60(v: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(v.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    (h << 4) | ((d(7) & 0xF0L) >> 4)
+  }
+
   class KmvAgg(k: Int = 64) extends Aggregator[String, Array[Long], Long] {
     def zero: Array[Long] = Array.empty[Long]
 
-    private def hash60(v: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val d = md.digest(v.getBytes("UTF-8"))
-      var h = 0L
-      var i = 0
-      while (i < 7) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
-      (h << 4) | ((d(7) & 0xF0L) >> 4)
-    }
+    private def hash60(v: String): Long = Udafs.hash60(v)
 
     def reduce(buf: Array[Long], v: String): Array[Long] = {
       if (v == null) return buf
@@ -180,6 +186,97 @@ object Udafs {
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** Input row for [[KllAgg]]: a row-unique id (the sampling key) and
+    * the measured value. */
+  final case class KllIn(id: String, v: Double)
+
+  /** Mergeable QUANTILE sketch — the third seat in the 100 TB dashboard
+    * trio (distinct = [[HllAgg]]/[[KmvAgg]], quantile = this), filled by
+    * a deterministic bottom-k-by-hash ROW SAMPLE rather than a
+    * randomized KLL compactor. Construction: hash each row's unique id
+    * through the same md5 60-bit prefix as [[KmvAgg]]; the sketch is the
+    * k rows with the smallest hashes, carrying their values — a uniform
+    * sample whose membership is a pure function of the data. Merge =
+    * union-and-trim (commutative, associative, idempotent), so the
+    * sketch rolls up through ANY aggregation tree bit-identically;
+    * finish returns the sampled values ASCENDING, and rank r of n
+    * estimates quantile r/n with error O(1/sqrt(k)) (~12% rank error at
+    * k=64, the classic bottom-k sampling bound).
+    *
+    * Why not a true KLL (Karnin-Lang-Liberty 2016)? Its compactors are
+    * randomized AND order-dependent: the result varies with Spark's
+    * partial-aggregation merge order, which no cross-engine hash gate
+    * can verify. The hash-sample trades a constant factor of space for
+    * determinism — the same trade [[KmvAgg]] makes vs HLL — and is
+    * bit-replicable in DuckDB (qs11: hex-nibble hash, bottom-k by hash,
+    * rank over the sample). Hash ties (60-bit collisions) keep the
+    * smaller value, so both engines resolve them identically. */
+  class KllAgg(k: Int = 64)
+      extends Aggregator[KllIn, (Array[Long], Array[Double]), Array[Double]] {
+    def zero: (Array[Long], Array[Double]) =
+      (Array.empty[Long], Array.empty[Double])
+
+    def reduce(buf: (Array[Long], Array[Double]), in: KllIn):
+        (Array[Long], Array[Double]) = {
+      if (in == null || in.id == null) return buf
+      val (hs, vs) = buf
+      val h = hash60(in.id)
+      val i = java.util.Arrays.binarySearch(hs, h)
+      if (i >= 0) {
+        if (in.v < vs(i)) { // collision: keep the smaller value
+          val v2 = vs.clone(); v2(i) = in.v; (hs, v2)
+        } else buf
+      } else {
+        val at = -i - 1
+        if (at >= k) buf
+        else {
+          val n = math.min(hs.length + 1, k)
+          val h2 = new Array[Long](n); val v2 = new Array[Double](n)
+          System.arraycopy(hs, 0, h2, 0, at)
+          System.arraycopy(vs, 0, v2, 0, at)
+          h2(at) = h; v2(at) = in.v
+          System.arraycopy(hs, at, h2, at + 1, n - at - 1)
+          System.arraycopy(vs, at, v2, at + 1, n - at - 1)
+          (h2, v2)
+        }
+      }
+    }
+
+    def merge(x: (Array[Long], Array[Double]),
+        y: (Array[Long], Array[Double])): (Array[Long], Array[Double]) = {
+      if (x._1.isEmpty) return y
+      if (y._1.isEmpty) return x
+      val n = math.min(x._1.length + y._1.length, k)
+      val h2 = new Array[Long](n); val v2 = new Array[Double](n)
+      var (i, j, m) = (0, 0, 0)
+      while (m < n && (i < x._1.length || j < y._1.length)) {
+        // three-way: smaller hash first; equal hashes fuse to min value
+        if (j >= y._1.length ||
+          (i < x._1.length && x._1(i) < y._1(j))) {
+          h2(m) = x._1(i); v2(m) = x._2(i); i += 1; m += 1
+        } else if (i >= x._1.length || y._1(j) < x._1(i)) {
+          h2(m) = y._1(j); v2(m) = y._2(j); j += 1; m += 1
+        } else {
+          h2(m) = x._1(i); v2(m) = math.min(x._2(i), y._2(j))
+          i += 1; j += 1; m += 1
+        }
+      }
+      if (m == n) (h2, v2)
+      else (java.util.Arrays.copyOf(h2, m), java.util.Arrays.copyOf(v2, m))
+    }
+
+    def finish(buf: (Array[Long], Array[Double])): Array[Double] = {
+      val out = buf._2.clone()
+      java.util.Arrays.sort(out)
+      out
+    }
+
+    def bufferEncoder: Encoder[(Array[Long], Array[Double])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Register as SQL-callable UDAFs (TableEnvironment.registerFunction
     * equivalent). Idempotent per session — repeated calls (one per query
     * in Bench/Verify) would otherwise log a `replaced a previously
@@ -193,5 +290,7 @@ object Udafs {
       udaf(new WeightedAvgAgg, Encoders.product[WeightedIn]))
     spark.udf.register("graft_hll", udaf(new HllAgg, Encoders.STRING))
     spark.udf.register("graft_kmv", udaf(new KmvAgg, Encoders.STRING))
+    spark.udf.register("graft_kll",
+      udaf(new KllAgg, Encoders.product[KllIn]))
   }
 }

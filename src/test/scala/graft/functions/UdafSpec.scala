@@ -84,6 +84,44 @@ class UdafSpec extends SparkSuite {
     assert(agg.merge(s1.clone, s1).toSeq == s1.toSeq)
   }
 
+  test("KLL-seat quantile sample: rank error bound and partition-count invariance") {
+    Udafs.register(spark)
+    val n = 20000
+    val base = spark.range(n)
+      .selectExpr("CAST(id AS STRING) AS id", "CAST(id AS DOUBLE) AS v")
+    // identical sketch regardless of the aggregation tree: 1 partition,
+    // 8 partitions, 29 partitions — membership is a pure function of the
+    // data (the order-independence a randomized KLL cannot give)
+    val samples = Seq(1, 8, 29).map { p =>
+      base.repartition(p).agg(expr("graft_kll(id, v)"))
+        .as[Seq[Double]].head()
+    }
+    assert(samples(0) == samples(1) && samples(1) == samples(2))
+    // the sample median estimates the true median with ~1/sqrt(k) rank
+    // error (k=64 -> 12.5%; allow 5 sigma-ish: 40% of n)
+    val med = samples.head((samples.head.size + 1) / 2 - 1)
+    assert(math.abs(med - n / 2.0) / n < 0.4, s"median estimate $med")
+  }
+
+  test("KLL-seat sketches merge: union-and-trim equals the sketch of the union") {
+    val agg = new Udafs.KllAgg()
+    var s1 = agg.zero
+    var s2 = agg.zero
+    var sBoth = agg.zero
+    (0 until 3000).foreach { i =>
+      s1 = agg.reduce(s1, Udafs.KllIn(i.toString, i.toDouble)) }
+    (1500 until 4500).foreach { i =>
+      s2 = agg.reduce(s2, Udafs.KllIn(i.toString, i.toDouble)) }
+    (0 until 4500).foreach { i =>
+      sBoth = agg.reduce(sBoth, Udafs.KllIn(i.toString, i.toDouble)) }
+    val merged = agg.merge((s1._1.clone, s1._2.clone), s2)
+    assert(merged._1.toSeq == sBoth._1.toSeq)
+    assert(merged._2.toSeq == sBoth._2.toSeq)
+    assert(agg.finish(merged).toSeq == agg.finish(sBoth).toSeq)
+    // idempotent: overlapping shards collapse (0-3000 appears in both)
+    assert(agg.merge((s1._1.clone, s1._2.clone), s1)._1.toSeq == s1._1.toSeq)
+  }
+
   test("scalar UDF registration surface (ScalarFunction parity)") {
     spark.udf.register("graft_double_it", (x: Long) => x * 2)
     val got = spark.sql("SELECT graft_double_it(21)").as[Long].head()
