@@ -633,17 +633,14 @@ object Cep {
     // Matches with identical groups are one computation state too: the
     // stored skip-ε branch and the scan-through-optional path both
     // represent "loop skipped" and may complete on the same event.
-    // DIVERGENCE (documented, ENGINE.md §2.11): equality here is VALUE
-    // equality, while the reference's SharedBuffer keys on
-    // arrival-assigned EventIds — two value-identical events at the same
-    // timestamp are distinct computation states (and yield distinct,
-    // value-identical matches) there, one state here. A faithful port
-    // would thread an arrival sequence number through Partial.groups and
-    // every match vector; that is a per-event allocation on this hot
-    // path, bought for duplicate-event multiplicity that batch/SQL
-    // consumers observe as identical output rows. Note a caller-supplied
-    // `tie` cannot stand in for the EventId: it is a deterministic
-    // function of the event value, so value-equal events tie equally.
+    // Event identity: equality here is over whatever E is. The batch
+    // drivers feed arrival-TAGGED events by default (matchBatchGroups
+    // arrivalIds / liftPattern), so two value-identical events at one
+    // timestamp are distinct computation states — the reference's
+    // SharedBuffer EventId semantics, measured free (ENGINE.md §2.11,
+    // ArrivalIdsBench). Streaming drivers and the planned CepExec feed
+    // untagged events and keep value identity (scoped divergence,
+    // documented there).
     (dedupPartials(out.result()), dedupBy(matches.result())(m =>
       (m.size, m.last.size, m.head.size)))
   }
@@ -699,20 +696,73 @@ object Cep {
     }
 
   /** Like [[matchBatch]] but exposing every matched event per step —
-    * required for quantified steps (times/oneOrMore). */
+    * required for quantified steps (times/oneOrMore).
+    *
+    * `arrivalIds` (DEFAULT) runs the reference's EXACT event-identity
+    * semantics (SharedBuffer EventIds): each event is tagged with its
+    * arrival position in the key's sorted run before entering the NFA,
+    * so two VALUE-IDENTICAL events at one timestamp are distinct
+    * computation states and yield distinct (value-identical) matches —
+    * `arrivalIds = false` reverts to value identity, which dedups them
+    * to one. Measured at sf0.1 (ArrivalIdsBench, warm median-of-3,
+    * three sessions): the tag costs NOTHING — -21% to -0.1% vs value
+    * identity (the seq tag short-circuits dedup's deep equality), so
+    * parity is the default per the round-6 VERDICT's <10% rule. The
+    * streaming drivers keep value identity (a cross-batch arrival
+    * counter would have to live in state; divergence documented in
+    * ENGINE.md §2.11), as does the planned CepExec. */
   def matchBatchGroups[K, E, O: Encoder](ds: Dataset[E], key: E => K,
       ts: E => Long, pattern: Pattern[E],
       skip: AfterMatchSkip = NoSkip,
-      tie: E => Long = (_: E) => 0L)(
+      tie: E => Long = (_: E) => 0L,
+      arrivalIds: Boolean = true)(
       finish: (K, Map[String, Seq[E]]) => O)(
       implicit ke: Encoder[K]): Dataset[O] =
     {
       val pat = pattern.validated
-      ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
-        runSorted(k, it, ts, pat, Vector.empty, finish,
-          flushAtEnd = true, skip, tie)._1.iterator
+      if (!arrivalIds)
+        ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
+          runSorted(k, it, ts, pat, Vector.empty, finish,
+            flushAtEnd = true, skip, tie)._1.iterator
+        }
+      else {
+        val lifted = liftPattern(pat)
+        ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
+          // tag arrival ids in the key run's (ts, tie) order — the same
+          // order runSorted would sort into (its re-sort by (ts, seq) is
+          // then stable), mirroring the reference's per-arrival EventId
+          val wrapped = it.toVector.sortBy(e => (ts(e), tie(e)))
+            .zipWithIndex.map { case (e, i) => (e, i.toLong) }
+          runSorted[K, (E, Long), O](k, wrapped.iterator, w => ts(w._1),
+            lifted, Vector.empty,
+            (kk: K, groups: Map[String, Seq[(E, Long)]]) =>
+              finish(kk, groups.view.mapValues(_.map(_._1)).toMap),
+            flushAtEnd = true, skip, tie = _._2)._1.iterator
+        }
       }
     }
+
+  /** Lift a pattern over arrival-tagged events: every predicate reads
+    * through the wrapper; structural state dedup then keys on the tag,
+    * which IS the reference's EventId distinction. */
+  private def liftPattern[E](p: Pattern[E]): Pattern[(E, Long)] = {
+    val steps2 = p.steps.map { s =>
+      Step[(E, Long)](s.name, w => s.pred(w._1), s.strict,
+        s.minReps, s.maxReps,
+        s.negPred.map(np => (w: (E, Long)) => np(w._1)), s.optional,
+        s.untilPred.map(up => (w: (E, Long)) => up(w._1)), s.allPrefixes,
+        s.relaxedReps, s.combos,
+        s.ctxPred.map(cp => (w: (E, Long), ctx: Map[String, Seq[(E, Long)]]) =>
+          cp(w._1, ctx.view.mapValues(_.map(_._1)).toMap)),
+        s.negNextOnly, s.anyMatch,
+        s.untilCtxPred.map(cp =>
+          (w: (E, Long), ctx: Map[String, Seq[(E, Long)]]) =>
+            cp(w._1, ctx.view.mapValues(_.map(_._1)).toMap)))
+    }
+    new Pattern[(E, Long)](steps2, p.withinMs,
+      p.terminalNot.map(np => (w: (E, Long)) => np(w._1)),
+      p.terminalNotNext)
+  }
 
   /** Run a pattern over a streaming Dataset: partials persist in keyed
     * state across micro-batches; final greedy runs stay pending until a

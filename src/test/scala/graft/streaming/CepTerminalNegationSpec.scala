@@ -159,6 +159,36 @@ class CepTerminalNegationSpec extends SparkSuite {
     assert(h.advanceWatermarkTo(200L).isEmpty)
   }
 
+  test("arrivalIds: value-identical events at one timestamp are distinct states (SharedBuffer EventId parity)") {
+    // two bit-identical 'b' events: the reference's SharedBuffer assigns
+    // each an arrival EventId and emits TWO value-identical matches —
+    // the batch-driver DEFAULT since round 7; arrivalIds=false reverts
+    // to value identity, which collapses them to one
+    val events = Seq(
+      Ev(1, "a", 1), Ev(1, "b", 2), Ev(1, "b", 2), Ev(1, "c", 3))
+    val p = Pattern.begin[Ev]("s")(_.typ == "a")
+      .followedByAny("m")(_.typ == "b")
+      .followedBy("e")(_.typ == "c")
+    def run(ids: Boolean): Seq[Seq[Long]] =
+      Cep.matchBatchGroups(spark.createDataset(events), (e: Ev) => e.user,
+        (e: Ev) => e.ts, p, tie = (e: Ev) => e.ts, arrivalIds = ids) {
+        (_, groups) => groups.values.flatten.toSeq.sortBy(_.ts).map(_.ts)
+      }.collect().toSeq
+    assert(run(false) === Seq(Seq(1L, 2L, 3L)))
+    assert(run(true) === Seq(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)))
+    // distinct-valued events are unaffected by the mode
+    val distinctEvents = Seq(
+      Ev(2, "a", 1), Ev(2, "b", 2), Ev(2, "b", 3), Ev(2, "c", 4))
+    def run2(ids: Boolean): Set[Seq[Long]] =
+      Cep.matchBatchGroups(spark.createDataset(distinctEvents),
+        (e: Ev) => e.user, (e: Ev) => e.ts, p, tie = (e: Ev) => e.ts,
+        arrivalIds = ids) {
+        (_, groups) => groups.values.flatten.toSeq.sortBy(_.ts).map(_.ts)
+      }.collect().toSet
+    assert(run2(false) === run2(true))
+    assert(run2(true) === Set(Seq(1L, 2L, 4L), Seq(1L, 3L, 4L)))
+  }
+
   test("streaming: pending notNext crosses micro-batches and the next event decides") {
     val p = Pattern.begin[Ev]("s")(_.typ == "a")
       .followedBy("e")(_.typ == "d")
