@@ -20,12 +20,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *   [ONE ROW PER MATCH]            -- the only supported mode
   *   [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
   *     | SKIP TO FIRST X | SKIP TO LAST X]
-  *   PATTERN (A B* C{2,3} ...)      -- quantifiers ? * + {n} {n,m} {n,}
-  *                                  -- a flat variable sequence ONLY: nested
-  *                                  -- groups `(A B)+`, alternation `A|B`,
-  *                                  -- PERMUTE, anchors are REJECTED with
-  *                                  -- IllegalArgumentException (use the
-  *                                  -- [[GroupCep]] DSL for nested groups)
+  *   PATTERN (A (B C){2} D ...)     -- quantifiers ? * + {n} {n,m} {n,}
+  *                                  -- on variables AND parenthesized
+  *                                  -- sub-groups; a flat sequence runs
+  *                                  -- the linear NFA, nested groups
+  *                                  -- compile onto [[GroupCep]] (where
+  *                                  -- AFTER MATCH SKIP is rejected —
+  *                                  -- a linear-NFA surface); alternation
+  *                                  -- `A|B`, PERMUTE, anchors are
+  *                                  -- REJECTED with a clear error
   *   [WITHIN INTERVAL 'n' SECOND|MINUTE|HOUR|DAY]
   *                                  -- requires a TimestampType ORDER BY
   *                                  -- column (wall-clock horizon); rejected
@@ -93,14 +96,88 @@ object MatchRecognize {
     """(?is)MEASURES\s+(.*?)\s*(?:ONE\s+ROW\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN\s*\()""".r
   private val SkipRe =
     """(?is)AFTER\s+MATCH\s+SKIP\s+(?:(PAST\s+LAST\s+ROW)|(TO\s+NEXT\s+ROW)|TO\s+FIRST\s+(\w+)|TO\s+LAST\s+(\w+))""".r
-  private val PatternRe = """(?is)PATTERN\s*\(([^)]*)\)""".r
+  private val PatternStartRe = """(?is)PATTERN\s*\(""".r
   private val WithinRe =
     """(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)""".r
   private val DefineRe = """(?is)\bDEFINE\s+(.*)\z""".r
-  private val TokenRe = """(\w+)\s*(\*|\+|\?|\{\d+(?:,\d*)?\})?""".r
+  private val QuantRe = """\{\d+(,\d*)?\}""".r
   private val FirstLastRe = """(?is)(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)""".r
   private val CountRe = """(?is)COUNT\s*\(\s*(\w+)\.\*\s*\)""".r
   private val ColRe = """(?s)\s*(\w+)\.(\w+)\s*""".r
+
+  // ---- PATTERN grammar: element = (variable | '(' sequence ')') quant?
+  // Alternation, PERMUTE, anchors, exclusions are REJECTED with a clear
+  // error (silent misparse is the one wrong option); nested groups
+  // compile onto the GroupCep epsilon-NFA below.
+  private sealed trait PElem { def quant: Option[String] }
+  private final case class PVar(name: String, quant: Option[String])
+      extends PElem
+  private final case class PGrp(elems: Vector[PElem], quant: Option[String])
+      extends PElem
+
+  /** Balanced-paren PATTERN body (the old regex truncated at the first
+    * ')', which is what made nested groups silently misparse). */
+  private def patternBody(clause: String): String = {
+    val m = PatternStartRe.findFirstMatchIn(clause).getOrElse(
+      throw new IllegalArgumentException("PATTERN required"))
+    var depth = 1
+    var i = m.end
+    while (i < clause.length && depth > 0) {
+      clause(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    require(depth == 0, "unbalanced parentheses in PATTERN")
+    clause.substring(m.end, i - 1)
+  }
+
+  private def parsePattern(s: String): Vector[PElem] = {
+    var i = 0
+    def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def fail(what: String): Nothing = throw new IllegalArgumentException(
+      s"unsupported PATTERN syntax ($what) at '${s.substring(i)}' in ($s)")
+    def quant(): Option[String] = {
+      skipWs()
+      if (i >= s.length) None
+      else s(i) match {
+        case '?' | '*' | '+' => val q = s(i).toString; i += 1; Some(q)
+        case '{' =>
+          val j = s.indexOf('}', i)
+          if (j < 0) fail("unclosed quantifier")
+          val q = s.substring(i, j + 1)
+          if (!QuantRe.matches(q)) fail(s"bad quantifier $q")
+          i = j + 1
+          Some(q)
+        case _ => None
+      }
+    }
+    def sequence(): Vector[PElem] = {
+      val out = Vector.newBuilder[PElem]
+      skipWs()
+      while (i < s.length && s(i) != ')') {
+        if (s(i) == '(') {
+          i += 1
+          val inner = sequence()
+          if (i >= s.length || s(i) != ')') fail("unbalanced '('")
+          i += 1
+          if (inner.isEmpty) fail("empty group")
+          out += PGrp(inner, quant())
+        } else if (s(i).isLetterOrDigit || s(i) == '_') {
+          val start = i
+          while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+          out += PVar(s.substring(start, i), quant())
+        } else fail("alternation/PERMUTE/anchors are not supported")
+        skipWs()
+      }
+      out.result()
+    }
+    val r = sequence()
+    if (i < s.length) fail("unparsed text remains")
+    r
+  }
 
   /** Split on top-level commas (commas inside parens stay put). */
   private def splitTop(s: String): Seq[String] = {
@@ -125,25 +202,14 @@ object MatchRecognize {
     val om = OrderRe.findFirstMatchIn(clause)
       .getOrElse(throw new IllegalArgumentException("ORDER BY required"))
     val (ordCol, tieCol) = (om.group(1), Option(om.group(2)))
-    val patternText = PatternRe.findFirstMatchIn(clause)
-      .getOrElse(throw new IllegalArgumentException("PATTERN required"))
-      .group(1)
-    // Reject anything the flat-sequence grammar can't express rather than
-    // silently misparsing it: PatternRe truncates at the first ')', so a
-    // nested group like ((A B)+ C) would otherwise quietly become 'A B',
-    // and TokenRe would quietly read 'A|B' as concatenation.
-    if (patternText.exists(c => c == '(' || c == '|'))
-      throw new IllegalArgumentException(
-        "unsupported PATTERN syntax (nested groups / alternation / PERMUTE " +
-          s"are not supported; use the GroupCep DSL): PATTERN ($patternText")
-    val tokens = TokenRe.findAllMatchIn(patternText)
-      .map(m => (m.group(1), Option(m.group(2)))).toVector
-    require(tokens.nonEmpty, "PATTERN must name at least one variable")
-    val consumed = TokenRe.findAllMatchIn(patternText).map(_.matched)
-      .mkString.replaceAll("\\s", "")
-    if (consumed != patternText.replaceAll("\\s", ""))
-      throw new IllegalArgumentException(
-        s"unsupported PATTERN syntax (unparsed text remains): ($patternText)")
+    val patternText = patternBody(clause)
+    val elems = parsePattern(patternText)
+    require(elems.nonEmpty, "PATTERN must name at least one variable")
+    def leafNames(es: Seq[PElem]): Seq[String] = es.flatMap {
+      case PVar(n, _) => Seq(n)
+      case PGrp(in, _) => leafNames(in)
+    }
+    val nested = elems.exists(_.isInstanceOf[PGrp])
     val defines: Map[String, String] =
       DefineRe.findFirstMatchIn(clause).map(_.group(1)) match {
         case None => Map.empty
@@ -214,7 +280,9 @@ object MatchRecognize {
     }
     val withinOrd: Option[Long] =
       if (streamingIn) withinMicros.map(_ / 1000) else withinMicros
-    val vars = tokens.map(_._1)
+    val vars = leafNames(elems).toVector
+    require(vars.distinct.size == vars.size,
+      s"duplicate PATTERN variables: ${vars.mkString(", ")}")
     def predCol(v: String): Column = defines.get(v) match {
       case Some(sqlText) =>
         coalesce(expr(sqlText).cast("boolean"), lit(false))
@@ -241,24 +309,6 @@ object MatchRecognize {
       val i = varIdx(v)
       r => !r.isNullAt(i) && r.getBoolean(i)
     }
-    var pat: Cep.Pattern[Row] = null
-    tokens.foreach { case (v, quant) =>
-      pat = if (pat == null) Cep.Pattern.begin[Row](v)(pred(v))
-            else pat.next(v)(pred(v)) // SQL concatenation = strict adjacency
-      quant.foreach {
-        case "?" => pat = pat.optional
-        case "*" => pat = pat.oneOrMore.optional
-        case "+" => pat = pat.oneOrMore
-        case b if b.startsWith("{") =>
-          val inner = b.substring(1, b.length - 1)
-          inner.split(",", -1) match {
-            case Array(n) => pat = pat.times(n.toInt)
-            case Array(n, "") => pat = pat.timesOrMore(n.toInt)
-            case Array(n, m) => pat = pat.times(n.toInt, m.toInt)
-          }
-      }
-    }
-    withinOrd.foreach(w => pat = pat.within(w))
 
     val outSchema = StructType(
       schema(keyIdx).copy(name = partCol) +: measures.map(_.field(schema)))
@@ -269,22 +319,94 @@ object MatchRecognize {
     val tieFn = (r: Row) => r.getLong(tieIdx)
     val finish = (k: Row, groups: Map[String, Seq[Row]]) =>
       Row.fromSeq(k.get(0) +: measures.map(_.eval(groups, schema)))
-    if (df.isStreaming) {
-      // STREAMING: the same parsed clause compiles onto the streaming NFA
-      // drivers — partials persist in keyed state across micro-batches;
-      // WITHIN patterns require a watermark on the ORDER BY column
-      // upstream (`df.withWatermark(ord, ...)`) so idle keys' expired
-      // partials are pruned by event-time timers. State crosses batches
-      // as kryo-encoded Partial[Row] vectors (opaque binary, like any
-      // flatMapGroupsWithState state).
-      implicit val stateEnc: org.apache.spark.sql.Encoder[
-        Vector[Cep.Partial[Row]]] = Encoders.kryo[Vector[Cep.Partial[Row]]]
-      Cep.matchStreamGroups[Row, Row, Row](
-        prepared, keyFn, ordFn, pat, skip, tie = tieFn)(finish)(
-        outEnc, keyEnc, stateEnc)
-    } else
-      Cep.matchBatchGroups[Row, Row, Row](
-        prepared, keyFn, ordFn, pat, skip, tie = tieFn)(finish)(
-        outEnc, keyEnc)
+
+    if (!nested) {
+      // FLAT variable sequence: the linear Cep NFA (arrival-id parity,
+      // after-match skip, terminal negation — the full driver surface)
+      var pat: Cep.Pattern[Row] = null
+      elems.foreach { case e =>
+        val PVar(v, q) = (e: @unchecked)
+        pat = if (pat == null) Cep.Pattern.begin[Row](v)(pred(v))
+              else pat.next(v)(pred(v)) // SQL concatenation = strict adjacency
+        q.foreach {
+          case "?" => pat = pat.optional
+          case "*" => pat = pat.oneOrMore.optional
+          case "+" => pat = pat.oneOrMore
+          case b =>
+            b.substring(1, b.length - 1).split(",", -1) match {
+              case Array(n) => pat = pat.times(n.toInt)
+              case Array(n, "") => pat = pat.timesOrMore(n.toInt)
+              case Array(n, m) => pat = pat.times(n.toInt, m.toInt)
+            }
+        }
+      }
+      withinOrd.foreach(w => pat = pat.within(w))
+      if (df.isStreaming) {
+        // STREAMING: partials persist in keyed state across
+        // micro-batches; WITHIN patterns require a watermark on the
+        // ORDER BY column upstream (`df.withWatermark(ord, ...)`) so
+        // idle keys' expired partials are pruned by event-time timers.
+        // State crosses batches as kryo-encoded Partial[Row] vectors.
+        implicit val stateEnc: org.apache.spark.sql.Encoder[
+          Vector[Cep.Partial[Row]]] = Encoders.kryo[Vector[Cep.Partial[Row]]]
+        Cep.matchStreamGroups[Row, Row, Row](
+          prepared, keyFn, ordFn, pat, skip, tie = tieFn)(finish)(
+          outEnc, keyEnc, stateEnc)
+      } else
+        Cep.matchBatchGroups[Row, Row, Row](
+          prepared, keyFn, ordFn, pat, skip, tie = tieFn)(finish)(
+          outEnc, keyEnc)
+    } else {
+      // NESTED groups: compile onto the GroupCep epsilon-NFA (the same
+      // engine behind the reference's GroupPattern — GroupITCase 16/16).
+      // SQL adjacency is strict between siblings AND between the
+      // repetitions of a quantified element (consecutive). AFTER MATCH
+      // strategies other than the default are a linear-NFA surface.
+      require(skip == Cep.NoSkip,
+        "AFTER MATCH SKIP is not supported with nested PATTERN groups")
+      def applyQuant(gp: GroupCep.GPattern[Row],
+          q: String): GroupCep.GPattern[Row] = q match {
+        case "?" => gp.optional
+        case "*" => gp.oneOrMore.consecutive.optional
+        case "+" => gp.oneOrMore.consecutive
+        case b =>
+          b.substring(1, b.length - 1).split(",", -1) match {
+            case Array(n) => gp.times(n.toInt).consecutive
+            case Array(n, "") =>
+              gp.times(n.toInt, Int.MaxValue).consecutive
+            case Array(n, m) => gp.times(n.toInt, m.toInt).consecutive
+          }
+      }
+      def build(es: Vector[PElem],
+          init: GroupCep.GPattern[Row]): GroupCep.GPattern[Row] = {
+        var gp = init
+        es.foreach { e =>
+          gp = e match {
+            case PVar(v, _) =>
+              if (gp == null) GroupCep.GPattern.begin[Row](v)(pred(v))
+              else gp.next(v)(pred(v))
+            case PGrp(inner, _) =>
+              val sub = build(inner, null)
+              if (gp == null) GroupCep.GPattern.begin[Row](sub)
+              else gp.next(sub)
+          }
+          e.quant.foreach(q => gp = applyQuant(gp, q))
+        }
+        gp
+      }
+      var gp = build(elems, null)
+      withinOrd.foreach(w => gp = gp.within(w))
+      if (df.isStreaming) {
+        implicit val stateEnc: org.apache.spark.sql.Encoder[
+          Vector[GroupCep.GConf[Row]]] =
+          Encoders.kryo[Vector[GroupCep.GConf[Row]]]
+        GroupCep.matchStream[Row, Row, Row](
+          prepared, keyFn, ordFn, gp, tie = tieFn)(finish)(
+          outEnc, keyEnc, stateEnc)
+      } else
+        GroupCep.matchBatchGroups[Row, Row, Row](
+          prepared, keyFn, ordFn, gp, tie = tieFn)(finish)(
+          outEnc, keyEnc)
+    }
   }
 }

@@ -95,24 +95,99 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(e.getMessage.contains("WITHIN requires a TimestampType"))
   }
 
-  test("nested groups / alternation / PERMUTE in PATTERN are rejected") {
+  test("alternation / PERMUTE / anchors in PATTERN are rejected, never misparsed") {
     def pat(p: String): String =
       s"""PARTITION BY user_id
          |ORDER BY ts
          |MEASURES A.event_id AS a_id
          |PATTERN ($p)
          |DEFINE A AS event_type = 'view'""".stripMargin
-    for (p <- Seq("A (B C){2} D", "(A B)+ C", "A|B", "PERMUTE(A, B)")) {
+    for (p <- Seq("A|B", "PERMUTE(A, B)", "^A B$")) {
       val e = intercept[IllegalArgumentException] {
         MatchRecognize(events, pat(p))
       }
       assert(e.getMessage.contains("unsupported PATTERN syntax"), p)
     }
-    // stray anchors / unconsumed operators are also rejected, not dropped
-    val e2 = intercept[IllegalArgumentException] {
-      MatchRecognize(events, pat("^A B$"))
+  }
+
+  test("nested PATTERN groups compile onto the GroupCep epsilon-NFA") {
+    // (A (B C){2} D): exactly two strictly-adjacent (b c) repetitions
+    val df = Seq(
+      // user 1: a b c b c d -> one match, B captures both b's
+      (1L, 10L, "a", 1L), (2L, 20L, "b", 1L), (3L, 30L, "c", 1L),
+      (4L, 40L, "b", 1L), (5L, 50L, "c", 1L), (6L, 60L, "d", 1L),
+      // user 2: only one (b c) rep -> no match
+      (10L, 10L, "a", 2L), (11L, 20L, "b", 2L), (12L, 30L, "c", 2L),
+      (13L, 40L, "d", 2L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val got = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES FIRST(B.event_id) AS b1, LAST(C.event_id) AS c2,
+        |  COUNT(B.*) AS nb, D.event_id AS d_id
+        |PATTERN (A (B C){2} D)
+        |DEFINE A AS event_type = 'a', B AS event_type = 'b',
+        |       C AS event_type = 'c', D AS event_type = 'd'""".stripMargin)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 5L, 2L, 6L)))
+
+    // (A B)+ C: every completed repetition count reaching C emits
+    val df2 = Seq(
+      (1L, 10L, "a", 1L), (2L, 20L, "b", 1L),
+      (3L, 30L, "a", 1L), (4L, 40L, "b", 1L), (5L, 50L, "c", 1L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val got2 = MatchRecognize(df2,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES COUNT(A.*) AS na, C.event_id AS c_id
+        |PATTERN ((A B)+ C)
+        |DEFINE A AS event_type = 'a', B AS event_type = 'b',
+        |       C AS event_type = 'c'""".stripMargin)
+      .as[(Long, Long, Long)].collect().toSet
+    // start a@10: the rep-1 exit fork dies at a@30 (strict adjacency),
+    // the two-rep run completes at c. Start a@30 (all-starts default):
+    // one rep, c immediately next -> a second match with na=1
+    assert(got2 === Set((1L, 2L, 5L), (1L, 1L, 5L)))
+
+    // nested groups also stream: the GroupCep confs carry the open
+    // repetition across micro-batches
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Long, String, Long)]
+      val sdf = input.toDF().toDF("event_id", "ts", "event_type", "user_id")
+      val q = MatchRecognize(sdf,
+        """PARTITION BY user_id
+          |ORDER BY ts
+          |MEASURES COUNT(A.*) AS na, C.event_id AS c_id
+          |PATTERN ((A B)+ C)
+          |DEFINE A AS event_type = 'a', B AS event_type = 'b',
+          |       C AS event_type = 'c'""".stripMargin)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("mr_nested_out").start()
+      try {
+        input.addData((1L, 10L, "a", 1L), (2L, 20L, "b", 1L))
+        q.processAllAvailable()
+        assert(spark.table("mr_nested_out").count() === 0)
+        input.addData((3L, 30L, "c", 1L))
+        q.processAllAvailable()
+        assert(spark.table("mr_nested_out").as[(Long, Long, Long)]
+          .collect().toSet === Set((1L, 1L, 3L)))
+      } finally q.stop()
     }
-    assert(e2.getMessage.contains("unsupported PATTERN syntax"))
+
+    // AFTER MATCH SKIP with nested groups is a linear-NFA surface
+    val e = intercept[IllegalArgumentException] {
+      MatchRecognize(df2,
+        """PARTITION BY user_id
+          |ORDER BY ts
+          |MEASURES C.event_id AS c_id
+          |AFTER MATCH SKIP PAST LAST ROW
+          |PATTERN ((A B)+ C)
+          |DEFINE A AS event_type = 'a', B AS event_type = 'b',
+          |       C AS event_type = 'c'""".stripMargin)
+    }
+    assert(e.getMessage.contains("not supported with nested PATTERN groups"))
   }
 
   test("bare X.col measure is FINAL (LAST) for quantified variables") {
