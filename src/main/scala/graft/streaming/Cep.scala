@@ -285,14 +285,17 @@ object Cep {
     * (`groups.last` is the current step's run); `runOpen` marks whether
     * that run can still be extended (repetition contiguity is consecutive —
     * a non-matching event closes or kills the run). */
-  /** `proceedSpent`: the branch DECLINED an event that matched the next
-    * (SKIP_TILL_NEXT) step — under relaxed continuity the first element
-    * of the next step must be the first matching event after this run,
-    * so the branch keeps extension rights (combinations) but may never
-    * transition out with its current run (NFAITCase
-    * testMultipleTakesVersionCollision pins this: `m1 m2 m3 | m5` is not
-    * a valid split when m4 matched middle2 and was declined). Extending
-    * the run resets the right — the new run's first-after boundary moved.
+  /** `spentMask`: bit j set = while in its CURRENT position, this branch
+    * DECLINED an event that matched step j (a SKIP_TILL_NEXT step) —
+    * under relaxed continuity the first element of step j must be the
+    * first matching event after this position, so the branch may never
+    * take step j with its current run, while remaining eligible for
+    * OTHER steps (SameElementITCase testRepeatingPatternWSameElement:
+    * the loop-prefix fork that declined `end`'s first element still
+    * takes `middle2` later; NFAITCase testMultipleTakesVersionCollision:
+    * `m1 m2 m3 | m5` is not a valid split when m4 matched middle2 and
+    * was declined). Changing position — extending the run or
+    * transitioning — resets the mask: the first-after boundary moved.
     *
     * `completed`: the entry is not a live NFA state but a COMPLETED match
     * whose emission an after-match skip strategy has deferred (the
@@ -307,7 +310,7 @@ object Cep {
     * state between micro-batches like `completed` entries. */
   final case class Partial[E](startTs: Long, groups: Vector[Vector[E]],
       runOpen: Boolean, virgin: Boolean = false,
-      proceedSpent: Boolean = false, completed: Boolean = false,
+      spentMask: Long = 0L, completed: Boolean = false,
       negPending: Boolean = false) {
     def stepIdx: Int = groups.size - 1
   }
@@ -417,13 +420,15 @@ object Cep {
       val untilHit = s.looping && (s.untilPred.exists(_(e)) ||
         s.untilCtxPred.exists(_(e, ctxOf(p.groups))))
 
-      // 1) greedily extend the current run. The two SAME-RUN forks
-      // (stopped copy, combos skip) are deferred until after the
-      // transition scan: if this event also matched the next
-      // SKIP_TILL_NEXT step, those continuations decline its first
-      // element and lose their transition right (proceedSpent).
+      // 1) greedily extend the current run. The same-position forks
+      // (stopped copy, combos skip, optional-skip) are deferred until
+      // after the transition scan: if this event also matched a
+      // SKIP_TILL_NEXT step, those forks decline its first element and
+      // are barred from THAT step (spentMask) while staying eligible
+      // for others.
       var stoppedFork: Partial[E] = null
       var combosFork: Partial[E] = null
+      var skipForks: List[Partial[E]] = Nil
       val extended = !untilHit && p.runOpen && reps < s.maxReps &&
         s.eval(e, ctxOf(p.groups))
       if (extended) {
@@ -460,21 +465,17 @@ object Cep {
         // the scan so a SKIP_TILL_NEXT take can bar it
         if (s.combos)
           combosFork = Partial(p.startTs, p.groups, runOpen = true,
-            proceedSpent = p.proceedSpent)
+            spentMask = p.spentMask)
       }
-      var tookTillNext = false // next non-any step matched e this round
+      var matchedMask = 0L // non-any steps that matched e this round
 
       // 2) transition out of a satisfied run. An OPTIONAL step holding a
       // closed empty run is the "committed past it without consuming"
       // branch (created by the skip-fork below) — satisfied by
-      // definition. A proceedSpent branch skips this entirely: its only
-      // futures are extensions (which reset the right) or combo-gap
-      // survival below.
-      if (p.proceedSpent) {
-        if (!extended && s.multiRep && s.relaxedReps && p.runOpen &&
-          !untilHit && !s.eval(e, ctxOf(p.groups)))
-          out += p // gap event: barred run stays extendable
-      } else if (reps >= s.minReps || (s.optional && reps == 0 && !p.runOpen)) {
+      // definition. spentMask-barred steps are treated as non-matching
+      // for THIS branch (it declined their first element); other steps
+      // stay takeable.
+      if (reps >= s.minReps || (s.optional && reps == 0 && !p.runOpen)) {
         if (p.stepIdx < lastIdx) {
           val immediate = pattern.steps(p.stepIdx + 1)
           // negative conditions were applied by the `unbanned` pre-filter
@@ -508,7 +509,8 @@ object Cep {
                       Vector.empty[E]) :+ Vector.empty[E],
                     runOpen = false)
                 if (!sj.allPrefixes && !sj.combos) untilKilled = true
-              } else if (sj.eval(e, ctxOf(p.groups))) {
+              } else if ((p.spentMask >>> j & 1L) == 0 &&
+                  sj.eval(e, ctxOf(p.groups))) {
                 val g2 = p.groups ++
                   Vector.fill(j - p.stepIdx - 1)(Vector.empty[E]) :+ Vector(e)
                 val trailingOptional =
@@ -529,21 +531,30 @@ object Cep {
                     (j == lastIdx || trailingOpt(j))) matches += padded(g2)
                   out += Partial(p.startTs, g2, runOpen = true, virgin = true)
                 }
-                // entering an OPTIONAL step also forks the branch that
+                // Entering an OPTIONAL step also forks the branch that
                 // skips it entirely (committed past it, empty closed
-                // run) — the reference's proceed-ε edge. Suppressed for
+                // run) — the reference's proceed-ε edge, deferred so the
+                // scan's later matches can bar it (the fork declines
+                // everything e matched) ON TOP of the parent's inherited
+                // bars: a zero-consumption fork does not move the
+                // first-element boundary, so spentMask carries through
+                // (SameElementITCase testRepeatingPatternWSameElement:
+                // the skip-past-middle2 fork of an end-barred branch
+                // stays end-barred — no {c, end} matches — while
+                // testOptional's unbarred source forks a skip path that
+                // may take the following step later). Suppressed for
                 // greedy loops, whose non-consuming branch must die once
                 // the loop could consume (GreedyITCase contract);
                 // allPrefixes/combos loops are non-greedy and keep it.
                 // Also suppressed when the NEXT step is STRICT: the
                 // proceed-ε must take that step on THIS event (the scan
-                // below already tries it) or die — a stored fork would
-                // wrongly treat a LATER event as "immediately next"
-                // (pinned by MatchRecognizeSpec's A M? B-strict case).
+                // already tries it) or die — a stored fork would wrongly
+                // treat a LATER event as "immediately next" (pinned by
+                // MatchRecognizeSpec's A M? B-strict case).
                 if (sj.optional &&
                   (!sj.looping || sj.allPrefixes || sj.combos) &&
                   j < lastIdx && !pattern.steps(j + 1).strict)
-                  out += Partial(p.startTs,
+                  skipForks ::= Partial(p.startTs,
                     p.groups ++ Vector.fill(j - p.stepIdx - 1)(
                       Vector.empty[E]) :+ Vector.empty[E],
                     runOpen = false)
@@ -551,7 +562,7 @@ object Cep {
                 // later occurrences of this step as well
                 if (sj.anyMatch)
                   out += (if (p.virgin) p.copy(virgin = false) else p)
-                else tookTillNext = true // TILL_NEXT: first element taken
+                else matchedMask |= 1L << j // TILL_NEXT: first element taken
                 transitioned = true
               }
               scanning = sj.optional
@@ -561,11 +572,11 @@ object Cep {
               if (s.multiRep && s.relaxedReps && p.runOpen && !untilHit) {
                 // relaxed repetition contiguity: the gap event is skipped
                 // and the run stays extendable (reference default mode)
-                out += Partial(p.startTs, p.groups, runOpen = true)
+                out += p.copy(runOpen = true, virgin = false)
               } else if (!immediate.strict) {
                 // relaxed next step: keep waiting with the run closed
                 // (greedy: only when this event didn't extend the run)
-                out += Partial(p.startTs, p.groups, runOpen = false)
+                out += p.copy(runOpen = false, virgin = false)
               } // strict next step, no match: partial dies
             } // untilKilled: the waiting branch dies at the until event
           } // banned: partial dies (notFollowedBy)
@@ -580,7 +591,7 @@ object Cep {
           // length was already emitted when it formed (eager
           // proceed-to-Final above)
         }
-      } else if (!p.proceedSpent && !extended && s.multiRep &&
+      } else if (!extended && s.multiRep &&
         s.relaxedReps && p.runOpen && !untilHit &&
         !s.eval(e, ctxOf(p.groups))) {
         // relaxed gap inside a not-yet-satisfied run
@@ -589,12 +600,19 @@ object Cep {
       // otherwise: run not yet satisfied and the event didn't extend it —
       // partial dies (consecutive repetition contiguity, the DSL default)
 
-      // deferred same-run forks: barred if a TILL_NEXT step took this
-      // event (the fork declines the next step's mandatory first element)
-      if (stoppedFork != null && !tookTillNext) out += stoppedFork
+      // deferred same-position forks: each declines e, so each is barred
+      // from exactly the TILL_NEXT steps e matched (plus inherited bars)
+      val forkMask = p.spentMask | matchedMask
+      if (stoppedFork != null)
+        out += (if (forkMask != 0) stoppedFork.copy(spentMask = forkMask)
+                else stoppedFork)
       if (combosFork != null)
-        out += (if (tookTillNext) combosFork.copy(proceedSpent = true)
+        out += (if (matchedMask != 0)
+                  combosFork.copy(spentMask = forkMask)
                 else combosFork)
+      skipForks.foreach { f =>
+        out += (if (forkMask != 0) f.copy(spentMask = forkMask) else f)
+      }
     }
 
     // 3) every matching event also opens a fresh partial (noSkip) — at
@@ -648,7 +666,7 @@ object Cep {
   /** Order-preserving structural dedup for [[advance]]'s survivors. */
   private def dedupPartials[E](xs: Vector[Partial[E]]): Vector[Partial[E]] =
     dedupBy(xs)(p => (p.startTs, p.groups.size, p.groups.last.size,
-      p.runOpen, p.virgin, p.proceedSpent))
+      p.runOpen, p.virgin, p.spentMask))
 
   /** Cheap-key-first order-preserving dedup: hash only `cheap(x)`, deep
     * equality solely within same-key buckets (linear for the near-always
@@ -741,6 +759,27 @@ object Cep {
         }
       }
     }
+
+  /** Pure bounded-run driver over pre-timestamped events — exactly the
+    * batch driver's per-key semantics (arrival-id parity, skip queue,
+    * terminal negation, within pruning) without Spark; same-timestamp
+    * events keep their input order (the reference's feedNFA contract).
+    * Returns (matches as per-step groups in step order, surviving
+    * partials over the tagged type). Exposed for conformance specs. */
+  private[graft] def runMatches[E](pattern: Pattern[E],
+      events: Seq[(E, Long)], skip: AfterMatchSkip = NoSkip):
+      (Vector[Vector[Vector[E]]], Vector[Partial[(E, Long)]]) = {
+    val pat = pattern.validated
+    val lifted = liftPattern(pat)
+    val tsArr = events.map(_._2).toArray
+    val wrapped = events.zipWithIndex.map { case ((e, _), i) => (e, i.toLong) }
+    val names = pat.steps.map(_.name)
+    runSorted[Unit, (E, Long), Vector[Vector[E]]]((), wrapped.iterator,
+      w => tsArr(w._2.toInt), lifted, Vector.empty,
+      (_, groups) => names.map(n =>
+        groups.getOrElse(n, Seq.empty).map(_._1).toVector),
+      flushAtEnd = false, skip, tie = _._2)
+  }
 
   /** Lift a pattern over arrival-tagged events: every predicate reads
     * through the wrapper; structural state dedup then keys on the tag,
