@@ -279,6 +279,14 @@ object Cep {
   object Pattern {
     def begin[E](name: String)(pred: E => Boolean): Pattern[E] =
       new Pattern(Vector(Step(name, pred, strict = true)), None)
+    /** Begin with an ITERATIVE condition (Pattern.begin + IterativeCondition
+      * — the head step's predicate sees the events captured so far in its
+      * own group, e.g. a sum bound over a looping start:
+      * IterativeConditionsITCase testIterativeWithLoopingStarting*). */
+    def beginIter[E](name: String)(
+        pred: (E, Map[String, Seq[E]]) => Boolean): Pattern[E] =
+      new Pattern(Vector(
+        Step(name, _ => false, strict = true, ctxPred = Some(pred))), None)
   }
 
   /** An in-flight partial match: one event group per entered step
