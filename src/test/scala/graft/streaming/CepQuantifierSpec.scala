@@ -1478,4 +1478,219 @@ class CepQuantifierSpec extends SparkSuite {
     assert(notFollowedByBeforeLoop(eager = false, any = true,
       zeroOrMore = true) === beforeLoopCombos)
   }
+
+  // ---- the REST of TimesRangeITCase (testTimesRange /
+  // testTimesRangeFromZero were ported above). ConsecutiveData fixture:
+  // c(40), a1(41,2.0), a2(42,3.0), a3(43,4.0), b(44); 'f' fillers open
+  // sequence gaps that separate strict from relaxed contiguity.
+  private object TRD {
+    val c = RE(40, "c", 1.0)
+    val a1 = RE(41, "a", 2.0); val a2 = RE(42, "a", 3.0)
+    val a3 = RE(43, "a", 4.0)
+    val b = RE(44, "b", 5.0)
+    val f = RE(23, "f", 1.0)
+    // c f a1 f a2 a3 b — the file's main script
+    val gapped = Seq(c -> 1L, f -> 2L, a1 -> 3L, f -> 4L, a2 -> 5L,
+      a3 -> 6L, b -> 7L)
+  }
+
+  private def timesRange(entryAny: Boolean, strictEntry: Boolean,
+      from: Int, to: Int, combos: Boolean, consec: Boolean,
+      opt: Boolean, events: Seq[(RE, Long)]): Set[Seq[Int]] = {
+    import TRD._
+    val p0 = Pattern.begin[RE]("start")(_.name == "c")
+    var pm =
+      if (strictEntry) p0.next("middle")(_.name == "a")
+      else if (entryAny) p0.followedByAny("middle")(_.name == "a")
+      else p0.followedBy("middle")(_.name == "a")
+    pm = pm.times(from, to)
+    // reference default EMISSION is all prefixes in every contiguity mode
+    pm = if (combos) pm.allowCombinations
+         else if (consec) pm.consecutive.allPrefixes
+         else pm.relaxed.allPrefixes // reference default contiguity
+    if (opt) pm = pm.optional
+    flatIds(feed(pm.followedBy("end1")(_.name == "b"), events)).toSet
+  }
+
+  test("port: times range any-entry combinations (TimesRangeITCase testTimesRangeNonStrict)") {
+    assert(timesRange(entryAny = true, strictEntry = false, 1, 3,
+      combos = true, consec = false, opt = false, TRD.gapped) === Set(
+      Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 44), Seq(40, 41, 43, 44),
+      Seq(40, 42, 43, 44), Seq(40, 41, 44), Seq(40, 42, 44),
+      Seq(40, 43, 44)))
+  }
+
+  test("port: times range strict reps from zero (TimesRangeITCase testTimesRangeStrict)") {
+    // consecutive reps: the filler after a1 breaks its run — only the
+    // adjacent a2 a3 pair forms a length-2 run
+    assert(timesRange(entryAny = true, strictEntry = false, 0, 3,
+      combos = false, consec = true, opt = false, TRD.gapped) === Set(
+      Seq(40, 42, 43, 44), Seq(40, 41, 44), Seq(40, 42, 44),
+      Seq(40, 43, 44), Seq(40, 44)))
+  }
+
+  test("port: times range strict reps optional (TimesRangeITCase testTimesRangeStrictOptional)") {
+    assert(timesRange(entryAny = true, strictEntry = false, 1, 3,
+      combos = false, consec = true, opt = true, TRD.gapped) === Set(
+      Seq(40, 42, 43, 44), Seq(40, 41, 44), Seq(40, 42, 44),
+      Seq(40, 43, 44), Seq(40, 44)))
+  }
+
+  test("port: times range strict entry + strict reps optional (TimesRangeITCase testTimesRangeStrictOptional1)") {
+    import TRD._
+    // no fillers: c a1 a2 a3 b; strict entry anchors at a1 only
+    val events = Seq(c -> 1L, a1 -> 3L, a2 -> 5L, a3 -> 6L, b -> 7L)
+    assert(timesRange(entryAny = false, strictEntry = true, 1, 3,
+      combos = false, consec = true, opt = true, events) === Set(
+      Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 44), Seq(40, 41, 44),
+      Seq(40, 44)))
+  }
+
+  test("port: times range optional with no occurrences (TimesRangeITCase testTimesRangeNonStrictOptional1)") {
+    import TRD._
+    val events = Seq(c -> 1L, f -> 2L, b -> 7L)
+    assert(timesRange(entryAny = false, strictEntry = false, 1, 3,
+      combos = false, consec = false, opt = true, events) === Set(
+      Seq(40, 44)))
+  }
+
+  test("port: times range 2-3 combinations optional (TimesRangeITCase testTimesRangeNonStrictOptional2)") {
+    assert(timesRange(entryAny = true, strictEntry = false, 2, 3,
+      combos = true, consec = false, opt = true, TRD.gapped) === Set(
+      Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 44), Seq(40, 41, 43, 44),
+      Seq(40, 42, 43, 44), Seq(40, 44)))
+  }
+
+  test("port: times range 2-3 relaxed optional (TimesRangeITCase testTimesRangeNonStrictOptional3)") {
+    // relaxed (no combos): runs extend across gaps but never skip a
+    // matching occurrence — {a1 a3} is absent
+    assert(timesRange(entryAny = true, strictEntry = false, 2, 3,
+      combos = false, consec = false, opt = true, TRD.gapped) === Set(
+      Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 44), Seq(40, 42, 43, 44),
+      Seq(40, 44)))
+  }
+
+  test("port: times range strict entry + combinations (TimesRangeITCase testTimesRangeNonStrictWithNext)") {
+    import TRD._
+    val events = Seq(c -> 1L, a1 -> 2L, f -> 3L, a2 -> 4L, f -> 5L,
+      a3 -> 6L, b -> 7L)
+    assert(timesRange(entryAny = false, strictEntry = true, 2, 3,
+      combos = true, consec = false, opt = false, events) === Set(
+      Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 44), Seq(40, 41, 43, 44)))
+  }
+
+  test("port: times range 2-3 relaxed, first-occurrence entry (TimesRangeITCase testTimesRangeNotStrictWithFollowedBy)") {
+    import TRD._
+    val events = Seq(c -> 1L, a1 -> 2L, a2 -> 4L, a3 -> 6L, b -> 7L)
+    assert(timesRange(entryAny = false, strictEntry = false, 2, 3,
+      combos = false, consec = false, opt = false, events) === Set(
+      Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 44)))
+  }
+
+  test("port: times range 2-3 combinations, any entry (TimesRangeITCase testTimesRangeNotStrictWithFollowedByAny)") {
+    import TRD._
+    val events = Seq(c -> 1L, a1 -> 2L, a2 -> 4L, a3 -> 6L, b -> 7L)
+    assert(timesRange(entryAny = true, strictEntry = false, 2, 3,
+      combos = true, consec = false, opt = false, events) === Set(
+      Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 44), Seq(40, 42, 43, 44),
+      Seq(40, 41, 43, 44)))
+  }
+
+  // ---- the REST of TimesOrMoreITCase (testTimesOrMore was ported
+  // above). Same ConsecutiveData fixture and modifier mapping.
+  private def timesOrMore(entryAny: Boolean, strictEntry: Boolean,
+      n: Int, combos: Boolean, consec: Boolean, opt: Boolean,
+      events: Seq[(RE, Long)]): Set[Seq[Int]] = {
+    val p0 = Pattern.begin[RE]("start")(_.name == "c")
+    var pm =
+      if (strictEntry) p0.next("middle")(_.name == "a")
+      else if (entryAny) p0.followedByAny("middle")(_.name == "a")
+      else p0.followedBy("middle")(_.name == "a")
+    pm = pm.timesOrMore(n)
+    pm = if (combos) pm.allowCombinations
+         else if (consec) pm.consecutive.allPrefixes
+         else pm.relaxed.allPrefixes
+    if (opt) pm = pm.optional
+    flatIds(feed(pm.followedBy("end1")(_.name == "b"), events)).toSet
+  }
+
+  test("port: timesOrMore(2) any entry combinations (TimesOrMoreITCase testTimesOrMoreNonStrict)") {
+    assert(timesOrMore(entryAny = true, strictEntry = false, 2,
+      combos = true, consec = false, opt = false, TRD.gapped) === Set(
+      Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 44), Seq(40, 41, 43, 44),
+      Seq(40, 42, 43, 44)))
+  }
+
+  test("port: times(2) strict reps, any entry (TimesOrMoreITCase testTimesOrMoreStrict)") {
+    // the file's quirk: this case is times(2).consecutive() — only the
+    // adjacent a2 a3 pair forms
+    import TRD._
+    // fixed-count times(2): emission is the exact run, no prefixes
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedByAny("middle")(_.name == "a").times(2).consecutive
+      .followedBy("end1")(_.name == "b")
+    assert(flatIds(feed(p, gapped)).toSet === Set(Seq(40, 42, 43, 44)))
+  }
+
+  test("port: timesOrMore(2) strict reps optional (TimesOrMoreITCase testTimesOrMoreStrictOptional)") {
+    assert(timesOrMore(entryAny = true, strictEntry = false, 2,
+      combos = false, consec = true, opt = true, TRD.gapped) === Set(
+      Seq(40, 42, 43, 44), Seq(40, 44)))
+  }
+
+  test("port: timesOrMore(2) strict entry + strict reps optional (TimesOrMoreITCase testTimesOrMoreStrictOptional2)") {
+    import TRD._
+    val events = Seq(c -> 1L, a1 -> 3L, a2 -> 5L, a3 -> 6L, b -> 7L)
+    assert(timesOrMore(entryAny = false, strictEntry = true, 2,
+      combos = false, consec = true, opt = true, events) === Set(
+      Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 44), Seq(40, 44)))
+  }
+
+  test("port: timesOrMore(2) optional with no occurrences (TimesOrMoreITCase testTimesOrMoreNonStrictOptional)") {
+    import TRD._
+    val events = Seq(c -> 1L, f -> 2L, b -> 7L)
+    assert(timesOrMore(entryAny = false, strictEntry = false, 2,
+      combos = false, consec = false, opt = true, events) === Set(
+      Seq(40, 44)))
+  }
+
+  test("port: timesOrMore(2) combinations optional (TimesOrMoreITCase testTimesOrMoreNonStrictOptional2)") {
+    assert(timesOrMore(entryAny = true, strictEntry = false, 2,
+      combos = true, consec = false, opt = true, TRD.gapped) === Set(
+      Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 44), Seq(40, 41, 43, 44),
+      Seq(40, 42, 43, 44), Seq(40, 44)))
+  }
+
+  test("port: timesOrMore(2) relaxed optional (TimesOrMoreITCase testTimesOrMoreNonStrictOptional3)") {
+    assert(timesOrMore(entryAny = true, strictEntry = false, 2,
+      combos = false, consec = false, opt = true, TRD.gapped) === Set(
+      Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 44), Seq(40, 42, 43, 44),
+      Seq(40, 44)))
+  }
+
+  test("port: timesOrMore(2) strict entry + combinations (TimesOrMoreITCase testTimesOrMoreNonStrictWithNext)") {
+    import TRD._
+    val events = Seq(c -> 1L, a1 -> 2L, f -> 3L, a2 -> 4L, f -> 5L,
+      a3 -> 6L, b -> 7L)
+    assert(timesOrMore(entryAny = false, strictEntry = true, 2,
+      combos = true, consec = false, opt = false, events) === Set(
+      Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 44), Seq(40, 41, 43, 44)))
+  }
+
+  test("port: timesOrMore(2) relaxed, first-occurrence entry (TimesOrMoreITCase testTimesOrMoreNotStrictWithFollowedBy)") {
+    import TRD._
+    val events = Seq(c -> 1L, a1 -> 2L, a2 -> 4L, a3 -> 6L, b -> 7L)
+    assert(timesOrMore(entryAny = false, strictEntry = false, 2,
+      combos = false, consec = false, opt = false, events) === Set(
+      Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 44)))
+  }
+
+  test("port: timesOrMore(2) combinations, any entry (TimesOrMoreITCase testTimesOrMoreNotStrictWithFollowedByAny)") {
+    import TRD._
+    val events = Seq(c -> 1L, a1 -> 2L, a2 -> 4L, a3 -> 6L, b -> 7L)
+    assert(timesOrMore(entryAny = true, strictEntry = false, 2,
+      combos = true, consec = false, opt = false, events) === Set(
+      Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 44), Seq(40, 42, 43, 44),
+      Seq(40, 41, 43, 44)))
+  }
 }
