@@ -665,6 +665,22 @@ class CepQuantifierSpec extends SparkSuite {
       RE(44, "d", 3.0) -> 5L))) === Seq(Seq(40, 44)))
   }
 
+  test("port: greedy zeroOrMore across interleaved gaps (GreedyITCase testGreedyZeroOrMoreInBetween)") {
+    // dummies between every element: the relaxed greedy run still
+    // collects all three a's and emits only the maximal match.
+    // (testGreedyZeroOrMoreBeforeGroupPattern is N/A: greedy on a GROUP
+    // quantifier — the GroupCep surface has no greedy mode, documented.)
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").oneOrMore.relaxed.optional
+      .followedBy("end")(_.name == "d")
+    assert(flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(1, "dummy", 11.0) -> 2L,
+      RE(41, "a", 2.0) -> 3L, RE(1, "dummy", 11.0) -> 4L,
+      RE(42, "a", 2.0) -> 5L, RE(1, "dummy", 11.0) -> 6L,
+      RE(43, "a", 2.0) -> 7L, RE(44, "d", 3.0) -> 8L)))
+      === Seq(Seq(40, 41, 42, 43, 44)))
+  }
+
   test("port: greedy oneOrMore + until variants (GreedyITCase remaining cases)") {
     val c0 = RE(40, "c", 1.0); val d0 = RE(45, "d", 3.0)
     val dum = RE(44, "dummy", 2.0)
