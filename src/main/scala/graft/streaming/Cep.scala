@@ -388,6 +388,34 @@ object Cep {
       while (j <= lastIdx && pattern.steps(j).optional) j += 1
       j > lastIdx
     }
+    // STRICT steps reachable from position i (through optionals): once a
+    // non-matching event intervenes they are forever unreachable from
+    // this position — strict means immediately-next only (NFAITCase
+    // testStrictContinuity*AfterZeroOrMore / testNextZeroOrMore) — so
+    // survivors bar them via spentMask; extending/transitioning re-arms.
+    def strictReachable(i: Int): Long = {
+      var j = i + 1
+      var mask = 0L
+      var scanning = true
+      while (scanning && j <= lastIdx) {
+        val sj = pattern.steps(j)
+        if (sj.strict) mask |= 1L << j
+        scanning = sj.optional
+        j += 1
+      }
+      mask
+    }
+    // a position is dead once every reachable next step is strict-broken
+    def anyRelaxedReachable(i: Int): Boolean = {
+      var j = i + 1
+      var scanning = true
+      while (scanning && j <= lastIdx) {
+        if (!pattern.steps(j).strict) return true
+        scanning = pattern.steps(j).optional
+        j += 1
+      }
+      false
+    }
     def padded(g: Vector[Vector[E]]): Vector[Vector[E]] =
       g ++ Vector.fill(pattern.steps.size - g.size)(Vector.empty[E])
 
@@ -577,15 +605,21 @@ object Cep {
               j += 1
             }
             if (!transitioned && !extended && !untilKilled) {
+              // the intervening event breaks every reachable STRICT step
+              // for this position, permanently (bar via spentMask)
+              val broken = strictReachable(p.stepIdx)
               if (s.multiRep && s.relaxedReps && p.runOpen && !untilHit) {
                 // relaxed repetition contiguity: the gap event is skipped
-                // and the run stays extendable (reference default mode)
-                out += p.copy(runOpen = true, virgin = false)
-              } else if (!immediate.strict) {
-                // relaxed next step: keep waiting with the run closed
-                // (greedy: only when this event didn't extend the run)
-                out += p.copy(runOpen = false, virgin = false)
-              } // strict next step, no match: partial dies
+                // and the run stays extendable (reference default mode);
+                // extension re-arms the strict exit
+                out += p.copy(runOpen = true, virgin = false,
+                  spentMask = p.spentMask | broken)
+              } else if (anyRelaxedReachable(p.stepIdx)) {
+                // some relaxed next step remains: keep waiting with the
+                // run closed, strict futures barred
+                out += p.copy(runOpen = false, virgin = false,
+                  spentMask = p.spentMask | broken)
+              } // every reachable step strict and broken: partial dies
             } // untilKilled: the waiting branch dies at the until event
           } // banned: partial dies (notFollowedBy)
         } else if (s.looping && p.runOpen &&
@@ -610,16 +644,21 @@ object Cep {
 
       // deferred same-position forks: each declines e, so each is barred
       // from exactly the TILL_NEXT steps e matched (plus inherited bars)
-      val forkMask = p.spentMask | matchedMask
+      // AND from every reachable STRICT step — e intervened between the
+      // fork's run and any strictly-next candidate
+      val forkMask = p.spentMask | matchedMask |
+        (if (stoppedFork != null || combosFork != null)
+          strictReachable(p.stepIdx) else 0L)
       if (stoppedFork != null)
         out += (if (forkMask != 0) stoppedFork.copy(spentMask = forkMask)
                 else stoppedFork)
       if (combosFork != null)
-        out += (if (matchedMask != 0)
+        out += (if (forkMask != 0)
                   combosFork.copy(spentMask = forkMask)
                 else combosFork)
       skipForks.foreach { f =>
-        out += (if (forkMask != 0) f.copy(spentMask = forkMask) else f)
+        val m = p.spentMask | matchedMask
+        out += (if (m != 0) f.copy(spentMask = m) else f)
       }
     }
 
@@ -762,7 +801,8 @@ object Cep {
           runSorted[K, (E, Long), O](k, wrapped.iterator, w => ts(w._1),
             lifted, Vector.empty,
             (kk: K, groups: Map[String, Seq[(E, Long)]]) =>
-              finish(kk, groups.view.mapValues(_.map(_._1)).toMap),
+              finish(kk, scala.collection.immutable.ListMap(groups.toSeq
+                .map { case (n, g) => n -> g.map(_._1) }: _*)),
             flushAtEnd = true, skip, tie = _._2)._1.iterator
         }
       }
@@ -1012,8 +1052,12 @@ object Cep {
       advanceTo: Option[Long] = None)
       : (Vector[O], Vector[Partial[E]]) = {
     val names = pattern.steps.map(_.name)
+    // ListMap: the capture map iterates in PATTERN DECLARATION order,
+    // like the reference's LinkedHashMap (NFAITCase
+    // testNFAResultKeyOrdering); lookups stay O(steps), tiny
     def shape(m: Vector[Vector[E]]): O =
-      finish(k, names.zip(m.map(_.toSeq)).toMap)
+      finish(k, scala.collection.immutable.ListMap(
+        names.zip(m.map(_.toSeq)): _*))
     val outs = Vector.newBuilder[O]
     // skip strategies run the reference's deferred-emission queue;
     // NoSkip stays on the allocation-free immediate path

