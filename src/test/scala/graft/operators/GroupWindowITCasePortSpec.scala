@@ -301,4 +301,121 @@ class GroupWindowITCasePortSpec extends SparkSuite {
       "Hello,3,1970-01-01 00:00:00.015")
     assert(got.sorted == expected.sorted)
   }
+
+  // ---- the BATCH GroupWindowITCase remainder (flink-table
+  // runtime/batch/table/GroupWindowITCase.scala). Its fixture:
+  // (long=rowtime ms, int, double, float, bigdec, string); the two
+  // @Test(expected = UnsupportedOperationException) cases
+  // (testAllEventTimeTumblingWindowOverCount /
+  // testAllEventTimeSlidingGroupWindowOverCount — NON-GROUPED count
+  // windows) are N/A: they assert a REFERENCE limitation; the
+  // equivalent Spark plans below simply work.
+
+  private val batchData = Seq(
+    (1L, 1, 1d, "Hi"), (2L, 2, 2d, "Hallo"), (3L, 2, 2d, "Hello"),
+    (7L, 3, 3d, "Hello"), (4L, 5, 5d, "Hello"),
+    (16L, 4, 4d, "Hello world"), (8L, 3, 3d, "Hello world"))
+
+  test("batch GroupWindowITCase testEventTimeTumblingGroupWindowOverCount port") {
+    import org.apache.spark.sql.expressions.Window
+    // 2-row tumbling count window per string in rowtime order; only
+    // COMPLETE pairs emit (Hello's third row and Hi's single row drop).
+    // Reference expected (int/double portions; the bigdec column carries
+    // the same values as double): Hello: sum 7, cnt 2, max 5, min 2,
+    // int-avg 3 (integer division), double-avg 3.5; Hello world: 7,2,4,3
+    val df = batchData.toDF("long", "int", "double", "string")
+    val got = df
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"string").orderBy($"long")) - 1)
+      .groupBy($"string", ($"rn" / 2).cast("int").as("w"))
+      .agg(count($"int").as("cnt"), sum($"int").as("si"),
+        max($"int").as("mxi"), min($"int").as("mni"),
+        (sum($"int") / count($"int")).cast("int").as("avgi"),
+        sum($"double").as("sd"), max($"double").as("mxd"),
+        min($"double").as("mnd"), avg($"double").as("avgd"))
+      .where($"cnt" === 2)
+      .select($"string", $"si", $"cnt", $"mxi", $"mni", $"avgi",
+        $"sd", $"mxd", $"mnd", $"avgd")
+      .collect().map(_.mkString(",")).toSeq.sorted
+    assert(got === Seq(
+      "Hello world,7,2,4,3,3,7.0,4.0,3.0,3.5",
+      "Hello,7,2,5,2,3,7.0,5.0,2.0,3.5").sorted)
+  }
+
+  test("batch GroupWindowITCase testAllEventTimeTumblingWindowOverTime port") {
+    // non-grouped 5ms tumble: sums 10 (rows 1-4), 6 (7,8), 4 (16);
+    // w.rowtime = end - 1ms
+    val df = batchData.toDF("long", "int", "double", "string")
+      .withColumn("rowtime", timestamp_millis($"long"))
+    val got = df.groupBy(window($"rowtime", "5 milliseconds"))
+      .agg(sum($"int").as("si"))
+      .select($"si", $"window.start", $"window.end")
+      .collect().map(r => Seq(r.getLong(0), ts(r.getTimestamp(1)),
+        ts(r.getTimestamp(2))).mkString(",")).toSeq.sorted
+    assert(got === Seq(
+      "10,1970-01-01 00:00:00.0,1970-01-01 00:00:00.005",
+      "6,1970-01-01 00:00:00.005,1970-01-01 00:00:00.01",
+      "4,1970-01-01 00:00:00.015,1970-01-01 00:00:00.02").sorted)
+  }
+
+  test("batch GroupWindowITCase testAllEventTimeSessionGroupWindow port") {
+    // non-grouped session, 2ms gap: {1..4}->[1,6), {7,8}->[7,10),
+    // {16}->[16,18)
+    val df = batchData.toDF("long", "int", "double", "string")
+      .withColumn("rowtime", timestamp_millis($"long"))
+    val got = df.groupBy(session_window($"rowtime", "2 milliseconds"))
+      .agg(count($"string").as("cnt"))
+      .select($"cnt", $"session_window.start", $"session_window.end")
+      .collect().map(r => Seq(r.getLong(0), ts(r.getTimestamp(1)),
+        ts(r.getTimestamp(2))).mkString(",")).toSeq.sorted
+    assert(got === Seq(
+      "4,1970-01-01 00:00:00.001,1970-01-01 00:00:00.006",
+      "2,1970-01-01 00:00:00.007,1970-01-01 00:00:00.01",
+      "1,1970-01-01 00:00:00.016,1970-01-01 00:00:00.018").sorted)
+  }
+
+  test("batch GroupWindowITCase testEventTimeSessionGroupWindow port") {
+    // grouped session, 3ms gap (reference :183): per-string sessions
+    val df = batchData.toDF("long", "int", "double", "string")
+      .withColumn("rowtime", timestamp_millis($"long"))
+    val got = df.groupBy($"string", session_window($"rowtime", "3 milliseconds"))
+      .agg(sum($"int").as("si"))
+      .select($"string", $"si", $"session_window.start")
+      .collect().map(r => Seq(r.getString(0), r.getLong(1),
+        ts(r.getTimestamp(2))).mkString(",")).toSeq.sorted
+    // Hello: rows at 3,4,7 chain within 3ms -> one session sum 10;
+    // Hallo@2: 2; Hi@1: 1; Hello world: 8 and 16 separate
+    assert(got === Seq(
+      "Hallo,2,1970-01-01 00:00:00.002",
+      "Hello,10,1970-01-01 00:00:00.003",
+      "Hello world,3,1970-01-01 00:00:00.008",
+      "Hello world,4,1970-01-01 00:00:00.016",
+      "Hi,1,1970-01-01 00:00:00.001").sorted)
+  }
+
+  test("batch GroupWindowITCase testMultiGroupWindow port") {
+    // two chained tumbling windows: 2ms on rowtime, then 6ms on the
+    // first window's rowtime (= end - 1ms)
+    val df = batchData.toDF("long", "int", "double", "string")
+      .withColumn("rowtime", timestamp_millis($"long"))
+    val first = df
+      .groupBy($"string", window($"rowtime", "2 milliseconds"))
+      .agg(count($"int").as("cnt"))
+      .select($"string", $"cnt",
+        (unix_millis($"window.end") - 1).as("tms"))
+      .select($"string", $"cnt", expr("timestamp_millis(tms)").as("time"))
+    val got = first
+      .groupBy($"string", window($"time", "6 milliseconds"))
+      .agg(sum($"cnt").as("cnt"))
+      .select($"string", $"cnt", $"window.end")
+      .collect().map(r => Seq(r.getString(0), r.getLong(1),
+        ts(r.getTimestamp(2))).mkString(",")).toSeq.sorted
+    assert(got === Seq(
+      "Hallo,1,1970-01-01 00:00:00.006",
+      "Hello world,1,1970-01-01 00:00:00.012",
+      "Hello world,1,1970-01-01 00:00:00.018",
+      "Hello,1,1970-01-01 00:00:00.012",
+      "Hello,2,1970-01-01 00:00:00.006",
+      "Hi,1,1970-01-01 00:00:00.006").sorted)
+  }
 }
