@@ -17,7 +17,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *                                  --   | COUNT(X.*)
   *                                  -- bare X.col means LAST(X.col): SQL:2016
   *                                  -- FINAL semantics for ONE ROW PER MATCH
-  *   [ONE ROW PER MATCH]            -- the only supported mode
+  *                                  -- | CLASSIFIER() (the pattern variable:
+  *                                  -- per-row under ALL ROWS, the last
+  *                                  -- row's under ONE ROW)
+  *   [ONE ROW PER MATCH             -- the default: one row per match,
+  *    | ALL ROWS PER MATCH]         -- or one row per MATCHED EVENT in
+  *                                  -- match order, measures RUNNING
+  *                                  -- (evaluated over the prefix up to
+  *                                  -- the row — the SQL default for this
+  *                                  -- mode; the FINAL keyword is not
+  *                                  -- supported)
   *   [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
   *     | SKIP TO FIRST X | SKIP TO LAST X]
   *   PATTERN (A (B C){2} D ...)     -- quantifiers ? * + {n} {n,m} {n,}
@@ -70,13 +79,17 @@ object MatchRecognize {
   private sealed trait Measure {
     def alias: String
     def field(schema: StructType): StructField
-    def eval(groups: Map[String, Seq[Row]], schema: StructType): Any
+    /** `classifier` = step name of the current row (ALL ROWS) or of the
+      * match's last row (ONE ROW). */
+    def eval(groups: Map[String, Seq[Row]], schema: StructType,
+        classifier: String): Any
   }
   private final case class PosMeasure(v: String, c: String, alias: String,
       last: Boolean) extends Measure {
     def field(schema: StructType): StructField =
       StructField(alias, schema(c).dataType, nullable = true)
-    def eval(groups: Map[String, Seq[Row]], schema: StructType): Any = {
+    def eval(groups: Map[String, Seq[Row]], schema: StructType,
+        classifier: String): Any = {
       val g = groups.getOrElse(v, Seq.empty)
       if (g.isEmpty) null
       else (if (last) g.last else g.head).getAs[Any](c)
@@ -86,14 +99,24 @@ object MatchRecognize {
       extends Measure {
     def field(schema: StructType): StructField =
       StructField(alias, LongType, nullable = false)
-    def eval(groups: Map[String, Seq[Row]], schema: StructType): Any =
+    def eval(groups: Map[String, Seq[Row]], schema: StructType,
+        classifier: String): Any =
       groups.getOrElse(v, Seq.empty).size.toLong
+  }
+  private final case class ClassifierMeasure(alias: String) extends Measure {
+    def field(schema: StructType): StructField =
+      StructField(alias, org.apache.spark.sql.types.StringType,
+        nullable = true)
+    def eval(groups: Map[String, Seq[Row]], schema: StructType,
+        classifier: String): Any = classifier
   }
 
   private val PartitionRe = """(?is)PARTITION\s+BY\s+(\w+)""".r
   private val OrderRe = """(?is)ORDER\s+BY\s+(\w+)(?:\s*,\s*(\w+))?""".r
   private val MeasuresRe =
-    """(?is)MEASURES\s+(.*?)\s*(?:ONE\s+ROW\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN\s*\()""".r
+    """(?is)MEASURES\s+(.*?)\s*(?:ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN\s*\()""".r
+  private val AllRowsRe = """(?is)ALL\s+ROWS\s+PER\s+MATCH""".r
+  private val ClassifierRe = """(?is)CLASSIFIER\s*\(\s*\)""".r
   private val SkipRe =
     """(?is)AFTER\s+MATCH\s+SKIP\s+(?:(PAST\s+LAST\s+ROW)|(TO\s+NEXT\s+ROW)|TO\s+FIRST\s+(\w+)|TO\s+LAST\s+(\w+))""".r
   private val PatternStartRe = """(?is)PATTERN\s*\(""".r
@@ -232,6 +255,7 @@ object MatchRecognize {
             case FirstLastRe(fl, v, c) =>
               PosMeasure(v, c, alias, last = fl.equalsIgnoreCase("LAST"))
             case CountRe(v) => CountMeasure(v, alias)
+            case m if ClassifierRe.matches(m.trim) => ClassifierMeasure(alias)
             // SQL:2016 ONE ROW PER MATCH is FINAL: bare X.col = LAST(X.col)
             case ColRe(v, c) => PosMeasure(v, c, alias, last = true)
             case other => throw new IllegalArgumentException(
@@ -310,15 +334,55 @@ object MatchRecognize {
       r => !r.isNullAt(i) && r.getBoolean(i)
     }
 
+    // ALL ROWS PER MATCH: one output row per matched event in match
+    // order, measures with RUNNING semantics (the SQL default in this
+    // mode — evaluated over the prefix up to the current row) and
+    // CLASSIFIER() = the row's pattern variable. ONE ROW PER MATCH
+    // keeps FINAL semantics (the whole match is the prefix);
+    // CLASSIFIER() there is the last matched row's variable.
+    val allRows = AllRowsRe.findFirstMatchIn(clause).isDefined
+    if (allRows) require(measures.nonEmpty,
+      "ALL ROWS PER MATCH requires at least one measure")
+
+    // flatten a match to (variable, event) in match order — sort by the
+    // precomputed (ord, tie) longs, stable across engines
+    def flatten(groups: Map[String, Seq[Row]]): Seq[(String, Row)] =
+      groups.toSeq.flatMap { case (n, evs) => evs.map(n -> _) }
+        .sortBy { case (_, e) => (e.getLong(ordIdx), e.getLong(tieIdx)) }
+
     val outSchema = StructType(
       schema(keyIdx).copy(name = partCol) +: measures.map(_.field(schema)))
+    val entryStruct = StructType(measures.map(_.field(schema)))
+    val arrSchema = StructType(Seq(schema(keyIdx).copy(name = partCol),
+      StructField("__mr_rows",
+        org.apache.spark.sql.types.ArrayType(entryStruct))))
     val keyEnc = Encoders.row(StructType(Seq(schema(keyIdx))))
-    val outEnc = Encoders.row(outSchema)
+    val outEnc = Encoders.row(if (allRows) arrSchema else outSchema)
     val keyFn = (r: Row) => Row(r.get(keyIdx))
     val ordFn = (r: Row) => r.getLong(ordIdx)
     val tieFn = (r: Row) => r.getLong(tieIdx)
-    val finish = (k: Row, groups: Map[String, Seq[Row]]) =>
-      Row.fromSeq(k.get(0) +: measures.map(_.eval(groups, schema)))
+    val finish: (Row, Map[String, Seq[Row]]) => Row =
+      if (!allRows) { (k, groups) =>
+        val cls = flatten(groups).lastOption.map(_._1).orNull
+        Row.fromSeq(k.get(0) +: measures.map(_.eval(groups, schema, cls)))
+      } else { (k, groups) =>
+        val prefix = scala.collection.mutable.Map.empty[String, Vector[Row]]
+        val rows = flatten(groups).map { case (n, e) =>
+          prefix(n) = prefix.getOrElse(n, Vector.empty) :+ e
+          Row.fromSeq(measures.map(_.eval(prefix.toMap, schema, n)))
+        }
+        Row(k.get(0), rows)
+      }
+    // ALL ROWS: the driver emits one array-typed row per match; the
+    // stateless explode below flattens it (works identically on the
+    // streaming output)
+    val post: DataFrame => DataFrame =
+      if (!allRows) identity
+      else d => d.select(col(partCol),
+          org.apache.spark.sql.functions.explode(col("__mr_rows"))
+            .as("__mr_r"))
+        .select(col(partCol) +:
+          measures.map(m => col(s"__mr_r.${m.alias}").as(m.alias)): _*)
 
     if (!nested) {
       // FLAT variable sequence: the linear Cep NFA (arrival-id parity,
@@ -349,13 +413,13 @@ object MatchRecognize {
         // State crosses batches as kryo-encoded Partial[Row] vectors.
         implicit val stateEnc: org.apache.spark.sql.Encoder[
           Vector[Cep.Partial[Row]]] = Encoders.kryo[Vector[Cep.Partial[Row]]]
-        Cep.matchStreamGroups[Row, Row, Row](
+        post(Cep.matchStreamGroups[Row, Row, Row](
           prepared, keyFn, ordFn, pat, skip, tie = tieFn)(finish)(
-          outEnc, keyEnc, stateEnc)
+          outEnc, keyEnc, stateEnc).toDF())
       } else
-        Cep.matchBatchGroups[Row, Row, Row](
+        post(Cep.matchBatchGroups[Row, Row, Row](
           prepared, keyFn, ordFn, pat, skip, tie = tieFn)(finish)(
-          outEnc, keyEnc)
+          outEnc, keyEnc).toDF())
     } else {
       // NESTED groups: compile onto the GroupCep epsilon-NFA (the same
       // engine behind the reference's GroupPattern — GroupITCase 16/16).
@@ -400,13 +464,13 @@ object MatchRecognize {
         implicit val stateEnc: org.apache.spark.sql.Encoder[
           Vector[GroupCep.GConf[Row]]] =
           Encoders.kryo[Vector[GroupCep.GConf[Row]]]
-        GroupCep.matchStream[Row, Row, Row](
+        post(GroupCep.matchStream[Row, Row, Row](
           prepared, keyFn, ordFn, gp, tie = tieFn)(finish)(
-          outEnc, keyEnc, stateEnc)
+          outEnc, keyEnc, stateEnc).toDF())
       } else
-        GroupCep.matchBatchGroups[Row, Row, Row](
+        post(GroupCep.matchBatchGroups[Row, Row, Row](
           prepared, keyFn, ordFn, gp, tie = tieFn)(finish)(
-          outEnc, keyEnc)
+          outEnc, keyEnc).toDF())
     }
   }
 }

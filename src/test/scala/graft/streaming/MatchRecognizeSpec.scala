@@ -229,6 +229,44 @@ class MatchRecognizeSpec extends SparkSuite {
       run("qc4_cep_times_range").collect().toSeq)
   }
 
+  test("ALL ROWS PER MATCH emits per-event rows with RUNNING measures and CLASSIFIER()") {
+    val df = Seq(
+      (1L, 10L, "view", 1L), (2L, 20L, "click", 1L), (3L, 30L, "error", 1L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val got = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES V.event_id AS v_id, COUNT(S.*) AS ns,
+        |  CLASSIFIER() AS cls, LAST(E.event_id) AS e_id
+        |ALL ROWS PER MATCH
+        |PATTERN (V S* E)
+        |DEFINE V AS event_type = 'view',
+        |       S AS event_type <> 'error',
+        |       E AS event_type = 'error'""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), Option(r.get(4)).map(_.asInstanceOf[Long])))
+    // three rows, one per matched event, in match order; RUNNING: the
+    // S-count and E-id appear only once captured; CLASSIFIER per row
+    assert(got.toSeq === Seq(
+      (1L, 1L, 0L, "V", None),
+      (1L, 1L, 1L, "S", None),
+      (1L, 1L, 1L, "E", Some(3L))))
+  }
+
+  test("CLASSIFIER() under ONE ROW PER MATCH is the last matched row's variable") {
+    val df = Seq(
+      (1L, 10L, "view", 1L), (2L, 30L, "error", 1L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val got = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES V.event_id AS v_id, CLASSIFIER() AS cls
+        |PATTERN (V E)
+        |DEFINE V AS event_type = 'view', E AS event_type = 'error'""".stripMargin)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got === Seq((1L, 1L, "E")))
+  }
+
   test("streaming MATCH_RECOGNIZE carries partials across micro-batches (qc10's clause)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.timestamp_seconds
