@@ -424,22 +424,91 @@ object GroupCep {
   }
 
   /** Run a group pattern over a batch Dataset: one event-time-sorted scan
-    * per key (the [[Cep.matchBatchGroups]] twin for group patterns). */
+    * per key (the [[Cep.matchBatchGroups]] twin for group patterns).
+    * `skip` runs the reference's deferred-emission after-match machinery
+    * with the same semantics as [[Cep.SkipQueue]], over group captures. */
   def matchBatchGroups[K, E, O: Encoder](ds: Dataset[E], key: E => K,
       ts: E => Long, pattern: GPattern[E],
-      tie: E => Long = (_: E) => 0L)(
+      tie: E => Long = (_: E) => 0L,
+      skip: Cep.AfterMatchSkip = Cep.NoSkip)(
       finish: (K, Map[String, Seq[E]]) => O)(
       implicit ke: Encoder[K]): Dataset[O] = {
     val compiled = compile(pattern)
     ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
       var confs = Vector.empty[GConf[E]]
       val outs = Vector.newBuilder[O]
+      val sq = if (skip == Cep.NoSkip) null
+               else new GroupSkipQueue[E](skip, compiled, ts)
       it.toVector.sortBy(e => (ts(e), tie(e))).foreach { e =>
         val (next, ms) = advance(compiled, confs, e, ts(e))
         confs = next
-        ms.foreach(m => outs += finish(k, toGroups(compiled, m)))
+        if (sq == null)
+          ms.foreach(m => outs += finish(k, toGroups(compiled, m)))
+        else {
+          sq.add(ms)
+          confs = sq.drain(confs,
+            m => outs += finish(k, toGroups(compiled, m)))
+        }
       }
+      // end of input: no live branch blocks emission any more
+      if (sq != null) sq.drain(Vector.empty,
+        m => outs += finish(k, toGroups(compiled, m)))
       outs.result().iterator
+    }
+  }
+
+  /** [[Cep.SkipQueue]]'s semantics over group captures: completed
+    * matches wait in a start-ordered queue until no earlier-started
+    * branch is live; each emission prunes both the open branches and the
+    * still-queued matches by the strategy's boundary (SkipPastLastEvent:
+    * start <= last captured event; SkipToFirst/Last(step): start </>= the
+    * named LEAF's first/last captured event, no pruning on an empty
+    * group). */
+  private final class GroupSkipQueue[E](skip: Cep.AfterMatchSkip,
+      c: Compiled[E], ts: E => Long) {
+    private var pending = Vector.empty[Vector[(Int, E)]]
+
+    private def startOf(m: Vector[(Int, E)]): Long =
+      m.headOption.map(p => ts(p._2)).getOrElse(Long.MinValue)
+
+    def add(matches: Vector[Vector[(Int, E)]]): Unit =
+      if (matches.nonEmpty)
+        pending = (pending ++ matches).sortBy(startOf)
+
+    def drain(confs: Vector[GConf[E]],
+        emit: Vector[(Int, E)] => Unit): Vector[GConf[E]] = {
+      var cs = confs
+      var minStart =
+        if (cs.isEmpty) Long.MaxValue else cs.iterator.map(_.startTs).min
+      while (pending.nonEmpty && startOf(pending.head) <= minStart) {
+        val m = pending.head
+        pending = pending.tail
+        emit(m)
+        skip match {
+          case Cep.SkipPastLastEvent =>
+            val boundary = m.iterator.map(p => ts(p._2)).max
+            cs = cs.filter(_.startTs > boundary)
+            pending = pending.filter(startOf(_) > boundary)
+          case Cep.SkipToFirst(name) =>
+            val g = m.filter(p => c.nameOf(p._1) == name)
+            if (g.nonEmpty) {
+              val b = ts(g.head._2)
+              cs = cs.filter(_.startTs >= b)
+              pending = pending.filter(startOf(_) >= b)
+            }
+          case Cep.SkipToLast(name) =>
+            val g = m.filter(p => c.nameOf(p._1) == name)
+            if (g.nonEmpty) {
+              val b = ts(g.last._2)
+              cs = cs.filter(_.startTs >= b)
+              pending = pending.filter(startOf(_) >= b)
+            }
+          case Cep.NoSkip => ()
+        }
+        minStart =
+          if (cs.isEmpty) Long.MaxValue else cs.iterator.map(_.startTs).min
+      }
+      cs
     }
   }
 

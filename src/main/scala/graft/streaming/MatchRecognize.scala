@@ -425,9 +425,10 @@ object MatchRecognize {
       // engine behind the reference's GroupPattern — GroupITCase 16/16).
       // SQL adjacency is strict between siblings AND between the
       // repetitions of a quantified element (consecutive). AFTER MATCH
-      // strategies other than the default are a linear-NFA surface.
-      require(skip == Cep.NoSkip,
-        "AFTER MATCH SKIP is not supported with nested PATTERN groups")
+      // runs GroupCep's GroupSkipQueue on the batch path; the streaming
+      // nested path keeps the all-starts default.
+      if (df.isStreaming) require(skip == Cep.NoSkip,
+        "AFTER MATCH SKIP with nested PATTERN groups is batch-only")
       def applyQuant(gp: GroupCep.GPattern[Row],
           q: String): GroupCep.GPattern[Row] = q match {
         case "?" => gp.optional
@@ -469,7 +470,7 @@ object MatchRecognize {
           outEnc, keyEnc, stateEnc).toDF())
       } else
         post(GroupCep.matchBatchGroups[Row, Row, Row](
-          prepared, keyFn, ordFn, gp, tie = tieFn)(finish)(
+          prepared, keyFn, ordFn, gp, tie = tieFn, skip = skip)(finish)(
           outEnc, keyEnc).toDF())
     }
   }

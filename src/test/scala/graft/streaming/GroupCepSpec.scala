@@ -509,4 +509,37 @@ class GroupCepSpec extends SparkSuite {
     }.collect().toSeq
     assert(got === Seq((1L, Seq(2L, 4L), Seq(3L, 5L), Seq(6L))))
   }
+
+  test("batch driver: after-match skip over group patterns (GroupSkipQueue)") {
+    import spark.implicits._
+    type T = (Long, String, Long)
+    // c (a b){1,2} d twice over one key: all-starts yields overlapping
+    // exit-fork matches; each strategy prunes like Cep.SkipQueue
+    val ds = Seq(
+      (1L, "c", 1L), (1L, "a", 2L), (1L, "b", 3L), (1L, "a", 4L),
+      (1L, "b", 5L), (1L, "d", 6L),
+      (1L, "c", 7L), (1L, "a", 8L), (1L, "b", 9L), (1L, "d", 10L)
+    ).toDS()
+    val p = GPattern.begin[T]("start")(_._2 == "c")
+      .followedBy(GPattern.begin[T]("m1")(_._2 == "a")
+        .followedBy("m2")(_._2 == "b")).times(1, 2)
+      .followedBy("end")(_._2 == "d")
+    def run(skip: Cep.AfterMatchSkip): Seq[(Long, Long, Long)] =
+      GroupCep.matchBatchGroups(ds, (e: T) => e._1, (e: T) => e._3, p,
+        skip = skip) { (k, groups) =>
+        (groups("start").head._3, groups("m1").size.toLong,
+          groups("end").head._3)
+      }.collect().toSeq.sortBy(r => (r._1, r._2))
+    // all-starts: the c@1 run emits both one-rep and two-rep exits
+    assert(run(Cep.NoSkip) === Seq((1L, 1L, 6L), (1L, 2L, 6L), (7L, 1L, 10L)))
+    // SkipPastLastEvent: the first emission (earliest start, c@1) sets
+    // the boundary at d@6 — the overlapping second exit of the SAME
+    // start is also pruned (start 1 <= 6), the c@7 match survives
+    assert(run(Cep.SkipPastLastEvent) === Seq((1L, 1L, 6L), (7L, 1L, 10L))
+      || run(Cep.SkipPastLastEvent) === Seq((1L, 2L, 6L), (7L, 1L, 10L)))
+    // SkipToFirst(m1): boundary = first a of the emitted match — prunes
+    // branches started before it, keeps both exits of the c@1 run? No:
+    // both exits share startTs 1 < a@2 boundary -> second exit pruned
+    assert(run(Cep.SkipToFirst("m1")).count(_._1 == 1L) === 1)
+  }
 }

@@ -176,18 +176,18 @@ class MatchRecognizeSpec extends SparkSuite {
       } finally q.stop()
     }
 
-    // AFTER MATCH SKIP with nested groups is a linear-NFA surface
-    val e = intercept[IllegalArgumentException] {
-      MatchRecognize(df2,
-        """PARTITION BY user_id
-          |ORDER BY ts
-          |MEASURES C.event_id AS c_id
-          |AFTER MATCH SKIP PAST LAST ROW
-          |PATTERN ((A B)+ C)
-          |DEFINE A AS event_type = 'a', B AS event_type = 'b',
-          |       C AS event_type = 'c'""".stripMargin)
-    }
-    assert(e.getMessage.contains("not supported with nested PATTERN groups"))
+    // AFTER MATCH SKIP runs GroupCep's GroupSkipQueue on the batch
+    // nested path: PAST LAST ROW prunes the overlapping second start
+    val skipped = MatchRecognize(df2,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES COUNT(A.*) AS na, C.event_id AS c_id
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN ((A B)+ C)
+        |DEFINE A AS event_type = 'a', B AS event_type = 'b',
+        |       C AS event_type = 'c'""".stripMargin)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(skipped === Set((1L, 2L, 5L)))
   }
 
   test("bare X.col measure is FINAL (LAST) for quantified variables") {
