@@ -123,26 +123,33 @@ object CepPlan {
         val negLastBound = negL.map { p =>
           val bp = Predicate.create(p, childOutput); bp.initialize(0); bp
         }
-        var pat = Cep.Pattern.begin[InternalRow](names.head)(bound.head.eval)
+        // The NFA runs over ARRIVAL-TAGGED rows — (row, per-key-run
+        // ordinal) — the reference's SharedBuffer EventId identity
+        // (sharedbuffer/EventId.java), so two value-identical rows at one
+        // timestamp are distinct computation states. Events arrive sorted
+        // per key run, so a local counter (reset per key) suffices — no
+        // state, unlike the streaming driver's cross-batch counter.
+        type T = (InternalRow, Long)
+        var pat = Cep.Pattern.begin[T](names.head)(w => bound.head.eval(w._1))
         for (i <- 1 until nSteps) {
           negBound(i).foreach { nb =>
-            pat = if (negNext(i)) pat.notNext(s"!${names(i)}")(nb.eval)
-                  else pat.notFollowedBy(s"!${names(i)}")(nb.eval)
+            pat = if (negNext(i)) pat.notNext(s"!${names(i)}")(w => nb.eval(w._1))
+                  else pat.notFollowedBy(s"!${names(i)}")(w => nb.eval(w._1))
           }
-          pat = if (strict(i)) pat.next(names(i))(bound(i).eval)
-                else pat.followedBy(names(i))(bound(i).eval)
+          pat = if (strict(i)) pat.next(names(i))(w => bound(i).eval(w._1))
+                else pat.followedBy(names(i))(w => bound(i).eval(w._1))
         }
         // terminal negation (a ban guarding the Final transition) — run
         // by the SAME Cep.NegGate the library drivers use
         negLastBound.foreach { nb =>
-          pat = if (negLNext) pat.notNext("!end")(nb.eval)
-                else pat.notFollowedBy("!end")(nb.eval)
+          pat = if (negLNext) pat.notNext("!end")(w => nb.eval(w._1))
+                else pat.notFollowedBy("!end")(w => nb.eval(w._1))
         }
         within.foreach(w => pat = pat.within(w))
         val pattern = pat
         val nameVec = names.toVector
-        val tsOf: InternalRow => Long =
-          r => tsEval.eval(r).asInstanceOf[Long]
+        val tsOf: T => Long =
+          w => tsEval.eval(w._1).asInstanceOf[Long]
         val lastIdx = nSteps - 1
         val lastLooping = pattern.steps.last.looping
         val proj = UnsafeProjection.create(outTypes)
@@ -151,16 +158,18 @@ object CepPlan {
           private val queue = new scala.collection.mutable.Queue[InternalRow]
           private var curKey: Any = null
           private var haveKey = false
-          private var partials = Vector.empty[Cep.Partial[InternalRow]]
+          // per-key-run arrival counter (EventId allocator)
+          private var arrSeq = 0L
+          private var partials = Vector.empty[Cep.Partial[T]]
           // deferred-emission queue (reference skip semantics); fresh per
           // key run, null on the NoSkip fast path
-          private var skipQ: Cep.SkipQueue[InternalRow] = null
+          private var skipQ: Cep.SkipQueue[T] = null
           // terminal-negation gate; fresh per key run, null when the
           // pattern doesn't end in a negation
-          private var gate: Cep.NegGate[InternalRow] = null
+          private var gate: Cep.NegGate[T] = null
 
           // a confirmed match emits now (NoSkip) or joins the skip queue
-          private def feedMatch(m: Vector[Vector[InternalRow]]): Unit =
+          private def feedMatch(m: Vector[Vector[T]]): Unit =
             if (skipQ == null) emit(curKey, m) else skipQ.add(Vector(m))
 
           // drain the skip queue with gate entries as live blockers,
@@ -176,13 +185,13 @@ object CepPlan {
             }
           }
 
-          private def emit(key: Any, groups: Vector[Vector[InternalRow]]): Unit = {
+          private def emit(key: Any, groups: Vector[Vector[T]]): Unit = {
             val vals = new Array[Any](1 + nSteps * nCols)
             vals(0) = key
             var s = 0
             while (s < nSteps) {
               if (groups(s).nonEmpty) {
-                val r = groups(s).head
+                val r = groups(s).head._1
                 var c = 0
                 while (c < nCols) {
                   vals(1 + s * nCols + c) = r.get(c, colTypes(c)); c += 1
@@ -246,22 +255,24 @@ object CepPlan {
                     case other => other
                   }
                   haveKey = true
+                  arrSeq = 0L
                   if (skipStrat != Cep.NoSkip)
-                    skipQ = new Cep.SkipQueue[InternalRow](
-                      skipStrat, nameVec, tsOf)
+                    skipQ = new Cep.SkipQueue[T](skipStrat, nameVec, tsOf)
                   if (pattern.terminalNot.isDefined)
-                    gate = new Cep.NegGate[InternalRow](
+                    gate = new Cep.NegGate[T](
                       pattern.terminalNot.get, pattern.terminalNotNext,
                       pattern.withinMs)
                 }
                 val t = tsVal.asInstanceOf[Long]
+                val w: T = (row, arrSeq)
+                arrSeq += 1
                 if (gate != null) {
                   // advanceTime: horizon-ripe entries confirm (nfb) or
                   // drop (notNext); then the event decides the rest
                   gate.onTime(t, feedMatch, (_, _) => ())
-                  gate.onEvent(row, feedMatch)
+                  gate.onEvent(w, feedMatch)
                 }
-                val (next, matches) = Cep.advance(pattern, partials, row, t)
+                val (next, matches) = Cep.advance(pattern, partials, w, t)
                 partials = next
                 if (gate != null) gate.add(matches, t, tsOf)
                 else if (skipQ == null) matches.foreach(m => emit(curKey, m))

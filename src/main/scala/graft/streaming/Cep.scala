@@ -699,13 +699,13 @@ object Cep {
     // stored skip-ε branch and the scan-through-optional path both
     // represent "loop skipped" and may complete on the same event.
     // Event identity: equality here is over whatever E is. The batch
-    // drivers feed arrival-TAGGED events by default (matchBatchGroups
-    // arrivalIds / liftPattern), so two value-identical events at one
-    // timestamp are distinct computation states — the reference's
-    // SharedBuffer EventId semantics, measured free (ENGINE.md §2.11,
-    // ArrivalIdsBench). Streaming drivers and the planned CepExec feed
-    // untagged events and keep value identity (scoped divergence,
-    // documented there).
+    // drivers (matchBatchGroups arrivalIds / liftPattern), the streaming
+    // drivers (ArrivalState's cross-batch counter), and the planned
+    // CepExec (per-key-run counter) all feed arrival-TAGGED events by
+    // default, so two value-identical events at one timestamp are
+    // distinct computation states — the reference's SharedBuffer EventId
+    // semantics, measured free (ENGINE.md §2.11, ArrivalIdsBench). The
+    // raw *Fn forms run value identity over whatever E they're given.
     (dedupPartials(out.result()), dedupBy(matches.result())(m =>
       (m.size, m.last.size, m.head.size)))
   }
@@ -773,9 +773,9 @@ object Cep {
     * three sessions): the tag costs NOTHING — -21% to -0.1% vs value
     * identity (the seq tag short-circuits dedup's deep equality), so
     * parity is the default per the round-6 VERDICT's <10% rule. The
-    * streaming drivers keep value identity (a cross-batch arrival
-    * counter would have to live in state; divergence documented in
-    * ENGINE.md §2.11), as does the planned CepExec. */
+    * streaming drivers run the same identity via [[ArrivalState]]'s
+    * cross-batch counter, and the planned CepExec via a per-key-run
+    * counter — all three paths at reference parity since round 8. */
   def matchBatchGroups[K, E, O: Encoder](ds: Dataset[E], key: E => K,
       ts: E => Long, pattern: Pattern[E],
       skip: AfterMatchSkip = NoSkip,
@@ -851,9 +851,102 @@ object Cep {
       p.terminalNotNext)
   }
 
+  /** Streaming keyed state for the arrival-identity drivers: the per-key
+    * cross-batch arrival counter (the reference's SharedBuffer EventId
+    * allocator — flink-cep/.../nfa/sharedbuffer/EventId.java assigns each
+    * arriving event a per-key ordinal) plus the open partials over
+    * arrival-tagged events. When no partial survives the state row is
+    * removed and the counter restarts at 0 — safe, because a tag only has
+    * to be unique among events still referenced by live partials or
+    * deferred matches, all of which are gone. */
+  final case class ArrivalState[E](nextSeq: Long,
+      partials: Vector[Partial[(E, Long)]])
+
+  /** [[GroupState]] view exposing just the partials of an
+    * [[ArrivalState]]; `update` re-attaches the already-advanced arrival
+    * counter. Lets the arrival-tagged streaming drivers delegate to the
+    * untagged state-transition functions unchanged. */
+  private final class ArrivalStateView[E](u: GroupState[ArrivalState[E]],
+      newSeq: Long) extends GroupState[Vector[Partial[(E, Long)]]] {
+    def exists: Boolean = u.exists
+    def get: Vector[Partial[(E, Long)]] = u.get.partials
+    def getOption: Option[Vector[Partial[(E, Long)]]] =
+      u.getOption.map(_.partials)
+    def update(s: Vector[Partial[(E, Long)]]): Unit =
+      u.update(ArrivalState(newSeq, s))
+    def remove(): Unit = u.remove()
+    def hasTimedOut: Boolean = u.hasTimedOut
+    def setTimeoutDuration(ms: Long): Unit = u.setTimeoutDuration(ms)
+    def setTimeoutDuration(d: String): Unit = u.setTimeoutDuration(d)
+    def setTimeoutTimestamp(ms: Long): Unit = u.setTimeoutTimestamp(ms)
+    def setTimeoutTimestamp(ms: Long, d: String): Unit =
+      u.setTimeoutTimestamp(ms, d)
+    def setTimeoutTimestamp(t: java.sql.Date): Unit = u.setTimeoutTimestamp(t)
+    def setTimeoutTimestamp(t: java.sql.Date, d: String): Unit =
+      u.setTimeoutTimestamp(t, d)
+    def getCurrentWatermarkMs(): Long = u.getCurrentWatermarkMs()
+    def getCurrentProcessingTimeMs(): Long = u.getCurrentProcessingTimeMs()
+  }
+
+  /** Wrap an untagged state-transition function in the arrival-identity
+    * protocol: read the per-key counter, tag this batch's events with
+    * consecutive ordinals in (ts, tie) order (the order runSorted will
+    * re-sort into, stably), and hand the advanced counter back to state
+    * through the view. */
+  private def arrivalFn[K, E, O](ts: E => Long, tie: E => Long,
+      inner: (K, Iterator[(E, Long)],
+        GroupState[Vector[Partial[(E, Long)]]]) => Iterator[O]):
+      (K, Iterator[E], GroupState[ArrivalState[E]]) => Iterator[O] =
+    (k: K, it: Iterator[E], state: GroupState[ArrivalState[E]]) => {
+      var seq = state.getOption.map(_.nextSeq).getOrElse(0L)
+      val tagged = it.toVector.sortBy(e => (ts(e), tie(e))).map { e =>
+        val w = (e, seq); seq += 1; w
+      }
+      inner(k, tagged.iterator, new ArrivalStateView[E](state, seq))
+    }
+
+  /** Un-tag a per-step capture map, preserving declaration order. */
+  private def unliftGroups[E](groups: Map[String, Seq[(E, Long)]]):
+      Map[String, Seq[E]] =
+    scala.collection.immutable.ListMap(groups.toSeq
+      .map { case (n, g) => n -> g.map(_._1) }: _*)
+
+  /** The per-key state-transition function behind [[matchStreamGroups]] —
+    * the reference's EXACT event-identity semantics (SharedBuffer
+    * EventIds) carried across micro-batches by the [[ArrivalState]]
+    * counter, the streaming twin of `matchBatchGroups(arrivalIds=true)`. */
+  def matchStreamGroupsArrivalFn[K, E, O](pattern: Pattern[E], ts: E => Long,
+      skip: AfterMatchSkip, tie: E => Long,
+      shapeFn: (K, Map[String, Seq[E]]) => O):
+      (K, Iterator[E], GroupState[ArrivalState[E]]) => Iterator[O] =
+    arrivalFn(ts, tie, matchStreamGroupsFn[K, (E, Long), O](
+      liftPattern(pattern.validated), w => ts(w._1), skip, _._2,
+      (kk: K, groups: Map[String, Seq[(E, Long)]]) =>
+        shapeFn(kk, unliftGroups(groups))))
+
+  /** Arrival-identity twin of [[matchStreamWithTimeoutsFn]]. */
+  def matchStreamWithTimeoutsArrivalFn[K, E, O](pattern: Pattern[E],
+      ts: E => Long, skip: AfterMatchSkip, tie: E => Long,
+      finish: (K, Map[String, E]) => O,
+      onTimeout: (K, Map[String, Seq[E]], Long) => O):
+      (K, Iterator[E], GroupState[ArrivalState[E]]) => Iterator[O] =
+    arrivalFn(ts, tie, matchStreamWithTimeoutsFn[K, (E, Long), O](
+      liftPattern(pattern.validated), w => ts(w._1), skip, _._2,
+      (kk: K, m: Map[String, (E, Long)]) =>
+        finish(kk, scala.collection.immutable.ListMap(m.toSeq
+          .map { case (n, e) => n -> e._1 }: _*)),
+      (kk: K, groups: Map[String, Seq[(E, Long)]], at: Long) =>
+        onTimeout(kk, unliftGroups(groups), at)))
+
   /** Run a pattern over a streaming Dataset: partials persist in keyed
     * state across micro-batches; final greedy runs stay pending until a
     * breaking event arrives (documented subset).
+    *
+    * Event identity is the reference's SharedBuffer EventId semantics
+    * (arrival identity, like the batch drivers): a per-key arrival counter
+    * rides the [[ArrivalState]] across micro-batches, so two
+    * value-identical events at one timestamp are distinct computation
+    * states. Use [[matchStreamFn]] directly for value identity.
     *
     * Patterns with `within` require a watermarked input: idle keys' expired
     * partials are pruned by event-time timers (reference: within-pruning on
@@ -865,14 +958,16 @@ object Cep {
       skip: AfterMatchSkip = NoSkip,
       tie: E => Long = (_: E) => 0L)(
       finish: (K, Map[String, E]) => O)(
-      implicit ke: Encoder[K], se: Encoder[Vector[Partial[E]]]): Dataset[O] = {
+      implicit ke: Encoder[K], se: Encoder[ArrivalState[E]]): Dataset[O] = {
     pattern.validated
     val timeoutConf =
       if (pattern.withinMs.isDefined) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    ds.groupByKey(key).flatMapGroupsWithState[Vector[Partial[E]], O](
+    ds.groupByKey(key).flatMapGroupsWithState[ArrivalState[E], O](
       OutputMode.Append(), timeoutConf)(
-      matchStreamFn(pattern, ts, skip, tie, finish))
+      matchStreamGroupsArrivalFn(pattern, ts, skip, tie,
+        (kk: K, groups: Map[String, Seq[E]]) =>
+          finish(kk, groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap)))
   }
 
   /** [[matchStream]] plus the reference's TIMED-OUT-partials channel
@@ -902,13 +997,14 @@ object Cep {
       tie: E => Long = (_: E) => 0L)(
       finish: (K, Map[String, E]) => O)(
       onTimeout: (K, Map[String, Seq[E]], Long) => O)(
-      implicit ke: Encoder[K], se: Encoder[Vector[Partial[E]]]): Dataset[O] = {
+      implicit ke: Encoder[K], se: Encoder[ArrivalState[E]]): Dataset[O] = {
     pattern.validated
     require(pattern.withinMs.isDefined,
       "matchStreamWithTimeouts requires a within() pattern")
-    ds.groupByKey(key).flatMapGroupsWithState[Vector[Partial[E]], O](
+    ds.groupByKey(key).flatMapGroupsWithState[ArrivalState[E], O](
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-      matchStreamWithTimeoutsFn(pattern, ts, skip, tie, finish, onTimeout))
+      matchStreamWithTimeoutsArrivalFn(pattern, ts, skip, tie, finish,
+        onTimeout))
   }
 
   /** The state-transition function behind [[matchStreamWithTimeouts]]. */
@@ -986,14 +1082,14 @@ object Cep {
       tie: E => Long = (_: E) => 0L)(
       finish: (K, Map[String, Seq[E]]) => O)(
       implicit ke: Encoder[K],
-      se: Encoder[Vector[Partial[E]]]): Dataset[O] = {
+      se: Encoder[ArrivalState[E]]): Dataset[O] = {
     pattern.validated
     val timeoutConf =
       if (pattern.withinMs.isDefined) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    ds.groupByKey(key).flatMapGroupsWithState[Vector[Partial[E]], O](
+    ds.groupByKey(key).flatMapGroupsWithState[ArrivalState[E], O](
       OutputMode.Append(), timeoutConf)(
-      matchStreamGroupsFn(pattern, ts, skip, tie, finish))
+      matchStreamGroupsArrivalFn(pattern, ts, skip, tie, finish))
   }
 
   /** The per-key state-transition function behind [[matchStreamGroups]]

@@ -410,9 +410,11 @@ object MatchRecognize {
         // micro-batches; WITHIN patterns require a watermark on the
         // ORDER BY column upstream (`df.withWatermark(ord, ...)`) so
         // idle keys' expired partials are pruned by event-time timers.
-        // State crosses batches as kryo-encoded Partial[Row] vectors.
+        // State crosses batches kryo-encoded: the per-key arrival
+        // counter + partials over arrival-tagged rows (the reference's
+        // SharedBuffer EventId identity, same as the batch path).
         implicit val stateEnc: org.apache.spark.sql.Encoder[
-          Vector[Cep.Partial[Row]]] = Encoders.kryo[Vector[Cep.Partial[Row]]]
+          Cep.ArrivalState[Row]] = Encoders.kryo[Cep.ArrivalState[Row]]
         post(Cep.matchStreamGroups[Row, Row, Row](
           prepared, keyFn, ordFn, pat, skip, tie = tieFn)(finish)(
           outEnc, keyEnc, stateEnc).toDF())

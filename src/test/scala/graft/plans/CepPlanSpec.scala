@@ -238,4 +238,37 @@ class CepPlanSpec extends SparkSuite {
     val lib = run("qc1_cep_view_error").collect().toSet
     assert(got.nonEmpty && got === lib)
   }
+
+  test("arrival identity: value-identical same-timestamp rows are distinct computation states") {
+    // two byte-identical "view" rows at one timestamp open TWO partials;
+    // under value identity structural dedup would merge them into one.
+    // The reference's SharedBuffer EventId semantics (SameElementITCase)
+    // demand two matches — which is also what the library batch driver
+    // (arrivalIds default) produces.
+    val dup = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view", 9L),
+      (1L, ts("2024-01-01 10:00:00"), "view", 9L),
+      (2L, ts("2024-01-01 10:20:00"), "error", 9L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val got = CepPlan.matchPattern(dup,
+        key = col("user_id"), ts = col("ts"), tie = col("event_id"),
+        steps = Seq(
+          ("view", col("event_type") === "view", false),
+          ("error", col("event_type") === "error", false)),
+        withinMicros = Some(hourMicros))
+      .select($"key", $"view_event_id", $"error_event_id")
+      .as[(Long, Long, Long)].collect().toSeq
+
+    val pattern = Cep.Pattern.begin[E]("view")(_.event_type == "view")
+      .followedBy("error")(_.event_type == "error")
+      .within(hourMicros)
+    val lib = Cep.matchBatch(dup.as[E], (e: E) => e.user_id,
+      (e: E) => e.ts.getTime * 1000, pattern,
+      tie = (e: E) => e.event_id) { (u, m) =>
+      (u, m("view").event_id, m("error").event_id)
+    }.collect().toSeq
+
+    assert(got.size === 2, s"expected duplicate multiplicity 2, got $got")
+    assert(got.sorted === lib.sorted)
+  }
 }

@@ -131,7 +131,7 @@ class CepSpec extends SparkSuite {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import org.apache.spark.sql.functions.timestamp_millis
-    implicit val stEnc: Encoder[Vector[Partial[Ev]]] = ExpressionEncoder()
+    implicit val stEnc: Encoder[Cep.ArrivalState[Ev]] = ExpressionEncoder()
     val input = MemoryStream[Ev]
     // within(100) patterns ride event-time timers for state expiry, so the
     // input must carry a watermark (matchStream's documented contract)
