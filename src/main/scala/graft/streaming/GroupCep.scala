@@ -468,6 +468,11 @@ object GroupCep {
       c: Compiled[E], ts: E => Long) {
     private var pending = Vector.empty[Vector[(Int, E)]]
 
+    /** Deferred matches still waiting on a live earlier branch — carried
+      * across micro-batches by the streaming driver's [[GStreamState]]. */
+    def toPending: Vector[Vector[(Int, E)]] = pending
+    def restore(ms: Vector[Vector[(Int, E)]]): Unit = pending = ms
+
     private def startOf(m: Vector[(Int, E)]): Long =
       m.headOption.map(p => ts(p._2)).getOrElse(Long.MinValue)
 
@@ -557,10 +562,70 @@ object GroupCep {
         outs.result().iterator
       }
 
+  /** Streaming keyed state for [[matchStreamSkipFn]]: the open branches
+    * plus the completed matches still deferred by the after-match skip
+    * queue (they wait for every earlier-started live branch to resolve,
+    * which can take more micro-batches). `pending` non-empty implies
+    * `confs` non-empty — with no live branch the drain empties the queue. */
+  final case class GStreamState[E](confs: Vector[GConf[E]],
+      pending: Vector[Vector[(Int, E)]])
+
+  /** [[matchStreamFn]] plus the after-match skip machinery — the
+    * [[GroupSkipQueue]] the batch path runs, its deferred matches carried
+    * across micro-batches in [[GStreamState]] (the streaming analog of the
+    * linear driver storing completed partials in state). NoSkip runs the
+    * queue-free immediate path. */
+  def matchStreamSkipFn[K, E, O](compiled: Compiled[E], ts: E => Long,
+      tie: E => Long, skip: Cep.AfterMatchSkip,
+      finish: (K, Map[String, Seq[E]]) => O):
+      (K, Iterator[E], GroupState[GStreamState[E]]) => Iterator[O] =
+    (k: K, it: Iterator[E], state: GroupState[GStreamState[E]]) => {
+      val st = state.getOption.getOrElse(GStreamState[E](Vector.empty,
+        Vector.empty))
+      val outs = Vector.newBuilder[O]
+      val sq = if (skip == Cep.NoSkip) null
+               else new GroupSkipQueue[E](skip, compiled, ts)
+      if (sq != null) sq.restore(st.pending)
+      def emit(m: Vector[(Int, E)]): Unit =
+        outs += finish(k, toGroups(compiled, m))
+      var confs = st.confs
+      if (state.hasTimedOut) {
+        // watermark advance: expired branches die, which may release
+        // deferred matches whose only blockers they were
+        val w = compiled.withinMs.get
+        val wm = state.getCurrentWatermarkMs()
+        confs = confs.filter(c => wm - c.startTs < w)
+        if (sq != null) confs = sq.drain(confs, emit)
+      } else {
+        // a branch may have expired on the timer between batches
+        if (sq != null) confs = sq.drain(confs, emit)
+        it.toVector.sortBy(e => (ts(e), tie(e))).foreach { e =>
+          val (next, ms) = advance(compiled, confs, e, ts(e))
+          confs = next
+          if (sq == null) ms.foreach(emit)
+          else { sq.add(ms); confs = sq.drain(confs, emit) }
+        }
+      }
+      if (confs.isEmpty) state.remove()
+      else {
+        state.update(GStreamState(confs,
+          if (sq == null) Vector.empty else sq.toPending))
+        compiled.withinMs.foreach { w =>
+          val target = confs.map(_.startTs).min + w + 1
+          state.setTimeoutTimestamp(
+            math.max(target, state.getCurrentWatermarkMs() + 1))
+        }
+      }
+      outs.result().iterator
+    }
+
   /** Streaming twin: branches persist in keyed state across micro-batches.
     * Events must arrive in event-time order per key within a batch (sort
     * applied); cross-batch late events are not re-ordered — feed through
     * [[StreamOps.eventTimeSorted]] first when that matters.
+    *
+    * `skip` runs the batch path's [[GroupSkipQueue]] semantics; deferred
+    * matches ride keyed state until their blocking branches resolve.
     *
     * Patterns with `within` require a watermarked input (`withWatermark`
     * upstream): expiry of idle keys' partial branches rides event-time
@@ -568,16 +633,17 @@ object GroupCep {
     * indefinitely — exactly the reference's semantics. */
   def matchStream[K, E, O: Encoder](ds: Dataset[E], key: E => K,
       ts: E => Long, pattern: GPattern[E],
-      tie: E => Long = (_: E) => 0L)(
+      tie: E => Long = (_: E) => 0L,
+      skip: Cep.AfterMatchSkip = Cep.NoSkip)(
       finish: (K, Map[String, Seq[E]]) => O)(
       implicit ke: Encoder[K],
-      se: Encoder[Vector[GConf[E]]]): Dataset[O] = {
+      se: Encoder[GStreamState[E]]): Dataset[O] = {
     val compiled = compile(pattern)
     val timeoutConf =
       if (compiled.withinMs.isDefined) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    ds.groupByKey(key).flatMapGroupsWithState[Vector[GConf[E]], O](
+    ds.groupByKey(key).flatMapGroupsWithState[GStreamState[E], O](
       OutputMode.Append(), timeoutConf)(
-      matchStreamFn(compiled, ts, tie, finish))
+      matchStreamSkipFn(compiled, ts, tie, skip, finish))
   }
 }

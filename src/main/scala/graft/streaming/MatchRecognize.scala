@@ -33,9 +33,9 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *                                  -- on variables AND parenthesized
   *                                  -- sub-groups; a flat sequence runs
   *                                  -- the linear NFA, nested groups
-  *                                  -- compile onto [[GroupCep]] (where
-  *                                  -- AFTER MATCH SKIP is rejected —
-  *                                  -- a linear-NFA surface); alternation
+  *                                  -- compile onto [[GroupCep]] (batch
+  *                                  -- AND streaming, incl. AFTER MATCH
+  *                                  -- SKIP); alternation
   *                                  -- `A|B`, PERMUTE, anchors are
   *                                  -- REJECTED with a clear error
   *   [WITHIN INTERVAL 'n' SECOND|MINUTE|HOUR|DAY]
@@ -427,10 +427,8 @@ object MatchRecognize {
       // engine behind the reference's GroupPattern — GroupITCase 16/16).
       // SQL adjacency is strict between siblings AND between the
       // repetitions of a quantified element (consecutive). AFTER MATCH
-      // runs GroupCep's GroupSkipQueue on the batch path; the streaming
-      // nested path keeps the all-starts default.
-      if (df.isStreaming) require(skip == Cep.NoSkip,
-        "AFTER MATCH SKIP with nested PATTERN groups is batch-only")
+      // runs GroupCep's GroupSkipQueue on both paths; on the streaming
+      // path its deferred matches ride keyed state (GStreamState).
       def applyQuant(gp: GroupCep.GPattern[Row],
           q: String): GroupCep.GPattern[Row] = q match {
         case "?" => gp.optional
@@ -465,10 +463,10 @@ object MatchRecognize {
       withinOrd.foreach(w => gp = gp.within(w))
       if (df.isStreaming) {
         implicit val stateEnc: org.apache.spark.sql.Encoder[
-          Vector[GroupCep.GConf[Row]]] =
-          Encoders.kryo[Vector[GroupCep.GConf[Row]]]
+          GroupCep.GStreamState[Row]] =
+          Encoders.kryo[GroupCep.GStreamState[Row]]
         post(GroupCep.matchStream[Row, Row, Row](
-          prepared, keyFn, ordFn, gp, tie = tieFn)(finish)(
+          prepared, keyFn, ordFn, gp, tie = tieFn, skip = skip)(finish)(
           outEnc, keyEnc, stateEnc).toDF())
       } else
         post(GroupCep.matchBatchGroups[Row, Row, Row](

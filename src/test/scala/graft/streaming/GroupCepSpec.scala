@@ -339,8 +339,8 @@ class GroupCepSpec extends SparkSuite {
     implicit val sqlCtx = spark.sqlContext
     // Ev is file-scope (CepSpec.scala) so ExpressionEncoder can find its
     // TypeTag — a method-local type alias can't provide one.
-    implicit val stEnc: org.apache.spark.sql.Encoder[Vector[GConf[Ev]]] =
-      ExpressionEncoder()
+    implicit val stEnc: org.apache.spark.sql.Encoder[
+      GroupCep.GStreamState[Ev]] = ExpressionEncoder()
     val p = GPattern.begin[Ev]("start")(_.typ == "c")
       .followedBy(GPattern.begin[Ev]("m1")(_.typ == "a")
         .followedBy("m2")(_.typ == "b")).times(1, 2)
