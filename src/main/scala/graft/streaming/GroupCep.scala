@@ -53,7 +53,8 @@ object GroupCep {
       extends GElem[E]
   final case class GGroup[E](elems: Vector[GElem[E]], mode: Int,
       min: Int, max: Int, optional: Boolean, loopMode: Int,
-      untilPred: Option[E => Boolean]) extends GElem[E]
+      untilPred: Option[E => Boolean],
+      greedy: Boolean = false) extends GElem[E]
   final case class GNot[E](name: String, pred: E => Boolean,
       nextOnly: Boolean) extends GElem[E]
 
@@ -113,6 +114,16 @@ object GroupCep {
     def allowCombinations: GPattern[E] = quantified(_.copy(loopMode = TillAny))
     def until(pred: E => Boolean): GPattern[E] =
       quantified(_.copy(untilPred = Some(pred)))
+    /** Prefer-longer repetition (reference Pattern.greedy / NFACompiler
+      * updateWithGreedyCondition): every transition of the state FOLLOWING
+      * the loop is conjoined with NOT(loop take), so a branch that exited
+      * the loop dies on any event the loop could have consumed — only the
+      * maximal run reaches the rest of the pattern. */
+    def greedy: GPattern[E] = quantified { g =>
+      require(g.loopMode != TillAny,
+        "Option not applicable to FollowedByAny pattern")
+      g.copy(greedy = true)
+    }
     def within(ms: Long): GPattern[E] = new GPattern(elems, Some(ms))
 
     private[GroupCep] def validated: GPattern[E] = {
@@ -150,11 +161,17 @@ object GroupCep {
   private final case class SNode(slot: Int, mode: Int) extends Node
   private final case class GNode(id: Int, children: Vector[Node], mode: Int,
       min: Int, max: Int, optional: Boolean, loopMode: Int,
-      untilIdx: Int) extends Node // untilIdx: index into untils, -1 = none
+      untilIdx: Int, // untilIdx: index into untils, -1 = none
+      greedy: Boolean) extends Node
 
   /** A frontier target after an epsilon walk: a slot to wait on (with its
-    * consuming mode and group-repetition counters) or pattern completion. */
-  private final case class At(slot: Int, mode: Int, reps: Map[Int, Int])
+    * consuming mode and group-repetition counters) or pattern completion.
+    * `guard` >= 0 names a greedy group whose exit produced this target:
+    * while waiting here, any event that loop could have consumed kills
+    * the branch (NFACompiler updateWithGreedyCondition — NOT(take)
+    * conjoined onto every transition of the loop's sink state). */
+  private final case class At(slot: Int, mode: Int, reps: Map[Int, Int],
+      guard: Int = -1)
 
   final class Compiled[E] private[GroupCep] (pattern: GPattern[E])
       extends Serializable {
@@ -192,7 +209,7 @@ object GroupCep {
         // currentGroupPattern is the innermost group, with no fallthrough
         val children = buildSeq(g.elems, gUntil)
         val node = GNode(id, children, g.mode, g.min, g.max, g.optional,
-          g.loopMode, gUntil)
+          g.loopMode, gUntil, g.greedy)
         children.foreach(parentB(_) = node)
         node
       case _: GNot[E] =>
@@ -244,7 +261,7 @@ object GroupCep {
     private val realRoot: GNode = {
       val children = buildSeq(pattern.elems, -1)
       val r = GNode(nGroups, children, TillNext, 1, 1, optional = false,
-        TillNext, -1)
+        TillNext, -1, greedy = false)
       nGroups += 1
       children.foreach(parentB(_) = r)
       r
@@ -279,36 +296,46 @@ object GroupCep {
     }
 
     /** Epsilon-enter an element with the boundary mode `mode`:
-      * group entry resets its counters and may also skip it entirely. */
+      * group entry resets its counters and may also skip it entirely.
+      * `guard` carries a greedy group id whose exit led here (the target
+      * slots are that loop's sink state). */
     private def enter(n: Node, mode: Int, reps: Map[Int, Int],
-        out: scala.collection.mutable.Builder[At, Vector[At]], done: () => Unit): Unit = n match {
-      case SNode(s, _) => out += At(s, mode, reps)
+        out: scala.collection.mutable.Builder[At, Vector[At]], done: () => Unit,
+        guard: Int): Unit = n match {
+      case SNode(s, _) => out += At(s, mode, reps, guard)
       case g: GNode =>
         val r = clearInside(g, reps).updated(g.id, 0)
-        enter(g.children.head, mode, r, out, done)
-        if (g.optional || g.min == 0) continueAfter(g, reps, out, done)
+        enter(g.children.head, mode, r, out, done, guard)
+        if (g.optional || g.min == 0)
+          continueAfter(g, reps, out, done,
+            if (g.greedy) g.id else guard)
     }
 
     /** Epsilon-walk after completing element `n`: next sibling, or close a
       * repetition of the parent group (exit and/or loop-back forks), or
-      * complete the pattern at the root. */
+      * complete the pattern at the root. Exiting a GREEDY group stamps its
+      * id as the guard on everything downstream of the exit — the sink
+      * state whose transitions the reference conjoins with NOT(take). */
     private def continueAfter(n: Node, reps: Map[Int, Int],
-        out: scala.collection.mutable.Builder[At, Vector[At]], done: () => Unit): Unit =
+        out: scala.collection.mutable.Builder[At, Vector[At]], done: () => Unit,
+        guard: Int): Unit =
       parents.get(n) match {
         case None => done() // n is the root
         case Some(p) =>
           val idx = p.children.indexWhere(_ eq n)
           if (idx < p.children.size - 1) {
             val sib = p.children(idx + 1)
-            enter(sib, declMode(sib), reps, out, done)
+            enter(sib, declMode(sib), reps, out, done, guard)
           } else if (p.id == realRoot.id) {
             done()
           } else {
             val r = reps.getOrElse(p.id, 0) + 1
-            if (r >= p.min) continueAfter(p, reps - p.id, out, done)
+            if (r >= p.min)
+              continueAfter(p, reps - p.id, out, done,
+                if (p.greedy) p.id else guard)
             if (r < p.max)
               enter(p.children.head, p.loopMode,
-                clearInside(p, reps).updated(p.id, r), out, done)
+                clearInside(p, reps).updated(p.id, r), out, done, guard)
           }
       }
 
@@ -316,15 +343,28 @@ object GroupCep {
         reps: Map[Int, Int]): (Vector[At], Boolean) = {
       val out = Vector.newBuilder[At]
       var complete = false
-      continueAfter(slotNodes(slot), reps, out, () => complete = true)
+      continueAfter(slotNodes(slot), reps, out, () => complete = true, -1)
       (out.result(), complete)
     }
     private[GroupCep] lazy val startFrontier: Vector[At] = {
       val out = Vector.newBuilder[At]
       val first = realRoot.children.head
-      enter(first, declMode(first), Map.empty, out, () => ())
+      enter(first, declMode(first), Map.empty, out, () => (), -1)
       out.result()
     }
+    /** Greedy group id → its loop take condition (the disjunction of its
+      * entry slots' predicates — NFACompiler's getTakeCondition operand of
+      * updateWithGreedyCondition). */
+    private val greedyGuards: Map[Int, Vector[Int]] = {
+      def collect(n: Node): Vector[GNode] = n match {
+        case _: SNode => Vector.empty
+        case g: GNode => (if (g.greedy) Vector(g) else Vector.empty) ++
+          g.children.flatMap(collect)
+      }
+      collect(realRoot).map(g => g.id -> firstSlots(g)).toMap
+    }
+    private[GroupCep] def guardHit(guard: Int, e: E): Boolean =
+      guard >= 0 && greedyGuards(guard).exists(s => preds(s)(e))
     private[GroupCep] def predOf(s: Int): E => Boolean = preds(s)
     private[GroupCep] def nameOf(s: Int): String = names(s)
     private[GroupCep] def stopsFollowOf(s: Int): List[E => Boolean] =
@@ -340,9 +380,12 @@ object GroupCep {
     new Compiled(pattern.validated)
 
   /** An in-flight branch: waiting on `slot` with consuming mode `mode`;
-    * `fresh` = has not ignored an event since arriving (notNext window). */
+    * `fresh` = has not ignored an event since arriving (notNext window);
+    * `guard` >= 0 = this branch exited that greedy group and dies on any
+    * event its loop could have consumed (prefer-longer semantics). */
   final case class GConf[E](slot: Int, mode: Int, reps: Map[Int, Int],
-      captured: Vector[(Int, E)], startTs: Long, fresh: Boolean)
+      captured: Vector[(Int, E)], startTs: Long, fresh: Boolean,
+      guard: Int = -1)
 
   /** One NFA transition over all live branches. Pure; shared by the batch
     * and streaming drivers. Returns surviving branches and completed
@@ -361,15 +404,19 @@ object GroupCep {
       val (targets, complete) = c.succ(conf.slot, conf.reps)
       if (complete) matches += cap2
       targets.foreach { t =>
-        out += GConf(t.slot, t.mode, t.reps, cap2, conf.startTs, fresh = true)
+        out += GConf(t.slot, t.mode, t.reps, cap2, conf.startTs,
+          fresh = true, guard = t.guard)
       }
     }
 
     alive.foreach { conf =>
+      // greedy: a branch past a greedy loop dies on any event that loop
+      // could have consumed — NOT(take) on every sink transition
+      val greedyKill = c.guardHit(conf.guard, e)
       val stopped = c.stopsFollowOf(conf.slot).exists(_(e)) ||
         (conf.fresh && c.stopsNextOf(conf.slot).exists(_(e)))
       val untilKill = c.untilOf(conf.slot).exists(_(e))
-      if (!stopped && !untilKill) {
+      if (!greedyKill && !stopped && !untilKill) {
         val takes = c.predOf(conf.slot)(e)
         if (takes) {
           fire(conf)
@@ -388,7 +435,8 @@ object GroupCep {
         fire(GConf(t.slot, t.mode, t.reps, Vector.empty, ts, fresh = true))
     }
     (dedupBy(out.result())(c =>
-        (c.slot, c.mode, c.reps, c.startTs, c.fresh, c.captured.length)),
+        (c.slot, c.mode, c.reps, c.startTs, c.fresh, c.guard,
+          c.captured.length)),
       dedupBy(matches.result())(m => (m.length, m.map(_._1))))
   }
 

@@ -668,8 +668,8 @@ class CepQuantifierSpec extends SparkSuite {
   test("port: greedy zeroOrMore across interleaved gaps (GreedyITCase testGreedyZeroOrMoreInBetween)") {
     // dummies between every element: the relaxed greedy run still
     // collects all three a's and emits only the maximal match.
-    // (testGreedyZeroOrMoreBeforeGroupPattern is N/A: greedy on a GROUP
-    // quantifier — the GroupCep surface has no greedy mode, documented.)
+    // (testGreedyZeroOrMoreBeforeGroupPattern — a greedy leaf before a
+    // GROUP — is ported in GroupCepSpec since round 8: GPattern.greedy.)
     val p = Pattern.begin[RE]("start")(_.name == "c")
       .followedBy("middle")(_.name == "a").oneOrMore.relaxed.optional
       .followedBy("end")(_.name == "d")

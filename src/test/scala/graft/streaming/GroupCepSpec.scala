@@ -299,6 +299,35 @@ class GroupCepSpec extends SparkSuite {
     assert(remaining === 0)
   }
 
+  test("port: c a*-greedy (d e){2} f (GreedyITCase testGreedyZeroOrMoreBeforeGroupPattern)") {
+    // the last unported GreedyITCase case (round-8 VERDICT #3): a GREEDY
+    // quantified leaf before a group — the whole pattern compiles onto
+    // the group engine, which now implements the reference's
+    // updateWithGreedyCondition (the branch that declined to extend the
+    // loop dies on any event the loop could have consumed), so ONLY the
+    // maximal a-run reaches (d e){2} f
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .followedBy("middle")(_.name == "a").oneOrMore.optional.greedy
+      .followedBy(GPattern.begin[RE]("middle1")(_.name == "d")
+        .followedBy("middle2")(_.name == "e")).times(2)
+      .followedBy("end")(_.name == "f")
+    val got = feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 1.0) -> 2L, RE(42, "a", 1.0) -> 3L,
+      RE(49, "dummy", 2.0) -> 4L, RE(43, "a", 1.0) -> 5L,
+      RE(50, "d", 1.0) -> 6L, RE(51, "e", 1.0) -> 7L,
+      RE(52, "d", 1.0) -> 8L, RE(53, "e", 1.0) -> 9L,
+      RE(54, "f", 3.0) -> 10L))
+    assert(got === Vector(Seq(40, 41, 42, 43, 50, 51, 52, 53, 54)))
+  }
+
+  test("greedy is rejected on an allowCombinations loop (reference Quantifier.greedy check)") {
+    assertThrows[IllegalArgumentException] {
+      GPattern.begin[RE]("start")(_.name == "c")
+        .followedBy("middle")(_.name == "a").oneOrMore.allowCombinations
+        .greedy
+    }
+  }
+
   test("adjacent combination loops match the SharedBuffer version multiset (NFAITCase testMultipleTakesVersionCollision shape)") {
     // the same 20-match multiset the library NFA reproduces
     // (CepQuantifierSpec) — pins that the group engine's epsilon-NFA
