@@ -98,6 +98,102 @@ object SqlQueries extends QueryModule {
         |       THEN l_extendedprice ELSE 0.0 END AS DECIMAL(30,8))) AS DOUBLE) AS discounted_rev
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin)
+        |ORDER BY l_returnflag""".stripMargin),
+
+    // ---- round-8 additions: the hardest Catalyst decorrelation shapes a
+    // real user writes (TPC-H Q21/Q7/Q17/Q20/Q4 adapted to this star
+    // schema — no partsupp/receiptdate in the testdata, so the "late"
+    // flag is l_returnflag = 'R' and Q20's partsupp walk runs over
+    // lineitem). All exercise RewritePredicateSubquery /
+    // DecorrelateInnerQuery classes qsql1-6 don't.
+
+    // TPC-H Q21 shape: EXISTS + nested NOT EXISTS, both correlated with
+    // an inequality on a second attribute of the same table
+    sqlBoth("qsql7_waiting_suppliers",
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |  JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |  JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin),
+
+    // TPC-H Q7 shape: self-joined dimension (nation twice), a derived
+    // table, multi-level join -> agg over computed volume
+    sqlBoth("qsql8_volume_shipping",
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(volume AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume
+        |  FROM supplier
+        |    JOIN lineitem ON s_suppkey = l_suppkey
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN customer ON c_custkey = o_custkey
+        |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+
+    // TPC-H Q17 shape: correlated scalar AGGREGATE subquery against the
+    // outer join's dimension key inside a WHERE comparison
+    sqlBoth("qsql9_small_quantity_revenue",
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8)))
+        |    AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        |FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin),
+
+    // TPC-H Q20 shape: IN over a grouped subquery whose HAVING compares
+    // the group aggregate against a correlated scalar aggregate
+    sqlBoth("qsql10_top_part_suppliers",
+      """SELECT s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l1.l_suppkey FROM lineitem l1
+        |  WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_name LIKE '%red%')
+        |  GROUP BY l1.l_suppkey, l1.l_partkey
+        |  HAVING SUM(l1.l_quantity) > 0.12 *
+        |    (SELECT SUM(l2.l_quantity) FROM lineitem l2
+        |     WHERE l2.l_partkey = l1.l_partkey))
+        |ORDER BY s_name""".stripMargin),
+
+    // TPC-H Q4 shape: correlated EXISTS whose predicate compares columns
+    // of BOTH relations (l_shipdate > o_orderdate — not a pure key match)
+    sqlBoth("qsql11_order_priority_check",
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    // NOT IN anti-join (null-aware anti join in Catalyst — a different
+    // physical operator than NOT EXISTS' left-anti)
+    sqlBoth("qsql12_quiet_customers",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey
+        |LIMIT 50""".stripMargin)
   )
 }

@@ -64,6 +64,23 @@ object PlanAudit {
     check("qm2 scan reads only doc_id + text",
       qm2.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
 
+    // round-8 TPC-H decorrelation family: the planner must turn the
+    // subqueries into joins (no per-row re-execution shapes) and never
+    // fall back to an unconditioned cross product
+    val qsql7 = plan("qsql7_waiting_suppliers")
+    check("qsql7 NOT EXISTS decorrelates to an anti join",
+      qsql7.contains("LeftAnti"))
+    check("qsql7 EXISTS decorrelates to a semi join",
+      qsql7.contains("LeftSemi"))
+    check("qsql7 has no Cartesian product", !qsql7.contains("CartesianProduct"))
+    val qsql9 = plan("qsql9_small_quantity_revenue")
+    check("qsql9 correlated scalar agg decorrelates (no cartesian)",
+      !qsql9.contains("CartesianProduct") &&
+        !qsql9.contains("BroadcastNestedLoopJoin"))
+    val qsql12 = plan("qsql12_quiet_customers")
+    check("qsql12 NOT IN plans as an anti join",
+      qsql12.contains("LeftAnti"))
+
     s.stop()
     if (failed > 0) {
       println(s"$failed plan assertions FAILED"); sys.exit(1)
