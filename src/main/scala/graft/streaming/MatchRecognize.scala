@@ -25,8 +25,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *                                  -- match order, measures RUNNING
   *                                  -- (evaluated over the prefix up to
   *                                  -- the row — the SQL default for this
-  *                                  -- mode; the FINAL keyword is not
-  *                                  -- supported)
+  *                                  -- mode) unless prefixed FINAL
+  *                                  -- (whole-match evaluation);
+  *                                  -- MATCH_NUMBER() = 1-based per-
+  *                                  -- partition ordinal (batch-only)
   *   [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
   *     | SKIP TO FIRST X | SKIP TO LAST X]
   *   PATTERN (A (B C){2} D ...)     -- quantifiers ? * + {n} {n,m} {n,}
@@ -80,16 +82,20 @@ object MatchRecognize {
     def alias: String
     def field(schema: StructType): StructField
     /** `classifier` = step name of the current row (ALL ROWS) or of the
-      * match's last row (ONE ROW). */
+      * match's last row (ONE ROW); `matchNum` = 1-based per-partition
+      * match ordinal (0 when MATCH_NUMBER is unused). */
     def eval(groups: Map[String, Seq[Row]], schema: StructType,
-        classifier: String): Any
+        classifier: String, matchNum: Long): Any
+    /** FINAL keyword: under ALL ROWS the measure evaluates over the WHOLE
+      * match (and the final classifier), not the running prefix. */
+    def isFinal: Boolean = false
   }
   private final case class PosMeasure(v: String, c: String, alias: String,
       last: Boolean) extends Measure {
     def field(schema: StructType): StructField =
       StructField(alias, schema(c).dataType, nullable = true)
     def eval(groups: Map[String, Seq[Row]], schema: StructType,
-        classifier: String): Any = {
+        classifier: String, matchNum: Long): Any = {
       val g = groups.getOrElse(v, Seq.empty)
       if (g.isEmpty) null
       else (if (last) g.last else g.head).getAs[Any](c)
@@ -100,7 +106,7 @@ object MatchRecognize {
     def field(schema: StructType): StructField =
       StructField(alias, LongType, nullable = false)
     def eval(groups: Map[String, Seq[Row]], schema: StructType,
-        classifier: String): Any =
+        classifier: String, matchNum: Long): Any =
       groups.getOrElse(v, Seq.empty).size.toLong
   }
   private final case class ClassifierMeasure(alias: String) extends Measure {
@@ -108,7 +114,22 @@ object MatchRecognize {
       StructField(alias, org.apache.spark.sql.types.StringType,
         nullable = true)
     def eval(groups: Map[String, Seq[Row]], schema: StructType,
-        classifier: String): Any = classifier
+        classifier: String, matchNum: Long): Any = classifier
+  }
+  private final case class MatchNumMeasure(alias: String) extends Measure {
+    def field(schema: StructType): StructField =
+      StructField(alias, LongType, nullable = false)
+    def eval(groups: Map[String, Seq[Row]], schema: StructType,
+        classifier: String, matchNum: Long): Any = matchNum
+  }
+  /** FINAL-keyword decorator (SQL:2016 RUNNING|FINAL semantics prefix). */
+  private final case class FinalMeasure(inner: Measure) extends Measure {
+    def alias: String = inner.alias
+    def field(schema: StructType): StructField = inner.field(schema)
+    def eval(groups: Map[String, Seq[Row]], schema: StructType,
+        classifier: String, matchNum: Long): Any =
+      inner.eval(groups, schema, classifier, matchNum)
+    override def isFinal: Boolean = true
   }
 
   private val PartitionRe = """(?is)PARTITION\s+BY\s+(\w+)""".r
@@ -126,6 +147,8 @@ object MatchRecognize {
   private val QuantRe = """\{\d+(,\d*)?\}""".r
   private val FirstLastRe = """(?is)(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)""".r
   private val CountRe = """(?is)COUNT\s*\(\s*(\w+)\.\*\s*\)""".r
+  private val MatchNumRe = """(?is)MATCH_NUMBER\s*\(\s*\)""".r
+  private val SemanticsKwRe = """(?is)^(FINAL|RUNNING)\s+""".r
   private val ColRe = """(?s)\s*(\w+)\.(\w+)\s*""".r
 
   // ---- PATTERN grammar: element = (variable | '(' sequence ')') quant?
@@ -249,18 +272,26 @@ object MatchRecognize {
           val i = "(?i)\\s+AS\\s+".r.findAllMatchIn(m).toSeq.lastOption
             .getOrElse(throw new IllegalArgumentException(
               s"measure needs AS alias: $m"))
-          val (e, alias) = (m.substring(0, i.start).trim,
+          val (e0, alias) = (m.substring(0, i.start).trim,
             m.substring(i.end).trim)
-          e match {
+          // optional SQL:2016 semantics keyword: FINAL evaluates over the
+          // whole match under ALL ROWS; RUNNING (the ALL ROWS default)
+          // strips to the bare expression
+          val kw = SemanticsKwRe.findFirstMatchIn(e0)
+          val e = kw.map(k => e0.substring(k.end)).getOrElse(e0)
+          val isFinal = kw.exists(_.group(1).equalsIgnoreCase("FINAL"))
+          val base = e match {
             case FirstLastRe(fl, v, c) =>
               PosMeasure(v, c, alias, last = fl.equalsIgnoreCase("LAST"))
             case CountRe(v) => CountMeasure(v, alias)
             case m if ClassifierRe.matches(m.trim) => ClassifierMeasure(alias)
+            case m if MatchNumRe.matches(m.trim) => MatchNumMeasure(alias)
             // SQL:2016 ONE ROW PER MATCH is FINAL: bare X.col = LAST(X.col)
             case ColRe(v, c) => PosMeasure(v, c, alias, last = true)
             case other => throw new IllegalArgumentException(
               s"unsupported measure expression: $other")
           }
+          if (isFinal) FinalMeasure(base) else base
         }
       }
     val skip: Cep.AfterMatchSkip =
@@ -315,7 +346,12 @@ object MatchRecognize {
     // project to: measure-referenced columns + partition key + internals;
     // under streaming ALSO the raw ORDER BY column — its watermark
     // metadata must reach flatMapGroupsWithState for event-time timeouts
-    val needed = ((measures.collect { case PosMeasure(_, c, _, _) => c }
+    def baseOf(m: Measure): Measure = m match {
+      case FinalMeasure(inner) => inner
+      case other => other
+    }
+    val needed = ((measures.map(baseOf)
+      .collect { case PosMeasure(_, c, _, _) => c }
       :+ partCol) ++ (if (streamingIn) Seq(ordCol) else Nil)).distinct
     val prepared = df
       .where(col(ordCol).isNotNull)
@@ -361,15 +397,44 @@ object MatchRecognize {
     val keyFn = (r: Row) => Row(r.get(keyIdx))
     val ordFn = (r: Row) => r.getLong(ordIdx)
     val tieFn = (r: Row) => r.getLong(tieIdx)
+
+    // MATCH_NUMBER(): 1-based per-partition ordinal in match-emission
+    // order. Batch-only — the ordinal is task-local mutable state (each
+    // Spark task deserializes its own closure copy, and flatMapGroups
+    // feeds each key's matches contiguously); a streaming ordinal would
+    // have to persist in keyed state across micro-batches, which the
+    // generic CEP state does not carry — rejected, not miscomputed.
+    val needsMatchNum = measures.map(baseOf)
+      .exists(_.isInstanceOf[MatchNumMeasure])
+    if (needsMatchNum && streamingIn) throw new IllegalArgumentException(
+      "MATCH_NUMBER() is batch-only (the per-key match ordinal does not " +
+        "persist across micro-batches)")
+    var mnHasKey = false
+    var mnKey: Any = null
+    var mnCounter = 0L
+    def nextMatchNum(k: Row): Long = {
+      val kv = k.get(0)
+      if (!mnHasKey || mnKey != kv) { mnHasKey = true; mnKey = kv; mnCounter = 0L }
+      mnCounter += 1
+      mnCounter
+    }
+
     val finish: (Row, Map[String, Seq[Row]]) => Row =
       if (!allRows) { (k, groups) =>
+        val mn = if (needsMatchNum) nextMatchNum(k) else 0L
         val cls = flatten(groups).lastOption.map(_._1).orNull
-        Row.fromSeq(k.get(0) +: measures.map(_.eval(groups, schema, cls)))
+        Row.fromSeq(k.get(0) +: measures.map(_.eval(groups, schema, cls, mn)))
       } else { (k, groups) =>
+        val mn = if (needsMatchNum) nextMatchNum(k) else 0L
+        // FINAL measures see the whole match and its final classifier;
+        // RUNNING (default) measures see the prefix up to the row
+        val finalCls = flatten(groups).lastOption.map(_._1).orNull
         val prefix = scala.collection.mutable.Map.empty[String, Vector[Row]]
         val rows = flatten(groups).map { case (n, e) =>
           prefix(n) = prefix.getOrElse(n, Vector.empty) :+ e
-          Row.fromSeq(measures.map(_.eval(prefix.toMap, schema, n)))
+          Row.fromSeq(measures.map(m =>
+            if (m.isFinal) m.eval(groups, schema, finalCls, mn)
+            else m.eval(prefix.toMap, schema, n, mn)))
         }
         Row(k.get(0), rows)
       }

@@ -72,6 +72,37 @@ object MatchRecognizeQuery extends QueryModule {
           |PATTERN (E{2,3})
           |DEFINE E AS event_type = 'error'""".stripMargin)
         .orderBy("user_id", "first_ts", "last_ts")
+    },
+
+    q("qc14_match_recognize_all_rows",
+      // ALL ROWS PER MATCH over consecutive error PAIRS with
+      // MATCH_NUMBER() and RUNNING-vs-FINAL measures: per match, two
+      // output rows — running count 1 then 2, final count 2 on both,
+      // row_ts walks the match while final_ts pins its last event.
+      // Oracle: adjacent-position error pairs via row_number, one UNION
+      // branch per output row of the match.
+      """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |m AS (SELECT a.user_id, a.rn AS rn0, a.ts AS t0, b.ts AS t1,
+        |    row_number() OVER (PARTITION BY a.user_id ORDER BY a.rn) AS mn
+        |  FROM o a JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+        |  WHERE a.event_type = 'error' AND b.event_type = 'error')
+        |SELECT user_id, mn, CAST(1 AS BIGINT) AS rc, CAST(2 AS BIGINT) AS fc,
+        |  t0 AS row_ts, t1 AS final_ts FROM m
+        |UNION ALL
+        |SELECT user_id, mn, CAST(2 AS BIGINT), CAST(2 AS BIGINT), t1, t1 FROM m
+        |ORDER BY user_id, mn, rc""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES MATCH_NUMBER() AS mn, COUNT(E.*) AS rc,
+          |  FINAL COUNT(E.*) AS fc, LAST(E.ts) AS row_ts,
+          |  FINAL LAST(E.ts) AS final_ts
+          |ALL ROWS PER MATCH
+          |PATTERN (E{2})
+          |DEFINE E AS event_type = 'error'""".stripMargin)
+        .orderBy("user_id", "mn", "rc")
     }
   )
 }

@@ -370,6 +370,64 @@ class MatchRecognizeSpec extends SparkSuite {
       .select("a1", "nb", "c_id")
       .as[(Long, Long, Long)].collect().toSet
 
+  test("MATCH_NUMBER() numbers matches per partition; FINAL measures see the whole match (ALL ROWS)") {
+    val df = Seq(
+      // user 1: errors at 10,20 and 30,40 (overlap pair 20,30 too)
+      (1L, 10L, "error", 1L), (2L, 20L, "error", 1L),
+      (3L, 30L, "error", 1L), (4L, 40L, "error", 1L),
+      // user 2: one pair
+      (10L, 10L, "error", 2L), (11L, 20L, "error", 2L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val got = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES MATCH_NUMBER() AS mn, COUNT(E.*) AS rc,
+        |  FINAL COUNT(E.*) AS fc, LAST(E.event_id) AS row_id,
+        |  FINAL LAST(E.event_id) AS final_id
+        |ALL ROWS PER MATCH
+        |PATTERN (E{2})
+        |DEFINE E AS event_type = 'error'""".stripMargin)
+      .select("user_id", "mn", "rc", "fc", "row_id", "final_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // user 1 has three overlapping pairs (1,2)(2,3)(3,4) numbered 1..3;
+    // RUNNING rc walks 1->2 and row_id walks the events, FINAL fc/final_id
+    // are constant across the match's rows
+    assert(got === Set(
+      (1L, 1L, 1L, 2L, 1L, 2L), (1L, 1L, 2L, 2L, 2L, 2L),
+      (1L, 2L, 1L, 2L, 2L, 3L), (1L, 2L, 2L, 2L, 3L, 3L),
+      (1L, 3L, 1L, 2L, 3L, 4L), (1L, 3L, 2L, 2L, 4L, 4L),
+      (2L, 1L, 1L, 2L, 10L, 11L), (2L, 1L, 2L, 2L, 11L, 11L)))
+  }
+
+  test("FINAL under ONE ROW PER MATCH is a no-op; RUNNING keyword parses; streaming MATCH_NUMBER rejected") {
+    val df = Seq(
+      (1L, 10L, "error", 1L), (2L, 20L, "error", 1L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val one = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES MATCH_NUMBER() AS mn, FINAL LAST(E.event_id) AS l1,
+        |  RUNNING LAST(E.event_id) AS l2
+        |PATTERN (E{2})
+        |DEFINE E AS event_type = 'error'""".stripMargin)
+      .select("mn", "l1", "l2").as[(Long, Long, Long)].collect().toSeq
+    assert(one === Seq((1L, 2L, 2L)))
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val sdf = input.toDF().toDF("event_id", "ts", "event_type", "user_id")
+    val ex = intercept[IllegalArgumentException] {
+      MatchRecognize(sdf,
+        """PARTITION BY user_id
+          |ORDER BY ts
+          |MEASURES MATCH_NUMBER() AS mn
+          |PATTERN (E{2})
+          |DEFINE E AS event_type = 'error'""".stripMargin)
+    }
+    assert(ex.getMessage.contains("batch-only"))
+  }
+
   test("streaming nested-group AFTER MATCH SKIP PAST LAST ROW defers across micro-batches") {
     val line = "AFTER MATCH SKIP PAST LAST ROW"
     val batch = runNestedSkipBatch(line)
