@@ -99,6 +99,22 @@ object CepPlan {
     override protected def withNewChildInternal(newChild: SparkPlan) =
       copy(child = newChild)
 
+    /** Hot-key diagnostics (CEP is sequential per key, so one viral key
+      * serializes its task — same as the reference's keyed CEP operator,
+      * which at least exposes backpressure metrics; these are our
+      * equivalent). Each task reports ITS max, so the UI's per-task max
+      * is the global hottest key; the driver-side total is a sum of
+      * per-task maxes (read the max, not the sum). Mitigation for a
+      * genuinely hot key is within-horizon truncation — ENGINE.md §2.11. */
+    override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+      "numMatches" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of matches"),
+      "maxKeyEvents" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "max events in one key run (per task)"),
+      "maxKeyPartials" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext,
+          "max concurrent partial matches (per task)"))
+
     override protected def doExecute(): RDD[InternalRow] = {
       val childOutput = child.output
       val nCols = childOutput.size
@@ -110,6 +126,9 @@ object CepPlan {
       val (negs, negNext, skipStrat) = (negPreds, negNextOnly, skip)
       val (negL, negLNext) = (negLast, negLastNextOnly)
       val outTypes = outputAttrs.map(_.dataType).toArray
+      val numMatches = longMetric("numMatches")
+      val maxKeyEvents = longMetric("maxKeyEvents")
+      val maxKeyPartials = longMetric("maxKeyPartials")
 
       child.execute().mapPartitions({ rows =>
         val keyEval = BindReferences.bindReference(kE, childOutput)
@@ -160,6 +179,17 @@ object CepPlan {
           private var haveKey = false
           // per-key-run arrival counter (EventId allocator)
           private var arrSeq = 0L
+          // hot-key diagnostics: task-local maxima, reported as deltas so
+          // the task's metric value IS its max (driver sums task maxes)
+          private var repEvents = 0L
+          private var repPartials = 0L
+          private def bumpEvents(v: Long): Unit =
+            if (v > repEvents) { maxKeyEvents.add(v - repEvents); repEvents = v }
+          private def bumpPartials(v: Long): Unit =
+            if (v > repPartials) {
+              maxKeyPartials.add(v - repPartials); repPartials = v
+            }
+          private var keyEvents = 0L
           private var partials = Vector.empty[Cep.Partial[T]]
           // deferred-emission queue (reference skip semantics); fresh per
           // key run, null on the NoSkip fast path
@@ -199,6 +229,7 @@ object CepPlan {
               }
               s += 1
             }
+            numMatches.add(1)
             queue += proj(new GenericInternalRow(vals)).copy()
           }
 
@@ -256,6 +287,7 @@ object CepPlan {
                   }
                   haveKey = true
                   arrSeq = 0L
+                  keyEvents = 0L
                   if (skipStrat != Cep.NoSkip)
                     skipQ = new Cep.SkipQueue[T](skipStrat, nameVec, tsOf)
                   if (pattern.terminalNot.isDefined)
@@ -266,6 +298,8 @@ object CepPlan {
                 val t = tsVal.asInstanceOf[Long]
                 val w: T = (row, arrSeq)
                 arrSeq += 1
+                keyEvents += 1
+                bumpEvents(keyEvents)
                 if (gate != null) {
                   // advanceTime: horizon-ripe entries confirm (nfb) or
                   // drop (notNext); then the event decides the rest
@@ -274,6 +308,7 @@ object CepPlan {
                 }
                 val (next, matches) = Cep.advance(pattern, partials, w, t)
                 partials = next
+                bumpPartials(partials.size.toLong)
                 if (gate != null) gate.add(matches, t, tsOf)
                 else if (skipQ == null) matches.foreach(m => emit(curKey, m))
                 else skipQ.add(matches)

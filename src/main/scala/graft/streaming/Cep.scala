@@ -780,7 +780,8 @@ object Cep {
       ts: E => Long, pattern: Pattern[E],
       skip: AfterMatchSkip = NoSkip,
       tie: E => Long = (_: E) => 0L,
-      arrivalIds: Boolean = true)(
+      arrivalIds: Boolean = true,
+      stats: HotKeyStats = null)(
       finish: (K, Map[String, Seq[E]]) => O)(
       implicit ke: Encoder[K]): Dataset[O] =
     {
@@ -788,7 +789,7 @@ object Cep {
       if (!arrivalIds)
         ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
           runSorted(k, it, ts, pat, Vector.empty, finish,
-            flushAtEnd = true, skip, tie)._1.iterator
+            flushAtEnd = true, skip, tie, stats = stats)._1.iterator
         }
       else {
         val lifted = liftPattern(pat)
@@ -803,7 +804,8 @@ object Cep {
             (kk: K, groups: Map[String, Seq[(E, Long)]]) =>
               finish(kk, scala.collection.immutable.ListMap(groups.toSeq
                 .map { case (n, g) => n -> g.map(_._1) }: _*)),
-            flushAtEnd = true, skip, tie = _._2)._1.iterator
+            flushAtEnd = true, skip, tie = _._2,
+            stats = stats)._1.iterator
         }
       }
     }
@@ -849,6 +851,39 @@ object Cep {
     new Pattern[(E, Long)](steps2, p.withinMs,
       p.terminalNot.map(np => (w: (E, Long)) => np(w._1)),
       p.terminalNotNext)
+  }
+
+  /** Max-aggregating accumulator (Spark's built-ins only sum). */
+  final class MaxAccumulator
+      extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+    private var _v = 0L
+    override def isZero: Boolean = _v == 0L
+    override def copy(): MaxAccumulator = {
+      val a = new MaxAccumulator; a._v = _v; a
+    }
+    override def reset(): Unit = _v = 0L
+    override def add(v: Long): Unit = if (v > _v) _v = v
+    override def merge(
+        o: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+      add(o.value)
+    override def value: Long = _v
+  }
+
+  /** Hot-key diagnostic for the library CEP drivers. CEP is sequential
+    * per key — a single viral key serializes one task at 100× scale, in
+    * this engine AND in the reference (whose keyed operator at least
+    * exposes backpressure metrics; this is our equivalent). Tracks the
+    * max events fed to one key run (per micro-batch under streaming) and
+    * the max concurrent partial matches; read after an action/epoch from
+    * the driver. Mitigation for a genuinely hot key: within-horizon
+    * truncation (ENGINE.md §2.11). The planned CepExec surfaces the same
+    * numbers as SQL metrics in the Spark UI. */
+  final class HotKeyStats(sc: org.apache.spark.SparkContext,
+      name: String = "cep") extends Serializable {
+    val maxKeyEvents = new MaxAccumulator
+    val maxPartials = new MaxAccumulator
+    sc.register(maxKeyEvents, s"$name.maxKeyEvents")
+    sc.register(maxPartials, s"$name.maxPartials")
   }
 
   /** Streaming keyed state for the arrival-identity drivers: the per-key
@@ -917,12 +952,13 @@ object Cep {
     * counter, the streaming twin of `matchBatchGroups(arrivalIds=true)`. */
   def matchStreamGroupsArrivalFn[K, E, O](pattern: Pattern[E], ts: E => Long,
       skip: AfterMatchSkip, tie: E => Long,
-      shapeFn: (K, Map[String, Seq[E]]) => O):
+      shapeFn: (K, Map[String, Seq[E]]) => O,
+      stats: HotKeyStats = null):
       (K, Iterator[E], GroupState[ArrivalState[E]]) => Iterator[O] =
     arrivalFn(ts, tie, matchStreamGroupsFn[K, (E, Long), O](
       liftPattern(pattern.validated), w => ts(w._1), skip, _._2,
       (kk: K, groups: Map[String, Seq[(E, Long)]]) =>
-        shapeFn(kk, unliftGroups(groups))))
+        shapeFn(kk, unliftGroups(groups)), stats))
 
   /** Arrival-identity twin of [[matchStreamWithTimeoutsFn]]. */
   def matchStreamWithTimeoutsArrivalFn[K, E, O](pattern: Pattern[E],
@@ -1079,7 +1115,8 @@ object Cep {
   def matchStreamGroups[K, E, O: Encoder](ds: Dataset[E], key: E => K,
       ts: E => Long, pattern: Pattern[E],
       skip: AfterMatchSkip = NoSkip,
-      tie: E => Long = (_: E) => 0L)(
+      tie: E => Long = (_: E) => 0L,
+      stats: HotKeyStats = null)(
       finish: (K, Map[String, Seq[E]]) => O)(
       implicit ke: Encoder[K],
       se: Encoder[ArrivalState[E]]): Dataset[O] = {
@@ -1089,14 +1126,15 @@ object Cep {
       else GroupStateTimeout.NoTimeout()
     ds.groupByKey(key).flatMapGroupsWithState[ArrivalState[E], O](
       OutputMode.Append(), timeoutConf)(
-      matchStreamGroupsArrivalFn(pattern, ts, skip, tie, finish))
+      matchStreamGroupsArrivalFn(pattern, ts, skip, tie, finish, stats))
   }
 
   /** The per-key state-transition function behind [[matchStreamGroups]]
     * (and, shaped to first-event maps, [[matchStreamFn]]). */
   def matchStreamGroupsFn[K, E, O](pattern: Pattern[E], ts: E => Long,
       skip: AfterMatchSkip, tie: E => Long,
-      shapeFn: (K, Map[String, Seq[E]]) => O):
+      shapeFn: (K, Map[String, Seq[E]]) => O,
+      stats: HotKeyStats = null):
       (K, Iterator[E], GroupState[Vector[Partial[E]]]) => Iterator[O] =
     (k: K, it: Iterator[E], state: GroupState[Vector[Partial[E]]]) => {
       if (state.hasTimedOut) {
@@ -1122,7 +1160,7 @@ object Cep {
       } else {
         val partials = state.getOption.getOrElse(Vector.empty)
         val (outs, remaining) = runSorted(k, it, ts, pattern, partials,
-          shapeFn, flushAtEnd = false, skip, tie)
+          shapeFn, flushAtEnd = false, skip, tie, stats = stats)
         if (remaining.isEmpty) state.remove()
         else {
           state.update(remaining)
@@ -1145,7 +1183,8 @@ object Cep {
       tie: E => Long = (_: E) => 0L,
       onExpired: (Partial[E], Long) => Option[O] =
         (_: Partial[E], _: Long) => None,
-      advanceTo: Option[Long] = None)
+      advanceTo: Option[Long] = None,
+      stats: HotKeyStats = null)
       : (Vector[O], Vector[Partial[E]]) = {
     val names = pattern.steps.map(_.name)
     // ListMap: the capture map iterates in PATTERN DECLARATION order,
@@ -1211,7 +1250,9 @@ object Cep {
     // watermark advance between batches (the streaming timeout path):
     // prune/confirm before any event of this batch
     advanceTo.foreach { t => timeAdvance(t); drainSq() }
-    it.toVector.sortBy(e => (ts(e), tie(e))).foreach { e =>
+    val sorted = it.toVector.sortBy(e => (ts(e), tie(e)))
+    var statMaxPartials = 0
+    sorted.foreach { e =>
       // advanceTime-before-process (NFA.advanceTime called per event in
       // the reference): surface expired partials before the transition.
       // Timeout outputs land in the SAME buffer as matches, so the two
@@ -1222,11 +1263,17 @@ object Cep {
       if (gate != null) gate.onEvent(e, feedMatch)
       val (next, matches) = advance(pattern, partials, e, t)
       partials = next
+      if (stats != null && partials.size > statMaxPartials)
+        statMaxPartials = partials.size
       if (gate != null) gate.add(matches, t, ts)
       else if (sq == null) matches.foreach(m => outs += shape(m))
       else sq.add(matches)
       // expiry above may also have unblocked earlier-queued matches
       drainSq()
+    }
+    if (stats != null) {
+      stats.maxKeyEvents.add(sorted.size.toLong)
+      stats.maxPartials.add(statMaxPartials.toLong)
     }
     // end-of-input needs no NFA flush: final-step loops emit every
     // satisfied length as it forms. Batch end kills open partials, which

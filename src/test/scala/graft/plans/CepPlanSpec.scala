@@ -271,4 +271,27 @@ class CepPlanSpec extends SparkSuite {
     assert(got.size === 2, s"expected duplicate multiplicity 2, got $got")
     assert(got.sorted === lib.sorted)
   }
+
+  test("hot-key diagnostics: CepExec SQL metrics expose match count and hottest-key size") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = planned
+    val n = df.collect().length // run THIS queryExecution so metrics populate
+    def findCep(p: SparkPlan): Seq[CepPlan.CepExec] = p match {
+      case a: AdaptiveSparkPlanExec => findCep(a.executedPlan)
+      case q: QueryStageExec => findCep(q.plan) // AQE stages hide children
+      case c: CepPlan.CepExec => Seq(c)
+      case o => o.children.flatMap(findCep)
+    }
+    val cep = findCep(df.queryExecution.executedPlan)
+    assert(cep.size === 1)
+    val m = cep.head.metrics
+    assert(m("numMatches").value === n)
+    // user 1 owns the longest run (4 events). The driver-side value is
+    // the SUM of per-task maxes (each task reports its own hottest key),
+    // so it is bounded below by the global hottest key and above by the
+    // total event count (7) — the documented read-the-max semantics
+    assert(m("maxKeyEvents").value >= 4L && m("maxKeyEvents").value <= 7L)
+    assert(m("maxKeyPartials").value >= 1L)
+  }
 }

@@ -483,4 +483,35 @@ class CepSpec extends SparkSuite {
     }.collect().toSeq.map(_.toSeq).sortBy(_.head)
     assert(got === Seq(Seq(1L, 2, 6), Seq(3L, 4, 5)))
   }
+
+  test("hot-key diagnostics: HotKeyStats reports the hottest key and peak partials") {
+    // user 7 is the hot key: 50 views then an error (50 live partials at
+    // peak — the serialization risk the metric exists to expose); user 8
+    // is quiet. MaxAccumulator takes the max across keys/tasks, so the
+    // driver reads the true hottest-key numbers.
+    val stats = new Cep.HotKeyStats(spark.sparkContext, "spec")
+    val hot = (1 to 50).map(i => Ev(7, "login", i.toLong)) :+ Ev(7, "error", 99)
+    val quiet = Seq(Ev(8, "login", 1), Ev(8, "error", 2))
+    val p = Pattern.begin[Ev]("login")(_.typ == "login")
+      .followedBy("error")(_.typ == "error")
+    val n = Cep.matchBatchGroups((hot ++ quiet).toDS(), (e: Ev) => e.user,
+      (e: Ev) => e.ts, p, stats = stats) { (u, m) =>
+      (u, m("login").head.ts)
+    }.count()
+    assert(n === 51) // 50 overlapping matches for user 7 + 1 for user 8
+    assert(stats.maxKeyEvents.value === 51L)
+    assert(stats.maxPartials.value === 50L)
+
+    // streaming twin: the same accumulators ride the state fn across
+    // micro-batches (per-batch key-run granularity)
+    val stats2 = new Cep.HotKeyStats(spark.sparkContext, "spec2")
+    val h = new VirtualClockHarness[Long, Ev, Cep.ArrivalState[Ev], Long](
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      Cep.matchStreamGroupsArrivalFn[Long, Ev, Long](p, _.ts, Cep.NoSkip,
+        _ => 0L, (_, m) => m("login").head.ts, stats2))
+    h.input(7L, (1 to 30).map(i => Ev(7, "login", i.toLong)): _*)
+    h.input(7L, Ev(7, "error", 99))
+    assert(stats2.maxKeyEvents.value === 30L) // hottest single batch
+    assert(stats2.maxPartials.value === 30L)
+  }
 }
