@@ -361,6 +361,64 @@ object ScalarQueries extends QueryModule {
           "element_at(sample, int((size(sample) + 1) div 2)) AS median_est",
           "element_at(sample, int(ceil(0.9 * size(sample)))) AS p90_est")
         .orderBy(col("event_type"))
+    },
+
+    // Theta-framework set operations over KMV bottom-k sketches
+    // (Udafs.kmvIntersect/kmvDiff — the round-8 VERDICT #7 item): the
+    // distinct part sets of high-quantity (>=45) vs low-quantity (<=5)
+    // lineitems, intersected and differenced from their 64-hash sketches.
+    // DETERMINISTIC and bit-replicable: both engines restrict to the
+    // shared theta (the smaller 64th hash), count matches, and scale
+    // with TRUNCATING integer division (BigInt in Scala, HUGEINT `//`
+    // in DuckDB — both floor for positive operands).
+    q("qs12_kmv_set_ops",
+      """WITH v AS (
+        |  SELECT CASE WHEN l_quantity >= 45.0 THEN 'hi' ELSE 'lo' END AS flag,
+        |    CAST(l_partkey AS VARCHAR) AS pk
+        |  FROM lineitem WHERE l_quantity >= 45.0 OR l_quantity <= 5.0),
+        |h AS (SELECT DISTINCT flag,
+        |    list_aggregate(list_transform(generate_series(1, 15), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |          substr(md5(pk), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+        |        * (CAST(1 AS BIGINT) << CAST((15 - i) * 4 AS INTEGER))),
+        |      'sum') AS hv
+        |  FROM v),
+        |r AS (SELECT flag, hv,
+        |    row_number() OVER (PARTITION BY flag ORDER BY hv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY flag) AS n FROM h),
+        |th AS (SELECT MIN(CASE WHEN mx < 64
+        |      THEN CAST(1152921504606846976 AS BIGINT) ELSE h64 END) AS theta
+        |  FROM (SELECT flag, MAX(n) AS mx,
+        |      MAX(CASE WHEN rn = 64 THEN hv END) AS h64 FROM r GROUP BY flag)),
+        |sa AS (SELECT hv FROM r WHERE flag = 'hi' AND rn <= 64),
+        |sb AS (SELECT hv FROM r WHERE flag = 'lo' AND rn <= 64),
+        |ic AS (SELECT COUNT(*) AS c FROM sa JOIN sb USING (hv), th
+        |  WHERE sa.hv < theta),
+        |ac AS (SELECT COUNT(*) AS c FROM sa, th
+        |  WHERE hv < theta AND hv NOT IN (SELECT hv FROM sb)),
+        |bc AS (SELECT COUNT(*) AS c FROM sb, th
+        |  WHERE hv < theta AND hv NOT IN (SELECT hv FROM sa))
+        |SELECT
+        |  CAST(CAST(ic.c AS HUGEINT) * 1152921504606846976 // th.theta
+        |    AS BIGINT) AS inter_est,
+        |  CAST(CAST(ac.c AS HUGEINT) * 1152921504606846976 // th.theta
+        |    AS BIGINT) AS hi_only_est,
+        |  CAST(CAST(bc.c AS HUGEINT) * 1152921504606846976 // th.theta
+        |    AS BIGINT) AS lo_only_est
+        |FROM ic, ac, bc, th""".stripMargin) { (s, d) =>
+      graft.functions.Udafs.register(s)
+      t(s, d, "lineitem")
+        .where("l_quantity >= 45.0 OR l_quantity <= 5.0")
+        .selectExpr("l_quantity", "CAST(l_partkey AS STRING) AS pk")
+        .agg(
+          expr("graft_kmv_sketch(CASE WHEN l_quantity >= 45.0 THEN pk END)")
+            .as("ska"),
+          expr("graft_kmv_sketch(CASE WHEN l_quantity <= 5.0 THEN pk END)")
+            .as("skb"))
+        .selectExpr(
+          "graft_kmv_intersect(ska, skb) AS inter_est",
+          "graft_kmv_diff(ska, skb) AS hi_only_est",
+          "graft_kmv_diff(skb, ska) AS lo_only_est")
     }
   )
 }

@@ -186,6 +186,67 @@ object Udafs {
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** [[KmvAgg]] finishing to the RAW sketch (the sorted bottom-k hash
+    * array) instead of the distinct estimate — the input to the theta
+    * set-operation finishers below (`graft_kmv_intersect`/`_diff`). */
+  class KmvSketchAgg(k: Int = 64)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    private val inner = new KmvAgg(k)
+    def zero: Array[Long] = inner.zero
+    def reduce(buf: Array[Long], v: String): Array[Long] = inner.reduce(buf, v)
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = inner.merge(x, y)
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  private val Theta60 = 1L << 60
+
+  /** The sketch's exclusive hash threshold: everything below it is
+    * retained. A sketch still below k holds EVERY distinct hash, so its
+    * threshold is the full 2^60 range (estimates become exact). */
+  private def thetaOf(s: Array[Long], k: Int): Long =
+    if (s.length < k) Theta60 else s(k - 1)
+
+  /** Theta-framework intersection estimate over two bottom-k sketches
+    * (the set operation the scaladoc above advertises and register
+    * sketches like HLL cannot express exactly): restrict both sketches
+    * to the SHARED threshold theta = min(theta_a, theta_b) — below it
+    * each sketch holds every distinct hash of its set — count the common
+    * hashes, and scale by the sampled fraction: floor(c * 2^60 / theta),
+    * computed in BigInt so the oracle replicates it with HUGEINT
+    * division (both truncate toward zero; operands positive => floor).
+    * When both sketches are exact (< k values) theta = 2^60 and the
+    * result is the exact distinct intersection. Relative error follows
+    * the theta-sketch bound ~1/sqrt(k-1) on the sampled regime. */
+  def kmvIntersect(a: Array[Long], b: Array[Long], k: Int = 64): Long = {
+    val theta = math.min(thetaOf(a, k), thetaOf(b, k))
+    var i = 0; var j = 0; var c = 0L
+    while (i < a.length && j < b.length && a(i) < theta && b(j) < theta) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    (BigInt(c) * BigInt(Theta60) / BigInt(theta)).toLong
+  }
+
+  /** Theta-framework difference estimate |A \ B| — same restriction to
+    * the shared theta, counting a-hashes with NO match in b. Membership
+    * is decidable because any B-hash below theta <= theta_b is
+    * necessarily IN b's bottom-k. */
+  def kmvDiff(a: Array[Long], b: Array[Long], k: Int = 64): Long = {
+    val theta = math.min(thetaOf(a, k), thetaOf(b, k))
+    var i = 0; var j = 0; var c = 0L
+    while (i < a.length && a(i) < theta) {
+      while (j < b.length && b(j) < a(i)) j += 1
+      if (j >= b.length || b(j) != a(i)) c += 1
+      i += 1
+    }
+    (BigInt(c) * BigInt(Theta60) / BigInt(theta)).toLong
+  }
+
   /** Input row for [[KllAgg]]: a row-unique id (the sampling key) and
     * the measured value. */
   final case class KllIn(id: String, v: Double)
@@ -290,6 +351,13 @@ object Udafs {
       udaf(new WeightedAvgAgg, Encoders.product[WeightedIn]))
     spark.udf.register("graft_hll", udaf(new HllAgg, Encoders.STRING))
     spark.udf.register("graft_kmv", udaf(new KmvAgg, Encoders.STRING))
+    spark.udf.register("graft_kmv_sketch",
+      udaf(new KmvSketchAgg, Encoders.STRING))
+    spark.udf.register("graft_kmv_intersect",
+      (a: Seq[Long], b: Seq[Long]) =>
+        kmvIntersect(a.toArray, b.toArray))
+    spark.udf.register("graft_kmv_diff",
+      (a: Seq[Long], b: Seq[Long]) => kmvDiff(a.toArray, b.toArray))
     spark.udf.register("graft_kll",
       udaf(new KllAgg, Encoders.product[KllIn]))
   }

@@ -84,6 +84,36 @@ class UdafSpec extends SparkSuite {
     assert(agg.merge(s1.clone, s1).toSeq == s1.toSeq)
   }
 
+  test("KMV theta set ops: exact below k, bounded error above, zero-overlap sanity") {
+    val agg = new Udafs.KmvSketchAgg()
+    def sketch(xs: Seq[String]): Array[Long] =
+      xs.foldLeft(agg.zero)(agg.reduce)
+    // exact regime: both sketches below k=64 -> exact intersection/diff
+    val a = sketch((0 until 40).map("v" + _))
+    val b = sketch((25 until 60).map("v" + _))
+    assert(Udafs.kmvIntersect(a, b) === 15L) // v25..v39
+    assert(Udafs.kmvDiff(a, b) === 25L)      // v0..v24
+    assert(Udafs.kmvDiff(b, a) === 20L)      // v40..v59
+    // disjoint sets -> zero intersection, diff == |A| exactly
+    val c = sketch((100 until 140).map("w" + _))
+    assert(Udafs.kmvIntersect(a, c) === 0L)
+    assert(Udafs.kmvDiff(a, c) === 40L)
+    // sampled regime: 20k vs 20k with 10k overlap; theta-sketch error
+    // ~1/sqrt(k-1) (~13% at k=64) — allow 5 sigma
+    val bigA = sketch((0 until 20000).map("x" + _))
+    val bigB = sketch((10000 until 30000).map("x" + _))
+    val inter = Udafs.kmvIntersect(bigA, bigB)
+    val diff = Udafs.kmvDiff(bigA, bigB)
+    assert(math.abs(inter - 10000).toDouble / 10000 < 0.65,
+      s"intersection estimate $inter vs 10000")
+    assert(math.abs(diff - 10000).toDouble / 10000 < 0.65,
+      s"difference estimate $diff vs 10000")
+    // the estimates compose: |A| ~ |A n B| + |A \ B| by construction
+    // (both count over the same theta restriction)
+    val estA = inter + diff
+    assert(math.abs(estA - 20000).toDouble / 20000 < 0.5)
+  }
+
   test("KLL-seat quantile sample: rank error bound and partition-count invariance") {
     Udafs.register(spark)
     val n = 20000
