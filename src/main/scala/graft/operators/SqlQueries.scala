@@ -194,6 +194,62 @@ object SqlQueries extends QueryModule {
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_totalprice > 400000.0)
         |ORDER BY c_custkey
-        |LIMIT 50""".stripMargin)
+        |LIMIT 50""".stripMargin),
+
+    // TPC-H Q2 shape: correlated scalar MIN subquery selecting the
+    // row(s) that attain a per-group minimum across a 3-way join
+    sqlBoth("qsql13_min_cost_supplier",
+      """SELECT s_name, p_partkey, l_extendedprice
+        |FROM part, supplier, lineitem
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size < 5
+        |  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+        |                         FROM lineitem l2
+        |                         WHERE l2.l_partkey = p_partkey)
+        |ORDER BY s_name, p_partkey, l_extendedprice
+        |LIMIT 40""".stripMargin),
+
+    // TPC-H Q13 shape: outer join with an ON-clause filter, aggregated
+    // twice (per-customer count, then the count distribution) —
+    // COUNT(o_orderkey) over the null-extended side must not count nulls
+    sqlBoth("qsql14_order_count_distribution",
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    // TPC-H Q18 shape: IN over a grouped HAVING subquery on the SAME
+    // table being re-joined and re-aggregated outside
+    sqlBoth("qsql15_large_volume_orders",
+      """SELECT c_name, o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS total_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING SUM(l_quantity) > 250.0)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, o_orderkey, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 30""".stripMargin),
+
+    // TPC-H Q15 shape: a CTE aggregated once, consumed TWICE — joined on
+    // the key and compared against its own MAX in a scalar subquery
+    sqlBoth("qsql16_top_supplier",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount))
+        |      AS DECIMAL(30,8))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)
   )
 }
