@@ -95,14 +95,18 @@ object GroupCepPlan {
   }
 
   /** Rebuild the GPattern from the skeleton with bound predicates — runs
-    * once per partition; pattern compilation is cheap next to the scan. */
+    * once per partition; pattern compilation is cheap next to the scan.
+    * The pattern runs over ARRIVAL-TAGGED rows (row, per-key-run ordinal)
+    * — the SharedBuffer EventId identity, same as CepExec: events arrive
+    * key-sorted, so a local counter suffices. */
   private def buildPattern(skel: Seq[Skel],
-      bound: IndexedSeq[BasePredicate]): GPattern[InternalRow] = {
-    def build(elems: Seq[Skel]): GPattern[InternalRow] = {
-      var p: GPattern[InternalRow] = null
+      bound: IndexedSeq[BasePredicate]): GPattern[(InternalRow, Long)] = {
+    type T = (InternalRow, Long)
+    def build(elems: Seq[Skel]): GPattern[T] = {
+      var p: GPattern[T] = null
       elems.foreach {
         case l: LeafSkel =>
-          val f: InternalRow => Boolean = bound(l.predIdx).eval _
+          val f: T => Boolean = w => bound(l.predIdx).eval(w._1)
           p = if (p == null) GPattern.begin(l.name)(f)
           else if (l.strict) p.next(l.name)(f)
           else if (l.any) p.followedByAny(l.name)(f)
@@ -119,11 +123,11 @@ object GroupCepPlan {
           if (g.consecutive) p = p.consecutive
           if (g.combinations) p = p.allowCombinations
           if (g.untilIdx >= 0) {
-            val f: InternalRow => Boolean = bound(g.untilIdx).eval _
+            val f: T => Boolean = w => bound(g.untilIdx).eval(w._1)
             p = p.until(f)
           }
         case n: NotSkel =>
-          val f: InternalRow => Boolean = bound(n.predIdx).eval _
+          val f: T => Boolean = w => bound(n.predIdx).eval(w._1)
           p = if (n.nextOnly) p.notNext(n.name)(f)
               else p.notFollowedBy(n.name)(f)
       }
@@ -190,9 +194,12 @@ object GroupCepPlan {
           private val queue = new scala.collection.mutable.Queue[InternalRow]
           private var curKey: Any = null
           private var haveKey = false
-          private var confs = Vector.empty[GConf[InternalRow]]
+          // per-key-run arrival counter (EventId allocator)
+          private var arrSeq = 0L
+          private var confs = Vector.empty[GConf[(InternalRow, Long)]]
 
-          private def emit(key: Any, captured: Vector[(Int, InternalRow)]): Unit = {
+          private def emit(key: Any,
+              captured: Vector[(Int, (InternalRow, Long))]): Unit = {
             val groups = GroupCep.toGroups(compiled, captured)
             val vals = new Array[Any](1 + nSteps * (1 + nCols))
             vals(0) = key
@@ -201,7 +208,7 @@ object GroupCepPlan {
               val g = groups(names(s))
               vals(1 + s * (1 + nCols)) = g.size.toLong
               if (g.nonEmpty) {
-                val r = g.head
+                val r = g.head._1
                 var c = 0
                 while (c < nCols) {
                   vals(2 + s * (1 + nCols) + c) = r.get(c, colTypes(c)); c += 1
@@ -233,14 +240,17 @@ object GroupCepPlan {
                   // group patterns have no end-of-run greedy flush — a key
                   // switch just resets the branch set
                   confs = Vector.empty
+                  arrSeq = 0L
                   curKey = k match {
                     case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
                     case other => other
                   }
                   haveKey = true
                 }
+                val w = (row, arrSeq)
+                arrSeq += 1
                 val (next, matches) =
-                  GroupCep.advance(compiled, confs, row, tsVal.asInstanceOf[Long])
+                  GroupCep.advance(compiled, confs, w, tsVal.asInstanceOf[Long])
                 confs = next
                 matches.foreach(m => emit(curKey, m))
               }

@@ -471,39 +471,81 @@ object GroupCep {
     scala.collection.immutable.ListMap(m.toSeq: _*)
   }
 
+  /** Lift a group pattern over arrival-tagged events: every predicate
+    * reads through the wrapper, so structural branch dedup then keys on
+    * the tag — the reference's SharedBuffer EventId identity, exactly
+    * [[Cep.liftPattern]] for the group engine. */
+  private def liftElem[E](e: GElem[E]): GElem[(E, Long)] = e match {
+    case GLeaf(n, p, m) => GLeaf(n, (w: (E, Long)) => p(w._1), m)
+    case g: GGroup[E] => GGroup(g.elems.map(liftElem[E]), g.mode, g.min,
+      g.max, g.optional, g.loopMode,
+      g.untilPred.map(up => (w: (E, Long)) => up(w._1)), g.greedy)
+    case GNot(n, p, no) => GNot(n, (w: (E, Long)) => p(w._1), no)
+  }
+  private[streaming] def liftG[E](p: GPattern[E]): GPattern[(E, Long)] =
+    new GPattern(p.elems.map(liftElem[E]), p.withinMs)
+
+  /** Un-tag a capture map, preserving declaration order. */
+  private def unliftGroups[E](groups: Map[String, Seq[(E, Long)]]):
+      Map[String, Seq[E]] =
+    scala.collection.immutable.ListMap(groups.toSeq
+      .map { case (n, g) => n -> g.map(_._1) }: _*)
+
+  /** One key's bounded scan: the shared NFA + after-match skip queue. */
+  private def runKeyBatch[K, E2, O](k: K, events: Vector[E2],
+      ts: E2 => Long, compiled: Compiled[E2], skip: Cep.AfterMatchSkip,
+      finish: (K, Map[String, Seq[E2]]) => O): Vector[O] = {
+    var confs = Vector.empty[GConf[E2]]
+    val outs = Vector.newBuilder[O]
+    val sq = if (skip == Cep.NoSkip) null
+             else new GroupSkipQueue[E2](skip, compiled, ts)
+    events.foreach { e =>
+      val (next, ms) = advance(compiled, confs, e, ts(e))
+      confs = next
+      if (sq == null)
+        ms.foreach(m => outs += finish(k, toGroups(compiled, m)))
+      else {
+        sq.add(ms)
+        confs = sq.drain(confs,
+          m => outs += finish(k, toGroups(compiled, m)))
+      }
+    }
+    // end of input: no live branch blocks emission any more
+    if (sq != null) sq.drain(Vector.empty,
+      m => outs += finish(k, toGroups(compiled, m)))
+    outs.result()
+  }
+
   /** Run a group pattern over a batch Dataset: one event-time-sorted scan
     * per key (the [[Cep.matchBatchGroups]] twin for group patterns).
     * `skip` runs the reference's deferred-emission after-match machinery
-    * with the same semantics as [[Cep.SkipQueue]], over group captures. */
+    * with the same semantics as [[Cep.SkipQueue]], over group captures.
+    * `arrivalIds` (DEFAULT) runs the reference's SharedBuffer EventId
+    * identity: value-identical events at one timestamp are distinct
+    * branch states, like the linear drivers since round 8. */
   def matchBatchGroups[K, E, O: Encoder](ds: Dataset[E], key: E => K,
       ts: E => Long, pattern: GPattern[E],
       tie: E => Long = (_: E) => 0L,
-      skip: Cep.AfterMatchSkip = Cep.NoSkip)(
+      skip: Cep.AfterMatchSkip = Cep.NoSkip,
+      arrivalIds: Boolean = true)(
       finish: (K, Map[String, Seq[E]]) => O)(
-      implicit ke: Encoder[K]): Dataset[O] = {
-    val compiled = compile(pattern)
-    ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
-      var confs = Vector.empty[GConf[E]]
-      val outs = Vector.newBuilder[O]
-      val sq = if (skip == Cep.NoSkip) null
-               else new GroupSkipQueue[E](skip, compiled, ts)
-      it.toVector.sortBy(e => (ts(e), tie(e))).foreach { e =>
-        val (next, ms) = advance(compiled, confs, e, ts(e))
-        confs = next
-        if (sq == null)
-          ms.foreach(m => outs += finish(k, toGroups(compiled, m)))
-        else {
-          sq.add(ms)
-          confs = sq.drain(confs,
-            m => outs += finish(k, toGroups(compiled, m)))
-        }
+      implicit ke: Encoder[K]): Dataset[O] =
+    if (!arrivalIds) {
+      val compiled = compile(pattern)
+      ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
+        runKeyBatch(k, it.toVector.sortBy(e => (ts(e), tie(e))), ts,
+          compiled, skip, finish).iterator
       }
-      // end of input: no live branch blocks emission any more
-      if (sq != null) sq.drain(Vector.empty,
-        m => outs += finish(k, toGroups(compiled, m)))
-      outs.result().iterator
+    } else {
+      val compiled = compile(liftG(pattern))
+      ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
+        val wrapped = it.toVector.sortBy(e => (ts(e), tie(e)))
+          .zipWithIndex.map { case (e, i) => (e, i.toLong) }
+        runKeyBatch[K, (E, Long), O](k, wrapped, w => ts(w._1), compiled,
+          skip,
+          (kk, groups) => finish(kk, unliftGroups(groups))).iterator
+      }
     }
-  }
 
   /** [[Cep.SkipQueue]]'s semantics over group captures: completed
     * matches wait in a start-ordered queue until no earlier-started
@@ -667,6 +709,56 @@ object GroupCep {
       outs.result().iterator
     }
 
+  /** Streaming keyed state for the arrival-identity group driver: the
+    * per-key cross-batch arrival counter plus the skip-capable state over
+    * arrival-tagged events ([[Cep.ArrivalState]]'s group twin). */
+  final case class GArrivalState[E](nextSeq: Long,
+      inner: GStreamState[(E, Long)])
+
+  /** [[GroupState]] view exposing the inner [[GStreamState]] of a
+    * [[GArrivalState]]; `update` re-attaches the advanced counter. */
+  private final class GArrivalView[E](u: GroupState[GArrivalState[E]],
+      newSeq: Long) extends GroupState[GStreamState[(E, Long)]] {
+    def exists: Boolean = u.exists
+    def get: GStreamState[(E, Long)] = u.get.inner
+    def getOption: Option[GStreamState[(E, Long)]] = u.getOption.map(_.inner)
+    def update(s: GStreamState[(E, Long)]): Unit =
+      u.update(GArrivalState(newSeq, s))
+    def remove(): Unit = u.remove()
+    def hasTimedOut: Boolean = u.hasTimedOut
+    def setTimeoutDuration(ms: Long): Unit = u.setTimeoutDuration(ms)
+    def setTimeoutDuration(d: String): Unit = u.setTimeoutDuration(d)
+    def setTimeoutTimestamp(ms: Long): Unit = u.setTimeoutTimestamp(ms)
+    def setTimeoutTimestamp(ms: Long, d: String): Unit =
+      u.setTimeoutTimestamp(ms, d)
+    def setTimeoutTimestamp(t: java.sql.Date): Unit = u.setTimeoutTimestamp(t)
+    def setTimeoutTimestamp(t: java.sql.Date, d: String): Unit =
+      u.setTimeoutTimestamp(t, d)
+    def getCurrentWatermarkMs(): Long = u.getCurrentWatermarkMs()
+    def getCurrentProcessingTimeMs(): Long = u.getCurrentProcessingTimeMs()
+  }
+
+  /** Arrival-identity streaming driver: tags each batch's events with
+    * consecutive per-key ordinals (counter carried in state) and runs
+    * [[matchStreamSkipFn]] over the lifted pattern — the group twin of
+    * [[Cep.matchStreamGroupsArrivalFn]]. */
+  def matchStreamArrivalFn[K, E, O](pattern: GPattern[E], ts: E => Long,
+      tie: E => Long, skip: Cep.AfterMatchSkip,
+      finish: (K, Map[String, Seq[E]]) => O):
+      (K, Iterator[E], GroupState[GArrivalState[E]]) => Iterator[O] = {
+    val compiled = compile(liftG(pattern))
+    val inner = matchStreamSkipFn[K, (E, Long), O](compiled,
+      w => ts(w._1), _._2, skip,
+      (kk, groups) => finish(kk, unliftGroups(groups)))
+    (k: K, it: Iterator[E], state: GroupState[GArrivalState[E]]) => {
+      var seq = state.getOption.map(_.nextSeq).getOrElse(0L)
+      val tagged = it.toVector.sortBy(e => (ts(e), tie(e))).map { e =>
+        val w = (e, seq); seq += 1; w
+      }
+      inner(k, tagged.iterator, new GArrivalView[E](state, seq))
+    }
+  }
+
   /** Streaming twin: branches persist in keyed state across micro-batches.
     * Events must arrive in event-time order per key within a batch (sort
     * applied); cross-batch late events are not re-ordered — feed through
@@ -674,6 +766,10 @@ object GroupCep {
     *
     * `skip` runs the batch path's [[GroupSkipQueue]] semantics; deferred
     * matches ride keyed state until their blocking branches resolve.
+    * Event identity is the reference's SharedBuffer EventId semantics
+    * (arrival identity, [[GArrivalState]]'s cross-batch counter), like
+    * the batch driver; use [[matchStreamFn]]/[[matchStreamSkipFn]]
+    * directly for value identity.
     *
     * Patterns with `within` require a watermarked input (`withWatermark`
     * upstream): expiry of idle keys' partial branches rides event-time
@@ -685,13 +781,13 @@ object GroupCep {
       skip: Cep.AfterMatchSkip = Cep.NoSkip)(
       finish: (K, Map[String, Seq[E]]) => O)(
       implicit ke: Encoder[K],
-      se: Encoder[GStreamState[E]]): Dataset[O] = {
-    val compiled = compile(pattern)
+      se: Encoder[GArrivalState[E]]): Dataset[O] = {
+    compile(pattern) // validate eagerly
     val timeoutConf =
-      if (compiled.withinMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      if (pattern.withinMs.isDefined) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    ds.groupByKey(key).flatMapGroupsWithState[GStreamState[E], O](
+    ds.groupByKey(key).flatMapGroupsWithState[GArrivalState[E], O](
       OutputMode.Append(), timeoutConf)(
-      matchStreamSkipFn(compiled, ts, tie, skip, finish))
+      matchStreamArrivalFn(pattern, ts, tie, skip, finish))
   }
 }

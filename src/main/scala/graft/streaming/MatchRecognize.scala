@@ -493,7 +493,7 @@ object MatchRecognize {
       // SQL adjacency is strict between siblings AND between the
       // repetitions of a quantified element (consecutive). AFTER MATCH
       // runs GroupCep's GroupSkipQueue on both paths; on the streaming
-      // path its deferred matches ride keyed state (GStreamState).
+      // path its deferred matches ride keyed state (GArrivalState).
       def applyQuant(gp: GroupCep.GPattern[Row],
           q: String): GroupCep.GPattern[Row] = q match {
         case "?" => gp.optional
@@ -528,8 +528,8 @@ object MatchRecognize {
       withinOrd.foreach(w => gp = gp.within(w))
       if (df.isStreaming) {
         implicit val stateEnc: org.apache.spark.sql.Encoder[
-          GroupCep.GStreamState[Row]] =
-          Encoders.kryo[GroupCep.GStreamState[Row]]
+          GroupCep.GArrivalState[Row]] =
+          Encoders.kryo[GroupCep.GArrivalState[Row]]
         post(GroupCep.matchStream[Row, Row, Row](
           prepared, keyFn, ordFn, gp, tie = tieFn, skip = skip)(finish)(
           outEnc, keyEnc, stateEnc).toDF())

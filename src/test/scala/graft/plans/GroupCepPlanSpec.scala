@@ -196,4 +196,27 @@ class GroupCepPlanSpec extends SparkSuite {
     }
     assert(leading.getMessage.contains("cannot begin"))
   }
+
+  test("arrival identity: value-identical same-timestamp rows are distinct branch states") {
+    // two byte-identical 'a' rows at one timestamp under a followedByAny
+    // group entry: the reference's SharedBuffer EventId semantics demand
+    // TWO matches — which is what the library batch driver (arrivalIds
+    // default) produces; value identity would dedup the branches to one
+    val dup = Seq(
+      (1L, 1L, "c", 9L), (2L, 2L, "a", 9L), (2L, 2L, "a", 9L),
+      (3L, 3L, "b", 9L), (4L, 4L, "d", 9L)
+    ).toDF("event_id", "ts", "name", "user_id")
+    val got = GroupCepPlan.matchGroupPattern(dup,
+        key = col("user_id"), ts = col("ts"), tie = col("event_id"),
+        elems = Seq(
+          GLeafSpec("s", col("name") === "c"),
+          GGroupSpec(Seq(
+            GLeafSpec("a", col("name") === "a"),
+            GLeafSpec("b", col("name") === "b")), any = true),
+          GLeafSpec("e", col("name") === "d")))
+      .select($"key", $"a_event_id", $"e_event_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.size === 2, s"expected duplicate multiplicity 2, got $got")
+    assert(got.toSet === Set((9L, 2L, 4L)))
+  }
 }

@@ -354,6 +354,54 @@ class GroupCepSpec extends SparkSuite {
       expected.groupBy(identity).view.mapValues(_.size).toMap)
   }
 
+  test("arrival identity: value-identical events are distinct branch states (batch driver)") {
+    // SameElementITCase semantics on the GROUP engine (round 8): the
+    // same 'a' instance fed twice under followedByAny yields TWO
+    // value-identical matches — SharedBuffer EventId identity. The raw
+    // advance/feed path (value identity) would collapse them to one.
+    import spark.implicits._
+    val events = Seq(
+      (1L, "c", 1L), (1L, "a", 3L), (1L, "a", 3L), (1L, "b", 4L),
+      (1L, "d", 5L)).map { case (u, n, t) => Ev(u, n, t) }
+    val p = GPattern.begin[Ev]("start")(_.typ == "c")
+      .followedByAny(GPattern.begin[Ev]("m1")(_.typ == "a")
+        .followedBy("m2")(_.typ == "b"))
+      .followedBy("end")(_.typ == "d")
+    def run(ids: Boolean): Seq[Seq[Long]] =
+      GroupCep.matchBatchGroups(events.toDS(), (e: Ev) => e.user,
+        (e: Ev) => e.ts, p, tie = (e: Ev) => e.ts,
+        arrivalIds = ids) { (_, groups) =>
+        groups.values.flatten.map(_.ts).toSeq
+      }.collect().toSeq
+    assert(run(false) === Seq(Seq(1L, 3L, 4L, 5L)))
+    assert(run(true) === Seq(Seq(1L, 3L, 4L, 5L), Seq(1L, 3L, 4L, 5L)))
+  }
+
+  test("arrival identity: streaming twin matches batch across micro-batch splits") {
+    // the duplicate pair SPLIT across batches: only the persisted
+    // counter keeps the two 'a's distinct
+    val events = Seq(
+      Ev(1L, "c", 1L), Ev(1L, "a", 3L), Ev(1L, "a", 3L),
+      Ev(1L, "b", 4L), Ev(1L, "d", 5L))
+    val p = GPattern.begin[Ev]("start")(_.typ == "c")
+      .followedByAny(GPattern.begin[Ev]("m1")(_.typ == "a")
+        .followedBy("m2")(_.typ == "b"))
+      .followedBy("end")(_.typ == "d")
+    val fn = GroupCep.matchStreamArrivalFn[Long, Ev, Seq[Long]](
+      p, _.ts, _ => 0L, graft.streaming.Cep.NoSkip,
+      (_, groups) => groups.values.flatten.map(_.ts).toSeq)
+    val n = events.size
+    for (i <- 0 to n; j <- i to n) {
+      val h = new VirtualClockHarness[Long, Ev,
+        GroupCep.GArrivalState[Ev], Seq[Long]](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(), fn)
+      val got = Seq(events.take(i), events.slice(i, j), events.drop(j))
+        .flatMap(c => h.input(1L, c: _*))
+      assert(got.groupBy(identity).view.mapValues(_.size).toMap ===
+        Map(Seq(1L, 3L, 4L, 5L) -> 2), s"split ($i,$j) diverged")
+    }
+  }
+
   test("the final pattern element cannot be optional") {
     val bad = GPattern.begin[RE]("start")(_.name == "c")
       .followedBy(GPattern.begin[RE]("middle1")(_.name == "a")
@@ -369,7 +417,7 @@ class GroupCepSpec extends SparkSuite {
     // Ev is file-scope (CepSpec.scala) so ExpressionEncoder can find its
     // TypeTag — a method-local type alias can't provide one.
     implicit val stEnc: org.apache.spark.sql.Encoder[
-      GroupCep.GStreamState[Ev]] = ExpressionEncoder()
+      GroupCep.GArrivalState[Ev]] = ExpressionEncoder()
     val p = GPattern.begin[Ev]("start")(_.typ == "c")
       .followedBy(GPattern.begin[Ev]("m1")(_.typ == "a")
         .followedBy("m2")(_.typ == "b")).times(1, 2)
