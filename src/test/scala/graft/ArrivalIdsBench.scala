@@ -51,6 +51,25 @@ object ArrivalIdsBench {
       val on = median3(runPattern(ds, p, ids = true))
       println(f"ARRIVALIDS $label%-18s off=$off%6.3fs on=$on%6.3fs hit=${(on / off - 1) * 100}%+.1f%%")
     }
+
+    // qc7's GROUP shape (round 8: the group engine took the same parity)
+    import graft.streaming.GroupCep
+    val grp = GroupCep.GPattern.begin[Row4]("v")(_._4 == 1)
+      .followedBy(GroupCep.GPattern.begin[Row4]("c")(_._4 == 2)
+        .followedBy("e")(_._4 == 0)).times(1, 2)
+    val ve = Engine.table(spark, sfDir, "events")
+      .where("event_type IN ('view', 'click', 'error')")
+      .selectExpr("event_id", "unix_micros(ts) AS tsu", "user_id",
+        "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 " +
+          "ELSE 0 END AS tag")
+      .as[(Long, Long, Long, Int)]
+    def runGroup(ids: Boolean): Long =
+      GroupCep.matchBatchGroups(ve, (e: Row4) => e._3, (e: Row4) => e._2,
+        grp, tie = (e: Row4) => e._1, arrivalIds = ids) { (u, _) => u }
+        .count()
+    val goff = median3(runGroup(ids = false))
+    val gon = median3(runGroup(ids = true))
+    println(f"ARRIVALIDS qc7_group_shape    off=$goff%6.3fs on=$gon%6.3fs hit=${(gon / goff - 1) * 100}%+.1f%%")
     spark.stop()
   }
 }
