@@ -153,6 +153,28 @@ class SameElementStreamParitySpec extends SparkSuite {
       SE(40, "d", 6.0) -> 5L, m21 -> 6L, m13 -> 7L))
   }
 
+  test("arrival identity rides the timeout channel (matchStreamWithTimeoutsArrivalFn)") {
+    // two value-identical 'view' events open TWO partials; neither
+    // completes, so BOTH expire at the within horizon — the timeout
+    // channel must report multiplicity 2, which only arrival identity
+    // preserves (value identity would merge the partials)
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val p = Pattern.begin[E]("v")(_._1.name == "v")
+      .followedBy("e")(_._1.name == "e").within(100L)
+    val fn = Cep.matchStreamWithTimeoutsArrivalFn[Int, E, (Boolean, Long)](
+      p, _._2, Cep.NoSkip, _ => 0L,
+      (_, m) => (true, m("e")._2),
+      (_, groups, at) => (false, at))
+    val h = new VirtualClockHarness[Int, E, ArrivalState[E],
+      (Boolean, Long)](GroupStateTimeout.EventTimeTimeout(), fn)
+    val v = SE(1, "v", 1.0)
+    assert(h.input(0, v -> 10L, v -> 10L).isEmpty)
+    // both duplicate-opened partials surface on the timeout channel
+    val timeouts = h.advanceWatermarkTo(200L)
+    assert(timeouts === Seq((false, 200L), (false, 200L)))
+    assert(h.stateOf(0).isEmpty)
+  }
+
   // ---- end-to-end: a real MemoryStream in three micro-batches, with a
   // same-timestamp duplicate pair SPLIT ACROSS batches — only the
   // persisted arrival counter keeps the two distinct
