@@ -247,6 +247,33 @@ object Udafs {
     (BigInt(c) * BigInt(Theta60) / BigInt(theta)).toLong
   }
 
+  /** Union estimate: bottom-k sketches merge EXACTLY (union-and-trim),
+    * so this is just merge + the [[KmvAgg]] estimator — and satisfies
+    * `graft_kmv_union(a, b) == graft_kmv(A ++ B)` bit-for-bit (the
+    * mergeability property the per-shard rollup relies on). */
+  def kmvUnion(a: Array[Long], b: Array[Long], k: Int = 64): Long = {
+    val agg = new KmvAgg(k)
+    agg.finish(agg.merge(a.clone(), b))
+  }
+
+  /** Jaccard similarity estimate |A∩B| / |A∪B| from two bottom-k
+    * sketches: both counts restricted to the shared theta (integer
+    * counts, one double division — deterministic cross-engine). NaN-free:
+    * two empty sets have similarity 0. */
+  def kmvJaccard(a: Array[Long], b: Array[Long], k: Int = 64): Double = {
+    val theta = math.min(thetaOf(a, k), thetaOf(b, k))
+    var i = 0; var j = 0; var inter = 0L; var union = 0L
+    while ((i < a.length && a(i) < theta) || (j < b.length && b(j) < theta)) {
+      val ai = if (i < a.length && a(i) < theta) a(i) else Long.MaxValue
+      val bj = if (j < b.length && b(j) < theta) b(j) else Long.MaxValue
+      union += 1
+      if (ai == bj) { inter += 1; i += 1; j += 1 }
+      else if (ai < bj) i += 1
+      else j += 1
+    }
+    if (union == 0L) 0.0 else inter.toDouble / union.toDouble
+  }
+
   /** Input row for [[KllAgg]]: a row-unique id (the sampling key) and
     * the measured value. */
   final case class KllIn(id: String, v: Double)
@@ -358,6 +385,10 @@ object Udafs {
         kmvIntersect(a.toArray, b.toArray))
     spark.udf.register("graft_kmv_diff",
       (a: Seq[Long], b: Seq[Long]) => kmvDiff(a.toArray, b.toArray))
+    spark.udf.register("graft_kmv_union",
+      (a: Seq[Long], b: Seq[Long]) => kmvUnion(a.toArray, b.toArray))
+    spark.udf.register("graft_kmv_jaccard",
+      (a: Seq[Long], b: Seq[Long]) => kmvJaccard(a.toArray, b.toArray))
     spark.udf.register("graft_kll",
       udaf(new KllAgg, Encoders.product[KllIn]))
   }

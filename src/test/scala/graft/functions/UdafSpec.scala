@@ -112,6 +112,18 @@ class UdafSpec extends SparkSuite {
     // (both count over the same theta restriction)
     val estA = inter + diff
     assert(math.abs(estA - 20000).toDouble / 20000 < 0.5)
+    // union finisher == the KMV estimator over the union sketch (the
+    // exact mergeability property), and exact below k
+    val est = new Udafs.KmvAgg()
+    assert(Udafs.kmvUnion(a, b) === 60L) // v0..v59 exact
+    assert(Udafs.kmvUnion(bigA, bigB) ===
+      est.finish(est.merge(bigA.clone(), bigB)))
+    // jaccard: exact small sets (15 common / 60 total), bounded big
+    assert(Udafs.kmvJaccard(a, b) === 15.0 / 60.0)
+    assert(Udafs.kmvJaccard(a, c) === 0.0)
+    assert(Udafs.kmvJaccard(Array.empty[Long], Array.empty[Long]) === 0.0)
+    val jac = Udafs.kmvJaccard(bigA, bigB) // true 10k/30k = 0.333
+    assert(math.abs(jac - 1.0 / 3) < 0.25, s"jaccard estimate $jac")
   }
 
   test("KLL-seat quantile sample: rank error bound and partition-count invariance") {
