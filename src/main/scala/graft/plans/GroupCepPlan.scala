@@ -165,6 +165,18 @@ object GroupCepPlan {
     override protected def withNewChildInternal(newChild: SparkPlan) =
       copy(child = newChild)
 
+    /** Hot-key diagnostics — same semantics as CepExec's: each task
+      * reports ITS maxima (read the per-task max in the UI; the driver
+      * total sums task maxes). Mitigation: ENGINE.md §2.11. */
+    override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+      "numMatches" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of matches"),
+      "maxKeyEvents" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "max events in one key run (per task)"),
+      "maxKeyBranches" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext,
+          "max concurrent branches (per task)"))
+
     override protected def doExecute(): RDD[InternalRow] = {
       val childOutput = child.output
       val nCols = childOutput.size
@@ -174,6 +186,9 @@ object GroupCepPlan {
       val (skel, preds, names, within) =
         (skeleton, leafPreds, stepNames, withinMicros)
       val outTypes = outputAttrs.map(_.dataType).toArray
+      val numMatches = longMetric("numMatches")
+      val maxKeyEvents = longMetric("maxKeyEvents")
+      val maxKeyBranches = longMetric("maxKeyBranches")
 
       child.execute().mapPartitions({ rows =>
         val keyEval = BindReferences.bindReference(kE, childOutput)
@@ -196,6 +211,17 @@ object GroupCepPlan {
           private var haveKey = false
           // per-key-run arrival counter (EventId allocator)
           private var arrSeq = 0L
+          // hot-key diagnostics: task-local maxima reported as deltas so
+          // the task's metric value IS its max
+          private var repEvents = 0L
+          private var repBranches = 0L
+          private var keyEvents = 0L
+          private def bumpEvents(v: Long): Unit =
+            if (v > repEvents) { maxKeyEvents.add(v - repEvents); repEvents = v }
+          private def bumpBranches(v: Long): Unit =
+            if (v > repBranches) {
+              maxKeyBranches.add(v - repBranches); repBranches = v
+            }
           private var confs = Vector.empty[GConf[(InternalRow, Long)]]
 
           private def emit(key: Any,
@@ -241,6 +267,7 @@ object GroupCepPlan {
                   // switch just resets the branch set
                   confs = Vector.empty
                   arrSeq = 0L
+                  keyEvents = 0L
                   curKey = k match {
                     case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
                     case other => other
@@ -249,10 +276,13 @@ object GroupCepPlan {
                 }
                 val w = (row, arrSeq)
                 arrSeq += 1
+                keyEvents += 1
+                bumpEvents(keyEvents)
                 val (next, matches) =
                   GroupCep.advance(compiled, confs, w, tsVal.asInstanceOf[Long])
                 confs = next
-                matches.foreach(m => emit(curKey, m))
+                bumpBranches(confs.size.toLong)
+                matches.foreach { m => numMatches.add(1); emit(curKey, m) }
               }
             }
           }

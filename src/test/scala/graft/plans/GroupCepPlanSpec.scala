@@ -219,4 +219,25 @@ class GroupCepPlanSpec extends SparkSuite {
     assert(got.size === 2, s"expected duplicate multiplicity 2, got $got")
     assert(got.toSet === Set((9L, 2L, 4L)))
   }
+
+  test("hot-key diagnostics: GroupCepExec SQL metrics expose match count and hottest-key size") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = planned
+    val n = df.collect().length
+    def findCep(p: SparkPlan): Seq[GroupCepPlan.GroupCepExec] = p match {
+      case a: AdaptiveSparkPlanExec => findCep(a.executedPlan)
+      case q: QueryStageExec => findCep(q.plan)
+      case c: GroupCepPlan.GroupCepExec => Seq(c)
+      case o => o.children.flatMap(findCep)
+    }
+    val cep = findCep(df.queryExecution.executedPlan)
+    assert(cep.size === 1)
+    val m = cep.head.metrics
+    assert(m("numMatches").value === n)
+    // user 1's run is 6 events; the driver value sums per-task maxes
+    // (13 events total across 3 keys) — read-the-max semantics
+    assert(m("maxKeyEvents").value >= 6L && m("maxKeyEvents").value <= 13L)
+    assert(m("maxKeyBranches").value >= 1L)
+  }
 }
