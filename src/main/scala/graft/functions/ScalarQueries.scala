@@ -419,6 +419,61 @@ object ScalarQueries extends QueryModule {
           "graft_kmv_intersect(ska, skb) AS inter_est",
           "graft_kmv_diff(ska, skb) AS hi_only_est",
           "graft_kmv_diff(skb, ska) AS lo_only_est")
+    },
+
+    // Union + Jaccard finishers over the same two sketches: union =
+    // merge-and-trim + the qs10 estimator (bit-replicated: 63·2^60 is
+    // mantissa-exact, one IEEE division + floor); jaccard = integer
+    // counts over the shared theta, one double division.
+    q("qs13_kmv_union_jaccard",
+      """WITH v AS (
+        |  SELECT CASE WHEN l_quantity >= 45.0 THEN 'hi' ELSE 'lo' END AS flag,
+        |    CAST(l_partkey AS VARCHAR) AS pk
+        |  FROM lineitem WHERE l_quantity >= 45.0 OR l_quantity <= 5.0),
+        |h AS (SELECT DISTINCT flag,
+        |    list_aggregate(list_transform(generate_series(1, 15), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |          substr(md5(pk), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+        |        * (CAST(1 AS BIGINT) << CAST((15 - i) * 4 AS INTEGER))),
+        |      'sum') AS hv
+        |  FROM v),
+        |r AS (SELECT flag, hv,
+        |    row_number() OVER (PARTITION BY flag ORDER BY hv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY flag) AS n FROM h),
+        |th AS (SELECT MIN(CASE WHEN mx < 64
+        |      THEN CAST(1152921504606846976 AS BIGINT) ELSE h64 END) AS theta
+        |  FROM (SELECT flag, MAX(n) AS mx,
+        |      MAX(CASE WHEN rn = 64 THEN hv END) AS h64 FROM r GROUP BY flag)),
+        |sa AS (SELECT hv FROM r WHERE flag = 'hi' AND rn <= 64),
+        |sb AS (SELECT hv FROM r WHERE flag = 'lo' AND rn <= 64),
+        |u AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM (SELECT DISTINCT hv
+        |        FROM (SELECT hv FROM sa UNION SELECT hv FROM sb))),
+        |uest AS (SELECT CAST(CASE WHEN MAX(n) < 64 THEN MAX(n)
+        |    ELSE floor(63.0 * 1152921504606846976.0
+        |      / MAX(CASE WHEN rn = 64 THEN hv END)) END AS BIGINT)
+        |    AS union_est FROM u),
+        |ic AS (SELECT COUNT(*) AS c FROM sa JOIN sb USING (hv), th
+        |  WHERE sa.hv < theta),
+        |uc AS (SELECT COUNT(*) AS c FROM (SELECT DISTINCT hv
+        |    FROM (SELECT hv FROM sa UNION SELECT hv FROM sb)), th
+        |  WHERE hv < theta)
+        |SELECT uest.union_est,
+        |  CAST(ic.c AS DOUBLE) / CAST(uc.c AS DOUBLE) AS jaccard_est
+        |FROM uest, ic, uc""".stripMargin) { (s, d) =>
+      graft.functions.Udafs.register(s)
+      t(s, d, "lineitem")
+        .where("l_quantity >= 45.0 OR l_quantity <= 5.0")
+        .selectExpr("l_quantity", "CAST(l_partkey AS STRING) AS pk")
+        .agg(
+          expr("graft_kmv_sketch(CASE WHEN l_quantity >= 45.0 THEN pk END)")
+            .as("ska"),
+          expr("graft_kmv_sketch(CASE WHEN l_quantity <= 5.0 THEN pk END)")
+            .as("skb"))
+        .selectExpr(
+          "graft_kmv_union(ska, skb) AS union_est",
+          "graft_kmv_jaccard(ska, skb) AS jaccard_est")
     }
   )
 }
