@@ -80,6 +80,10 @@ object PlanAudit {
     val qsql12 = plan("qsql12_quiet_customers")
     check("qsql12 NOT IN plans as an anti join",
       qsql12.contains("LeftAnti"))
+    val qsql13 = plan("qsql13_min_cost_supplier")
+    check("qsql13 correlated MIN decorrelates (no cartesian/BNLJ)",
+      !qsql13.contains("CartesianProduct") &&
+        !qsql13.contains("BroadcastNestedLoopJoin"))
 
     s.stop()
     if (failed > 0) {
