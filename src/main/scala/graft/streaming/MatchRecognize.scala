@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *   PARTITION BY key
   *   ORDER BY ord[, tie]            -- timestamp or integral columns
   *   MEASURES m1 AS a1, ...         -- X.col | FIRST(X.col) | LAST(X.col)
-  *                                  --   | COUNT(X.*)
+  *                                  --   | COUNT(X.*) | SUM/AVG/MIN/MAX
+  *                                  --   (X.col)
   *                                  -- bare X.col means LAST(X.col): SQL:2016
   *                                  -- FINAL semantics for ONE ROW PER MATCH
   *                                  -- | CLASSIFIER() (the pattern variable:
@@ -122,6 +123,48 @@ object MatchRecognize {
     def eval(groups: Map[String, Seq[Row]], schema: StructType,
         classifier: String, matchNum: Long): Any = matchNum
   }
+  /** SUM/AVG/MIN/MAX over a variable's captured rows (Flink grew these
+    * in its 1.7 MATCH_RECOGNIZE; RUNNING/FINAL semantics compose via the
+    * prefix-vs-whole-match groups the caller passes). SUM keeps integral
+    * types integral; AVG is always DOUBLE; MIN/MAX work on any
+    * Comparable column (numbers, strings, timestamps). */
+  private final case class AggMeasure(fn: String, v: String, c: String,
+      alias: String) extends Measure {
+    def field(schema: StructType): StructField = {
+      val dt = schema(c).dataType
+      import org.apache.spark.sql.types.{DoubleType, IntegerType}
+      val out = fn match {
+        case "AVG" => DoubleType
+        case "SUM" => dt match {
+          case LongType | IntegerType => LongType
+          case _ => DoubleType
+        }
+        case _ => dt
+      }
+      StructField(alias, out, nullable = true)
+    }
+    def eval(groups: Map[String, Seq[Row]], schema: StructType,
+        classifier: String, matchNum: Long): Any = {
+      val vs = groups.getOrElse(v, Seq.empty)
+        .map(_.getAs[Any](c)).filter(_ != null)
+      if (vs.isEmpty) return null
+      def nums = vs.map(_.asInstanceOf[java.lang.Number].doubleValue())
+      fn match {
+        case "SUM" =>
+          import org.apache.spark.sql.types.IntegerType
+          schema(c).dataType match {
+            case LongType | IntegerType =>
+              vs.map(_.asInstanceOf[java.lang.Number].longValue()).sum
+            case _ => nums.sum
+          }
+        case "AVG" => nums.sum / vs.size
+        case "MIN" => vs.reduce((a, b) =>
+          if (a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) a else b)
+        case "MAX" => vs.reduce((a, b) =>
+          if (a.asInstanceOf[Comparable[Any]].compareTo(b) >= 0) a else b)
+      }
+    }
+  }
   /** FINAL-keyword decorator (SQL:2016 RUNNING|FINAL semantics prefix). */
   private final case class FinalMeasure(inner: Measure) extends Measure {
     def alias: String = inner.alias
@@ -147,6 +190,7 @@ object MatchRecognize {
   private val QuantRe = """\{\d+(,\d*)?\}""".r
   private val FirstLastRe = """(?is)(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)""".r
   private val CountRe = """(?is)COUNT\s*\(\s*(\w+)\.\*\s*\)""".r
+  private val AggRe = """(?is)(SUM|AVG|MIN|MAX)\s*\(\s*(\w+)\.(\w+)\s*\)""".r
   private val MatchNumRe = """(?is)MATCH_NUMBER\s*\(\s*\)""".r
   private val SemanticsKwRe = """(?is)^(FINAL|RUNNING)\s+""".r
   private val ColRe = """(?s)\s*(\w+)\.(\w+)\s*""".r
@@ -284,6 +328,7 @@ object MatchRecognize {
             case FirstLastRe(fl, v, c) =>
               PosMeasure(v, c, alias, last = fl.equalsIgnoreCase("LAST"))
             case CountRe(v) => CountMeasure(v, alias)
+            case AggRe(fn, v, c) => AggMeasure(fn.toUpperCase, v, c, alias)
             case m if ClassifierRe.matches(m.trim) => ClassifierMeasure(alias)
             case m if MatchNumRe.matches(m.trim) => MatchNumMeasure(alias)
             // SQL:2016 ONE ROW PER MATCH is FINAL: bare X.col = LAST(X.col)
@@ -351,7 +396,10 @@ object MatchRecognize {
       case other => other
     }
     val needed = ((measures.map(baseOf)
-      .collect { case PosMeasure(_, c, _, _) => c }
+      .collect {
+        case PosMeasure(_, c, _, _) => c
+        case AggMeasure(_, _, c, _) => c
+      }
       :+ partCol) ++ (if (streamingIn) Seq(ordCol) else Nil)).distinct
     val prepared = df
       .where(col(ordCol).isNotNull)

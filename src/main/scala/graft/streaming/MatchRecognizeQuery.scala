@@ -103,6 +103,31 @@ object MatchRecognizeQuery extends QueryModule {
           |PATTERN (E{2})
           |DEFINE E AS event_type = 'error'""".stripMargin)
         .orderBy("user_id", "mn", "rc")
+    },
+
+    q("qc15_match_recognize_agg_measures",
+      // aggregate MEASURES over the captured rows (Flink 1.7+ surface):
+      // per consecutive error pair, the SUM of the two event_ids (BIGINT
+      // — exact cross-engine) and MIN/MAX of ts. Oracle: the same
+      // adjacent-position pair machinery as qc14.
+      """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |m AS (SELECT a.user_id, a.event_id + b.event_id AS id_sum,
+        |    a.ts AS first_ts, b.ts AS last_ts
+        |  FROM o a JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+        |  WHERE a.event_type = 'error' AND b.event_type = 'error')
+        |SELECT user_id, id_sum, first_ts, last_ts FROM m
+        |ORDER BY user_id, first_ts, id_sum""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES SUM(E.event_id) AS id_sum, MIN(E.ts) AS first_ts,
+          |  MAX(E.ts) AS last_ts
+          |PATTERN (E{2})
+          |DEFINE E AS event_type = 'error'""".stripMargin)
+        .orderBy("user_id", "first_ts", "id_sum")
     }
   )
 }

@@ -428,6 +428,36 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(ex.getMessage.contains("batch-only"))
   }
 
+  test("aggregate measures SUM/AVG/MIN/MAX over captured rows (RUNNING and FINAL)") {
+    val df = Seq(
+      (1L, 10L, "error", 1L, 4.0), (2L, 20L, "error", 1L, 1.0),
+      (3L, 30L, "error", 1L, 7.0)
+    ).toDF("event_id", "ts", "event_type", "user_id", "value")
+    // ONE ROW: whole-match aggregates; SUM over BIGINT stays integral
+    val one = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES SUM(E.event_id) AS id_sum, AVG(E.value) AS v_avg,
+        |  MIN(E.value) AS v_min, MAX(E.value) AS v_max
+        |PATTERN (E{3})
+        |DEFINE E AS event_type = 'error'""".stripMargin)
+      .select("id_sum", "v_avg", "v_min", "v_max")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(one === Seq((6L, 4.0, 1.0, 7.0)))
+    // ALL ROWS: RUNNING aggregates walk the prefix; FINAL pins the match
+    val all = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES SUM(E.event_id) AS run_sum, MAX(E.value) AS run_max,
+        |  FINAL SUM(E.event_id) AS fin_sum
+        |ALL ROWS PER MATCH
+        |PATTERN (E{3})
+        |DEFINE E AS event_type = 'error'""".stripMargin)
+      .select("run_sum", "run_max", "fin_sum")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(all === Seq((1L, 4.0, 6L), (3L, 4.0, 6L), (6L, 7.0, 6L)))
+  }
+
   test("streaming nested-group AFTER MATCH SKIP PAST LAST ROW defers across micro-batches") {
     val line = "AFTER MATCH SKIP PAST LAST ROW"
     val batch = runNestedSkipBatch(line)
