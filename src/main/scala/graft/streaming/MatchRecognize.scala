@@ -46,7 +46,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *                                  -- column (wall-clock horizon); rejected
   *                                  -- against integral orderings, whose
   *                                  -- raw-unit scale is unknowable here
-  *   DEFINE A AS <boolean sql expr>, ...   -- undefined variables = TRUE
+  *   DEFINE A AS <boolean sql expr>, ...   -- undefined variables = TRUE;
+  *                                  -- PREV(col[, n]) = physical row
+  *                                  -- navigation (lag over the same
+  *                                  -- partition/order; batch-only)
   *
   * Semantics: pattern concatenation is STRICT row adjacency and
   * quantified variables repeat consecutively, per the SQL standard; but
@@ -92,14 +95,14 @@ object MatchRecognize {
     def isFinal: Boolean = false
   }
   private final case class PosMeasure(v: String, c: String, alias: String,
-      last: Boolean) extends Measure {
+      last: Boolean, offset: Int = 0) extends Measure {
     def field(schema: StructType): StructField =
       StructField(alias, schema(c).dataType, nullable = true)
     def eval(groups: Map[String, Seq[Row]], schema: StructType,
         classifier: String, matchNum: Long): Any = {
       val g = groups.getOrElse(v, Seq.empty)
-      if (g.isEmpty) null
-      else (if (last) g.last else g.head).getAs[Any](c)
+      val i = if (last) g.size - 1 - offset else offset
+      if (i < 0 || i >= g.size) null else g(i).getAs[Any](c)
     }
   }
   private final case class CountMeasure(v: String, alias: String)
@@ -188,7 +191,10 @@ object MatchRecognize {
     """(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)""".r
   private val DefineRe = """(?is)\bDEFINE\s+(.*)\z""".r
   private val QuantRe = """\{\d+(,\d*)?\}""".r
-  private val FirstLastRe = """(?is)(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)""".r
+  private val FirstLastRe =
+    """(?is)(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
+  private val PrevRe = """(?is)\bPREV\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
+  private val PrevAnyRe = """(?is)\bPREV\s*\(""".r
   private val CountRe = """(?is)COUNT\s*\(\s*(\w+)\.\*\s*\)""".r
   private val AggRe = """(?is)(SUM|AVG|MIN|MAX)\s*\(\s*(\w+)\.(\w+)\s*\)""".r
   private val MatchNumRe = """(?is)MATCH_NUMBER\s*\(\s*\)""".r
@@ -325,8 +331,9 @@ object MatchRecognize {
           val e = kw.map(k => e0.substring(k.end)).getOrElse(e0)
           val isFinal = kw.exists(_.group(1).equalsIgnoreCase("FINAL"))
           val base = e match {
-            case FirstLastRe(fl, v, c) =>
-              PosMeasure(v, c, alias, last = fl.equalsIgnoreCase("LAST"))
+            case FirstLastRe(fl, v, c, off) =>
+              PosMeasure(v, c, alias, last = fl.equalsIgnoreCase("LAST"),
+                offset = Option(off).map(_.toInt).getOrElse(0))
             case CountRe(v) => CountMeasure(v, alias)
             case AggRe(fn, v, c) => AggMeasure(fn.toUpperCase, v, c, alias)
             case m if ClassifierRe.matches(m.trim) => ClassifierMeasure(alias)
@@ -383,7 +390,32 @@ object MatchRecognize {
     val vars = leafNames(elems).toVector
     require(vars.distinct.size == vars.size,
       s"duplicate PATTERN variables: ${vars.mkString(", ")}")
-    def predCol(v: String): Column = defines.get(v) match {
+    // PREV(col[, n]) in DEFINE: physical navigation over the partition's
+    // input rows (SQL:2016; the V/W-pattern enabler "value < PREV(value)")
+    // — precomputed as a lag() window over the SAME (partition, order)
+    // the NFA uses, so the predicate stays a plain codegen'd Catalyst
+    // expression and the NFA still reads one boolean per row. At the
+    // first row of a partition PREV is NULL, so the predicate coalesces
+    // to false — the reference's semantics. Batch-only: window functions
+    // cannot be planned on a stream (Flink's streaming PREV rides NFA
+    // state; documented rejection, not a misplan).
+    val definesRewritten: Map[String, String] = defines.map { case (k, t) =>
+      val r = PrevRe.replaceAllIn(t, m => {
+        val n = Option(m.group(2)).getOrElse("1")
+        java.util.regex.Matcher.quoteReplacement(
+          s"(lag(`${m.group(1)}`, $n) OVER (PARTITION BY `$partCol` " +
+            s"ORDER BY `$ordCol`" +
+            tieCol.map(tc => s", `$tc`").getOrElse("") + "))")
+      })
+      require(PrevAnyRe.findFirstIn(r).isEmpty,
+        s"only PREV(column[, offset]) is supported in DEFINE: $t")
+      k -> r
+    }
+    if (streamingIn && definesRewritten != defines)
+      throw new IllegalArgumentException(
+        "PREV() in DEFINE is batch-only (window functions cannot be " +
+          "planned on a stream)")
+    def predCol(v: String): Column = definesRewritten.get(v) match {
       case Some(sqlText) =>
         coalesce(expr(sqlText).cast("boolean"), lit(false))
       case None => lit(true)
@@ -397,7 +429,7 @@ object MatchRecognize {
     }
     val needed = ((measures.map(baseOf)
       .collect {
-        case PosMeasure(_, c, _, _) => c
+        case PosMeasure(_, c, _, _, _) => c
         case AggMeasure(_, _, c, _) => c
       }
       :+ partCol) ++ (if (streamingIn) Seq(ordCol) else Nil)).distinct

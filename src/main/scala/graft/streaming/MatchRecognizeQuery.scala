@@ -128,6 +128,32 @@ object MatchRecognizeQuery extends QueryModule {
           |PATTERN (E{2})
           |DEFINE E AS event_type = 'error'""".stripMargin)
         .orderBy("user_id", "first_ts", "id_sum")
+    },
+
+    q("qc16_match_recognize_prev",
+      // PREV() physical navigation (round 8): two CONSECUTIVE rows each
+      // strictly below their predecessor's value — the falling-edge
+      // pattern every tick-analysis query writes. Oracle: the same lag
+      // window the engine precompiles, plus adjacent-position pairing.
+      """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        |  FROM events),
+        |d AS (SELECT * FROM o WHERE value < pv),
+        |m AS (SELECT a.user_id, a.ts AS first_ts, b.ts AS last_ts,
+        |    a.event_id + b.event_id AS id_sum
+        |  FROM d a JOIN d b ON b.user_id = a.user_id AND b.rn = a.rn + 1)
+        |SELECT user_id, first_ts, last_ts, id_sum FROM m
+        |ORDER BY user_id, first_ts, id_sum""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES FIRST(D.ts) AS first_ts, LAST(D.ts) AS last_ts,
+          |  SUM(D.event_id) AS id_sum
+          |PATTERN (D{2})
+          |DEFINE D AS value < PREV(value)""".stripMargin)
+        .orderBy("user_id", "first_ts", "id_sum")
     }
   )
 }

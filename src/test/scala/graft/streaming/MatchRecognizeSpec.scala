@@ -458,6 +458,67 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(all === Seq((1L, 4.0, 6L), (3L, 4.0, 6L), (6L, 7.0, 6L)))
   }
 
+  test("PREV() in DEFINE enables V-shape patterns (physical row navigation)") {
+    // price path 10 -> 8 -> 6 -> 7 -> 9: strict V. DOWN = value <
+    // PREV(value), UP = value > PREV(value). PATTERN (S DOWN{2} UP{2})
+    // anchored at the peak captures the full V exactly once.
+    val df = Seq(
+      (1L, 10L, 10.0), (2L, 20L, 8.0), (3L, 30L, 6.0),
+      (4L, 40L, 7.0), (5L, 50L, 9.0)
+    ).map { case (id, t, v) => (id, t, "tick", 1L, v) }
+      .toDF("event_id", "ts", "event_type", "user_id", "value")
+    val got = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES FIRST(DOWN.event_id) AS v_start,
+        |  LAST(DOWN.event_id) AS bottom, LAST(UP.event_id) AS v_end
+        |PATTERN (STRT DOWN{2} UP{2})
+        |DEFINE DOWN AS value < PREV(value),
+        |       UP AS value > PREV(value)""".stripMargin)
+      .select("v_start", "bottom", "v_end")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 3L, 5L)))
+
+    // PREV at the first partition row is NULL -> predicate false: a
+    // pattern of ONLY down-ticks can never start at row 1
+    val none = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES FIRST(D.event_id) AS d1
+        |PATTERN (D{5})
+        |DEFINE D AS value < PREV(value)""".stripMargin).count()
+    assert(none === 0L)
+
+    // offset navigation: FIRST(X.col, n) / LAST(X.col, n)
+    val off = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES FIRST(T.event_id, 1) AS second_id,
+        |  LAST(T.event_id, 1) AS penultimate_id,
+        |  LAST(T.event_id, 9) AS out_of_range
+        |PATTERN (T{5})
+        |DEFINE T AS event_type = 'tick'""".stripMargin)
+      .select("second_id", "penultimate_id", "out_of_range")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(off === Seq((2L, 4L, None)))
+
+    // streaming rejection: PREV needs a window function, which cannot
+    // be planned on a stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val sdf = input.toDF().toDF("event_id", "ts", "event_type", "user_id")
+    val ex = intercept[IllegalArgumentException] {
+      MatchRecognize(sdf,
+        """PARTITION BY user_id
+          |ORDER BY ts
+          |MEASURES FIRST(D.event_id) AS d1
+          |PATTERN (D{2})
+          |DEFINE D AS event_id < PREV(event_id)""".stripMargin)
+    }
+    assert(ex.getMessage.contains("batch-only"))
+  }
+
   test("streaming nested-group AFTER MATCH SKIP PAST LAST ROW defers across micro-batches") {
     val line = "AFTER MATCH SKIP PAST LAST ROW"
     val batch = runNestedSkipBatch(line)
