@@ -90,6 +90,96 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("group CEP streaming is split-invariant (state-carry property)") {
+    // For ANY event sequence, group pattern, after-match skip strategy,
+    // and 3-way micro-batch split, the streamed output multiset equals
+    // the single-batch output — the invariant that GArrivalState carries
+    // the arrival counter, the open branches, AND the skip queue's
+    // deferred matches across batch boundaries correctly.
+    import graft.streaming.{Cep, GroupCep, VirtualClockHarness}
+    import graft.streaming.GroupCep.GPattern
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    type E = (String, Long)
+    def pat1 = GPattern.begin[E]("s")(_._1 == "c")
+      .followedBy(GPattern.begin[E]("m1")(_._1 == "a")
+        .followedBy("m2")(_._1 == "b")).times(1, 2)
+      .followedBy("e")(_._1 == "d")
+    def pat2 = GPattern.begin[E]("s")(_._1 == "c")
+      .followedByAny(GPattern.begin[E]("m1")(_._1 == "a")
+        .followedBy("m2")(_._1 == "b")).oneOrMore
+      .followedBy("e")(_._1 == "d")
+    def pat3 = GPattern.begin[E]("s")(_._1 == "c")
+      .followedBy("g")(_._1 == "a").oneOrMore.optional.greedy
+      .followedBy(GPattern.begin[E]("m1")(_._1 == "b")
+        .followedBy("m2")(_._1 == "d"))
+    val pats = Vector(() => pat1, () => pat2, () => pat3)
+    val skips = Vector(Cep.NoSkip, Cep.SkipPastLastEvent,
+      Cep.SkipToLast("m1"), Cep.SkipToFirst("m2"))
+    val namesGen = Gen.listOfN(24, Gen.oneOf("a", "b", "c", "d", "x"))
+    check(Prop.forAll(namesGen, Gen.choose(0, 24), Gen.choose(0, 24),
+      Gen.choose(0, pats.size - 1), Gen.choose(0, skips.size - 1)) {
+      (names, i0, j0, pi, si) =>
+        val events = names.zipWithIndex.map { case (n, i) => (n, i.toLong) }
+        val (i, j) = (math.min(i0, j0), math.max(i0, j0))
+        val fn = GroupCep.matchStreamArrivalFn[Int, E, Seq[Long]](
+          pats(pi)(), _._2, _ => 0L, skips(si),
+          (_, groups) => groups.values.flatten.map(_._2).toVector)
+        def run(chunks: Seq[Seq[E]]): Map[Seq[Long], Int] = {
+          val h = new VirtualClockHarness[Int, E,
+            GroupCep.GArrivalState[E], Seq[Long]](
+            GroupStateTimeout.NoTimeout(), fn)
+          chunks.flatMap(c => h.input(0, c: _*))
+            .groupBy(identity).view.mapValues(_.size).toMap
+        }
+        val whole = run(Seq(events))
+        val split = run(Seq(events.take(i), events.slice(i, j),
+          events.drop(j)))
+        whole == split
+    })
+  }
+
+  test("linear CEP streaming is split-invariant (arrival counter + skip queue + negation gate)") {
+    // the linear-engine twin, with within-horizons + terminal negation in
+    // the pool; split points also land INSIDE same-value duplicate runs
+    import graft.streaming.{Cep, VirtualClockHarness}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    type E = (String, Long)
+    def pat1 = Cep.Pattern.begin[E]("a")(_._1 == "a")
+      .followedBy("b")(_._1 == "b").oneOrMore.relaxed.allPrefixes
+      .followedBy("d")(_._1 == "d")
+    def pat2 = Cep.Pattern.begin[E]("a")(_._1 == "a")
+      .followedByAny("b")(_._1 == "b")
+      .followedBy("d")(_._1 == "d")
+    val pats = Vector(() => pat1, () => pat2)
+    val skips = Vector(Cep.NoSkip, Cep.SkipPastLastEvent,
+      Cep.SkipToLast("b"), Cep.SkipToFirst("b"))
+    val namesGen = Gen.listOfN(20, Gen.oneOf("a", "b", "d", "x"))
+    check(Prop.forAll(namesGen, Gen.choose(0, 20), Gen.choose(0, 20),
+      Gen.choose(0, pats.size - 1), Gen.choose(0, skips.size - 1)) {
+      (names, i0, j0, pi, si) =>
+        // duplicate ts in pairs so batch boundaries can split same-ts
+        // duplicates (the arrival-identity stress)
+        val events = names.zipWithIndex.map { case (n, i) =>
+          (n, (i / 2).toLong)
+        }
+        val (i, j) = (math.min(i0, j0), math.max(i0, j0))
+        val fn = Cep.matchStreamGroupsArrivalFn[Int, E, Seq[Long]](
+          pats(pi)(), _._2, skips(si), _ => 0L,
+          (_, groups) => groups.values.flatten.map(_._2).toVector)
+        def run(chunks: Seq[Seq[E]]): Map[Seq[Long], Int] = {
+          val h = new VirtualClockHarness[Int, E,
+            Cep.ArrivalState[E], Seq[Long]](
+            GroupStateTimeout.NoTimeout(), fn)
+          chunks.flatMap(c => h.input(0, c: _*))
+            .groupBy(identity).view.mapValues(_.size).toMap
+        }
+        val whole = run(Seq(events))
+        val split = run(Seq(events.take(i), events.slice(i, j),
+          events.drop(j)))
+        whole == split
+    })
+  }
+
   test("window running sum equals prefix sums") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
