@@ -398,7 +398,12 @@ object MatchRecognize {
     // first row of a partition PREV is NULL, so the predicate coalesces
     // to false — the reference's semantics. Batch-only: window functions
     // cannot be planned on a stream (Flink's streaming PREV rides NFA
-    // state; documented rejection, not a misplan).
+    // state; documented rejection, not a misplan). Plan note: the window
+    // hash-partitions on the raw key column while groupByKey partitions
+    // on the encoded key, so Catalyst keeps BOTH exchanges — the known
+    // library-path trade (same data volume twice); the planned CepExec
+    // path declares its distribution and would elide one, but has no
+    // PREV surface. qc16 still runs at 0.78x its pure-SQL oracle.
     val definesRewritten: Map[String, String] = defines.map { case (k, t) =>
       val r = PrevRe.replaceAllIn(t, m => {
         val n = Option(m.group(2)).getOrElse("1")
