@@ -185,6 +185,50 @@ object TextQueries extends QueryModule {
           .groupBy(col("event_type"))
           .agg(sum(col("k")).cast("long").as("sum_k"), count(lit(1)).as("n"))
           .orderBy(col("event_type"))
+    },
+
+    // Repetition-ratio quality signal (the Gopher/C4 curation rule this
+    // family lacked): per document, the fraction of duplicated words and
+    // duplicated word-bigrams — high repetition marks boilerplate/spam
+    // for training-data filtering. Pure per-row array expressions
+    // (split/filter/array_distinct/transform — all codegen'd builtins),
+    // ZERO shuffles before the output sort: the 100 TB shape is a map-only
+    // pass. Fractions are IEEE divisions of exact integer counts, so both
+    // engines compute bit-identical doubles and the low_quality flag
+    // compares identically.
+    q("qt7_repetition",
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, ws,
+        |    list_transform(generate_series(1, len(ws) - 1), i ->
+        |      ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1]) AS bs
+        |  FROM w WHERE len(ws) >= 2)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws)
+        |    AS word_rep,
+        |  CAST(len(bs) - len(list_distinct(bs)) AS DOUBLE) / len(bs)
+        |    AS bigram_rep,
+        |  (CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws) > 0.6
+        |   OR CAST(len(bs) - len(list_distinct(bs)) AS DOUBLE) / len(bs) > 0.2)
+        |    AS low_quality
+        |FROM g
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .selectExpr("doc_id", "filter(split(text, ' '), x -> x <> '') AS ws")
+        .where("size(ws) >= 2")
+        .selectExpr("doc_id", "ws",
+          "transform(sequence(0, size(ws) - 2), i -> " +
+            "concat(ws[i], ' ', ws[i + 1])) AS bs")
+        .selectExpr("doc_id",
+          "CAST(size(ws) AS BIGINT) AS n_words",
+          "CAST(size(ws) - size(array_distinct(ws)) AS DOUBLE) / size(ws)" +
+            " AS word_rep",
+          "CAST(size(bs) - size(array_distinct(bs)) AS DOUBLE) / size(bs)" +
+            " AS bigram_rep")
+        .selectExpr("doc_id", "n_words", "word_rep", "bigram_rep",
+          "word_rep > 0.6 OR bigram_rep > 0.2 AS low_quality")
+        .orderBy("doc_id")
     }
   )
 }
