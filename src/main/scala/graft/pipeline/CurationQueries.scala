@@ -81,6 +81,47 @@ object CurationQueries extends QueryModule {
           ((sum(floor(col("q") * 1000000.0).cast("long")).cast("double")
             / count(lit(1))) / 1000000.0).as("avg_quality"))
         .orderBy(col("lang"))
+    },
+
+    // Benchmark DECONTAMINATION — the canonical eval-set-leakage check a
+    // training pipeline runs before shipping a corpus: count each
+    // document's distinct word-trigrams that also occur in the
+    // "benchmark" set (here: docs with doc_id % 97 = 0, a deterministic
+    // stand-in for an eval suite). Scale shape: the corpus side explodes
+    // to trigrams and partially aggregates; the benchmark gram set is
+    // TINY and broadcasts, so the overlap join is shuffle-free on the
+    // corpus side — exactly how 13-gram decontamination runs at 100 TB.
+    q("qp9_decontamination",
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |grams AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2), i ->
+        |      ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1]
+        |        || ' ' || ws[CAST(i AS INTEGER) + 2])) AS g
+        |  FROM tk WHERE len(ws) >= 3),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        |hits AS (SELECT d.doc_id, COUNT(DISTINCT d.g) AS n_hits
+        |  FROM grams d JOIN bench b ON d.g = b.g
+        |  WHERE d.doc_id % 97 <> 0
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, n_hits, n_hits >= 2 AS contaminated
+        |FROM hits
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val grams = t(s, d, "documents")
+        .selectExpr("doc_id", "filter(split(text, ' '), x -> x <> '') AS ws")
+        .where("size(ws) >= 3")
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 3), i -> " +
+            "concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))")).as("g"))
+      val bench = grams.where(col("doc_id") % 97 === 0)
+        .select(col("g")).distinct()
+      grams.where(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_hits"))
+        .selectExpr("doc_id", "n_hits", "n_hits >= 2 AS contaminated")
+        .orderBy("doc_id")
     }
   )
 }
