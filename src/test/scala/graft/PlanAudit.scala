@@ -84,6 +84,9 @@ object PlanAudit {
     check("qsql13 correlated MIN decorrelates (no cartesian/BNLJ)",
       !qsql13.contains("CartesianProduct") &&
         !qsql13.contains("BroadcastNestedLoopJoin"))
+    val qp9 = plan("qp9_decontamination")
+    check("qp9 benchmark gram set broadcasts (corpus side shuffle-free join)",
+      qp9.contains("BroadcastHashJoin"))
 
     s.stop()
     if (failed > 0) {
