@@ -235,6 +235,43 @@ object SqlQueries extends QueryModule {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 30""".stripMargin),
 
+    // TPC-H Q19 shape: OR-of-ANDs join filter mixing predicates from
+    // BOTH sides — the disjunctive-pushdown planner test (each disjunct
+    // constrains part AND lineitem columns, so neither side can prune
+    // with a simple conjunctive filter)
+    sqlBoth("qsql17_discounted_revenue",
+      """SELECT CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount))
+        |    AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity >= 1.0 AND l_quantity <= 11.0)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity >= 10.0 AND l_quantity <= 20.0)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 20.0 AND l_quantity <= 30.0)""".stripMargin),
+
+    // TPC-H Q22 shape: uncorrelated scalar aggregate threshold + NOT
+    // EXISTS anti join + expression GROUP BY. The average-balance
+    // comparison is spelled sum/count-free of division (c_acctbal * n >
+    // s) so both engines compare identical IEEE products of identical
+    // exact aggregates.
+    sqlBoth("qsql18_global_sales_opportunity",
+      """WITH stats AS (SELECT
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS s,
+        |    COUNT(*) AS n
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT substring(c_name, 17, 2) AS cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS totacctbal
+        |FROM customer, stats
+        |WHERE c_acctbal * stats.n > stats.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 400000.0)
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin),
+
     // TPC-H Q15 shape: a CTE aggregated once, consumed TWICE — joined on
     // the key and compared against its own MAX in a scalar subquery
     sqlBoth("qsql16_top_supplier",
