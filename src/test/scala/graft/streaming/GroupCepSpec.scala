@@ -402,6 +402,43 @@ class GroupCepSpec extends SparkSuite {
     }
   }
 
+  test("streaming skip: a deferred match is released when its blocking branch EXPIRES on the timer") {
+    // ((A B V)+ C) within 100: the start@2 branch completes at c@5 but
+    // start@1 is older and still mid-repetition, so the match defers in
+    // GStreamState.pending. No further event arrives — the WATERMARK
+    // passes start@1's within horizon, the idle-key timer fires, the
+    // blocker dies, and the drain releases the deferred match.
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    def xc(e: Ev) = e.typ == "x" || e.typ == "c"
+    // strict `next` into 'e': the start@1 exit fork DIES at x4 (no
+    // ignore edge), leaving start@1 alive only mid-repetition-2 — the
+    // blocking shape; a relaxed followedBy would let it complete at c5
+    // and emit first instead
+    val p = GPattern.begin(GPattern.begin[Ev]("m1")(xc)
+        .followedBy("m2")(xc).followedBy("m3")(xc)).oneOrMore
+      .next("e")(_.typ == "c").within(100L)
+    val fn = GroupCep.matchStreamArrivalFn[Long, Ev, Seq[Long]](
+      p, _.ts, _ => 0L, graft.streaming.Cep.SkipPastLastEvent,
+      (_, groups) => groups.values.flatten.map(_.ts).toSeq)
+    val h = new VirtualClockHarness[Long, Ev, GroupCep.GArrivalState[Ev],
+      Seq[Long]](GroupStateTimeout.EventTimeTimeout(), fn)
+    assert(h.input(1L, Ev(1L, "x", 1L), Ev(1L, "x", 2L),
+      Ev(1L, "x", 3L)).isEmpty)
+    // c@5 completes start@2's rep (x2 x3 x4) + e; start@1 is older and
+    // mid-repetition-2 (consumed x4, c5 — awaiting its third element),
+    // so the completed match must NOT emit yet
+    assert(h.input(1L, Ev(1L, "x", 4L), Ev(1L, "c", 5L)).isEmpty,
+      "deferred match leaked before its blocker resolved")
+    assert(h.stateOf(1L).isDefined)
+    // short of the horizon: still blocked
+    assert(h.advanceWatermarkTo(50L).isEmpty)
+    // past every branch's horizon (startTs + 100): the blockers expire
+    // and the timer drain releases the deferred match {x2 x3 x4 c5}
+    val released = h.advanceWatermarkTo(150L)
+    assert(released.map(_.sorted) === Seq(Seq(2L, 3L, 4L, 5L)))
+    assert(h.stateOf(1L).isEmpty)
+  }
+
   test("the final pattern element cannot be optional") {
     val bad = GPattern.begin[RE]("start")(_.name == "c")
       .followedBy(GPattern.begin[RE]("middle1")(_.name == "a")
