@@ -320,6 +320,30 @@ class GroupCepSpec extends SparkSuite {
     assert(got === Vector(Seq(40, 41, 42, 43, 50, 51, 52, 53, 54)))
   }
 
+  test("greedy on a MULTI-element group quantifier prefers the longer repetition run") {
+    // Beyond the reference's tested surface (its NFACompiler applies
+    // greedy only to leaf loops; greedy on a GroupPattern is
+    // unspecified): our guard generalizes updateWithGreedyCondition to
+    // the group's ENTRY condition — a branch that exited the loop dies
+    // on any event that could have started another repetition. Pinned
+    // here as the engine's documented semantics.
+    val (a1, b1, a2, b2, d) = (RE(41, "a", 2.0), RE(42, "b", 3.0),
+      RE(43, "a", 4.0), RE(44, "b", 5.0), RE(45, "d", 6.0))
+    def base = GPattern.begin[RE]("start")(_.name == "c")
+      .followedBy(GPattern.begin[RE]("m1")(_.name == "a")
+        .followedBy("m2")(_.name == "b")).oneOrMore
+    val events = Seq(c -> 1L, a1 -> 2L, b1 -> 3L, a2 -> 4L, b2 -> 5L,
+      d -> 6L)
+    // without greedy: the rep-1 exit fork survives to d -> two matches
+    val plain = feed(base.followedBy("end")(_.name == "d"), events)
+    assert(plain.toSet === Set(
+      Seq(40, 41, 42, 45), Seq(40, 41, 42, 43, 44, 45)))
+    // with greedy: a@4 (a fresh repetition entry) kills the rep-1 exit
+    // fork -> only the maximal two-rep match survives
+    val greedy = feed(base.greedy.followedBy("end")(_.name == "d"), events)
+    assert(greedy === Vector(Seq(40, 41, 42, 43, 44, 45)))
+  }
+
   test("greedy is rejected on an allowCombinations loop (reference Quantifier.greedy check)") {
     assertThrows[IllegalArgumentException] {
       GPattern.begin[RE]("start")(_.name == "c")
