@@ -359,6 +359,32 @@ object GraphQueries extends QueryModule {
       GraphOps.summarize(s, coPurchaseEdges(s, d), v => v % 10)
         .select(col("ga"), col("gb"), col("n_edges"))
         .orderBy(col("ga"), col("gb"))
+    },
+
+    // Vertex degree annotation over the DIRECTED trade graph
+    // (reference: flink-gelly asm/degree/annotate/directed/
+    // VertexDegrees.java — per-vertex out/in/total). Two partial-agg
+    // groupBys + one full-outer join on the vertex key; at 100 TB the
+    // degree table is vertex-sized, tiny next to the edge list.
+    q("qg13_vertex_degrees",
+      s"""WITH $duckDirectedEdges,
+         |o AS (SELECT src AS v, COUNT(*) AS out_deg FROM de GROUP BY 1),
+         |i AS (SELECT dst AS v, COUNT(*) AS in_deg FROM de GROUP BY 1)
+         |SELECT CAST(COALESCE(o.v, i.v) AS BIGINT) AS v,
+         |  COALESCE(out_deg, 0) AS out_deg,
+         |  COALESCE(in_deg, 0) AS in_deg,
+         |  COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS degree
+         |FROM o FULL OUTER JOIN i ON o.v = i.v
+         |ORDER BY v""".stripMargin) { (s, d) =>
+      val e = tradeEdges(s, d)
+      val outD = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("out_deg"))
+      val inD = e.groupBy(col("dst").as("v")).agg(count(lit(1)).as("in_deg"))
+      outD.join(inD, Seq("v"), "full_outer")
+        .select(col("v"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+        .withColumn("degree", col("out_deg") + col("in_deg"))
+        .orderBy("v")
     }
   )
 
