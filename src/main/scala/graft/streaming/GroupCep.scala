@@ -494,14 +494,17 @@ object GroupCep {
   /** One key's bounded scan: the shared NFA + after-match skip queue. */
   private def runKeyBatch[K, E2, O](k: K, events: Vector[E2],
       ts: E2 => Long, compiled: Compiled[E2], skip: Cep.AfterMatchSkip,
-      finish: (K, Map[String, Seq[E2]]) => O): Vector[O] = {
+      finish: (K, Map[String, Seq[E2]]) => O,
+      stats: Cep.HotKeyStats = null): Vector[O] = {
     var confs = Vector.empty[GConf[E2]]
     val outs = Vector.newBuilder[O]
     val sq = if (skip == Cep.NoSkip) null
              else new GroupSkipQueue[E2](skip, compiled, ts)
+    var maxConfs = 0
     events.foreach { e =>
       val (next, ms) = advance(compiled, confs, e, ts(e))
       confs = next
+      if (stats != null && confs.size > maxConfs) maxConfs = confs.size
       if (sq == null)
         ms.foreach(m => outs += finish(k, toGroups(compiled, m)))
       else {
@@ -513,6 +516,10 @@ object GroupCep {
     // end of input: no live branch blocks emission any more
     if (sq != null) sq.drain(Vector.empty,
       m => outs += finish(k, toGroups(compiled, m)))
+    if (stats != null) {
+      stats.maxKeyEvents.add(events.size.toLong)
+      stats.maxPartials.add(maxConfs.toLong)
+    }
     outs.result()
   }
 
@@ -527,14 +534,15 @@ object GroupCep {
       ts: E => Long, pattern: GPattern[E],
       tie: E => Long = (_: E) => 0L,
       skip: Cep.AfterMatchSkip = Cep.NoSkip,
-      arrivalIds: Boolean = true)(
+      arrivalIds: Boolean = true,
+      stats: Cep.HotKeyStats = null)(
       finish: (K, Map[String, Seq[E]]) => O)(
       implicit ke: Encoder[K]): Dataset[O] =
     if (!arrivalIds) {
       val compiled = compile(pattern)
       ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
         runKeyBatch(k, it.toVector.sortBy(e => (ts(e), tie(e))), ts,
-          compiled, skip, finish).iterator
+          compiled, skip, finish, stats).iterator
       }
     } else {
       val compiled = compile(liftG(pattern))
@@ -543,7 +551,8 @@ object GroupCep {
           .zipWithIndex.map { case (e, i) => (e, i.toLong) }
         runKeyBatch[K, (E, Long), O](k, wrapped, w => ts(w._1), compiled,
           skip,
-          (kk, groups) => finish(kk, unliftGroups(groups))).iterator
+          (kk, groups) => finish(kk, unliftGroups(groups)),
+          stats).iterator
       }
     }
 
@@ -667,7 +676,8 @@ object GroupCep {
     * queue-free immediate path. */
   def matchStreamSkipFn[K, E, O](compiled: Compiled[E], ts: E => Long,
       tie: E => Long, skip: Cep.AfterMatchSkip,
-      finish: (K, Map[String, Seq[E]]) => O):
+      finish: (K, Map[String, Seq[E]]) => O,
+      stats: Cep.HotKeyStats = null):
       (K, Iterator[E], GroupState[GStreamState[E]]) => Iterator[O] =
     (k: K, it: Iterator[E], state: GroupState[GStreamState[E]]) => {
       val st = state.getOption.getOrElse(GStreamState[E](Vector.empty,
@@ -689,11 +699,18 @@ object GroupCep {
       } else {
         // a branch may have expired on the timer between batches
         if (sq != null) confs = sq.drain(confs, emit)
-        it.toVector.sortBy(e => (ts(e), tie(e))).foreach { e =>
+        val sorted = it.toVector.sortBy(e => (ts(e), tie(e)))
+        var maxConfs = 0
+        sorted.foreach { e =>
           val (next, ms) = advance(compiled, confs, e, ts(e))
           confs = next
+          if (stats != null && confs.size > maxConfs) maxConfs = confs.size
           if (sq == null) ms.foreach(emit)
           else { sq.add(ms); confs = sq.drain(confs, emit) }
+        }
+        if (stats != null) {
+          stats.maxKeyEvents.add(sorted.size.toLong)
+          stats.maxPartials.add(maxConfs.toLong)
         }
       }
       if (confs.isEmpty) state.remove()
@@ -744,12 +761,13 @@ object GroupCep {
     * [[Cep.matchStreamGroupsArrivalFn]]. */
   def matchStreamArrivalFn[K, E, O](pattern: GPattern[E], ts: E => Long,
       tie: E => Long, skip: Cep.AfterMatchSkip,
-      finish: (K, Map[String, Seq[E]]) => O):
+      finish: (K, Map[String, Seq[E]]) => O,
+      stats: Cep.HotKeyStats = null):
       (K, Iterator[E], GroupState[GArrivalState[E]]) => Iterator[O] = {
     val compiled = compile(liftG(pattern))
     val inner = matchStreamSkipFn[K, (E, Long), O](compiled,
       w => ts(w._1), _._2, skip,
-      (kk, groups) => finish(kk, unliftGroups(groups)))
+      (kk, groups) => finish(kk, unliftGroups(groups)), stats)
     (k: K, it: Iterator[E], state: GroupState[GArrivalState[E]]) => {
       var seq = state.getOption.map(_.nextSeq).getOrElse(0L)
       val tagged = it.toVector.sortBy(e => (ts(e), tie(e))).map { e =>
@@ -778,7 +796,8 @@ object GroupCep {
   def matchStream[K, E, O: Encoder](ds: Dataset[E], key: E => K,
       ts: E => Long, pattern: GPattern[E],
       tie: E => Long = (_: E) => 0L,
-      skip: Cep.AfterMatchSkip = Cep.NoSkip)(
+      skip: Cep.AfterMatchSkip = Cep.NoSkip,
+      stats: Cep.HotKeyStats = null)(
       finish: (K, Map[String, Seq[E]]) => O)(
       implicit ke: Encoder[K],
       se: Encoder[GArrivalState[E]]): Dataset[O] = {
@@ -788,6 +807,6 @@ object GroupCep {
       else GroupStateTimeout.NoTimeout()
     ds.groupByKey(key).flatMapGroupsWithState[GArrivalState[E], O](
       OutputMode.Append(), timeoutConf)(
-      matchStreamArrivalFn(pattern, ts, tie, skip, finish))
+      matchStreamArrivalFn(pattern, ts, tie, skip, finish, stats))
   }
 }

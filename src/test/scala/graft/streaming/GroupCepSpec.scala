@@ -463,6 +463,22 @@ class GroupCepSpec extends SparkSuite {
     assert(h.stateOf(1L).isEmpty)
   }
 
+  test("hot-key diagnostics: GroupCep HotKeyStats reports hottest key and peak branches") {
+    import spark.implicits._
+    val hot = (1 to 40).map(i => Ev(7L, "a", i.toLong)) :+ Ev(7L, "b", 99L)
+    val quiet = Seq(Ev(8L, "a", 1L), Ev(8L, "b", 2L))
+    val p = GPattern.begin[Ev]("s")(_.typ == "a")
+      .followedBy(GPattern.begin[Ev]("m")(_.typ == "b")).times(1)
+    val stats = new graft.streaming.Cep.HotKeyStats(spark.sparkContext,
+      "gspec")
+    val n = GroupCep.matchBatchGroups((hot ++ quiet).toDS(),
+      (e: Ev) => e.user, (e: Ev) => e.ts, p,
+      tie = (e: Ev) => e.ts, stats = stats) { (u, _) => u }.count()
+    assert(n === 41) // 40 starts complete on b@99 + 1 for user 8
+    assert(stats.maxKeyEvents.value === 41L)
+    assert(stats.maxPartials.value === 40L)
+  }
+
   test("the final pattern element cannot be optional") {
     val bad = GPattern.begin[RE]("start")(_.name == "c")
       .followedBy(GPattern.begin[RE]("middle1")(_.name == "a")
