@@ -429,9 +429,13 @@ object GroupCep {
       } // stop/until: branch dies
     }
 
-    // the start state is always active: try to open new branches
+    // the start state is always active: try to open new branches. A
+    // frontier entry past an optional greedy loop carries that loop's
+    // guard — the reference conjoins NOT(take) on ALL sink-state
+    // transitions (updateWithGreedyCondition), so an event the loop could
+    // have consumed must not start a match at the post-loop step.
     c.startFrontier.foreach { t =>
-      if (c.predOf(t.slot)(e))
+      if (!c.guardHit(t.guard, e) && c.predOf(t.slot)(e))
         fire(GConf(t.slot, t.mode, t.reps, Vector.empty, ts, fresh = true))
     }
     (dedupBy(out.result())(c =>

@@ -344,6 +344,27 @@ class GroupCepSpec extends SparkSuite {
     assert(greedy === Vector(Seq(40, 41, 42, 43, 44, 45)))
   }
 
+  test("head-position optional greedy loop guards the START frontier too (round-9 ADVICE)") {
+    // a* (greedy, optional, at pattern head) b, with overlapping
+    // predicates (every a also satisfies b's is-letter check). The start
+    // frontier contains BOTH the loop entry and the post-loop "end" step
+    // (loop is optional); the reference conjoins NOT(take) on every
+    // sink-state transition, so an event that could have been consumed by
+    // the loop must NOT open a match directly at "end" — without the
+    // guard, a1/a2 would each emit a spurious non-maximal [a] match.
+    val p = GPattern.begin[RE]("middle")(_.name == "a")
+      .oneOrMore.optional.greedy
+      .followedBy("end")(e => e.name == "a" || e.name == "b")
+    val got = feed(p, Seq(
+      RE(41, "a", 1.0) -> 1L, RE(42, "a", 1.0) -> 2L,
+      RE(43, "b", 2.0) -> 3L))
+    assert(got.toSet === Set(
+      Seq(41, 42, 43), // maximal: both a's consumed by the loop
+      Seq(42, 43),     // branch legitimately started at a2
+      Seq(43)))        // empty loop: b opened at "end", no a skipped
+    assert(got.size === 3)
+  }
+
   test("greedy is rejected on an allowCombinations loop (reference Quantifier.greedy check)") {
     assertThrows[IllegalArgumentException] {
       GPattern.begin[RE]("start")(_.name == "c")
