@@ -895,21 +895,41 @@ object Cep {
     * to be unique among events still referenced by live partials or
     * deferred matches, all of which are gone. */
   final case class ArrivalState[E](nextSeq: Long,
-      partials: Vector[Partial[(E, Long)]])
+      partials: Vector[Partial[(E, Long)]],
+      matchSeq: Long = 0L, carry: Vector[E] = Vector.empty)
+
+  /** Cross-batch per-key match ordinal (SQL MATCH_NUMBER() under
+    * streaming): starts from the persisted count, `next()` is 1-based. */
+  final class MatchCounter(start: Long) extends Serializable {
+    private[streaming] var n: Long = start
+    def next(): Long = { n += 1; n }
+  }
 
   /** [[GroupState]] view exposing just the partials of an
     * [[ArrivalState]]; `update` re-attaches the already-advanced arrival
-    * counter. Lets the arrival-tagged streaming drivers delegate to the
-    * untagged state-transition functions unchanged. */
+    * counter (plus the match ordinal and carried rows, read at update
+    * time — matches may still be emitted between view construction and
+    * the inner fn's final `update`). Lets the arrival-tagged streaming
+    * drivers delegate to the untagged state-transition functions
+    * unchanged. */
   private final class ArrivalStateView[E](u: GroupState[ArrivalState[E]],
-      newSeq: Long) extends GroupState[Vector[Partial[(E, Long)]]] {
+      newSeq: Long, counter: MatchCounter = null,
+      carry: () => Vector[E] = () => Vector.empty)
+      extends GroupState[Vector[Partial[(E, Long)]]] {
     def exists: Boolean = u.exists
     def get: Vector[Partial[(E, Long)]] = u.get.partials
     def getOption: Option[Vector[Partial[(E, Long)]]] =
       u.getOption.map(_.partials)
     def update(s: Vector[Partial[(E, Long)]]): Unit =
-      u.update(ArrivalState(newSeq, s))
-    def remove(): Unit = u.remove()
+      u.update(ArrivalState(newSeq, s,
+        if (counter == null) 0L else counter.n, carry()))
+    // the arrival counter may safely restart when no partial survives,
+    // but a match ordinal or a PREV carry must outlive quiet periods —
+    // persist an empty-partials row instead of removing the key
+    def remove(): Unit =
+      if ((counter != null && counter.n > 0L) || carry().nonEmpty)
+        update(Vector.empty)
+      else u.remove()
     def hasTimedOut: Boolean = u.hasTimedOut
     def setTimeoutDuration(ms: Long): Unit = u.setTimeoutDuration(ms)
     def setTimeoutDuration(d: String): Unit = u.setTimeoutDuration(d)
@@ -932,12 +952,31 @@ object Cep {
       inner: (K, Iterator[(E, Long)],
         GroupState[Vector[Partial[(E, Long)]]]) => Iterator[O]):
       (K, Iterator[E], GroupState[ArrivalState[E]]) => Iterator[O] =
+    arrivalFnPre(ts, tie, null, _ => inner)
+
+  /** [[arrivalFn]] plus the round-9 extras: a cross-batch match counter
+    * handed to `mkInner` (streaming MATCH_NUMBER()) and an optional
+    * carried-rows pre-transform `pre(carriedRows, event) =>
+    * (newCarriedRows, transformedEvent)` applied in (ts, tie) order
+    * BEFORE tagging (streaming PREV(): the carry holds each key's last
+    * rows across micro-batches). Both persist in [[ArrivalState]]. */
+  private def arrivalFnPre[K, E, O](ts: E => Long, tie: E => Long,
+      pre: (Vector[E], E) => (Vector[E], E),
+      mkInner: MatchCounter => (K, Iterator[(E, Long)],
+        GroupState[Vector[Partial[(E, Long)]]]) => Iterator[O]):
+      (K, Iterator[E], GroupState[ArrivalState[E]]) => Iterator[O] =
     (k: K, it: Iterator[E], state: GroupState[ArrivalState[E]]) => {
-      var seq = state.getOption.map(_.nextSeq).getOrElse(0L)
-      val tagged = it.toVector.sortBy(e => (ts(e), tie(e))).map { e =>
-        val w = (e, seq); seq += 1; w
+      val st = state.getOption
+      var seq = st.map(_.nextSeq).getOrElse(0L)
+      val counter = new MatchCounter(st.map(_.matchSeq).getOrElse(0L))
+      var carry = st.map(_.carry).getOrElse(Vector.empty[E])
+      val sorted = it.toVector.sortBy(e => (ts(e), tie(e)))
+      val preApplied = if (pre == null) sorted else sorted.map { e =>
+        val (c2, e2) = pre(carry, e); carry = c2; e2
       }
-      inner(k, tagged.iterator, new ArrivalStateView[E](state, seq))
+      val tagged = preApplied.map { e => val w = (e, seq); seq += 1; w }
+      mkInner(counter)(k, tagged.iterator,
+        new ArrivalStateView[E](state, seq, counter, () => carry))
     }
 
   /** Un-tag a per-step capture map, preserving declaration order. */
@@ -959,6 +998,27 @@ object Cep {
       liftPattern(pattern.validated), w => ts(w._1), skip, _._2,
       (kk: K, groups: Map[String, Seq[(E, Long)]]) =>
         shapeFn(kk, unliftGroups(groups)), stats))
+
+  /** [[matchStreamGroupsArrivalFn]] plus the round-9 SQL extras: shapeFn
+    * receives the 1-based per-key match ordinal (cross-batch, persisted
+    * in [[ArrivalState.matchSeq]] — streaming MATCH_NUMBER()), and an
+    * optional `pre(carriedRows, event)` row transform whose carry
+    * persists in [[ArrivalState.carry]] (streaming PREV(): the transform
+    * sees the key's previous rows in event-time order, across batch
+    * boundaries). Keys that have emitted a match or hold a carry persist
+    * an empty-partials state row instead of being removed — the ordinal
+    * and the predecessor must survive quiet periods. */
+  def matchStreamGroupsNumberedArrivalFn[K, E, O](pattern: Pattern[E],
+      ts: E => Long, skip: AfterMatchSkip, tie: E => Long,
+      pre: (Vector[E], E) => (Vector[E], E),
+      shapeFn: (K, Long, Map[String, Seq[E]]) => O,
+      stats: HotKeyStats = null):
+      (K, Iterator[E], GroupState[ArrivalState[E]]) => Iterator[O] =
+    arrivalFnPre(ts, tie, pre, counter =>
+      matchStreamGroupsFn[K, (E, Long), O](
+        liftPattern(pattern.validated), w => ts(w._1), skip, _._2,
+        (kk: K, groups: Map[String, Seq[(E, Long)]]) =>
+          shapeFn(kk, counter.next(), unliftGroups(groups)), stats))
 
   /** Arrival-identity twin of [[matchStreamWithTimeoutsFn]]. */
   def matchStreamWithTimeoutsArrivalFn[K, E, O](pattern: Pattern[E],
@@ -1127,6 +1187,31 @@ object Cep {
     ds.groupByKey(key).flatMapGroupsWithState[ArrivalState[E], O](
       OutputMode.Append(), timeoutConf)(
       matchStreamGroupsArrivalFn(pattern, ts, skip, tie, finish, stats))
+  }
+
+  /** [[matchStreamGroups]] with the cross-batch per-key match ordinal in
+    * `finish` (streaming MATCH_NUMBER()) and an optional carried-rows
+    * transform `pre` (streaming PREV()); see
+    * [[matchStreamGroupsNumberedArrivalFn]]. Keys persist a counter row
+    * after their last partial dies, so reserve this variant for clauses
+    * that actually need the ordinal or the carry. */
+  def matchStreamGroupsNumbered[K, E, O: Encoder](ds: Dataset[E],
+      key: E => K, ts: E => Long, pattern: Pattern[E],
+      skip: AfterMatchSkip = NoSkip,
+      tie: E => Long = (_: E) => 0L,
+      pre: (Vector[E], E) => (Vector[E], E) = null,
+      stats: HotKeyStats = null)(
+      finish: (K, Long, Map[String, Seq[E]]) => O)(
+      implicit ke: Encoder[K],
+      se: Encoder[ArrivalState[E]]): Dataset[O] = {
+    pattern.validated
+    val timeoutConf =
+      if (pattern.withinMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(key).flatMapGroupsWithState[ArrivalState[E], O](
+      OutputMode.Append(), timeoutConf)(
+      matchStreamGroupsNumberedArrivalFn(pattern, ts, skip, tie, pre,
+        finish, stats))
   }
 
   /** The per-key state-transition function behind [[matchStreamGroups]]

@@ -57,6 +57,16 @@ object GroupCep {
       greedy: Boolean = false) extends GElem[E]
   final case class GNot[E](name: String, pred: E => Boolean,
       nextOnly: Boolean) extends GElem[E]
+  /** Alternation `(b1 | b2 | ...)`: exactly one branch matches (SQL:2016
+    * MATCH_RECOGNIZE alternation; the reference's 1.7 NFACompiler builds
+    * the same fork from Calcite's LogicalMatch). Branch preference is
+    * leftmost-first: the NFA forks branches in declaration order, so
+    * emission order — and therefore which match an AFTER MATCH SKIP
+    * strategy keeps when two branches complete together — follows the
+    * SQL:2016 preference order. The builder always wraps a GAlt in a
+    * singleton GGroup, so every quantifier composes unchanged. */
+  final case class GAlt[E](branches: Vector[Vector[GElem[E]]], mode: Int)
+      extends GElem[E]
 
   /** Builder mirroring the reference's Pattern/GroupPattern surface.
     * Quantifiers apply to the last appended element; a quantified plain
@@ -79,6 +89,12 @@ object GroupCep {
       append(GGroup(sub.elems, Strict, 1, 1, optional = false, TillNext, None))
     def followedByAny(sub: GPattern[E]): GPattern[E] =
       append(GGroup(sub.elems, TillAny, 1, 1, optional = false, TillNext, None))
+    def followedBy(alts: Seq[GPattern[E]]): GPattern[E] =
+      append(GroupCep.altGroup(alts, TillNext))
+    def next(alts: Seq[GPattern[E]]): GPattern[E] =
+      append(GroupCep.altGroup(alts, Strict))
+    def followedByAny(alts: Seq[GPattern[E]]): GPattern[E] =
+      append(GroupCep.altGroup(alts, TillAny))
     def notFollowedBy(name: String)(pred: E => Boolean): GPattern[E] =
       append(GNot(name, pred, nextOnly = false))
     def notNext(name: String)(pred: E => Boolean): GPattern[E] =
@@ -93,6 +109,8 @@ object GroupCep {
         case _: GNot[E] =>
           throw new IllegalArgumentException(
             "cannot quantify a notFollowedBy/notNext element")
+        case _: GAlt[E] => throw new IllegalStateException(
+          "alternation is always group-wrapped by the builder")
       }
       new GPattern(elems.init :+ f(g), withinMs)
     }
@@ -135,7 +153,11 @@ object GroupCep {
           "a pattern (or group) cannot begin with notFollowedBy/notNext")
         require(!es.last.isInstanceOf[GNot[_]],
           "notFollowedBy/notNext must be followed by another pattern element")
-        es.foreach { case g: GGroup[E] => validateSeq(g.elems); case _ => () }
+        es.foreach {
+          case g: GGroup[E] => validateSeq(g.elems)
+          case a: GAlt[E] => a.branches.foreach(validateSeq)
+          case _ => ()
+        }
       }
       validateSeq(elems)
       elems.last match {
@@ -153,6 +175,18 @@ object GroupCep {
     def begin[E](sub: GPattern[E]): GPattern[E] =
       new GPattern(Vector(GGroup(sub.elems, TillNext, 1, 1,
         optional = false, TillNext, None)), None)
+    def begin[E](alts: Seq[GPattern[E]]): GPattern[E] =
+      new GPattern(Vector(altGroup(alts, TillNext)), None)
+  }
+
+  /** Alternation wrapped in a singleton group, so quantifiers on the
+    * alternation reuse the group loop machinery unchanged. */
+  private def altGroup[E](alts: Seq[GPattern[E]], mode: Int): GGroup[E] = {
+    require(alts.size >= 2, "alternation needs at least two branches")
+    alts.foreach(a => require(a.withinMs.isEmpty,
+      "within() belongs on the outer pattern, not an alternation branch"))
+    GGroup(Vector(GAlt(alts.toVector.map(_.elems), TillNext)), mode, 1, 1,
+      optional = false, TillNext, None)
   }
 
   // ---- compiled form: leaf slots + a parent-linked element tree ----
@@ -163,6 +197,13 @@ object GroupCep {
       min: Int, max: Int, optional: Boolean, loopMode: Int,
       untilIdx: Int, // untilIdx: index into untils, -1 = none
       greedy: Boolean) extends Node
+  /** Alternation fork: entering it epsilon-enters every branch (in
+    * declaration order — leftmost-preference falls out of conf/emission
+    * ordering); completing ANY branch completes the node. Branches are
+    * min=1/max=1 GNodes so the sibling walk and counter clearing reuse
+    * the group machinery untouched. */
+  private final case class ANode(branches: Vector[GNode], mode: Int)
+      extends Node
 
   /** A frontier target after an epsilon walk: a slot to wait on (with its
     * consuming mode and group-repetition counters) or pattern completion.
@@ -187,7 +228,7 @@ object GroupCep {
     @transient private val slotUntilB = scala.collection.mutable.Map.empty[Int, Int]
     private var nSlots = 0
     private var nGroups = 0
-    @transient private val parentB = scala.collection.mutable.Map.empty[Node, GNode]
+    @transient private val parentB = scala.collection.mutable.Map.empty[Node, Node]
 
     /** Builds the node for an element; `untilIdx` = innermost enclosing
       * group's until (reference: getTakeCondition consults only
@@ -211,6 +252,18 @@ object GroupCep {
         val node = GNode(id, children, g.mode, g.min, g.max, g.optional,
           g.loopMode, gUntil, g.greedy)
         children.foreach(parentB(_) = node)
+        node
+      case a: GAlt[E] =>
+        val branches = a.branches.map { bes =>
+          val bid = nGroups; nGroups += 1
+          val children = buildSeq(bes, untilIdx)
+          val bn = GNode(bid, children, a.mode, 1, 1, optional = false,
+            TillNext, untilIdx, greedy = false)
+          children.foreach(parentB(_) = bn)
+          bn
+        }
+        val node = ANode(branches, a.mode)
+        branches.foreach(parentB(_) = node)
         node
       case _: GNot[E] =>
         throw new IllegalStateException("GNot handled in buildSeq")
@@ -246,6 +299,8 @@ object GroupCep {
     private def isOptional(n: Node): Boolean = n match {
       case _: SNode => false
       case g: GNode => g.optional || g.min == 0
+      // an alternation can epsilon-skip iff some branch is all-optional
+      case a: ANode => a.branches.exists(_.children.forall(isOptional))
     }
     private def firstSlots(n: Node): Vector[Int] = n match {
       case SNode(s, _) => Vector(s)
@@ -256,6 +311,7 @@ object GroupCep {
           if (scanning) { out ++= firstSlots(c); scanning = isOptional(c) }
         }
         out.result()
+      case a: ANode => a.branches.flatMap(firstSlots)
     }
 
     private val realRoot: GNode = {
@@ -266,7 +322,7 @@ object GroupCep {
       children.foreach(parentB(_) = r)
       r
     }
-    private val parents: Map[Node, GNode] = parentB.toMap
+    private val parents: Map[Node, Node] = parentB.toMap
     private val names = slotNames.result()
     private val preds = slotPreds.result()
     private val untils = untilsB.result()
@@ -277,6 +333,7 @@ object GroupCep {
       def collect(n: Node): Vector[SNode] = n match {
         case s: SNode => Vector(s)
         case g: GNode => g.children.flatMap(collect)
+        case a: ANode => a.branches.flatMap(collect)
       }
       collect(realRoot).map(s => s.slot -> s).toMap
     }
@@ -284,12 +341,14 @@ object GroupCep {
     private def declMode(n: Node): Int = n match {
       case SNode(_, m) => m
       case g: GNode => g.mode
+      case a: ANode => a.mode
     }
     /** Group ids strictly inside `g` (their counters reset on re-entry). */
     private def clearInside(g: GNode, reps: Map[Int, Int]): Map[Int, Int] = {
       def ids(n: Node): Vector[Int] = n match {
         case _: SNode => Vector.empty
         case gg: GNode => gg.id +: gg.children.flatMap(ids)
+        case a: ANode => a.branches.flatMap(ids)
       }
       val inside = g.children.flatMap(ids)
       if (inside.isEmpty) reps else reps -- inside
@@ -309,6 +368,9 @@ object GroupCep {
         if (g.optional || g.min == 0)
           continueAfter(g, reps, out, done,
             if (g.greedy) g.id else guard)
+      case a: ANode =>
+        // fork: one epsilon branch per alternative, declaration order
+        a.branches.foreach(b => enter(b, mode, reps, out, done, guard))
     }
 
     /** Epsilon-walk after completing element `n`: next sibling, or close a
@@ -321,7 +383,12 @@ object GroupCep {
         guard: Int): Unit =
       parents.get(n) match {
         case None => done() // n is the root
-        case Some(p) =>
+        case Some(a: ANode) =>
+          // completing any branch completes the alternation
+          continueAfter(a, reps, out, done, guard)
+        case Some(_: SNode) =>
+          throw new IllegalStateException("a leaf cannot be a parent")
+        case Some(p: GNode) =>
           val idx = p.children.indexWhere(_ eq n)
           if (idx < p.children.size - 1) {
             val sib = p.children(idx + 1)
@@ -360,6 +427,7 @@ object GroupCep {
         case _: SNode => Vector.empty
         case g: GNode => (if (g.greedy) Vector(g) else Vector.empty) ++
           g.children.flatMap(collect)
+        case a: ANode => a.branches.flatMap(collect)
       }
       collect(realRoot).map(g => g.id -> firstSlots(g)).toMap
     }
@@ -485,6 +553,7 @@ object GroupCep {
       g.max, g.optional, g.loopMode,
       g.untilPred.map(up => (w: (E, Long)) => up(w._1)), g.greedy)
     case GNot(n, p, no) => GNot(n, (w: (E, Long)) => p(w._1), no)
+    case a: GAlt[E] => GAlt(a.branches.map(_.map(liftElem[E])), a.mode)
   }
   private[streaming] def liftG[E](p: GPattern[E]): GPattern[(E, Long)] =
     new GPattern(p.elems.map(liftElem[E]), p.withinMs)
@@ -734,18 +803,29 @@ object GroupCep {
     * per-key cross-batch arrival counter plus the skip-capable state over
     * arrival-tagged events ([[Cep.ArrivalState]]'s group twin). */
   final case class GArrivalState[E](nextSeq: Long,
-      inner: GStreamState[(E, Long)])
+      inner: GStreamState[(E, Long)],
+      matchSeq: Long = 0L, carry: Vector[E] = Vector.empty)
 
   /** [[GroupState]] view exposing the inner [[GStreamState]] of a
-    * [[GArrivalState]]; `update` re-attaches the advanced counter. */
+    * [[GArrivalState]]; `update` re-attaches the advanced counter (plus
+    * the match ordinal and PREV carry, read at update time). A key that
+    * has emitted a match or holds a carry persists an empty state row
+    * instead of being removed — the ordinal and the predecessor row must
+    * survive quiet periods (see [[Cep.ArrivalState]]). */
   private final class GArrivalView[E](u: GroupState[GArrivalState[E]],
-      newSeq: Long) extends GroupState[GStreamState[(E, Long)]] {
+      newSeq: Long, counter: Cep.MatchCounter = null,
+      carry: () => Vector[E] = () => Vector.empty)
+      extends GroupState[GStreamState[(E, Long)]] {
     def exists: Boolean = u.exists
     def get: GStreamState[(E, Long)] = u.get.inner
     def getOption: Option[GStreamState[(E, Long)]] = u.getOption.map(_.inner)
     def update(s: GStreamState[(E, Long)]): Unit =
-      u.update(GArrivalState(newSeq, s))
-    def remove(): Unit = u.remove()
+      u.update(GArrivalState(newSeq, s,
+        if (counter == null) 0L else counter.n, carry()))
+    def remove(): Unit =
+      if ((counter != null && counter.n > 0L) || carry().nonEmpty)
+        update(GStreamState(Vector.empty, Vector.empty))
+      else u.remove()
     def hasTimedOut: Boolean = u.hasTimedOut
     def setTimeoutDuration(ms: Long): Unit = u.setTimeoutDuration(ms)
     def setTimeoutDuration(d: String): Unit = u.setTimeoutDuration(d)
@@ -767,17 +847,40 @@ object GroupCep {
       tie: E => Long, skip: Cep.AfterMatchSkip,
       finish: (K, Map[String, Seq[E]]) => O,
       stats: Cep.HotKeyStats = null):
+      (K, Iterator[E], GroupState[GArrivalState[E]]) => Iterator[O] =
+    matchStreamNumberedArrivalFn(pattern, ts, tie, skip, null,
+      (kk: K, _: Long, groups: Map[String, Seq[E]]) => finish(kk, groups),
+      stats, numbered = false)
+
+  /** [[matchStreamArrivalFn]] plus the round-9 SQL extras (the group
+    * twin of [[Cep.matchStreamGroupsNumberedArrivalFn]]): finish receives
+    * the 1-based cross-batch per-key match ordinal (streaming
+    * MATCH_NUMBER()), and `pre(carriedRows, event)` — when non-null —
+    * transforms each event with the key's previous rows visible, its
+    * carry persisted in [[GArrivalState.carry]] (streaming PREV()). */
+  def matchStreamNumberedArrivalFn[K, E, O](pattern: GPattern[E],
+      ts: E => Long, tie: E => Long, skip: Cep.AfterMatchSkip,
+      pre: (Vector[E], E) => (Vector[E], E),
+      finish: (K, Long, Map[String, Seq[E]]) => O,
+      stats: Cep.HotKeyStats = null, numbered: Boolean = true):
       (K, Iterator[E], GroupState[GArrivalState[E]]) => Iterator[O] = {
     val compiled = compile(liftG(pattern))
-    val inner = matchStreamSkipFn[K, (E, Long), O](compiled,
-      w => ts(w._1), _._2, skip,
-      (kk, groups) => finish(kk, unliftGroups(groups)), stats)
     (k: K, it: Iterator[E], state: GroupState[GArrivalState[E]]) => {
-      var seq = state.getOption.map(_.nextSeq).getOrElse(0L)
-      val tagged = it.toVector.sortBy(e => (ts(e), tie(e))).map { e =>
-        val w = (e, seq); seq += 1; w
+      val st = state.getOption
+      var seq = st.map(_.nextSeq).getOrElse(0L)
+      val counter = new Cep.MatchCounter(st.map(_.matchSeq).getOrElse(0L))
+      var carry = st.map(_.carry).getOrElse(Vector.empty[E])
+      val inner = matchStreamSkipFn[K, (E, Long), O](compiled,
+        w => ts(w._1), _._2, skip,
+        (kk, groups) => finish(kk, counter.next(), unliftGroups(groups)),
+        stats)
+      val sorted = it.toVector.sortBy(e => (ts(e), tie(e)))
+      val preApplied = if (pre == null) sorted else sorted.map { e =>
+        val (c2, e2) = pre(carry, e); carry = c2; e2
       }
-      inner(k, tagged.iterator, new GArrivalView[E](state, seq))
+      val tagged = preApplied.map { e => val w = (e, seq); seq += 1; w }
+      inner(k, tagged.iterator, new GArrivalView[E](state, seq,
+        if (numbered || pre != null) counter else null, () => carry))
     }
   }
 
@@ -812,5 +915,28 @@ object GroupCep {
     ds.groupByKey(key).flatMapGroupsWithState[GArrivalState[E], O](
       OutputMode.Append(), timeoutConf)(
       matchStreamArrivalFn(pattern, ts, tie, skip, finish, stats))
+  }
+
+  /** [[matchStream]] with the cross-batch per-key match ordinal in
+    * `finish` (streaming MATCH_NUMBER()) and an optional carried-rows
+    * transform `pre` (streaming PREV()); the group twin of
+    * [[Cep.matchStreamGroupsNumbered]]. */
+  def matchStreamNumbered[K, E, O: Encoder](ds: Dataset[E], key: E => K,
+      ts: E => Long, pattern: GPattern[E],
+      tie: E => Long = (_: E) => 0L,
+      skip: Cep.AfterMatchSkip = Cep.NoSkip,
+      pre: (Vector[E], E) => (Vector[E], E) = null,
+      stats: Cep.HotKeyStats = null)(
+      finish: (K, Long, Map[String, Seq[E]]) => O)(
+      implicit ke: Encoder[K],
+      se: Encoder[GArrivalState[E]]): Dataset[O] = {
+    compile(pattern) // validate eagerly
+    val timeoutConf =
+      if (pattern.withinMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(key).flatMapGroupsWithState[GArrivalState[E], O](
+      OutputMode.Append(), timeoutConf)(
+      matchStreamNumberedArrivalFn(pattern, ts, tie, skip, pre, finish,
+        stats))
   }
 }

@@ -35,11 +35,12 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *   PATTERN (A (B C){2} D ...)     -- quantifiers ? * + {n} {n,m} {n,}
   *                                  -- on variables AND parenthesized
   *                                  -- sub-groups; a flat sequence runs
-  *                                  -- the linear NFA, nested groups
+  *                                  -- the linear NFA, nested groups AND
+  *                                  -- alternation `A|B` / `(A B|C D)`
+  *                                  -- (leftmost-preferred, quantifiable)
   *                                  -- compile onto [[GroupCep]] (batch
   *                                  -- AND streaming, incl. AFTER MATCH
-  *                                  -- SKIP); alternation
-  *                                  -- `A|B`, PERMUTE, anchors are
+  *                                  -- SKIP); PERMUTE, anchors are
   *                                  -- REJECTED with a clear error
   *   [WITHIN INTERVAL 'n' SECOND|MINUTE|HOUR|DAY]
   *                                  -- requires a TimestampType ORDER BY
@@ -201,15 +202,21 @@ object MatchRecognize {
   private val SemanticsKwRe = """(?is)^(FINAL|RUNNING)\s+""".r
   private val ColRe = """(?s)\s*(\w+)\.(\w+)\s*""".r
 
-  // ---- PATTERN grammar: element = (variable | '(' sequence ')') quant?
-  // Alternation, PERMUTE, anchors, exclusions are REJECTED with a clear
-  // error (silent misparse is the one wrong option); nested groups
+  // ---- PATTERN grammar:
+  //   body     ::= alt
+  //   alt      ::= seq ('|' seq)*          -- lowest precedence (SQL:2016)
+  //   seq      ::= element*
+  //   element  ::= (variable | '(' alt ')') quant?
+  // PERMUTE, anchors, exclusions are REJECTED with a clear error (silent
+  // misparse is the one wrong option); nested groups and alternation
   // compile onto the GroupCep epsilon-NFA below.
   private sealed trait PElem { def quant: Option[String] }
   private final case class PVar(name: String, quant: Option[String])
       extends PElem
   private final case class PGrp(elems: Vector[PElem], quant: Option[String])
       extends PElem
+  private final case class PAlt(branches: Vector[Vector[PElem]],
+      quant: Option[String]) extends PElem
 
   /** Balanced-paren PATTERN body (the old regex truncated at the first
     * ')', which is what made nested groups silently misparse). */
@@ -253,10 +260,10 @@ object MatchRecognize {
     def sequence(): Vector[PElem] = {
       val out = Vector.newBuilder[PElem]
       skipWs()
-      while (i < s.length && s(i) != ')') {
+      while (i < s.length && s(i) != ')' && s(i) != '|') {
         if (s(i) == '(') {
           i += 1
-          val inner = sequence()
+          val inner = alternation()
           if (i >= s.length || s(i) != ')') fail("unbalanced '('")
           i += 1
           if (inner.isEmpty) fail("empty group")
@@ -265,12 +272,30 @@ object MatchRecognize {
           val start = i
           while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
           out += PVar(s.substring(start, i), quant())
-        } else fail("alternation/PERMUTE/anchors are not supported")
+        } else fail("PERMUTE/anchors/exclusions are not supported")
         skipWs()
       }
       out.result()
     }
-    val r = sequence()
+    // alternation binds loosest (SQL:2016): A B | C D = (A B) | (C D)
+    def alternation(): Vector[PElem] = {
+      val first = sequence()
+      skipWs()
+      if (i >= s.length || s(i) != '|') first
+      else {
+        val bs = Vector.newBuilder[Vector[PElem]]
+        if (first.isEmpty) fail("empty alternation branch")
+        bs += first
+        while ({ skipWs(); i < s.length && s(i) == '|' }) {
+          i += 1
+          val b = sequence()
+          if (b.isEmpty) fail("empty alternation branch")
+          bs += b
+        }
+        Vector(PAlt(bs.result(), None))
+      }
+    }
+    val r = alternation()
     if (i < s.length) fail("unparsed text remains")
     r
   }
@@ -304,8 +329,11 @@ object MatchRecognize {
     def leafNames(es: Seq[PElem]): Seq[String] = es.flatMap {
       case PVar(n, _) => Seq(n)
       case PGrp(in, _) => leafNames(in)
+      case PAlt(bs, _) => bs.flatMap(leafNames)
     }
-    val nested = elems.exists(_.isInstanceOf[PGrp])
+    // groups AND alternation route to the GroupCep epsilon-NFA
+    val nested = elems.exists(e =>
+      e.isInstanceOf[PGrp] || e.isInstanceOf[PAlt])
     val defines: Map[String, String] =
       DefineRe.findFirstMatchIn(clause).map(_.group(1)) match {
         case None => Map.empty
@@ -604,6 +632,12 @@ object MatchRecognize {
               val sub = build(inner, null)
               if (gp == null) GroupCep.GPattern.begin[Row](sub)
               else gp.next(sub)
+            case PAlt(branches, _) =>
+              // SQL:2016 alternation: exactly one branch matches; branch
+              // preference (leftmost) rides the engine's fork order
+              val alts = branches.map(b => build(b, null))
+              if (gp == null) GroupCep.GPattern.begin[Row](alts)
+              else gp.next(alts)
           }
           e.quant.foreach(q => gp = applyQuant(gp, q))
         }

@@ -154,6 +154,39 @@ object MatchRecognizeQuery extends QueryModule {
           |PATTERN (D{2})
           |DEFINE D AS value < PREV(value)""".stripMargin)
         .orderBy("user_id", "first_ts", "id_sum")
+    },
+
+    q("qc17_match_recognize_alternation",
+      // alternation (round 9): the two-branch funnel every conversion
+      // query writes — view, then (click | error), then purchase, all
+      // strictly adjacent. Branch predicates are disjoint (event_type
+      // equality), so the oracle is a plain three-way adjacent-position
+      // join with the branch disjunction on the middle row.
+      """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT a.user_id AS user_id, a.ts AS start_ts, c.ts AS end_ts,
+        |  c.event_id AS end_id,
+        |  CAST(CASE WHEN b.event_type = 'click' THEN 1 ELSE 0 END AS BIGINT)
+        |    AS via_click
+        |FROM o a
+        |JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+        |JOIN o c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+        |WHERE a.event_type = 'view' AND b.event_type IN ('click', 'error')
+        |  AND c.event_type = 'purchase'
+        |ORDER BY 1, 2, 4""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.ts AS start_ts, P.ts AS end_ts, P.event_id AS end_id,
+          |  COUNT(C.*) AS via_click
+          |PATTERN (V (C | E) P)
+          |DEFINE V AS event_type = 'view',
+          |       C AS event_type = 'click',
+          |       E AS event_type = 'error',
+          |       P AS event_type = 'purchase'""".stripMargin)
+        .orderBy("user_id", "start_ts", "end_id")
     }
   )
 }

@@ -112,7 +112,23 @@ class PropertySpec extends SparkSuite {
       .followedBy("g")(_._1 == "a").oneOrMore.optional.greedy
       .followedBy(GPattern.begin[E]("m1")(_._1 == "b")
         .followedBy("m2")(_._1 == "d"))
-    val pats = Vector(() => pat1, () => pat2, () => pat3)
+    // round 9: alternation forks must also survive any batch split —
+    // plain two-branch, and a quantified alternation whose loop crosses
+    // branches between repetitions (overlapping branch predicates
+    // included: "a" matches both m1 and the m2 branch's prefix)
+    def pat4 = GPattern.begin[E]("s")(_._1 == "c")
+      .followedBy(Seq(
+        GPattern.begin[E]("m1")(_._1 == "a"),
+        GPattern.begin[E]("m2")(_._1 == "b")))
+      .followedBy("e")(_._1 == "d")
+    def pat5 = GPattern.begin[E]("s")(_._1 == "c")
+      .next(Seq(
+        GPattern.begin[E]("m1")(_._1 == "a").next("g")(_._1 == "b"),
+        GPattern.begin[E]("m2")(e => e._1 == "b" || e._1 == "a")))
+      .times(1, 2)
+      .followedBy("e")(_._1 == "d")
+    val pats = Vector(() => pat1, () => pat2, () => pat3, () => pat4,
+      () => pat5)
     val skips = Vector(Cep.NoSkip, Cep.SkipPastLastEvent,
       Cep.SkipToLast("m1"), Cep.SkipToFirst("m2"))
     val namesGen = Gen.listOfN(24, Gen.oneOf("a", "b", "c", "d", "x"))

@@ -365,6 +365,99 @@ class GroupCepSpec extends SparkSuite {
     assert(got.size === 3)
   }
 
+  test("alternation: c (a|b) d takes either branch (SQL:2016 fork, round-9)") {
+    // strict adjacency (SQL concatenation) so each c pairs with exactly
+    // the branch occurrence that follows it
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .next(Seq(
+        GPattern.begin[RE]("buy")(_.name == "a"),
+        GPattern.begin[RE]("browse")(_.name == "b")))
+      .next("end")(_.name == "d")
+    val got = feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 1.0) -> 2L, RE(45, "d", 1.0) -> 3L,
+      RE(46, "c", 1.0) -> 4L, RE(42, "b", 1.0) -> 5L, RE(47, "d", 1.0) -> 6L))
+    assert(got.toSet === Set(Seq(40, 41, 45), Seq(46, 42, 47)))
+    // followedBy boundaries additionally let the first start reach the
+    // later browse occurrence (TILL_NEXT ignore semantics) — pin that too
+    val pf = GPattern.begin[RE]("start")(_.name == "c")
+      .followedBy(Seq(
+        GPattern.begin[RE]("buy")(_.name == "a"),
+        GPattern.begin[RE]("browse")(_.name == "b")))
+      .followedBy("end")(_.name == "d")
+    val gotF = feed(pf, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 1.0) -> 2L, RE(45, "d", 1.0) -> 3L,
+      RE(46, "c", 1.0) -> 4L, RE(42, "b", 1.0) -> 5L, RE(47, "d", 1.0) -> 6L))
+    assert(gotF.toSet === Set(
+      Seq(40, 41, 45), Seq(40, 42, 47), Seq(46, 42, 47)))
+  }
+
+  test("alternation: overlapping branches both fire, leftmost first (library all-matches semantics)") {
+    // SQL:2016 preference would keep only the leftmost branch; the CEP
+    // library this compiles onto emits ALL matches (same posture as
+    // quantifier emission, documented in MatchRecognize's scaladoc) —
+    // preference surfaces as emission ORDER, which is what AFTER MATCH
+    // SKIP strategies consume (next test)
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .followedBy(Seq(
+        GPattern.begin[RE]("x")(_.price >= 1.0), // both branches match "a"
+        GPattern.begin[RE]("y")(_.name == "a")))
+    val c0 = GroupCep.compile(p)
+    var confs = Vector.empty[GConf[RE]]
+    val all = Vector.newBuilder[Map[String, Seq[Int]]]
+    Seq(RE(40, "c", 1.0) -> 1L, RE(41, "a", 2.0) -> 2L).foreach {
+      case (e, ts) =>
+        val (next, ms) = GroupCep.advance(c0, confs, e, ts)
+        confs = next
+        ms.foreach(m => all += GroupCep.toGroups(c0, m)
+          .map { case (n, es) => n -> es.map(_.id) })
+    }
+    val got = all.result()
+    assert(got === Vector(
+      Map("start" -> Seq(40), "x" -> Seq(41), "y" -> Seq()),  // leftmost 1st
+      Map("start" -> Seq(40), "x" -> Seq(), "y" -> Seq(41))))
+  }
+
+  test("alternation: multi-element branches c (a b | d e) f") {
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .followedBy(Seq(
+        GPattern.begin[RE]("a1")(_.name == "a").next("a2")(_.name == "b"),
+        GPattern.begin[RE]("b1")(_.name == "d").next("b2")(_.name == "e")))
+      .followedBy("end")(_.name == "f")
+    val got = feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "d", 1.0) -> 2L, RE(42, "e", 1.0) -> 3L,
+      RE(43, "f", 1.0) -> 4L))
+    assert(got === Vector(Seq(40, 41, 42, 43)))
+    // a half-completed wrong branch must not match
+    val none = feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "d", 1.0) -> 2L, RE(44, "b", 1.0) -> 3L,
+      RE(43, "f", 1.0) -> 4L))
+    assert(none.isEmpty)
+  }
+
+  test("alternation: quantified (a|b){2} mixes branch occurrences per repetition") {
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .followedBy(Seq(
+        GPattern.begin[RE]("a")(_.name == "a"),
+        GPattern.begin[RE]("b")(_.name == "b"))).times(2).consecutive
+      .followedBy("end")(_.name == "d")
+    val got = feed(p, Seq(
+      RE(40, "c", 1.0) -> 1L, RE(41, "a", 1.0) -> 2L, RE(42, "b", 1.0) -> 3L,
+      RE(43, "d", 1.0) -> 4L))
+    assert(got === Vector(Seq(40, 41, 42, 43))) // a then b across the two reps
+  }
+
+  test("alternation: all-optional branch makes the alternation skippable") {
+    // (a? | b) then d: the left branch can match empty, so "c d" matches
+    // with the alternation contributing nothing
+    val p = GPattern.begin[RE]("start")(_.name == "c")
+      .followedBy(Seq(
+        GPattern.begin[RE]("a")(_.name == "a").times(1, 1).optional,
+        GPattern.begin[RE]("b")(_.name == "b")))
+      .followedBy("end")(_.name == "d")
+    val got = feed(p, Seq(RE(40, "c", 1.0) -> 1L, RE(43, "d", 1.0) -> 2L))
+    assert(got === Vector(Seq(40, 43)))
+  }
+
   test("greedy is rejected on an allowCombinations loop (reference Quantifier.greedy check)") {
     assertThrows[IllegalArgumentException] {
       GPattern.begin[RE]("start")(_.name == "c")

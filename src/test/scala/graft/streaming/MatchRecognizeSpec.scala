@@ -95,18 +95,76 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(e.getMessage.contains("WITHIN requires a TimestampType"))
   }
 
-  test("alternation / PERMUTE / anchors in PATTERN are rejected, never misparsed") {
+  test("PERMUTE / anchors / empty alternation branches are rejected, never misparsed") {
     def pat(p: String): String =
       s"""PARTITION BY user_id
          |ORDER BY ts
          |MEASURES A.event_id AS a_id
          |PATTERN ($p)
          |DEFINE A AS event_type = 'view'""".stripMargin
-    for (p <- Seq("A|B", "PERMUTE(A, B)", "^A B$")) {
+    for (p <- Seq("PERMUTE(A, B)", "^A B$", "A |", "| A", "A || B")) {
       val e = intercept[IllegalArgumentException] {
         MatchRecognize(events, pat(p))
       }
       assert(e.getMessage.contains("unsupported PATTERN syntax"), p)
+    }
+  }
+
+  test("alternation (A|B) in PATTERN: batch, quantified, skip, streaming (round 9)") {
+    val df = Seq(
+      // user 1: view click purchase — left branch
+      (1L, 10L, "view", 1L), (2L, 20L, "click", 1L), (3L, 30L, "purchase", 1L),
+      // user 2: view error purchase — right branch
+      (10L, 10L, "view", 2L), (11L, 20L, "error", 2L), (12L, 30L, "purchase", 2L),
+      // user 3: view signup purchase — neither branch, no match
+      (20L, 10L, "view", 3L), (21L, 20L, "signup", 3L), (22L, 30L, "purchase", 3L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val clause =
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES P.event_id AS p_id, COUNT(C.*) AS via_click
+        |PATTERN (V (C | E) P)
+        |DEFINE V AS event_type = 'view', C AS event_type = 'click',
+        |       E AS event_type = 'error', P AS event_type = 'purchase'""".stripMargin
+    val got = MatchRecognize(df, clause)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L, 1L), (2L, 12L, 0L)))
+
+    // quantified alternation with AFTER MATCH SKIP PAST LAST ROW: the
+    // (A|B)+ loop crosses branches between repetitions, and the skip
+    // queue drops the overlapping shorter start
+    val df2 = Seq(
+      (1L, 10L, "a", 1L), (2L, 20L, "b", 1L), (3L, 30L, "c", 1L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val mixed = MatchRecognize(df2,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, C.event_id AS c_id
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN ((A | B)+ C)
+        |DEFINE A AS event_type = 'a', B AS event_type = 'b',
+        |       C AS event_type = 'c'""".stripMargin)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(mixed === Set((1L, 1L, 1L, 3L))) // a then b across reps, one match
+
+    // streaming twin: the chosen branch's partial crosses micro-batches
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Long, String, Long)]
+      val sdf = input.toDF().toDF("event_id", "ts", "event_type", "user_id")
+      val q = MatchRecognize(sdf, clause)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("mr_alt_out").start()
+      try {
+        input.addData((1L, 10L, "view", 1L), (2L, 20L, "error", 1L))
+        q.processAllAvailable()
+        assert(spark.table("mr_alt_out").count() === 0)
+        input.addData((3L, 30L, "purchase", 1L))
+        q.processAllAvailable()
+        assert(spark.table("mr_alt_out").as[(Long, Long, Long)]
+          .collect().toSet === Set((1L, 3L, 0L)))
+      } finally q.stop()
     }
   }
 
