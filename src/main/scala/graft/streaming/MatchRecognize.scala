@@ -29,7 +29,9 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *                                  -- mode) unless prefixed FINAL
   *                                  -- (whole-match evaluation);
   *                                  -- MATCH_NUMBER() = 1-based per-
-  *                                  -- partition ordinal (batch-only)
+  *                                  -- partition ordinal (batch AND
+  *                                  -- streaming — the ordinal rides
+  *                                  -- keyed state across micro-batches)
   *   [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
   *     | SKIP TO FIRST X | SKIP TO LAST X]
   *   PATTERN (A (B C){2} D ...)     -- quantifiers ? * + {n} {n,m} {n,}
@@ -49,8 +51,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *                                  -- raw-unit scale is unknowable here
   *   DEFINE A AS <boolean sql expr>, ...   -- undefined variables = TRUE;
   *                                  -- PREV(col[, n]) = physical row
-  *                                  -- navigation (lag over the same
-  *                                  -- partition/order; batch-only)
+  *                                  -- navigation (batch: lag over the
+  *                                  -- same partition/order; streaming:
+  *                                  -- the key's last rows ride keyed
+  *                                  -- state across micro-batches)
   *
   * Semantics: pattern concatenation is STRICT row adjacency and
   * quantified variables repeat consecutively, per the SQL standard; but
@@ -419,24 +423,35 @@ object MatchRecognize {
     require(vars.distinct.size == vars.size,
       s"duplicate PATTERN variables: ${vars.mkString(", ")}")
     // PREV(col[, n]) in DEFINE: physical navigation over the partition's
-    // input rows (SQL:2016; the V/W-pattern enabler "value < PREV(value)")
-    // — precomputed as a lag() window over the SAME (partition, order)
-    // the NFA uses, so the predicate stays a plain codegen'd Catalyst
-    // expression and the NFA still reads one boolean per row. At the
-    // first row of a partition PREV is NULL, so the predicate coalesces
-    // to false — the reference's semantics. Batch-only: window functions
-    // cannot be planned on a stream (Flink's streaming PREV rides NFA
-    // state; documented rejection, not a misplan). Plan note: the window
-    // hash-partitions on the raw key column while groupByKey partitions
-    // on the encoded key, so Catalyst keeps BOTH exchanges — the known
-    // library-path trade (same data volume twice); the planned CepExec
-    // path declares its distribution and would elide one, but has no
-    // PREV surface. qc16 still runs at 0.78x its pure-SQL oracle.
+    // input rows (SQL:2016; the V/W-pattern enabler "value < PREV(value)").
+    // BATCH: precomputed as a lag() window over the SAME (partition,
+    // order) the NFA uses, so the predicate stays a plain codegen'd
+    // Catalyst expression and the NFA still reads one boolean per row.
+    // At the first row of a partition PREV is NULL, so the predicate
+    // coalesces to false — the reference's semantics. Plan note: the
+    // window hash-partitions on the raw key column while groupByKey
+    // partitions on the encoded key, so Catalyst keeps BOTH exchanges —
+    // the known library-path trade (same data volume twice); the planned
+    // CepExec path declares its distribution and would elide one, but
+    // has no PREV surface. qc16 still runs at 0.78x its pure-SQL oracle.
+    // STREAMING (round 9): a window function cannot be planned on a
+    // stream, so PREV rides keyed state instead — the driver carries the
+    // key's last maxOffset rows across micro-batches
+    // ([[Cep.ArrivalState.carry]], the posture Flink's streaming PREV
+    // takes with NFA state) and the PREV-referencing predicates are
+    // evaluated per arriving row against (current row + carried rows)
+    // via a driver-analyzed, executor-bound Catalyst expression.
+    val prevVars: Set[String] =
+      defines.filter(kv => PrevRe.findFirstMatchIn(kv._2).isDefined).keySet
+    val prevRefs: Seq[(String, Int)] = defines.values.toSeq.flatMap(t =>
+      PrevRe.findAllMatchIn(t).map(m =>
+        (m.group(1), Option(m.group(2)).getOrElse("1").toInt))).distinct
     val definesRewritten: Map[String, String] = defines.map { case (k, t) =>
       val r = PrevRe.replaceAllIn(t, m => {
         val n = Option(m.group(2)).getOrElse("1")
         java.util.regex.Matcher.quoteReplacement(
-          s"(lag(`${m.group(1)}`, $n) OVER (PARTITION BY `$partCol` " +
+          if (streamingIn) s"`__mr_prev_${m.group(1)}_$n`"
+          else s"(lag(`${m.group(1)}`, $n) OVER (PARTITION BY `$partCol` " +
             s"ORDER BY `$ordCol`" +
             tieCol.map(tc => s", `$tc`").getOrElse("") + "))")
       })
@@ -444,15 +459,16 @@ object MatchRecognize {
         s"only PREV(column[, offset]) is supported in DEFINE: $t")
       k -> r
     }
-    if (streamingIn && definesRewritten != defines)
-      throw new IllegalArgumentException(
-        "PREV() in DEFINE is batch-only (window functions cannot be " +
-          "planned on a stream)")
-    def predCol(v: String): Column = definesRewritten.get(v) match {
-      case Some(sqlText) =>
-        coalesce(expr(sqlText).cast("boolean"), lit(false))
-      case None => lit(true)
-    }
+    def predCol(v: String): Column =
+      // streaming PREV predicates evaluate inside the keyed driver (they
+      // need the carried rows); the column holds a placeholder the pre-
+      // transform overwrites per row
+      if (streamingIn && prevVars(v)) lit(false)
+      else definesRewritten.get(v) match {
+        case Some(sqlText) =>
+          coalesce(expr(sqlText).cast("boolean"), lit(false))
+        case None => lit(true)
+      }
     // project to: measure-referenced columns + partition key + internals;
     // under streaming ALSO the raw ORDER BY column — its watermark
     // metadata must reach flatMapGroupsWithState for event-time timeouts
@@ -460,12 +476,22 @@ object MatchRecognize {
       case FinalMeasure(inner) => inner
       case other => other
     }
+    // streaming PREV defines evaluate over raw columns inside the keyed
+    // driver — project every df column their text mentions (word-token
+    // scan; false positives only widen the projection)
+    val prevNeeded: Seq[String] =
+      if (streamingIn && prevVars.nonEmpty) {
+        val words = prevVars.toSeq
+          .flatMap(v => "\\w+".r.findAllIn(defines(v)).toSeq).toSet
+        df.columns.toSeq.filter(words)
+      } else Nil
     val needed = ((measures.map(baseOf)
       .collect {
         case PosMeasure(_, c, _, _, _) => c
         case AggMeasure(_, _, c, _) => c
       }
-      :+ partCol) ++ (if (streamingIn) Seq(ordCol) else Nil)).distinct
+      :+ partCol) ++ (if (streamingIn) Seq(ordCol) else Nil) ++
+      prevNeeded).distinct
     val prepared = df
       .where(col(ordCol).isNotNull)
       .select(needed.map(col) ++
@@ -482,6 +508,63 @@ object MatchRecognize {
       val i = varIdx(v)
       r => !r.isNullAt(i) && r.getBoolean(i)
     }
+
+    // Streaming PREV pre-transform: given the key's carried rows (its
+    // previous maxOffset rows in event-time order, persisted across
+    // micro-batches), rewrite this row's __mr_<var> booleans for the
+    // PREV-referencing variables. The predicate is analyzed ONCE on the
+    // driver against the carry-extended schema, bound by ordinal, and
+    // shipped to executors; rows serialize through the extended schema's
+    // encoder and the bound expression evaluates interpreted (the NFA is
+    // per-key sequential anyway).
+    val preFn: (Vector[Row], Row) => (Vector[Row], Row) =
+      if (!streamingIn || prevVars.isEmpty) null
+      else {
+        import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+        import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences, Expression, GenericRowWithSchema}
+        import org.apache.spark.sql.catalyst.plans.logical.Project
+        val maxOff = prevRefs.map(_._2).max
+        val prevFields = prevRefs.map { case (c, n) =>
+          StructField(s"__mr_prev_${c}_$n", schema(c).dataType,
+            nullable = true)
+        }
+        val extSchema = StructType(schema.fields ++ prevFields)
+        val helper = df.sparkSession.createDataFrame(
+          new java.util.ArrayList[Row](), extSchema)
+        def boundOf(sqlText: String): Expression = {
+          val an = helper.select(coalesce(expr(sqlText).cast("boolean"),
+            lit(false)).as("__p")).queryExecution.analyzed
+          val pr = an.collect { case p: Project => p }.head
+          BindReferences.bindReference(
+            pr.projectList.head.asInstanceOf[Alias].child, pr.child.output)
+        }
+        val boundPreds: Seq[(Int, Expression)] =
+          prevVars.toSeq.map(v => varIdx(v) -> boundOf(definesRewritten(v)))
+        val ser = ExpressionEncoder(RowEncoder.encoderFor(extSchema))
+          .createSerializer()
+        val srcIdx = prevRefs.map { case (c, _) => schema.fieldIndex(c) }
+        val nBase = schema.length
+        (carry: Vector[Row], row: Row) => {
+          val extVals = new Array[Any](nBase + prevRefs.length)
+          var i = 0
+          while (i < nBase) { extVals(i) = row.get(i); i += 1 }
+          prevRefs.indices.foreach { j =>
+            val off = prevRefs(j)._2
+            extVals(nBase + j) =
+              if (carry.size >= off) carry(carry.size - off).get(srcIdx(j))
+              else null
+          }
+          val internal = ser(Row.fromSeq(extVals.toIndexedSeq))
+          val newVals = new Array[Any](nBase)
+          i = 0
+          while (i < nBase) { newVals(i) = row.get(i); i += 1 }
+          boundPreds.foreach { case (vi, ex) =>
+            newVals(vi) = ex.eval(internal) == true
+          }
+          ((carry :+ row).takeRight(maxOff),
+            new GenericRowWithSchema(newVals, schema): Row)
+        }
+      }
 
     // ALL ROWS PER MATCH: one output row per matched event in match
     // order, measures with RUNNING semantics (the SQL default in this
@@ -512,16 +595,14 @@ object MatchRecognize {
     val tieFn = (r: Row) => r.getLong(tieIdx)
 
     // MATCH_NUMBER(): 1-based per-partition ordinal in match-emission
-    // order. Batch-only — the ordinal is task-local mutable state (each
-    // Spark task deserializes its own closure copy, and flatMapGroups
-    // feeds each key's matches contiguously); a streaming ordinal would
-    // have to persist in keyed state across micro-batches, which the
-    // generic CEP state does not carry — rejected, not miscomputed.
+    // order. Batch: task-local mutable state (each Spark task
+    // deserializes its own closure copy, and flatMapGroups feeds each
+    // key's matches contiguously). Streaming (round 9): the ordinal
+    // persists in keyed state across micro-batches
+    // (ArrivalState/GArrivalState matchSeq) and arrives through the
+    // numbered driver variants below.
     val needsMatchNum = measures.map(baseOf)
       .exists(_.isInstanceOf[MatchNumMeasure])
-    if (needsMatchNum && streamingIn) throw new IllegalArgumentException(
-      "MATCH_NUMBER() is batch-only (the per-key match ordinal does not " +
-        "persist across micro-batches)")
     var mnHasKey = false
     var mnKey: Any = null
     var mnCounter = 0L
@@ -532,13 +613,14 @@ object MatchRecognize {
       mnCounter
     }
 
-    val finish: (Row, Map[String, Seq[Row]]) => Row =
-      if (!allRows) { (k, groups) =>
-        val mn = if (needsMatchNum) nextMatchNum(k) else 0L
+    // mkRow shapes one match given its ordinal; the batch/plain-stream
+    // finish derives the ordinal task-locally, the numbered streaming
+    // drivers pass the state-persisted one
+    val mkRow: (Row, Long, Map[String, Seq[Row]]) => Row =
+      if (!allRows) { (k, mn, groups) =>
         val cls = flatten(groups).lastOption.map(_._1).orNull
         Row.fromSeq(k.get(0) +: measures.map(_.eval(groups, schema, cls, mn)))
-      } else { (k, groups) =>
-        val mn = if (needsMatchNum) nextMatchNum(k) else 0L
+      } else { (k, mn, groups) =>
         // FINAL measures see the whole match and its final classifier;
         // RUNNING (default) measures see the prefix up to the row
         val finalCls = flatten(groups).lastOption.map(_._1).orNull
@@ -551,6 +633,12 @@ object MatchRecognize {
         }
         Row(k.get(0), rows)
       }
+    val finish: (Row, Map[String, Seq[Row]]) => Row = (k, groups) =>
+      mkRow(k, if (needsMatchNum) nextMatchNum(k) else 0L, groups)
+    // streaming routes through the numbered drivers only when the clause
+    // needs the cross-batch extras (keys then persist a counter row past
+    // their last partial — don't pay that for every query)
+    val needsNumbered = streamingIn && (needsMatchNum || preFn != null)
     // ALL ROWS: the driver emits one array-typed row per match; the
     // stateless explode below flattens it (works identically on the
     // streaming output)
@@ -593,9 +681,14 @@ object MatchRecognize {
         // SharedBuffer EventId identity, same as the batch path).
         implicit val stateEnc: org.apache.spark.sql.Encoder[
           Cep.ArrivalState[Row]] = Encoders.kryo[Cep.ArrivalState[Row]]
-        post(Cep.matchStreamGroups[Row, Row, Row](
-          prepared, keyFn, ordFn, pat, skip, tie = tieFn)(finish)(
-          outEnc, keyEnc, stateEnc).toDF())
+        post(
+          if (needsNumbered)
+            Cep.matchStreamGroupsNumbered[Row, Row, Row](
+              prepared, keyFn, ordFn, pat, skip, tie = tieFn,
+              pre = preFn)(mkRow)(outEnc, keyEnc, stateEnc).toDF()
+          else Cep.matchStreamGroups[Row, Row, Row](
+            prepared, keyFn, ordFn, pat, skip, tie = tieFn)(finish)(
+            outEnc, keyEnc, stateEnc).toDF())
       } else
         post(Cep.matchBatchGroups[Row, Row, Row](
           prepared, keyFn, ordFn, pat, skip, tie = tieFn)(finish)(
@@ -649,9 +742,14 @@ object MatchRecognize {
         implicit val stateEnc: org.apache.spark.sql.Encoder[
           GroupCep.GArrivalState[Row]] =
           Encoders.kryo[GroupCep.GArrivalState[Row]]
-        post(GroupCep.matchStream[Row, Row, Row](
-          prepared, keyFn, ordFn, gp, tie = tieFn, skip = skip)(finish)(
-          outEnc, keyEnc, stateEnc).toDF())
+        post(
+          if (needsNumbered)
+            GroupCep.matchStreamNumbered[Row, Row, Row](
+              prepared, keyFn, ordFn, gp, tie = tieFn, skip = skip,
+              pre = preFn)(mkRow)(outEnc, keyEnc, stateEnc).toDF()
+          else GroupCep.matchStream[Row, Row, Row](
+            prepared, keyFn, ordFn, gp, tie = tieFn, skip = skip)(finish)(
+            outEnc, keyEnc, stateEnc).toDF())
       } else
         post(GroupCep.matchBatchGroups[Row, Row, Row](
           prepared, keyFn, ordFn, gp, tie = tieFn, skip = skip)(finish)(

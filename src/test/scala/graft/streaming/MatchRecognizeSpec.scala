@@ -457,7 +457,7 @@ class MatchRecognizeSpec extends SparkSuite {
       (2L, 1L, 1L, 2L, 10L, 11L), (2L, 1L, 2L, 2L, 11L, 11L)))
   }
 
-  test("FINAL under ONE ROW PER MATCH is a no-op; RUNNING keyword parses; streaming MATCH_NUMBER rejected") {
+  test("FINAL under ONE ROW PER MATCH is a no-op; RUNNING keyword parses") {
     val df = Seq(
       (1L, 10L, "error", 1L), (2L, 20L, "error", 1L)
     ).toDF("event_id", "ts", "event_type", "user_id")
@@ -470,20 +470,49 @@ class MatchRecognizeSpec extends SparkSuite {
         |DEFINE E AS event_type = 'error'""".stripMargin)
       .select("mn", "l1", "l2").as[(Long, Long, Long)].collect().toSeq
     assert(one === Seq((1L, 2L, 2L)))
+  }
 
+  test("streaming MATCH_NUMBER(): the per-key ordinal persists across micro-batches (round 9)") {
+    // Two disjoint error pairs arriving in separate micro-batches, with
+    // a quiet batch in between that lets every partial die — the ordinal
+    // must still advance 1, 2 (the counter survives in keyed state even
+    // when no partial does). AFTER MATCH SKIP PAST LAST ROW keeps the
+    // pairs disjoint so the ordinals are deterministic.
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
+    val clause =
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES MATCH_NUMBER() AS mn, FIRST(E.event_id) AS e1,
+        |  LAST(E.event_id) AS e2
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (E{2})
+        |DEFINE E AS event_type = 'error'""".stripMargin
     val input = MemoryStream[(Long, Long, String, Long)]
     val sdf = input.toDF().toDF("event_id", "ts", "event_type", "user_id")
-    val ex = intercept[IllegalArgumentException] {
-      MatchRecognize(sdf,
-        """PARTITION BY user_id
-          |ORDER BY ts
-          |MEASURES MATCH_NUMBER() AS mn
-          |PATTERN (E{2})
-          |DEFINE E AS event_type = 'error'""".stripMargin)
-    }
-    assert(ex.getMessage.contains("batch-only"))
+    val q = MatchRecognize(sdf, clause)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mr_mn_out").start()
+    try {
+      input.addData((1L, 10L, "error", 1L), (2L, 20L, "error", 1L))
+      q.processAllAvailable()
+      // a non-error event kills any open partial: state holds ONLY the
+      // match counter when the next pair arrives
+      input.addData((3L, 30L, "view", 1L))
+      q.processAllAvailable()
+      input.addData((4L, 40L, "error", 1L), (5L, 50L, "error", 1L))
+      q.processAllAvailable()
+      assert(spark.table("mr_mn_out").as[(Long, Long, Long, Long)]
+        .collect().toSet === Set((1L, 1L, 1L, 2L), (1L, 2L, 4L, 5L)))
+      // the batch twin agrees on the ordinals
+      val batch = MatchRecognize(Seq(
+        (1L, 10L, "error", 1L), (2L, 20L, "error", 1L),
+        (3L, 30L, "view", 1L),
+        (4L, 40L, "error", 1L), (5L, 50L, "error", 1L)
+      ).toDF("event_id", "ts", "event_type", "user_id"), clause)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(batch === Set((1L, 1L, 1L, 2L), (1L, 2L, 4L, 5L)))
+    } finally q.stop()
   }
 
   test("aggregate measures SUM/AVG/MIN/MAX over captured rows (RUNNING and FINAL)") {
@@ -560,21 +589,41 @@ class MatchRecognizeSpec extends SparkSuite {
       .as[(Long, Long, Option[Long])].collect().toSeq
     assert(off === Seq((2L, 4L, None)))
 
-    // streaming rejection: PREV needs a window function, which cannot
-    // be planned on a stream
+    // streaming PREV (round 9): the predecessor rows ride keyed state,
+    // so the V-shape works on a stream too — split so every DOWN/UP
+    // comparison crosses a micro-batch boundary at least once
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[(Long, Long, String, Long)]
-    val sdf = input.toDF().toDF("event_id", "ts", "event_type", "user_id")
-    val ex = intercept[IllegalArgumentException] {
-      MatchRecognize(sdf,
-        """PARTITION BY user_id
-          |ORDER BY ts
-          |MEASURES FIRST(D.event_id) AS d1
-          |PATTERN (D{2})
-          |DEFINE D AS event_id < PREV(event_id)""".stripMargin)
+    val vClause =
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES FIRST(DOWN.event_id) AS v_start,
+        |  LAST(DOWN.event_id) AS bottom, LAST(UP.event_id) AS v_end
+        |PATTERN (STRT DOWN{2} UP{2})
+        |DEFINE DOWN AS value < PREV(value),
+        |       UP AS value > PREV(value)""".stripMargin
+    val ticks = Seq(
+      (1L, 10L, 10.0), (2L, 20L, 8.0), (3L, 30L, 6.0),
+      (4L, 40L, 7.0), (5L, 50L, 9.0))
+      .map { case (id, t, v) => (id, t, "tick", 1L, v) }
+    for (cut <- 1 until ticks.size) {
+      val input = MemoryStream[(Long, Long, String, Long, Double)]
+      val sdf = input.toDF()
+        .toDF("event_id", "ts", "event_type", "user_id", "value")
+      val name = s"mr_prev_stream_$cut"
+      val q = MatchRecognize(sdf, vClause)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        input.addData(ticks.take(cut): _*)
+        q.processAllAvailable()
+        input.addData(ticks.drop(cut): _*)
+        q.processAllAvailable()
+        assert(spark.table(name).select("v_start", "bottom", "v_end")
+          .as[(Long, Long, Long)].collect().toSeq === Seq((2L, 3L, 5L)),
+          s"split at $cut diverged from the batch result")
+      } finally q.stop()
     }
-    assert(ex.getMessage.contains("batch-only"))
   }
 
   test("streaming nested-group AFTER MATCH SKIP PAST LAST ROW defers across micro-batches") {
