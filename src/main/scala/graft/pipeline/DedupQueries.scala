@@ -310,6 +310,66 @@ object DedupQueries extends QueryModule {
           shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)).as("band2"),
           shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)).as("band3"))
         .orderBy(col("doc_id"))
+    },
+
+    // Paragraph-granularity dedup (round 9): the canonical training-data
+    // pipeline dedups below document level too — segment each document,
+    // normalize, hash, keep the first survivor by (hash, doc_id, idx).
+    // Real corpora segment on blank lines ([[paragraphs]] below, spec-
+    // covered); this synthetic corpus is separator-free, so the query
+    // uses the other standard segmenter: fixed 24-word windows (context
+    // chunking). Scale shape: normalize/chunk are array lambdas per row,
+    // explode multiplies rows ~size/24, then ONE partial-aggregating
+    // groupBy(fp) shuffle — min(struct) + count both combine map-side.
+    // No window function, no join, no cartesian: the same map + partial-
+    // agg pass at 100 TB. (Suffix-array substring dedup — the other
+    // sub-document granularity — needs corpus-global suffix sorting, a
+    // fundamentally different and far costlier machine; documented out of
+    // scope in ENGINE.md.)
+    q("qp10_paragraph_dedup",
+      """WITH nw AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |ix AS (SELECT doc_id, w,
+        |    unnest(generate_series(0, (len(w) + 23) // 24 - 1)) AS idx FROM nw),
+        |ch AS (SELECT doc_id, idx,
+        |    array_to_string(w[(idx*24+1):(idx*24+24)], ' ') AS para FROM ix),
+        |r AS (SELECT md5(para) AS fp, doc_id, idx,
+        |    row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn,
+        |    COUNT(*) OVER (PARTITION BY md5(para)) AS n_copies
+        |  FROM ch)
+        |SELECT fp, doc_id AS keep_doc, idx AS keep_idx, n_copies
+        |FROM r WHERE rn = 1 ORDER BY keep_doc, keep_idx""".stripMargin) {
+      (s, d) =>
+        t(s, d, "documents")
+          .where(length(trim(col("text"))) > 0)
+          .withColumn("w",
+            split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(0, (size(w) + 23) div 24 - 1),
+              |  i -> array_join(slice(w, i * 24 + 1, 24), ' '))""".stripMargin)))
+          .toDF("doc_id", "idx", "para")
+          .groupBy(md5(col("para")).as("fp"))
+          .agg(min(struct(col("doc_id"), col("idx"))).as("k"),
+            count(lit(1)).as("n_copies"))
+          .select(col("fp"), col("k.doc_id").as("keep_doc"),
+            col("k.idx").cast("long").as("keep_idx"), col("n_copies"))
+          .orderBy(col("keep_doc"), col("keep_idx"))
     }
   )
+
+  /** Blank-line paragraph segmentation — the canonical splitter for
+    * corpora with layout structure (reference pipelines split on `\n\n+`,
+    * normalize whitespace, drop empties). Returns (doc_id, idx, para)
+    * rows; compose with the qp10 fingerprint + min-survivor aggregate for
+    * paragraph dedup at that granularity. Pure column expressions —
+    * map-only until the caller's aggregate. */
+  def paragraphs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), posexplode(
+        expr(s"""filter(transform(split(`$textCol`, '\\\\n{2,}'),
+                |  p -> trim(regexp_replace(p, '\\\\s+', ' '))),
+                |  p -> p != '')""".stripMargin)))
+      .toDF("doc_id", "idx", "para")
 }

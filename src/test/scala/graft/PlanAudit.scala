@@ -88,6 +88,17 @@ object PlanAudit {
     check("qp9 benchmark gram set broadcasts (corpus side shuffle-free join)",
       qp9.contains("BroadcastHashJoin"))
 
+    // round-9 paragraph dedup: map + explode + ONE partial-aggregating
+    // shuffle — no join at all, no window exchange-and-sort per row
+    val qp10 = plan("qp10_paragraph_dedup")
+    check("qp10 has no join of any kind",
+      !qp10.contains("Join") && !qp10.contains("CartesianProduct"))
+    check("qp10 aggregates with map-side partials (no Window)",
+      // min(struct) plans as SortAggregate; what matters at 100 TB is the
+      // partial_min/partial_count BEFORE the exchange and no per-row
+      // Window exchange-and-sort
+      qp10.contains("partial_min") && !qp10.contains("Window"))
+
     s.stop()
     if (failed > 0) {
       println(s"$failed plan assertions FAILED"); sys.exit(1)

@@ -58,6 +58,51 @@ class DedupSpec extends SparkSuite {
     assert(ham(1L, 3L) < ham(1L, 4L))
   }
 
+  test("paragraphs() splits on blank lines, normalizes, drops empties, keeps order") {
+    val pdocs = Seq(
+      (1L, "first  para with   spaces\n\nsecond para\n\n\nthird para"),
+      (2L, "\n\nonly   one para\n\n"),
+      (3L, "second para") // cross-doc duplicate of doc 1's idx 1
+    ).toDF("doc_id", "text")
+    val got = DedupQueries.paragraphs(pdocs)
+      .as[(Long, Int, String)].collect().toSet
+    assert(got === Set(
+      (1L, 0, "first para with spaces"),
+      (1L, 1, "second para"),
+      (1L, 2, "third para"),
+      (2L, 0, "only one para"),
+      (3L, 0, "second para")))
+    // composed with the qp10 survivor aggregate: the duplicate paragraph
+    // keeps its lowest (doc_id, idx) and counts both copies
+    val surv = DedupQueries.paragraphs(pdocs)
+      .groupBy(md5($"para").as("fp"))
+      .agg(min(struct($"doc_id", $"idx")).as("k"), count(lit(1)).as("n"))
+      .select($"k.doc_id", $"k.idx", $"n")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(surv.contains((1L, 1, 2L))) // "second para" survives at doc 1
+    assert(surv.count(_._3 == 2L) === 1)
+  }
+
+  test("qp10 word-window chunking: boundaries, tail chunk, survivor choice") {
+    // 50 normalized words -> chunks of 24: idx 0 (24), idx 1 (24), idx 2 (2)
+    val words = (1 to 50).map(i => s"w$i").mkString(" ")
+    val cdocs = Seq((7L, words), (8L, words.toUpperCase)).toDF("doc_id", "text")
+    val chunks = cdocs
+      .withColumn("w",
+        split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " "))
+      .select($"doc_id", posexplode(expr(
+        """transform(sequence(0, (size(w) + 23) div 24 - 1),
+          |  i -> array_join(slice(w, i * 24 + 1, 24), ' '))""".stripMargin)))
+      .toDF("doc_id", "idx", "para")
+    val byDoc = chunks.as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byDoc(7L).size === 3)
+    assert(byDoc(7L)(0).split(" ").length === 24)
+    assert(byDoc(7L)(2) === "w49 w50") // tail chunk keeps the remainder
+    // case-normalization makes doc 8 chunk-identical to doc 7
+    assert(byDoc(8L) === byDoc(7L))
+  }
+
   test("qp1 exact dedup groups on sf data are disjoint and cover all docs") {
     val total = graft.Engine.table(spark, sf, "documents").count()
     val got = run("qp1_dedup_exact")
