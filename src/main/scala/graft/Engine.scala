@@ -14,8 +14,23 @@ import org.apache.spark.sql.types.DecimalType
   * operator in this library ever collects data to the driver.
   */
 object Engine {
-  def session(cores: Int = 32): SparkSession = {
-    val s = SparkSession.builder()
+  /** Fully-qualified class of Spark's in-box RocksDB state store. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** `rocksdbState = true` backs every stateful streaming operator
+    * (CEP/MATCH_RECOGNIZE keyed state, OVER windows, running aggs with
+    * TTL, dedup) with Spark's RocksDB state store instead of the default
+    * HDFS-backed in-memory map. At 100 TB key cardinality the in-memory
+    * provider is the scale risk — every key's state lives on the executor
+    * heap; RocksDB spills to local SSD with an in-heap block cache,
+    * bounding memory at any cardinality (the same role RocksDB plays as
+    * the reference's RocksDBStateBackend — flink-statebackend-rocksdb).
+    * The conf is also settable per-session at runtime:
+    * `spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    * Engine.RocksDbProvider)` before starting the query. */
+  def session(cores: Int = 32, rocksdbState: Boolean = false): SparkSession = {
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -25,7 +40,10 @@ object Engine {
       // default; read the raw int64 and convert in table() below.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = (if (rocksdbState)
+      b.config("spark.sql.streaming.stateStore.providerClass",
+        RocksDbProvider)
+    else b).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.{Engine, SparkSuite}
+
+/** Round-9 scale knob: the stateful streaming drivers must run unchanged
+  * under Spark's RocksDB state store (Engine.session(rocksdbState=true) /
+  * the per-session conf). At 100 TB key cardinality the default in-memory
+  * provider keeps every key's state on the executor heap; RocksDB spills
+  * to local disk with a block cache, bounding memory at any cardinality —
+  * the same role the reference's RocksDBStateBackend plays. The provider
+  * conf is read per QUERY at start, so flipping it at runtime on the
+  * shared session is safe and scoped to the queries started under it. */
+class RocksDbStateSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+
+  test("streaming CEP keyed state runs green under RocksDBStateStoreProvider") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val before = spark.conf.getOption(ProviderConf)
+    spark.conf.set(ProviderConf, Engine.RocksDbProvider)
+    try {
+      val input = MemoryStream[(Long, Long, String, Long)]
+      val sdf = input.toDF().toDF("event_id", "ts", "event_type", "user_id")
+      // the MATCH_RECOGNIZE surface: kryo-encoded GArrivalState-free flat
+      // path (ArrivalState), partials crossing micro-batches — the state
+      // shape every CEP driver persists
+      val q = MatchRecognize(sdf,
+        """PARTITION BY user_id
+          |ORDER BY ts
+          |MEASURES FIRST(E.event_id) AS e1, LAST(E.event_id) AS e2
+          |AFTER MATCH SKIP PAST LAST ROW
+          |PATTERN (E{2})
+          |DEFINE E AS event_type = 'error'""".stripMargin)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rocksdb_cep_out").start()
+      try {
+        input.addData((1L, 10L, "error", 1L))
+        q.processAllAvailable()
+        assert(spark.table("rocksdb_cep_out").count() === 0)
+        // the open partial crossed a micro-batch boundary through RocksDB
+        input.addData((2L, 20L, "error", 1L), (3L, 30L, "error", 2L))
+        q.processAllAvailable()
+        input.addData((4L, 40L, "error", 2L))
+        q.processAllAvailable()
+        assert(spark.table("rocksdb_cep_out").as[(Long, Long, Long)]
+          .collect().toSet === Set((1L, 1L, 2L), (2L, 3L, 4L)))
+        // prove the provider was actually RocksDB, not a silent fallback:
+        // its state-operator custom metrics are rocksdb-prefixed
+        val metrics = q.lastProgress.stateOperators.apply(0).customMetrics
+        assert(metrics.keySet().asScala.exists(_.startsWith("rocksdb")),
+          s"no rocksdb metrics in ${metrics.keySet()}")
+      } finally q.stop()
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(ProviderConf, v)
+        case None => spark.conf.unset(ProviderConf)
+      }
+    }
+  }
+
+  private implicit class JSetOps[T](s: java.util.Set[T]) {
+    def asScala: Iterable[T] = {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toIterable
+    }
+  }
+}
