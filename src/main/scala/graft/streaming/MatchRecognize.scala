@@ -37,13 +37,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *   PATTERN (A (B C){2} D ...)     -- quantifiers ? * + {n} {n,m} {n,}
   *                                  -- on variables AND parenthesized
   *                                  -- sub-groups; a flat sequence runs
-  *                                  -- the linear NFA, nested groups AND
+  *                                  -- the linear NFA; nested groups,
   *                                  -- alternation `A|B` / `(A B|C D)`
   *                                  -- (leftmost-preferred, quantifiable)
-  *                                  -- compile onto [[GroupCep]] (batch
-  *                                  -- AND streaming, incl. AFTER MATCH
-  *                                  -- SKIP); PERMUTE, anchors are
-  *                                  -- REJECTED with a clear error
+  *                                  -- and PERMUTE(e1, ..., en) (n <= 6;
+  *                                  -- expands to the alternation of all
+  *                                  -- orderings, SQL:2016) compile onto
+  *                                  -- [[GroupCep]] (batch AND streaming,
+  *                                  -- incl. AFTER MATCH SKIP); anchors
+  *                                  -- are REJECTED with a clear error
   *   [WITHIN INTERVAL 'n' SECOND|MINUTE|HOUR|DAY]
   *                                  -- requires a TimestampType ORDER BY
   *                                  -- column (wall-clock horizon); rejected
@@ -261,10 +263,11 @@ object MatchRecognize {
         case _ => None
       }
     }
-    def sequence(): Vector[PElem] = {
+    def sequence(stopComma: Boolean = false): Vector[PElem] = {
       val out = Vector.newBuilder[PElem]
       skipWs()
-      while (i < s.length && s(i) != ')' && s(i) != '|') {
+      while (i < s.length && s(i) != ')' && s(i) != '|' &&
+          !(stopComma && s(i) == ',')) {
         if (s(i) == '(') {
           i += 1
           val inner = alternation()
@@ -275,11 +278,41 @@ object MatchRecognize {
         } else if (s(i).isLetterOrDigit || s(i) == '_') {
           val start = i
           while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
-          out += PVar(s.substring(start, i), quant())
-        } else fail("PERMUTE/anchors/exclusions are not supported")
+          val word = s.substring(start, i)
+          val wsMark = i
+          skipWs()
+          if (word.equalsIgnoreCase("PERMUTE") && i < s.length &&
+              s(i) == '(') {
+            i += 1
+            out += permute()
+          } else {
+            i = wsMark // a variable named like the keyword stays a variable
+            out += PVar(word, quant())
+          }
+        } else fail("anchors/exclusions are not supported")
         skipWs()
       }
       out.result()
+    }
+    // PERMUTE(e1, e2, ...) — SQL:2016 expands to the alternation of every
+    // permutation, preference order = lexicographic on the listed order
+    // (Scala's .permutations yields exactly that for the original vector)
+    def permute(): PElem = {
+      val items = Vector.newBuilder[Vector[PElem]]
+      var more = true
+      while (more) {
+        val it = sequence(stopComma = true)
+        if (it.isEmpty) fail("empty PERMUTE element")
+        items += it
+        skipWs()
+        if (i < s.length && s(i) == ',') i += 1 else more = false
+      }
+      if (i >= s.length || s(i) != ')') fail("unbalanced PERMUTE(")
+      i += 1
+      val itemsV = items.result()
+      if (itemsV.size > 6) fail("PERMUTE arity above 6 (720 branches)")
+      if (itemsV.size == 1) PGrp(itemsV.head, quant())
+      else PAlt(itemsV.permutations.map(_.flatten).toVector, quant())
     }
     // alternation binds loosest (SQL:2016): A B | C D = (A B) | (C D)
     def alternation(): Vector[PElem] = {
@@ -419,9 +452,13 @@ object MatchRecognize {
     }
     val withinOrd: Option[Long] =
       if (streamingIn) withinMicros.map(_ / 1000) else withinMicros
-    val vars = leafNames(elems).toVector
-    require(vars.distinct.size == vars.size,
-      s"duplicate PATTERN variables: ${vars.mkString(", ")}")
+    val varsAll = leafNames(elems).toVector
+    val vars = varsAll.distinct
+    // alternation/PERMUTE legitimately repeat a variable across branches
+    // (the NFA gives each occurrence its own slot; captures merge by
+    // name); a FLAT sequence repeating a name is a typo, not a fork
+    if (!nested) require(varsAll.size == vars.size,
+      s"duplicate PATTERN variables: ${varsAll.mkString(", ")}")
     // PREV(col[, n]) in DEFINE: physical navigation over the partition's
     // input rows (SQL:2016; the V/W-pattern enabler "value < PREV(value)").
     // BATCH: precomputed as a lag() window over the SAME (partition,

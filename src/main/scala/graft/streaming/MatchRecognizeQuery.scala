@@ -187,6 +187,44 @@ object MatchRecognizeQuery extends QueryModule {
           |       E AS event_type = 'error',
           |       P AS event_type = 'purchase'""".stripMargin)
         .orderBy("user_id", "start_ts", "end_id")
+    },
+
+    q("qc18_match_recognize_permute",
+      // PERMUTE (round 9): click and error in EITHER order between a view
+      // and a purchase, all strictly adjacent — SQL:2016 expands
+      // PERMUTE(C, E) to (C E | E C), which the alternation machinery
+      // compiles directly. Oracle: four-way adjacent-position join with
+      // the order disjunction on the middle pair; c_id/e_id pick the
+      // click/error row whichever position it matched in.
+      """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT a.user_id AS user_id, a.ts AS start_ts,
+        |  CASE WHEN b.event_type = 'click' THEN b.event_id ELSE c.event_id
+        |    END AS c_id,
+        |  CASE WHEN b.event_type = 'error' THEN b.event_id ELSE c.event_id
+        |    END AS e_id,
+        |  d.event_id AS end_id
+        |FROM o a
+        |JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+        |JOIN o c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+        |JOIN o d ON d.user_id = a.user_id AND d.rn = a.rn + 3
+        |WHERE a.event_type = 'view' AND d.event_type = 'purchase'
+        |  AND ((b.event_type = 'click' AND c.event_type = 'error') OR
+        |       (b.event_type = 'error' AND c.event_type = 'click'))
+        |ORDER BY 1, 2, 5""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.ts AS start_ts, C.event_id AS c_id,
+          |  E.event_id AS e_id, P.event_id AS end_id
+          |PATTERN (V PERMUTE(C, E) P)
+          |DEFINE V AS event_type = 'view',
+          |       C AS event_type = 'click',
+          |       E AS event_type = 'error',
+          |       P AS event_type = 'purchase'""".stripMargin)
+        .orderBy("user_id", "start_ts", "end_id")
     }
   )
 }

@@ -95,19 +95,71 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(e.getMessage.contains("WITHIN requires a TimestampType"))
   }
 
-  test("PERMUTE / anchors / empty alternation branches are rejected, never misparsed") {
+  test("anchors / empty alternation branches / malformed PERMUTE are rejected, never misparsed") {
     def pat(p: String): String =
       s"""PARTITION BY user_id
          |ORDER BY ts
          |MEASURES A.event_id AS a_id
          |PATTERN ($p)
          |DEFINE A AS event_type = 'view'""".stripMargin
-    for (p <- Seq("PERMUTE(A, B)", "^A B$", "A |", "| A", "A || B")) {
+    for (p <- Seq("^A B$", "A |", "| A", "A || B", "PERMUTE(A, )",
+        "PERMUTE(A, B", "PERMUTE(A, B, C, D, E, F, G)")) {
       val e = intercept[IllegalArgumentException] {
         MatchRecognize(events, pat(p))
       }
-      assert(e.getMessage.contains("unsupported PATTERN syntax"), p)
+      // truncated input trips the outer paren-balance check instead of
+      // the grammar error — both are clean rejections
+      assert(e.getMessage.contains("unsupported PATTERN syntax") ||
+        e.getMessage.contains("unbalanced parentheses"), p)
     }
+  }
+
+  test("PERMUTE expands to the alternation of all orderings (round 9)") {
+    val df = Seq(
+      // user 1: view click error purchase — (C E) order
+      (1L, 10L, "view", 1L), (2L, 20L, "click", 1L),
+      (3L, 30L, "error", 1L), (4L, 40L, "purchase", 1L),
+      // user 2: view error click purchase — (E C) order
+      (10L, 10L, "view", 2L), (11L, 20L, "error", 2L),
+      (12L, 30L, "click", 2L), (13L, 40L, "purchase", 2L),
+      // user 3: view click click purchase — no match
+      (20L, 10L, "view", 3L), (21L, 20L, "click", 3L),
+      (22L, 30L, "click", 3L), (23L, 40L, "purchase", 3L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val got = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES V.event_id AS v_id, C.event_id AS c_id,
+        |  E.event_id AS e_id, P.event_id AS p_id
+        |PATTERN (V PERMUTE(C, E) P)
+        |DEFINE V AS event_type = 'view', C AS event_type = 'click',
+        |       E AS event_type = 'error', P AS event_type = 'purchase'""".stripMargin)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 2L, 3L, 4L), (2L, 10L, 12L, 11L, 13L)))
+
+    // a variable legitimately NAMED permute is still a variable
+    val named = MatchRecognize(Seq((1L, 10L, "view", 1L))
+        .toDF("event_id", "ts", "event_type", "user_id"),
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES PERMUTE.event_id AS p_id
+        |PATTERN (PERMUTE)
+        |DEFINE PERMUTE AS event_type = 'view'""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    assert(named === Seq((1L, 1L)))
+
+    // degenerate single-element PERMUTE is just a group
+    val single = MatchRecognize(Seq(
+      (1L, 10L, "view", 1L), (2L, 20L, "click", 1L))
+        .toDF("event_id", "ts", "event_type", "user_id"),
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES V.event_id AS v_id, C.event_id AS c_id
+        |PATTERN (V PERMUTE(C))
+        |DEFINE V AS event_type = 'view',
+        |       C AS event_type = 'click'""".stripMargin)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(single === Seq((1L, 1L, 2L)))
   }
 
   test("alternation (A|B) in PATTERN: batch, quantified, skip, streaming (round 9)") {
