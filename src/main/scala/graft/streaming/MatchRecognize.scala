@@ -44,13 +44,25 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *                                  -- expands to the alternation of all
   *                                  -- orderings, SQL:2016) compile onto
   *                                  -- [[GroupCep]] (batch AND streaming,
-  *                                  -- incl. AFTER MATCH SKIP); anchors
-  *                                  -- are REJECTED with a clear error
+  *                                  -- incl. AFTER MATCH SKIP);
+  *                                  -- {- X -} row-pattern exclusion
+  *                                  -- under ALL ROWS (rows match and
+  *                                  -- feed RUNNING measures but are not
+  *                                  -- output; name-keyed — a variable
+  *                                  -- both inside and outside rejects);
+  *                                  -- anchors are REJECTED with a clear
+  *                                  -- error
   *   [WITHIN INTERVAL 'n' SECOND|MINUTE|HOUR|DAY]
   *                                  -- requires a TimestampType ORDER BY
   *                                  -- column (wall-clock horizon); rejected
   *                                  -- against integral orderings, whose
   *                                  -- raw-unit scale is unknowable here
+  *   [SUBSET U = (A, B), ...]       -- SQL:2016 union variables: U in
+  *                                  -- MEASURES sees the union of its
+  *                                  -- members' rows in match order
+  *                                  -- (FIRST/LAST/COUNT/SUM/AVG/MIN/MAX
+  *                                  -- compose); DEFINE over a subset is
+  *                                  -- rejected (per-row predicates only)
   *   DEFINE A AS <boolean sql expr>, ...   -- undefined variables = TRUE;
   *                                  -- PREV(col[, n]) = physical row
   *                                  -- navigation (batch: lag over the
@@ -193,6 +205,8 @@ object MatchRecognize {
   private val ClassifierRe = """(?is)CLASSIFIER\s*\(\s*\)""".r
   private val SkipRe =
     """(?is)AFTER\s+MATCH\s+SKIP\s+(?:(PAST\s+LAST\s+ROW)|(TO\s+NEXT\s+ROW)|TO\s+FIRST\s+(\w+)|TO\s+LAST\s+(\w+))""".r
+  private val SubsetRe = """(?is)\bSUBSET\s+(.*?)\s*(?=\bDEFINE\b|\z)""".r
+  private val SubsetEntryRe = """(?s)\s*(\w+)\s*=\s*\(([^()]*)\)\s*""".r
   private val PatternStartRe = """(?is)PATTERN\s*\(""".r
   private val WithinRe =
     """(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)""".r
@@ -243,8 +257,19 @@ object MatchRecognize {
     clause.substring(m.end, i - 1)
   }
 
-  private def parsePattern(s: String): Vector[PElem] = {
+  /** Parsed pattern plus the variables inside `{- ... -}` exclusions
+    * (SQL:2016 ALL ROWS row-pattern exclusion: those rows match and feed
+    * measures, but are not OUTPUT). Name-keyed: a variable is excluded
+    * everywhere it appears — occurrence-level exclusion of a REUSED name
+    * is rejected rather than silently approximated. */
+  private final case class ParsedPattern(elems: Vector[PElem],
+      excludedOcc: Vector[String]) {
+    def excluded: Set[String] = excludedOcc.toSet
+  }
+
+  private def parsePattern(s: String): ParsedPattern = {
     var i = 0
+    val excludedB = Vector.newBuilder[String]
     def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
     def fail(what: String): Nothing = throw new IllegalArgumentException(
       s"unsupported PATTERN syntax ($what) at '${s.substring(i)}' in ($s)")
@@ -253,7 +278,7 @@ object MatchRecognize {
       if (i >= s.length) None
       else s(i) match {
         case '?' | '*' | '+' => val q = s(i).toString; i += 1; Some(q)
-        case '{' =>
+        case '{' if !s.startsWith("{-", i) =>
           val j = s.indexOf('}', i)
           if (j < 0) fail("unclosed quantifier")
           val q = s.substring(i, j + 1)
@@ -267,8 +292,22 @@ object MatchRecognize {
       val out = Vector.newBuilder[PElem]
       skipWs()
       while (i < s.length && s(i) != ')' && s(i) != '|' &&
-          !(stopComma && s(i) == ',')) {
-        if (s(i) == '(') {
+          !(stopComma && s(i) == ',') && !s.startsWith("-}", i)) {
+        if (s.startsWith("{-", i)) {
+          // {- elems -}: rows stay in the match, leave the ALL ROWS output
+          i += 2
+          val inner = sequence(stopComma)
+          if (!s.startsWith("-}", i)) fail("unclosed {- exclusion")
+          i += 2
+          if (inner.isEmpty) fail("empty exclusion")
+          def leaves(es: Vector[PElem]): Vector[String] = es.flatMap {
+            case PVar(n, _) => Vector(n)
+            case PGrp(in, _) => leaves(in)
+            case PAlt(bs, _) => bs.flatMap(leaves)
+          }
+          excludedB ++= leaves(inner)
+          out ++= inner
+        } else if (s(i) == '(') {
           i += 1
           val inner = alternation()
           if (i >= s.length || s(i) != ')') fail("unbalanced '('")
@@ -334,7 +373,7 @@ object MatchRecognize {
     }
     val r = alternation()
     if (i < s.length) fail("unparsed text remains")
-    r
+    ParsedPattern(r, excludedB.result())
   }
 
   /** Split on top-level commas (commas inside parens stay put). */
@@ -361,7 +400,9 @@ object MatchRecognize {
       .getOrElse(throw new IllegalArgumentException("ORDER BY required"))
     val (ordCol, tieCol) = (om.group(1), Option(om.group(2)))
     val patternText = patternBody(clause)
-    val elems = parsePattern(patternText)
+    val parsed = parsePattern(patternText)
+    val elems = parsed.elems
+    val excluded = parsed.excluded
     require(elems.nonEmpty, "PATTERN must name at least one variable")
     def leafNames(es: Seq[PElem]): Seq[String] = es.flatMap {
       case PVar(n, _) => Seq(n)
@@ -454,11 +495,47 @@ object MatchRecognize {
       if (streamingIn) withinMicros.map(_ / 1000) else withinMicros
     val varsAll = leafNames(elems).toVector
     val vars = varsAll.distinct
+    // exclusion is name-keyed: a variable appearing BOTH inside and
+    // outside {- -} would need occurrence-level tracking — reject rather
+    // than silently excluding the outside occurrences too
+    excluded.foreach { n =>
+      val total = varsAll.count(_ == n)
+      val inExcl = parsed.excludedOcc.count(_ == n)
+      require(inExcl == total, s"variable $n appears both inside and " +
+        "outside a {- -} exclusion; exclusion is per-variable")
+    }
     // alternation/PERMUTE legitimately repeat a variable across branches
     // (the NFA gives each occurrence its own slot; captures merge by
     // name); a FLAT sequence repeating a name is a typo, not a fork
     if (!nested) require(varsAll.size == vars.size,
       s"duplicate PATTERN variables: ${varsAll.mkString(", ")}")
+    // SQL:2016 SUBSET clause: union variables, usable in MEASURES (the
+    // subset's rows = the union of its members' captured rows in match
+    // order). DEFINE over a subset would need iterative conditions (our
+    // DEFINE predicates are per-row Catalyst columns) — rejected.
+    val subsets: Map[String, Vector[String]] =
+      SubsetRe.findFirstMatchIn(clause).map(_.group(1)) match {
+        case None => Map.empty
+        case Some(body) => splitTop(body).map {
+          case SubsetEntryRe(name, members) =>
+            val ms = members.split(",", -1).map(_.trim).toVector
+            require(ms.nonEmpty && ms.forall(_.nonEmpty),
+              s"SUBSET $name needs at least one member variable")
+            require(ms.distinct.size == ms.size,
+              s"SUBSET $name repeats a member")
+            name -> ms
+          case other => throw new IllegalArgumentException(
+            s"unsupported SUBSET entry (want name = (v1, v2, ...)): $other")
+        }.toMap
+      }
+    subsets.foreach { case (u, ms) =>
+      require(!vars.contains(u),
+        s"SUBSET $u collides with a PATTERN variable")
+      ms.foreach(m => require(vars.contains(m),
+        s"SUBSET $u references unknown PATTERN variable $m"))
+      require(!defines.contains(u),
+        s"SUBSET variable $u cannot be DEFINEd (per-row predicates only)")
+    }
     // PREV(col[, n]) in DEFINE: physical navigation over the partition's
     // input rows (SQL:2016; the V/W-pattern enabler "value < PREV(value)").
     // BATCH: precomputed as a lag() window over the SAME (partition,
@@ -612,12 +689,25 @@ object MatchRecognize {
     val allRows = AllRowsRe.findFirstMatchIn(clause).isDefined
     if (allRows) require(measures.nonEmpty,
       "ALL ROWS PER MATCH requires at least one measure")
+    // SQL:2016: row-pattern exclusion only affects ALL ROWS output (and
+    // Oracle/standard practice requires that mode when one is written)
+    if (excluded.nonEmpty) require(allRows,
+      "{- -} exclusions require ALL ROWS PER MATCH")
 
     // flatten a match to (variable, event) in match order — sort by the
     // precomputed (ord, tie) longs, stable across engines
     def flatten(groups: Map[String, Seq[Row]]): Seq[(String, Row)] =
       groups.toSeq.flatMap { case (n, evs) => evs.map(n -> _) }
         .sortBy { case (_, e) => (e.getLong(ordIdx), e.getLong(tieIdx)) }
+
+    // extend a capture map with each SUBSET's union rows (match order) so
+    // measures can reference the subset name like any variable
+    def withSubsets(g: Map[String, Seq[Row]]): Map[String, Seq[Row]] =
+      if (subsets.isEmpty) g
+      else g ++ subsets.map { case (u, ms) =>
+        u -> ms.flatMap(g.getOrElse(_, Seq.empty))
+          .sortBy(e => (e.getLong(ordIdx), e.getLong(tieIdx)))
+      }
 
     val outSchema = StructType(
       schema(keyIdx).copy(name = partCol) +: measures.map(_.field(schema)))
@@ -656,17 +746,22 @@ object MatchRecognize {
     val mkRow: (Row, Long, Map[String, Seq[Row]]) => Row =
       if (!allRows) { (k, mn, groups) =>
         val cls = flatten(groups).lastOption.map(_._1).orNull
-        Row.fromSeq(k.get(0) +: measures.map(_.eval(groups, schema, cls, mn)))
+        Row.fromSeq(k.get(0) +:
+          measures.map(_.eval(withSubsets(groups), schema, cls, mn)))
       } else { (k, mn, groups) =>
         // FINAL measures see the whole match and its final classifier;
         // RUNNING (default) measures see the prefix up to the row
         val finalCls = flatten(groups).lastOption.map(_._1).orNull
+        val gAll = withSubsets(groups)
         val prefix = scala.collection.mutable.Map.empty[String, Vector[Row]]
-        val rows = flatten(groups).map { case (n, e) =>
+        // excluded rows still advance the RUNNING prefix (they matched;
+        // SQL:2016 exclusion removes them from OUTPUT only)
+        val rows = flatten(groups).flatMap { case (n, e) =>
           prefix(n) = prefix.getOrElse(n, Vector.empty) :+ e
-          Row.fromSeq(measures.map(m =>
-            if (m.isFinal) m.eval(groups, schema, finalCls, mn)
-            else m.eval(prefix.toMap, schema, n, mn)))
+          if (excluded(n)) None
+          else Some(Row.fromSeq(measures.map(m =>
+            if (m.isFinal) m.eval(gAll, schema, finalCls, mn)
+            else m.eval(withSubsets(prefix.toMap), schema, n, mn))))
         }
         Row(k.get(0), rows)
       }

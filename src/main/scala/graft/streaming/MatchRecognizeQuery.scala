@@ -225,6 +225,67 @@ object MatchRecognizeQuery extends QueryModule {
           |       E AS event_type = 'error',
           |       P AS event_type = 'purchase'""".stripMargin)
         .orderBy("user_id", "start_ts", "end_id")
+    },
+
+    q("qc19_match_recognize_exclusion",
+      // {- -} row-pattern exclusion (round 9): every view pairs with its
+      // first subsequent error; ALL ROWS output emits the V and E rows
+      // but NOT the skip-run between them — which still matched and still
+      // feeds the RUNNING COUNT on the E row (SQL:2016 exclusion is
+      // output-only). Oracle: first-error pairing via MIN(rn), then a
+      // UNION of the two emitted row shapes.
+      """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |v AS (SELECT user_id, event_id AS v_id, rn AS vrn FROM o
+        |  WHERE event_type = 'view'),
+        |e AS (SELECT v.user_id, v.v_id, v.vrn, MIN(x.rn) AS ern
+        |  FROM v JOIN o x ON x.user_id = v.user_id AND x.rn > v.vrn
+        |    AND x.event_type = 'error'
+        |  GROUP BY v.user_id, v.v_id, v.vrn),
+        |m AS (SELECT e.user_id, e.v_id, e.vrn, e.ern, o.event_id AS e_id
+        |  FROM e JOIN o ON o.user_id = e.user_id AND o.rn = e.ern)
+        |SELECT user_id, 'V' AS who, CAST(0 AS BIGINT) AS ns, v_id,
+        |  CAST(NULL AS BIGINT) AS e_id FROM m
+        |UNION ALL
+        |SELECT user_id, 'E' AS who, ern - vrn - 1 AS ns, v_id, e_id FROM m
+        |ORDER BY user_id, v_id, who""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES CLASSIFIER() AS who, COUNT(S.*) AS ns,
+          |  V.event_id AS v_id, E.event_id AS e_id
+          |ALL ROWS PER MATCH
+          |PATTERN (V {- S* -} E)
+          |DEFINE V AS event_type = 'view', S AS event_type <> 'error',
+          |       E AS event_type = 'error'""".stripMargin)
+        .orderBy("user_id", "v_id", "who")
+    },
+
+    q("qc20_match_recognize_subset",
+      // SUBSET union variables (round 9): a view immediately followed by
+      // a click; U = (V, C) so measures over U span both rows — FIRST/
+      // LAST give the edge event ids, COUNT the union size, MIN the
+      // smaller id. Oracle: the strict-adjacency self-join (rn + 1).
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT v.user_id AS user_id, v.event_id AS first_id,
+        |  c.event_id AS last_id, CAST(2 AS BIGINT) AS nu,
+        |  LEAST(v.event_id, c.event_id) AS min_id
+        |FROM o v JOIN o c ON c.user_id = v.user_id AND c.rn = v.rn + 1
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |ORDER BY v.user_id, first_id""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES FIRST(U.event_id) AS first_id, LAST(U.event_id) AS last_id,
+          |  COUNT(U.*) AS nu, MIN(U.event_id) AS min_id
+          |PATTERN (V C)
+          |SUBSET U = (V, C)
+          |DEFINE V AS event_type = 'view', C AS event_type = 'click'""".stripMargin)
+        .orderBy("user_id", "first_id")
     }
   )
 }

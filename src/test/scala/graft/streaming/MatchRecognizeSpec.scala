@@ -162,6 +162,149 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(single === Seq((1L, 1L, 2L)))
   }
 
+  test("{- -} exclusion removes rows from ALL ROWS output but not from measures (round 9)") {
+    val df = Seq(
+      (1L, 10L, "view", 1L), (2L, 20L, "click", 1L), (3L, 30L, "click", 1L),
+      (4L, 40L, "error", 1L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val got = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES CLASSIFIER() AS who, COUNT(S.*) AS ns,
+        |  V.event_id AS v_id, E.event_id AS e_id
+        |ALL ROWS PER MATCH
+        |PATTERN (V {- S* -} E)
+        |DEFINE V AS event_type = 'view', S AS event_type <> 'error',
+        |       E AS event_type = 'error'""".stripMargin)
+      .select("who", "ns", "v_id", "e_id")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    // the two S rows matched (RUNNING COUNT sees them on the E row) but
+    // are not emitted; V row's running prefix has no S yet and no E
+    assert(got === Seq(
+      ("V", 0L, 1L, None),
+      ("E", 2L, 1L, Some(4L))))
+
+    // exclusion outside ALL ROWS is rejected
+    val ex1 = intercept[IllegalArgumentException] {
+      MatchRecognize(df,
+        """PARTITION BY user_id
+          |ORDER BY ts
+          |MEASURES V.event_id AS v_id
+          |PATTERN (V {- S* -} E)
+          |DEFINE V AS event_type = 'view', S AS event_type <> 'error',
+          |       E AS event_type = 'error'""".stripMargin)
+    }
+    assert(ex1.getMessage.contains("ALL ROWS"))
+    // a variable both inside and outside an exclusion is rejected (the
+    // name-keyed implementation cannot exclude one occurrence only)
+    val ex2 = intercept[IllegalArgumentException] {
+      MatchRecognize(df,
+        """PARTITION BY user_id
+          |ORDER BY ts
+          |MEASURES S.event_id AS s_id
+          |ALL ROWS PER MATCH
+          |PATTERN (S {- S -})
+          |DEFINE S AS event_type = 'click'""".stripMargin)
+    }
+    assert(ex2.getMessage.contains("exclusion"))
+    // unclosed exclusion never misparses
+    val ex3 = intercept[IllegalArgumentException] {
+      MatchRecognize(df,
+        """PARTITION BY user_id
+          |ORDER BY ts
+          |MEASURES V.event_id AS v_id
+          |ALL ROWS PER MATCH
+          |PATTERN (V {- S*)
+          |DEFINE V AS event_type = 'view'""".stripMargin)
+    }
+    assert(ex3.getMessage.contains("unsupported PATTERN syntax") ||
+      ex3.getMessage.contains("unbalanced"))
+  }
+
+  test("SUBSET union variables span their members' rows in MEASURES (round 9)") {
+    val df = Seq(
+      (1L, 10L, "view", 1L), (2L, 20L, "click", 1L),
+      (10L, 10L, "click", 2L), (11L, 20L, "view", 2L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val clause =
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES FIRST(U.event_id) AS first_id, LAST(U.event_id) AS last_id,
+        |  COUNT(U.*) AS nu, SUM(U.event_id) AS su
+        |%s
+        |PATTERN (V C)
+        |SUBSET U = (V, C)
+        |DEFINE V AS event_type = 'view', C AS event_type = 'click'""".stripMargin
+    // ONE ROW: U = union of V and C rows in match order
+    val one = MatchRecognize(df, clause.format(""))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(one === Set((1L, 1L, 2L, 2L, 3L)))
+    // ALL ROWS: RUNNING semantics walk the union prefix row by row
+    val all = MatchRecognize(df, clause.format("ALL ROWS PER MATCH"))
+      .select("nu", "su").as[(Long, Long)].collect().toSeq
+    assert(all === Seq((1L, 1L), (2L, 3L)))
+    // streaming twin: same clause over micro-batches
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Long, String, Long)]
+      val sdf = input.toDF().toDF("event_id", "ts", "event_type", "user_id")
+      val q = MatchRecognize(sdf, clause.format(""))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("mr_subset_out").start()
+      try {
+        input.addData((1L, 10L, "view", 1L))
+        q.processAllAvailable()
+        input.addData((2L, 20L, "click", 1L))
+        q.processAllAvailable()
+        assert(spark.table("mr_subset_out")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet ===
+          Set((1L, 1L, 2L, 2L, 3L)))
+      } finally q.stop()
+    }
+    // rejections: unknown member, collision with a pattern variable,
+    // DEFINE over a subset
+    def bad(sub: String, defs: String = ""): IllegalArgumentException =
+      intercept[IllegalArgumentException] {
+        MatchRecognize(df,
+          s"""PARTITION BY user_id
+             |ORDER BY ts
+             |MEASURES COUNT(U.*) AS nu
+             |PATTERN (V C)
+             |SUBSET $sub
+             |DEFINE V AS event_type = 'view', C AS event_type = 'click'$defs""".stripMargin)
+      }
+    assert(bad("U = (V, X)").getMessage.contains("unknown PATTERN variable"))
+    assert(bad("V = (C)").getMessage.contains("collides"))
+    assert(bad("U = (V, C)", ", U AS event_type = 'view'")
+      .getMessage.contains("cannot be DEFINEd"))
+  }
+
+  test("CLASSIFIER() names the matched alternation branch (ALL ROWS and ONE ROW)") {
+    val df = Seq(
+      (1L, 10L, "view", 1L), (2L, 20L, "error", 1L),
+      (10L, 10L, "view", 2L), (11L, 20L, "click", 2L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val clause =
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES CLASSIFIER() AS who, LAST(V.event_id) AS v_id
+        |%s
+        |PATTERN (V (C | E))
+        |DEFINE V AS event_type = 'view', C AS event_type = 'click',
+        |       E AS event_type = 'error'""".stripMargin
+    // ONE ROW: classifier of the match's LAST row = the branch taken
+    val one = MatchRecognize(df, clause.format(""))
+      .select("user_id", "who").as[(Long, String)].collect().toSet
+    assert(one === Set((1L, "E"), (2L, "C")))
+    // ALL ROWS: per-row classifier walks V then the branch variable
+    val all = MatchRecognize(df, clause.format("ALL ROWS PER MATCH"))
+      .select("user_id", "who").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(all(1L) === Seq("V", "E"))
+    assert(all(2L) === Seq("V", "C"))
+  }
+
   test("alternation (A|B) in PATTERN: batch, quantified, skip, streaming (round 9)") {
     val df = Seq(
       // user 1: view click purchase — left branch
