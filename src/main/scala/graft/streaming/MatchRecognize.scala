@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
-import org.apache.spark.sql.functions.{coalesce, col, expr, lit, unix_micros}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, row_number, unix_micros}
 import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
 
 /** MATCH_RECOGNIZE-style SQL entry point over the CEP library — beyond
@@ -50,8 +50,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *                                  -- feed RUNNING measures but are not
   *                                  -- output; name-keyed — a variable
   *                                  -- both inside and outside rejects);
-  *                                  -- anchors are REJECTED with a clear
-  *                                  -- error
+  *                                  -- ^/$ partition anchors at the
+  *                                  -- pattern boundaries (batch +
+  *                                  -- default skip only — post-filtered
+  *                                  -- on row_number boundary flags);
+  *                                  -- interior anchors REJECTED
   *   [WITHIN INTERVAL 'n' SECOND|MINUTE|HOUR|DAY]
   *                                  -- requires a TimestampType ORDER BY
   *                                  -- column (wall-clock horizon); rejected
@@ -328,7 +331,8 @@ object MatchRecognize {
             i = wsMark // a variable named like the keyword stays a variable
             out += PVar(word, quant())
           }
-        } else fail("anchors/exclusions are not supported")
+        } else fail("^/$ anchors are only supported at the pattern " +
+          "boundaries; no other symbols exist in this grammar")
         skipWs()
       }
       out.result()
@@ -400,7 +404,17 @@ object MatchRecognize {
       .getOrElse(throw new IllegalArgumentException("ORDER BY required"))
     val (ordCol, tieCol) = (om.group(1), Option(om.group(2)))
     val patternText = patternBody(clause)
-    val parsed = parsePattern(patternText)
+    // SQL:2016 partition anchors, boundary positions only: ^ pins the
+    // match's first row to the partition's first row, $ pins the last to
+    // the partition's last. Interior/nested anchors still fail in the
+    // grammar with a clear error.
+    var ptext = patternText.trim
+    val anchorStart = ptext.startsWith("^")
+    if (anchorStart) ptext = ptext.substring(1)
+    val anchorEnd = ptext.endsWith("$")
+    if (anchorEnd) ptext = ptext.substring(0, ptext.length - 1)
+    val anchored = anchorStart || anchorEnd
+    val parsed = parsePattern(ptext)
     val elems = parsed.elems
     val excluded = parsed.excluded
     require(elems.nonEmpty, "PATTERN must name at least one variable")
@@ -486,6 +500,19 @@ object MatchRecognize {
     // contract). Sub-millisecond ordering within one key falls back to
     // the tie column under streaming.
     val streamingIn = df.isStreaming
+    // Anchors are enforced by post-filtering candidate matches on the
+    // partition-boundary flags below. That is EXACT under the default
+    // all-starts skip (candidates are independent) but would mis-consume
+    // the skip queue under PAST LAST ROW / TO FIRST / TO LAST (an
+    // anchor-rejected candidate must not suppress overlapping ones), and
+    // partition boundaries are unknowable on an unbounded stream — both
+    // combinations reject rather than approximate.
+    if (anchored) {
+      require(!streamingIn, "^/$ anchors require batch input (partition " +
+        "boundaries are unknowable on an unbounded stream)")
+      require(skip == Cep.NoSkip, "^/$ anchors require the default " +
+        "AFTER MATCH SKIP TO NEXT ROW")
+    }
     def ordExpr(name: String): Column = df.schema(name).dataType match {
       case TimestampType =>
         if (streamingIn) expr(s"unix_millis(`$name`)") else unix_micros(col(name))
@@ -606,12 +633,25 @@ object MatchRecognize {
       }
       :+ partCol) ++ (if (streamingIn) Seq(ordCol) else Nil) ++
       prevNeeded).distinct
-    val prepared = df
+    val basePrepared = df
       .where(col(ordCol).isNotNull)
       .select(needed.map(col) ++
         Seq(ordExpr(ordCol).as("__mr_ord"),
           tieCol.map(ordExpr).getOrElse(lit(0L)).as("__mr_tie")) ++
         vars.map(v => predCol(v).as(s"__mr_$v")): _*)
+    // partition-boundary flags for anchors — row_number over the SAME
+    // (partition, ord, tie) the NFA sorts by; batch-only (rejected above
+    // for streams), so the window is plannable
+    val prepared = if (!anchored) basePrepared else {
+      import org.apache.spark.sql.expressions.Window
+      val wAsc = Window.partitionBy(col(partCol))
+        .orderBy(col("__mr_ord"), col("__mr_tie"))
+      val wDesc = Window.partitionBy(col(partCol))
+        .orderBy(col("__mr_ord").desc, col("__mr_tie").desc)
+      basePrepared
+        .withColumn("__mr_head", row_number().over(wAsc) === 1)
+        .withColumn("__mr_tail", row_number().over(wDesc) === 1)
+    }
     val schema = prepared.schema
     val keyIdx = schema.fieldIndex(partCol)
     val ordIdx = schema.fieldIndex("__mr_ord")
@@ -689,6 +729,9 @@ object MatchRecognize {
     val allRows = AllRowsRe.findFirstMatchIn(clause).isDefined
     if (allRows) require(measures.nonEmpty,
       "ALL ROWS PER MATCH requires at least one measure")
+    // the anchored ONE ROW path reshapes output rows as measure structs
+    if (anchored) require(measures.nonEmpty,
+      "^/$ anchors require at least one measure")
     // SQL:2016: row-pattern exclusion only affects ALL ROWS output (and
     // Oracle/standard practice requires that mode when one is written)
     if (excluded.nonEmpty) require(allRows,
@@ -709,6 +752,18 @@ object MatchRecognize {
           .sortBy(e => (e.getLong(ordIdx), e.getLong(tieIdx)))
       }
 
+    // anchor check on a candidate match: its first/last MATCHED row (even
+    // an excluded one — exclusion is output-only) must sit on the
+    // partition boundary
+    val headIdx = if (anchorStart) schema.fieldIndex("__mr_head") else -1
+    val tailIdx = if (anchorEnd) schema.fieldIndex("__mr_tail") else -1
+    def anchorOk(groups: Map[String, Seq[Row]]): Boolean = {
+      val fl = flatten(groups)
+      fl.nonEmpty &&
+        (!anchorStart || fl.head._2.getBoolean(headIdx)) &&
+        (!anchorEnd || fl.last._2.getBoolean(tailIdx))
+    }
+
     val outSchema = StructType(
       schema(keyIdx).copy(name = partCol) +: measures.map(_.field(schema)))
     val entryStruct = StructType(measures.map(_.field(schema)))
@@ -716,7 +771,10 @@ object MatchRecognize {
       StructField("__mr_rows",
         org.apache.spark.sql.types.ArrayType(entryStruct))))
     val keyEnc = Encoders.row(StructType(Seq(schema(keyIdx))))
-    val outEnc = Encoders.row(if (allRows) arrSchema else outSchema)
+    // anchored ONE ROW also routes through the array shape: an anchor-
+    // rejected candidate emits an empty array that explode() drops
+    val useArr = allRows || anchored
+    val outEnc = Encoders.row(if (useArr) arrSchema else outSchema)
     val keyFn = (r: Row) => Row(r.get(keyIdx))
     val ordFn = (r: Row) => r.getLong(ordIdx)
     val tieFn = (r: Row) => r.getLong(tieIdx)
@@ -746,24 +804,29 @@ object MatchRecognize {
     val mkRow: (Row, Long, Map[String, Seq[Row]]) => Row =
       if (!allRows) { (k, mn, groups) =>
         val cls = flatten(groups).lastOption.map(_._1).orNull
-        Row.fromSeq(k.get(0) +:
-          measures.map(_.eval(withSubsets(groups), schema, cls, mn)))
+        def vals = measures.map(_.eval(withSubsets(groups), schema, cls, mn))
+        if (!anchored) Row.fromSeq(k.get(0) +: vals)
+        else Row(k.get(0),
+          if (anchorOk(groups)) Seq(Row.fromSeq(vals)) else Nil)
       } else { (k, mn, groups) =>
-        // FINAL measures see the whole match and its final classifier;
-        // RUNNING (default) measures see the prefix up to the row
-        val finalCls = flatten(groups).lastOption.map(_._1).orNull
-        val gAll = withSubsets(groups)
-        val prefix = scala.collection.mutable.Map.empty[String, Vector[Row]]
-        // excluded rows still advance the RUNNING prefix (they matched;
-        // SQL:2016 exclusion removes them from OUTPUT only)
-        val rows = flatten(groups).flatMap { case (n, e) =>
-          prefix(n) = prefix.getOrElse(n, Vector.empty) :+ e
-          if (excluded(n)) None
-          else Some(Row.fromSeq(measures.map(m =>
-            if (m.isFinal) m.eval(gAll, schema, finalCls, mn)
-            else m.eval(withSubsets(prefix.toMap), schema, n, mn))))
+        if (anchored && !anchorOk(groups)) Row(k.get(0), Seq.empty)
+        else {
+          // FINAL measures see the whole match and its final classifier;
+          // RUNNING (default) measures see the prefix up to the row
+          val finalCls = flatten(groups).lastOption.map(_._1).orNull
+          val gAll = withSubsets(groups)
+          val prefix = scala.collection.mutable.Map.empty[String, Vector[Row]]
+          // excluded rows still advance the RUNNING prefix (they matched;
+          // SQL:2016 exclusion removes them from OUTPUT only)
+          val rows = flatten(groups).flatMap { case (n, e) =>
+            prefix(n) = prefix.getOrElse(n, Vector.empty) :+ e
+            if (excluded(n)) None
+            else Some(Row.fromSeq(measures.map(m =>
+              if (m.isFinal) m.eval(gAll, schema, finalCls, mn)
+              else m.eval(withSubsets(prefix.toMap), schema, n, mn))))
+          }
+          Row(k.get(0), rows)
         }
-        Row(k.get(0), rows)
       }
     val finish: (Row, Map[String, Seq[Row]]) => Row = (k, groups) =>
       mkRow(k, if (needsMatchNum) nextMatchNum(k) else 0L, groups)
@@ -775,7 +838,7 @@ object MatchRecognize {
     // stateless explode below flattens it (works identically on the
     // streaming output)
     val post: DataFrame => DataFrame =
-      if (!allRows) identity
+      if (!useArr) identity
       else d => d.select(col(partCol),
           org.apache.spark.sql.functions.explode(col("__mr_rows"))
             .as("__mr_r"))

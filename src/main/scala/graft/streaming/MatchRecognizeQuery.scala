@@ -286,6 +286,46 @@ object MatchRecognizeQuery extends QueryModule {
           |SUBSET U = (V, C)
           |DEFINE V AS event_type = 'view', C AS event_type = 'click'""".stripMargin)
         .orderBy("user_id", "first_id")
+    },
+
+    q("qc21_match_recognize_head_anchor",
+      // ^ start anchor (round 9): users whose FIRST two events are a view
+      // then a click, strict adjacency pinned to the partition head.
+      // Oracle: rn = 1 is a view and rn = 2 is a click.
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT v.user_id AS user_id, v.event_id AS v_id, c.event_id AS c_id
+        |FROM o v JOIN o c ON c.user_id = v.user_id AND c.rn = 2
+        |WHERE v.rn = 1 AND v.event_type = 'view' AND c.event_type = 'click'
+        |ORDER BY v.user_id""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS v_id, C.event_id AS c_id
+          |PATTERN (^ V C)
+          |DEFINE V AS event_type = 'view', C AS event_type = 'click'""".stripMargin)
+        .orderBy("user_id")
+    },
+
+    q("qc22_match_recognize_tail_anchor",
+      // $ end anchor (round 9): users whose LAST event is an error — every
+      // error row is a candidate under all-starts, the anchor keeps only
+      // the partition tail. Oracle: rn equals the partition row count.
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id, event_id AS e_id FROM o
+        |WHERE rn = n AND event_type = 'error'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES E.event_id AS e_id
+          |PATTERN (E $)
+          |DEFINE E AS event_type = 'error'""".stripMargin)
+        .orderBy("user_id")
     }
   )
 }

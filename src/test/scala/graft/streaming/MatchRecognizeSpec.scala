@@ -102,7 +102,10 @@ class MatchRecognizeSpec extends SparkSuite {
          |MEASURES A.event_id AS a_id
          |PATTERN ($p)
          |DEFINE A AS event_type = 'view'""".stripMargin
-    for (p <- Seq("^A B$", "A |", "| A", "A || B", "PERMUTE(A, )",
+    // boundary ^/$ anchors are supported since round 9; interior ones
+    // and nested-in-group anchors still reject
+    for (p <- Seq("A ^ B", "A $ B", "(^ A)", "(A $)", "A |", "| A",
+        "A || B", "PERMUTE(A, )",
         "PERMUTE(A, B", "PERMUTE(A, B, C, D, E, F, G)")) {
       val e = intercept[IllegalArgumentException] {
         MatchRecognize(events, pat(p))
@@ -278,6 +281,84 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(bad("V = (C)").getMessage.contains("collides"))
     assert(bad("U = (V, C)", ", U AS event_type = 'view'")
       .getMessage.contains("cannot be DEFINEd"))
+  }
+
+  test("^/$ partition anchors pin matches to the partition boundaries (round 9)") {
+    val df = Seq(
+      // user 1: view click ... error at the tail
+      (1L, 10L, "view", 1L), (2L, 20L, "click", 1L),
+      (3L, 30L, "click", 1L), (4L, 40L, "error", 1L),
+      // user 2: starts with a click — ^ V C cannot match; error NOT last
+      (10L, 10L, "click", 2L), (11L, 20L, "view", 2L),
+      (12L, 30L, "error", 2L), (13L, 40L, "click", 2L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    // ^ V C: the match must START at the partition's first row
+    val head = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES V.event_id AS v_id, C.event_id AS c_id
+        |PATTERN (^ V C)
+        |DEFINE V AS event_type = 'view', C AS event_type = 'click'""".stripMargin)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(head === Set((1L, 1L, 2L)))
+    // E $: the match must END at the partition's last row; every error
+    // row is a candidate (all-starts), only the tail one survives
+    val tail = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES E.event_id AS e_id
+        |PATTERN (E $)
+        |DEFINE E AS event_type = 'error'""".stripMargin)
+      .as[(Long, Long)].collect().toSet
+    assert(tail === Set((1L, 4L)))
+    // both anchors: the pattern must span the whole partition
+    val span = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES V.event_id AS v_id, COUNT(S.*) AS ns, E.event_id AS e_id
+        |PATTERN (^ V S* E $)
+        |DEFINE V AS event_type = 'view', S AS event_type = 'click',
+        |       E AS event_type = 'error'""".stripMargin)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(span === Set((1L, 1L, 2L, 4L)))
+    // non-default skip with anchors rejects (post-filtering would
+    // mis-consume the skip queue)
+    val ex1 = intercept[IllegalArgumentException] {
+      MatchRecognize(df,
+        """PARTITION BY user_id
+          |ORDER BY ts
+          |MEASURES E.event_id AS e_id
+          |AFTER MATCH SKIP PAST LAST ROW
+          |PATTERN (E $)
+          |DEFINE E AS event_type = 'error'""".stripMargin)
+    }
+    assert(ex1.getMessage.contains("SKIP TO NEXT ROW"))
+    // interior anchors reject with a clear error
+    val ex2 = intercept[IllegalArgumentException] {
+      MatchRecognize(df,
+        """PARTITION BY user_id
+          |ORDER BY ts
+          |MEASURES E.event_id AS e_id
+          |PATTERN (E ^ E)
+          |DEFINE E AS event_type = 'error'""".stripMargin)
+    }
+    assert(ex2.getMessage.contains("anchors"))
+    // streaming rejects (partition boundaries unknowable on a stream)
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Long, String, Long)]
+      val sdf = input.toDF().toDF("event_id", "ts", "event_type", "user_id")
+      val ex3 = intercept[IllegalArgumentException] {
+        MatchRecognize(sdf,
+          """PARTITION BY user_id
+            |ORDER BY ts
+            |MEASURES E.event_id AS e_id
+            |PATTERN (E $)
+            |DEFINE E AS event_type = 'error'""".stripMargin)
+      }
+      assert(ex3.getMessage.contains("batch"))
+    }
   }
 
   test("CLASSIFIER() names the matched alternation branch (ALL ROWS and ONE ROW)") {
