@@ -67,12 +67,20 @@ object Engine {
     purgeStopped()
     tableCache.computeIfAbsent((spark, dir, name), { _ =>
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      // With nanosAsLong the events.ts column arrives as int64 nanos;
-      // convert to TimestampType (µs) with integer division — the values
-      // are µs-precision, and double arithmetic would lose bits at 1e18.
-      df.schema.find(f => f.name == "ts" && f.dataType == types.LongType) match {
-        case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case None    => df
+      // Normalize events.ts to TimestampType regardless of how the driver
+      // generation wrote it. Seen in the wild across rounds:
+      //  - TIMESTAMP(NANOS): Spark 4 rejects it unless nanosAsLong, then
+      //    it arrives as int64 nanos → integer-divide to µs (double
+      //    arithmetic would lose bits at 1e18);
+      //  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+      //    TIMESTAMP_NTZ → cast reinterprets the wall-clock fields in the
+      //    session zone (pinned UTC above), preserving the epoch micros.
+      df.schema.find(_.name == "ts").map(_.dataType) match {
+        case Some(types.LongType) =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case Some(types.TimestampNTZType) =>
+          df.withColumn("ts", col("ts").cast(types.TimestampType))
+        case _ => df
       }
     })
   }
