@@ -474,6 +474,45 @@ object ScalarQueries extends QueryModule {
         .selectExpr(
           "graft_kmv_union(ska, skb) AS union_est",
           "graft_kmv_jaccard(ska, skb) AS jaccard_est")
+    },
+
+    // Count-Min FREQUENCY sketch (graft_cms): one 4 KiB counter-matrix
+    // sketch over all of lineitem, point-estimated for a fixed key list
+    // (incl. an absent key — CMS answers those too, with the collision
+    // overestimate the w=512 bound predicts). Counters are sums, so the
+    // sketch is order-independent and the oracle can restate the exact
+    // Carter-Wegman bucket arithmetic in SQL: est(k) = min over hash rows
+    // of the total count landing in k's bucket. Bit-exact.
+    q("qs14_cms_freq",
+      """WITH f AS (SELECT l_partkey AS v, COUNT(*) AS c FROM lineitem
+        |    WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |ks AS (SELECT * FROM (VALUES (3), (57), (400), (1234), (999999)) t(k)),
+        |hp AS (SELECT * FROM (VALUES (0, 1103515245, 12345), (1, 1299709, 7919),
+        |    (2, 104729, 271), (3, 97, 31)) t(j, a, b)),
+        |est AS (
+        |  SELECT ks.k, hp.j, COALESCE(SUM(f.c), 0) AS e
+        |  FROM ks CROSS JOIN hp LEFT JOIN f
+        |    ON ((CAST(hp.a AS BIGINT)
+        |          * (((f.v % 2147483647) + 2147483647) % 2147483647)
+        |          + hp.b) % 2147483647) % 512
+        |     = ((CAST(hp.a AS BIGINT)
+        |          * (((CAST(ks.k AS BIGINT) % 2147483647) + 2147483647)
+        |             % 2147483647)
+        |          + hp.b) % 2147483647) % 512
+        |  GROUP BY 1, 2)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(MIN(e) AS BIGINT) AS est
+        |FROM est GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+      graft.functions.Udafs.register(s)
+      val sk = t(s, d, "lineitem").agg(expr("graft_cms(l_partkey)").as("sk"))
+      val ks = s.createDataFrame(
+        java.util.Arrays.asList(Seq(3L, 57L, 400L, 1234L, 999999L)
+          .map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      ks.crossJoin(broadcast(sk))
+        .selectExpr("k", "graft_cms_est(sk, k) AS est")
+        .orderBy("k")
     }
   )
 }

@@ -365,6 +365,76 @@ object Udafs {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** Count-Min sketch geometry: d independent hash rows of w counters.
+    * w=512 bounds the overestimate by ~2n/w (n = stream length); d=4
+    * drives the failure probability to e^-4. 4 KiB of longs per sketch —
+    * the same footprint class as [[HllAgg]]. */
+  val CmsW = 512
+  val CmsD = 4
+  // pairwise-independent family h_j(x) = ((a_j*x + b_j) mod p) mod w over
+  // the Mersenne prime p = 2^31-1 (Carter-Wegman). The coefficients are
+  // plain integer literals so the oracle can restate the family in SQL.
+  private val CmsP = 2147483647L
+  private val CmsA = Array(1103515245L, 1299709L, 104729L, 97L)
+  private val CmsB = Array(12345L, 7919L, 271L, 31L)
+
+  /** Bucket of value `x` in hash row `j` — pure long arithmetic (both
+    * factors < p < 2^31, so a_j * (x mod p) cannot overflow a long),
+    * restatable verbatim in any SQL engine for cross-checking. */
+  def cmsPos(x: Long, j: Int): Int = {
+    val xm = ((x % CmsP) + CmsP) % CmsP
+    (((CmsA(j) * xm + CmsB(j)) % CmsP) % CmsW).toInt
+  }
+
+  /** Mergeable Count-Min FREQUENCY sketch over longs — the fourth seat in
+    * the 100 TB sketch family (distinct = [[HllAgg]]/[[KmvAgg]], quantile
+    * = [[KllAgg]], frequency = this; Cormode-Muthukrishnan 2005). The
+    * accumulator is the d×w counter matrix flattened row-major; update
+    * increments one counter per hash row, merge is ELEMENTWISE SUM —
+    * counters are plain sums, so the sketch is commutative, associative,
+    * and ORDER-INDEPENDENT (bit-identical under any aggregation tree,
+    * unlike SpaceSaving/Misra-Gries heavy-hitter summaries whose evictions
+    * depend on arrival order — that is why this seat is CMS). Point
+    * estimate = min over the d counters ([[cmsEst]]); always an
+    * overestimate, error ≤ 2n/w with probability 1 - e^-d. At 100 TB:
+    * each executor sketches its partitions locally, 4 KiB partials merge
+    * through the partial-agg tree, and frequency questions ("how often
+    * does this token/URL/domain appear?") answer without a re-scan. */
+  class CmsAgg extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](CmsW * CmsD)
+    def reduce(buf: Array[Long], x: java.lang.Long): Array[Long] = {
+      if (x != null) {
+        var j = 0
+        while (j < CmsD) { buf(j * CmsW + cmsPos(x, j)) += 1L; j += 1 }
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** CMS point estimate: min over the d hash rows' counters for `key`.
+    * Operates on an already-aggregated 4 KiB sketch value (the same
+    * finisher posture as the KMV set algebra above). */
+  def cmsEst(sk: Array[Long], key: Long): Long = {
+    var best = Long.MaxValue
+    var j = 0
+    while (j < CmsD) {
+      val c = sk(j * CmsW + cmsPos(key, j))
+      if (c < best) best = c
+      j += 1
+    }
+    best
+  }
+
   /** Register as SQL-callable UDAFs (TableEnvironment.registerFunction
     * equivalent). Idempotent per session — repeated calls (one per query
     * in Bench/Verify) would otherwise log a `replaced a previously
@@ -391,5 +461,9 @@ object Udafs {
       (a: Seq[Long], b: Seq[Long]) => kmvJaccard(a.toArray, b.toArray))
     spark.udf.register("graft_kll",
       udaf(new KllAgg, Encoders.product[KllIn]))
+    spark.udf.register("graft_cms",
+      udaf(new CmsAgg, Encoders.LONG))
+    spark.udf.register("graft_cms_est",
+      (sk: Seq[Long], key: Long) => cmsEst(sk.toArray, key))
   }
 }

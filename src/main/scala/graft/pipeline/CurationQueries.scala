@@ -122,6 +122,57 @@ object CurationQueries extends QueryModule {
         .agg(countDistinct(col("g")).as("n_hits"))
         .selectExpr("doc_id", "n_hits", "n_hits >= 2 AS contaminated")
         .orderBy("doc_id")
+    },
+
+    // Deterministic stratified sampling — the data-mixing primitive: each
+    // language keeps a different fraction (downsample the dominant 'en' to
+    // 5%, keep half of everything else), decided per row by an md5-prefix
+    // threshold. Membership is a pure function of doc_id, so the sample is
+    // reproducible across runs/engines/cluster sizes, re-runnable
+    // incrementally (a new shard samples itself), and exactly restatable
+    // in any engine with md5 — no RNG state, no seed plumbing. Map-only:
+    // the filter is a codegen'd column expression, zero shuffles at any
+    // scale. Thresholds compare 4 hex chars lexicographically: P(h <
+    // '0ccc') = 3276/65536 ≈ 5.00%, P(h < '8000') = 50%.
+    q("qp11_stratified_sample",
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |    < (CASE WHEN lang = 'en' THEN '0ccc' ELSE '8000' END)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("h", substring(
+          md5(concat(lit("strat|"), col("doc_id").cast("string"))), 1, 4))
+        .where(col("h") <
+          when(col("lang") === "en", lit("0ccc")).otherwise(lit("8000")))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic per-stratum reservoir: the k smallest md5 hashes per
+    // language — a uniform k-sample whose membership is a pure function of
+    // the data (the bottom-k-by-hash construction graft_kll/graft_kmv use,
+    // applied per group). Window row_number here (one shuffle+sort); at
+    // 100 TB the same sample falls out of a partial-aggregating bottom-k
+    // (merge = union-and-trim through the agg tree) or a qp11-style hash
+    // pre-filter at rate ~2k/n before the window — both documented in
+    // ENGINE.md; the semantics (and this oracle) are identical.
+    q("qp12_reservoir_sample",
+      """WITH h AS (SELECT doc_id, lang,
+        |    md5('rsv|' || CAST(doc_id AS VARCHAR)) AS hv FROM documents),
+        |r AS (SELECT lang, doc_id, hv,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+        |  FROM h)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+        |FROM r WHERE rk <= 8 ORDER BY lang, rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "documents")
+        .withColumn("hv",
+          md5(concat(lit("rsv|"), col("doc_id").cast("string"))))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("hv"), col("doc_id"))))
+        .where(col("rk") <= 8)
+        .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
     }
   )
 }

@@ -185,6 +185,33 @@ object EmbeddingQueries extends QueryModule {
           sum(expr(normExpr("embedding")).cast(graft.Det.DEC))
             .cast("double").as("sum_sq_norm"))
         .orderBy(col("label"))
+    },
+
+    // Per-label centroid (the k-means M-step / class-prototype primitive):
+    // mean of each embedding dimension per label. Scale shape: posexplode
+    // fans each vector to (label, dim) rows, ONE partial-aggregated
+    // groupBy computes all label×dim means — map-side combine reduces
+    // each partition to ≤ labels×dims rows before the shuffle, so 100 TB
+    // of vectors move only sketch-sized partials. Bit-exactness: floats
+    // sum in fixed-point (floor(v·1e6) as BIGINT — float→double is exact,
+    // double·1e6 and floor are single IEEE ops identical in both
+    // engines), sidestepping order-dependent float addition; the mean
+    // divides once at the end in a fixed expression order.
+    q("qe6_label_centroids",
+      """SELECT label, CAST(idx AS BIGINT) AS dim,
+        |  (CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))
+        |      AS DOUBLE) / 1000000.0) / COUNT(*) AS mean_v
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |        generate_subscripts(embedding, 1) AS idx
+        |      FROM embeddings)
+        |GROUP BY label, idx ORDER BY label, dim""".stripMargin) { (s, d) =>
+      t(s, d, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+        .agg((sum(floor(col("v").cast("double") * 1000000.0).cast("long"))
+          .cast("double") / 1000000.0 / count(lit(1))).as("mean_v"))
+        .orderBy(col("label"), col("dim"))
     }
   )
 }

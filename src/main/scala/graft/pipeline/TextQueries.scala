@@ -229,6 +229,60 @@ object TextQueries extends QueryModule {
         .selectExpr("doc_id", "n_words", "word_rep", "bigram_rep",
           "word_rep > 0.6 OR bigram_rep > 0.2 AS low_quality")
         .orderBy("doc_id")
+    },
+
+    // PII detect + redact — the scrub pass every training corpus runs
+    // before the tokenizer: emails, phone numbers, and IPv4 addresses are
+    // counted (regexp_extract_all) and masked (chained regexp_replace,
+    // email first so the later numeric patterns never see its digits).
+    // Map-only column expressions, zero shuffles at any scale; the
+    // patterns stay in the Java∩RE2 regex subset (char classes, bounded
+    // repeats, \b) so both engines match identically. The synthetic
+    // corpus carries no PII, so the contact text is CONSTRUCTED from the
+    // customer table by the same SQL in both engines — the operator under
+    // test is the scrubber, not the generator.
+    q("qt8_pii_redaction",
+      """WITH raw AS (SELECT c_custkey,
+        |    'Contact ' || c_name || ' <user' || CAST(c_custkey AS VARCHAR)
+        |      || '@example.com> phone +1-555-'
+        |      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.' || CAST(c_custkey % 256 AS VARCHAR)
+        |      || '.0.' || CAST(c_custkey % 100 AS VARCHAR) AS txt
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(txt,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(txt,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(txt,
+        |      '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(txt,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
+        |FROM raw ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      t(s, d, "customer")
+        .withColumn("txt", concat(
+          lit("Contact "), col("c_name"), lit(" <user"),
+          col("c_custkey").cast("string"),
+          lit("@example.com> phone +1-555-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), (col("c_custkey") % 256).cast("string"),
+          lit(".0."), (col("c_custkey") % 100).cast("string")))
+        .select(col("c_custkey"),
+          regexp_replace(regexp_replace(regexp_replace(col("txt"),
+            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("redacted"),
+          size(regexp_extract_all(col("txt"), lit(email), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("txt"), lit(phone), lit(0)))
+            .cast("long").as("n_phone"),
+          size(regexp_extract_all(col("txt"), lit(ip), lit(0)))
+            .cast("long").as("n_ip"))
+        .orderBy(col("c_custkey"))
     }
   )
 }
