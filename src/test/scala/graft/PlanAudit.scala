@@ -99,6 +99,29 @@ object PlanAudit {
       // Window exchange-and-sort
       qp10.contains("partial_min") && !qp10.contains("Window"))
 
+    // round-9 sampling/scrub additions: the map-only claims. The single
+    // rangepartitioning Exchange each plan keeps is the presentation
+    // ORDER BY; the operators themselves must add no hash shuffle, no
+    // join, no window.
+    for (name <- Seq("qp11_stratified_sample", "qt8_pii_redaction")) {
+      val p = plan(name)
+      check(s"$name is map-only (no join/window/hash shuffle)",
+        !p.contains("Join") && !p.contains("Window") &&
+          !p.contains("Exchange hashpartitioning"))
+    }
+    // centroids: ONE partial-aggregated shuffle (map-side combine before
+    // the exchange), no window
+    val qe6 = plan("qe6_label_centroids")
+    check("qe6 aggregates with map-side partials, no Window",
+      qe6.contains("partial_sum") && !qe6.contains("Window"))
+    check("qe6 exactly one hash shuffle",
+      qe6.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+    // CMS estimate: the one-row sketch side broadcasts to the key list
+    val qs14 = plan("qs14_cms_freq")
+    check("qs14 sketch side broadcasts (1-row side, BNLJ acceptable)",
+      qs14.contains("BroadcastNestedLoopJoin") ||
+        qs14.contains("BroadcastHashJoin"))
+
     s.stop()
     if (failed > 0) {
       println(s"$failed plan assertions FAILED"); sys.exit(1)

@@ -145,6 +145,40 @@ class UdafSpec extends SparkSuite {
     assert(math.abs(med - n / 2.0) / n < 0.4, s"median estimate $med")
   }
 
+  test("CMS sketch: partition-count invariance and overestimate guarantee") {
+    Udafs.register(spark)
+    val n = 20000
+    val base = spark.range(n).selectExpr("id % 997 AS v")
+    // counters are sums -> the sketch is bit-identical under any
+    // aggregation tree (the property SpaceSaving-style summaries lack)
+    val sketches = Seq(1, 8, 29).map { p =>
+      base.repartition(p).agg(expr("graft_cms(v)")).as[Seq[Long]].head()
+    }
+    assert(sketches(0) == sketches(1) && sketches(1) == sketches(2))
+    assert(sketches.head.sum == n.toLong * Udafs.CmsD) // every row counted d times
+    // point estimates never underestimate; absent keys only overestimate
+    val sk = sketches.head.toArray
+    val exact = (0L until n).groupBy(_ % 997).view.mapValues(_.size.toLong)
+    Seq(0L, 13L, 499L, 996L).foreach { k =>
+      assert(Udafs.cmsEst(sk, k) >= exact(k), s"key $k underestimated")
+    }
+    assert(Udafs.cmsEst(sk, 123456789L) >= 0L)
+    // negative keys hash into range (floorMod), no exception
+    assert(Udafs.cmsEst(sk, -5L) >= 0L)
+  }
+
+  test("CMS sketches merge: elementwise sum equals the sketch of the union") {
+    val agg = new Udafs.CmsAgg()
+    var s1 = agg.zero
+    var s2 = agg.zero
+    var sBoth = agg.zero
+    (0L until 3000L).foreach { i => s1 = agg.reduce(s1, i % 37) }
+    (0L until 2000L).foreach { i => s2 = agg.reduce(s2, i % 53) }
+    (0L until 3000L).foreach { i => sBoth = agg.reduce(sBoth, i % 37) }
+    (0L until 2000L).foreach { i => sBoth = agg.reduce(sBoth, i % 53) }
+    assert(agg.merge(s1.clone, s2).toSeq == sBoth.toSeq)
+  }
+
   test("KLL-seat sketches merge: union-and-trim equals the sketch of the union") {
     val agg = new Udafs.KllAgg()
     var s1 = agg.zero

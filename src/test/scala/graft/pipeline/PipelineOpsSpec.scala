@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import graft.{Engine, SparkSuite}
+import org.apache.spark.sql.functions._
+
+/** Round-9 pipeline additions: deterministic sampling (qp11/qp12), PII
+  * redaction (qt8), label centroids (qe6). The sampling specs recompute
+  * the EXACT expected membership on the driver (md5 is a pure function of
+  * doc_id), so there is no statistical tolerance anywhere.
+  */
+class PipelineOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private lazy val docs: Seq[(Long, String)] =
+    Engine.table(spark, sf, "documents")
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSeq
+
+  test("qp11 stratified sample membership is exactly the md5-threshold set") {
+    val expected = docs.collect {
+      case (id, lang) if md5hex(s"strat|$id").substring(0, 4) <
+        (if (lang == "en") "0ccc" else "8000") => id
+    }.sorted
+    val got = run("qp11_stratified_sample").select($"doc_id")
+      .as[Long].collect().toSeq
+    assert(got == expected)
+    // the dominant stratum actually downsampled vs the others
+    val rateEn = got.count(id => docs.toMap.apply(id) == "en").toDouble /
+      docs.count(_._2 == "en")
+    val rateDe = got.count(id => docs.toMap.apply(id) == "de").toDouble /
+      docs.count(_._2 == "de")
+    assert(rateEn < rateDe)
+  }
+
+  test("qp12 reservoir keeps exactly the k smallest hashes per stratum") {
+    val expected = docs.groupBy(_._2).flatMap { case (lang, ds) =>
+      ds.map { case (id, _) => (lang, md5hex(s"rsv|$id"), id) }
+        .sortBy(t => (t._2, t._3)).take(8)
+        .zipWithIndex.map { case ((l, _, id), i) => (l, (i + 1).toLong, id) }
+    }.toSeq.sorted
+    val got = run("qp12_reservoir_sample")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(got == expected)
+    assert(got.size == 5 * 8) // every sf0.001 stratum has >= 8 docs
+  }
+
+  test("qt8 masks every constructed email/phone/ip and counts one of each") {
+    val rows = run("qt8_pii_redaction")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.length ==
+      Engine.table(spark, sf, "customer").count())
+    rows.foreach { case (k, red, ne, np, ni) =>
+      assert(ne == 1 && np == 1 && ni == 1, s"counts for $k")
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>")
+        && red.contains("<IP>"), s"masks for $k")
+      assert(!red.contains("@"), s"unredacted email for $k")
+      // non-PII digits (the customer name) survive; the PII shapes go
+      assert(!red.contains("+1-555-"), s"unredacted phone for $k")
+      assert(!red.contains(" 10."), s"unredacted ip for $k")
+    }
+  }
+
+  test("qe6 centroids equal a direct fixed-point mean per (label, dim)") {
+    val vecs = Engine.table(spark, sf, "embeddings")
+      .select($"label", $"embedding").as[(Int, Array[Float])]
+      .collect().toSeq
+    val got = run("qe6_label_centroids")
+      .as[(Int, Long, Double)].collect()
+      .map { case (l, d, m) => (l, d) -> m }.toMap
+    val dims = vecs.head._2.length
+    assert(got.size == vecs.map(_._1).distinct.size * dims)
+    for (label <- Seq(0, 4, 9); dim <- Seq(1, dims / 2, dims)) {
+      val vs = vecs.filter(_._1 == label).map(_._2(dim - 1))
+      val exp = vs.map(v => math.floor(v.toDouble * 1e6).toLong).sum
+        .toDouble / 1e6 / vs.size
+      assert(math.abs(got((label, dim.toLong)) - exp) < 1e-12,
+        s"label $label dim $dim")
+    }
+  }
+}
