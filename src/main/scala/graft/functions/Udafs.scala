@@ -421,6 +421,38 @@ object Udafs {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** String-keyed CMS: tokens/URLs/domains hash through the same md5
+    * 60-bit prefix as the KMV/KLL sketches ([[hash60]] — bit-replicable
+    * in SQL as the hex-nibble positional sum the qs10/qs11 oracles use),
+    * then land in the long family's buckets. One sketch answers "how
+    * often does this token appear in the corpus?" at 100 TB without the
+    * full token groupBy. */
+  class CmsStrAgg extends Aggregator[String, Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](CmsW * CmsD)
+    def reduce(buf: Array[Long], s: String): Array[Long] = {
+      if (s != null) {
+        val x = hash60(s)
+        var j = 0
+        while (j < CmsD) { buf(j * CmsW + cmsPos(x, j)) += 1L; j += 1 }
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** [[cmsEst]] for a string key (the [[CmsStrAgg]] hash path). */
+  def cmsEstStr(sk: Array[Long], key: String): Long =
+    cmsEst(sk, hash60(key))
+
   /** CMS point estimate: min over the d hash rows' counters for `key`.
     * Operates on an already-aggregated 4 KiB sketch value (the same
     * finisher posture as the KMV set algebra above). */
@@ -465,5 +497,9 @@ object Udafs {
       udaf(new CmsAgg, Encoders.LONG))
     spark.udf.register("graft_cms_est",
       (sk: Seq[Long], key: Long) => cmsEst(sk.toArray, key))
+    spark.udf.register("graft_cms_str",
+      udaf(new CmsStrAgg, Encoders.STRING))
+    spark.udf.register("graft_cms_est_str",
+      (sk: Seq[Long], key: String) => cmsEstStr(sk.toArray, key))
   }
 }

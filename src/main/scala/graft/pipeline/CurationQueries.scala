@@ -136,7 +136,7 @@ object CurationQueries extends QueryModule {
     // '0ccc') = 3276/65536 ≈ 5.00%, P(h < '8000') = 50%.
     q("qp11_stratified_sample",
       """SELECT doc_id, lang, source FROM documents
-        |WHERE substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |WHERE substr(md5('strat|' || CAST(doc_id AS STRING)), 1, 4)
         |    < (CASE WHEN lang = 'en' THEN '0ccc' ELSE '8000' END)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       t(s, d, "documents")
@@ -158,7 +158,7 @@ object CurationQueries extends QueryModule {
     // ENGINE.md; the semantics (and this oracle) are identical.
     q("qp12_reservoir_sample",
       """WITH h AS (SELECT doc_id, lang,
-        |    md5('rsv|' || CAST(doc_id AS VARCHAR)) AS hv FROM documents),
+        |    md5('rsv|' || CAST(doc_id AS STRING)) AS hv FROM documents),
         |r AS (SELECT lang, doc_id, hv,
         |    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
         |  FROM h)

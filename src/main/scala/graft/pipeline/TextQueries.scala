@@ -283,6 +283,56 @@ object TextQueries extends QueryModule {
           size(regexp_extract_all(col("txt"), lit(ip), lit(0)))
             .cast("long").as("n_ip"))
         .orderBy(col("c_custkey"))
+    },
+
+    // Corpus token frequency via the string-keyed Count-Min sketch
+    // (graft_cms_str): ONE 4 KiB sketch over every token answers "how
+    // often does word X appear?" for any later key — at 100 TB this
+    // replaces the full token groupBy (qt6's exact path) with a partial-
+    // agg of constant-size partials; tokens hash through the md5 60-bit
+    // prefix the KMV/KLL sketches use, so the oracle restates hashing AND
+    // bucket arithmetic exactly (hex-nibble sum -> Carter-Wegman bucket).
+    // Bit-exact, including the absent key's zero.
+    q("qt9_token_freq_cms", {
+      val hv = (e: String) =>
+        s"""list_aggregate(list_transform(generate_series(1, 15), i ->
+           |      CAST(strpos('0123456789abcdef',
+           |          substr(md5($e), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+           |        * (CAST(1 AS BIGINT)
+           |           << CAST((15 - i) * 4 AS INTEGER))), 'sum')""".stripMargin
+      val bucket = (h: String) =>
+        s"((CAST(hp.a AS BIGINT) * ($h % 2147483647) + hp.b) % 2147483647) % 512"
+      s"""WITH tok AS (SELECT
+         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |  FROM documents),
+         |f AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+         |fh AS (SELECT w, c, ${hv("w")} AS h FROM f),
+         |ks AS (SELECT * FROM (VALUES ('the'), ('spark'), ('table'),
+         |    ('zzz_absent')) t(k)),
+         |kh AS (SELECT k, ${hv("k")} AS h FROM ks),
+         |hp AS (SELECT * FROM (VALUES (0, 1103515245, 12345),
+         |    (1, 1299709, 7919), (2, 104729, 271), (3, 97, 31)) t(j, a, b)),
+         |est AS (SELECT kh.k, hp.j, COALESCE(SUM(fh.c), 0) AS e
+         |  FROM kh CROSS JOIN hp LEFT JOIN fh
+         |    ON ${bucket("fh.h")} = ${bucket("kh.h")}
+         |  GROUP BY 1, 2)
+         |SELECT k, CAST(MIN(e) AS BIGINT) AS est
+         |FROM est GROUP BY k ORDER BY k""".stripMargin
+    }) { (s, d) =>
+      graft.functions.Udafs.register(s)
+      val sk = t(s, d, "documents")
+        .select(explode(expr("filter(split(text, ' '), x -> x <> '')"))
+          .as("w"))
+        .agg(expr("graft_cms_str(w)").as("sk"))
+      val ks = s.createDataFrame(
+        java.util.Arrays.asList(Seq("the", "spark", "table", "zzz_absent")
+          .map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      ks.crossJoin(broadcast(sk))
+        .selectExpr("k", "graft_cms_est_str(sk, k) AS est")
+        .orderBy("k")
     }
   )
 }

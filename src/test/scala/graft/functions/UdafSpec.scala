@@ -167,6 +167,19 @@ class UdafSpec extends SparkSuite {
     assert(Udafs.cmsEst(sk, -5L) >= 0L)
   }
 
+  test("string-keyed CMS estimates exact token counts on a tiny vocabulary") {
+    Udafs.register(spark)
+    // 5 distinct tokens in 2048 buckets: collision-free, estimates exact
+    val words = Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
+      Seq.fill(9)("gamma") ++ Seq("delta", "epsilon")
+    val sk = words.toDF("w").repartition(7)
+      .agg(expr("graft_cms_str(w)")).as[Seq[Long]].head().toArray
+    assert(Udafs.cmsEstStr(sk, "alpha") == 40L)
+    assert(Udafs.cmsEstStr(sk, "beta") == 25L)
+    assert(Udafs.cmsEstStr(sk, "gamma") == 9L)
+    assert(Udafs.cmsEstStr(sk, "missing") == 0L)
+  }
+
   test("CMS sketches merge: elementwise sum equals the sketch of the union") {
     val agg = new Udafs.CmsAgg()
     var s1 = agg.zero
