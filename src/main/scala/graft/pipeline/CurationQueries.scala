@@ -173,6 +173,77 @@ object CurationQueries extends QueryModule {
         .where(col("rk") <= 8)
         .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
         .orderBy(col("lang"), col("rk"))
+    },
+
+    // Token-budget data mixing — WATER-FILLING allocation: given a global
+    // token budget (90% of the corpus here), give every source an equal
+    // share except that no source can contribute more than it has; the
+    // surplus of small sources redistributes to the rest. Closed form
+    // over sources sorted by availability: the knee is the first rank i
+    // where pfx(i-1) + (n-i+1)·a_i covers the budget, the common cap is
+    // c = (B - pfx(knee-1)) / (n-knee+1); alloc = min(a, c), rate =
+    // alloc/a. Scale shape: per-source token counts partial-aggregate
+    // off the corpus scan (the only corpus-sized stage); everything
+    // after runs on one row per SOURCE — the unpartitioned windows are
+    // over that tiny table, not the corpus. Bit-exact: prefix sums and
+    // the knee test are exact integers; c and the rates are single IEEE
+    // divisions with fixed operand order.
+    q("qp13_token_budget",
+      """WITH avail AS (SELECT source,
+        |    SUM(CAST(len(list_filter(string_split(text, ' '),
+        |        x -> x <> '')) AS BIGINT)) AS toks
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS total, COUNT(*) AS n
+        |  FROM avail),
+        |r AS (SELECT a.source, a.toks,
+        |    row_number() OVER (ORDER BY a.toks, a.source) AS i,
+        |    SUM(a.toks) OVER (ORDER BY a.toks, a.source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pfx,
+        |    t.total, t.n
+        |  FROM avail a CROSS JOIN tot t),
+        |knee AS (SELECT MIN(i) AS ki FROM r
+        |  WHERE COALESCE(pfx, 0) + (n - i + 1) * toks
+        |      >= CAST(floor(total * 0.9) AS BIGINT)),
+        |cap AS (SELECT (CAST(floor(r.total * 0.9) AS BIGINT)
+        |      - COALESCE(r.pfx, 0)) / CAST(r.n - r.i + 1 AS DOUBLE) AS c
+        |  FROM r JOIN knee ON r.i = knee.ki)
+        |SELECT r.source, CAST(r.toks AS BIGINT) AS avail_tokens,
+        |  CASE WHEN CAST(r.toks AS DOUBLE) <= cap.c
+        |       THEN CAST(r.toks AS DOUBLE) ELSE cap.c END AS alloc_tokens,
+        |  CASE WHEN CAST(r.toks AS DOUBLE) <= cap.c
+        |       THEN 1.0 ELSE cap.c / r.toks END AS keep_rate
+        |FROM r CROSS JOIN cap ORDER BY r.source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, d, "documents")
+        .select(col("source"), expr(
+          "CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)")
+          .as("tk"))
+        .groupBy(col("source")).agg(sum(col("tk")).as("toks"))
+      val tot = toks.agg(sum(col("toks")).cast("long").as("total"),
+        count(lit(1)).as("n"))
+      // unpartitioned window over the per-source table (rows = sources,
+      // not corpus rows) — single-partition by construction, documented
+      val w = Window.orderBy(col("toks"), col("source"))
+      val r = toks.crossJoin(broadcast(tot))
+        .withColumn("i", row_number().over(w))
+        .withColumn("pfx", sum(col("toks"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("budget", floor(col("total") * 0.9).cast("long"))
+      val knee = r
+        .where(coalesce(col("pfx"), lit(0L))
+          + (col("n") - col("i") + 1) * col("toks") >= col("budget"))
+        .agg(min(col("i")).as("ki"))
+      val cap = r.join(broadcast(knee), col("i") === col("ki"))
+        .select(((col("budget") - coalesce(col("pfx"), lit(0L)))
+          / (col("n") - col("i") + 1).cast("double")).as("c"))
+      r.crossJoin(broadcast(cap))
+        .select(col("source"), col("toks").as("avail_tokens"),
+          when(col("toks").cast("double") <= col("c"),
+            col("toks").cast("double")).otherwise(col("c"))
+            .as("alloc_tokens"),
+          when(col("toks").cast("double") <= col("c"), lit(1.0))
+            .otherwise(col("c") / col("toks")).as("keep_rate"))
+        .orderBy(col("source"))
     }
   )
 }

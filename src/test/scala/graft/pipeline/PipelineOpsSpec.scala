@@ -63,6 +63,30 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("qp13 water-filling: budget exhausted, caps respected, one knee") {
+    val rows = run("qp13_token_budget")
+      .as[(String, Long, Double, Double)].collect()
+    val total = rows.map(_._2).sum
+    val budget = math.floor(total * 0.9)
+    // the allocation spends exactly the budget (sum of caps + full takes)
+    assert(math.abs(rows.map(_._3).sum - budget) < 1e-6)
+    rows.foreach { case (src, avail, alloc, rate) =>
+      assert(alloc <= avail + 1e-9, s"$src over-allocated")
+      assert(rate > 0.0 && rate <= 1.0, s"$src rate $rate")
+      // rate is consistent with the allocation
+      assert(math.abs(alloc - rate * avail) < 1e-6, s"$src alloc/rate")
+    }
+    // capped sources share ONE common cap; uncapped keep everything
+    val caps = rows.filter(_._4 < 1.0).map(_._3).distinct
+    assert(caps.length <= 1, s"multiple cap values: ${caps.toSeq}")
+    // water-filling dominance: a source with more tokens never gets a
+    // smaller allocation
+    rows.sortBy(_._2).map(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b + 1e-9)
+      case _ => ()
+    }
+  }
+
   test("qe6 centroids equal a direct fixed-point mean per (label, dim)") {
     val vecs = Engine.table(spark, sf, "embeddings")
       .select($"label", $"embedding").as[(Int, Array[Float])]
