@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
-import org.apache.spark.sql.functions.{coalesce, col, expr, lit, row_number, unix_micros}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, max, min, struct, unix_micros}
 import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
 
 /** MATCH_RECOGNIZE-style SQL entry point over the CEP library — beyond
@@ -642,15 +642,20 @@ object MatchRecognize {
     // partition-boundary flags for anchors — row_number over the SAME
     // (partition, ord, tie) the NFA sorts by; batch-only (rejected above
     // for streams), so the window is plannable
+    // One unordered window computes BOTH boundary structs (min and max of
+    // (ord, tie) per partition): a single WindowExec with one exchange
+    // and a partition-key-only sort, where asc+desc row_number windows
+    // would each demand a full (ord, tie) sort. Rows EQUAL to the
+    // boundary struct are boundary rows — on an exact (ord, tie) tie at
+    // the edge every tied row counts as first/last, which is the only
+    // deterministic reading (row_number would crown one arbitrarily).
     val prepared = if (!anchored) basePrepared else {
       import org.apache.spark.sql.expressions.Window
-      val wAsc = Window.partitionBy(col(partCol))
-        .orderBy(col("__mr_ord"), col("__mr_tie"))
-      val wDesc = Window.partitionBy(col(partCol))
-        .orderBy(col("__mr_ord").desc, col("__mr_tie").desc)
+      val w = Window.partitionBy(col(partCol))
+      val ordTie = struct(col("__mr_ord"), col("__mr_tie"))
       basePrepared
-        .withColumn("__mr_head", row_number().over(wAsc) === 1)
-        .withColumn("__mr_tail", row_number().over(wDesc) === 1)
+        .withColumn("__mr_head", ordTie === min(ordTie).over(w))
+        .withColumn("__mr_tail", ordTie === max(ordTie).over(w))
     }
     val schema = prepared.schema
     val keyIdx = schema.fieldIndex(partCol)
