@@ -333,6 +333,61 @@ object TextQueries extends QueryModule {
       ks.crossJoin(broadcast(sk))
         .selectExpr("k", "graft_cms_est_str(sk, k) AS est")
         .orderBy("k")
+    },
+
+    // TF-IDF top terms per document — the classic relevance/keyword
+    // primitive: tf = term count / doc length, idf = ln(N / doc-freq),
+    // top 3 terms per doc by score. Scale shape: ONE tokenize pass feeds
+    // three partial-aggregated groupBys (term counts, doc lengths,
+    // document frequencies — cached, the posture you'd persist at
+    // 100 TB); the scoring joins are term-/doc-keyed equi-joins (AQE
+    // broadcasts the small sides at test scale, shuffles at corpus
+    // scale), and the per-doc top-3 is a doc-partitioned window over the
+    // already-reduced (doc, term) table. Determinism: ln rounds to 6
+    // decimals before use (the qs2 cross-engine precedent), ties break
+    // on the term string.
+    q("qt10_tfidf_top_terms",
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS len
+        |  FROM tf GROUP BY 1),
+        |df AS (SELECT w, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nd FROM dl),
+        |s AS (SELECT tf.doc_id, tf.w,
+        |    round((CAST(tf.c AS DOUBLE) / dl.len)
+        |      * round(ln(CAST(n.nd AS DOUBLE) / df.dfreq), 6), 6) AS score
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (w) CROSS JOIN n),
+        |r AS (SELECT doc_id, w, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, w) AS rk
+        |  FROM s)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, w AS term, score
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .cache() // one tokenize pass feeds all three aggregates
+      val dl = tf.groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("len"))
+      val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
+      val n = dl.agg(count(lit(1)).as("nd"))
+      val scored = tf.join(dl, "doc_id").join(dfq, "w")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("w"),
+          round((col("c").cast("double") / col("len"))
+            * round(log(col("nd").cast("double") / col("dfreq")), 6), 6)
+            .as("score"))
+      scored
+        .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("w"))))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"),
+          col("w").as("term"), col("score"))
+        .orderBy(col("doc_id"), col("rk"))
     }
   )
 }

@@ -87,6 +87,39 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("qt10 tf-idf: 3 descending-scored terms per doc, top-1 matches Scala") {
+    val rows = run("qt10_tfidf_top_terms")
+      .as[(Long, Long, String, Double)].collect()
+    val byDoc = rows.groupBy(_._1)
+    byDoc.values.foreach { ts =>
+      assert(ts.length == 3)
+      val ordered = ts.sortBy(_._2)
+      assert(ordered.map(_._4).sliding(2).forall {
+        case Array(a, b) => a >= b; case _ => true
+      })
+    }
+    // recompute one document's scores directly
+    val texts = Engine.table(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val allTf: Map[Long, Map[String, Int]] = texts.view.mapValues(
+      _.split(" ").filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, a) => w -> a.length }).toMap
+    val nd = allTf.size.toDouble
+    val dfreq = allTf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, o) => w -> o.size }
+    val doc = allTf.keys.min
+    val len = allTf(doc).values.sum.toDouble
+    val expTop = allTf(doc).toSeq.map { case (w, c) =>
+      val idf = BigDecimal(math.log(nd / dfreq(w)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val score = BigDecimal(c / len * idf)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (w, score)
+    }.sortBy { case (w, sc) => (-sc, w) }.head
+    val gotTop = rows.filter(r => r._1 == doc && r._2 == 1L).head
+    assert((gotTop._3, gotTop._4) == expTop)
+  }
+
   test("qe6 centroids equal a direct fixed-point mean per (label, dim)") {
     val vecs = Engine.table(spark, sf, "embeddings")
       .select($"label", $"embedding").as[(Int, Array[Float])]
