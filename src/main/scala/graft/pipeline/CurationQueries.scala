@@ -244,6 +244,62 @@ object CurationQueries extends QueryModule {
           when(col("toks").cast("double") <= col("c"), lit(1.0))
             .otherwise(col("c") / col("toks")).as("keep_rate"))
         .orderBy(col("source"))
+    },
+
+    // Sketch-driven outlier clipping — the two-pass curation move at
+    // 100 TB: pass 1 reduces the corpus to ONE deterministic quantile
+    // sample (graft_kll over doc token lengths, 512 B), the p5/p95
+    // thresholds read off the sample; pass 2 filters the corpus against
+    // the broadcast thresholds and rolls up survivors per language.
+    // Neither pass shuffles more than partial aggregates; the corpus is
+    // never sorted. Bit-exact: the sample is a pure function of the
+    // data (bottom-64 by md5 hash — the qs11 machinery), thresholds are
+    // exact sample members, and the filter compares integral doubles.
+    q("qp14_length_clip",
+      """WITH lens AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |        x -> x <> '')) AS DOUBLE) AS lv
+        |  FROM documents),
+        |h AS (SELECT lang, lv,
+        |    list_aggregate(list_transform(generate_series(1, 15), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)),
+        |            CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+        |        * (CAST(1 AS BIGINT) << CAST((15 - i) * 4 AS INTEGER))),
+        |      'sum') AS hv
+        |  FROM lens),
+        |d AS (SELECT hv, MIN(lv) AS v FROM h GROUP BY 1),
+        |r AS (SELECT v, row_number() OVER (ORDER BY hv) AS rn FROM d),
+        |s AS (SELECT v FROM r WHERE rn <= 64),
+        |o AS (SELECT v, row_number() OVER (ORDER BY v) AS vr,
+        |    COUNT(*) OVER () AS n FROM s),
+        |th AS (SELECT
+        |    MAX(CASE WHEN vr = CAST(ceil(0.05 * n) AS BIGINT) THEN v END)
+        |      AS lo,
+        |    MAX(CASE WHEN vr = CAST(ceil(0.95 * n) AS BIGINT) THEN v END)
+        |      AS hi
+        |  FROM o)
+        |SELECT lang, COUNT(*) AS n_kept,
+        |  CAST(SUM(CAST(lv AS BIGINT)) AS BIGINT) AS tokens_kept
+        |FROM lens CROSS JOIN th
+        |WHERE lv >= th.lo AND lv <= th.hi
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      graft.functions.Udafs.register(s)
+      val lens = t(s, d, "documents")
+        .selectExpr("doc_id", "lang",
+          "CAST(size(filter(split(text, ' '), x -> x <> '')) AS DOUBLE) AS lv")
+      val th = lens
+        .selectExpr("CAST(doc_id AS STRING) AS id", "lv")
+        .agg(expr("graft_kll(id, lv)").as("sample"))
+        .selectExpr(
+          "element_at(sample, int(ceil(0.05 * size(sample)))) AS lo",
+          "element_at(sample, int(ceil(0.95 * size(sample)))) AS hi")
+      lens.crossJoin(broadcast(th))
+        .where(col("lv") >= col("lo") && col("lv") <= col("hi"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("lv").cast("long")).as("tokens_kept"))
+        .orderBy(col("lang"))
     }
   )
 }

@@ -120,6 +120,28 @@ class PipelineOpsSpec extends SparkSuite {
     assert((gotTop._3, gotTop._4) == expTop)
   }
 
+  test("qp14 length clip equals a driver-side KLL sample + filter") {
+    val lens = Engine.table(spark, sf, "documents")
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)]
+      .collect().toSeq
+      .map { case (id, lang, text) =>
+        (id, lang, text.split(" ").count(_.nonEmpty).toDouble) }
+    val agg = new graft.functions.Udafs.KllAgg()
+    var buf = agg.zero
+    lens.foreach { case (id, _, lv) =>
+      buf = agg.reduce(buf, graft.functions.Udafs.KllIn(id.toString, lv)) }
+    val sample = agg.finish(buf)
+    val lo = sample(math.ceil(0.05 * sample.length).toInt - 1)
+    val hi = sample(math.ceil(0.95 * sample.length).toInt - 1)
+    val expected = lens.filter(t => t._3 >= lo && t._3 <= hi)
+      .groupBy(_._2).view.mapValues(ds =>
+        (ds.size.toLong, ds.map(_._3.toLong).sum)).toMap
+    val got = run("qp14_length_clip").as[(String, Long, Long)].collect()
+      .map { case (l, n, tk) => l -> (n, tk) }.toMap
+    assert(got == expected)
+    assert(lo < hi) // the clip window is non-degenerate on this corpus
+  }
+
   test("qe6 centroids equal a direct fixed-point mean per (label, dim)") {
     val vecs = Engine.table(spark, sf, "embeddings")
       .select($"label", $"embedding").as[(Int, Array[Float])]
