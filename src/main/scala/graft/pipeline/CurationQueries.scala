@@ -140,10 +140,8 @@ object CurationQueries extends QueryModule {
         |    < (CASE WHEN lang = 'en' THEN '0ccc' ELSE '8000' END)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       t(s, d, "documents")
-        .withColumn("h", substring(
-          md5(concat(lit("strat|"), col("doc_id").cast("string"))), 1, 4))
-        .where(col("h") <
-          when(col("lang") === "en", lit("0ccc")).otherwise(lit("8000")))
+        .where(SamplingOps.stratifiedKeep(col("doc_id"), col("lang"),
+          Map("en" -> "0ccc"), default = "8000"))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     },

@@ -1,0 +1,40 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling primitives (the qp11/qp12 machinery as a
+  * reusable surface). Membership is a pure function of the row's id —
+  * no RNG state, no seed plumbing — so samples reproduce across runs,
+  * engines, and cluster sizes, and a new shard samples itself without
+  * coordination. All helpers are plain codegen'd column expressions:
+  * STATELESS, so they apply unchanged to batch DataFrames and streaming
+  * sources (proven by StreamingPipelineSpec).
+  */
+object SamplingOps {
+
+  /** 4-hex-digit md5 prefix of `salt || id` — uniform over 65536 values;
+    * compare lexicographically against a threshold ('199a' ≈ 10%). */
+  def hashBucket(id: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), id.cast("string"))), 1, 4)
+
+  /** Per-stratum keep filter: rows pass when their hash bucket falls
+    * under the stratum's threshold (4 lowercase hex digits; fraction ≈
+    * threshold/65536). Unlisted strata use `default`. */
+  def stratifiedKeep(id: Column, stratum: Column,
+      thresholds: Map[String, String], default: String,
+      salt: String = "strat|"): Column = {
+    val th = thresholds.foldLeft(lit(default)) { case (acc, (k, v)) =>
+      when(stratum === k, lit(v)).otherwise(acc)
+    }
+    hashBucket(id, salt) < th
+  }
+
+  /** Uniform keep filter at `permil`/1000 — the unstratified special
+    * case (hex threshold precomputed from the rate). */
+  def uniformKeep(id: Column, permil: Int, salt: String = "samp|"): Column = {
+    require(permil >= 0 && permil <= 1000, s"permil out of range: $permil")
+    val th = f"${(permil * 65536) / 1000}%04x"
+    hashBucket(id, salt) < lit(th)
+  }
+}

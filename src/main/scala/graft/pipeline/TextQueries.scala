@@ -10,6 +10,24 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries extends QueryModule {
 
+  /** PII patterns in the Java∩RE2 regex subset (char classes, bounded
+    * repeats, \b) so Spark and RE2-based engines match identically. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhone = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+  val PiiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Mask emails, then phones, then IPv4 (email first so the later
+    * numeric patterns never see its digits). Stateless column
+    * expression — applies unchanged to streaming sources. */
+  def scrubPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      PiiEmail, "<EMAIL>"), PiiPhone, "<PHONE>"), PiiIp, "<IP>")
+
+  /** Occurrences of `pattern` in `c` (whole-match count). */
+  def piiCount(c: org.apache.spark.sql.Column,
+      pattern: String): org.apache.spark.sql.Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
   private val Stopwords = Seq("the", "a", "of", "and", "in")
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -262,9 +280,6 @@ object TextQueries extends QueryModule {
         |  CAST(len(regexp_extract_all(txt,
         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
         |FROM raw ORDER BY c_custkey""".stripMargin) { (s, d) =>
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phone = "\\+\\d{1,2}-\\d{3}-\\d{4}"
-      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
       t(s, d, "customer")
         .withColumn("txt", concat(
           lit("Contact "), col("c_name"), lit(" <user"),
@@ -274,14 +289,10 @@ object TextQueries extends QueryModule {
           lit(" from 10."), (col("c_custkey") % 256).cast("string"),
           lit(".0."), (col("c_custkey") % 100).cast("string")))
         .select(col("c_custkey"),
-          regexp_replace(regexp_replace(regexp_replace(col("txt"),
-            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("redacted"),
-          size(regexp_extract_all(col("txt"), lit(email), lit(0)))
-            .cast("long").as("n_email"),
-          size(regexp_extract_all(col("txt"), lit(phone), lit(0)))
-            .cast("long").as("n_phone"),
-          size(regexp_extract_all(col("txt"), lit(ip), lit(0)))
-            .cast("long").as("n_ip"))
+          scrubPii(col("txt")).as("redacted"),
+          piiCount(col("txt"), PiiEmail).as("n_email"),
+          piiCount(col("txt"), PiiPhone).as("n_phone"),
+          piiCount(col("txt"), PiiIp).as("n_ip"))
         .orderBy(col("c_custkey"))
     },
 

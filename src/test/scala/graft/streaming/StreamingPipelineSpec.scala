@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.pipeline.{SamplingOps, TextQueries}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The curation primitives (deterministic sampling, PII scrub) are
+  * stateless column expressions, so the SAME code runs on a streaming
+  * source — a corpus can be sampled/scrubbed on ingest instead of in a
+  * batch rewrite pass. These specs pin that: results over micro-batched
+  * input equal the batch application on the union of the batches.
+  */
+class StreamingPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = (0L until 200L).map(i =>
+    (i, if (i % 3 == 0) "en" else "de",
+      s"doc $i reach me at u$i@mail.example or +1-555-${1000 + i}"))
+
+  test("stratified sampling filter runs on a stream; batches == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val keep = SamplingOps.stratifiedKeep(col("_1"), col("_2"),
+      Map("en" -> "199a"), default = "8000")
+    val q = input.toDF().where(keep).select($"_1")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("strat_stream").start()
+    try {
+      input.addData(docs.take(80): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(80): _*)
+      q.processAllAvailable()
+      val got = spark.table("strat_stream").as[Long].collect().sorted
+      val expected = docs.toDF("_1", "_2", "_3").where(keep)
+        .select($"_1").as[Long].collect().sorted
+      assert(got.toSeq == expected.toSeq && expected.nonEmpty)
+      // both strata sampled, en thinner than de (10% vs 50%)
+      val langOf = docs.map(d => d._1 -> d._2).toMap
+      val enRate = got.count(langOf(_) == "en").toDouble /
+        docs.count(_._2 == "en")
+      val deRate = got.count(langOf(_) == "de").toDouble /
+        docs.count(_._2 == "de")
+      assert(enRate < deRate)
+    } finally q.stop()
+  }
+
+  test("PII scrub runs on a stream; every batch row is masked") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = input.toDF()
+      .select($"_1", TextQueries.scrubPii($"_3").as("red"),
+        TextQueries.piiCount($"_3", TextQueries.PiiEmail).as("ne"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scrub_stream").start()
+    try {
+      input.addData(docs.take(50): _*)
+      q.processAllAvailable()
+      input.addData(docs.slice(50, 100): _*)
+      q.processAllAvailable()
+      val rows = spark.table("scrub_stream")
+        .as[(Long, String, Long)].collect()
+      assert(rows.length == 100)
+      rows.foreach { case (id, red, ne) =>
+        assert(ne == 1L && !red.contains("@") && red.contains("<EMAIL>")
+          && red.contains("<PHONE>"), s"row $id: $red")
+      }
+    } finally q.stop()
+  }
+}
