@@ -467,6 +467,52 @@ object Udafs {
     best
   }
 
+  /** Deterministic per-group RESERVOIR as a partial aggregate — the
+    * 100 TB path for qp12's bottom-k-by-hash sample: each partition
+    * keeps its k smallest (md5(salt||id), id) pairs, partials merge by
+    * sorted union-and-trim through ANY aggregation tree (commutative,
+    * associative, idempotent — the KMV/KLL construction carrying the id
+    * as payload), so the corpus never sorts and the shuffle moves only
+    * k-row partials per group. finish returns the ids in hash-rank
+    * order; ordering matches the window formulation exactly (full
+    * 32-hex md5, ties by id), which ReservoirSpec pins against qp12. */
+  class ReservoirAgg(k: Int = 8, salt: String = "rsv|")
+      extends Aggregator[String, Array[(String, String)], Array[String]] {
+    private def hex(id: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + id).getBytes("UTF-8"))
+      val sb = new StringBuilder(32)
+      d.foreach(b => sb.append(f"${b & 0xFF}%02x"))
+      sb.toString
+    }
+    def zero: Array[(String, String)] = Array.empty
+    def reduce(buf: Array[(String, String)],
+        id: String): Array[(String, String)] = {
+      if (id == null) return buf
+      merge(buf, Array((hex(id), id)))
+    }
+    def merge(x: Array[(String, String)],
+        y: Array[(String, String)]): Array[(String, String)] = {
+      if (y.isEmpty) return x
+      if (x.isEmpty) return y
+      val out = new scala.collection.mutable.ArrayBuffer[(String, String)](k)
+      var (i, j) = (0, 0)
+      while (out.length < k && (i < x.length || j < y.length)) {
+        val takeX = j >= y.length || (i < x.length &&
+          implicitly[Ordering[(String, String)]].lteq(x(i), y(j)))
+        val nxt = if (takeX) { i += 1; x(i - 1) } else { j += 1; y(j - 1) }
+        // idempotent union: drop exact duplicates (same id seen twice)
+        if (out.isEmpty || out.last != nxt) out += nxt
+      }
+      out.toArray
+    }
+    def finish(buf: Array[(String, String)]): Array[String] = buf.map(_._2)
+    def bufferEncoder: Encoder[Array[(String, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Array[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Register as SQL-callable UDAFs (TableEnvironment.registerFunction
     * equivalent). Idempotent per session — repeated calls (one per query
     * in Bench/Verify) would otherwise log a `replaced a previously
@@ -501,5 +547,7 @@ object Udafs {
       udaf(new CmsStrAgg, Encoders.STRING))
     spark.udf.register("graft_cms_est_str",
       (sk: Seq[Long], key: String) => cmsEstStr(sk.toArray, key))
+    spark.udf.register("graft_reservoir",
+      udaf(new ReservoirAgg, Encoders.STRING))
   }
 }

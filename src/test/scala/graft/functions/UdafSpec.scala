@@ -180,6 +180,30 @@ class UdafSpec extends SparkSuite {
     assert(Udafs.cmsEstStr(sk, "missing") == 0L)
   }
 
+  test("reservoir partial-agg equals the qp12 window formulation per stratum") {
+    Udafs.register(spark)
+    // the same per-lang bottom-8 sample, via partial aggregation (the
+    // 100 TB shape: no corpus sort) vs the window row_number (qp12)
+    val viaAgg = graft.Engine.table(spark, sf, "documents")
+      .selectExpr("lang", "CAST(doc_id AS STRING) AS id")
+      .repartition(13) // exercise cross-partition partial merge
+      .groupBy($"lang").agg(expr("graft_reservoir(id)").as("ids"))
+      .as[(String, Seq[String])].collect().toMap
+    val viaWindow = graft.SparkEntry.queries("qp12_reservoir_sample")(
+        spark, sf)
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3.toString).toSeq)
+      .toMap
+    assert(viaAgg == viaWindow)
+    // partition-count invariance: membership is a pure function of data
+    val again = graft.Engine.table(spark, sf, "documents")
+      .selectExpr("lang", "CAST(doc_id AS STRING) AS id")
+      .repartition(2)
+      .groupBy($"lang").agg(expr("graft_reservoir(id)").as("ids"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(again == viaAgg)
+  }
+
   test("CMS sketches merge: elementwise sum equals the sketch of the union") {
     val agg = new Udafs.CmsAgg()
     var s1 = agg.zero

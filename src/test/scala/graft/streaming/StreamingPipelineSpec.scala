@@ -45,6 +45,32 @@ class StreamingPipelineSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("CMS sketch aggregates over a stream; final sketch equals batch") {
+    graft.functions.Udafs.register(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val words = (0 until 500).map(i => s"tok${i % 23}")
+    // complete-mode global aggregate: the rolling corpus-frequency
+    // sketch a streaming ingest keeps (counters are sums, so the result
+    // is batch-identical however the stream is sliced)
+    val q = input.toDF().toDF("w")
+      .agg(expr("graft_cms_str(w)").as("sk"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream").start()
+    try {
+      input.addData(words.take(200): _*)
+      q.processAllAvailable()
+      input.addData(words.drop(200): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream").as[Seq[Long]].head()
+      val batch = words.toDF("w").agg(expr("graft_cms_str(w)"))
+        .as[Seq[Long]].head()
+      assert(streamed == batch)
+      assert(graft.functions.Udafs.cmsEstStr(streamed.toArray, "tok0") ==
+        words.count(_ == "tok0").toLong)
+    } finally q.stop()
+  }
+
   test("PII scrub runs on a stream; every batch row is masked") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, String)]
