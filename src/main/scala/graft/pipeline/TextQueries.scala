@@ -354,9 +354,11 @@ object TextQueries extends QueryModule {
     // 100 TB); the scoring joins are term-/doc-keyed equi-joins (AQE
     // broadcasts the small sides at test scale, shuffles at corpus
     // scale), and the per-doc top-3 is a doc-partitioned window over the
-    // already-reduced (doc, term) table. Determinism: ln rounds to 6
-    // decimals before use (the qs2 cross-engine precedent), ties break
-    // on the term string.
+    // already-reduced (doc, term) table. Determinism: FLOOR-scaled
+    // fixed-point, not round() — round(x, 6) flips at half-boundaries
+    // where Spark (decimal-repr HALF_UP) and DuckDB (true binary)
+    // disagree (seen once in 15k scores at sf0.1); floor is a pure
+    // binary-double op, identical everywhere. Ties break on the term.
     q("qt10_tfidf_top_terms",
       """WITH tok AS (SELECT doc_id,
         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
@@ -367,8 +369,9 @@ object TextQueries extends QueryModule {
         |df AS (SELECT w, COUNT(*) AS dfreq FROM tf GROUP BY 1),
         |n AS (SELECT COUNT(*) AS nd FROM dl),
         |s AS (SELECT tf.doc_id, tf.w,
-        |    round((CAST(tf.c AS DOUBLE) / dl.len)
-        |      * round(ln(CAST(n.nd AS DOUBLE) / df.dfreq), 6), 6) AS score
+        |    floor((CAST(tf.c AS DOUBLE) / dl.len)
+        |      * CAST(floor(ln(CAST(n.nd AS DOUBLE) / df.dfreq)
+        |          * 1000000.0) AS BIGINT)) / 1000000.0 AS score
         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (w) CROSS JOIN n),
         |r AS (SELECT doc_id, w, score,
         |    row_number() OVER (PARTITION BY doc_id
@@ -389,8 +392,9 @@ object TextQueries extends QueryModule {
       val scored = tf.join(dl, "doc_id").join(dfq, "w")
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("w"),
-          round((col("c").cast("double") / col("len"))
-            * round(log(col("nd").cast("double") / col("dfreq")), 6), 6)
+          (floor((col("c").cast("double") / col("len"))
+            * floor(log(col("nd").cast("double") / col("dfreq"))
+              * 1000000.0).cast("long")) / 1000000.0)
             .as("score"))
       scored
         .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))

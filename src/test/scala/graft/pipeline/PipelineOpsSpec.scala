@@ -110,10 +110,8 @@ class PipelineOpsSpec extends SparkSuite {
     val doc = allTf.keys.min
     val len = allTf(doc).values.sum.toDouble
     val expTop = allTf(doc).toSeq.map { case (w, c) =>
-      val idf = BigDecimal(math.log(nd / dfreq(w)))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val score = BigDecimal(c / len * idf)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val idf6 = math.floor(math.log(nd / dfreq(w)) * 1e6).toLong
+      val score = math.floor(c / len * idf6) / 1e6
       (w, score)
     }.sortBy { case (w, sc) => (-sc, w) }.head
     val gotTop = rows.filter(r => r._1 == doc && r._2 == 1L).head
