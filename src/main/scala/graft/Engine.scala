@@ -127,9 +127,15 @@ object Det {
   /** Deterministic mean over non-null rows (SQL AVG semantics): exact
     * null-skipping sum / non-null count. */
   def davg(c: Column): Column = dsum(c) / count(c)
-  /** DuckDB text of [[dsum]]. */
+  /** DuckDB text of [[dsum]]. The decimal→double cast routes through a
+    * string because DuckDB's direct CAST(DECIMAL AS DOUBLE) double-
+    * rounds (int128 → double, then ÷10^scale — two roundings), drifting
+    * a last ulp once sums reach ~1e10 (seen at sf0.1: q1/q2/q4/q7); the
+    * string parse rounds the exact decimal once, matching Spark's
+    * BigDecimal.doubleValue at any magnitude. STRING (not VARCHAR) so
+    * the same text still parses under spark.sql for BaselineCompare. */
   def DSUM(e: String): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(30,8))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(($e) AS DECIMAL(30,8))) AS STRING) AS DOUBLE)"
   /** DuckDB text of [[davg]]. */
   def DAVG(e: String): String = s"(${DSUM(e)} / COUNT($e))"
 }
