@@ -187,6 +187,98 @@ object EmbeddingQueries extends QueryModule {
         .orderBy(col("label"))
     },
 
+    // IVF-style ANN probe search, fully ORACLED (qe3's spec-only IVF has
+    // randomized k-means centroids; here the coarse quantizer uses FIXED
+    // pivot vectors — vec_id < 8 — so every step is deterministic and
+    // DuckDB replicates it bit-exactly). Assignment: each vector joins
+    // the BROADCAST pivot set and keeps its nearest cell via a
+    // partial-aggregated min(struct(d2, pid)) — no window over the
+    // corpus, ties to the lowest pivot. Search: each query probes its 2
+    // nearest cells, exact cosine re-ranks ONLY the probed candidates
+    // (the IVF recall/cost trade at 100 TB: nprobe/k cells of the corpus
+    // scored instead of all of it). d2 composes from the same
+    // sequential-fold dot products both engines share (na - 2·dot + nb,
+    // fixed order); cosines floor-scale to micro-units for ranking and
+    // output, so comparisons never sit on a representation edge.
+    q("qe7_ivf_probe", {
+      val dot = (a: String, b: String) =>
+        s"""list_reduce(list_transform(generate_series(1, len($a)), i ->
+           |  CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+           |  (x, y) -> x + y)""".stripMargin
+      val d2 = (a: String, b: String) =>
+        s"(${dot(a, a)} - 2.0 * ${dot(a, b)} + ${dot(b, b)})"
+      s"""WITH piv AS (SELECT vec_id AS pid, embedding AS pvec
+         |  FROM embeddings WHERE vec_id < 8),
+         |ad AS (SELECT e.vec_id, p.pid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${d2("e.embedding", "p.pvec")}, p.pid) AS rn
+         |  FROM embeddings e CROSS JOIN piv p),
+         |cells AS (SELECT vec_id, pid AS cell FROM ad WHERE rn = 1),
+         |qs AS (SELECT vec_id AS qid, embedding AS qvec
+         |  FROM embeddings WHERE vec_id IN (42, 123, 321)),
+         |qd AS (SELECT q.qid, p.pid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${d2("q.qvec", "p.pvec")}, p.pid) AS pr
+         |  FROM qs q CROSS JOIN piv p),
+         |probe AS (SELECT qid, pid FROM qd WHERE pr <= 2),
+         |cand AS (SELECT pr.qid, c.vec_id
+         |  FROM probe pr JOIN cells c ON c.cell = pr.pid),
+         |scored AS (SELECT cand.qid, cand.vec_id,
+         |    CAST(floor(${dot("q.qvec", "e.embedding")}
+         |      / sqrt(${dot("q.qvec", "q.qvec")}
+         |             * ${dot("e.embedding", "e.embedding")})
+         |      * 1000000.0) AS BIGINT) AS c6
+         |  FROM cand JOIN qs q ON q.qid = cand.qid
+         |    JOIN embeddings e ON e.vec_id = cand.vec_id
+         |  WHERE cand.vec_id <> cand.qid
+         |    AND ${dot("e.embedding", "e.embedding")} > 0),
+         |r AS (SELECT qid, vec_id, c6,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY c6 DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, c6
+         |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      def d2(a: String, b: String) =
+        s"(graft_dot($a, $a) - 2.0D * graft_dot($a, $b) + graft_dot($b, $b))"
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val piv = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+      val cells = emb.crossJoin(broadcast(piv))
+        .select(col("vec_id"), col("pid"),
+          expr(d2("embedding", "pvec")).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("pid"))).as("m"))
+        .select(col("vec_id"), col("m.pid").as("cell"))
+      val qs = emb.where(col("vec_id").isin(42, 123, 321))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val probe = qs.crossJoin(broadcast(piv))
+        .select(col("qid"), col("pid"),
+          expr(d2("qvec", "pvec")).as("d2"))
+        .withColumn("pr", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d2"), col("pid"))))
+        .where(col("pr") <= 2)
+        .select(col("qid"), col("pid"))
+      val cand = probe.join(cells, col("cell") === col("pid"))
+        .select(col("qid"), col("vec_id"))
+      cand.join(broadcast(qs), "qid").join(emb, "vec_id")
+        .where(col("vec_id") =!= col("qid")
+          && expr("graft_dot(embedding, embedding)") > 0)
+        .select(col("qid"), col("vec_id"),
+          floor(expr("graft_dot(qvec, embedding)")
+            / sqrt(expr("graft_dot(qvec, qvec)")
+              * expr("graft_dot(embedding, embedding)"))
+            * 1000000.0).cast("long").as("c6"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("c6").desc, col("vec_id"))))
+        .where(col("rk") <= 5)
+        .select(col("qid"), col("rk").cast("long").as("rk"),
+          col("vec_id"), col("c6"))
+        .orderBy(col("qid"), col("rk"))
+    },
+
     // Per-label centroid (the k-means M-step / class-prototype primitive):
     // mean of each embedding dimension per label. Scale shape: posexplode
     // fans each vector to (label, dim) rows, ONE partial-aggregated

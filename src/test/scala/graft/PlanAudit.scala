@@ -121,6 +121,13 @@ object PlanAudit {
     check("qs14 sketch side broadcasts (1-row side, BNLJ acceptable)",
       qs14.contains("BroadcastNestedLoopJoin") ||
         qs14.contains("BroadcastHashJoin"))
+    // IVF probe: the 8-row pivot set broadcasts to the corpus (BNLJ over
+    // a constant side is the intended shape); assignment partial-aggs;
+    // no unconditioned corpus-corpus product anywhere
+    val qe7 = plan("qe7_ivf_probe")
+    check("qe7 pivots broadcast and assignment partial-aggregates",
+      qe7.contains("Broadcast") && qe7.contains("partial_min") &&
+        !qe7.contains("CartesianProduct"))
 
     s.stop()
     if (failed > 0) {

@@ -140,6 +140,42 @@ class PipelineOpsSpec extends SparkSuite {
     assert(lo < hi) // the clip window is non-degenerate on this corpus
   }
 
+  test("qe7 IVF probe: candidates come only from the query's probed cells") {
+    val vecs = Engine.table(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    // same fold arithmetic as graft_dot: sequential left fold of exact
+    // float-product doubles
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+    val piv = vecs.filter(_._1 < 8).toSeq.sortBy(_._1)
+    def cellOf(v: Array[Float]): Long =
+      piv.map { case (pid, p) => (d2(v, p), pid) }.min._2
+    val rows = run("qe7_ivf_probe")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq(42L, 123L, 321L))
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.length <= 5)
+      val probed = piv.map { case (pid, p) =>
+        (d2(vecs(qid), p), pid) }.sorted.take(2).map(_._2).toSet
+      rs.foreach { case (_, _, vid, _) =>
+        assert(vid != qid)
+        assert(probed.contains(cellOf(vecs(vid))),
+          s"candidate $vid outside probed cells of $qid")
+      }
+      // scores descend with the rank
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._4).sliding(2).forall {
+        case Array(a, b) => a >= b; case _ => true
+      })
+    }
+  }
+
   test("qe6 centroids equal a direct fixed-point mean per (label, dim)") {
     val vecs = Engine.table(spark, sf, "embeddings")
       .select($"label", $"embedding").as[(Int, Array[Float])]
