@@ -196,6 +196,36 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("sketch merges are a commutative monoid on random streams (CMS + reservoir)") {
+    // the algebra the 100 TB rollup relies on: any merge tree over any
+    // partitioning of the stream yields the identical sketch
+    val cms = new graft.functions.Udafs.CmsStrAgg()
+    val rsv = new graft.functions.Udafs.ReservoirAgg()
+    val wordsGen = Gen.listOfN(120, Gen.oneOf(
+      (0 until 25).map(i => s"w$i")))
+    val cutsGen = Gen.zip(Gen.choose(0, 120), Gen.choose(0, 120))
+    check(Prop.forAll(wordsGen, cutsGen) { case (ws, (c1r, c2r)) =>
+      val Seq(i, j) = Seq(c1r, c2r).sorted
+      val (a, rest) = ws.splitAt(i)
+      val (b, c) = rest.splitAt(j - i)
+      def cmsOf(part: Seq[String]) =
+        part.foldLeft(cms.zero)((acc, w) => cms.reduce(acc, w))
+      def rsvOf(part: Seq[String]) =
+        part.foldLeft(rsv.zero)((acc, w) => rsv.reduce(acc, w))
+      val whole = cmsOf(ws).toSeq
+      val leftTree = cms.merge(cms.merge(cmsOf(a), cmsOf(b)), cmsOf(c)).toSeq
+      val rightTree = cms.merge(cmsOf(a),
+        cms.merge(cmsOf(b), cmsOf(c))).toSeq
+      val rWhole = rsv.finish(rsvOf(ws)).toSeq
+      val rLeft = rsv.finish(
+        rsv.merge(rsv.merge(rsvOf(a), rsvOf(b)), rsvOf(c))).toSeq
+      val rSwapped = rsv.finish(
+        rsv.merge(rsvOf(c), rsv.merge(rsvOf(b), rsvOf(a)))).toSeq
+      whole == leftTree && whole == rightTree &&
+        rWhole == rLeft && rWhole == rSwapped
+    })
+  }
+
   test("window running sum equals prefix sums") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
