@@ -54,6 +54,7 @@ object CepPlan {
       negNextOnly: Seq[Boolean], skip: Cep.AfterMatchSkip,
       withinMicros: Option[Long],
       negLast: Option[Expression], negLastNextOnly: Boolean,
+      anchorStart: Boolean, anchorEnd: Boolean,
       outputAttrs: Seq[Attribute], child: LogicalPlan) extends UnaryNode {
     override def output: Seq[Attribute] = outputAttrs
     // the physical operator re-emits every child column per matched step,
@@ -71,7 +72,7 @@ object CepPlan {
       case p: CepMatchPlan =>
         CepExec(p.keyExpr, p.tsExpr, p.tieExpr, p.stepNames, p.stepPreds,
           p.stepStrict, p.negPreds, p.negNextOnly, p.skip, p.withinMicros,
-          p.negLast, p.negLastNextOnly,
+          p.negLast, p.negLastNextOnly, p.anchorStart, p.anchorEnd,
           p.outputAttrs, planLater(p.child)) :: Nil
       case _ => Nil
     }
@@ -79,6 +80,14 @@ object CepPlan {
 
   /** Physical operator. Declares distribution + ordering requirements and
     * runs the shared NFA ([[Cep.advance]]) over each sorted key run. */
+  /** `anchorStart`/`anchorEnd` are the SQL:2016 ^/$ partition anchors as
+    * NFA-level gates (batch + NoSkip + no terminal negation — enforced by
+    * [[matchPattern]]): start = the head predicate additionally requires
+    * arrival ordinal 0 (the per-key-run EventId counter the operator
+    * already allocates), end = completed matches pend in a one-event
+    * buffer that any LATER event in the run discards, so only matches
+    * ending on the run's final row survive to the end-of-run flush.
+    * Both are O(1) state — no boundary-flag window pass over the input. */
   final case class CepExec(
       keyExpr: Expression, tsExpr: Expression, tieExpr: Expression,
       stepNames: Seq[String], stepPreds: Seq[Expression],
@@ -86,6 +95,7 @@ object CepPlan {
       negNextOnly: Seq[Boolean], skip: Cep.AfterMatchSkip,
       withinMicros: Option[Long],
       negLast: Option[Expression], negLastNextOnly: Boolean,
+      anchorStart: Boolean, anchorEnd: Boolean,
       outputAttrs: Seq[Attribute], child: SparkPlan) extends UnaryExecNode {
 
     override def output: Seq[Attribute] = outputAttrs
@@ -149,7 +159,12 @@ object CepPlan {
         // per key run, so a local counter (reset per key) suffices — no
         // state, unlike the streaming driver's cross-batch counter.
         type T = (InternalRow, Long)
-        var pat = Cep.Pattern.begin[T](names.head)(w => bound.head.eval(w._1))
+        val (aStart, aEnd) = (anchorStart, anchorEnd)
+        // ^ anchor: a match may only OPEN on the run's first row — the
+        // arrival ordinal the NFA rows already carry makes this a pure
+        // predicate conjunct, no extra operator state
+        var pat = Cep.Pattern.begin[T](names.head)(w =>
+          (!aStart || w._2 == 0L) && bound.head.eval(w._1))
         for (i <- 1 until nSteps) {
           negBound(i).foreach { nb =>
             pat = if (negNext(i)) pat.notNext(s"!${names(i)}")(w => nb.eval(w._1))
@@ -197,6 +212,10 @@ object CepPlan {
           // terminal-negation gate; fresh per key run, null when the
           // pattern doesn't end in a negation
           private var gate: Cep.NegGate[T] = null
+          // $ anchor: matches completed at the CURRENT row pend here; a
+          // later row in the same run discards them (their last event was
+          // not the partition tail), the end-of-run flush emits survivors
+          private var tailPend: Vector[Vector[Vector[T]]] = Vector.empty
 
           // a confirmed match emits now (NoSkip) or joins the skip queue
           private def feedMatch(m: Vector[Vector[T]]): Unit =
@@ -239,9 +258,16 @@ object CepPlan {
             * every deferred match (no live partial blocks any more). */
           private def flush(): Unit = {
             if (gate != null) gate.flushEnd(feedMatch)
+            if (aEnd) {
+              tailPend.foreach(m => feedMatch(m))
+              tailPend = Vector.empty
+            }
             if (lastLooping) partials.foreach { p =>
               if (p.stepIdx == lastIdx && p.runOpen &&
-                p.groups.last.size >= pattern.steps(lastIdx).minReps) {
+                p.groups.last.size >= pattern.steps(lastIdx).minReps &&
+                // $ anchor: a satisfied greedy run still only counts if
+                // its last TAKEN event is the run's final row
+                (!aEnd || p.groups.last.lastOption.exists(_._2 == arrSeq - 1))) {
                 if (skipQ == null) emit(curKey, p.groups)
                 else skipQ.add(Vector(p.groups))
               }
@@ -296,6 +322,10 @@ object CepPlan {
                       pattern.withinMs)
                 }
                 val t = tsVal.asInstanceOf[Long]
+                // $ anchor: this row proves any pending match did NOT end
+                // on the partition tail (fresh runs enter with the buffer
+                // already empty — flush emitted the previous run's)
+                if (aEnd) tailPend = Vector.empty
                 val w: T = (row, arrSeq)
                 arrSeq += 1
                 keyEvents += 1
@@ -309,7 +339,8 @@ object CepPlan {
                 val (next, matches) = Cep.advance(pattern, partials, w, t)
                 partials = next
                 bumpPartials(partials.size.toLong)
-                if (gate != null) gate.add(matches, t, tsOf)
+                if (aEnd) tailPend = matches // pend until the tail is known
+                else if (gate != null) gate.add(matches, t, tsOf)
                 else if (skipQ == null) matches.foreach(m => emit(curKey, m))
                 else skipQ.add(matches)
                 drainQ()
@@ -366,10 +397,18 @@ object CepPlan {
       withinMicros: Option[Long] = None,
       notBefore: Map[String, (Column, Boolean)] = Map.empty,
       skip: Cep.AfterMatchSkip = Cep.NoSkip,
-      notAtEnd: Option[(Column, Boolean)] = None): DataFrame = {
+      notAtEnd: Option[(Column, Boolean)] = None,
+      anchorStart: Boolean = false, anchorEnd: Boolean = false): DataFrame = {
     require(steps.nonEmpty, "at least one pattern step")
     require(!notBefore.contains(steps.head._1),
       "a pattern cannot begin with notFollowedBy/notNext")
+    // anchors interact with deferred emission: a skip queue would consume
+    // anchor-rejected candidates and a terminal-negation gate re-times
+    // emission past the tail check — both reject rather than approximate
+    require(!(anchorStart || anchorEnd) || skip == Cep.NoSkip,
+      "^/$ anchors require the default NoSkip strategy")
+    require(!anchorEnd || notAtEnd.isEmpty,
+      "$ anchor cannot combine with terminal negation")
     notAtEnd.foreach { case (_, nextOnly) =>
       require(nextOnly || withinMicros.isDefined,
         "NotFollowedBy is not supported as a last part of a Pattern! " +
@@ -401,7 +440,7 @@ object CepPlan {
       steps.map(s => notBefore.get(s._1).map(n => resolve(n._1))),
       steps.map(s => notBefore.get(s._1).exists(_._2)), skip,
       withinMicros, notAtEnd.map(n => resolve(n._1)),
-      notAtEnd.exists(_._2), outAttrs, child))
+      notAtEnd.exists(_._2), anchorStart, anchorEnd, outAttrs, child))
   }
 }
 

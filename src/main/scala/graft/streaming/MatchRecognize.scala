@@ -52,8 +52,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *                                  -- both inside and outside rejects);
   *                                  -- ^/$ partition anchors at the
   *                                  -- pattern boundaries (batch +
-  *                                  -- default skip only — post-filtered
-  *                                  -- on row_number boundary flags);
+  *                                  -- default skip only; flat
+  *                                  -- unquantified clauses route onto
+  *                                  -- the PLANNED CepExec with the
+  *                                  -- anchors as NFA-level gates — one
+  *                                  -- exchange, no window; quantified/
+  *                                  -- grouped ones post-filter on
+  *                                  -- boundary-struct flags);
   *                                  -- interior anchors REJECTED
   *   [WITHIN INTERVAL 'n' SECOND|MINUTE|HOUR|DAY]
   *                                  -- requires a TimestampType ORDER BY
@@ -642,6 +647,42 @@ object MatchRecognize {
     // partition-boundary flags for anchors — row_number over the SAME
     // (partition, ord, tie) the NFA sorts by; batch-only (rejected above
     // for streams), so the window is plannable
+    // ANCHORED flat unquantified ONE-ROW clauses route onto the PLANNED
+    // CepExec operator (round 9): the anchors become NFA-level gates
+    // there (^ = arrival-0 conjunct on the head predicate, $ = one-event
+    // tail-pend buffer), so the query needs NO boundary-flag window pass
+    // at all and EnsureRequirements plans exactly one exchange + one
+    // sort — the same shape as qc3/qc13. Everything the planned subset
+    // can't express (quantifiers, groups, ALL ROWS, MATCH_NUMBER, PREV,
+    // aggregate measures) stays on the library path below with its
+    // post-filtered boundary flags.
+    val plannedAnchored = anchored && !streamingIn && !nested &&
+      elems.forall(e => e.quant.isEmpty && e.isInstanceOf[PVar]) &&
+      skip == Cep.NoSkip && prevVars.isEmpty &&
+      AllRowsRe.findFirstMatchIn(clause).isEmpty &&
+      measures.nonEmpty && measures.forall {
+        case PosMeasure(_, _, _, _, 0) => true
+        case FinalMeasure(PosMeasure(_, _, _, _, 0)) => true
+        case _ => false
+      }
+    if (plannedAnchored) {
+      val steps = elems.map { case e =>
+        val PVar(v, _) = (e: @unchecked)
+        (v, col(s"__mr_$v"), true) // SQL concatenation = strict adjacency
+      }
+      val planned = graft.plans.CepPlan.matchPattern(basePrepared,
+        col(partCol), col("__mr_ord"), col("__mr_tie"), steps,
+        withinMicros = withinOrd,
+        anchorStart = anchorStart, anchorEnd = anchorEnd)
+      return planned.select(col("key").as(partCol) +: measures.map { m =>
+        val p = (m match {
+          case FinalMeasure(inner) => inner
+          case other => other
+        }).asInstanceOf[PosMeasure]
+        col(s"${p.v}_${p.c}").as(p.alias)
+      }: _*)
+    }
+
     // One unordered window computes BOTH boundary structs (min and max of
     // (ord, tie) per partition): a single WindowExec with one exchange
     // and a partition-key-only sort, where asc+desc row_number windows

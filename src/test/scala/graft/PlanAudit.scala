@@ -128,6 +128,17 @@ object PlanAudit {
     check("qe7 pivots broadcast and assignment partial-aggregates",
       qe7.contains("Broadcast") && qe7.contains("partial_min") &&
         !qe7.contains("CartesianProduct"))
+    // anchored MATCH_RECOGNIZE routes onto the planned CepExec: the
+    // anchors are NFA-level gates, so there is NO boundary-flag window
+    // and only the one exchange EnsureRequirements inserts below Cep
+    for (name <- Seq("qc21_match_recognize_head_anchor",
+        "qc22_match_recognize_tail_anchor")) {
+      val p = plan(name)
+      check(s"$name plans as CepExec with no Window",
+        p.contains("- Cep ") && !p.contains("Window"))
+      check(s"$name has exactly one hash shuffle",
+        p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+    }
 
     s.stop()
     if (failed > 0) {

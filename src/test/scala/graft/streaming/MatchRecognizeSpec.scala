@@ -311,6 +311,16 @@ class MatchRecognizeSpec extends SparkSuite {
         |DEFINE E AS event_type = 'error'""".stripMargin)
       .as[(Long, Long)].collect().toSet
     assert(tail === Set((1L, 4L)))
+    // the flat unquantified anchored clause ROUTES PLANNED (CepExec, no
+    // boundary-flag window) — pin it so a silent library fallback fails
+    val headPlan = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES V.event_id AS v_id, C.event_id AS c_id
+        |PATTERN (^ V C)
+        |DEFINE V AS event_type = 'view', C AS event_type = 'click'""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(headPlan.contains("- Cep ") && !headPlan.contains("Window"))
     // both anchors: the pattern must span the whole partition
     val span = MatchRecognize(df,
       """PARTITION BY user_id
