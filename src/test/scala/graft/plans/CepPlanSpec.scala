@@ -294,4 +294,40 @@ class CepPlanSpec extends SparkSuite {
     assert(m("maxKeyEvents").value >= 4L && m("maxKeyEvents").value <= 7L)
     assert(m("maxKeyPartials").value >= 1L)
   }
+
+  test("anchor gates: ^ restricts starts to the run head, $ to tail-ending matches") {
+    // ^ V -> E: only user 1's run STARTS with a view (user 2's does too
+    // but the 1h within prunes its only error); user 3 starts with error
+    val head = CepPlan.matchPattern(events,
+      col("user_id"), col("ts"), col("event_id"),
+      steps = Seq(
+        ("v", col("event_type") === "view", false),
+        ("e", col("event_type") === "error", false)),
+      withinMicros = Some(hourMicros), anchorStart = true)
+      .select($"key", $"v_event_id", $"e_event_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(head === Set((1L, 1L, 3L)))
+    // E $: every error row is a candidate; only each run's FINAL row
+    // survives the tail-pend buffer
+    val tail = CepPlan.matchPattern(events,
+      col("user_id"), col("ts"), col("event_id"),
+      steps = Seq(("e", col("event_type") === "error", false)),
+      anchorEnd = true)
+      .select($"key", $"e_event_id").as[(Long, Long)].collect().toSet
+    assert(tail === Set((1L, 4L), (2L, 6L), (3L, 7L)))
+    // anchors demand the NoSkip strategy and no terminal negation
+    intercept[IllegalArgumentException] {
+      CepPlan.matchPattern(events, col("user_id"), col("ts"),
+        col("event_id"),
+        steps = Seq(("e", col("event_type") === "error", false)),
+        skip = Cep.SkipPastLastEvent, anchorEnd = true)
+    }
+    intercept[IllegalArgumentException] {
+      CepPlan.matchPattern(events, col("user_id"), col("ts"),
+        col("event_id"),
+        steps = Seq(("v", col("event_type") === "view", false)),
+        notAtEnd = Some((col("event_type") === "error", true)),
+        anchorEnd = true)
+    }
+  }
 }
