@@ -647,25 +647,27 @@ object MatchRecognize {
     // partition-boundary flags for anchors — row_number over the SAME
     // (partition, ord, tie) the NFA sorts by; batch-only (rejected above
     // for streams), so the window is plannable
-    // ANCHORED flat unquantified ONE-ROW clauses route onto the PLANNED
-    // CepExec operator (round 9): the anchors become NFA-level gates
-    // there (^ = arrival-0 conjunct on the head predicate, $ = one-event
-    // tail-pend buffer), so the query needs NO boundary-flag window pass
-    // at all and EnsureRequirements plans exactly one exchange + one
-    // sort — the same shape as qc3/qc13. Everything the planned subset
-    // can't express (quantifiers, groups, ALL ROWS, MATCH_NUMBER, PREV,
-    // aggregate measures) stays on the library path below with its
-    // post-filtered boundary flags.
-    val plannedAnchored = anchored && !streamingIn && !nested &&
+    // FLAT unquantified ONE-ROW NoSkip batch clauses route onto the
+    // PLANNED CepExec operator (round 9) — anchored or not. The planner
+    // then owns the data movement (exactly one exchange + one sort from
+    // EnsureRequirements, elidable by upstream partitioning — the
+    // qc3/qc13 shape), predicates run codegen'd, and the anchors become
+    // NFA-level gates (^ = arrival-0 conjunct on the head predicate,
+    // $ = one-event tail-pend buffer) so anchored clauses need NO
+    // boundary-flag window pass at all. Everything the planned subset
+    // can't express (quantifiers, groups, alternation, ALL ROWS,
+    // MATCH_NUMBER, PREV, aggregate/subset measures, non-default skip)
+    // stays on the library path below.
+    val plannedRoutable = !streamingIn && !nested &&
       elems.forall(e => e.quant.isEmpty && e.isInstanceOf[PVar]) &&
-      skip == Cep.NoSkip && prevVars.isEmpty &&
+      skip == Cep.NoSkip && prevVars.isEmpty && subsets.isEmpty &&
       AllRowsRe.findFirstMatchIn(clause).isEmpty &&
       measures.nonEmpty && measures.forall {
         case PosMeasure(_, _, _, _, 0) => true
         case FinalMeasure(PosMeasure(_, _, _, _, 0)) => true
         case _ => false
       }
-    if (plannedAnchored) {
+    if (plannedRoutable) {
       val steps = elems.map { case e =>
         val PVar(v, _) = (e: @unchecked)
         (v, col(s"__mr_$v"), true) // SQL concatenation = strict adjacency

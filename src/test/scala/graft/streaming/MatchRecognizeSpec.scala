@@ -321,6 +321,16 @@ class MatchRecognizeSpec extends SparkSuite {
         |DEFINE V AS event_type = 'view', C AS event_type = 'click'""".stripMargin)
       .queryExecution.executedPlan.toString
     assert(headPlan.contains("- Cep ") && !headPlan.contains("Window"))
+    // ...and so does the UNANCHORED flat unquantified clause (round 9
+    // widened the planned routing beyond anchors)
+    val flatPlan = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES V.event_id AS v_id, C.event_id AS c_id
+        |PATTERN (V C)
+        |DEFINE V AS event_type = 'view', C AS event_type = 'click'""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(flatPlan.contains("- Cep "))
     // both anchors: the pattern must span the whole partition
     val span = MatchRecognize(df,
       """PARTITION BY user_id
