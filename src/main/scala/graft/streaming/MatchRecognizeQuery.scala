@@ -308,6 +308,28 @@ object MatchRecognizeQuery extends QueryModule {
         .orderBy("user_id")
     },
 
+    q("qc23_mr_flat_planned",
+      // The widened planned routing (round 9): a flat unquantified
+      // NoSkip clause — the everyday strict-adjacency funnel — compiles
+      // onto CepExec (codegen'd predicates, one planner-inserted
+      // exchange+sort) instead of the groupByKey library driver.
+      // Oracle: adjacent-row self-join on the row_number lattice.
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT v.user_id AS user_id, v.event_id AS v_id, c.event_id AS c_id
+        |FROM o v JOIN o c ON c.user_id = v.user_id AND c.rn = v.rn + 1
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |ORDER BY user_id, v_id""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS v_id, C.event_id AS c_id
+          |PATTERN (V C)
+          |DEFINE V AS event_type = 'view', C AS event_type = 'click'""".stripMargin)
+        .orderBy("user_id", "v_id")
+    },
+
     q("qc22_match_recognize_tail_anchor",
       // $ end anchor (round 9): users whose LAST event is an error — every
       // error row is a candidate under all-starts, the anchor keeps only
