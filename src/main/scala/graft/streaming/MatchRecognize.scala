@@ -685,6 +685,82 @@ object MatchRecognize {
       }: _*)
     }
 
+    // QUANTIFIED/GROUPED clauses route onto the planned GroupCepExec
+    // when its output shape can carry the measures: the operator emits
+    // per leaf `<name>_count` + the FIRST captured event's columns, so
+    // FIRST()/COUNT() over any variable and any position over an
+    // UNQUANTIFIED variable (first = last = only) are expressible;
+    // LAST/aggregates over a repeated variable, alternation, anchors,
+    // {0,..} quantifiers, ALL ROWS, MATCH_NUMBER, PREV, SUBSET, and
+    // non-default skip stay on the library path.
+    def hasAlt(es: Vector[PElem]): Boolean = es.exists {
+      case _: PAlt => true
+      case PGrp(in, _) => hasAlt(in)
+      case _ => false
+    }
+    def quantifiedVars(es: Vector[PElem], inQuant: Boolean): Set[String] =
+      es.flatMap {
+        case PVar(v, q) =>
+          if (inQuant || q.isDefined) Seq(v) else Seq.empty
+        case PGrp(in, q) => quantifiedVars(in, inQuant || q.isDefined)
+        case PAlt(bs, _) => bs.flatMap(b => quantifiedVars(b, inQuant = true))
+      }.toSet
+    def quantOf(q: String): Option[(Int, Int, Boolean)] = q match {
+      case "?" => Some((1, 1, true))
+      case "*" => Some((1, Int.MaxValue, true))
+      case "+" => Some((1, Int.MaxValue, false))
+      case b => b.substring(1, b.length - 1).split(",", -1) match {
+        case Array(n) if n.toInt >= 1 => Some((n.toInt, n.toInt, false))
+        case Array(n, "") if n.toInt >= 1 =>
+          Some((n.toInt, Int.MaxValue, false))
+        case Array(n, m) if n.toInt >= 1 =>
+          Some((n.toInt, m.toInt, false))
+        case _ => None // {0,..}: the library path owns zero-min repeats
+      }
+    }
+    def quantsOk(es: Vector[PElem]): Boolean = es.forall {
+      case PVar(_, q) => q.forall(quantOf(_).isDefined)
+      case PGrp(in, q) => q.forall(quantOf(_).isDefined) && quantsOk(in)
+      case _: PAlt => false
+    }
+    val qVars = quantifiedVars(elems, inQuant = false)
+    val groupPlanRoutable = !streamingIn && !anchored && !hasAlt(elems) &&
+      quantsOk(elems) && skip == Cep.NoSkip && prevVars.isEmpty &&
+      subsets.isEmpty && excluded.isEmpty &&
+      AllRowsRe.findFirstMatchIn(clause).isEmpty &&
+      measures.nonEmpty && measures.forall { m =>
+        (m match { case FinalMeasure(i) => i; case o => o }) match {
+          case PosMeasure(v, _, _, last, 0) => !qVars(v) || !last
+          case CountMeasure(_, _) => true
+          case _ => false
+        }
+      }
+    if (groupPlanRoutable) {
+      import graft.plans.GroupCepPlan.{GGroupSpec, GLeafSpec, GSpec}
+      def toSpec(e: PElem): GSpec = e match {
+        case PVar(v, None) => GLeafSpec(v, col(s"__mr_$v"), strict = true)
+        case PVar(v, Some(q)) =>
+          val (mn, mx, opt) = quantOf(q).get
+          GGroupSpec(Seq(GLeafSpec(v, col(s"__mr_$v"))), mn, mx,
+            optional = opt, consecutive = true, strict = true)
+        case PGrp(in, q) =>
+          val (mn, mx, opt) = q.flatMap(quantOf).getOrElse((1, 1, false))
+          GGroupSpec(in.map(toSpec), mn, mx,
+            optional = opt, consecutive = true, strict = true)
+        case _: PAlt => throw new IllegalStateException("unreachable")
+      }
+      val planned = graft.plans.GroupCepPlan.matchGroupPattern(basePrepared,
+        col(partCol), col("__mr_ord"), col("__mr_tie"),
+        elems.map(toSpec), withinMicros = withinOrd)
+      return planned.select(col("key").as(partCol) +: measures.map { m =>
+        (m match { case FinalMeasure(i) => i; case o => o }) match {
+          case PosMeasure(v, c, alias, _, _) => col(s"${v}_${c}").as(alias)
+          case CountMeasure(v, alias) => col(s"${v}_count").as(alias)
+          case other => throw new IllegalStateException(s"unroutable $other")
+        }
+      }: _*)
+    }
+
     // One unordered window computes BOTH boundary structs (min and max of
     // (ord, tie) per partition): a single WindowExec with one exchange
     // and a partition-key-only sort, where asc+desc row_number windows
