@@ -140,4 +140,18 @@ class FormatsSpec extends SparkSuite {
       assert(seen.toSeq == Seq(Seq(1L, 3L), Seq(2L)))
     } finally q.stop()
   }
+
+  test("events.ts normalizes to TimestampType at every scale factor") {
+    // the generated parquet has shipped ts as TIMESTAMP(NANOS) in some
+    // rounds and as timezone-less TIMESTAMP(MICROS) in others; every
+    // downstream unix_micros/watermark call requires TimestampType, so
+    // Engine.table must absorb whatever layout the generator writes —
+    // this is the early-warning spec for the next drift
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val dt = graft.Engine.table(spark, s"/root/testdata/$sf", "events")
+        .schema("ts").dataType
+      assert(dt == org.apache.spark.sql.types.TimestampType,
+        s"$sf events.ts arrived as $dt")
+    }
+  }
 }
