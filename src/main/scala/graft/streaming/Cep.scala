@@ -42,7 +42,8 @@ object Cep {
       relaxedReps: Boolean = false, combos: Boolean = false,
       ctxPred: Option[(E, Map[String, Seq[E]]) => Boolean] = None,
       negNextOnly: Boolean = false, anyMatch: Boolean = false,
-      untilCtxPred: Option[(E, Map[String, Seq[E]]) => Boolean] = None) {
+      untilCtxPred: Option[(E, Map[String, Seq[E]]) => Boolean] = None,
+      reluctant: Boolean = false) {
     def looping: Boolean = maxReps > minReps || maxReps == Int.MaxValue
     /** Any repetition at all — times(n) included (looping excludes fixed
       * times(n), whose run length is exact). */
@@ -244,6 +245,26 @@ object Cep {
       new Pattern(steps.init :+ steps.last.copy(allPrefixes = false),
         withinMs, pendingNot, pendingNotNext)
     }
+    /** SQL:2016 RELUCTANT marker for the previous quantified step
+      * (MATCH_RECOGNIZE `B+?` / `B??` / `B{n,m}?` — beyond the 1.6
+      * reference's CEP, which has no reluctant concept): the engine
+      * emits only the SHORTEST completion per match start and kills the
+      * longer same-start branches the moment it completes. Contract: at
+      * most ONE step of the pattern may be quantified when any is
+      * reluctant — with a single quantifier, SQL preference order
+      * (fewest repetitions first) coincides with completion order, which
+      * is the invariant that makes the pruning exact in batch AND
+      * streaming (a more-preferred candidate can never complete later).
+      * [[validated]] enforces the contract; [[runSorted]] additionally
+      * requires NoSkip and no terminal negation. Pair a looping
+      * reluctant step with [[allPrefixes]] so the non-maximal branches
+      * exist to be selected from. */
+    def reluctant: Pattern[E] = {
+      require(steps.last.multiRep || steps.last.optional,
+        "reluctant requires a quantified step")
+      new Pattern(steps.init :+ steps.last.copy(reluctant = true),
+        withinMs, pendingNot, pendingNotNext)
+    }
     /** Partial matches older than `ms` (vs the current event) are pruned. */
     def within(ms: Long): Pattern[E] = new Pattern(steps, Some(ms), pendingNot, pendingNotNext)
 
@@ -272,6 +293,16 @@ object Cep {
       require(!greedyTrailing,
         "a greedy loop may not be followed by only-optional steps " +
           "(use the reference-default allPrefixes emission)")
+      if (steps.exists(_.reluctant)) {
+        // single-quantifier contract: see [[reluctant]] — with two or
+        // more quantified steps, preference order no longer equals
+        // completion order and the shortest-first pruning would be wrong
+        require(steps.count(s => s.multiRep || s.optional) == 1,
+          "a reluctant pattern may contain exactly ONE quantified step " +
+            "(single-quantifier preference order = completion order)")
+        require(pendingNot.isEmpty,
+          "reluctant does not compose with terminal negation")
+      }
       this
     }
   }
@@ -846,7 +877,8 @@ object Cep {
         s.negNextOnly, s.anyMatch,
         s.untilCtxPred.map(cp =>
           (w: (E, Long), ctx: Map[String, Seq[(E, Long)]]) =>
-            cp(w._1, ctx.view.mapValues(_.map(_._1)).toMap)))
+            cp(w._1, ctx.view.mapValues(_.map(_._1)).toMap)),
+        reluctant = s.reluctant)
     }
     new Pattern[(E, Long)](steps2, p.withinMs,
       p.terminalNot.map(np => (w: (E, Long)) => np(w._1)),
@@ -1289,11 +1321,40 @@ object Cep {
         pattern.withinMs)
       case None => null
     }
+    // SQL:2016 reluctant (single-quantifier contract, Pattern.reluctant):
+    // the FIRST completion per start is the shortest and therefore THE
+    // match — emit only it (same-event longer siblings lose a minBy) and
+    // kill every still-open branch sharing that start, so no later
+    // (longer, less preferred) completion can surface. Identical logic
+    // batch and streaming: killed branches simply never reach state.
+    val reluctantSel = pattern.steps.exists(_.reluctant)
+    require(!reluctantSel || (sq == null && gate == null),
+      "reluctant patterns require NoSkip and no terminal negation")
     var partials = init
     if (gate != null && init.exists(_.negPending)) {
       val (pend, live) = partials.partition(_.negPending)
       pend.foreach(gate.restore)
       partials = live
+    }
+    // see reluctantSel above: keep the shortest completion per start,
+    // kill the longer same-start branches (incl. those carried in from
+    // earlier micro-batches)
+    def selectReluctant(ms: Vector[Vector[Vector[E]]])
+        : Vector[Vector[Vector[E]]] = {
+      val byStart = scala.collection.mutable.LinkedHashMap
+        .empty[E, Vector[Vector[E]]]
+      ms.foreach { m =>
+        val start = m.iterator.flatten.next()
+        byStart.get(start) match {
+          case Some(prev)
+            if prev.iterator.map(_.size).sum <= m.iterator.map(_.size).sum =>
+          case _ => byStart(start) = m
+        }
+      }
+      val starts = byStart.keySet
+      partials = partials.filterNot(
+        _.groups.iterator.flatten.nextOption().exists(starts.contains))
+      byStart.values.toVector
     }
     // a confirmed match emits immediately (NoSkip) or joins the skip queue
     def feedMatch(m: Vector[Vector[E]]): Unit =
@@ -1346,8 +1407,11 @@ object Cep {
       timeAdvance(t)
       // the event decides every pending gate entry before transitioning
       if (gate != null) gate.onEvent(e, feedMatch)
-      val (next, matches) = advance(pattern, partials, e, t)
+      val (next, rawMatches) = advance(pattern, partials, e, t)
       partials = next
+      val matches =
+        if (reluctantSel && rawMatches.nonEmpty) selectReluctant(rawMatches)
+        else rawMatches
       if (stats != null && partials.size > statMaxPartials)
         statMaxPartials = partials.size
       if (gate != null) gate.add(matches, t, ts)

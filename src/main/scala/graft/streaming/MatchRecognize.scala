@@ -36,7 +36,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *     | SKIP TO FIRST X | SKIP TO LAST X]
   *   PATTERN (A (B C){2} D ...)     -- quantifiers ? * + {n} {n,m} {n,}
   *                                  -- on variables AND parenthesized
-  *                                  -- sub-groups; a flat sequence runs
+  *                                  -- sub-groups; RELUCTANT markers
+  *                                  -- (?? *? +? {n,m}? — prefer the
+  *                                  -- FEWEST repetitions: the shortest
+  *                                  -- completion per start is emitted
+  *                                  -- instead of every satisfied
+  *                                  -- length) on flat patterns whose
+  *                                  -- single quantified element carries
+  *                                  -- the marker, batch AND streaming,
+  *                                  -- default skip, no anchors;
+  *                                  -- a flat sequence runs
   *                                  -- the linear NFA; nested groups,
   *                                  -- alternation `A|B` / `(A B|C D)`
   *                                  -- (leftmost-preferred, quantifiable)
@@ -283,16 +292,21 @@ object MatchRecognize {
       s"unsupported PATTERN syntax ($what) at '${s.substring(i)}' in ($s)")
     def quant(): Option[String] = {
       skipWs()
+      // SQL:2016 reluctant marker: a '?' IMMEDIATELY after the base
+      // quantifier (B+? B*? B?? B{n,m}?) — no whitespace, per the grammar
+      def rel(base: String): Some[String] =
+        if (i < s.length && s(i) == '?') { i += 1; Some(base + "?") }
+        else Some(base)
       if (i >= s.length) None
       else s(i) match {
-        case '?' | '*' | '+' => val q = s(i).toString; i += 1; Some(q)
+        case '?' | '*' | '+' => val q = s(i).toString; i += 1; rel(q)
         case '{' if !s.startsWith("{-", i) =>
           val j = s.indexOf('}', i)
           if (j < 0) fail("unclosed quantifier")
           val q = s.substring(i, j + 1)
           if (!QuantRe.matches(q)) fail(s"bad quantifier $q")
           i = j + 1
-          Some(q)
+          rel(q)
         case _ => None
       }
     }
@@ -480,6 +494,35 @@ object MatchRecognize {
           else if (m.group(3) != null) Cep.SkipToFirst(m.group(3))
           else Cep.SkipToLast(m.group(4))
       }
+    // SQL:2016 RELUCTANT quantifiers (round 10): `B+?` prefers the
+    // FEWEST repetitions — the engine emits the shortest completion per
+    // match start instead of every satisfied length. Supported on FLAT
+    // patterns whose ONLY quantified element carries the marker, under
+    // the default skip, without anchors: that is the single-quantifier
+    // contract under which shortest-per-start pruning is exact in batch
+    // AND streaming (preference order = completion order —
+    // [[Cep.Pattern.reluctant]]). Other combinations reject.
+    def isReluctantQ(q: String): Boolean = q.length > 1 && q.endsWith("?")
+    def anyReluctant(es: Vector[PElem]): Boolean = es.exists {
+      case PVar(_, q) => q.exists(isReluctantQ)
+      case PGrp(in, q) => q.exists(isReluctantQ) || anyReluctant(in)
+      case PAlt(bs, q) => q.exists(isReluctantQ) || bs.exists(anyReluctant)
+    }
+    val hasReluctant = anyReluctant(elems)
+    if (hasReluctant) {
+      require(!nested, "reluctant quantifiers are supported on flat " +
+        "patterns only (no groups, alternation, or PERMUTE)")
+      require(elems.count(_.quant.isDefined) == 1,
+        "a reluctant pattern may contain exactly ONE quantified element " +
+          "(single-quantifier preference order = completion order)")
+      require(!anchored,
+        "reluctant quantifiers do not compose with ^/$ anchors " +
+          "(the preferred candidate may not be the anchored one)")
+      require(skip == Cep.NoSkip,
+        "reluctant quantifiers require the default AFTER MATCH SKIP TO " +
+          "NEXT ROW (per-start selection and the skip queue's pruning " +
+          "boundaries do not compose)")
+    }
     val withinMicros: Option[Long] =
       WithinRe.findFirstMatchIn(clause).map { m =>
         val n = m.group(1).toLong
@@ -706,6 +749,7 @@ object MatchRecognize {
         case PAlt(bs, _) => bs.flatMap(b => quantifiedVars(b, inQuant = true))
       }.toSet
     def quantOf(q: String): Option[(Int, Int, Boolean)] = q match {
+      case r if isReluctantQ(r) => None // reluctant: library path only
       case "?" => Some((1, 1, true))
       case "*" => Some((1, Int.MaxValue, true))
       case "+" => Some((1, Int.MaxValue, false))
@@ -977,16 +1021,28 @@ object MatchRecognize {
         val PVar(v, q) = (e: @unchecked)
         pat = if (pat == null) Cep.Pattern.begin[Row](v)(pred(v))
               else pat.next(v)(pred(v)) // SQL concatenation = strict adjacency
-        q.foreach {
-          case "?" => pat = pat.optional
-          case "*" => pat = pat.oneOrMore.optional
-          case "+" => pat = pat.oneOrMore
-          case b =>
-            b.substring(1, b.length - 1).split(",", -1) match {
-              case Array(n) => pat = pat.times(n.toInt)
-              case Array(n, "") => pat = pat.timesOrMore(n.toInt)
-              case Array(n, m) => pat = pat.times(n.toInt, m.toInt)
-            }
+        q.foreach { qq =>
+          val rel = isReluctantQ(qq)
+          qq.stripSuffix(if (rel) "?" else "") match {
+            case "?" => pat = pat.optional
+            case "*" => pat = pat.oneOrMore.optional
+            case "+" => pat = pat.oneOrMore
+            case b =>
+              b.substring(1, b.length - 1).split(",", -1) match {
+                case Array(n) => pat = pat.times(n.toInt)
+                case Array(n, "") => pat = pat.timesOrMore(n.toInt)
+                case Array(n, m) => pat = pat.times(n.toInt, m.toInt)
+              }
+          }
+          if (rel) {
+            // a looping reluctant step needs allPrefixes emission so the
+            // non-maximal branches EXIST for the engine to select the
+            // shortest from (the DSL's greedy default would suppress
+            // them); optional/exact-count steps already fork every
+            // candidate
+            if (pat.steps.last.looping) pat = pat.allPrefixes
+            pat = pat.reluctant
+          }
         }
       }
       withinOrd.foreach(w => pat = pat.within(w))

@@ -330,6 +330,35 @@ object MatchRecognizeQuery extends QueryModule {
         .orderBy("user_id", "v_id")
     },
 
+    q("qc24_mr_reluctant",
+      // RELUCTANT quantifier (round 10): `V B+? E` with B undefined
+      // (= TRUE) — B absorbs ANY rows, so every error at least two
+      // positions past the view completes a candidate; reluctant keeps
+      // only the FIRST (fewest B rows). Oracle: MIN over the rn lattice,
+      // nb = run length between the view and its first reachable error.
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |v AS (SELECT user_id, event_id AS v_id, rn AS vrn FROM o
+        |  WHERE event_type = 'view'),
+        |m AS (SELECT v.user_id, v.v_id, v.vrn, MIN(x.rn) AS ern
+        |  FROM v JOIN o x ON x.user_id = v.user_id AND x.rn >= v.vrn + 2
+        |    AND x.event_type = 'error'
+        |  GROUP BY 1, 2, 3)
+        |SELECT m.user_id AS user_id, m.v_id AS v_id, o.event_id AS e_id,
+        |  m.ern - m.vrn - 1 AS nb
+        |FROM m JOIN o ON o.user_id = m.user_id AND o.rn = m.ern
+        |ORDER BY user_id, v_id""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS v_id, E.event_id AS e_id, COUNT(B.*) AS nb
+          |PATTERN (V B+? E)
+          |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
+          .stripMargin)
+        .orderBy("user_id", "v_id")
+    },
+
     q("qc22_match_recognize_tail_anchor",
       // $ end anchor (round 9): users whose LAST event is an error — every
       // error row is a candidate under all-starts, the anchor keeps only

@@ -196,6 +196,51 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("reluctant CEP streaming is split-invariant (shortest-per-start kill carries in state)") {
+    // round 10: the single-reluctant-quantifier contract — the shortest
+    // completion per start is THE match; any 3-way micro-batch split must
+    // yield the single-batch multiset (in particular, a split between the
+    // short completion and where a longer sibling would complete must
+    // not resurrect the killed branch)
+    import graft.streaming.{Cep, VirtualClockHarness}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    type E = (String, Long)
+    def pat1 = Cep.Pattern.begin[E]("v")(_._1 == "v")
+      .next("b")(_ => true).oneOrMore.allPrefixes.reluctant
+      .next("e")(_._1 == "e")
+    def pat2 = Cep.Pattern.begin[E]("v")(_._1 == "v")
+      .next("b")(t => t._1 == "b" || t._1 == "e").times(1, 3).allPrefixes
+      .reluctant
+      .next("e")(_._1 == "e")
+    def pat3 = Cep.Pattern.begin[E]("v")(_._1 == "v")
+      .next("b")(_._1 == "b").optional.reluctant
+      .next("e")(t => t._1 == "b" || t._1 == "e")
+    val pats = Vector(() => pat1, () => pat2, () => pat3)
+    val namesGen = Gen.listOfN(20, Gen.oneOf("v", "b", "e", "x"))
+    check(Prop.forAll(namesGen, Gen.choose(0, 20), Gen.choose(0, 20),
+      Gen.choose(0, pats.size - 1)) {
+      (names, i0, j0, pi) =>
+        val events = names.zipWithIndex.map { case (n, i) =>
+          (n, (i / 2).toLong)
+        }
+        val (i, j) = (math.min(i0, j0), math.max(i0, j0))
+        val fn = Cep.matchStreamGroupsArrivalFn[Int, E, Seq[Long]](
+          pats(pi)(), _._2, Cep.NoSkip, _ => 0L,
+          (_, groups) => groups.values.flatten.map(_._2).toVector)
+        def run(chunks: Seq[Seq[E]]): Map[Seq[Long], Int] = {
+          val h = new VirtualClockHarness[Int, E,
+            Cep.ArrivalState[E], Seq[Long]](
+            GroupStateTimeout.NoTimeout(), fn)
+          chunks.flatMap(c => h.input(0, c: _*))
+            .groupBy(identity).view.mapValues(_.size).toMap
+        }
+        val whole = run(Seq(events))
+        val split = run(Seq(events.take(i), events.slice(i, j),
+          events.drop(j)))
+        whole == split
+    })
+  }
+
   test("sketch merges are a commutative monoid on random streams (CMS + reservoir)") {
     // the algebra the 100 TB rollup relies on: any merge tree over any
     // partitioning of the stream yields the identical sketch

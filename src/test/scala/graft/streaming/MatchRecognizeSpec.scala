@@ -941,4 +941,116 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(runNestedSkipStream(next, deferAcrossBatch = false) === noSkip)
     assert(noSkip.nonEmpty && batch.subsetOf(noSkip))
   }
+
+  // ---- SQL:2016 RELUCTANT quantifiers (round 10): `B+?` prefers the
+  // FEWEST repetitions — the shortest completion per start is THE match,
+  // instead of the library default's every-satisfied-length emission.
+
+  test("reluctant {1,2}? picks the shortest completion; greedy {1,2} the longest") {
+    val df = Seq(
+      (1L, 10L, "view", 1L), (2L, 20L, "click", 1L),
+      (3L, 30L, "error", 1L), (4L, 40L, "error", 1L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    def run(q: String) = MatchRecognize(df,
+      s"""PARTITION BY user_id
+         |ORDER BY ts, event_id
+         |MEASURES V.event_id AS v_id, E.event_id AS e_id, COUNT(B.*) AS nb
+         |PATTERN (V B$q E)
+         |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
+        .stripMargin)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // B is undefined = TRUE, so it absorbs clicks AND errors: from the
+    // view, both (B=[click], E=err3) and (B=[click, err3], E=err4) are
+    // grammatical. Reluctant keeps the shortest per start; the unmarked
+    // quantifier keeps the documented library semantics (every
+    // satisfied length per start).
+    assert(run("{1,2}?") === Set((1L, 1L, 3L, 1L)))
+    assert(run("{1,2}") === Set((1L, 1L, 3L, 1L), (1L, 1L, 4L, 2L)))
+    // unbounded reluctant: still the first reachable error, once
+    assert(run("+?") === Set((1L, 1L, 3L, 1L)))
+    assert(run("*?") === Set((1L, 1L, 3L, 1L)))
+  }
+
+  test("reluctant ?? prefers skipping the optional; plain ? emits both candidates") {
+    val df = Seq(
+      (1L, 10L, "a", 1L), (2L, 20L, "x", 1L), (3L, 30L, "y", 1L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    def run(q: String) = MatchRecognize(df,
+      s"""PARTITION BY user_id
+         |ORDER BY ts, event_id
+         |MEASURES A.event_id AS a_id, C.event_id AS c_id, COUNT(B.*) AS nb
+         |PATTERN (A B$q C)
+         |DEFINE A AS event_type = 'a', B AS event_type = 'x',
+         |       C AS event_type IN ('x', 'y')""".stripMargin)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // x@20 satisfies both B and C: skipping B completes (A, C=x) in two
+    // rows; taking B completes (A, B=x, C=y) in three — same start
+    assert(run("??") === Set((1L, 1L, 2L, 0L)))
+    assert(run("?") === Set((1L, 1L, 2L, 0L), (1L, 1L, 3L, 1L)))
+  }
+
+  test("reluctant rejections: nested, multi-quantifier, non-default skip, anchors") {
+    def mr(p: String, extra: String = "") = MatchRecognize(events,
+      s"""PARTITION BY user_id
+         |ORDER BY ts, event_id
+         |MEASURES V.event_id AS v_id
+         |$extra
+         |PATTERN ($p)
+         |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
+        .stripMargin)
+    assert(intercept[IllegalArgumentException](mr("V (B E)+? X"))
+      .getMessage.contains("flat"))
+    assert(intercept[IllegalArgumentException](mr("V? B+? E"))
+      .getMessage.contains("exactly ONE"))
+    assert(intercept[IllegalArgumentException](
+      mr("V B+? E", "AFTER MATCH SKIP PAST LAST ROW"))
+      .getMessage.contains("SKIP"))
+    assert(intercept[IllegalArgumentException](mr("^ V B+? E"))
+      .getMessage.contains("anchors"))
+  }
+
+  test("streaming reluctant: shortest completion emits once, longer branch killed across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.timestamp_seconds
+    implicit val sqlCtx = spark.sqlContext
+    val clause =
+      """PARTITION BY user_id
+        |ORDER BY tss, event_id
+        |MEASURES V.event_id AS v_id, E.event_id AS e_id, COUNT(B.*) AS nb
+        |PATTERN (V B+? E)
+        |WITHIN INTERVAL '1' HOUR
+        |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
+        .stripMargin
+    // the short candidate (B=[click], E=err@30) completes in batch 2;
+    // the longer same-start branch (B=[click, err@30], E=err@40) would
+    // complete in batch 3 — it must have been KILLED in state at the
+    // batch-2 emission
+    val b1 = Seq((1L, 10L, "view", 1L), (2L, 20L, "click", 1L))
+    val b2 = Seq((3L, 30L, "error", 1L))
+    val b3 = Seq((4L, 40L, "error", 1L))
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val streamDf = input.toDF()
+      .toDF("event_id", "secs", "event_type", "user_id")
+      .withColumn("tss", timestamp_seconds($"secs"))
+      .withWatermark("tss", "0 seconds")
+    val query = MatchRecognize(streamDf, clause)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mr_rel_stream").start()
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      assert(spark.table("mr_rel_stream").count() === 0)
+      input.addData(b2: _*); query.processAllAvailable()
+      assert(spark.table("mr_rel_stream").count() === 1)
+      input.addData(b3: _*); query.processAllAvailable()
+      val streamed = spark.table("mr_rel_stream")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batchDf = (b1 ++ b2 ++ b3)
+        .toDF("event_id", "secs", "event_type", "user_id")
+        .withColumn("tss", timestamp_seconds($"secs"))
+      val batch = MatchRecognize(batchDf, clause)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set((1L, 1L, 3L, 1L)))
+    } finally query.stop()
+  }
 }
