@@ -467,6 +467,72 @@ object Udafs {
     best
   }
 
+  /** Bloom-filter geometry: 2^20 bits (16384 longs = 128 KiB) × the
+    * [[CmsD]] Carter-Wegman hash rows over the md5 60-bit prefix — every
+    * constant restatable in SQL (the qs14/qt9 oracle idiom), so
+    * MEMBERSHIP answers are bit-replicable cross-engine. At ~50k keys
+    * the false-positive rate is ~1e-4; size m to the expected key count
+    * at real scale (ENGINE.md). */
+  val BloomBits = 1 << 20
+  private val BloomWords = BloomBits / 64
+
+  /** Bit position of key-hash `x` in hash row `j`. */
+  def bloomPos(x: Long, j: Int): Int = {
+    val xm = ((x % CmsP) + CmsP) % CmsP
+    (((CmsA(j) * xm + CmsB(j)) % CmsP) % BloomBits).toInt
+  }
+
+  /** Mergeable BLOOM FILTER over string keys — the fifth sketch seat
+    * (membership; distinct = [[HllAgg]]/[[KmvAgg]], quantile =
+    * [[KllAgg]], frequency = [[CmsAgg]]). The accumulator is the bit
+    * array as packed longs; merge is elementwise OR — commutative,
+    * associative, idempotent, so the filter is bit-identical under any
+    * aggregation tree. The 100 TB shape: sketch the HISTORICAL corpus's
+    * fingerprints once (a 128 KiB value that merges through the
+    * partial-agg tree), broadcast it, and gate each INCOMING document
+    * map-side — "definitely new" documents skip the expensive exact
+    * anti-join entirely; only the ~fpp false-positive slice needs the
+    * confirm lookup. */
+  class BloomAgg extends Aggregator[String, Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](BloomWords)
+    def reduce(buf: Array[Long], s: String): Array[Long] = {
+      if (s != null) {
+        val x = hash60(s)
+        var j = 0
+        while (j < CmsD) {
+          val p = bloomPos(x, j)
+          buf(p >> 6) |= 1L << (p & 63)
+          j += 1
+        }
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Bloom membership over an already-aggregated filter value: true iff
+    * all [[CmsD]] bit positions of the key are set (no false negatives;
+    * false positives at the geometry's fpp). */
+  def bloomContains(sk: Array[Long], s: String): Boolean = {
+    val x = hash60(s)
+    var j = 0
+    while (j < CmsD) {
+      val p = bloomPos(x, j)
+      if ((sk(p >> 6) & (1L << (p & 63))) == 0L) return false
+      j += 1
+    }
+    true
+  }
+
   /** Deterministic per-group RESERVOIR as a partial aggregate — the
     * 100 TB path for qp12's bottom-k-by-hash sample: each partition
     * keeps its k smallest (md5(salt||id), id) pairs, partials merge by
@@ -549,5 +615,9 @@ object Udafs {
       (sk: Seq[Long], key: String) => cmsEstStr(sk.toArray, key))
     spark.udf.register("graft_reservoir",
       udaf(new ReservoirAgg, Encoders.STRING))
+    spark.udf.register("graft_bloom",
+      udaf(new BloomAgg, Encoders.STRING))
+    spark.udf.register("graft_bloom_contains",
+      (sk: Seq[Long], key: String) => bloomContains(sk.toArray, key))
   }
 }

@@ -356,6 +356,56 @@ object DedupQueries extends QueryModule {
             col("k.idx").cast("long").as("keep_idx"), col("n_copies"))
           .orderBy(col("keep_doc"), col("keep_idx"))
     }
+,
+
+    // Incremental corpus dedup via the mergeable BLOOM filter (round 10):
+    // the HISTORICAL slice (src0-src9) reduces to ONE 128 KiB bit array
+    // (graft_bloom — elementwise-OR merge through any partial-agg tree),
+    // which BROADCASTS; each INCOMING document (src10-src19) is then
+    // gated map-side by membership of its normalized fingerprint. The
+    // 100 TB shape: the historical corpus is never re-joined —
+    // "definitely new" documents pass with zero shuffle, and only the
+    // ~fpp maybe-seen slice would continue to an exact confirm lookup.
+    // The oracle restates the hashing AND the bit positions (the
+    // Carter-Wegman rows over the md5 60-bit prefix, the qs14/qt9
+    // idiom), so maybe_seen is bit-exact INCLUDING any false positives.
+    q("qp15_bloom_incremental", {
+      val hv = (e: String) =>
+        s"""list_aggregate(list_transform(generate_series(1, 15), i ->
+           |      CAST(strpos('0123456789abcdef',
+           |          substr(md5($e), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+           |        * (CAST(1 AS BIGINT)
+           |           << CAST((15 - i) * 4 AS INTEGER))), 'sum')""".stripMargin
+      s"""WITH fp AS (SELECT doc_id, CAST(substr(source, 4) AS BIGINT) AS sn,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS k
+         |  FROM documents),
+         |hh AS (SELECT doc_id, sn, ${hv("k")} AS h FROM fp),
+         |hp AS (SELECT * FROM (VALUES (0, 1103515245, 12345),
+         |    (1, 1299709, 7919), (2, 104729, 271), (3, 97, 31)) t(j, a, b)),
+         |hist AS (SELECT DISTINCT
+         |    ((CAST(hp.a AS BIGINT) * (hh.h % 2147483647) + hp.b)
+         |      % 2147483647) % 1048576 AS p
+         |  FROM hh CROSS JOIN hp WHERE hh.sn < 10),
+         |chk AS (SELECT hh.doc_id,
+         |    ((CAST(hp.a AS BIGINT) * (hh.h % 2147483647) + hp.b)
+         |      % 2147483647) % 1048576 AS p
+         |  FROM hh CROSS JOIN hp WHERE hh.sn >= 10)
+         |SELECT doc_id,
+         |  BOOL_AND(p IN (SELECT p FROM hist)) AS maybe_seen
+         |FROM chk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.Udafs.register(s)
+      val fp = t(s, d, "documents")
+        .withColumn("sn", expr("CAST(substring(source, 4, 10) AS BIGINT)"))
+        .withColumn("k",
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      val bloom = fp.where(col("sn") < 10)
+        .agg(expr("graft_bloom(k)").as("bf"))
+      fp.where(col("sn") >= 10)
+        .crossJoin(broadcast(bloom))
+        .selectExpr("doc_id", "graft_bloom_contains(bf, k) AS maybe_seen")
+        .orderBy("doc_id")
+    }
   )
 
   /** Blank-line paragraph segmentation — the canonical splitter for

@@ -140,6 +140,16 @@ object PlanAudit {
         p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
     }
 
+    // Bloom incremental dedup: the 128 KiB filter broadcasts (1-row
+    // side, BNLJ is the intended shape) and the historical corpus is
+    // never re-joined against the incoming side
+    val qp15 = plan("qp15_bloom_incremental")
+    check("qp15 bloom filter broadcasts to the incoming side",
+      qp15.contains("BroadcastNestedLoopJoin") ||
+        qp15.contains("BroadcastHashJoin"))
+    check("qp15 no corpus-vs-corpus join (membership is map-side)",
+      !qp15.contains("SortMergeJoin") && !qp15.contains("CartesianProduct"))
+
     s.stop()
     if (failed > 0) {
       println(s"$failed plan assertions FAILED"); sys.exit(1)

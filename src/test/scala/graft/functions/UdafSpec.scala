@@ -180,6 +180,31 @@ class UdafSpec extends SparkSuite {
     assert(Udafs.cmsEstStr(sk, "missing") == 0L)
   }
 
+  test("Bloom filter: no false negatives, partition invariance, OR-merge of halves") {
+    Udafs.register(spark)
+    val keys = (0 until 5000).map(i => s"key_$i")
+    val df = keys.toDF("k")
+    // bit-OR counters are idempotent sums -> identical under any
+    // aggregation tree (the same invariance the CMS/KLL seats pin)
+    val sketches = Seq(1, 8, 29).map { p =>
+      df.repartition(p).agg(expr("graft_bloom(k)")).as[Seq[Long]].head()
+    }
+    assert(sketches(0) == sketches(1) && sketches(1) == sketches(2))
+    val sk = sketches.head.toArray
+    // membership NEVER false-negative
+    assert(keys.forall(Udafs.bloomContains(sk, _)))
+    // 5k keys x 4 rows in 2^20 bits: fpp ~ 4e-7 per probe — a 2k-probe
+    // absent sample stays clean with huge margin
+    val fp = (0 until 2000).count(i => Udafs.bloomContains(sk, s"absent_$i"))
+    assert(fp <= 2, s"false-positive count $fp")
+    // merging disjoint halves ORs into exactly the full filter
+    val h1 = keys.take(2500).toDF("k")
+      .agg(expr("graft_bloom(k)")).as[Seq[Long]].head()
+    val h2 = keys.drop(2500).toDF("k")
+      .agg(expr("graft_bloom(k)")).as[Seq[Long]].head()
+    assert(h1.zip(h2).map { case (a, b) => a | b } == sketches.head)
+  }
+
   test("reservoir partial-agg equals the qp12 window formulation per stratum") {
     Udafs.register(spark)
     // the same per-lang bottom-8 sample, via partial aggregation (the
