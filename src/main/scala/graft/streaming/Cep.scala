@@ -43,7 +43,7 @@ object Cep {
       ctxPred: Option[(E, Map[String, Seq[E]]) => Boolean] = None,
       negNextOnly: Boolean = false, anyMatch: Boolean = false,
       untilCtxPred: Option[(E, Map[String, Seq[E]]) => Boolean] = None,
-      reluctant: Boolean = false) {
+      reluctant: Boolean = false, arrival0: Boolean = false) {
     def looping: Boolean = maxReps > minReps || maxReps == Int.MaxValue
     /** Any repetition at all — times(n) included (looping excludes fixed
       * times(n), whose run length is exact). */
@@ -245,6 +245,18 @@ object Cep {
       new Pattern(steps.init :+ steps.last.copy(allPrefixes = false),
         withinMs, pendingNot, pendingNotNext)
     }
+    /** Pin the pattern's FIRST step to the key's FIRST-EVER event (the
+      * MATCH_RECOGNIZE ^ anchor, usable under STREAMING): the
+      * arrival-tagging drivers conjoin `arrival ordinal == 0` onto the
+      * head predicate at lift time, so only a match starting at the
+      * partition head can form — the head IS knowable on an unbounded
+      * stream (the cross-batch [[ArrivalState]] counter), unlike the $
+      * tail. Consumable ONLY by the arrival-identity drivers (the batch
+      * default and the ArrivalState streaming wrappers); the raw
+      * value-identity *Fn forms reject it in [[runSorted]]. */
+    def anchorHead: Pattern[E] = new Pattern(
+      steps.head.copy(arrival0 = true) +: steps.tail,
+      withinMs, pendingNot, pendingNotNext)
     /** SQL:2016 RELUCTANT marker for the previous quantified step
       * (MATCH_RECOGNIZE `B+?` / `B??` / `B{n,m}?` — beyond the 1.6
       * reference's CEP, which has no reluctant concept): the engine
@@ -867,13 +879,18 @@ object Cep {
     * which IS the reference's EventId distinction. */
   private def liftPattern[E](p: Pattern[E]): Pattern[(E, Long)] = {
     val steps2 = p.steps.map { s =>
-      Step[(E, Long)](s.name, w => s.pred(w._1), s.strict,
+      // the ^ head anchor bakes in here: the tag IS the per-key arrival
+      // ordinal, so `== 0` pins the step to the partition's first event
+      val pass0 = !s.arrival0
+      Step[(E, Long)](s.name,
+        w => (pass0 || w._2 == 0L) && s.pred(w._1), s.strict,
         s.minReps, s.maxReps,
         s.negPred.map(np => (w: (E, Long)) => np(w._1)), s.optional,
         s.untilPred.map(up => (w: (E, Long)) => up(w._1)), s.allPrefixes,
         s.relaxedReps, s.combos,
         s.ctxPred.map(cp => (w: (E, Long), ctx: Map[String, Seq[(E, Long)]]) =>
-          cp(w._1, ctx.view.mapValues(_.map(_._1)).toMap)),
+          (pass0 || w._2 == 0L) &&
+            cp(w._1, ctx.view.mapValues(_.map(_._1)).toMap)),
         s.negNextOnly, s.anyMatch,
         s.untilCtxPred.map(cp =>
           (w: (E, Long), ctx: Map[String, Seq[(E, Long)]]) =>
@@ -946,7 +963,8 @@ object Cep {
     * unchanged. */
   private final class ArrivalStateView[E](u: GroupState[ArrivalState[E]],
       newSeq: Long, counter: MatchCounter = null,
-      carry: () => Vector[E] = () => Vector.empty)
+      carry: () => Vector[E] = () => Vector.empty,
+      persistSeq: Boolean = false)
       extends GroupState[Vector[Partial[(E, Long)]]] {
     def exists: Boolean = u.exists
     def get: Vector[Partial[(E, Long)]] = u.get.partials
@@ -955,11 +973,16 @@ object Cep {
     def update(s: Vector[Partial[(E, Long)]]): Unit =
       u.update(ArrivalState(newSeq, s,
         if (counter == null) 0L else counter.n, carry()))
-    // the arrival counter may safely restart when no partial survives,
-    // but a match ordinal or a PREV carry must outlive quiet periods —
-    // persist an empty-partials row instead of removing the key
+    // the arrival counter may safely restart when no partial survives
+    // (identity only disambiguates events LIVE partials reference), but a
+    // match ordinal or a PREV carry must outlive quiet periods — and a
+    // ^-anchored pattern gives the ordinal ABSOLUTE meaning (`== 0` is
+    // the partition's first-ever event), so it persists a counter row
+    // per key that has seen any event (`persistSeq`) — the inherent
+    // state price of first-ever semantics
     def remove(): Unit =
-      if ((counter != null && counter.n > 0L) || carry().nonEmpty)
+      if ((counter != null && counter.n > 0L) || carry().nonEmpty ||
+          (persistSeq && newSeq > 0L))
         update(Vector.empty)
       else u.remove()
     def hasTimedOut: Boolean = u.hasTimedOut
@@ -982,9 +1005,10 @@ object Cep {
     * through the view. */
   private def arrivalFn[K, E, O](ts: E => Long, tie: E => Long,
       inner: (K, Iterator[(E, Long)],
-        GroupState[Vector[Partial[(E, Long)]]]) => Iterator[O]):
+        GroupState[Vector[Partial[(E, Long)]]]) => Iterator[O],
+      persistSeq: Boolean = false):
       (K, Iterator[E], GroupState[ArrivalState[E]]) => Iterator[O] =
-    arrivalFnPre(ts, tie, null, _ => inner)
+    arrivalFnPre(ts, tie, null, _ => inner, persistSeq)
 
   /** [[arrivalFn]] plus the round-9 extras: a cross-batch match counter
     * handed to `mkInner` (streaming MATCH_NUMBER()) and an optional
@@ -995,7 +1019,8 @@ object Cep {
   private def arrivalFnPre[K, E, O](ts: E => Long, tie: E => Long,
       pre: (Vector[E], E) => (Vector[E], E),
       mkInner: MatchCounter => (K, Iterator[(E, Long)],
-        GroupState[Vector[Partial[(E, Long)]]]) => Iterator[O]):
+        GroupState[Vector[Partial[(E, Long)]]]) => Iterator[O],
+      persistSeq: Boolean = false):
       (K, Iterator[E], GroupState[ArrivalState[E]]) => Iterator[O] =
     (k: K, it: Iterator[E], state: GroupState[ArrivalState[E]]) => {
       val st = state.getOption
@@ -1008,7 +1033,8 @@ object Cep {
       }
       val tagged = preApplied.map { e => val w = (e, seq); seq += 1; w }
       mkInner(counter)(k, tagged.iterator,
-        new ArrivalStateView[E](state, seq, counter, () => carry))
+        new ArrivalStateView[E](state, seq, counter, () => carry,
+          persistSeq))
     }
 
   /** Un-tag a per-step capture map, preserving declaration order. */
@@ -1029,7 +1055,8 @@ object Cep {
     arrivalFn(ts, tie, matchStreamGroupsFn[K, (E, Long), O](
       liftPattern(pattern.validated), w => ts(w._1), skip, _._2,
       (kk: K, groups: Map[String, Seq[(E, Long)]]) =>
-        shapeFn(kk, unliftGroups(groups)), stats))
+        shapeFn(kk, unliftGroups(groups)), stats),
+      persistSeq = pattern.steps.exists(_.arrival0))
 
   /** [[matchStreamGroupsArrivalFn]] plus the round-9 SQL extras: shapeFn
     * receives the 1-based per-key match ordinal (cross-batch, persisted
@@ -1050,7 +1077,8 @@ object Cep {
       matchStreamGroupsFn[K, (E, Long), O](
         liftPattern(pattern.validated), w => ts(w._1), skip, _._2,
         (kk: K, groups: Map[String, Seq[(E, Long)]]) =>
-          shapeFn(kk, counter.next(), unliftGroups(groups)), stats))
+          shapeFn(kk, counter.next(), unliftGroups(groups)), stats),
+      persistSeq = pattern.steps.exists(_.arrival0))
 
   /** Arrival-identity twin of [[matchStreamWithTimeoutsFn]]. */
   def matchStreamWithTimeoutsArrivalFn[K, E, O](pattern: Pattern[E],
@@ -1064,7 +1092,8 @@ object Cep {
         finish(kk, scala.collection.immutable.ListMap(m.toSeq
           .map { case (n, e) => n -> e._1 }: _*)),
       (kk: K, groups: Map[String, Seq[(E, Long)]], at: Long) =>
-        onTimeout(kk, unliftGroups(groups), at)))
+        onTimeout(kk, unliftGroups(groups), at)),
+      persistSeq = pattern.steps.exists(_.arrival0))
 
   /** Run a pattern over a streaming Dataset: partials persist in keyed
     * state across micro-batches; final greedy runs stay pending until a
@@ -1330,6 +1359,13 @@ object Cep {
     val reluctantSel = pattern.steps.exists(_.reluctant)
     require(!reluctantSel || (sq == null && gate == null),
       "reluctant patterns require NoSkip and no terminal negation")
+    // an unconsumed ^ anchor means a value-identity driver got a
+    // head-anchored pattern — the anchor only exists as an arrival-tag
+    // conjunct (liftPattern), so reject instead of silently ignoring it
+    require(pattern.steps.forall(!_.arrival0),
+      "head-anchored patterns require an arrival-identity driver " +
+        "(matchBatchGroups arrivalIds=true or the ArrivalState streaming " +
+        "wrappers)")
     var partials = init
     if (gate != null && init.exists(_.negPending)) {
       val (pend, live) = partials.partition(_.negPending)

@@ -555,12 +555,24 @@ object MatchRecognize {
     // anchor-rejected candidate must not suppress overlapping ones), and
     // partition boundaries are unknowable on an unbounded stream — both
     // combinations reject rather than approximate.
+    // The ^ head anchor alone IS knowable on a stream (round 10): the
+    // cross-batch arrival ordinal pins the partition's first event, so a
+    // flat streaming clause routes it as an NFA-level gate
+    // ([[Cep.Pattern.anchorHead]]) instead of the batch boundary-flag
+    // post-filter. $ still requires batch input — the partition tail is
+    // unknowable before end of input.
+    val anchorStreamHead = anchored && streamingIn
     if (anchored) {
-      require(!streamingIn, "^/$ anchors require batch input (partition " +
-        "boundaries are unknowable on an unbounded stream)")
+      if (streamingIn) require(anchorStart && !anchorEnd && !nested,
+        "under streaming only the ^ head anchor on a flat pattern is " +
+          "supported; the $ tail requires batch input (the partition " +
+          "end is unknowable on an unbounded stream)")
       require(skip == Cep.NoSkip, "^/$ anchors require the default " +
         "AFTER MATCH SKIP TO NEXT ROW")
     }
+    // the batch boundary-flag machinery (window pass + candidate
+    // post-filter) serves only the batch library path
+    val anchorBatch = anchored && !streamingIn
     def ordExpr(name: String): Column = df.schema(name).dataType match {
       case TimestampType =>
         if (streamingIn) expr(s"unix_millis(`$name`)") else unix_micros(col(name))
@@ -812,7 +824,7 @@ object MatchRecognize {
     // boundary struct are boundary rows — on an exact (ord, tie) tie at
     // the edge every tied row counts as first/last, which is the only
     // deterministic reading (row_number would crown one arbitrarily).
-    val prepared = if (!anchored) basePrepared else {
+    val prepared = if (!anchorBatch) basePrepared else {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col(partCol))
       val ordTie = struct(col("__mr_ord"), col("__mr_tie"))
@@ -897,8 +909,10 @@ object MatchRecognize {
     val allRows = AllRowsRe.findFirstMatchIn(clause).isDefined
     if (allRows) require(measures.nonEmpty,
       "ALL ROWS PER MATCH requires at least one measure")
-    // the anchored ONE ROW path reshapes output rows as measure structs
-    if (anchored) require(measures.nonEmpty,
+    // the batch-anchored ONE ROW path reshapes output rows as measure
+    // structs (streaming ^ needs no reshaping — the NFA gate already
+    // rejects non-head candidates before they emit)
+    if (anchorBatch) require(measures.nonEmpty,
       "^/$ anchors require at least one measure")
     // SQL:2016: row-pattern exclusion only affects ALL ROWS output (and
     // Oracle/standard practice requires that mode when one is written)
@@ -923,13 +937,15 @@ object MatchRecognize {
     // anchor check on a candidate match: its first/last MATCHED row (even
     // an excluded one — exclusion is output-only) must sit on the
     // partition boundary
-    val headIdx = if (anchorStart) schema.fieldIndex("__mr_head") else -1
-    val tailIdx = if (anchorEnd) schema.fieldIndex("__mr_tail") else -1
+    val headIdx =
+      if (anchorBatch && anchorStart) schema.fieldIndex("__mr_head") else -1
+    val tailIdx =
+      if (anchorBatch && anchorEnd) schema.fieldIndex("__mr_tail") else -1
     def anchorOk(groups: Map[String, Seq[Row]]): Boolean = {
       val fl = flatten(groups)
       fl.nonEmpty &&
-        (!anchorStart || fl.head._2.getBoolean(headIdx)) &&
-        (!anchorEnd || fl.last._2.getBoolean(tailIdx))
+        (headIdx < 0 || fl.head._2.getBoolean(headIdx)) &&
+        (tailIdx < 0 || fl.last._2.getBoolean(tailIdx))
     }
 
     val outSchema = StructType(
@@ -941,7 +957,7 @@ object MatchRecognize {
     val keyEnc = Encoders.row(StructType(Seq(schema(keyIdx))))
     // anchored ONE ROW also routes through the array shape: an anchor-
     // rejected candidate emits an empty array that explode() drops
-    val useArr = allRows || anchored
+    val useArr = allRows || anchorBatch
     val outEnc = Encoders.row(if (useArr) arrSchema else outSchema)
     val keyFn = (r: Row) => Row(r.get(keyIdx))
     val ordFn = (r: Row) => r.getLong(ordIdx)
@@ -973,11 +989,11 @@ object MatchRecognize {
       if (!allRows) { (k, mn, groups) =>
         val cls = flatten(groups).lastOption.map(_._1).orNull
         def vals = measures.map(_.eval(withSubsets(groups), schema, cls, mn))
-        if (!anchored) Row.fromSeq(k.get(0) +: vals)
+        if (!anchorBatch) Row.fromSeq(k.get(0) +: vals)
         else Row(k.get(0),
           if (anchorOk(groups)) Seq(Row.fromSeq(vals)) else Nil)
       } else { (k, mn, groups) =>
-        if (anchored && !anchorOk(groups)) Row(k.get(0), Seq.empty)
+        if (anchorBatch && !anchorOk(groups)) Row(k.get(0), Seq.empty)
         else {
           // FINAL measures see the whole match and its final classifier;
           // RUNNING (default) measures see the prefix up to the row
@@ -1046,6 +1062,11 @@ object MatchRecognize {
         }
       }
       withinOrd.foreach(w => pat = pat.within(w))
+      // streaming ^: the head predicate gains an arrival-ordinal-0 gate
+      // consumed by the ArrivalState drivers below (cross-batch: the
+      // ordinal is the key's first-EVER event, even if it arrived many
+      // micro-batches ago)
+      if (anchorStreamHead) pat = pat.anchorHead
       if (df.isStreaming) {
         // STREAMING: partials persist in keyed state across
         // micro-batches; WITHIN patterns require a watermark on the

@@ -86,6 +86,18 @@ object StreamOps {
   def dedup(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
+  /** Streaming dedup with WATERMARK-BOUNDED state over arbitrary key
+    * columns (dropDuplicatesWithinWatermark): unlike [[dedup]], the
+    * event-time column need NOT be part of the key — fingerprint-only
+    * exact dedup at ingest, with each key's state evicted once the
+    * watermark passes its first-seen time plus the delay. Two copies
+    * farther apart than the delay BOTH survive: that bounded-state trade
+    * is what keeps streaming exact-dedup viable at 100 TB key
+    * cardinality (plain [[dedup]] keys-seen state grows without bound
+    * unless the event-time column is part of the key). */
+  def dedupWithinWatermark(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicatesWithinWatermark(cols)
+
   /** Interval (time-bounded) stream-stream inner join:
     * `right.ts ∈ [left.ts + lower, left.ts + upper]` on an equi-key.
     * Both inputs must carry watermarks. Mirrors

@@ -1009,6 +1009,59 @@ class MatchRecognizeSpec extends SparkSuite {
       .getMessage.contains("anchors"))
   }
 
+  test("streaming ^ head anchor: the cross-batch arrival ordinal pins the partition head") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.timestamp_seconds
+    implicit val sqlCtx = spark.sqlContext
+    val clause =
+      """PARTITION BY user_id
+        |ORDER BY tss, event_id
+        |MEASURES V.event_id AS v_id, C.event_id AS c_id
+        |PATTERN (^ V C)
+        |DEFINE V AS event_type = 'view', C AS event_type = 'click'"""
+        .stripMargin
+    // user 1: head view in batch 1, click in batch 2 — matches ACROSS the
+    // split (the ordinal is the key's first-EVER event, not the batch's);
+    // user 2's first-ever event is a click, so its later view+click run
+    // must NOT match; user 3's second event breaks the pattern
+    val b1 = Seq((1L, 10L, "view", 1L), (10L, 12L, "click", 2L),
+      (20L, 15L, "view", 3L))
+    val b2 = Seq((2L, 20L, "click", 1L), (11L, 22L, "view", 2L),
+      (21L, 25L, "error", 3L))
+    val b3 = Seq((12L, 32L, "click", 2L))
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val streamDf = input.toDF()
+      .toDF("event_id", "secs", "event_type", "user_id")
+      .withColumn("tss", timestamp_seconds($"secs"))
+    val query = MatchRecognize(streamDf, clause)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mr_anchor_stream").start()
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b: _*); query.processAllAvailable()
+      }
+      val streamed = spark.table("mr_anchor_stream")
+        .as[(Long, Long, Long)].collect().toSet
+      val batchDf = (b1 ++ b2 ++ b3)
+        .toDF("event_id", "secs", "event_type", "user_id")
+        .withColumn("tss", timestamp_seconds($"secs"))
+      val batch = MatchRecognize(batchDf, clause)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set((1L, 1L, 2L)))
+    } finally query.stop()
+    // $ under streaming still rejects — the tail is unknowable
+    val e = intercept[IllegalArgumentException] {
+      MatchRecognize(streamDf,
+        """PARTITION BY user_id
+          |ORDER BY tss, event_id
+          |MEASURES E.event_id AS e_id
+          |PATTERN (E $)
+          |DEFINE E AS event_type = 'error'""".stripMargin)
+    }
+    assert(e.getMessage.contains("head anchor"))
+  }
+
   test("streaming reluctant: shortest completion emits once, longer branch killed across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.timestamp_seconds

@@ -81,6 +81,34 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("watermark-bounded dedup: duplicates inside the delay drop, state then evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Click]
+    // key is (user, kind) WITHOUT the event-time column — state per key
+    // evicts once the watermark passes first-seen + 10 minutes
+    val out = StreamOps.dedupWithinWatermark(
+      StreamOps.withEventTime(input.toDF(), "ts", "10 minutes"),
+      Seq("user", "kind"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm_out").start()
+    try {
+      input.addData(Click(1, "view", t("2024-01-01 00:00:00"), 1.0))
+      q.processAllAvailable()
+      // a copy 5 min later (inside the delay) drops; the unrelated key
+      // advances the watermark to 00:50
+      input.addData(
+        Click(1, "view", t("2024-01-01 00:05:00"), 2.0),
+        Click(2, "click", t("2024-01-01 01:00:00"), 3.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_wm_out").count() == 2)
+      // user 1's state expired (watermark 00:50 > first-seen + 10 min):
+      // a late third copy SURVIVES — the documented bounded-state trade
+      input.addData(Click(1, "view", t("2024-01-01 01:05:00"), 4.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_wm_out").count() == 3)
+    } finally q.stop()
+  }
+
   test("interval join matches events within the time bound") {
     implicit val sqlCtx = spark.sqlContext
     val orders = MemoryStream[Click]
