@@ -638,10 +638,19 @@ object Cep {
                       Vector.empty[E]) :+ Vector.empty[E],
                     runOpen = false)
                 // SKIP_TILL_ANY: the source partial stays alive to take
-                // later occurrences of this step as well
-                if (sj.anyMatch)
-                  out += (if (p.virgin) p.copy(virgin = false) else p)
-                else matchedMask |= 1L << j // TILL_NEXT: first element taken
+                // later occurrences of this step as well — but e
+                // INTERVENED between its position and any strictly-next
+                // candidate, so those break permanently (same bar as the
+                // stopped/combos forks; the fourteenth parity fix — the
+                // reference's zero-consumption proceed-ε branch into a
+                // strict step dies on the first non-matching event, while
+                // an unbarred survivor here would wrongly emit {d, b}
+                // across the intervening a-run in NFAITCase
+                // testStrictContinuityResultsAfterZeroOrMore)
+                if (sj.anyMatch) {
+                  val m = p.spentMask | strictReachable(p.stepIdx)
+                  out += p.copy(virgin = false, spentMask = m)
+                } else matchedMask |= 1L << j // TILL_NEXT: first element taken
                 transitioned = true
               }
               scanning = sj.optional

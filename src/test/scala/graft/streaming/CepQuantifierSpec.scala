@@ -1742,27 +1742,25 @@ class CepQuantifierSpec extends SparkSuite {
       RE(43, "c", 3.0) -> 4L, RE(44, "b", 4.0) -> 5L)).isEmpty)
   }
 
-  test("port: strict next after zeroOrMore, adjacent end (NFAITCase testStrictContinuityResultsAfterZeroOrMore — suffix-run divergence documented)") {
-    // d a1 a2 b: runs ENDING at a2 satisfy the strict next. The
-    // reference expects {d, a1 a2, b} AND the SUFFIX run {d, a2, b} —
-    // its SharedBuffer version tree re-roots combination runs at later
-    // elements when the follower is strict. Our branch model anchors
-    // combination runs at the entry element (consistent with every
-    // OTHER combos expectation: the oneOrMore/zeroOrMore matrices are
-    // all first-element-anchored) and emits only {d, a1 a2, b}.
-    // DOCUMENTED DIVERGENCE (ENGINE.md §2.11): suffix-run multiplicity
-    // under strict-next-after-combos-zeroOrMore; the strict-continuity
-    // guarantee itself (no match may skip over an intervening event
-    // between the run's END and the strict follower) is pinned here and
-    // in the NoResults twin above.
+  test("port: strict next after zeroOrMore, adjacent end (NFAITCase testStrictContinuityResultsAfterZeroOrMore — 2/2 verbatim)") {
+    // d a1 a2 b over followedByAny + allowCombinations (the reference's
+    // EXACT pattern — an earlier port wrote followedBy here, which
+    // cannot fork the a2 entry and made the suffix run look like an
+    // engine divergence): runs ENDING at a2 satisfy the strict next, so
+    // the reference expects {d, a1 a2, b} AND the suffix run {d, a2, b}
+    // — and NOTHING else: {d, a1, b} is barred (a2 intervened after the
+    // {a1} run) and {d, b} is barred because a1 broke the
+    // zero-consumption path's strict adjacency (the fourteenth parity
+    // fix: the surviving SKIP_TILL_ANY source now bars strict-reachable
+    // steps exactly like the stopped/combos forks).
     val p = Pattern.begin[RE]("start")(_.name == "d")
-      .followedBy("middle")(_.name == "a")
+      .followedByAny("middle")(_.name == "a")
       .oneOrMore.allowCombinations.optional
       .next("end")(_.name == "b")
     val got = flatIds(feed(p, Seq(
       RE(40, "d", 2.0) -> 1L, RE(41, "a", 2.0) -> 2L, RE(42, "a", 2.0) -> 3L,
       RE(44, "b", 4.0) -> 5L)))
-    assert(got.toSet === Set(Seq(40, 41, 42, 44)))
+    assert(got.toSet === Set(Seq(40, 41, 42, 44), Seq(40, 42, 44)))
   }
 
   test("port: strict loop as the whole pattern (NFAITCase testStartWithOneOrMoreStrict/testStartWithZeroOrMoreStrict)") {
