@@ -1146,13 +1146,14 @@ object Cep {
     * with a flag) to split the streams downstream, exactly what the
     * reference's OutputTag achieves.
     *
-    * Branch-model note: one timeout is reported per LIVE partial at
-    * expiry. The reference's SharedBuffer additionally keeps
-    * already-transitioned prefixes as separate computation states and
-    * times them out too, so timeout MULTIPLICITIES can exceed ours
-    * (NFAITCase testSimplePatternWithTimeoutHandling reports both
-    * {start} and {start, middle} for one chain); the match channel is
-    * identical. Within a micro-batch the two channels interleave at
+    * Timeout multiplicities are at reference parity: one timeout per
+    * LIVE partial at expiry — under SKIP_TILL_ANY contiguity the
+    * surviving source partial IS the reference's transitioned-prefix
+    * computation state, so NFAITCase testSimplePatternWithTimeoutHandling
+    * ports verbatim (both {start} and {start, middle} time out for one
+    * chain); under TILL_NEXT both engines consume the source on
+    * transition and report only the advanced partial. The match channel
+    * is identical. Within a micro-batch the two channels interleave at
     * their event-time positions (a timeout expiring before a later
     * match is emitted before it); timeouts fired by watermark advance
     * between batches surface at the head of the batch that observes

@@ -177,38 +177,46 @@ class CepSpec extends SparkSuite {
     assert(h.stateOf(7L).isEmpty && h.timerOf(7L).isEmpty)
   }
 
-  test("timed-out partials surface on the timeout channel (PatternStream timeout tag)") {
+  test("timed-out partials surface on the timeout channel (NFAITCase testSimplePatternWithTimeoutHandling — 4 timeouts + 1 match verbatim)") {
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    // the testSimplePatternWithTimeoutHandling script (NFAITCase.java:344):
-    // start@1, start@2, middle@3, foobar@4, end@11, end@13, within(10).
-    // One full match {start@2, middle@3, end@11}; the start@1 chain
-    // expires when event time reaches 11. (Branch-model note from the
-    // scaladoc: one timeout per live partial — the reference's
-    // SharedBuffer also reports already-transitioned prefixes, so its
-    // multiplicities are higher; the match channel is identical.)
+    // the reference script (NFAITCase.java:344): start@1, start@2,
+    // middle@3, foobar@4, end@11, end@13, within(10), with
+    // followedByAny contiguity on middle AND end (an earlier port wrote
+    // followedBy, which consumes the source on transition and made the
+    // reference's prefix timeouts look like a branch-model divergence).
+    // Under SKIP_TILL_ANY the {start} source survives its middle take —
+    // that survivor IS the reference's transitioned-prefix computation
+    // state — so the reference's exact FOUR timeouts emerge: {s1}@11,
+    // {s1,m}@11, {s2}@13, {s2,m}@13, plus the one match {s2,m,end@11}
+    // (s1's chain is already past the horizon when end@11 arrives).
     val p = Pattern.begin[Ev]("start")(_.typ == "start")
-      .followedBy("middle")(_.typ == "middle")
-      .followedBy("end")(_.typ == "end")
+      .followedByAny("middle")(_.typ == "middle")
+      .followedByAny("end")(_.typ == "end")
       .within(10L)
-    // output: (isTimeout, startTs, detailTs)
+    // output: (isTimeout, startTs, atOrEndTs, capturedEvents)
     val h = new VirtualClockHarness[Long, Ev, Vector[Partial[Ev]],
-      (Boolean, Long, Long)](
+      (Boolean, Long, Long, Int)](
       GroupStateTimeout.EventTimeTimeout(),
-      Cep.matchStreamWithTimeoutsFn[Long, Ev, (Boolean, Long, Long)](
+      Cep.matchStreamWithTimeoutsFn[Long, Ev, (Boolean, Long, Long, Int)](
         p, _.ts, Cep.NoSkip, _ => 0L,
-        (_, m) => (false, m("start").ts, m("end").ts),
-        (_, groups, at) => (true, groups("start").head.ts, at)))
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Long, Long)]
+        (_, m) => (false, m("start").ts, m("end").ts, m.size),
+        (_, groups, at) =>
+          (true, groups("start").head.ts, at, groups.values.map(_.size).sum)))
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(Boolean, Long, Long, Int)]
     out ++= h.input(7L, Ev(7, "start", 1), Ev(7, "start", 2),
       Ev(7, "middle", 3), Ev(7, "foobar", 4))
     assert(out.isEmpty) // nothing matched, nothing expired yet
-    out ++= h.advanceWatermarkTo(11L) // start@1 chain passes the horizon
-    assert(out.toList == List((true, 1L, 11L)))
+    out ++= h.advanceWatermarkTo(11L) // start@1's chains pass the horizon
+    assert(out.toSet == Set((true, 1L, 11L, 1), (true, 1L, 11L, 2)))
     out ++= h.input(7L, Ev(7, "end", 11))
-    assert(out.toList == List((true, 1L, 11L), (false, 2L, 11L)))
+    assert(out.filterNot(_._1).toList == List((false, 2L, 11L, 3)))
     out ++= h.advanceWatermarkTo(13L)
     out ++= h.input(7L, Ev(7, "end", 13))
-    assert(out.size == 2) // no further matches or timeouts; state clear
+    assert(out.toSet == Set(
+      (true, 1L, 11L, 1), (true, 1L, 11L, 2),
+      (false, 2L, 11L, 3),
+      (true, 2L, 13L, 1), (true, 2L, 13L, 2)))
     assert(h.stateOf(7L).isEmpty)
   }
 
