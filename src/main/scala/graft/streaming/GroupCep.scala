@@ -73,9 +73,11 @@ object GroupCep {
     * step is wrapped into a singleton group (same NFA shape the reference
     * compiles it to). */
   final class GPattern[E] private[GroupCep] (
-      val elems: Vector[GElem[E]], val withinMs: Option[Long]) {
+      val elems: Vector[GElem[E]], val withinMs: Option[Long],
+      private[GroupCep] val reluctantSel: Boolean = false) {
 
-    private def append(e: GElem[E]) = new GPattern(elems :+ e, withinMs)
+    private def append(e: GElem[E]) =
+      new GPattern(elems :+ e, withinMs, reluctantSel)
 
     def followedBy(name: String)(pred: E => Boolean): GPattern[E] =
       append(GLeaf(name, pred, TillNext))
@@ -112,7 +114,7 @@ object GroupCep {
         case _: GAlt[E] => throw new IllegalStateException(
           "alternation is always group-wrapped by the builder")
       }
-      new GPattern(elems.init :+ f(g), withinMs)
+      new GPattern(elems.init :+ f(g), withinMs, reluctantSel)
     }
 
     def times(n: Int): GPattern[E] = {
@@ -142,7 +144,38 @@ object GroupCep {
         "Option not applicable to FollowedByAny pattern")
       g.copy(greedy = true)
     }
-    def within(ms: Long): GPattern[E] = new GPattern(elems, Some(ms))
+    def within(ms: Long): GPattern[E] =
+      new GPattern(elems, Some(ms), reluctantSel)
+
+    /** SQL:2016 RELUCTANT selection for the pattern's SINGLE quantified
+      * element (the nested twin of [[Cep.Pattern.reluctant]] —
+      * MATCH_RECOGNIZE `(A B)+?`): the drivers emit only the SHORTEST
+      * completion per match start and kill the longer same-start
+      * branches at emission. The single-quantifier / no-alternation
+      * contract is what makes preference order equal completion order
+      * (candidates from one start differ only in repetition count over a
+      * fixed-length body, so fewer reps always completes first) — exact
+      * in batch AND streaming. Requires NoSkip in the drivers. */
+    def reluctant: GPattern[E] = {
+      def quantCount(es: Vector[GElem[E]]): Int = es.map {
+        case g: GGroup[E] =>
+          (if (g.min != g.max || g.max > 1 || g.optional) 1 else 0) +
+            quantCount(g.elems)
+        case _ => 0
+      }.sum
+      def hasAlt(es: Vector[GElem[E]]): Boolean = es.exists {
+        case g: GGroup[E] => g.elems.exists(_.isInstanceOf[GAlt[E]]) ||
+          hasAlt(g.elems)
+        case _ => false
+      }
+      require(quantCount(elems) == 1,
+        "a reluctant pattern may contain exactly ONE quantified element " +
+          "(single-quantifier preference order = completion order)")
+      require(!hasAlt(elems),
+        "reluctant does not compose with alternation (branch lengths " +
+          "break the completion-order invariant)")
+      new GPattern(elems, withinMs, reluctantSel = true)
+    }
 
     private[GroupCep] def validated: GPattern[E] = {
       // recursive: a nested group ending in a negation would silently drop
@@ -217,6 +250,7 @@ object GroupCep {
   final class Compiled[E] private[GroupCep] (pattern: GPattern[E])
       extends Serializable {
     private[GroupCep] val withinMs = pattern.withinMs
+    private[GroupCep] val reluctantSel = pattern.reluctantSel
     @transient private val slotNames = Vector.newBuilder[String]
     @transient private val slotPreds = Vector.newBuilder[E => Boolean]
     @transient private val untilsB = Vector.newBuilder[E => Boolean]
@@ -506,10 +540,31 @@ object GroupCep {
       if (!c.guardHit(t.guard, e) && c.predOf(t.slot)(e))
         fire(GConf(t.slot, t.mode, t.reps, Vector.empty, ts, fresh = true))
     }
-    (dedupBy(out.result())(c =>
-        (c.slot, c.mode, c.reps, c.startTs, c.fresh, c.guard,
-          c.captured.length)),
-      dedupBy(matches.result())(m => (m.length, m.map(_._1))))
+    var outConfs = dedupBy(out.result())(c =>
+      (c.slot, c.mode, c.reps, c.startTs, c.fresh, c.guard,
+        c.captured.length))
+    var ms = dedupBy(matches.result())(m => (m.length, m.map(_._1)))
+    // SQL:2016 reluctant (GPattern.reluctant, single-quantifier
+    // contract): the FIRST completion per start is the shortest and
+    // therefore THE match — keep only it among same-event siblings and
+    // kill every still-open branch sharing that start, so no later
+    // (longer, less preferred) completion can surface. One site covers
+    // every driver (batch, streaming state fns, planned GroupCepExec).
+    if (c.reluctantSel && ms.nonEmpty) {
+      val byStart = scala.collection.mutable.LinkedHashMap
+        .empty[E, Vector[(Int, E)]]
+      ms.foreach { m =>
+        byStart.get(m.head._2) match {
+          case Some(prev) if prev.length <= m.length =>
+          case _ => byStart(m.head._2) = m
+        }
+      }
+      val starts = byStart.keySet
+      ms = byStart.values.toVector
+      outConfs = outConfs.filterNot(
+        _.captured.headOption.exists(h => starts.contains(h._2)))
+    }
+    (outConfs, ms)
   }
 
   /** Order-preserving dedup that hashes only a cheap structural key and
@@ -556,7 +611,7 @@ object GroupCep {
     case a: GAlt[E] => GAlt(a.branches.map(_.map(liftElem[E])), a.mode)
   }
   private[streaming] def liftG[E](p: GPattern[E]): GPattern[(E, Long)] =
-    new GPattern(p.elems.map(liftElem[E]), p.withinMs)
+    new GPattern(p.elems.map(liftElem[E]), p.withinMs, p.reluctantSel)
 
   /** Un-tag a capture map, preserving declaration order. */
   private def unliftGroups[E](groups: Map[String, Seq[(E, Long)]]):
@@ -571,6 +626,8 @@ object GroupCep {
       stats: Cep.HotKeyStats = null): Vector[O] = {
     var confs = Vector.empty[GConf[E2]]
     val outs = Vector.newBuilder[O]
+    require(!compiled.reluctantSel || skip == Cep.NoSkip,
+      "reluctant group patterns require NoSkip")
     val sq = if (skip == Cep.NoSkip) null
              else new GroupSkipQueue[E2](skip, compiled, ts)
     var maxConfs = 0
@@ -756,6 +813,8 @@ object GroupCep {
       val st = state.getOption.getOrElse(GStreamState[E](Vector.empty,
         Vector.empty))
       val outs = Vector.newBuilder[O]
+      require(!compiled.reluctantSel || skip == Cep.NoSkip,
+        "reluctant group patterns require NoSkip")
       val sq = if (skip == Cep.NoSkip) null
                else new GroupSkipQueue[E](skip, compiled, ts)
       if (sq != null) sq.restore(st.pending)

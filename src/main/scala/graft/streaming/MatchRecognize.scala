@@ -510,9 +510,24 @@ object MatchRecognize {
     }
     val hasReluctant = anyReluctant(elems)
     if (hasReluctant) {
-      require(!nested, "reluctant quantifiers are supported on flat " +
-        "patterns only (no groups, alternation, or PERMUTE)")
-      require(elems.count(_.quant.isDefined) == 1,
+      // flat AND nested-group patterns qualify (the linear engine's
+      // Pattern.reluctant / the group engine's GPattern.reluctant);
+      // alternation and PERMUTE break the completion-order invariant
+      // (branch lengths differ) and reject
+      def countQuants(es: Vector[PElem]): Int = es.map {
+        case PVar(_, q) => q.size
+        case PGrp(in, q) => q.size + countQuants(in)
+        case PAlt(bs, q) => q.size + bs.map(countQuants).sum
+      }.sum
+      def hasAltE(es: Vector[PElem]): Boolean = es.exists {
+        case _: PAlt => true
+        case PGrp(in, _) => hasAltE(in)
+        case _ => false
+      }
+      require(!hasAltE(elems), "reluctant quantifiers do not compose " +
+        "with alternation or PERMUTE (branch lengths break the " +
+        "completion-order invariant)")
+      require(countQuants(elems) == 1,
         "a reluctant pattern may contain exactly ONE quantified element " +
           "(single-quantifier preference order = completion order)")
       require(!anchored,
@@ -1097,18 +1112,22 @@ object MatchRecognize {
       // runs GroupCep's GroupSkipQueue on both paths; on the streaming
       // path its deferred matches ride keyed state (GArrivalState).
       def applyQuant(gp: GroupCep.GPattern[Row],
-          q: String): GroupCep.GPattern[Row] = q match {
-        case "?" => gp.optional
-        case "*" => gp.oneOrMore.consecutive.optional
-        case "+" => gp.oneOrMore.consecutive
-        case b =>
-          b.substring(1, b.length - 1).split(",", -1) match {
-            case Array(n) => gp.times(n.toInt).consecutive
-            case Array(n, "") =>
-              gp.times(n.toInt, Int.MaxValue).consecutive
-            case Array(n, m) => gp.times(n.toInt, m.toInt).consecutive
-          }
-      }
+          q: String): GroupCep.GPattern[Row] =
+        // the reluctant marker is pattern-level on GroupCep (the
+        // single-quantifier contract): strip it here, set
+        // GPattern.reluctant after the build below
+        (if (isReluctantQ(q)) q.dropRight(1) else q) match {
+          case "?" => gp.optional
+          case "*" => gp.oneOrMore.consecutive.optional
+          case "+" => gp.oneOrMore.consecutive
+          case b =>
+            b.substring(1, b.length - 1).split(",", -1) match {
+              case Array(n) => gp.times(n.toInt).consecutive
+              case Array(n, "") =>
+                gp.times(n.toInt, Int.MaxValue).consecutive
+              case Array(n, m) => gp.times(n.toInt, m.toInt).consecutive
+            }
+        }
       def build(es: Vector[PElem],
           init: GroupCep.GPattern[Row]): GroupCep.GPattern[Row] = {
         var gp = init
@@ -1134,6 +1153,7 @@ object MatchRecognize {
       }
       var gp = build(elems, null)
       withinOrd.foreach(w => gp = gp.within(w))
+      if (hasReluctant) gp = gp.reluctant
       if (df.isStreaming) {
         implicit val stateEnc: org.apache.spark.sql.Encoder[
           GroupCep.GArrivalState[Row]] =

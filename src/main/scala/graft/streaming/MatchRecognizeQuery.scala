@@ -359,6 +359,65 @@ object MatchRecognizeQuery extends QueryModule {
         .orderBy("user_id", "v_id")
     },
 
+    q("qc25_mr_reluctant_group",
+      // RELUCTANT on a nested group (round 10): `V (C X){1,3}? E` — a
+      // view, then the FEWEST (click, anything) pairs, then an error.
+      // X is undefined (= TRUE), so candidates of 1..3 reps can share a
+      // start; the group engine keeps only the shortest completion.
+      // Oracle: one rn-lattice join per rep count, MIN(k) per start.
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |k1 AS (SELECT v.user_id, v.rn AS vrn, v.event_id AS v_id,
+        |    1 AS k, e.event_id AS e_id
+        |  FROM o v
+        |  JOIN o c1 ON c1.user_id = v.user_id AND c1.rn = v.rn + 1
+        |    AND c1.event_type = 'click'
+        |  JOIN o e ON e.user_id = v.user_id AND e.rn = v.rn + 3
+        |    AND e.event_type = 'error'
+        |  WHERE v.event_type = 'view'),
+        |k2 AS (SELECT v.user_id, v.rn AS vrn, v.event_id AS v_id,
+        |    2 AS k, e.event_id AS e_id
+        |  FROM o v
+        |  JOIN o c1 ON c1.user_id = v.user_id AND c1.rn = v.rn + 1
+        |    AND c1.event_type = 'click'
+        |  JOIN o c2 ON c2.user_id = v.user_id AND c2.rn = v.rn + 3
+        |    AND c2.event_type = 'click'
+        |  JOIN o e ON e.user_id = v.user_id AND e.rn = v.rn + 5
+        |    AND e.event_type = 'error'
+        |  WHERE v.event_type = 'view'),
+        |k3 AS (SELECT v.user_id, v.rn AS vrn, v.event_id AS v_id,
+        |    3 AS k, e.event_id AS e_id
+        |  FROM o v
+        |  JOIN o c1 ON c1.user_id = v.user_id AND c1.rn = v.rn + 1
+        |    AND c1.event_type = 'click'
+        |  JOIN o c2 ON c2.user_id = v.user_id AND c2.rn = v.rn + 3
+        |    AND c2.event_type = 'click'
+        |  JOIN o c3 ON c3.user_id = v.user_id AND c3.rn = v.rn + 5
+        |    AND c3.event_type = 'click'
+        |  JOIN o e ON e.user_id = v.user_id AND e.rn = v.rn + 7
+        |    AND e.event_type = 'error'
+        |  WHERE v.event_type = 'view'),
+        |u AS (SELECT * FROM k1 UNION ALL SELECT * FROM k2
+        |  UNION ALL SELECT * FROM k3),
+        |m AS (SELECT user_id, vrn, v_id, MIN(k) AS mk
+        |  FROM u GROUP BY 1, 2, 3)
+        |SELECT m.user_id AS user_id, m.v_id AS v_id, u.e_id AS e_id,
+        |  CAST(m.mk AS BIGINT) AS nc
+        |FROM m JOIN u ON u.user_id = m.user_id AND u.vrn = m.vrn
+        |  AND u.k = m.mk
+        |ORDER BY user_id, v_id""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS v_id, E.event_id AS e_id,
+          |  COUNT(C.*) AS nc
+          |PATTERN (V (C X){1,3}? E)
+          |DEFINE V AS event_type = 'view', C AS event_type = 'click',
+          |       E AS event_type = 'error'""".stripMargin)
+        .orderBy("user_id", "v_id")
+    },
+
     q("qc22_match_recognize_tail_anchor",
       // $ end anchor (round 9): users whose LAST event is an error — every
       // error row is a candidate under all-starts, the anchor keeps only

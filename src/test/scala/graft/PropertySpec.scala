@@ -216,6 +216,14 @@ class PropertySpec extends SparkSuite {
       .next("b")(_._1 == "b").optional.reluctant
       .next("e")(t => t._1 == "b" || t._1 == "e")
     val pats = Vector(() => pat1, () => pat2, () => pat3)
+    // the GROUP engine's reluctant kill must be split-invariant too
+    import graft.streaming.GroupCep
+    import graft.streaming.GroupCep.GPattern
+    def gpat = GPattern.begin[E]("v")(_._1 == "v")
+      .next(GPattern.begin[E]("a")(t => t._1 == "b" || t._1 == "e")
+        .next("b")(_ => true)).oneOrMore.consecutive
+      .next("e")(_._1 == "e")
+      .reluctant
     val namesGen = Gen.listOfN(20, Gen.oneOf("v", "b", "e", "x"))
     check(Prop.forAll(namesGen, Gen.choose(0, 20), Gen.choose(0, 20),
       Gen.choose(0, pats.size - 1)) {
@@ -234,10 +242,23 @@ class PropertySpec extends SparkSuite {
           chunks.flatMap(c => h.input(0, c: _*))
             .groupBy(identity).view.mapValues(_.size).toMap
         }
+        val gfn = GroupCep.matchStreamArrivalFn[Int, E, Seq[Long]](
+          gpat, _._2, _ => 0L, Cep.NoSkip,
+          (_, groups) => groups.values.flatten.map(_._2).toVector)
+        def runG(chunks: Seq[Seq[E]]): Map[Seq[Long], Int] = {
+          val h = new VirtualClockHarness[Int, E,
+            GroupCep.GArrivalState[E], Seq[Long]](
+            GroupStateTimeout.NoTimeout(), gfn)
+          chunks.flatMap(c => h.input(0, c: _*))
+            .groupBy(identity).view.mapValues(_.size).toMap
+        }
         val whole = run(Seq(events))
         val split = run(Seq(events.take(i), events.slice(i, j),
           events.drop(j)))
-        whole == split
+        val wholeG = runG(Seq(events))
+        val splitG = runG(Seq(events.take(i), events.slice(i, j),
+          events.drop(j)))
+        whole == split && wholeG == splitG
     })
   }
 

@@ -998,15 +998,54 @@ class MatchRecognizeSpec extends SparkSuite {
          |PATTERN ($p)
          |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
         .stripMargin)
-    assert(intercept[IllegalArgumentException](mr("V (B E)+? X"))
-      .getMessage.contains("flat"))
+    assert(intercept[IllegalArgumentException](mr("V (B|E)+? X"))
+      .getMessage.contains("alternation"))
     assert(intercept[IllegalArgumentException](mr("V? B+? E"))
+      .getMessage.contains("exactly ONE"))
+    assert(intercept[IllegalArgumentException](mr("V (B E?)+? X"))
       .getMessage.contains("exactly ONE"))
     assert(intercept[IllegalArgumentException](
       mr("V B+? E", "AFTER MATCH SKIP PAST LAST ROW"))
       .getMessage.contains("SKIP"))
     assert(intercept[IllegalArgumentException](mr("^ V B+? E"))
       .getMessage.contains("anchors"))
+  }
+
+  test("reluctant on a nested group: (A B)+? stops at the first completion (batch + streaming)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // v a b a b e with E undefined (= TRUE): one group rep completes at
+    // the 'a'@4 (E absorbs it), two reps complete at 'e'@6 — same start
+    val rows = Seq(
+      (1L, 10L, "v", 1L), (2L, 20L, "a", 1L), (3L, 30L, "b", 1L),
+      (4L, 40L, "a", 1L), (5L, 50L, "b", 1L), (6L, 60L, "e", 1L))
+    def clause(q: String) =
+      s"""PARTITION BY user_id
+         |ORDER BY ts, event_id
+         |MEASURES V.event_id AS v_id, E.event_id AS e_id, COUNT(A.*) AS na
+         |PATTERN (V (A B)$q E)
+         |DEFINE V AS event_type = 'v', A AS event_type = 'a',
+         |       B AS event_type = 'b'""".stripMargin
+    def batch(q: String) = MatchRecognize(
+      rows.toDF("event_id", "ts", "event_type", "user_id"), clause(q))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch("+?") === Set((1L, 1L, 4L, 1L)))
+    assert(batch("+") === Set((1L, 1L, 4L, 1L), (1L, 1L, 6L, 2L)))
+    // streaming: the one-rep candidate completes in batch 2; the two-rep
+    // sibling (batch 3) must have been killed in state
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val streamDf = input.toDF()
+      .toDF("event_id", "ts", "event_type", "user_id")
+    val query = MatchRecognize(streamDf, clause("+?"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mr_rel_grp").start()
+    try {
+      Seq(rows.take(3), rows.slice(3, 4), rows.drop(4)).foreach { b =>
+        input.addData(b: _*); query.processAllAvailable()
+      }
+      assert(spark.table("mr_rel_grp")
+        .as[(Long, Long, Long, Long)].collect().toSet === batch("+?"))
+    } finally query.stop()
   }
 
   test("streaming ^ head anchor: the cross-batch arrival ordinal pins the partition head") {
