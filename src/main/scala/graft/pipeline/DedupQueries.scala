@@ -405,6 +405,63 @@ object DedupQueries extends QueryModule {
         .crossJoin(broadcast(bloom))
         .selectExpr("doc_id", "graft_bloom_contains(bf, k) AS maybe_seen")
         .orderBy("doc_id")
+    },
+
+    // Incremental NEAR-dup gate (round 10): qp15's exact-fingerprint
+    // Bloom, lifted to MinHash LSH — the historical slice's BAND VALUES
+    // feed one broadcast filter, and an incoming document is
+    // maybe-near-dup if ANY of its 4 bands hits (the LSH OR-of-bands
+    // rule, answered map-side). At 100 TB this gates a new crawl against
+    // the historical corpus without the historical band self-join: only
+    // flagged documents proceed to qp5's exact Jaccard verify. The
+    // oracle restates the full chain — shingles → band strings (the qp4
+    // idiom) → md5-60-bit hash → Carter-Wegman bit positions → AND over
+    // hash rows, OR over bands — so maybe_near is bit-exact including
+    // false positives.
+    q("qp16_bloom_near_dup", {
+      val hv = (e: String) =>
+        s"""list_aggregate(list_transform(generate_series(1, 15), i ->
+           |      CAST(strpos('0123456789abcdef',
+           |          substr(md5($e), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+           |        * (CAST(1 AS BIGINT)
+           |           << CAST((15 - i) * 4 AS INTEGER))), 'sum')""".stripMargin
+      s"""$duckSig,
+         |sn AS (SELECT doc_id, CAST(substr(source, 4) AS BIGINT) AS sn
+         |  FROM documents),
+         |bands AS (SELECT s.doc_id, sn.sn, b.band,
+         |    CASE b.band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+         |                WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bv
+         |  FROM sig s JOIN sn ON sn.doc_id = s.doc_id,
+         |    (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |hh AS (SELECT doc_id, sn, band, ${hv("bv")} AS h FROM bands),
+         |hp AS (SELECT * FROM (VALUES (0, 1103515245, 12345),
+         |    (1, 1299709, 7919), (2, 104729, 271), (3, 97, 31)) t(j, a, b)),
+         |hist AS (SELECT DISTINCT
+         |    ((CAST(hp.a AS BIGINT) * (hh.h % 2147483647) + hp.b)
+         |      % 2147483647) % 1048576 AS p
+         |  FROM hh CROSS JOIN hp WHERE hh.sn < 10),
+         |chk AS (SELECT hh.doc_id, hh.band,
+         |    BOOL_AND(((CAST(hp.a AS BIGINT) * (hh.h % 2147483647) + hp.b)
+         |      % 2147483647) % 1048576 IN (SELECT p FROM hist)) AS hit
+         |  FROM hh CROSS JOIN hp WHERE hh.sn >= 10
+         |  GROUP BY hh.doc_id, hh.band)
+         |SELECT doc_id, BOOL_OR(hit) AS maybe_near
+         |FROM chk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      graft.functions.Udafs.register(s)
+      val b = withShingles(t(s, d, "documents")
+          .withColumn("sn", expr("CAST(substring(source, 4, 10) AS BIGINT)")))
+        .select(col("doc_id"), col("sn"),
+          posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
+      val bloom = b.where(col("sn") < 10)
+        .agg(expr("graft_bloom(bv)").as("bf"))
+      b.where(col("sn") >= 10)
+        .crossJoin(broadcast(bloom))
+        .selectExpr("doc_id", "graft_bloom_contains(bf, bv) AS hit")
+        .groupBy(col("doc_id"))
+        .agg(expr("bool_or(hit)").as("maybe_near"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -149,6 +149,13 @@ object PlanAudit {
         qp15.contains("BroadcastHashJoin"))
     check("qp15 no corpus-vs-corpus join (membership is map-side)",
       !qp15.contains("SortMergeJoin") && !qp15.contains("CartesianProduct"))
+    // near-dup gate: same broadcast shape over LSH band values — no
+    // historical band self-join anywhere in the plan
+    val qp16 = plan("qp16_bloom_near_dup")
+    check("qp16 band bloom broadcasts (no historical self-join)",
+      (qp16.contains("BroadcastNestedLoopJoin") ||
+        qp16.contains("BroadcastHashJoin")) &&
+        !qp16.contains("SortMergeJoin") && !qp16.contains("CartesianProduct"))
 
     s.stop()
     if (failed > 0) {
