@@ -41,10 +41,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *                                  -- FEWEST repetitions: the shortest
   *                                  -- completion per start is emitted
   *                                  -- instead of every satisfied
-  *                                  -- length) on flat patterns whose
-  *                                  -- single quantified element carries
-  *                                  -- the marker, batch AND streaming,
-  *                                  -- default skip, no anchors;
+  *                                  -- length) on flat AND nested-group
+  *                                  -- patterns whose SINGLE quantified
+  *                                  -- element carries the marker,
+  *                                  -- batch AND streaming, default
+  *                                  -- skip, no anchors/alternation;
   *                                  -- a flat sequence runs
   *                                  -- the linear NFA; nested groups,
   *                                  -- alternation `A|B` / `(A B|C D)`
@@ -60,8 +61,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *                                  -- output; name-keyed — a variable
   *                                  -- both inside and outside rejects);
   *                                  -- ^/$ partition anchors at the
-  *                                  -- pattern boundaries (batch +
-  *                                  -- default skip only; flat
+  *                                  -- pattern boundaries (default skip
+  *                                  -- only; $ needs batch input, while
+  *                                  -- ^ ALSO works on flat streaming
+  *                                  -- clauses via the cross-batch
+  *                                  -- arrival ordinal; flat
   *                                  -- unquantified clauses route onto
   *                                  -- the PLANNED CepExec with the
   *                                  -- anchors as NFA-level gates — one
@@ -242,11 +246,12 @@ object MatchRecognize {
   // ---- PATTERN grammar:
   //   body     ::= alt
   //   alt      ::= seq ('|' seq)*          -- lowest precedence (SQL:2016)
-  //   seq      ::= element*
-  //   element  ::= (variable | '(' alt ')') quant?
-  // PERMUTE, anchors, exclusions are REJECTED with a clear error (silent
-  // misparse is the one wrong option); nested groups and alternation
-  // compile onto the GroupCep epsilon-NFA below.
+  //   seq      ::= (element | '{-' seq '-}' | PERMUTE '(' seq,+ ')')*
+  //   element  ::= (variable | '(' alt ')') quant? '?'?
+  // Anything outside this grammar (interior anchors, stray symbols,
+  // unclosed quantifiers) is REJECTED with a clear error — silent
+  // misparse is the one wrong option; nested groups, alternation, and
+  // PERMUTE compile onto the GroupCep epsilon-NFA below.
   private sealed trait PElem { def quant: Option[String] }
   private final case class PVar(name: String, quant: Option[String])
       extends PElem
