@@ -223,6 +223,8 @@ object MatchRecognize {
   private val MeasuresRe =
     """(?is)MEASURES\s+(.*?)\s*(?:ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN\s*\()""".r
   private val AllRowsRe = """(?is)ALL\s+ROWS\s+PER\s+MATCH""".r
+  private val UnmatchedRe =
+    """(?is)ALL\s+ROWS\s+PER\s+MATCH\s+WITH\s+UNMATCHED\s+ROWS""".r
   private val ClassifierRe = """(?is)CLASSIFIER\s*\(\s*\)""".r
   private val SkipRe =
     """(?is)AFTER\s+MATCH\s+SKIP\s+(?:(PAST\s+LAST\s+ROW)|(TO\s+NEXT\s+ROW)|TO\s+FIRST\s+(\w+)|TO\s+LAST\s+(\w+))""".r
@@ -543,6 +545,22 @@ object MatchRecognize {
           "NEXT ROW (per-start selection and the skip queue's pruning " +
           "boundaries do not compose)")
     }
+    // SQL:2016 ALL ROWS PER MATCH WITH UNMATCHED ROWS (round 10, beyond
+    // Flink 1.7): rows that are part of NO emitted match are also
+    // output, with NULL measures, alongside the pass-through ORDER BY
+    // column that identifies each row. Batch only (a row's
+    // unmatchedness is undecidable while partials remain open on an
+    // unbounded stream); anchors and exclusions reject (an excluded row
+    // IS matched yet absent from the output — its unmatchedness would
+    // misread; an anchor-rejected candidate's rows likewise).
+    val withUnmatched = UnmatchedRe.findFirstMatchIn(clause).isDefined
+    if (withUnmatched) {
+      require(!df.isStreaming, "WITH UNMATCHED ROWS requires batch " +
+        "input (unmatchedness is undecidable while partials remain open)")
+      require(!anchored && excluded.isEmpty,
+        "WITH UNMATCHED ROWS does not compose with ^/$ anchors or " +
+          "{- -} exclusions")
+    }
     val withinMicros: Option[Long] =
       WithinRe.findFirstMatchIn(clause).map { m =>
         val n = m.group(1).toLong
@@ -711,7 +729,8 @@ object MatchRecognize {
         case PosMeasure(_, c, _, _, _) => c
         case AggMeasure(_, _, c, _) => c
       }
-      :+ partCol) ++ (if (streamingIn) Seq(ordCol) else Nil) ++
+      :+ partCol) ++
+      (if (streamingIn || withUnmatched) Seq(ordCol) else Nil) ++
       prevNeeded).distinct
     val basePrepared = df
       .where(col(ordCol).isNotNull)
@@ -970,7 +989,19 @@ object MatchRecognize {
 
     val outSchema = StructType(
       schema(keyIdx).copy(name = partCol) +: measures.map(_.field(schema)))
-    val entryStruct = StructType(measures.map(_.field(schema)))
+    // WITH UNMATCHED ROWS: each matched output row additionally carries
+    // the raw ORDER BY value (the row's identity for the user) and the
+    // internal (ord, tie) longs (the row's identity for the anti-join)
+    val rawOrdIdx = if (withUnmatched) schema.fieldIndex(ordCol) else -1
+    val entryStruct = StructType(
+      (if (withUnmatched)
+        Seq(StructField(ordCol, schema(rawOrdIdx).dataType, nullable = true))
+      else Nil) ++
+      measures.map(_.field(schema)) ++
+      (if (withUnmatched)
+        Seq(StructField("__mr_uord", LongType, nullable = false),
+          StructField("__mr_utie", LongType, nullable = false))
+      else Nil))
     val arrSchema = StructType(Seq(schema(keyIdx).copy(name = partCol),
       StructField("__mr_rows",
         org.apache.spark.sql.types.ArrayType(entryStruct))))
@@ -1025,9 +1056,13 @@ object MatchRecognize {
           val rows = flatten(groups).flatMap { case (n, e) =>
             prefix(n) = prefix.getOrElse(n, Vector.empty) :+ e
             if (excluded(n)) None
-            else Some(Row.fromSeq(measures.map(m =>
-              if (m.isFinal) m.eval(gAll, schema, finalCls, mn)
-              else m.eval(withSubsets(prefix.toMap), schema, n, mn))))
+            else Some(Row.fromSeq(
+              (if (withUnmatched) Seq(e.get(rawOrdIdx)) else Nil) ++
+              measures.map(m =>
+                if (m.isFinal) m.eval(gAll, schema, finalCls, mn)
+                else m.eval(withSubsets(prefix.toMap), schema, n, mn)) ++
+              (if (withUnmatched)
+                Seq(e.getLong(ordIdx), e.getLong(tieIdx)) else Nil)))
           }
           Row(k.get(0), rows)
         }
@@ -1043,11 +1078,36 @@ object MatchRecognize {
     // streaming output)
     val post: DataFrame => DataFrame =
       if (!useArr) identity
-      else d => d.select(col(partCol),
-          org.apache.spark.sql.functions.explode(col("__mr_rows"))
-            .as("__mr_r"))
-        .select(col(partCol) +:
-          measures.map(m => col(s"__mr_r.${m.alias}").as(m.alias)): _*)
+      else d => {
+        val fields =
+          (if (withUnmatched) Seq(col(s"__mr_r.`$ordCol`").as(ordCol))
+          else Nil) ++
+          measures.map(m => col(s"__mr_r.${m.alias}").as(m.alias)) ++
+          (if (withUnmatched) Seq(col("__mr_r.__mr_uord").as("__mr_uord"),
+            col("__mr_r.__mr_utie").as("__mr_utie"))
+          else Nil)
+        val exploded = d.select(col(partCol),
+            org.apache.spark.sql.functions.explode(col("__mr_rows"))
+              .as("__mr_r"))
+          .select(col(partCol) +: fields: _*)
+        if (!withUnmatched) exploded
+        else {
+          // unmatched rows: everything the matched (ord, tie) key set
+          // does not cover, with NULL measures — one distinct + one
+          // left_anti join, both on the narrow key triple
+          val keys = exploded.select(col(partCol).as("__mr_k"),
+            col("__mr_uord"), col("__mr_utie")).distinct()
+          val un = prepared.join(keys,
+              prepared(partCol) === keys("__mr_k") &&
+                prepared("__mr_ord") === keys("__mr_uord") &&
+                prepared("__mr_tie") === keys("__mr_utie"),
+              "left_anti")
+            .select(col(partCol) +: (col(ordCol) +:
+              measures.map(m => lit(null).cast(m.field(schema).dataType)
+                .as(m.alias))): _*)
+          exploded.drop("__mr_uord", "__mr_utie").unionByName(un)
+        }
+      }
 
     if (!nested) {
       // FLAT variable sequence: the linear Cep NFA (arrival-id parity,

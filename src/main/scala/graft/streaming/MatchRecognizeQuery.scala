@@ -418,6 +418,40 @@ object MatchRecognizeQuery extends QueryModule {
         .orderBy("user_id", "v_id")
     },
 
+    q("qc26_mr_unmatched_rows",
+      // ALL ROWS PER MATCH WITH UNMATCHED ROWS (round 10, SQL:2016
+      // beyond Flink): every event row appears exactly once — matched
+      // rows with their CLASSIFIER(), the rest with NULL. The adjacency
+      // pattern keeps each row in at most one match (type-disjoint V/C),
+      // so the oracle is the rn+1 pair set plus a membership CASE.
+      """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT v.user_id, v.rn AS vrn, c.rn AS crn
+        |  FROM o v JOIN o c ON c.user_id = v.user_id AND c.rn = v.rn + 1
+        |  WHERE v.event_type = 'view' AND c.event_type = 'click')
+        |SELECT o.user_id AS user_id, o.ts AS ts,
+        |  CASE WHEN pv.vrn IS NOT NULL THEN 'V'
+        |    WHEN pc.crn IS NOT NULL THEN 'C' END AS who
+        |FROM o
+        |LEFT JOIN p pv ON pv.user_id = o.user_id AND pv.vrn = o.rn
+        |LEFT JOIN p pc ON pc.user_id = o.user_id AND pc.crn = o.rn
+        |ORDER BY user_id, ts, coalesce(who, 'ZZ'), o.event_id""".stripMargin) {
+      (s, d) =>
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES CLASSIFIER() AS who
+          |ALL ROWS PER MATCH WITH UNMATCHED ROWS
+          |PATTERN (V C)
+          |DEFINE V AS event_type = 'view', C AS event_type = 'click'"""
+          .stripMargin)
+        .orderBy(col("user_id"), col("ts"),
+          coalesce(col("who"), lit("ZZ")))
+    },
+
     q("qc22_match_recognize_tail_anchor",
       // $ end anchor (round 9): users whose LAST event is an error — every
       // error row is a candidate under all-starts, the anchor keeps only

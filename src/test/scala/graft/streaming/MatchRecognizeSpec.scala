@@ -1011,6 +1011,49 @@ class MatchRecognizeSpec extends SparkSuite {
       .getMessage.contains("anchors"))
   }
 
+  test("ALL ROWS PER MATCH WITH UNMATCHED ROWS emits non-matching rows with null measures") {
+    // view click | error view — the (V C) pair matches rows 1-2; rows 3-4
+    // are unmatched and must appear with the pass-through ts and nulls
+    val df = Seq(
+      (1L, 10L, "view", 1L), (2L, 20L, "click", 1L),
+      (3L, 30L, "error", 1L), (4L, 40L, "view", 1L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val got = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES CLASSIFIER() AS who
+        |ALL ROWS PER MATCH WITH UNMATCHED ROWS
+        |PATTERN (V C)
+        |DEFINE V AS event_type = 'view', C AS event_type = 'click'"""
+        .stripMargin)
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(got === Set(
+      (1L, 10L, Some("V")), (1L, 20L, Some("C")),
+      (1L, 30L, None), (1L, 40L, None)))
+    // plain ALL ROWS drops the unmatched rows (and the ts pass-through)
+    val plain = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES CLASSIFIER() AS who
+        |ALL ROWS PER MATCH
+        |PATTERN (V C)
+        |DEFINE V AS event_type = 'view', C AS event_type = 'click'"""
+        .stripMargin)
+      .as[(Long, String)].collect().toSet
+    assert(plain === Set((1L, "V"), (1L, "C")))
+    // compositions that would misread reject by name
+    assert(intercept[IllegalArgumentException] {
+      MatchRecognize(df,
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES CLASSIFIER() AS who
+          |ALL ROWS PER MATCH WITH UNMATCHED ROWS
+          |PATTERN (V {- C -} X)
+          |DEFINE V AS event_type = 'view', C AS event_type = 'click'"""
+          .stripMargin)
+    }.getMessage.contains("exclusions"))
+  }
+
   test("reluctant on a nested group: (A B)+? stops at the first completion (batch + streaming)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
