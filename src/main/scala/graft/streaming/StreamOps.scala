@@ -190,6 +190,29 @@ object StreamOps {
     }
   }
 
+  /** ONE-PASS multi-way split for STREAMING sinks — the closest Spark
+    * gets to the reference's in-plan OutputTag routing
+    * (SingleOutputStreamOperator.java:409): [[sideOutputs]]' N filtered
+    * branches each re-read the source when written separately, so this
+    * form routes through `foreachBatch`, CACHES each micro-batch once,
+    * and feeds every route's sink from the cached frame — one source
+    * scan per epoch, N cheap filters, exactly the cost profile of the
+    * reference's tagged side outputs. Routes see the batch and its
+    * epoch for idempotent sinks ([[TxnSink.exactlyOnce]] composes). */
+  def splitSinks(df: DataFrame, routes: Seq[(Column, (DataFrame, Long) => Unit)],
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        batch.persist()
+        try routes.foreach { case (pred, sink) =>
+          sink(batch.where(pred), epoch)
+        } finally { batch.unpersist(); () }
+      }
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
+
   /** Dynamic-gap session windows (DynamicEventTimeSessionWindows — the
     * assigner whose gap is a function of the element, with no Spark
     * analog): each element proposes the window [ts, ts+gap) and overlapping

@@ -109,6 +109,34 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("splitSinks: one cached pass per epoch feeds every route's sink") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[Click]
+    val views = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val clicks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = StreamOps.splitSinks(input.toDF(), Seq(
+      (col("kind") === "view", (b: org.apache.spark.sql.DataFrame, e: Long) =>
+        b.select("user").collect().foreach(r => views.synchronized {
+          views += ((r.getLong(0), e)) }): Unit),
+      (col("kind") === "click", (b: org.apache.spark.sql.DataFrame, e: Long) =>
+        b.select("user").collect().foreach(r => clicks.synchronized {
+          clicks += ((r.getLong(0), e)) }): Unit)))
+    try {
+      input.addData(
+        Click(1, "view", t("2024-01-01 00:00:00"), 1.0),
+        Click(2, "click", t("2024-01-01 00:01:00"), 2.0),
+        Click(3, "view", t("2024-01-01 00:02:00"), 3.0))
+      q.processAllAvailable()
+      input.addData(Click(4, "click", t("2024-01-01 00:03:00"), 4.0))
+      q.processAllAvailable()
+      assert(views.map(_._1).toSet == Set(1L, 3L))
+      assert(clicks.map(_._1).toSet == Set(2L, 4L))
+      // epochs flowed through (idempotent sinks can key on them)
+      assert(clicks.map(_._2).distinct.size == 2)
+    } finally q.stop()
+  }
+
   test("interval join matches events within the time bound") {
     implicit val sqlCtx = spark.sqlContext
     val orders = MemoryStream[Click]
