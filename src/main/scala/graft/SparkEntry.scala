@@ -22,6 +22,8 @@ object SparkEntry {
     graft.pipeline.EmbeddingQueries,
     graft.pipeline.MultimodalQueries,
     graft.pipeline.CurationQueries,
+    graft.pipeline.PackingQueries,
+    graft.pipeline.BpeQueries,
     graft.streaming.CepQueries,
     graft.streaming.CepQuantQuery,
     graft.streaming.GroupCepQuery,

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import graft.{Q, QueryModule}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data EXPORT shaping: sequence packing and source interleaving —
+  * the two order-sensitive steps between a curated corpus and a training
+  * run (neither exists in the reference; both are core to an LLM pipeline).
+  *
+  * qp17 — GPT-style sequence packing (concatenate-then-chunk): every
+  * document gets a global token offset in a deterministic corpus order,
+  * mapping it to the fixed-length training sequences it lands in. The
+  * global offset is a DISTRIBUTED TWO-PHASE PREFIX SUM, not a
+  * single-partition window: the order key is an md5 hash, so its leading
+  * hex byte is simultaneously (a) a uniform 256-way partition key and
+  * (b) a PREFIX BLOCK of the total order — rows hash-partition by that
+  * byte, a per-bucket window computes local prefix sums, a 256-row
+  * aggregate yields per-bucket bases (tiny single-partition window), and
+  * the bases broadcast back. One corpus shuffle, one corpus sort, no
+  * stage ever sees more than one bucket's rows in one task. At 100 TB
+  * widen the prefix to 3-4 hex chars (4096/65536 buckets) — same plan.
+  *
+  * qp18 — deterministic proportional interleave (stride scheduling): the
+  * i-th document of a source with n_s documents sorts at key (i+1)/n_s,
+  * so sources interleave in proportion to their size and all finish
+  * together — the canonical data-mixing ORDER for training (no RNG; the
+  * within-source order is the md5 hash, so the result is reproducible on
+  * any engine or cluster size). The query emits the head of the schedule
+  * via top-k (TakeOrderedAndProject — no global sort); materializing the
+  * FULL schedule position at scale is exactly qp17's two-phase rank.
+  */
+object PackingQueries extends QueryModule {
+
+  private val SeqLen = 64
+  private val Head = 120
+
+  def all: Seq[Q] = Seq(
+
+    q("qp17_sequence_packing",
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tok,
+         |         md5('pack|' || doc_id) AS h
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, n_tok,
+         |         COALESCE(CAST(SUM(n_tok) OVER (ORDER BY h, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS BIGINT), 0) AS tok_offset
+         |  FROM tk)
+         |SELECT doc_id, n_tok, tok_offset,
+         |       tok_offset // $SeqLen AS seq_first,
+         |       (tok_offset + n_tok - 1) // $SeqLen AS seq_last
+         |FROM o ORDER BY tok_offset""".stripMargin) { (s, d) =>
+      // +1 token per document: the EOS separator of concat-then-chunk.
+      val docs = t(s, d, "documents").select(
+        col("doc_id"),
+        (size(split(col("text"), " ")) + 1).cast("long").as("n_tok"),
+        md5(concat(lit("pack|"), col("doc_id").cast("string"))).as("h"))
+      // Phase 1: bucket = leading md5 byte (a prefix block of the global
+      // (h, doc_id) order), local running totals within each bucket.
+      val bucketed = docs.withColumn("pid", substring(col("h"), 1, 2))
+      val wLocal = Window.partitionBy("pid").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = bucketed.withColumn("local_end", sum("n_tok").over(wLocal))
+      // Phase 2: per-bucket totals (256 rows) → exclusive bucket bases.
+      val bases = local.groupBy("pid").agg(sum("n_tok").as("ptot"))
+      val wBase = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val based = bases
+        .withColumn("base", coalesce(sum("ptot").over(wBase), lit(0L)))
+        .select("pid", "base")
+      local.join(broadcast(based), Seq("pid"))
+        .select(col("doc_id"), col("n_tok"),
+          (col("base") + col("local_end") - col("n_tok")).as("tok_offset"))
+        .withColumn("seq_first", expr(s"tok_offset div $SeqLen"))
+        .withColumn("seq_last",
+          expr(s"(tok_offset + n_tok - 1) div $SeqLen"))
+        .orderBy("tok_offset")
+    },
+
+    q("qp18_mix_interleave",
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |             ORDER BY md5('mix|' || doc_id), doc_id) AS DOUBLE)
+         |           / COUNT(*) OVER (PARTITION BY source) AS k
+         |  FROM documents),
+         |top AS (SELECT doc_id, source, k FROM r
+         |        ORDER BY k, source, doc_id LIMIT $Head)
+         |SELECT ROW_NUMBER() OVER (ORDER BY k, source, doc_id) AS pos,
+         |       source, doc_id
+         |FROM top ORDER BY pos""".stripMargin) { (s, d) =>
+      val wRank = Window.partitionBy("source")
+        .orderBy(col("hm"), col("doc_id"))
+      val wCnt = Window.partitionBy("source")
+      val r = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("hm"))
+        .withColumn("k",
+          row_number().over(wRank).cast("double")
+            / count(lit(1)).over(wCnt))
+      // Head of the schedule: top-k, no global sort. The final row_number
+      // runs over the Head-row result only.
+      val top = r.orderBy(col("k"), col("source"), col("doc_id")).limit(Head)
+      top.withColumn("pos", row_number()
+          .over(Window.orderBy(col("k"), col("source"), col("doc_id"))))
+        .select(col("pos").cast("long").as("pos"), col("source"),
+          col("doc_id"))
+        .orderBy("pos")
+    })
+}

@@ -157,6 +157,24 @@ object PlanAudit {
         qp16.contains("BroadcastHashJoin")) &&
         !qp16.contains("SortMergeJoin") && !qp16.contains("CartesianProduct"))
 
+    // sequence packing: the distributed two-phase prefix sum — exactly ONE
+    // corpus shuffle (the md5-byte bucket hash); the 256-row bucket bases
+    // broadcast back (never a corpus-wide single-partition window)
+    val qp17 = plan("qp17_sequence_packing")
+    check("qp17 two bucket-keyed shuffles (corpus window + partial-agg " +
+        "bases whose shuffle payload is <=256 rows/task)",
+      qp17.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2)
+    check("qp17 bases side partial-aggregates before its shuffle",
+      qp17.contains("partial_sum"))
+    check("qp17 corpus window is bucket-partitioned (never single-partition)",
+      qp17.linesIterator.exists(l =>
+        l.contains("AS local_end") && l.contains("], [pid")))
+    check("qp17 bucket bases broadcast", qp17.contains("BroadcastHashJoin"))
+    // interleave: the schedule head is a top-k, not a global sort
+    val qp18 = plan("qp18_mix_interleave")
+    check("qp18 schedule head plans as TakeOrderedAndProject",
+      qp18.contains("TakeOrderedAndProject"))
+
     s.stop()
     if (failed > 0) {
       println(s"$failed plan assertions FAILED"); sys.exit(1)
