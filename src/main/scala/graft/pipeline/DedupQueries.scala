@@ -462,6 +462,64 @@ object DedupQueries extends QueryModule {
         .groupBy(col("doc_id"))
         .agg(expr("bool_or(hit)").as("maybe_near"))
         .orderBy(col("doc_id"))
+    },
+
+    // Leakage-safe train/heldout split: a plain hash split leaks when two
+    // near-duplicate documents land on opposite sides (the heldout copy
+    // is effectively training data). The split key is therefore the
+    // near-dup CLUSTER representative (qp8's connected components over
+    // the LSH band pairs), not the document itself — every cluster moves
+    // to one side atomically; singletons split on their own id. ~90% of
+    // hash space ('e666'/0xffff) goes to train; membership is a pure
+    // function of ids (reproducible, incremental shards self-assign once
+    // their cluster representative is known). Scale: the band self-join
+    // + O(log d) CC run over the near-dup subgraph only; the corpus-wide
+    // step is one broadcast-ready left join of docs against the (small)
+    // clustered-docs table.
+    q("qp19_split_leakage_safe",
+      s"""${duckSig.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |bands AS (SELECT doc_id, b.band,
+         |    CASE b.band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+         |                WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bv
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |prs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |e AS (SELECT a AS src, b AS dst FROM prs
+         |  UNION SELECT b, a FROM prs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM e
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+         |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS rep_id,
+         |  CASE WHEN substr(md5('split|' || COALESCE(c.rep, d.doc_id)),
+         |         1, 4) < 'e666'
+         |       THEN 'train' ELSE 'heldout' END AS side
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val bands = withShingles(t(s, d, "documents"))
+        .select(col("doc_id"),
+          posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
+      val prs = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+        .distinct()
+      val comp = graft.graph.GraphOps.connectedComponents(s, prs)
+        .select(col("id"), col("comp").as("rep"))
+      t(s, d, "documents").select(col("doc_id"))
+        .join(broadcast(comp), col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep"), col("doc_id")).as("rep_id"))
+        .withColumn("side",
+          when(graft.pipeline.SamplingOps
+              .hashBucket(col("rep_id"), "split|") < "e666", "train")
+            .otherwise("heldout"))
+        .orderBy(col("doc_id"))
     }
   )
 

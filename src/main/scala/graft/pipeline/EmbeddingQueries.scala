@@ -304,6 +304,79 @@ object EmbeddingQueries extends QueryModule {
         .agg((sum(floor(col("v").cast("double") * 1000000.0).cast("long"))
           .cast("double") / 1000000.0 / count(lit(1))).as("mean_v"))
         .orderBy(col("label"), col("dim"))
+    },
+
+    // SemDeDup-style cluster-then-dedup (Abbas et al. 2023): semantic
+    // near-duplicate detection never compares across the whole corpus —
+    // vectors are first bucketed into coarse cells (the qe7 fixed-pivot
+    // quantizer, so the whole pass is deterministic and oracled), and
+    // exact cosine runs only WITHIN each cell. The quadratic is bounded
+    // by the cell size (k ≈ √n cells at real scale); the output is the
+    // per-cell dedup report: the two most-similar pairs of every cell
+    // (what you'd threshold to pick drop candidates). Join shape: cells
+    // self-join on the cell id — an equi-join whose buckets are exactly
+    // the clusters, never a corpus cross join.
+    q("qe8_semdedup_cells", {
+      val dot = (a: String, b: String) =>
+        s"""list_reduce(list_transform(generate_series(1, len($a)), i ->
+           |  CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+           |  (x, y) -> x + y)""".stripMargin
+      val d2 = (a: String, b: String) =>
+        s"(${dot(a, a)} - 2.0 * ${dot(a, b)} + ${dot(b, b)})"
+      s"""WITH piv AS MATERIALIZED (SELECT vec_id AS pid, embedding AS pvec
+         |  FROM embeddings WHERE vec_id < 16),
+         |ad AS MATERIALIZED (SELECT e.vec_id, e.embedding,
+         |    ${dot("e.embedding", "e.embedding")} AS nrm, p.pid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${d2("e.embedding", "p.pvec")}, p.pid) AS rn
+         |  FROM embeddings e CROSS JOIN piv p),
+         |cells AS MATERIALIZED (SELECT vec_id, embedding, nrm, pid AS cell
+         |  FROM ad WHERE rn = 1 AND nrm > 0),
+         |pr AS MATERIALIZED (SELECT x.cell, x.vec_id AS a_id,
+         |    y.vec_id AS b_id,
+         |    CAST(floor(${dot("x.embedding", "y.embedding")}
+         |      / sqrt(x.nrm * y.nrm) * 1000000.0) AS BIGINT) AS c6
+         |  FROM cells x JOIN cells y
+         |    ON x.cell = y.cell AND x.vec_id < y.vec_id),
+         |r AS (SELECT cell, a_id, b_id, c6,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY c6 DESC, a_id, b_id) AS rk
+         |  FROM pr)
+         |SELECT cell, CAST(rk AS BIGINT) AS rk, a_id, b_id, c6
+         |FROM r WHERE rk <= 2 ORDER BY cell, rk""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      def d2(a: String, b: String) =
+        s"(graft_dot($a, $a) - 2.0D * graft_dot($a, $b) + graft_dot($b, $b))"
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val piv = emb.where(col("vec_id") < 16)
+        .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+      val cells = emb.crossJoin(broadcast(piv))
+        .select(col("vec_id"), col("embedding"), col("pid"),
+          expr(d2("embedding", "pvec")).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("pid"))).as("m"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          expr("graft_dot(embedding, embedding)").as("nrm"),
+          col("m.pid").as("cell"))
+        .where(col("nrm") > 0)
+      val x = cells.select(col("cell"), col("vec_id").as("a_id"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val y = cells.select(col("cell").as("cell_y"),
+        col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      x.join(y, col("cell") === col("cell_y") && col("a_id") < col("b_id"))
+        .select(col("cell"), col("a_id"), col("b_id"),
+          floor(expr("graft_dot(ea, eb)") / sqrt(col("na") * col("nb"))
+            * 1000000.0).cast("long").as("c6"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cell"))
+            .orderBy(col("c6").desc, col("a_id"), col("b_id"))))
+        .where(col("rk") <= 2)
+        .select(col("cell"), col("rk").cast("long").as("rk"),
+          col("a_id"), col("b_id"), col("c6"))
+        .orderBy(col("cell"), col("rk"))
     }
   )
 }

@@ -403,6 +403,65 @@ object TextQueries extends QueryModule {
         .select(col("doc_id"), col("rk").cast("long").as("rk"),
           col("w").as("term"), col("score"))
         .orderBy(col("doc_id"), col("rk"))
+    },
+
+    // Bigram language-model scoring — the CCNet/KenLM-style perplexity
+    // quality filter: train add-one-smoothed bigram probabilities on the
+    // corpus itself, score every document by its summed/average bigram
+    // log-probability (low average ⇒ improbable text ⇒ filter
+    // candidate). Scale shape: the corpus reduces to the bigram count
+    // table and its prefix rollup (two partial-aggregated groupBys over
+    // one array-native bigram pass — no positional self-join); scoring
+    // is token-keyed equi-joins of the per-doc bigram rows against
+    // those reduced tables, then ONE partial-aggregated groupBy(doc).
+    // Determinism: P = (cb+1)/(cu+V) is one division of exact integers;
+    // ln floor-scales to micro-units (the qt10 rule) so per-doc SUMs are
+    // integer sums and avg is integer division — bit-exact cross-engine.
+    q("qt12_bigram_logprob",
+      """WITH arr AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |  FROM documents),
+        |big AS MATERIALIZED (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+        |  FROM arr, UNNEST(generate_series(1, len(a) - 1)) AS g(i)),
+        |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM big GROUP BY w1, w2),
+        |uc AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu
+        |  FROM bc GROUP BY w1),
+        |v AS (SELECT CAST(COUNT(DISTINCT u.w) AS BIGINT) AS vsz
+        |  FROM (SELECT UNNEST(a) AS w FROM arr) u)
+        |SELECT b.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CAST(floor(ln((bc.cb + 1.0) / (uc.cu + v.vsz))
+        |    * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_lp6,
+        |  CAST(SUM(CAST(floor(ln((bc.cb + 1.0) / (uc.cu + v.vsz))
+        |    * 1000000.0) AS BIGINT)) AS BIGINT) // COUNT(*) AS avg_lp6
+        |FROM big b JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+        |  JOIN uc ON b.w1 = uc.w1 CROSS JOIN v
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val arr = t(s, d, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("a"))
+      val big = arr.select(col("doc_id"), explode(expr(
+          """CASE WHEN size(a) >= 2
+            |  THEN transform(sequence(0, size(a) - 2),
+            |         i -> named_struct('w1', a[i], 'w2', a[i + 1]))
+            |  ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+            |END""".stripMargin)).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .cache() // one bigram pass feeds training counts AND scoring
+      val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val uc = bc.groupBy("w1").agg(sum("cb").as("cu"))
+      val v = arr.select(explode(col("a")).as("w"))
+        .agg(count_distinct(col("w")).as("vsz"))
+      val lp6 = floor(log((col("cb") + lit(1.0)) / (col("cu") + col("vsz")))
+        * 1000000.0).cast("long")
+      big.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          sum(lp6).cast("long").as("sum_lp6"))
+        .withColumn("avg_lp6", expr("sum_lp6 div n_bigrams"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -175,6 +175,25 @@ object PlanAudit {
     check("qp18 schedule head plans as TakeOrderedAndProject",
       qp18.contains("TakeOrderedAndProject"))
 
+    // SemDeDup: pivots broadcast, cell assignment partial-aggregates,
+    // and the pair join is cell-keyed (the cluster-bounded quadratic),
+    // never a corpus cross product
+    val qe8 = plan("qe8_semdedup_cells")
+    check("qe8 pivots broadcast and cell assignment partial-aggregates",
+      qe8.contains("Broadcast") && qe8.contains("partial_min") &&
+        !qe8.contains("CartesianProduct"))
+    // bigram LM: training counts partial-aggregate before any shuffle;
+    // the only nested-loop is the broadcast 1-row vocabulary scalar
+    val qt12 = plan("qt12_bigram_logprob")
+    check("qt12 bigram counts partial-aggregate (no cartesian)",
+      qt12.contains("partial_count") && !qt12.contains("CartesianProduct"))
+    // leakage-safe split: the clustered-docs table broadcasts back to the
+    // corpus; the LSH band join stays an equi-join
+    val qp19 = plan("qp19_split_leakage_safe")
+    check("qp19 cluster table broadcasts to the corpus join",
+      qp19.contains("BroadcastHashJoin") &&
+        !qp19.contains("CartesianProduct"))
+
     s.stop()
     if (failed > 0) {
       println(s"$failed plan assertions FAILED"); sys.exit(1)

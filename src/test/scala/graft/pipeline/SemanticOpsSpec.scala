@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** qe8 SemDeDup cells, qt12 bigram-LM scoring, qp19 leakage-safe split —
+  * each pinned against an exact driver-side recomputation, plus the
+  * leakage invariant qp19 exists for. */
+class SemanticOpsSpec extends SparkSuite {
+
+  test("qe8 per-cell top pairs equal a driver-side recomputation") {
+    val emb = graft.Engine.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val piv = emb.filter(_._1 < 16)
+    val cells = emb.map { case (id, v) =>
+      val n = dot(v, v)
+      val cell = piv.map { case (pid, pv) =>
+        (n - 2.0 * dot(v, pv) + dot(pv, pv), pid)
+      }.min._2
+      (id, v, n, cell)
+    }.filter(_._3 > 0)
+    val expected = cells.groupBy(_._4).toSeq.flatMap { case (cell, vs) =>
+      val pairs = for {
+        (a, va, na, _) <- vs; (b, vb, nb, _) <- vs if a < b
+      } yield (a, b,
+        math.floor(dot(va, vb) / math.sqrt(na * nb) * 1000000.0).toLong)
+      pairs.sortBy(p => (-p._3, p._1, p._2)).take(2).zipWithIndex
+        .map { case ((a, b, c6), i) => (cell, (i + 1).toLong, a, b, c6) }
+    }.sortBy(t => (t._1, t._2))
+
+    val got = run("qe8_semdedup_cells").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("qt12 document log-probabilities equal a driver-side bigram LM") {
+    val texts = graft.Engine.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val bigrams = texts.flatMap { case (id, ws) =>
+      ws.sliding(2).filter(_.length == 2).map(p => (id, p(0), p(1)))
+    }
+    val bc = bigrams.groupBy(t => (t._2, t._3)).map { case (k, v) =>
+      k -> v.length.toLong
+    }
+    val uc = bc.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val vsz = texts.flatMap(_._2).distinct.length.toLong
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val lps = bs.map { case (_, w1, w2) =>
+        math.floor(math.log((bc((w1, w2)) + 1.0) / (uc(w1) + vsz))
+          * 1000000.0).toLong
+      }
+      id -> (bs.length.toLong, lps.sum, lps.sum / bs.length)
+    }
+    val got = run("qt12_bigram_logprob").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, s, a) = expected(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == s && r.getLong(3) == a,
+        s"doc ${r.getLong(0)} scored (${r.getLong(1)},${r.getLong(2)}," +
+          s"${r.getLong(3)}) expected ($n,$s,$a)")
+    }
+  }
+
+  test("qp19 never splits a near-dup pair across sides (the invariant)") {
+    val side = run("qp19_split_leakage_safe").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // every doc assigned exactly once, to a real side
+    val docs = graft.Engine.table(spark, sf, "documents").count()
+    assert(side.size == docs)
+    assert(side.values.forall(v => v._2 == "train" || v._2 == "heldout"))
+    // the invariant: LSH near-dup candidates (qp4) land on the SAME side
+    // with the SAME representative
+    val pairs = run("qp4_minhash_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should carry near-dup candidates")
+    pairs.foreach { case (a, b) =>
+      assert(side(a)._1 == side(b)._1 && side(a)._2 == side(b)._2,
+        s"near-dup pair ($a,$b) split across sides: ${side(a)} vs ${side(b)}")
+    }
+    // representative is the cluster minimum: rep <= doc_id always, and
+    // a rep maps to itself
+    side.foreach { case (id, (rep, _)) =>
+      assert(rep <= id)
+      assert(side(rep)._1 == rep, s"rep $rep of $id is not its own rep")
+    }
+  }
+}
