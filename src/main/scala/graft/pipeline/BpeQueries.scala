@@ -53,9 +53,10 @@ object BpeQueries extends QueryModule {
     * fold: carry the previous unmerged symbol; when (prev, cur) is the
     * merge pair emit the fused symbol and clear the carry (the fused
     * symbol never re-merges within the same step, per BPE). */
-  private[pipeline] def mergeOnceExpr(a: String, b: String): String = {
+  private[pipeline] def mergeOnceExpr(a: String, b: String,
+      c: String = "syms"): String = {
     val A = esc(a); val B = esc(b); val AB = esc(a + b)
-    s"""aggregate(syms,
+    s"""aggregate(`$c`,
        |  named_struct('out', CAST(array() AS ARRAY<STRING>), 'prev', ''),
        |  (acc, x) -> CASE
        |    WHEN acc.prev = '$A' AND x = '$B'
@@ -160,6 +161,20 @@ object BpeQueries extends QueryModule {
        |$blocks
        |SELECT * FROM (
        |  $rows) m ORDER BY step""".stripMargin
+  }
+
+  /** BPE ENCODE — segment words by a learned merge list, applied in
+    * order (the tokenizer-application step: learn with [[learnMerges]],
+    * encode the corpus — or an incoming stream — with the result).
+    * Adds `out` (array<string>) next to `wordCol`. Pure chained column
+    * expressions (K folds), stateless: applies identically on ingest
+    * over a streaming source and in batch. */
+  def encode(df: DataFrame, wordCol: String,
+      merges: Seq[(String, String)], out: String = "bpe"): DataFrame = {
+    val seeded = df.withColumn(out, split(col(wordCol), ""))
+    merges.foldLeft(seeded) { case (acc, (a, b)) =>
+      acc.withColumn(out, expr(mergeOnceExpr(a, b, out)))
+    }
   }
 
   def all: Seq[Q] = Seq(

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.{Q, QueryModule}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token statistics,
@@ -438,30 +439,56 @@ object TextQueries extends QueryModule {
         |FROM big b JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
         |  JOIN uc ON b.w1 = uc.w1 CROSS JOIN v
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, d) =>
-      val arr = t(s, d, "documents")
-        .select(col("doc_id"),
-          expr("filter(split(text, ' '), x -> x <> '')").as("a"))
-      val big = arr.select(col("doc_id"), explode(expr(
-          """CASE WHEN size(a) >= 2
-            |  THEN transform(sequence(0, size(a) - 2),
-            |         i -> named_struct('w1', a[i], 'w2', a[i + 1]))
-            |  ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
-            |END""".stripMargin)).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val docs = t(s, d, "documents")
+      val big = bigramRows(docs)
         .cache() // one bigram pass feeds training counts AND scoring
-      val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-      val uc = bc.groupBy("w1").agg(sum("cb").as("cu"))
-      val v = arr.select(explode(col("a")).as("w"))
-        .agg(count_distinct(col("w")).as("vsz"))
-      val lp6 = floor(log((col("cb") + lit(1.0)) / (col("cu") + col("vsz")))
-        * 1000000.0).cast("long")
-      big.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
-        .crossJoin(broadcast(v))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("long").as("n_bigrams"),
-          sum(lp6).cast("long").as("sum_lp6"))
-        .withColumn("avg_lp6", expr("sum_lp6 div n_bigrams"))
-        .orderBy(col("doc_id"))
+      val (bc, uc, v) = bigramLm(big, docs)
+      scoreBigramLm(big, bc, uc, v).orderBy(col("doc_id"))
     }
   )
+
+  /** (doc_id, w1, w2) bigram rows of a corpus — array-native (one
+    * transform + explode), no positional self-join. Stateless, so it
+    * applies unchanged to a streaming source. */
+  def bigramRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("a"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(a) >= 2
+          |  THEN transform(sequence(0, size(a) - 2),
+          |         i -> named_struct('w1', a[i], 'w2', a[i + 1]))
+          |  ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+          |END""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  /** Train the add-one bigram LM: (bigram counts, prefix counts,
+    * vocabulary size) — the reduced tables you'd persist at corpus
+    * scale and reuse across scoring runs. */
+  def bigramLm(big: DataFrame, docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val uc = bc.groupBy("w1").agg(sum("cb").as("cu"))
+    val v = docs
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')"))
+        .as("w"))
+      .agg(count_distinct(col("w")).as("vsz"))
+    (bc, uc, v)
+  }
+
+  /** Score bigram rows against a trained LM: token-keyed equi-joins +
+    * one partial-aggregated groupBy(doc). The joins are stream-safe
+    * (stream-static), so a trained model can score documents ON INGEST
+    * — StreamingPipelineSpec pins stream == batch. */
+  def scoreBigramLm(big: DataFrame, bc: DataFrame, uc: DataFrame,
+      v: DataFrame): DataFrame = {
+    val lp6 = floor(log((col("cb") + lit(1.0)) / (col("cu") + col("vsz")))
+      * 1000000.0).cast("long")
+    big.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(lp6).cast("long").as("sum_lp6"))
+      .withColumn("avg_lp6", expr("sum_lp6 div n_bigrams"))
+  }
 }

@@ -101,6 +101,24 @@ class BpeSpec extends SparkSuite {
     }
   }
 
+  test("encode applies learned merges in order (the tokenizer step)") {
+    import spark.implicits._
+    val vocab = Map("lower" -> 2L, "lowest" -> 1L, "newer" -> 3L,
+      "wider" -> 1L, "new" -> 2L)
+    val merges = referenceBpe(vocab, 4).map(m => (m._2, m._3))
+    val words = vocab.keys.toSeq.sorted
+    val got = BpeQueries.encode(words.toDF("word"), "word", merges)
+      .select("word", "bpe").as[(String, Seq[String])].collect().toMap
+    words.foreach { w =>
+      val expected = merges.foldLeft(w.split("").toVector) {
+        case (syms, (a, b)) => mergeSeq(syms, a, b)
+      }
+      assert(got(w) == expected, s"encode diverged on '$w'")
+    }
+    // the encode really fuses something (greedy merges applied)
+    assert(words.exists(w => got(w).length < w.length))
+  }
+
   test("the aggregate-fold expression handles overlap cases exactly") {
     import spark.implicits._
     val cases = Seq(

@@ -45,6 +45,39 @@ class StreamingPipelineSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("batch-trained bigram LM scores a document STREAM " +
+      "(stream-static joins); final scores == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (0L until 60L).map(i =>
+      (i, s"the quick fox ${if (i % 7 == 0) "jumps high" else "runs far"} " +
+        s"over the lazy dog ${"again " * (i % 3).toInt}".trim))
+    val corpusDf = corpus.toDF("doc_id", "text")
+    // TRAIN once on the static corpus (the tables you'd persist)...
+    val big = TextQueries.bigramRows(corpusDf)
+    val (bc, uc, v) = TextQueries.bigramLm(big, corpusDf)
+    // ...then SCORE an incoming stream against them: the same scoring
+    // code, its joins now stream-static, aggregate in complete mode.
+    val input = MemoryStream[(Long, String)]
+    val q = TextQueries.scoreBigramLm(
+        TextQueries.bigramRows(input.toDF().toDF("doc_id", "text")),
+        bc, uc, v)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("lm_stream").start()
+    try {
+      input.addData(corpus.take(25): _*)
+      q.processAllAvailable()
+      input.addData(corpus.drop(25): _*)
+      q.processAllAvailable()
+      val got = spark.table("lm_stream")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val expected = TextQueries.scoreBigramLm(big, bc, uc, v)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == expected && expected.nonEmpty)
+      // the quality signal separates the two document shapes
+      assert(got.map(_._4).distinct.size > 1)
+    } finally q.stop()
+  }
+
   test("CMS sketch aggregates over a stream; final sketch equals batch") {
     graft.functions.Udafs.register(spark)
     implicit val sqlCtx = spark.sqlContext
