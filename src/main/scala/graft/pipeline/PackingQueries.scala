@@ -36,49 +36,134 @@ object PackingQueries extends QueryModule {
   private val SeqLen = 64
   private val Head = 120
 
+  /** (doc_id, n_tok, tok_offset) in the deterministic md5 corpus order —
+    * the distributed two-phase prefix sum shared by qp17/qp20 (see the
+    * class doc). */
+  private[pipeline] def packedOffsets(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      (size(split(col("text"), " ")) + 1).cast("long").as("n_tok"),
+      md5(concat(lit("pack|"), col("doc_id").cast("string"))).as("h"))
+    val bucketed = base.withColumn("pid", substring(col("h"), 1, 2))
+    val wLocal = Window.partitionBy("pid").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("local_end", sum("n_tok").over(wLocal))
+    val bases = local.groupBy("pid").agg(sum("n_tok").as("ptot"))
+    val wBase = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val based = bases
+      .withColumn("base", coalesce(sum("ptot").over(wBase), lit(0L)))
+      .select("pid", "base")
+    local.join(broadcast(based), Seq("pid"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("base") + col("local_end") - col("n_tok")).as("tok_offset"))
+  }
+
+  /** The qp17 offset CTE as DuckDB text (global-order window — identical
+    * to the two-phase sum because the bucket byte is an order prefix). */
+  private[pipeline] val duckOffsets: String =
+    """tk AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tok,
+      |         md5('pack|' || doc_id) AS h
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, n_tok,
+      |         COALESCE(CAST(SUM(n_tok) OVER (ORDER BY h, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS BIGINT), 0) AS tok_offset
+      |  FROM tk)""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     q("qp17_sequence_packing",
-      s"""WITH tk AS (
-         |  SELECT doc_id,
-         |         CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tok,
-         |         md5('pack|' || doc_id) AS h
-         |  FROM documents),
-         |o AS (
-         |  SELECT doc_id, n_tok,
-         |         COALESCE(CAST(SUM(n_tok) OVER (ORDER BY h, doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-         |           AS BIGINT), 0) AS tok_offset
-         |  FROM tk)
+      s"""WITH $duckOffsets
          |SELECT doc_id, n_tok, tok_offset,
          |       tok_offset // $SeqLen AS seq_first,
          |       (tok_offset + n_tok - 1) // $SeqLen AS seq_last
          |FROM o ORDER BY tok_offset""".stripMargin) { (s, d) =>
       // +1 token per document: the EOS separator of concat-then-chunk.
-      val docs = t(s, d, "documents").select(
-        col("doc_id"),
-        (size(split(col("text"), " ")) + 1).cast("long").as("n_tok"),
-        md5(concat(lit("pack|"), col("doc_id").cast("string"))).as("h"))
-      // Phase 1: bucket = leading md5 byte (a prefix block of the global
-      // (h, doc_id) order), local running totals within each bucket.
-      val bucketed = docs.withColumn("pid", substring(col("h"), 1, 2))
-      val wLocal = Window.partitionBy("pid").orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = bucketed.withColumn("local_end", sum("n_tok").over(wLocal))
-      // Phase 2: per-bucket totals (256 rows) → exclusive bucket bases.
-      val bases = local.groupBy("pid").agg(sum("n_tok").as("ptot"))
-      val wBase = Window.orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val based = bases
-        .withColumn("base", coalesce(sum("ptot").over(wBase), lit(0L)))
-        .select("pid", "base")
-      local.join(broadcast(based), Seq("pid"))
-        .select(col("doc_id"), col("n_tok"),
-          (col("base") + col("local_end") - col("n_tok")).as("tok_offset"))
+      packedOffsets(t(s, d, "documents"))
         .withColumn("seq_first", expr(s"tok_offset div $SeqLen"))
         .withColumn("seq_last",
           expr(s"(tok_offset + n_tok - 1) div $SeqLen"))
         .orderBy("tok_offset")
+    },
+
+    // The packed-sequence MANIFEST — the inverse view a dataloader
+    // actually reads: for every training sequence, which document spans
+    // fill it and where. Derived from the same offsets by exploding each
+    // document over the sequence range it crosses; all arithmetic stays
+    // in integers. One extra narrow explode over the doc-level table —
+    // ~(total_tokens / seq_len + n_docs) rows, never corpus-text-sized.
+    q("qp20_pack_manifest",
+      s"""WITH $duckOffsets,
+         |x AS (
+         |  SELECT o.doc_id, o.n_tok, o.tok_offset, g.s AS seq_id
+         |  FROM o, UNNEST(generate_series(o.tok_offset // $SeqLen,
+         |    (o.tok_offset + o.n_tok - 1) // $SeqLen)) AS g(s))
+         |SELECT seq_id, doc_id,
+         |  greatest(tok_offset, seq_id * $SeqLen) - seq_id * $SeqLen
+         |    AS off_in_seq,
+         |  least(tok_offset + n_tok, (seq_id + 1) * $SeqLen)
+         |    - greatest(tok_offset, seq_id * $SeqLen) AS n_in_seq
+         |FROM x ORDER BY seq_id, off_in_seq""".stripMargin) { (s, d) =>
+      packedOffsets(t(s, d, "documents"))
+        .withColumn("seq_id", explode(expr(
+          s"sequence(tok_offset div $SeqLen, (tok_offset + n_tok - 1) div $SeqLen)")))
+        .select(col("seq_id"), col("doc_id"),
+          (greatest(col("tok_offset"), col("seq_id") * SeqLen)
+            - col("seq_id") * SeqLen).as("off_in_seq"),
+          (least(col("tok_offset") + col("n_tok"),
+            (col("seq_id") + 1) * SeqLen)
+            - greatest(col("tok_offset"), col("seq_id") * SeqLen))
+            .as("n_in_seq"))
+        .orderBy("seq_id", "off_in_seq")
+    },
+
+    // Temperature-weighted source mixing (the Gopher/PaLM α-sampling
+    // recipe, α = 0.5): sample counts proportional to n_s^α instead of
+    // n_s, flattening the source distribution. take_s = min(n_s,
+    // M·√n_s/Σ√n_t) computes over the tiny per-source table with
+    // floor-scaled sqrt (integer division — exact); selection is the
+    // deterministic per-source bottom-take_s by md5 hash (reproducible,
+    // engine-independent). Corpus-sized work: one partial-agg count +
+    // one source-partitioned window over the corpus.
+    q("qp21_temperature_mix",
+      s"""WITH ns AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(floor(sqrt(COUNT(*)) * 1000000.0) AS BIGINT) AS s6
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(s6) AS BIGINT) AS ts6 FROM ns),
+         |takes AS (
+         |  SELECT source, least(n, 200 * s6 // ts6) AS take_n
+         |  FROM ns CROSS JOIN tot),
+         |rk AS (
+         |  SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY md5('temp|' || doc_id), doc_id) AS r
+         |  FROM documents)
+         |SELECT rk.doc_id, rk.source, CAST(rk.r AS BIGINT) AS r
+         |FROM rk JOIN takes ON rk.source = takes.source
+         |WHERE rk.r <= takes.take_n
+         |ORDER BY rk.source, rk.r""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val ns = docs.groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          floor(sqrt(count(lit(1))) * 1000000.0).cast("long").as("s6"))
+      val tot = ns.agg(sum("s6").cast("long").as("ts6"))
+      val takes = ns.crossJoin(broadcast(tot))
+        .select(col("source"),
+          least(col("n"), expr("200 * s6 div ts6")).as("take_n"))
+      val rk = docs
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("temp|"), col("doc_id").cast("string"))).as("hm"))
+        .withColumn("r", row_number().over(Window.partitionBy("source")
+          .orderBy(col("hm"), col("doc_id"))).cast("long"))
+      rk.join(broadcast(takes), Seq("source"))
+        .where(col("r") <= col("take_n"))
+        .select(col("doc_id"), col("source"), col("r"))
+        .orderBy(col("source"), col("r"))
     },
 
     q("qp18_mix_interleave",

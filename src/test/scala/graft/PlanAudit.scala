@@ -175,6 +175,19 @@ object PlanAudit {
     check("qp18 schedule head plans as TakeOrderedAndProject",
       qp18.contains("TakeOrderedAndProject"))
 
+    // manifest: the same two-phase shape plus one narrow explode — no
+    // extra corpus shuffle appears
+    val qp20 = plan("qp20_pack_manifest")
+    check("qp20 keeps the two-phase shape (two hash shuffles + explode)",
+      qp20.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2
+        && qp20.contains("Generate explode"))
+    // temperature mix: quotas broadcast back; the only corpus window is
+    // source-partitioned
+    val qp21 = plan("qp21_temperature_mix")
+    check("qp21 per-source quotas broadcast (no cartesian)",
+      qp21.contains("BroadcastHashJoin") &&
+        !qp21.contains("CartesianProduct"))
+
     // SemDeDup: pivots broadcast, cell assignment partial-aggregates,
     // and the pair join is cell-keyed (the cluster-bounded quadratic),
     // never a corpus cross product

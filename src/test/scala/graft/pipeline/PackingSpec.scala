@@ -44,6 +44,62 @@ class PackingSpec extends SparkSuite {
     assert(got.last.getLong(2) + got.last.getLong(1) == off)
   }
 
+  test("qp20 manifest tiles every sequence exactly and conserves tokens") {
+    val offsets = run("qp17_sequence_packing").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = offsets.map(_._2).sum
+    val man = run("qp20_pack_manifest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // token conservation per document
+    val perDoc = man.groupBy(_._2).map { case (d, rs) => d -> rs.map(_._4).sum }
+    offsets.foreach { case (d, n, _) => assert(perDoc(d) == n) }
+    // every sequence is tiled contiguously from 0; full 64 except the last
+    val lastSeq = (total - 1) / 64
+    man.groupBy(_._1).foreach { case (seq, rs) =>
+      val spans = rs.sortBy(_._3)
+      assert(spans.head._3 == 0)
+      spans.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(0)._3 + w(0)._4 == w(1)._3, s"gap in seq $seq")
+      }
+      val filled = spans.map(_._4).sum
+      assert(if (seq == lastSeq) filled == total - seq * 64
+             else filled == 64, s"seq $seq holds $filled tokens")
+    }
+    // spans agree with qp17's chunk range
+    val ranges = man.groupBy(_._2)
+      .map { case (d, rs) => d -> (rs.map(_._1).min, rs.map(_._1).max) }
+    run("qp17_sequence_packing").collect().foreach { r =>
+      assert(ranges(r.getLong(0)) == (r.getLong(3), r.getLong(4)))
+    }
+  }
+
+  test("qp21 temperature mixing takes min(n, M*sqrt(n)/sum) per source " +
+      "and flattens the distribution") {
+    val docs = graft.Engine.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ns = docs.groupBy(_._2).map { case (s, v) => s -> v.length.toLong }
+    val s6 = ns.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble) * 1000000.0).toLong
+    }
+    val ts6 = s6.values.sum
+    val takeN = ns.map { case (s, n) => s -> math.min(n, 200 * s6(s) / ts6) }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      rows.map { case (id, _) => (md5hex(s"temp|$id"), id) }
+        .sortBy(t => (t._1, t._2)).take(takeN(src).toInt).zipWithIndex
+        .map { case ((_, id), i) => (id, src, (i + 1).toLong) }
+    }.sortBy(t => (t._2, t._3))
+    val got = run("qp21_temperature_mix").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // flattening: smaller sources keep a HIGHER fraction than larger ones
+    val frac = takeN.map { case (s, t) => s -> t.toDouble / ns(s) }
+    for (a <- ns.keys; b <- ns.keys if ns(a) < ns(b))
+      assert(frac(a) >= frac(b) - 1e-9,
+        s"α-sampling did not flatten: $a(${ns(a)}) ${frac(a)} < " +
+          s"$b(${ns(b)}) ${frac(b)}")
+  }
+
   test("qp18 stride interleave equals the sequential per-source merge") {
     val docs = graft.Engine.table(spark, sf, "documents")
       .select(col("doc_id"), col("source")).collect()
