@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.{Q, QueryModule}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,6 +31,76 @@ object EmbeddingQueries extends QueryModule {
   /** DuckDB twin of [[normExpr]]. */
   private val duckNorm =
     "list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)"
+
+  /** The qe7 IVF probe search as a reusable pipeline stage (qe9 evaluates
+    * its recall against the exact scan): fixed pivots broadcast, nearest
+    * cell via partial-agg min-struct, nprobe=2, exact cosine re-rank of
+    * probed candidates, top-5 per query. */
+  private def ivfProbeTop5(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    def d2(a: String, b: String) =
+      s"(graft_dot($a, $a) - 2.0D * graft_dot($a, $b) + graft_dot($b, $b))"
+    val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val piv = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+    val cells = emb.crossJoin(broadcast(piv))
+      .select(col("vec_id"), col("pid"),
+        expr(d2("embedding", "pvec")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("pid"))).as("m"))
+      .select(col("vec_id"), col("m.pid").as("cell"))
+    val qs = emb.where(col("vec_id").isin(42, 123, 321))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val probe = qs.crossJoin(broadcast(piv))
+      .select(col("qid"), col("pid"),
+        expr(d2("qvec", "pvec")).as("d2"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2"), col("pid"))))
+      .where(col("pr") <= 2)
+      .select(col("qid"), col("pid"))
+    val cand = probe.join(cells, col("cell") === col("pid"))
+      .select(col("qid"), col("vec_id"))
+    cand.join(broadcast(qs), "qid").join(emb, "vec_id")
+      .where(col("vec_id") =!= col("qid")
+        && expr("graft_dot(embedding, embedding)") > 0)
+      .select(col("qid"), col("vec_id"),
+        floor(expr("graft_dot(qvec, embedding)")
+          / sqrt(expr("graft_dot(qvec, qvec)")
+            * expr("graft_dot(embedding, embedding)"))
+          * 1000000.0).cast("long").as("c6"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("c6").desc, col("vec_id"))))
+      .where(col("rk") <= 5)
+      .select(col("qid"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("c6"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Exact cosine top-5 for the same fixed query set — the ground truth
+    * qe9 scores against (the qe2 broadcast shape: tiny query side
+    * broadcast, corpus streams, no corpus shuffle). */
+  private def exactTop5(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val qs = emb.where(col("vec_id").isin(42, 123, 321))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    emb.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("qid")
+        && expr("graft_dot(embedding, embedding)") > 0)
+      .select(col("qid"), col("vec_id"),
+        floor(expr("graft_dot(qvec, embedding)")
+          / sqrt(expr("graft_dot(qvec, qvec)")
+            * expr("graft_dot(embedding, embedding)"))
+          * 1000000.0).cast("long").as("c6"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("c6").desc, col("vec_id"))))
+      .where(col("rk") <= 5)
+      .select(col("qid"), col("vec_id"))
+  }
 
   def all: Seq[Q] = Seq(
 
@@ -238,46 +309,7 @@ object EmbeddingQueries extends QueryModule {
          |  FROM scored)
          |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, c6
          |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
-    }) { (s, d) =>
-      graft.functions.GraftFunctions.register(s)
-      def d2(a: String, b: String) =
-        s"(graft_dot($a, $a) - 2.0D * graft_dot($a, $b) + graft_dot($b, $b))"
-      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val piv = emb.where(col("vec_id") < 8)
-        .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
-      val cells = emb.crossJoin(broadcast(piv))
-        .select(col("vec_id"), col("pid"),
-          expr(d2("embedding", "pvec")).as("d2"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("pid"))).as("m"))
-        .select(col("vec_id"), col("m.pid").as("cell"))
-      val qs = emb.where(col("vec_id").isin(42, 123, 321))
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val probe = qs.crossJoin(broadcast(piv))
-        .select(col("qid"), col("pid"),
-          expr(d2("qvec", "pvec")).as("d2"))
-        .withColumn("pr", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("d2"), col("pid"))))
-        .where(col("pr") <= 2)
-        .select(col("qid"), col("pid"))
-      val cand = probe.join(cells, col("cell") === col("pid"))
-        .select(col("qid"), col("vec_id"))
-      cand.join(broadcast(qs), "qid").join(emb, "vec_id")
-        .where(col("vec_id") =!= col("qid")
-          && expr("graft_dot(embedding, embedding)") > 0)
-        .select(col("qid"), col("vec_id"),
-          floor(expr("graft_dot(qvec, embedding)")
-            / sqrt(expr("graft_dot(qvec, qvec)")
-              * expr("graft_dot(embedding, embedding)"))
-            * 1000000.0).cast("long").as("c6"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("qid"))
-            .orderBy(col("c6").desc, col("vec_id"))))
-        .where(col("rk") <= 5)
-        .select(col("qid"), col("rk").cast("long").as("rk"),
-          col("vec_id"), col("c6"))
-        .orderBy(col("qid"), col("rk"))
-    },
+    }) { (s, d) => ivfProbeTop5(s, d) },
 
     // Per-label centroid (the k-means M-step / class-prototype primitive):
     // mean of each embedding dimension per label. Scale shape: posexplode
@@ -377,6 +409,81 @@ object EmbeddingQueries extends QueryModule {
         .select(col("cell"), col("rk").cast("long").as("rk"),
           col("a_id"), col("b_id"), col("c6"))
         .orderBy(col("cell"), col("rk"))
+    },
+
+    // ANN recall evaluation — the operator that closes the IVF loop:
+    // score qe7's probed top-5 against the exact top-5 (recall@5 per
+    // query). Running the evaluation IN the engine matters at scale:
+    // ground truth is a full scan you run once over a sampled query
+    // set, and the recall number is what justifies the nprobe/k cell
+    // trade. All-integer output (hit counts, recall in percent).
+    q("qe9_ann_recall", {
+      val dot = (a: String, b: String) =>
+        s"""list_reduce(list_transform(generate_series(1, len($a)), i ->
+           |  CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+           |  (x, y) -> x + y)""".stripMargin
+      val d2 = (a: String, b: String) =>
+        s"(${dot(a, a)} - 2.0 * ${dot(a, b)} + ${dot(b, b)})"
+      s"""WITH piv AS (SELECT vec_id AS pid, embedding AS pvec
+         |  FROM embeddings WHERE vec_id < 8),
+         |ad AS (SELECT e.vec_id, p.pid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${d2("e.embedding", "p.pvec")}, p.pid) AS rn
+         |  FROM embeddings e CROSS JOIN piv p),
+         |cells AS (SELECT vec_id, pid AS cell FROM ad WHERE rn = 1),
+         |qs AS (SELECT vec_id AS qid, embedding AS qvec
+         |  FROM embeddings WHERE vec_id IN (42, 123, 321)),
+         |qd AS (SELECT q.qid, p.pid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${d2("q.qvec", "p.pvec")}, p.pid) AS pr
+         |  FROM qs q CROSS JOIN piv p),
+         |probe AS (SELECT qid, pid FROM qd WHERE pr <= 2),
+         |cand AS (SELECT pr.qid, c.vec_id
+         |  FROM probe pr JOIN cells c ON c.cell = pr.pid),
+         |scored AS (SELECT cand.qid, cand.vec_id,
+         |    CAST(floor(${dot("q.qvec", "e.embedding")}
+         |      / sqrt(${dot("q.qvec", "q.qvec")}
+         |             * ${dot("e.embedding", "e.embedding")})
+         |      * 1000000.0) AS BIGINT) AS c6
+         |  FROM cand JOIN qs q ON q.qid = cand.qid
+         |    JOIN embeddings e ON e.vec_id = cand.vec_id
+         |  WHERE cand.vec_id <> cand.qid
+         |    AND ${dot("e.embedding", "e.embedding")} > 0),
+         |appr AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY c6 DESC, vec_id) AS rk FROM scored) z
+         |  WHERE rk <= 5),
+         |es AS (SELECT q.qid, e.vec_id,
+         |    CAST(floor(${dot("q.qvec", "e.embedding")}
+         |      / sqrt(${dot("q.qvec", "q.qvec")}
+         |             * ${dot("e.embedding", "e.embedding")})
+         |      * 1000000.0) AS BIGINT) AS c6
+         |  FROM embeddings e CROSS JOIN qs q
+         |  WHERE e.vec_id <> q.qid
+         |    AND ${dot("e.embedding", "e.embedding")} > 0),
+         |ex AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY c6 DESC, vec_id) AS rk FROM es) z
+         |  WHERE rk <= 5),
+         |h AS (SELECT ex.qid, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM ex JOIN appr ON appr.qid = ex.qid
+         |    AND appr.vec_id = ex.vec_id
+         |  GROUP BY ex.qid)
+         |SELECT q.qid, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.n, 0) * 20 AS BIGINT) AS recall_pct
+         |FROM qs q LEFT JOIN h ON h.qid = q.qid
+         |ORDER BY q.qid""".stripMargin
+    }) { (s, d) =>
+      val appr = ivfProbeTop5(s, d).select(col("qid"), col("vec_id"))
+      val hits = exactTop5(s, d).join(appr, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n"))
+      t(s, d, "embeddings").where(col("vec_id").isin(42, 123, 321))
+        .select(col("vec_id").as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_hits"))
+        .withColumn("recall_pct", (col("n_hits") * 20).cast("long"))
+        .orderBy("qid")
     }
   )
 }

@@ -444,6 +444,62 @@ object TextQueries extends QueryModule {
         .cache() // one bigram pass feeds training counts AND scoring
       val (bc, uc, v) = bigramLm(big, docs)
       scoreBigramLm(big, bc, uc, v).orderBy(col("doc_id"))
+    },
+
+    // PMI collocations — pointwise mutual information over corpus
+    // bigrams, the classic collocation/phrase-mining statistic:
+    // pmi = ln(P(w1,w2) / (P(w1)·P(w2))) = ln(cb·N² / (B·c1·c2)).
+    // Scale shape: bigram + token counts are two partial-aggregated
+    // groupBys; scoring joins run on the REDUCED count tables (vocab-
+    // sized, not corpus-sized); top-15 is a TakeOrdered. Determinism:
+    // the ln argument is ONE division of two exact int64→double casts
+    // (all products < 2^53 at these scales), then the floor-scaled-ln
+    // rule; min-support cb ≥ 5 keeps the statistic meaningful.
+    q("qt13_pmi_collocations",
+      """WITH tok AS MATERIALIZED (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS w
+        |  FROM documents),
+        |wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+        |  GROUP BY w),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM tok),
+        |arr AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |  FROM documents),
+        |bg AS (SELECT a[i] AS w1, a[i + 1] AS w2
+        |  FROM arr, UNNEST(generate_series(1, len(a) - 1)) AS g(i)),
+        |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg
+        |  GROUP BY w1, w2),
+        |b AS (SELECT CAST(SUM(cb) AS BIGINT) AS bt FROM bc),
+        |s AS (SELECT bc.w1, bc.w2, bc.cb,
+        |    CAST(floor(ln(CAST(bc.cb * n.nt * n.nt AS DOUBLE)
+        |      / CAST(b.bt * x1.c * x2.c AS DOUBLE)) * 1000000.0)
+        |      AS BIGINT) AS pmi6
+        |  FROM bc JOIN wc x1 ON bc.w1 = x1.w
+        |    JOIN wc x2 ON bc.w2 = x2.w
+        |    CROSS JOIN n CROSS JOIN b
+        |  WHERE bc.cb >= 5)
+        |SELECT w1, w2, cb, pmi6 FROM s
+        |ORDER BY pmi6 DESC, w1, w2 LIMIT 15""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val big = bigramRows(docs)
+      val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val wc = docs
+        .select(explode(expr("filter(split(text, ' '), x -> x <> '')"))
+          .as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val n = wc.agg(sum("c").cast("long").as("nt"))
+      val b = bc.agg(sum("cb").cast("long").as("bt"))
+      bc.where(col("cb") >= 5)
+        .join(wc.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(wc.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(n)).crossJoin(broadcast(b))
+        .select(col("w1"), col("w2"), col("cb"),
+          floor(log((col("cb") * col("nt") * col("nt")).cast("double")
+            / (col("bt") * col("c1") * col("c2")).cast("double"))
+            * 1000000.0).cast("long").as("pmi6"))
+        .orderBy(col("pmi6").desc, col("w1"), col("w2"))
+        .limit(15)
     }
   )
 

@@ -188,6 +188,18 @@ object PlanAudit {
       qp21.contains("BroadcastHashJoin") &&
         !qp21.contains("CartesianProduct"))
 
+    // PMI: scoring joins run on the reduced count tables; the result is
+    // a top-k, and no unconditioned corpus product appears
+    val qt13 = plan("qt13_pmi_collocations")
+    check("qt13 plans top-k over reduced tables (no cartesian)",
+      qt13.contains("TakeOrderedAndProject") &&
+        !qt13.contains("CartesianProduct"))
+    // ANN recall eval: ground-truth side broadcasts the query set (qe2
+    // shape); no corpus-corpus product
+    val qe9 = plan("qe9_ann_recall")
+    check("qe9 query set broadcasts; no cartesian product",
+      qe9.contains("Broadcast") && !qe9.contains("CartesianProduct"))
+
     // SemDeDup: pivots broadcast, cell assignment partial-aggregates,
     // and the pair join is cell-keyed (the cluster-bounded quadratic),
     // never a corpus cross product

@@ -69,6 +69,61 @@ class SemanticOpsSpec extends SparkSuite {
     }
   }
 
+  test("qt13 PMI collocations equal a driver-side recomputation") {
+    val texts = graft.Engine.table(spark, sf, "documents")
+      .select(col("text")).collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty))
+    val wc = texts.flatten.groupBy(identity).map { case (w, v) =>
+      w -> v.length.toLong
+    }
+    val nt = texts.map(_.length.toLong).sum
+    val bg = texts.flatMap(_.sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))))
+    val bc = bg.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val bt = bc.values.sum
+    val expected = bc.toSeq.filter(_._2 >= 5).map { case ((w1, w2), cb) =>
+      val pmi6 = math.floor(math.log(
+        (cb * nt * nt).toDouble / (bt * wc(w1) * wc(w2)).toDouble)
+        * 1000000.0).toLong
+      (w1, w2, cb, pmi6)
+    }.sortBy(t => (-t._4, t._1, t._2)).take(15)
+    val got = run("qt13_pmi_collocations").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("qe9 recall@5 equals |ivf-top5 ∩ exact-top5| from first principles") {
+    val emb = graft.Engine.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val exact = Seq(42L, 123L, 321L).map { qid =>
+      val qv = emb.find(_._1 == qid).get._2
+      val qn = dot(qv, qv)
+      qid -> emb.filter { case (id, v) => id != qid && dot(v, v) > 0 }
+        .map { case (id, v) =>
+          (id, math.floor(dot(qv, v) / math.sqrt(qn * dot(v, v))
+            * 1000000.0).toLong)
+        }.sortBy(t => (-t._2, t._1)).take(5).map(_._1).toSet
+    }.toMap
+    val ivf = run("qe7_ivf_probe").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    val got = run("qe9_ann_recall").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(42L, 123L, 321L))
+    got.foreach { case (qid, nHits, pct) =>
+      val expected = (exact(qid) & ivf(qid)).size.toLong
+      assert(nHits == expected && pct == expected * 20,
+        s"recall mismatch for query $qid: $nHits vs $expected")
+    }
+  }
+
   test("qp19 never splits a near-dup pair across sides (the invariant)") {
     val side = run("qp19_split_leakage_safe").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
