@@ -98,6 +98,31 @@ object StreamOps {
   def dedupWithinWatermark(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicatesWithinWatermark(cols)
 
+  /** Incremental sequence packing for a streaming ingest — the
+    * stream-side complement of the batch export packing (qp17): per-key
+    * running TOKEN OFFSETS that continue across micro-batches, the
+    * cumulative count riding keyed state (one long per key — bounded).
+    * Batch export fixes a global hash order; an unbounded ingest has no
+    * final order, so each key's documents take consecutive offsets in
+    * (arrival-batch, id) order — deterministic given the batch cuts,
+    * and any prefix's offsets equal a batch run over that prefix in the
+    * same per-key order (StreamingPipelineSpec). Input rows are
+    * (key, id, n_tok); output appends the assigned tok_offset. */
+  def packStream[K: Encoder](ds: Dataset[(K, Long, Long)])(
+      implicit stateEnc: Encoder[Long],
+      outEnc: Encoder[(K, Long, Long, Long)])
+      : Dataset[(K, Long, Long, Long)] =
+    ds.groupByKey(_._1).flatMapGroupsWithState[Long, (K, Long, Long, Long)](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (k: K, it: Iterator[(K, Long, Long)], state: GroupState[Long]) =>
+        var off = state.getOption.getOrElse(0L)
+        val out = it.toVector.sortBy(_._2).map { case (_, id, n) =>
+          val o = off; off += n; (k, id, n, o)
+        }
+        state.update(off)
+        out.iterator
+    }
+
   /** Interval (time-bounded) stream-stream inner join:
     * `right.ts ∈ [left.ts + lower, left.ts + upper]` on an equi-key.
     * Both inputs must carry watermarks. Mirrors

@@ -78,6 +78,44 @@ class StreamingPipelineSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("packStream continues token offsets across micro-batches " +
+      "(incremental sequence packing)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 90L).map(i =>
+      (s"src${i % 3}", i, 5L + i % 7)) // (source, doc_id, n_tok)
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamOps.packStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pack_stream").start()
+    try {
+      input.addData(rows.take(30): _*)
+      q.processAllAvailable()
+      input.addData(rows.slice(30, 60): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(60): _*)
+      q.processAllAvailable()
+      val got = spark.table("pack_stream")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      // reference: per key, offsets accumulate in (batch, doc_id) order
+      val expected = scala.collection.mutable.Map.empty[(String, Long), (Long, Long)]
+      val off = scala.collection.mutable.Map.empty[String, Long]
+      Seq(rows.take(30), rows.slice(30, 60), rows.drop(60)).foreach { b =>
+        b.groupBy(_._1).foreach { case (k, v) =>
+          v.sortBy(_._2).foreach { case (_, id, n) =>
+            val o = off.getOrElse(k, 0L)
+            expected((k, id)) = (n, o)
+            off(k) = o + n
+          }
+        }
+      }
+      assert(got == expected.toMap)
+      // offsets really crossed the batch boundary (nonzero carry-in)
+      val batch2 = rows.slice(30, 60).map(r => (r._1, r._2)).toSet
+      assert(batch2.forall(k => got(k)._2 > 0))
+    } finally q.stop()
+  }
+
   test("CMS sketch aggregates over a stream; final sketch equals batch") {
     graft.functions.Udafs.register(spark)
     implicit val sqlCtx = spark.sqlContext
