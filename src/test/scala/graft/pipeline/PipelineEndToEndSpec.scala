@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The full curation chain composed end-to-end from library pieces —
+  * quality filter → exact dedup → deterministic sample → sequence
+  * packing — proving the operators compose as DataFrames (each stage's
+  * output is the next stage's input) and that the whole chain is
+  * DETERMINISTIC: two independent runs produce identical results, the
+  * reproducibility contract every stage advertises individually. */
+class PipelineEndToEndSpec extends SparkSuite {
+
+  private def chain() = {
+    val docs = graft.Engine.table(spark, sf, "documents")
+    // 1. quality gate: drop ultra-short docs (the qt2-style length signal)
+    val quality = docs.where(size(split(col("text"), " ")) >= 10)
+    // 2. exact dedup: min-doc_id survivor per normalized fingerprint
+    val survivors = quality
+      .withColumn("fp",
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+      .withColumn("keep",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy("doc_id")))
+      .where(col("keep") === 1).drop("fp", "keep")
+    // 3. deterministic stratified sample (reproducible, coordinator-free)
+    val sampled = survivors.where(SamplingOps.stratifiedKeep(
+      col("doc_id"), col("lang"), Map("en" -> "e666"), default = "c000"))
+    // 4. pack the sampled corpus into training sequences
+    PackingQueries.packedOffsets(sampled)
+  }
+
+  test("curate→dedup→sample→pack composes and is run-to-run identical") {
+    val a = chain().collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = chain().collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b, "chain is not deterministic across runs")
+    assert(a.nonEmpty)
+    // offsets are a permutation-free exact prefix tiling of the total
+    val total = a.map(_._2).sum
+    assert(a.map(_._3).distinct.length == a.length, "duplicate offsets")
+    val byOffset = a.sortBy(_._3)
+    byOffset.sliding(2).filter(_.length == 2).foreach { w =>
+      assert(w(0)._3 + w(0)._2 == w(1)._3, "offset gap in packed chain")
+    }
+    assert(byOffset.last._3 + byOffset.last._2 == total)
+    // every stage really filtered something (the chain is not vacuous)
+    val nDocs = graft.Engine.table(spark, sf, "documents").count()
+    assert(a.length < nDocs)
+  }
+}
