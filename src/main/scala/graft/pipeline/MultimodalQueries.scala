@@ -98,6 +98,55 @@ object MultimodalQueries extends QueryModule {
           md5(col("frame_bytes")).as("stub_feature"),
           length(col("frame_bytes")).cast("long").as("frame_len"))
         .orderBy(col("doc_id"), col("frame_id"))
+    },
+
+    // Cross-media duplicate-frame detection (the content-ID shape): hash
+    // every fixed-size frame of every payload, group by hash, report
+    // hashes appearing in ≥2 distinct media items with the earliest
+    // (doc, frame) occurrence as canonical. ONE partial-aggregated
+    // groupBy(hash) over the frame rows — the same fingerprint-keyed
+    // shuffle as exact text dedup (qp1), applied to binary content; at
+    // 100 TB the reduce side sees one row per (hash, partial). The
+    // earliest occurrence packs into MIN(doc_id·10⁵ + frame_id) so the
+    // argmin needs no window or second pass.
+    q("qm4_duplicate_frames",
+      s"""WITH f AS (SELECT doc_id, text,
+         |    octet_length(encode(text)) // $FrameBytes AS n_frames
+         |  FROM documents),
+         |fr AS (SELECT doc_id,
+         |    md5(substring(text, CAST(g.i AS INT) * $FrameBytes + 1,
+         |        $FrameBytes)) AS frame_md5,
+         |    CAST(g.i AS INT) AS frame_id
+         |  FROM f, UNNEST(generate_series(0, CAST(n_frames AS INT) - 1))
+         |    AS g(i)
+         |  WHERE n_frames > 0),
+         |agg AS (SELECT frame_md5,
+         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(COUNT(*) AS BIGINT) AS n_occur,
+         |    CAST(MIN(doc_id * 100000 + frame_id) AS BIGINT) AS fk
+         |  FROM fr GROUP BY frame_md5)
+         |SELECT frame_md5, n_docs, n_occur,
+         |  fk // 100000 AS first_doc, fk % 100000 AS first_frame
+         |FROM agg WHERE n_docs >= 2
+         |ORDER BY frame_md5""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("n_frames",
+          floor(length(col("payload")) / FrameBytes).cast("int"))
+        .where(col("n_frames") > 0)
+        .withColumn("frame_id", explode(expr("sequence(0, n_frames - 1)")))
+        .select(col("doc_id"), col("frame_id"),
+          md5(expr(s"substring(payload, frame_id * $FrameBytes + 1, " +
+            s"$FrameBytes)")).as("frame_md5"))
+        .groupBy(col("frame_md5"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occur"),
+          min(col("doc_id") * 100000 + col("frame_id")).as("fk"))
+        .where(col("n_docs") >= 2)
+        .select(col("frame_md5"), col("n_docs"), col("n_occur"),
+          expr("fk div 100000").as("first_doc"),
+          expr("fk % 100000").as("first_frame"))
+        .orderBy(col("frame_md5"))
     }
   )
 }

@@ -188,6 +188,13 @@ object PlanAudit {
       qp21.contains("BroadcastHashJoin") &&
         !qp21.contains("CartesianProduct"))
 
+    // duplicate frames: one fingerprint-keyed partial-agg shuffle, no
+    // join of any kind (the qp1 shape on binary content)
+    val qm4 = plan("qm4_duplicate_frames")
+    check("qm4 is one partial-agg groupBy with no join",
+      qm4.contains("partial_count") && !qm4.contains("Join") &&
+        !qm4.contains("CartesianProduct"))
+
     // PMI: scoring joins run on the reduced count tables; the result is
     // a top-k, and no unconditioned corpus product appears
     val qt13 = plan("qt13_pmi_collocations")
