@@ -104,8 +104,11 @@ object BpeQueries extends QueryModule {
   }
 
   /** The same K iterations as chained DuckDB CTE blocks (no recursion):
-    * pairs → argmax → greedy rewrite via run-alternation → next vocab. */
-  private def duckBpe(k: Int): String = {
+    * pairs → argmax → greedy rewrite via run-alternation → next vocab.
+    * [[duckBpeCtes]] exposes just the WITH-chain (ending at
+    * words_{k+1}, the fully-merged vocabulary) so qt14 can consume the
+    * final vocab state; [[duckBpe]] appends the merge-table select. */
+  private def duckBpeCtes(k: Int): String = {
     val blocks = (1 to k).map { i =>
       s"""pairs_$i AS MATERIALIZED (
          |  SELECT w.word, w.freq, CAST(g.i AS INT) AS pos,
@@ -149,16 +152,20 @@ object BpeQueries extends QueryModule {
          |  SELECT word, freq, list(sym ORDER BY pos) AS syms
          |  FROM newrows_$i GROUP BY word, freq)""".stripMargin
     }.mkString(",\n")
-    val rows = (1 to k).map { i =>
-      s"SELECT $i AS step, a AS pair_left, b AS pair_right, f AS freq FROM best_$i"
-    }.mkString("\n  UNION ALL ")
     s"""WITH words_1 AS MATERIALIZED (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
        |         string_split(word, '') AS syms
        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word
        |        FROM documents) u
        |  GROUP BY word),
-       |$blocks
+       |$blocks""".stripMargin
+  }
+
+  private def duckBpe(k: Int): String = {
+    val rows = (1 to k).map { i =>
+      s"SELECT $i AS step, a AS pair_left, b AS pair_right, f AS freq FROM best_$i"
+    }.mkString("\n  UNION ALL ")
+    s"""${duckBpeCtes(k)}
        |SELECT * FROM (
        |  $rows) m ORDER BY step""".stripMargin
   }
@@ -183,5 +190,38 @@ object BpeQueries extends QueryModule {
       s.createDataFrame(merges).toDF("step", "pair_left", "pair_right",
           "freq")
         .orderBy("step")
+    },
+
+    // Token counting under the LEARNED tokenizer — the measurement that
+    // motivates training a BPE at all (how many sequence positions a
+    // document costs once merges fuse common fragments; compare qt4's
+    // whitespace/regex counts). The corpus-sized work is one explode +
+    // one token-keyed equi-join against the ENCODED VOCABULARY (a
+    // vocab-sized table — encode runs once per distinct word, never per
+    // occurrence) + one partial-aggregated groupBy(doc). The oracle
+    // consumes the final vocab state of qt11's unrolled CTE chain, so
+    // the relational rewrite and the fold-encode must agree end-to-end.
+    q("qt14_bpe_token_count",
+      s"""${duckBpeCtes(Steps)},
+         |wl AS (SELECT word, CAST(len(syms) AS BIGINT) AS n
+         |  FROM words_${Steps + 1}),
+         |tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+         |  FROM documents)
+         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(wl.n) AS BIGINT) AS n_bpe
+         |FROM tok t JOIN wl ON wl.word = t.w
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val vocab = wordVocab(docs)
+      val merges = learnMerges(vocab, Steps)
+        .map(m => (m._2, m._3))
+      val wl = encode(vocab.select("word"), "word", merges)
+        .select(col("word").as("w"), size(col("bpe")).cast("long").as("n"))
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .join(wl, Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum("n").cast("long").as("n_bpe"))
+        .orderBy("doc_id")
     })
 }

@@ -119,6 +119,29 @@ class BpeSpec extends SparkSuite {
     assert(words.exists(w => got(w).length < w.length))
   }
 
+  test("qt14 token counts under the learned BPE equal the reference") {
+    val texts = graft.Engine.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val vocab = texts.flatMap(_._2).groupBy(identity)
+      .map { case (w, v) => w -> v.length.toLong }
+    val merges = referenceBpe(vocab, 6).map(m => (m._2, m._3))
+    val enc = vocab.keys.map { w =>
+      w -> merges.foldLeft(w.split("").toVector) {
+        case (syms, (a, b)) => mergeSeq(syms, a, b)
+      }.length.toLong
+    }.toMap
+    val expected = texts.map { case (id, ws) =>
+      (id, ws.length.toLong, ws.map(enc).sum)
+    }.sortBy(_._1).toSeq
+    val got = run("qt14_bpe_token_count").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // merging actually compresses: fewer BPE symbols than characters
+    val totalChars = texts.map(_._2.map(_.length.toLong).sum).sum
+    assert(got.map(_._3).sum < totalChars)
+  }
+
   test("the aggregate-fold expression handles overlap cases exactly") {
     import spark.implicits._
     val cases = Seq(
