@@ -116,6 +116,52 @@ class StreamingPipelineSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("packStream offsets survive a checkpointed query RESTART " +
+      "(state-store recovery)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("pack_ckpt").toString
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Long, Long, Long)]()
+    val input = MemoryStream[(String, Long, Long)]
+    def start() = StreamOps.packStream(input.toDS())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[(String, Long, Long, Long)],
+         _: Long) => ds.collect().foreach(out.add)
+      }
+      .start()
+    val rows = (0L until 40L).map(i => (s"k${i % 2}", i, 3L + i % 4))
+    val q1 = start()
+    try {
+      input.addData(rows.take(20): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterBatch1 = out.size
+    val carry = rows.take(20).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._3).sum }
+    val q2 = start() // NEW query, same checkpoint: state must restore
+    try {
+      input.addData(rows.drop(20): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val batch2 = out.toArray(Array.empty[(String, Long, Long, Long)])
+      .drop(afterBatch1)
+    assert(batch2.nonEmpty)
+    // offsets continue from the pre-restart totals, not from zero
+    val expected = scala.collection.mutable.Map(carry.toSeq: _*)
+    rows.drop(20).groupBy(_._1).foreach { case (k, v) =>
+      val got = batch2.filter(_._1 == k).sortBy(_._2)
+      assert(got.map(_._2).toSeq == v.map(_._2).sorted)
+      v.sortBy(_._2).zip(got).foreach { case ((_, id, n), r) =>
+        assert(r._4 == expected(k),
+          s"key $k doc $id resumed at ${r._4}, expected ${expected(k)}")
+        expected(k) += n
+      }
+    }
+  }
+
   test("CMS sketch aggregates over a stream; final sketch equals batch") {
     graft.functions.Udafs.register(spark)
     implicit val sqlCtx = spark.sqlContext
