@@ -519,6 +519,30 @@ object Udafs {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** Fresh all-zero filter (the keyed-state form of [[BloomAgg.zero]]). */
+  def bloomEmpty(): Array[Long] = new Array[Long](BloomWords)
+
+  /** In-place single-key insert — the keyed-state form of
+    * [[BloomAgg.reduce]] (StreamOps.bloomGate keeps one filter per
+    * shard in streaming state and inserts arriving fingerprints). */
+  def bloomAdd(buf: Array[Long], s: String): Unit = {
+    val x = hash60(s)
+    var j = 0
+    while (j < CmsD) {
+      val p = bloomPos(x, j)
+      buf(p >> 6) |= 1L << (p & 63)
+      j += 1
+    }
+  }
+
+  /** Deterministic shard of a key (same hash family as the filter): a
+    * fingerprint always routes to the same shard, so its shard's filter
+    * has seen every prior copy of it — no false negatives across
+    * shards, and strictly FEWER false positives than one shared filter
+    * (each filter holds only its shard's keys). */
+  def bloomShard(s: String, shards: Int): Int =
+    math.floorMod(hash60(s), shards.toLong).toInt
+
   /** Bloom membership over an already-aggregated filter value: true iff
     * all [[CmsD]] bit positions of the key are set (no false negatives;
     * false positives at the geometry's fpp). */

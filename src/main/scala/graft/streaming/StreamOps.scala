@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -97,6 +97,40 @@ object StreamOps {
     * unless the event-time column is part of the key). */
   def dedupWithinWatermark(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicatesWithinWatermark(cols)
+
+  /** Streaming incremental dedup gate — the STREAMING twin of qp15's
+    * broadcast-Bloom decontamination: per-shard Bloom filters ride
+    * keyed state (shard = hash of the fingerprint, so every copy of a
+    * fingerprint meets the same filter — no false negatives), and each
+    * arriving document is tagged maybe_seen BEFORE its fingerprint is
+    * inserted. Unlike [[dedupWithinWatermark]] there is NO retention
+    * horizon: a duplicate is flagged however far apart the copies
+    * arrive — the bounded-memory trade is the geometry's false-positive
+    * rate, not eviction. State is one fixed 128 KiB bit array per shard
+    * (shards spread across executors; size the geometry to expected
+    * keys ÷ shards — Udafs.BloomBits scaladoc). Within a micro-batch,
+    * documents are processed in id order (deterministic: a dup pair
+    * arriving in one batch flags the higher id). */
+  def bloomGate(ds: Dataset[(Long, String)], shards: Int = 16)(
+      implicit stateEnc: Encoder[Array[Long]],
+      outEnc: Encoder[(Long, String, Boolean)])
+      : Dataset[(Long, String, Boolean)] = {
+    import graft.functions.Udafs
+    ds.groupByKey(r => Udafs.bloomShard(r._2, shards))(Encoders.scalaInt)
+      .flatMapGroupsWithState[Array[Long], (Long, String, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, it: Iterator[(Long, String)],
+         state: GroupState[Array[Long]]) =>
+          val buf = state.getOption.getOrElse(Udafs.bloomEmpty())
+          val out = it.toVector.sortBy(_._1).map { case (id, fp) =>
+            val seen = Udafs.bloomContains(buf, fp)
+            Udafs.bloomAdd(buf, fp)
+            (id, fp, seen)
+          }
+          state.update(buf)
+          out.iterator
+      }
+  }
 
   /** Incremental sequence packing for a streaming ingest — the
     * stream-side complement of the batch export packing (qp17): per-key

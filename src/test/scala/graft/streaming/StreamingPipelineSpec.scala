@@ -162,6 +162,46 @@ class StreamingPipelineSpec extends SparkSuite {
     }
   }
 
+  test("bloomGate flags duplicate fingerprints across batches with no " +
+      "retention horizon (bit-exact vs reference simulation)") {
+    implicit val sqlCtx = spark.sqlContext
+    val fps = (0L until 60L).map(i => (i, s"fp${i % 25}")) // dups across+within
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.bloomGate(input.toDS(), shards = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bloom_gate").start()
+    try {
+      input.addData(fps.take(20): _*)
+      q.processAllAvailable()
+      input.addData(fps.slice(20, 40): _*)
+      q.processAllAvailable()
+      input.addData(fps.drop(40): _*)
+      q.processAllAvailable()
+      val got = spark.table("bloom_gate")
+        .as[(Long, String, Boolean)].collect()
+        .map(r => r._1 -> r._3).toMap
+      // reference: same shard filters, same insert order (batch, id)
+      val filters = scala.collection.mutable.Map.empty[Int, Array[Long]]
+      val expected = scala.collection.mutable.Map.empty[Long, Boolean]
+      Seq(fps.take(20), fps.slice(20, 40), fps.drop(40)).foreach { b =>
+        b.groupBy(r => graft.functions.Udafs.bloomShard(r._2, 4))
+          .foreach { case (sh, v) =>
+            val buf = filters.getOrElseUpdate(sh,
+              graft.functions.Udafs.bloomEmpty())
+            v.sortBy(_._1).foreach { case (id, fp) =>
+              expected(id) = graft.functions.Udafs.bloomContains(buf, fp)
+              graft.functions.Udafs.bloomAdd(buf, fp)
+            }
+          }
+      }
+      assert(got == expected.toMap)
+      // ids 25-59 repeat fingerprints first seen in earlier batches —
+      // flagged even though batches (and any watermark) have moved on
+      assert((25L until 60L).forall(got(_)))
+      assert((0L until 25L).forall(id => !got(id)))
+    } finally q.stop()
+  }
+
   test("CMS sketch aggregates over a stream; final sketch equals batch") {
     graft.functions.Udafs.register(spark)
     implicit val sqlCtx = spark.sqlContext
