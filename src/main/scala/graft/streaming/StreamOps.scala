@@ -118,19 +118,25 @@ object StreamOps {
     import graft.functions.Udafs
     ds.groupByKey(r => Udafs.bloomShard(r._2, shards))(Encoders.scalaInt)
       .flatMapGroupsWithState[Array[Long], (Long, String, Boolean)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Int, it: Iterator[(Long, String)],
-         state: GroupState[Array[Long]]) =>
-          val buf = state.getOption.getOrElse(Udafs.bloomEmpty())
-          val out = it.toVector.sortBy(_._1).map { case (id, fp) =>
-            val seen = Udafs.bloomContains(buf, fp)
-            Udafs.bloomAdd(buf, fp)
-            (id, fp, seen)
-          }
-          state.update(buf)
-          out.iterator
-      }
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(bloomGateFn)
   }
+
+  /** The [[bloomGate]] state function — exposed so the split-invariance
+    * property (PropertySpec) can drive it through the harness. */
+  def bloomGateFn: (Int, Iterator[(Long, String)],
+      GroupState[Array[Long]]) => Iterator[(Long, String, Boolean)] =
+    (_: Int, it: Iterator[(Long, String)],
+     state: GroupState[Array[Long]]) => {
+      import graft.functions.Udafs
+      val buf = state.getOption.getOrElse(Udafs.bloomEmpty())
+      val out = it.toVector.sortBy(_._1).map { case (id, fp) =>
+        val seen = Udafs.bloomContains(buf, fp)
+        Udafs.bloomAdd(buf, fp)
+        (id, fp, seen)
+      }
+      state.update(buf)
+      out.iterator
+    }
 
   /** Incremental sequence packing for a streaming ingest — the
     * stream-side complement of the batch export packing (qp17): per-key
@@ -147,14 +153,19 @@ object StreamOps {
       outEnc: Encoder[(K, Long, Long, Long)])
       : Dataset[(K, Long, Long, Long)] =
     ds.groupByKey(_._1).flatMapGroupsWithState[Long, (K, Long, Long, Long)](
-      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-      (k: K, it: Iterator[(K, Long, Long)], state: GroupState[Long]) =>
-        var off = state.getOption.getOrElse(0L)
-        val out = it.toVector.sortBy(_._2).map { case (_, id, n) =>
-          val o = off; off += n; (k, id, n, o)
-        }
-        state.update(off)
-        out.iterator
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(packStreamFn[K])
+
+  /** The [[packStream]] state function — exposed so the split-invariance
+    * property (PropertySpec) can drive it through the harness. */
+  def packStreamFn[K]: (K, Iterator[(K, Long, Long)],
+      GroupState[Long]) => Iterator[(K, Long, Long, Long)] =
+    (k: K, it: Iterator[(K, Long, Long)], state: GroupState[Long]) => {
+      var off = state.getOption.getOrElse(0L)
+      val out = it.toVector.sortBy(_._2).map { case (_, id, n) =>
+        val o = off; off += n; (k, id, n, o)
+      }
+      state.update(off)
+      out.iterator
     }
 
   /** Interval (time-bounded) stream-stream inner join:

@@ -310,4 +310,59 @@ class PropertySpec extends SparkSuite {
       got == exp
     })
   }
+
+  test("packStream is split-invariant for in-order arrivals " +
+      "(offset state-carry property)") {
+    // For ids arriving in increasing order, ANY contiguous 3-way
+    // micro-batch split yields the same per-key offsets as one batch —
+    // the cumulative counter in keyed state composes exactly.
+    import graft.streaming.{StreamOps, VirtualClockHarness}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val rowsG = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0, 2), Gen.choose(1L, 9L)))
+    check(Prop.forAll(rowsG, Gen.choose(0, 40), Gen.choose(0, 40)) {
+      (raw, i0, j0) =>
+        val rows = raw.zipWithIndex.map { case ((k, n), i) =>
+          (s"k$k", i.toLong, n)
+        }
+        val (i, j) = (math.min(i0, j0), math.max(i0, j0))
+        def run(chunks: Seq[Seq[(String, Long, Long)]])
+            : Map[Long, (String, Long, Long)] = {
+          val h = new VirtualClockHarness[String, (String, Long, Long),
+            Long, (String, Long, Long, Long)](
+            GroupStateTimeout.NoTimeout(), StreamOps.packStreamFn[String])
+          chunks.flatMap(c => c.groupBy(_._1).toSeq.sortBy(_._1)
+            .flatMap { case (k, v) => h.input(k, v: _*) })
+            .map(r => r._2 -> ((r._1, r._3, r._4))).toMap
+        }
+        val whole = run(Seq(rows))
+        val split = run(Seq(rows.take(i), rows.slice(i, j), rows.drop(j)))
+        whole == split
+    })
+  }
+
+  test("bloomGate is split-invariant for in-order arrivals " +
+      "(sharded filter state-carry property)") {
+    import graft.functions.Udafs
+    import graft.streaming.{StreamOps, VirtualClockHarness}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val fpsG = Gen.listOfN(40, Gen.choose(0, 12).map(x => s"fp$x"))
+    check(Prop.forAll(fpsG, Gen.choose(0, 40), Gen.choose(0, 40)) {
+      (fps, i0, j0) =>
+        val rows = fps.zipWithIndex.map { case (fp, i) => (i.toLong, fp) }
+        val (i, j) = (math.min(i0, j0), math.max(i0, j0))
+        def run(chunks: Seq[Seq[(Long, String)]]): Map[Long, Boolean] = {
+          val h = new VirtualClockHarness[Int, (Long, String),
+            Array[Long], (Long, String, Boolean)](
+            GroupStateTimeout.NoTimeout(), StreamOps.bloomGateFn)
+          chunks.flatMap(c =>
+            c.groupBy(r => Udafs.bloomShard(r._2, 4)).toSeq.sortBy(_._1)
+              .flatMap { case (sh, v) => h.input(sh, v: _*) })
+            .map(r => r._1 -> r._3).toMap
+        }
+        val whole = run(Seq(rows))
+        val split = run(Seq(rows.take(i), rows.slice(i, j), rows.drop(j)))
+        whole == split
+    })
+  }
 }
