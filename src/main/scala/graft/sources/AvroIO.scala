@@ -13,9 +13,12 @@ import org.apache.spark.sql.types._
   * AvroOutputFormat.java:53 writes it). The spark-avro DataSource jar is
   * NOT in the image, so this is the documented last-resort tier — an
   * RDD-level format driver over public avro-core + Hadoop FileSystem
-  * APIs — kept deliberately small: flat records of the primitive kernel
-  * (boolean/int/long/float/double/string/bytes), nullable via
-  * union(null, T), which is AvroInputFormat's GenericRecord surface.
+  * APIs. Type surface: the primitive kernel
+  * (boolean/int/long/float/double/string/bytes) plus — since round
+  * 10 — NESTED records (struct ↔ record), arrays, and string-keyed
+  * maps, recursively at any depth, every position nullable via
+  * union(null, T): the full GenericRecord surface AvroInputFormat
+  * exposes short of fixed/enum/multi-branch unions.
   *
   * Scale shape: one container file per input partition on write (the
   * reference's parallel OutputFormat posture); reads parallelize per
@@ -26,10 +29,15 @@ import org.apache.spark.sql.types._
   */
 object AvroIO {
 
-  /** Spark schema → Avro record schema (nullable fields become
-    * union(null, base), the standard Avro convention). */
+  /** Spark schema → Avro record schema (nullable positions become
+    * union(null, base), the standard Avro convention). Round 10 widens
+    * the mapping beyond the flat primitive kernel: nested STRUCTs map
+    * to nested records (record names derive from the field path —
+    * Avro requires unique names), ARRAYs to avro arrays, and
+    * string-keyed MAPs to avro maps, all recursively and at any
+    * nesting depth. */
   def avroSchemaOf(schema: StructType, name: String = "row"): Schema = {
-    def base(dt: DataType): Schema = dt match {
+    def base(dt: DataType, path: String): Schema = dt match {
       case BooleanType => Schema.create(Schema.Type.BOOLEAN)
       case IntegerType => Schema.create(Schema.Type.INT)
       case LongType => Schema.create(Schema.Type.LONG)
@@ -37,23 +45,34 @@ object AvroIO {
       case DoubleType => Schema.create(Schema.Type.DOUBLE)
       case StringType => Schema.create(Schema.Type.STRING)
       case BinaryType => Schema.create(Schema.Type.BYTES)
+      case st: StructType => record(st, path)
+      case ArrayType(et, containsNull) =>
+        Schema.createArray(wrap(et, containsNull, path + "_item"))
+      case MapType(StringType, vt, valueContainsNull) =>
+        Schema.createMap(wrap(vt, valueContainsNull, path + "_value"))
       case other => throw new IllegalArgumentException(
-        s"AvroIO supports the flat primitive kernel; got $other")
+        s"AvroIO cannot map $other (avro maps need string keys)")
     }
-    val fields = new java.util.ArrayList[Schema.Field]()
-    schema.fields.foreach { f =>
-      val s =
-        if (f.nullable)
-          Schema.createUnion(Schema.create(Schema.Type.NULL), base(f.dataType))
-        else base(f.dataType)
-      val default: AnyRef =
-        if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null
-      fields.add(new Schema.Field(f.name, s, null, default))
+    def wrap(dt: DataType, nullable: Boolean, path: String): Schema = {
+      val b = base(dt, path)
+      if (nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), b)
+      else b
     }
-    Schema.createRecord(name, null, "graft", false, fields)
+    def record(st: StructType, path: String): Schema = {
+      val fields = new java.util.ArrayList[Schema.Field]()
+      st.fields.foreach { f =>
+        val s = wrap(f.dataType, f.nullable, path + "_" + f.name)
+        val default: AnyRef =
+          if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null
+        fields.add(new Schema.Field(f.name, s, null, default))
+      }
+      Schema.createRecord(path, null, "graft", false, fields)
+    }
+    record(schema, name)
   }
 
-  /** Avro record schema → Spark schema (the read-side inverse). */
+  /** Avro record schema → Spark schema (the read-side inverse;
+    * recursive over records/arrays/maps). */
   def sparkSchemaOf(schema: Schema): StructType = {
     def of(s: Schema): (DataType, Boolean) = s.getType match {
       case Schema.Type.UNION =>
@@ -68,14 +87,85 @@ object AvroIO {
       case Schema.Type.DOUBLE => (DoubleType, false)
       case Schema.Type.STRING => (StringType, false)
       case Schema.Type.BYTES => (BinaryType, false)
+      case Schema.Type.RECORD => (structOf(s), false)
+      case Schema.Type.ARRAY =>
+        val (dt, n) = of(s.getElementType)
+        (ArrayType(dt, containsNull = n), false)
+      case Schema.Type.MAP =>
+        val (dt, n) = of(s.getValueType)
+        (MapType(StringType, dt, valueContainsNull = n), false)
       case other => throw new IllegalArgumentException(
         s"unsupported Avro type $other")
     }
-    StructType(schema.getFields.toArray.map {
-      case f: Schema.Field =>
-        val (dt, nullable) = of(f.schema())
-        StructField(f.name(), dt, nullable)
-    })
+    def structOf(s: Schema): StructType =
+      StructType(s.getFields.toArray.map {
+        case f: Schema.Field =>
+          val (dt, nullable) = of(f.schema())
+          StructField(f.name(), dt, nullable)
+      })
+    structOf(schema)
+  }
+
+  /** Spark value → Avro value, following the (already union-aware)
+    * schema recursively. */
+  private def toAvro(v: Any, s: Schema): AnyRef = v match {
+    case null => null
+    case _ => s.getType match {
+      case Schema.Type.UNION => toAvro(v, s.getTypes.get(1))
+      case Schema.Type.RECORD =>
+        val row = v.asInstanceOf[Row]
+        val rec = new GenericData.Record(s)
+        val fs = s.getFields
+        var i = 0
+        while (i < fs.size()) {
+          rec.put(i, toAvro(row.get(i), fs.get(i).schema()))
+          i += 1
+        }
+        rec
+      case Schema.Type.ARRAY =>
+        val out = new java.util.ArrayList[AnyRef]()
+        v.asInstanceOf[scala.collection.Seq[Any]].foreach(e =>
+          out.add(toAvro(e, s.getElementType)))
+        out
+      case Schema.Type.MAP =>
+        val out = new java.util.HashMap[String, AnyRef]()
+        v.asInstanceOf[scala.collection.Map[String, Any]].foreach {
+          case (k, x) => out.put(k, toAvro(x, s.getValueType))
+        }
+        out
+      case Schema.Type.BYTES =>
+        java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case _ => v.asInstanceOf[AnyRef]
+    }
+  }
+
+  /** Avro value → Spark value (Utf8 → String, ByteBuffer → bytes,
+    * records/arrays/maps recursively). */
+  private def fromAvro(v: Any, dt: DataType): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case bb: java.nio.ByteBuffer =>
+      val a = new Array[Byte](bb.remaining()); bb.get(a); a
+    case rec: GenericRecord =>
+      val st = dt.asInstanceOf[StructType]
+      val vals = new Array[Any](st.length)
+      var i = 0
+      while (i < st.length) {
+        vals(i) = fromAvro(rec.get(i), st.fields(i).dataType)
+        i += 1
+      }
+      Row.fromSeq(vals.toIndexedSeq)
+    case l: java.util.Collection[_] =>
+      val et = dt.asInstanceOf[ArrayType].elementType
+      val out = Vector.newBuilder[Any]
+      l.forEach(e => out += fromAvro(e, et))
+      out.result()
+    case m: java.util.Map[_, _] =>
+      val vt = dt.asInstanceOf[MapType].valueType
+      val out = Map.newBuilder[String, Any]
+      m.forEach((k, x) => out += (k.toString -> fromAvro(x, vt)))
+      out.result()
+    case other => other
   }
 
   /** Write one container file per partition under `path`
@@ -93,17 +183,7 @@ object AvroIO {
         new GenericDatumWriter[GenericRecord](schema))
       w.create(schema, out)
       it.foreach { row =>
-        val rec = new GenericData.Record(schema)
-        var i = 0
-        while (i < sparkSchema.length) {
-          val v = row.get(i) match {
-            case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-            case other => other
-          }
-          rec.put(i, v)
-          i += 1
-        }
-        w.append(rec)
+        w.append(toAvro(row, schema).asInstanceOf[GenericRecord])
       }
       w.close()
       Iterator.single(pid)
@@ -122,7 +202,6 @@ object AvroIO {
       fs.open(files.head), new GenericDatumReader[GenericRecord]())
     val avroJson = try first.getSchema.toString finally first.close()
     val sparkSchema = sparkSchemaOf(new Schema.Parser().parse(avroJson))
-    val n = sparkSchema.length
     val rows = spark.sparkContext
       .binaryFiles(files.map(_.toString).mkString(","))
       .flatMap { case (_, pds) =>
@@ -135,21 +214,8 @@ object AvroIO {
             if (!h) reader.close()
             h
           }
-          def next(): Row = {
-            val rec = reader.next()
-            val vals = new Array[Any](n)
-            var i = 0
-            while (i < n) {
-              vals(i) = rec.get(i) match {
-                case u: org.apache.avro.util.Utf8 => u.toString
-                case bb: java.nio.ByteBuffer =>
-                  val a = new Array[Byte](bb.remaining()); bb.get(a); a
-                case other => other
-              }
-              i += 1
-            }
-            Row.fromSeq(vals.toIndexedSeq)
-          }
+          def next(): Row =
+            fromAvro(reader.next(), sparkSchema).asInstanceOf[Row]
         }
       }
     spark.createDataFrame(rows, sparkSchema)

@@ -40,17 +40,59 @@ class AvroIOSpec extends SparkSuite {
     assert(back.collect().map(canon).toSet == rows.map(canon).toSet)
   }
 
-  test("the avro schema mapping is the documented kernel, both directions") {
+  test("the avro schema mapping round-trips, both directions") {
     val s = StructType(Seq(
       StructField("a", IntegerType, nullable = true),
-      StructField("b", FloatType, nullable = false)))
+      StructField("b", FloatType, nullable = false),
+      StructField("nested", StructType(Seq(
+        StructField("x", StringType, nullable = true),
+        StructField("ys", ArrayType(LongType, containsNull = false),
+          nullable = false))), nullable = true),
+      StructField("m", MapType(StringType, DoubleType,
+        valueContainsNull = true), nullable = false)))
     val avro = AvroIO.avroSchemaOf(s)
     assert(AvroIO.sparkSchemaOf(avro) == s)
+    // avro maps require string keys — anything else rejects by name
     val e = intercept[IllegalArgumentException] {
       AvroIO.avroSchemaOf(StructType(Seq(
-        StructField("m", MapType(StringType, LongType)))))
+        StructField("m", MapType(LongType, LongType)))))
     }
-    assert(e.getMessage.contains("primitive kernel"))
+    assert(e.getMessage.contains("string keys"))
+  }
+
+  test("round-trip: nested structs, arrays of structs, and maps") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("lang", StringType, nullable = true),
+        StructField("tags", ArrayType(StringType, containsNull = true),
+          nullable = false))), nullable = true),
+      StructField("spans", ArrayType(StructType(Seq(
+        StructField("off", IntegerType, nullable = false),
+        StructField("len", IntegerType, nullable = false))),
+        containsNull = false), nullable = false),
+      StructField("scores", MapType(StringType, DoubleType,
+        valueContainsNull = true), nullable = false)))
+    val rows = Seq(
+      Row(1L, Row("en", Seq("a", null, "c")),
+        Seq(Row(0, 5), Row(7, 2)), Map("q" -> 0.5, "p" -> null)),
+      Row(2L, null, Seq.empty, Map.empty[String, Double]),
+      Row(3L, Row(null, Seq.empty), Seq(Row(3, 3)),
+        Map("only" -> -1.25)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema).repartition(2)
+    val dir = tmp()
+    AvroIO.write(df, dir)
+    val back = AvroIO.read(spark, dir)
+    assert(back.schema == schema)
+    def norm(v: Any): Any = v match {
+      case r: Row => r.toSeq.map(norm).toList
+      case s: scala.collection.Seq[_] => s.map(norm).toList
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => k -> norm(x) }.toMap
+      case other => other
+    }
+    assert(back.collect().map(norm).toSet == rows.map(norm).toSet)
   }
 
   test("typed dataset round-trip via toDF") {
