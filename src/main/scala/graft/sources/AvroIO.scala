@@ -45,6 +45,15 @@ object AvroIO {
       case DoubleType => Schema.create(Schema.Type.DOUBLE)
       case StringType => Schema.create(Schema.Type.STRING)
       case BinaryType => Schema.create(Schema.Type.BYTES)
+      case DateType => // logical type date over int (epoch days)
+        org.apache.avro.LogicalTypes.date()
+          .addToSchema(Schema.create(Schema.Type.INT))
+      case TimestampType => // logical type timestamp-micros over long
+        org.apache.avro.LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+      case dt: DecimalType => // logical type decimal over bytes
+        org.apache.avro.LogicalTypes.decimal(dt.precision, dt.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
       case st: StructType => record(st, path)
       case ArrayType(et, containsNull) =>
         Schema.createArray(wrap(et, containsNull, path + "_item"))
@@ -81,12 +90,24 @@ object AvroIO {
           s"only union(null, T) is supported: $s")
         (of(ts.get(1))._1, true)
       case Schema.Type.BOOLEAN => (BooleanType, false)
-      case Schema.Type.INT => (IntegerType, false)
-      case Schema.Type.LONG => (LongType, false)
+      case Schema.Type.INT =>
+        (if (s.getLogicalType.isInstanceOf[org.apache.avro.LogicalTypes.Date])
+           DateType
+         else IntegerType, false)
+      case Schema.Type.LONG =>
+        (if (s.getLogicalType
+             .isInstanceOf[org.apache.avro.LogicalTypes.TimestampMicros])
+           TimestampType
+         else LongType, false)
       case Schema.Type.FLOAT => (FloatType, false)
       case Schema.Type.DOUBLE => (DoubleType, false)
       case Schema.Type.STRING => (StringType, false)
-      case Schema.Type.BYTES => (BinaryType, false)
+      case Schema.Type.BYTES =>
+        (s.getLogicalType match {
+          case d: org.apache.avro.LogicalTypes.Decimal =>
+            DecimalType(d.getPrecision, d.getScale)
+          case _ => BinaryType
+        }, false)
       case Schema.Type.RECORD => (structOf(s), false)
       case Schema.Type.ARRAY =>
         val (dt, n) = of(s.getElementType)
@@ -133,6 +154,23 @@ object AvroIO {
           case (k, x) => out.put(k, toAvro(x, s.getValueType))
         }
         out
+      case Schema.Type.INT
+          if s.getLogicalType.isInstanceOf[
+            org.apache.avro.LogicalTypes.Date] =>
+        Int.box(v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+      case Schema.Type.LONG
+          if s.getLogicalType.isInstanceOf[
+            org.apache.avro.LogicalTypes.TimestampMicros] =>
+        val ts = v.asInstanceOf[java.sql.Timestamp]
+        Long.box(Math.floorDiv(ts.getTime, 1000L) * 1000000L
+          + ts.getNanos / 1000L)
+      case Schema.Type.BYTES
+          if s.getLogicalType.isInstanceOf[
+            org.apache.avro.LogicalTypes.Decimal] =>
+        val d = s.getLogicalType
+          .asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
+        val bd = v.asInstanceOf[java.math.BigDecimal].setScale(d.getScale)
+        java.nio.ByteBuffer.wrap(bd.unscaledValue().toByteArray)
       case Schema.Type.BYTES =>
         java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
       case _ => v.asInstanceOf[AnyRef]
@@ -144,6 +182,16 @@ object AvroIO {
   private def fromAvro(v: Any, dt: DataType): Any = v match {
     case null => null
     case u: org.apache.avro.util.Utf8 => u.toString
+    case i: java.lang.Integer if dt == DateType =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+    case l: java.lang.Long if dt == TimestampType =>
+      val ts = new java.sql.Timestamp(Math.floorDiv(l, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(l, 1000000L) * 1000L).toInt)
+      ts
+    case bb: java.nio.ByteBuffer if dt.isInstanceOf[DecimalType] =>
+      val a = new Array[Byte](bb.remaining()); bb.get(a)
+      new java.math.BigDecimal(new java.math.BigInteger(a),
+        dt.asInstanceOf[DecimalType].scale)
     case bb: java.nio.ByteBuffer =>
       val a = new Array[Byte](bb.remaining()); bb.get(a); a
     case rec: GenericRecord =>

@@ -95,6 +95,41 @@ class AvroIOSpec extends SparkSuite {
     assert(back.collect().map(norm).toSet == rows.map(norm).toSet)
   }
 
+  test("round-trip: date / timestamp-micros / decimal logical types") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", DateType, nullable = true),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("amt", DecimalType(12, 2), nullable = true)))
+    val t0 = java.sql.Timestamp.valueOf("2023-06-15 12:34:56.123456")
+    val rows = Seq(
+      Row(1L, java.sql.Date.valueOf("2020-02-29"), t0,
+        new java.math.BigDecimal("12345.67")),
+      Row(2L, null, null, null),
+      Row(3L, java.sql.Date.valueOf("1969-12-31"),
+        java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999"),
+        new java.math.BigDecimal("-0.01")))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema).coalesce(1)
+    val dir = tmp()
+    AvroIO.write(df, dir)
+    val back = AvroIO.read(spark, dir)
+    assert(back.schema == schema)
+    // the avro file really carries logical types, not raw primitives
+    val avro = AvroIO.avroSchemaOf(schema)
+    assert(avro.toString.contains("\"logicalType\":\"date\"")
+      && avro.toString.contains("\"logicalType\":\"timestamp-micros\"")
+      && avro.toString.contains("\"logicalType\":\"decimal\""))
+    val got = back.collect()
+    assert(got.map(r => (r.getLong(0), String.valueOf(r.getDate(1)),
+        String.valueOf(r.getTimestamp(2)),
+        String.valueOf(r.getDecimal(3)))).toSet ==
+      rows.map(r => (r.getLong(0), String.valueOf(r.get(1)),
+        String.valueOf(r.get(2)),
+        Option(r.get(3)).map(_.asInstanceOf[java.math.BigDecimal]
+          .setScale(2).toString).getOrElse("null"))).toSet)
+  }
+
   test("typed dataset round-trip via toDF") {
     val dir = tmp()
     val df = Seq((10L, "x", 1.0), (11L, "y", 2.0), (12L, "z", 3.0))
