@@ -56,6 +56,37 @@ object AsofQueries extends QueryModule {
         7L * 86400 * 1000000)
         .select(col("event_id"), col("user_id"), col("ts"), col("n_in_range"))
         .orderBy(col("event_id"))
+    },
+
+    // The STATEFUL temporal-join operator (StreamOps.temporalJoin — the
+    // streaming TemporalRowTimeJoin) run in its batch-degradation mode
+    // against the same ASOF oracle as qj1: one operator, one semantic,
+    // two execution regimes (keyed-state streaming with watermark-gated
+    // emission, or this batch as-of). Inner form: facts preceding every
+    // version drop.
+    q("qj3_temporal_join_operator",
+      """WITH v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  v.value AS asof_value
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+          col("value"))
+        .as[(Long, Long, Double)]
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+          col("event_id"))
+        .as[(Long, Long, Long)]
+      graft.streaming.StreamOps.temporalJoin[Long, Long, Double](
+          purchases, views)
+        .filter((r: (Long, Long, Long, Option[Double])) => r._4.isDefined)
+        .map(r => (r._3, r._1, r._2, r._4.get))
+        .toDF("event_id", "user_id", "ts_us", "asof_value")
+        .orderBy("event_id")
     }
   )
 }

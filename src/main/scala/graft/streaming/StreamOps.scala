@@ -168,6 +168,103 @@ object StreamOps {
       out.iterator
     }
 
+  /** Keyed state of [[temporalJoin]]: buffered version rows (sorted by
+    * ts; bounded — pruned to one at-or-before the watermark plus the
+    * in-flight window) and facts awaiting the watermark. */
+  case class TemporalJoinState[F, V](versions: Vector[(Long, V)],
+      pending: Vector[(Long, F)])
+
+  /** Event-time TEMPORAL JOIN (the 1.7-era TemporalRowTimeJoin the 1.6
+    * reference lacks — flink-table's temporal table functions): enrich
+    * each fact with the version row that was current AT THE FACT'S
+    * EVENT TIME. Generalizes [[eventTimeAsofJoin]] (Double payloads,
+    * one pre-tagged stream, inner-only) to arbitrary payload types, two
+    * separate inputs, the left-outer Option form, and a batch
+    * degradation that IS the as-of join (oracled as qj3). Versions buffer in keyed state; a fact waits until the
+    * watermark passes its timestamp (after which no older-stamped
+    * version can still arrive), then joins against the LATEST version
+    * with ts ≤ fact.ts (same-ts versions: last arrival wins, the
+    * last-write-wins convention). Versions behind the newest
+    * at-or-before-watermark one are pruned — no future fact can select
+    * them — so state per key is ONE current version plus the in-flight
+    * window: bounded at any history length. Facts already behind the
+    * watermark on arrival emit immediately against current state (the
+    * deterministic late-data analog; compose with [[tagLate]] to drop
+    * them instead). Emits `None` for facts preceding every version
+    * (left-outer form; filter for the inner join). */
+  def temporalJoinFn[K, F, V]: (K, Seq[(K, Long, F)], Seq[(K, Long, V)],
+      GroupState[TemporalJoinState[F, V]]) =>
+      Iterator[(K, Long, F, Option[V])] =
+    (k: K, facts: Seq[(K, Long, F)], versions: Seq[(K, Long, V)],
+     state: GroupState[TemporalJoinState[F, V]]) => {
+      // batch execution has no watermark: treat it as +∞ — every fact
+      // is ripe and the operator degrades to the batch as-of join
+      val wm = try state.getCurrentWatermarkMs()
+        catch { case _: UnsupportedOperationException => Long.MaxValue }
+      val st = state.getOption
+        .getOrElse(TemporalJoinState[F, V](Vector.empty, Vector.empty))
+      // stable sort: among equal timestamps the later arrival sorts
+      // later, and lookup takes the last qualifying row
+      val vs = (st.versions ++ versions.map(v => (v._2, v._3)))
+        .sortBy(_._1)
+      val all = st.pending ++ facts.map(f => (f._2, f._3))
+      val (ripe, wait) = all.partition(_._1 <= wm)
+      def lookup(t: Long): Option[V] = {
+        var res: Option[V] = None
+        vs.foreach { case (ts, v) => if (ts <= t) res = Some(v) }
+        res
+      }
+      val out = ripe.sortBy(_._1).map { case (t, f) => (k, t, f, lookup(t)) }
+      val lastIdx = vs.lastIndexWhere(_._1 <= wm)
+      val pruned = if (lastIdx <= 0) vs else vs.drop(lastIdx)
+      if (wait.isEmpty && pruned.isEmpty) state.remove()
+      else {
+        state.update(TemporalJoinState(pruned, wait))
+        // flush pending facts when the watermark passes the earliest
+        // one, even if the key never sees data again
+        if (wait.nonEmpty) state.setTimeoutTimestamp(wait.map(_._1).min)
+      }
+      out.iterator
+    }
+
+  /** Union row of [[temporalJoin]] (the watermark column `et` must
+    * survive into the stateful operator, so it is part of the row). */
+  case class TemporalEvent[K, F, V](k: K, ts: Long, fact: Option[F],
+      ver: Option[V], et: java.sql.Timestamp)
+
+  /** [[temporalJoinFn]] wired over two inputs (facts = (key, ts, fact),
+    * versions = (key, ts, version); ts in epoch millis). The wrapper
+    * derives the event-time watermark from the union's own ts column
+    * with `delay` out-of-orderness — callers pass raw streams. On batch
+    * inputs the same call degrades to the as-of join. */
+  def temporalJoin[K: Encoder, F, V](facts: Dataset[(K, Long, F)],
+      versions: Dataset[(K, Long, V)], delay: String = "0 milliseconds")(
+      implicit stEnc: Encoder[TemporalJoinState[F, V]],
+      outEnc: Encoder[(K, Long, F, Option[V])],
+      tagEnc: Encoder[(K, Long, Option[F], Option[V])],
+      evEnc: Encoder[TemporalEvent[K, F, V]])
+      : Dataset[(K, Long, F, Option[V])] = {
+    val tagged =
+      facts.map(f => (f._1, f._2, Option(f._3), Option.empty[V]))
+        .union(versions.map(v => (v._1, v._2, Option.empty[F],
+          Option(v._3))))
+    tagged.toDF("k", "ts", "fact", "ver")
+      .withColumn("et", expr("timestamp_millis(ts)"))
+      .withWatermark("et", delay)
+      .as[TemporalEvent[K, F, V]]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[TemporalJoinState[F, V],
+        (K, Long, F, Option[V])](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (k: K, it: Iterator[TemporalEvent[K, F, V]],
+         st: GroupState[TemporalJoinState[F, V]]) =>
+          val buf = it.toVector
+          temporalJoinFn[K, F, V](k,
+            buf.flatMap(e => e.fact.map(f => (e.k, e.ts, f))),
+            buf.flatMap(e => e.ver.map(v => (e.k, e.ts, v))), st)
+      }
+  }
+
   /** Interval (time-bounded) stream-stream inner join:
     * `right.ts ∈ [left.ts + lower, left.ts + upper]` on an equi-key.
     * Both inputs must carry watermarks. Mirrors
