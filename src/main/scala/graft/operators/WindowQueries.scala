@@ -244,6 +244,43 @@ object WindowQueries extends QueryModule {
                    |  RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)""".stripMargin)
               .as("n_in_range"))
           .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    },
+
+    // CUMULATE group window (1h span / 15m step — the Flink-1.13-era
+    // windowing TVF, beyond both the 1.6 reference and Spark's built-in
+    // window()): each hour emits four GROWING windows [h, h+15m),
+    // [h, 30m), [h, 45m), [h, 1h) — the early-firing dashboard shape.
+    // Composed as an explode over the steps an event participates in
+    // (an event at minute m of its hour lands in windows
+    // floor(m/15)+1 .. 4) + one partial-aggregated groupBy — no custom
+    // operator, and the explode factor is the step count (≤4), not the
+    // row count.
+    q("qw11_cumulate",
+      s"""WITH b AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
+         |  FROM events),
+         |x AS (SELECT (tsu // 3600000000) * 3600000000 AS hb, g.k AS k,
+         |    value
+         |  FROM b, UNNEST(generate_series(
+         |    ((tsu - (tsu // 3600000000) * 3600000000) // 900000000) + 1,
+         |    4)) AS g(k))
+         |SELECT make_timestamp(hb) AS w_start,
+         |  make_timestamp(hb + k * 900000000) AS w_end,
+         |  COUNT(*) AS n, ${DSUM("value")} AS sum_value
+         |FROM x GROUP BY hb, k ORDER BY w_start, w_end""".stripMargin) {
+      (s, d) =>
+      val hourUs = 3600L * 1000000L
+      val stepUs = 900L * 1000000L
+      t(s, d, "events")
+        .withColumn("tsu", unix_micros(col("ts")))
+        .withColumn("hb", expr(s"(tsu div $hourUs) * $hourUs"))
+        .withColumn("k",
+          explode(expr(s"sequence((tsu - hb) div $stepUs + 1, 4)")))
+        .groupBy(col("hb"), col("k"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(timestamp_micros(col("hb")).as("w_start"),
+          timestamp_micros(col("hb") + col("k") * stepUs).as("w_end"),
+          col("n"), col("sum_value"))
+        .orderBy(col("w_start"), col("w_end"))
     }
   )
 }

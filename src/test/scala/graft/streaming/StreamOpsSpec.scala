@@ -38,6 +38,52 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming CUMULATE windows: growing per-hour windows emit as " +
+      "the watermark passes each step") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Click]
+    // qw11's composition on a stream: explode each event into the steps
+    // it participates in, stamp each with that step's window END, and
+    // tumble on the end-stamp — append mode then emits each growing
+    // window exactly when the watermark passes its end.
+    val agg = input.toDF()
+      .withColumn("tsu", unix_micros(col("ts")))
+      .withColumn("hb", expr("(tsu div 3600000000) * 3600000000"))
+      .withColumn("k",
+        explode(expr("sequence((tsu - hb) div 900000000 + 1, 4)")))
+      .withColumn("wend",
+        timestamp_micros(col("hb") + col("k") * lit(900000000L)))
+      .withWatermark("wend", "0 seconds")
+      .groupBy(window(col("wend"), "15 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("cumulate_out").start()
+    try {
+      input.addData(
+        Click(1, "view", t("2024-01-01 00:10:00"), 1.0),
+        Click(2, "view", t("2024-01-01 00:40:00"), 2.0),
+        Click(3, "click", t("2024-01-01 00:50:00"), 5.0))
+      q.processAllAvailable()
+      input.addData(Click(4, "view", t("2024-01-01 02:00:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("cumulate_out")
+        .select(col("window.start").cast("string"), col("n"), col("v"))
+        .as[(String, Long, Double)].collect().toSet
+      // growing windows of hour 0: [00:00,00:15) holds e1; [..,00:30)
+      // still e1; [..,00:45) e1+e2; [..,01:00) all three. The hour-2
+      // advancer's own growing windows up to the watermark close too
+      // (its 03:00 window stays open: wm == end, not past it).
+      assert(rows == Set(
+        ("2024-01-01 00:15:00", 1L, 1.0),
+        ("2024-01-01 00:30:00", 1L, 1.0),
+        ("2024-01-01 00:45:00", 2L, 3.0),
+        ("2024-01-01 01:00:00", 3L, 8.0),
+        ("2024-01-01 02:15:00", 1L, 1.0),
+        ("2024-01-01 02:30:00", 1L, 1.0),
+        ("2024-01-01 02:45:00", 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("streaming session windows merge on gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Click]
