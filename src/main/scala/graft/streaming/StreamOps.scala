@@ -168,6 +168,42 @@ object StreamOps {
       out.iterator
     }
 
+  /** Streaming Top-N per key (the blink-planner TopN operator the 1.6
+    * reference's streaming SQL lacks — rank-by-value with incremental
+    * updates): keyed state holds the CURRENT top-n (value desc, id asc
+    * tie-break), and a micro-batch emits the key's full re-stamped
+    * top-n ONLY when the batch changed it (set or order) — the
+    * update-stream contract a retracting sink consumes. State is n
+    * rows per key, bounded; rows below the current n-th never enter
+    * state (the blink UpdatableTopNFunction trade). */
+  def streamingTopNFn[K](n: Int): (K, Iterator[(K, Long, Double)],
+      GroupState[Vector[(Double, Long)]]) =>
+      Iterator[(K, Int, Long, Double)] =
+    (k: K, it: Iterator[(K, Long, Double)],
+     state: GroupState[Vector[(Double, Long)]]) => {
+      val prev = state.getOption.getOrElse(Vector.empty)
+      val merged = (prev ++ it.map(r => (r._3, r._2)))
+        .sortBy { case (v, id) => (-v, id) }
+        .distinct.take(n)
+      if (merged == prev) Iterator.empty
+      else {
+        state.update(merged)
+        merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+          (k, i + 1, id, v)
+        }
+      }
+    }
+
+  /** [[streamingTopNFn]] over a (key, id, value) input. */
+  def streamingTopN[K: Encoder](ds: Dataset[(K, Long, Double)], n: Int)(
+      implicit stateEnc: Encoder[Vector[(Double, Long)]],
+      outEnc: Encoder[(K, Int, Long, Double)])
+      : Dataset[(K, Int, Long, Double)] =
+    ds.groupByKey(_._1).flatMapGroupsWithState[Vector[(Double, Long)],
+      (K, Int, Long, Double)](
+      OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+      streamingTopNFn[K](n))
+
   /** Keyed state of [[temporalJoin]]: buffered version rows (sorted by
     * ts; bounded — pruned to one at-or-before the watermark plus the
     * in-flight window) and facts awaiting the watermark. */

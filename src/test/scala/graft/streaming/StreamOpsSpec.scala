@@ -84,6 +84,50 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming Top-N: incremental per-key rank updates, silent when " +
+      "the top set is unchanged") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val h = new VirtualClockHarness[String, (String, Long, Double),
+      Vector[(Double, Long)], (String, Int, Long, Double)](
+      GroupStateTimeout.NoTimeout(), StreamOps.streamingTopNFn[String](3))
+    // first batch establishes the top-3
+    assert(h.input("k", ("k", 1L, 5.0), ("k", 2L, 9.0), ("k", 3L, 7.0))
+      == Seq(("k", 1, 2L, 9.0), ("k", 2, 3L, 7.0), ("k", 3, 1L, 5.0)))
+    // a row below the current 3rd changes nothing and emits nothing
+    assert(h.input("k", ("k", 4L, 1.0)).isEmpty)
+    // a new contender re-stamps the whole top-3
+    assert(h.input("k", ("k", 5L, 8.0))
+      == Seq(("k", 1, 2L, 9.0), ("k", 2, 5L, 8.0), ("k", 3, 3L, 7.0)))
+    // state holds exactly the top-3, nothing below
+    assert(h.stateOf("k") == Some(Vector((9.0, 2L), (8.0, 5L), (7.0, 3L))))
+    // ties rank by id ascending
+    assert(h.input("k", ("k", 0L, 9.0))
+      == Seq(("k", 1, 0L, 9.0), ("k", 2, 2L, 9.0), ("k", 3, 5L, 8.0)))
+  }
+
+  test("streaming Top-N over a real update-mode query") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val q = StreamOps.streamingTopN(input.toDS(), 2)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("topn_out").start()
+    try {
+      input.addData(("a", 1L, 3.0), ("a", 2L, 5.0), ("b", 9L, 1.0))
+      q.processAllAvailable()
+      val n1 = spark.table("topn_out").count()
+      assert(n1 == 3) // a: 2 rows, b: 1 row
+      input.addData(("a", 3L, 4.0)) // displaces id 1 from a's top-2
+      q.processAllAvailable()
+      val rows = spark.table("topn_out")
+        .as[(String, Int, Long, Double)].collect()
+      // the second batch re-emitted a's full top-2
+      assert(rows.length == 5)
+      val latestA = rows.drop(3).filter(_._1 == "a").sortBy(_._2)
+      assert(latestA.toSeq ==
+        Seq(("a", 1, 2L, 5.0), ("a", 2, 3L, 4.0)))
+    } finally q.stop()
+  }
+
   test("streaming session windows merge on gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Click]
