@@ -810,6 +810,43 @@ object StreamOps {
       }
     }
 
+  /** Unordered async I/O (AsyncDataStream.unorderedWait,
+    * AsyncDataStream.java:147): like [[asyncMapOrdered]] but results
+    * emit in COMPLETION order — lower latency when lookup latencies
+    * vary (a slow request no longer head-of-line-blocks the fast ones
+    * behind it), at the cost of input order within the partition. */
+  def asyncMapUnordered[I, O: Encoder, C](ds: Dataset[I], parallelism: Int)(
+      mkClient: () => C)(fn: (C, I) => O): Dataset[O] =
+    ds.mapPartitions { it =>
+      import java.util.concurrent.{ExecutorCompletionService, Executors}
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pool = Executors.newFixedThreadPool(parallelism)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
+        val cs = new ExecutorCompletionService[O](pool)
+        val client = mkClient()
+        var inFlight = 0
+        def fill(): Unit =
+          while (inFlight < parallelism && it.hasNext) {
+            val elem = it.next()
+            cs.submit(() => fn(client, elem))
+            inFlight += 1
+          }
+        fill()
+        new Iterator[O] {
+          def hasNext: Boolean = inFlight > 0
+          def next(): O = {
+            val r = cs.take().get() // first COMPLETED, not first submitted
+            inFlight -= 1
+            fill()
+            if (inFlight == 0) pool.shutdown()
+            r
+          }
+        }
+      }
+    }
+
   /** Per-key tumbling COUNT window (KeyedStream.countWindow(n)): buffers a
     * running (count, aggregate) in keyed state and emits every `n`
     * elements. `zero`/`add`/`emit` define the aggregate. State is O(1) per

@@ -700,6 +700,28 @@ class StreamOpsSpec extends SparkSuite {
     assert(out.toSeq == (0L until n).map(_ * 10))
   }
 
+  test("asyncMapUnordered emits in completion order (no head-of-line " +
+      "blocking) and processes every element") {
+    // deterministic interleave: element 0 blocks until element 1's fn
+    // has run, so completion order is provably 1 then 0
+    AsyncUnorderedHolder.reset()
+    val out = StreamOps.asyncMapUnordered(
+      spark.range(2).as[Long].coalesce(1), parallelism = 2)(
+      () => "client") { (_, i) =>
+      if (i == 0L) AsyncUnorderedHolder.latch.await()
+      else AsyncUnorderedHolder.latch.countDown()
+      i * 10
+    }.collect()
+    assert(out.toSeq == Seq(10L, 0L)) // completion order, not input order
+    // bulk: every element processed exactly once under variable latency
+    val n = 50
+    val bulk = StreamOps.asyncMapUnordered(
+      spark.range(n).as[Long].coalesce(1), parallelism = 4)(
+      () => "client") { (_, i) => Thread.sleep((i % 3) * 2); i * 10 }
+      .collect()
+    assert(bulk.sorted.toSeq == (0L until n).map(_ * 10))
+  }
+
   test("sideOutputs routes rows into tagged branches with a default") {
     val df = Seq(
       Click(1, "view", t("2024-01-01 00:00:00"), 1.0),
@@ -976,4 +998,12 @@ class StreamOpsSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().map(r => (r._1, r._2, r._3)).toSet
     assert(streamed === batch)
   }
+}
+
+/** In-JVM latch for the deterministic unordered-async test (objects are
+  * not serialized into closures; local mode shares the JVM). */
+object AsyncUnorderedHolder {
+  @volatile var latch: java.util.concurrent.CountDownLatch = _
+  def reset(): Unit =
+    latch = new java.util.concurrent.CountDownLatch(1)
 }
