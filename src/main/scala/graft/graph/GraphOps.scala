@@ -571,4 +571,31 @@ object GraphOps {
     und.unpersist()
     labels
   }
+
+  /** k-core decomposition by iterative peeling (Matula–Beck; beyond the
+    * reference's Gelly library): repeatedly drop vertices with degree
+    * < k until fixpoint — the surviving subgraph is the maximal one
+    * where every vertex keeps ≥ k neighbors. Each round is one
+    * partial-aggregated degree count + two key-partitioned semi-joins;
+    * rounds are data-dependent but small in practice (the convergence
+    * scalar is the per-round edge count, the graph-loop pattern).
+    * Returns (id, core_deg): the k-core's vertices with their
+    * within-core degree. */
+  def kCore(spark: SparkSession, edges: DataFrame, k: Int): DataFrame = {
+    var e = materialize(undirect(edges))
+    var n = e.count()
+    var converged = false
+    while (!converged && n > 0) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("dg"))
+        .where(col("dg") >= k).select(col("src").as("node"))
+      val next = materialize(
+        e.join(keep, e("src") === keep("node"), "left_semi")
+          .join(keep, e("dst") === keep("node"), "left_semi"))
+      val m = next.count()
+      converged = m == n
+      e = next
+      n = m
+    }
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
+  }
 }

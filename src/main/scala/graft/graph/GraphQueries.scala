@@ -385,6 +385,43 @@ object GraphQueries extends QueryModule {
           coalesce(col("in_deg"), lit(0L)).as("in_deg"))
         .withColumn("degree", col("out_deg") + col("in_deg"))
         .orderBy("v")
+    },
+
+    // k-core decomposition (Matula–Beck peeling; beyond the Gelly
+    // library) over the parts CO-PURCHASE graph (parts sharing an order
+    // — the market-basket projection, ~115 avg degree, so peeling at
+    // k=80 cascades for several rounds before stabilizing on a proper
+    // nonempty core at both scales). Spark runs the loop to fixpoint
+    // with per-round edge-count convergence scalars; the oracle UNROLLS
+    // 16 peel blocks — more than the measured 6-round convergence at
+    // either scale, and safe because peeling is idempotent after
+    // fixpoint, so over-unrolling is exact.
+    q("qg14_kcore", {
+      val blocks = (1 to 16).map { i =>
+        s"""d_$i AS MATERIALIZED (SELECT src, COUNT(*) AS dg
+           |  FROM e_${i - 1} GROUP BY src),
+           |kp_$i AS MATERIALIZED (SELECT src FROM d_$i WHERE dg >= 80),
+           |e_$i AS MATERIALIZED (SELECT e.src, e.dst FROM e_${i - 1} e
+           |  JOIN kp_$i a ON e.src = a.src
+           |  JOIN kp_$i b ON e.dst = b.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pp AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |e_0 AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM pp
+         |  UNION SELECT p2, p1 FROM pp),
+         |$blocks
+         |SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM e_16 GROUP BY src ORDER BY id""".stripMargin
+    }) { (s, d) =>
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pp = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+      GraphOps.kCore(s, pp, 80).orderBy("id")
     }
   )
 
