@@ -513,6 +513,39 @@ object ScalarQueries extends QueryModule {
       ks.crossJoin(broadcast(sk))
         .selectExpr("k", "graft_cms_est(sk, k) AS est")
         .orderBy("k")
+    },
+
+    // Equi-width HISTOGRAM aggregation — the profiling primitive: pass 1
+    // reduces to global (min, max) (a broadcast scalar), pass 2 buckets
+    // every row with pure arithmetic and partial-aggregates counts per
+    // (group, bucket). Integer-cent arithmetic end to end (prices are
+    // DECIMAL(12,2) → ×100 as BIGINT), so bucket edges are exact —
+    // no float boundary flips. The last bucket is closed ([.., max]).
+    q("qs15_histogram",
+      """WITH b AS (SELECT
+        |    CAST(CAST(l_extendedprice AS DECIMAL(30,8)) * 100 AS BIGINT)
+        |      AS c,
+        |    l_returnflag AS flag FROM lineitem),
+        |mm AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM b)
+        |SELECT flag,
+        |  CAST(least((c - mm.lo) * 10 // (mm.hi - mm.lo + 1), 9)
+        |    AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM b CROSS JOIN mm
+        |GROUP BY flag, bucket ORDER BY flag, bucket""".stripMargin) {
+      (s, d) =>
+      val b = t(s, d, "lineitem")
+        .select((col("l_extendedprice").cast(graft.Det.DEC) * 100)
+          .cast("long").as("c"),
+          col("l_returnflag").as("flag"))
+      val mm = b.agg(min("c").as("lo"), max("c").as("hi"))
+      b.crossJoin(broadcast(mm))
+        .select(col("flag"),
+          least(expr("(c - lo) * 10 div (hi - lo + 1)"), lit(9L))
+            .cast("long").as("bucket"))
+        .groupBy("flag", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("flag", "bucket")
     }
   )
 }

@@ -464,6 +464,65 @@ object DedupQueries extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Quality-keep survivor selection — the PRODUCTION dedup rule: within
+    // each near-dup cluster keep the BEST copy (here: longest n_chars,
+    // ties to the lowest id), not the arbitrary first (qp1/qp8's min-id
+    // convention is deterministic but quality-blind; real pipelines keep
+    // the most complete copy). One broadcast-sized join of the cluster
+    // table to doc metadata + one partial-aggregated argmax per cluster
+    // (min-struct — no window over the corpus).
+    q("qp22_dedup_best_survivor",
+      s"""${duckSig.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |bands AS (SELECT doc_id, b.band,
+         |    CASE b.band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+         |                WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bv
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |prs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |e AS (SELECT a AS src, b AS dst FROM prs
+         |  UNION SELECT b, a FROM prs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM e
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+         |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+         |j AS (SELECT c.rep, c.id, d.n_chars
+         |  FROM comp c JOIN documents d ON d.doc_id = c.id),
+         |rk AS (SELECT rep, id, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY rep
+         |      ORDER BY n_chars DESC, id) AS rn
+         |  FROM j)
+         |SELECT CAST(rep AS BIGINT) AS cluster_rep,
+         |  CAST(id AS BIGINT) AS keep_id,
+         |  CAST(n_chars AS BIGINT) AS keep_chars,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM comp c2
+         |   WHERE c2.rep = rk.rep) AS n_docs
+         |FROM rk WHERE rn = 1 ORDER BY cluster_rep""".stripMargin) {
+      (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val bands = withShingles(t(s, d, "documents"))
+        .select(col("doc_id"),
+          posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
+      val prs = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+        .distinct()
+      val comp = graft.graph.GraphOps.connectedComponents(s, prs)
+        .select(col("id"), col("comp").as("rep"))
+      comp.join(t(s, d, "documents")
+          .select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+        .groupBy(col("rep"))
+        .agg(min(struct((-col("n_chars")).as("neg"), col("id").as("kid")))
+            .as("m"),
+          count(lit(1)).as("n_docs"))
+        .select(col("rep").as("cluster_rep"), col("m.kid").as("keep_id"),
+          (-col("m.neg")).cast("long").as("keep_chars"), col("n_docs"))
+        .orderBy("cluster_rep")
+    },
+
     // Leakage-safe train/heldout split: a plain hash split leaks when two
     // near-duplicate documents land on opposite sides (the heldout copy
     // is effectively training data). The split key is therefore the
