@@ -188,6 +188,16 @@ object PlanAudit {
       qp21.contains("BroadcastHashJoin") &&
         !qp21.contains("CartesianProduct"))
 
+    // histogram: the (min,max) scalar broadcasts; counts partial-agg
+    val qs15 = plan("qs15_histogram")
+    check("qs15 min/max scalar broadcasts and counts partial-aggregate",
+      qs15.contains("Broadcast") && qs15.contains("partial_count"))
+    // cumulate: composed from explode + partial-agg — no Window at all
+    val qw11 = plan("qw11_cumulate")
+    check("qw11 cumulate is explode + partial-agg (no Window, no join)",
+      qw11.contains("Generate explode") && qw11.contains("partial_count")
+        && !qw11.contains("Window") && !qw11.contains("Join"))
+
     // duplicate frames: one fingerprint-keyed partial-agg shuffle, no
     // join of any kind (the qp1 shape on binary content)
     val qm4 = plan("qm4_duplicate_frames")
