@@ -464,6 +464,77 @@ object DedupQueries extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // LSH parameter evaluation — the text-dedup twin of qe9's ANN recall:
+    // score the MinHash band candidates (qp4) against exact trigram-
+    // Jaccard ground truth (pairs ≥ 0.5) on a deterministic document
+    // sample, reporting recall AND precision — the numbers that justify
+    // a bands×rows choice before running at scale. Ground truth computes
+    // all qualifying pairs via the INVERTED-INDEX join (shingle-keyed,
+    // never all-pairs — a pair with zero shared shingles has Jaccard 0
+    // and can't reach the threshold); at 100 TB you run this on exactly
+    // such a sample. Integer fixed-point Jaccard (×1e6, truncating).
+    q("qp23_lsh_eval",
+      s"""$duckSig,
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id, s.sh AS g
+         |  FROM shx, UNNEST(shx.sh) AS s(sh) WHERE doc_id < 500),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns FROM sh
+         |  GROUP BY doc_id),
+         |iv AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS i
+         |  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT iv.a, iv.b FROM iv
+         |  JOIN sz sa ON sa.doc_id = iv.a JOIN sz sb ON sb.doc_id = iv.b
+         |  WHERE i * 1000000 // (sa.ns + sb.ns - i) >= 500000),
+         |bands AS (SELECT doc_id, b.band,
+         |    CASE b.band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+         |                WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bv
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+         |  WHERE doc_id < 500),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |hit AS (SELECT t.a, t.b FROM truth t
+         |  JOIN cand c ON c.a = t.a AND c.b = t.b)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) * 100
+         |    // greatest((SELECT COUNT(*) FROM truth), 1) AS recall_pct,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) * 100
+         |    // greatest((SELECT COUNT(*) FROM cand), 1) AS precision_pct
+         |""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val docs = withShingles(t(s, d, "documents"))
+        .where(col("doc_id") < 500)
+      val sh = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+        .distinct()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      val iv = sh.as("x").join(sh.as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("i"))
+      val truth = iv
+        .join(sz.select(col("doc_id").as("a"), col("ns").as("na")), Seq("a"))
+        .join(sz.select(col("doc_id").as("b"), col("ns").as("nb")), Seq("b"))
+        .where(expr("i * 1000000 div (na + nb - i) >= 500000"))
+        .select(col("a"), col("b"))
+      val bands = docs.select(col("doc_id"),
+        posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val hit = truth.join(cand, Seq("a", "b"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          expr("n_hit * 100 div greatest(n_truth, 1L)").as("recall_pct"),
+          expr("n_hit * 100 div greatest(n_cand, 1L)").as("precision_pct"))
+    },
+
     // Quality-keep survivor selection — the PRODUCTION dedup rule: within
     // each near-dup cluster keep the BEST copy (here: longest n_chars,
     // ties to the lowest id), not the arbitrary first (qp1/qp8's min-id
