@@ -124,6 +124,67 @@ object CurationQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Span-level decontamination — the REMOVAL action qp9's detection
+    // implies: instead of dropping a contaminated document, cut exactly
+    // the tokens covered by benchmark-matching 13-grams (here trigrams,
+    // same geometry as qp9) and keep the rest. Matching gram positions
+    // ban their 3-token spans; overlapping bans union per document
+    // (DISTINCT positions); the text rebuilds with an array-lambda
+    // filter — one broadcast gram-set join + one partial-agg per doc,
+    // no window, no self-join. Output: affected documents with removed-
+    // token counts and the surgically cleaned text.
+    q("qp24_decontaminate_spans",
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |gp AS (SELECT doc_id, CAST(g.i AS INT) AS p,
+        |    ws[g.i] || ' ' || ws[g.i + 1] || ' ' || ws[g.i + 2] AS g
+        |  FROM tk, UNNEST(generate_series(1, len(ws) - 2)) AS g(i)
+        |  WHERE len(ws) >= 3),
+        |bench AS (SELECT DISTINCT g FROM gp WHERE doc_id % 97 = 0),
+        |banned AS (SELECT DISTINCT d.doc_id, u.bp
+        |  FROM gp d JOIN bench b ON d.g = b.g,
+        |    UNNEST([d.p, d.p + 1, d.p + 2]) AS u(bp)
+        |  WHERE d.doc_id % 97 <> 0),
+        |agg AS (SELECT doc_id, list(bp) AS bps,
+        |    CAST(COUNT(*) AS BIGINT) AS n_removed
+        |  FROM banned GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_removed,
+        |  COALESCE(array_to_string(list_filter(
+        |    list_transform(generate_series(1, len(t.ws)), i ->
+        |      CASE WHEN list_contains(a.bps, CAST(i AS INT)) THEN NULL
+        |           ELSE t.ws[i] END),
+        |    x -> x IS NOT NULL), ' '), '') AS clean_text
+        |FROM agg a JOIN tk t ON t.doc_id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      val tk = t(s, d, "documents")
+        .selectExpr("doc_id", "filter(split(text, ' '), x -> x <> '') AS ws")
+      val gp = tk.where("size(ws) >= 3")
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(ws) - 3), i -> " +
+            "concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))"))
+          .as(Seq("p", "g")))
+      val bench = gp.where(col("doc_id") % 97 === 0)
+        .select(col("g")).distinct()
+      // 0-based here vs 1-based in the oracle — each side rebuilds from
+      // its own indexing; the output text and counts are identical
+      val banned = gp.where(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "g")
+        .select(col("doc_id"),
+          explode(expr("array(p, p + 1, p + 2)")).as("bp"))
+        .distinct()
+      val agg = banned.groupBy("doc_id")
+        .agg(collect_set("bp").as("bps"),
+          count(lit(1)).cast("long").as("n_removed"))
+      agg.join(tk, "doc_id")
+        .select(col("doc_id"), col("n_removed"),
+          expr("""array_join(filter(
+            |  transform(sequence(0, size(ws) - 1), i ->
+            |    IF(array_contains(bps, i), NULL, ws[i])),
+            |  x -> x IS NOT NULL), ' ')""".stripMargin).as("clean_text"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic stratified sampling — the data-mixing primitive: each
     // language keeps a different fraction (downsample the dominant 'en' to
     // 5%, keep half of everything else), decided per row by an md5-prefix
