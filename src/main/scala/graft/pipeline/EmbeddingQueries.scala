@@ -411,6 +411,54 @@ object EmbeddingQueries extends QueryModule {
         .orderBy(col("cell"), col("rk"))
     },
 
+    // Sample-diversity audit via the GRAM IDENTITY: the mean pairwise
+    // dot product of a vector set needs NO pair join at any scale —
+    // Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖v‖², so one partial-aggregated pass
+    // computing per-dimension sums + per-vector norm sums answers what
+    // a naive audit would compute with n² comparisons. (High mean dot ⇒
+    // a redundant/clustered selection; the check you run on a mixing
+    // output like qp21's.) Components floor-scale to 1e4 fixed-point so
+    // every sum is an exact integer — order-independent, bit-exact, and
+    // overflow-safe at these magnitudes.
+    q("qe10_sample_diversity",
+      """WITH iv AS (SELECT label, g.i AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 10000.0)
+        |      AS BIGINT) AS x
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding)))
+        |    AS g(i)),
+        |dims AS (SELECT label, dim, CAST(SUM(x) AS BIGINT) AS s,
+        |    CAST(SUM(x * x) AS BIGINT) AS q
+        |  FROM iv GROUP BY label, dim),
+        |agg AS (SELECT label, CAST(SUM(s * s) AS BIGINT) AS normsq,
+        |    CAST(SUM(q) AS BIGINT) AS sumsq
+        |  FROM dims GROUP BY label),
+        |n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nv
+        |  FROM embeddings GROUP BY label)
+        |SELECT a.label, n.nv,
+        |  (a.normsq - a.sumsq) AS pair_dot_sum,
+        |  (a.normsq - a.sumsq) // (n.nv * (n.nv - 1)) AS mean_pair_dot
+        |FROM agg a JOIN n ON n.label = a.label
+        |ORDER BY a.label""".stripMargin) { (s, d) =>
+      val iv = t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding"))
+          .as(Seq("dim", "v")))
+        .select(col("label"), col("dim"),
+          floor(col("v").cast("double") * 10000.0).cast("long").as("x"))
+      val dims = iv.groupBy("label", "dim")
+        .agg(sum("x").as("s"), sum(expr("x * x")).as("q"))
+      val agg = dims.groupBy("label")
+        .agg(sum(expr("s * s")).cast("long").as("normsq"),
+          sum("q").cast("long").as("sumsq"))
+      val n = t(s, d, "embeddings").groupBy("label")
+        .agg(count(lit(1)).as("nv"))
+      agg.join(n, Seq("label"))
+        .select(col("label"), col("nv"),
+          (col("normsq") - col("sumsq")).as("pair_dot_sum"),
+          expr("(normsq - sumsq) div (nv * (nv - 1))")
+            .as("mean_pair_dot"))
+        .orderBy("label")
+    },
+
     // ANN recall evaluation — the operator that closes the IVF loop:
     // score qe7's probed top-5 against the exact top-5 (recall@5 per
     // query). Running the evaluation IN the engine matters at scale:

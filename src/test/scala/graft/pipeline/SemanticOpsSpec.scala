@@ -124,6 +124,31 @@ class SemanticOpsSpec extends SparkSuite {
     }
   }
 
+  test("qe10 Gram-identity diversity equals the literal n² pairwise sum") {
+    val emb = graft.Engine.table(spark, sf, "embeddings")
+      .select(col("label"), col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](2).toArray
+        .map(v => math.floor(v.toDouble * 10000.0).toLong)))
+    val expected = emb.groupBy(_._1).map { case (label, vs) =>
+      var s = 0L
+      for (i <- vs.indices; j <- vs.indices if i != j) {
+        val (a, b) = (vs(i)._2, vs(j)._2)
+        var d = 0L; var k = 0
+        while (k < a.length) { d += a(k) * b(k); k += 1 }
+        s += d
+      }
+      label -> (vs.length.toLong, s, s / (vs.length.toLong * (vs.length - 1)))
+    }
+    val got = run("qe10_sample_diversity").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, ps, m) = expected(r.getInt(0))
+      assert(r.getLong(1) == n && r.getLong(2) == ps && r.getLong(3) == m,
+        s"label ${r.getInt(0)}: (${r.getLong(1)},${r.getLong(2)}," +
+          s"${r.getLong(3)}) != ($n,$ps,$m)")
+    }
+  }
+
   test("qp19 never splits a near-dup pair across sides (the invariant)") {
     val side = run("qp19_split_leakage_safe").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
