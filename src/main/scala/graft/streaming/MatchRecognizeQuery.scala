@@ -288,6 +288,51 @@ object MatchRecognizeQuery extends QueryModule {
         .orderBy("user_id", "first_id")
     },
 
+    q("qc27_mr_alt_subset_agg",
+      // COMPOSITION witness (round 10): quantified alternation + SUBSET
+      // + aggregate measures in ONE clause — the features landed
+      // separately in rounds 9-10, and compositions are where engines
+      // diverge. `V (C|E)+ P` strictly adjacent: because the + run is
+      // maximal-by-construction (a shorter run would put a MID row
+      // where the purchase must sit), each view starts at most one
+      // match — the oracle finds the next non-mid row per view via one
+      // following-frame window and checks it is a purchase.
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |o2 AS (SELECT *, MIN(CASE WHEN event_type NOT IN ('click', 'error')
+        |      THEN rn END) OVER (PARTITION BY user_id ORDER BY rn
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nnm
+        |  FROM o),
+        |m AS (SELECT a.user_id, a.rn, a.ts AS start_ts,
+        |    p.event_id AS end_id, a.nnm - a.rn - 1 AS n_mid
+        |  FROM o2 a JOIN o2 p ON p.user_id = a.user_id AND p.rn = a.nnm
+        |  WHERE a.event_type = 'view' AND p.event_type = 'purchase'
+        |    AND a.nnm - a.rn >= 2)
+        |SELECT m.user_id AS user_id, m.start_ts, m.end_id,
+        |  CAST(m.n_mid AS BIGINT) AS n_mid,
+        |  MIN(x.event_id) AS first_mid_id, MAX(x.event_id) AS last_mid_id
+        |FROM m JOIN o x ON x.user_id = m.user_id
+        |  AND x.rn > m.rn AND x.rn <= m.rn + m.n_mid
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY user_id, start_ts, end_id""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.ts AS start_ts, P.event_id AS end_id,
+          |  COUNT(M.*) AS n_mid, MIN(M.event_id) AS first_mid_id,
+          |  MAX(M.event_id) AS last_mid_id
+          |PATTERN (V (C | E)+ P)
+          |SUBSET M = (C, E)
+          |DEFINE V AS event_type = 'view',
+          |       C AS event_type = 'click',
+          |       E AS event_type = 'error',
+          |       P AS event_type = 'purchase'""".stripMargin)
+        .orderBy("user_id", "start_ts", "end_id")
+    },
+
     q("qc21_match_recognize_head_anchor",
       // ^ start anchor (round 9): users whose FIRST two events are a view
       // then a click, strict adjacency pinned to the partition head.
