@@ -124,6 +124,44 @@ object CurationQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Oracled END-TO-END composition: exact dedup (min-id survivor per
+    // content hash) → deterministic stratified sample (the qp11
+    // thresholds) → per-language corpus accounting. The per-stage specs
+    // prove each operator; this row proves the CHAIN hash-exactly
+    // through the driver gate — survivors of one stage are the other
+    // stage's input, and the final token ledger matches an independent
+    // engine running the same composition.
+    q("qp25_curated_rollup",
+      """WITH surv AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT doc_id, lang, text,
+        |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+        |        AS rn
+        |    FROM documents) z WHERE rn = 1),
+        |samp AS (
+        |  SELECT doc_id, lang, text FROM surv
+        |  WHERE substr(md5('strat|' || CAST(doc_id AS STRING)), 1, 4)
+        |      < (CASE WHEN lang = 'en' THEN '0ccc' ELSE '8000' END))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split(text, ' '),
+        |    x -> x <> ''))) AS BIGINT) AS n_tokens
+        |FROM samp GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val surv = t(s, d, "documents")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("text"))
+      surv
+        .where(SamplingOps.stratifiedKeep(col("doc_id"), col("lang"),
+          Map("en" -> "0ccc"), default = "8000"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("size(filter(split(text, ' '), x -> x <> ''))"))
+            .cast("long").as("n_tokens"))
+        .orderBy("lang")
+    },
+
     // Span-level decontamination — the REMOVAL action qp9's detection
     // implies: instead of dropping a contaminated document, cut exactly
     // the tokens covered by benchmark-matching 13-grams (here trigrams,
