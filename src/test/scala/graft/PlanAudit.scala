@@ -188,6 +188,26 @@ object PlanAudit {
       qp21.contains("BroadcastHashJoin") &&
         !qp21.contains("CartesianProduct"))
 
+    // span decontamination: the benchmark gram set broadcasts (the qp9
+    // claim carried to the removal op); no corpus-corpus product
+    val qp24 = plan("qp24_decontaminate_spans")
+    check("qp24 gram set broadcasts; no cartesian",
+      qp24.contains("BroadcastHashJoin") &&
+        !qp24.contains("CartesianProduct"))
+    // Gram-identity diversity: one partial-aggregated pass, the only
+    // join is over the per-label reduced tables
+    val qe10 = plan("qe10_sample_diversity")
+    check("qe10 partial-aggregates; no cartesian/BNLJ",
+      qe10.contains("partial_sum") && !qe10.contains("CartesianProduct")
+        && !qe10.contains("BroadcastNestedLoopJoin"))
+    // oracled pipeline chain: the min-survivor window gets the
+    // WindowGroupLimit rank<=1 pushdown (partial+final group limits
+    // prune non-survivors BEFORE the shuffle), no cartesian
+    val qp25 = plan("qp25_curated_rollup")
+    check("qp25 survivor rank gets WindowGroupLimit pushdown",
+      qp25.contains("WindowGroupLimit") &&
+        !qp25.contains("CartesianProduct"))
+
     // histogram: the (min,max) scalar broadcasts; counts partial-agg
     val qs15 = plan("qs15_histogram")
     check("qs15 min/max scalar broadcasts and counts partial-aggregate",
