@@ -581,10 +581,21 @@ object GraphOps {
     * scalar is the per-round edge count, the graph-loop pattern).
     * Returns (id, core_deg): the k-core's vertices with their
     * within-core degree. */
-  def kCore(spark: SparkSession, edges: DataFrame, k: Int): DataFrame = {
+  def kCore(spark: SparkSession, edges: DataFrame, k: Int): DataFrame =
+    kCoreWithRounds(spark, edges, k)._1
+
+  /** [[kCore]] plus the number of peel rounds it ran to reach fixpoint
+    * (the final no-change round included). qg14's DuckDB oracle unrolls
+    * a FIXED number of peel blocks, so GraphSpec asserts the measured
+    * round count stays within that unroll depth — the coupling fails
+    * loudly instead of silently diverging on a slower-converging
+    * fixture. */
+  def kCoreWithRounds(spark: SparkSession, edges: DataFrame,
+      k: Int): (DataFrame, Int) = {
     var e = materialize(undirect(edges))
     var n = e.count()
     var converged = false
+    var rounds = 0
     while (!converged && n > 0) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("dg"))
         .where(col("dg") >= k).select(col("src").as("node"))
@@ -595,7 +606,9 @@ object GraphOps {
       converged = m == n
       e = next
       n = m
+      rounds += 1
     }
-    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
+    (e.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg")),
+      rounds)
   }
 }

@@ -397,7 +397,7 @@ object GraphQueries extends QueryModule {
     // either scale, and safe because peeling is idempotent after
     // fixpoint, so over-unrolling is exact.
     q("qg14_kcore", {
-      val blocks = (1 to 16).map { i =>
+      val blocks = (1 to KCoreUnroll).map { i =>
         s"""d_$i AS MATERIALIZED (SELECT src, COUNT(*) AS dg
            |  FROM e_${i - 1} GROUP BY src),
            |kp_$i AS MATERIALIZED (SELECT src FROM d_$i WHERE dg >= 80),
@@ -413,17 +413,31 @@ object GraphQueries extends QueryModule {
          |  UNION SELECT p2, p1 FROM pp),
          |$blocks
          |SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS core_deg
-         |FROM e_16 GROUP BY src ORDER BY id""".stripMargin
+         |FROM e_$KCoreUnroll GROUP BY src ORDER BY id""".stripMargin
     }) { (s, d) =>
-      val li = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val pp = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-        .distinct()
-      GraphOps.kCore(s, pp, 80).orderBy("id")
+      GraphOps.kCore(s, partsCoPurchase(s, d), KCoreK).orderBy("id")
     }
   )
+
+  /** qg14's oracle unrolls this many peel blocks; GraphSpec asserts the
+    * engine's measured fixpoint rounds stay within it (over-unrolling
+    * is exact — peeling is idempotent after fixpoint — but UNDER-
+    * unrolling would silently diverge, so the coupling must fail
+    * loudly). */
+  val KCoreUnroll = 16
+  val KCoreK = 80
+
+  /** qg14's fixture: the parts co-purchase graph (parts sharing an
+    * order), directed a < b, distinct. */
+  private[graph] def partsCoPurchase(s: SparkSession,
+      d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+  }
 
   private val LpaIters = 4
   private val HitsIters = 3

@@ -32,9 +32,14 @@ object BpeQueries extends QueryModule {
 
   private val Steps = 6
 
-  /** tokens → (word, freq, syms=chars): the one corpus-sized stage. */
+  /** tokens → (word, freq, syms=chars): the one corpus-sized stage.
+    * Empty words (consecutive/leading spaces) are filtered — the text
+    * ops' `x <> ''` convention — which also guarantees every symbol
+    * array is non-empty, the precondition of [[mergeOnceExpr]]'s
+    * empty-string no-carry sentinel. */
   private[pipeline] def wordVocab(docs: DataFrame): DataFrame =
-    docs.select(explode(split(col("text"), " ")).as("word"))
+    docs.select(explode(expr(
+        "filter(split(text, ' '), x -> x <> '')")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("syms", split(col("word"), ""))
 
@@ -52,7 +57,10 @@ object BpeQueries extends QueryModule {
   /** Greedy left-to-right single-merge rewrite of `syms` as a codegen'd
     * fold: carry the previous unmerged symbol; when (prev, cur) is the
     * merge pair emit the fused symbol and clear the carry (the fused
-    * symbol never re-merges within the same step, per BPE). */
+    * symbol never re-merges within the same step, per BPE). The empty
+    * string is the fold's no-carry sentinel, so symbols must be
+    * non-empty — guaranteed by [[wordVocab]]'s empty-word filter
+    * (split of a non-empty word yields non-empty chars/fusions). */
   private[pipeline] def mergeOnceExpr(a: String, b: String,
       c: String = "syms"): String = {
     val A = esc(a); val B = esc(b); val AB = esc(a + b)
@@ -155,7 +163,8 @@ object BpeQueries extends QueryModule {
     s"""WITH words_1 AS MATERIALIZED (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
        |         string_split(word, '') AS syms
-       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word
+       |  FROM (SELECT UNNEST(list_filter(string_split(text, ' '),
+       |                                  x -> x <> '')) AS word
        |        FROM documents) u
        |  GROUP BY word),
        |$blocks""".stripMargin
@@ -205,7 +214,8 @@ object BpeQueries extends QueryModule {
       s"""${duckBpeCtes(Steps)},
          |wl AS (SELECT word, CAST(len(syms) AS BIGINT) AS n
          |  FROM words_${Steps + 1}),
-         |tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+         |tok AS (SELECT doc_id, UNNEST(list_filter(string_split(text, ' '),
+         |                                           x -> x <> '')) AS w
          |  FROM documents)
          |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
          |  CAST(SUM(wl.n) AS BIGINT) AS n_bpe
@@ -217,7 +227,8 @@ object BpeQueries extends QueryModule {
         .map(m => (m._2, m._3))
       val wl = encode(vocab.select("word"), "word", merges)
         .select(col("word").as("w"), size(col("bpe")).cast("long").as("n"))
-      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      docs.select(col("doc_id"), explode(expr(
+          "filter(split(text, ' '), x -> x <> '')")).as("w"))
         .join(wl, Seq("w"))
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_words"),

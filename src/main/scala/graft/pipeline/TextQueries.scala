@@ -413,8 +413,10 @@ object TextQueries extends QueryModule {
     // candidate). Scale shape: the corpus reduces to the bigram count
     // table and its prefix rollup (two partial-aggregated groupBys over
     // one array-native bigram pass — no positional self-join); scoring
-    // is token-keyed equi-joins of the per-doc bigram rows against
-    // those reduced tables, then ONE partial-aggregated groupBy(doc).
+    // is token-keyed LEFT equi-joins of the per-doc bigram rows against
+    // those reduced tables (unseen bigrams take the add-one floor
+    // 1/(cu+V) — OOV-safe when deployed on NEW documents), then ONE
+    // partial-aggregated groupBy(doc).
     // Determinism: P = (cb+1)/(cu+V) is one division of exact integers;
     // ln floor-scales to micro-units (the qt10 rule) so per-doc SUMs are
     // integer sums and avg is integer division — bit-exact cross-engine.
@@ -432,12 +434,14 @@ object TextQueries extends QueryModule {
         |  FROM (SELECT UNNEST(a) AS w FROM arr) u)
         |SELECT b.doc_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |  CAST(SUM(CAST(floor(ln((bc.cb + 1.0) / (uc.cu + v.vsz))
+        |  CAST(SUM(CAST(floor(ln((COALESCE(bc.cb, 0) + 1.0)
+        |    / (COALESCE(uc.cu, 0) + v.vsz))
         |    * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_lp6,
-        |  CAST(SUM(CAST(floor(ln((bc.cb + 1.0) / (uc.cu + v.vsz))
+        |  CAST(SUM(CAST(floor(ln((COALESCE(bc.cb, 0) + 1.0)
+        |    / (COALESCE(uc.cu, 0) + v.vsz))
         |    * 1000000.0) AS BIGINT)) AS BIGINT) // COUNT(*) AS avg_lp6
-        |FROM big b JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
-        |  JOIN uc ON b.w1 = uc.w1 CROSS JOIN v
+        |FROM big b LEFT JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+        |  LEFT JOIN uc ON b.w1 = uc.w1 CROSS JOIN v
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       val big = bigramRows(docs)
@@ -540,7 +544,12 @@ object TextQueries extends QueryModule {
       v: DataFrame): DataFrame = {
     val lp6 = floor(log((col("cb") + lit(1.0)) / (col("cu") + col("vsz")))
       * 1000000.0).cast("long")
-    big.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+    // LEFT joins: when scoring NEW documents the LM never saw, unseen
+    // bigrams/prefixes take the add-one-smoothed floor (cb=0, cu=0 ⇒
+    // P = 1/(cu+V)) instead of silently dropping out of the sums
+    big.join(bc, Seq("w1", "w2"), "left").join(uc, Seq("w1"), "left")
+      .withColumn("cb", coalesce(col("cb"), lit(0L)))
+      .withColumn("cu", coalesce(col("cu"), lit(0L)))
       .crossJoin(broadcast(v))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),

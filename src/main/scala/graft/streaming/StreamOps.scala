@@ -173,18 +173,27 @@ object StreamOps {
     * updates): keyed state holds the CURRENT top-n (value desc, id asc
     * tie-break), and a micro-batch emits the key's full re-stamped
     * top-n ONLY when the batch changed it (set or order) — the
-    * update-stream contract a retracting sink consumes. State is n
-    * rows per key, bounded; rows below the current n-th never enter
-    * state (the blink UpdatableTopNFunction trade). */
+    * update-stream contract a retracting sink consumes. The input is an
+    * UPDATE stream keyed by id: a re-arriving id REPLACES its stored
+    * value (within one micro-batch, where the iterator order is
+    * partition-dependent, the max value wins — the deterministic
+    * choice), so an id occupies at most ONE rank slot. State is n rows
+    * per key, bounded; rows below the current n-th never enter state,
+    * so an update that LOWERS an id's value can only reposition it
+    * among the retained rows — a previously-discarded row is never
+    * restored (the blink UpdatableTopNFunction trade). */
   def streamingTopNFn[K](n: Int): (K, Iterator[(K, Long, Double)],
       GroupState[Vector[(Double, Long)]]) =>
       Iterator[(K, Int, Long, Double)] =
     (k: K, it: Iterator[(K, Long, Double)],
      state: GroupState[Vector[(Double, Long)]]) => {
       val prev = state.getOption.getOrElse(Vector.empty)
-      val merged = (prev ++ it.map(r => (r._3, r._2)))
+      val batch = it.toVector.groupMapReduce(_._2)(_._3)(math.max)
+      val merged = (prev.iterator.map { case (v, id) => (id, v) }.toMap
+          ++ batch)
+        .iterator.map { case (id, v) => (v, id) }.toVector
         .sortBy { case (v, id) => (-v, id) }
-        .distinct.take(n)
+        .take(n)
       if (merged == prev) Iterator.empty
       else {
         state.update(merged)
@@ -240,9 +249,16 @@ object StreamOps {
       val st = state.getOption
         .getOrElse(TemporalJoinState[F, V](Vector.empty, Vector.empty))
       // stable sort: among equal timestamps the later arrival sorts
-      // later, and lookup takes the last qualifying row
-      val vs = (st.versions ++ versions.map(v => (v._2, v._3)))
-        .sortBy(_._1)
+      // later, and lookup takes the last qualifying row. ACROSS
+      // micro-batches that is true arrival order; WITHIN one batch the
+      // iterator order is partition-dependent, so same-ts rows of one
+      // batch are pre-ordered by a deterministic payload key — the
+      // resolution is then identical under any partitioning
+      val incoming = versions.map(v => (v._2, v._3))
+        .sortBy { case (ts, v) =>
+          (ts, if (v == null) 0 else v.##, String.valueOf(v))
+        }
+      val vs = (st.versions ++ incoming).sortBy(_._1)
       val all = st.pending ++ facts.map(f => (f._2, f._3))
       val (ripe, wait) = all.partition(_._1 <= wm)
       def lookup(t: Long): Option[V] = {

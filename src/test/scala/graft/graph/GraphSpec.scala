@@ -168,4 +168,17 @@ class GraphSpec extends SparkSuite {
     assert(e.nonEmpty)
     assert(e.forall { case (s2, d2) => s2 % 2 == 0 && d2 % 2 == 1 })
   }
+
+  test("qg14 coupling: kCore fixpoint rounds fit the oracle's unroll depth") {
+    // the oracle unrolls a FIXED number of peel blocks; if a fixture
+    // ever needs more rounds than that, this must fail loudly here
+    // rather than silently diverge at the driver gate (sf0.01 is the
+    // driver's verify scale)
+    val d = "/root/testdata/sf0.01"
+    val (_, rounds) = GraphOps.kCoreWithRounds(spark,
+      GraphQueries.partsCoPurchase(spark, d), GraphQueries.KCoreK)
+    assert(rounds <= GraphQueries.KCoreUnroll,
+      s"oracle unrolls ${GraphQueries.KCoreUnroll} peel blocks but the " +
+        s"engine needed $rounds rounds to converge")
+  }
 }

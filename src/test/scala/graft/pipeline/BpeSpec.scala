@@ -79,7 +79,8 @@ class BpeSpec extends SparkSuite {
 
   test("qt11 learnMerges equals the driver-side reference on the corpus") {
     val vocab = graft.Engine.table(spark, sf, "documents")
-      .select(explode(split(col("text"), " ")).as("w"))
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')"))
+        .as("w"))
       .groupBy("w").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val expected = referenceBpe(vocab, 6)
@@ -156,5 +157,19 @@ class BpeSpec extends SparkSuite {
       assert(got == mergeSeq(w.split("").toVector, a, b),
         s"fold diverged on '$w' merging ($a,$b)")
     }
+  }
+
+  test("empty words from consecutive/leading spaces never enter the " +
+      "vocabulary (the fold's '' sentinel precondition)") {
+    import spark.implicits._
+    val messy = Seq((1L, "  a  bb   a"), (2L, "bb  a ")).toDF("doc_id", "text")
+    val vocab = BpeQueries.wordVocab(messy)
+      .select("word").as[String].collect().toSet
+    assert(vocab == Set("a", "bb")) // no "" row despite the runs of spaces
+    // and the learned-merge path stays consistent with a clean corpus
+    val clean = Seq((1L, "a bb a"), (2L, "bb a")).toDF("doc_id", "text")
+    val m1 = BpeQueries.learnMerges(BpeQueries.wordVocab(messy), 2)
+    val m2 = BpeQueries.learnMerges(BpeQueries.wordVocab(clean), 2)
+    assert(m1 == m2 && m1.nonEmpty)
   }
 }

@@ -103,6 +103,15 @@ class StreamOpsSpec extends SparkSuite {
     // ties rank by id ascending
     assert(h.input("k", ("k", 0L, 9.0))
       == Seq(("k", 1, 0L, 9.0), ("k", 2, 2L, 9.0), ("k", 3, 5L, 8.0)))
+    // an id re-arriving with a CHANGED value occupies ONE slot: the
+    // update REPLACES the stored value instead of adding a second entry
+    assert(h.input("k", ("k", 2L, 6.0))
+      == Seq(("k", 1, 0L, 9.0), ("k", 2, 5L, 8.0), ("k", 3, 2L, 6.0)))
+    assert(h.stateOf("k") == Some(Vector((9.0, 0L), (8.0, 5L), (6.0, 2L))))
+    // duplicate id WITHIN a batch: the max value wins (deterministic
+    // under any partition-dependent iterator order)
+    assert(h.input("k", ("k", 7L, 5.0), ("k", 7L, 6.5))
+      == Seq(("k", 1, 0L, 9.0), ("k", 2, 5L, 8.0), ("k", 3, 7L, 6.5)))
   }
 
   test("streaming Top-N over a real update-mode query") {

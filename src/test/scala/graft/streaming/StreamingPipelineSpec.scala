@@ -78,6 +78,24 @@ class StreamingPipelineSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("bigram LM scoring of NEW documents: unseen bigrams take the " +
+      "add-one smoothed floor instead of dropping from the sums") {
+    val corpusDf = Seq((0L, "a b")).toDF("doc_id", "text")
+    val big = TextQueries.bigramRows(corpusDf)
+    val (bc, uc, v) = TextQueries.bigramLm(big, corpusDf)
+    val fresh = Seq((1L, "x y"), (2L, "a z")).toDF("doc_id", "text")
+    val got = TextQueries
+      .scoreBigramLm(TextQueries.bigramRows(fresh), bc, uc, v)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // V = 2 (a, b). doc 1: fully-OOV bigram (x,y): cb=0, cu=0 →
+    // floor(ln(1/2)·1e6); doc 2: seen prefix 'a', unseen bigram (a,z):
+    // cb=0, cu=1 → floor(ln(1/3)·1e6). Both rows SURVIVE with
+    // n_bigrams = 1 — the inner-join form lost them entirely.
+    assert(got == Seq(
+      (1L, 1L, -693148L, -693148L),
+      (2L, 1L, -1098613L, -1098613L)))
+  }
+
   test("packStream continues token offsets across micro-batches " +
       "(incremental sequence packing)") {
     implicit val sqlCtx = spark.sqlContext

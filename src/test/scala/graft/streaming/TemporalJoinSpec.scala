@@ -67,6 +67,28 @@ class TemporalJoinSpec extends SparkSuite {
     assert(h.advanceWatermarkTo(11L) == Seq((4L, 10L, "f", Some("b"))))
   }
 
+  test("same-timestamp versions WITHIN one batch resolve independently " +
+      "of the partition-dependent iterator order") {
+    // the micro-batch group iterator carries no arrival order, so the
+    // tie must break on a deterministic payload key — both input
+    // orders of the same batch must pick the same winner
+    val h1 = harness()
+    assert(h1.input(5L, ver(5, 10, "a"), ver(5, 10, "b")).isEmpty)
+    assert(h1.input(5L, fact(5, 10, "f")).isEmpty)
+    val r1 = h1.advanceWatermarkTo(11L)
+    val h2 = harness()
+    assert(h2.input(5L, ver(5, 10, "b"), ver(5, 10, "a")).isEmpty)
+    assert(h2.input(5L, fact(5, 10, "f")).isEmpty)
+    val r2 = h2.advanceWatermarkTo(11L)
+    assert(r1 == r2)
+    // and a LATER batch still beats any within-batch tiebreak
+    val h3 = harness()
+    assert(h3.input(5L, ver(5, 10, "z"), ver(5, 10, "y")).isEmpty)
+    assert(h3.input(5L, ver(5, 10, "a")).isEmpty) // true arrival order
+    assert(h3.input(5L, fact(5, 10, "f")).isEmpty)
+    assert(h3.advanceWatermarkTo(11L) == Seq((5L, 10L, "f", Some("a"))))
+  }
+
   test("real two-stream run: versions and facts across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val factsIn = MemoryStream[(Long, Long, String)]
