@@ -87,6 +87,34 @@ object AsofQueries extends QueryModule {
         .map(r => (r._3, r._1, r._2, r._4.get))
         .toDF("event_id", "user_id", "ts_us", "asof_value")
         .orderBy("event_id")
+    },
+
+    // The SQL-TEXT temporal join surface ([[TemporalSql]] — the
+    // SQL:2011 `FOR SYSTEM_TIME AS OF` form users write, executed over
+    // the same union+window as-of runtime) against the same DuckDB ASOF
+    // oracle family as qj1/qj3: a THIRD independent expression of the
+    // point-in-time semantics, one truth.
+    q("qj4_temporal_sql",
+      """WITH v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  v.ts AS version_ts, v.value AS rate
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+        .createOrReplaceTempView("qj4_versions")
+      ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView("qj4_facts")
+      TemporalSql(s,
+        """SELECT f.event_id, f.user_id, f.ts,
+          |  v.ts AS version_ts, v.value AS rate
+          |FROM qj4_facts f
+          |JOIN qj4_versions FOR SYSTEM_TIME AS OF f.ts AS v
+          |  ON f.user_id = v.user_id
+          |ORDER BY f.event_id""".stripMargin)
     }
   )
 }

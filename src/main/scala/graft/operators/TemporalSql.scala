@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
+
+/** The SQL:2011 `FOR SYSTEM_TIME AS OF` surface over the engine's
+  * temporal-join runtime (reference lineage: Flink's temporal table
+  * functions arrive in 1.7, `FOR SYSTEM_TIME AS OF` in 1.12 — this is
+  * the user-facing text form of what [[AsofOps.asofJoin]] /
+  * `StreamOps.temporalJoin` already execute, so the engine exceeds the
+  * 1.6 surface here deliberately: it is the form users write).
+  *
+  * Supported statement shape (one temporal join; the SELECT list and
+  * any trailing WHERE/GROUP BY/HAVING/ORDER BY/LIMIT run verbatim
+  * through `spark.sql` afterwards):
+  *
+  * {{{
+  * SELECT f.event_id, v.rate, ...
+  * FROM facts [AS] f
+  * [LEFT] JOIN versions FOR SYSTEM_TIME AS OF f.ts [AS] v
+  *   ON f.k1 = v.k1 [AND f.k2 = v.k2 ...]
+  * [WHERE ...] [GROUP BY ...] [ORDER BY ...] [LIMIT n]
+  * }}}
+  *
+  * `facts`/`versions` resolve through `spark.table` (temp views or
+  * catalog tables). Each fact row joins the version row that was
+  * current AT THE FACT'S event time: the latest version with
+  * `version.<versionTimeCol> <= f.<asOfCol>` on the equi-keys. `JOIN`
+  * drops facts preceding every version; `LEFT JOIN` keeps them with a
+  * NULL version struct. The joined relation exposes ONE STRUCT COLUMN
+  * PER ALIAS (`f`, `v` above), so the select list / tail clauses
+  * reference `f.col` / `v.col` exactly as written — no text rewriting
+  * of user expressions ever happens.
+  *
+  * Batch plan = the [[AsofOps]] shape: union the two sides with a side
+  * tag and resolve with ONE window pass (hash shuffle on the keys, sort
+  * by (time, tag), running `last(version_struct, ignoreNulls)`) — one
+  * shuffle, no per-key quadratic, AQE-skew-safe at cluster scale.
+  * Streaming inputs (either side) route through
+  * `StreamOps.temporalJoin`'s keyed state (bounded version buffer,
+  * watermark-gated emission); rows travel as JSON over the declared
+  * schemas and re-expand to the same two struct columns, so the text
+  * form is identical in both regimes.
+  *
+  * Rejections (named errors, by design):
+  *  - `FOR SYSTEM_TIME AS OF PROCTIME()` / `CURRENT_TIMESTAMP` / `NOW()`
+  *    — the processing-time form has no deterministic replay semantics;
+  *  - an AS OF expression that is not `<factAlias>.<column>`;
+  *  - non-equi or non-conjunctive ON conditions;
+  *  - anything outside the statement shape above.
+  */
+object TemporalSql {
+
+  /** Named rejection for the unsupported corners — callers can match on
+    * the type, and the message names the exact construct. */
+  final class TemporalSqlError(msg: String)
+      extends IllegalArgumentException(msg)
+
+  private def fail(msg: String): Nothing = throw new TemporalSqlError(msg)
+
+  private case class Parsed(select: String, factTable: String,
+      factAlias: String, leftJoin: Boolean, versionTable: String,
+      versionAlias: String, asOfCol: String, factKeys: Seq[String],
+      versionKeys: Seq[String], tail: String)
+
+  private val StmtRe = (
+    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+([\w.]+)(?:\s+AS)?\s+(\w+)\s+""" +
+      """(LEFT(?:\s+OUTER)?\s+JOIN|INNER\s+JOIN|JOIN)\s+([\w.]+)\s+""" +
+      """FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(.+?)\s+(?:AS\s+)?(\w+)\s+""" +
+      """ON\s+(.*?)((?:\s+(?:WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b.*)?)\s*$""").r
+
+  private val ProcTimeRe =
+    """(?i).*\b(PROCTIME\s*\(|CURRENT_TIMESTAMP\b|NOW\s*\(|LOCALTIMESTAMP\b).*""".r
+  private val ColRefRe = """(?s)^\s*(\w+)\s*\.\s*(\w+)\s*$""".r
+  private val EqRe = """(?s)^\s*(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)\s*$""".r
+
+  private def parse(sql: String): Parsed = sql match {
+    case StmtRe(select, ft, fa, joinKw, vt, asOfExpr, va, onText, tail) =>
+      asOfExpr match {
+        case ProcTimeRe(what) =>
+          fail("processing-time temporal join is not supported: FOR " +
+            s"SYSTEM_TIME AS OF '${what.takeWhile(_ != '(').trim}' has " +
+            "no deterministic replay semantics; use an event-time " +
+            s"column of the fact side (e.g. $fa.ts)")
+        case _ => ()
+      }
+      val asOfCol = asOfExpr match {
+        case ColRefRe(a, c) if a.equalsIgnoreCase(fa) => c
+        case ColRefRe(a, _) =>
+          fail(s"FOR SYSTEM_TIME AS OF must reference the fact side " +
+            s"'$fa', got '$a.<col>'")
+        case other =>
+          fail("FOR SYSTEM_TIME AS OF supports a plain fact column " +
+            s"reference, got expression '${other.trim}'")
+      }
+      if ("""(?i)\bOR\b""".r.findFirstIn(onText).isDefined)
+        fail("temporal join ON must be a conjunction of equi-predicates" +
+          s", got '$onText'")
+      val pairs = onText.split("""(?i)\s+AND\s+""").toSeq.map {
+        case EqRe(a1, c1, a2, c2)
+            if a1.equalsIgnoreCase(fa) && a2.equalsIgnoreCase(va) =>
+          (c1, c2)
+        case EqRe(a1, c1, a2, c2)
+            if a1.equalsIgnoreCase(va) && a2.equalsIgnoreCase(fa) =>
+          (c2, c1)
+        case other =>
+          fail("temporal join ON supports only " +
+            s"'$fa.col = $va.col' equi-predicates, got '${other.trim}'")
+      }
+      Parsed(select, ft, fa, joinKw.toUpperCase.startsWith("LEFT"), vt,
+        va, asOfCol, pairs.map(_._1), pairs.map(_._2), tail)
+    case _ =>
+      fail("unsupported statement: expected SELECT ... FROM <facts> " +
+        "[AS] f [LEFT] JOIN <versions> FOR SYSTEM_TIME AS OF f.<ts> " +
+        "[AS] v ON f.k = v.k [AND ...] [WHERE/GROUP BY/ORDER BY/LIMIT]")
+  }
+
+  /** epoch-micros view of a time column (timestamp or integral). */
+  private def micros(df: DataFrame, c: String) =
+    df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case _ => col(c).cast(LongType)
+    }
+
+  /** Batch as-of resolution: one union + one window pass (the
+    * [[AsofOps.asofJoin]] plan, generalized to multi-key and whole-row
+    * struct payloads). */
+  private def batchJoin(facts: DataFrame, vers: DataFrame, p: Parsed,
+      versionTimeCol: String): DataFrame = {
+    val fRow = struct(facts.columns.map(col): _*)
+    val vRow = struct(vers.columns.map(col): _*)
+    val fType = facts.select(fRow.as("x")).schema("x").dataType
+    val vType = vers.select(vRow.as("x")).schema("x").dataType
+    val keyCols = p.factKeys.indices.map(i => s"_k$i")
+    // SQL equality: NULL keys never match — null-key versions can match
+    // nothing and are dropped; null-key facts fall in a partition with
+    // no versions, so they resolve to no match (kept under LEFT JOIN)
+    val vClean =
+      if (p.versionKeys.isEmpty) vers
+      else vers.where(p.versionKeys.map(col(_).isNotNull).reduce(_ && _))
+    val vSide = vClean.select(
+      p.versionKeys.zipWithIndex.map { case (c, i) => col(c).as(s"_k$i") } ++
+        Seq(micros(vClean, versionTimeCol).as("_ts"), lit(0).as("_tag"),
+          lit(null).cast(fType).as("_f"), vRow.as("_v")): _*)
+    val fSide = facts.select(
+      p.factKeys.zipWithIndex.map { case (c, i) => col(c).as(s"_k$i") } ++
+        Seq(micros(facts, p.asOfCol).as("_ts"), lit(1).as("_tag"),
+          fRow.as("_f"), lit(null).cast(vType).as("_v")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ts"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = vSide.unionByName(fSide)
+      .withColumn("_m", last(col("_v"), ignoreNulls = true).over(w))
+      .where(col("_tag") === 1)
+    val kept = if (p.leftJoin) matched else matched.where(col("_m").isNotNull)
+    kept.select(col("_f").as(p.factAlias), col("_m").as(p.versionAlias))
+  }
+
+  /** Streaming resolution through `StreamOps.temporalJoin`'s keyed
+    * state: rows travel as (key-string, epoch-micros, row-JSON) and
+    * re-expand against the declared schemas. */
+  private def streamJoin(spark: SparkSession, facts: DataFrame,
+      vers: DataFrame, p: Parsed, versionTimeCol: String): DataFrame = {
+    import spark.implicits._
+    val fSchema: StructType = facts.schema
+    val vSchema: StructType = vers.schema
+    def keyed(df: DataFrame, keys: Seq[String], ts: String)
+        : Dataset[(String, Long, String)] =
+      df.where(if (keys.isEmpty) lit(true)
+          else keys.map(col(_).isNotNull).reduce(_ && _))
+        .select(
+          concat_ws("\u0001", keys.map(col(_).cast("string")): _*).as("_k"),
+          micros(df, ts).as("_t"),
+          to_json(struct(df.columns.map(col): _*)).as("_j"))
+        .as[(String, Long, String)]
+    val joined = graft.streaming.StreamOps.temporalJoin[String, String, String](
+      keyed(facts, p.factKeys, p.asOfCol),
+      keyed(vers, p.versionKeys, versionTimeCol))
+    val out = joined.toDF("_k", "_ts", "_fj", "_vj")
+      .select(from_json(col("_fj"), fSchema).as(p.factAlias),
+        from_json(col("_vj"), vSchema).as(p.versionAlias))
+    if (p.leftJoin) out else out.where(col(p.versionAlias).isNotNull)
+  }
+
+  /** Parse and execute `sql`. `versionTimeCol` names the version
+    * table's event-time attribute (the role Flink's DDL declares;
+    * default `ts`). */
+  def apply(spark: SparkSession, sql: String,
+      versionTimeCol: String = "ts"): DataFrame = {
+    val p = parse(sql)
+    val facts = spark.table(p.factTable)
+    val vers = spark.table(p.versionTable)
+    require(facts.columns.contains(p.asOfCol),
+      s"fact table ${p.factTable} has no column ${p.asOfCol}")
+    require(vers.columns.contains(versionTimeCol),
+      s"version table ${p.versionTable} has no column $versionTimeCol")
+    val joined =
+      if (facts.isStreaming || vers.isStreaming)
+        streamJoin(spark, facts, vers, p, versionTimeCol)
+      else batchJoin(facts, vers, p, versionTimeCol)
+    val view = s"graft_temporal_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    joined.createOrReplaceTempView(view)
+    spark.sql(s"SELECT ${p.select} FROM $view${p.tail}")
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-up stress: measure the scale-critical queries at 1x
+  * and 10x the sf0.1 corpus and record t(10x)/t(1x) — converting the
+  * plan-shape scale claims (PlanAudit) into measured evidence.
+  *
+  * The 10x corpus is synthesized locally (no egress) as TEN DISJOINT
+  * STRUCTURE-PRESERVING SHARDS of sf0.1: copy 0 is the original; copies
+  * 1..9 re-salt every key by a per-copy offset (doc_id offsets are a
+  * multiple of 97 so qp9/qp24's `doc_id % 97` benchmark slice keeps its
+  * per-copy structure) and suffix every document word with the copy
+  * index so cross-copy shingles are DISJOINT — each shard carries the
+  * original's exact duplicate/benchmark/graph/funnel structure and no
+  * cross-shard coincidences, so input size, expected work, and expected
+  * output all grow 10x. This is exactly the regime a 1000-executor
+  * cluster sees: more independent data, same statistics.
+  *
+  * Protocol per query and scale: warm once on sf0.001, then 3 timed
+  * runs (count() forces full plan execution, the Bench contract);
+  * median + min recorded. The 1x tables are REWRITTEN through the same
+  * generator (copies=1) so both scales share file layout and row-group
+  * geometry. Results print as one JSON line plus a markdown table for
+  * ENGINE.md.
+  *
+  * Run: Test/runMain graft.ScaleUpBench [workDir] [copies]
+  */
+object ScaleUpBench {
+
+  /** Per-copy key offsets. doc_id's is 97 * 100k (structure of the
+    * `% 97` bench slice preserved); the rest just need disjointness. */
+  private val DocOff = 9700000L
+  private val EventOff = 100000000L
+  private val UserOff = 10000000L
+  private val OrderOff = 100000000L
+  private val CustOff = 10000000L
+  private val SuppOff = 1000000L
+  private val PartOff = 10000000L
+
+  /** One salted copy of a scaled table; copy 0 is the identity. */
+  private def salted(name: String, df: DataFrame, c: Int): DataFrame = {
+    if (c == 0) return df
+    val k = c.toLong
+    name match {
+      case "documents" =>
+        df.withColumn("doc_id", col("doc_id") + lit(k * DocOff))
+          .withColumn("text", expr(
+            s"array_join(transform(split(text, ' '), x -> concat(x, '_$c')), ' ')"))
+      case "events" =>
+        df.withColumn("event_id", col("event_id") + lit(k * EventOff))
+          .withColumn("user_id", col("user_id") + lit(k * UserOff))
+      case "lineitem" =>
+        df.withColumn("l_orderkey", col("l_orderkey") + lit(k * OrderOff))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(k * SuppOff))
+          .withColumn("l_partkey", col("l_partkey") + lit(k * PartOff))
+      case "orders" =>
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(k * OrderOff))
+          .withColumn("o_custkey", col("o_custkey") + lit(k * CustOff))
+      case "customer" =>
+        df.withColumn("c_custkey", col("c_custkey") + lit(k * CustOff))
+      case "supplier" =>
+        df.withColumn("s_suppkey", col("s_suppkey") + lit(k * SuppOff))
+      case other => sys.error(s"no salt rule for $other")
+    }
+  }
+
+  private val scaledTables =
+    Seq("documents", "events", "lineitem", "orders", "customer", "supplier")
+  private val copiedTables = Seq("part", "nation", "region", "embeddings")
+
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+      copies: Int): Unit = {
+    scaledTables.foreach { name =>
+      val src = Engine.table(spark, srcDir, name)
+      val all = (0 until copies).map(salted(name, src, _))
+        .reduce(_.unionByName(_))
+      all.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    copiedTables.foreach { name =>
+      Engine.table(spark, srcDir, name).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+    }
+  }
+
+  /** The scale-critical set: LSH near-dup, two-phase packing, n-gram
+    * decontamination (membership + span removal), iterative CC, and the
+    * sequential-NFA CEP funnel. */
+  private val allQueries = Seq(
+    "qp5_ngram_jaccard", "qp17_sequence_packing", "qp9_decontamination",
+    "qp24_decontaminate_spans", "qg1_connected_components",
+    "qc12_cep_funnel")
+
+  private def timeQuery(spark: SparkSession, name: String,
+      dir: String): (Double, Double) = {
+    val fn = SparkEntry.queries(name)
+    val samples = (1 to 3).map { _ =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (samples.sorted.apply(1), samples.min)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse("/tmp/scaleup")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val queries =
+      if (args.length > 2) allQueries.filter(args.drop(2).contains)
+      else allQueries
+    val src = "/root/testdata/sf0.1"
+    val spark = Engine.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val d1 = s"$work/x1"; val dN = s"$work/x$copies"
+    println(s"[scaleup] generating $d1 and $dN from $src")
+    generate(spark, src, d1, 1)
+    generate(spark, src, dN, copies)
+
+    // warm codegen paths on the smallest SF (the Bench protocol)
+    queries.foreach { name =>
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
+
+    val rows = queries.map { name =>
+      val (m1, n1) = timeQuery(spark, name, d1)
+      val (mN, nN) = timeQuery(spark, name, dN)
+      val ratioMed = mN / m1
+      val ratioMin = nN / n1
+      val expo = math.log(ratioMin) / math.log(copies.toDouble)
+      println(f"[scaleup] $name%-28s 1x med $m1%6.2fs min $n1%6.2fs | " +
+        f"${copies}x med $mN%6.2fs min $nN%6.2fs | " +
+        f"ratio(min) $ratioMin%5.2f exp $expo%4.2f")
+      (name, m1, n1, mN, nN, ratioMed, ratioMin, expo)
+    }
+    val qjson = rows.map { case (k, m1, n1, mN, nN, rm, rn, e) =>
+      f""""$k":{"x1_med":$m1%.3f,"x1_min":$n1%.3f,"x$copies%d_med":$mN%.3f,""" +
+        f""""x$copies%d_min":$nN%.3f,"ratio_med":$rm%.2f,"ratio_min":$rn%.2f,""" +
+        f""""exponent":$e%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scaleup","copies":$copies,"queries":$qjson}""")
+    println()
+    println("| query | 1x min | " + copies + "x min | ratio | exponent |")
+    println("|---|---|---|---|---|")
+    rows.foreach { case (k, _, n1, _, nN, _, rn, e) =>
+      println(f"| $k | $n1%.2fs | $nN%.2fs | $rn%.2fx | $e%.2f |")
+    }
+  }
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.operators.TemporalSql.TemporalSqlError
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The `FOR SYSTEM_TIME AS OF` SQL surface: batch semantics against a
+  * hand-computed fixture, tail-clause pass-through, LEFT vs inner form,
+  * the streaming route's parity with batch, and the named rejections
+  * (processing time, non-equi ON, malformed statements). */
+class TemporalSqlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fixture(): Unit = {
+    Seq((1L, 5L, "f5"), (1L, 15L, "f15"), (1L, 35L, "f35"), (2L, 9L, "g9"),
+      (3L, 50L, "h50"))
+      .toDF("k", "ts", "payload").createOrReplaceTempView("tsql_facts")
+    Seq((1L, 10L, 1.0), (1L, 30L, 2.0), (2L, 9L, 3.0))
+      .toDF("k", "ts", "rate").createOrReplaceTempView("tsql_vers")
+  }
+
+  test("inner form: each fact takes the version current at ITS time; " +
+      "facts preceding every version drop") {
+    fixture()
+    val got = TemporalSql(spark,
+      """SELECT f.k, f.ts, f.payload, v.ts AS vts, v.rate
+        |FROM tsql_facts f
+        |JOIN tsql_vers FOR SYSTEM_TIME AS OF f.ts AS v ON f.k = v.k
+        |ORDER BY f.k, f.ts""".stripMargin)
+      .as[(Long, Long, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 15L, "f15", 10L, 1.0), // current at 15 is the ts-10 version
+      (1L, 35L, "f35", 30L, 2.0),
+      (2L, 9L, "g9", 9L, 3.0))) // same-instant version matches (<=)
+    // f5 (before every version) and h50 (key with no versions) dropped
+  }
+
+  test("LEFT JOIN keeps unmatched facts with a NULL version struct") {
+    fixture()
+    val got = TemporalSql(spark,
+      """SELECT f.k, f.ts, v.rate
+        |FROM tsql_facts f
+        |LEFT JOIN tsql_vers FOR SYSTEM_TIME AS OF f.ts AS v ON f.k = v.k
+        |ORDER BY f.k, f.ts""".stripMargin)
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, None), (1L, 15L, Some(1.0)), (1L, 35L, Some(2.0)),
+      (2L, 9L, Some(3.0)), (3L, 50L, None)))
+  }
+
+  test("tail clauses (WHERE / GROUP BY / ORDER BY) run verbatim over " +
+      "the alias structs") {
+    fixture()
+    val got = TemporalSql(spark,
+      """SELECT f.k, COUNT(*) AS n, SUM(v.rate) AS s
+        |FROM tsql_facts f
+        |JOIN tsql_vers FOR SYSTEM_TIME AS OF f.ts AS v ON f.k = v.k
+        |WHERE v.rate >= 1.0
+        |GROUP BY f.k
+        |ORDER BY f.k""".stripMargin)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3.0), (2L, 1L, 3.0)))
+  }
+
+  test("streaming facts against streaming versions: same answers as " +
+      "batch once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val factsIn = MemoryStream[(Long, Long, String)]
+    val versIn = MemoryStream[(Long, Long, Double)]
+    factsIn.toDF().toDF("k", "ts", "payload")
+      .createOrReplaceTempView("tsql_sfacts")
+    versIn.toDF().toDF("k", "ts", "rate")
+      .createOrReplaceTempView("tsql_svers")
+    val joined = TemporalSql(spark,
+      """SELECT f.k, f.ts, f.payload, v.rate
+        |FROM tsql_sfacts f
+        |JOIN tsql_svers FOR SYSTEM_TIME AS OF f.ts AS v ON f.k = v.k""".stripMargin)
+    assert(joined.isStreaming)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("tsql_out").start()
+    try {
+      versIn.addData((1L, 10L, 1.0))
+      factsIn.addData((1L, 15L, "f15"))
+      q.processAllAvailable()
+      versIn.addData((1L, 30L, 2.0))
+      factsIn.addData((1L, 35L, "f35"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      // wm passed 15: f15 resolved against the version current at 15
+      assert(spark.table("tsql_out").as[(Long, Long, String, Double)]
+        .collect().toSet == Set((1L, 15L, "f15", 1.0)))
+      versIn.addData((1L, 100L, 9.0))
+      factsIn.addData((1L, 100L, "f100"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(spark.table("tsql_out").as[(Long, Long, String, Double)]
+        .collect().toSet == Set((1L, 15L, "f15", 1.0),
+          (1L, 35L, "f35", 2.0)))
+    } finally q.stop()
+  }
+
+  test("processing-time form rejects with a named error") {
+    fixture()
+    val e = intercept[TemporalSqlError] {
+      TemporalSql(spark,
+        """SELECT f.k FROM tsql_facts f
+          |JOIN tsql_vers FOR SYSTEM_TIME AS OF PROCTIME() AS v
+          |ON f.k = v.k""".stripMargin)
+    }
+    assert(e.getMessage.contains("processing-time temporal join"))
+    val e2 = intercept[TemporalSqlError] {
+      TemporalSql(spark,
+        """SELECT f.k FROM tsql_facts f
+          |JOIN tsql_vers FOR SYSTEM_TIME AS OF CURRENT_TIMESTAMP AS v
+          |ON f.k = v.k""".stripMargin)
+    }
+    assert(e2.getMessage.contains("processing-time temporal join"))
+  }
+
+  test("non-equi / disjunctive ON and a wrong-side AS OF reject by name") {
+    fixture()
+    val e = intercept[TemporalSqlError] {
+      TemporalSql(spark,
+        """SELECT f.k FROM tsql_facts f
+          |JOIN tsql_vers FOR SYSTEM_TIME AS OF f.ts AS v
+          |ON f.k < v.k""".stripMargin)
+    }
+    assert(e.getMessage.contains("equi-predicates"))
+    val e2 = intercept[TemporalSqlError] {
+      TemporalSql(spark,
+        """SELECT f.k FROM tsql_facts f
+          |JOIN tsql_vers FOR SYSTEM_TIME AS OF f.ts AS v
+          |ON f.k = v.k OR f.ts = v.ts""".stripMargin)
+    }
+    assert(e2.getMessage.contains("conjunction"))
+    val e3 = intercept[TemporalSqlError] {
+      TemporalSql(spark,
+        """SELECT f.k FROM tsql_facts f
+          |JOIN tsql_vers FOR SYSTEM_TIME AS OF v.ts AS v
+          |ON f.k = v.k""".stripMargin)
+    }
+    assert(e3.getMessage.contains("fact side"))
+  }
+
+  test("batch SQL surface equals the qj1 asofJoin runtime on events " +
+      "(sf0.001)") {
+    val ev = graft.Engine.table(spark, sf, "events")
+    ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+      .createOrReplaceTempView("tsql_views")
+    ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("tsql_purch")
+    val viaSql = TemporalSql(spark,
+      """SELECT f.event_id, f.user_id, f.ts,
+        |  v.ts AS asof_ts, v.value AS asof_value
+        |FROM tsql_purch f
+        |JOIN tsql_views FOR SYSTEM_TIME AS OF f.ts AS v
+        |  ON f.user_id = v.user_id
+        |ORDER BY f.event_id""".stripMargin).collect().toSeq
+    val viaOp = AsofOps.asofJoin(
+        ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.where(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", Seq("value"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_ts"), col("asof_value"))
+      .orderBy("event_id").collect().toSeq
+    assert(viaSql.map(_.toSeq) == viaOp.map(_.toSeq) && viaOp.nonEmpty)
+  }
+}
