@@ -17,8 +17,11 @@ import org.apache.spark.sql.types._
   * (boolean/int/long/float/double/string/bytes) plus — since round
   * 10 — NESTED records (struct ↔ record), arrays, and string-keyed
   * maps, recursively at any depth, every position nullable via
-  * union(null, T): the full GenericRecord surface AvroInputFormat
-  * exposes short of fixed/enum/multi-branch unions.
+  * union(null, T), plus — round-10 completion — READ-side enum (→
+  * string), fixed (→ binary), and multi-branch unions (int/long → long,
+  * float/double → double, anything else → a member0..memberN struct,
+  * the public spark-avro conventions): the full GenericRecord surface
+  * AvroInputFormat exposes.
   *
   * Scale shape: one container file per input partition on write (the
   * reference's parallel OutputFormat posture); reads parallelize per
@@ -81,14 +84,42 @@ object AvroIO {
   }
 
   /** Avro record schema → Spark schema (the read-side inverse;
-    * recursive over records/arrays/maps). */
+    * recursive over records/arrays/maps). Round-10 widening — the three
+    * GenericRecord corners beyond the write-side mapping, following the
+    * public spark-avro conventions so a user switching libraries sees
+    * the same shapes:
+    *  - ENUM → string (the symbol name);
+    *  - FIXED → binary (the fixed-width bytes);
+    *  - multi-branch UNION: a null branch contributes nullability;
+    *    union(int, long) reads as long and union(float, double) as
+    *    double (the numeric promotions); any other member set maps to
+    *    a STRUCT with one nullable field per branch, named
+    *    `member0..memberN` in union order, exactly one non-null per
+    *    value (so union(int, string) → struct<member0: int,
+    *    member1: string>). Write-side schemas derive from Spark types
+    *    and therefore never produce these; reading and re-writing a
+    *    member-struct round-trips the STRUCT form (the documented
+    *    flattening, not the original union). */
   def sparkSchemaOf(schema: Schema): StructType = {
     def of(s: Schema): (DataType, Boolean) = s.getType match {
       case Schema.Type.UNION =>
-        val ts = s.getTypes
-        require(ts.size == 2 && ts.get(0).getType == Schema.Type.NULL,
-          s"only union(null, T) is supported: $s")
-        (of(ts.get(1))._1, true)
+        import scala.jdk.CollectionConverters._
+        val ts = s.getTypes.asScala.toList
+        val branches = ts.filterNot(_.getType == Schema.Type.NULL)
+        val nullable = branches.size != ts.size
+        branches.map(_.getType) match {
+          case _ :: Nil => (of(branches.head)._1, nullable)
+          case List(Schema.Type.INT, Schema.Type.LONG) =>
+            (LongType, nullable)
+          case List(Schema.Type.FLOAT, Schema.Type.DOUBLE) =>
+            (DoubleType, nullable)
+          case _ =>
+            (StructType(branches.zipWithIndex.map { case (b, i) =>
+              StructField(s"member$i", of(b)._1, nullable = true)
+            }), nullable)
+        }
+      case Schema.Type.ENUM => (StringType, false)
+      case Schema.Type.FIXED => (BinaryType, false)
       case Schema.Type.BOOLEAN => (BooleanType, false)
       case Schema.Type.INT =>
         (if (s.getLogicalType.isInstanceOf[org.apache.avro.LogicalTypes.Date])
@@ -177,43 +208,82 @@ object AvroIO {
     }
   }
 
-  /** Avro value → Spark value (Utf8 → String, ByteBuffer → bytes,
-    * records/arrays/maps recursively). */
-  private def fromAvro(v: Any, dt: DataType): Any = v match {
-    case null => null
-    case u: org.apache.avro.util.Utf8 => u.toString
-    case i: java.lang.Integer if dt == DateType =>
-      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
-    case l: java.lang.Long if dt == TimestampType =>
-      val ts = new java.sql.Timestamp(Math.floorDiv(l, 1000000L) * 1000L)
-      ts.setNanos((Math.floorMod(l, 1000000L) * 1000L).toInt)
-      ts
-    case bb: java.nio.ByteBuffer if dt.isInstanceOf[DecimalType] =>
-      val a = new Array[Byte](bb.remaining()); bb.get(a)
-      new java.math.BigDecimal(new java.math.BigInteger(a),
-        dt.asInstanceOf[DecimalType].scale)
-    case bb: java.nio.ByteBuffer =>
-      val a = new Array[Byte](bb.remaining()); bb.get(a); a
-    case rec: GenericRecord =>
-      val st = dt.asInstanceOf[StructType]
-      val vals = new Array[Any](st.length)
-      var i = 0
-      while (i < st.length) {
-        vals(i) = fromAvro(rec.get(i), st.fields(i).dataType)
-        i += 1
-      }
-      Row.fromSeq(vals.toIndexedSeq)
-    case l: java.util.Collection[_] =>
-      val et = dt.asInstanceOf[ArrayType].elementType
-      val out = Vector.newBuilder[Any]
-      l.forEach(e => out += fromAvro(e, et))
-      out.result()
-    case m: java.util.Map[_, _] =>
-      val vt = dt.asInstanceOf[MapType].valueType
-      val out = Map.newBuilder[String, Any]
-      m.forEach((k, x) => out += (k.toString -> fromAvro(x, vt)))
-      out.result()
-    case other => other
+  /** Avro value → Spark value, SCHEMA-DIRECTED (the avro schema decides
+    * the conversion, so union member-structs are unambiguous — a record
+    * value can be either a struct field or a union branch, and only the
+    * schema knows which). Utf8 → String, ByteBuffer → bytes, enum
+    * symbol → String, fixed → bytes, records/arrays/maps recursively,
+    * unions per the [[sparkSchemaOf]] mapping. */
+  private def fromAvro(v: Any, s: Schema, dt: DataType): Any = {
+    if (v == null) return null
+    s.getType match {
+      case Schema.Type.UNION =>
+        import scala.jdk.CollectionConverters._
+        val branches = s.getTypes.asScala.toList
+          .filterNot(_.getType == Schema.Type.NULL)
+        (branches.map(_.getType), dt) match {
+          case (_ :: Nil, _) => fromAvro(v, branches.head, dt)
+          case (List(Schema.Type.INT, Schema.Type.LONG), LongType) =>
+            Long.box(v.asInstanceOf[Number].longValue())
+          case (List(Schema.Type.FLOAT, Schema.Type.DOUBLE), DoubleType) =>
+            Double.box(v.asInstanceOf[Number].doubleValue())
+          case (_, st: StructType) => // member struct: one branch set
+            val fullIdx = GenericData.get().resolveUnion(s, v)
+            val branch = s.getTypes.get(fullIdx)
+            val memberIdx = branches.indexOf(branch)
+            val vals = new Array[Any](st.length)
+            vals(memberIdx) =
+              fromAvro(v, branch, st.fields(memberIdx).dataType)
+            Row.fromSeq(vals.toIndexedSeq)
+          case other => throw new IllegalArgumentException(
+            s"cannot read union $s as $dt ($other)")
+        }
+      case Schema.Type.ENUM => v.toString
+      case Schema.Type.FIXED =>
+        v.asInstanceOf[GenericData.Fixed].bytes().clone()
+      case Schema.Type.RECORD =>
+        val st = dt.asInstanceOf[StructType]
+        val rec = v.asInstanceOf[GenericRecord]
+        val fs = s.getFields
+        val vals = new Array[Any](st.length)
+        var i = 0
+        while (i < st.length) {
+          vals(i) = fromAvro(rec.get(i), fs.get(i).schema(),
+            st.fields(i).dataType)
+          i += 1
+        }
+        Row.fromSeq(vals.toIndexedSeq)
+      case Schema.Type.ARRAY =>
+        val et = dt.asInstanceOf[ArrayType].elementType
+        val out = Vector.newBuilder[Any]
+        v.asInstanceOf[java.util.Collection[_]]
+          .forEach(e => out += fromAvro(e, s.getElementType, et))
+        out.result()
+      case Schema.Type.MAP =>
+        val vt = dt.asInstanceOf[MapType].valueType
+        val out = Map.newBuilder[String, Any]
+        v.asInstanceOf[java.util.Map[_, _]].forEach((k, x) =>
+          out += (k.toString -> fromAvro(x, s.getValueType, vt)))
+        out.result()
+      case Schema.Type.INT if dt == DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[java.lang.Integer].longValue()))
+      case Schema.Type.LONG if dt == TimestampType =>
+        val l = v.asInstanceOf[java.lang.Long]
+        val ts = new java.sql.Timestamp(Math.floorDiv(l, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(l, 1000000L) * 1000L).toInt)
+        ts
+      case Schema.Type.BYTES if dt.isInstanceOf[DecimalType] =>
+        val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+        val a = new Array[Byte](bb.remaining()); bb.get(a)
+        new java.math.BigDecimal(new java.math.BigInteger(a),
+          dt.asInstanceOf[DecimalType].scale)
+      case Schema.Type.BYTES =>
+        val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+        val a = new Array[Byte](bb.remaining()); bb.get(a); a
+      case Schema.Type.STRING => v.toString
+      case _ => v
+    }
   }
 
   /** Write one container file per partition under `path`
@@ -253,6 +323,7 @@ object AvroIO {
     val rows = spark.sparkContext
       .binaryFiles(files.map(_.toString).mkString(","))
       .flatMap { case (_, pds) =>
+        val schema = new Schema.Parser().parse(avroJson)
         val in = pds.open()
         val reader = new DataFileStream[GenericRecord](in,
           new GenericDatumReader[GenericRecord]())
@@ -263,7 +334,7 @@ object AvroIO {
             h
           }
           def next(): Row =
-            fromAvro(reader.next(), sparkSchema).asInstanceOf[Row]
+            fromAvro(reader.next(), schema, sparkSchema).asInstanceOf[Row]
         }
       }
     spark.createDataFrame(rows, sparkSchema)

@@ -23,19 +23,36 @@ object Jdbc {
   val DerbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
 
   /** Parallel-range read: numPartitions bounded queries over
-    * [lowerBound, upperBound] of a numeric partition column. */
+    * [lowerBound, upperBound] of a numeric partition column.
+    *
+    * `predicate` composes a caller WHERE clause with each split's range
+    * bound — the reference JDBCInputFormat posture (its query text
+    * carries the caller's WHERE and the provider appends the range
+    * parameters), pushed as a subquery so the DATABASE evaluates it
+    * inside every split cursor: a split whose range the predicate
+    * empties returns zero rows from an index scan instead of streaming
+    * rows to Spark. Spark-native `.filter(...)` on the returned frame
+    * reaches the same place (JDBCRelation compiles Catalyst filters
+    * into each split's WHERE — `PushedFilters` in the scan node);
+    * `predicate` exists for expressions outside Catalyst's pushdown
+    * dialect, exactly like the reference's free-form query text. */
   def readRange(spark: SparkSession, url: String, table: String,
       partitionColumn: String, lowerBound: Long, upperBound: Long,
-      numPartitions: Int, driver: String = DerbyDriver): DataFrame =
+      numPartitions: Int, driver: String = DerbyDriver,
+      predicate: Option[String] = None): DataFrame = {
+    val dbtable = predicate
+      .map(p => s"(SELECT * FROM $table WHERE $p) graft_sub")
+      .getOrElse(table)
     spark.read.format("jdbc")
       .option("url", url)
-      .option("dbtable", table)
+      .option("dbtable", dbtable)
       .option("driver", driver)
       .option("partitionColumn", partitionColumn)
       .option("lowerBound", lowerBound.toString)
       .option("upperBound", upperBound.toString)
       .option("numPartitions", numPartitions.toString)
       .load()
+  }
 
   /** Single-cursor read (the reference's non-parallel form). */
   def read(spark: SparkSession, url: String, table: String,

@@ -139,4 +139,101 @@ class AvroIOSpec extends SparkSuite {
       .as[(Long, String, Double)].collect().toSet
     assert(back == Set((10L, "x", 1.0), (11L, "y", 2.0), (12L, "z", 3.0)))
   }
+
+  /** Writes one container file with an externally-authored schema (the
+    * shapes OUR write path never produces — enum/fixed/unions — as an
+    * upstream producer would). */
+  private def writeForeign(schemaJson: String,
+      fill: org.apache.avro.generic.GenericData.Record => Unit*): String = {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = tmp()
+    val schema = new Schema.Parser().parse(schemaJson)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(dir, "part-00000.avro"))
+    fill.foreach { f =>
+      val rec = new GenericData.Record(schema); f(rec); w.append(rec)
+    }
+    w.close()
+    dir
+  }
+
+  test("read-side completion: enum → string, fixed → binary") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.GenericData
+    val json =
+      """{"type":"record","name":"r","fields":[
+        |  {"name":"color","type":{"type":"enum","name":"Color",
+        |     "symbols":["RED","GREEN","BLUE"]}},
+        |  {"name":"digest","type":{"type":"fixed","name":"Md5","size":4}}
+        |]}""".stripMargin
+    val schema = new Schema.Parser().parse(json)
+    val enumS = schema.getField("color").schema()
+    val fixedS = schema.getField("digest").schema()
+    val dir = writeForeign(json,
+      r => { r.put("color", new GenericData.EnumSymbol(enumS, "GREEN"))
+             r.put("digest", new GenericData.Fixed(fixedS,
+               Array[Byte](1, 2, 3, 4))) },
+      r => { r.put("color", new GenericData.EnumSymbol(enumS, "RED"))
+             r.put("digest", new GenericData.Fixed(fixedS,
+               Array[Byte](9, 8, 7, 6))) })
+    val back = AvroIO.read(spark, dir)
+    assert(back.schema == StructType(Seq(
+      StructField("color", StringType, nullable = false),
+      StructField("digest", BinaryType, nullable = false))))
+    val got = back.collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(got == Set(("GREEN", Seq[Byte](1, 2, 3, 4)),
+      ("RED", Seq[Byte](9, 8, 7, 6))))
+  }
+
+  test("read-side completion: numeric union promotions and the " +
+      "union(int, string) member struct") {
+    val json =
+      """{"type":"record","name":"r","fields":[
+        |  {"name":"n","type":["int","long"]},
+        |  {"name":"x","type":["null","float","double"]},
+        |  {"name":"u","type":["int","string"]},
+        |  {"name":"nu","type":["null","int","string"]}
+        |]}""".stripMargin
+    val dir = writeForeign(json,
+      r => { r.put("n", Int.box(7)); r.put("x", Float.box(1.5f))
+             r.put("u", Int.box(42)); r.put("nu", null) },
+      r => { r.put("n", Long.box(1L << 40)); r.put("x", null)
+             r.put("u", new org.apache.avro.util.Utf8("hi"))
+             r.put("nu", new org.apache.avro.util.Utf8("s")) })
+    val back = AvroIO.read(spark, dir)
+    // documented mapping: promotions collapse to the wide branch;
+    // union(int,string) → struct<member0: int, member1: string>
+    assert(back.schema == StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("x", DoubleType, nullable = true),
+      StructField("u", StructType(Seq(
+        StructField("member0", IntegerType, nullable = true),
+        StructField("member1", StringType, nullable = true))),
+        nullable = false),
+      StructField("nu", StructType(Seq(
+        StructField("member0", IntegerType, nullable = true),
+        StructField("member1", StringType, nullable = true))),
+        nullable = true))))
+    val got = back.collect().map { r =>
+      (r.getLong(0), Option(r.get(1)),
+        (Option(r.getStruct(2).get(0)), Option(r.getStruct(2).get(1))),
+        Option(r.getStruct(3)).map(s =>
+          (Option(s.get(0)), Option(s.get(1)))))
+    }.toSet
+    assert(got == Set(
+      (7L, Some(1.5), (Some(42), None), None),
+      (1L << 40, None, (None, Some("hi")), Some((None, Some("s"))))))
+    // re-writing the member-struct READ result round-trips the STRUCT
+    // form (the documented flattening), stable under a second cycle
+    val dir2 = tmp()
+    AvroIO.write(back.coalesce(1), dir2)
+    val again = AvroIO.read(spark, dir2)
+    assert(again.schema == back.schema)
+    assert(again.collect().map(_.toString).toSet ==
+      back.collect().map(_.toString).toSet)
+  }
 }

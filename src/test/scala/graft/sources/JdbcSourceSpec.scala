@@ -49,6 +49,47 @@ class JdbcSourceSpec extends SparkSuite {
     assert(Jdbc.read(spark, url, "items").count() == 100)
   }
 
+  test("predicate pushdown: the WHERE clause reaches every split's " +
+      "cursor and empties the out-of-range splits") {
+    val url = freshDb()
+    Class.forName(Jdbc.DerbyDriver)
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE facts (id BIGINT PRIMARY KEY, v DOUBLE)")
+    val ps = conn.prepareStatement("INSERT INTO facts VALUES (?, ?)")
+    (0 until 100).foreach { i =>
+      ps.setLong(1, i.toLong); ps.setDouble(2, i * 2.0); ps.addBatch()
+    }
+    ps.executeBatch(); ps.close(); conn.close()
+
+    // caller predicate composed as a subquery: splits covering
+    // [25,100) intersect it nowhere, so the DATABASE returns them empty
+    val df = Jdbc.readRange(spark, url, "facts", "id",
+      lowerBound = 0, upperBound = 100, numPartitions = 4,
+      predicate = Some("id < 25"))
+    assert(df.rdd.getNumPartitions == 4)
+    val perPart = df.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+      .collect().toMap
+    // split 0 = [*, 25): all 25 rows; splits 1-3: pruned empty
+    assert(perPart == Map(0 -> 25, 1 -> 0, 2 -> 0, 3 -> 0))
+    assert(df.count() == 25)
+
+    // the Spark-native route: .filter on the plain range read compiles
+    // into each split's WHERE (PushedFilters in the JDBC scan node)
+    val native = Jdbc.readRange(spark, url, "facts", "id",
+      lowerBound = 0, upperBound = 100, numPartitions = 4)
+      .where("id < 25")
+    val plan = native.queryExecution.executedPlan.toString
+    // Derby uppercases identifiers: the pushed filter reads LessThan(ID,25)
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(ID,25)"),
+      s"expected a pushed JDBC filter in:\n$plan")
+    val nativeParts = native.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+      .collect().toMap
+    assert(nativeParts == Map(0 -> 25, 1 -> 0, 2 -> 0, 3 -> 0))
+  }
+
   test("RelationalSink writes through a real JDBC connection (derby round-trip)") {
     val url = freshDb()
     Class.forName(Jdbc.DerbyDriver)
