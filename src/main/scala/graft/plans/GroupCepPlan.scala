@@ -211,6 +211,8 @@ object GroupCepPlan {
           private var haveKey = false
           // per-key-run arrival counter (EventId allocator)
           private var arrSeq = 0L
+          // per-key 1-based match ordinal (MATCH_NUMBER)
+          private var matchSeq = 0L
           // hot-key diagnostics: task-local maxima reported as deltas so
           // the task's metric value IS its max
           private var repEvents = 0L
@@ -224,20 +226,21 @@ object GroupCepPlan {
             }
           private var confs = Vector.empty[GConf[(InternalRow, Long)]]
 
-          private def emit(key: Any,
+          private def emit(key: Any, matchNum: Long,
               captured: Vector[(Int, (InternalRow, Long))]): Unit = {
             val groups = GroupCep.toGroups(compiled, captured)
-            val vals = new Array[Any](1 + nSteps * (1 + nCols))
+            val vals = new Array[Any](2 + nSteps * (1 + nCols))
             vals(0) = key
+            vals(1) = matchNum
             var s = 0
             while (s < nSteps) {
               val g = groups(names(s))
-              vals(1 + s * (1 + nCols)) = g.size.toLong
+              vals(2 + s * (1 + nCols)) = g.size.toLong
               if (g.nonEmpty) {
                 val r = g.head._1
                 var c = 0
                 while (c < nCols) {
-                  vals(2 + s * (1 + nCols) + c) = r.get(c, colTypes(c)); c += 1
+                  vals(3 + s * (1 + nCols) + c) = r.get(c, colTypes(c)); c += 1
                 }
               }
               s += 1
@@ -268,6 +271,7 @@ object GroupCepPlan {
                   confs = Vector.empty
                   arrSeq = 0L
                   keyEvents = 0L
+                  matchSeq = 0L
                   curKey = k match {
                     case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
                     case other => other
@@ -282,7 +286,9 @@ object GroupCepPlan {
                   GroupCep.advance(compiled, confs, w, tsVal.asInstanceOf[Long])
                 confs = next
                 bumpBranches(confs.size.toLong)
-                matches.foreach { m => numMatches.add(1); emit(curKey, m) }
+                matches.foreach { m =>
+                  numMatches.add(1); matchSeq += 1; emit(curKey, matchSeq, m)
+                }
               }
             }
           }
@@ -361,7 +367,12 @@ object GroupCepPlan {
     }
     val stepNames = elems.flatMap(leafNames).distinct
     val keyE = resolve(key)
+    // match_number = 1-based per-key match ordinal in emission order —
+    // the SAME ordinal the library drivers produce (batch) and carry in
+    // keyed state (streaming), so MATCH_NUMBER() queries route planned
+    // without the routing decision changing semantics
     val outAttrs = AttributeReference("key", keyE.dataType)() +:
+      AttributeReference("match_number", LongType, nullable = false)() +:
       stepNames.flatMap { name =>
         AttributeReference(s"${name}_count", LongType, nullable = false)() +:
           child.output.map(a =>

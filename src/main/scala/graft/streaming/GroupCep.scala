@@ -149,31 +149,35 @@ object GroupCep {
 
     /** SQL:2016 RELUCTANT selection for the pattern's SINGLE quantified
       * element (the nested twin of [[Cep.Pattern.reluctant]] —
-      * MATCH_RECOGNIZE `(A B)+?`): the drivers emit only the SHORTEST
-      * completion per match start and kill the longer same-start
-      * branches at emission. The single-quantifier / no-alternation
-      * contract is what makes preference order equal completion order
-      * (candidates from one start differ only in repetition count over a
-      * fixed-length body, so fewer reps always completes first) — exact
-      * in batch AND streaming. Requires NoSkip in the drivers. */
+      * MATCH_RECOGNIZE `(A B)+?`): per match start, only the most
+      * PREFERRED completion is emitted. Without alternation, preference
+      * order equals completion order (candidates from one start differ
+      * only in repetition count over a fixed-length body, so fewer reps
+      * always completes first) and the drivers emit the first completion
+      * per start, killing the longer same-start branches immediately.
+      * WITH alternation (round 10 — `(A|BB){1,2}?`, PERMUTE under a
+      * reluctant quantifier, or alternation elsewhere in the pattern),
+      * branch lengths differ, so a less-preferred candidate can
+      * complete FIRST (`(AA|B)+? E`: the B-branch completes before the
+      * preferred leftmost AA-branch); the drivers then DEFER each
+      * start's emission until no open branch with that start remains
+      * and pick by the SQL:2016 lexicographic preference rule
+      * ([[GroupCep.prefer]]: at the first diverging consumed slot,
+      * exiting the reluctant loop beats staying in it — fewer reps —
+      * and otherwise the lower slot id wins — the leftmost
+      * alternative). Exact in batch AND streaming (deferred candidates
+      * ride keyed state). Requires NoSkip in the drivers. */
     def reluctant: GPattern[E] = {
       def quantCount(es: Vector[GElem[E]]): Int = es.map {
         case g: GGroup[E] =>
           (if (g.min != g.max || g.max > 1 || g.optional) 1 else 0) +
             quantCount(g.elems)
+        case a: GAlt[E] => a.branches.map(quantCount).sum
         case _ => 0
       }.sum
-      def hasAlt(es: Vector[GElem[E]]): Boolean = es.exists {
-        case g: GGroup[E] => g.elems.exists(_.isInstanceOf[GAlt[E]]) ||
-          hasAlt(g.elems)
-        case _ => false
-      }
       require(quantCount(elems) == 1,
         "a reluctant pattern may contain exactly ONE quantified element " +
-          "(single-quantifier preference order = completion order)")
-      require(!hasAlt(elems),
-        "reluctant does not compose with alternation (branch lengths " +
-          "break the completion-order invariant)")
+          "(the single decision point the preference order ranks)")
       new GPattern(elems, withinMs, reluctantSel = true)
     }
 
@@ -372,6 +376,39 @@ object GroupCep {
       collect(realRoot).map(s => s.slot -> s).toMap
     }
 
+    /** Slots inside the pattern's (single) QUANTIFIED group — the
+      * reluctant decision point [[prefer]] ranks against. Alternation
+      * branch wrappers are min=1/max=1 and don't count. */
+    private[GroupCep] val reluctantSlots: Set[Int] = {
+      def slotsOf(n: Node): Vector[Int] = n match {
+        case SNode(s, _) => Vector(s)
+        case g: GNode => g.children.flatMap(slotsOf)
+        case a: ANode => a.branches.flatMap(slotsOf)
+      }
+      def quantNodes(n: Node): Vector[GNode] = n match {
+        case _: SNode => Vector.empty
+        case g: GNode =>
+          (if (g.min != g.max || g.max > 1 || g.optional || g.min == 0)
+             Vector(g)
+           else Vector.empty) ++ g.children.flatMap(quantNodes)
+        case a: ANode => a.branches.flatMap(quantNodes)
+      }
+      if (!reluctantSel) Set.empty
+      else realRoot.children.flatMap(quantNodes).headOption
+        .map(g => slotsOf(g).toSet).getOrElse(Set.empty)
+    }
+    /** Reluctant + any alternation anywhere ⇒ completion order no longer
+      * equals preference order: drivers must defer per-start selection
+      * (see [[GPattern.reluctant]]). */
+    private[GroupCep] val reluctantDeferred: Boolean = reluctantSel && {
+      def hasAlt(n: Node): Boolean = n match {
+        case _: SNode => false
+        case g: GNode => g.children.exists(hasAlt)
+        case _: ANode => true
+      }
+      realRoot.children.exists(hasAlt)
+    }
+
     private def declMode(n: Node): Int = n match {
       case SNode(_, m) => m
       case g: GNode => g.mode
@@ -545,12 +582,15 @@ object GroupCep {
         c.captured.length))
     var ms = dedupBy(matches.result())(m => (m.length, m.map(_._1)))
     // SQL:2016 reluctant (GPattern.reluctant, single-quantifier
-    // contract): the FIRST completion per start is the shortest and
-    // therefore THE match — keep only it among same-event siblings and
-    // kill every still-open branch sharing that start, so no later
-    // (longer, less preferred) completion can surface. One site covers
-    // every driver (batch, streaming state fns, planned GroupCepExec).
-    if (c.reluctantSel && ms.nonEmpty) {
+    // contract) WITHOUT alternation: the FIRST completion per start is
+    // the shortest and therefore THE match — keep only it among
+    // same-event siblings and kill every still-open branch sharing that
+    // start, so no later (longer, less preferred) completion can
+    // surface. One site covers every driver (batch, streaming state
+    // fns, planned GroupCepExec). With alternation the first completion
+    // may not be preferred — the drivers defer through
+    // [[ReluctantResolver]] instead (reluctantDeferred).
+    if (c.reluctantSel && !c.reluctantDeferred && ms.nonEmpty) {
       val byStart = scala.collection.mutable.LinkedHashMap
         .empty[E, Vector[(Int, E)]]
       ms.foreach { m =>
@@ -586,6 +626,72 @@ object GroupCep {
       }
       b.result()
     }
+
+  /** SQL:2016 lexicographic preference between two SAME-START candidate
+    * matches of a reluctant pattern (single quantified element, possibly
+    * containing or surrounded by alternation). Walk the consumed-slot
+    * sequences; at the first diverging position:
+    *  - if exactly one slot is inside the reluctant quantified group,
+    *    the one OUTSIDE wins (it exited the loop earlier — fewer
+    *    repetitions, the reluctant preference);
+    *  - otherwise the LOWER slot id wins (slots number in declaration
+    *    order, so this is the leftmost alternative — SQL:2016 branch
+    *    preference; PERMUTE's expansion orders branches
+    *    lexicographically, so it composes unchanged).
+    * A strict prefix (one candidate completed, the other kept
+    * consuming) prefers the SHORTER: under the single-quantifier
+    * contract the continuation can only be more reps of the reluctant
+    * loop. Returns the preferred candidate. */
+  private def prefer[E](c: Compiled[E], a: Vector[(Int, E)],
+      b: Vector[(Int, E)]): Vector[(Int, E)] = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val sa = a(i)._1; val sb = b(i)._1
+      if (sa != sb) {
+        val ra = c.reluctantSlots.contains(sa)
+        val rb = c.reluctantSlots.contains(sb)
+        return if (ra != rb) { if (!ra) a else b }
+        else if (sa < sb) a else b
+      }
+      i += 1
+    }
+    if (a.length <= b.length) a else b
+  }
+
+  /** Deferred per-start selection for reluctant patterns WITH
+    * alternation ([[Compiled.reluctantDeferred]]): buffers the best
+    * candidate per match start (folding with [[prefer]]) and releases a
+    * start only when no open branch sharing it remains — at which point
+    * the buffered candidate is THE SQL:2016-preferred match. Pending
+    * candidates serialize as plain capture vectors, so the streaming
+    * driver carries them in [[GStreamState.pending]] across
+    * micro-batches exactly like skip-deferred matches. */
+  private final class ReluctantResolver[E](c: Compiled[E], ts: E => Long) {
+    private val best = scala.collection.mutable.LinkedHashMap
+      .empty[E, Vector[(Int, E)]]
+
+    def toPending: Vector[Vector[(Int, E)]] = best.values.toVector
+    def restore(ms: Vector[Vector[(Int, E)]]): Unit =
+      ms.foreach(m => best(m.head._2) = m)
+
+    def add(ms: Vector[Vector[(Int, E)]]): Unit = ms.foreach { m =>
+      val s = m.head._2
+      best(s) = best.get(s).map(p => prefer(c, p, m)).getOrElse(m)
+    }
+
+    /** Emit every buffered start that no open branch can still extend,
+      * in start order (ties by buffer insertion = first completion). */
+    def drain(confs: Vector[GConf[E]],
+        emit: Vector[(Int, E)] => Unit): Unit = {
+      if (best.isEmpty) return
+      val open = confs.iterator
+        .flatMap(_.captured.headOption.map(_._2)).toSet
+      val ready = best.keysIterator.filterNot(open.contains).toVector
+        .sortBy(e => ts(e))
+      ready.foreach { s => emit(best(s)); best -= s }
+    }
+  }
 
   /** Shapes a capture list into step-name → events (capture order). */
   def toGroups[E](c: Compiled[E],
@@ -630,12 +736,18 @@ object GroupCep {
       "reluctant group patterns require NoSkip")
     val sq = if (skip == Cep.NoSkip) null
              else new GroupSkipQueue[E2](skip, compiled, ts)
+    val rr = if (compiled.reluctantDeferred)
+               new ReluctantResolver[E2](compiled, ts)
+             else null
     var maxConfs = 0
     events.foreach { e =>
       val (next, ms) = advance(compiled, confs, e, ts(e))
       confs = next
       if (stats != null && confs.size > maxConfs) maxConfs = confs.size
-      if (sq == null)
+      if (rr != null) {
+        rr.add(ms)
+        rr.drain(confs, m => outs += finish(k, toGroups(compiled, m)))
+      } else if (sq == null)
         ms.foreach(m => outs += finish(k, toGroups(compiled, m)))
       else {
         sq.add(ms)
@@ -645,6 +757,8 @@ object GroupCep {
     }
     // end of input: no live branch blocks emission any more
     if (sq != null) sq.drain(Vector.empty,
+      m => outs += finish(k, toGroups(compiled, m)))
+    if (rr != null) rr.drain(Vector.empty,
       m => outs += finish(k, toGroups(compiled, m)))
     if (stats != null) {
       stats.maxKeyEvents.add(events.size.toLong)
@@ -758,7 +872,11 @@ object GroupCep {
     * this, a key that goes quiet would retain partial branches forever. */
   def matchStreamFn[K, E, O](compiled: Compiled[E], ts: E => Long,
       tie: E => Long, finish: (K, Map[String, Seq[E]]) => O):
-      (K, Iterator[E], GroupState[Vector[GConf[E]]]) => Iterator[O] =
+      (K, Iterator[E], GroupState[Vector[GConf[E]]]) => Iterator[O] = {
+    require(!compiled.reluctantDeferred,
+      "reluctant patterns with alternation defer per-start selection — " +
+        "use matchStreamSkipFn/matchStream (GStreamState carries the " +
+        "deferred candidates)")
     (k: K, it: Iterator[E], state: GroupState[Vector[GConf[E]]]) =>
       if (state.hasTimedOut) {
         val w = compiled.withinMs.get
@@ -790,6 +908,7 @@ object GroupCep {
         }
         outs.result().iterator
       }
+  }
 
   /** Streaming keyed state for [[matchStreamSkipFn]]: the open branches
     * plus the completed matches still deferred by the after-match skip
@@ -817,7 +936,11 @@ object GroupCep {
         "reluctant group patterns require NoSkip")
       val sq = if (skip == Cep.NoSkip) null
                else new GroupSkipQueue[E](skip, compiled, ts)
+      val rr = if (compiled.reluctantDeferred)
+                 new ReluctantResolver[E](compiled, ts)
+               else null
       if (sq != null) sq.restore(st.pending)
+      if (rr != null) rr.restore(st.pending)
       def emit(m: Vector[(Int, E)]): Unit =
         outs += finish(k, toGroups(compiled, m))
       var confs = st.confs
@@ -828,6 +951,7 @@ object GroupCep {
         val wm = state.getCurrentWatermarkMs()
         confs = confs.filter(c => wm - c.startTs < w)
         if (sq != null) confs = sq.drain(confs, emit)
+        if (rr != null) rr.drain(confs, emit)
       } else {
         // a branch may have expired on the timer between batches
         if (sq != null) confs = sq.drain(confs, emit)
@@ -837,7 +961,8 @@ object GroupCep {
           val (next, ms) = advance(compiled, confs, e, ts(e))
           confs = next
           if (stats != null && confs.size > maxConfs) maxConfs = confs.size
-          if (sq == null) ms.foreach(emit)
+          if (rr != null) { rr.add(ms); rr.drain(confs, emit) }
+          else if (sq == null) ms.foreach(emit)
           else { sq.add(ms); confs = sq.drain(confs, emit) }
         }
         if (stats != null) {
@@ -845,10 +970,12 @@ object GroupCep {
           stats.maxPartials.add(maxConfs.toLong)
         }
       }
-      if (confs.isEmpty) state.remove()
+      val rrPending = if (rr == null) Vector.empty[Vector[(Int, E)]]
+                      else rr.toPending
+      if (confs.isEmpty && rrPending.isEmpty) state.remove()
       else {
         state.update(GStreamState(confs,
-          if (sq == null) Vector.empty else sq.toPending))
+          if (sq != null) sq.toPending else rrPending))
         compiled.withinMs.foreach { w =>
           val target = confs.map(_.startTs).min + w + 1
           state.setTimeoutTimestamp(

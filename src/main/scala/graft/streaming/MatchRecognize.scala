@@ -72,7 +72,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *                                  -- exchange, no window; quantified/
   *                                  -- grouped ones post-filter on
   *                                  -- boundary-struct flags);
-  *                                  -- interior anchors REJECTED
+  *                                  -- INTERIOR top-level anchors =
+  *                                  -- SQL:2016 degenerate boundary
+  *                                  -- semantics: `A? ^ B` rewrites to
+  *                                  -- `^ B` (nullable prefix matched
+  *                                  -- zero rows); a non-nullable
+  *                                  -- dropped element or `$ .. ^`
+  *                                  -- ordering is unsatisfiable →
+  *                                  -- ZERO rows deterministically;
+  *                                  -- anchors inside groups reject
   *   [WITHIN INTERVAL 'n' SECOND|MINUTE|HOUR|DAY]
   *                                  -- requires a TimestampType ORDER BY
   *                                  -- column (wall-clock horizon); rejected
@@ -357,8 +365,10 @@ object MatchRecognize {
             i = wsMark // a variable named like the keyword stays a variable
             out += PVar(word, quant())
           }
-        } else fail("^/$ anchors are only supported at the pattern " +
-          "boundaries; no other symbols exist in this grammar")
+        } else fail("^/$ anchors are only supported at the TOP level of " +
+          "the pattern (boundary or interior — interior ones carry the " +
+          "degenerate SQL:2016 boundary semantics); inside groups they " +
+          "reject; no other symbols exist in this grammar")
         skipWs()
       }
       out.result()
@@ -435,10 +445,89 @@ object MatchRecognize {
     // the partition's last. Interior/nested anchors still fail in the
     // grammar with a clear error.
     var ptext = patternText.trim
-    val anchorStart = ptext.startsWith("^")
+    var anchorStart = ptext.startsWith("^")
     if (anchorStart) ptext = ptext.substring(1)
-    val anchorEnd = ptext.endsWith("$")
+    var anchorEnd = ptext.endsWith("$")
     if (anchorEnd) ptext = ptext.substring(0, ptext.length - 1)
+    // SQL:2016 INTERIOR anchors (round 10): ^/$ between TOP-LEVEL
+    // elements carry degenerate boundary semantics — an interior ^
+    // holds only at the position before the partition's first row, so
+    // everything preceding it must have matched ZERO rows; dually for
+    // an interior $. When every dropped element is nullable (can match
+    // empty: ?/*/{0,n}, a group of nullables, an alternation with a
+    // nullable branch), the pattern REWRITES to the anchored remainder
+    // (`A? ^ B` ≡ `^ B`); when some dropped element cannot match empty
+    // — or a $ precedes a ^ — the pattern is unsatisfiable and the
+    // query deterministically returns ZERO rows (a constant-false
+    // filter Catalyst folds away), never an error: that is what the
+    // standard's semantics evaluate to. Anchors nested inside groups
+    // still reject in the grammar.
+    var neverMatches = false
+    locally {
+      var depth = 0
+      val tops = Vector.newBuilder[(Char, Int)]
+      ptext.zipWithIndex.foreach { case (ch, i) =>
+        if (ch == '(') depth += 1
+        else if (ch == ')') depth -= 1
+        else if ((ch == '^' || ch == '$') && depth == 0) tops += ((ch, i))
+      }
+      val interior = tops.result()
+      if (interior.nonEmpty) {
+        def nullableQ(q: Option[String]): Boolean = q.exists { s0 =>
+          val b = if (s0.length > 1 && s0.endsWith("?")) s0.dropRight(1)
+                  else s0
+          b == "?" || b == "*" ||
+            (b.startsWith("{") && b.drop(1).takeWhile(_.isDigit) == "0")
+        }
+        def nullable(e: PElem): Boolean = e match {
+          case PVar(_, q) => nullableQ(q)
+          case PGrp(in, q) => nullableQ(q) || in.forall(nullable)
+          case PAlt(bs, q) => nullableQ(q) || bs.exists(_.forall(nullable))
+        }
+        def allNullable(segment: String): Boolean = {
+          val t = segment.trim
+          t.isEmpty || parsePattern(t).elems.forall(nullable)
+        }
+        val lastCaret = interior.collect { case ('^', i) => i }
+          .maxOption
+        val firstDollar = interior.collect { case ('$', i) => i }
+          .minOption
+        if (lastCaret.exists(c => firstDollar.exists(_ < c)))
+          neverMatches = true // `$ ... ^` needs end before start
+        lastCaret.foreach { c =>
+          // every earlier top-level anchor splits the prefix; each
+          // sub-segment must be nullable on its own
+          if (!allNullable(ptext.substring(0, c)
+              .replaceAll("[\\^$]", " ")))
+            neverMatches = true
+          anchorStart = true
+        }
+        firstDollar.foreach { d =>
+          if (!allNullable(ptext.substring(d + 1)
+              .replaceAll("[\\^$]", " ")))
+            neverMatches = true
+          anchorEnd = true
+        }
+        val from = lastCaret.map(_ + 1).getOrElse(0)
+        val until = firstDollar.filter(_ >= from).getOrElse(ptext.length)
+        ptext =
+          if (neverMatches) {
+            // the pattern text only has to carry the VARIABLE NAMES the
+            // measures reference — the whole result is filtered to zero
+            // rows below, so quantifiers/structure/duplicates drop
+            def names(es: Vector[PElem]): Vector[String] = es.flatMap {
+              case PVar(n, _) => Vector(n)
+              case PGrp(in, _) => names(in)
+              case PAlt(bs, _) => bs.flatMap(names)
+            }
+            names(parsePattern(ptext.replaceAll("[\\^$]", " ")).elems)
+              .distinct.mkString(" ")
+          } else ptext.substring(from, until)
+        require(ptext.trim.nonEmpty,
+          "interior anchors left an empty pattern body")
+      }
+    }
+    if (neverMatches) { anchorStart = false; anchorEnd = false }
     val anchored = anchorStart || anchorEnd
     val parsed = parsePattern(ptext)
     val elems = parsed.elems
@@ -519,24 +608,18 @@ object MatchRecognize {
     if (hasReluctant) {
       // flat AND nested-group patterns qualify (the linear engine's
       // Pattern.reluctant / the group engine's GPattern.reluctant);
-      // alternation and PERMUTE break the completion-order invariant
-      // (branch lengths differ) and reject
+      // alternation and PERMUTE compose since round 10 — they route to
+      // GroupCep, whose drivers defer per-start selection and rank
+      // candidates by the SQL:2016 lexicographic preference (exit the
+      // reluctant loop over staying; leftmost branch otherwise)
       def countQuants(es: Vector[PElem]): Int = es.map {
         case PVar(_, q) => q.size
         case PGrp(in, q) => q.size + countQuants(in)
         case PAlt(bs, q) => q.size + bs.map(countQuants).sum
       }.sum
-      def hasAltE(es: Vector[PElem]): Boolean = es.exists {
-        case _: PAlt => true
-        case PGrp(in, _) => hasAltE(in)
-        case _ => false
-      }
-      require(!hasAltE(elems), "reluctant quantifiers do not compose " +
-        "with alternation or PERMUTE (branch lengths break the " +
-        "completion-order invariant)")
       require(countQuants(elems) == 1,
         "a reluctant pattern may contain exactly ONE quantified element " +
-          "(single-quantifier preference order = completion order)")
+          "(the single decision point the preference order ranks)")
       require(!anchored,
         "reluctant quantifiers do not compose with ^/$ anchors " +
           "(the preferred candidate may not be the anchored one)")
@@ -752,7 +835,7 @@ object MatchRecognize {
     // can't express (quantifiers, groups, alternation, ALL ROWS,
     // MATCH_NUMBER, PREV, aggregate/subset measures, non-default skip)
     // stays on the library path below.
-    val plannedRoutable = !streamingIn && !nested &&
+    val plannedRoutable = !streamingIn && !nested && !neverMatches &&
       elems.forall(e => e.quant.isEmpty && e.isInstanceOf[PVar]) &&
       skip == Cep.NoSkip && prevVars.isEmpty && subsets.isEmpty &&
       AllRowsRe.findFirstMatchIn(clause).isEmpty &&
@@ -820,6 +903,7 @@ object MatchRecognize {
     }
     val qVars = quantifiedVars(elems, inQuant = false)
     val groupPlanRoutable = !streamingIn && !anchored && !hasAlt(elems) &&
+      !neverMatches &&
       quantsOk(elems) && skip == Cep.NoSkip && prevVars.isEmpty &&
       subsets.isEmpty && excluded.isEmpty &&
       AllRowsRe.findFirstMatchIn(clause).isEmpty &&
@@ -827,6 +911,9 @@ object MatchRecognize {
         (m match { case FinalMeasure(i) => i; case o => o }) match {
           case PosMeasure(v, _, _, last, 0) => !qVars(v) || !last
           case CountMeasure(_, _) => true
+          // round 10: GroupCepExec emits the per-key match ordinal, so
+          // MATCH_NUMBER() queries take the planned route too
+          case MatchNumMeasure(_) => true
           case _ => false
         }
       }
@@ -851,6 +938,7 @@ object MatchRecognize {
         (m match { case FinalMeasure(i) => i; case o => o }) match {
           case PosMeasure(v, c, alias, _, _) => col(s"${v}_${c}").as(alias)
           case CountMeasure(v, alias) => col(s"${v}_count").as(alias)
+          case MatchNumMeasure(alias) => col("match_number").as(alias)
           case other => throw new IllegalStateException(s"unroutable $other")
         }
       }: _*)
@@ -1109,7 +1197,7 @@ object MatchRecognize {
         }
       }
 
-    if (!nested) {
+    val __routed: DataFrame = if (!nested) {
       // FLAT variable sequence: the linear Cep NFA (arrival-id parity,
       // after-match skip, terminal negation — the full driver surface)
       var pat: Cep.Pattern[Row] = null
@@ -1236,5 +1324,8 @@ object MatchRecognize {
           prepared, keyFn, ordFn, gp, tie = tieFn, skip = skip)(finish)(
           outEnc, keyEnc).toDF())
     }
+    // an unsatisfiable interior-anchor pattern evaluates to ZERO rows:
+    // the constant-false filter folds the whole subtree away
+    if (neverMatches) __routed.where(lit(false)) else __routed
   }
 }

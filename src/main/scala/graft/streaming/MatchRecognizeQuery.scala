@@ -515,6 +515,89 @@ object MatchRecognizeQuery extends QueryModule {
           |PATTERN (E $)
           |DEFINE E AS event_type = 'error'""".stripMargin)
         .orderBy("user_id")
+    },
+
+    q("qc28_mr_reluctant_alternation",
+      // RELUCTANT × ALTERNATION (round 10 — the composition VERDICT
+      // asked for): `V (C X|P){1,2}? E` — a view, then the SQL:2016-
+      // PREFERRED filling among {click+any, purchase} × {1,2} reps,
+      // then an error, strict adjacency. Preference is LEXICOGRAPHIC on
+      // the decisions: the rep-1 branch choice dominates (C X beats P
+      // even though P is SHORTER — so kill-at-first-completion would be
+      // wrong and the engine's deferred per-start selection is what's
+      // under test), then exiting beats a second rep, then the rep-2
+      // branch choice. That yields exactly six candidate shapes ranked:
+      //   1: (C X) E        2: (C X)(C X) E   3: (C X)(P) E
+      //   4: (P) E          5: (P)(C X) E     6: (P)(P) E
+      // Oracle: one rn-lattice join per shape, MIN(pref) per start.
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |v AS (SELECT user_id, event_id AS v_id, rn FROM o
+        |  WHERE event_type = 'view'),
+        |s1 AS (SELECT v.user_id, v.rn, v.v_id, 1 AS pref, e.event_id AS e_id,
+        |    CAST(1 AS BIGINT) AS nc, CAST(0 AS BIGINT) AS np
+        |  FROM v JOIN o c ON c.user_id = v.user_id AND c.rn = v.rn + 1
+        |    AND c.event_type = 'click'
+        |  JOIN o e ON e.user_id = v.user_id AND e.rn = v.rn + 3
+        |    AND e.event_type = 'error'),
+        |s2 AS (SELECT v.user_id, v.rn, v.v_id, 2 AS pref, e.event_id AS e_id,
+        |    CAST(2 AS BIGINT) AS nc, CAST(0 AS BIGINT) AS np
+        |  FROM v JOIN o c1 ON c1.user_id = v.user_id AND c1.rn = v.rn + 1
+        |    AND c1.event_type = 'click'
+        |  JOIN o c2 ON c2.user_id = v.user_id AND c2.rn = v.rn + 3
+        |    AND c2.event_type = 'click'
+        |  JOIN o e ON e.user_id = v.user_id AND e.rn = v.rn + 5
+        |    AND e.event_type = 'error'),
+        |s3 AS (SELECT v.user_id, v.rn, v.v_id, 3 AS pref, e.event_id AS e_id,
+        |    CAST(1 AS BIGINT) AS nc, CAST(1 AS BIGINT) AS np
+        |  FROM v JOIN o c ON c.user_id = v.user_id AND c.rn = v.rn + 1
+        |    AND c.event_type = 'click'
+        |  JOIN o p ON p.user_id = v.user_id AND p.rn = v.rn + 3
+        |    AND p.event_type = 'purchase'
+        |  JOIN o e ON e.user_id = v.user_id AND e.rn = v.rn + 4
+        |    AND e.event_type = 'error'),
+        |s4 AS (SELECT v.user_id, v.rn, v.v_id, 4 AS pref, e.event_id AS e_id,
+        |    CAST(0 AS BIGINT) AS nc, CAST(1 AS BIGINT) AS np
+        |  FROM v JOIN o p ON p.user_id = v.user_id AND p.rn = v.rn + 1
+        |    AND p.event_type = 'purchase'
+        |  JOIN o e ON e.user_id = v.user_id AND e.rn = v.rn + 2
+        |    AND e.event_type = 'error'),
+        |s5 AS (SELECT v.user_id, v.rn, v.v_id, 5 AS pref, e.event_id AS e_id,
+        |    CAST(1 AS BIGINT) AS nc, CAST(1 AS BIGINT) AS np
+        |  FROM v JOIN o p ON p.user_id = v.user_id AND p.rn = v.rn + 1
+        |    AND p.event_type = 'purchase'
+        |  JOIN o c ON c.user_id = v.user_id AND c.rn = v.rn + 2
+        |    AND c.event_type = 'click'
+        |  JOIN o e ON e.user_id = v.user_id AND e.rn = v.rn + 4
+        |    AND e.event_type = 'error'),
+        |s6 AS (SELECT v.user_id, v.rn, v.v_id, 6 AS pref, e.event_id AS e_id,
+        |    CAST(0 AS BIGINT) AS nc, CAST(2 AS BIGINT) AS np
+        |  FROM v JOIN o p1 ON p1.user_id = v.user_id AND p1.rn = v.rn + 1
+        |    AND p1.event_type = 'purchase'
+        |  JOIN o p2 ON p2.user_id = v.user_id AND p2.rn = v.rn + 2
+        |    AND p2.event_type = 'purchase'
+        |  JOIN o e ON e.user_id = v.user_id AND e.rn = v.rn + 3
+        |    AND e.event_type = 'error'),
+        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+        |  UNION ALL SELECT * FROM s5 UNION ALL SELECT * FROM s6),
+        |m AS (SELECT user_id, rn, MIN(pref) AS mp FROM u GROUP BY 1, 2)
+        |SELECT u.user_id AS user_id, u.v_id AS v_id, u.e_id AS e_id,
+        |  u.nc, u.np
+        |FROM m JOIN u ON u.user_id = m.user_id AND u.rn = m.rn
+        |  AND u.pref = m.mp
+        |ORDER BY user_id, v_id""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS v_id, E.event_id AS e_id,
+          |  COUNT(C.*) AS nc, COUNT(P.*) AS np
+          |PATTERN (V (C X|P){1,2}? E)
+          |DEFINE V AS event_type = 'view', C AS event_type = 'click',
+          |       P AS event_type = 'purchase',
+          |       E AS event_type = 'error'""".stripMargin)
+        .orderBy("user_id", "v_id")
     }
   )
 }

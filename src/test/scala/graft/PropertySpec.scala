@@ -224,6 +224,19 @@ class PropertySpec extends SparkSuite {
         .next("b")(_ => true)).oneOrMore.consecutive
       .next("e")(_._1 == "e")
       .reluctant
+    // round 10: reluctant × ALTERNATION defers per-start selection
+    // (candidates buffered in GStreamState.pending until their open
+    // branches resolve) — the deferral itself must be split-invariant,
+    // including a split landing between a less-preferred completion and
+    // the preferred branch's later completion. Overlapping branch
+    // predicates ("b" matches both) force real preference decisions.
+    def gpatAlt = GPattern.begin[E]("v")(_._1 == "v")
+      .next(Seq(
+        GPattern.begin[E]("a1")(_._1 == "b").next("a2")(_._1 == "b"),
+        GPattern.begin[E]("b1")(t => t._1 == "b" || t._1 == "e")))
+      .times(1, 2)
+      .next("e")(_._1 == "e")
+      .reluctant
     val namesGen = Gen.listOfN(20, Gen.oneOf("v", "b", "e", "x"))
     check(Prop.forAll(namesGen, Gen.choose(0, 20), Gen.choose(0, 20),
       Gen.choose(0, pats.size - 1)) {
@@ -242,10 +255,11 @@ class PropertySpec extends SparkSuite {
           chunks.flatMap(c => h.input(0, c: _*))
             .groupBy(identity).view.mapValues(_.size).toMap
         }
-        val gfn = GroupCep.matchStreamArrivalFn[Int, E, Seq[Long]](
-          gpat, _._2, _ => 0L, Cep.NoSkip,
-          (_, groups) => groups.values.flatten.map(_._2).toVector)
-        def runG(chunks: Seq[Seq[E]]): Map[Seq[Long], Int] = {
+        def runG(p: GroupCep.GPattern[E])(
+            chunks: Seq[Seq[E]]): Map[Seq[Long], Int] = {
+          val gfn = GroupCep.matchStreamArrivalFn[Int, E, Seq[Long]](
+            p, _._2, _ => 0L, Cep.NoSkip,
+            (_, groups) => groups.values.flatten.map(_._2).toVector)
           val h = new VirtualClockHarness[Int, E,
             GroupCep.GArrivalState[E], Seq[Long]](
             GroupStateTimeout.NoTimeout(), gfn)
@@ -255,10 +269,13 @@ class PropertySpec extends SparkSuite {
         val whole = run(Seq(events))
         val split = run(Seq(events.take(i), events.slice(i, j),
           events.drop(j)))
-        val wholeG = runG(Seq(events))
-        val splitG = runG(Seq(events.take(i), events.slice(i, j),
+        val wholeG = runG(gpat)(Seq(events))
+        val splitG = runG(gpat)(Seq(events.take(i), events.slice(i, j),
           events.drop(j)))
-        whole == split && wholeG == splitG
+        val wholeGA = runG(gpatAlt)(Seq(events))
+        val splitGA = runG(gpatAlt)(Seq(events.take(i),
+          events.slice(i, j), events.drop(j)))
+        whole == split && wholeG == splitG && wholeGA == splitGA
     })
   }
 

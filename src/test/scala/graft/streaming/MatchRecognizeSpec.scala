@@ -102,9 +102,10 @@ class MatchRecognizeSpec extends SparkSuite {
          |MEASURES A.event_id AS a_id
          |PATTERN ($p)
          |DEFINE A AS event_type = 'view'""".stripMargin
-    // boundary ^/$ anchors are supported since round 9; interior ones
-    // and nested-in-group anchors still reject
-    for (p <- Seq("A ^ B", "A $ B", "(^ A)", "(A $)", "A |", "| A",
+    // boundary ^/$ anchors are supported since round 9, top-level
+    // interior ones since round 10 (degenerate semantics, see below);
+    // nested-in-group anchors still reject
+    for (p <- Seq("(^ A)", "(A $)", "A |", "| A",
         "A || B", "PERMUTE(A, )",
         "PERMUTE(A, B", "PERMUTE(A, B, C, D, E, F, G)")) {
       val e = intercept[IllegalArgumentException] {
@@ -353,16 +354,15 @@ class MatchRecognizeSpec extends SparkSuite {
           |DEFINE E AS event_type = 'error'""".stripMargin)
     }
     assert(ex1.getMessage.contains("SKIP TO NEXT ROW"))
-    // interior anchors reject with a clear error
-    val ex2 = intercept[IllegalArgumentException] {
-      MatchRecognize(df,
-        """PARTITION BY user_id
-          |ORDER BY ts
-          |MEASURES E.event_id AS e_id
-          |PATTERN (E ^ E)
-          |DEFINE E AS event_type = 'error'""".stripMargin)
-    }
-    assert(ex2.getMessage.contains("anchors"))
+    // an interior anchor behind a NON-nullable element is unsatisfiable:
+    // zero rows, deterministically (SQL:2016 degenerate semantics)
+    val interior = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES E.event_id AS e_id
+        |PATTERN (E ^ E)
+        |DEFINE E AS event_type = 'error'""".stripMargin)
+    assert(interior.count() == 0)
     // streaming rejects (partition boundaries unknowable on a stream)
     locally {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -379,6 +379,34 @@ class MatchRecognizeSpec extends SparkSuite {
       }
       assert(ex3.getMessage.contains("batch"))
     }
+  }
+
+  test("interior anchors: nullable dropped elements rewrite to the " +
+      "anchored remainder; unsatisfiable forms yield zero rows") {
+    val df = Seq(
+      (1L, 10L, "view", 1L), (2L, 20L, "click", 1L),
+      (3L, 30L, "click", 1L), (4L, 40L, "error", 1L),
+      (10L, 10L, "click", 2L), (11L, 20L, "view", 2L),
+      (12L, 30L, "error", 2L), (13L, 40L, "click", 2L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    def mr(p: String, m: String) = MatchRecognize(df,
+      s"""PARTITION BY user_id
+         |ORDER BY ts
+         |MEASURES $m
+         |PATTERN ($p)
+         |DEFINE V AS event_type = 'view', C AS event_type = 'click',
+         |       E AS event_type = 'error'""".stripMargin)
+    // C? ^ V C: the nullable prefix matched ZERO rows (an interior ^
+    // holds only before the partition's first row) ≡ ^ V C
+    assert(mr("C? ^ V C", "V.event_id AS v_id, C.event_id AS c_id")
+      .as[(Long, Long, Long)].collect().toSet === Set((1L, 1L, 2L)))
+    // E $ C*: the nullable suffix matched zero rows ≡ E $
+    assert(mr("E $ C*", "E.event_id AS e_id")
+      .as[(Long, Long)].collect().toSet === Set((1L, 4L)))
+    // V ^ C: V cannot match zero rows → unsatisfiable → zero rows
+    assert(mr("V ^ C", "V.event_id AS v_id").count() == 0)
+    // $ before ^ needs the end before the start → zero rows
+    assert(mr("E $ ^ E", "E.event_id AS e_id").count() == 0)
   }
 
   test("CLASSIFIER() names the matched alternation branch (ALL ROWS and ONE ROW)") {
@@ -768,6 +796,65 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(one === Seq((1L, 2L, 2L)))
   }
 
+  test("MATCH_NUMBER() on a GROUP pattern routes PLANNED and the " +
+      "ordinals are route-invariant: planned vs library vs streaming, " +
+      "every 2-way cut (round 10)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, 10L, "view", 1L), (2L, 20L, "click", 1L),
+      (3L, 30L, "error", 1L),
+      (4L, 40L, "view", 1L), (5L, 50L, "click", 1L),
+      (6L, 60L, "click", 1L), (7L, 70L, "error", 1L),
+      (10L, 10L, "view", 2L), (11L, 20L, "click", 2L),
+      (12L, 30L, "error", 2L))
+    def clause(cMeasure: String) =
+      s"""PARTITION BY user_id
+         |ORDER BY ts, event_id
+         |MEASURES MATCH_NUMBER() AS mn, V.event_id AS v_id, $cMeasure
+         |PATTERN (V (C){1,2} E)
+         |DEFINE V AS event_type = 'view', C AS event_type = 'click',
+         |       E AS event_type = 'error'""".stripMargin
+    val df = rows.toDF("event_id", "ts", "event_type", "user_id")
+    // COUNT measure → the planned GroupCepExec (round 10: the operator
+    // emits the per-key match ordinal, so MATCH_NUMBER no longer blocks
+    // the route)
+    val planned = MatchRecognize(df, clause("COUNT(C.*) AS nc"))
+    val plannedPlan = planned.queryExecution.executedPlan.toString
+    assert(plannedPlan.contains("GroupCep")
+      && !plannedPlan.contains("MapGroups"))
+    val expected = planned.select("user_id", "mn", "v_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected === Set((1L, 1L, 1L), (1L, 2L, 4L), (2L, 1L, 10L)))
+    // LAST over a quantified variable forces the LIBRARY route — the
+    // ordinals must be identical
+    val library = MatchRecognize(df, clause("LAST(C.event_id) AS lc"))
+    assert(library.queryExecution.executedPlan.toString
+      .contains("MapGroups"))
+    assert(library.select("user_id", "mn", "v_id")
+      .as[(Long, Long, Long)].collect().toSet === expected)
+    // STREAMING (library, keyed-state ordinal): every 2-way micro-batch
+    // cut yields the same ordinals
+    (0 to rows.length by 2).foreach { cut =>
+      val input = MemoryStream[(Long, Long, String, Long)]
+      val q = MatchRecognize(
+          input.toDF().toDF("event_id", "ts", "event_type", "user_id"),
+          clause("COUNT(C.*) AS nc"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(s"mr_route_inv_$cut").start()
+      try {
+        if (cut > 0) { input.addData(rows.take(cut): _*)
+                       q.processAllAvailable() }
+        if (cut < rows.length) { input.addData(rows.drop(cut): _*)
+                                 q.processAllAvailable() }
+        assert(spark.table(s"mr_route_inv_$cut")
+          .select("user_id", "mn", "v_id")
+          .as[(Long, Long, Long)].collect().toSet === expected,
+          s"cut at $cut")
+      } finally q.stop()
+    }
+  }
+
   test("streaming MATCH_NUMBER(): the per-key ordinal persists across micro-batches (round 9)") {
     // Two disjoint error pairs arriving in separate micro-batches, with
     // a quiet batch in between that lets every partial die — the ordinal
@@ -989,7 +1076,7 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(run("?") === Set((1L, 1L, 2L, 0L), (1L, 1L, 3L, 1L)))
   }
 
-  test("reluctant rejections: nested, multi-quantifier, non-default skip, anchors") {
+  test("reluctant rejections: multi-quantifier, non-default skip, anchors") {
     def mr(p: String, extra: String = "") = MatchRecognize(events,
       s"""PARTITION BY user_id
          |ORDER BY ts, event_id
@@ -998,8 +1085,6 @@ class MatchRecognizeSpec extends SparkSuite {
          |PATTERN ($p)
          |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
         .stripMargin)
-    assert(intercept[IllegalArgumentException](mr("V (B|E)+? X"))
-      .getMessage.contains("alternation"))
     assert(intercept[IllegalArgumentException](mr("V? B+? E"))
       .getMessage.contains("exactly ONE"))
     assert(intercept[IllegalArgumentException](mr("V (B E?)+? X"))
@@ -1009,6 +1094,114 @@ class MatchRecognizeSpec extends SparkSuite {
       .getMessage.contains("SKIP"))
     assert(intercept[IllegalArgumentException](mr("^ V B+? E"))
       .getMessage.contains("anchors"))
+  }
+
+  test("reluctant × alternation: the SQL:2016-preferred candidate wins " +
+      "even when a less-preferred branch completes FIRST") {
+    // a@10 a@20 e@30: from start a10, the B-branch candidate
+    // (B=[a10], E=a20) COMPLETES first, but the leftmost A A-branch
+    // candidate (A=[a10,a20], E=e30) is preferred (divergence at the
+    // first consumed slot: A is declared before B). Kill-at-first-
+    // completion would emit the wrong match — deferral must pick A A.
+    val df = Seq(
+      (1L, 10L, "a", 1L), (2L, 20L, "a", 1L), (3L, 30L, "e", 1L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    def run(q: String) = MatchRecognize(df,
+      s"""PARTITION BY user_id
+         |ORDER BY ts, event_id
+         |MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, E.event_id AS e_id
+         |PATTERN ((A A|B)$q E)
+         |DEFINE A AS event_type = 'a', B AS event_type = 'a',
+         |       E AS event_type IN ('a', 'e')""".stripMargin)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // start a10 → the A A candidate; start a20 → only B reaches E
+    assert(run("{1,2}?") === Set((1L, 2L, 0L, 3L), (1L, 0L, 1L, 3L)))
+    // the unmarked quantifier emits every candidate (library semantics)
+    assert(run("{1,2}") === Set(
+      (1L, 2L, 0L, 3L), // A A then e30
+      (1L, 0L, 1L, 2L), // B=[a10], E=a20 (the one reluctant must NOT pick)
+      (1L, 0L, 2L, 3L), // B,B reps then e30
+      (1L, 0L, 1L, 3L))) // start a20: B=[a20], E=e30
+  }
+
+  test("reluctant × alternation: equal-length same-start candidates " +
+      "prefer the leftmost branch at the earliest divergence") {
+    // x@10 y@20 e@30, pattern (X|Y){1,2}? E with X = 'x' only and
+    // Y absorbing both: start x10 yields TWO 2-rep candidates —
+    // (X=[x10], Y=[y20]) and (Y=[x10], Y=[y20]) — both completing at
+    // e30; the divergence is the FIRST consumed slot, where the X
+    // branch (declared first) must win
+    val df = Seq(
+      (1L, 10L, "x", 1L), (2L, 20L, "y", 1L), (3L, 30L, "e", 1L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val got = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES COUNT(X.*) AS nx, COUNT(Y.*) AS ny, E.event_id AS e_id
+        |PATTERN ((X|Y){1,2}? E)
+        |DEFINE X AS event_type = 'x', Y AS event_type IN ('x', 'y'),
+        |       E AS event_type = 'e'""".stripMargin)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // start x10 → (X, Y); start y20 → (Y) alone reaches E
+    assert(got === Set((1L, 1L, 1L, 3L), (1L, 0L, 1L, 3L)))
+  }
+
+  test("reluctant × PERMUTE: preference follows the listed order") {
+    val df = Seq(
+      (1L, 10L, "a", 1L), (2L, 20L, "b", 1L), (3L, 30L, "e", 1L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    // PERMUTE(A, B) expands to (A B | B A); both orderings are
+    // satisfiable over rows absorbing either type — the listed order
+    // (A first) must win under the reluctant marker
+    val got = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES FIRST(A.event_id) AS a_id, FIRST(B.event_id) AS b_id,
+        |  E.event_id AS e_id
+        |PATTERN (PERMUTE(A, B)+? E)
+        |DEFINE A AS event_type IN ('a', 'b'),
+        |       B AS event_type IN ('a', 'b'),
+        |       E AS event_type = 'e'""".stripMargin)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // one match from start a10: A=a10, B=b20 (the LISTED ordering wins
+    // over B=a10, A=b20), one repetition, E=e30
+    assert(got === Set((1L, 1L, 2L, 3L)))
+  }
+
+  test("reluctant × alternation: streaming equals batch across " +
+      "micro-batch splits (deferred candidates ride keyed state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, 10L, "a", 1L), (2L, 20L, "a", 1L), (3L, 30L, "e", 1L),
+      (4L, 40L, "a", 2L), (5L, 50L, "e", 2L))
+    val clause =
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, E.event_id AS e_id
+        |PATTERN ((A A|B){1,2}? E)
+        |DEFINE A AS event_type = 'a', B AS event_type = 'a',
+        |       E AS event_type IN ('a', 'e')""".stripMargin
+    val expected = MatchRecognize(
+      rows.toDF("event_id", "ts", "event_type", "user_id"), clause)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val q = MatchRecognize(
+        input.toDF().toDF("event_id", "ts", "event_type", "user_id"),
+        clause)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rel_alt_stream").start()
+    try {
+      // split right after the less-preferred candidate completed: the
+      // buffered candidate must wait in state, then lose to A A
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("rel_alt_stream")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === expected && expected.nonEmpty)
+    } finally q.stop()
   }
 
   test("ALL ROWS PER MATCH WITH UNMATCHED ROWS emits non-matching rows with null measures") {
