@@ -256,6 +256,22 @@ object PlanAudit {
       qp19.contains("BroadcastHashJoin") &&
         !qp19.contains("CartesianProduct"))
 
+    // FOR SYSTEM_TIME AS OF SQL surface (round 10): the as-of resolves
+    // in ONE window pass over the union — one hash exchange on the key,
+    // never a per-key join quadratic or a cartesian
+    val qj4 = plan("qj4_temporal_sql")
+    check("qj4 as-of = one window pass, no cartesian/BNLJ",
+      qj4.contains("Window") && !qj4.contains("CartesianProduct") &&
+        !qj4.contains("BroadcastNestedLoopJoin") &&
+        qj4.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2)
+    // reluctant × alternation (round 10): library GroupCep path — one
+    // key exchange feeding the NFA, no join machinery at all
+    val qc28 = plan("qc28_mr_reluctant_alternation")
+    check("qc28 one key exchange into the NFA, no joins",
+      qc28.contains("MapGroups") &&
+        qc28.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1 &&
+        !qc28.contains("Join"))
+
     s.stop()
     if (failed > 0) {
       println(s"$failed plan assertions FAILED"); sys.exit(1)

@@ -85,12 +85,20 @@ object ScaleUpBench {
   }
 
   /** The scale-critical set: LSH near-dup, two-phase packing, n-gram
-    * decontamination (membership + span removal), iterative CC, and the
-    * sequential-NFA CEP funnel. */
+    * decontamination (membership + span removal), iterative CC, the
+    * sequential-NFA CEP funnel — plus (wide sweep) the Bench headline
+    * families over scaled tables (qe2 excluded: embeddings replicate
+    * as-is, so its input would not grow). */
   private val allQueries = Seq(
     "qp5_ngram_jaccard", "qp17_sequence_packing", "qp9_decontamination",
     "qp24_decontaminate_spans", "qg1_connected_components",
-    "qc12_cep_funnel")
+    "qc12_cep_funnel",
+    "q1_pricing_summary", "q3_distinct_aggs", "q9_revenue_by_nation",
+    "q10_left_join", "q21_sort_limit_offset",
+    "qw1_running_sum", "qw5_tumble", "qw7_session",
+    "qp1_dedup_exact", "qp4_minhash_pairs", "qp7_curation_pipeline",
+    "qt1_text_stats", "qm1_media_meta", "qsql1_shipping_priority",
+    "qc1_cep_view_error")
 
   private def timeQuery(spark: SparkSession, name: String,
       dir: String): (Double, Double) = {
