@@ -115,6 +115,35 @@ object AsofQueries extends QueryModule {
           |JOIN qj4_versions FOR SYSTEM_TIME AS OF f.ts AS v
           |  ON f.user_id = v.user_id
           |ORDER BY f.event_id""".stripMargin)
+    },
+
+    // The LEFT form of the SQL-text surface: facts preceding every
+    // version (or with no version at all) survive with NULLs — DuckDB's
+    // ASOF LEFT JOIN is the independent oracle. The matched version
+    // time travels as nullable epoch micros (the qj3 posture: a NULL
+    // timestamp column would hash as NaT on the driver's pandas side,
+    // where only None/NaN count as null).
+    q("qj5_temporal_sql_left",
+      """WITH v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  epoch_us(v.ts) AS version_ts_us, v.value AS rate
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+        .createOrReplaceTempView("qj5_versions")
+      ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView("qj5_facts")
+      TemporalSql(s,
+        """SELECT f.event_id, f.user_id, f.ts,
+          |  unix_micros(v.ts) AS version_ts_us, v.value AS rate
+          |FROM qj5_facts f
+          |LEFT JOIN qj5_versions FOR SYSTEM_TIME AS OF f.ts AS v
+          |  ON f.user_id = v.user_id
+          |ORDER BY f.event_id""".stripMargin)
     }
   )
 }

@@ -532,6 +532,50 @@ object EmbeddingQueries extends QueryModule {
           coalesce(col("n"), lit(0L)).cast("long").as("n_hits"))
         .withColumn("recall_pct", (col("n_hits") * 20).cast("long"))
         .orderBy("qid")
+    },
+
+    // EMBEDDING-BASED DECONTAMINATION (round 10) — the semantic twin of
+    // qp9's n-gram membership test: flag a training vector when its max
+    // cosine against the (small) benchmark slice clears a threshold —
+    // the modern LLM-eval leakage check that catches paraphrases n-gram
+    // matching misses. Scale shape: the benchmark set BROADCASTS (like
+    // qp9's gram set), the corpus is scanned ONCE map-side with a
+    // per-row max over the broadcast rows, then one partial-aggregated
+    // groupBy — no corpus-vs-corpus join at any size; at 100 TB the
+    // benchmark stays KB-scale and the scan is embarrassingly
+    // parallel. Determinism: each pairwise cosine is the sequential
+    // double fold (graft_dot = DuckDB list_reduce order), max/compare
+    // of exact doubles.
+    q("qe11_embed_decontaminate",
+      s"""WITH norms AS (SELECT vec_id, embedding, $duckNorm AS nrm
+         |  FROM embeddings),
+         |b AS (SELECT vec_id AS b_id, embedding AS eb, nrm AS nb
+         |  FROM norms WHERE vec_id % 41 = 0 AND nrm > 0),
+         |c AS (SELECT a.vec_id,
+         |    MAX(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.eb[i] AS DOUBLE)),
+         |      (x, y) -> x + y) / sqrt(a.nrm * b.nb)) AS max_cos
+         |  FROM norms a CROSS JOIN b
+         |  WHERE a.vec_id % 41 <> 0 AND a.nrm > 0
+         |  GROUP BY a.vec_id)
+         |SELECT vec_id, max_cos, max_cos >= 0.4 AS contaminated
+         |FROM c ORDER BY vec_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr(normExpr("embedding")).as("nrm"))
+        .where(col("nrm") > 0)
+      val bench = e.where(col("vec_id") % 41 === 0)
+        .select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+          col("nrm").as("nb"))
+      e.where(col("vec_id") % 41 =!= 0)
+        .crossJoin(broadcast(bench))
+        .select(col("vec_id"),
+          (expr(dotExpr("embedding", "eb")) / sqrt(col("nrm") * col("nb")))
+            .as("cos"))
+        .groupBy("vec_id").agg(max("cos").as("max_cos"))
+        .selectExpr("vec_id", "max_cos", "max_cos >= 0.4 AS contaminated")
+        .orderBy("vec_id")
     }
   )
 }

@@ -271,6 +271,13 @@ object PlanAudit {
       qc28.contains("MapGroups") &&
         qc28.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1 &&
         !qc28.contains("Join"))
+    // embedding decontamination (round 10): the benchmark slice
+    // BROADCASTS (constant-side NLJ, the qe2/qp9 posture) and the
+    // per-vector max partial-aggregates — no corpus-vs-corpus product
+    val qe11 = plan("qe11_embed_decontaminate")
+    check("qe11 benchmark broadcasts; per-vector max partial-aggregates",
+      qe11.contains("Broadcast") && qe11.contains("partial_max") &&
+        !qe11.contains("CartesianProduct"))
 
     s.stop()
     if (failed > 0) {
