@@ -74,10 +74,11 @@ object GroupCep {
     * compiles it to). */
   final class GPattern[E] private[GroupCep] (
       val elems: Vector[GElem[E]], val withinMs: Option[Long],
-      private[GroupCep] val reluctantSel: Boolean = false) {
+      private[GroupCep] val reluctantSel: Boolean = false,
+      private[GroupCep] val deferSel: Boolean = false) {
 
     private def append(e: GElem[E]) =
-      new GPattern(elems :+ e, withinMs, reluctantSel)
+      new GPattern(elems :+ e, withinMs, reluctantSel, deferSel)
 
     def followedBy(name: String)(pred: E => Boolean): GPattern[E] =
       append(GLeaf(name, pred, TillNext))
@@ -114,7 +115,7 @@ object GroupCep {
         case _: GAlt[E] => throw new IllegalStateException(
           "alternation is always group-wrapped by the builder")
       }
-      new GPattern(elems.init :+ f(g), withinMs, reluctantSel)
+      new GPattern(elems.init :+ f(g), withinMs, reluctantSel, deferSel)
     }
 
     def times(n: Int): GPattern[E] = {
@@ -145,7 +146,14 @@ object GroupCep {
       g.copy(greedy = true)
     }
     def within(ms: Long): GPattern[E] =
-      new GPattern(elems, Some(ms), reluctantSel)
+      new GPattern(elems, Some(ms), reluctantSel, deferSel)
+
+    /** Force DEFERRED reluctant selection even without alternation —
+      * the anchored-batch driver needs every candidate buffered (the
+      * first completion may fail an anchor a longer one passes), so the
+      * in-advance shortest-per-start kill must not fire. */
+    private[streaming] def deferredReluctant: GPattern[E] =
+      new GPattern(elems, withinMs, reluctantSel, deferSel = true)
 
     /** SQL:2016 RELUCTANT selection for the pattern's SINGLE quantified
       * element (the nested twin of [[Cep.Pattern.reluctant]] —
@@ -178,7 +186,7 @@ object GroupCep {
       require(quantCount(elems) == 1,
         "a reluctant pattern may contain exactly ONE quantified element " +
           "(the single decision point the preference order ranks)")
-      new GPattern(elems, withinMs, reluctantSel = true)
+      new GPattern(elems, withinMs, reluctantSel = true, deferSel)
     }
 
     private[GroupCep] def validated: GPattern[E] = {
@@ -406,7 +414,7 @@ object GroupCep {
         case g: GNode => g.children.exists(hasAlt)
         case _: ANode => true
       }
-      realRoot.children.exists(hasAlt)
+      pattern.deferSel || realRoot.children.exists(hasAlt)
     }
 
     private def declMode(n: Node): Int = n match {
@@ -717,7 +725,8 @@ object GroupCep {
     case a: GAlt[E] => GAlt(a.branches.map(_.map(liftElem[E])), a.mode)
   }
   private[streaming] def liftG[E](p: GPattern[E]): GPattern[(E, Long)] =
-    new GPattern(p.elems.map(liftElem[E]), p.withinMs, p.reluctantSel)
+    new GPattern(p.elems.map(liftElem[E]), p.withinMs, p.reluctantSel,
+      p.deferSel)
 
   /** Un-tag a capture map, preserving declaration order. */
   private def unliftGroups[E](groups: Map[String, Seq[(E, Long)]]):
@@ -767,6 +776,45 @@ object GroupCep {
     outs.result()
   }
 
+  /** One key's bounded scan for RELUCTANT patterns under ^/\$ PARTITION
+    * ANCHORS (batch only — the [[Cep.matchBatchGroups]] anchored twin):
+    * every candidate match is buffered to end of input (no in-scan
+    * selection: the first completion per start may FAIL an anchor that
+    * a longer same-start candidate passes), then the anchor gates
+    * filter on the arrival tags (head ⇒ first captured row is tag 0,
+    * tail ⇒ last captured row is the partition's last tag), and the
+    * most-preferred GATE-PASSING candidate per start emits — anchors
+    * participate in matching BEFORE preference selection, the SQL:2016
+    * order. */
+  private def runKeyAnchoredReluctant[K, E, O](k: K,
+      events: Vector[(E, Long)], ts: ((E, Long)) => Long,
+      compiled: Compiled[(E, Long)], anchorHead: Boolean,
+      anchorTail: Boolean,
+      finish: (K, Map[String, Seq[(E, Long)]]) => O): Vector[O] = {
+    var confs = Vector.empty[GConf[(E, Long)]]
+    val all = Vector.newBuilder[Vector[(Int, (E, Long))]]
+    events.foreach { e =>
+      val (next, ms) = advance(compiled, confs, e, ts(e))
+      confs = next
+      all ++= ms
+    }
+    val lastTag = events.size.toLong - 1
+    val passing = all.result().filter { m =>
+      (!anchorHead || m.head._2._2 == 0L) &&
+        (!anchorTail || m.last._2._2 == lastTag)
+    }
+    val byStart = scala.collection.mutable.LinkedHashMap
+      .empty[(E, Long), Vector[(Int, (E, Long))]]
+    passing.foreach { m =>
+      val s0 = m.head._2
+      byStart(s0) = byStart.get(s0)
+        .map(p => prefer(compiled, p, m)).getOrElse(m)
+    }
+    byStart.values.toVector
+      .sortBy(m => (ts(m.head._2), m.head._2._2))
+      .map(m => finish(k, toGroups(compiled, m)))
+  }
+
   /** Run a group pattern over a batch Dataset: one event-time-sorted scan
     * per key (the [[Cep.matchBatchGroups]] twin for group patterns).
     * `skip` runs the reference's deferred-emission after-match machinery
@@ -779,10 +827,27 @@ object GroupCep {
       tie: E => Long = (_: E) => 0L,
       skip: Cep.AfterMatchSkip = Cep.NoSkip,
       arrivalIds: Boolean = true,
-      stats: Cep.HotKeyStats = null)(
+      stats: Cep.HotKeyStats = null,
+      anchorHead: Boolean = false,
+      anchorTail: Boolean = false)(
       finish: (K, Map[String, Seq[E]]) => O)(
       implicit ke: Encoder[K]): Dataset[O] =
-    if (!arrivalIds) {
+    if (anchorHead || anchorTail) {
+      // the reluctant × anchors composition (see runKeyAnchoredReluctant)
+      require(arrivalIds, "anchor gates need arrival identity")
+      require(skip == Cep.NoSkip, "anchors require the default skip")
+      val compiled = compile(liftG(pattern.deferredReluctant))
+      require(compiled.reluctantSel,
+        "anchor gates are the reluctant-selection composition; plain " +
+          "anchored group patterns post-filter on boundary flags instead")
+      ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
+        val wrapped = it.toVector.sortBy(e => (ts(e), tie(e)))
+          .zipWithIndex.map { case (e, i) => (e, i.toLong) }
+        runKeyAnchoredReluctant[K, E, O](k, wrapped, w => ts(w._1),
+          compiled, anchorHead, anchorTail,
+          (kk, groups) => finish(kk, unliftGroups(groups))).iterator
+      }
+    } else if (!arrivalIds) {
       val compiled = compile(pattern)
       ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
         runKeyBatch(k, it.toVector.sortBy(e => (ts(e), tie(e))), ts,

@@ -45,7 +45,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *                                  -- patterns whose SINGLE quantified
   *                                  -- element carries the marker,
   *                                  -- batch AND streaming, default
-  *                                  -- skip, no anchors/alternation;
+  *                                  -- skip; alternation/PERMUTE
+  *                                  -- compose (deferred SQL:2016
+  *                                  -- preference selection), and ^/$
+  *                                  -- anchors compose in BATCH
+  *                                  -- (candidates buffer to partition
+  *                                  -- end, anchor gates filter before
+  *                                  -- selection);
   *                                  -- a flat sequence runs
   *                                  -- the linear NFA; nested groups,
   *                                  -- alternation `A|B` / `(A B|C D)`
@@ -592,12 +598,12 @@ object MatchRecognize {
       }
     // SQL:2016 RELUCTANT quantifiers (round 10): `B+?` prefers the
     // FEWEST repetitions — the engine emits the shortest completion per
-    // match start instead of every satisfied length. Supported on FLAT
-    // patterns whose ONLY quantified element carries the marker, under
-    // the default skip, without anchors: that is the single-quantifier
-    // contract under which shortest-per-start pruning is exact in batch
-    // AND streaming (preference order = completion order —
-    // [[Cep.Pattern.reluctant]]). Other combinations reject.
+    // match start instead of every satisfied length. Supported on flat
+    // AND nested patterns whose ONLY quantified element carries the
+    // marker, under the default skip; alternation/PERMUTE compose via
+    // deferred preference selection, and ^/$ anchors compose in batch
+    // via the GroupCep anchored driver. Multi-quantifier patterns and
+    // non-default skip reject.
     def isReluctantQ(q: String): Boolean = q.length > 1 && q.endsWith("?")
     def anyReluctant(es: Vector[PElem]): Boolean = es.exists {
       case PVar(_, q) => q.exists(isReluctantQ)
@@ -620,14 +626,24 @@ object MatchRecognize {
       require(countQuants(elems) == 1,
         "a reluctant pattern may contain exactly ONE quantified element " +
           "(the single decision point the preference order ranks)")
-      require(!anchored,
-        "reluctant quantifiers do not compose with ^/$ anchors " +
-          "(the preferred candidate may not be the anchored one)")
+      // ROUND 10: anchors COMPOSE in batch — candidates buffer to end
+      // of input, the anchor gates filter BEFORE per-start preference
+      // selection (a shortest completion failing $ must lose to a
+      // longer same-start candidate that reaches the partition tail),
+      // all inside the GroupCep anchored driver. Streaming stays
+      // rejected (partition boundaries unknowable mid-stream).
+      require(!anchored || !df.isStreaming,
+        "reluctant quantifiers with ^/$ anchors require batch input " +
+          "(every candidate must be buffered to the partition end " +
+          "before anchor gating and preference selection)")
       require(skip == Cep.NoSkip,
         "reluctant quantifiers require the default AFTER MATCH SKIP TO " +
           "NEXT ROW (per-start selection and the skip queue's pruning " +
           "boundaries do not compose)")
     }
+    // batch reluctant × anchors: route through the GroupCep anchored
+    // driver (NFA-side gates), not the boundary-flag post-filter
+    val reluctantAnchored = hasReluctant && anchored
     // SQL:2016 ALL ROWS PER MATCH WITH UNMATCHED ROWS (round 10, beyond
     // Flink 1.7): rows that are part of NO emitted match are also
     // output, with NULL measures, alongside the pass-through ORDER BY
@@ -692,8 +708,9 @@ object MatchRecognize {
         "AFTER MATCH SKIP TO NEXT ROW")
     }
     // the batch boundary-flag machinery (window pass + candidate
-    // post-filter) serves only the batch library path
-    val anchorBatch = anchored && !streamingIn
+    // post-filter) serves only the batch library path; the reluctant
+    // composition gates inside the GroupCep driver instead
+    val anchorBatch = anchored && !streamingIn && !reluctantAnchored
     def ordExpr(name: String): Column = df.schema(name).dataType match {
       case TimestampType =>
         if (streamingIn) expr(s"unix_millis(`$name`)") else unix_micros(col(name))
@@ -1197,7 +1214,10 @@ object MatchRecognize {
         }
       }
 
-    val __routed: DataFrame = if (!nested) {
+    // flat reluctant+anchored patterns also run the GROUP engine: the
+    // anchored driver's buffer-then-gate-then-select lives there
+    val routeNested = nested || reluctantAnchored
+    val __routed: DataFrame = if (!routeNested) {
       // FLAT variable sequence: the linear Cep NFA (arrival-id parity,
       // after-match skip, terminal negation — the full driver surface)
       var pat: Cep.Pattern[Row] = null
@@ -1321,7 +1341,9 @@ object MatchRecognize {
             outEnc, keyEnc, stateEnc).toDF())
       } else
         post(GroupCep.matchBatchGroups[Row, Row, Row](
-          prepared, keyFn, ordFn, gp, tie = tieFn, skip = skip)(finish)(
+          prepared, keyFn, ordFn, gp, tie = tieFn, skip = skip,
+          anchorHead = reluctantAnchored && anchorStart,
+          anchorTail = reluctantAnchored && anchorEnd)(finish)(
           outEnc, keyEnc).toDF())
     }
     // an unsatisfiable interior-anchor pattern evaluates to ZERO rows:

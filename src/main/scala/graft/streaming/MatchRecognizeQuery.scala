@@ -517,6 +517,35 @@ object MatchRecognizeQuery extends QueryModule {
         .orderBy("user_id")
     },
 
+    q("qc29_mr_reluctant_tail_anchor",
+      // RELUCTANT × $ ANCHOR (round 10): `V B+? E $` — from every view,
+      // the SHORTEST completion usually ends mid-partition and FAILS
+      // the tail anchor; the emitted match per start is the (unique)
+      // candidate whose error IS the partition's last row. Exercises
+      // the buffer-to-end + gate-before-selection driver: a user whose
+      // last event is not an error contributes nothing, however many
+      // views it has. Oracle: last-row error join, nb = rows between.
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |l AS (SELECT user_id, event_id AS e_id, n FROM o
+        |  WHERE rn = n AND event_type = 'error')
+        |SELECT o.user_id AS user_id, o.event_id AS v_id, l.e_id AS e_id,
+        |  CAST(l.n - 1 - o.rn AS BIGINT) AS nb
+        |FROM o JOIN l ON l.user_id = o.user_id
+        |WHERE o.event_type = 'view' AND o.rn <= l.n - 2
+        |ORDER BY user_id, v_id""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS v_id, E.event_id AS e_id, COUNT(B.*) AS nb
+          |PATTERN (V B+? E $)
+          |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
+          .stripMargin)
+        .orderBy("user_id", "v_id")
+    },
+
     q("qc28_mr_reluctant_alternation",
       // RELUCTANT × ALTERNATION (round 10 — the composition VERDICT
       // asked for): `V (C X|P){1,2}? E` — a view, then the SQL:2016-

@@ -1076,6 +1076,55 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(run("?") === Set((1L, 1L, 2L, 0L), (1L, 1L, 3L, 1L)))
   }
 
+  test("reluctant × anchors (batch): gates filter candidates BEFORE " +
+      "preference selection") {
+    // v x e x e — pattern V B+? E: the shortest completion (B=[x20],
+    // E=e30) ends MID-partition; under $ it must lose to the longer
+    // same-start candidate that reaches the partition tail (B 3 rows,
+    // E=e50) — kill-at-first-completion would emit nothing
+    val df = Seq(
+      (1L, 10L, "v", 1L), (2L, 20L, "x", 1L), (3L, 30L, "e", 1L),
+      (4L, 40L, "x", 1L), (5L, 50L, "e", 1L),
+      // user 2 does NOT start with v: ^ must drop every candidate
+      (10L, 10L, "x", 2L), (11L, 20L, "v", 2L), (12L, 30L, "x", 2L),
+      (13L, 40L, "e", 2L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    def run(p: String) = MatchRecognize(df,
+      s"""PARTITION BY user_id
+         |ORDER BY ts, event_id
+         |MEASURES V.event_id AS v_id, E.event_id AS e_id, COUNT(B.*) AS nb
+         |PATTERN ($p)
+         |DEFINE V AS event_type = 'v', E AS event_type = 'e'"""
+        .stripMargin).as[(Long, Long, Long, Long)].collect().toSet
+    // unanchored reluctant: the shortest per start
+    assert(run("V B+? E") === Set((1L, 1L, 3L, 1L), (2L, 11L, 13L, 1L)))
+    // $: only the tail-reaching candidate survives the gate, and it IS
+    // the emitted one despite being longer (user 2's single candidate
+    // already ends at its partition tail)
+    assert(run("V B+? E $") === Set((1L, 1L, 5L, 3L), (2L, 11L, 13L, 1L)))
+    // ^: user 2's v is not the partition head — no match there
+    assert(run("^ V B+? E") === Set((1L, 1L, 3L, 1L)))
+    // both anchors
+    assert(run("^ V B+? E $") === Set((1L, 1L, 5L, 3L)))
+  }
+
+  test("reluctant × alternation × anchors compose (batch)") {
+    val df = Seq(
+      (1L, 10L, "a", 3L), (2L, 20L, "a", 3L), (3L, 30L, "e", 3L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val got = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, E.event_id AS e_id
+        |PATTERN (^ (A A|B){1,2}? E $)
+        |DEFINE A AS event_type = 'a', B AS event_type = 'a',
+        |       E AS event_type IN ('a', 'e')""".stripMargin)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // start a10: (B, E=a20) fails $; (A A, E=e30) and (B B, E=e30) pass
+    // both gates and the leftmost A A wins; start a20 fails ^
+    assert(got === Set((3L, 2L, 0L, 3L)))
+  }
+
   test("reluctant rejections: multi-quantifier, non-default skip, anchors") {
     def mr(p: String, extra: String = "") = MatchRecognize(events,
       s"""PARTITION BY user_id
@@ -1092,8 +1141,24 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(intercept[IllegalArgumentException](
       mr("V B+? E", "AFTER MATCH SKIP PAST LAST ROW"))
       .getMessage.contains("SKIP"))
-    assert(intercept[IllegalArgumentException](mr("^ V B+? E"))
-      .getMessage.contains("anchors"))
+    // anchors compose in BATCH since round 10; under streaming they
+    // still reject (candidates must buffer to the partition end)
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Long, String, Long)]
+      val sdf = input.toDF().toDF("event_id", "ts", "event_type", "user_id")
+      val e = intercept[IllegalArgumentException] {
+        MatchRecognize(sdf,
+          """PARTITION BY user_id
+            |ORDER BY ts, event_id
+            |MEASURES V.event_id AS v_id
+            |PATTERN (^ V B+? E)
+            |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
+            .stripMargin)
+      }
+      assert(e.getMessage.contains("batch input"))
+    }
   }
 
   test("reluctant × alternation: the SQL:2016-preferred candidate wins " +

@@ -712,12 +712,16 @@ class StreamOpsSpec extends SparkSuite {
   test("asyncMapUnordered emits in completion order (no head-of-line " +
       "blocking) and processes every element") {
     // deterministic interleave: element 0 blocks until element 1's fn
-    // has run, so completion order is provably 1 then 0
+    // has run, then yields a beat — element 1's task must also FINISH
+    // (return + completion-queue insert) before 0 completes, and
+    // countDown happens mid-fn, so without the pause a loaded box can
+    // let 0 slip into the queue first (observed once under full-suite
+    // parallel load)
     AsyncUnorderedHolder.reset()
     val out = StreamOps.asyncMapUnordered(
       spark.range(2).as[Long].coalesce(1), parallelism = 2)(
       () => "client") { (_, i) =>
-      if (i == 0L) AsyncUnorderedHolder.latch.await()
+      if (i == 0L) { AsyncUnorderedHolder.latch.await(); Thread.sleep(200) }
       else AsyncUnorderedHolder.latch.countDown()
       i * 10
     }.collect()
