@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Attribut
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
 
 /** CEP as a *planned* operator — the SURVEY §7.3 "revisit if CEP becomes a
   * planned operator" path, i.e. preference order (c) from the build plan:
@@ -194,6 +195,10 @@ object CepPlan {
           private var haveKey = false
           // per-key-run arrival counter (EventId allocator)
           private var arrSeq = 0L
+          // per-key 1-based match ordinal in emission order
+          // (MATCH_NUMBER — same semantics as the library drivers'
+          // MatchCounter and GroupCepExec's matchSeq)
+          private var matchSeq = 0L
           // hot-key diagnostics: task-local maxima, reported as deltas so
           // the task's metric value IS its max (driver sums task maxes)
           private var repEvents = 0L
@@ -235,15 +240,17 @@ object CepPlan {
           }
 
           private def emit(key: Any, groups: Vector[Vector[T]]): Unit = {
-            val vals = new Array[Any](1 + nSteps * nCols)
+            val vals = new Array[Any](2 + nSteps * nCols)
             vals(0) = key
+            matchSeq += 1
+            vals(1) = matchSeq
             var s = 0
             while (s < nSteps) {
               if (groups(s).nonEmpty) {
                 val r = groups(s).head._1
                 var c = 0
                 while (c < nCols) {
-                  vals(1 + s * nCols + c) = r.get(c, colTypes(c)); c += 1
+                  vals(2 + s * nCols + c) = r.get(c, colTypes(c)); c += 1
                 }
               }
               s += 1
@@ -314,6 +321,7 @@ object CepPlan {
                   haveKey = true
                   arrSeq = 0L
                   keyEvents = 0L
+                  matchSeq = 0L
                   if (skipStrat != Cep.NoSkip)
                     skipQ = new Cep.SkipQueue[T](skipStrat, nameVec, tsOf)
                   if (pattern.terminalNot.isDefined)
@@ -429,7 +437,11 @@ object CepPlan {
               IllegalArgumentException(s"column ${u.name} not in ${child.output}"))
       }
     val keyE = resolve(key)
+    // match_number = 1-based per-key match ordinal in emission order
+    // (the GroupCepExec twin): MATCH_NUMBER() queries route planned
+    // without the routing decision changing semantics
     val outAttrs = AttributeReference("key", keyE.dataType)() +:
+      AttributeReference("match_number", LongType, nullable = false)() +:
       steps.flatMap { case (name, _, _) =>
         child.output.map(a =>
           AttributeReference(s"${name}_${a.name}", a.dataType, nullable = true)())

@@ -699,6 +699,14 @@ object GroupCep {
         .sortBy(e => ts(e))
       ready.foreach { s => emit(best(s)); best -= s }
     }
+
+    /** Drop buffered starts an AFTER MATCH SKIP emission consumed —
+      * the same boundary rule [[GroupSkipQueue]] applies to open
+      * branches and queued matches. */
+    def prune(keep: Long => Boolean): Unit = {
+      val dead = best.keysIterator.filterNot(e => keep(ts(e))).toVector
+      dead.foreach(best -= _)
+    }
   }
 
   /** Shapes a capture list into step-name → events (capture order). */
@@ -741,34 +749,43 @@ object GroupCep {
       stats: Cep.HotKeyStats = null): Vector[O] = {
     var confs = Vector.empty[GConf[E2]]
     val outs = Vector.newBuilder[O]
-    require(!compiled.reluctantSel || skip == Cep.NoSkip,
-      "reluctant group patterns require NoSkip")
-    val sq = if (skip == Cep.NoSkip) null
-             else new GroupSkipQueue[E2](skip, compiled, ts)
+    // reluctant + non-default skip composes since round 10. Two forms:
+    // WITHOUT alternation the in-advance first-completion-per-start
+    // selection is already the SQL preference, and its selected matches
+    // feed the skip queue directly (same-start longer branches die at
+    // selection, so the queue's earlier-start barrier sees only other
+    // starts). WITH alternation the deferred resolver picks the
+    // preferred candidate per start and releases into the queue, which
+    // prunes the resolver's buffered starts by the same boundary rule.
     val rr = if (compiled.reluctantDeferred)
                new ReluctantResolver[E2](compiled, ts)
              else null
+    val sq = if (skip == Cep.NoSkip) null
+             else new GroupSkipQueue[E2](skip, compiled, ts, rr)
+    def emitOut(m: Vector[(Int, E2)]): Unit =
+      outs += finish(k, toGroups(compiled, m))
     var maxConfs = 0
     events.foreach { e =>
       val (next, ms) = advance(compiled, confs, e, ts(e))
       confs = next
       if (stats != null && confs.size > maxConfs) maxConfs = confs.size
-      if (rr != null) {
+      if (rr != null && sq != null) {
         rr.add(ms)
-        rr.drain(confs, m => outs += finish(k, toGroups(compiled, m)))
-      } else if (sq == null)
-        ms.foreach(m => outs += finish(k, toGroups(compiled, m)))
+        rr.drain(confs, m => sq.add(Vector(m)))
+        confs = sq.drain(confs, emitOut)
+      } else if (rr != null) {
+        rr.add(ms)
+        rr.drain(confs, emitOut)
+      } else if (sq == null) ms.foreach(emitOut)
       else {
         sq.add(ms)
-        confs = sq.drain(confs,
-          m => outs += finish(k, toGroups(compiled, m)))
+        confs = sq.drain(confs, emitOut)
       }
     }
     // end of input: no live branch blocks emission any more
-    if (sq != null) sq.drain(Vector.empty,
-      m => outs += finish(k, toGroups(compiled, m)))
     if (rr != null) rr.drain(Vector.empty,
-      m => outs += finish(k, toGroups(compiled, m)))
+      m => if (sq != null) sq.add(Vector(m)) else emitOut(m))
+    if (sq != null) sq.drain(Vector.empty, emitOut)
     if (stats != null) {
       stats.maxKeyEvents.add(events.size.toLong)
       stats.maxPartials.add(maxConfs.toLong)
@@ -873,7 +890,8 @@ object GroupCep {
     * named LEAF's first/last captured event, no pruning on an empty
     * group). */
   private final class GroupSkipQueue[E](skip: Cep.AfterMatchSkip,
-      c: Compiled[E], ts: E => Long) {
+      c: Compiled[E], ts: E => Long,
+      rr: ReluctantResolver[E] = null) {
     private var pending = Vector.empty[Vector[(Int, E)]]
 
     /** Deferred matches still waiting on a live earlier branch — carried
@@ -902,12 +920,14 @@ object GroupCep {
             val boundary = m.iterator.map(p => ts(p._2)).max
             cs = cs.filter(_.startTs > boundary)
             pending = pending.filter(startOf(_) > boundary)
+            if (rr != null) rr.prune(_ > boundary)
           case Cep.SkipToFirst(name) =>
             val g = m.filter(p => c.nameOf(p._1) == name)
             if (g.nonEmpty) {
               val b = ts(g.head._2)
               cs = cs.filter(_.startTs >= b)
               pending = pending.filter(startOf(_) >= b)
+              if (rr != null) rr.prune(_ >= b)
             }
           case Cep.SkipToLast(name) =>
             val g = m.filter(p => c.nameOf(p._1) == name)
@@ -915,6 +935,7 @@ object GroupCep {
               val b = ts(g.last._2)
               cs = cs.filter(_.startTs >= b)
               pending = pending.filter(startOf(_) >= b)
+              if (rr != null) rr.prune(_ >= b)
             }
           case Cep.NoSkip => ()
         }
@@ -981,7 +1002,8 @@ object GroupCep {
     * which can take more micro-batches). `pending` non-empty implies
     * `confs` non-empty — with no live branch the drain empties the queue. */
   final case class GStreamState[E](confs: Vector[GConf[E]],
-      pending: Vector[Vector[(Int, E)]])
+      pending: Vector[Vector[(Int, E)]],
+      pendingSel: Vector[Vector[(Int, E)]] = Vector.empty)
 
   /** [[matchStreamFn]] plus the after-match skip machinery — the
     * [[GroupSkipQueue]] the batch path runs, its deferred matches carried
@@ -997,17 +1019,21 @@ object GroupCep {
       val st = state.getOption.getOrElse(GStreamState[E](Vector.empty,
         Vector.empty))
       val outs = Vector.newBuilder[O]
-      require(!compiled.reluctantSel || skip == Cep.NoSkip,
-        "reluctant group patterns require NoSkip")
-      val sq = if (skip == Cep.NoSkip) null
-               else new GroupSkipQueue[E](skip, compiled, ts)
+      // see runKeyBatch: immediate reluctant selection feeds the queue
+      // directly; the deferred (alternation) resolver releases into it
       val rr = if (compiled.reluctantDeferred)
                  new ReluctantResolver[E](compiled, ts)
                else null
+      val sq = if (skip == Cep.NoSkip) null
+               else new GroupSkipQueue[E](skip, compiled, ts, rr)
       if (sq != null) sq.restore(st.pending)
-      if (rr != null) rr.restore(st.pending)
+      if (rr != null) rr.restore(st.pendingSel)
       def emit(m: Vector[(Int, E)]): Unit =
         outs += finish(k, toGroups(compiled, m))
+      // resolver releases feed the skip queue when one is active (the
+      // reluctant + skip composition), else emit directly
+      def release(m: Vector[(Int, E)]): Unit =
+        if (sq != null) sq.add(Vector(m)) else emit(m)
       var confs = st.confs
       if (state.hasTimedOut) {
         // watermark advance: expired branches die, which may release
@@ -1015,8 +1041,8 @@ object GroupCep {
         val w = compiled.withinMs.get
         val wm = state.getCurrentWatermarkMs()
         confs = confs.filter(c => wm - c.startTs < w)
+        if (rr != null) rr.drain(confs, release)
         if (sq != null) confs = sq.drain(confs, emit)
-        if (rr != null) rr.drain(confs, emit)
       } else {
         // a branch may have expired on the timer between batches
         if (sq != null) confs = sq.drain(confs, emit)
@@ -1026,7 +1052,11 @@ object GroupCep {
           val (next, ms) = advance(compiled, confs, e, ts(e))
           confs = next
           if (stats != null && confs.size > maxConfs) maxConfs = confs.size
-          if (rr != null) { rr.add(ms); rr.drain(confs, emit) }
+          if (rr != null) {
+            rr.add(ms)
+            rr.drain(confs, release)
+            if (sq != null) confs = sq.drain(confs, emit)
+          }
           else if (sq == null) ms.foreach(emit)
           else { sq.add(ms); confs = sq.drain(confs, emit) }
         }
@@ -1037,10 +1067,12 @@ object GroupCep {
       }
       val rrPending = if (rr == null) Vector.empty[Vector[(Int, E)]]
                       else rr.toPending
-      if (confs.isEmpty && rrPending.isEmpty) state.remove()
+      val sqPending = if (sq == null) Vector.empty[Vector[(Int, E)]]
+                      else sq.toPending
+      if (confs.isEmpty && rrPending.isEmpty && sqPending.isEmpty)
+        state.remove()
       else {
-        state.update(GStreamState(confs,
-          if (sq != null) sq.toPending else rrPending))
+        state.update(GStreamState(confs, sqPending, rrPending))
         compiled.withinMs.foreach { w =>
           val target = confs.map(_.startTs).min + w + 1
           state.setTimeoutTimestamp(

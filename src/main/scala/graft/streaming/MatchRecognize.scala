@@ -636,14 +636,18 @@ object MatchRecognize {
         "reluctant quantifiers with ^/$ anchors require batch input " +
           "(every candidate must be buffered to the partition end " +
           "before anchor gating and preference selection)")
-      require(skip == Cep.NoSkip,
-        "reluctant quantifiers require the default AFTER MATCH SKIP TO " +
-          "NEXT ROW (per-start selection and the skip queue's pruning " +
-          "boundaries do not compose)")
+      // ROUND 10 (late): non-default AFTER MATCH SKIP also composes —
+      // the GroupCep drivers resolve THE preferred match per start
+      // first, then the skip queue emits/prunes over those selections
+      // (GroupSkipQueue prunes the resolver's buffered starts by the
+      // same boundary rule); anchors × skip stays rejected globally.
     }
     // batch reluctant × anchors: route through the GroupCep anchored
     // driver (NFA-side gates), not the boundary-flag post-filter
     val reluctantAnchored = hasReluctant && anchored
+    // reluctant + non-default skip: the composition lives in the GROUP
+    // engine's resolver+queue drivers — flat clauses route there too
+    val reluctantSkip = hasReluctant && skip != Cep.NoSkip
     // SQL:2016 ALL ROWS PER MATCH WITH UNMATCHED ROWS (round 10, beyond
     // Flink 1.7): rows that are part of NO emitted match are also
     // output, with NULL measures, alongside the pass-through ORDER BY
@@ -859,6 +863,9 @@ object MatchRecognize {
       measures.nonEmpty && measures.forall {
         case PosMeasure(_, _, _, _, 0) => true
         case FinalMeasure(PosMeasure(_, _, _, _, 0)) => true
+        // round 10: CepExec emits the per-key match ordinal too
+        case MatchNumMeasure(_) => true
+        case FinalMeasure(MatchNumMeasure(_)) => true
         case _ => false
       }
     if (plannedRoutable) {
@@ -871,11 +878,14 @@ object MatchRecognize {
         withinMicros = withinOrd,
         anchorStart = anchorStart, anchorEnd = anchorEnd)
       return planned.select(col("key").as(partCol) +: measures.map { m =>
-        val p = (m match {
+        (m match {
           case FinalMeasure(inner) => inner
           case other => other
-        }).asInstanceOf[PosMeasure]
-        col(s"${p.v}_${p.c}").as(p.alias)
+        }) match {
+          case p: PosMeasure => col(s"${p.v}_${p.c}").as(p.alias)
+          case MatchNumMeasure(alias) => col("match_number").as(alias)
+          case other => throw new IllegalStateException(s"unroutable $other")
+        }
       }: _*)
     }
 
@@ -883,9 +893,10 @@ object MatchRecognize {
     // when its output shape can carry the measures: the operator emits
     // per leaf `<name>_count` + the FIRST captured event's columns, so
     // FIRST()/COUNT() over any variable and any position over an
-    // UNQUANTIFIED variable (first = last = only) are expressible;
+    // UNQUANTIFIED variable (first = last = only) are expressible, and
+    // MATCH_NUMBER() maps to the operator's per-key ordinal column;
     // LAST/aggregates over a repeated variable, alternation, anchors,
-    // {0,..} quantifiers, ALL ROWS, MATCH_NUMBER, PREV, SUBSET, and
+    // {0,..} quantifiers, ALL ROWS, PREV, SUBSET, and
     // non-default skip stay on the library path.
     def hasAlt(es: Vector[PElem]): Boolean = es.exists {
       case _: PAlt => true
@@ -1214,9 +1225,10 @@ object MatchRecognize {
         }
       }
 
-    // flat reluctant+anchored patterns also run the GROUP engine: the
-    // anchored driver's buffer-then-gate-then-select lives there
-    val routeNested = nested || reluctantAnchored
+    // flat reluctant+anchored and reluctant+skip patterns also run the
+    // GROUP engine: the anchored driver's buffer-then-gate-then-select
+    // and the resolver+skip-queue composition live there
+    val routeNested = nested || reluctantAnchored || reluctantSkip
     val __routed: DataFrame = if (!routeNested) {
       // FLAT variable sequence: the linear Cep NFA (arrival-id parity,
       // after-match skip, terminal negation — the full driver surface)

@@ -546,6 +546,48 @@ object MatchRecognizeQuery extends QueryModule {
         .orderBy("user_id", "v_id")
     },
 
+    q("qc30_mr_reluctant_skip",
+      // RELUCTANT × AFTER MATCH SKIP PAST LAST ROW (round 10): per
+      // start the FEWEST-B completion is selected, then the skip
+      // strategy consumes through its last row — the classic greedy
+      // non-overlapping chain (earliest view pairs with its first
+      // reachable error, everything consumed re-starts after it).
+      // Oracle: a recursive CTE walking exactly that chain per user
+      // (events carry no (user, ts) duplicates at either scale, so rn
+      // order == event-time order and the queue boundary is exact).
+      """WITH RECURSIVE o AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT v.user_id, v.rn AS vrn, v.event_id AS v_id,
+        |    MIN(e.rn) AS ern
+        |  FROM o v JOIN o e ON e.user_id = v.user_id AND e.rn >= v.rn + 2
+        |    AND e.event_type = 'error'
+        |  WHERE v.event_type = 'view' GROUP BY 1, 2, 3),
+        |r(user_id, vrn, v_id, ern) AS (
+        |  SELECT user_id, vrn, v_id, ern FROM p p1
+        |  WHERE vrn = (SELECT MIN(p2.vrn) FROM p p2
+        |               WHERE p2.user_id = p1.user_id)
+        |  UNION ALL
+        |  SELECT p.user_id, p.vrn, p.v_id, p.ern FROM r JOIN p
+        |    ON p.user_id = r.user_id
+        |    AND p.vrn = (SELECT MIN(p2.vrn) FROM p p2
+        |                 WHERE p2.user_id = r.user_id AND p2.vrn > r.ern)
+        |)
+        |SELECT r.user_id AS user_id, r.v_id AS v_id, o.event_id AS e_id,
+        |  CAST(r.ern - r.vrn - 1 AS BIGINT) AS nb
+        |FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.ern
+        |ORDER BY user_id, v_id""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS v_id, E.event_id AS e_id, COUNT(B.*) AS nb
+          |AFTER MATCH SKIP PAST LAST ROW
+          |PATTERN (V B+? E)
+          |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
+          .stripMargin)
+        .orderBy("user_id", "v_id")
+    },
+
     q("qc28_mr_reluctant_alternation",
       // RELUCTANT × ALTERNATION (round 10 — the composition VERDICT
       // asked for): `V (C X|P){1,2}? E` — a view, then the SQL:2016-

@@ -255,10 +255,10 @@ class PropertySpec extends SparkSuite {
           chunks.flatMap(c => h.input(0, c: _*))
             .groupBy(identity).view.mapValues(_.size).toMap
         }
-        def runG(p: GroupCep.GPattern[E])(
+        def runG(p: GroupCep.GPattern[E], gskip: Cep.AfterMatchSkip)(
             chunks: Seq[Seq[E]]): Map[Seq[Long], Int] = {
           val gfn = GroupCep.matchStreamArrivalFn[Int, E, Seq[Long]](
-            p, _._2, _ => 0L, Cep.NoSkip,
+            p, _._2, _ => 0L, gskip,
             (_, groups) => groups.values.flatten.map(_._2).toVector)
           val h = new VirtualClockHarness[Int, E,
             GroupCep.GArrivalState[E], Seq[Long]](
@@ -269,11 +269,16 @@ class PropertySpec extends SparkSuite {
         val whole = run(Seq(events))
         val split = run(Seq(events.take(i), events.slice(i, j),
           events.drop(j)))
-        val wholeG = runG(gpat)(Seq(events))
-        val splitG = runG(gpat)(Seq(events.take(i), events.slice(i, j),
-          events.drop(j)))
-        val wholeGA = runG(gpatAlt)(Seq(events))
-        val splitGA = runG(gpatAlt)(Seq(events.take(i),
+        // round 10: reluctant composes with AFTER MATCH SKIP — the
+        // resolver+queue pendings must BOTH survive any split, under
+        // both the immediate (gpat) and deferred (gpatAlt) selection
+        val gskip = Vector(Cep.NoSkip, Cep.SkipPastLastEvent,
+          Cep.SkipToFirst("e"), Cep.SkipToLast("v"))(pi % 4)
+        val wholeG = runG(gpat, gskip)(Seq(events))
+        val splitG = runG(gpat, gskip)(Seq(events.take(i),
+          events.slice(i, j), events.drop(j)))
+        val wholeGA = runG(gpatAlt, gskip)(Seq(events))
+        val splitGA = runG(gpatAlt, gskip)(Seq(events.take(i),
           events.slice(i, j), events.drop(j)))
         whole == split && wholeG == splitG && wholeGA == splitGA
     })

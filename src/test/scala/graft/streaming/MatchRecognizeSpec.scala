@@ -833,6 +833,22 @@ class MatchRecognizeSpec extends SparkSuite {
       .contains("MapGroups"))
     assert(library.select("user_id", "mn", "v_id")
       .as[(Long, Long, Long)].collect().toSet === expected)
+    // the FLAT planned route (CepExec) carries the ordinal too: an
+    // unquantified flat clause with MATCH_NUMBER routes planned and
+    // produces the same per-key emission-order ordinals
+    val flatClause =
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES MATCH_NUMBER() AS mn, V.event_id AS v_id
+        |PATTERN (V C)
+        |DEFINE V AS event_type = 'view', C AS event_type = 'click'"""
+        .stripMargin
+    val flat = MatchRecognize(df, flatClause)
+    val flatPlan = flat.queryExecution.executedPlan.toString
+    assert(flatPlan.contains("- Cep ") && !flatPlan.contains("MapGroups"))
+    assert(flat.select("user_id", "mn", "v_id")
+      .as[(Long, Long, Long)].collect().toSet ===
+      Set((1L, 1L, 1L), (1L, 2L, 4L), (2L, 1L, 10L)))
     // STREAMING (library, keyed-state ordinal): every 2-way micro-batch
     // cut yields the same ordinals
     (0 to rows.length by 2).foreach { cut =>
@@ -1108,6 +1124,72 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(run("^ V B+? E $") === Set((1L, 1L, 5L, 3L)))
   }
 
+  test("reluctant × AFTER MATCH SKIP: the preferred match per start is " +
+      "selected FIRST, then the skip strategy consumes over those") {
+    // v@10 v@20 x@30 e@40: reluctant starts at both views reach the
+    // same error with different B runs
+    val df = Seq(
+      (1L, 10L, "v", 1L), (2L, 20L, "v", 1L), (3L, 30L, "x", 1L),
+      (4L, 40L, "e", 1L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    def run(skipText: String) = MatchRecognize(df,
+      s"""PARTITION BY user_id
+         |ORDER BY ts, event_id
+         |MEASURES V.event_id AS v_id, E.event_id AS e_id, COUNT(B.*) AS nb
+         |$skipText
+         |PATTERN (V B+? E)
+         |DEFINE V AS event_type = 'v', E AS event_type = 'e'"""
+        .stripMargin).as[(Long, Long, Long, Long)].collect().toSet
+    // default skip: one preferred (shortest) match per start
+    assert(run("") === Set((1L, 1L, 4L, 2L), (1L, 2L, 4L, 1L)))
+    // PAST LAST ROW: the earlier start's selection consumes through the
+    // error, pruning the later start entirely
+    assert(run("AFTER MATCH SKIP PAST LAST ROW") ===
+      Set((1L, 1L, 4L, 2L)))
+    // TO FIRST B: the boundary is v1's first B row (= the second view),
+    // which the second start sits ON — it survives
+    assert(run("AFTER MATCH SKIP TO FIRST B") ===
+      Set((1L, 1L, 4L, 2L), (1L, 2L, 4L, 1L)))
+  }
+
+  test("reluctant × skip: streaming equals batch across micro-batch " +
+      "cuts (resolver + skip-queue pendings both ride keyed state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, 10L, "v", 1L), (2L, 20L, "v", 1L), (3L, 30L, "x", 1L),
+      (4L, 40L, "e", 1L), (5L, 50L, "v", 1L), (6L, 60L, "x", 1L),
+      (7L, 70L, "e", 1L))
+    val clause =
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES V.event_id AS v_id, E.event_id AS e_id, COUNT(B.*) AS nb
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (V B+? E)
+        |DEFINE V AS event_type = 'v', E AS event_type = 'e'""".stripMargin
+    val expected = MatchRecognize(
+      rows.toDF("event_id", "ts", "event_type", "user_id"), clause)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(expected === Set((1L, 1L, 4L, 2L), (1L, 5L, 7L, 1L)))
+    Seq(2, 4, 5).foreach { cut =>
+      val input = MemoryStream[(Long, Long, String, Long)]
+      val q = MatchRecognize(
+          input.toDF().toDF("event_id", "ts", "event_type", "user_id"),
+          clause)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(s"rel_skip_$cut").start()
+      try {
+        input.addData(rows.take(cut): _*)
+        q.processAllAvailable()
+        input.addData(rows.drop(cut): _*)
+        q.processAllAvailable()
+        assert(spark.table(s"rel_skip_$cut")
+          .as[(Long, Long, Long, Long)].collect().toSet === expected,
+          s"cut at $cut")
+      } finally q.stop()
+    }
+  }
+
   test("reluctant × alternation × anchors compose (batch)") {
     val df = Seq(
       (1L, 10L, "a", 3L), (2L, 20L, "a", 3L), (3L, 30L, "e", 3L)
@@ -1138,9 +1220,7 @@ class MatchRecognizeSpec extends SparkSuite {
       .getMessage.contains("exactly ONE"))
     assert(intercept[IllegalArgumentException](mr("V (B E?)+? X"))
       .getMessage.contains("exactly ONE"))
-    assert(intercept[IllegalArgumentException](
-      mr("V B+? E", "AFTER MATCH SKIP PAST LAST ROW"))
-      .getMessage.contains("SKIP"))
+    // non-default skip composes since round 10 (behavior test below)
     // anchors compose in BATCH since round 10; under streaming they
     // still reject (candidates must buffer to the partition end)
     locally {
