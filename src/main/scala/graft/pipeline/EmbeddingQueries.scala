@@ -24,9 +24,9 @@ object EmbeddingQueries extends QueryModule {
     * [[graft.functions.FloatDotProduct]] expression, bit-identical to the
     * `aggregate(zip_with(...))` lambda chain it replaces but ~an order of
     * magnitude cheaper per row (primitive loop vs interpreted closures). */
-  private def dotExpr(a: String, b: String): String = s"graft_dot($a, $b)"
+  private[pipeline] def dotExpr(a: String, b: String): String = s"graft_dot($a, $b)"
 
-  private def normExpr(a: String): String = dotExpr(a, a)
+  private[pipeline] def normExpr(a: String): String = dotExpr(a, a)
 
   /** DuckDB twin of [[normExpr]]. */
   private val duckNorm =
@@ -566,16 +566,25 @@ object EmbeddingQueries extends QueryModule {
           expr(normExpr("embedding")).as("nrm"))
         .where(col("nrm") > 0)
       val bench = e.where(col("vec_id") % 41 === 0)
-        .select(col("vec_id").as("b_id"), col("embedding").as("eb"),
-          col("nrm").as("nb"))
-      e.where(col("vec_id") % 41 =!= 0)
-        .crossJoin(broadcast(bench))
-        .select(col("vec_id"),
-          (expr(dotExpr("embedding", "eb")) / sqrt(col("nrm") * col("nb")))
-            .as("cos"))
-        .groupBy("vec_id").agg(max("cos").as("max_cos"))
-        .selectExpr("vec_id", "max_cos", "max_cos >= 0.4 AS contaminated")
+        .select(col("embedding").as("eb"), col("nrm").as("nb"))
+      embedDecontaminate(e.where(col("vec_id") % 41 =!= 0), bench)
         .orderBy("vec_id")
     }
   )
+
+  /** The qe11 scorer as a reusable stage: `corpus` carries (vec_id,
+    * embedding, nrm), `bench` the benchmark slice's (eb, nb). The
+    * benchmark BROADCASTS and the corpus is scanned map-side; joins are
+    * stream-static-safe, so a batch-extracted benchmark gates vectors
+    * ON INGEST (StreamingPipelineSpec pins stream == batch; aggregate
+    * in update/complete mode on a stream). */
+  private[pipeline] def embedDecontaminate(corpus: DataFrame,
+      bench: DataFrame): DataFrame =
+    corpus
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"),
+        (expr(dotExpr("embedding", "eb")) / sqrt(col("nrm") * col("nb")))
+          .as("cos"))
+      .groupBy("vec_id").agg(max("cos").as("max_cos"))
+      .selectExpr("vec_id", "max_cos", "max_cos >= 0.4 AS contaminated")
 }

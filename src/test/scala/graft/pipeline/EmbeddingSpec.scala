@@ -122,4 +122,40 @@ class EmbeddingSpec extends SparkSuite {
         randomPairs.sum / randomPairs.size - 0.05)
     }
   }
+
+  test("qe11 embedDecontaminate gates a vector STREAM against a " +
+      "batch-extracted benchmark (stream-static; final == batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.Engine.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr(EmbeddingQueries.normExpr("embedding")).as("nrm"))
+      .where(col("nrm") > 0)
+    val bench = e.where(col("vec_id") % 41 === 0)
+      .select(col("embedding").as("eb"), col("nrm").as("nb"))
+    val expected = EmbeddingQueries
+      .embedDecontaminate(e.where(col("vec_id") % 41 =!= 0), bench)
+      .as[(Long, Double, Boolean)].collect().toSet
+    // the same scorer over a STREAM of incoming vectors (the deploy
+    // shape: benchmark trained once, crawl gated on ingest)
+    val rows = e.where(col("vec_id") % 41 =!= 0)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .as[(Long, Array[Float], Double)].collect().toSeq
+    val input = MemoryStream[(Long, Array[Float], Double)]
+    val q = EmbeddingQueries.embedDecontaminate(
+        input.toDF().toDF("vec_id", "embedding", "nrm"), bench)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("qe11_stream").start()
+    try {
+      input.addData(rows.take(rows.size / 2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.size / 2): _*)
+      q.processAllAvailable()
+      val got = spark.table("qe11_stream")
+        .as[(Long, Double, Boolean)].collect().toSet
+      assert(got === expected && expected.nonEmpty)
+    } finally q.stop()
+  }
 }
