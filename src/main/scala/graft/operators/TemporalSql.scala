@@ -134,12 +134,15 @@ object TemporalSql {
     val fType = facts.select(fRow.as("x")).schema("x").dataType
     val vType = vers.select(vRow.as("x")).schema("x").dataType
     val keyCols = p.factKeys.indices.map(i => s"_k$i")
-    // SQL equality: NULL keys never match — null-key versions can match
-    // nothing and are dropped; null-key facts fall in a partition with
-    // no versions, so they resolve to no match (kept under LEFT JOIN)
-    val vClean =
-      if (p.versionKeys.isEmpty) vers
-      else vers.where(p.versionKeys.map(col(_).isNotNull).reduce(_ && _))
+    // SQL comparison semantics: NULL keys never match and a NULL
+    // version time satisfies no `v.ts <= f.ts` — such version rows can
+    // match nothing and are dropped (a null _ts would otherwise sort
+    // FIRST in the window and spuriously match every fact); null-key
+    // facts fall in a partition with no versions, so they resolve to
+    // no match (kept under LEFT JOIN)
+    val vClean = vers.where(
+      (col(versionTimeCol).isNotNull +:
+        p.versionKeys.map(col(_).isNotNull)).reduce(_ && _))
     val vSide = vClean.select(
       p.versionKeys.zipWithIndex.map { case (c, i) => col(c).as(s"_k$i") } ++
         Seq(micros(vClean, versionTimeCol).as("_ts"), lit(0).as("_tag"),
@@ -166,10 +169,11 @@ object TemporalSql {
     import spark.implicits._
     val fSchema: StructType = facts.schema
     val vSchema: StructType = vers.schema
+    def joinable(df: DataFrame, keys: Seq[String], ts: String) =
+      (col(ts).isNotNull +: keys.map(col(_).isNotNull)).reduce(_ && _)
     def keyed(df: DataFrame, keys: Seq[String], ts: String)
         : Dataset[(String, Long, String)] =
-      df.where(if (keys.isEmpty) lit(true)
-          else keys.map(col(_).isNotNull).reduce(_ && _))
+      df.where(joinable(df, keys, ts))
         .select(
           concat_ws("\u0001", keys.map(col(_).cast("string")): _*).as("_k"),
           micros(df, ts).as("_t"),
@@ -181,7 +185,19 @@ object TemporalSql {
     val out = joined.toDF("_k", "_ts", "_fj", "_vj")
       .select(from_json(col("_fj"), fSchema).as(p.factAlias),
         from_json(col("_vj"), vSchema).as(p.versionAlias))
-    if (p.leftJoin) out else out.where(col(p.versionAlias).isNotNull)
+    if (!p.leftJoin) out.where(col(p.versionAlias).isNotNull)
+    else {
+      // SQL LEFT JOIN keeps facts whose NULL key/AS-OF time can match
+      // nothing — they bypass the keyed state entirely (routing them
+      // through the join would collide NULL keys with empty-string
+      // keys) and union back with a NULL version struct, matching the
+      // batch path
+      val bypass = facts
+        .where(!joinable(facts, p.factKeys, p.asOfCol))
+        .select(struct(facts.columns.map(col): _*).as(p.factAlias),
+          lit(null).cast(vSchema).as(p.versionAlias))
+      out.unionByName(bypass)
+    }
   }
 
   /** Parse and execute `sql`. `versionTimeCol` names the version
@@ -203,6 +219,8 @@ object TemporalSql {
     val view = s"graft_temporal_${java.util.UUID.randomUUID()
       .toString.replace("-", "")}"
     joined.createOrReplaceTempView(view)
-    spark.sql(s"SELECT ${p.select} FROM $view${p.tail}")
+    try spark.sql(s"SELECT ${p.select} FROM $view${p.tail}")
+    finally spark.catalog.dropTempView(view) // the analyzed plan embeds
+    // the view's subtree, so the result outlives the catalog entry
   }
 }

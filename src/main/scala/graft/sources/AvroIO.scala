@@ -107,11 +107,15 @@ object AvroIO {
         val ts = s.getTypes.asScala.toList
         val branches = ts.filterNot(_.getType == Schema.Type.NULL)
         val nullable = branches.size != ts.size
+        // promotions match on the branch SET (spark-avro is
+        // order-independent: union(long,int) promotes like
+        // union(int,long))
         branches.map(_.getType) match {
           case _ :: Nil => (of(branches.head)._1, nullable)
-          case List(Schema.Type.INT, Schema.Type.LONG) =>
+          case ts2 if ts2.toSet == Set(Schema.Type.INT, Schema.Type.LONG) =>
             (LongType, nullable)
-          case List(Schema.Type.FLOAT, Schema.Type.DOUBLE) =>
+          case ts2
+              if ts2.toSet == Set(Schema.Type.FLOAT, Schema.Type.DOUBLE) =>
             (DoubleType, nullable)
           case _ =>
             (StructType(branches.zipWithIndex.map { case (b, i) =>
@@ -223,9 +227,11 @@ object AvroIO {
           .filterNot(_.getType == Schema.Type.NULL)
         (branches.map(_.getType), dt) match {
           case (_ :: Nil, _) => fromAvro(v, branches.head, dt)
-          case (List(Schema.Type.INT, Schema.Type.LONG), LongType) =>
+          case (ts2, LongType)
+              if ts2.toSet == Set(Schema.Type.INT, Schema.Type.LONG) =>
             Long.box(v.asInstanceOf[Number].longValue())
-          case (List(Schema.Type.FLOAT, Schema.Type.DOUBLE), DoubleType) =>
+          case (ts2, DoubleType)
+              if ts2.toSet == Set(Schema.Type.FLOAT, Schema.Type.DOUBLE) =>
             Double.box(v.asInstanceOf[Number].doubleValue())
           case (_, st: StructType) => // member struct: one branch set
             val fullIdx = GenericData.get().resolveUnion(s, v)

@@ -268,6 +268,13 @@ object MatchRecognize {
   // unclosed quantifiers) is REJECTED with a clear error — silent
   // misparse is the one wrong option; nested groups, alternation, and
   // PERMUTE compile onto the GroupCep epsilon-NFA below.
+  /** Every leaf variable name of a parsed pattern, in order. */
+  private def patVarNames(es: Seq[PElem]): Seq[String] = es.flatMap {
+    case PVar(n, _) => Seq(n)
+    case PGrp(in, _) => patVarNames(in)
+    case PAlt(bs, _) => bs.flatMap(patVarNames)
+  }
+
   private sealed trait PElem { def quant: Option[String] }
   private final case class PVar(name: String, quant: Option[String])
       extends PElem
@@ -469,6 +476,11 @@ object MatchRecognize {
     // standard's semantics evaluate to. Anchors nested inside groups
     // still reject in the grammar.
     var neverMatches = false
+    // variables the interior-anchor rewrite dropped (they matched ZERO
+    // rows): the library measure evaluator yields NULL for them
+    // (groups.getOrElse), but the planned operators' output schemas
+    // would not carry their columns — those routes are disabled below
+    var droppedVars = Set.empty[String]
     locally {
       var depth = 0
       val tops = Vector.newBuilder[(Char, Int)]
@@ -539,11 +551,7 @@ object MatchRecognize {
     val elems = parsed.elems
     val excluded = parsed.excluded
     require(elems.nonEmpty, "PATTERN must name at least one variable")
-    def leafNames(es: Seq[PElem]): Seq[String] = es.flatMap {
-      case PVar(n, _) => Seq(n)
-      case PGrp(in, _) => leafNames(in)
-      case PAlt(bs, _) => bs.flatMap(leafNames)
-    }
+    def leafNames(es: Seq[PElem]): Seq[String] = patVarNames(es)
     // groups AND alternation route to the GroupCep epsilon-NFA
     val nested = elems.exists(e =>
       e.isInstanceOf[PGrp] || e.isInstanceOf[PAlt])
@@ -857,6 +865,7 @@ object MatchRecognize {
     // MATCH_NUMBER, PREV, aggregate/subset measures, non-default skip)
     // stays on the library path below.
     val plannedRoutable = !streamingIn && !nested && !neverMatches &&
+      droppedVars.isEmpty &&
       elems.forall(e => e.quant.isEmpty && e.isInstanceOf[PVar]) &&
       skip == Cep.NoSkip && prevVars.isEmpty && subsets.isEmpty &&
       AllRowsRe.findFirstMatchIn(clause).isEmpty &&
@@ -931,7 +940,7 @@ object MatchRecognize {
     }
     val qVars = quantifiedVars(elems, inQuant = false)
     val groupPlanRoutable = !streamingIn && !anchored && !hasAlt(elems) &&
-      !neverMatches &&
+      !neverMatches && droppedVars.isEmpty &&
       quantsOk(elems) && skip == Cep.NoSkip && prevVars.isEmpty &&
       subsets.isEmpty && excluded.isEmpty &&
       AllRowsRe.findFirstMatchIn(clause).isEmpty &&

@@ -213,6 +213,18 @@ object StreamOps {
       OutputMode.Update(), GroupStateTimeout.NoTimeout())(
       streamingTopNFn[K](n))
 
+  /** Deterministic (hash, string) key of an arbitrary payload for
+    * same-timestamp ordering: VALUE-based even for arrays, whose
+    * default hashCode/toString are identity-based and would reintroduce
+    * run-to-run nondeterminism for binary/embedding payloads. */
+  private def detKey(v: Any): (Int, String) = v match {
+    case null => (0, "")
+    case a: Array[_] =>
+      val boxed = a.map(x => x.asInstanceOf[AnyRef])
+      (java.util.Arrays.deepHashCode(boxed), boxed.mkString(","))
+    case other => (other.##, String.valueOf(other))
+  }
+
   /** Keyed state of [[temporalJoin]]: buffered version rows (sorted by
     * ts; bounded — pruned to one at-or-before the watermark plus the
     * in-flight window) and facts awaiting the watermark. */
@@ -256,7 +268,7 @@ object StreamOps {
       // resolution is then identical under any partitioning
       val incoming = versions.map(v => (v._2, v._3))
         .sortBy { case (ts, v) =>
-          (ts, if (v == null) 0 else v.##, String.valueOf(v))
+          val k = detKey(v); (ts, k._1, k._2)
         }
       val vs = (st.versions ++ incoming).sortBy(_._1)
       val all = st.pending ++ facts.map(f => (f._2, f._3))

@@ -100,6 +100,66 @@ class TemporalSqlSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("null keys and null times follow SQL comparison semantics on " +
+      "both execution paths") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // fact with NULL key and fact with NULL as-of time can match
+    // nothing; a NULL-ts version row satisfies no `v.ts <= f.ts`
+    Seq((Some(1L), Some(5L), "early"), (Some(1L), Some(15L), "hit"),
+      (None, Some(15L), "nullkey"), (Some(1L), None, "nullts"))
+      .toDF("k", "ts", "payload").createOrReplaceTempView("tsqn_facts")
+    Seq((Some(1L), Some(10L), 1.0), (Some(1L), None, 99.0),
+      (None, Some(1L), 77.0))
+      .toDF("k", "ts", "rate").createOrReplaceTempView("tsqn_vers")
+    val left =
+      """SELECT f.payload, v.rate
+        |FROM tsqn_facts f
+        |LEFT JOIN tsqn_vers FOR SYSTEM_TIME AS OF f.ts AS v ON f.k = v.k
+        |""".stripMargin
+    val batch = TemporalSql(spark, left)
+      .as[(String, Option[Double])].collect().toSet
+    // the NULL-ts version (99.0) must never win — "early" precedes
+    // every REAL version and stays NULL; unjoinable facts survive LEFT
+    assert(batch === Set(("early", None), ("hit", Some(1.0)),
+      ("nullkey", None), ("nullts", None)))
+    // inner form drops the unjoinables
+    assert(TemporalSql(spark, left.replace("LEFT JOIN", "JOIN"))
+      .as[(String, Option[Double])].collect().toSet
+      === Set(("hit", Some(1.0))))
+    // STREAMING facts + versions: the unjoinable facts bypass the keyed
+    // state (stateless filter — they emit in their own micro-batch)
+    // and union back with a NULL version struct
+    val fIn = MemoryStream[(Option[Long], Option[Long], String)]
+    val vIn = MemoryStream[(Option[Long], Option[Long], Double)]
+    fIn.toDF().toDF("k", "ts", "payload")
+      .createOrReplaceTempView("tsqn_sfacts")
+    vIn.toDF().toDF("k", "ts", "rate")
+      .createOrReplaceTempView("tsqn_svers")
+    val q = TemporalSql(spark,
+        left.replace("tsqn_facts", "tsqn_sfacts")
+          .replace("tsqn_vers", "tsqn_svers"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tsqn_out").start()
+    try {
+      vIn.addData((Some(1L), Some(10L), 1.0), (Some(1L), None, 99.0))
+      fIn.addData((Some(1L), Some(15L), "hit"),
+        (None, Some(15L), "nullkey"), (Some(1L), None, "nullts"))
+      q.processAllAvailable()
+      // push both watermarks so "hit" resolves against the 10-version
+      vIn.addData((Some(1L), Some(200L), 2.0))
+      fIn.addData((Some(1L), Some(200L), "late"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("tsqn_out")
+        .as[(String, Option[Double])].collect().toSet
+      assert(got.contains(("nullkey", None))
+        && got.contains(("nullts", None))
+        && got.contains(("hit", Some(1.0))),
+        s"streaming LEFT must keep unjoinables and resolve hit: $got")
+    } finally q.stop()
+  }
+
   test("processing-time form rejects with a named error") {
     fixture()
     val e = intercept[TemporalSqlError] {

@@ -189,6 +189,24 @@ class AvroIOSpec extends SparkSuite {
       ("RED", Seq[Byte](9, 8, 7, 6))))
   }
 
+  test("numeric union promotion is order-independent: union(long,int) " +
+      "and union(double,float) promote like their reversals") {
+    val json =
+      """{"type":"record","name":"r","fields":[
+        |  {"name":"n","type":["long","int"]},
+        |  {"name":"x","type":["null","double","float"]}
+        |]}""".stripMargin
+    val dir = writeForeign(json,
+      r => { r.put("n", Int.box(7)); r.put("x", Float.box(0.5f)) },
+      r => { r.put("n", Long.box(1L << 40)); r.put("x", null) })
+    val back = AvroIO.read(spark, dir)
+    assert(back.schema == StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("x", DoubleType, nullable = true))))
+    assert(back.collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      == Set((7L, Some(0.5)), (1L << 40, None)))
+  }
+
   test("read-side completion: numeric union promotions and the " +
       "union(int, string) member struct") {
     val json =

@@ -407,6 +407,13 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(mr("V ^ C", "V.event_id AS v_id").count() == 0)
     // $ before ^ needs the end before the start → zero rows
     assert(mr("E $ ^ E", "E.event_id AS e_id").count() == 0)
+    // measures over a DROPPED (zero-rows) variable evaluate to NULL /
+    // 0 — never an unresolved-column crash: the planned operators'
+    // schemas lack the dropped variable, so such clauses route library
+    val d2 = mr("E? ^ V C",
+      "E.event_id AS e_null, V.event_id AS v_id, COUNT(E.*) AS ne")
+    assert(d2.as[(Long, Option[Long], Long, Long)].collect().toSet
+      === Set((1L, None, 1L, 0L)))
   }
 
   test("CLASSIFIER() names the matched alternation branch (ALL ROWS and ONE ROW)") {
