@@ -638,12 +638,17 @@ object MatchRecognize {
       // of input, the anchor gates filter BEFORE per-start preference
       // selection (a shortest completion failing $ must lose to a
       // longer same-start candidate that reaches the partition tail),
-      // all inside the GroupCep anchored driver. Streaming stays
-      // rejected (partition boundaries unknowable mid-stream).
-      require(!anchored || !df.isStreaming,
-        "reluctant quantifiers with ^/$ anchors require batch input " +
-          "(every candidate must be buffered to the partition end " +
-          "before anchor gating and preference selection)")
+      // all inside the GroupCep anchored driver. STREAMING: the flat ^
+      // head anchor composes too (the NFA-level arrival-0 gate means
+      // every candidate is anchored by construction, so the immediate
+      // shortest-per-start selection stays exact); $ — and therefore
+      // any gated-at-end form — still needs batch input.
+      require(!anchored || !df.isStreaming ||
+          (anchorStart && !anchorEnd && !nested),
+        "under streaming, reluctant quantifiers compose only with the " +
+          "flat ^ head anchor (an NFA-level gate); $ requires batch " +
+          "input (candidates must buffer to the partition end before " +
+          "anchor gating)")
       // ROUND 10 (late): non-default AFTER MATCH SKIP also composes —
       // the GroupCep drivers resolve THE preferred match per start
       // first, then the skip queue emits/prunes over those selections
@@ -651,8 +656,9 @@ object MatchRecognize {
       // same boundary rule); anchors × skip stays rejected globally.
     }
     // batch reluctant × anchors: route through the GroupCep anchored
-    // driver (NFA-side gates), not the boundary-flag post-filter
-    val reluctantAnchored = hasReluctant && anchored
+    // driver (NFA-side gates), not the boundary-flag post-filter;
+    // the streaming flat-^ form stays on the linear engine (anchorHead)
+    val reluctantAnchored = hasReluctant && anchored && !df.isStreaming
     // reluctant + non-default skip: the composition lives in the GROUP
     // engine's resolver+queue drivers — flat clauses route there too
     val reluctantSkip = hasReluctant && skip != Cep.NoSkip

@@ -1197,6 +1197,40 @@ class MatchRecognizeSpec extends SparkSuite {
     }
   }
 
+  test("streaming flat ^ anchor composes with reluctant: only the " +
+      "partition-head start matches, shortest completion, across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val clause =
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES V.event_id AS v_id, E.event_id AS e_id, COUNT(B.*) AS nb
+        |PATTERN (^ V B+? E)
+        |DEFINE V AS event_type = 'v', E AS event_type = 'e'""".stripMargin
+    val rows = Seq(
+      (1L, 10L, "v", 1L), (2L, 20L, "x", 1L), (3L, 30L, "e", 1L),
+      (4L, 40L, "v", 1L), (5L, 50L, "e", 1L), // non-head start: no match
+      (10L, 10L, "x", 2L), (11L, 20L, "v", 2L), (12L, 30L, "e", 2L))
+    val expected = MatchRecognize(
+      rows.toDF("event_id", "ts", "event_type", "user_id"), clause)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(expected === Set((1L, 1L, 3L, 1L))) // user 2 head is not a v
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val q = MatchRecognize(
+        input.toDF().toDF("event_id", "ts", "event_type", "user_id"),
+        clause)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rel_head_stream").start()
+    try {
+      input.addData(rows.take(2): _*) // the head partial spans batches
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      assert(spark.table("rel_head_stream")
+        .as[(Long, Long, Long, Long)].collect().toSet === expected)
+    } finally q.stop()
+  }
+
   test("reluctant × alternation × anchors compose (batch)") {
     val df = Seq(
       (1L, 10L, "a", 3L), (2L, 20L, "a", 3L), (3L, 30L, "e", 3L)
@@ -1228,8 +1262,9 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(intercept[IllegalArgumentException](mr("V (B E?)+? X"))
       .getMessage.contains("exactly ONE"))
     // non-default skip composes since round 10 (behavior test below)
-    // anchors compose in BATCH since round 10; under streaming they
-    // still reject (candidates must buffer to the partition end)
+    // anchors compose in BATCH since round 10, and the flat ^ head
+    // anchor composes under streaming too; the $ tail still rejects on
+    // a stream (candidates must buffer to the partition end)
     locally {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = spark.sqlContext
@@ -1240,11 +1275,11 @@ class MatchRecognizeSpec extends SparkSuite {
           """PARTITION BY user_id
             |ORDER BY ts, event_id
             |MEASURES V.event_id AS v_id
-            |PATTERN (^ V B+? E)
+            |PATTERN (V B+? E $)
             |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
             .stripMargin)
       }
-      assert(e.getMessage.contains("batch input"))
+      assert(e.getMessage.contains("batch"))
     }
   }
 
