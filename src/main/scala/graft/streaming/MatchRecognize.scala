@@ -528,21 +528,24 @@ object MatchRecognize {
         }
         val from = lastCaret.map(_ + 1).getOrElse(0)
         val until = firstDollar.filter(_ >= from).getOrElse(ptext.length)
+        val allNames = patVarNames(
+          parsePattern(ptext.replaceAll("[\\^$]", " ")).elems)
         ptext =
-          if (neverMatches) {
+          if (neverMatches)
             // the pattern text only has to carry the VARIABLE NAMES the
             // measures reference — the whole result is filtered to zero
             // rows below, so quantifiers/structure/duplicates drop
-            def names(es: Vector[PElem]): Vector[String] = es.flatMap {
-              case PVar(n, _) => Vector(n)
-              case PGrp(in, _) => names(in)
-              case PAlt(bs, _) => bs.flatMap(names)
-            }
-            names(parsePattern(ptext.replaceAll("[\\^$]", " ")).elems)
-              .distinct.mkString(" ")
-          } else ptext.substring(from, until)
+            allNames.distinct.mkString(" ")
+          else ptext.substring(from, until)
         require(ptext.trim.nonEmpty,
           "interior anchors left an empty pattern body")
+        if (!neverMatches)
+          // variables of the dropped (zero-rows) segments: measures
+          // over them must evaluate to NULL/0, which only the library
+          // path's groups.getOrElse does — the planned routes' output
+          // schemas lack their columns and are disabled below
+          droppedVars =
+            allNames.toSet -- patVarNames(parsePattern(ptext).elems)
       }
     }
     if (neverMatches) { anchorStart = false; anchorEnd = false }

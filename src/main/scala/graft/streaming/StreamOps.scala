@@ -213,16 +213,20 @@ object StreamOps {
       OutputMode.Update(), GroupStateTimeout.NoTimeout())(
       streamingTopNFn[K](n))
 
-  /** Deterministic (hash, string) key of an arbitrary payload for
-    * same-timestamp ordering: VALUE-based even for arrays, whose
-    * default hashCode/toString are identity-based and would reintroduce
-    * run-to-run nondeterminism for binary/embedding payloads. */
-  private def detKey(v: Any): (Int, String) = v match {
-    case null => (0, "")
-    case a: Array[_] =>
-      val boxed = a.map(x => x.asInstanceOf[AnyRef])
-      (java.util.Arrays.deepHashCode(boxed), boxed.mkString(","))
-    case other => (other.##, String.valueOf(other))
+  /** Deterministic string key of an arbitrary payload for
+    * same-timestamp ordering: VALUE-based even for (nested) arrays and
+    * for case classes/tuples CONTAINING arrays, whose default
+    * hashCode/toString are identity-based and would reintroduce
+    * run-to-run nondeterminism for binary/embedding payloads.
+    * (Distinct values rendering to the same string would fall back to
+    * partition order — not reachable for the primitive/array/Product
+    * shapes the typed API admits.) */
+  private def detString(v: Any): String = v match {
+    case null => ""
+    case a: Array[_] => a.map(detString).mkString("[", ",", "]")
+    case p: Product =>
+      p.productIterator.map(detString).mkString("(", ",", ")")
+    case other => String.valueOf(other)
   }
 
   /** Keyed state of [[temporalJoin]]: buffered version rows (sorted by
@@ -267,9 +271,7 @@ object StreamOps {
       // batch are pre-ordered by a deterministic payload key — the
       // resolution is then identical under any partitioning
       val incoming = versions.map(v => (v._2, v._3))
-        .sortBy { case (ts, v) =>
-          val k = detKey(v); (ts, k._1, k._2)
-        }
+        .sortBy { case (ts, v) => (ts, detString(v)) }
       val vs = (st.versions ++ incoming).sortBy(_._1)
       val all = st.pending ++ facts.map(f => (f._2, f._3))
       val (ripe, wait) = all.partition(_._1 <= wm)

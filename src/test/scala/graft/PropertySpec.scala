@@ -271,9 +271,11 @@ class PropertySpec extends SparkSuite {
           events.drop(j)))
         // round 10: reluctant composes with AFTER MATCH SKIP — the
         // resolver+queue pendings must BOTH survive any split, under
-        // both the immediate (gpat) and deferred (gpatAlt) selection
+        // both the immediate (gpat) and deferred (gpatAlt) selection;
+        // the skip draw is independent of the pattern draw (i0 spans
+        // 0..20, so all four strategies are reachable)
         val gskip = Vector(Cep.NoSkip, Cep.SkipPastLastEvent,
-          Cep.SkipToFirst("e"), Cep.SkipToLast("v"))(pi % 4)
+          Cep.SkipToFirst("e"), Cep.SkipToLast("v"))((i0 + j0) % 4)
         val wholeG = runG(gpat, gskip)(Seq(events))
         val splitG = runG(gpat, gskip)(Seq(events.take(i),
           events.slice(i, j), events.drop(j)))

@@ -414,6 +414,12 @@ class MatchRecognizeSpec extends SparkSuite {
       "E.event_id AS e_null, V.event_id AS v_id, COUNT(E.*) AS ne")
     assert(d2.as[(Long, Option[Long], Long, Long)].collect().toSet
       === Set((1L, None, 1L, 0L)))
+    // ...including the ALL-position-measures form, which would route
+    // planned (CepExec) if the dropped variable did not disable it
+    val d3 = mr("E? ^ V C", "E.event_id AS e_null, V.event_id AS v_id")
+    assert(!d3.queryExecution.executedPlan.toString.contains("- Cep "))
+    assert(d3.as[(Long, Option[Long], Long)].collect().toSet
+      === Set((1L, None, 1L)))
   }
 
   test("CLASSIFIER() names the matched alternation branch (ALL ROWS and ONE ROW)") {
