@@ -200,22 +200,46 @@ object TemporalSql {
     }
   }
 
+  /** Versioned-table registry: the role Flink's DDL plays when a table
+    * declares its event-time attribute (and thereby becomes usable as
+    * the version side of `FOR SYSTEM_TIME AS OF`). Registered per
+    * session by view name; [[apply]] consults it so queries over
+    * registered tables need no `versionTimeCol` parameter. */
+  private val versionedTimeCols =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Register `df` as a temp view AND declare its event-time attribute
+    * — the DDL-equivalent of a versioned-table definition. Subsequent
+    * `FOR SYSTEM_TIME AS OF` queries naming `name` as the version side
+    * pick up `timeCol` automatically. */
+  def registerVersioned(spark: SparkSession, name: String, df: DataFrame,
+      timeCol: String): Unit = {
+    require(df.columns.contains(timeCol),
+      s"versioned table $name has no column $timeCol")
+    df.createOrReplaceTempView(name)
+    versionedTimeCols.put((spark, name), timeCol)
+  }
+
   /** Parse and execute `sql`. `versionTimeCol` names the version
-    * table's event-time attribute (the role Flink's DDL declares;
-    * default `ts`). */
+    * table's event-time attribute when the table was not declared via
+    * [[registerVersioned]] (default `ts`). */
   def apply(spark: SparkSession, sql: String,
       versionTimeCol: String = "ts"): DataFrame = {
     val p = parse(sql)
     val facts = spark.table(p.factTable)
     val vers = spark.table(p.versionTable)
+    // a registerVersioned declaration beats the parameter default —
+    // the DDL attribute travels with the table, as in Flink
+    val timeCol = Option(versionedTimeCols.get((spark, p.versionTable)))
+      .getOrElse(versionTimeCol)
     require(facts.columns.contains(p.asOfCol),
       s"fact table ${p.factTable} has no column ${p.asOfCol}")
-    require(vers.columns.contains(versionTimeCol),
-      s"version table ${p.versionTable} has no column $versionTimeCol")
+    require(vers.columns.contains(timeCol),
+      s"version table ${p.versionTable} has no column $timeCol")
     val joined =
       if (facts.isStreaming || vers.isStreaming)
-        streamJoin(spark, facts, vers, p, versionTimeCol)
-      else batchJoin(facts, vers, p, versionTimeCol)
+        streamJoin(spark, facts, vers, p, timeCol)
+      else batchJoin(facts, vers, p, timeCol)
     val view = s"graft_temporal_${java.util.UUID.randomUUID()
       .toString.replace("-", "")}"
     joined.createOrReplaceTempView(view)

@@ -160,6 +160,29 @@ class TemporalSqlSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("registerVersioned declares the version table's time attribute " +
+      "(the DDL posture): no versionTimeCol parameter needed") {
+    Seq((1L, 5L, "f5"), (1L, 15L, "f15"))
+      .toDF("k", "ts", "payload").createOrReplaceTempView("tsqv_facts")
+    TemporalSql.registerVersioned(spark, "tsqv_vers",
+      Seq((1L, 10L, 1.0), (1L, 30L, 2.0)).toDF("k", "valid_from", "rate"),
+      timeCol = "valid_from")
+    // the version table's time column is NOT named ts — the registry
+    // supplies it, so the default-parameter call just works
+    val got = TemporalSql(spark,
+      """SELECT f.ts, v.valid_from, v.rate
+        |FROM tsqv_facts f
+        |JOIN tsqv_vers FOR SYSTEM_TIME AS OF f.ts AS v ON f.k = v.k
+        |ORDER BY f.ts""".stripMargin)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((15L, 10L, 1.0)))
+    // a missing declared column rejects at registration
+    assert(intercept[IllegalArgumentException] {
+      TemporalSql.registerVersioned(spark, "tsqv_bad",
+        Seq((1L, 1L)).toDF("k", "ts"), timeCol = "nope")
+    }.getMessage.contains("no column"))
+  }
+
   test("processing-time form rejects with a named error") {
     fixture()
     val e = intercept[TemporalSqlError] {
