@@ -202,11 +202,19 @@ object TemporalSql {
 
   /** Versioned-table registry: the role Flink's DDL plays when a table
     * declares its event-time attribute (and thereby becomes usable as
-    * the version side of `FOR SYSTEM_TIME AS OF`). Registered per
-    * session by view name; [[apply]] consults it so queries over
-    * registered tables need no `versionTimeCol` parameter. */
+    * the version side of `FOR SYSTEM_TIME AS OF`). Keyed WEAKLY by
+    * session (entries die with the session — no leak across stopped
+    * sessions) and case-insensitively by view name (Spark resolves
+    * identifiers case-insensitively); [[apply]] consults it so queries
+    * over registered tables need no `versionTimeCol` argument, while an
+    * EXPLICIT argument still wins (the per-query opt-out). */
   private val versionedTimeCols =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  private def lcName(n: String): String =
+    n.toLowerCase(java.util.Locale.ROOT)
 
   /** Register `df` as a temp view AND declare its event-time attribute
     * — the DDL-equivalent of a versioned-table definition. Subsequent
@@ -214,24 +222,38 @@ object TemporalSql {
     * pick up `timeCol` automatically. */
   def registerVersioned(spark: SparkSession, name: String, df: DataFrame,
       timeCol: String): Unit = {
-    require(df.columns.contains(timeCol),
+    require(df.columns.exists(_.equalsIgnoreCase(timeCol)),
       s"versioned table $name has no column $timeCol")
     df.createOrReplaceTempView(name)
-    versionedTimeCols.put((spark, name), timeCol)
+    versionedTimeCols
+      .computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .put(lcName(name), timeCol)
   }
 
-  /** Parse and execute `sql`. `versionTimeCol` names the version
-    * table's event-time attribute when the table was not declared via
-    * [[registerVersioned]] (default `ts`). */
+  /** Parse and execute `sql`; the version table's event-time attribute
+    * comes from its [[registerVersioned]] declaration, falling back to
+    * `ts`. */
+  def apply(spark: SparkSession, sql: String): DataFrame =
+    run(spark, sql, None)
+
+  /** Parse and execute `sql` with an EXPLICIT version-time attribute —
+    * wins over any [[registerVersioned]] declaration (the per-query
+    * opt-out). */
   def apply(spark: SparkSession, sql: String,
-      versionTimeCol: String = "ts"): DataFrame = {
+      versionTimeCol: String): DataFrame =
+    run(spark, sql, Some(versionTimeCol))
+
+  private def run(spark: SparkSession, sql: String,
+      explicit: Option[String]): DataFrame = {
     val p = parse(sql)
     val facts = spark.table(p.factTable)
     val vers = spark.table(p.versionTable)
-    // a registerVersioned declaration beats the parameter default —
-    // the DDL attribute travels with the table, as in Flink
-    val timeCol = Option(versionedTimeCols.get((spark, p.versionTable)))
-      .getOrElse(versionTimeCol)
+    // explicit argument > registered declaration > the `ts` default
+    val timeCol = explicit
+      .orElse(Option(versionedTimeCols.get(spark))
+        .flatMap(m => Option(m.get(lcName(p.versionTable)))))
+      .getOrElse("ts")
     require(facts.columns.contains(p.asOfCol),
       s"fact table ${p.factTable} has no column ${p.asOfCol}")
     require(vers.columns.contains(timeCol),

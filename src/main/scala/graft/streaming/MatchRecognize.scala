@@ -645,13 +645,9 @@ object MatchRecognize {
       // head anchor composes too (the NFA-level arrival-0 gate means
       // every candidate is anchored by construction, so the immediate
       // shortest-per-start selection stays exact); $ — and therefore
-      // any gated-at-end form — still needs batch input.
-      require(!anchored || !df.isStreaming ||
-          (anchorStart && !anchorEnd && !nested),
-        "under streaming, reluctant quantifiers compose only with the " +
-          "flat ^ head anchor (an NFA-level gate); $ requires batch " +
-          "input (candidates must buffer to the partition end before " +
-          "anchor gating)")
+      // any gated-at-end form — still needs batch input, which the
+      // GENERAL streaming-anchor guard below (anchorStart && !anchorEnd
+      // && !nested) already enforces — no reluctant-specific rule.
       // ROUND 10 (late): non-default AFTER MATCH SKIP also composes —
       // the GroupCep drivers resolve THE preferred match per start
       // first, then the skip queue emits/prunes over those selections

@@ -213,20 +213,22 @@ object StreamOps {
       OutputMode.Update(), GroupStateTimeout.NoTimeout())(
       streamingTopNFn[K](n))
 
-  /** Deterministic string key of an arbitrary payload for
+  /** Deterministic INJECTIVE string key of an arbitrary payload for
     * same-timestamp ordering: VALUE-based even for (nested) arrays and
     * for case classes/tuples CONTAINING arrays, whose default
     * hashCode/toString are identity-based and would reintroduce
-    * run-to-run nondeterminism for binary/embedding payloads.
-    * (Distinct values rendering to the same string would fall back to
-    * partition order — not reachable for the primitive/array/Product
-    * shapes the typed API admits.) */
+    * run-to-run nondeterminism for binary/embedding payloads. Leaf
+    * renderings escape the structural delimiters, so string-bearing
+    * shapes cannot collide (Array("a,b") != Array("a","b")). */
   private def detString(v: Any): String = v match {
-    case null => ""
+    case null => "\\0"
     case a: Array[_] => a.map(detString).mkString("[", ",", "]")
     case p: Product =>
       p.productIterator.map(detString).mkString("(", ",", ")")
     case other => String.valueOf(other)
+      .replace("\\", "\\\\").replace(",", "\\,")
+      .replace("[", "\\[").replace("]", "\\]")
+      .replace("(", "\\(").replace(")", "\\)")
   }
 
   /** Keyed state of [[temporalJoin]]: buffered version rows (sorted by

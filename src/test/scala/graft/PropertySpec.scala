@@ -239,8 +239,8 @@ class PropertySpec extends SparkSuite {
       .reluctant
     val namesGen = Gen.listOfN(20, Gen.oneOf("v", "b", "e", "x"))
     check(Prop.forAll(namesGen, Gen.choose(0, 20), Gen.choose(0, 20),
-      Gen.choose(0, pats.size - 1)) {
-      (names, i0, j0, pi) =>
+      Gen.choose(0, pats.size - 1), Gen.choose(0, 3)) {
+      (names, i0, j0, pi, ski) =>
         val events = names.zipWithIndex.map { case (n, i) =>
           (n, (i / 2).toLong)
         }
@@ -272,10 +272,10 @@ class PropertySpec extends SparkSuite {
         // round 10: reluctant composes with AFTER MATCH SKIP — the
         // resolver+queue pendings must BOTH survive any split, under
         // both the immediate (gpat) and deferred (gpatAlt) selection;
-        // the skip draw is independent of the pattern draw (i0 spans
-        // 0..20, so all four strategies are reachable)
+        // the skip is its OWN generator so every (strategy, cut)
+        // combination is reachable
         val gskip = Vector(Cep.NoSkip, Cep.SkipPastLastEvent,
-          Cep.SkipToFirst("e"), Cep.SkipToLast("v"))((i0 + j0) % 4)
+          Cep.SkipToFirst("e"), Cep.SkipToLast("v"))(ski)
         val wholeG = runG(gpat, gskip)(Seq(events))
         val splitG = runG(gpat, gskip)(Seq(events.take(i),
           events.slice(i, j), events.drop(j)))
