@@ -124,6 +124,20 @@ object TemporalSql {
       case _ => col(c).cast(LongType)
     }
 
+  /** Column-level mirror of `StreamOps.detString` applied to a row's
+    * JSON rendering: the deterministic same-timestamp tiebreak key. The
+    * streaming path orders same-ts versions by
+    * `detString(to_json(row))` (its payloads ARE row-JSON strings), so
+    * the batch window must sort by the IDENTICAL transform — escape the
+    * structural delimiters in the same order detString does — for both
+    * regimes to crown the same winner on duplicate (key, ts) versions. */
+  private def detJson(row: org.apache.spark.sql.Column) =
+    Seq("\\" -> "\\\\", "," -> "\\,", "[" -> "\\[", "]" -> "\\]",
+      "(" -> "\\(", ")" -> "\\)")
+      .foldLeft(to_json(row)) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to))
+      }
+
   /** Batch as-of resolution: one union + one window pass (the
     * [[AsofOps.asofJoin]] plan, generalized to multi-key and whole-row
     * struct payloads). */
@@ -146,13 +160,20 @@ object TemporalSql {
     val vSide = vClean.select(
       p.versionKeys.zipWithIndex.map { case (c, i) => col(c).as(s"_k$i") } ++
         Seq(micros(vClean, versionTimeCol).as("_ts"), lit(0).as("_tag"),
+          detJson(vRow).as("_det"),
           lit(null).cast(fType).as("_f"), vRow.as("_v")): _*)
     val fSide = facts.select(
       p.factKeys.zipWithIndex.map { case (c, i) => col(c).as(s"_k$i") } ++
         Seq(micros(facts, p.asOfCol).as("_ts"), lit(1).as("_tag"),
+          lit("").as("_det"),
           fRow.as("_f"), lit(null).cast(vType).as("_v")): _*)
+    // _det breaks same-timestamp version ties DETERMINISTICALLY (the
+    // ADVICE r10 finding): without it the sort leaves equal-(ts, tag)
+    // version rows in shuffle order and `last(_v)` is run-dependent.
+    // Ascending max-_det wins, exactly like the streaming path's
+    // pre-order-by-detString + last-qualifying-row lookup.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_ts"), col("_tag"))
+      .orderBy(col("_ts"), col("_tag"), col("_det"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = vSide.unionByName(fSide)
       .withColumn("_m", last(col("_v"), ignoreNulls = true).over(w))
@@ -163,25 +184,42 @@ object TemporalSql {
 
   /** Streaming resolution through `StreamOps.temporalJoin`'s keyed
     * state: rows travel as (key-string, epoch-micros, row-JSON) and
-    * re-expand against the declared schemas. */
+    * re-expand against the declared schemas.
+    *
+    * `delayMs` is the allowed event-time out-of-orderness in REAL
+    * milliseconds. The state operator's timestamps are epoch-MICROS
+    * reinterpreted in temporalJoin's millis domain (a uniform 1000×
+    * inflation that preserves order and sub-millisecond version
+    * precision), so the delay is inflated by the same factor at this
+    * boundary — the one place that knows the unit (ADVICE r10). */
   private def streamJoin(spark: SparkSession, facts: DataFrame,
-      vers: DataFrame, p: Parsed, versionTimeCol: String): DataFrame = {
+      vers: DataFrame, p: Parsed, versionTimeCol: String,
+      delayMs: Long): DataFrame = {
     import spark.implicits._
     val fSchema: StructType = facts.schema
     val vSchema: StructType = vers.schema
     def joinable(df: DataFrame, keys: Seq[String], ts: String) =
       (col(ts).isNotNull +: keys.map(col(_).isNotNull)).reduce(_ && _)
+    // Escape the composite-key separator INSIDE each component before
+    // concatenation, so distinct key tuples can never collide on the
+    // joined string (("a\u0001b","c") vs ("a","b\u0001c") — ADVICE r10)
+    def esc(c: org.apache.spark.sql.Column) =
+      replace(replace(c.cast("string"), lit("\\"), lit("\\\\")),
+        lit("\u0001"), lit("\\\\\u0001"))
     def keyed(df: DataFrame, keys: Seq[String], ts: String)
         : Dataset[(String, Long, String)] =
       df.where(joinable(df, keys, ts))
         .select(
-          concat_ws("\u0001", keys.map(col(_).cast("string")): _*).as("_k"),
+          concat_ws("\u0001", keys.map(c => esc(col(c))): _*).as("_k"),
           micros(df, ts).as("_t"),
           to_json(struct(df.columns.map(col): _*)).as("_j"))
         .as[(String, Long, String)]
+    // the state operator's ts domain is epoch-micros-as-millis, so the
+    // real-ms delay inflates 1000x here (see Scaladoc above)
     val joined = graft.streaming.StreamOps.temporalJoin[String, String, String](
       keyed(facts, p.factKeys, p.asOfCol),
-      keyed(vers, p.versionKeys, versionTimeCol))
+      keyed(vers, p.versionKeys, versionTimeCol),
+      delay = s"${delayMs * 1000L} milliseconds")
     val out = joined.toDF("_k", "_ts", "_fj", "_vj")
       .select(from_json(col("_fj"), fSchema).as(p.factAlias),
         from_json(col("_vj"), vSchema).as(p.versionAlias))
@@ -244,24 +282,40 @@ object TemporalSql {
       versionTimeCol: String): DataFrame =
     run(spark, sql, Some(versionTimeCol))
 
+  /** [[apply]] with an allowed event-time out-of-orderness for the
+    * STREAMING regime (ignored for batch inputs, which need none): late
+    * version/fact rows within `delayMs` real milliseconds of the
+    * watermark still resolve exactly. */
+  def apply(spark: SparkSession, sql: String,
+      versionTimeCol: Option[String], delayMs: Long): DataFrame =
+    run(spark, sql, versionTimeCol, delayMs)
+
   private def run(spark: SparkSession, sql: String,
-      explicit: Option[String]): DataFrame = {
+      explicit: Option[String], delayMs: Long = 0L): DataFrame = {
     val p = parse(sql)
     val facts = spark.table(p.factTable)
     val vers = spark.table(p.versionTable)
     // explicit argument > registered declaration > the `ts` default
-    val timeCol = explicit
+    val declared = explicit
       .orElse(Option(versionedTimeCols.get(spark))
         .flatMap(m => Option(m.get(lcName(p.versionTable)))))
       .getOrElse("ts")
-    require(facts.columns.contains(p.asOfCol),
-      s"fact table ${p.factTable} has no column ${p.asOfCol}")
-    require(vers.columns.contains(timeCol),
-      s"version table ${p.versionTable} has no column $timeCol")
+    // resolve user-written names against the actual schema the way SQL
+    // does — case-insensitively — and use the RESOLVED names downstream
+    // (batchJoin/micros do case-SENSITIVE schema(c) lookups; ADVICE r10)
+    def resolved(df: DataFrame, c: String, table: String): String =
+      df.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        fail(s"table $table has no column $c (have: " +
+          df.columns.mkString(", ") + ")"))
+    val asOf = resolved(facts, p.asOfCol, p.factTable)
+    val timeCol = resolved(vers, declared, p.versionTable)
+    val pr = p.copy(asOfCol = asOf,
+      factKeys = p.factKeys.map(resolved(facts, _, p.factTable)),
+      versionKeys = p.versionKeys.map(resolved(vers, _, p.versionTable)))
     val joined =
       if (facts.isStreaming || vers.isStreaming)
-        streamJoin(spark, facts, vers, p, timeCol)
-      else batchJoin(facts, vers, p, timeCol)
+        streamJoin(spark, facts, vers, pr, timeCol, delayMs)
+      else batchJoin(facts, vers, pr, timeCol)
     val view = s"graft_temporal_${java.util.UUID.randomUUID()
       .toString.replace("-", "")}"
     joined.createOrReplaceTempView(view)

@@ -1000,7 +1000,19 @@ object GroupCep {
     * plus the completed matches still deferred by the after-match skip
     * queue (they wait for every earlier-started live branch to resolve,
     * which can take more micro-batches). `pending` non-empty implies
-    * `confs` non-empty — with no live branch the drain empties the queue. */
+    * `confs` non-empty — with no live branch the drain empties the queue.
+    *
+    * STATE-FORMAT NOTE: `pendingSel` (the reluctant resolver's deferred
+    * per-start candidates) was added as a third field, which changed the
+    * `flatMapGroupsWithState` state-encoder schema. A streaming
+    * checkpoint written by the earlier two-field format fails Spark's
+    * state-store schema-compatibility check on restore
+    * (`StateSchemaCompatibilityChecker` names both schemas in its
+    * error) — that failure is DELIBERATE: the old state cannot express
+    * in-flight reluctant selections, so silently resuming would be
+    * wrong. Restart such queries from a fresh checkpoint after
+    * reprocessing, the standard Spark posture for a stateful-operator
+    * schema change. */
   final case class GStreamState[E](confs: Vector[GConf[E]],
       pending: Vector[Vector[(Int, E)]],
       pendingSel: Vector[Vector[(Int, E)]] = Vector.empty)

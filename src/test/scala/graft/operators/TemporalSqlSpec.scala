@@ -226,6 +226,145 @@ class TemporalSqlSpec extends SparkSuite {
     assert(e3.getMessage.contains("fact side"))
   }
 
+  test("same-timestamp duplicate versions resolve deterministically " +
+      "and identically in batch and streaming (ADVICE r10)") {
+    implicit val sqlCtx = spark.sqlContext
+    val vers = Seq((1L, 10L, 1.0), (1L, 10L, 3.0), (1L, 10L, 2.0))
+    // batch: the _det tiebreak (detString of the row JSON) makes the
+    // window winner shuffle-order-independent — same answer under
+    // adversarial partitionings, and it is the detString MAX (3.0)
+    for (parts <- Seq(1, 3, 7)) {
+      Seq((1L, 20L, "f20")).toDF("k", "ts", "payload")
+        .createOrReplaceTempView("tsqd_facts")
+      vers.toDF("k", "ts", "rate").repartition(parts)
+        .createOrReplaceTempView("tsqd_vers")
+      val got = TemporalSql(spark,
+        """SELECT f.payload, v.rate
+          |FROM tsqd_facts f
+          |JOIN tsqd_vers FOR SYSTEM_TIME AS OF f.ts AS v ON f.k = v.k""".stripMargin)
+        .as[(String, Double)].collect().toSeq
+      assert(got == Seq(("f20", 3.0)), s"parts=$parts got=$got")
+    }
+    // streaming, all three versions in ONE micro-batch: the detString
+    // pre-order crowns the SAME winner — batch/stream parity on ties
+    val fIn = MemoryStream[(Long, Long, String)]
+    val vIn = MemoryStream[(Long, Long, Double)]
+    fIn.toDF().toDF("k", "ts", "payload")
+      .createOrReplaceTempView("tsqd_sfacts")
+    vIn.toDF().toDF("k", "ts", "rate")
+      .createOrReplaceTempView("tsqd_svers")
+    val q = TemporalSql(spark,
+      """SELECT f.payload, v.rate
+        |FROM tsqd_sfacts f
+        |JOIN tsqd_svers FOR SYSTEM_TIME AS OF f.ts AS v ON f.k = v.k""".stripMargin)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tsqd_out").start()
+    try {
+      vIn.addData(vers: _*)
+      fIn.addData((1L, 20L, "f20"))
+      q.processAllAvailable()
+      vIn.addData((1L, 100L, 9.0))
+      fIn.addData((1L, 100L, "flush"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(spark.table("tsqd_out").as[(String, Double)].collect().toSet
+        .contains(("f20", 3.0)))
+    } finally q.stop()
+  }
+
+  test("composite stream keys escape the separator: distinct key " +
+      "tuples never collide (ADVICE r10)") {
+    implicit val sqlCtx = spark.sqlContext
+    val fIn = MemoryStream[(String, String, Long, String)]
+    val vIn = MemoryStream[(String, String, Long, Double)]
+    fIn.toDF().toDF("k1", "k2", "ts", "payload")
+      .createOrReplaceTempView("tsqe_sfacts")
+    vIn.toDF().toDF("k1", "k2", "ts", "rate")
+      .createOrReplaceTempView("tsqe_svers")
+    val q = TemporalSql(spark,
+      """SELECT f.payload, v.rate
+        |FROM tsqe_sfacts f
+        |LEFT JOIN tsqe_svers FOR SYSTEM_TIME AS OF f.ts AS v
+        |ON f.k1 = v.k1 AND f.k2 = v.k2""".stripMargin)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tsqe_out").start()
+    try {
+      // unescaped, BOTH version tuples concatenate to the same state
+      // key as the fact ("a\u0001b" + "c" vs "a" + "b\u0001c")
+      // the colliding tuple carries the LATER ts, so the pre-fix code
+      // would crown 7.0; escaped keys keep it in a different state slot
+      vIn.addData(("a", "b\u0001c", 6L, 7.0))
+      vIn.addData(("a\u0001b", "c", 5L, 1.0))
+      fIn.addData(("a\u0001b", "c", 10L, "hit"))
+      q.processAllAvailable()
+      vIn.addData(("zz", "zz", 100L, 0.0))
+      fIn.addData(("zz", "zz", 100L, "flush"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("tsqe_out")
+        .as[(String, Option[Double])].collect().toSet
+      assert(got.contains(("hit", Some(1.0))) &&
+        !got.contains(("hit", Some(7.0))),
+        s"escaped keys must join only the exact tuple: $got")
+    } finally q.stop()
+  }
+
+  test("identifiers resolve case-insensitively like the rest of SQL: " +
+      "AS OF f.TS / explicit TS time column (ADVICE r10)") {
+    fixture()
+    val got = TemporalSql(spark,
+      """SELECT f.k, f.ts, v.rate
+        |FROM tsql_facts f
+        |JOIN tsql_vers FOR SYSTEM_TIME AS OF f.TS AS v ON f.K = v.k
+        |ORDER BY f.k, f.ts""".stripMargin, versionTimeCol = "TS")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 15L, 1.0), (1L, 35L, 2.0), (2L, 9L, 3.0)))
+    // a genuinely missing column still rejects by name
+    val e = intercept[TemporalSqlError] {
+      TemporalSql(spark,
+        """SELECT f.k FROM tsql_facts f
+          |JOIN tsql_vers FOR SYSTEM_TIME AS OF f.nope AS v
+          |ON f.k = v.k""".stripMargin)
+    }
+    assert(e.getMessage.contains("no column"))
+  }
+
+  test("delayMs admits bounded out-of-order version rows (the real-ms " +
+      "delay survives the micros-domain inflation; ADVICE r10)") {
+    implicit val sqlCtx = spark.sqlContext
+    val fIn = MemoryStream[(Long, Long, String)]
+    val vIn = MemoryStream[(Long, Long, Double)]
+    fIn.toDF().toDF("k", "ts", "payload")
+      .createOrReplaceTempView("tsqw_sfacts")
+    vIn.toDF().toDF("k", "ts", "rate")
+      .createOrReplaceTempView("tsqw_svers")
+    // delayMs = 1 real ms = 1000 ts-units of slack: the fact at 20000
+    // stays pending past batch 1, so the LATE version at 19500 (behind
+    // the fact, ahead of the held-back watermark) still wins the as-of
+    val q = TemporalSql(spark,
+      """SELECT f.payload, v.rate
+        |FROM tsqw_sfacts f
+        |JOIN tsqw_svers FOR SYSTEM_TIME AS OF f.ts AS v ON f.k = v.k""".stripMargin,
+      None, delayMs = 1L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tsqw_out").start()
+    try {
+      vIn.addData((1L, 10000L, 1.0))
+      fIn.addData((1L, 20000L, "f"))
+      q.processAllAvailable()
+      vIn.addData((1L, 19500L, 5.0)) // late, within the delay
+      q.processAllAvailable()
+      vIn.addData((1L, 50000L, 9.0))
+      fIn.addData((1L, 50000L, "flush"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("tsqw_out").as[(String, Double)]
+        .collect().toSet
+      assert(got.contains(("f", 5.0)) && !got.contains(("f", 1.0)),
+        s"the in-delay late version must win: $got")
+    } finally q.stop()
+  }
+
   test("batch SQL surface equals the qj1 asofJoin runtime on events " +
       "(sf0.001)") {
     val ev = graft.Engine.table(spark, sf, "events")
