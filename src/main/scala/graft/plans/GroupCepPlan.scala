@@ -31,9 +31,12 @@ import org.apache.spark.sql.types.LongType
   * allowCombinations, `until` stop conditions on quantified groups,
   * negative elements (notFollowedBy/notNext, anywhere a sibling may
   * follow), and within — the full planned twin of the GroupCep core.
-  * After-match skip stays library-side on the LINEAR path ([[CepPlan]]
-  * plans it); group patterns have no skip in the library either
-  * (matching the reference, whose GroupITCase never composes them).
+  * Round 11 adds the SQL:2016 reluctant compositions: pattern-level
+  * reluctant selection (immediate or deferred), ^/$ anchor gates
+  * (buffer-to-run-end, gate before preference selection), and the
+  * after-match skip queue — all through [[GroupCep.GroupRunEmitter]],
+  * the same object the library drivers run, so planned and library
+  * routes share one source of truth for the evaluation order.
   */
 object GroupCepPlan {
 
@@ -75,6 +78,8 @@ object GroupCepPlan {
       keyExpr: Expression, tsExpr: Expression, tieExpr: Expression,
       skeleton: Seq[Skel], leafPreds: Seq[Expression],
       stepNames: Seq[String], withinMicros: Option[Long],
+      reluctant: Boolean, anchorHead: Boolean, anchorTail: Boolean,
+      skip: graft.streaming.Cep.AfterMatchSkip,
       outputAttrs: Seq[Attribute], child: LogicalPlan) extends UnaryNode {
     override def output: Seq[Attribute] = outputAttrs
     // every child column is re-emitted per matched step — see CepMatchPlan
@@ -88,7 +93,8 @@ object GroupCepPlan {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case p: GroupCepMatchPlan =>
         GroupCepExec(p.keyExpr, p.tsExpr, p.tieExpr, p.skeleton, p.leafPreds,
-          p.stepNames, p.withinMicros, p.outputAttrs,
+          p.stepNames, p.withinMicros, p.reluctant, p.anchorHead,
+          p.anchorTail, p.skip, p.outputAttrs,
           planLater(p.child)) :: Nil
       case _ => Nil
     }
@@ -152,6 +158,8 @@ object GroupCepPlan {
       keyExpr: Expression, tsExpr: Expression, tieExpr: Expression,
       skeleton: Seq[Skel], leafPreds: Seq[Expression],
       stepNames: Seq[String], withinMicros: Option[Long],
+      reluctant: Boolean, anchorHead: Boolean, anchorTail: Boolean,
+      skip: graft.streaming.Cep.AfterMatchSkip,
       outputAttrs: Seq[Attribute], child: SparkPlan) extends UnaryExecNode {
 
     override def output: Seq[Attribute] = outputAttrs
@@ -185,6 +193,8 @@ object GroupCepPlan {
       val (kE, tsE) = (keyExpr, tsExpr)
       val (skel, preds, names, within) =
         (skeleton, leafPreds, stepNames, withinMicros)
+      val (rel, aHead, aTail, skipStrat) =
+        (reluctant, anchorHead, anchorTail, skip)
       val outTypes = outputAttrs.map(_.dataType).toArray
       val numMatches = longMetric("numMatches")
       val maxKeyEvents = longMetric("maxKeyEvents")
@@ -198,7 +208,14 @@ object GroupCepPlan {
         }.toIndexedSeq
         var pat = buildPattern(skel, bound)
         within.foreach(w => pat = pat.within(w))
+        if (rel) pat = pat.reluctant
+        // anchors need every candidate buffered to the end of the key
+        // run — force DEFERRED selection so advance's in-flight
+        // shortest-per-start kill stays off (the emitter gates first)
+        if (aHead || aTail) pat = pat.deferredReluctant
         val compiled = GroupCep.compile(pat)
+        val tsOf: ((InternalRow, Long)) => Long =
+          w => tsEval.eval(w._1).asInstanceOf[Long]
         // only leaf-step matches can be captured; not/until guard rows
         // merely kill branches and never need the defensive copy
         val capturing = capturingIdx(skel).toArray.sorted
@@ -225,6 +242,21 @@ object GroupCepPlan {
               maxKeyBranches.add(v - repBranches); repBranches = v
             }
           private var confs = Vector.empty[GConf[(InternalRow, Long)]]
+          // per-key-run emission policy (anchor gates / reluctant
+          // resolver / skip queue) — ONE object shared with the library
+          // drivers, fresh per key run
+          private var emitter = newEmitter()
+          private var done = false
+          private def newEmitter() =
+            new GroupCep.GroupRunEmitter[(InternalRow, Long)](
+              compiled, tsOf, skipStrat, aHead, aTail, tagOf = _._2)
+          private def doEmit(m: Vector[(Int, (InternalRow, Long))]): Unit = {
+            numMatches.add(1); matchSeq += 1; emit(curKey, matchSeq, m)
+          }
+          // end of key run: anchored candidates gate + select, deferred
+          // resolver/skip-queue entries release (no live branch blocks)
+          private def flushKey(): Unit =
+            if (haveKey) emitter.finish(arrSeq - 1, doEmit)
 
           private def emit(key: Any, matchNum: Long,
               captured: Vector[(Int, (InternalRow, Long))]): Unit = {
@@ -249,45 +281,51 @@ object GroupCepPlan {
           }
 
           private def pump(): Unit = {
-            while (queue.isEmpty && rows.hasNext) {
-              val raw = rows.next()
-              val tsVal = tsEval.eval(raw)
-              // NULL event time has no stream position — skip (see CepExec)
-              if (tsVal != null) {
-                // copy only rows the NFA can capture: any leaf match may be
-                // stored in a branch; non-matching rows only close strict
-                // runs / serve ignore edges and pass through uncopied
-                var retainable = false
-                var i = 0
-                while (!retainable && i < nCapturing) {
-                  if (bound(capturing(i)).eval(raw)) retainable = true
-                  i += 1
-                }
-                val row = if (retainable) raw.copy() else raw
-                val k = keyEval.eval(row)
-                if (!haveKey || !java.util.Objects.equals(k, curKey)) {
-                  // group patterns have no end-of-run greedy flush — a key
-                  // switch just resets the branch set
-                  confs = Vector.empty
-                  arrSeq = 0L
-                  keyEvents = 0L
-                  matchSeq = 0L
-                  curKey = k match {
-                    case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
-                    case other => other
+            while (queue.isEmpty && !done) {
+              if (!rows.hasNext) {
+                // end of input: release the final key run's deferred
+                // emissions (anchored gate+select / resolver / queue)
+                flushKey()
+                done = true
+              } else {
+                val raw = rows.next()
+                val tsVal = tsEval.eval(raw)
+                // NULL event time has no stream position — skip (see CepExec)
+                if (tsVal != null) {
+                  // copy only rows the NFA can capture: any leaf match may be
+                  // stored in a branch; non-matching rows only close strict
+                  // runs / serve ignore edges and pass through uncopied
+                  var retainable = false
+                  var i = 0
+                  while (!retainable && i < nCapturing) {
+                    if (bound(capturing(i)).eval(raw)) retainable = true
+                    i += 1
                   }
-                  haveKey = true
-                }
-                val w = (row, arrSeq)
-                arrSeq += 1
-                keyEvents += 1
-                bumpEvents(keyEvents)
-                val (next, matches) =
-                  GroupCep.advance(compiled, confs, w, tsVal.asInstanceOf[Long])
-                confs = next
-                bumpBranches(confs.size.toLong)
-                matches.foreach { m =>
-                  numMatches.add(1); matchSeq += 1; emit(curKey, matchSeq, m)
+                  val row = if (retainable) raw.copy() else raw
+                  val k = keyEval.eval(row)
+                  if (!haveKey || !java.util.Objects.equals(k, curKey)) {
+                    // a key switch flushes the finished run's deferred
+                    // emissions, then resets the branch set + emitter
+                    flushKey()
+                    confs = Vector.empty
+                    arrSeq = 0L
+                    keyEvents = 0L
+                    matchSeq = 0L
+                    emitter = newEmitter()
+                    curKey = k match {
+                      case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+                      case other => other
+                    }
+                    haveKey = true
+                  }
+                  val w = (row, arrSeq)
+                  arrSeq += 1
+                  keyEvents += 1
+                  bumpEvents(keyEvents)
+                  val (next, matches) =
+                    GroupCep.advance(compiled, confs, w, tsVal.asInstanceOf[Long])
+                  confs = emitter.step(next, matches, doEmit)
+                  bumpBranches(confs.size.toLong)
                 }
               }
             }
@@ -316,8 +354,33 @@ object GroupCepPlan {
     *         the step's group, null where the step captured nothing).
     */
   def matchGroupPattern(df: DataFrame, key: Column, ts: Column, tie: Column,
-      elems: Seq[GSpec], withinMicros: Option[Long] = None): DataFrame = {
+      elems: Seq[GSpec], withinMicros: Option[Long] = None,
+      reluctant: Boolean = false,
+      anchorHead: Boolean = false, anchorTail: Boolean = false,
+      skip: graft.streaming.Cep.AfterMatchSkip =
+        graft.streaming.Cep.NoSkip): DataFrame = {
     require(elems.nonEmpty, "at least one pattern element")
+    if (anchorHead || anchorTail) {
+      // the planned anchors are the reluctant-selection composition
+      // (plain anchored group patterns post-filter on boundary flags in
+      // the library path); gate-before-selection needs deferral
+      require(reluctant, "planned ^/$ anchors require a reluctant pattern")
+      require(skip == graft.streaming.Cep.NoSkip,
+        "anchors require the default AFTER MATCH SKIP TO NEXT ROW")
+    }
+    if (reluctant) {
+      // mirror GPattern.reluctant's single-decision-point contract at
+      // PLAN time (the executor-side build would only fail per task)
+      def quantCount(es: Seq[GSpec]): Int = es.map {
+        case g: GGroupSpec =>
+          (if (g.min != g.max || g.max > 1 || g.optional) 1 else 0) +
+            quantCount(g.elems)
+        case _ => 0
+      }.sum
+      require(quantCount(elems) == 1,
+        "a reluctant pattern may contain exactly ONE quantified element " +
+          "(the single decision point the preference order ranks)")
+    }
     // The head/last negation rules hold RECURSIVELY: a nested group whose
     // elems end in a GNotSpec would have its pending negation silently
     // dropped by buildSeq — the reference instead throws
@@ -380,6 +443,7 @@ object GroupCepPlan {
       }
     GraftSqlShim.ofRows(spark, GroupCepMatchPlan(
       keyE, resolve(ts), resolve(tie), skeleton, predsB.result(), stepNames,
-      withinMicros, outAttrs, child))
+      withinMicros, reluctant, anchorHead, anchorTail, skip,
+      outAttrs, child))
   }
 }

@@ -152,7 +152,7 @@ object GroupCep {
       * the anchored-batch driver needs every candidate buffered (the
       * first completion may fail an anchor a longer one passes), so the
       * in-advance shortest-per-start kill must not fire. */
-    private[streaming] def deferredReluctant: GPattern[E] =
+    private[graft] def deferredReluctant: GPattern[E] =
       new GPattern(elems, withinMs, reluctantSel, deferSel = true)
 
     /** SQL:2016 RELUCTANT selection for the pattern's SINGLE quantified
@@ -183,9 +183,57 @@ object GroupCep {
         case a: GAlt[E] => a.branches.map(quantCount).sum
         case _ => 0
       }.sum
-      require(quantCount(elems) == 1,
-        "a reluctant pattern may contain exactly ONE quantified element " +
-          "(the single decision point the preference order ranks)")
+      def hasAlt(es: Vector[GElem[E]]): Boolean = es.exists {
+        case _: GAlt[E] => true
+        case g: GGroup[E] => hasAlt(g.elems)
+        case _ => false
+      }
+      def nestedQuant(es: Vector[GElem[E]]): Boolean = es.exists {
+        case g: GGroup[E] =>
+          val self = g.min != g.max || g.max > 1 || g.optional
+          (self && quantCount(g.elems) > 0) || nestedQuant(g.elems)
+        case a: GAlt[E] => a.branches.exists(nestedQuant)
+        case _ => false
+      }
+      val n = quantCount(elems)
+      require(n >= 1,
+        "a reluctant pattern needs at least one quantified element")
+      // round 11: SEVERAL quantified elements compose — every one is
+      // ranked reluctant and [[GroupCep.prefer]] orders the decision
+      // points lexicographically by declaration (fewest of the first,
+      // then fewest of the second, ...). Two named limits remain:
+      // alternation × multi-quantifier (branch preference and loop
+      // preference would need a per-branch rank lattice) and a
+      // quantifier NESTED inside another (the innermost-rank rule
+      // cannot express the outer loop's per-repetition re-ranking).
+      if (n > 1) {
+        require(!hasAlt(elems),
+          "multiple reluctant quantifiers do not compose with " +
+            "alternation/PERMUTE (one ranked decision lattice per " +
+            "branch would be required)")
+        require(!nestedQuant(elems),
+          "multiple reluctant quantifiers must be sibling elements " +
+            "(a quantifier nested inside a quantified group is not " +
+            "supported)")
+        // the in-flight shortest-per-start fold is provably safe only
+        // under STRICT adjacency (candidates consume the same event at
+        // every capture position, so first-divergence ranking is
+        // well-defined and the preferred candidate completes first);
+        // relaxed contiguity would compare captures of DIFFERENT events
+        def allStrict(es: Vector[GElem[E]]): Boolean =
+          es.zipWithIndex.forall {
+            case (g: GGroup[E], i) =>
+              (i == 0 || g.mode == Strict) && g.loopMode == Strict &&
+                allStrict(g.elems)
+            case (l: GLeaf[E], i) => i == 0 || l.mode == Strict
+            case (_, _) => true
+          }
+        require(allStrict(elems),
+          "multiple reluctant quantifiers require strict contiguity " +
+            "(next/consecutive) throughout the pattern — the " +
+            "MATCH_RECOGNIZE adjacency; relaxed followedBy does not " +
+            "compose")
+      }
       new GPattern(elems, withinMs, reluctantSel = true, deferSel)
     }
 
@@ -384,10 +432,17 @@ object GroupCep {
       collect(realRoot).map(s => s.slot -> s).toMap
     }
 
-    /** Slots inside the pattern's (single) QUANTIFIED group — the
-      * reluctant decision point [[prefer]] ranks against. Alternation
-      * branch wrappers are min=1/max=1 and don't count. */
-    private[GroupCep] val reluctantSlots: Set[Int] = {
+    /** Slot → declaration rank of its INNERMOST quantified group — the
+      * reluctant decision points [[prefer]] ranks against. With ONE
+      * quantified element this is the round-10 membership set; with
+      * SEVERAL (round 11, all marked reluctant, no alternation) the
+      * rank orders the decision points lexicographically: at a
+      * divergence between two groups, the EARLIER-declared one is the
+      * decision being taken, and exiting/skipping it (the slot NOT in
+      * it) is the reluctant preference. Alternation branch wrappers are
+      * min=1/max=1 and don't count; for nested quantified groups the
+      * innermost rank wins (outer visited first, inner overwrites). */
+    private[GroupCep] val reluctantRank: Map[Int, Int] = {
       def slotsOf(n: Node): Vector[Int] = n match {
         case SNode(s, _) => Vector(s)
         case g: GNode => g.children.flatMap(slotsOf)
@@ -401,9 +456,9 @@ object GroupCep {
            else Vector.empty) ++ g.children.flatMap(quantNodes)
         case a: ANode => a.branches.flatMap(quantNodes)
       }
-      if (!reluctantSel) Set.empty
-      else realRoot.children.flatMap(quantNodes).headOption
-        .map(g => slotsOf(g).toSet).getOrElse(Set.empty)
+      if (!reluctantSel) Map.empty
+      else realRoot.children.flatMap(quantNodes).zipWithIndex
+        .flatMap { case (g, r) => slotsOf(g).map(_ -> r) }.toMap
     }
     /** Reluctant + any alternation anywhere ⇒ completion order no longer
       * equals preference order: drivers must defer per-start selection
@@ -603,7 +658,11 @@ object GroupCep {
         .empty[E, Vector[(Int, E)]]
       ms.foreach { m =>
         byStart.get(m.head._2) match {
-          case Some(prev) if prev.length <= m.length =>
+          // several same-start candidates CAN complete on one event
+          // under multiple quantifiers (different B/C splits reaching
+          // the final element together) — fold by the full preference
+          // order, not completion length
+          case Some(prev) => byStart(m.head._2) = prefer(c, prev, m)
           case _ => byStart(m.head._2) = m
         }
       }
@@ -636,19 +695,23 @@ object GroupCep {
     }
 
   /** SQL:2016 lexicographic preference between two SAME-START candidate
-    * matches of a reluctant pattern (single quantified element, possibly
-    * containing or surrounded by alternation). Walk the consumed-slot
-    * sequences; at the first diverging position:
-    *  - if exactly one slot is inside the reluctant quantified group,
-    *    the one OUTSIDE wins (it exited the loop earlier — fewer
-    *    repetitions, the reluctant preference);
-    *  - otherwise the LOWER slot id wins (slots number in declaration
-    *    order, so this is the leftmost alternative — SQL:2016 branch
-    *    preference; PERMUTE's expansion orders branches
-    *    lexicographically, so it composes unchanged).
+    * matches of a reluctant pattern. Walk the consumed-slot sequences;
+    * at the first diverging position with slots (sa, sb):
+    *  - if the slots' innermost reluctant groups differ, the decision
+    *    being ranked is the EARLIEST-DECLARED group among them
+    *    ([[Compiled.reluctantRank]]): the candidate whose slot is NOT
+    *    in that group wins — it exited/skipped the earlier loop, the
+    *    reluctant preference. (With one quantified element this is
+    *    round 10's inside/outside rule; with several — round 11 — it
+    *    makes earlier decision points dominate: fewest B first, then
+    *    fewest C, the `V B+? C+? E` lexicographic ranking.)
+    *  - same group (or neither in one): the LOWER slot id wins (slots
+    *    number in declaration order, so this is the leftmost
+    *    alternative — SQL:2016 branch preference; PERMUTE's expansion
+    *    orders branches lexicographically, so it composes unchanged).
     * A strict prefix (one candidate completed, the other kept
-    * consuming) prefers the SHORTER: under the single-quantifier
-    * contract the continuation can only be more reps of the reluctant
+    * consuming) prefers the SHORTER: with every quantifier reluctant,
+    * the continuation can only be more repetitions of some reluctant
     * loop. Returns the preferred candidate. */
   private def prefer[E](c: Compiled[E], a: Vector[(Int, E)],
       b: Vector[(Int, E)]): Vector[(Int, E)] = {
@@ -657,10 +720,13 @@ object GroupCep {
     while (i < n) {
       val sa = a(i)._1; val sb = b(i)._1
       if (sa != sb) {
-        val ra = c.reluctantSlots.contains(sa)
-        val rb = c.reluctantSlots.contains(sb)
-        return if (ra != rb) { if (!ra) a else b }
-        else if (sa < sb) a else b
+        val ra = c.reluctantRank.getOrElse(sa, Int.MaxValue)
+        val rb = c.reluctantRank.getOrElse(sb, Int.MaxValue)
+        return if (ra != rb) {
+          // the earlier-declared group is the decision point; NOT being
+          // in it means having exited it — the reluctant choice
+          if (ra > rb) a else b
+        } else if (sa < sb) a else b
       }
       i += 1
     }
@@ -742,6 +808,100 @@ object GroupCep {
     scala.collection.immutable.ListMap(groups.toSeq
       .map { case (n, g) => n -> g.map(_._1) }: _*)
 
+  /** Per-key-run emission policy unifying the batch drivers and the
+    * PLANNED [[graft.plans.GroupCepPlan.GroupCepExec]] operator — ONE
+    * source of truth for the SQL:2016 evaluation order (anchor-gate,
+    * then preference-select, then after-match skip):
+    *  - anchors set ⇒ every candidate buffers to the end of the key run
+    *    (the first completion per start may fail an anchor a longer
+    *    candidate passes), then the gates filter on arrival tags, the
+    *    most-preferred gate-passing candidate per start wins, and
+    *    emission is start-ordered — requires the pattern compiled with
+    *    [[GPattern.deferredReluctant]] so [[advance]]'s in-flight
+    *    shortest-per-start kill stays off;
+    *  - deferred reluctant (alternation) ⇒ [[ReluctantResolver]];
+    *  - non-default skip ⇒ [[GroupSkipQueue]] (composing with the
+    *    resolver when both apply);
+    *  - otherwise matches emit as [[advance]] produces them.
+    * `tagOf` supplies the arrival ordinal consulted by the anchor
+    * gates. Call [[step]] after each advance (it returns the possibly
+    * skip-pruned branch set) and [[finish]] once at end of the run. */
+  private[graft] final class GroupRunEmitter[E](
+      c: Compiled[E], ts: E => Long, skip: Cep.AfterMatchSkip,
+      anchorHead: Boolean, anchorTail: Boolean, tagOf: E => Long) {
+    private val anchored = anchorHead || anchorTail
+    if (anchored) {
+      require(skip == Cep.NoSkip, "anchors require the default skip")
+      require(c.reluctantSel && c.reluctantDeferred,
+        "anchor gates are the reluctant-selection composition and need " +
+          "deferred selection (compile the pattern with deferredReluctant)")
+    }
+    // anchored: per start, the most-preferred candidate STILL able to
+    // pass the gates — O(starts) memory, not O(candidates). The ^ gate
+    // is decidable at completion (head tag 0: filter at add). The $
+    // gate folds VERSIONED by each candidate's last captured tag:
+    // events arrive in tag order, so a newly completed candidate ends
+    // at-or-after every buffered one, and a buffered candidate ending
+    // EARLIER is already dead (the run now provably extends past it) —
+    // replace it; equal ends compete on [[prefer]]. Equivalent to
+    // buffering every candidate and gate-then-select at run end, which
+    // is what O(views x errors) per key would have cost at 100x scale.
+    private val aBest =
+      if (anchored) scala.collection.mutable.LinkedHashMap
+        .empty[E, (Long, Vector[(Int, E)])]
+      else null
+    private val rr =
+      if (!anchored && c.reluctantDeferred) new ReluctantResolver[E](c, ts)
+      else null
+    private val sq =
+      if (!anchored && skip != Cep.NoSkip)
+        new GroupSkipQueue[E](skip, c, ts, rr)
+      else null
+
+    def step(confs: Vector[GConf[E]], ms: Vector[Vector[(Int, E)]],
+        emit: Vector[(Int, E)] => Unit): Vector[GConf[E]] =
+      if (anchored) {
+        ms.foreach { m =>
+          if (!anchorHead || tagOf(m.head._2) == 0L) {
+            val s0 = m.head._2
+            if (anchorTail) {
+              val lt = tagOf(m.last._2)
+              aBest.get(s0) match {
+                case Some((plt, p)) if plt == lt =>
+                  aBest(s0) = (lt, prefer(c, p, m))
+                case Some((plt, _)) if plt > lt => () // defensive: tag order
+                case _ => aBest(s0) = (lt, m)
+              }
+            } else aBest(s0) = (0L,
+              aBest.get(s0).map(p => prefer(c, p._2, m)).getOrElse(m))
+          }
+        }
+        confs
+      }
+      else if (rr != null && sq != null) {
+        rr.add(ms)
+        rr.drain(confs, m => sq.add(Vector(m)))
+        sq.drain(confs, emit)
+      } else if (rr != null) { rr.add(ms); rr.drain(confs, emit); confs }
+      else if (sq == null) { ms.foreach(emit); confs }
+      else { sq.add(ms); sq.drain(confs, emit) }
+
+    /** End of the key run; `lastTag` = the run's highest arrival tag
+      * (only consulted by the $ gate). */
+    def finish(lastTag: Long, emit: Vector[(Int, E)] => Unit): Unit =
+      if (anchored) {
+        aBest.iterator.collect {
+          case (_, (lt, m)) if !anchorTail || lt == lastTag => m
+        }.toVector
+          .sortBy(m => (ts(m.head._2), tagOf(m.head._2)))
+          .foreach(emit)
+      } else {
+        if (rr != null) rr.drain(Vector.empty,
+          m => if (sq != null) sq.add(Vector(m)) else emit(m))
+        if (sq != null) sq.drain(Vector.empty, emit)
+      }
+  }
+
   /** One key's bounded scan: the shared NFA + after-match skip queue. */
   private def runKeyBatch[K, E2, O](k: K, events: Vector[E2],
       ts: E2 => Long, compiled: Compiled[E2], skip: Cep.AfterMatchSkip,
@@ -749,43 +909,20 @@ object GroupCep {
       stats: Cep.HotKeyStats = null): Vector[O] = {
     var confs = Vector.empty[GConf[E2]]
     val outs = Vector.newBuilder[O]
-    // reluctant + non-default skip composes since round 10. Two forms:
-    // WITHOUT alternation the in-advance first-completion-per-start
-    // selection is already the SQL preference, and its selected matches
-    // feed the skip queue directly (same-start longer branches die at
-    // selection, so the queue's earlier-start barrier sees only other
-    // starts). WITH alternation the deferred resolver picks the
-    // preferred candidate per start and releases into the queue, which
-    // prunes the resolver's buffered starts by the same boundary rule.
-    val rr = if (compiled.reluctantDeferred)
-               new ReluctantResolver[E2](compiled, ts)
-             else null
-    val sq = if (skip == Cep.NoSkip) null
-             else new GroupSkipQueue[E2](skip, compiled, ts, rr)
+    // reluctant + non-default skip composes since round 10; the emitter
+    // owns the resolver/skip-queue interplay (see [[GroupRunEmitter]])
+    val em = new GroupRunEmitter[E2](compiled, ts, skip,
+      anchorHead = false, anchorTail = false, tagOf = _ => 0L)
     def emitOut(m: Vector[(Int, E2)]): Unit =
       outs += finish(k, toGroups(compiled, m))
     var maxConfs = 0
     events.foreach { e =>
       val (next, ms) = advance(compiled, confs, e, ts(e))
-      confs = next
-      if (stats != null && confs.size > maxConfs) maxConfs = confs.size
-      if (rr != null && sq != null) {
-        rr.add(ms)
-        rr.drain(confs, m => sq.add(Vector(m)))
-        confs = sq.drain(confs, emitOut)
-      } else if (rr != null) {
-        rr.add(ms)
-        rr.drain(confs, emitOut)
-      } else if (sq == null) ms.foreach(emitOut)
-      else {
-        sq.add(ms)
-        confs = sq.drain(confs, emitOut)
-      }
+      if (stats != null && next.size > maxConfs) maxConfs = next.size
+      confs = em.step(next, ms, emitOut)
     }
     // end of input: no live branch blocks emission any more
-    if (rr != null) rr.drain(Vector.empty,
-      m => if (sq != null) sq.add(Vector(m)) else emitOut(m))
-    if (sq != null) sq.drain(Vector.empty, emitOut)
+    em.finish(events.size.toLong - 1, emitOut)
     if (stats != null) {
       stats.maxKeyEvents.add(events.size.toLong)
       stats.maxPartials.add(maxConfs.toLong)
@@ -809,27 +946,16 @@ object GroupCep {
       anchorTail: Boolean,
       finish: (K, Map[String, Seq[(E, Long)]]) => O): Vector[O] = {
     var confs = Vector.empty[GConf[(E, Long)]]
-    val all = Vector.newBuilder[Vector[(Int, (E, Long))]]
+    val em = new GroupRunEmitter[(E, Long)](compiled, ts, Cep.NoSkip,
+      anchorHead, anchorTail, tagOf = _._2)
     events.foreach { e =>
       val (next, ms) = advance(compiled, confs, e, ts(e))
-      confs = next
-      all ++= ms
+      confs = em.step(next, ms, _ => ())
     }
-    val lastTag = events.size.toLong - 1
-    val passing = all.result().filter { m =>
-      (!anchorHead || m.head._2._2 == 0L) &&
-        (!anchorTail || m.last._2._2 == lastTag)
-    }
-    val byStart = scala.collection.mutable.LinkedHashMap
-      .empty[(E, Long), Vector[(Int, (E, Long))]]
-    passing.foreach { m =>
-      val s0 = m.head._2
-      byStart(s0) = byStart.get(s0)
-        .map(p => prefer(compiled, p, m)).getOrElse(m)
-    }
-    byStart.values.toVector
-      .sortBy(m => (ts(m.head._2), m.head._2._2))
-      .map(m => finish(k, toGroups(compiled, m)))
+    val outs = Vector.newBuilder[O]
+    em.finish(events.size.toLong - 1,
+      m => outs += finish(k, toGroups(compiled, m)))
+    outs.result()
   }
 
   /** Run a group pattern over a batch Dataset: one event-time-sorted scan

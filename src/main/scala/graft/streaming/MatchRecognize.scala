@@ -925,7 +925,10 @@ object MatchRecognize {
         case PAlt(bs, _) => bs.flatMap(b => quantifiedVars(b, inQuant = true))
       }.toSet
     def quantOf(q: String): Option[(Int, Int, Boolean)] = q match {
-      case r if isReluctantQ(r) => None // reluctant: library path only
+      // round 11: reluctant quantifiers route planned too — the bounds
+      // parse from the base quantifier; the reluctant marker itself
+      // becomes the operator's pattern-level flag
+      case r if isReluctantQ(r) => quantOf(r.dropRight(1))
       case "?" => Some((1, 1, true))
       case "*" => Some((1, Int.MaxValue, true))
       case "+" => Some((1, Int.MaxValue, false))
@@ -944,9 +947,17 @@ object MatchRecognize {
       case _: PAlt => false
     }
     val qVars = quantifiedVars(elems, inQuant = false)
-    val groupPlanRoutable = !streamingIn && !anchored && !hasAlt(elems) &&
+    // round 11: the reluctant compositions route planned — ^/$ anchors
+    // (buffer-to-run-end gate-before-selection) and non-default skip
+    // both live in GroupCepExec via the same GroupRunEmitter the
+    // library drivers run. Plain anchored and plain non-default-skip
+    // group clauses keep their library routes (boundary-flag window /
+    // groupByKey skip queue) unchanged.
+    val groupPlanRoutable = !streamingIn &&
+      (!anchored || hasReluctant) && !hasAlt(elems) &&
       !neverMatches && droppedVars.isEmpty &&
-      quantsOk(elems) && skip == Cep.NoSkip && prevVars.isEmpty &&
+      quantsOk(elems) &&
+      (skip == Cep.NoSkip || hasReluctant) && prevVars.isEmpty &&
       subsets.isEmpty && excluded.isEmpty &&
       AllRowsRe.findFirstMatchIn(clause).isEmpty &&
       measures.nonEmpty && measures.forall { m =>
@@ -975,7 +986,11 @@ object MatchRecognize {
       }
       val planned = graft.plans.GroupCepPlan.matchGroupPattern(basePrepared,
         col(partCol), col("__mr_ord"), col("__mr_tie"),
-        elems.map(toSpec), withinMicros = withinOrd)
+        elems.map(toSpec), withinMicros = withinOrd,
+        reluctant = hasReluctant,
+        anchorHead = anchored && anchorStart,
+        anchorTail = anchored && anchorEnd,
+        skip = skip)
       return planned.select(col("key").as(partCol) +: measures.map { m =>
         (m match { case FinalMeasure(i) => i; case o => o }) match {
           case PosMeasure(v, c, alias, _, _) => col(s"${v}_${c}").as(alias)

@@ -14,6 +14,9 @@ package graft
   * deserializers the SQL side doesn't) and fabricate ±3× noise flips on
   * this box (ENGINE.md); profiled on qc1 at sf0.1: first run engine
   * 1.20s vs steady-state 0.25s — the plan didn't change, the JIT did.
+  *
+  * A second comma-separated-names argument restricts the comparison to
+  * those queries (fast targeted ratio checks while iterating).
   */
 object BaselineCompare {
   def main(args: Array[String]): Unit = {
@@ -31,8 +34,12 @@ object BaselineCompare {
       }
       samples.sorted.apply(1)
     }
+    val only: Option[Set[String]] =
+      args.drop(1).headOption.map(_.split(",").map(_.trim).toSet)
     var engTotal = 0.0; var baseTotal = 0.0
-    SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+    SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .foreach { case (name, sql) =>
       val parsed = try { spark.sql(sql); true }
       catch { case _: Throwable => false }
       if (parsed) {

@@ -271,6 +271,21 @@ object PlanAudit {
       qc28.contains("MapGroups") &&
         qc28.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1 &&
         !qc28.contains("Join"))
+    // reluctant × tail anchor and reluctant × skip (round 11): routed
+    // onto the planned GroupCepExec — one Exchange + one Sort feeding
+    // the operator, no groupByKey MapGroups, no window pass
+    for (n <- Seq("qc29_mr_reluctant_tail_anchor", "qc30_mr_reluctant_skip")) {
+      val pl = plan(n)
+      val gidx = pl.linesIterator.indexWhere(_.contains("- GroupCep "))
+      val below = pl.linesIterator.toVector.drop(gidx max 0)
+      check(s"$n routes onto the planned GroupCepExec", gidx >= 0)
+      check(s"$n exactly one shuffle below GroupCepExec",
+        below.count(_.contains("Exchange hashpartitioning")) == 1)
+      check(s"$n exactly one sort below GroupCepExec",
+        below.count(_.contains("Sort [")) == 1)
+      check(s"$n no MapGroups / boundary-flag Window",
+        !pl.contains("MapGroups") && !pl.contains("Window ["))
+    }
     // embedding decontamination (round 10): the benchmark slice
     // BROADCASTS (constant-side NLJ, the qe2/qp9 posture) and the
     // per-vector max partial-aggregates — no corpus-vs-corpus product

@@ -884,6 +884,62 @@ class MatchRecognizeSpec extends SparkSuite {
     }
   }
 
+  test("reluctant × $ anchor and reluctant × skip route PLANNED " +
+      "(GroupCepExec) and agree with the library drivers (round 11)") {
+    // V B+? E $ — candidates gate on the partition tail BEFORE
+    // preference selection; V B+? E + SKIP PAST LAST ROW — the greedy
+    // non-overlapping chain
+    val rows = Seq(
+      // user 1: two views, both reaching the final error
+      (1L, 10L, "view", 1L), (2L, 20L, "click", 1L),
+      (3L, 30L, "click", 1L), (4L, 40L, "view", 1L),
+      (5L, 50L, "click", 1L), (6L, 60L, "error", 1L),
+      // user 2: last row is not an error — contributes nothing to $
+      (10L, 10L, "view", 2L), (11L, 20L, "click", 2L),
+      (12L, 30L, "error", 2L), (13L, 40L, "click", 2L))
+    val df = rows.toDF("event_id", "ts", "event_type", "user_id")
+    def clause(tail: String, extra: String = "") =
+      s"""PARTITION BY user_id
+         |ORDER BY ts, event_id
+         |MEASURES V.event_id AS v_id, E.event_id AS e_id,
+         |  COUNT(B.*) AS nb$extra
+         |$tail
+         |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
+        .stripMargin
+    val anchored = MatchRecognize(df, clause("PATTERN (V B+? E $)"))
+    val aPlan = anchored.queryExecution.executedPlan.toString
+    assert(aPlan.contains("- GroupCep ") && !aPlan.contains("MapGroups"),
+      s"qc29-shape must route planned:\n$aPlan")
+    val aGot = anchored.select("v_id", "e_id", "nb")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(aGot === Set((1L, 6L, 4L), (4L, 6L, 1L)))
+    // LAST over the quantified B forces the LIBRARY anchored driver —
+    // same matches (route invariance)
+    val aLib = MatchRecognize(df,
+      clause("PATTERN (V B+? E $)", ",\n  LAST(B.event_id) AS lb"))
+    assert(aLib.queryExecution.executedPlan.toString.contains("MapGroups"))
+    assert(aLib.select("v_id", "e_id", "nb")
+      .as[(Long, Long, Long)].collect().toSet === aGot)
+
+    val skipped = MatchRecognize(df,
+      clause("AFTER MATCH SKIP PAST LAST ROW\nPATTERN (V B+? E)"))
+    val sPlan = skipped.queryExecution.executedPlan.toString
+    assert(sPlan.contains("- GroupCep ") && !sPlan.contains("MapGroups"),
+      s"qc30-shape must route planned:\n$sPlan")
+    val sGot = skipped.select("v_id", "e_id", "nb")
+      .as[(Long, Long, Long)].collect().toSet
+    // user 1: v1's shortest completion ends at the first error (6 is the
+    // ONLY error) -> (1, 6, 4); v4 starts at 40 <= 60 and is consumed.
+    // user 2: v10 -> first error at distance >= 2 is 12 -> (10, 12, 1)
+    assert(sGot === Set((1L, 6L, 4L), (10L, 12L, 1L)))
+    val sLib = MatchRecognize(df,
+      clause("AFTER MATCH SKIP PAST LAST ROW\nPATTERN (V B+? E)",
+        ",\n  LAST(B.event_id) AS lb"))
+    assert(sLib.queryExecution.executedPlan.toString.contains("MapGroups"))
+    assert(sLib.select("v_id", "e_id", "nb")
+      .as[(Long, Long, Long)].collect().toSet === sGot)
+  }
+
   test("streaming MATCH_NUMBER(): the per-key ordinal persists across micro-batches (round 9)") {
     // Two disjoint error pairs arriving in separate micro-batches, with
     // a quiet batch in between that lets every partial die — the ordinal
