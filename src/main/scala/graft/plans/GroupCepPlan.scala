@@ -369,17 +369,39 @@ object GroupCepPlan {
         "anchors require the default AFTER MATCH SKIP TO NEXT ROW")
     }
     if (reluctant) {
-      // mirror GPattern.reluctant's single-decision-point contract at
-      // PLAN time (the executor-side build would only fail per task)
+      // mirror GPattern.reluctant's contract at PLAN time (the
+      // executor-side build would only fail per task): >= 1 quantified
+      // element; with SEVERAL (round 11), no nesting and strict
+      // contiguity throughout — the generalized preference ranking's
+      // preconditions
       def quantCount(es: Seq[GSpec]): Int = es.map {
         case g: GGroupSpec =>
           (if (g.min != g.max || g.max > 1 || g.optional) 1 else 0) +
             quantCount(g.elems)
         case _ => 0
       }.sum
-      require(quantCount(elems) == 1,
-        "a reluctant pattern may contain exactly ONE quantified element " +
-          "(the single decision point the preference order ranks)")
+      val n = quantCount(elems)
+      require(n >= 1,
+        "a reluctant pattern needs at least one quantified element")
+      if (n > 1) {
+        def nested(es: Seq[GSpec]): Boolean = es.exists {
+          case g: GGroupSpec =>
+            val self = g.min != g.max || g.max > 1 || g.optional
+            (self && quantCount(g.elems) > 0) || nested(g.elems)
+          case _ => false
+        }
+        require(!nested(elems),
+          "multiple reluctant quantifiers must be sibling elements")
+        def allStrict(es: Seq[GSpec]): Boolean = es.zipWithIndex.forall {
+          case (g: GGroupSpec, i) =>
+            (i == 0 || g.strict) && g.consecutive && allStrict(g.elems)
+          case (l: GLeafSpec, i) => i == 0 || l.strict
+          case _ => true
+        }
+        require(allStrict(elems),
+          "multiple reluctant quantifiers require strict contiguity " +
+            "(strict/consecutive) throughout the pattern")
+      }
     }
     // The head/last negation rules hold RECURSIVELY: a nested group whose
     // elems end in a GNotSpec would have its pending negation silently

@@ -609,12 +609,16 @@ object MatchRecognize {
       }
     // SQL:2016 RELUCTANT quantifiers (round 10): `B+?` prefers the
     // FEWEST repetitions — the engine emits the shortest completion per
-    // match start instead of every satisfied length. Supported on flat
-    // AND nested patterns whose ONLY quantified element carries the
-    // marker, under the default skip; alternation/PERMUTE compose via
-    // deferred preference selection, and ^/$ anchors compose in batch
-    // via the GroupCep anchored driver. Multi-quantifier patterns and
-    // non-default skip reject.
+    // match start instead of every satisfied length. Flat AND
+    // nested-group patterns qualify; alternation/PERMUTE compose via
+    // deferred preference selection, ^/$ anchors compose in batch, and
+    // non-default skip composes through the resolver+queue drivers.
+    // ROUND 11: SEVERAL quantified elements compose when ALL carry the
+    // reluctant marker — GroupCep.prefer ranks the decision points
+    // lexicographically by declaration order (fewest of the first
+    // quantifier, then fewest of the second, ...), the `V B+? C+? E`
+    // SQL:2016 ranking. Mixed greedy/reluctant multi-quantifier
+    // patterns and multi-quantifier × alternation reject by name.
     def isReluctantQ(q: String): Boolean = q.length > 1 && q.endsWith("?")
     def anyReluctant(es: Vector[PElem]): Boolean = es.exists {
       case PVar(_, q) => q.exists(isReluctantQ)
@@ -622,21 +626,35 @@ object MatchRecognize {
       case PAlt(bs, q) => q.exists(isReluctantQ) || bs.exists(anyReluctant)
     }
     val hasReluctant = anyReluctant(elems)
+    def countQuants(es: Vector[PElem]): Int = es.map {
+      case PVar(_, q) => q.size
+      case PGrp(in, q) => q.size + countQuants(in)
+      case PAlt(bs, q) => q.size + bs.map(countQuants).sum
+    }.sum
+    val multiQuantReluctant = hasReluctant && countQuants(elems) > 1
     if (hasReluctant) {
-      // flat AND nested-group patterns qualify (the linear engine's
-      // Pattern.reluctant / the group engine's GPattern.reluctant);
-      // alternation and PERMUTE compose since round 10 — they route to
-      // GroupCep, whose drivers defer per-start selection and rank
-      // candidates by the SQL:2016 lexicographic preference (exit the
-      // reluctant loop over staying; leftmost branch otherwise)
-      def countQuants(es: Vector[PElem]): Int = es.map {
-        case PVar(_, q) => q.size
-        case PGrp(in, q) => q.size + countQuants(in)
-        case PAlt(bs, q) => q.size + bs.map(countQuants).sum
-      }.sum
-      require(countQuants(elems) == 1,
-        "a reluctant pattern may contain exactly ONE quantified element " +
-          "(the single decision point the preference order ranks)")
+      if (multiQuantReluctant) {
+        // every decision point must rank the same way — a greedy
+        // quantifier inside a reluctant ranking has no defined
+        // preference interleaving (Calcite rejects the mix too)
+        def allReluctant(es: Vector[PElem]): Boolean = es.forall {
+          case PVar(_, q) => q.forall(isReluctantQ)
+          case PGrp(in, q) => q.forall(isReluctantQ) && allReluctant(in)
+          case PAlt(bs, q) => q.forall(isReluctantQ) && bs.forall(allReluctant)
+        }
+        require(allReluctant(elems),
+          "a pattern with several quantified elements must mark EVERY " +
+            "one reluctant (mixed greedy/reluctant ranking is not " +
+            "supported)")
+        def anyAlt(es: Vector[PElem]): Boolean = es.exists {
+          case _: PAlt => true
+          case PGrp(in, _) => anyAlt(in)
+          case _ => false
+        }
+        require(!anyAlt(elems),
+          "multiple reluctant quantifiers do not compose with " +
+            "alternation/PERMUTE")
+      }
       // ROUND 10: anchors COMPOSE in batch — candidates buffer to end
       // of input, the anchor gates filter BEFORE per-start preference
       // selection (a shortest completion failing $ must lose to a
@@ -1254,10 +1272,13 @@ object MatchRecognize {
         }
       }
 
-    // flat reluctant+anchored and reluctant+skip patterns also run the
-    // GROUP engine: the anchored driver's buffer-then-gate-then-select
-    // and the resolver+skip-queue composition live there
-    val routeNested = nested || reluctantAnchored || reluctantSkip
+    // flat reluctant+anchored, reluctant+skip, and multi-quantifier
+    // reluctant patterns also run the GROUP engine: the anchored
+    // driver's buffer-then-gate-then-select, the resolver+skip-queue
+    // composition, and the generalized preference ranking live there
+    // (the linear engine's reluctant flag is per-step, single-slot)
+    val routeNested = nested || reluctantAnchored || reluctantSkip ||
+      multiQuantReluctant
     val __routed: DataFrame = if (!routeNested) {
       // FLAT variable sequence: the linear Cep NFA (arrival-id parity,
       // after-match skip, terminal negation — the full driver surface)

@@ -588,6 +588,51 @@ object MatchRecognizeQuery extends QueryModule {
         .orderBy("user_id", "v_id")
     },
 
+    q("qc31_mr_multi_reluctant",
+      // MULTI-QUANTIFIER RELUCTANT (round 11 — the largest remaining
+      // named rejection): `V B+? C+? E` carries TWO ranked decision
+      // points; SQL:2016 preference is LEXICOGRAPHIC by declaration —
+      // fewest B first, THEN fewest C — so the winner per start may
+      // spend MORE C to save a B (B is unrestricted, C is clicks
+      // only). Oracle: the rn lattice per start — for each error e the
+      // per-e lexicomin is nb = max(1, L - crl(e-1)) over the
+      // consecutive-click-run length crl, and the global winner is the
+      // (nb, nc)-lexicographic MIN over all reachable errors.
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (SELECT user_id, rn,
+        |    rn - coalesce(max(CASE WHEN event_type <> 'click' THEN rn END)
+        |      OVER (PARTITION BY user_id ORDER BY rn
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS crl
+        |  FROM o),
+        |cand AS (SELECT v.user_id, v.event_id AS v_id, e.event_id AS e_id,
+        |    GREATEST(1, e.rn - v.rn - 1 - p.crl) AS nb,
+        |    (e.rn - v.rn - 1) - GREATEST(1, e.rn - v.rn - 1 - p.crl) AS nc,
+        |    row_number() OVER (PARTITION BY v.user_id, v.event_id
+        |      ORDER BY GREATEST(1, e.rn - v.rn - 1 - p.crl),
+        |        (e.rn - v.rn - 1) - GREATEST(1, e.rn - v.rn - 1 - p.crl)) AS pref
+        |  FROM o v
+        |  JOIN o e ON e.user_id = v.user_id AND e.event_type = 'error'
+        |    AND e.rn >= v.rn + 3
+        |  JOIN r p ON p.user_id = e.user_id AND p.rn = e.rn - 1
+        |    AND p.crl >= 1
+        |  WHERE v.event_type = 'view')
+        |SELECT user_id, v_id, e_id, CAST(nb AS BIGINT) AS nb,
+        |  CAST(nc AS BIGINT) AS nc
+        |FROM cand WHERE pref = 1
+        |ORDER BY user_id, v_id""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS v_id, E.event_id AS e_id,
+          |  COUNT(B.*) AS nb, COUNT(C.*) AS nc
+          |PATTERN (V B+? C+? E)
+          |DEFINE V AS event_type = 'view', C AS event_type = 'click',
+          |       E AS event_type = 'error'""".stripMargin)
+        .orderBy("user_id", "v_id")
+    },
+
     q("qc28_mr_reluctant_alternation",
       // RELUCTANT × ALTERNATION (round 10 — the composition VERDICT
       // asked for): `V (C X|P){1,2}? E` — a view, then the SQL:2016-

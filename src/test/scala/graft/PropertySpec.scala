@@ -286,6 +286,74 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("multi-quantifier reluctant equals the brute-force rn-lattice " +
+      "lexicographic minimum, and is split-invariant (round 11)") {
+    // Independent oracle: enumerate EVERY strict-adjacency split of
+    // every (start, end) pair into B^nb C^nc (and D^nd), keep the
+    // predicate-satisfying ones, rank (nb, nc[, nd]) lexicographically
+    // — the SQL:2016 preference for sibling reluctant quantifiers with
+    // declaration-ordered decision points. The engine must emit exactly
+    // the per-start minimum, in one batch AND across any 2-way split.
+    import graft.streaming.{Cep, GroupCep, VirtualClockHarness}
+    import graft.streaming.GroupCep.GPattern
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    type E = (String, Long)
+    val bPreds: Vector[(String, E => Boolean)] = Vector(
+      ("any", _ => true), ("notE", _._1 != "e"), ("isB", _._1 == "b"))
+    val cPreds: Vector[(String, E => Boolean)] = Vector(
+      ("isC", _._1 == "c"), ("bOrC", t => t._1 == "b" || t._1 == "c"),
+      ("notV", _._1 != "v"))
+    def pat2(b: E => Boolean, c: E => Boolean) =
+      GPattern.begin[E]("v")(_._1 == "v")
+        .next(GPattern.begin[E]("b")(b)).oneOrMore.consecutive
+        .next(GPattern.begin[E]("c")(c)).oneOrMore.consecutive
+        .next("e")(_._1 == "e")
+        .reluctant
+    def brute2(ev: Vector[E], b: E => Boolean, c: E => Boolean)
+        : Map[(Long, Long, Int, Int), Int] = {
+      val n = ev.length
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Int, Int)]
+      for (i <- 0 until n if ev(i)._1 == "v") {
+        val cands = for {
+          j <- i + 3 until n + 1; jj = j - 1
+          if ev(jj)._1 == "e"
+          m <- i + 1 until jj // B = i+1..m, C = m+1..jj-1
+          if (i + 1 to m).forall(k => b(ev(k)))
+          if (m + 1 until jj).nonEmpty
+          if (m + 1 until jj).forall(k => c(ev(k)))
+        } yield (ev(i)._2, ev(jj)._2, m - i, jj - 1 - m)
+        if (cands.nonEmpty)
+          out += cands.minBy(t => (t._3, t._4))
+      }
+      out.groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val namesGen = Gen.listOfN(16, Gen.oneOf("v", "b", "c", "e", "x"))
+    check(Prop.forAll(namesGen, Gen.choose(0, 16),
+      Gen.choose(0, bPreds.size - 1), Gen.choose(0, cPreds.size - 1)) {
+      (names, cut, bi, ci) =>
+        val ev = names.zipWithIndex
+          .map { case (nm, i) => (nm, i.toLong) }.toVector
+        val (b, c) = (bPreds(bi)._2, cPreds(ci)._2)
+        def runChunks(chunks: Seq[Seq[E]]): Map[(Long, Long, Int, Int), Int] = {
+          val gfn = GroupCep.matchStreamArrivalFn[Int, E,
+            (Long, Long, Int, Int)](
+            pat2(b, c), _._2, _ => 0L, Cep.NoSkip,
+            (_, groups) => (groups("v").head._2, groups("e").head._2,
+              groups("b").size, groups("c").size))
+          val h = new VirtualClockHarness[Int, E,
+            GroupCep.GArrivalState[E], (Long, Long, Int, Int)](
+            GroupStateTimeout.NoTimeout(), gfn)
+          chunks.flatMap(ch => h.input(0, ch: _*))
+            .groupBy(identity).view.mapValues(_.size).toMap
+        }
+        val expected = brute2(ev, b, c)
+        val whole = runChunks(Seq(ev))
+        val split = runChunks(Seq(ev.take(cut), ev.drop(cut)))
+        whole == expected && split == expected
+    })
+  }
+
   test("sketch merges are a commutative monoid on random streams (CMS + reservoir)") {
     // the algebra the 100 TB rollup relies on: any merge tree over any
     // partitioning of the stream yields the identical sketch

@@ -940,6 +940,79 @@ class MatchRecognizeSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().toSet === sGot)
   }
 
+  test("multi-quantifier reluctant: lexicographic preference by " +
+      "declaration order — fewest B first, THEN fewest C (round 11)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      // user 1: winner spends MORE C to save a B — (nb=1, nc=2) beats
+      // (nb=2, nc=1) even though both end at the same error
+      (1L, 10L, "view", 1L), (2L, 20L, "other", 1L),
+      (3L, 30L, "click", 1L), (4L, 40L, "click", 1L),
+      (5L, 50L, "error", 1L), (6L, 60L, "click", 1L),
+      (7L, 70L, "error", 1L),
+      // user 2: no click directly before the error -> no candidate
+      (10L, 10L, "view", 2L), (11L, 20L, "click", 2L),
+      (12L, 30L, "error", 2L),
+      // user 3: exactly one split
+      (20L, 10L, "view", 3L), (21L, 20L, "other", 3L),
+      (22L, 30L, "click", 3L), (23L, 40L, "error", 3L))
+    val clause =
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES V.event_id AS v_id, E.event_id AS e_id,
+        |  COUNT(B.*) AS nb, COUNT(C.*) AS nc
+        |PATTERN (V B+? C+? E)
+        |DEFINE V AS event_type = 'view', C AS event_type = 'click',
+        |       E AS event_type = 'error'""".stripMargin
+    val df = rows.toDF("event_id", "ts", "event_type", "user_id")
+    val out = MatchRecognize(df, clause)
+    assert(out.queryExecution.executedPlan.toString.contains("- GroupCep "))
+    val expected = Set((1L, 1L, 5L, 1L, 2L), (3L, 20L, 23L, 1L, 1L))
+    assert(out.select("user_id", "v_id", "e_id", "nb", "nc")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet === expected)
+    // THREE quantifiers rank the same way (B, then C, then D)
+    val three = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES V.event_id AS v_id, COUNT(B.*) AS nb, COUNT(C.*) AS nc,
+        |  COUNT(D.*) AS nd
+        |PATTERN (V B+? C+? D+? E)
+        |DEFINE V AS event_type = 'view', C AS event_type = 'click',
+        |       D AS event_type <> 'view', E AS event_type = 'error'"""
+        .stripMargin)
+      .select("user_id", "v_id", "nb", "nc", "nd")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // user 1: events between v1 and e5 are {other, click, click}; the
+    // lexicomin split is B={other}, C={click}, D={click} = (1,1,1)
+    assert(three === Set((1L, 1L, 1L, 1L, 1L)))
+    // STREAMING parity: the in-flight preference fold rides keyed state
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val q = MatchRecognize(
+        input.toDF().toDF("event_id", "ts", "event_type", "user_id"),
+        clause)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mr_multi_rel").start()
+    try {
+      input.addData(rows.take(4): _*); q.processAllAvailable()
+      input.addData(rows.drop(4): _*); q.processAllAvailable()
+      assert(spark.table("mr_multi_rel")
+        .select("user_id", "v_id", "e_id", "nb", "nc")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet === expected)
+    } finally q.stop()
+    // mixed greedy/reluctant and multi x alternation reject by name
+    val eMix = intercept[IllegalArgumentException] {
+      MatchRecognize(df, clause.replace("B+?", "B+"))
+    }
+    assert(eMix.getMessage.contains("mixed greedy/reluctant"))
+    val eAlt = intercept[IllegalArgumentException] {
+      MatchRecognize(df,
+        clause.replace("PATTERN (V B+? C+? E)",
+          "PATTERN (V (B|C){1,2}? C+? E)"))
+    }
+    assert(eAlt.getMessage.contains("alternation"))
+  }
+
   test("streaming MATCH_NUMBER(): the per-key ordinal persists across micro-batches (round 9)") {
     // Two disjoint error pairs arriving in separate micro-batches, with
     // a quiet batch in between that lets every partial die — the ordinal
@@ -1310,7 +1383,8 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(got === Set((3L, 2L, 0L, 3L)))
   }
 
-  test("reluctant rejections: multi-quantifier, non-default skip, anchors") {
+  test("reluctant rejections: mixed greedy/reluctant multi, nested " +
+      "multi, streaming $") {
     def mr(p: String, extra: String = "") = MatchRecognize(events,
       s"""PARTITION BY user_id
          |ORDER BY ts, event_id
@@ -1319,10 +1393,15 @@ class MatchRecognizeSpec extends SparkSuite {
          |PATTERN ($p)
          |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
         .stripMargin)
+    // round 11: several quantifiers COMPOSE when all are reluctant;
+    // a greedy quantifier mixed into the ranking still rejects
     assert(intercept[IllegalArgumentException](mr("V? B+? E"))
-      .getMessage.contains("exactly ONE"))
+      .getMessage.contains("mixed greedy/reluctant"))
     assert(intercept[IllegalArgumentException](mr("V (B E?)+? X"))
-      .getMessage.contains("exactly ONE"))
+      .getMessage.contains("mixed greedy/reluctant"))
+    // all-reluctant but NESTED quantifiers stay rejected
+    assert(intercept[IllegalArgumentException](mr("V (B E??)+? X"))
+      .getMessage.contains("sibling"))
     // non-default skip composes since round 10 (behavior test below)
     // anchors compose in BATCH since round 10, and the flat ^ head
     // anchor composes under streaming too; the $ tail still rejects on
