@@ -363,10 +363,10 @@ object GroupCepPlan {
     if (anchorHead || anchorTail) {
       // the planned anchors are the reluctant-selection composition
       // (plain anchored group patterns post-filter on boundary flags in
-      // the library path); gate-before-selection needs deferral
+      // the library path); gate-before-selection needs deferral.
+      // Round 11: non-default skip composes (gate → select → skip —
+      // the queue runs over the selected candidates at run end)
       require(reluctant, "planned ^/$ anchors require a reluctant pattern")
-      require(skip == graft.streaming.Cep.NoSkip,
-        "anchors require the default AFTER MATCH SKIP TO NEXT ROW")
     }
     if (reluctant) {
       // mirror GPattern.reluctant's contract at PLAN time (the

@@ -831,7 +831,6 @@ object GroupCep {
       anchorHead: Boolean, anchorTail: Boolean, tagOf: E => Long) {
     private val anchored = anchorHead || anchorTail
     if (anchored) {
-      require(skip == Cep.NoSkip, "anchors require the default skip")
       require(c.reluctantSel && c.reluctantDeferred,
         "anchor gates are the reluctant-selection composition and need " +
           "deferred selection (compile the pattern with deferredReluctant)")
@@ -853,9 +852,12 @@ object GroupCep {
     private val rr =
       if (!anchored && c.reluctantDeferred) new ReluctantResolver[E](c, ts)
       else null
+    // round 11: anchors × skip composes — the SQL:2016 evaluation
+    // order is gate, then select, then skip, so under anchors the
+    // queue only runs at [[finish]], over the gate-passing selected
+    // candidates (no live branch can block: the run has ended)
     private val sq =
-      if (!anchored && skip != Cep.NoSkip)
-        new GroupSkipQueue[E](skip, c, ts, rr)
+      if (skip != Cep.NoSkip) new GroupSkipQueue[E](skip, c, ts, rr)
       else null
 
     def step(confs: Vector[GConf[E]], ms: Vector[Vector[(Int, E)]],
@@ -890,11 +892,19 @@ object GroupCep {
       * (only consulted by the $ gate). */
     def finish(lastTag: Long, emit: Vector[(Int, E)] => Unit): Unit =
       if (anchored) {
-        aBest.iterator.collect {
+        val selected = aBest.iterator.collect {
           case (_, (lt, m)) if !anchorTail || lt == lastTag => m
         }.toVector
           .sortBy(m => (ts(m.head._2), tagOf(m.head._2)))
-          .foreach(emit)
+        if (sq == null) selected.foreach(emit)
+        else {
+          // skip runs LAST: over the selected matches in start order
+          // (under $ every match ends at the partition tail, so PAST
+          // LAST ROW collapses to the earliest start — the boundary
+          // rule, not an arbitrary pick)
+          sq.add(selected)
+          sq.drain(Vector.empty, emit)
+        }
       } else {
         if (rr != null) rr.drain(Vector.empty,
           m => if (sq != null) sq.add(Vector(m)) else emit(m))
@@ -943,10 +953,10 @@ object GroupCep {
   private def runKeyAnchoredReluctant[K, E, O](k: K,
       events: Vector[(E, Long)], ts: ((E, Long)) => Long,
       compiled: Compiled[(E, Long)], anchorHead: Boolean,
-      anchorTail: Boolean,
+      anchorTail: Boolean, skip: Cep.AfterMatchSkip,
       finish: (K, Map[String, Seq[(E, Long)]]) => O): Vector[O] = {
     var confs = Vector.empty[GConf[(E, Long)]]
-    val em = new GroupRunEmitter[(E, Long)](compiled, ts, Cep.NoSkip,
+    val em = new GroupRunEmitter[(E, Long)](compiled, ts, skip,
       anchorHead, anchorTail, tagOf = _._2)
     events.foreach { e =>
       val (next, ms) = advance(compiled, confs, e, ts(e))
@@ -976,9 +986,9 @@ object GroupCep {
       finish: (K, Map[String, Seq[E]]) => O)(
       implicit ke: Encoder[K]): Dataset[O] =
     if (anchorHead || anchorTail) {
-      // the reluctant × anchors composition (see runKeyAnchoredReluctant)
+      // the reluctant × anchors composition (see runKeyAnchoredReluctant);
+      // round 11: non-default skip composes too (gate → select → skip)
       require(arrivalIds, "anchor gates need arrival identity")
-      require(skip == Cep.NoSkip, "anchors require the default skip")
       val compiled = compile(liftG(pattern.deferredReluctant))
       require(compiled.reluctantSel,
         "anchor gates are the reluctant-selection composition; plain " +
@@ -987,7 +997,7 @@ object GroupCep {
         val wrapped = it.toVector.sortBy(e => (ts(e), tie(e)))
           .zipWithIndex.map { case (e, i) => (e, i.toLong) }
         runKeyAnchoredReluctant[K, E, O](k, wrapped, w => ts(w._1),
-          compiled, anchorHead, anchorTail,
+          compiled, anchorHead, anchorTail, skip,
           (kk, groups) => finish(kk, unliftGroups(groups))).iterator
       }
     } else if (!arrivalIds) {

@@ -670,7 +670,9 @@ object MatchRecognize {
       // the GroupCep drivers resolve THE preferred match per start
       // first, then the skip queue emits/prunes over those selections
       // (GroupSkipQueue prunes the resolver's buffered starts by the
-      // same boundary rule); anchors × skip stays rejected globally.
+      // same boundary rule). ROUND 11: anchors × skip × reluctant
+      // composes too — the queue runs over the gate-passing selected
+      // candidates at end of the key run.
     }
     // batch reluctant × anchors: route through the GroupCep anchored
     // driver (NFA-side gates), not the boundary-flag post-filter;
@@ -739,8 +741,16 @@ object MatchRecognize {
         "under streaming only the ^ head anchor on a flat pattern is " +
           "supported; the $ tail requires batch input (the partition " +
           "end is unknowable on an unbounded stream)")
-      require(skip == Cep.NoSkip, "^/$ anchors require the default " +
-        "AFTER MATCH SKIP TO NEXT ROW")
+      // round 11: anchors × skip composes on the BATCH RELUCTANT route
+      // (SQL:2016 evaluation order — the gates filter candidates, the
+      // preference selects per start, THEN the skip queue consumes over
+      // the selected matches; under $ + PAST LAST ROW that collapses
+      // each partition to its earliest-start match). The boundary-flag
+      // post-filter path still rejects: an anchor-rejected candidate
+      // must not consume the skip queue there.
+      require(skip == Cep.NoSkip || (hasReluctant && !streamingIn),
+        "^/$ anchors compose with a non-default AFTER MATCH SKIP only " +
+          "on batch reluctant patterns (the gate-select-skip driver)")
     }
     // the batch boundary-flag machinery (window pass + candidate
     // post-filter) serves only the batch library path; the reluctant

@@ -588,6 +588,40 @@ object MatchRecognizeQuery extends QueryModule {
         .orderBy("user_id", "v_id")
     },
 
+    q("qc32_mr_reluctant_anchor_skip",
+      // RELUCTANT × $ ANCHOR × AFTER MATCH SKIP PAST LAST ROW (round
+      // 11 — the last ternary composition): candidates gate on the
+      // partition tail, the per-start preference selects, THEN the
+      // skip queue consumes over the selections. Under $ every
+      // selected match ends at the partition's last row, so PAST LAST
+      // ROW collapses each partition to its EARLIEST-start match —
+      // qc29's row set reduced to MIN(v) per user, which pins the
+      // queue's start-ordered boundary rule (an arbitrary survivor
+      // would hash-mismatch).
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |l AS (SELECT user_id, event_id AS e_id, n FROM o
+        |  WHERE rn = n AND event_type = 'error'),
+        |v AS (SELECT o.user_id, o.event_id AS v_id, l.e_id,
+        |    CAST(l.n - 1 - o.rn AS BIGINT) AS nb,
+        |    row_number() OVER (PARTITION BY o.user_id ORDER BY o.rn) AS pos
+        |  FROM o JOIN l ON l.user_id = o.user_id
+        |  WHERE o.event_type = 'view' AND o.rn <= l.n - 2)
+        |SELECT user_id, v_id, e_id, nb FROM v WHERE pos = 1
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS v_id, E.event_id AS e_id, COUNT(B.*) AS nb
+          |AFTER MATCH SKIP PAST LAST ROW
+          |PATTERN (V B+? E $)
+          |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
+          .stripMargin)
+        .orderBy("user_id")
+    },
+
     q("qc31_mr_multi_reluctant",
       // MULTI-QUANTIFIER RELUCTANT (round 11 — the largest remaining
       // named rejection): `V B+? C+? E` carries TWO ranked decision

@@ -274,7 +274,8 @@ object PlanAudit {
     // reluctant × tail anchor and reluctant × skip (round 11): routed
     // onto the planned GroupCepExec — one Exchange + one Sort feeding
     // the operator, no groupByKey MapGroups, no window pass
-    for (n <- Seq("qc29_mr_reluctant_tail_anchor", "qc30_mr_reluctant_skip")) {
+    for (n <- Seq("qc29_mr_reluctant_tail_anchor", "qc30_mr_reluctant_skip",
+        "qc31_mr_multi_reluctant", "qc32_mr_reluctant_anchor_skip")) {
       val pl = plan(n)
       val gidx = pl.linesIterator.indexWhere(_.contains("- GroupCep "))
       val below = pl.linesIterator.toVector.drop(gidx max 0)

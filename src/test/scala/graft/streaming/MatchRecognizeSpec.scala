@@ -353,7 +353,9 @@ class MatchRecognizeSpec extends SparkSuite {
           |PATTERN (E $)
           |DEFINE E AS event_type = 'error'""".stripMargin)
     }
-    assert(ex1.getMessage.contains("SKIP TO NEXT ROW"))
+    // round 11: anchors × skip composes on RELUCTANT batch patterns;
+    // a plain (non-reluctant) anchored clause still rejects the mix
+    assert(ex1.getMessage.contains("batch reluctant patterns"))
     // an interior anchor behind a NON-nullable element is unsatisfiable:
     // zero rows, deterministically (SQL:2016 degenerate semantics)
     val interior = MatchRecognize(df,
@@ -938,6 +940,30 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(sLib.queryExecution.executedPlan.toString.contains("MapGroups"))
     assert(sLib.select("v_id", "e_id", "nb")
       .as[(Long, Long, Long)].collect().toSet === sGot)
+
+    // round 11, the TERNARY composition: gate, select, THEN skip.
+    // Under $ every selected match ends at the partition tail, so
+    // PAST LAST ROW keeps only user 1's earliest start...
+    val tern = MatchRecognize(df,
+      clause("AFTER MATCH SKIP PAST LAST ROW\nPATTERN (V B+? E $)"))
+    assert(tern.queryExecution.executedPlan.toString.contains("- GroupCep "))
+    assert(tern.select("v_id", "e_id", "nb")
+      .as[(Long, Long, Long)].collect().toSet === Set((1L, 6L, 4L)))
+    // ...while SKIP TO LAST V's boundary is the match's OWN start, so
+    // the later start survives — the two strategies must differ, which
+    // pins the queue's boundary rule rather than an emit-one shortcut
+    val ternToLast = MatchRecognize(df,
+      clause("AFTER MATCH SKIP TO LAST V\nPATTERN (V B+? E $)"))
+    assert(ternToLast.select("v_id", "e_id", "nb")
+      .as[(Long, Long, Long)].collect().toSet ===
+      Set((1L, 6L, 4L), (4L, 6L, 1L)))
+    // library twin (LAST over B forces it) agrees
+    val ternLib = MatchRecognize(df,
+      clause("AFTER MATCH SKIP PAST LAST ROW\nPATTERN (V B+? E $)",
+        ",\n  LAST(B.event_id) AS lb"))
+    assert(ternLib.queryExecution.executedPlan.toString.contains("MapGroups"))
+    assert(ternLib.select("v_id", "e_id", "nb")
+      .as[(Long, Long, Long)].collect().toSet === Set((1L, 6L, 4L)))
   }
 
   test("multi-quantifier reluctant: lexicographic preference by " +
