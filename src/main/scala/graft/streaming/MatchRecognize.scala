@@ -67,8 +67,24 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *                                  -- output; name-keyed — a variable
   *                                  -- both inside and outside rejects);
   *                                  -- ^/$ partition anchors at the
-  *                                  -- pattern boundaries (default skip
-  *                                  -- only; $ needs batch input, while
+  *                                  -- pattern boundaries (non-default
+  *                                  -- skip composes on batch RELUCTANT
+  *                                  -- patterns — gate, select, then
+  *                                  -- skip; plain anchored clauses
+  *                                  -- keep the default skip; $ needs
+  *                                  -- batch input PERMANENTLY: WITHIN
+  *                                  -- bounds a match's duration, not
+  *                                  -- the partition's extent, so even
+  *                                  -- a closed window cannot prove the
+  *                                  -- last row seen is the partition's
+  *                                  -- last — any later event, however
+  *                                  -- far outside every open window,
+  *                                  -- still extends the partition and
+  *                                  -- invalidates an emitted $-match;
+  *                                  -- only an end-of-input marker
+  *                                  -- could, and Structured Streaming
+  *                                  -- has no per-key end-of-stream —
+  *                                  -- while
   *                                  -- ^ ALSO works on flat streaming
   *                                  -- clauses via the cross-batch
   *                                  -- arrival ordinal; flat

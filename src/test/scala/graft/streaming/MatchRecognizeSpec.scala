@@ -1026,6 +1026,19 @@ class MatchRecognizeSpec extends SparkSuite {
         .select("user_id", "v_id", "e_id", "nb", "nc")
         .as[(Long, Long, Long, Long, Long)].collect().toSet === expected)
     } finally q.stop()
+    // the $ gate and non-default skip compose with MULTIPLE
+    // quantifiers too (the full quaternary): only candidates ending at
+    // the partition's last row survive the gate, THEN preference
+    // selects, THEN the queue consumes
+    val mqa = MatchRecognize(df,
+      clause.replace("PATTERN (V B+? C+? E)",
+        "AFTER MATCH SKIP PAST LAST ROW\nPATTERN (V B+? C+? E $)"))
+    // user 1's partition ends at e7: the gate forces E=7, C-run before
+    // it is just c6 -> (nb=4, nc=1); user 3 unchanged; user 2's L=1
+    // window cannot fit B+ C+
+    assert(mqa.select("user_id", "v_id", "e_id", "nb", "nc")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet ===
+      Set((1L, 1L, 7L, 4L, 1L), (3L, 20L, 23L, 1L, 1L)))
     // mixed greedy/reluctant and multi x alternation reject by name
     val eMix = intercept[IllegalArgumentException] {
       MatchRecognize(df, clause.replace("B+?", "B+"))
