@@ -183,11 +183,6 @@ object GroupCep {
         case a: GAlt[E] => a.branches.map(quantCount).sum
         case _ => 0
       }.sum
-      def hasAlt(es: Vector[GElem[E]]): Boolean = es.exists {
-        case _: GAlt[E] => true
-        case g: GGroup[E] => hasAlt(g.elems)
-        case _ => false
-      }
       def nestedQuant(es: Vector[GElem[E]]): Boolean = es.exists {
         case g: GGroup[E] =>
           val self = g.min != g.max || g.max > 1 || g.optional
@@ -199,18 +194,16 @@ object GroupCep {
       require(n >= 1,
         "a reluctant pattern needs at least one quantified element")
       // round 11: SEVERAL quantified elements compose — every one is
-      // ranked reluctant and [[GroupCep.prefer]] orders the decision
-      // points lexicographically by declaration (fewest of the first,
-      // then fewest of the second, ...). Two named limits remain:
-      // alternation × multi-quantifier (branch preference and loop
-      // preference would need a per-branch rank lattice) and a
-      // quantifier NESTED inside another (the innermost-rank rule
-      // cannot express the outer loop's per-repetition re-ranking).
+      // ranked reluctant and [[GroupCep.prefer]] walks the structural
+      // decision lattice ([[Compiled.slotPath]]): alternation levels
+      // prefer the leftmost branch, sequence levels prefer the exit —
+      // so alternation/PERMUTE compose with multiple quantifiers too
+      // (branch preference dominates in-branch loops). The one
+      // remaining structural limit: a quantifier NESTED inside another
+      // quantified group (the slot path cannot distinguish the outer
+      // loop's repetitions, so per-repetition re-ranking is
+      // inexpressible).
       if (n > 1) {
-        require(!hasAlt(elems),
-          "multiple reluctant quantifiers do not compose with " +
-            "alternation/PERMUTE (one ranked decision lattice per " +
-            "branch would be required)")
         require(!nestedQuant(elems),
           "multiple reluctant quantifiers must be sibling elements " +
             "(a quantifier nested inside a quantified group is not " +
@@ -223,9 +216,13 @@ object GroupCep {
         def allStrict(es: Vector[GElem[E]]): Boolean =
           es.zipWithIndex.forall {
             case (g: GGroup[E], i) =>
-              (i == 0 || g.mode == Strict) && g.loopMode == Strict &&
+              // loop contiguity only matters when the group can repeat
+              (i == 0 || g.mode == Strict) &&
+                (g.max <= 1 || g.loopMode == Strict) &&
                 allStrict(g.elems)
             case (l: GLeaf[E], i) => i == 0 || l.mode == Strict
+            case (al: GAlt[E], i) =>
+              (i == 0 || al.mode == Strict) && al.branches.forall(allStrict)
             case (_, _) => true
           }
         require(allStrict(elems),
@@ -432,33 +429,36 @@ object GroupCep {
       collect(realRoot).map(s => s.slot -> s).toMap
     }
 
-    /** Slot → declaration rank of its INNERMOST quantified group — the
-      * reluctant decision points [[prefer]] ranks against. With ONE
-      * quantified element this is the round-10 membership set; with
-      * SEVERAL (round 11, all marked reluctant, no alternation) the
-      * rank orders the decision points lexicographically: at a
-      * divergence between two groups, the EARLIER-declared one is the
-      * decision being taken, and exiting/skipping it (the slot NOT in
-      * it) is the reluctant preference. Alternation branch wrappers are
-      * min=1/max=1 and don't count; for nested quantified groups the
-      * innermost rank wins (outer visited first, inner overwrites). */
-    private[GroupCep] val reluctantRank: Map[Int, Int] = {
-      def slotsOf(n: Node): Vector[Int] = n match {
-        case SNode(s, _) => Vector(s)
-        case g: GNode => g.children.flatMap(slotsOf)
-        case a: ANode => a.branches.flatMap(slotsOf)
-      }
-      def quantNodes(n: Node): Vector[GNode] = n match {
-        case _: SNode => Vector.empty
+    /** Slot → structural path from the root, one (parentIsAlt,
+      * childIdx) entry per tree level — the decision lattice
+      * [[prefer]] ranks against. Two diverging slots share a path
+      * prefix; the FIRST differing entry names the decision that
+      * separated the candidates:
+      *  - an ALTERNATION level → the LOWER branch index wins (SQL:2016
+      *    leftmost preference — and it dominates any loop decision
+      *    deeper in the branch, so a reluctant quantifier INSIDE a
+      *    later branch cannot outrank an earlier branch);
+      *  - a SEQUENCE level → the HIGHER child index wins: the
+      *    candidate that exited/skipped the earlier subtree took the
+      *    reluctant choice. Sound because every skippable/repeatable
+      *    element under `reluctantSel` is reluctant-quantified (mixed
+      *    greedy rejects) and NESTED quantifiers reject — so inside
+      *    any quantified group progression is deterministic and
+      *    sequence-level divergences always rank a reluctant
+      *    exit-vs-stay/skip-vs-take decision. */
+    private[GroupCep] val slotPath: Map[Int, Vector[(Boolean, Int)]] = {
+      val b = Map.newBuilder[Int, Vector[(Boolean, Int)]]
+      def walk(n: Node, path: Vector[(Boolean, Int)]): Unit = n match {
+        case SNode(s, _) => b += s -> path
         case g: GNode =>
-          (if (g.min != g.max || g.max > 1 || g.optional || g.min == 0)
-             Vector(g)
-           else Vector.empty) ++ g.children.flatMap(quantNodes)
-        case a: ANode => a.branches.flatMap(quantNodes)
+          g.children.zipWithIndex.foreach { case (c, i) =>
+            walk(c, path :+ ((false, i))) }
+        case a: ANode =>
+          a.branches.zipWithIndex.foreach { case (br, i) =>
+            walk(br, path :+ ((true, i))) }
       }
-      if (!reluctantSel) Map.empty
-      else realRoot.children.flatMap(quantNodes).zipWithIndex
-        .flatMap { case (g, r) => slotsOf(g).map(_ -> r) }.toMap
+      walk(realRoot, Vector.empty)
+      b.result()
     }
     /** Reluctant + any alternation anywhere ⇒ completion order no longer
       * equals preference order: drivers must defer per-start selection
@@ -696,19 +696,17 @@ object GroupCep {
 
   /** SQL:2016 lexicographic preference between two SAME-START candidate
     * matches of a reluctant pattern. Walk the consumed-slot sequences;
-    * at the first diverging position with slots (sa, sb):
-    *  - if the slots' innermost reluctant groups differ, the decision
-    *    being ranked is the EARLIEST-DECLARED group among them
-    *    ([[Compiled.reluctantRank]]): the candidate whose slot is NOT
-    *    in that group wins — it exited/skipped the earlier loop, the
-    *    reluctant preference. (With one quantified element this is
-    *    round 10's inside/outside rule; with several — round 11 — it
-    *    makes earlier decision points dominate: fewest B first, then
-    *    fewest C, the `V B+? C+? E` lexicographic ranking.)
-    *  - same group (or neither in one): the LOWER slot id wins (slots
-    *    number in declaration order, so this is the leftmost
-    *    alternative — SQL:2016 branch preference; PERMUTE's expansion
-    *    orders branches lexicographically, so it composes unchanged).
+    * at the first diverging position the two slots' structural paths
+    * ([[Compiled.slotPath]]) share a prefix, and their first differing
+    * entry names the decision the derivations took differently:
+    *  - alternation level → lower branch index wins (leftmost — and
+    *    branch preference DOMINATES any reluctant loop inside the
+    *    branches: `(A+?|B)` prefers the A branch however many reps it
+    *    costs, which a flat group-membership rule would get backwards);
+    *  - sequence level → higher child index wins (the candidate that
+    *    exited/skipped the earlier reluctant subtree — fewest of the
+    *    FIRST quantifier dominates, then the second: the `V B+? C+? E`
+    *    ranking).
     * A strict prefix (one candidate completed, the other kept
     * consuming) prefers the SHORTER: with every quantifier reluctant,
     * the continuation can only be more repetitions of some reluctant
@@ -720,13 +718,16 @@ object GroupCep {
     while (i < n) {
       val sa = a(i)._1; val sb = b(i)._1
       if (sa != sb) {
-        val ra = c.reluctantRank.getOrElse(sa, Int.MaxValue)
-        val rb = c.reluctantRank.getOrElse(sb, Int.MaxValue)
-        return if (ra != rb) {
-          // the earlier-declared group is the decision point; NOT being
-          // in it means having exited it — the reluctant choice
-          if (ra > rb) a else b
-        } else if (sa < sb) a else b
+        val pa = c.slotPath(sa); val pb = c.slotPath(sb)
+        val nd = math.min(pa.length, pb.length)
+        var d = 0
+        while (d < nd && pa(d) == pb(d)) d += 1
+        // two distinct leaves always diverge at a structural level
+        // before either path ends (a leaf cannot be another leaf's
+        // ancestor); the guard is defensive only
+        return if (d >= nd) { if (sa < sb) a else b }
+        else if (pa(d)._1) { if (pa(d)._2 < pb(d)._2) a else b }
+        else { if (pa(d)._2 > pb(d)._2) a else b }
       }
       i += 1
     }
@@ -966,6 +967,27 @@ object GroupCep {
     em.finish(events.size.toLong - 1,
       m => outs += finish(k, toGroups(compiled, m)))
     outs.result()
+  }
+
+  /** Pure single-key batch run over in-order events — the property-test
+    * seam onto the batch drivers (compile + arrival tags + the
+    * [[GroupRunEmitter]] end-of-input flush), exactly what
+    * [[matchBatchGroups]] does per key without a Dataset/session. */
+  private[graft] def runKeyEvents[E, O](events: Vector[E], ts: E => Long,
+      pattern: GPattern[E], skip: Cep.AfterMatchSkip = Cep.NoSkip,
+      anchorHead: Boolean = false, anchorTail: Boolean = false)(
+      finish: Map[String, Seq[E]] => O): Vector[O] = {
+    val wrapped = events.zipWithIndex.map { case (e, i) => (e, i.toLong) }
+    if (anchorHead || anchorTail) {
+      val compiled = compile(liftG(pattern.deferredReluctant))
+      runKeyAnchoredReluctant[Unit, E, O]((), wrapped, w => ts(w._1),
+        compiled, anchorHead, anchorTail, skip,
+        (_, groups) => finish(unliftGroups(groups)))
+    } else {
+      val compiled = compile(liftG(pattern))
+      runKeyBatch[Unit, (E, Long), O]((), wrapped, w => ts(w._1), compiled,
+        skip, (_, groups) => finish(unliftGroups(groups)))
+    }
   }
 
   /** Run a group pattern over a batch Dataset: one event-time-sorted scan

@@ -630,11 +630,12 @@ object MatchRecognize {
     // deferred preference selection, ^/$ anchors compose in batch, and
     // non-default skip composes through the resolver+queue drivers.
     // ROUND 11: SEVERAL quantified elements compose when ALL carry the
-    // reluctant marker — GroupCep.prefer ranks the decision points
-    // lexicographically by declaration order (fewest of the first
-    // quantifier, then fewest of the second, ...), the `V B+? C+? E`
-    // SQL:2016 ranking. Mixed greedy/reluctant multi-quantifier
-    // patterns and multi-quantifier × alternation reject by name.
+    // reluctant marker — GroupCep.prefer walks the structural decision
+    // lattice: alternation levels prefer the leftmost branch (and
+    // dominate in-branch loops), sequence levels prefer the exit —
+    // fewest of the first quantifier, then fewest of the second, the
+    // `V B+? C+? E` SQL:2016 ranking; alternation/PERMUTE compose.
+    // Mixed greedy/reluctant and nested quantifiers reject by name.
     def isReluctantQ(q: String): Boolean = q.length > 1 && q.endsWith("?")
     def anyReluctant(es: Vector[PElem]): Boolean = es.exists {
       case PVar(_, q) => q.exists(isReluctantQ)
@@ -662,14 +663,10 @@ object MatchRecognize {
           "a pattern with several quantified elements must mark EVERY " +
             "one reluctant (mixed greedy/reluctant ranking is not " +
             "supported)")
-        def anyAlt(es: Vector[PElem]): Boolean = es.exists {
-          case _: PAlt => true
-          case PGrp(in, _) => anyAlt(in)
-          case _ => false
-        }
-        require(!anyAlt(elems),
-          "multiple reluctant quantifiers do not compose with " +
-            "alternation/PERMUTE")
+        // round 11 (late): alternation/PERMUTE compose with multiple
+        // quantifiers — GroupCep.prefer's structural decision lattice
+        // ranks branch choices (leftmost) above in-branch loops; the
+        // GPattern build rejects the remaining nested-quantifier case
       }
       // ROUND 10: anchors COMPOSE in batch — candidates buffer to end
       // of input, the anchor gates filter BEFORE per-start preference

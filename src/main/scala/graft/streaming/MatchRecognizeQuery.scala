@@ -622,6 +622,55 @@ object MatchRecognizeQuery extends QueryModule {
         .orderBy("user_id")
     },
 
+    q("qc33_mr_multi_alt",
+      // MULTI-QUANTIFIER × ALTERNATION (round 11 late — the rejection
+      // is deleted): `V (K|N) B+? D+? E`. The structural decision
+      // lattice ranks the ALTERNATION first — when the branch event is
+      // a click BOTH branches match and leftmost K must win — then
+      // fewest B, then fewest D. Oracle: the qc31 rn lattice shifted
+      // one position right of the branch event, with nk read straight
+      // off the branch row's type (a wrong branch preference or a
+      // wrong (nb, nd) lexicomin both hash-mismatch).
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (SELECT user_id, rn,
+        |    rn - coalesce(max(CASE WHEN event_type <> 'click' THEN rn END)
+        |      OVER (PARTITION BY user_id ORDER BY rn
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS crl
+        |  FROM o),
+        |cand AS (SELECT v.user_id, v.event_id AS v_id, e.event_id AS e_id,
+        |    CASE WHEN k.event_type = 'click' THEN 1 ELSE 0 END AS nk,
+        |    GREATEST(1, e.rn - v.rn - 2 - p.crl) AS nb,
+        |    (e.rn - v.rn - 2) - GREATEST(1, e.rn - v.rn - 2 - p.crl) AS nd,
+        |    row_number() OVER (PARTITION BY v.user_id, v.event_id
+        |      ORDER BY GREATEST(1, e.rn - v.rn - 2 - p.crl),
+        |        (e.rn - v.rn - 2) - GREATEST(1, e.rn - v.rn - 2 - p.crl)) AS pref
+        |  FROM o v
+        |  JOIN o k ON k.user_id = v.user_id AND k.rn = v.rn + 1
+        |  JOIN o e ON e.user_id = v.user_id AND e.event_type = 'error'
+        |    AND e.rn >= v.rn + 4
+        |  JOIN r p ON p.user_id = e.user_id AND p.rn = e.rn - 1
+        |    AND p.crl >= 1
+        |  WHERE v.event_type = 'view')
+        |SELECT user_id, v_id, e_id, CAST(nk AS BIGINT) AS nk,
+        |  CAST(1 - nk AS BIGINT) AS nn, CAST(nb AS BIGINT) AS nb,
+        |  CAST(nd AS BIGINT) AS nd
+        |FROM cand WHERE pref = 1
+        |ORDER BY user_id, v_id""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS v_id, E.event_id AS e_id,
+          |  COUNT(K.*) AS nk, COUNT(N.*) AS nn,
+          |  COUNT(B.*) AS nb, COUNT(D.*) AS nd
+          |PATTERN (V (K|N) B+? D+? E)
+          |DEFINE V AS event_type = 'view', K AS event_type = 'click',
+          |       D AS event_type = 'click', E AS event_type = 'error'"""
+          .stripMargin)
+        .orderBy("user_id", "v_id")
+    },
+
     q("qc31_mr_multi_reluctant",
       // MULTI-QUANTIFIER RELUCTANT (round 11 — the largest remaining
       // named rejection): `V B+? C+? E` carries TWO ranked decision

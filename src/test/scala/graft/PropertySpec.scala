@@ -352,6 +352,78 @@ class PropertySpec extends SparkSuite {
         val split = runChunks(Seq(ev.take(cut), ev.drop(cut)))
         whole == expected && split == expected
     })
+    // ALTERNATION × multiple quantifiers (round-11 late): V (K|N) B+? D+?
+    // E — the brute ranking is (branchIdx, nb, nd) lexicographic: the
+    // leftmost branch DOMINATES the loop counts (both branches may match
+    // the same event), then fewest B, then fewest D
+    def patAlt(k: E => Boolean, d: E => Boolean) =
+      GPattern.begin[E]("v")(_._1 == "v")
+        .next(Seq(GPattern.begin[E]("k")(k),
+          GPattern.begin[E]("n")(_ => true)))
+        .next(GPattern.begin[E]("b")(_ => true)).oneOrMore.consecutive
+        .next(GPattern.begin[E]("d")(d)).oneOrMore.consecutive
+        .next("e")(_._1 == "e")
+        .reluctant
+    def bruteAlt(ev: Vector[E], k: E => Boolean, d: E => Boolean)
+        : Map[(Long, Long, Int, Int, Int), Int] = {
+      val n = ev.length
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Int, Int, Int)]
+      for (i <- 0 until n if ev(i)._1 == "v" && i + 1 < n) {
+        val branches =
+          (if (k(ev(i + 1))) Seq(0) else Seq.empty) :+ 1 // N always matches
+        val cands = for {
+          br <- branches
+          j <- i + 4 until n + 1; jj = j - 1
+          if ev(jj)._1 == "e"
+          m <- i + 2 until jj
+          if (m + 1 until jj).nonEmpty
+          if (m + 1 until jj).forall(x => d(ev(x)))
+        } yield (br, ev(i)._2, ev(jj)._2, m - i - 1, jj - 1 - m)
+        if (cands.nonEmpty) {
+          val w = cands.minBy(t => (t._1, t._4, t._5))
+          out += ((w._2, w._3, if (w._1 == 0) 1 else 0, w._4, w._5))
+        }
+      }
+      out.groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val kPreds: Vector[E => Boolean] = Vector(
+      _._1 == "c", t => t._1 == "c" || t._1 == "b", _._1 != "v")
+    check(Prop.forAll(namesGen, Gen.choose(0, 16),
+      Gen.choose(0, kPreds.size - 1), Gen.choose(0, cPreds.size - 1)) {
+      (names, cut, ki, di) =>
+        val ev = names.zipWithIndex
+          .map { case (nm, i) => (nm, i.toLong) }.toVector
+        val (k, d) = (kPreds(ki), cPreds(di)._2)
+        // BATCH run (end-of-input flushes the deferred resolver) vs the
+        // brute lattice — on a still-open stream the deferral correctly
+        // withholds starts whose branches remain live, so the oracle
+        // comparison is a batch-semantics statement
+        val batch = GroupCep.runKeyEvents[E, (Long, Long, Int, Int, Int)](
+            ev, _._2, patAlt(k, d))(groups =>
+            (groups("v").head._2, groups("e").head._2,
+              groups("k").size, groups("b").size, groups("d").size))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        // streaming split-invariance: whatever a still-open stream HAS
+        // released must not depend on the micro-batch cut
+        def runChunks(chunks: Seq[Seq[E]])
+            : Map[(Long, Long, Int, Int, Int), Int] = {
+          val gfn = GroupCep.matchStreamArrivalFn[Int, E,
+            (Long, Long, Int, Int, Int)](
+            patAlt(k, d), _._2, _ => 0L, Cep.NoSkip,
+            (_, groups) => (groups("v").head._2, groups("e").head._2,
+              groups("k").size, groups("b").size, groups("d").size))
+          val h = new VirtualClockHarness[Int, E,
+            GroupCep.GArrivalState[E], (Long, Long, Int, Int, Int)](
+            GroupStateTimeout.NoTimeout(), gfn)
+          chunks.flatMap(ch => h.input(0, ch: _*))
+            .groupBy(identity).view.mapValues(_.size).toMap
+        }
+        val expected = bruteAlt(ev, k, d)
+        val whole = runChunks(Seq(ev))
+        val split = runChunks(Seq(ev.take(cut), ev.drop(cut)))
+        batch == expected && whole == split
+    })
   }
 
   test("sketch merges are a commutative monoid on random streams (CMS + reservoir)") {

@@ -1039,17 +1039,56 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(mqa.select("user_id", "v_id", "e_id", "nb", "nc")
       .as[(Long, Long, Long, Long, Long)].collect().toSet ===
       Set((1L, 1L, 7L, 4L, 1L), (3L, 20L, 23L, 1L, 1L)))
-    // mixed greedy/reluctant and multi x alternation reject by name
+    // mixed greedy/reluctant rejects by name
     val eMix = intercept[IllegalArgumentException] {
       MatchRecognize(df, clause.replace("B+?", "B+"))
     }
     assert(eMix.getMessage.contains("mixed greedy/reluctant"))
-    val eAlt = intercept[IllegalArgumentException] {
-      MatchRecognize(df,
-        clause.replace("PATTERN (V B+? C+? E)",
-          "PATTERN (V (B|C){1,2}? C+? E)"))
-    }
-    assert(eAlt.getMessage.contains("alternation"))
+  }
+
+  test("alternation composes with reluctant quantifiers: branch " +
+      "preference is LEFTMOST and dominates in-branch loops (round 11)") {
+    // (A{1,2}?|B) with overlapping predicates (both undefined = TRUE):
+    // the same event yields candidates on BOTH branches; SQL:2016
+    // prefers the leftmost ALTERNATIVE — the branch decision is the
+    // OUTER derivation choice, so the A candidate wins even though B
+    // sits outside the quantified loop (a flat group-membership rule
+    // would crown B)
+    val altDf = Seq((1L, 10L, "view", 9L), (2L, 20L, "other", 9L),
+      (3L, 30L, "error", 9L)).toDF("event_id", "ts", "event_type", "user_id")
+    val lm = MatchRecognize(altDf,
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb
+        |PATTERN (V (A{1,2}?|B) E)
+        |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
+        .stripMargin)
+    assert(lm.select("user_id", "na", "nb")
+      .as[(Long, Long, Long)].collect().toSet === Set((9L, 1L, 0L)))
+    // MULTI-quantifier × alternation (round-11 late: the rejection is
+    // deleted): V (K|N) B+? C+? E — the branch ranks first (leftmost K
+    // when both match), then fewest B, then fewest C
+    val mDf = Seq(
+      (1L, 10L, "view", 1L), (2L, 20L, "other", 1L),
+      (3L, 30L, "other", 1L), (4L, 40L, "click", 1L),
+      (5L, 50L, "error", 1L),
+      // user 2's branch event is a CLICK: both K and N match, K wins
+      (10L, 10L, "view", 2L), (11L, 20L, "click", 2L),
+      (12L, 30L, "other", 2L), (13L, 40L, "click", 2L),
+      (14L, 50L, "error", 2L))
+      .toDF("event_id", "ts", "event_type", "user_id")
+    val multiAlt = MatchRecognize(mDf,
+      """PARTITION BY user_id
+        |ORDER BY ts, event_id
+        |MEASURES COUNT(K.*) AS nk, COUNT(N.*) AS nn,
+        |  COUNT(B.*) AS nb, COUNT(C.*) AS nc
+        |PATTERN (V (K|N) B+? C+? E)
+        |DEFINE V AS event_type = 'view', K AS event_type = 'click',
+        |       C AS event_type = 'click', E AS event_type = 'error'"""
+        .stripMargin)
+    assert(multiAlt.select("user_id", "nk", "nn", "nb", "nc")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet ===
+      Set((1L, 0L, 1L, 1L, 1L), (2L, 1L, 0L, 1L, 1L)))
   }
 
   test("streaming MATCH_NUMBER(): the per-key ordinal persists across micro-batches (round 9)") {
