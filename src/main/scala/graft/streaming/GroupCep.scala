@@ -717,21 +717,26 @@ object GroupCep {
     var i = 0
     while (i < n) {
       val sa = a(i)._1; val sb = b(i)._1
-      if (sa != sb) {
-        val pa = c.slotPath(sa); val pb = c.slotPath(sb)
-        val nd = math.min(pa.length, pb.length)
-        var d = 0
-        while (d < nd && pa(d) == pb(d)) d += 1
-        // two distinct leaves always diverge at a structural level
-        // before either path ends (a leaf cannot be another leaf's
-        // ancestor); the guard is defensive only
-        return if (d >= nd) { if (sa < sb) a else b }
-        else if (pa(d)._1) { if (pa(d)._2 < pb(d)._2) a else b }
-        else { if (pa(d)._2 > pb(d)._2) a else b }
-      }
+      if (sa != sb) return if (slotWins(c, sa, sb)) a else b
       i += 1
     }
     if (a.length <= b.length) a else b
+  }
+
+  /** The slot-level decision of [[prefer]]: does consuming `sa` at the
+    * first diverging position beat consuming `sb`? (See
+    * [[Compiled.slotPath]] for the lattice rules.) */
+  private def slotWins[E](c: Compiled[E], sa: Int, sb: Int): Boolean = {
+    val pa = c.slotPath(sa); val pb = c.slotPath(sb)
+    val nd = math.min(pa.length, pb.length)
+    var d = 0
+    while (d < nd && pa(d) == pb(d)) d += 1
+    // two distinct leaves always diverge at a structural level before
+    // either path ends (a leaf cannot be another leaf's ancestor); the
+    // guard is defensive only
+    if (d >= nd) sa < sb
+    else if (pa(d)._1) pa(d)._2 < pb(d)._2
+    else pa(d)._2 > pb(d)._2
   }
 
   /** Deferred per-start selection for reluctant patterns WITH
@@ -774,6 +779,40 @@ object GroupCep {
       val dead = best.keysIterator.filterNot(e => keep(ts(e))).toVector
       dead.foreach(best -= _)
     }
+
+    /** Kill open branches that can no longer produce their start's
+      * winner: a branch whose captured prefix DIVERGES from the
+      * buffered best and loses at the divergence is dominated — every
+      * extension diverges at the same position and loses identically
+      * (the preference is prefix-stable), so carrying it only breeds
+      * dominated candidates. Branches still tracking the best (no
+      * divergence yet) must stay: their extensions may beat it. The
+      * deferral's cost collapses from O(candidates) to ~O(starts)
+      * live branches once each start has a buffered best — dominated
+      * branches die the event after they fall behind. Also RELEASES
+      * starts sooner (fewer blockers for [[drain]]), with the same
+      * winners: pruned branches' completions were all dominated. */
+    def pruneDominated(confs: Vector[GConf[E]]): Vector[GConf[E]] =
+      if (best.isEmpty) confs
+      else confs.filter { conf =>
+        conf.captured.headOption.forall { h =>
+          best.get(h._2).forall { m =>
+            val p = conf.captured
+            val n = math.min(p.length, m.length)
+            var i = 0
+            var keep = true
+            var decided = false
+            while (!decided && i < n) {
+              val sp = p(i)._1; val sm = m(i)._1
+              if (sp != sm) {
+                keep = slotWins(c, sp, sm); decided = true
+              }
+              i += 1
+            }
+            keep
+          }
+        }
+      }
   }
 
   /** Shapes a capture list into step-name → events (capture order). */
@@ -883,9 +922,15 @@ object GroupCep {
       }
       else if (rr != null && sq != null) {
         rr.add(ms)
-        rr.drain(confs, m => sq.add(Vector(m)))
-        sq.drain(confs, emit)
-      } else if (rr != null) { rr.add(ms); rr.drain(confs, emit); confs }
+        val live = rr.pruneDominated(confs)
+        rr.drain(live, m => sq.add(Vector(m)))
+        sq.drain(live, emit)
+      } else if (rr != null) {
+        rr.add(ms)
+        val live = rr.pruneDominated(confs)
+        rr.drain(live, emit)
+        live
+      }
       else if (sq == null) { ms.foreach(emit); confs }
       else { sq.add(ms); sq.drain(confs, emit) }
 
@@ -1224,6 +1269,7 @@ object GroupCep {
           if (stats != null && confs.size > maxConfs) maxConfs = confs.size
           if (rr != null) {
             rr.add(ms)
+            confs = rr.pruneDominated(confs)
             rr.drain(confs, release)
             if (sq != null) confs = sq.drain(confs, emit)
           }

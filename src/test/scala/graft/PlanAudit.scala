@@ -287,6 +287,14 @@ object PlanAudit {
       check(s"$n no MapGroups / boundary-flag Window",
         !pl.contains("MapGroups") && !pl.contains("Window ["))
     }
+    // multi-quantifier × alternation (round 11): library GroupCep route
+    // (alternation is outside the planned exec's spec surface) — one
+    // key exchange into the NFA, no join machinery
+    val qc33 = plan("qc33_mr_multi_alt")
+    check("qc33 one key exchange into the NFA, no joins",
+      qc33.contains("MapGroups") &&
+        qc33.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1 &&
+        !qc33.contains("Join"))
     // embedding decontamination (round 10): the benchmark slice
     // BROADCASTS (constant-side NLJ, the qe2/qp9 posture) and the
     // per-vector max partial-aggregates — no corpus-vs-corpus product
