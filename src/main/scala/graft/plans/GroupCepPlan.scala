@@ -58,6 +58,11 @@ object GroupCepPlan {
       any: Boolean = false, until: Option[Column] = None) extends GSpec
   final case class GNotSpec(name: String, pred: Column,
       nextOnly: Boolean = false) extends GSpec
+  /** Alternation `(b1 | b2 | ...)`: exactly one branch matches, leftmost
+    * preferred under reluctant selection (round 11 — alternation joins
+    * the planned twin; quantify it by wrapping in a [[GGroupSpec]]). */
+  final case class GAltSpec(branches: Seq[Seq[GSpec]],
+      strict: Boolean = false, any: Boolean = false) extends GSpec
 
   /** Serializable skeleton shipped to executors: structure only, leaf/
     * guard predicates referenced by index into the plan's expression
@@ -70,6 +75,8 @@ object GroupCepPlan {
       strict: Boolean, any: Boolean, untilIdx: Int = -1) extends Skel
   final case class NotSkel(name: String, predIdx: Int,
       nextOnly: Boolean) extends Skel
+  final case class AltSkel(branches: Seq[Seq[Skel]], strict: Boolean,
+      any: Boolean) extends Skel
 
   /** Logical node; resolved on construction (expressions come from
     * `df.col` against the analyzed child), `outputAttrs` fixed to keep
@@ -136,6 +143,12 @@ object GroupCepPlan {
           val f: T => Boolean = w => bound(n.predIdx).eval(w._1)
           p = if (n.nextOnly) p.notNext(n.name)(f)
               else p.notFollowedBy(n.name)(f)
+        case a: AltSkel =>
+          val alts = a.branches.map(build)
+          p = if (p == null) GPattern.begin(alts)
+          else if (a.strict) p.next(alts)
+          else if (a.any) p.followedByAny(alts)
+          else p.followedBy(alts)
       }
       p
     }
@@ -148,6 +161,7 @@ object GroupCepPlan {
   private def capturingIdx(skel: Seq[Skel]): Set[Int] = skel.flatMap {
     case l: LeafSkel => Seq(l.predIdx)
     case g: GroupSkel => capturingIdx(g.elems)
+    case a: AltSkel => a.branches.flatMap(capturingIdx)
     case _: NotSkel => Seq.empty
   }.toSet
 
@@ -378,6 +392,7 @@ object GroupCepPlan {
         case g: GGroupSpec =>
           (if (g.min != g.max || g.max > 1 || g.optional) 1 else 0) +
             quantCount(g.elems)
+        case a: GAltSpec => a.branches.map(quantCount).sum
         case _ => 0
       }.sum
       val n = quantCount(elems)
@@ -388,14 +403,18 @@ object GroupCepPlan {
           case g: GGroupSpec =>
             val self = g.min != g.max || g.max > 1 || g.optional
             (self && quantCount(g.elems) > 0) || nested(g.elems)
+          case a: GAltSpec => a.branches.exists(nested)
           case _ => false
         }
         require(!nested(elems),
           "multiple reluctant quantifiers must be sibling elements")
         def allStrict(es: Seq[GSpec]): Boolean = es.zipWithIndex.forall {
           case (g: GGroupSpec, i) =>
-            (i == 0 || g.strict) && g.consecutive && allStrict(g.elems)
+            (i == 0 || g.strict) &&
+              (g.max <= 1 || g.consecutive) && allStrict(g.elems)
           case (l: GLeafSpec, i) => i == 0 || l.strict
+          case (a: GAltSpec, i) =>
+            (i == 0 || a.strict) && a.branches.forall(allStrict)
           case _ => true
         }
         require(allStrict(elems),
@@ -413,7 +432,11 @@ object GroupCepPlan {
         "a pattern (or group) cannot begin with notFollowedBy/notNext")
       require(!es.last.isInstanceOf[GNotSpec],
         "notFollowedBy/notNext must be followed by another pattern element")
-      es.foreach { case g: GGroupSpec => validateSeq(g.elems); case _ => () }
+      es.foreach {
+        case g: GGroupSpec => validateSeq(g.elems)
+        case a: GAltSpec => a.branches.foreach(validateSeq)
+        case _ => ()
+      }
     }
     validateSeq(elems)
     val spark = df.sparkSession
@@ -428,6 +451,8 @@ object GroupCepPlan {
     val predsB = Seq.newBuilder[Expression]
     var nPreds = 0
     def skeletonOf(e: GSpec): Skel = e match {
+      case a: GAltSpec =>
+        AltSkel(a.branches.map(_.map(skeletonOf)), a.strict, a.any)
       case l: GLeafSpec =>
         predsB += resolve(l.pred); nPreds += 1
         LeafSkel(l.name, nPreds - 1, l.strict, l.any)
@@ -448,6 +473,7 @@ object GroupCepPlan {
     def leafNames(e: GSpec): Seq[String] = e match {
       case l: GLeafSpec => Seq(l.name)
       case g: GGroupSpec => g.elems.flatMap(leafNames)
+      case a: GAltSpec => a.branches.flatMap(_.flatMap(leafNames))
       case _: GNotSpec => Seq.empty
     }
     val stepNames = elems.flatMap(leafNames).distinct

@@ -953,11 +953,6 @@ object MatchRecognize {
     // LAST/aggregates over a repeated variable, alternation, anchors,
     // {0,..} quantifiers, ALL ROWS, PREV, SUBSET, and
     // non-default skip stay on the library path.
-    def hasAlt(es: Vector[PElem]): Boolean = es.exists {
-      case _: PAlt => true
-      case PGrp(in, _) => hasAlt(in)
-      case _ => false
-    }
     def quantifiedVars(es: Vector[PElem], inQuant: Boolean): Set[String] =
       es.flatMap {
         case PVar(v, q) =>
@@ -985,7 +980,8 @@ object MatchRecognize {
     def quantsOk(es: Vector[PElem]): Boolean = es.forall {
       case PVar(_, q) => q.forall(quantOf(_).isDefined)
       case PGrp(in, q) => q.forall(quantOf(_).isDefined) && quantsOk(in)
-      case _: PAlt => false
+      // round 11: alternation/PERMUTE joins the planned twin (GAltSpec)
+      case PAlt(bs, q) => q.forall(quantOf(_).isDefined) && bs.forall(quantsOk)
     }
     val qVars = quantifiedVars(elems, inQuant = false)
     // round 11: the reluctant compositions route planned — ^/$ anchors
@@ -995,7 +991,7 @@ object MatchRecognize {
     // group clauses keep their library routes (boundary-flag window /
     // groupByKey skip queue) unchanged.
     val groupPlanRoutable = !streamingIn &&
-      (!anchored || hasReluctant) && !hasAlt(elems) &&
+      (!anchored || hasReluctant) &&
       !neverMatches && droppedVars.isEmpty &&
       quantsOk(elems) &&
       (skip == Cep.NoSkip || hasReluctant) && prevVars.isEmpty &&
@@ -1023,7 +1019,16 @@ object MatchRecognize {
           val (mn, mx, opt) = q.flatMap(quantOf).getOrElse((1, 1, false))
           GGroupSpec(in.map(toSpec), mn, mx,
             optional = opt, consecutive = true, strict = true)
-        case _: PAlt => throw new IllegalStateException("unreachable")
+        case PAlt(branches, q) =>
+          val alt = graft.plans.GroupCepPlan.GAltSpec(
+            branches.map(_.map(toSpec)), strict = true)
+          q.flatMap(quantOf) match {
+            case None => alt
+            case Some((mn, mx, opt)) =>
+              // a quantified alternation reuses the group loop machinery
+              GGroupSpec(Seq(alt), mn, mx,
+                optional = opt, consecutive = true, strict = true)
+          }
       }
       val planned = graft.plans.GroupCepPlan.matchGroupPattern(basePrepared,
         col(partCol), col("__mr_ord"), col("__mr_tie"),

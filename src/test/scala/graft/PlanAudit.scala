@@ -264,18 +264,23 @@ object PlanAudit {
       qj4.contains("Window") && !qj4.contains("CartesianProduct") &&
         !qj4.contains("BroadcastNestedLoopJoin") &&
         qj4.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2)
-    // reluctant × alternation (round 10): library GroupCep path — one
-    // key exchange feeding the NFA, no join machinery at all
-    val qc28 = plan("qc28_mr_reluctant_alternation")
-    check("qc28 one key exchange into the NFA, no joins",
-      qc28.contains("MapGroups") &&
-        qc28.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1 &&
-        !qc28.contains("Join"))
-    // reluctant × tail anchor and reluctant × skip (round 11): routed
-    // onto the planned GroupCepExec — one Exchange + one Sort feeding
-    // the operator, no groupByKey MapGroups, no window pass
+    // SUBSET measures keep a clause on the library route (union
+    // variables are outside the planned exec's output shape) — still
+    // one key exchange into the NFA, no join machinery
+    for (n <- Seq("qc27_mr_alt_subset_agg", "qc18_match_recognize_permute")) {
+      val pl = plan(n)
+      check(s"$n one key exchange into the NFA, no joins",
+        pl.contains("MapGroups") &&
+          pl.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1 &&
+          !pl.contains("Join"))
+    }
+    // the reluctant compositions AND alternation/PERMUTE (round 11):
+    // routed onto the planned GroupCepExec — one Exchange + one Sort
+    // feeding the operator, no groupByKey MapGroups, no window pass
     for (n <- Seq("qc29_mr_reluctant_tail_anchor", "qc30_mr_reluctant_skip",
-        "qc31_mr_multi_reluctant", "qc32_mr_reluctant_anchor_skip")) {
+        "qc31_mr_multi_reluctant", "qc32_mr_reluctant_anchor_skip",
+        "qc28_mr_reluctant_alternation", "qc33_mr_multi_alt",
+        "qc17_match_recognize_alternation")) {
       val pl = plan(n)
       val gidx = pl.linesIterator.indexWhere(_.contains("- GroupCep "))
       val below = pl.linesIterator.toVector.drop(gidx max 0)
@@ -287,14 +292,6 @@ object PlanAudit {
       check(s"$n no MapGroups / boundary-flag Window",
         !pl.contains("MapGroups") && !pl.contains("Window ["))
     }
-    // multi-quantifier × alternation (round 11): library GroupCep route
-    // (alternation is outside the planned exec's spec surface) — one
-    // key exchange into the NFA, no join machinery
-    val qc33 = plan("qc33_mr_multi_alt")
-    check("qc33 one key exchange into the NFA, no joins",
-      qc33.contains("MapGroups") &&
-        qc33.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1 &&
-        !qc33.contains("Join"))
     // embedding decontamination (round 10): the benchmark slice
     // BROADCASTS (constant-side NLJ, the qe2/qp9 posture) and the
     // per-vector max partial-aggregates — no corpus-vs-corpus product
