@@ -202,10 +202,16 @@ object TemporalSql {
       (col(ts).isNotNull +: keys.map(col(_).isNotNull)).reduce(_ && _)
     // Escape the composite-key separator INSIDE each component before
     // concatenation, so distinct key tuples can never collide on the
-    // joined string (("a\u0001b","c") vs ("a","b\u0001c") — ADVICE r10)
+    // joined string (("a\u0001b","c") vs ("a","b\u0001c") — ADVICE
+    // r10). Backslash doubles FIRST, then the separator takes a SINGLE
+    // backslash prefix — an escaped separator is preceded by an ODD
+    // backslash run and a joiner separator by an EVEN one, so the
+    // encoding is injective even for backslash-bearing keys (a double
+    // prefix here would make "a\\" + SEP-in-next-part collide with an
+    // embedded separator — the round-11 review catch)
     def esc(c: org.apache.spark.sql.Column) =
       replace(replace(c.cast("string"), lit("\\"), lit("\\\\")),
-        lit("\u0001"), lit("\\\\\u0001"))
+        lit("\u0001"), lit("\\\u0001"))
     def keyed(df: DataFrame, keys: Seq[String], ts: String)
         : Dataset[(String, Long, String)] =
       df.where(joinable(df, keys, ts))

@@ -1206,16 +1206,18 @@ object GroupCep {
     * `confs` non-empty — with no live branch the drain empties the queue.
     *
     * STATE-FORMAT NOTE: `pendingSel` (the reluctant resolver's deferred
-    * per-start candidates) was added as a third field, which changed the
-    * `flatMapGroupsWithState` state-encoder schema. A streaming
-    * checkpoint written by the earlier two-field format fails Spark's
-    * state-store schema-compatibility check on restore
-    * (`StateSchemaCompatibilityChecker` names both schemas in its
-    * error) — that failure is DELIBERATE: the old state cannot express
-    * in-flight reluctant selections, so silently resuming would be
-    * wrong. Restart such queries from a fresh checkpoint after
-    * reprocessing, the standard Spark posture for a stateful-operator
-    * schema change. */
+    * per-start candidates) was added as a third field, changing the
+    * serialized state layout. The MATCH_RECOGNIZE streaming drivers
+    * carry this state KRYO-encoded (an opaque binary column), so
+    * Spark's StateSchemaCompatibilityChecker does NOT flag the change —
+    * restoring a checkpoint written by the two-field format instead
+    * fails inside the state store with a kryo deserialization error
+    * (field-count/buffer mismatch). That failure is still the intended
+    * outcome — the old state cannot express in-flight reluctant
+    * selections, so silently resuming would be wrong — but the error
+    * is a KryoException, not a named schema diff. Restart such queries
+    * from a fresh checkpoint after reprocessing, the standard Spark
+    * posture for a stateful-operator state-format change. */
   final case class GStreamState[E](confs: Vector[GConf[E]],
       pending: Vector[Vector[(Int, E)]],
       pendingSel: Vector[Vector[(Int, E)]] = Vector.empty)

@@ -754,6 +754,14 @@ object MatchRecognize {
         "under streaming only the ^ head anchor on a flat pattern is " +
           "supported; the $ tail requires batch input (the partition " +
           "end is unknowable on an unbounded stream)")
+      // the streaming ^ gate is an NFA-level conjunct on the LINEAR
+      // engine only; a multi-quantifier pattern routes to the group
+      // engine, whose streaming driver carries no anchor — reject
+      // rather than silently drop the anchor (round-11 review catch)
+      if (streamingIn) require(!multiQuantReluctant,
+        "the streaming ^ head anchor does not compose with multiple " +
+          "reluctant quantifiers (the group engine's streaming driver " +
+          "has no anchor gate); run the pattern on batch input")
       // round 11: anchors × skip composes on the BATCH RELUCTANT route
       // (SQL:2016 evaluation order — the gates filter candidates, the
       // preference selects per start, THEN the skip queue consumes over

@@ -220,6 +220,23 @@ object StreamOps {
     * run-to-run nondeterminism for binary/embedding payloads. Leaf
     * renderings escape the structural delimiters, so string-bearing
     * shapes cannot collide (Array("a,b") != Array("a","b")). */
+  /** Code-point comparison for tiebreak strings — matches Spark's
+    * BINARY (UTF-8 byte) string collation, so the batch window's
+    * escaped-JSON `_det` ordering (TemporalSql) and this pre-order
+    * crown the SAME winner even for supplementary-plane characters:
+    * Java's default String order compares UTF-16 code units, where a
+    * surrogate pair (U+10000+) sorts BELOW U+E000..U+FFFF — the
+    * opposite of byte order (round-11 review catch). */
+  private[graft] val codePointOrdering: Ordering[String] = (a, b) => {
+    var i = 0; var j = 0; var r = 0
+    while (r == 0 && i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      r = Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    if (r != 0) r else Integer.compare(a.length - i, b.length - j)
+  }
+
   private def detString(v: Any): String = v match {
     case null => "\\0"
     case a: Array[_] => a.map(detString).mkString("[", ",", "]")
@@ -273,7 +290,8 @@ object StreamOps {
       // batch are pre-ordered by a deterministic payload key — the
       // resolution is then identical under any partitioning
       val incoming = versions.map(v => (v._2, v._3))
-        .sortBy { case (ts, v) => (ts, detString(v)) }
+        .sortBy { case (ts, v) => (ts, detString(v)) }(
+          Ordering.Tuple2(Ordering.Long, codePointOrdering))
       val vs = (st.versions ++ incoming).sortBy(_._1)
       val all = st.pending ++ facts.map(f => (f._2, f._3))
       val (ripe, wait) = all.partition(_._1 <= wm)

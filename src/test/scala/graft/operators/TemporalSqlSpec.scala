@@ -309,7 +309,86 @@ class TemporalSqlSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("identifiers resolve case-insensitively like the rest of SQL: " +
+  test("composite-key escaping is injective for backslash-bearing " +
+      "keys (round-11 review catch)") {
+    implicit val sqlCtx = spark.sqlContext
+    // after backslash-doubling + a SINGLE-backslash separator escape,
+    // an embedded separator sits behind an ODD backslash run and the
+    // joiner behind an EVEN one — these two tuples collided under the
+    // double-backslash escape
+    val fIn = MemoryStream[(String, String, Long, String)]
+    val vIn = MemoryStream[(String, String, Long, Double)]
+    fIn.toDF().toDF("k1", "k2", "ts", "payload")
+      .createOrReplaceTempView("tsqb_sfacts")
+    vIn.toDF().toDF("k1", "k2", "ts", "rate")
+      .createOrReplaceTempView("tsqb_svers")
+    val q = TemporalSql(spark,
+      """SELECT f.payload, v.rate
+        |FROM tsqb_sfacts f
+        |LEFT JOIN tsqb_svers FOR SYSTEM_TIME AS OF f.ts AS v
+        |ON f.k1 = v.k1 AND f.k2 = v.k2""".stripMargin)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tsqb_out").start()
+    try {
+      vIn.addData(("a\\", "\u0001b", 5L, 7.0))
+      fIn.addData(("a\u0001\\", "b", 10L, "hit"))
+      q.processAllAvailable()
+      vIn.addData(("zz", "zz", 100L, 0.0))
+      fIn.addData(("zz", "zz", 100L, "flush"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("tsqb_out")
+        .as[(String, Option[Double])].collect().toSet
+      assert(got.contains(("hit", None)) &&
+        !got.contains(("hit", Some(7.0))),
+        s"backslash-bearing tuples must not collide: $got")
+    } finally q.stop()
+  }
+
+  test("same-ts tiebreak agrees between batch and streaming for " +
+      "supplementary-plane payloads (round-11 review catch)") {
+    implicit val sqlCtx = spark.sqlContext
+    // U+1F600 (surrogate pair) vs U+FFFD: UTF-8 byte order (Spark's
+    // binary collation, the batch window) says the emoji sorts LAST;
+    // Java's UTF-16 code-unit order says the opposite — the streaming
+    // pre-order must use code points so both regimes crown the emoji
+    val vers = Seq((1L, 10L, "x\uD83D\uDE00"), (1L, 10L, "x\uFFFD"))
+    Seq((1L, 20L, "f")).toDF("k", "ts", "payload")
+      .createOrReplaceTempView("tsqs_facts")
+    vers.toDF("k", "ts", "tag").createOrReplaceTempView("tsqs_vers")
+    val sql =
+      """SELECT f.payload, v.tag
+        |FROM tsqs_facts f
+        |JOIN tsqs_vers FOR SYSTEM_TIME AS OF f.ts AS v ON f.k = v.k"""
+        .stripMargin
+    val batch = TemporalSql(spark, sql)
+      .as[(String, String)].collect().toSeq
+    assert(batch == Seq(("f", "x\uD83D\uDE00")), s"batch: $batch")
+    val fIn = MemoryStream[(Long, Long, String)]
+    val vIn = MemoryStream[(Long, Long, String)]
+    fIn.toDF().toDF("k", "ts", "payload")
+      .createOrReplaceTempView("tsqs_sfacts")
+    vIn.toDF().toDF("k", "ts", "tag")
+      .createOrReplaceTempView("tsqs_svers")
+    val q = TemporalSql(spark,
+        sql.replace("tsqs_facts", "tsqs_sfacts")
+          .replace("tsqs_vers", "tsqs_svers"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tsqs_out").start()
+    try {
+      vIn.addData(vers: _*)
+      fIn.addData((1L, 20L, "f"))
+      q.processAllAvailable()
+      vIn.addData((1L, 100L, "z"))
+      fIn.addData((1L, 100L, "flush"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(spark.table("tsqs_out").as[(String, String)].collect().toSet
+        .contains(("f", "x\uD83D\uDE00")))
+    } finally q.stop()
+  }
+
+    test("identifiers resolve case-insensitively like the rest of SQL: " +
       "AS OF f.TS / explicit TS time column (ADVICE r10)") {
     fixture()
     val got = TemporalSql(spark,

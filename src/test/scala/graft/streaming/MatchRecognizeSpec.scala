@@ -1480,6 +1480,25 @@ class MatchRecognizeSpec extends SparkSuite {
     // all-reluctant but NESTED quantifiers stay rejected
     assert(intercept[IllegalArgumentException](mr("V (B E??)+? X"))
       .getMessage.contains("sibling"))
+    // streaming ^ x MULTIPLE reluctant quantifiers rejects by name:
+    // the group engine's streaming driver has no anchor gate, so
+    // routing there would silently drop the anchor (round-11 review)
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Long, String, Long)]
+      val sdf = input.toDF().toDF("event_id", "ts", "event_type", "user_id")
+      val e = intercept[IllegalArgumentException] {
+        MatchRecognize(sdf,
+          """PARTITION BY user_id
+            |ORDER BY ts, event_id
+            |MEASURES V.event_id AS v_id
+            |PATTERN (^ V B+? C+? E)
+            |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
+            .stripMargin)
+      }
+      assert(e.getMessage.contains("multiple"))
+    }
     // non-default skip composes since round 10 (behavior test below)
     // anchors compose in BATCH since round 10, and the flat ^ head
     // anchor composes under streaming too; the $ tail still rejects on
