@@ -86,7 +86,7 @@ object GroupCepPlan {
       skeleton: Seq[Skel], leafPreds: Seq[Expression],
       stepNames: Seq[String], withinMicros: Option[Long],
       reluctant: Boolean, anchorHead: Boolean, anchorTail: Boolean,
-      skip: graft.streaming.Cep.AfterMatchSkip,
+      skip: graft.streaming.Cep.AfterMatchSkip, sqlGreedy: Boolean,
       outputAttrs: Seq[Attribute], child: LogicalPlan) extends UnaryNode {
     override def output: Seq[Attribute] = outputAttrs
     // every child column is re-emitted per matched step — see CepMatchPlan
@@ -101,7 +101,7 @@ object GroupCepPlan {
       case p: GroupCepMatchPlan =>
         GroupCepExec(p.keyExpr, p.tsExpr, p.tieExpr, p.skeleton, p.leafPreds,
           p.stepNames, p.withinMicros, p.reluctant, p.anchorHead,
-          p.anchorTail, p.skip, p.outputAttrs,
+          p.anchorTail, p.skip, p.sqlGreedy, p.outputAttrs,
           planLater(p.child)) :: Nil
       case _ => Nil
     }
@@ -173,7 +173,7 @@ object GroupCepPlan {
       skeleton: Seq[Skel], leafPreds: Seq[Expression],
       stepNames: Seq[String], withinMicros: Option[Long],
       reluctant: Boolean, anchorHead: Boolean, anchorTail: Boolean,
-      skip: graft.streaming.Cep.AfterMatchSkip,
+      skip: graft.streaming.Cep.AfterMatchSkip, sqlGreedy: Boolean,
       outputAttrs: Seq[Attribute], child: SparkPlan) extends UnaryExecNode {
 
     override def output: Seq[Attribute] = outputAttrs
@@ -207,8 +207,8 @@ object GroupCepPlan {
       val (kE, tsE) = (keyExpr, tsExpr)
       val (skel, preds, names, within) =
         (skeleton, leafPreds, stepNames, withinMicros)
-      val (rel, aHead, aTail, skipStrat) =
-        (reluctant, anchorHead, anchorTail, skip)
+      val (rel, aHead, aTail, skipStrat, sqlG) =
+        (reluctant, anchorHead, anchorTail, skip, sqlGreedy)
       val outTypes = outputAttrs.map(_.dataType).toArray
       val numMatches = longMetric("numMatches")
       val maxKeyEvents = longMetric("maxKeyEvents")
@@ -223,6 +223,7 @@ object GroupCepPlan {
         var pat = buildPattern(skel, bound)
         within.foreach(w => pat = pat.within(w))
         if (rel) pat = pat.reluctant
+        if (sqlG) pat = pat.greedySelect
         // anchors need every candidate buffered to the end of the key
         // run — force DEFERRED selection so advance's in-flight
         // shortest-per-start kill stays off (the emitter gates first)
@@ -372,8 +373,11 @@ object GroupCepPlan {
       reluctant: Boolean = false,
       anchorHead: Boolean = false, anchorTail: Boolean = false,
       skip: graft.streaming.Cep.AfterMatchSkip =
-        graft.streaming.Cep.NoSkip): DataFrame = {
+        graft.streaming.Cep.NoSkip,
+      sqlGreedy: Boolean = false): DataFrame = {
     require(elems.nonEmpty, "at least one pattern element")
+    require(!(sqlGreedy && (reluctant || anchorHead || anchorTail)),
+      "sqlGreedy excludes reluctant markers and ^/$ anchors")
     if (anchorHead || anchorTail) {
       // the planned anchors are the reluctant-selection composition
       // (plain anchored group patterns post-filter on boundary flags in
@@ -491,7 +495,7 @@ object GroupCepPlan {
       }
     GraftSqlShim.ofRows(spark, GroupCepMatchPlan(
       keyE, resolve(ts), resolve(tie), skeleton, predsB.result(), stepNames,
-      withinMicros, reluctant, anchorHead, anchorTail, skip,
+      withinMicros, reluctant, anchorHead, anchorTail, skip, sqlGreedy,
       outAttrs, child))
   }
 }

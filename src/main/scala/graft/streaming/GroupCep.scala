@@ -75,10 +75,11 @@ object GroupCep {
   final class GPattern[E] private[GroupCep] (
       val elems: Vector[GElem[E]], val withinMs: Option[Long],
       private[GroupCep] val reluctantSel: Boolean = false,
-      private[GroupCep] val deferSel: Boolean = false) {
+      private[GroupCep] val deferSel: Boolean = false,
+      private[GroupCep] val greedySel: Boolean = false) {
 
     private def append(e: GElem[E]) =
-      new GPattern(elems :+ e, withinMs, reluctantSel, deferSel)
+      new GPattern(elems :+ e, withinMs, reluctantSel, deferSel, greedySel)
 
     def followedBy(name: String)(pred: E => Boolean): GPattern[E] =
       append(GLeaf(name, pred, TillNext))
@@ -115,7 +116,8 @@ object GroupCep {
         case _: GAlt[E] => throw new IllegalStateException(
           "alternation is always group-wrapped by the builder")
       }
-      new GPattern(elems.init :+ f(g), withinMs, reluctantSel, deferSel)
+      new GPattern(elems.init :+ f(g), withinMs, reluctantSel, deferSel,
+        greedySel)
     }
 
     def times(n: Int): GPattern[E] = {
@@ -146,14 +148,15 @@ object GroupCep {
       g.copy(greedy = true)
     }
     def within(ms: Long): GPattern[E] =
-      new GPattern(elems, Some(ms), reluctantSel, deferSel)
+      new GPattern(elems, Some(ms), reluctantSel, deferSel, greedySel)
 
     /** Force DEFERRED reluctant selection even without alternation —
       * the anchored-batch driver needs every candidate buffered (the
       * first completion may fail an anchor a longer one passes), so the
       * in-advance shortest-per-start kill must not fire. */
     private[graft] def deferredReluctant: GPattern[E] =
-      new GPattern(elems, withinMs, reluctantSel, deferSel = true)
+      new GPattern(elems, withinMs, reluctantSel, deferSel = true,
+        greedySel = greedySel)
 
     /** SQL:2016 RELUCTANT selection for the pattern's SINGLE quantified
       * element (the nested twin of [[Cep.Pattern.reluctant]] —
@@ -234,6 +237,75 @@ object GroupCep {
       new GPattern(elems, withinMs, reluctantSel = true, deferSel)
     }
 
+    /** SQL:2016 STRICT GREEDY selection (round 11 — the mode that
+      * closes the engine's one documented emission deviation): default
+      * SQL quantifiers are GREEDY and a pattern yields ONE match per
+      * start — the lexicographically MAXIMAL derivation — where the
+      * flink-cep emission this engine otherwise follows reports every
+      * satisfied repetition count. Same machinery as [[reluctant]]
+      * with the polarity flipped: selection is always DEFERRED (a
+      * longer, more-preferred completion arrives after a shorter one),
+      * candidates fold through [[GroupCep.prefer]] whose sequence-level
+      * rule prefers STAYING in the earlier loop (lower child index),
+      * alternation still prefers the leftmost branch, and a strict
+      * prefix prefers the LONGER candidate. Dominated open branches
+      * prune exactly as for reluctant (the preference is prefix-stable
+      * under either polarity). Same structural preconditions: >= 1
+      * quantified element, sibling quantifiers only, strict
+      * contiguity; incompatible with [[reluctant]] (per-quantifier
+      * mixed polarity is the named remaining rejection) and with the
+      * DSL's [[greedy]] guard-kill groups (a different, branch-killing
+      * mechanism). On an unbounded stream a start resolves only when
+      * no branch sharing it remains live (batch resolves at end of
+      * input) — `within` horizons bound the wait. */
+    def greedySelect: GPattern[E] = {
+      require(!reluctantSel,
+        "greedySelect and reluctant are mutually exclusive selection " +
+          "modes (per-quantifier mixed polarity is not supported)")
+      def quantCount(es: Vector[GElem[E]]): Int = es.map {
+        case g: GGroup[E] =>
+          (if (g.min != g.max || g.max > 1 || g.optional) 1 else 0) +
+            quantCount(g.elems)
+        case a: GAlt[E] => a.branches.map(quantCount).sum
+        case _ => 0
+      }.sum
+      def nestedQuant(es: Vector[GElem[E]]): Boolean = es.exists {
+        case g: GGroup[E] =>
+          val self = g.min != g.max || g.max > 1 || g.optional
+          (self && quantCount(g.elems) > 0) || nestedQuant(g.elems)
+        case a: GAlt[E] => a.branches.exists(nestedQuant)
+        case _ => false
+      }
+      def anyGuard(es: Vector[GElem[E]]): Boolean = es.exists {
+        case g: GGroup[E] => g.greedy || anyGuard(g.elems)
+        case a: GAlt[E] => a.branches.exists(anyGuard)
+        case _ => false
+      }
+      def allStrict(es: Vector[GElem[E]]): Boolean =
+        es.zipWithIndex.forall {
+          case (g: GGroup[E], i) =>
+            (i == 0 || g.mode == Strict) &&
+              (g.max <= 1 || g.loopMode == Strict) &&
+              allStrict(g.elems)
+          case (l: GLeaf[E], i) => i == 0 || l.mode == Strict
+          case (al: GAlt[E], i) =>
+            (i == 0 || al.mode == Strict) && al.branches.forall(allStrict)
+          case (_, _) => true
+        }
+      require(quantCount(elems) >= 1,
+        "a greedy-select pattern needs at least one quantified element")
+      require(!nestedQuant(elems),
+        "greedy-select quantifiers must be sibling elements")
+      require(!anyGuard(elems),
+        "greedySelect does not compose with the DSL's greedy " +
+          "guard-kill groups")
+      require(allStrict(elems),
+        "greedySelect requires strict contiguity (next/consecutive) " +
+          "throughout the pattern — the MATCH_RECOGNIZE adjacency")
+      new GPattern(elems, withinMs, reluctantSel = false,
+        deferSel = false, greedySel = true)
+    }
+
     private[GroupCep] def validated: GPattern[E] = {
       // recursive: a nested group ending in a negation would silently drop
       // it in compilation — the reference throws MalformedPatternException
@@ -308,6 +380,7 @@ object GroupCep {
       extends Serializable {
     private[GroupCep] val withinMs = pattern.withinMs
     private[GroupCep] val reluctantSel = pattern.reluctantSel
+    private[GroupCep] val greedySel = pattern.greedySel
     @transient private val slotNames = Vector.newBuilder[String]
     @transient private val slotPreds = Vector.newBuilder[E => Boolean]
     @transient private val untilsB = Vector.newBuilder[E => Boolean]
@@ -470,6 +543,31 @@ object GroupCep {
         case _: ANode => true
       }
       pattern.deferSel || realRoot.children.exists(hasAlt)
+    }
+    /** Any deferred per-start selection — the drivers' resolver
+      * trigger: deferred reluctant (alternation/anchors) or GREEDY
+      * selection, which is ALWAYS deferred (a longer, more-preferred
+      * completion arrives after a shorter one by construction). */
+    private[GroupCep] val selDeferred: Boolean =
+      reluctantDeferred || greedySel
+    /** ONE quantified element and no alternation ⇒ same-start
+      * candidates differ only in that element's repetition count, so
+      * candidate LENGTH decides preference in O(1) (shorter under
+      * reluctant, longer under greedy) — [[prefer]]'s fast path, worth
+      * it because greedy selection folds a candidate per possible
+      * match end and the full walk is O(match length) each. */
+    private[GroupCep] val singleQuantNoAlt: Boolean = {
+      var quants = 0; var alt = false
+      def walk(n: Node): Unit = n match {
+        case _: SNode => ()
+        case g: GNode =>
+          if (g.min != g.max || g.max > 1 || g.optional || g.min == 0)
+            quants += 1
+          g.children.foreach(walk)
+        case a: ANode => alt = true; a.branches.foreach(walk)
+      }
+      realRoot.children.foreach(walk)
+      quants == 1 && !alt
     }
 
     private def declMode(n: Node): Int = n match {
@@ -713,6 +811,11 @@ object GroupCep {
     * loop. Returns the preferred candidate. */
   private def prefer[E](c: Compiled[E], a: Vector[(Int, E)],
       b: Vector[(Int, E)]): Vector[(Int, E)] = {
+    if ((c.reluctantSel || c.greedySel) && c.singleQuantNoAlt) {
+      // single decision point: length IS the preference
+      return if (a.length == b.length) a
+      else if (c.greedySel == (a.length > b.length)) a else b
+    }
     val n = math.min(a.length, b.length)
     var i = 0
     while (i < n) {
@@ -720,7 +823,11 @@ object GroupCep {
       if (sa != sb) return if (slotWins(c, sa, sb)) a else b
       i += 1
     }
-    if (a.length <= b.length) a else b
+    // strict prefix: reluctant prefers the SHORTER candidate (the
+    // continuation is more reps of a reluctant loop), greedy selection
+    // the LONGER (more reps of a greedy loop)
+    if (c.greedySel) { if (a.length >= b.length) a else b }
+    else if (a.length <= b.length) a else b
   }
 
   /** The slot-level decision of [[prefer]]: does consuming `sa` at the
@@ -736,6 +843,9 @@ object GroupCep {
     // guard is defensive only
     if (d >= nd) sa < sb
     else if (pa(d)._1) pa(d)._2 < pb(d)._2
+    // sequence level: reluctant prefers the EXIT (higher child index),
+    // SQL greedy selection prefers STAYING in the earlier loop
+    else if (c.greedySel) pa(d)._2 < pb(d)._2
     else pa(d)._2 > pb(d)._2
   }
 
@@ -840,7 +950,7 @@ object GroupCep {
   }
   private[streaming] def liftG[E](p: GPattern[E]): GPattern[(E, Long)] =
     new GPattern(p.elems.map(liftElem[E]), p.withinMs, p.reluctantSel,
-      p.deferSel)
+      p.deferSel, p.greedySel)
 
   /** Un-tag a capture map, preserving declaration order. */
   private def unliftGroups[E](groups: Map[String, Seq[(E, Long)]]):
@@ -890,7 +1000,7 @@ object GroupCep {
         .empty[E, (Long, Vector[(Int, E)])]
       else null
     private val rr =
-      if (!anchored && c.reluctantDeferred) new ReluctantResolver[E](c, ts)
+      if (!anchored && c.selDeferred) new ReluctantResolver[E](c, ts)
       else null
     // round 11: anchors × skip composes — the SQL:2016 evaluation
     // order is gate, then select, then skip, so under anchors the
@@ -922,12 +1032,16 @@ object GroupCep {
       }
       else if (rr != null && sq != null) {
         rr.add(ms)
-        val live = rr.pruneDominated(confs)
+        // domination can only change when a fold just ran — skipping
+        // the scan on quiet events keeps its cost proportional to
+        // completions, not to run length (missing a prune is only a
+        // perf, never a correctness, matter)
+        val live = if (ms.isEmpty) confs else rr.pruneDominated(confs)
         rr.drain(live, m => sq.add(Vector(m)))
         sq.drain(live, emit)
       } else if (rr != null) {
         rr.add(ms)
-        val live = rr.pruneDominated(confs)
+        val live = if (ms.isEmpty) confs else rr.pruneDominated(confs)
         rr.drain(live, emit)
         live
       }
@@ -1162,10 +1276,10 @@ object GroupCep {
   def matchStreamFn[K, E, O](compiled: Compiled[E], ts: E => Long,
       tie: E => Long, finish: (K, Map[String, Seq[E]]) => O):
       (K, Iterator[E], GroupState[Vector[GConf[E]]]) => Iterator[O] = {
-    require(!compiled.reluctantDeferred,
-      "reluctant patterns with alternation defer per-start selection — " +
-        "use matchStreamSkipFn/matchStream (GStreamState carries the " +
-        "deferred candidates)")
+    require(!compiled.selDeferred,
+      "deferred-selection patterns (reluctant × alternation, greedy " +
+        "selection) — use matchStreamSkipFn/matchStream (GStreamState " +
+        "carries the deferred candidates)")
     (k: K, it: Iterator[E], state: GroupState[Vector[GConf[E]]]) =>
       if (state.hasTimedOut) {
         val w = compiled.withinMs.get
@@ -1238,7 +1352,7 @@ object GroupCep {
       val outs = Vector.newBuilder[O]
       // see runKeyBatch: immediate reluctant selection feeds the queue
       // directly; the deferred (alternation) resolver releases into it
-      val rr = if (compiled.reluctantDeferred)
+      val rr = if (compiled.selDeferred)
                  new ReluctantResolver[E](compiled, ts)
                else null
       val sq = if (skip == Cep.NoSkip) null
@@ -1271,7 +1385,7 @@ object GroupCep {
           if (stats != null && confs.size > maxConfs) maxConfs = confs.size
           if (rr != null) {
             rr.add(ms)
-            confs = rr.pruneDominated(confs)
+            if (ms.nonEmpty) confs = rr.pruneDominated(confs)
             rr.drain(confs, release)
             if (sq != null) confs = sq.drain(confs, emit)
           }

@@ -461,7 +461,25 @@ object MatchRecognize {
     out.result()
   }
 
-  def apply(df: DataFrame, clause: String): DataFrame = {
+  def apply(df: DataFrame, clause: String): DataFrame =
+    apply(df, clause, sqlGreedy = false)
+
+  /** `sqlGreedy = true` runs SQL:2016 STRICT quantifier selection —
+    * the standard's actual default, which this engine otherwise
+    * deliberately deviates from (quantifier EMISSION follows flink-cep:
+    * every satisfied repetition count per start; see the class doc).
+    * In this mode each match start yields ONE match, the
+    * lexicographically MAXIMAL derivation: greedy quantifiers take as
+    * many rows as possible, earlier quantifiers dominating later ones,
+    * alternation preferring the leftmost branch. Composes with AFTER
+    * MATCH SKIP (the selected matches feed the queue) and WITHIN;
+    * streaming inputs resolve a start once no open branch shares it
+    * (a `within` horizon bounds the wait — without one, a stream whose
+    * loop predicate never fails cannot prove maximality and defers
+    * until the partition quiesces). Named rejections in this mode:
+    * reluctant markers (per-quantifier mixed polarity), ^/$ anchors,
+    * ALL ROWS PER MATCH, and {- -} exclusions. */
+  def apply(df: DataFrame, clause: String, sqlGreedy: Boolean): DataFrame = {
     val partCol = PartitionRe.findFirstMatchIn(clause)
       .getOrElse(throw new IllegalArgumentException("PARTITION BY required"))
       .group(1)
@@ -649,6 +667,14 @@ object MatchRecognize {
       case PAlt(bs, q) => q.size + bs.map(countQuants).sum
     }.sum
     val multiQuantReluctant = hasReluctant && countQuants(elems) > 1
+    if (sqlGreedy) {
+      require(!hasReluctant,
+        "sqlGreedy mode supports all-greedy quantifiers; a reluctant " +
+          "marker would need per-quantifier mixed polarity — run " +
+          "reluctant patterns in the default mode")
+      require(countQuants(elems) >= 1,
+        "sqlGreedy selection needs at least one quantified element")
+    }
     if (hasReluctant) {
       if (multiQuantReluctant) {
         // every decision point must rank the same way — a greedy
@@ -703,6 +729,12 @@ object MatchRecognize {
     // IS matched yet absent from the output — its unmatchedness would
     // misread; an anchor-rejected candidate's rows likewise).
     val withUnmatched = UnmatchedRe.findFirstMatchIn(clause).isDefined
+    if (sqlGreedy) {
+      require(AllRowsRe.findFirstMatchIn(clause).isEmpty,
+        "sqlGreedy selection supports ONE ROW PER MATCH only")
+      require(excluded.isEmpty,
+        "sqlGreedy selection does not compose with {- -} exclusions")
+    }
     if (withUnmatched) {
       require(!df.isStreaming, "WITH UNMATCHED ROWS requires batch " +
         "input (unmatchedness is undecidable while partials remain open)")
@@ -750,6 +782,9 @@ object MatchRecognize {
     // unknowable before end of input.
     val anchorStreamHead = anchored && streamingIn
     if (anchored) {
+      require(!sqlGreedy, "sqlGreedy selection does not compose with " +
+        "^/$ anchors (gate-before-maximal-selection is not implemented " +
+        "for the greedy polarity)")
       if (streamingIn) require(anchorStart && !anchorEnd && !nested,
         "under streaming only the ^ head anchor on a flat pattern is " +
           "supported; the $ tail requires batch input (the partition " +
@@ -919,7 +954,7 @@ object MatchRecognize {
     // MATCH_NUMBER, PREV, aggregate/subset measures, non-default skip)
     // stays on the library path below.
     val plannedRoutable = !streamingIn && !nested && !neverMatches &&
-      droppedVars.isEmpty &&
+      !sqlGreedy && droppedVars.isEmpty &&
       elems.forall(e => e.quant.isEmpty && e.isInstanceOf[PVar]) &&
       skip == Cep.NoSkip && prevVars.isEmpty && subsets.isEmpty &&
       AllRowsRe.findFirstMatchIn(clause).isEmpty &&
@@ -1002,7 +1037,8 @@ object MatchRecognize {
       (!anchored || hasReluctant) &&
       !neverMatches && droppedVars.isEmpty &&
       quantsOk(elems) &&
-      (skip == Cep.NoSkip || hasReluctant) && prevVars.isEmpty &&
+      (skip == Cep.NoSkip || hasReluctant || sqlGreedy) &&
+      prevVars.isEmpty &&
       subsets.isEmpty && excluded.isEmpty &&
       AllRowsRe.findFirstMatchIn(clause).isEmpty &&
       measures.nonEmpty && measures.forall { m =>
@@ -1044,7 +1080,7 @@ object MatchRecognize {
         reluctant = hasReluctant,
         anchorHead = anchored && anchorStart,
         anchorTail = anchored && anchorEnd,
-        skip = skip)
+        skip = skip, sqlGreedy = sqlGreedy)
       return planned.select(col("key").as(partCol) +: measures.map { m =>
         (m match { case FinalMeasure(i) => i; case o => o }) match {
           case PosMeasure(v, c, alias, _, _) => col(s"${v}_${c}").as(alias)
@@ -1314,7 +1350,7 @@ object MatchRecognize {
     // composition, and the generalized preference ranking live there
     // (the linear engine's reluctant flag is per-step, single-slot)
     val routeNested = nested || reluctantAnchored || reluctantSkip ||
-      multiQuantReluctant
+      multiQuantReluctant || sqlGreedy
     val __routed: DataFrame = if (!routeNested) {
       // FLAT variable sequence: the linear Cep NFA (arrival-id parity,
       // after-match skip, terminal negation — the full driver surface)
@@ -1425,6 +1461,7 @@ object MatchRecognize {
       var gp = build(elems, null)
       withinOrd.foreach(w => gp = gp.within(w))
       if (hasReluctant) gp = gp.reluctant
+      if (sqlGreedy) gp = gp.greedySelect
       if (df.isStreaming) {
         implicit val stateEnc: org.apache.spark.sql.Encoder[
           GroupCep.GArrivalState[Row]] =

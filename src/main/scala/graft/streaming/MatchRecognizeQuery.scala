@@ -671,6 +671,69 @@ object MatchRecognizeQuery extends QueryModule {
         .orderBy("user_id", "v_id")
     },
 
+    q("qc34_mr_sql_greedy",
+      // SQL:2016 STRICT GREEDY selection (round 11 — the opt-in mode
+      // closing the engine's documented emission deviation): `V B+ E`
+      // under sqlGreedy yields ONE maximal match per start — each view
+      // pairs with the partition's LAST reachable error and B takes
+      // everything between, where the default flink-cep emission
+      // reports every error. Oracle: max-rn error per view.
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |cand AS (SELECT v.user_id, v.event_id AS v_id, e.event_id AS e_id,
+        |    CAST(e.rn - v.rn - 1 AS BIGINT) AS nb,
+        |    row_number() OVER (PARTITION BY v.user_id, v.event_id
+        |                       ORDER BY e.rn DESC) AS pref
+        |  FROM o v JOIN o e ON e.user_id = v.user_id
+        |    AND e.event_type = 'error' AND e.rn >= v.rn + 2
+        |  WHERE v.event_type = 'view')
+        |SELECT user_id, v_id, e_id, nb FROM cand WHERE pref = 1
+        |ORDER BY user_id, v_id""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS v_id, E.event_id AS e_id, COUNT(B.*) AS nb
+          |PATTERN (V B+ E)
+          |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
+          .stripMargin, sqlGreedy = true)
+        .orderBy("user_id", "v_id")
+    },
+
+    q("qc35_mr_sql_greedy_multi",
+      // sqlGreedy with TWO quantifiers: `V B+ C+ E` — the EARLIER
+      // greedy quantifier dominates: B maximal first, so C collapses
+      // to the single click right before the error and the winning
+      // error is the LAST one preceded by a click (a later error with
+      // a longer click run still loses the divergence to more B).
+      // Oracle: max-rn click-preceded error per view, nb = L-1, nc = 1.
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |cand AS (SELECT v.user_id, v.event_id AS v_id, e.event_id AS e_id,
+        |    CAST(e.rn - v.rn - 2 AS BIGINT) AS nb,
+        |    row_number() OVER (PARTITION BY v.user_id, v.event_id
+        |                       ORDER BY e.rn DESC) AS pref
+        |  FROM o v
+        |  JOIN o e ON e.user_id = v.user_id AND e.event_type = 'error'
+        |    AND e.rn >= v.rn + 3
+        |  JOIN o p ON p.user_id = e.user_id AND p.rn = e.rn - 1
+        |    AND p.event_type = 'click'
+        |  WHERE v.event_type = 'view')
+        |SELECT user_id, v_id, e_id, nb, CAST(1 AS BIGINT) AS nc
+        |FROM cand WHERE pref = 1
+        |ORDER BY user_id, v_id""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS v_id, E.event_id AS e_id,
+          |  COUNT(B.*) AS nb, COUNT(C.*) AS nc
+          |PATTERN (V B+ C+ E)
+          |DEFINE V AS event_type = 'view', C AS event_type = 'click',
+          |       E AS event_type = 'error'""".stripMargin, sqlGreedy = true)
+        .orderBy("user_id", "v_id")
+    },
+
     q("qc31_mr_multi_reluctant",
       // MULTI-QUANTIFIER RELUCTANT (round 11 — the largest remaining
       // named rejection): `V B+? C+? E` carries TWO ranked decision

@@ -424,6 +424,54 @@ class PropertySpec extends SparkSuite {
         val split = runChunks(Seq(ev.take(cut), ev.drop(cut)))
         batch == expected && whole == split
     })
+    // SQL-GREEDY selection (round-11 late): same alternation shape with
+    // all-greedy polarity — the brute ranking flips to (branch, -nb,
+    // -nd): leftmost branch still dominates, then MAXIMAL B, then
+    // maximal D (one match per start, the lexicographic maximum)
+    def patAltG(k: E => Boolean, d: E => Boolean) =
+      GPattern.begin[E]("v")(_._1 == "v")
+        .next(Seq(GPattern.begin[E]("k")(k),
+          GPattern.begin[E]("n")(_ => true)))
+        .next(GPattern.begin[E]("b")(_ => true)).oneOrMore.consecutive
+        .next(GPattern.begin[E]("d")(d)).oneOrMore.consecutive
+        .next("e")(_._1 == "e")
+        .greedySelect
+    def bruteAltG(ev: Vector[E], k: E => Boolean, d: E => Boolean)
+        : Map[(Long, Long, Int, Int, Int), Int] = {
+      val n = ev.length
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Int, Int, Int)]
+      for (i <- 0 until n if ev(i)._1 == "v" && i + 1 < n) {
+        val branches =
+          (if (k(ev(i + 1))) Seq(0) else Seq.empty) :+ 1
+        val cands = for {
+          br <- branches
+          j <- i + 4 until n + 1; jj = j - 1
+          if ev(jj)._1 == "e"
+          m <- i + 2 until jj
+          if (m + 1 until jj).nonEmpty
+          if (m + 1 until jj).forall(x => d(ev(x)))
+        } yield (br, ev(i)._2, ev(jj)._2, m - i - 1, jj - 1 - m)
+        if (cands.nonEmpty) {
+          val w = cands.minBy(t => (t._1, -t._4, -t._5))
+          out += ((w._2, w._3, if (w._1 == 0) 1 else 0, w._4, w._5))
+        }
+      }
+      out.groupBy(identity).view.mapValues(_.size).toMap
+    }
+    check(Prop.forAll(namesGen,
+      Gen.choose(0, kPreds.size - 1), Gen.choose(0, cPreds.size - 1)) {
+      (names, ki, di) =>
+        val ev = names.zipWithIndex
+          .map { case (nm, i) => (nm, i.toLong) }.toVector
+        val (k, d) = (kPreds(ki), cPreds(di)._2)
+        val batch = GroupCep.runKeyEvents[E, (Long, Long, Int, Int, Int)](
+            ev, _._2, patAltG(k, d))(groups =>
+            (groups("v").head._2, groups("e").head._2,
+              groups("k").size, groups("b").size, groups("d").size))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        batch == bruteAltG(ev, k, d)
+    })
   }
 
   test("sketch merges are a commutative monoid on random streams (CMS + reservoir)") {

@@ -1091,6 +1091,68 @@ class MatchRecognizeSpec extends SparkSuite {
       Set((1L, 0L, 1L, 1L, 1L), (2L, 1L, 0L, 1L, 1L)))
   }
 
+  test("sqlGreedy: SQL:2016 strict selection — one MAXIMAL match per " +
+      "start, earlier quantifier dominates, skip composes (round 11)") {
+    val rows = Seq(
+      (1L, 10L, "view", 1L), (2L, 20L, "other", 1L),
+      (3L, 30L, "error", 1L), (4L, 40L, "click", 1L),
+      (5L, 50L, "error", 1L),
+      (10L, 10L, "view", 2L), (11L, 20L, "view", 2L),
+      (12L, 30L, "other", 2L), (13L, 40L, "error", 2L))
+    val df = rows.toDF("event_id", "ts", "event_type", "user_id")
+    def clause(pat: String, measures: String, extra: String = "") =
+      s"""PARTITION BY user_id
+         |ORDER BY ts, event_id
+         |MEASURES $measures
+         |$extra
+         |PATTERN ($pat)
+         |DEFINE V AS event_type = 'view', C AS event_type = 'click',
+         |       E AS event_type = 'error'""".stripMargin
+    // default mode: every satisfied length; sqlGreedy: the maximal one
+    val dflt = MatchRecognize(df,
+      clause("V B+ E", "V.event_id AS v_id, E.event_id AS e_id"))
+      .select("v_id", "e_id").as[(Long, Long)].collect().toSet
+    assert(dflt === Set((1L, 3L), (1L, 5L), (10L, 13L), (11L, 13L)))
+    val greedy = MatchRecognize(df,
+      clause("V B+ E", "V.event_id AS v_id, E.event_id AS e_id"),
+      sqlGreedy = true)
+    assert(greedy.queryExecution.executedPlan.toString
+      .contains("- GroupCep "))
+    assert(greedy.select("v_id", "e_id").as[(Long, Long)].collect().toSet
+      === Set((1L, 5L), (10L, 13L), (11L, 13L)))
+    // two quantifiers: B maximal FIRST — user 1's winner takes the
+    // later error with nb=2, nc=1 even though (nb=1, nc=1) at the
+    // earlier error completed first
+    val multi = MatchRecognize(df,
+      clause("V B+ C+ E",
+        "V.event_id AS v_id, COUNT(B.*) AS nb, COUNT(C.*) AS nc"),
+      sqlGreedy = true)
+      .select("user_id", "v_id", "nb", "nc")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(multi === Set((1L, 1L, 2L, 1L)))
+    // greedy + SKIP PAST LAST ROW: the selected maximal match consumes
+    // through the partition's last error — user 2's second view dies
+    val skipG = MatchRecognize(df,
+      clause("V B+ E", "V.event_id AS v_id, E.event_id AS e_id",
+        "AFTER MATCH SKIP PAST LAST ROW"),
+      sqlGreedy = true)
+      .select("v_id", "e_id").as[(Long, Long)].collect().toSet
+    assert(skipG === Set((1L, 5L), (10L, 13L)))
+    // named rejections: reluctant markers, anchors, ALL ROWS
+    assert(intercept[IllegalArgumentException] {
+      MatchRecognize(df, clause("V B+? E", "V.event_id AS v_id"),
+        sqlGreedy = true)
+    }.getMessage.contains("all-greedy"))
+    assert(intercept[IllegalArgumentException] {
+      MatchRecognize(df, clause("V B+ E $", "V.event_id AS v_id"),
+        sqlGreedy = true)
+    }.getMessage.contains("anchors"))
+    assert(intercept[IllegalArgumentException] {
+      MatchRecognize(df, clause("V B+ E",
+        "V.event_id AS v_id", "ALL ROWS PER MATCH"), sqlGreedy = true)
+    }.getMessage.contains("ONE ROW"))
+  }
+
   test("streaming MATCH_NUMBER(): the per-key ordinal persists across micro-batches (round 9)") {
     // Two disjoint error pairs arriving in separate micro-batches, with
     // a quiet batch in between that lets every partial die — the ordinal
