@@ -691,7 +691,8 @@ object GroupCep {
     * and streaming drivers. Returns surviving branches and completed
     * matches as (slotIdx, event) capture lists in match order. */
   def advance[E](c: Compiled[E], confs: Vector[GConf[E]], e: E,
-      ts: Long): (Vector[GConf[E]], Vector[Vector[(Int, E)]]) = {
+      ts: Long, canStart: Boolean = true)
+      : (Vector[GConf[E]], Vector[Vector[(Int, E)]]) = {
     val alive = c.withinMs match {
       case None => confs
       case Some(w) => confs.filter(p => ts - p.startTs < w)
@@ -734,7 +735,10 @@ object GroupCep {
     // guard — the reference conjoins NOT(take) on ALL sink-state
     // transitions (updateWithGreedyCondition), so an event the loop could
     // have consumed must not start a match at the post-loop step.
-    c.startFrontier.foreach { t =>
+    // `canStart = false` is the streaming ^ head-anchor gate (round 11):
+    // only the key's arrival-0 event may open a branch, so every
+    // candidate is partition-head-anchored by construction.
+    if (canStart) c.startFrontier.foreach { t =>
       if (!c.guardHit(t.guard, e) && c.predOf(t.slot)(e))
         fire(GConf(t.slot, t.mode, t.reps, Vector.empty, ts, fresh = true))
     }
@@ -1344,7 +1348,8 @@ object GroupCep {
   def matchStreamSkipFn[K, E, O](compiled: Compiled[E], ts: E => Long,
       tie: E => Long, skip: Cep.AfterMatchSkip,
       finish: (K, Map[String, Seq[E]]) => O,
-      stats: Cep.HotKeyStats = null):
+      stats: Cep.HotKeyStats = null,
+      canStart: E => Boolean = null):
       (K, Iterator[E], GroupState[GStreamState[E]]) => Iterator[O] =
     (k: K, it: Iterator[E], state: GroupState[GStreamState[E]]) => {
       val st = state.getOption.getOrElse(GStreamState[E](Vector.empty,
@@ -1380,7 +1385,8 @@ object GroupCep {
         val sorted = it.toVector.sortBy(e => (ts(e), tie(e)))
         var maxConfs = 0
         sorted.foreach { e =>
-          val (next, ms) = advance(compiled, confs, e, ts(e))
+          val (next, ms) = advance(compiled, confs, e, ts(e),
+            canStart == null || canStart(e))
           confs = next
           if (stats != null && confs.size > maxConfs) maxConfs = confs.size
           if (rr != null) {
@@ -1461,11 +1467,12 @@ object GroupCep {
   def matchStreamArrivalFn[K, E, O](pattern: GPattern[E], ts: E => Long,
       tie: E => Long, skip: Cep.AfterMatchSkip,
       finish: (K, Map[String, Seq[E]]) => O,
-      stats: Cep.HotKeyStats = null):
+      stats: Cep.HotKeyStats = null,
+      anchorHead: Boolean = false):
       (K, Iterator[E], GroupState[GArrivalState[E]]) => Iterator[O] =
     matchStreamNumberedArrivalFn(pattern, ts, tie, skip, null,
       (kk: K, _: Long, groups: Map[String, Seq[E]]) => finish(kk, groups),
-      stats, numbered = false)
+      stats, numbered = false, anchorHead = anchorHead)
 
   /** [[matchStreamArrivalFn]] plus the round-9 SQL extras (the group
     * twin of [[Cep.matchStreamGroupsNumberedArrivalFn]]): finish receives
@@ -1477,7 +1484,8 @@ object GroupCep {
       ts: E => Long, tie: E => Long, skip: Cep.AfterMatchSkip,
       pre: (Vector[E], E) => (Vector[E], E),
       finish: (K, Long, Map[String, Seq[E]]) => O,
-      stats: Cep.HotKeyStats = null, numbered: Boolean = true):
+      stats: Cep.HotKeyStats = null, numbered: Boolean = true,
+      anchorHead: Boolean = false):
       (K, Iterator[E], GroupState[GArrivalState[E]]) => Iterator[O] = {
     val compiled = compile(liftG(pattern))
     (k: K, it: Iterator[E], state: GroupState[GArrivalState[E]]) => {
@@ -1488,7 +1496,10 @@ object GroupCep {
       val inner = matchStreamSkipFn[K, (E, Long), O](compiled,
         w => ts(w._1), _._2, skip,
         (kk, groups) => finish(kk, counter.next(), unliftGroups(groups)),
-        stats)
+        stats,
+        // ^ gate: only the key's first-EVER event (cross-batch arrival
+        // tag 0) may open a branch
+        canStart = if (anchorHead) (w: (E, Long)) => w._2 == 0L else null)
       val sorted = it.toVector.sortBy(e => (ts(e), tie(e)))
       val preApplied = if (pre == null) sorted else sorted.map { e =>
         val (c2, e2) = pre(carry, e); carry = c2; e2
@@ -1519,7 +1530,8 @@ object GroupCep {
       ts: E => Long, pattern: GPattern[E],
       tie: E => Long = (_: E) => 0L,
       skip: Cep.AfterMatchSkip = Cep.NoSkip,
-      stats: Cep.HotKeyStats = null)(
+      stats: Cep.HotKeyStats = null,
+      anchorHead: Boolean = false)(
       finish: (K, Map[String, Seq[E]]) => O)(
       implicit ke: Encoder[K],
       se: Encoder[GArrivalState[E]]): Dataset[O] = {
@@ -1529,7 +1541,8 @@ object GroupCep {
       else GroupStateTimeout.NoTimeout()
     ds.groupByKey(key).flatMapGroupsWithState[GArrivalState[E], O](
       OutputMode.Append(), timeoutConf)(
-      matchStreamArrivalFn(pattern, ts, tie, skip, finish, stats))
+      matchStreamArrivalFn(pattern, ts, tie, skip, finish, stats,
+        anchorHead = anchorHead))
   }
 
   /** [[matchStream]] with the cross-batch per-key match ordinal in
@@ -1541,7 +1554,8 @@ object GroupCep {
       tie: E => Long = (_: E) => 0L,
       skip: Cep.AfterMatchSkip = Cep.NoSkip,
       pre: (Vector[E], E) => (Vector[E], E) = null,
-      stats: Cep.HotKeyStats = null)(
+      stats: Cep.HotKeyStats = null,
+      anchorHead: Boolean = false)(
       finish: (K, Long, Map[String, Seq[E]]) => O)(
       implicit ke: Encoder[K],
       se: Encoder[GArrivalState[E]]): Dataset[O] = {
@@ -1552,6 +1566,6 @@ object GroupCep {
     ds.groupByKey(key).flatMapGroupsWithState[GArrivalState[E], O](
       OutputMode.Append(), timeoutConf)(
       matchStreamNumberedArrivalFn(pattern, ts, tie, skip, pre, finish,
-        stats))
+        stats, anchorHead = anchorHead))
   }
 }

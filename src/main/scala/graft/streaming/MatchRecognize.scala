@@ -85,9 +85,14 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampT
   *                                  -- could, and Structured Streaming
   *                                  -- has no per-key end-of-stream —
   *                                  -- while
-  *                                  -- ^ ALSO works on flat streaming
-  *                                  -- clauses via the cross-batch
-  *                                  -- arrival ordinal; flat
+  *                                  -- ^ ALSO works on streaming
+  *                                  -- clauses — flat, nested, AND
+  *                                  -- multi-quantifier — via the
+  *                                  -- cross-batch arrival ordinal
+  *                                  -- (linear engine: anchorHead
+  *                                  -- conjunct; group engine: the
+  *                                  -- advance-level canStart gate);
+  *                                  -- flat
   *                                  -- unquantified clauses route onto
   *                                  -- the PLANNED CepExec with the
   *                                  -- anchors as NFA-level gates — one
@@ -785,18 +790,16 @@ object MatchRecognize {
       require(!sqlGreedy, "sqlGreedy selection does not compose with " +
         "^/$ anchors (gate-before-maximal-selection is not implemented " +
         "for the greedy polarity)")
-      if (streamingIn) require(anchorStart && !anchorEnd && !nested,
-        "under streaming only the ^ head anchor on a flat pattern is " +
-          "supported; the $ tail requires batch input (the partition " +
-          "end is unknowable on an unbounded stream)")
-      // the streaming ^ gate is an NFA-level conjunct on the LINEAR
-      // engine only; a multi-quantifier pattern routes to the group
-      // engine, whose streaming driver carries no anchor — reject
-      // rather than silently drop the anchor (round-11 review catch)
-      if (streamingIn) require(!multiQuantReluctant,
-        "the streaming ^ head anchor does not compose with multiple " +
-          "reluctant quantifiers (the group engine's streaming driver " +
-          "has no anchor gate); run the pattern on batch input")
+      // round 11 (late): the streaming ^ head anchor composes with
+      // NESTED and MULTI-QUANTIFIER patterns too — the group engine's
+      // streaming driver gates branch creation on cross-batch arrival
+      // tag 0 (GroupCep.advance canStart), the group twin of the
+      // linear engine's anchorHead conjunct. Only $ still needs batch
+      // input (the partition end is unknowable on an unbounded stream).
+      if (streamingIn) require(anchorStart && !anchorEnd,
+        "under streaming only the ^ head anchor is supported; the $ " +
+          "tail requires batch input (the partition end is unknowable " +
+          "on an unbounded stream)")
       // round 11: anchors × skip composes on the BATCH RELUCTANT route
       // (SQL:2016 evaluation order — the gates filter candidates, the
       // preference selects per start, THEN the skip queue consumes over
@@ -1470,9 +1473,11 @@ object MatchRecognize {
           if (needsNumbered)
             GroupCep.matchStreamNumbered[Row, Row, Row](
               prepared, keyFn, ordFn, gp, tie = tieFn, skip = skip,
-              pre = preFn)(mkRow)(outEnc, keyEnc, stateEnc).toDF()
+              pre = preFn, anchorHead = anchorStreamHead)(mkRow)(
+              outEnc, keyEnc, stateEnc).toDF()
           else GroupCep.matchStream[Row, Row, Row](
-            prepared, keyFn, ordFn, gp, tie = tieFn, skip = skip)(finish)(
+            prepared, keyFn, ordFn, gp, tie = tieFn, skip = skip,
+            anchorHead = anchorStreamHead)(finish)(
             outEnc, keyEnc, stateEnc).toDF())
       } else
         post(GroupCep.matchBatchGroups[Row, Row, Row](

@@ -1542,24 +1542,81 @@ class MatchRecognizeSpec extends SparkSuite {
     // all-reluctant but NESTED quantifiers stay rejected
     assert(intercept[IllegalArgumentException](mr("V (B E??)+? X"))
       .getMessage.contains("sibling"))
-    // streaming ^ x MULTIPLE reluctant quantifiers rejects by name:
-    // the group engine's streaming driver has no anchor gate, so
-    // routing there would silently drop the anchor (round-11 review)
+    // round 11 (late): streaming ^ COMPOSES with multi-quantifier and
+    // nested patterns — the group engine's streaming driver gates
+    // branch creation on cross-batch arrival tag 0; the anchored match
+    // set equals the batch route's, across any micro-batch cut
     locally {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = spark.sqlContext
-      val input = MemoryStream[(Long, Long, String, Long)]
-      val sdf = input.toDF().toDF("event_id", "ts", "event_type", "user_id")
-      val e = intercept[IllegalArgumentException] {
-        MatchRecognize(sdf,
-          """PARTITION BY user_id
-            |ORDER BY ts, event_id
-            |MEASURES V.event_id AS v_id
-            |PATTERN (^ V B+? C+? E)
-            |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
-            .stripMargin)
+      val rows = Seq(
+        // user 1 STARTS with a view: anchored match (nb=1, nc=1)
+        (1L, 10L, "view", 1L), (2L, 20L, "other", 1L),
+        (3L, 30L, "click", 1L), (4L, 40L, "error", 1L),
+        // user 2's first event is a click: its later view can never
+        // satisfy ^, however the stream is cut
+        (10L, 10L, "click", 2L), (11L, 20L, "view", 2L),
+        (12L, 30L, "other", 2L), (13L, 40L, "click", 2L),
+        (14L, 50L, "error", 2L))
+      val clause =
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS v_id, E.event_id AS e_id,
+          |  COUNT(B.*) AS nb, COUNT(C.*) AS nc
+          |PATTERN (^ V B+? C+? E)
+          |DEFINE V AS event_type = 'view', C AS event_type = 'click',
+          |       E AS event_type = 'error'""".stripMargin
+      val expected = MatchRecognize(
+          rows.toDF("event_id", "ts", "event_type", "user_id"), clause)
+        .select("user_id", "v_id", "e_id", "nb", "nc")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(expected === Set((1L, 1L, 4L, 1L, 1L)))
+      for (cut <- Seq(0, 3, 6)) {
+        val input = MemoryStream[(Long, Long, String, Long)]
+        val q = MatchRecognize(
+            input.toDF().toDF("event_id", "ts", "event_type", "user_id"),
+            clause)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(s"mr_sanchor_$cut").start()
+        try {
+          if (cut > 0) { input.addData(rows.take(cut): _*)
+                         q.processAllAvailable() }
+          input.addData(rows.drop(cut): _*)
+          q.processAllAvailable()
+          assert(spark.table(s"mr_sanchor_$cut")
+            .select("user_id", "v_id", "e_id", "nb", "nc")
+            .as[(Long, Long, Long, Long, Long)].collect().toSet
+            === expected, s"cut at $cut")
+        } finally q.stop()
       }
-      assert(e.getMessage.contains("multiple"))
+      // nested streaming ^ composes too
+      val nestedClause =
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS v_id, COUNT(C.*) AS nc
+          |PATTERN (^ V (B C){1} E)
+          |DEFINE V AS event_type = 'view', B AS event_type = 'other',
+          |       C AS event_type = 'click', E AS event_type = 'error'"""
+          .stripMargin
+      val nExpected = MatchRecognize(
+          rows.toDF("event_id", "ts", "event_type", "user_id"),
+          nestedClause)
+        .select("user_id", "v_id", "nc")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(nExpected === Set((1L, 1L, 1L)))
+      val input2 = MemoryStream[(Long, Long, String, Long)]
+      val q2 = MatchRecognize(
+          input2.toDF().toDF("event_id", "ts", "event_type", "user_id"),
+          nestedClause)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("mr_sanchor_nested").start()
+      try {
+        input2.addData(rows.take(2): _*); q2.processAllAvailable()
+        input2.addData(rows.drop(2): _*); q2.processAllAvailable()
+        assert(spark.table("mr_sanchor_nested")
+          .select("user_id", "v_id", "nc")
+          .as[(Long, Long, Long)].collect().toSet === nExpected)
+      } finally q2.stop()
     }
     // non-default skip composes since round 10 (behavior test below)
     // anchors compose in BATCH since round 10, and the flat ^ head
