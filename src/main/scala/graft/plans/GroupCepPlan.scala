@@ -55,7 +55,8 @@ object GroupCepPlan {
   final case class GGroupSpec(elems: Seq[GSpec], min: Int = 1, max: Int = 1,
       optional: Boolean = false, consecutive: Boolean = false,
       combinations: Boolean = false, strict: Boolean = false,
-      any: Boolean = false, until: Option[Column] = None) extends GSpec
+      any: Boolean = false, until: Option[Column] = None,
+      relMark: Boolean = false) extends GSpec
   final case class GNotSpec(name: String, pred: Column,
       nextOnly: Boolean = false) extends GSpec
   /** Alternation `(b1 | b2 | ...)`: exactly one branch matches, leftmost
@@ -72,7 +73,8 @@ object GroupCepPlan {
       any: Boolean) extends Skel
   final case class GroupSkel(elems: Seq[Skel], min: Int, max: Int,
       optional: Boolean, consecutive: Boolean, combinations: Boolean,
-      strict: Boolean, any: Boolean, untilIdx: Int = -1) extends Skel
+      strict: Boolean, any: Boolean, untilIdx: Int = -1,
+      relMark: Boolean = false) extends Skel
   final case class NotSkel(name: String, predIdx: Int,
       nextOnly: Boolean) extends Skel
   final case class AltSkel(branches: Seq[Seq[Skel]], strict: Boolean,
@@ -135,6 +137,7 @@ object GroupCepPlan {
           if (g.optional) p = p.optional
           if (g.consecutive) p = p.consecutive
           if (g.combinations) p = p.allowCombinations
+          if (g.relMark) p = p.markReluctant
           if (g.untilIdx >= 0) {
             val f: T => Boolean = w => bound(g.untilIdx).eval(w._1)
             p = p.until(f)
@@ -377,7 +380,8 @@ object GroupCepPlan {
       sqlGreedy: Boolean = false): DataFrame = {
     require(elems.nonEmpty, "at least one pattern element")
     require(!(sqlGreedy && (reluctant || anchorHead || anchorTail)),
-      "sqlGreedy excludes reluctant markers and ^/$ anchors")
+      "sqlGreedy excludes the pattern-level reluctant mode and ^/$ " +
+        "anchors (per-quantifier polarity rides GGroupSpec.relMark)")
     if (anchorHead || anchorTail) {
       // the planned anchors are the reluctant-selection composition
       // (plain anchored group patterns post-filter on boundary flags in
@@ -467,7 +471,8 @@ object GroupCepPlan {
           case None => -1
         }
         GroupSkel(inner, g.min, g.max, g.optional,
-          g.consecutive, g.combinations, g.strict, g.any, untilIdx)
+          g.consecutive, g.combinations, g.strict, g.any, untilIdx,
+          g.relMark)
       case n: GNotSpec =>
         predsB += resolve(n.pred); nPreds += 1
         NotSkel(n.name, nPreds - 1, n.nextOnly)

@@ -54,7 +54,8 @@ object GroupCep {
   final case class GGroup[E](elems: Vector[GElem[E]], mode: Int,
       min: Int, max: Int, optional: Boolean, loopMode: Int,
       untilPred: Option[E => Boolean],
-      greedy: Boolean = false) extends GElem[E]
+      greedy: Boolean = false,
+      relMark: Boolean = false) extends GElem[E]
   final case class GNot[E](name: String, pred: E => Boolean,
       nextOnly: Boolean) extends GElem[E]
   /** Alternation `(b1 | b2 | ...)`: exactly one branch matches (SQL:2016
@@ -147,6 +148,13 @@ object GroupCep {
         "Option not applicable to FollowedByAny pattern")
       g.copy(greedy = true)
     }
+    /** Mark the LAST quantified element RELUCTANT for
+      * [[greedySelect]]'s per-quantifier polarity (SQL:2016 mixed
+      * `B+ C+?` ranking): a marked quantifier prefers FEWER
+      * repetitions where unmarked ones prefer more. Only consulted in
+      * greedy-select mode — the all-reluctant [[reluctant]] mode
+      * ignores it. */
+    def markReluctant: GPattern[E] = quantified(_.copy(relMark = true))
     def within(ms: Long): GPattern[E] =
       new GPattern(elems, Some(ms), reluctantSel, deferSel, greedySel)
 
@@ -358,7 +366,7 @@ object GroupCep {
   private final case class GNode(id: Int, children: Vector[Node], mode: Int,
       min: Int, max: Int, optional: Boolean, loopMode: Int,
       untilIdx: Int, // untilIdx: index into untils, -1 = none
-      greedy: Boolean) extends Node
+      greedy: Boolean, relMark: Boolean = false) extends Node
   /** Alternation fork: entering it epsilon-enters every branch (in
     * declaration order — leftmost-preference falls out of conf/emission
     * ordering); completing ANY branch completes the node. Branches are
@@ -414,7 +422,7 @@ object GroupCep {
         // currentGroupPattern is the innermost group, with no fallthrough
         val children = buildSeq(g.elems, gUntil)
         val node = GNode(id, children, g.mode, g.min, g.max, g.optional,
-          g.loopMode, gUntil, g.greedy)
+          g.loopMode, gUntil, g.greedy, g.relMark)
         children.foreach(parentB(_) = node)
         node
       case a: GAlt[E] =>
@@ -519,18 +527,53 @@ object GroupCep {
       *    any quantified group progression is deterministic and
       *    sequence-level divergences always rank a reluctant
       *    exit-vs-stay/skip-vs-take decision. */
-    private[GroupCep] val slotPath: Map[Int, Vector[(Boolean, Int)]] = {
-      val b = Map.newBuilder[Int, Vector[(Boolean, Int)]]
-      def walk(n: Node, path: Vector[(Boolean, Int)]): Unit = n match {
-        case SNode(s, _) => b += s -> path
-        case g: GNode =>
-          g.children.zipWithIndex.foreach { case (c, i) =>
-            walk(c, path :+ ((false, i))) }
-        case a: ANode =>
-          a.branches.zipWithIndex.foreach { case (br, i) =>
-            walk(br, path :+ ((true, i))) }
-      }
+    private[GroupCep] val slotPath
+        : Map[Int, Vector[(Boolean, Int, Boolean)]] = {
+      // entry = (parentIsAlt, childIdx, rel): `rel` is the RELUCTANT
+      // polarity of the decision of entering/staying in this child —
+      // under all-reluctant selection every sequence decision is
+      // reluctant; under greedy selection (round 11) only children
+      // carrying [[GGroup.relMark]] are, the rest prefer staying (the
+      // SQL:2016 default-greedy/marked-reluctant mix)
+      def isQuant(g: GNode): Boolean =
+        g.min != g.max || g.max > 1 || g.optional || g.min == 0
+      def relOf(n: Node): Boolean =
+        if (!greedySel) true
+        else n match {
+          case g: GNode => isQuant(g) && g.relMark
+          case _ => false
+        }
+      val b = Map.newBuilder[Int, Vector[(Boolean, Int, Boolean)]]
+      def walk(n: Node, path: Vector[(Boolean, Int, Boolean)]): Unit =
+        n match {
+          case SNode(s, _) => b += s -> path
+          case g: GNode =>
+            g.children.zipWithIndex.foreach { case (c, i) =>
+              walk(c, path :+ ((false, i, relOf(c)))) }
+          case a: ANode =>
+            a.branches.zipWithIndex.foreach { case (br, i) =>
+              walk(br, path :+ ((true, i, false))) }
+        }
       walk(realRoot, Vector.empty)
+      b.result()
+    }
+    /** Slot → polarity of its innermost enclosing quantified group —
+      * [[prefer]]'s strict-prefix rule: the continuation is more
+      * repetitions of THAT loop, so reluctant ⇒ the shorter candidate
+      * wins, greedy ⇒ the longer. */
+    private[GroupCep] val slotEncRel: Map[Int, Boolean] = {
+      def isQuant(g: GNode): Boolean =
+        g.min != g.max || g.max > 1 || g.optional || g.min == 0
+      val b = Map.newBuilder[Int, Boolean]
+      def walk(n: Node, enc: Boolean): Unit = n match {
+        case SNode(s, _) => b += s -> enc
+        case g: GNode =>
+          val e2 = if (!isQuant(g)) enc
+                   else if (greedySel) g.relMark else true
+          g.children.foreach(walk(_, e2))
+        case a: ANode => a.branches.foreach(walk(_, enc))
+      }
+      walk(realRoot, enc = !greedySel)
       b.result()
     }
     /** Reluctant + any alternation anywhere ⇒ completion order no longer
@@ -556,13 +599,19 @@ object GroupCep {
       * reluctant, longer under greedy) — [[prefer]]'s fast path, worth
       * it because greedy selection folds a candidate per possible
       * match end and the full walk is O(match length) each. */
+    /** Polarity of THE quantifier when [[singleQuantNoAlt]] — set
+      * during its walk (meaningful only when that flag holds).
+      * Declared BEFORE the val whose initializer assigns it. */
+    private[GroupCep] var singleQuantPrefersShorter: Boolean = true
     private[GroupCep] val singleQuantNoAlt: Boolean = {
       var quants = 0; var alt = false
       def walk(n: Node): Unit = n match {
         case _: SNode => ()
         case g: GNode =>
-          if (g.min != g.max || g.max > 1 || g.optional || g.min == 0)
+          if (g.min != g.max || g.max > 1 || g.optional || g.min == 0) {
             quants += 1
+            singleQuantPrefersShorter = if (greedySel) g.relMark else true
+          }
           g.children.foreach(walk)
         case a: ANode => alt = true; a.branches.foreach(walk)
       }
@@ -816,9 +865,11 @@ object GroupCep {
   private def prefer[E](c: Compiled[E], a: Vector[(Int, E)],
       b: Vector[(Int, E)]): Vector[(Int, E)] = {
     if ((c.reluctantSel || c.greedySel) && c.singleQuantNoAlt) {
-      // single decision point: length IS the preference
+      // single decision point: length IS the preference, by the
+      // quantifier's own polarity
       return if (a.length == b.length) a
-      else if (c.greedySel == (a.length > b.length)) a else b
+      else if (c.singleQuantPrefersShorter == (a.length < b.length)) a
+      else b
     }
     val n = math.min(a.length, b.length)
     var i = 0
@@ -827,11 +878,16 @@ object GroupCep {
       if (sa != sb) return if (slotWins(c, sa, sb)) a else b
       i += 1
     }
-    // strict prefix: reluctant prefers the SHORTER candidate (the
-    // continuation is more reps of a reluctant loop), greedy selection
-    // the LONGER (more reps of a greedy loop)
-    if (c.greedySel) { if (a.length >= b.length) a else b }
-    else if (a.length <= b.length) a else b
+    // strict prefix: the continuation is more repetitions of the loop
+    // enclosing the longer candidate's next slot — reluctant polarity
+    // prefers the SHORTER candidate, greedy the LONGER
+    if (a.length == b.length) a
+    else {
+      val (short, long) = if (a.length < b.length) (a, b) else (b, a)
+      val contRel = c.slotEncRel.getOrElse(long(short.length)._1,
+        !c.greedySel)
+      if (contRel == (a.length < b.length)) a else b
+    }
   }
 
   /** The slot-level decision of [[prefer]]: does consuming `sa` at the
@@ -847,10 +903,14 @@ object GroupCep {
     // guard is defensive only
     if (d >= nd) sa < sb
     else if (pa(d)._1) pa(d)._2 < pb(d)._2
-    // sequence level: reluctant prefers the EXIT (higher child index),
-    // SQL greedy selection prefers STAYING in the earlier loop
-    else if (c.greedySel) pa(d)._2 < pb(d)._2
-    else pa(d)._2 > pb(d)._2
+    else {
+      // sequence level: the decision belongs to the EARLIER subtree
+      // (the one the lower-index side stayed in / entered) — its
+      // reluctant polarity says whether exiting (higher index) wins
+      val aLower = pa(d)._2 < pb(d)._2
+      val lowerRel = if (aLower) pa(d)._3 else pb(d)._3
+      if (lowerRel) !aLower else aLower
+    }
   }
 
   /** Deferred per-start selection for reluctant patterns WITH
@@ -948,7 +1008,8 @@ object GroupCep {
     case GLeaf(n, p, m) => GLeaf(n, (w: (E, Long)) => p(w._1), m)
     case g: GGroup[E] => GGroup(g.elems.map(liftElem[E]), g.mode, g.min,
       g.max, g.optional, g.loopMode,
-      g.untilPred.map(up => (w: (E, Long)) => up(w._1)), g.greedy)
+      g.untilPred.map(up => (w: (E, Long)) => up(w._1)), g.greedy,
+      g.relMark)
     case GNot(n, p, no) => GNot(n, (w: (E, Long)) => p(w._1), no)
     case a: GAlt[E] => GAlt(a.branches.map(_.map(liftElem[E])), a.mode)
   }

@@ -665,7 +665,10 @@ object MatchRecognize {
       case PGrp(in, q) => q.exists(isReluctantQ) || anyReluctant(in)
       case PAlt(bs, q) => q.exists(isReluctantQ) || bs.exists(anyReluctant)
     }
-    val hasReluctant = anyReluctant(elems)
+    // under sqlGreedy the reluctant markers are PER-QUANTIFIER polarity
+    // (SQL:2016 mixed semantics) and must not trigger the default
+    // mode's pattern-level reluctant machinery
+    val hasReluctant = anyReluctant(elems) && !sqlGreedy
     def countQuants(es: Vector[PElem]): Int = es.map {
       case PVar(_, q) => q.size
       case PGrp(in, q) => q.size + countQuants(in)
@@ -673,10 +676,9 @@ object MatchRecognize {
     }.sum
     val multiQuantReluctant = hasReluctant && countQuants(elems) > 1
     if (sqlGreedy) {
-      require(!hasReluctant,
-        "sqlGreedy mode supports all-greedy quantifiers; a reluctant " +
-          "marker would need per-quantifier mixed polarity — run " +
-          "reluctant patterns in the default mode")
+      // round 11 (late): reluctant markers COMPOSE in this mode as
+      // per-quantifier polarity — `V B+ C+? E` maximizes B then
+      // minimizes C, the full SQL:2016 mixed ranking
       require(countQuants(elems) >= 1,
         "sqlGreedy selection needs at least one quantified element")
     }
@@ -1061,11 +1063,13 @@ object MatchRecognize {
         case PVar(v, Some(q)) =>
           val (mn, mx, opt) = quantOf(q).get
           GGroupSpec(Seq(GLeafSpec(v, col(s"__mr_$v"))), mn, mx,
-            optional = opt, consecutive = true, strict = true)
+            optional = opt, consecutive = true, strict = true,
+            relMark = sqlGreedy && isReluctantQ(q))
         case PGrp(in, q) =>
           val (mn, mx, opt) = q.flatMap(quantOf).getOrElse((1, 1, false))
           GGroupSpec(in.map(toSpec), mn, mx,
-            optional = opt, consecutive = true, strict = true)
+            optional = opt, consecutive = true, strict = true,
+            relMark = sqlGreedy && q.exists(isReluctantQ))
         case PAlt(branches, q) =>
           val alt = graft.plans.GroupCepPlan.GAltSpec(
             branches.map(_.map(toSpec)), strict = true)
@@ -1074,7 +1078,8 @@ object MatchRecognize {
             case Some((mn, mx, opt)) =>
               // a quantified alternation reuses the group loop machinery
               GGroupSpec(Seq(alt), mn, mx,
-                optional = opt, consecutive = true, strict = true)
+                optional = opt, consecutive = true, strict = true,
+                relMark = sqlGreedy && q.exists(isReluctantQ))
           }
       }
       val planned = graft.plans.GroupCepPlan.matchGroupPattern(basePrepared,
@@ -1422,11 +1427,11 @@ object MatchRecognize {
       // runs GroupCep's GroupSkipQueue on both paths; on the streaming
       // path its deferred matches ride keyed state (GArrivalState).
       def applyQuant(gp: GroupCep.GPattern[Row],
-          q: String): GroupCep.GPattern[Row] =
-        // the reluctant marker is pattern-level on GroupCep (the
-        // single-quantifier contract): strip it here, set
-        // GPattern.reluctant after the build below
-        (if (isReluctantQ(q)) q.dropRight(1) else q) match {
+          q: String): GroupCep.GPattern[Row] = {
+        // the reluctant marker is pattern-level on GroupCep in the
+        // default mode (strip here, set GPattern.reluctant below); in
+        // sqlGreedy mode it marks THIS quantifier's polarity
+        val applied = (if (isReluctantQ(q)) q.dropRight(1) else q) match {
           case "?" => gp.optional
           case "*" => gp.oneOrMore.consecutive.optional
           case "+" => gp.oneOrMore.consecutive
@@ -1438,6 +1443,9 @@ object MatchRecognize {
               case Array(n, m) => gp.times(n.toInt, m.toInt).consecutive
             }
         }
+        if (sqlGreedy && isReluctantQ(q)) applied.markReluctant
+        else applied
+      }
       def build(es: Vector[PElem],
           init: GroupCep.GPattern[Row]): GroupCep.GPattern[Row] = {
         var gp = init

@@ -734,6 +734,46 @@ object MatchRecognizeQuery extends QueryModule {
         .orderBy("user_id", "v_id")
     },
 
+    q("qc36_mr_mixed_polarity",
+      // MIXED greedy/reluctant polarity under sqlGreedy (round 11,
+      // last named selection rejection deleted): `V B+? C+ E` — the
+      // RELUCTANT B takes the fewest clicks (one), then the GREEDY C
+      // stretches to the LAST error inside the view-free window (C
+      // matches anything but views, so a later view walls it off).
+      // All-reluctant picks the EARLIEST such error instead and
+      // all-greedy a bigger nb — the oracle pins this exact mix.
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |nv AS (SELECT user_id, rn, event_id,
+        |    lead(rn) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+        |  FROM o WHERE event_type = 'view'),
+        |sel AS (SELECT nv.user_id, nv.rn AS vrn, nv.event_id AS v_id,
+        |    MAX(e.rn) AS ern
+        |  FROM nv
+        |  JOIN o k ON k.user_id = nv.user_id AND k.rn = nv.rn + 1
+        |    AND k.event_type = 'click'
+        |  JOIN o e ON e.user_id = nv.user_id AND e.event_type = 'error'
+        |    AND e.rn >= nv.rn + 3
+        |    AND (nv.nxt IS NULL OR e.rn < nv.nxt)
+        |  GROUP BY 1, 2, 3)
+        |SELECT s.user_id, s.v_id, eo.event_id AS e_id,
+        |  CAST(1 AS BIGINT) AS nb,
+        |  CAST(s.ern - s.vrn - 2 AS BIGINT) AS nc
+        |FROM sel s JOIN o eo ON eo.user_id = s.user_id AND eo.rn = s.ern
+        |ORDER BY s.user_id, s.v_id""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS v_id, E.event_id AS e_id,
+          |  COUNT(B.*) AS nb, COUNT(C.*) AS nc
+          |PATTERN (V B+? C+ E)
+          |DEFINE V AS event_type = 'view', B AS event_type = 'click',
+          |       C AS event_type <> 'view', E AS event_type = 'error'"""
+          .stripMargin, sqlGreedy = true)
+        .orderBy("user_id", "v_id")
+    },
+
     q("qc31_mr_multi_reluctant",
       // MULTI-QUANTIFIER RELUCTANT (round 11 — the largest remaining
       // named rejection): `V B+? C+? E` carries TWO ranked decision

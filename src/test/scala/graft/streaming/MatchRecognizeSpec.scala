@@ -1138,11 +1138,29 @@ class MatchRecognizeSpec extends SparkSuite {
       sqlGreedy = true)
       .select("v_id", "e_id").as[(Long, Long)].collect().toSet
     assert(skipG === Set((1L, 5L), (10L, 13L)))
-    // named rejections: reluctant markers, anchors, ALL ROWS
-    assert(intercept[IllegalArgumentException] {
-      MatchRecognize(df, clause("V B+? E", "V.event_id AS v_id"),
-        sqlGreedy = true)
-    }.getMessage.contains("all-greedy"))
+    // round 11 (late): reluctant markers COMPOSE in this mode as
+    // per-quantifier polarity — a marked quantifier prefers FEWEST:
+    // V B+? E selects each start's EARLIEST completion (vs the
+    // all-greedy V B+ E selecting the latest, asserted above)
+    val mixedRel = MatchRecognize(df,
+      clause("V B+? E", "V.event_id AS v_id, E.event_id AS e_id"),
+      sqlGreedy = true)
+      .select("v_id", "e_id").as[(Long, Long)].collect().toSet
+    assert(mixedRel === Set((1L, 3L), (10L, 13L), (11L, 13L)))
+    // and the full mix: B+? C+ — fewest B FIRST, then the greedy C
+    // stretches to the latest reachable error
+    val mixed = MatchRecognize(df,
+      clause("V B+? C+ E",
+        "V.event_id AS v_id, E.event_id AS e_id, COUNT(B.*) AS nb, " +
+          "COUNT(C.*) AS nc")
+        .replace("C AS event_type = 'click'",
+          "C AS event_type <> 'view'"),
+      sqlGreedy = true)
+      .select("v_id", "e_id", "nb", "nc")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // user 1: B={other2}, C stretches over {error3, click4} to error5;
+    // user 2: B={view11} (B is undefined = TRUE), C={other12}
+    assert(mixed === Set((1L, 5L, 1L, 2L), (10L, 13L, 1L, 1L)))
     assert(intercept[IllegalArgumentException] {
       MatchRecognize(df, clause("V B+ E $", "V.event_id AS v_id"),
         sqlGreedy = true)
