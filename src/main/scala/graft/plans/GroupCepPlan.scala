@@ -390,12 +390,11 @@ object GroupCepPlan {
       // the queue runs over the selected candidates at run end)
       require(reluctant, "planned ^/$ anchors require a reluctant pattern")
     }
-    if (reluctant) {
-      // mirror GPattern.reluctant's contract at PLAN time (the
-      // executor-side build would only fail per task): >= 1 quantified
-      // element; with SEVERAL (round 11), no nesting and strict
-      // contiguity throughout — the generalized preference ranking's
-      // preconditions
+    // mirror the selection modes' GPattern contracts at PLAN time (the
+    // executor-side build would only fail per task): >= 1 SEMANTIC
+    // quantified element; with several (or greedy selection), sibling-
+    // only nesting and strict contiguity — the ranking's preconditions
+    if (reluctant || sqlGreedy) {
       def quantCount(es: Seq[GSpec]): Int = es.map {
         case g: GGroupSpec =>
           (if (g.min != g.max || g.max > 1 || g.optional) 1 else 0) +
@@ -403,30 +402,32 @@ object GroupCepPlan {
         case a: GAltSpec => a.branches.map(quantCount).sum
         case _ => 0
       }.sum
+      def nested(es: Seq[GSpec]): Boolean = es.exists {
+        case g: GGroupSpec =>
+          val self = g.min != g.max || g.max > 1 || g.optional
+          (self && quantCount(g.elems) > 0) || nested(g.elems)
+        case a: GAltSpec => a.branches.exists(nested)
+        case _ => false
+      }
+      def allStrict(es: Seq[GSpec]): Boolean = es.zipWithIndex.forall {
+        case (g: GGroupSpec, i) =>
+          (i == 0 || g.strict) &&
+            (g.max <= 1 || g.consecutive) && allStrict(g.elems)
+        case (l: GLeafSpec, i) => i == 0 || l.strict
+        case (a: GAltSpec, i) =>
+          (i == 0 || a.strict) && a.branches.forall(allStrict)
+        case _ => true
+      }
       val n = quantCount(elems)
-      require(n >= 1,
-        "a reluctant pattern needs at least one quantified element")
-      if (n > 1) {
-        def nested(es: Seq[GSpec]): Boolean = es.exists {
-          case g: GGroupSpec =>
-            val self = g.min != g.max || g.max > 1 || g.optional
-            (self && quantCount(g.elems) > 0) || nested(g.elems)
-          case a: GAltSpec => a.branches.exists(nested)
-          case _ => false
-        }
+      require(n >= 1, (if (sqlGreedy) "a greedy-select"
+        else "a reluctant") + " pattern needs at least one quantified " +
+        "element (fixed {n} counts and plain variables carry no " +
+        "selection choice)")
+      if (n > 1 || sqlGreedy) {
         require(!nested(elems),
-          "multiple reluctant quantifiers must be sibling elements")
-        def allStrict(es: Seq[GSpec]): Boolean = es.zipWithIndex.forall {
-          case (g: GGroupSpec, i) =>
-            (i == 0 || g.strict) &&
-              (g.max <= 1 || g.consecutive) && allStrict(g.elems)
-          case (l: GLeafSpec, i) => i == 0 || l.strict
-          case (a: GAltSpec, i) =>
-            (i == 0 || a.strict) && a.branches.forall(allStrict)
-          case _ => true
-        }
+          "selection-mode quantifiers must be sibling elements")
         require(allStrict(elems),
-          "multiple reluctant quantifiers require strict contiguity " +
+          "selection modes require strict contiguity " +
             "(strict/consecutive) throughout the pattern")
       }
     }

@@ -186,21 +186,37 @@ object GroupCep {
       * and otherwise the lower slot id wins — the leftmost
       * alternative). Exact in batch AND streaming (deferred candidates
       * ride keyed state). Requires NoSkip in the drivers. */
-    def reluctant: GPattern[E] = {
-      def quantCount(es: Vector[GElem[E]]): Int = es.map {
-        case g: GGroup[E] =>
-          (if (g.min != g.max || g.max > 1 || g.optional) 1 else 0) +
-            quantCount(g.elems)
-        case a: GAlt[E] => a.branches.map(quantCount).sum
-        case _ => 0
-      }.sum
-      def nestedQuant(es: Vector[GElem[E]]): Boolean = es.exists {
-        case g: GGroup[E] =>
-          val self = g.min != g.max || g.max > 1 || g.optional
-          (self && quantCount(g.elems) > 0) || nestedQuant(g.elems)
-        case a: GAlt[E] => a.branches.exists(nestedQuant)
-        case _ => false
+    /** Structural validators shared by the two selection modes. A
+      * group is a DECISION POINT when its repetition/optionality gives
+      * the derivation a choice. */
+    private def quantCount(es: Vector[GElem[E]]): Int = es.map {
+      case g: GGroup[E] =>
+        (if (g.min != g.max || g.max > 1 || g.optional) 1 else 0) +
+          quantCount(g.elems)
+      case a: GAlt[E] => a.branches.map(quantCount).sum
+      case _ => 0
+    }.sum
+    private def nestedQuant(es: Vector[GElem[E]]): Boolean = es.exists {
+      case g: GGroup[E] =>
+        val self = g.min != g.max || g.max > 1 || g.optional
+        (self && quantCount(g.elems) > 0) || nestedQuant(g.elems)
+      case a: GAlt[E] => a.branches.exists(nestedQuant)
+      case _ => false
+    }
+    private def allStrict(es: Vector[GElem[E]]): Boolean =
+      es.zipWithIndex.forall {
+        case (g: GGroup[E], i) =>
+          // loop contiguity only matters when the group can repeat
+          (i == 0 || g.mode == Strict) &&
+            (g.max <= 1 || g.loopMode == Strict) &&
+            allStrict(g.elems)
+        case (l: GLeaf[E], i) => i == 0 || l.mode == Strict
+        case (al: GAlt[E], i) =>
+          (i == 0 || al.mode == Strict) && al.branches.forall(allStrict)
+        case (_, _) => true
       }
+
+    def reluctant: GPattern[E] = {
       val n = quantCount(elems)
       require(n >= 1,
         "a reluctant pattern needs at least one quantified element")
@@ -224,18 +240,6 @@ object GroupCep {
         // every capture position, so first-divergence ranking is
         // well-defined and the preferred candidate completes first);
         // relaxed contiguity would compare captures of DIFFERENT events
-        def allStrict(es: Vector[GElem[E]]): Boolean =
-          es.zipWithIndex.forall {
-            case (g: GGroup[E], i) =>
-              // loop contiguity only matters when the group can repeat
-              (i == 0 || g.mode == Strict) &&
-                (g.max <= 1 || g.loopMode == Strict) &&
-                allStrict(g.elems)
-            case (l: GLeaf[E], i) => i == 0 || l.mode == Strict
-            case (al: GAlt[E], i) =>
-              (i == 0 || al.mode == Strict) && al.branches.forall(allStrict)
-            case (_, _) => true
-          }
         require(allStrict(elems),
           "multiple reluctant quantifiers require strict contiguity " +
             "(next/consecutive) throughout the pattern — the " +
@@ -269,37 +273,12 @@ object GroupCep {
     def greedySelect: GPattern[E] = {
       require(!reluctantSel,
         "greedySelect and reluctant are mutually exclusive selection " +
-          "modes (per-quantifier mixed polarity is not supported)")
-      def quantCount(es: Vector[GElem[E]]): Int = es.map {
-        case g: GGroup[E] =>
-          (if (g.min != g.max || g.max > 1 || g.optional) 1 else 0) +
-            quantCount(g.elems)
-        case a: GAlt[E] => a.branches.map(quantCount).sum
-        case _ => 0
-      }.sum
-      def nestedQuant(es: Vector[GElem[E]]): Boolean = es.exists {
-        case g: GGroup[E] =>
-          val self = g.min != g.max || g.max > 1 || g.optional
-          (self && quantCount(g.elems) > 0) || nestedQuant(g.elems)
-        case a: GAlt[E] => a.branches.exists(nestedQuant)
-        case _ => false
-      }
+          "modes (per-quantifier polarity rides markReluctant instead)")
       def anyGuard(es: Vector[GElem[E]]): Boolean = es.exists {
         case g: GGroup[E] => g.greedy || anyGuard(g.elems)
         case a: GAlt[E] => a.branches.exists(anyGuard)
         case _ => false
       }
-      def allStrict(es: Vector[GElem[E]]): Boolean =
-        es.zipWithIndex.forall {
-          case (g: GGroup[E], i) =>
-            (i == 0 || g.mode == Strict) &&
-              (g.max <= 1 || g.loopMode == Strict) &&
-              allStrict(g.elems)
-          case (l: GLeaf[E], i) => i == 0 || l.mode == Strict
-          case (al: GAlt[E], i) =>
-            (i == 0 || al.mode == Strict) && al.branches.forall(allStrict)
-          case (_, _) => true
-        }
       require(quantCount(elems) >= 1,
         "a greedy-select pattern needs at least one quantified element")
       require(!nestedQuant(elems),
@@ -1464,6 +1443,15 @@ object GroupCep {
           stats.maxPartials.add(maxConfs.toLong)
         }
       }
+      // end-of-batch: prune dominated branches ONCE per batch (the
+      // per-event prune is gated on completions; a branch can first
+      // diverge-and-lose on a quiet event under relaxed contiguity) so
+      // a decided start's release never waits past the current batch
+      if (rr != null && !state.hasTimedOut) {
+        confs = rr.pruneDominated(confs)
+        rr.drain(confs, release)
+        if (sq != null) confs = sq.drain(confs, emit)
+      }
       val rrPending = if (rr == null) Vector.empty[Vector[(Int, E)]]
                       else rr.toPending
       val sqPending = if (sq == null) Vector.empty[Vector[(Int, E)]]
@@ -1496,7 +1484,8 @@ object GroupCep {
     * survive quiet periods (see [[Cep.ArrivalState]]). */
   private final class GArrivalView[E](u: GroupState[GArrivalState[E]],
       newSeq: Long, counter: Cep.MatchCounter = null,
-      carry: () => Vector[E] = () => Vector.empty)
+      carry: () => Vector[E] = () => Vector.empty,
+      persistSeq: Boolean = false)
       extends GroupState[GStreamState[(E, Long)]] {
     def exists: Boolean = u.exists
     def get: GStreamState[(E, Long)] = u.get.inner
@@ -1504,8 +1493,16 @@ object GroupCep {
     def update(s: GStreamState[(E, Long)]): Unit =
       u.update(GArrivalState(newSeq, s,
         if (counter == null) 0L else counter.n, carry()))
+    // the arrival counter may safely restart when nothing survives
+    // (identity only disambiguates events LIVE branches reference), but
+    // a ^-anchored pattern gives tag 0 ABSOLUTE meaning (the
+    // partition's first-EVER event) — dropping the counter would let a
+    // later batch re-tag from 0 and a mid-partition event wrongly open
+    // an "anchored" branch. Same persistSeq contract as the linear
+    // engine's ArrivalStateView (Cep.scala), same inherent state price.
     def remove(): Unit =
-      if ((counter != null && counter.n > 0L) || carry().nonEmpty)
+      if ((counter != null && counter.n > 0L) || carry().nonEmpty ||
+          (persistSeq && newSeq > 0L))
         update(GStreamState(Vector.empty, Vector.empty))
       else u.remove()
     def hasTimedOut: Boolean = u.hasTimedOut
@@ -1567,7 +1564,8 @@ object GroupCep {
       }
       val tagged = preApplied.map { e => val w = (e, seq); seq += 1; w }
       inner(k, tagged.iterator, new GArrivalView[E](state, seq,
-        if (numbered || pre != null) counter else null, () => carry))
+        if (numbered || pre != null) counter else null, () => carry,
+        persistSeq = anchorHead))
     }
   }
 

@@ -1169,6 +1169,12 @@ class MatchRecognizeSpec extends SparkSuite {
       MatchRecognize(df, clause("V B+ E",
         "V.event_id AS v_id", "ALL ROWS PER MATCH"), sqlGreedy = true)
     }.getMessage.contains("ONE ROW"))
+    // a fixed {1} count carries no selection choice: the plan-time
+    // mirror rejects it cleanly at the driver, not in executor tasks
+    assert(intercept[IllegalArgumentException] {
+      MatchRecognize(df, clause("V B{1} E", "V.event_id AS v_id"),
+        sqlGreedy = true)
+    }.getMessage.contains("at least one quantified"))
   }
 
   test("streaming MATCH_NUMBER(): the per-key ordinal persists across micro-batches (round 9)") {
@@ -1606,6 +1612,32 @@ class MatchRecognizeSpec extends SparkSuite {
             .as[(Long, Long, Long, Long, Long)].collect().toSet
             === expected, s"cut at $cut")
         } finally q.stop()
+      }
+      // the arrival counter must survive state removal (the linear
+      // engine's persistSeq contract, now on the group engine too): a
+      // key whose FIRST batch opens no branch must not re-tag its next
+      // batch from 0 — user 3's view arrives in batch 2 but is the
+      // partition's SECOND event, so ^ can never match it
+      locally {
+        val input3 = MemoryStream[(Long, Long, String, Long)]
+        val q3 = MatchRecognize(
+            input3.toDF().toDF("event_id", "ts", "event_type", "user_id"),
+            clause)
+          .writeStream.outputMode("append")
+          .format("memory").queryName("mr_sanchor_persist").start()
+        try {
+          // batch 1: only a click for user 3 — no branch opens, state
+          // would be removed without the persistSeq guard
+          input3.addData((20L, 10L, "click", 3L))
+          q3.processAllAvailable()
+          // batch 2: a view + a full pattern tail — must NOT match (^
+          // pins the partition's first event, which was the click)
+          input3.addData((21L, 20L, "view", 3L), (22L, 30L, "other", 3L),
+            (23L, 40L, "click", 3L), (24L, 50L, "error", 3L))
+          q3.processAllAvailable()
+          assert(spark.table("mr_sanchor_persist").count() === 0,
+            "a mid-partition view must not satisfy ^ after a quiet batch")
+        } finally q3.stop()
       }
       // nested streaming ^ composes too
       val nestedClause =
