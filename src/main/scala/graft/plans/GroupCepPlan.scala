@@ -229,8 +229,9 @@ object GroupCepPlan {
         if (sqlG) pat = pat.greedySelect
         // anchors need every candidate buffered to the end of the key
         // run — force DEFERRED selection so advance's in-flight
-        // shortest-per-start kill stays off (the emitter gates first)
-        if (aHead || aTail) pat = pat.deferredReluctant
+        // shortest-per-start kill stays off (the emitter gates first);
+        // greedy selection is already deferred
+        if ((aHead || aTail) && rel) pat = pat.deferredReluctant
         val compiled = GroupCep.compile(pat)
         val tsOf: ((InternalRow, Long)) => Long =
           w => tsEval.eval(w._1).asInstanceOf[Long]
@@ -379,16 +380,18 @@ object GroupCepPlan {
         graft.streaming.Cep.NoSkip,
       sqlGreedy: Boolean = false): DataFrame = {
     require(elems.nonEmpty, "at least one pattern element")
-    require(!(sqlGreedy && (reluctant || anchorHead || anchorTail)),
-      "sqlGreedy excludes the pattern-level reluctant mode and ^/$ " +
-        "anchors (per-quantifier polarity rides GGroupSpec.relMark)")
+    require(!(sqlGreedy && reluctant),
+      "sqlGreedy excludes the pattern-level reluctant mode " +
+        "(per-quantifier polarity rides GGroupSpec.relMark)")
     if (anchorHead || anchorTail) {
       // the planned anchors are the reluctant-selection composition
       // (plain anchored group patterns post-filter on boundary flags in
       // the library path); gate-before-selection needs deferral.
       // Round 11: non-default skip composes (gate → select → skip —
       // the queue runs over the selected candidates at run end)
-      require(reluctant, "planned ^/$ anchors require a reluctant pattern")
+      require(reluctant || sqlGreedy,
+        "planned ^/$ anchors require a selection mode (reluctant or " +
+          "sqlGreedy) — gate-before-selection needs deferral")
     }
     // mirror the selection modes' GPattern contracts at PLAN time (the
     // executor-side build would only fail per task): >= 1 SEMANTIC

@@ -1025,9 +1025,11 @@ object GroupCep {
       anchorHead: Boolean, anchorTail: Boolean, tagOf: E => Long) {
     private val anchored = anchorHead || anchorTail
     if (anchored) {
-      require(c.reluctantSel && c.reluctantDeferred,
-        "anchor gates are the reluctant-selection composition and need " +
-          "deferred selection (compile the pattern with deferredReluctant)")
+      require((c.reluctantSel && c.reluctantDeferred) || c.greedySel,
+        "anchor gates need DEFERRED selection (compile a reluctant " +
+          "pattern with deferredReluctant; greedy selection always " +
+          "defers) — the gate-then-select order cannot run on " +
+          "in-flight-killed candidates")
     }
     // anchored: per start, the most-preferred candidate STILL able to
     // pass the gates — O(starts) memory, not O(candidates). The ^ gate
@@ -1212,12 +1214,16 @@ object GroupCep {
       implicit ke: Encoder[K]): Dataset[O] =
     if (anchorHead || anchorTail) {
       // the reluctant × anchors composition (see runKeyAnchoredReluctant);
-      // round 11: non-default skip composes too (gate → select → skip)
+      // round 11: non-default skip composes too (gate → select → skip),
+      // and so does GREEDY selection (already deferred — the gate
+      // filters candidates, then the greedy preference selects)
       require(arrivalIds, "anchor gates need arrival identity")
-      val compiled = compile(liftG(pattern.deferredReluctant))
-      require(compiled.reluctantSel,
-        "anchor gates are the reluctant-selection composition; plain " +
-          "anchored group patterns post-filter on boundary flags instead")
+      val compiled = compile(liftG(
+        if (pattern.greedySel) pattern else pattern.deferredReluctant))
+      require(compiled.reluctantSel || compiled.greedySel,
+        "anchor gates are a selection-mode composition (reluctant or " +
+          "greedySelect); plain anchored group patterns post-filter on " +
+          "boundary flags instead")
       ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
         val wrapped = it.toVector.sortBy(e => (ts(e), tie(e)))
           .zipWithIndex.map { case (e, i) => (e, i.toLong) }

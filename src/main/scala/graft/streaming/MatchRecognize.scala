@@ -724,6 +724,9 @@ object MatchRecognize {
     // driver (NFA-side gates), not the boundary-flag post-filter;
     // the streaming flat-^ form stays on the linear engine (anchorHead)
     val reluctantAnchored = hasReluctant && anchored && !df.isStreaming
+    // greedy selection × batch anchors: the same gate-then-select
+    // driver, greedy polarity (round 11 late)
+    val greedyAnchored = sqlGreedy && anchored && !df.isStreaming
     // reluctant + non-default skip: the composition lives in the GROUP
     // engine's resolver+queue drivers — flat clauses route there too
     val reluctantSkip = hasReluctant && skip != Cep.NoSkip
@@ -789,9 +792,6 @@ object MatchRecognize {
     // unknowable before end of input.
     val anchorStreamHead = anchored && streamingIn
     if (anchored) {
-      require(!sqlGreedy, "sqlGreedy selection does not compose with " +
-        "^/$ anchors (gate-before-maximal-selection is not implemented " +
-        "for the greedy polarity)")
       // round 11 (late): the streaming ^ head anchor composes with
       // NESTED and MULTI-QUANTIFIER patterns too — the group engine's
       // streaming driver gates branch creation on cross-batch arrival
@@ -809,14 +809,17 @@ object MatchRecognize {
       // each partition to its earliest-start match). The boundary-flag
       // post-filter path still rejects: an anchor-rejected candidate
       // must not consume the skip queue there.
-      require(skip == Cep.NoSkip || (hasReluctant && !streamingIn),
+      require(skip == Cep.NoSkip ||
+        ((hasReluctant || sqlGreedy) && !streamingIn),
         "^/$ anchors compose with a non-default AFTER MATCH SKIP only " +
-          "on batch reluctant patterns (the gate-select-skip driver)")
+          "on batch selection-mode patterns (the gate-select-skip " +
+          "driver)")
     }
     // the batch boundary-flag machinery (window pass + candidate
     // post-filter) serves only the batch library path; the reluctant
     // composition gates inside the GroupCep driver instead
-    val anchorBatch = anchored && !streamingIn && !reluctantAnchored
+    val anchorBatch = anchored && !streamingIn && !reluctantAnchored &&
+      !greedyAnchored
     def ordExpr(name: String): Column = df.schema(name).dataType match {
       case TimestampType =>
         if (streamingIn) expr(s"unix_millis(`$name`)") else unix_micros(col(name))
@@ -1039,7 +1042,7 @@ object MatchRecognize {
     // group clauses keep their library routes (boundary-flag window /
     // groupByKey skip queue) unchanged.
     val groupPlanRoutable = !streamingIn &&
-      (!anchored || hasReluctant) &&
+      (!anchored || hasReluctant || sqlGreedy) &&
       !neverMatches && droppedVars.isEmpty &&
       quantsOk(elems) &&
       (skip == Cep.NoSkip || hasReluctant || sqlGreedy) &&
@@ -1490,9 +1493,9 @@ object MatchRecognize {
       } else
         post(GroupCep.matchBatchGroups[Row, Row, Row](
           prepared, keyFn, ordFn, gp, tie = tieFn, skip = skip,
-          anchorHead = reluctantAnchored && anchorStart,
-          anchorTail = reluctantAnchored && anchorEnd)(finish)(
-          outEnc, keyEnc).toDF())
+          anchorHead = (reluctantAnchored || greedyAnchored) && anchorStart,
+          anchorTail = (reluctantAnchored || greedyAnchored) && anchorEnd)(
+          finish)(outEnc, keyEnc).toDF())
     }
     // an unsatisfiable interior-anchor pattern evaluates to ZERO rows:
     // the constant-false filter folds the whole subtree away

@@ -774,6 +774,40 @@ object MatchRecognizeQuery extends QueryModule {
         .orderBy("user_id", "v_id")
     },
 
+    q("qc37_mr_greedy_anchor",
+      // GREEDY SELECTION × $ ANCHOR (round 11 late — the composition's
+      // last corner): `V B+ C+ E $` under sqlGreedy — the gate fixes
+      // the match end at the partition's LAST row (an error, with a
+      // click right before it for C+), then the greedy preference
+      // maximizes B, collapsing C to that single click. Oracle: per
+      // qualifying user (last row error, click at n-1), every view at
+      // rn <= n-3 yields (nb = n-rn-2, nc = 1).
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |l AS (SELECT user_id, event_id AS e_id, n FROM o
+        |  WHERE rn = n AND event_type = 'error'),
+        |p AS (SELECT o.user_id FROM o JOIN l ON l.user_id = o.user_id
+        |  WHERE o.rn = l.n - 1 AND o.event_type = 'click')
+        |SELECT o.user_id, o.event_id AS v_id, l.e_id,
+        |  CAST(l.n - o.rn - 2 AS BIGINT) AS nb, CAST(1 AS BIGINT) AS nc
+        |FROM o JOIN l ON l.user_id = o.user_id
+        |JOIN p ON p.user_id = o.user_id
+        |WHERE o.event_type = 'view' AND o.rn <= l.n - 3
+        |ORDER BY o.user_id, v_id""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS v_id, E.event_id AS e_id,
+          |  COUNT(B.*) AS nb, COUNT(C.*) AS nc
+          |PATTERN (V B+ C+ E $)
+          |DEFINE V AS event_type = 'view', C AS event_type = 'click',
+          |       E AS event_type = 'error'""".stripMargin,
+        sqlGreedy = true)
+        .orderBy("user_id", "v_id")
+    },
+
     q("qc31_mr_multi_reluctant",
       // MULTI-QUANTIFIER RELUCTANT (round 11 — the largest remaining
       // named rejection): `V B+? C+? E` carries TWO ranked decision

@@ -355,7 +355,7 @@ class MatchRecognizeSpec extends SparkSuite {
     }
     // round 11: anchors × skip composes on RELUCTANT batch patterns;
     // a plain (non-reluctant) anchored clause still rejects the mix
-    assert(ex1.getMessage.contains("batch reluctant patterns"))
+    assert(ex1.getMessage.contains("batch selection-mode patterns"))
     // an interior anchor behind a NON-nullable element is unsatisfiable:
     // zero rows, deterministically (SQL:2016 degenerate semantics)
     val interior = MatchRecognize(df,
@@ -1161,10 +1161,22 @@ class MatchRecognizeSpec extends SparkSuite {
     // user 1: B={other2}, C stretches over {error3, click4} to error5;
     // user 2: B={view11} (B is undefined = TRUE), C={other12}
     assert(mixed === Set((1L, 5L, 1L, 2L), (10L, 13L, 1L, 1L)))
-    assert(intercept[IllegalArgumentException] {
-      MatchRecognize(df, clause("V B+ E $", "V.event_id AS v_id"),
-        sqlGreedy = true)
-    }.getMessage.contains("anchors"))
+    // round 11 (late): the $ anchor COMPOSES — gate at the partition
+    // tail, then the greedy preference selects; with PAST LAST ROW the
+    // queue then keeps each user's earliest start
+    val ganch = MatchRecognize(df,
+      clause("V B+ E $", "V.event_id AS v_id, E.event_id AS e_id, " +
+        "COUNT(B.*) AS nb"), sqlGreedy = true)
+    assert(ganch.queryExecution.executedPlan.toString
+      .contains("- GroupCep "))
+    assert(ganch.select("v_id", "e_id", "nb")
+      .as[(Long, Long, Long)].collect().toSet ===
+      Set((1L, 5L, 3L), (10L, 13L, 2L), (11L, 13L, 1L)))
+    val ganchSkip = MatchRecognize(df,
+      clause("V B+ E $", "V.event_id AS v_id, COUNT(B.*) AS nb",
+        "AFTER MATCH SKIP PAST LAST ROW"), sqlGreedy = true)
+      .select("v_id", "nb").as[(Long, Long)].collect().toSet
+    assert(ganchSkip === Set((1L, 3L), (10L, 2L)))
     assert(intercept[IllegalArgumentException] {
       MatchRecognize(df, clause("V B+ E",
         "V.event_id AS v_id", "ALL ROWS PER MATCH"), sqlGreedy = true)
