@@ -280,7 +280,8 @@ object PlanAudit {
     for (n <- Seq("qc29_mr_reluctant_tail_anchor", "qc30_mr_reluctant_skip",
         "qc31_mr_multi_reluctant", "qc32_mr_reluctant_anchor_skip",
         "qc28_mr_reluctant_alternation", "qc33_mr_multi_alt",
-        "qc17_match_recognize_alternation")) {
+        "qc17_match_recognize_alternation", "qc34_mr_sql_greedy",
+        "qc36_mr_mixed_polarity", "qc37_mr_greedy_anchor")) {
       val pl = plan(n)
       val gidx = pl.linesIterator.indexWhere(_.contains("- GroupCep "))
       val below = pl.linesIterator.toVector.drop(gidx max 0)
