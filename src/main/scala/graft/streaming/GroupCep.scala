@@ -203,6 +203,9 @@ object GroupCep {
       case a: GAlt[E] => a.branches.exists(nestedQuant)
       case _ => false
     }
+    /** Strict contiguity throughout ⇒ a branch's captures are one
+      * contiguous arrival-tag span — the [[SpanCaps]] precondition. */
+    private[GroupCep] def allStrictPattern: Boolean = allStrict(elems)
     private def allStrict(es: Vector[GElem[E]]): Boolean =
       es.zipWithIndex.forall {
         case (g: GGroup[E], i) =>
@@ -368,6 +371,12 @@ object GroupCep {
     private[GroupCep] val withinMs = pattern.withinMs
     private[GroupCep] val reluctantSel = pattern.reluctantSel
     private[GroupCep] val greedySel = pattern.greedySel
+    /** Strict contiguity throughout the pattern: batch drivers may run
+      * range-compressed [[SpanCaps]] captures (round 12) — every open
+      * branch either takes an event or dies, so its captures form one
+      * contiguous arrival-tag span and materialization-by-range is
+      * exact. Relaxed boundaries (ignore edges) keep the exact vector. */
+    private[graft] val strictSpans: Boolean = pattern.allStrictPattern
     @transient private val slotNames = Vector.newBuilder[String]
     @transient private val slotPreds = Vector.newBuilder[E => Boolean]
     @transient private val untilsB = Vector.newBuilder[E => Boolean]
@@ -710,30 +719,153 @@ object GroupCep {
   /** An in-flight branch: waiting on `slot` with consuming mode `mode`;
     * `fresh` = has not ignored an event since arriving (notNext window);
     * `guard` >= 0 = this branch exited that greedy group and dies on any
-    * event its loop could have consumed (prefer-longer semantics). */
-  final case class GConf[E](slot: Int, mode: Int, reps: Map[Int, Int],
-      captured: Vector[(Int, E)], startTs: Long, fresh: Boolean,
+    * event its loop could have consumed (prefer-longer semantics).
+    * `captured` is the branch's capture sequence in representation `C`
+    * (see [[CapOps]]): the exact per-event vector, or the round-12
+    * range-compressed [[SpanCaps]] runs for strict-contiguity batch
+    * scans. */
+  final case class Conf[E, C](slot: Int, mode: Int, reps: Map[Int, Int],
+      captured: C, startTs: Long, fresh: Boolean,
       guard: Int = -1)
+
+  /** The exact-capture branch type the streaming drivers persist in
+    * keyed state (field-for-field the pre-round-12 GConf, so derived
+    * state encoders keep their layout). */
+  type GConf[E] = Conf[E, Vector[(Int, E)]]
+
+  /** One run of a range-compressed capture sequence: `count` consecutive
+    * captures into `slot`, with the run's first and last events retained
+    * (everything any consumer needs: counts, FIRST() rows, skip-queue
+    * boundaries, anchor tags). The reference's SharedBuffer stores the
+    * same idea as per-step event-pointer chains
+    * (flink-cep/src/main/java/.../nfa/SharedBuffer.java:71). */
+  final case class CapRun[E](slot: Int, count: Int, first: E, last: E)
+
+  /** Range-compressed captures: under STRICT contiguity a branch takes
+    * every event from its first capture to its last, so the capture
+    * sequence is fully described by run-length-encoded slots — O(#runs)
+    * = O(pattern structure) per branch instead of O(match length).
+    * Materializing the full per-event vector (library `toGroups`) needs
+    * the key run's event array, which the batch drivers hold; equality
+    * (branch dedup) is exact under contiguity: same first tag + same
+    * runs ⇒ identical capture vectors. */
+  final case class SpanCaps[E](runs: Vector[CapRun[E]], length: Int)
+
+  /** Capture-sequence operations, the seam between the shared NFA /
+    * emitters and the two representations. All per-event hot-path ops
+    * (`append`, `length`) are O(1)-ish in both; the preference /
+    * domination walks ride `runs`, which is O(match length) for the
+    * exact vector but O(#quantifier transitions) for [[SpanCaps]] — the
+    * round-12 fix for greedy/deferred selection's capture churn. */
+  private[graft] sealed trait CapOps[E, C] extends Serializable {
+    def empty: C
+    def append(c: C, slot: Int, e: E): C
+    def length(c: C): Int
+    def isEmpty(c: C): Boolean
+    def head(c: C): E
+    def headOpt(c: C): Option[E]
+    def last(c: C): E
+    def runs(c: C): Iterator[CapRun[E]]
+    /** Cheap structural discriminator for match dedup (slots only). */
+    def slotsKey(c: C): Any
+    /** Full per-event capture vector — the library emission shape. */
+    def toVector(c: C): Vector[(Int, E)]
+  }
+
+  private object VecOpsInst extends CapOps[Any, Vector[(Int, Any)]] {
+    def empty: Vector[(Int, Any)] = Vector.empty
+    def append(c: Vector[(Int, Any)], slot: Int, e: Any) = c :+ (slot -> e)
+    def length(c: Vector[(Int, Any)]): Int = c.length
+    def isEmpty(c: Vector[(Int, Any)]): Boolean = c.isEmpty
+    def head(c: Vector[(Int, Any)]): Any = c.head._2
+    def headOpt(c: Vector[(Int, Any)]): Option[Any] = c.headOption.map(_._2)
+    def last(c: Vector[(Int, Any)]): Any = c.last._2
+    def runs(c: Vector[(Int, Any)]): Iterator[CapRun[Any]] =
+      new Iterator[CapRun[Any]] {
+        private var i = 0
+        def hasNext: Boolean = i < c.length
+        def next(): CapRun[Any] = {
+          val s = c(i)._1; val first = c(i)._2
+          var j = i + 1
+          while (j < c.length && c(j)._1 == s) j += 1
+          val r = CapRun[Any](s, j - i, first, c(j - 1)._2)
+          i = j
+          r
+        }
+      }
+    def slotsKey(c: Vector[(Int, Any)]): Any = c.map(_._1)
+    def toVector(c: Vector[(Int, Any)]): Vector[(Int, Any)] = c
+  }
+  private[graft] def vecOps[E]: CapOps[E, Vector[(Int, E)]] =
+    VecOpsInst.asInstanceOf[CapOps[E, Vector[(Int, E)]]]
+
+  /** [[SpanCaps]] operations. `posOf`/`eventAt` map captured events to
+    * positions in the key run's event array (the arrival tag) — only
+    * [[toVector]] consults them, and only under strict contiguity is
+    * the position-range expansion valid (which [[Compiled.strictSpans]]
+    * gates). Drivers without an event buffer (the planned exec) pass a
+    * throwing `eventAt` and never materialize. */
+  private[graft] final class SpanOps[E](posOf: E => Int, eventAt: Int => E)
+      extends CapOps[E, SpanCaps[E]] {
+    def empty: SpanCaps[E] = SpanCaps(Vector.empty, 0)
+    def append(c: SpanCaps[E], slot: Int, e: E): SpanCaps[E] = {
+      val rs = c.runs
+      if (rs.nonEmpty && rs.last.slot == slot) {
+        val r = rs.last
+        SpanCaps(rs.updated(rs.length - 1,
+          CapRun(slot, r.count + 1, r.first, e)), c.length + 1)
+      } else SpanCaps(rs :+ CapRun(slot, 1, e, e), c.length + 1)
+    }
+    def length(c: SpanCaps[E]): Int = c.length
+    def isEmpty(c: SpanCaps[E]): Boolean = c.length == 0
+    def head(c: SpanCaps[E]): E = c.runs.head.first
+    def headOpt(c: SpanCaps[E]): Option[E] =
+      if (c.length == 0) None else Some(c.runs.head.first)
+    def last(c: SpanCaps[E]): E = c.runs.last.last
+    def runs(c: SpanCaps[E]): Iterator[CapRun[E]] = c.runs.iterator
+    def slotsKey(c: SpanCaps[E]): Any = c.runs.map(r => (r.slot, r.count))
+    def toVector(c: SpanCaps[E]): Vector[(Int, E)] =
+      if (c.length == 0) Vector.empty
+      else {
+        val p0 = posOf(c.runs.head.first)
+        val b = Vector.newBuilder[(Int, E)]
+        b.sizeHint(c.length)
+        var i = 0
+        c.runs.foreach { r =>
+          var k = 0
+          while (k < r.count) { b += ((r.slot, eventAt(p0 + i))); i += 1; k += 1 }
+        }
+        b.result()
+      }
+  }
 
   /** One NFA transition over all live branches. Pure; shared by the batch
     * and streaming drivers. Returns surviving branches and completed
     * matches as (slotIdx, event) capture lists in match order. */
   def advance[E](c: Compiled[E], confs: Vector[GConf[E]], e: E,
       ts: Long, canStart: Boolean = true)
-      : (Vector[GConf[E]], Vector[Vector[(Int, E)]]) = {
+      : (Vector[GConf[E]], Vector[Vector[(Int, E)]]) =
+    advanceC(c, confs, e, ts, canStart, vecOps[E])
+
+  /** [[advance]] generic over the capture representation `C` — the one
+    * NFA every driver (batch vector, batch span-compressed, streaming,
+    * planned exec) steps through. */
+  private[graft] def advanceC[E, C](c: Compiled[E], confs: Vector[Conf[E, C]],
+      e: E, ts: Long, canStart: Boolean, ops: CapOps[E, C])
+      : (Vector[Conf[E, C]], Vector[C]) = {
     val alive = c.withinMs match {
       case None => confs
       case Some(w) => confs.filter(p => ts - p.startTs < w)
     }
-    val out = Vector.newBuilder[GConf[E]]
-    val matches = Vector.newBuilder[Vector[(Int, E)]]
+    val out = Vector.newBuilder[Conf[E, C]]
+    val matches = Vector.newBuilder[C]
 
-    def fire(conf: GConf[E]): Unit = {
-      val cap2 = conf.captured :+ (conf.slot -> e)
+    def fire(conf: Conf[E, C]): Unit = {
+      val cap2 = ops.append(conf.captured, conf.slot, e)
       val (targets, complete) = c.succ(conf.slot, conf.reps)
       if (complete) matches += cap2
       targets.foreach { t =>
-        out += GConf(t.slot, t.mode, t.reps, cap2, conf.startTs,
+        out += Conf(t.slot, t.mode, t.reps, cap2, conf.startTs,
           fresh = true, guard = t.guard)
       }
     }
@@ -768,12 +900,12 @@ object GroupCep {
     // candidate is partition-head-anchored by construction.
     if (canStart) c.startFrontier.foreach { t =>
       if (!c.guardHit(t.guard, e) && c.predOf(t.slot)(e))
-        fire(GConf(t.slot, t.mode, t.reps, Vector.empty, ts, fresh = true))
+        fire(Conf(t.slot, t.mode, t.reps, ops.empty, ts, fresh = true))
     }
     var outConfs = dedupBy(out.result())(c =>
       (c.slot, c.mode, c.reps, c.startTs, c.fresh, c.guard,
-        c.captured.length))
-    var ms = dedupBy(matches.result())(m => (m.length, m.map(_._1)))
+        ops.length(c.captured)))
+    var ms = dedupBy(matches.result())(m => (ops.length(m), ops.slotsKey(m)))
     // SQL:2016 reluctant (GPattern.reluctant, single-quantifier
     // contract) WITHOUT alternation: the FIRST completion per start is
     // the shortest and therefore THE match — keep only it among
@@ -784,22 +916,22 @@ object GroupCep {
     // may not be preferred — the drivers defer through
     // [[ReluctantResolver]] instead (reluctantDeferred).
     if (c.reluctantSel && !c.reluctantDeferred && ms.nonEmpty) {
-      val byStart = scala.collection.mutable.LinkedHashMap
-        .empty[E, Vector[(Int, E)]]
+      val byStart = scala.collection.mutable.LinkedHashMap.empty[E, C]
       ms.foreach { m =>
-        byStart.get(m.head._2) match {
+        val s = ops.head(m)
+        byStart.get(s) match {
           // several same-start candidates CAN complete on one event
           // under multiple quantifiers (different B/C splits reaching
           // the final element together) — fold by the full preference
           // order, not completion length
-          case Some(prev) => byStart(m.head._2) = prefer(c, prev, m)
-          case _ => byStart(m.head._2) = m
+          case Some(prev) => byStart(s) = preferC(c, prev, m, ops)
+          case _ => byStart(s) = m
         }
       }
       val starts = byStart.keySet
       ms = byStart.values.toVector
       outConfs = outConfs.filterNot(
-        _.captured.headOption.exists(h => starts.contains(h._2)))
+        p => ops.headOpt(p.captured).exists(starts.contains))
     }
     (outConfs, ms)
   }
@@ -841,31 +973,40 @@ object GroupCep {
     * consuming) prefers the SHORTER: with every quantifier reluctant,
     * the continuation can only be more repetitions of some reluctant
     * loop. Returns the preferred candidate. */
-  private def prefer[E](c: Compiled[E], a: Vector[(Int, E)],
-      b: Vector[(Int, E)]): Vector[(Int, E)] = {
+  private def preferC[E, C](c: Compiled[E], a: C, b: C,
+      ops: CapOps[E, C]): C = {
+    val la = ops.length(a); val lb = ops.length(b)
     if ((c.reluctantSel || c.greedySel) && c.singleQuantNoAlt) {
       // single decision point: length IS the preference, by the
       // quantifier's own polarity
-      return if (a.length == b.length) a
-      else if (c.singleQuantPrefersShorter == (a.length < b.length)) a
+      return if (la == lb) a
+      else if (c.singleQuantPrefersShorter == (la < lb)) a
       else b
     }
-    val n = math.min(a.length, b.length)
-    var i = 0
-    while (i < n) {
-      val sa = a(i)._1; val sb = b(i)._1
-      if (sa != sb) return if (slotWins(c, sa, sb)) a else b
-      i += 1
+    // walk the two run-length-encoded slot sequences to the first
+    // diverging CAPTURE position — O(#runs), not O(match length)
+    val ia = ops.runs(a); val ib = ops.runs(b)
+    var sa = -1; var ra = 0
+    var sb = -1; var rb = 0
+    var cont = true
+    while (cont) {
+      if (ra == 0 && ia.hasNext) { val r = ia.next(); sa = r.slot; ra = r.count }
+      if (rb == 0 && ib.hasNext) { val r = ib.next(); sb = r.slot; rb = r.count }
+      if (ra > 0 && rb > 0) {
+        if (sa != sb) return if (slotWins(c, sa, sb)) a else b
+        val k = math.min(ra, rb); ra -= k; rb -= k
+      } else cont = false
     }
     // strict prefix: the continuation is more repetitions of the loop
     // enclosing the longer candidate's next slot — reluctant polarity
     // prefers the SHORTER candidate, greedy the LONGER
-    if (a.length == b.length) a
+    if (la == lb) a
     else {
-      val (short, long) = if (a.length < b.length) (a, b) else (b, a)
-      val contRel = c.slotEncRel.getOrElse(long(short.length)._1,
-        !c.greedySel)
-      if (contRel == (a.length < b.length)) a else b
+      // the side with input left holds the continuation slot (its
+      // current run is the longer candidate's slot at position min(la,lb))
+      val contSlot = if (ra > 0) sa else sb
+      val contRel = c.slotEncRel.getOrElse(contSlot, !c.greedySel)
+      if (contRel == (la < lb)) a else b
     }
   }
 
@@ -900,26 +1041,25 @@ object GroupCep {
     * candidates serialize as plain capture vectors, so the streaming
     * driver carries them in [[GStreamState.pending]] across
     * micro-batches exactly like skip-deferred matches. */
-  private final class ReluctantResolver[E](c: Compiled[E], ts: E => Long) {
-    private val best = scala.collection.mutable.LinkedHashMap
-      .empty[E, Vector[(Int, E)]]
+  private final class ReluctantResolver[E, C](c: Compiled[E], ts: E => Long,
+      ops: CapOps[E, C]) {
+    private val best = scala.collection.mutable.LinkedHashMap.empty[E, C]
 
-    def toPending: Vector[Vector[(Int, E)]] = best.values.toVector
-    def restore(ms: Vector[Vector[(Int, E)]]): Unit =
-      ms.foreach(m => best(m.head._2) = m)
+    def toPending: Vector[C] = best.values.toVector
+    def restore(ms: Vector[C]): Unit =
+      ms.foreach(m => best(ops.head(m)) = m)
 
-    def add(ms: Vector[Vector[(Int, E)]]): Unit = ms.foreach { m =>
-      val s = m.head._2
-      best(s) = best.get(s).map(p => prefer(c, p, m)).getOrElse(m)
+    def add(ms: Vector[C]): Unit = ms.foreach { m =>
+      val s = ops.head(m)
+      best(s) = best.get(s).map(p => preferC(c, p, m, ops)).getOrElse(m)
     }
 
     /** Emit every buffered start that no open branch can still extend,
       * in start order (ties by buffer insertion = first completion). */
-    def drain(confs: Vector[GConf[E]],
-        emit: Vector[(Int, E)] => Unit): Unit = {
+    def drain(confs: Vector[Conf[E, C]], emit: C => Unit): Unit = {
       if (best.isEmpty) return
       val open = confs.iterator
-        .flatMap(_.captured.headOption.map(_._2)).toSet
+        .flatMap(p => ops.headOpt(p.captured)).toSet
       val ready = best.keysIterator.filterNot(open.contains).toVector
         .sortBy(e => ts(e))
       ready.foreach { s => emit(best(s)); best -= s }
@@ -944,23 +1084,31 @@ object GroupCep {
       * live branches once each start has a buffered best — dominated
       * branches die the event after they fall behind. Also RELEASES
       * starts sooner (fewer blockers for [[drain]]), with the same
-      * winners: pruned branches' completions were all dominated. */
-    def pruneDominated(confs: Vector[GConf[E]]): Vector[GConf[E]] =
+      * winners: pruned branches' completions were all dominated.
+      * Round 12: the prefix walk rides the run-length encoding —
+      * O(#runs) per branch, not O(match length). */
+    def pruneDominated(confs: Vector[Conf[E, C]]): Vector[Conf[E, C]] =
       if (best.isEmpty) confs
       else confs.filter { conf =>
-        conf.captured.headOption.forall { h =>
-          best.get(h._2).forall { m =>
-            val p = conf.captured
-            val n = math.min(p.length, m.length)
-            var i = 0
+        ops.headOpt(conf.captured).forall { h =>
+          best.get(h).forall { m =>
+            // keep unless the prefix diverges AND loses there
+            val ip = ops.runs(conf.captured); val im = ops.runs(m)
+            var sp = -1; var rp = 0
+            var sm = -1; var rm = 0
             var keep = true
-            var decided = false
-            while (!decided && i < n) {
-              val sp = p(i)._1; val sm = m(i)._1
-              if (sp != sm) {
-                keep = slotWins(c, sp, sm); decided = true
+            var cont = true
+            while (cont) {
+              if (rp == 0 && ip.hasNext) {
+                val r = ip.next(); sp = r.slot; rp = r.count
               }
-              i += 1
+              if (rm == 0 && im.hasNext) {
+                val r = im.next(); sm = r.slot; rm = r.count
+              }
+              if (rp > 0 && rm > 0) {
+                if (sp != sm) { keep = slotWins(c, sp, sm); cont = false }
+                else { val k = math.min(rp, rm); rp -= k; rm -= k }
+              } else cont = false
             }
             keep
           }
@@ -1020,9 +1168,10 @@ object GroupCep {
     * `tagOf` supplies the arrival ordinal consulted by the anchor
     * gates. Call [[step]] after each advance (it returns the possibly
     * skip-pruned branch set) and [[finish]] once at end of the run. */
-  private[graft] final class GroupRunEmitter[E](
+  private[graft] final class GroupRunEmitter[E, C](
       c: Compiled[E], ts: E => Long, skip: Cep.AfterMatchSkip,
-      anchorHead: Boolean, anchorTail: Boolean, tagOf: E => Long) {
+      anchorHead: Boolean, anchorTail: Boolean, tagOf: E => Long,
+      ops: CapOps[E, C]) {
     private val anchored = anchorHead || anchorTail
     if (anchored) {
       require((c.reluctantSel && c.reluctantDeferred) || c.greedySel,
@@ -1038,40 +1187,40 @@ object GroupCep {
     // events arrive in tag order, so a newly completed candidate ends
     // at-or-after every buffered one, and a buffered candidate ending
     // EARLIER is already dead (the run now provably extends past it) —
-    // replace it; equal ends compete on [[prefer]]. Equivalent to
+    // replace it; equal ends compete on [[preferC]]. Equivalent to
     // buffering every candidate and gate-then-select at run end, which
     // is what O(views x errors) per key would have cost at 100x scale.
     private val aBest =
       if (anchored) scala.collection.mutable.LinkedHashMap
-        .empty[E, (Long, Vector[(Int, E)])]
+        .empty[E, (Long, C)]
       else null
     private val rr =
-      if (!anchored && c.selDeferred) new ReluctantResolver[E](c, ts)
+      if (!anchored && c.selDeferred) new ReluctantResolver[E, C](c, ts, ops)
       else null
     // round 11: anchors × skip composes — the SQL:2016 evaluation
     // order is gate, then select, then skip, so under anchors the
     // queue only runs at [[finish]], over the gate-passing selected
     // candidates (no live branch can block: the run has ended)
     private val sq =
-      if (skip != Cep.NoSkip) new GroupSkipQueue[E](skip, c, ts, rr)
+      if (skip != Cep.NoSkip) new GroupSkipQueue[E, C](skip, c, ts, ops, rr)
       else null
 
-    def step(confs: Vector[GConf[E]], ms: Vector[Vector[(Int, E)]],
-        emit: Vector[(Int, E)] => Unit): Vector[GConf[E]] =
+    def step(confs: Vector[Conf[E, C]], ms: Vector[C],
+        emit: C => Unit): Vector[Conf[E, C]] =
       if (anchored) {
         ms.foreach { m =>
-          if (!anchorHead || tagOf(m.head._2) == 0L) {
-            val s0 = m.head._2
+          if (!anchorHead || tagOf(ops.head(m)) == 0L) {
+            val s0 = ops.head(m)
             if (anchorTail) {
-              val lt = tagOf(m.last._2)
+              val lt = tagOf(ops.last(m))
               aBest.get(s0) match {
                 case Some((plt, p)) if plt == lt =>
-                  aBest(s0) = (lt, prefer(c, p, m))
+                  aBest(s0) = (lt, preferC(c, p, m, ops))
                 case Some((plt, _)) if plt > lt => () // defensive: tag order
                 case _ => aBest(s0) = (lt, m)
               }
             } else aBest(s0) = (0L,
-              aBest.get(s0).map(p => prefer(c, p._2, m)).getOrElse(m))
+              aBest.get(s0).map(p => preferC(c, p._2, m, ops)).getOrElse(m))
           }
         }
         confs
@@ -1096,12 +1245,12 @@ object GroupCep {
 
     /** End of the key run; `lastTag` = the run's highest arrival tag
       * (only consulted by the $ gate). */
-    def finish(lastTag: Long, emit: Vector[(Int, E)] => Unit): Unit =
+    def finish(lastTag: Long, emit: C => Unit): Unit =
       if (anchored) {
         val selected = aBest.iterator.collect {
           case (_, (lt, m)) if !anchorTail || lt == lastTag => m
         }.toVector
-          .sortBy(m => (ts(m.head._2), tagOf(m.head._2)))
+          .sortBy(m => (ts(ops.head(m)), tagOf(ops.head(m))))
         if (sq == null) selected.foreach(emit)
         else {
           // skip runs LAST: over the selected matches in start order
@@ -1118,22 +1267,43 @@ object GroupCep {
       }
   }
 
-  /** One key's bounded scan: the shared NFA + after-match skip queue. */
-  private def runKeyBatch[K, E2, O](k: K, events: Vector[E2],
+  /** Per-step-name capture summary straight off the run encoding —
+    * (count, first captured event) per name in capture order, exactly
+    * the planned [[graft.plans.GroupCepPlan.GroupCepExec]] output shape,
+    * with NO materialization of the full capture vector. */
+  private[graft] def groupFirsts[E, C](c: Compiled[E], m: C,
+      ops: CapOps[E, C])
+      : scala.collection.mutable.LinkedHashMap[String, (Long, E)] = {
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, (Long, E)]
+    ops.runs(m).foreach { r =>
+      val n = c.nameOf(r.slot)
+      acc.get(n) match {
+        case Some((cnt, first)) => acc(n) = (cnt + r.count, first)
+        case None => acc(n) = (r.count.toLong, r.first)
+      }
+    }
+    acc
+  }
+
+  /** One key's bounded scan: the shared NFA + after-match skip queue —
+    * generic over the capture representation (the span-compressed path
+    * is picked by callers when [[Compiled.strictSpans]]). */
+  private def runKeyCore[K, E2, O, C](k: K, events: Vector[E2],
       ts: E2 => Long, compiled: Compiled[E2], skip: Cep.AfterMatchSkip,
       finish: (K, Map[String, Seq[E2]]) => O,
-      stats: Cep.HotKeyStats = null): Vector[O] = {
-    var confs = Vector.empty[GConf[E2]]
+      stats: Cep.HotKeyStats, ops: CapOps[E2, C]): Vector[O] = {
+    var confs = Vector.empty[Conf[E2, C]]
     val outs = Vector.newBuilder[O]
     // reluctant + non-default skip composes since round 10; the emitter
     // owns the resolver/skip-queue interplay (see [[GroupRunEmitter]])
-    val em = new GroupRunEmitter[E2](compiled, ts, skip,
-      anchorHead = false, anchorTail = false, tagOf = _ => 0L)
-    def emitOut(m: Vector[(Int, E2)]): Unit =
-      outs += finish(k, toGroups(compiled, m))
+    val em = new GroupRunEmitter[E2, C](compiled, ts, skip,
+      anchorHead = false, anchorTail = false, tagOf = _ => 0L, ops)
+    def emitOut(m: C): Unit =
+      outs += finish(k, toGroups(compiled, ops.toVector(m)))
     var maxConfs = 0
     events.foreach { e =>
-      val (next, ms) = advance(compiled, confs, e, ts(e))
+      val (next, ms) = advanceC(compiled, confs, e, ts(e), canStart = true,
+        ops)
       if (stats != null && next.size > maxConfs) maxConfs = next.size
       confs = em.step(next, ms, emitOut)
     }
@@ -1145,6 +1315,19 @@ object GroupCep {
     }
     outs.result()
   }
+
+  /** [[runKeyCore]] with the exact-vector representation. */
+  private def runKeyBatch[K, E2, O](k: K, events: Vector[E2],
+      ts: E2 => Long, compiled: Compiled[E2], skip: Cep.AfterMatchSkip,
+      finish: (K, Map[String, Seq[E2]]) => O,
+      stats: Cep.HotKeyStats = null): Vector[O] =
+    runKeyCore(k, events, ts, compiled, skip, finish, stats, vecOps[E2])
+
+  /** Span ops over an arrival-tagged key run: positions ARE the tags
+    * (the drivers zipWithIndex), so materialization indexes the run. */
+  private def spanOpsFor[E](events: Vector[(E, Long)])
+      : CapOps[(E, Long), SpanCaps[(E, Long)]] =
+    new SpanOps[(E, Long)](_._2.toInt, i => events(i))
 
   /** One key's bounded scan for RELUCTANT patterns under ^/\$ PARTITION
     * ANCHORS (batch only — the [[Cep.matchBatchGroups]] anchored twin):
@@ -1160,17 +1343,31 @@ object GroupCep {
       events: Vector[(E, Long)], ts: ((E, Long)) => Long,
       compiled: Compiled[(E, Long)], anchorHead: Boolean,
       anchorTail: Boolean, skip: Cep.AfterMatchSkip,
-      finish: (K, Map[String, Seq[(E, Long)]]) => O): Vector[O] = {
-    var confs = Vector.empty[GConf[(E, Long)]]
-    val em = new GroupRunEmitter[(E, Long)](compiled, ts, skip,
-      anchorHead, anchorTail, tagOf = _._2)
+      finish: (K, Map[String, Seq[(E, Long)]]) => O): Vector[O] =
+    if (compiled.strictSpans)
+      runKeyAnchoredCore(k, events, ts, compiled, anchorHead, anchorTail,
+        skip, finish, spanOpsFor(events))
+    else
+      runKeyAnchoredCore(k, events, ts, compiled, anchorHead, anchorTail,
+        skip, finish, vecOps[(E, Long)])
+
+  private def runKeyAnchoredCore[K, E, O, C](k: K,
+      events: Vector[(E, Long)], ts: ((E, Long)) => Long,
+      compiled: Compiled[(E, Long)], anchorHead: Boolean,
+      anchorTail: Boolean, skip: Cep.AfterMatchSkip,
+      finish: (K, Map[String, Seq[(E, Long)]]) => O,
+      ops: CapOps[(E, Long), C]): Vector[O] = {
+    var confs = Vector.empty[Conf[(E, Long), C]]
+    val em = new GroupRunEmitter[(E, Long), C](compiled, ts, skip,
+      anchorHead, anchorTail, tagOf = _._2, ops)
     events.foreach { e =>
-      val (next, ms) = advance(compiled, confs, e, ts(e))
+      val (next, ms) = advanceC(compiled, confs, e, ts(e), canStart = true,
+        ops)
       confs = em.step(next, ms, _ => ())
     }
     val outs = Vector.newBuilder[O]
     em.finish(events.size.toLong - 1,
-      m => outs += finish(k, toGroups(compiled, m)))
+      m => outs += finish(k, toGroups(compiled, ops.toVector(m))))
     outs.result()
   }
 
@@ -1190,8 +1387,14 @@ object GroupCep {
         (_, groups) => finish(unliftGroups(groups)))
     } else {
       val compiled = compile(liftG(pattern))
-      runKeyBatch[Unit, (E, Long), O]((), wrapped, w => ts(w._1), compiled,
-        skip, (_, groups) => finish(unliftGroups(groups)))
+      if (compiled.strictSpans)
+        runKeyCore[Unit, (E, Long), O, SpanCaps[(E, Long)]]((), wrapped,
+          w => ts(w._1), compiled, skip,
+          (_, groups) => finish(unliftGroups(groups)), null,
+          spanOpsFor(wrapped))
+      else
+        runKeyBatch[Unit, (E, Long), O]((), wrapped, w => ts(w._1), compiled,
+          skip, (_, groups) => finish(unliftGroups(groups)))
     }
   }
 
@@ -1242,10 +1445,18 @@ object GroupCep {
       ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[E]) =>
         val wrapped = it.toVector.sortBy(e => (ts(e), tie(e)))
           .zipWithIndex.map { case (e, i) => (e, i.toLong) }
-        runKeyBatch[K, (E, Long), O](k, wrapped, w => ts(w._1), compiled,
-          skip,
-          (kk, groups) => finish(kk, unliftGroups(groups)),
-          stats).iterator
+        // strict contiguity ⇒ range-compressed captures (round 12):
+        // O(#runs) per branch instead of O(match length)
+        if (compiled.strictSpans)
+          runKeyCore[K, (E, Long), O, SpanCaps[(E, Long)]](k, wrapped,
+            w => ts(w._1), compiled, skip,
+            (kk, groups) => finish(kk, unliftGroups(groups)),
+            stats, spanOpsFor(wrapped)).iterator
+        else
+          runKeyBatch[K, (E, Long), O](k, wrapped, w => ts(w._1), compiled,
+            skip,
+            (kk, groups) => finish(kk, unliftGroups(groups)),
+            stats).iterator
       }
     }
 
@@ -1256,25 +1467,25 @@ object GroupCep {
     * start <= last captured event; SkipToFirst/Last(step): start </>= the
     * named LEAF's first/last captured event, no pruning on an empty
     * group). */
-  private final class GroupSkipQueue[E](skip: Cep.AfterMatchSkip,
-      c: Compiled[E], ts: E => Long,
-      rr: ReluctantResolver[E] = null) {
-    private var pending = Vector.empty[Vector[(Int, E)]]
+  private final class GroupSkipQueue[E, C](skip: Cep.AfterMatchSkip,
+      c: Compiled[E], ts: E => Long, ops: CapOps[E, C],
+      rr: ReluctantResolver[E, C] = null) {
+    private var pending = Vector.empty[C]
 
     /** Deferred matches still waiting on a live earlier branch — carried
       * across micro-batches by the streaming driver's [[GStreamState]]. */
-    def toPending: Vector[Vector[(Int, E)]] = pending
-    def restore(ms: Vector[Vector[(Int, E)]]): Unit = pending = ms
+    def toPending: Vector[C] = pending
+    def restore(ms: Vector[C]): Unit = pending = ms
 
-    private def startOf(m: Vector[(Int, E)]): Long =
-      m.headOption.map(p => ts(p._2)).getOrElse(Long.MinValue)
+    private def startOf(m: C): Long =
+      if (ops.isEmpty(m)) Long.MinValue else ts(ops.head(m))
 
-    def add(matches: Vector[Vector[(Int, E)]]): Unit =
+    def add(matches: Vector[C]): Unit =
       if (matches.nonEmpty)
         pending = (pending ++ matches).sortBy(startOf)
 
-    def drain(confs: Vector[GConf[E]],
-        emit: Vector[(Int, E)] => Unit): Vector[GConf[E]] = {
+    def drain(confs: Vector[Conf[E, C]],
+        emit: C => Unit): Vector[Conf[E, C]] = {
       var cs = confs
       var minStart =
         if (cs.isEmpty) Long.MaxValue else cs.iterator.map(_.startTs).min
@@ -1284,22 +1495,30 @@ object GroupCep {
         emit(m)
         skip match {
           case Cep.SkipPastLastEvent =>
-            val boundary = m.iterator.map(p => ts(p._2)).max
+            // events arrive ts-ordered within a key run, so the last
+            // captured event carries the max ts
+            val boundary = ts(ops.last(m))
             cs = cs.filter(_.startTs > boundary)
             pending = pending.filter(startOf(_) > boundary)
             if (rr != null) rr.prune(_ > boundary)
           case Cep.SkipToFirst(name) =>
-            val g = m.filter(p => c.nameOf(p._1) == name)
-            if (g.nonEmpty) {
-              val b = ts(g.head._2)
+            // first captured event of the named leaf = first run with
+            // that name
+            ops.runs(m).find(r => c.nameOf(r.slot) == name).foreach { r =>
+              val b = ts(r.first)
               cs = cs.filter(_.startTs >= b)
               pending = pending.filter(startOf(_) >= b)
               if (rr != null) rr.prune(_ >= b)
             }
           case Cep.SkipToLast(name) =>
-            val g = m.filter(p => c.nameOf(p._1) == name)
-            if (g.nonEmpty) {
-              val b = ts(g.last._2)
+            // last captured event of the named leaf = last run with
+            // that name
+            var lastRun: CapRun[E] = null
+            ops.runs(m).foreach { r =>
+              if (c.nameOf(r.slot) == name) lastRun = r
+            }
+            if (lastRun != null) {
+              val b = ts(lastRun.last)
               cs = cs.filter(_.startTs >= b)
               pending = pending.filter(startOf(_) >= b)
               if (rr != null) rr.prune(_ >= b)
@@ -1401,13 +1620,19 @@ object GroupCep {
       val st = state.getOption.getOrElse(GStreamState[E](Vector.empty,
         Vector.empty))
       val outs = Vector.newBuilder[O]
+      // streaming keeps the EXACT capture vectors: the deferred
+      // candidates / queued matches ride keyed state across
+      // micro-batches and must materialize without the batch drivers'
+      // key-run event array
+      val ops = vecOps[E]
       // see runKeyBatch: immediate reluctant selection feeds the queue
       // directly; the deferred (alternation) resolver releases into it
       val rr = if (compiled.selDeferred)
-                 new ReluctantResolver[E](compiled, ts)
+                 new ReluctantResolver[E, Vector[(Int, E)]](compiled, ts, ops)
                else null
       val sq = if (skip == Cep.NoSkip) null
-               else new GroupSkipQueue[E](skip, compiled, ts, rr)
+               else new GroupSkipQueue[E, Vector[(Int, E)]](skip, compiled,
+                 ts, ops, rr)
       if (sq != null) sq.restore(st.pending)
       if (rr != null) rr.restore(st.pendingSel)
       def emit(m: Vector[(Int, E)]): Unit =
