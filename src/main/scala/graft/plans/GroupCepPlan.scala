@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.streaming.GroupCep
-import graft.streaming.GroupCep.{GConf, GPattern}
+import graft.streaming.GroupCep.GPattern
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlShim, SparkSession}
@@ -232,7 +232,10 @@ object GroupCepPlan {
         // shortest-per-start kill stays off (the emitter gates first);
         // greedy selection is already deferred
         if ((aHead || aTail) && rel) pat = pat.deferredReluctant
-        val compiled = GroupCep.compile(pat)
+        // rows are tagged with per-key arrival ordinals below — mark
+        // the pattern so the dedup-skip fast path applies (see
+        // Compiled.noEpsilonDup)
+        val compiled = GroupCep.compile(pat.withArrivalIdentity)
         val tsOf: ((InternalRow, Long)) => Long =
           w => tsEval.eval(w._1).asInstanceOf[Long]
         // only leaf-step matches can be captured; not/until guard rows
@@ -260,39 +263,73 @@ object GroupCepPlan {
             if (v > repBranches) {
               maxKeyBranches.add(v - repBranches); repBranches = v
             }
-          private var confs = Vector.empty[GConf[(InternalRow, Long)]]
-          // per-key-run emission policy (anchor gates / reluctant
-          // resolver / skip queue) — ONE object shared with the library
-          // drivers, fresh per key run
-          private var emitter = newEmitter()
           private var done = false
-          private def newEmitter() =
-            new GroupCep.GroupRunEmitter[(InternalRow, Long)](
-              compiled, tsOf, skipStrat, aHead, aTail, tagOf = _._2)
-          private def doEmit(m: Vector[(Int, (InternalRow, Long))]): Unit = {
-            numMatches.add(1); matchSeq += 1; emit(curKey, matchSeq, m)
+          // NFA driver generic over the capture representation: the
+          // exec's output is (count, first event) per step, which
+          // [[GroupCep.groupFirsts]] reads straight off the run
+          // encoding — so under strict contiguity the span-compressed
+          // [[GroupCep.SpanCaps]] branches never materialize a
+          // per-event capture vector at all (O(#runs) per branch
+          // instead of O(match length); the round-12 greedy/deferred
+          // capture-churn fix, now on the planned route too).
+          private final class Runner[C](
+              ops: GroupCep.CapOps[(InternalRow, Long), C]) {
+            private var confs =
+              Vector.empty[GroupCep.Conf[(InternalRow, Long), C]]
+            private var emitter = newEmitter()
+            private def newEmitter() =
+              new GroupCep.GroupRunEmitter[(InternalRow, Long), C](
+                compiled, tsOf, skipStrat, aHead, aTail, tagOf = _._2, ops)
+            private def doEmit(m: C): Unit = {
+              numMatches.add(1); matchSeq += 1
+              emit(curKey, matchSeq, GroupCep.groupFirsts(compiled, m, ops))
+            }
+            /** One event through the NFA + emission policy; returns the
+              * live branch count (hot-key metric). */
+            def advanceRow(w: (InternalRow, Long), ts: Long): Int = {
+              val (next, matches) =
+                GroupCep.advanceC(compiled, confs, w, ts, canStart = true, ops)
+              confs = emitter.step(next, matches, doEmit)
+              confs.size
+            }
+            /** End of key run: anchored candidates gate + select,
+              * deferred resolver/skip-queue entries release. */
+            def flush(lastTag: Long): Unit = emitter.finish(lastTag, doEmit)
+            def reset(): Unit = { confs = Vector.empty; emitter = newEmitter() }
           }
-          // end of key run: anchored candidates gate + select, deferred
-          // resolver/skip-queue entries release (no live branch blocks)
+          // per-key-run emission policy (anchor gates / reluctant
+          // resolver / skip queue) — ONE emitter shared with the
+          // library drivers, reset per key run. Arrival tags ARE run
+          // positions, so SpanOps needs no event buffer — and with
+          // groupFirsts emission, nothing ever calls eventAt.
+          private val runner: Runner[_] =
+            if (compiled.strictSpans)
+              new Runner(new GroupCep.SpanOps[(InternalRow, Long)](
+                _._2.toInt,
+                i => throw new IllegalStateException(
+                  s"GroupCepExec never materializes captures (pos $i)")))
+            else new Runner(GroupCep.vecOps[(InternalRow, Long)])
           private def flushKey(): Unit =
-            if (haveKey) emitter.finish(arrSeq - 1, doEmit)
+            if (haveKey) runner.flush(arrSeq - 1)
 
           private def emit(key: Any, matchNum: Long,
-              captured: Vector[(Int, (InternalRow, Long))]): Unit = {
-            val groups = GroupCep.toGroups(compiled, captured)
+              firsts: scala.collection.Map[String,
+                (Long, (InternalRow, Long))]): Unit = {
             val vals = new Array[Any](2 + nSteps * (1 + nCols))
             vals(0) = key
             vals(1) = matchNum
             var s = 0
             while (s < nSteps) {
-              val g = groups(names(s))
-              vals(2 + s * (1 + nCols)) = g.size.toLong
-              if (g.nonEmpty) {
-                val r = g.head._1
-                var c = 0
-                while (c < nCols) {
-                  vals(3 + s * (1 + nCols) + c) = r.get(c, colTypes(c)); c += 1
-                }
+              firsts.get(names(s)) match {
+                case Some((cnt, (r, _))) =>
+                  vals(2 + s * (1 + nCols)) = cnt
+                  var c = 0
+                  while (c < nCols) {
+                    vals(3 + s * (1 + nCols) + c) = r.get(c, colTypes(c))
+                    c += 1
+                  }
+                case None =>
+                  vals(2 + s * (1 + nCols)) = 0L
               }
               s += 1
             }
@@ -326,11 +363,10 @@ object GroupCepPlan {
                     // a key switch flushes the finished run's deferred
                     // emissions, then resets the branch set + emitter
                     flushKey()
-                    confs = Vector.empty
                     arrSeq = 0L
                     keyEvents = 0L
                     matchSeq = 0L
-                    emitter = newEmitter()
+                    runner.reset()
                     curKey = k match {
                       case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
                       case other => other
@@ -341,10 +377,9 @@ object GroupCepPlan {
                   arrSeq += 1
                   keyEvents += 1
                   bumpEvents(keyEvents)
-                  val (next, matches) =
-                    GroupCep.advance(compiled, confs, w, tsVal.asInstanceOf[Long])
-                  confs = emitter.step(next, matches, doEmit)
-                  bumpBranches(confs.size.toLong)
+                  val nBranches =
+                    runner.advanceRow(w, tsVal.asInstanceOf[Long])
+                  bumpBranches(nBranches.toLong)
                 }
               }
             }

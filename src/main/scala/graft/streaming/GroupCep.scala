@@ -77,10 +77,16 @@ object GroupCep {
       val elems: Vector[GElem[E]], val withinMs: Option[Long],
       private[GroupCep] val reluctantSel: Boolean = false,
       private[GroupCep] val deferSel: Boolean = false,
-      private[GroupCep] val greedySel: Boolean = false) {
+      private[GroupCep] val greedySel: Boolean = false,
+      // set by liftG only: events carry unique arrival tags, so no two
+      // distinct events ever compare equal — a precondition of the
+      // noEpsilonDup dedup skip (value-identity drivers CAN mint equal
+      // branches from duplicate input rows and still need the dedup)
+      private[GroupCep] val arrivalTagged: Boolean = false) {
 
     private def append(e: GElem[E]) =
-      new GPattern(elems :+ e, withinMs, reluctantSel, deferSel, greedySel)
+      new GPattern(elems :+ e, withinMs, reluctantSel, deferSel, greedySel,
+        arrivalTagged)
 
     def followedBy(name: String)(pred: E => Boolean): GPattern[E] =
       append(GLeaf(name, pred, TillNext))
@@ -118,7 +124,7 @@ object GroupCep {
           "alternation is always group-wrapped by the builder")
       }
       new GPattern(elems.init :+ f(g), withinMs, reluctantSel, deferSel,
-        greedySel)
+        greedySel, arrivalTagged)
     }
 
     def times(n: Int): GPattern[E] = {
@@ -156,7 +162,17 @@ object GroupCep {
       * ignores it. */
     def markReluctant: GPattern[E] = quantified(_.copy(relMark = true))
     def within(ms: Long): GPattern[E] =
-      new GPattern(elems, Some(ms), reluctantSel, deferSel, greedySel)
+      new GPattern(elems, Some(ms), reluctantSel, deferSel, greedySel,
+        arrivalTagged)
+
+    /** Events carry unique arrival identity WITHOUT [[liftG]] — the
+      * planned exec tags rows itself (`(row, arrSeq)`) and marks its
+      * pattern here, LAST, right before compile (the transformer
+      * methods propagate the flag, but marking late keeps the
+      * invariant obvious). See [[Compiled.noEpsilonDup]]. */
+    private[graft] def withArrivalIdentity: GPattern[E] =
+      new GPattern(elems, withinMs, reluctantSel, deferSel, greedySel,
+        arrivalTagged = true)
 
     /** Force DEFERRED reluctant selection even without alternation —
       * the anchored-batch driver needs every candidate buffered (the
@@ -164,7 +180,7 @@ object GroupCep {
       * in-advance shortest-per-start kill must not fire. */
     private[graft] def deferredReluctant: GPattern[E] =
       new GPattern(elems, withinMs, reluctantSel, deferSel = true,
-        greedySel = greedySel)
+        greedySel = greedySel, arrivalTagged = arrivalTagged)
 
     /** SQL:2016 RELUCTANT selection for the pattern's SINGLE quantified
       * element (the nested twin of [[Cep.Pattern.reluctant]] —
@@ -249,7 +265,8 @@ object GroupCep {
             "MATCH_RECOGNIZE adjacency; relaxed followedBy does not " +
             "compose")
       }
-      new GPattern(elems, withinMs, reluctantSel = true, deferSel)
+      new GPattern(elems, withinMs, reluctantSel = true, deferSel,
+        greedySel = false, arrivalTagged = arrivalTagged)
     }
 
     /** SQL:2016 STRICT GREEDY selection (round 11 — the mode that
@@ -293,7 +310,7 @@ object GroupCep {
         "greedySelect requires strict contiguity (next/consecutive) " +
           "throughout the pattern — the MATCH_RECOGNIZE adjacency")
       new GPattern(elems, withinMs, reluctantSel = false,
-        deferSel = false, greedySel = true)
+        deferSel = false, greedySel = true, arrivalTagged = arrivalTagged)
     }
 
     private[GroupCep] def validated: GPattern[E] = {
@@ -377,6 +394,27 @@ object GroupCep {
       * contiguous arrival-tag span and materialization-by-range is
       * exact. Relaxed boundaries (ignore edges) keep the exact vector. */
     private[graft] val strictSpans: Boolean = pattern.allStrictPattern
+    /** No epsilon walk can mint two IDENTICAL branches: with every
+      * element a required leaf/group (no alternation forks, no
+      * optional/min-0 entry skips, no TillAny re-fires), each target of
+      * one succ call sits on a distinct slot and distinct source
+      * branches always differ in captures — so the per-event outConfs
+      * dedup pass (a tuple key + hash insert per branch per event) is
+      * provably a no-op and is skipped. Completions keep their dedup:
+      * they are rare and the reasoning there is subtler. */
+    private[GroupCep] val noEpsilonDup: Boolean = {
+      def ok(el: GElem[E]): Boolean = el match {
+        case l: GLeaf[E] => l.mode != TillAny
+        case g: GGroup[E] => !g.optional && g.min >= 1 &&
+          g.mode != TillAny && g.loopMode != TillAny && g.elems.forall(ok)
+        case _: GNot[E] => true
+        case _: GAlt[E] => false
+      }
+      // value-identity drivers (un-lifted patterns) can mint EQUAL
+      // branches from duplicate input rows — only arrival-tagged
+      // events make "distinct sources stay distinct" hold
+      pattern.arrivalTagged && pattern.elems.forall(ok)
+    }
     @transient private val slotNames = Vector.newBuilder[String]
     @transient private val slotPreds = Vector.newBuilder[E => Boolean]
     @transient private val untilsB = Vector.newBuilder[E => Boolean]
@@ -669,9 +707,20 @@ object GroupCep {
             if (r >= p.min)
               continueAfter(p, reps - p.id, out, done,
                 if (p.greedy) p.id else guard)
-            if (r < p.max)
-              enter(p.children.head, p.loopMode,
-                clearInside(p, reps).updated(p.id, r), out, done, guard)
+            if (r < p.max) {
+              // unbounded loops: saturate the counter at p.min — both
+              // future threshold reads (r' >= min always once reached;
+              // r' < MaxValue always) are preserved, the reps map stops
+              // churning allocations on every repetition, and succ
+              // results become cacheable by (slot, reps) — see
+              // [[SuccCache]]
+              val rStore =
+                if (p.max == Int.MaxValue && r > p.min) p.min else r
+              val base = clearInside(p, reps)
+              val r2 = if (base.getOrElse(p.id, -1) == rStore) base
+                       else base.updated(p.id, rStore)
+              enter(p.children.head, p.loopMode, r2, out, done, guard)
+            }
           }
       }
 
@@ -681,6 +730,21 @@ object GroupCep {
       var complete = false
       continueAfter(slotNodes(slot), reps, out, () => complete = true, -1)
       (out.result(), complete)
+    }
+    /** [[succ]] is pure in (slot, reps) and — with the saturating rep
+      * counters — the key space is bounded by the pattern structure, so
+      * the epsilon walk (child scans, clearInside vectors, map churn)
+      * runs once per distinct key instead of once per branch per event.
+      * Each task deserializes its own Compiled copy, so the map sees no
+      * real contention; ConcurrentHashMap just makes sharing safe. */
+    @transient private lazy val succCache = new java.util.concurrent
+      .ConcurrentHashMap[(Int, Map[Int, Int]), (Vector[At], Boolean)]
+    private[GroupCep] def succCached(slot: Int,
+        reps: Map[Int, Int]): (Vector[At], Boolean) = {
+      val k = (slot, reps)
+      var v = succCache.get(k)
+      if (v == null) { v = succ(slot, reps); succCache.put(k, v) }
+      v
     }
     private[GroupCep] lazy val startFrontier: Vector[At] = {
       val out = Vector.newBuilder[At]
@@ -703,6 +767,7 @@ object GroupCep {
     private[GroupCep] def guardHit(guard: Int, e: E): Boolean =
       guard >= 0 && greedyGuards(guard).exists(s => preds(s)(e))
     private[GroupCep] def predOf(s: Int): E => Boolean = preds(s)
+    private[GroupCep] def slotCount: Int = preds.length
     private[GroupCep] def nameOf(s: Int): String = names(s)
     private[GroupCep] def stopsFollowOf(s: Int): List[E => Boolean] =
       stopsFollow.getOrElse(s, Nil)
@@ -748,8 +813,22 @@ object GroupCep {
     * Materializing the full per-event vector (library `toGroups`) needs
     * the key run's event array, which the batch drivers hold; equality
     * (branch dedup) is exact under contiguity: same first tag + same
-    * runs ⇒ identical capture vectors. */
-  final case class SpanCaps[E](runs: Vector[CapRun[E]], length: Int)
+    * runs ⇒ identical capture vectors (the closed/open split below is
+    * deterministic in the append sequence, so structural equality
+    * remains exact).
+    *
+    * The LAST run is held OPEN as flat fields instead of inside the
+    * vector: the hot loop (every in-loop branch extends its current
+    * run once per event) then allocates ONE small object per append —
+    * a `Vector.updated` path-copy per event per branch was the
+    * dominant allocation of the qc34-class greedy scans. `openSlot`
+    * is -1 only for the empty capture. */
+  final case class SpanCaps[E](closed: Vector[CapRun[E]], openSlot: Int,
+      openCount: Int, openFirst: E, openLast: E, length: Int) {
+    def runs: Vector[CapRun[E]] =
+      if (openSlot < 0) closed
+      else closed :+ CapRun(openSlot, openCount, openFirst, openLast)
+  }
 
   /** Capture-sequence operations, the seam between the shared NFA /
     * emitters and the two representations. All per-event hot-path ops
@@ -766,6 +845,12 @@ object GroupCep {
     def headOpt(c: C): Option[E]
     def last(c: C): E
     def runs(c: C): Iterator[CapRun[E]]
+    /** Max of `f` over EVERY captured event. The vector path must walk
+      * all elements — the streaming driver sorts only within each
+      * micro-batch, so a cross-batch late event can put the max strictly
+      * inside a compressed run; [[SpanCaps]] (batch-only, globally
+      * ts-ordered runs) folds first/last per run, O(#runs). */
+    def maxOver(c: C, f: E => Long): Long
     /** Cheap structural discriminator for match dedup (slots only). */
     def slotsKey(c: C): Any
     /** Full per-event capture vector — the library emission shape. */
@@ -794,6 +879,11 @@ object GroupCep {
         }
       }
     def slotsKey(c: Vector[(Int, Any)]): Any = c.map(_._1)
+    def maxOver(c: Vector[(Int, Any)], f: Any => Long): Long = {
+      var m = Long.MinValue
+      c.foreach { p => val t = f(p._2); if (t > m) m = t }
+      m
+    }
     def toVector(c: Vector[(Int, Any)]): Vector[(Int, Any)] = c
   }
   private[graft] def vecOps[E]: CapOps[E, Vector[(Int, E)]] =
@@ -807,23 +897,36 @@ object GroupCep {
     * throwing `eventAt` and never materialize. */
   private[graft] final class SpanOps[E](posOf: E => Int, eventAt: Int => E)
       extends CapOps[E, SpanCaps[E]] {
-    def empty: SpanCaps[E] = SpanCaps(Vector.empty, 0)
-    def append(c: SpanCaps[E], slot: Int, e: E): SpanCaps[E] = {
-      val rs = c.runs
-      if (rs.nonEmpty && rs.last.slot == slot) {
-        val r = rs.last
-        SpanCaps(rs.updated(rs.length - 1,
-          CapRun(slot, r.count + 1, r.first, e)), c.length + 1)
-      } else SpanCaps(rs :+ CapRun(slot, 1, e, e), c.length + 1)
-    }
+    private val nil = null.asInstanceOf[E]
+    def empty: SpanCaps[E] = SpanCaps(Vector.empty, -1, 0, nil, nil, 0)
+    def append(c: SpanCaps[E], slot: Int, e: E): SpanCaps[E] =
+      if (c.openSlot == slot)
+        // hot path: extend the open run — one allocation
+        c.copy(openCount = c.openCount + 1, openLast = e,
+          length = c.length + 1)
+      else if (c.openSlot < 0) SpanCaps(Vector.empty, slot, 1, e, e, 1)
+      else SpanCaps(
+        c.closed :+ CapRun(c.openSlot, c.openCount, c.openFirst, c.openLast),
+        slot, 1, e, e, c.length + 1)
     def length(c: SpanCaps[E]): Int = c.length
     def isEmpty(c: SpanCaps[E]): Boolean = c.length == 0
-    def head(c: SpanCaps[E]): E = c.runs.head.first
+    def head(c: SpanCaps[E]): E =
+      if (c.closed.nonEmpty) c.closed.head.first else c.openFirst
     def headOpt(c: SpanCaps[E]): Option[E] =
-      if (c.length == 0) None else Some(c.runs.head.first)
-    def last(c: SpanCaps[E]): E = c.runs.last.last
+      if (c.length == 0) None else Some(head(c))
+    def last(c: SpanCaps[E]): E = c.openLast
     def runs(c: SpanCaps[E]): Iterator[CapRun[E]] = c.runs.iterator
     def slotsKey(c: SpanCaps[E]): Any = c.runs.map(r => (r.slot, r.count))
+    def maxOver(c: SpanCaps[E], f: E => Long): Long = {
+      // batch-only representation: key runs are globally ts-ordered,
+      // so each run's max is at its boundary — first/last suffice
+      var m = Long.MinValue
+      c.runs.foreach { r =>
+        val tl = f(r.last); if (tl > m) m = tl
+        val tf = f(r.first); if (tf > m) m = tf
+      }
+      m
+    }
     def toVector(c: SpanCaps[E]): Vector[(Int, E)] =
       if (c.length == 0) Vector.empty
       else {
@@ -860,9 +963,65 @@ object GroupCep {
     val out = Vector.newBuilder[Conf[E, C]]
     val matches = Vector.newBuilder[C]
 
+    // Per-EVENT memo of the slot-keyed predicate evaluations: every
+    // live branch waiting on the same slot asks the same questions of
+    // the same event (the qc34-class greedy scans hold O(open starts)
+    // branches in ONE loop slot), so evaluate each at most once.
+    // Long bitmask pairs (evaluated, value) — zero allocation up to 64
+    // slots; wider patterns fall back to direct evaluation. Guards
+    // (greedy-group ids, not slot-bounded) get a 1-entry cache: every
+    // post-loop branch of one pattern shares one guard id in practice.
+    val memoizable = c.slotCount <= 64
+    var predE, predV, stopFE, stopFV, stopNE, stopNV, untilE, untilV = 0L
+    def predM(s: Int): Boolean =
+      if (!memoizable) c.predOf(s)(e)
+      else {
+        val bit = 1L << s
+        if ((predE & bit) != 0L) (predV & bit) != 0L
+        else {
+          val r = c.predOf(s)(e); predE |= bit; if (r) predV |= bit; r
+        }
+      }
+    def stopFM(s: Int): Boolean =
+      if (!memoizable) c.stopsFollowOf(s).exists(_(e))
+      else {
+        val bit = 1L << s
+        if ((stopFE & bit) != 0L) (stopFV & bit) != 0L
+        else {
+          val r = c.stopsFollowOf(s).exists(_(e))
+          stopFE |= bit; if (r) stopFV |= bit; r
+        }
+      }
+    def stopNM(s: Int): Boolean =
+      if (!memoizable) c.stopsNextOf(s).exists(_(e))
+      else {
+        val bit = 1L << s
+        if ((stopNE & bit) != 0L) (stopNV & bit) != 0L
+        else {
+          val r = c.stopsNextOf(s).exists(_(e))
+          stopNE |= bit; if (r) stopNV |= bit; r
+        }
+      }
+    def untilM(s: Int): Boolean =
+      if (!memoizable) c.untilOf(s).exists(_(e))
+      else {
+        val bit = 1L << s
+        if ((untilE & bit) != 0L) (untilV & bit) != 0L
+        else {
+          val r = c.untilOf(s).exists(_(e))
+          untilE |= bit; if (r) untilV |= bit; r
+        }
+      }
+    var guardQ = -2; var guardR = false
+    def guardM(g: Int): Boolean =
+      g >= 0 && {
+        if (g != guardQ) { guardQ = g; guardR = c.guardHit(g, e) }
+        guardR
+      }
+
     def fire(conf: Conf[E, C]): Unit = {
       val cap2 = ops.append(conf.captured, conf.slot, e)
-      val (targets, complete) = c.succ(conf.slot, conf.reps)
+      val (targets, complete) = c.succCached(conf.slot, conf.reps)
       if (complete) matches += cap2
       targets.foreach { t =>
         out += Conf(t.slot, t.mode, t.reps, cap2, conf.startTs,
@@ -873,12 +1032,11 @@ object GroupCep {
     alive.foreach { conf =>
       // greedy: a branch past a greedy loop dies on any event that loop
       // could have consumed — NOT(take) on every sink transition
-      val greedyKill = c.guardHit(conf.guard, e)
-      val stopped = c.stopsFollowOf(conf.slot).exists(_(e)) ||
-        (conf.fresh && c.stopsNextOf(conf.slot).exists(_(e)))
-      val untilKill = c.untilOf(conf.slot).exists(_(e))
+      val greedyKill = guardM(conf.guard)
+      val stopped = stopFM(conf.slot) || (conf.fresh && stopNM(conf.slot))
+      val untilKill = untilM(conf.slot)
       if (!greedyKill && !stopped && !untilKill) {
-        val takes = c.predOf(conf.slot)(e)
+        val takes = predM(conf.slot)
         if (takes) {
           fire(conf)
           // TILL_ANY: the waiting branch survives its own take and can
@@ -899,12 +1057,16 @@ object GroupCep {
     // only the key's arrival-0 event may open a branch, so every
     // candidate is partition-head-anchored by construction.
     if (canStart) c.startFrontier.foreach { t =>
-      if (!c.guardHit(t.guard, e) && c.predOf(t.slot)(e))
+      if (!guardM(t.guard) && predM(t.slot))
         fire(Conf(t.slot, t.mode, t.reps, ops.empty, ts, fresh = true))
     }
-    var outConfs = dedupBy(out.result())(c =>
-      (c.slot, c.mode, c.reps, c.startTs, c.fresh, c.guard,
-        ops.length(c.captured)))
+    var outConfs = {
+      val o = out.result()
+      if (c.noEpsilonDup) o
+      else dedupBy(o)(c =>
+        (c.slot, c.mode, c.reps, c.startTs, c.fresh, c.guard,
+          ops.length(c.captured)))
+    }
     var ms = dedupBy(matches.result())(m => (ops.length(m), ops.slotsKey(m)))
     // SQL:2016 reluctant (GPattern.reluctant, single-quantifier
     // contract) WITHOUT alternation: the FIRST completion per start is
@@ -1142,7 +1304,7 @@ object GroupCep {
   }
   private[streaming] def liftG[E](p: GPattern[E]): GPattern[(E, Long)] =
     new GPattern(p.elems.map(liftElem[E]), p.withinMs, p.reluctantSel,
-      p.deferSel, p.greedySel)
+      p.deferSel, p.greedySel, arrivalTagged = true)
 
   /** Un-tag a capture map, preserving declaration order. */
   private def unliftGroups[E](groups: Map[String, Seq[(E, Long)]]):
@@ -1495,9 +1657,14 @@ object GroupCep {
         emit(m)
         skip match {
           case Cep.SkipPastLastEvent =>
-            // events arrive ts-ordered within a key run, so the last
-            // captured event carries the max ts
-            val boundary = ts(ops.last(m))
+            // boundary = MAX captured ts (the reference's
+            // SkipPastLastStrategy prunes by the max event id) — NOT
+            // ts(last): the streaming driver sorts only within each
+            // micro-batch, so a cross-batch late event can leave the
+            // max before the final capture; under-pruning there would
+            // leak extra matches. O(length) on the streaming vector
+            // path, O(#runs) on the batch span path.
+            val boundary = ops.maxOver(m, ts)
             cs = cs.filter(_.startTs > boundary)
             pending = pending.filter(startOf(_) > boundary)
             if (rr != null) rr.prune(_ > boundary)

@@ -163,7 +163,7 @@ object MatchRecognize {
     /** `classifier` = step name of the current row (ALL ROWS) or of the
       * match's last row (ONE ROW); `matchNum` = 1-based per-partition
       * match ordinal (0 when MATCH_NUMBER is unused). */
-    def eval(groups: Map[String, Seq[Row]], schema: StructType,
+    def eval(groups: scala.collection.Map[String, Seq[Row]], schema: StructType,
         classifier: String, matchNum: Long): Any
     /** FINAL keyword: under ALL ROWS the measure evaluates over the WHOLE
       * match (and the final classifier), not the running prefix. */
@@ -173,7 +173,7 @@ object MatchRecognize {
       last: Boolean, offset: Int = 0) extends Measure {
     def field(schema: StructType): StructField =
       StructField(alias, schema(c).dataType, nullable = true)
-    def eval(groups: Map[String, Seq[Row]], schema: StructType,
+    def eval(groups: scala.collection.Map[String, Seq[Row]], schema: StructType,
         classifier: String, matchNum: Long): Any = {
       val g = groups.getOrElse(v, Seq.empty)
       val i = if (last) g.size - 1 - offset else offset
@@ -184,7 +184,7 @@ object MatchRecognize {
       extends Measure {
     def field(schema: StructType): StructField =
       StructField(alias, LongType, nullable = false)
-    def eval(groups: Map[String, Seq[Row]], schema: StructType,
+    def eval(groups: scala.collection.Map[String, Seq[Row]], schema: StructType,
         classifier: String, matchNum: Long): Any =
       groups.getOrElse(v, Seq.empty).size.toLong
   }
@@ -192,13 +192,13 @@ object MatchRecognize {
     def field(schema: StructType): StructField =
       StructField(alias, org.apache.spark.sql.types.StringType,
         nullable = true)
-    def eval(groups: Map[String, Seq[Row]], schema: StructType,
+    def eval(groups: scala.collection.Map[String, Seq[Row]], schema: StructType,
         classifier: String, matchNum: Long): Any = classifier
   }
   private final case class MatchNumMeasure(alias: String) extends Measure {
     def field(schema: StructType): StructField =
       StructField(alias, LongType, nullable = false)
-    def eval(groups: Map[String, Seq[Row]], schema: StructType,
+    def eval(groups: scala.collection.Map[String, Seq[Row]], schema: StructType,
         classifier: String, matchNum: Long): Any = matchNum
   }
   /** SUM/AVG/MIN/MAX over a variable's captured rows (Flink grew these
@@ -221,7 +221,7 @@ object MatchRecognize {
       }
       StructField(alias, out, nullable = true)
     }
-    def eval(groups: Map[String, Seq[Row]], schema: StructType,
+    def eval(groups: scala.collection.Map[String, Seq[Row]], schema: StructType,
         classifier: String, matchNum: Long): Any = {
       val vs = groups.getOrElse(v, Seq.empty)
         .map(_.getAs[Any](c)).filter(_ != null)
@@ -247,7 +247,7 @@ object MatchRecognize {
   private final case class FinalMeasure(inner: Measure) extends Measure {
     def alias: String = inner.alias
     def field(schema: StructType): StructField = inner.field(schema)
-    def eval(groups: Map[String, Seq[Row]], schema: StructType,
+    def eval(groups: scala.collection.Map[String, Seq[Row]], schema: StructType,
         classifier: String, matchNum: Long): Any =
       inner.eval(groups, schema, classifier, matchNum)
     override def isFinal: Boolean = true
@@ -740,8 +740,12 @@ object MatchRecognize {
     // misread; an anchor-rejected candidate's rows likewise).
     val withUnmatched = UnmatchedRe.findFirstMatchIn(clause).isDefined
     if (sqlGreedy) {
-      require(AllRowsRe.findFirstMatchIn(clause).isEmpty,
-        "sqlGreedy selection supports ONE ROW PER MATCH only")
+      // ALL ROWS PER MATCH composes (round 13): greedy selection defers
+      // each start's candidates to the resolver and emits ONE maximal
+      // match per start with its FULL capture groups — exactly what the
+      // ALL ROWS mkRow consumes; the array+explode post-processing is
+      // selection-mode-agnostic. Exclusions stay rejected: {- -} output
+      // filtering over the greedy winner is untested territory.
       require(excluded.isEmpty,
         "sqlGreedy selection does not compose with {- -} exclusions")
     }
@@ -1294,21 +1298,39 @@ object MatchRecognize {
         else {
           // FINAL measures see the whole match and its final classifier;
           // RUNNING (default) measures see the prefix up to the row
-          val finalCls = flatten(groups).lastOption.map(_._1).orNull
+          val fl = flatten(groups)
+          val finalCls = fl.lastOption.map(_._1).orNull
           val gAll = withSubsets(groups)
-          val prefix = scala.collection.mutable.Map.empty[String, Vector[Row]]
+          // FINAL values are row-independent — evaluate ONCE per match,
+          // not once per output row (a FINAL positional measure walks
+          // the capture map on every eval)
+          val finalVals: Array[Any] = measures.iterator.map(m =>
+            if (m.isFinal) m.eval(gAll, schema, finalCls, mn)
+            else null).toArray
+          val anyRunning = measures.exists(!_.isFinal)
+          val prefix = scala.collection.mutable.Map.empty[String, Seq[Row]]
           // excluded rows still advance the RUNNING prefix (they matched;
           // SQL:2016 exclusion removes them from OUTPUT only)
-          val rows = flatten(groups).flatMap { case (n, e) =>
+          val rows = fl.flatMap { case (n, e) =>
             prefix(n) = prefix.getOrElse(n, Vector.empty) :+ e
             if (excluded(n)) None
-            else Some(Row.fromSeq(
-              (if (withUnmatched) Seq(e.get(rawOrdIdx)) else Nil) ++
-              measures.map(m =>
-                if (m.isFinal) m.eval(gAll, schema, finalCls, mn)
-                else m.eval(withSubsets(prefix.toMap), schema, n, mn)) ++
-              (if (withUnmatched)
-                Seq(e.getLong(ordIdx), e.getLong(tieIdx)) else Nil)))
+            else {
+              // running measures read the prefix map directly — a
+              // per-row immutable copy only when SUBSET unions must be
+              // spliced in
+              val pfx: scala.collection.Map[String, Seq[Row]] =
+                if (!anyRunning) null
+                else if (subsets.isEmpty) prefix
+                else withSubsets(prefix.toMap)
+              Some(Row.fromSeq(
+                (if (withUnmatched) Seq(e.get(rawOrdIdx)) else Nil) ++
+                measures.iterator.zipWithIndex.map { case (m, i) =>
+                  if (m.isFinal) finalVals(i)
+                  else m.eval(pfx, schema, n, mn)
+                }.toSeq ++
+                (if (withUnmatched)
+                  Seq(e.getLong(ordIdx), e.getLong(tieIdx)) else Nil)))
+            }
           }
           Row(k.get(0), rows)
         }

@@ -808,6 +808,47 @@ object MatchRecognizeQuery extends QueryModule {
         .orderBy("user_id", "v_id")
     },
 
+    q("qc38_mr_greedy_all_rows",
+      // GREEDY SELECTION × ALL ROWS PER MATCH (round 13): `V B+ E`
+      // under sqlGreedy emits each view's MAXIMAL match — the last
+      // reachable error — and ALL ROWS outputs every row of that
+      // winner: the view, every row between (all B: B is undefined =
+      // TRUE, so errors/purchases in the span are B rows too), and the
+      // final error, with the RUNNING B count walking the prefix and
+      // the per-row CLASSIFIER. Oracle: per view, e = max-rn error at
+      // rn >= v.rn+2, one output row per rn in [v.rn, e.rn].
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |cand AS (SELECT v.user_id, v.event_id AS v_id, v.rn AS vrn,
+        |    e.event_id AS e_id, e.rn AS ern,
+        |    row_number() OVER (PARTITION BY v.user_id, v.event_id
+        |                       ORDER BY e.rn DESC) AS pref
+        |  FROM o v JOIN o e ON e.user_id = v.user_id
+        |    AND e.event_type = 'error' AND e.rn >= v.rn + 2
+        |  WHERE v.event_type = 'view'),
+        |w AS (SELECT * FROM cand WHERE pref = 1)
+        |SELECT w.user_id, w.v_id, w.e_id,
+        |  CASE WHEN r.rn = w.vrn THEN 'V'
+        |       WHEN r.rn = w.ern THEN 'E' ELSE 'B' END AS cls,
+        |  CAST(CASE WHEN r.rn = w.vrn THEN 0
+        |       ELSE least(r.rn, w.ern - 1) - w.vrn END AS BIGINT) AS nb
+        |FROM w JOIN o r ON r.user_id = w.user_id
+        |  AND r.rn BETWEEN w.vrn AND w.ern
+        |ORDER BY w.user_id, v_id, nb, cls""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS v_id, FINAL E.event_id AS e_id,
+          |  CLASSIFIER() AS cls, COUNT(B.*) AS nb
+          |ALL ROWS PER MATCH
+          |PATTERN (V B+ E)
+          |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
+          .stripMargin, sqlGreedy = true)
+        .select("user_id", "v_id", "e_id", "cls", "nb")
+        .orderBy("user_id", "v_id", "nb", "cls")
+    },
+
     q("qc31_mr_multi_reluctant",
       // MULTI-QUANTIFIER RELUCTANT (round 11 — the largest remaining
       // named rejection): `V B+? C+? E` carries TWO ranked decision

@@ -577,6 +577,34 @@ class GroupCepSpec extends SparkSuite {
     assert(h.stateOf(1L).isEmpty)
   }
 
+  test("streaming skip PAST LAST EVENT: boundary is the MAX captured ts, not the last capture (cross-batch late event)") {
+    // A B C+ E over two micro-batches; the C capture c@3 arrives in
+    // batch 2 AFTER b@9, so every match's capture vector is
+    // ts-NON-MONOTONE with the max (9) strictly inside. PAST LAST
+    // EVENT must prune by that max (the reference prunes by max event
+    // id): the start@8 candidate dies (8 <= 9). A boundary read off
+    // the LAST capture (e@6) would keep it and leak a second match.
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val p = GPattern.begin[Ev]("a")(_.typ == "a")
+      .followedBy("b")(_.typ == "b")
+      .followedBy("c")(_.typ == "c").oneOrMore
+      .followedBy("e")(_.typ == "e")
+    val fn = GroupCep.matchStreamArrivalFn[Long, Ev, Seq[Long]](
+      p, _.ts, _ => 0L, graft.streaming.Cep.SkipPastLastEvent,
+      (_, groups) => groups.values.flatten.map(_.ts).toSeq.sorted)
+    val h = new VirtualClockHarness[Long, Ev, GroupCep.GArrivalState[Ev],
+      Seq[Long]](GroupStateTimeout.NoTimeout(), fn)
+    assert(h.input(1L, Ev(1L, "a", 1L), Ev(1L, "a", 8L),
+      Ev(1L, "e", 2L), Ev(1L, "b", 9L)).isEmpty)
+    // batch 2: late c@3 then e@6 — both starts complete [a b@9 c@3 e@6];
+    // the earliest (a@1) emits, its max captured ts 9 prunes start@8
+    assert(h.input(1L, Ev(1L, "c", 3L), Ev(1L, "e", 6L))
+      === Seq(Seq(1L, 3L, 6L, 9L)))
+    // nothing deferred survives the prune
+    assert(h.stateOf(1L).forall(s =>
+      s.inner.pending.isEmpty && s.inner.confs.isEmpty))
+  }
+
   test("hot-key diagnostics: GroupCep HotKeyStats reports hottest key and peak branches") {
     import spark.implicits._
     val hot = (1 to 40).map(i => Ev(7L, "a", i.toLong)) :+ Ev(7L, "b", 99L)

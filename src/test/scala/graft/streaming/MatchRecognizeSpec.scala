@@ -1177,10 +1177,25 @@ class MatchRecognizeSpec extends SparkSuite {
         "AFTER MATCH SKIP PAST LAST ROW"), sqlGreedy = true)
       .select("v_id", "nb").as[(Long, Long)].collect().toSet
     assert(ganchSkip === Set((1L, 3L), (10L, 2L)))
-    assert(intercept[IllegalArgumentException] {
-      MatchRecognize(df, clause("V B+ E",
-        "V.event_id AS v_id", "ALL ROWS PER MATCH"), sqlGreedy = true)
-    }.getMessage.contains("ONE ROW"))
+    // round 13: ALL ROWS PER MATCH composes — the greedy winner's FULL
+    // row set emits, with RUNNING measures walking its prefix and the
+    // per-row CLASSIFIER. User 1's single winner spans view1..error5
+    // (error3 is a B row: B is undefined = TRUE); user 2 has one
+    // winner per view, both ending at error13.
+    val gAll = MatchRecognize(df,
+      clause("V B+ E", "CLASSIFIER() AS cls, V.event_id AS v_id, " +
+        "FINAL E.event_id AS e_id, COUNT(B.*) AS nb",
+        "ALL ROWS PER MATCH"), sqlGreedy = true)
+      .select("user_id", "v_id", "cls", "nb", "e_id")
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    assert(gAll.size === 12) // 5 + 4 + 3 rows, winners only
+    assert(gAll.toSet === Set(
+      (1L, 1L, "V", 0L, 5L), (1L, 1L, "B", 1L, 5L), (1L, 1L, "B", 2L, 5L),
+      (1L, 1L, "B", 3L, 5L), (1L, 1L, "E", 3L, 5L),
+      (2L, 10L, "V", 0L, 13L), (2L, 10L, "B", 1L, 13L),
+      (2L, 10L, "B", 2L, 13L), (2L, 10L, "E", 2L, 13L),
+      (2L, 11L, "V", 0L, 13L), (2L, 11L, "B", 1L, 13L),
+      (2L, 11L, "E", 1L, 13L)))
     // a fixed {1} count carries no selection choice: the plan-time
     // mirror rejects it cleanly at the driver, not in executor tasks
     assert(intercept[IllegalArgumentException] {
