@@ -244,26 +244,54 @@ object GroupCep {
       // decision lattice ([[Compiled.slotPath]]): alternation levels
       // prefer the leftmost branch, sequence levels prefer the exit —
       // so alternation/PERMUTE compose with multiple quantifiers too
-      // (branch preference dominates in-branch loops). The one
-      // remaining structural limit: a quantifier NESTED inside another
-      // quantified group (the slot path cannot distinguish the outer
-      // loop's repetitions, so per-repetition re-ranking is
-      // inexpressible).
+      // (branch preference dominates in-branch loops).
+      //
+      // PERMANENT structural limit (round 13): a quantifier NESTED
+      // inside another quantified group. Three arguments:
+      //  1. The slot path is static per slot, but under nesting the
+      //     decision a capture represents depends on WHICH outer
+      //     repetition it sits in — e.g. in `(A+? B)+?`, "took another
+      //     A" can mean continuing iteration i's inner loop or opening
+      //     iteration i+1, two decisions the first-divergence walk
+      //     cannot tell apart without per-capture iteration ordinals.
+      //  2. With ordinals, preference stops being PREFIX-STABLE across
+      //     loop-back boundaries (a worse prefix can win on a later
+      //     iteration's ordinal), which is the exact property the
+      //     in-flight shortest-per-start kill and the dominated-branch
+      //     pruning rest on — the machinery that keeps live branches
+      //     ~O(starts). Full decision-sequence ranking means buffering
+      //     every derivation per start: O(2^reps) worst-case, the 100x
+      //     scale-killer this engine exists to avoid.
+      //  3. No reference behavior exists to match: the reference's own
+      //     MATCH_RECOGNIZE (Calcite-fronted) rejects nested quantifier
+      //     rankings too, and its DSL has no reluctance ranking at all
+      //     (emission is all-prefixes).
       if (n > 1) {
         require(!nestedQuant(elems),
           "multiple reluctant quantifiers must be sibling elements " +
-            "(a quantifier nested inside a quantified group is not " +
-            "supported)")
-        // the in-flight shortest-per-start fold is provably safe only
-        // under STRICT adjacency (candidates consume the same event at
-        // every capture position, so first-divergence ranking is
-        // well-defined and the preferred candidate completes first);
-        // relaxed contiguity would compare captures of DIFFERENT events
+            "(a quantifier nested inside a quantified group is a " +
+            "documented-permanent rejection: per-repetition ranking " +
+            "breaks the prefix-stable preference the O(starts) " +
+            "selection machinery requires — see the scaladoc)")
+        // PERMANENT (round 13): the in-flight shortest-per-start fold
+        // is provably safe only under STRICT adjacency — same-start
+        // candidates then consume the same event at every capture
+        // position, so first-divergence ranking is well-defined and
+        // the preferred candidate completes first. Under relaxed
+        // contiguity candidates at one capture position hold DIFFERENT
+        // events (one skipped, one took), the per-event completion
+        // minima stop being monotone, and the kill-at-first-completion
+        // proof (round 11) fails — correctness would require buffering
+        // every same-start candidate to end-of-run, the O(candidates)
+        // memory the anchored driver pays only because anchors are
+        // batch-only and rare. SQL MATCH_RECOGNIZE concatenation is
+        // strict adjacency, so the SQL surface is unaffected; only the
+        // DSL's followedBy+reluctant mix is rejected, by name.
         require(allStrict(elems),
           "multiple reluctant quantifiers require strict contiguity " +
             "(next/consecutive) throughout the pattern — the " +
-            "MATCH_RECOGNIZE adjacency; relaxed followedBy does not " +
-            "compose")
+            "MATCH_RECOGNIZE adjacency; relaxed followedBy is a " +
+            "documented-permanent rejection (see the scaladoc)")
       }
       new GPattern(elems, withinMs, reluctantSel = true, deferSel,
         greedySel = false, arrivalTagged = arrivalTagged)
@@ -1490,6 +1518,31 @@ object GroupCep {
   private def spanOpsFor[E](events: Vector[(E, Long)])
       : CapOps[(E, Long), SpanCaps[(E, Long)]] =
     new SpanOps[(E, Long)](_._2.toInt, i => events(i))
+
+  /** Test seam: ONE key run under an EXPLICIT capture representation.
+    * The representation choice is a pure optimization — the vec-vs-span
+    * equivalence property (PropertySpec) drives random strict patterns
+    * through both and asserts identical match sequences, which the
+    * drivers' automatic `strictSpans` routing is not directly testable
+    * for (they pick one representation). */
+  private[graft] def runKeyRepForTest[E](events: Vector[E], ts: E => Long,
+      pattern: GPattern[E], skip: Cep.AfterMatchSkip, useSpans: Boolean)
+      : Vector[Map[String, Seq[E]]] = {
+    val compiled = compile(liftG(pattern))
+    require(!useSpans || compiled.strictSpans,
+      "span representation requires an all-strict pattern")
+    val wrapped = events.zipWithIndex.map { case (e, i) => (e, i.toLong) }
+    val fin = (_: Unit, g: Map[String, Seq[(E, Long)]]) => unliftGroups(g)
+    if (useSpans)
+      runKeyCore[Unit, (E, Long), Map[String, Seq[E]], SpanCaps[(E, Long)]](
+        (), wrapped, w => ts(w._1), compiled, skip, fin, null,
+        spanOpsFor(wrapped))
+    else
+      runKeyCore[Unit, (E, Long), Map[String, Seq[E]],
+        Vector[(Int, (E, Long))]](
+        (), wrapped, w => ts(w._1), compiled, skip, fin, null,
+        vecOps[(E, Long)])
+  }
 
   /** One key's bounded scan for RELUCTANT patterns under ^/\$ PARTITION
     * ANCHORS (batch only — the [[Cep.matchBatchGroups]] anchored twin):

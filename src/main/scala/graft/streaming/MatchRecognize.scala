@@ -481,9 +481,10 @@ object MatchRecognize {
     * streaming inputs resolve a start once no open branch shares it
     * (a `within` horizon bounds the wait — without one, a stream whose
     * loop predicate never fails cannot prove maximality and defers
-    * until the partition quiesces). Named rejections in this mode:
-    * reluctant markers (per-quantifier mixed polarity), ^/$ anchors,
-    * ALL ROWS PER MATCH, and {- -} exclusions. */
+    * until the partition quiesces). Composes further with reluctant
+    * markers (per-quantifier mixed polarity, round 11), ^/$ anchors
+    * (round 11), and — round 13 — ALL ROWS PER MATCH and {- -}
+    * exclusions (both output-side: selection picks the winner first). */
   def apply(df: DataFrame, clause: String, sqlGreedy: Boolean): DataFrame = {
     val partCol = PartitionRe.findFirstMatchIn(clause)
       .getOrElse(throw new IllegalArgumentException("PARTITION BY required"))
@@ -739,16 +740,15 @@ object MatchRecognize {
     // IS matched yet absent from the output — its unmatchedness would
     // misread; an anchor-rejected candidate's rows likewise).
     val withUnmatched = UnmatchedRe.findFirstMatchIn(clause).isDefined
-    if (sqlGreedy) {
-      // ALL ROWS PER MATCH composes (round 13): greedy selection defers
-      // each start's candidates to the resolver and emits ONE maximal
-      // match per start with its FULL capture groups — exactly what the
-      // ALL ROWS mkRow consumes; the array+explode post-processing is
-      // selection-mode-agnostic. Exclusions stay rejected: {- -} output
-      // filtering over the greedy winner is untested territory.
-      require(excluded.isEmpty,
-        "sqlGreedy selection does not compose with {- -} exclusions")
-    }
+    // sqlGreedy × ALL ROWS PER MATCH composes (round 13): greedy
+    // selection defers each start's candidates to the resolver and
+    // emits ONE maximal match per start with its FULL capture groups —
+    // exactly what the ALL ROWS mkRow consumes; the array+explode
+    // post-processing is selection-mode-agnostic. {- -} exclusions
+    // compose too: exclusion is OUTPUT-only (SQL:2016) — the greedy
+    // winner is selected first, then its excluded rows are withheld
+    // while still advancing the RUNNING prefix (same mkRow path as the
+    // default mode).
     if (withUnmatched) {
       require(!df.isStreaming, "WITH UNMATCHED ROWS requires batch " +
         "input (unmatchedness is undecidable while partials remain open)")

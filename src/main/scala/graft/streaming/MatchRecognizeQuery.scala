@@ -849,6 +849,43 @@ object MatchRecognizeQuery extends QueryModule {
         .orderBy("user_id", "v_id", "nb", "cls")
     },
 
+    q("qc39_mr_greedy_exclusion",
+      // GREEDY SELECTION × {- -} EXCLUSION (round 13): qc38's pattern
+      // with the B span excluded from output — selection still runs
+      // over the FULL `V B+ E` (the winner is the same maximal match),
+      // but only the V and E rows emit; COUNT(B.*) on the E row still
+      // sees every excluded B (exclusion is output-only, SQL:2016).
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |cand AS (SELECT v.user_id, v.event_id AS v_id, v.rn AS vrn,
+        |    e.event_id AS e_id, e.rn AS ern,
+        |    row_number() OVER (PARTITION BY v.user_id, v.event_id
+        |                       ORDER BY e.rn DESC) AS pref
+        |  FROM o v JOIN o e ON e.user_id = v.user_id
+        |    AND e.event_type = 'error' AND e.rn >= v.rn + 2
+        |  WHERE v.event_type = 'view'),
+        |w AS (SELECT * FROM cand WHERE pref = 1)
+        |SELECT user_id, v_id, e_id, 'V' AS cls, CAST(0 AS BIGINT) AS nb
+        |FROM w
+        |UNION ALL
+        |SELECT user_id, v_id, e_id, 'E' AS cls,
+        |  CAST(ern - vrn - 1 AS BIGINT) AS nb
+        |FROM w
+        |ORDER BY user_id, v_id, nb, cls""".stripMargin) { (s, d) =>
+      MatchRecognize(t(s, d, "events"),
+        """PARTITION BY user_id
+          |ORDER BY ts, event_id
+          |MEASURES V.event_id AS v_id, FINAL E.event_id AS e_id,
+          |  CLASSIFIER() AS cls, COUNT(B.*) AS nb
+          |ALL ROWS PER MATCH
+          |PATTERN (V {- B+ -} E)
+          |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
+          .stripMargin, sqlGreedy = true)
+        .select("user_id", "v_id", "e_id", "cls", "nb")
+        .orderBy("user_id", "v_id", "nb", "cls")
+    },
+
     q("qc31_mr_multi_reluctant",
       // MULTI-QUANTIFIER RELUCTANT (round 11 — the largest remaining
       // named rejection): `V B+? C+? E` carries TWO ranked decision

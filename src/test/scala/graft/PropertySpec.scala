@@ -154,6 +154,54 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("strict group CEP: exact-vector and span-compressed captures emit identical match sequences") {
+    // The capture representation (per-event vector vs run-length
+    // SpanCaps) is a pure optimization under strict contiguity — for
+    // ANY all-strict pattern, skip strategy, selection mode, and event
+    // sequence, both drivers must emit the SAME matches in the SAME
+    // order. Covers the branch-heavy shapes: unbounded loops with
+    // always-true middles (the greedy qc34 class), group repetition,
+    // alternation, greedy/reluctant selection, mixed polarity, within.
+    import graft.streaming.{Cep, GroupCep}
+    import graft.streaming.GroupCep.GPattern
+    type E = (String, Long)
+    def pv(s: String) = (e: E) => e._1 == s
+    def anyB = (e: E) => e._1 != "d" // wide middle: heavy branch churn
+    def p1 = GPattern.begin[E]("v")(pv("a"))
+      .next("b")(anyB).oneOrMore.consecutive.next("e")(pv("d"))
+    def p2 = GPattern.begin[E]("s")(pv("c"))
+      .next(GPattern.begin[E]("m1")(pv("a")).next("m2")(pv("b")))
+      .times(1, 2).consecutive.next("e")(pv("d"))
+    def p3 = p1.greedySelect
+    def p4 = p1.reluctant
+    def p5 = GPattern.begin[E]("s")(pv("c"))
+      .next(Seq(GPattern.begin[E]("m1")(pv("a")),
+        GPattern.begin[E]("m2")(pv("b"))))
+      .next("e")(pv("d"))
+    def p6 = GPattern.begin[E]("v")(pv("a"))
+      .next("b")(anyB).oneOrMore.consecutive
+      .next("c")(pv("c")).oneOrMore.consecutive
+      .next("e")(pv("d")).greedySelect
+    def p7 = GPattern.begin[E]("v")(pv("a"))
+      .next("b")(anyB).oneOrMore.consecutive.markReluctant
+      .next("c")(pv("c")).oneOrMore.consecutive
+      .next("e")(pv("d")).greedySelect
+    def p8 = p1.within(6L)
+    val pats = Vector(() => p1, () => p2, () => p3, () => p4, () => p5,
+      () => p6, () => p7, () => p8)
+    val skips = Vector(Cep.NoSkip, Cep.SkipPastLastEvent,
+      Cep.SkipToFirst("b"), Cep.SkipToLast("b"))
+    val namesGen = Gen.listOfN(22, Gen.oneOf("a", "b", "c", "d", "x"))
+    check(Prop.forAll(namesGen, Gen.choose(0, pats.size - 1),
+      Gen.choose(0, skips.size - 1)) { (names, pi, si) =>
+      val events: Vector[E] =
+        names.zipWithIndex.map { case (n, i) => (n, i.toLong) }.toVector
+      def run(spans: Boolean) = GroupCep.runKeyRepForTest[E](
+        events, _._2, pats(pi)(), skips(si), useSpans = spans)
+      run(spans = false) == run(spans = true)
+    })
+  }
+
   test("linear CEP streaming is split-invariant (arrival counter + skip queue + negation gate)") {
     // the linear-engine twin, with within-horizons + terminal negation in
     // the pool; split points also land INSIDE same-value duplicate runs

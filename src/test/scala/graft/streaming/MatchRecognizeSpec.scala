@@ -1196,6 +1196,19 @@ class MatchRecognizeSpec extends SparkSuite {
       (2L, 10L, "B", 2L, 13L), (2L, 10L, "E", 2L, 13L),
       (2L, 11L, "V", 0L, 13L), (2L, 11L, "B", 1L, 13L),
       (2L, 11L, "E", 1L, 13L)))
+    // {- -} exclusion composes (round 13): exclusion is OUTPUT-only —
+    // the greedy winner is selected over the full pattern, then its B
+    // rows are withheld; COUNT(B.*) on the E row still sees them all
+    val gExcl = MatchRecognize(df,
+      clause("V {- B+ -} E", "CLASSIFIER() AS cls, V.event_id AS v_id, " +
+        "FINAL E.event_id AS e_id, COUNT(B.*) AS nb",
+        "ALL ROWS PER MATCH"), sqlGreedy = true)
+      .select("user_id", "v_id", "cls", "nb", "e_id")
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    assert(gExcl === Set(
+      (1L, 1L, "V", 0L, 5L), (1L, 1L, "E", 3L, 5L),
+      (2L, 10L, "V", 0L, 13L), (2L, 10L, "E", 2L, 13L),
+      (2L, 11L, "V", 0L, 13L), (2L, 11L, "E", 1L, 13L)))
     // a fixed {1} count carries no selection choice: the plan-time
     // mirror rejects it cleanly at the driver, not in executor tasks
     assert(intercept[IllegalArgumentException] {
