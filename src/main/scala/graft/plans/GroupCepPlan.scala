@@ -89,6 +89,7 @@ object GroupCepPlan {
       stepNames: Seq[String], withinMicros: Option[Long],
       reluctant: Boolean, anchorHead: Boolean, anchorTail: Boolean,
       skip: graft.streaming.Cep.AfterMatchSkip, sqlGreedy: Boolean,
+      allRows: Boolean,
       outputAttrs: Seq[Attribute], child: LogicalPlan) extends UnaryNode {
     override def output: Seq[Attribute] = outputAttrs
     // every child column is re-emitted per matched step — see CepMatchPlan
@@ -103,7 +104,7 @@ object GroupCepPlan {
       case p: GroupCepMatchPlan =>
         GroupCepExec(p.keyExpr, p.tsExpr, p.tieExpr, p.skeleton, p.leafPreds,
           p.stepNames, p.withinMicros, p.reluctant, p.anchorHead,
-          p.anchorTail, p.skip, p.sqlGreedy, p.outputAttrs,
+          p.anchorTail, p.skip, p.sqlGreedy, p.allRows, p.outputAttrs,
           planLater(p.child)) :: Nil
       case _ => Nil
     }
@@ -177,6 +178,7 @@ object GroupCepPlan {
       stepNames: Seq[String], withinMicros: Option[Long],
       reluctant: Boolean, anchorHead: Boolean, anchorTail: Boolean,
       skip: graft.streaming.Cep.AfterMatchSkip, sqlGreedy: Boolean,
+      allRows: Boolean,
       outputAttrs: Seq[Attribute], child: SparkPlan) extends UnaryExecNode {
 
     override def output: Seq[Attribute] = outputAttrs
@@ -210,8 +212,8 @@ object GroupCepPlan {
       val (kE, tsE) = (keyExpr, tsExpr)
       val (skel, preds, names, within) =
         (skeleton, leafPreds, stepNames, withinMicros)
-      val (rel, aHead, aTail, skipStrat, sqlG) =
-        (reluctant, anchorHead, anchorTail, skip, sqlGreedy)
+      val (rel, aHead, aTail, skipStrat, sqlG, aRows) =
+        (reluctant, anchorHead, anchorTail, skip, sqlGreedy, allRows)
       val outTypes = outputAttrs.map(_.dataType).toArray
       val numMatches = longMetric("numMatches")
       val maxKeyEvents = longMetric("maxKeyEvents")
@@ -243,11 +245,27 @@ object GroupCepPlan {
         val capturing = capturingIdx(skel).toArray.sorted
         val nCapturing = capturing.length
         val proj = UnsafeProjection.create(outTypes)
+        // ALL ROWS: map each capture slot to its declared step index
+        // (several slots can share a step name under alternation)
+        val slotStep: Array[Int] =
+          if (aRows) Array.tabulate(compiled.slotCount)(
+            s => names.indexOf(compiled.stepNameOf(s)))
+          else null
 
         new Iterator[InternalRow] {
           private val queue = new scala.collection.mutable.Queue[InternalRow]
           private var curKey: Any = null
           private var haveKey = false
+          // ALL ROWS × span-compressed captures: materializing a
+          // winner's rows indexes the key run by arrival tag, so the
+          // run is buffered (same O(run) memory the library batch
+          // drivers pay; captured rows are defensively copied before
+          // they land here, and non-capturable positions are never
+          // dereferenced — strict contiguity spans only cover captures)
+          private val runBuf =
+            if (aRows && compiled.strictSpans)
+              new scala.collection.mutable.ArrayBuffer[InternalRow]
+            else null
           // per-key-run arrival counter (EventId allocator)
           private var arrSeq = 0L
           // per-key 1-based match ordinal (MATCH_NUMBER)
@@ -282,7 +300,11 @@ object GroupCepPlan {
                 compiled, tsOf, skipStrat, aHead, aTail, tagOf = _._2, ops)
             private def doEmit(m: C): Unit = {
               numMatches.add(1); matchSeq += 1
-              emit(curKey, matchSeq, GroupCep.groupFirsts(compiled, m, ops))
+              if (aRows)
+                emitAll(curKey, matchSeq, ops.toVector(m),
+                  GroupCep.groupFirsts(compiled, m, ops))
+              else
+                emit(curKey, matchSeq, GroupCep.groupFirsts(compiled, m, ops))
             }
             /** One event through the NFA + emission policy; returns the
               * live branch count (hot-key metric). */
@@ -306,11 +328,50 @@ object GroupCepPlan {
             if (compiled.strictSpans)
               new Runner(new GroupCep.SpanOps[(InternalRow, Long)](
                 _._2.toInt,
-                i => throw new IllegalStateException(
+                if (aRows) i => (runBuf(i), i.toLong)
+                else i => throw new IllegalStateException(
                   s"GroupCepExec never materializes captures (pos $i)")))
             else new Runner(GroupCep.vecOps[(InternalRow, Long)])
           private def flushKey(): Unit =
             if (haveKey) runner.flush(arrSeq - 1)
+
+          /** ALL ROWS PER MATCH: one output row per captured event, in
+            * capture order — (key, match ordinal, step index of the
+            * row's variable, 1-based ordinal within that variable's
+            * captures so far) plus the per-match final block (count +
+            * first-row columns per step), from which the router derives
+            * RUNNING counts / positional measures as CASE expressions. */
+          private def emitAll(key: Any, matchNum: Long,
+              vec: Vector[(Int, (InternalRow, Long))],
+              firsts: scala.collection.Map[String,
+                (Long, (InternalRow, Long))]): Unit = {
+            val vals = new Array[Any](4 + nSteps * (1 + nCols))
+            vals(0) = key
+            vals(1) = matchNum
+            var s = 0
+            while (s < nSteps) {
+              firsts.get(names(s)) match {
+                case Some((cnt, (r, _))) =>
+                  vals(4 + s * (1 + nCols)) = cnt
+                  var c = 0
+                  while (c < nCols) {
+                    vals(5 + s * (1 + nCols) + c) = r.get(c, colTypes(c))
+                    c += 1
+                  }
+                case None =>
+                  vals(4 + s * (1 + nCols)) = 0L
+              }
+              s += 1
+            }
+            val perStep = new Array[Long](nSteps)
+            vec.foreach { case (slot, _) =>
+              val si = slotStep(slot)
+              perStep(si) += 1
+              vals(2) = si
+              vals(3) = perStep(si)
+              queue += proj(new GenericInternalRow(vals)).copy()
+            }
+          }
 
           private def emit(key: Any, matchNum: Long,
               firsts: scala.collection.Map[String,
@@ -366,6 +427,7 @@ object GroupCepPlan {
                     arrSeq = 0L
                     keyEvents = 0L
                     matchSeq = 0L
+                    if (runBuf != null) runBuf.clear()
                     runner.reset()
                     curKey = k match {
                       case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
@@ -374,6 +436,8 @@ object GroupCepPlan {
                     haveKey = true
                   }
                   val w = (row, arrSeq)
+                  // ALL ROWS span materialization indexes by arrival tag
+                  if (runBuf != null) runBuf += row
                   arrSeq += 1
                   keyEvents += 1
                   bumpEvents(keyEvents)
@@ -413,7 +477,8 @@ object GroupCepPlan {
       anchorHead: Boolean = false, anchorTail: Boolean = false,
       skip: graft.streaming.Cep.AfterMatchSkip =
         graft.streaming.Cep.NoSkip,
-      sqlGreedy: Boolean = false): DataFrame = {
+      sqlGreedy: Boolean = false,
+      allRows: Boolean = false): DataFrame = {
     require(elems.nonEmpty, "at least one pattern element")
     require(!(sqlGreedy && reluctant),
       "sqlGreedy excludes the pattern-level reluctant mode " +
@@ -530,8 +595,19 @@ object GroupCepPlan {
     // the SAME ordinal the library drivers produce (batch) and carry in
     // keyed state (streaming), so MATCH_NUMBER() queries route planned
     // without the routing decision changing semantics
-    val outAttrs = AttributeReference("key", keyE.dataType)() +:
+    // ALL ROWS adds the per-row pair (step index of the row's variable,
+    // 1-based ordinal within that variable's captures) ahead of the
+    // shared per-match final block — RUNNING measures derive from the
+    // pair + block as plain column expressions (codegen'd CASEs)
+    val perRowAttrs =
+      if (!allRows) Nil
+      else Seq(
+        AttributeReference("cls_idx",
+          org.apache.spark.sql.types.IntegerType, nullable = false)(),
+        AttributeReference("within_ord", LongType, nullable = false)())
+    val outAttrs = (AttributeReference("key", keyE.dataType)() +:
       AttributeReference("match_number", LongType, nullable = false)() +:
+      perRowAttrs) ++
       stepNames.flatMap { name =>
         AttributeReference(s"${name}_count", LongType, nullable = false)() +:
           child.output.map(a =>
@@ -540,6 +616,6 @@ object GroupCepPlan {
     GraftSqlShim.ofRows(spark, GroupCepMatchPlan(
       keyE, resolve(ts), resolve(tie), skeleton, predsB.result(), stepNames,
       withinMicros, reluctant, anchorHead, anchorTail, skip, sqlGreedy,
-      outAttrs, child))
+      allRows, outAttrs, child))
   }
 }

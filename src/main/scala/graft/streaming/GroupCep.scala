@@ -795,8 +795,11 @@ object GroupCep {
     private[GroupCep] def guardHit(guard: Int, e: E): Boolean =
       guard >= 0 && greedyGuards(guard).exists(s => preds(s)(e))
     private[GroupCep] def predOf(s: Int): E => Boolean = preds(s)
-    private[GroupCep] def slotCount: Int = preds.length
+    private[graft] def slotCount: Int = preds.length
     private[GroupCep] def nameOf(s: Int): String = names(s)
+    /** Step name of a capture slot — the planned exec's ALL ROWS mode
+      * maps each captured event's slot to its declared step index. */
+    private[graft] def stepNameOf(s: Int): String = names(s)
     private[GroupCep] def stopsFollowOf(s: Int): List[E => Boolean] =
       stopsFollow.getOrElse(s, Nil)
     private[GroupCep] def stopsNextOf(s: Int): List[E => Boolean] =

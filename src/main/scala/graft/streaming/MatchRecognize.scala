@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
-import org.apache.spark.sql.functions.{coalesce, col, expr, lit, max, min, struct, unix_micros}
+import org.apache.spark.sql.functions.{array, coalesce, col, expr, lit, max, min, struct, unix_micros, when}
 import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
 
 /** MATCH_RECOGNIZE-style SQL entry point over the CEP library — beyond
@@ -1100,6 +1100,87 @@ object MatchRecognize {
         (m match { case FinalMeasure(i) => i; case o => o }) match {
           case PosMeasure(v, c, alias, _, _) => col(s"${v}_${c}").as(alias)
           case CountMeasure(v, alias) => col(s"${v}_count").as(alias)
+          case MatchNumMeasure(alias) => col("match_number").as(alias)
+          case other => throw new IllegalStateException(s"unroutable $other")
+        }
+      }: _*)
+    }
+
+    // ALL ROWS PER MATCH planned route (round 13): flat variable chains
+    // emit one operator row per captured event — (cls_idx, within_ord)
+    // plus the per-match final block — and every routable measure
+    // becomes a codegen'd column expression over that pair: RUNNING
+    // COUNT(X.*) is a CASE on the row's step position (before X → 0, at
+    // X → within_ord, past X → the final count), RUNNING positional
+    // firsts null out before their step starts, CLASSIFIER() indexes
+    // the step-name array. This replaces the library route's external
+    // Row emission + array explode for the output-heavy ALL ROWS class
+    // (the greedy variant emits ~#input × avg-span rows). Exclusions
+    // are a plan-side filter on cls_idx — selection already ran over
+    // the full pattern. Anchors and WITH UNMATCHED stay on the library
+    // path (boundary flags / anti-join machinery).
+    val allRowsClause = AllRowsRe.findFirstMatchIn(clause).isDefined
+    val allRowsPlanRoutable = allRowsClause && !streamingIn && !anchored &&
+      !withUnmatched && !neverMatches && droppedVars.isEmpty &&
+      elems.forall(_.isInstanceOf[PVar]) &&
+      // cls_idx indexes DISTINCT step names: a repeated variable would
+      // fold two positions onto one index — keep those on the library path
+      elems.collect { case PVar(v, _) => v }.distinct.size ==
+        elems.size &&
+      quantsOk(elems) &&
+      (skip == Cep.NoSkip || hasReluctant || sqlGreedy) &&
+      prevVars.isEmpty && subsets.isEmpty &&
+      measures.nonEmpty && measures.forall { m =>
+        (m match { case FinalMeasure(i) => i; case o => o }) match {
+          // LAST over a quantified variable needs the last captured
+          // row, which the final block does not carry
+          case PosMeasure(v, _, _, last, 0) => !last || !qVars(v)
+          case CountMeasure(_, _) => true
+          case MatchNumMeasure(_) => true
+          // FINAL CLASSIFIER (the match's last variable) is not in the
+          // block; the RUNNING default is the row's own variable
+          case ClassifierMeasure(_) => !m.isFinal
+          case _ => false
+        }
+      }
+    if (allRowsPlanRoutable) {
+      import graft.plans.GroupCepPlan.{GGroupSpec, GLeafSpec, GSpec}
+      val stepOrder: Vector[String] =
+        elems.map { case PVar(v, _) => v case _ => "" }
+      val stepIdxOf = stepOrder.zipWithIndex.toMap
+      def toSpec(e: PElem): GSpec = (e: @unchecked) match {
+        case PVar(v, None) => GLeafSpec(v, col(s"__mr_$v"), strict = true)
+        case PVar(v, Some(q)) =>
+          val (mn, mx, opt) = quantOf(q).get
+          GGroupSpec(Seq(GLeafSpec(v, col(s"__mr_$v"))), mn, mx,
+            optional = opt, consecutive = true, strict = true,
+            relMark = sqlGreedy && isReluctantQ(q))
+      }
+      val planned = graft.plans.GroupCepPlan.matchGroupPattern(basePrepared,
+        col(partCol), col("__mr_ord"), col("__mr_tie"),
+        elems.map(toSpec), withinMicros = withinOrd,
+        reluctant = hasReluctant, skip = skip, sqlGreedy = sqlGreedy,
+        allRows = true)
+      val clsIdx = col("cls_idx")
+      val clsName = org.apache.spark.sql.functions.element_at(
+        array(stepOrder.map(lit): _*), clsIdx + 1)
+      val filtered =
+        if (excluded.isEmpty) planned
+        else planned.where(!clsIdx.isin(
+          excluded.toSeq.map(stepIdxOf): _*))
+      return filtered.select(col("key").as(partCol) +: measures.map { m =>
+        val fin = m.isFinal
+        (m match { case FinalMeasure(i) => i; case o => o }) match {
+          case PosMeasure(v, c, alias, _, _) =>
+            if (fin) col(s"${v}_${c}").as(alias)
+            else when(clsIdx >= stepIdxOf(v), col(s"${v}_${c}"))
+              .as(alias)
+          case CountMeasure(v, alias) =>
+            if (fin) col(s"${v}_count").as(alias)
+            else when(clsIdx > stepIdxOf(v), col(s"${v}_count"))
+              .when(clsIdx === stepIdxOf(v), col("within_ord"))
+              .otherwise(lit(0L)).as(alias)
+          case ClassifierMeasure(alias) => clsName.as(alias)
           case MatchNumMeasure(alias) => col("match_number").as(alias)
           case other => throw new IllegalStateException(s"unroutable $other")
         }

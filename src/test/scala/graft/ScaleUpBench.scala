@@ -98,7 +98,12 @@ object ScaleUpBench {
     "qw1_running_sum", "qw5_tumble", "qw7_session",
     "qp1_dedup_exact", "qp4_minhash_pairs", "qp7_curation_pipeline",
     "qt1_text_stats", "qm1_media_meta", "qsql1_shipping_priority",
-    "qc1_cep_view_error")
+    "qc1_cep_view_error",
+    // round 13: the greedy planned-exec route (SpanCaps + groupFirsts +
+    // NFA fast paths) — the class whose per-key cost is O(events x
+    // open starts); disjoint shards grow keys, not per-key runs, so
+    // the expected wall ratio is ~linear in input
+    "qc34_mr_sql_greedy", "qc35_mr_sql_greedy_multi")
 
   private def timeQuery(spark: SparkSession, name: String,
       dir: String): (Double, Double) = {
