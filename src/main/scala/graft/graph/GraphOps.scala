@@ -140,9 +140,19 @@ object GraphOps {
 
   /** PageRank with damping 0.85, fixed iteration count (the reference's
     * PageRank.java default behavior on a fixed budget). Dangling mass is
-    * redistributed uniformly each round so ranks sum to |V|. */
+    * redistributed uniformly each round so ranks sum to |V|.
+    *
+    * `deterministic = true` replaces the two float SUMs (per-vertex
+    * in-rank gather, dangling mass) with left folds over src/id-sorted
+    * contribution lists, making every rank bit-identical across engines
+    * and runs (IEEE double ops are deterministic once operand order is
+    * fixed; only aggregation order ever varies). The fold buffers one
+    * in-neighborhood per vertex — O(max in-degree) per task versus the
+    * default's constant-space partial aggregation — so the default stays
+    * the production mode and the fold is the conformance mode. */
   def pageRank(spark: SparkSession, edges: DataFrame,
-      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+      iters: Int = 10, damping: Double = 0.85,
+      deterministic: Boolean = false): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src") =!= col("dst")).distinct().cache()
     val vertices = e.select(col("src").as("id"))
@@ -155,12 +165,23 @@ object GraphOps {
       val withDeg = ranks.join(outDeg, Seq("id"), "left")
       val contribs = withDeg.where(col("deg").isNotNull)
         .join(e, col("id") === e("src"))
-        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
-      val danglingMass = withDeg.where(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).first().getDouble(0)
-      val gathered = vertices.join(
-        contribs.groupBy(col("id")).agg(sum(col("c")).as("inRank")),
-        Seq("id"), "left")
+        .select(col("dst").as("id"), col("src"),
+          (col("rank") / col("deg")).as("c"))
+      val danglingMass =
+        if (deterministic)
+          withDeg.where(col("deg").isNull)
+            .agg(aggregate(sort_array(collect_list(struct(col("id"),
+              col("rank")))), lit(0.0), (acc, x) => acc + x.getField("rank")))
+            .first().getDouble(0)
+        else withDeg.where(col("deg").isNull)
+          .agg(coalesce(sum(col("rank")), lit(0.0))).first().getDouble(0)
+      val inRanks =
+        if (deterministic)
+          contribs.groupBy(col("id")).agg(
+            aggregate(sort_array(collect_list(struct(col("src"), col("c")))),
+              lit(0.0), (acc, x) => acc + x.getField("c")).as("inRank"))
+        else contribs.groupBy(col("id")).agg(sum(col("c")).as("inRank"))
+      val gathered = vertices.join(inRanks, Seq("id"), "left")
       val next = gathered.select(col("id"),
         (lit(1.0 - damping) + lit(damping) *
           (coalesce(col("inRank"), lit(0.0)) + lit(danglingMass / n)))

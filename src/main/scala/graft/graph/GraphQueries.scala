@@ -77,11 +77,46 @@ object GraphQueries extends QueryModule {
         .orderBy(col("id"))
     },
 
-    // PageRank (10 iterations, damping 0.85) — no SQL oracle (iterative
-    // float fixpoint); GraphSpec checks rank-sum and hub ordering.
-    qNoOracle("qg3_pagerank") { (s, d) =>
-      GraphOps.pageRank(s, tradeEdges(s, d))
-        .select(col("id"), round(col("rank"), 6).as("rank"))
+    // PageRank (10 iterations, damping 0.85), float fixpoint — oracled
+    // bit-exactly (round 13): both engines fold the two order-sensitive
+    // double sums (per-vertex in-rank gather, dangling mass) left-to-right
+    // over src/id-sorted lists (Spark: aggregate∘sort_array∘collect_list;
+    // DuckDB: list_reduce over an ordered list aggregate), and every other
+    // op is per-row IEEE arithmetic in a fixed expression order — so the
+    // 10-iteration compound is deterministic to the last bit and the raw
+    // doubles hash-compare. GraphSpec still checks rank-sum + hub ordering.
+    q("qg3_pagerank", {
+      // each r$i is MATERIALIZED: c/d reference r(i-1) twice, so the
+      // default inlining would expand the 10-round chain 2^10-fold
+      val sb = new StringBuilder(
+        s"""WITH ${duckDirectedEdges.replaceFirst("de AS \\(", "de AS MATERIALIZED (")},
+           |verts AS MATERIALIZED (SELECT src AS id FROM de UNION SELECT dst FROM de),
+           |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM de GROUP BY 1),
+           |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+           |r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM verts)""".stripMargin)
+      for (i <- 1 to 10) sb.append(
+        s""",
+           |c$i AS (SELECT e.dst AS id,
+           |    list_reduce(list(r.rank / CAST(d.deg AS DOUBLE) ORDER BY e.src),
+           |      (a, b) -> a + b) AS c
+           |  FROM de e JOIN r${i - 1} r ON r.id = e.src
+           |  JOIN deg d ON d.id = e.src GROUP BY 1),
+           |d$i AS (SELECT coalesce(list_reduce(list(r.rank ORDER BY r.id),
+           |      (a, b) -> a + b), CAST(0.0 AS DOUBLE)) AS dm
+           |  FROM r${i - 1} r LEFT JOIN deg d ON d.id = r.id
+           |  WHERE d.id IS NULL),
+           |r$i AS MATERIALIZED (SELECT v.id,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           |      + CAST(0.85 AS DOUBLE) * (coalesce(c$i.c, CAST(0.0 AS DOUBLE))
+           |        + (SELECT dm FROM d$i) / (SELECT n FROM nn)) AS rank
+           |  FROM verts v LEFT JOIN c$i ON c$i.id = v.id)""".stripMargin)
+      sb.append(
+        s"""
+           |SELECT CAST(id AS BIGINT) AS id, rank FROM r10 ORDER BY id""".stripMargin)
+      sb.toString
+    }) { (s, d) =>
+      GraphOps.pageRank(s, tradeEdges(s, d), deterministic = true)
+        .select(col("id"), col("rank"))
         .orderBy(col("id"))
     },
 
