@@ -1124,16 +1124,19 @@ object Cep {
       skip: AfterMatchSkip = NoSkip,
       tie: E => Long = (_: E) => 0L)(
       finish: (K, Map[String, E]) => O)(
-      implicit ke: Encoder[K], se: Encoder[ArrivalState[E]]): Dataset[O] = {
+      implicit ke: Encoder[K]): Dataset[O] = {
     pattern.validated
     val timeoutConf =
       if (pattern.withinMs.isDefined) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    ds.groupByKey(key).flatMapGroupsWithState[ArrivalState[E], O](
+    implicit val senc: Encoder[CepStateEnvelope] = CepStateCodec.envelopeEncoder
+    ds.groupByKey(key).flatMapGroupsWithState[CepStateEnvelope, O](
       OutputMode.Append(), timeoutConf)(
-      matchStreamGroupsArrivalFn(pattern, ts, skip, tie,
-        (kk: K, groups: Map[String, Seq[E]]) =>
-          finish(kk, groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap)))
+      CepStateCodec.versionedFn("Cep.ArrivalState",
+        matchStreamGroupsArrivalFn(pattern, ts, skip, tie,
+          (kk: K, groups: Map[String, Seq[E]]) =>
+            finish(kk,
+              groups.filter(_._2.nonEmpty).view.mapValues(_.head).toMap))))
   }
 
   /** [[matchStream]] plus the reference's TIMED-OUT-partials channel
@@ -1164,14 +1167,16 @@ object Cep {
       tie: E => Long = (_: E) => 0L)(
       finish: (K, Map[String, E]) => O)(
       onTimeout: (K, Map[String, Seq[E]], Long) => O)(
-      implicit ke: Encoder[K], se: Encoder[ArrivalState[E]]): Dataset[O] = {
+      implicit ke: Encoder[K]): Dataset[O] = {
     pattern.validated
     require(pattern.withinMs.isDefined,
       "matchStreamWithTimeouts requires a within() pattern")
-    ds.groupByKey(key).flatMapGroupsWithState[ArrivalState[E], O](
+    implicit val senc: Encoder[CepStateEnvelope] = CepStateCodec.envelopeEncoder
+    ds.groupByKey(key).flatMapGroupsWithState[CepStateEnvelope, O](
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-      matchStreamWithTimeoutsArrivalFn(pattern, ts, skip, tie, finish,
-        onTimeout))
+      CepStateCodec.versionedFn("Cep.ArrivalState",
+        matchStreamWithTimeoutsArrivalFn(pattern, ts, skip, tie, finish,
+          onTimeout)))
   }
 
   /** The state-transition function behind [[matchStreamWithTimeouts]]. */
@@ -1249,15 +1254,16 @@ object Cep {
       tie: E => Long = (_: E) => 0L,
       stats: HotKeyStats = null)(
       finish: (K, Map[String, Seq[E]]) => O)(
-      implicit ke: Encoder[K],
-      se: Encoder[ArrivalState[E]]): Dataset[O] = {
+      implicit ke: Encoder[K]): Dataset[O] = {
     pattern.validated
     val timeoutConf =
       if (pattern.withinMs.isDefined) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    ds.groupByKey(key).flatMapGroupsWithState[ArrivalState[E], O](
+    implicit val senc: Encoder[CepStateEnvelope] = CepStateCodec.envelopeEncoder
+    ds.groupByKey(key).flatMapGroupsWithState[CepStateEnvelope, O](
       OutputMode.Append(), timeoutConf)(
-      matchStreamGroupsArrivalFn(pattern, ts, skip, tie, finish, stats))
+      CepStateCodec.versionedFn("Cep.ArrivalState",
+        matchStreamGroupsArrivalFn(pattern, ts, skip, tie, finish, stats)))
   }
 
   /** [[matchStreamGroups]] with the cross-batch per-key match ordinal in
@@ -1273,16 +1279,17 @@ object Cep {
       pre: (Vector[E], E) => (Vector[E], E) = null,
       stats: HotKeyStats = null)(
       finish: (K, Long, Map[String, Seq[E]]) => O)(
-      implicit ke: Encoder[K],
-      se: Encoder[ArrivalState[E]]): Dataset[O] = {
+      implicit ke: Encoder[K]): Dataset[O] = {
     pattern.validated
     val timeoutConf =
       if (pattern.withinMs.isDefined) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    ds.groupByKey(key).flatMapGroupsWithState[ArrivalState[E], O](
+    implicit val senc: Encoder[CepStateEnvelope] = CepStateCodec.envelopeEncoder
+    ds.groupByKey(key).flatMapGroupsWithState[CepStateEnvelope, O](
       OutputMode.Append(), timeoutConf)(
-      matchStreamGroupsNumberedArrivalFn(pattern, ts, skip, tie, pre,
-        finish, stats))
+      CepStateCodec.versionedFn("Cep.ArrivalState",
+        matchStreamGroupsNumberedArrivalFn(pattern, ts, skip, tie, pre,
+          finish, stats)))
   }
 
   /** The per-key state-transition function behind [[matchStreamGroups]]

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.nio.ByteBuffer
+
+import scala.reflect.ClassTag
+
+import org.apache.spark.SparkEnv
+import org.apache.spark.serializer.{KryoSerializer, SerializerInstance}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.streaming.GroupState
+
+/** Versioned envelope for the CEP streaming keyed state.
+  *
+  * The CEP drivers' state ([[Cep.ArrivalState]], [[GroupCep.GStreamState]],
+  * [[GroupCep.GArrivalState]]) used to cross micro-batches as one opaque
+  * kryo binary column. That format has no runtime-detectable marker: a
+  * layout change surfaces as a raw KryoException deep in the state store,
+  * and a SEMANTIC change with an unchanged layout (same fields, new
+  * meaning — e.g. a capture-representation swap) would resume silently
+  * wrong from an old checkpoint. The reference versions its keyed state
+  * for exactly this reason (flink-core/.../VersionedIOReadableWritable.java:30
+  * writes a version header every serializer snapshot checks on restore).
+  *
+  * The envelope splits the state row into (version INT, blob BINARY).
+  * The version column's schema never changes, so it is readable against
+  * any checkpoint generation; [[CepStateCodec.dec]] checks it BEFORE kryo
+  * touches the payload and raises the named
+  * [[CepStateVersionException]] — both the layout and the semantic
+  * failure mode become one deliberate, actionable error. */
+final case class CepStateEnvelope(version: Int, blob: Array[Byte])
+
+/** Named restore-time failure: the checkpointed CEP state was written by
+  * a different format generation than this build reads. */
+final class CepStateVersionException(val found: Int, val expected: Int,
+    what: String) extends RuntimeException(
+  s"CEP streaming state '$what' has format version $found but this build " +
+    s"reads version $expected; the checkpointed state cannot be resumed — " +
+    "restart the query from a fresh checkpoint after reprocessing")
+
+object CepStateCodec {
+
+  /** Current format generation. Bump on ANY change to the state case
+    * classes' layout OR meaning:
+    *   1 — pre-round-10 two-field GStreamState;
+    *   2 — GStreamState.pendingSel (reluctant resolver carry-over);
+    *   3 — envelope introduced (round 13). */
+  val Version = 3
+
+  /** The envelope's product encoder — a stable (int, binary) row, never
+    * the kryo-opaque single column. */
+  def envelopeEncoder: Encoder[CepStateEnvelope] =
+    Encoders.product[CepStateEnvelope]
+
+  // kryo instances are not thread-safe; executor task threads each get one
+  private val ser = new ThreadLocal[SerializerInstance] {
+    override def initialValue(): SerializerInstance = {
+      val conf =
+        if (SparkEnv.get != null) SparkEnv.get.conf
+        else new org.apache.spark.SparkConf()
+      new KryoSerializer(conf).newInstance()
+    }
+  }
+
+  def enc[S](s: S): CepStateEnvelope = {
+    val bb = ser.get().serialize(s)(ClassTag.AnyRef.asInstanceOf[ClassTag[S]])
+    val arr = new Array[Byte](bb.remaining())
+    bb.get(arr)
+    CepStateEnvelope(Version, arr)
+  }
+
+  def dec[S](e: CepStateEnvelope, what: String): S = {
+    if (e.version != Version)
+      throw new CepStateVersionException(e.version, Version, what)
+    ser.get().deserialize(ByteBuffer.wrap(e.blob))(
+      ClassTag.AnyRef.asInstanceOf[ClassTag[S]])
+  }
+
+  /** Adapt an S-typed state-transition function to the envelope-typed
+    * state its Dataset driver actually persists. */
+  def versionedFn[K, E, O, S](what: String,
+      fn: (K, Iterator[E], GroupState[S]) => Iterator[O]):
+      (K, Iterator[E], GroupState[CepStateEnvelope]) => Iterator[O] =
+    (k: K, it: Iterator[E], gs: GroupState[CepStateEnvelope]) =>
+      fn(k, it, new VersionedStateView[S](gs, what))
+}
+
+/** [[GroupState]] view decoding/encoding the envelope at the access
+  * boundary (the version check runs on every read). */
+private[streaming] final class VersionedStateView[S](
+    u: GroupState[CepStateEnvelope], what: String) extends GroupState[S] {
+  def exists: Boolean = u.exists
+  def get: S = CepStateCodec.dec[S](u.get, what)
+  def getOption: Option[S] = u.getOption.map(CepStateCodec.dec[S](_, what))
+  def update(s: S): Unit = u.update(CepStateCodec.enc(s))
+  def remove(): Unit = u.remove()
+  def hasTimedOut: Boolean = u.hasTimedOut
+  def setTimeoutDuration(ms: Long): Unit = u.setTimeoutDuration(ms)
+  def setTimeoutDuration(d: String): Unit = u.setTimeoutDuration(d)
+  def setTimeoutTimestamp(ms: Long): Unit = u.setTimeoutTimestamp(ms)
+  def setTimeoutTimestamp(ms: Long, d: String): Unit =
+    u.setTimeoutTimestamp(ms, d)
+  def setTimeoutTimestamp(t: java.sql.Date): Unit = u.setTimeoutTimestamp(t)
+  def setTimeoutTimestamp(t: java.sql.Date, d: String): Unit =
+    u.setTimeoutTimestamp(t, d)
+  def getCurrentWatermarkMs(): Long = u.getCurrentWatermarkMs()
+  def getCurrentProcessingTimeMs(): Long = u.getCurrentProcessingTimeMs()
+}

@@ -1811,19 +1811,18 @@ object GroupCep {
     * which can take more micro-batches). `pending` non-empty implies
     * `confs` non-empty — with no live branch the drain empties the queue.
     *
-    * STATE-FORMAT NOTE: `pendingSel` (the reluctant resolver's deferred
-    * per-start candidates) was added as a third field, changing the
-    * serialized state layout. The MATCH_RECOGNIZE streaming drivers
-    * carry this state KRYO-encoded (an opaque binary column), so
-    * Spark's StateSchemaCompatibilityChecker does NOT flag the change —
-    * restoring a checkpoint written by the two-field format instead
-    * fails inside the state store with a kryo deserialization error
-    * (field-count/buffer mismatch). That failure is still the intended
-    * outcome — the old state cannot express in-flight reluctant
-    * selections, so silently resuming would be wrong — but the error
-    * is a KryoException, not a named schema diff. Restart such queries
-    * from a fresh checkpoint after reprocessing, the standard Spark
-    * posture for a stateful-operator state-format change. */
+    * STATE-FORMAT NOTE: this layout has changed across generations
+    * (`pendingSel` was added as a third field in the reluctant-resolver
+    * round). Since round 13 every Dataset-level streaming driver
+    * persists its state through [[CepStateEnvelope]] — a (version INT,
+    * kryo BINARY) row whose version column is readable against any
+    * checkpoint generation — so restoring state written by a different
+    * format generation raises the named [[CepStateVersionException]]
+    * instead of an opaque KryoException (layout change) or a silent
+    * wrong resume (semantic change with unchanged layout). Bump
+    * [[CepStateCodec.Version]] whenever this class or its meaning
+    * changes; the recovery posture stays the standard Spark one —
+    * restart from a fresh checkpoint after reprocessing. */
   final case class GStreamState[E](confs: Vector[GConf[E]],
       pending: Vector[Vector[(Int, E)]],
       pendingSel: Vector[Vector[(Int, E)]] = Vector.empty)
@@ -2046,16 +2045,17 @@ object GroupCep {
       stats: Cep.HotKeyStats = null,
       anchorHead: Boolean = false)(
       finish: (K, Map[String, Seq[E]]) => O)(
-      implicit ke: Encoder[K],
-      se: Encoder[GArrivalState[E]]): Dataset[O] = {
+      implicit ke: Encoder[K]): Dataset[O] = {
     compile(pattern) // validate eagerly
     val timeoutConf =
       if (pattern.withinMs.isDefined) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    ds.groupByKey(key).flatMapGroupsWithState[GArrivalState[E], O](
+    implicit val senc: Encoder[CepStateEnvelope] = CepStateCodec.envelopeEncoder
+    ds.groupByKey(key).flatMapGroupsWithState[CepStateEnvelope, O](
       OutputMode.Append(), timeoutConf)(
-      matchStreamArrivalFn(pattern, ts, tie, skip, finish, stats,
-        anchorHead = anchorHead))
+      CepStateCodec.versionedFn("GroupCep.GArrivalState",
+        matchStreamArrivalFn(pattern, ts, tie, skip, finish, stats,
+          anchorHead = anchorHead)))
   }
 
   /** [[matchStream]] with the cross-batch per-key match ordinal in
@@ -2070,15 +2070,16 @@ object GroupCep {
       stats: Cep.HotKeyStats = null,
       anchorHead: Boolean = false)(
       finish: (K, Long, Map[String, Seq[E]]) => O)(
-      implicit ke: Encoder[K],
-      se: Encoder[GArrivalState[E]]): Dataset[O] = {
+      implicit ke: Encoder[K]): Dataset[O] = {
     compile(pattern) // validate eagerly
     val timeoutConf =
       if (pattern.withinMs.isDefined) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    ds.groupByKey(key).flatMapGroupsWithState[GArrivalState[E], O](
+    implicit val senc: Encoder[CepStateEnvelope] = CepStateCodec.envelopeEncoder
+    ds.groupByKey(key).flatMapGroupsWithState[CepStateEnvelope, O](
       OutputMode.Append(), timeoutConf)(
-      matchStreamNumberedArrivalFn(pattern, ts, tie, skip, pre, finish,
-        stats, anchorHead = anchorHead))
+      CepStateCodec.versionedFn("GroupCep.GArrivalState",
+        matchStreamNumberedArrivalFn(pattern, ts, tie, skip, pre, finish,
+          stats, anchorHead = anchorHead)))
   }
 }

@@ -1508,19 +1508,18 @@ object MatchRecognize {
         // micro-batches; WITHIN patterns require a watermark on the
         // ORDER BY column upstream (`df.withWatermark(ord, ...)`) so
         // idle keys' expired partials are pruned by event-time timers.
-        // State crosses batches kryo-encoded: the per-key arrival
-        // counter + partials over arrival-tagged rows (the reference's
+        // State crosses batches as a version-tagged envelope (int +
+        // kryo blob, CepStateCodec): the per-key arrival counter +
+        // partials over arrival-tagged rows (the reference's
         // SharedBuffer EventId identity, same as the batch path).
-        implicit val stateEnc: org.apache.spark.sql.Encoder[
-          Cep.ArrivalState[Row]] = Encoders.kryo[Cep.ArrivalState[Row]]
         post(
           if (needsNumbered)
             Cep.matchStreamGroupsNumbered[Row, Row, Row](
               prepared, keyFn, ordFn, pat, skip, tie = tieFn,
-              pre = preFn)(mkRow)(outEnc, keyEnc, stateEnc).toDF()
+              pre = preFn)(mkRow)(outEnc, keyEnc).toDF()
           else Cep.matchStreamGroups[Row, Row, Row](
             prepared, keyFn, ordFn, pat, skip, tie = tieFn)(finish)(
-            outEnc, keyEnc, stateEnc).toDF())
+            outEnc, keyEnc).toDF())
       } else
         post(Cep.matchBatchGroups[Row, Row, Row](
           prepared, keyFn, ordFn, pat, skip, tie = tieFn)(finish)(
@@ -1580,19 +1579,16 @@ object MatchRecognize {
       if (hasReluctant) gp = gp.reluctant
       if (sqlGreedy) gp = gp.greedySelect
       if (df.isStreaming) {
-        implicit val stateEnc: org.apache.spark.sql.Encoder[
-          GroupCep.GArrivalState[Row]] =
-          Encoders.kryo[GroupCep.GArrivalState[Row]]
         post(
           if (needsNumbered)
             GroupCep.matchStreamNumbered[Row, Row, Row](
               prepared, keyFn, ordFn, gp, tie = tieFn, skip = skip,
               pre = preFn, anchorHead = anchorStreamHead)(mkRow)(
-              outEnc, keyEnc, stateEnc).toDF()
+              outEnc, keyEnc).toDF()
           else GroupCep.matchStream[Row, Row, Row](
             prepared, keyFn, ordFn, gp, tie = tieFn, skip = skip,
             anchorHead = anchorStreamHead)(finish)(
-            outEnc, keyEnc, stateEnc).toDF())
+            outEnc, keyEnc).toDF())
       } else
         post(GroupCep.matchBatchGroups[Row, Row, Row](
           prepared, keyFn, ordFn, gp, tie = tieFn, skip = skip,

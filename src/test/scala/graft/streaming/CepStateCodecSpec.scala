@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.api.java.Optional
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, TestGroupState}
+
+/** The versioned envelope every CEP streaming driver persists its keyed
+  * state through: roundtrip fidelity, the named wrong-version error on
+  * restore (the failure mode that bit twice pre-round-13 as either a raw
+  * KryoException or silent resumption), and the view's delegation of the
+  * GroupState contract. */
+object CepStateCodecSpec {
+  case class Ev(user: Long, kind: String, ts: Long)
+}
+
+class CepStateCodecSpec extends SparkSuite {
+  import CepStateCodecSpec.Ev
+
+  test("envelope roundtrips the arrival state bit-faithfully") {
+    val st = Cep.ArrivalState[Ev](nextSeq = 7L,
+      partials = Vector.empty,
+      matchSeq = 3L, carry = Vector(Ev(1L, "error", 10L)))
+    val env = CepStateCodec.enc(st)
+    assert(env.version == CepStateCodec.Version)
+    val back = CepStateCodec.dec[Cep.ArrivalState[Ev]](env, "spec")
+    assert(back == st)
+  }
+
+  test("a wrong-version blob raises the named error before kryo decodes") {
+    val env = CepStateCodec.enc(GroupCep.GStreamState[Ev](
+      Vector.empty, Vector.empty))
+    val stale = env.copy(version = CepStateCodec.Version - 1)
+    val ex = intercept[CepStateVersionException] {
+      CepStateCodec.dec[GroupCep.GStreamState[Ev]](stale, "GroupCep spec")
+    }
+    assert(ex.found == CepStateCodec.Version - 1)
+    assert(ex.expected == CepStateCodec.Version)
+    assert(ex.getMessage.contains("GroupCep spec"))
+    assert(ex.getMessage.contains("fresh checkpoint"))
+    // the payload bytes were never interpreted: even a corrupt blob
+    // reports the version diff, not a kryo buffer error
+    val garbage = CepStateEnvelope(CepStateCodec.Version + 5,
+      Array[Byte](1, 2, 3))
+    val ex2 = intercept[CepStateVersionException] {
+      CepStateCodec.dec[AnyRef](garbage, "corrupt")
+    }
+    assert(ex2.found == CepStateCodec.Version + 5)
+  }
+
+  test("versionedFn surfaces the stale version through a driver read") {
+    val fn: (Long, Iterator[Ev], GroupState[Vector[Long]]) =>
+        Iterator[Long] =
+      (_, it, state) => {
+        val acc = state.getOption.getOrElse(Vector.empty) ++ it.map(_.ts)
+        state.update(acc)
+        acc.iterator
+      }
+    val wrapped = CepStateCodec.versionedFn("spec-state", fn)
+    // fresh key: no state yet, the write lands as the current version
+    val fresh = TestGroupState.create[CepStateEnvelope](
+      Optional.empty[CepStateEnvelope](), GroupStateTimeout.NoTimeout(),
+      0L, Optional.empty[Long](), hasTimedOut = false)
+    assert(wrapped(1L, Iterator(Ev(1L, "a", 5L)), fresh).toList == List(5L))
+    assert(fresh.get.version == CepStateCodec.Version)
+    assert(CepStateCodec.dec[Vector[Long]](fresh.get, "spec-state") ==
+      Vector(5L))
+    // resumed key whose checkpoint predates this build: named error
+    val stale = TestGroupState.create[CepStateEnvelope](
+      Optional.of(fresh.get.copy(version = 1)),
+      GroupStateTimeout.NoTimeout(), 0L, Optional.empty[Long](),
+      hasTimedOut = false)
+    intercept[CepStateVersionException] {
+      wrapped(1L, Iterator(Ev(1L, "b", 6L)), stale).toList
+    }
+  }
+}
