@@ -88,8 +88,12 @@ object GraphQueries extends QueryModule {
     q("qg3_pagerank", {
       // each r$i is MATERIALIZED: c/d reference r(i-1) twice, so the
       // default inlining would expand the 10-round chain 2^10-fold
+      val deMat = duckDirectedEdges.replaceFirst(
+        "de AS \\(", "de AS MATERIALIZED (")
+      require(deMat != duckDirectedEdges,
+        "duckDirectedEdges header drifted; MATERIALIZED rewrite missed")
       val sb = new StringBuilder(
-        s"""WITH ${duckDirectedEdges.replaceFirst("de AS \\(", "de AS MATERIALIZED (")},
+        s"""WITH $deMat,
            |verts AS MATERIALIZED (SELECT src AS id FROM de UNION SELECT dst FROM de),
            |deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM de GROUP BY 1),
            |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),

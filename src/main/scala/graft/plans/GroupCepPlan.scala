@@ -256,16 +256,6 @@ object GroupCepPlan {
           private val queue = new scala.collection.mutable.Queue[InternalRow]
           private var curKey: Any = null
           private var haveKey = false
-          // ALL ROWS × span-compressed captures: materializing a
-          // winner's rows indexes the key run by arrival tag, so the
-          // run is buffered (same O(run) memory the library batch
-          // drivers pay; captured rows are defensively copied before
-          // they land here, and non-capturable positions are never
-          // dereferenced — strict contiguity spans only cover captures)
-          private val runBuf =
-            if (aRows && compiled.strictSpans)
-              new scala.collection.mutable.ArrayBuffer[InternalRow]
-            else null
           // per-key-run arrival counter (EventId allocator)
           private var arrSeq = 0L
           // per-key 1-based match ordinal (MATCH_NUMBER)
@@ -301,7 +291,7 @@ object GroupCepPlan {
             private def doEmit(m: C): Unit = {
               numMatches.add(1); matchSeq += 1
               if (aRows)
-                emitAll(curKey, matchSeq, ops.toVector(m),
+                emitAll(curKey, matchSeq, ops.runs(m),
                   GroupCep.groupFirsts(compiled, m, ops))
               else
                 emit(curKey, matchSeq, GroupCep.groupFirsts(compiled, m, ops))
@@ -323,13 +313,14 @@ object GroupCepPlan {
           // resolver / skip queue) — ONE emitter shared with the
           // library drivers, reset per key run. Arrival tags ARE run
           // positions, so SpanOps needs no event buffer — and with
-          // groupFirsts emission, nothing ever calls eventAt.
+          // groupFirsts/run-walk emission (ALL ROWS included: the
+          // per-row output derives from slot runs alone), nothing
+          // ever calls eventAt.
           private val runner: Runner[_] =
             if (compiled.strictSpans)
               new Runner(new GroupCep.SpanOps[(InternalRow, Long)](
                 _._2.toInt,
-                if (aRows) i => (runBuf(i), i.toLong)
-                else i => throw new IllegalStateException(
+                i => throw new IllegalStateException(
                   s"GroupCepExec never materializes captures (pos $i)")))
             else new Runner(GroupCep.vecOps[(InternalRow, Long)])
           private def flushKey(): Unit =
@@ -340,9 +331,12 @@ object GroupCepPlan {
             * row's variable, 1-based ordinal within that variable's
             * captures so far) plus the per-match final block (count +
             * first-row columns per step), from which the router derives
-            * RUNNING counts / positional measures as CASE expressions. */
+            * RUNNING counts / positional measures as CASE expressions.
+            * The per-row pair derives from the SLOT RUNS alone (no
+            * captured events are read), so the span representation
+            * stays unmaterialized even here. */
           private def emitAll(key: Any, matchNum: Long,
-              vec: Vector[(Int, (InternalRow, Long))],
+              runs: Iterator[GroupCep.CapRun[(InternalRow, Long)]],
               firsts: scala.collection.Map[String,
                 (Long, (InternalRow, Long))]): Unit = {
             val vals = new Array[Any](4 + nSteps * (1 + nCols))
@@ -364,12 +358,16 @@ object GroupCepPlan {
               s += 1
             }
             val perStep = new Array[Long](nSteps)
-            vec.foreach { case (slot, _) =>
-              val si = slotStep(slot)
-              perStep(si) += 1
-              vals(2) = si
-              vals(3) = perStep(si)
-              queue += proj(new GenericInternalRow(vals)).copy()
+            runs.foreach { run =>
+              val si = slotStep(run.slot)
+              var k = 0
+              while (k < run.count) {
+                perStep(si) += 1
+                vals(2) = si
+                vals(3) = perStep(si)
+                queue += proj(new GenericInternalRow(vals)).copy()
+                k += 1
+              }
             }
           }
 
@@ -427,7 +425,6 @@ object GroupCepPlan {
                     arrSeq = 0L
                     keyEvents = 0L
                     matchSeq = 0L
-                    if (runBuf != null) runBuf.clear()
                     runner.reset()
                     curKey = k match {
                       case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
@@ -436,8 +433,6 @@ object GroupCepPlan {
                     haveKey = true
                   }
                   val w = (row, arrSeq)
-                  // ALL ROWS span materialization indexes by arrival tag
-                  if (runBuf != null) runBuf += row
                   arrSeq += 1
                   keyEvents += 1
                   bumpEvents(keyEvents)

@@ -23,10 +23,14 @@ import org.apache.spark.sql.streaming.GroupState
   *
   * The envelope splits the state row into (version INT, blob BINARY).
   * The version column's schema never changes, so it is readable against
-  * any checkpoint generation; [[CepStateCodec.dec]] checks it BEFORE kryo
-  * touches the payload and raises the named
-  * [[CepStateVersionException]] — both the layout and the semantic
-  * failure mode become one deliberate, actionable error. */
+  * any ENVELOPE-ERA checkpoint (generation >= 3, the one that introduced
+  * it); [[CepStateCodec.dec]] checks it BEFORE kryo touches the payload
+  * and raises the named [[CepStateVersionException]] — both the layout
+  * and the semantic failure mode become one deliberate, actionable
+  * error. Checkpoints from the PRE-envelope generations (1-2, a single
+  * opaque kryo column) have a different state-row schema and still die
+  * in Spark's state schema compatibility check, the one unavoidable
+  * unnamed break this change exists to make the last. */
 final case class CepStateEnvelope(version: Int, blob: Array[Byte])
 
 /** Named restore-time failure: the checkpointed CEP state was written by

@@ -760,18 +760,28 @@ object GroupCep {
       (out.result(), complete)
     }
     /** [[succ]] is pure in (slot, reps) and — with the saturating rep
-      * counters — the key space is bounded by the pattern structure, so
-      * the epsilon walk (child scans, clearInside vectors, map churn)
-      * runs once per distinct key instead of once per branch per event.
-      * Each task deserializes its own Compiled copy, so the map sees no
-      * real contention; ConcurrentHashMap just makes sharing safe. */
+      * counters — the key space is bounded by the pattern structure for
+      * unbounded loops, so the epsilon walk (child scans, clearInside
+      * vectors, map churn) runs once per distinct key instead of once
+      * per branch per event. LARGE FINITE quantifiers (`B{1,50000}`)
+      * cannot saturate (the counter must reach max to close the loop),
+      * so their key space is O(max) — the insert guard caps retention
+      * and lets the tail of such patterns fall back to direct
+      * computation (the pre-cache cost) instead of growing per-task
+      * memory without bound. Each task deserializes its own Compiled
+      * copy, so the map sees no real contention; ConcurrentHashMap just
+      * makes sharing safe. */
     @transient private lazy val succCache = new java.util.concurrent
       .ConcurrentHashMap[(Int, Map[Int, Int]), (Vector[At], Boolean)]
+    private val SuccCacheMax = 4096
     private[GroupCep] def succCached(slot: Int,
         reps: Map[Int, Int]): (Vector[At], Boolean) = {
       val k = (slot, reps)
       var v = succCache.get(k)
-      if (v == null) { v = succ(slot, reps); succCache.put(k, v) }
+      if (v == null) {
+        v = succ(slot, reps)
+        if (succCache.size < SuccCacheMax) succCache.put(k, v)
+      }
       v
     }
     private[GroupCep] lazy val startFrontier: Vector[At] = {
@@ -799,7 +809,7 @@ object GroupCep {
     private[GroupCep] def nameOf(s: Int): String = names(s)
     /** Step name of a capture slot — the planned exec's ALL ROWS mode
       * maps each captured event's slot to its declared step index. */
-    private[graft] def stepNameOf(s: Int): String = names(s)
+    private[graft] def stepNameOf(s: Int): String = nameOf(s)
     private[GroupCep] def stopsFollowOf(s: Int): List[E => Boolean] =
       stopsFollow.getOrElse(s, Nil)
     private[GroupCep] def stopsNextOf(s: Int): List[E => Boolean] =

@@ -1209,6 +1209,36 @@ class MatchRecognizeSpec extends SparkSuite {
       (1L, 1L, "V", 0L, 5L), (1L, 1L, "E", 3L, 5L),
       (2L, 10L, "V", 0L, 13L), (2L, 10L, "E", 2L, 13L),
       (2L, 11L, "V", 0L, 13L), (2L, 11L, "E", 1L, 13L)))
+    // LIBRARY-route greedy ALL ROWS (round 13): RUNNING LAST over a
+    // quantified variable is not plan-routable (the planned final block
+    // carries counts + FIRST rows only), so this shape falls back to
+    // the library mkRow/explode path — the pre-planned round-13 route,
+    // which must keep producing greedy winners there
+    val gLast = MatchRecognize(df,
+      clause("V B+ E", "CLASSIFIER() AS cls, LAST(B.event_id) AS b_last",
+        "ALL ROWS PER MATCH"), sqlGreedy = true)
+    assert(!gLast.queryExecution.executedPlan.toString
+      .contains("- GroupCep "))
+    val gLastRows = gLast.select("user_id", "cls", "b_last")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(gLastRows.size === 12) // 5 + 4 + 3 winner rows
+    assert(gLastRows.toSet === Set(
+      (1L, "V", None), (1L, "B", Some(2L)), (1L, "B", Some(3L)),
+      (1L, "B", Some(4L)), (1L, "E", Some(4L)),
+      (2L, "V", None), (2L, "B", Some(11L)), (2L, "B", Some(12L)),
+      (2L, "E", Some(12L))))
+    // anchored greedy ALL ROWS also stays on the library path (the
+    // planned route excludes anchors); here every winner already ends
+    // at its partition tail, so the row set equals the unanchored one
+    val gAnchAll = MatchRecognize(df,
+      clause("V B+ E $", "CLASSIFIER() AS cls, V.event_id AS v_id, " +
+        "FINAL E.event_id AS e_id, COUNT(B.*) AS nb",
+        "ALL ROWS PER MATCH"), sqlGreedy = true)
+    assert(!gAnchAll.queryExecution.executedPlan.toString
+      .contains("- GroupCep "))
+    assert(gAnchAll.select("user_id", "v_id", "cls", "nb", "e_id")
+      .as[(Long, Long, String, Long, Long)].collect().toSet ===
+      gAll.toSet)
     // a fixed {1} count carries no selection choice: the plan-time
     // mirror rejects it cleanly at the driver, not in executor tasks
     assert(intercept[IllegalArgumentException] {
