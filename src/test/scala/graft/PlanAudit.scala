@@ -281,7 +281,13 @@ object PlanAudit {
         "qc31_mr_multi_reluctant", "qc32_mr_reluctant_anchor_skip",
         "qc28_mr_reluctant_alternation", "qc33_mr_multi_alt",
         "qc17_match_recognize_alternation", "qc34_mr_sql_greedy",
-        "qc36_mr_mixed_polarity", "qc37_mr_greedy_anchor")) {
+        "qc35_mr_sql_greedy_multi",
+        "qc36_mr_mixed_polarity", "qc37_mr_greedy_anchor",
+        // round 13: ALL ROWS / exclusions route planned too — one row
+        // per captured event from the operator itself, never the
+        // library's explode (Generate) over emitted arrays
+        "qc38_mr_greedy_all_rows", "qc39_mr_greedy_exclusion",
+        "qc19_match_recognize_exclusion")) {
       val pl = plan(n)
       val gidx = pl.linesIterator.indexWhere(_.contains("- GroupCep "))
       val below = pl.linesIterator.toVector.drop(gidx max 0)
@@ -292,6 +298,7 @@ object PlanAudit {
         below.count(_.contains("Sort [")) == 1)
       check(s"$n no MapGroups / boundary-flag Window",
         !pl.contains("MapGroups") && !pl.contains("Window ["))
+      check(s"$n no library explode (Generate)", !pl.contains("Generate"))
     }
     // embedding decontamination (round 10): the benchmark slice
     // BROADCASTS (constant-side NLJ, the qe2/qp9 posture) and the

@@ -102,8 +102,10 @@ object ScaleUpBench {
     // round 13: the greedy planned-exec route (SpanCaps + groupFirsts +
     // NFA fast paths) — the class whose per-key cost is O(events x
     // open starts); disjoint shards grow keys, not per-key runs, so
-    // the expected wall ratio is ~linear in input
-    "qc34_mr_sql_greedy", "qc35_mr_sql_greedy_multi")
+    // the expected wall ratio is ~linear in input. qc38 adds the
+    // output-heavy ALL ROWS twin (emitted rows ~ #input x avg span).
+    "qc34_mr_sql_greedy", "qc35_mr_sql_greedy_multi",
+    "qc38_mr_greedy_all_rows")
 
   private def timeQuery(spark: SparkSession, name: String,
       dir: String): (Double, Double) = {
