@@ -1177,6 +1177,21 @@ class MatchRecognizeSpec extends SparkSuite {
         "AFTER MATCH SKIP PAST LAST ROW"), sqlGreedy = true)
       .select("v_id", "nb").as[(Long, Long)].collect().toSet
     assert(ganchSkip === Set((1L, 3L), (10L, 2L)))
+    // SKIP TO variable composes with greedy selection: the queue's
+    // boundary reads the WINNER's captures. TO LAST B resumes at the
+    // maximal match's last B (row 4 / row 12 — both past the remaining
+    // views), TO FIRST B at its first B — which for user 2 is view 11,
+    // so that start survives and emits its own maximal match
+    val gSkipLast = MatchRecognize(df,
+      clause("V B+ E", "V.event_id AS v_id, E.event_id AS e_id",
+        "AFTER MATCH SKIP TO LAST B"), sqlGreedy = true)
+      .select("v_id", "e_id").as[(Long, Long)].collect().toSet
+    assert(gSkipLast === Set((1L, 5L), (10L, 13L)))
+    val gSkipFirst = MatchRecognize(df,
+      clause("V B+ E", "V.event_id AS v_id, E.event_id AS e_id",
+        "AFTER MATCH SKIP TO FIRST B"), sqlGreedy = true)
+      .select("v_id", "e_id").as[(Long, Long)].collect().toSet
+    assert(gSkipFirst === Set((1L, 5L), (10L, 13L), (11L, 13L)))
     // round 13: ALL ROWS PER MATCH composes — the greedy winner's FULL
     // row set emits, with RUNNING measures walking its prefix and the
     // per-row CLASSIFIER. User 1's single winner spans view1..error5
