@@ -2060,4 +2060,58 @@ class MatchRecognizeSpec extends SparkSuite {
       assert(streamed === Set((1L, 1L, 3L, 1L)))
     } finally query.stop()
   }
+
+  test("ALL ROWS planned route equals the library route on random inputs " +
+      "(quantifier x selection mode x exclusion matrix, round 13)") {
+    // FINAL CLASSIFIER() is deliberately non-plan-routable (the match's
+    // last variable is not in the planned final block), so appending it
+    // forces the library mkRow/explode path while leaving every other
+    // measure's value untouched — an independent evaluator for the
+    // planned operator's per-row (cls_idx, within_ord) derivation.
+    val types = Vector("view", "click", "error", "other")
+    val rnd = new scala.util.Random(1307)
+    def clause(pat: String, extraMeasure: String) =
+      s"""PARTITION BY user_id
+         |ORDER BY ts, event_id
+         |MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mn,
+         |  COUNT(B.*) AS nb, V.event_id AS v_id,
+         |  FINAL E.event_id AS e_id$extraMeasure
+         |ALL ROWS PER MATCH
+         |PATTERN ($pat)
+         |DEFINE V AS event_type = 'view', E AS event_type = 'error'"""
+        .stripMargin
+    for {
+      quant <- Seq("B+", "B{1,2}")
+      greedy <- Seq(false, true)
+      excl <- Seq(false, true)
+      trial <- 1 to 6
+    } {
+      val pat =
+        if (excl) s"V {- $quant -} E" else s"V $quant E"
+      val n = 16 + rnd.nextInt(8)
+      val rows = (0 until n).map { i =>
+        (i.toLong, i * 10L, types(rnd.nextInt(types.size)),
+          1L + rnd.nextInt(2))
+      }
+      val df = rows.toDF("event_id", "ts", "event_type", "user_id")
+      val planned = MatchRecognize(df, clause(pat, ""), sqlGreedy = greedy)
+      val lib = MatchRecognize(df,
+        clause(pat, ",\n  FINAL CLASSIFIER() AS fcls"), sqlGreedy = greedy)
+        .drop("fcls")
+      // the seam is only a seam if the two really take different routes
+      assert(planned.queryExecution.executedPlan.toString
+        .contains("- GroupCep "), s"$pat greedy=$greedy not planned")
+      assert(!lib.queryExecution.executedPlan.toString
+        .contains("- GroupCep "), s"$pat greedy=$greedy lib routed planned")
+      val cols = Seq("user_id", "cls", "mn", "nb", "v_id", "e_id")
+      def rowsOf(d: org.apache.spark.sql.DataFrame) =
+        d.select(cols.head, cols.tail: _*)
+          .collect().map(_.toSeq).toSeq
+          .sortBy(_.mkString("|"))
+      val p = rowsOf(planned); val l = rowsOf(lib)
+      assert(p === l,
+        s"planned != library for $pat greedy=$greedy trial=$trial: " +
+          s"planned=${p.take(8)} lib=${l.take(8)} input=$rows")
+    }
+  }
 }
