@@ -73,4 +73,50 @@ class CepStateCodecSpec extends SparkSuite {
       wrapped(1L, Iterator(Ev(1L, "b", 6L)), stale).toList
     }
   }
+
+  test("an open partial survives a checkpointed stop/restart through the envelope") {
+    // The scenario the envelope exists for: state written by one query
+    // incarnation is restored by the next — a real checkpoint
+    // round-trip through the state store, not just an in-memory batch
+    // boundary. E{2} opens a partial on the first error; the query is
+    // STOPPED, restarted from the same checkpoint, and the second error
+    // must complete the match from the restored partial.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import scala.jdk.CollectionConverters._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cep_resume").toString
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val got = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Long, Long)]()
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // recoverable sink shape (the library's generic-output surface)
+    def start() = MatchRecognize(
+      input.toDF().toDF("event_id", "ts", "event_type", "user_id"),
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES FIRST(E.event_id) AS e1, LAST(E.event_id) AS e2
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (E{2})
+        |DEFINE E AS event_type = 'error'""".stripMargin)
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("user_id", "e1", "e2").as[(Long, Long, Long)]
+          .collect().foreach(got.add)
+      }.start()
+    val q1 = start()
+    try {
+      input.addData((1L, 10L, "error", 1L))
+      q1.processAllAvailable()
+      assert(got.isEmpty) // partial open, nothing emitted yet
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData((2L, 20L, "error", 1L))
+      q2.processAllAvailable()
+      assert(got.asScala.toSet === Set((1L, 1L, 2L)))
+    } finally q2.stop()
+  }
 }
