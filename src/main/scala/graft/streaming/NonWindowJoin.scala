@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The reference's NON-WINDOWED streaming outer joins — eager
+  * null-padded emission with RETRACTIONS and NO watermark or time bound
+  * (flink-table runtime/join/NonWindowLeftRightJoin.scala:42 and
+  * NonWindowFullJoin.scala:40, over the shared NonWindowOuterJoin.scala:78
+  * preservedJoin / :111 retractJoin protocol; Flink 1.6 is the release
+  * that introduced them). Spark's own stream-stream outer joins are
+  * watermark-bounded — they hold the null-padded row back until the
+  * watermark proves no match can arrive. The reference instead emits
+  * `(l, null)` IMMEDIATELY and RETRACTS it when the first matching right
+  * row shows up, producing a retract stream (change-tagged rows whose
+  * running multiset is the join's current result).
+  *
+  * Mapping: both sides are change-tagged into one keyed stream and run
+  * through `flatMapGroupsWithState`; per key the state is each side's
+  * distinct-row multiset (the reference's MapState[Row, cnt]). Per
+  * arriving element:
+  *   - its own side's count updates first (updateCurrentSide);
+  *   - it joins every other-side row at that row's multiplicity;
+  *   - an OUTER side with no matches null-pads itself (preservedJoin);
+  *   - when the arriving side's total count crosses 0→1 the OTHER outer
+  *     side's null-padded rows are retracted (first match exists now);
+  *     crossing 1→0 on a retraction restores them (retractJoin — the
+  *     reference's approxiRecordNumInState 0/1/2-valued test).
+  *
+  * Output is `(isInsert, Option[L], Option[R])`. Within one micro-batch
+  * the per-key element order is not deterministic across input
+  * partitions, so the emitted CHANGE SEQUENCE can differ run to run —
+  * but the materialized multiset after any batch is order-invariant
+  * (the same guarantee the reference's parallel channels give; its
+  * ITCases assert the RetractingSink's materialized state, as do ours).
+  *
+  * Scale: one hash Exchange per side into the stateful operator; state
+  * is retained forever per the reference's default contract (its
+  * StreamQueryConfig retention maps to the established idle-state TTL
+  * pattern — see [[StreamOps.runningAggWithTtl]]). State rides the
+  * version-tagged [[CepStateEnvelope]] like every keyed-state driver. */
+object NonWindowJoin {
+
+  /** Per-key two-side state: distinct row → multiplicity. */
+  final case class SideState[L, R](lefts: Map[L, Long], rights: Map[R, Long])
+
+  private def outerFlags(joinType: String): (Boolean, Boolean) =
+    joinType match {
+      case "left_outer"  => (true, false)
+      case "right_outer" => (false, true)
+      case "full_outer"  => (true, true)
+      case other => throw new IllegalArgumentException(
+        "outer join type expected (left_outer/right_outer/full_outer), " +
+          s"got $other")
+    }
+
+  /** The per-key state-transition function — change-tagged elements
+    * (exactly one side set) in, change-tagged joined rows out. Exposed
+    * for harness-level conformance drives (retract-stream INPUTS, the
+    * upstream-aggregate shape of the reference's
+    * testLeftJoinWithRetractionInput). */
+  def joinFn[K, L, R](joinType: String):
+      (K, Iterator[(Boolean, Option[L], Option[R])],
+        GroupState[SideState[L, R]]) =>
+        Iterator[(Boolean, Option[L], Option[R])] = {
+    val (leftOuter, rightOuter) = outerFlags(joinType)
+    (_: K, it: Iterator[(Boolean, Option[L], Option[R])],
+        state: GroupState[SideState[L, R]]) => {
+      var st = state.getOption.getOrElse(SideState[L, R](Map.empty, Map.empty))
+      var lTotal = st.lefts.valuesIterator.sum
+      var rTotal = st.rights.valuesIterator.sum
+      val out = Vector.newBuilder[(Boolean, Option[L], Option[R])]
+      def times(n: Long)(f: => Unit): Unit = {
+        var i = 0L; while (i < n) { f; i += 1 }
+      }
+      it.foreach { case (c, lo, ro) =>
+        if (lo.isDefined) {
+          val l = lo.get
+          val old = st.lefts.getOrElse(l, 0L)
+          val now = if (c) old + 1 else old - 1
+          st = st.copy(lefts =
+            if (now <= 0) st.lefts - l else st.lefts.updated(l, now))
+          lTotal += (if (c) 1L else -1L)
+          val recordNum = math.min(lTotal, 2L)
+          var matched = 0L
+          st.rights.foreach { case (r, n) =>
+            if (rightOuter && c && recordNum == 1)
+              times(n)(out += ((false, None, Some(r))))
+            times(n)(out += ((c, Some(l), Some(r)))); matched += n
+            if (rightOuter && !c && recordNum == 0)
+              times(n)(out += ((true, None, Some(r))))
+          }
+          if (matched == 0 && leftOuter) out += ((c, Some(l), None))
+        } else {
+          val r = ro.get
+          val old = st.rights.getOrElse(r, 0L)
+          val now = if (c) old + 1 else old - 1
+          st = st.copy(rights =
+            if (now <= 0) st.rights - r else st.rights.updated(r, now))
+          rTotal += (if (c) 1L else -1L)
+          val recordNum = math.min(rTotal, 2L)
+          var matched = 0L
+          st.lefts.foreach { case (l, n) =>
+            if (leftOuter && c && recordNum == 1)
+              times(n)(out += ((false, Some(l), None)))
+            times(n)(out += ((c, Some(l), Some(r)))); matched += n
+            if (leftOuter && !c && recordNum == 0)
+              times(n)(out += ((true, Some(l), None)))
+          }
+          if (matched == 0 && rightOuter) out += ((c, None, Some(r)))
+        }
+      }
+      if (st.lefts.isEmpty && st.rights.isEmpty) state.remove()
+      else state.update(st)
+      out.result().iterator
+    }
+  }
+
+  /** Dataset surface for APPEND inputs (a Spark source stream is
+    * append-only; retract-stream inputs arise from upstream aggregates
+    * and drive [[joinFn]] directly). Key functions return Option —
+    * `None` is a SQL-null join key, which never matches anything: such
+    * rows bypass the stateful operator entirely and, when their side is
+    * outer-preserved, surface as one immediate null-padded insert. */
+  def unboundedOuterJoin[K, L, R](left: Dataset[L], right: Dataset[R],
+      lk: L => Option[K], rk: R => Option[K], joinType: String)(
+      implicit ke: Encoder[K],
+      tagE: Encoder[(K, Boolean, Option[L], Option[R])],
+      outE: Encoder[(Boolean, Option[L], Option[R])]):
+      Dataset[(Boolean, Option[L], Option[R])] = {
+    val (leftOuter, rightOuter) = outerFlags(joinType)
+    val tl = left.flatMap(l => lk(l)
+      .map(k => (k, true, Option(l), Option.empty[R])).iterator)
+    val tr = right.flatMap(r => rk(r)
+      .map(k => (k, true, Option.empty[L], Option(r))).iterator)
+    implicit val se: Encoder[CepStateEnvelope] = CepStateCodec.envelopeEncoder
+    val fn = joinFn[K, L, R](joinType)
+    val joined = tl.union(tr).groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        CepStateCodec.versionedFn("NonWindowJoin.SideState",
+          (k: K, rows: Iterator[(K, Boolean, Option[L], Option[R])],
+              st: GroupState[SideState[L, R]]) =>
+            fn(k, rows.map(t => (t._2, t._3, t._4)), st)))
+    val nullL = left.flatMap(l =>
+      if (lk(l).isEmpty && leftOuter)
+        Iterator((true, Option(l), Option.empty[R]))
+      else Iterator.empty)
+    val nullR = right.flatMap(r =>
+      if (rk(r).isEmpty && rightOuter)
+        Iterator((true, Option.empty[L], Option(r)))
+      else Iterator.empty)
+    joined.union(nullL).union(nullR)
+  }
+}

@@ -1,0 +1,200 @@
+package graft.streaming
+
+import graft.{SparkSuite, TestData}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+import scala.collection.mutable
+
+/** Conformance ports of the reference's UNBOUNDED (non-windowed)
+  * streaming outer joins — flink-table stream/table/JoinITCase.scala
+  * testLeftJoinWithMultipleKeys (:418), testRightJoinWithMultipleKeys
+  * (:519), testFullOuterJoinWithMultipleKeys (:592) and
+  * testLeftJoinWithRetractionInput (:497) — asserting, like the
+  * reference's RetractingSink, the MATERIALIZED retract-stream state.
+  * Plus an exact per-element emission script for the retract/restore
+  * protocol itself (first-match retracts the null-pad, losing the last
+  * match restores it). */
+class NonWindowJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** RetractingSink analog: a multiset the change stream folds into. */
+  private final class Materializer {
+    private val bag = mutable.Map.empty[String, Int]
+    def apply(change: Boolean, row: String): Unit = bag.synchronized {
+      val n = bag.getOrElse(row, 0) + (if (change) 1 else -1)
+      assert(n >= 0, s"retracted non-existent row $row")
+      if (n == 0) bag.remove(row) else bag.update(row, n)
+    }
+    def rows: Seq[String] = bag.synchronized {
+      bag.toSeq.flatMap { case (r, n) => Seq.fill(n)(r) }.sorted
+    }
+  }
+
+  private type T3 = (Option[Int], Long, String)
+  private type T5 = (Option[Int], Long, Int, String, Long)
+
+  // the stream fixtures: get3TupleDataStream / get5TupleDataStream with
+  // the null-key substitutions the multi-key tests apply
+  private def t3Opt(nullAt21: Boolean): Seq[T3] =
+    TestData.t3Rows.map { case (a, b, c) =>
+      (if (nullAt21 && a == 21) None else Some(a), b, c)
+    }
+  private def t5Opt(nullAtE15: Boolean): Seq[T5] =
+    TestData.t5Rows.map { case (d, e, f, g, h) =>
+      (if (nullAtE15 && e == 15L) None else Some(d), e, f, g, h)
+    }
+
+  /** Run one ITCase port: stream both fixtures through
+    * unboundedOuterJoin on (a,b)==(d,h), project (c, g), materialize. */
+  private def runPort(joinType: String, ds1: Seq[T3],
+      ds2: Seq[T5]): Seq[String] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in1 = MemoryStream[T3]
+    val in2 = MemoryStream[T5]
+    val mat = new Materializer
+    val joined = NonWindowJoin.unboundedOuterJoin[(Int, Long), T3, T5](
+      in1.toDS(), in2.toDS(),
+      l => l._1.map(a => (a, l._2)),
+      r => r._1.map(d => (d, r._5)),
+      joinType)
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[(Boolean, Option[T3], Option[T5])],
+            _: Long) =>
+          df.collect().foreach { case (c, lo, ro) =>
+            mat(c, lo.map(_._3).getOrElse("null") + "," +
+              ro.map(_._4).getOrElse("null"))
+          }
+      }.start()
+    try {
+      // three interleaved chunks so null-pads genuinely retract across
+      // micro-batches (not an artifact of one-shot evaluation)
+      val cuts1 = Seq(7, 14, ds1.size)
+      val cuts2 = Seq(5, 10, ds2.size)
+      var p1 = 0; var p2 = 0
+      cuts1.zip(cuts2).foreach { case (c1, c2) =>
+        in1.addData(ds1.slice(p1, c1): _*); p1 = c1
+        in2.addData(ds2.slice(p2, c2): _*); p2 = c2
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    mat.rows
+  }
+
+  test("port: JoinITCase testLeftJoinWithMultipleKeys (retracted state)") {
+    val expected = Seq(
+      "Hi,Hallo", "Hello,Hallo Welt", "Hello world,Hallo Welt wie gehts?",
+      "Hello world,ABC", "Hello world, how are you?,null", "I am fine.,HIJ",
+      "I am fine.,IJK", "Luke Skywalker,null", "Comment#1,null",
+      "Comment#2,null", "Comment#3,null", "Comment#4,null", "Comment#5,null",
+      "Comment#6,null", "Comment#7,null", "Comment#8,null", "Comment#9,null",
+      "Comment#10,null", "Comment#11,null", "Comment#12,null",
+      "Comment#13,null", "Comment#14,null", "Comment#15,null")
+    assert(runPort("left_outer", t3Opt(nullAt21 = true),
+      t5Opt(nullAtE15 = true)) === expected.sorted)
+  }
+
+  test("port: JoinITCase testRightJoinWithMultipleKeys (retracted state)") {
+    val expected = Seq(
+      "Hi,Hallo", "Hello,Hallo Welt", "null,Hallo Welt wie",
+      "Hello world,Hallo Welt wie gehts?", "Hello world,ABC", "null,BCD",
+      "null,CDE", "null,DEF", "null,EFG", "null,FGH", "null,GHI",
+      "I am fine.,HIJ", "I am fine.,IJK", "null,JKL", "null,KLM")
+    assert(runPort("right_outer", t3Opt(nullAt21 = false),
+      t5Opt(nullAtE15 = false)) === expected.sorted)
+  }
+
+  test("port: JoinITCase testFullOuterJoinWithMultipleKeys (retracted state)") {
+    val expected = Seq(
+      "Hi,Hallo", "Hello,Hallo Welt", "null,Hallo Welt wie",
+      "Hello world,Hallo Welt wie gehts?", "Hello world,ABC", "null,BCD",
+      "null,CDE", "null,DEF", "null,EFG", "null,FGH", "null,GHI",
+      "I am fine.,HIJ", "I am fine.,IJK", "null,JKL", "null,KLM",
+      "Luke Skywalker,null", "Comment#1,null", "Comment#2,null",
+      "Comment#3,null", "Comment#4,null", "Comment#5,null", "Comment#6,null",
+      "Comment#7,null", "Comment#8,null", "Comment#9,null", "Comment#10,null",
+      "Comment#11,null", "Comment#12,null", "Comment#13,null",
+      "Comment#14,null", "Comment#15,null", "Hello world, how are you?,null")
+    assert(runPort("full_outer", t3Opt(nullAt21 = false),
+      t5Opt(nullAtE15 = false)) === expected.sorted)
+  }
+
+  test("port: JoinITCase testLeftJoinWithRetractionInput (aggregate retract streams drive the core fn)") {
+    // leftT = t5 grouped by e → (e, count(d)); rightT = t3 grouped by b →
+    // (b, count(a)). Both inputs are RETRACT streams: a bucket's count
+    // move arrives as retract(old) + insert(new). Replay the per-row
+    // aggregate deltas through the harness; assert the materialized join.
+    type Agg = (Long, Long) // (key, count)
+    val harness = new VirtualClockHarness[Long,
+      (Boolean, Option[Agg], Option[Agg]),
+      NonWindowJoin.SideState[Agg, Agg],
+      (Boolean, Option[Agg], Option[Agg])](
+      GroupStateTimeout.NoTimeout(),
+      NonWindowJoin.joinFn[Long, Agg, Agg]("left_outer"))
+    val mat = new Materializer
+    def feed(k: Long, el: (Boolean, Option[Agg], Option[Agg])): Unit =
+      harness.input(k, el).foreach { case (c, lo, ro) =>
+        mat(c, lo.map(t => s"${t._1},${t._2}").getOrElse("null,null") + "," +
+          ro.map(_._2.toString).getOrElse("null"))
+      }
+    val lCnt = mutable.Map.empty[Long, Long]
+    val rCnt = mutable.Map.empty[Long, Long]
+    // interleave the two input streams like the reference's runtime
+    val lEvents = TestData.t5Rows.map(_._2) // group key e per arriving row
+    val rEvents = TestData.t3Rows.map(_._2) // group key b per arriving row
+    val maxLen = math.max(lEvents.size, rEvents.size)
+    (0 until maxLen).foreach { i =>
+      if (i < lEvents.size) {
+        val e = lEvents(i)
+        val old = lCnt.getOrElse(e, 0L); val now = old + 1
+        lCnt(e) = now
+        if (old > 0) feed(e, (false, Some((e, old)), None))
+        feed(e, (true, Some((e, now)), None))
+      }
+      if (i < rEvents.size) {
+        val b = rEvents(i)
+        val old = rCnt.getOrElse(b, 0L); val now = old + 1
+        rCnt(b) = now
+        if (old > 0) feed(b, (false, None, Some((b, old))))
+        feed(b, (true, None, Some((b, now))))
+      }
+    }
+    val expected = Seq(
+      "1,1,1", "2,1,2", "3,1,3", "4,1,4", "5,1,5", "6,1,6", "7,1,null",
+      "8,1,null", "9,1,null", "10,1,null", "11,1,null", "12,1,null",
+      "13,1,null", "14,1,null", "15,1,null")
+    assert(mat.rows === expected.sorted)
+  }
+
+  test("exact retract/restore protocol per element (left join, one key)") {
+    type E = String
+    val harness = new VirtualClockHarness[Int,
+      (Boolean, Option[E], Option[E]), NonWindowJoin.SideState[E, E],
+      (Boolean, Option[E], Option[E])](
+      GroupStateTimeout.NoTimeout(),
+      NonWindowJoin.joinFn[Int, E, E]("left_outer"))
+    def in(c: Boolean, l: Option[E], r: Option[E]) =
+      harness.input(0, (c, l, r)).toList
+    // left first: no match yet → immediate null-pad
+    assert(in(true, Some("l1"), None) ===
+      List((true, Some("l1"), None)))
+    // FIRST right: retract the null-pad, emit the pair
+    assert(in(true, None, Some("r1")) ===
+      List((false, Some("l1"), None), (true, Some("l1"), Some("r1"))))
+    // duplicate right: total is 2 now — just another pair, no flip
+    assert(in(true, None, Some("r1")) ===
+      List((true, Some("l1"), Some("r1"))))
+    // retract one copy: still one left → pair retracts, null-pad stays out
+    assert(in(false, None, Some("r1")) ===
+      List((false, Some("l1"), Some("r1"))))
+    // retract the LAST right: pair retracts AND the null-pad is restored
+    assert(in(false, None, Some("r1")) ===
+      List((false, Some("l1"), Some("r1")), (true, Some("l1"), None)))
+    // retract the left: its null-pad row retracts with it
+    assert(in(false, Some("l1"), None) ===
+      List((false, Some("l1"), None)))
+    // all state gone — the key's state row was removed
+    assert(harness.stateOf(0).isEmpty)
+  }
+}
