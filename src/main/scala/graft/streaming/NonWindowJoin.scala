@@ -116,6 +116,98 @@ object NonWindowJoin {
     }
   }
 
+  /** Two-side state for the NON-EQUI variant: row multisets plus, per
+    * OUTER-preserved distinct row, the multiplicity of condition-matching
+    * other-side rows (the reference's joinCntState —
+    * NonWindowOuterJoinWithNonEquiPredicates.scala:59). */
+  final case class NESideState[L, R](lefts: Map[L, Long],
+      rights: Map[R, Long], leftJoinCnt: Map[L, Long],
+      rightJoinCnt: Map[R, Long])
+
+  /** [[joinFn]] with a residual non-equi predicate inside the OUTER join
+    * condition (evaluated after the key equality, NEVER pushed as a
+    * filter — the SQL outer-join contract). The first/last-match
+    * transitions can no longer read the arriving side's total: each
+    * preserved row tracks its own matched multiplicity (joinCnt), which
+    * flips its null-padded row at 0→1 and 1→0
+    * (retractJoinWithNonEquiPreds, NonWindowOuterJoinWithNonEquiPredicates
+    * .scala:89). One deliberate divergence: the reference seeds a full
+    * join's joinCnt from its output-row count, which also counts the
+    * null-pad flips it just emitted (observable only under retract
+    * INPUTS); this implementation seeds it with the matched-pair
+    * multiplicity alone. */
+  def joinFnNonEqui[K, L, R](joinType: String, cond: (L, R) => Boolean):
+      (K, Iterator[(Boolean, Option[L], Option[R])],
+        GroupState[NESideState[L, R]]) =>
+        Iterator[(Boolean, Option[L], Option[R])] = {
+    val (leftOuter, rightOuter) = outerFlags(joinType)
+    (_: K, it: Iterator[(Boolean, Option[L], Option[R])],
+        state: GroupState[NESideState[L, R]]) => {
+      var st = state.getOption.getOrElse(
+        NESideState[L, R](Map.empty, Map.empty, Map.empty, Map.empty))
+      val out = Vector.newBuilder[(Boolean, Option[L], Option[R])]
+      def times(n: Long)(f: => Unit): Unit = {
+        var i = 0L; while (i < n) { f; i += 1 }
+      }
+      it.foreach { case (c, lo, ro) =>
+        if (lo.isDefined) {
+          val l = lo.get
+          val old = st.lefts.getOrElse(l, 0L)
+          val now = if (c) old + 1 else old - 1
+          st = st.copy(lefts =
+            if (now <= 0) st.lefts - l else st.lefts.updated(l, now))
+          if (!c && now <= 0) st = st.copy(leftJoinCnt = st.leftJoinCnt - l)
+          var matched = 0L
+          st.rights.foreach { case (r, n) =>
+            if (cond(l, r)) {
+              if (rightOuter) {
+                val jc = st.rightJoinCnt.getOrElse(r, 0L)
+                st = st.copy(rightJoinCnt =
+                  st.rightJoinCnt.updated(r, if (c) jc + 1 else jc - 1))
+                if (c && jc == 0) times(n)(out += ((false, None, Some(r))))
+                times(n)(out += ((c, Some(l), Some(r)))); matched += n
+                if (!c && jc == 1) times(n)(out += ((true, None, Some(r))))
+              } else {
+                times(n)(out += ((c, Some(l), Some(r)))); matched += n
+              }
+            }
+          }
+          if (leftOuter && c && now == 1)
+            st = st.copy(leftJoinCnt = st.leftJoinCnt.updated(l, matched))
+          if (matched == 0 && leftOuter) out += ((c, Some(l), None))
+        } else {
+          val r = ro.get
+          val old = st.rights.getOrElse(r, 0L)
+          val now = if (c) old + 1 else old - 1
+          st = st.copy(rights =
+            if (now <= 0) st.rights - r else st.rights.updated(r, now))
+          if (!c && now <= 0) st = st.copy(rightJoinCnt = st.rightJoinCnt - r)
+          var matched = 0L
+          st.lefts.foreach { case (l, n) =>
+            if (cond(l, r)) {
+              if (leftOuter) {
+                val jc = st.leftJoinCnt.getOrElse(l, 0L)
+                st = st.copy(leftJoinCnt =
+                  st.leftJoinCnt.updated(l, if (c) jc + 1 else jc - 1))
+                if (c && jc == 0) times(n)(out += ((false, Some(l), None)))
+                times(n)(out += ((c, Some(l), Some(r)))); matched += n
+                if (!c && jc == 1) times(n)(out += ((true, Some(l), None)))
+              } else {
+                times(n)(out += ((c, Some(l), Some(r)))); matched += n
+              }
+            }
+          }
+          if (rightOuter && c && now == 1)
+            st = st.copy(rightJoinCnt = st.rightJoinCnt.updated(r, matched))
+          if (matched == 0 && rightOuter) out += ((c, None, Some(r)))
+        }
+      }
+      if (st.lefts.isEmpty && st.rights.isEmpty) state.remove()
+      else state.update(st)
+      out.result().iterator
+    }
+  }
+
   /** Dataset surface for APPEND inputs (a Spark source stream is
     * append-only; retract-stream inputs arise from upstream aggregates
     * and drive [[joinFn]] directly). Key functions return Option —
@@ -141,6 +233,42 @@ object NonWindowJoin {
         CepStateCodec.versionedFn("NonWindowJoin.SideState",
           (k: K, rows: Iterator[(K, Boolean, Option[L], Option[R])],
               st: GroupState[SideState[L, R]]) =>
+            fn(k, rows.map(t => (t._2, t._3, t._4)), st)))
+    val nullL = left.flatMap(l =>
+      if (lk(l).isEmpty && leftOuter)
+        Iterator((true, Option(l), Option.empty[R]))
+      else Iterator.empty)
+    val nullR = right.flatMap(r =>
+      if (rk(r).isEmpty && rightOuter)
+        Iterator((true, Option.empty[L], Option(r)))
+      else Iterator.empty)
+    joined.union(nullL).union(nullR)
+  }
+
+  /** [[unboundedOuterJoin]] with a residual non-equi predicate inside
+    * the join condition (`ON a = d AND b <= h` — the `b <= h` part).
+    * Null-key rows still bypass; key-matching rows that fail `cond`
+    * null-pad exactly like the reference's setNullCheck outer contract. */
+  def unboundedOuterJoin[K, L, R](left: Dataset[L], right: Dataset[R],
+      lk: L => Option[K], rk: R => Option[K], joinType: String,
+      cond: (L, R) => Boolean)(
+      implicit ke: Encoder[K],
+      tagE: Encoder[(K, Boolean, Option[L], Option[R])],
+      outE: Encoder[(Boolean, Option[L], Option[R])]):
+      Dataset[(Boolean, Option[L], Option[R])] = {
+    val (leftOuter, rightOuter) = outerFlags(joinType)
+    val tl = left.flatMap(l => lk(l)
+      .map(k => (k, true, Option(l), Option.empty[R])).iterator)
+    val tr = right.flatMap(r => rk(r)
+      .map(k => (k, true, Option.empty[L], Option(r))).iterator)
+    implicit val se: Encoder[CepStateEnvelope] = CepStateCodec.envelopeEncoder
+    val fn = joinFnNonEqui[K, L, R](joinType, cond)
+    val joined = tl.union(tr).groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        CepStateCodec.versionedFn("NonWindowJoin.NESideState",
+          (k: K, rows: Iterator[(K, Boolean, Option[L], Option[R])],
+              st: GroupState[NESideState[L, R]]) =>
             fn(k, rows.map(t => (t._2, t._3, t._4)), st)))
     val nullL = left.flatMap(l =>
       if (lk(l).isEmpty && leftOuter)

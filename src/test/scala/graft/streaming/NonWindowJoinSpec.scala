@@ -46,18 +46,24 @@ class NonWindowJoinSpec extends SparkSuite {
     }
 
   /** Run one ITCase port: stream both fixtures through
-    * unboundedOuterJoin on (a,b)==(d,h), project (c, g), materialize. */
-  private def runPort(joinType: String, ds1: Seq[T3],
-      ds2: Seq[T5]): Seq[String] = {
+    * unboundedOuterJoin on (a,b)==(d,h) — or on a==d with a residual
+    * non-equi `cond` — project (c, g), materialize. */
+  private def runPort(joinType: String, ds1: Seq[T3], ds2: Seq[T5],
+      cond: Option[(T3, T5) => Boolean] = None): Seq[String] = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in1 = MemoryStream[T3]
     val in2 = MemoryStream[T5]
     val mat = new Materializer
-    val joined = NonWindowJoin.unboundedOuterJoin[(Int, Long), T3, T5](
-      in1.toDS(), in2.toDS(),
-      l => l._1.map(a => (a, l._2)),
-      r => r._1.map(d => (d, r._5)),
-      joinType)
+    val joined = cond match {
+      case None => NonWindowJoin.unboundedOuterJoin[(Int, Long), T3, T5](
+        in1.toDS(), in2.toDS(),
+        l => l._1.map(a => (a, l._2)),
+        r => r._1.map(d => (d, r._5)),
+        joinType)
+      case Some(c) => NonWindowJoin.unboundedOuterJoin[Int, T3, T5](
+        in1.toDS(), in2.toDS(),
+        l => l._1, r => r._1, joinType, c)
+    }
     val q = joined.writeStream.outputMode("append")
       .foreachBatch {
         (df: org.apache.spark.sql.Dataset[(Boolean, Option[T3], Option[T5])],
@@ -118,6 +124,107 @@ class NonWindowJoinSpec extends SparkSuite {
       "Comment#14,null", "Comment#15,null", "Hello world, how are you?,null")
     assert(runPort("full_outer", t3Opt(nullAt21 = false),
       t5Opt(nullAtE15 = false)) === expected.sorted)
+  }
+
+  private val comments = (1 to 15).map(i => s"Comment#$i,null")
+
+  test("port: JoinITCase testLeftJoinWithNonEquiJoinPred (a=d AND b<=h)") {
+    val expected = Seq(
+      "Hi,Hallo", "Hello,Hallo Welt", "Hello world,Hallo Welt wie gehts?",
+      "Hello world,ABC", "Hello world,BCD", "I am fine.,HIJ",
+      "I am fine.,IJK", "Hello world, how are you?,null",
+      "Luke Skywalker,null") ++ comments
+    assert(runPort("left_outer", t3Opt(nullAt21 = false),
+      t5Opt(nullAtE15 = false),
+      Some((l: T3, r: T5) => l._2 <= r._5)) === expected.sorted)
+  }
+
+  test("port: JoinITCase testLeftJoinWithLeftLocalPred (a=d AND b=2)") {
+    val expected = Seq(
+      "Hello,Hallo Welt", "Hello,Hallo Welt wie",
+      "Hello world,Hallo Welt wie gehts?", "Hello world,ABC",
+      "Hello world,BCD", "Hi,null", "Hello world, how are you?,null",
+      "I am fine.,null", "Luke Skywalker,null") ++ comments
+    assert(runPort("left_outer", t3Opt(nullAt21 = false),
+      t5Opt(nullAtE15 = false),
+      Some((l: T3, _: T5) => l._2 == 2L)) === expected.sorted)
+  }
+
+  test("port: JoinITCase testRightJoinWithNonEquiJoinPred (mirrored sides)") {
+    // the reference swaps the sides (5-tuple left, 3-tuple right) and
+    // right-outer-preserves the 3-tuple — same as our left-outer with
+    // the fixture roles unchanged and the join type mirrored
+    val expected = Seq(
+      "Hi,Hallo", "Hello,Hallo Welt", "Hello world,Hallo Welt wie gehts?",
+      "Hello world,ABC", "Hello world,BCD", "I am fine.,HIJ",
+      "I am fine.,IJK", "Hello world, how are you?,null",
+      "Luke Skywalker,null") ++ comments
+    assert(runPort("left_outer", t3Opt(nullAt21 = false),
+      t5Opt(nullAtE15 = false),
+      Some((l: T3, r: T5) => l._2 <= r._5)) === expected.sorted)
+    // and the genuinely right-outer shape on OUR side order: preserve
+    // the 5-tuple side instead
+    val expectedR = Seq(
+      "Hi,Hallo", "Hello,Hallo Welt", "Hello world,Hallo Welt wie gehts?",
+      "Hello world,ABC", "Hello world,BCD", "I am fine.,HIJ",
+      "I am fine.,IJK", "null,Hallo Welt wie", "null,CDE", "null,DEF",
+      "null,EFG", "null,FGH", "null,GHI", "null,JKL", "null,KLM")
+    assert(runPort("right_outer", t3Opt(nullAt21 = false),
+      t5Opt(nullAtE15 = false),
+      Some((l: T3, r: T5) => l._2 <= r._5)) === expectedR.sorted)
+  }
+
+  test("port: JoinITCase testFullJoinWithNonEquiJoinPred (a=d AND b<=h)") {
+    val expected = Seq(
+      "Hi,Hallo", "Hello,Hallo Welt", "Hello world,Hallo Welt wie gehts?",
+      "Hello world,ABC", "Hello world,BCD", "I am fine.,HIJ",
+      "I am fine.,IJK",
+      "Hello world, how are you?,null", "Luke Skywalker,null",
+      "null,Hallo Welt wie", "null,CDE", "null,DEF", "null,EFG",
+      "null,FGH", "null,GHI", "null,JKL", "null,KLM") ++ comments
+    assert(runPort("full_outer", t3Opt(nullAt21 = false),
+      t5Opt(nullAtE15 = false),
+      Some((l: T3, r: T5) => l._2 <= r._5)) === expected.sorted)
+  }
+
+  test("port: JoinITCase testFullJoinWithLeftLocalPred (a=d AND b>=2 AND h=1)") {
+    val expected = Seq(
+      "Hello,Hallo Welt wie", "Hello world, how are you?,DEF",
+      "Hello world, how are you?,EFG", "I am fine.,GHI",
+      "Hi,null", "Hello world,null", "Luke Skywalker,null",
+      "null,Hallo", "null,Hallo Welt", "null,Hallo Welt wie gehts?",
+      "null,ABC", "null,BCD", "null,CDE", "null,FGH", "null,HIJ",
+      "null,IJK", "null,JKL", "null,KLM") ++ comments
+    assert(runPort("full_outer", t3Opt(nullAt21 = false),
+      t5Opt(nullAtE15 = false),
+      Some((l: T3, r: T5) => l._2 >= 2L && r._5 == 1L)) === expected.sorted)
+  }
+
+  test("non-equi retract/restore protocol rides joinCnt, not side totals") {
+    // two rights with the same key, only one passing cond: the left's
+    // null-pad must flip on the MATCHING right's arrival/retraction and
+    // ignore the non-matching one entirely
+    type E = (String, Long)
+    val harness = new VirtualClockHarness[Int,
+      (Boolean, Option[E], Option[E]), NonWindowJoin.NESideState[E, E],
+      (Boolean, Option[E], Option[E])](
+      GroupStateTimeout.NoTimeout(),
+      NonWindowJoin.joinFnNonEqui[Int, E, E]("left_outer",
+        (l, r) => l._2 <= r._2))
+    def in(c: Boolean, l: Option[E], r: Option[E]) =
+      harness.input(0, (c, l, r)).toList
+    val l1 = ("l1", 5L); val rLow = ("rLow", 3L); val rHi = ("rHi", 9L)
+    assert(in(true, Some(l1), None) === List((true, Some(l1), None)))
+    // non-matching right: no flip, no pair
+    assert(in(true, None, Some(rLow)) === List())
+    // matching right: flip + pair
+    assert(in(true, None, Some(rHi)) ===
+      List((false, Some(l1), None), (true, Some(l1), Some(rHi))))
+    // retract the non-matching right: silence
+    assert(in(false, None, Some(rLow)) === List())
+    // retract the matching right: pair retracts, null-pad restored
+    assert(in(false, None, Some(rHi)) ===
+      List((false, Some(l1), Some(rHi)), (true, Some(l1), None)))
   }
 
   test("port: JoinITCase testLeftJoinWithRetractionInput (aggregate retract streams drive the core fn)") {
