@@ -1133,6 +1133,7 @@ object Cep {
     ds.groupByKey(key).flatMapGroupsWithState[CepStateEnvelope, O](
       OutputMode.Append(), timeoutConf)(
       CepStateCodec.versionedFn("Cep.ArrivalState",
+        CepStateCodec.ArrivalVersion,
         matchStreamGroupsArrivalFn(pattern, ts, skip, tie,
           (kk: K, groups: Map[String, Seq[E]]) =>
             finish(kk,
@@ -1175,6 +1176,7 @@ object Cep {
     ds.groupByKey(key).flatMapGroupsWithState[CepStateEnvelope, O](
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
       CepStateCodec.versionedFn("Cep.ArrivalState",
+        CepStateCodec.ArrivalVersion,
         matchStreamWithTimeoutsArrivalFn(pattern, ts, skip, tie, finish,
           onTimeout)))
   }
@@ -1263,6 +1265,7 @@ object Cep {
     ds.groupByKey(key).flatMapGroupsWithState[CepStateEnvelope, O](
       OutputMode.Append(), timeoutConf)(
       CepStateCodec.versionedFn("Cep.ArrivalState",
+        CepStateCodec.ArrivalVersion,
         matchStreamGroupsArrivalFn(pattern, ts, skip, tie, finish, stats)))
   }
 
@@ -1288,6 +1291,7 @@ object Cep {
     ds.groupByKey(key).flatMapGroupsWithState[CepStateEnvelope, O](
       OutputMode.Append(), timeoutConf)(
       CepStateCodec.versionedFn("Cep.ArrivalState",
+        CepStateCodec.ArrivalVersion,
         matchStreamGroupsNumberedArrivalFn(pattern, ts, skip, tie, pre,
           finish, stats)))
   }

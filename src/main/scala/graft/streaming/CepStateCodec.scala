@@ -43,59 +43,70 @@ final class CepStateVersionException(val found: Int, val expected: Int,
 
 object CepStateCodec {
 
-  /** Current format generation. Bump on ANY change to the state case
-    * classes' layout OR meaning:
-    *   1 — pre-round-10 two-field GStreamState;
-    *   2 — GStreamState.pendingSel (reluctant resolver carry-over);
-    *   3 — envelope introduced (round 13). */
-  val Version = 3
+  /** PER-FAMILY format generations — bump a family's constant on ANY
+    * change to ITS state classes' layout OR meaning, without forcing
+    * unrelated drivers' checkpoints to reprocess. History (shared
+    * pre-envelope): 1 — pre-round-10 two-field GStreamState; 2 —
+    * GStreamState.pendingSel; 3 — envelope introduced (round 13). */
+  val ArrivalVersion = 3  // Cep.ArrivalState (linear engine drivers)
+  val GroupVersion = 3    // GroupCep.GArrivalState / GStreamState
 
   /** The envelope's product encoder — a stable (int, binary) row, never
     * the kryo-opaque single column. */
   def envelopeEncoder: Encoder[CepStateEnvelope] =
     Encoders.product[CepStateEnvelope]
 
-  // kryo instances are not thread-safe; executor task threads each get one
-  private val ser = new ThreadLocal[SerializerInstance] {
-    override def initialValue(): SerializerInstance = {
-      val conf =
-        if (SparkEnv.get != null) SparkEnv.get.conf
-        else new org.apache.spark.SparkConf()
-      new KryoSerializer(conf).newInstance()
+  // kryo instances are not thread-safe; executor task threads each get
+  // one — but ONLY once SparkEnv (and so the user's kryo conf) exists:
+  // caching a default-conf fallback would pin that thread to default
+  // buffer sizes/registrators for its lifetime
+  private val cached = new ThreadLocal[SerializerInstance]
+  private def ser(): SerializerInstance = {
+    var s = cached.get()
+    if (s == null) {
+      val env = SparkEnv.get
+      s = new KryoSerializer(
+        if (env != null) env.conf else new org.apache.spark.SparkConf())
+        .newInstance()
+      if (env != null) cached.set(s)
     }
+    s
   }
 
-  def enc[S](s: S): CepStateEnvelope = {
-    val bb = ser.get().serialize(s)(ClassTag.AnyRef.asInstanceOf[ClassTag[S]])
+  def enc[S](version: Int, s: S): CepStateEnvelope = {
+    val bb = ser().serialize(s)(ClassTag.AnyRef.asInstanceOf[ClassTag[S]])
     val arr = new Array[Byte](bb.remaining())
     bb.get(arr)
-    CepStateEnvelope(Version, arr)
+    CepStateEnvelope(version, arr)
   }
 
-  def dec[S](e: CepStateEnvelope, what: String): S = {
-    if (e.version != Version)
-      throw new CepStateVersionException(e.version, Version, what)
-    ser.get().deserialize(ByteBuffer.wrap(e.blob))(
+  def dec[S](e: CepStateEnvelope, version: Int, what: String): S = {
+    if (e.version != version)
+      throw new CepStateVersionException(e.version, version, what)
+    ser().deserialize(ByteBuffer.wrap(e.blob))(
       ClassTag.AnyRef.asInstanceOf[ClassTag[S]])
   }
 
   /** Adapt an S-typed state-transition function to the envelope-typed
-    * state its Dataset driver actually persists. */
-  def versionedFn[K, E, O, S](what: String,
+    * state its Dataset driver actually persists, checking against that
+    * driver family's own format generation. */
+  def versionedFn[K, E, O, S](what: String, version: Int,
       fn: (K, Iterator[E], GroupState[S]) => Iterator[O]):
       (K, Iterator[E], GroupState[CepStateEnvelope]) => Iterator[O] =
     (k: K, it: Iterator[E], gs: GroupState[CepStateEnvelope]) =>
-      fn(k, it, new VersionedStateView[S](gs, what))
+      fn(k, it, new VersionedStateView[S](gs, version, what))
 }
 
 /** [[GroupState]] view decoding/encoding the envelope at the access
   * boundary (the version check runs on every read). */
 private[streaming] final class VersionedStateView[S](
-    u: GroupState[CepStateEnvelope], what: String) extends GroupState[S] {
+    u: GroupState[CepStateEnvelope], version: Int, what: String)
+    extends GroupState[S] {
   def exists: Boolean = u.exists
-  def get: S = CepStateCodec.dec[S](u.get, what)
-  def getOption: Option[S] = u.getOption.map(CepStateCodec.dec[S](_, what))
-  def update(s: S): Unit = u.update(CepStateCodec.enc(s))
+  def get: S = CepStateCodec.dec[S](u.get, version, what)
+  def getOption: Option[S] =
+    u.getOption.map(CepStateCodec.dec[S](_, version, what))
+  def update(s: S): Unit = u.update(CepStateCodec.enc(version, s))
   def remove(): Unit = u.remove()
   def hasTimedOut: Boolean = u.hasTimedOut
   def setTimeoutDuration(ms: Long): Unit = u.setTimeoutDuration(ms)

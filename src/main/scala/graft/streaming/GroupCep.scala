@@ -2064,6 +2064,7 @@ object GroupCep {
     ds.groupByKey(key).flatMapGroupsWithState[CepStateEnvelope, O](
       OutputMode.Append(), timeoutConf)(
       CepStateCodec.versionedFn("GroupCep.GArrivalState",
+        CepStateCodec.GroupVersion,
         matchStreamArrivalFn(pattern, ts, tie, skip, finish, stats,
           anchorHead = anchorHead)))
   }
@@ -2089,6 +2090,7 @@ object GroupCep {
     ds.groupByKey(key).flatMapGroupsWithState[CepStateEnvelope, O](
       OutputMode.Append(), timeoutConf)(
       CepStateCodec.versionedFn("GroupCep.GArrivalState",
+        CepStateCodec.GroupVersion,
         matchStreamNumberedArrivalFn(pattern, ts, tie, skip, pre, finish,
           stats, anchorHead = anchorHead)))
   }

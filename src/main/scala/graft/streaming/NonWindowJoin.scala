@@ -171,18 +171,25 @@ object NonWindowJoin {
             if (now <= 0) st.lefts - l else st.lefts.updated(l, now))
           if (!c && now <= 0) st = st.copy(leftJoinCnt = st.leftJoinCnt - l)
           var matched = 0L
-          st.rights.foreach { case (r, n) =>
-            if (cond(l, r)) {
-              if (rightOuter) {
+          if (rightOuter) {
+            // each distinct r is visited once per element, so joinCnt
+            // updates accumulate locally and land in ONE state rebuild
+            // (a per-row st.copy would allocate O(matching rows) states)
+            val jcNew = scala.collection.mutable.HashMap.empty[R, Long]
+            st.rights.foreach { case (r, n) =>
+              if (cond(l, r)) {
                 val jc = st.rightJoinCnt.getOrElse(r, 0L)
-                st = st.copy(rightJoinCnt =
-                  st.rightJoinCnt.updated(r, if (c) jc + 1 else jc - 1))
+                jcNew.update(r, if (c) jc + 1 else jc - 1)
                 if (c && jc == 0) times(n)(out += ((false, None, Some(r))))
                 times(n)(out += ((c, Some(l), Some(r)))); matched += n
                 if (!c && jc == 1) times(n)(out += ((true, None, Some(r))))
-              } else {
-                times(n)(out += ((c, Some(l), Some(r)))); matched += n
               }
+            }
+            if (jcNew.nonEmpty)
+              st = st.copy(rightJoinCnt = st.rightJoinCnt ++ jcNew)
+          } else st.rights.foreach { case (r, n) =>
+            if (cond(l, r)) {
+              times(n)(out += ((c, Some(l), Some(r)))); matched += n
             }
           }
           if (leftOuter && c && now == 1)
@@ -196,18 +203,22 @@ object NonWindowJoin {
             if (now <= 0) st.rights - r else st.rights.updated(r, now))
           if (!c && now <= 0) st = st.copy(rightJoinCnt = st.rightJoinCnt - r)
           var matched = 0L
-          st.lefts.foreach { case (l, n) =>
-            if (cond(l, r)) {
-              if (leftOuter) {
+          if (leftOuter) {
+            val jcNew = scala.collection.mutable.HashMap.empty[L, Long]
+            st.lefts.foreach { case (l, n) =>
+              if (cond(l, r)) {
                 val jc = st.leftJoinCnt.getOrElse(l, 0L)
-                st = st.copy(leftJoinCnt =
-                  st.leftJoinCnt.updated(l, if (c) jc + 1 else jc - 1))
+                jcNew.update(l, if (c) jc + 1 else jc - 1)
                 if (c && jc == 0) times(n)(out += ((false, Some(l), None)))
                 times(n)(out += ((c, Some(l), Some(r)))); matched += n
                 if (!c && jc == 1) times(n)(out += ((true, Some(l), None)))
-              } else {
-                times(n)(out += ((c, Some(l), Some(r)))); matched += n
               }
+            }
+            if (jcNew.nonEmpty)
+              st = st.copy(leftJoinCnt = st.leftJoinCnt ++ jcNew)
+          } else st.lefts.foreach { case (l, n) =>
+            if (cond(l, r)) {
+              times(n)(out += ((c, Some(l), Some(r)))); matched += n
             }
           }
           if (rightOuter && c && now == 1)
@@ -221,46 +232,65 @@ object NonWindowJoin {
     }
   }
 
+  /** Shared Dataset scaffolding: ONE tagging pass per side (a second
+    * null-key flatMap over each source would re-scan it every
+    * micro-batch), grouped by Option[K] — the None group holds every
+    * SQL-null-keyed row and is handled statelessly inside the wrapper
+    * (null keys never match anything: outer-side rows null-pad
+    * immediately, the rest drop; its state is never created).
+    *
+    * Join state is PRODUCT-encoded, not an opaque kryo envelope: the
+    * state row's schema (map columns of concrete row types) is visible
+    * to Spark's StateSchemaCompatibilityChecker, which raises its own
+    * named error on a layout change across checkpoints — the guarantee
+    * the CEP drivers need the version envelope for, at codegen'd
+    * encode cost instead of per-key kryo. */
+  private def runJoin[K, L, R, S](left: Dataset[L], right: Dataset[R],
+      lk: L => Option[K], rk: R => Option[K],
+      leftOuter: Boolean, rightOuter: Boolean,
+      fn: (Option[K], Iterator[(Boolean, Option[L], Option[R])],
+        GroupState[S]) => Iterator[(Boolean, Option[L], Option[R])])(
+      implicit tagE: Encoder[(Option[K], Boolean, Option[L], Option[R])],
+      kE: Encoder[Option[K]],
+      outE: Encoder[(Boolean, Option[L], Option[R])],
+      se: Encoder[S]): Dataset[(Boolean, Option[L], Option[R])] = {
+    val tl = left.map(l => (lk(l), true, Option(l), Option.empty[R]))
+    val tr = right.map(r => (rk(r), true, Option.empty[L], Option(r)))
+    tl.union(tr).groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (k: Option[K],
+            rows: Iterator[(Option[K], Boolean, Option[L], Option[R])],
+            st: GroupState[S]) => {
+          val els = rows.map(t => (t._2, t._3, t._4))
+          if (k.isDefined) fn(k, els, st)
+          else els.flatMap {
+            case (c, Some(l), _) if leftOuter =>
+              Iterator((c, Option(l), Option.empty[R]))
+            case (c, _, Some(r)) if rightOuter =>
+              Iterator((c, Option.empty[L], Option(r)))
+            case _ => Iterator.empty
+          }
+        })
+  }
+
   /** Dataset surface for APPEND inputs (a Spark source stream is
     * append-only; retract-stream inputs arise from upstream aggregates
     * and drive [[joinFn]] directly). Key functions return Option —
     * `None` is a SQL-null join key, which never matches anything: such
-    * rows bypass the stateful operator entirely and, when their side is
-    * outer-preserved, surface as one immediate null-padded insert. */
+    * rows never create state and, when their side is outer-preserved,
+    * surface as one immediate null-padded insert. */
   def unboundedOuterJoin[K, L, R](left: Dataset[L], right: Dataset[R],
       lk: L => Option[K], rk: R => Option[K], joinType: String)(
-      implicit ke: Encoder[K],
-      tagE: Encoder[(K, Boolean, Option[L], Option[R])],
+      implicit tagE: Encoder[(Option[K], Boolean, Option[L], Option[R])],
+      kE: Encoder[Option[K]],
       outE: Encoder[(Boolean, Option[L], Option[R])],
       se: Encoder[SideState[L, R]]):
       Dataset[(Boolean, Option[L], Option[R])] = {
     val (leftOuter, rightOuter) = outerFlags(joinType)
-    val tl = left.flatMap(l => lk(l)
-      .map(k => (k, true, Option(l), Option.empty[R])).iterator)
-    val tr = right.flatMap(r => rk(r)
-      .map(k => (k, true, Option.empty[L], Option(r))).iterator)
-    val fn = joinFn[K, L, R](joinType)
-    // join state is PRODUCT-encoded, not an opaque kryo envelope: the
-    // state row's schema (two map columns of concrete row types) is
-    // visible to Spark's StateSchemaCompatibilityChecker, which raises
-    // its own named error on a layout change across checkpoints — the
-    // guarantee the CEP drivers need the version envelope for, and a
-    // codegen'd encode instead of a per-key kryo call
-    val joined = tl.union(tr).groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(
-        (k: K, rows: Iterator[(K, Boolean, Option[L], Option[R])],
-            st: GroupState[SideState[L, R]]) =>
-          fn(k, rows.map(t => (t._2, t._3, t._4)), st))
-    val nullL = left.flatMap(l =>
-      if (lk(l).isEmpty && leftOuter)
-        Iterator((true, Option(l), Option.empty[R]))
-      else Iterator.empty)
-    val nullR = right.flatMap(r =>
-      if (rk(r).isEmpty && rightOuter)
-        Iterator((true, Option.empty[L], Option(r)))
-      else Iterator.empty)
-    joined.union(nullL).union(nullR)
+    val fn = joinFn[Option[K], L, R](joinType)
+    runJoin[K, L, R, SideState[L, R]](left, right, lk, rk,
+      leftOuter, rightOuter, fn)
   }
 
   /** [[unboundedOuterJoin]] with a residual non-equi predicate inside
@@ -270,32 +300,14 @@ object NonWindowJoin {
   def unboundedOuterJoin[K, L, R](left: Dataset[L], right: Dataset[R],
       lk: L => Option[K], rk: R => Option[K], joinType: String,
       cond: (L, R) => Boolean)(
-      implicit ke: Encoder[K],
-      tagE: Encoder[(K, Boolean, Option[L], Option[R])],
+      implicit tagE: Encoder[(Option[K], Boolean, Option[L], Option[R])],
+      kE: Encoder[Option[K]],
       outE: Encoder[(Boolean, Option[L], Option[R])],
       se: Encoder[NESideState[L, R]]):
       Dataset[(Boolean, Option[L], Option[R])] = {
     val (leftOuter, rightOuter) = outerFlags(joinType)
-    val tl = left.flatMap(l => lk(l)
-      .map(k => (k, true, Option(l), Option.empty[R])).iterator)
-    val tr = right.flatMap(r => rk(r)
-      .map(k => (k, true, Option.empty[L], Option(r))).iterator)
-    val fn = joinFnNonEqui[K, L, R](joinType, cond)
-    // product-encoded state: see the equi variant's note
-    val joined = tl.union(tr).groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(
-        (k: K, rows: Iterator[(K, Boolean, Option[L], Option[R])],
-            st: GroupState[NESideState[L, R]]) =>
-          fn(k, rows.map(t => (t._2, t._3, t._4)), st))
-    val nullL = left.flatMap(l =>
-      if (lk(l).isEmpty && leftOuter)
-        Iterator((true, Option(l), Option.empty[R]))
-      else Iterator.empty)
-    val nullR = right.flatMap(r =>
-      if (rk(r).isEmpty && rightOuter)
-        Iterator((true, Option.empty[L], Option(r)))
-      else Iterator.empty)
-    joined.union(nullL).union(nullR)
+    val fn = joinFnNonEqui[Option[K], L, R](joinType, cond)
+    runJoin[K, L, R, NESideState[L, R]](left, right, lk, rk,
+      leftOuter, rightOuter, fn)
   }
 }

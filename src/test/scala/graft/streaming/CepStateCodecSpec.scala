@@ -20,31 +20,34 @@ class CepStateCodecSpec extends SparkSuite {
     val st = Cep.ArrivalState[Ev](nextSeq = 7L,
       partials = Vector.empty,
       matchSeq = 3L, carry = Vector(Ev(1L, "error", 10L)))
-    val env = CepStateCodec.enc(st)
-    assert(env.version == CepStateCodec.Version)
-    val back = CepStateCodec.dec[Cep.ArrivalState[Ev]](env, "spec")
+    val env = CepStateCodec.enc(CepStateCodec.ArrivalVersion, st)
+    assert(env.version == CepStateCodec.ArrivalVersion)
+    val back = CepStateCodec.dec[Cep.ArrivalState[Ev]](env,
+      CepStateCodec.ArrivalVersion, "spec")
     assert(back == st)
   }
 
   test("a wrong-version blob raises the named error before kryo decodes") {
-    val env = CepStateCodec.enc(GroupCep.GStreamState[Ev](
-      Vector.empty, Vector.empty))
-    val stale = env.copy(version = CepStateCodec.Version - 1)
+    val env = CepStateCodec.enc(CepStateCodec.GroupVersion,
+      GroupCep.GStreamState[Ev](Vector.empty, Vector.empty))
+    val stale = env.copy(version = CepStateCodec.GroupVersion - 1)
     val ex = intercept[CepStateVersionException] {
-      CepStateCodec.dec[GroupCep.GStreamState[Ev]](stale, "GroupCep spec")
+      CepStateCodec.dec[GroupCep.GStreamState[Ev]](stale,
+        CepStateCodec.GroupVersion, "GroupCep spec")
     }
-    assert(ex.found == CepStateCodec.Version - 1)
-    assert(ex.expected == CepStateCodec.Version)
+    assert(ex.found == CepStateCodec.GroupVersion - 1)
+    assert(ex.expected == CepStateCodec.GroupVersion)
     assert(ex.getMessage.contains("GroupCep spec"))
     assert(ex.getMessage.contains("fresh checkpoint"))
     // the payload bytes were never interpreted: even a corrupt blob
     // reports the version diff, not a kryo buffer error
-    val garbage = CepStateEnvelope(CepStateCodec.Version + 5,
+    val garbage = CepStateEnvelope(CepStateCodec.GroupVersion + 5,
       Array[Byte](1, 2, 3))
     val ex2 = intercept[CepStateVersionException] {
-      CepStateCodec.dec[AnyRef](garbage, "corrupt")
+      CepStateCodec.dec[AnyRef](garbage, CepStateCodec.GroupVersion,
+        "corrupt")
     }
-    assert(ex2.found == CepStateCodec.Version + 5)
+    assert(ex2.found == CepStateCodec.GroupVersion + 5)
   }
 
   test("versionedFn surfaces the stale version through a driver read") {
@@ -55,14 +58,16 @@ class CepStateCodecSpec extends SparkSuite {
         state.update(acc)
         acc.iterator
       }
-    val wrapped = CepStateCodec.versionedFn("spec-state", fn)
+    val wrapped = CepStateCodec.versionedFn("spec-state",
+      CepStateCodec.GroupVersion, fn)
     // fresh key: no state yet, the write lands as the current version
     val fresh = TestGroupState.create[CepStateEnvelope](
       Optional.empty[CepStateEnvelope](), GroupStateTimeout.NoTimeout(),
       0L, Optional.empty[Long](), hasTimedOut = false)
     assert(wrapped(1L, Iterator(Ev(1L, "a", 5L)), fresh).toList == List(5L))
-    assert(fresh.get.version == CepStateCodec.Version)
-    assert(CepStateCodec.dec[Vector[Long]](fresh.get, "spec-state") ==
+    assert(fresh.get.version == CepStateCodec.GroupVersion)
+    assert(CepStateCodec.dec[Vector[Long]](fresh.get,
+      CepStateCodec.GroupVersion, "spec-state") ==
       Vector(5L))
     // resumed key whose checkpoint predates this build: named error
     val stale = TestGroupState.create[CepStateEnvelope](
