@@ -35,9 +35,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * ITCases assert the RetractingSink's materialized state, as do ours).
   *
   * Scale: one hash Exchange per side into the stateful operator; state
-  * is retained forever per the reference's default contract (its
-  * StreamQueryConfig retention maps to the established idle-state TTL
-  * pattern — see [[StreamOps.runningAggWithTtl]]). State is
+  * is retained forever per the reference's default contract, with the
+  * reference's StreamQueryConfig retention available as `idleTtlMs`
+  * (per-key idle expiry over a processing-time timer — the established
+  * TTL pattern, see [[StreamOps.runningAggWithTtl]]; the reference's
+  * granularity is per ROW expire stamps swept by a per-key timer, ours
+  * drops the whole idle key — both are silent cleanups). State is
   * PRODUCT-encoded (map columns of concrete row types): its schema is
   * visible to Spark's StateSchemaCompatibilityChecker, which raises its
   * own named error on layout change across checkpoints — the property
@@ -247,7 +250,7 @@ object NonWindowJoin {
     * encode cost instead of per-key kryo. */
   private def runJoin[K, L, R, S](left: Dataset[L], right: Dataset[R],
       lk: L => Option[K], rk: R => Option[K],
-      leftOuter: Boolean, rightOuter: Boolean,
+      leftOuter: Boolean, rightOuter: Boolean, idleTtlMs: Option[Long],
       fn: (Option[K], Iterator[(Boolean, Option[L], Option[R])],
         GroupState[S]) => Iterator[(Boolean, Option[L], Option[R])])(
       implicit tagE: Encoder[(Option[K], Boolean, Option[L], Option[R])],
@@ -256,13 +259,34 @@ object NonWindowJoin {
       se: Encoder[S]): Dataset[(Boolean, Option[L], Option[R])] = {
     val tl = left.map(l => (lk(l), true, Option(l), Option.empty[R]))
     val tr = right.map(r => (rk(r), true, Option.empty[L], Option(r)))
+    val timeoutConf =
+      if (idleTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val g = guardedFn[K, L, R, S](leftOuter, rightOuter, idleTtlMs, fn)
     tl.union(tr).groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
         (k: Option[K],
             rows: Iterator[(Option[K], Boolean, Option[L], Option[R])],
-            st: GroupState[S]) => {
-          val els = rows.map(t => (t._2, t._3, t._4))
+            st: GroupState[S]) => g(k, rows.map(t => (t._2, t._3, t._4)), st))
+  }
+
+  /** The per-key wrapper [[runJoin]] installs around the transition fn:
+    * the stateless None-key (SQL-null) group, idle-state retention
+    * (the reference's queryConfig minRetention — expiry is SILENT, no
+    * retraction of previously emitted results, exactly like
+    * expireOutTimeRow), and the idle-timer re-arm on live keys. */
+  private[streaming] def guardedFn[K, L, R, S](leftOuter: Boolean,
+      rightOuter: Boolean, idleTtlMs: Option[Long],
+      fn: (Option[K], Iterator[(Boolean, Option[L], Option[R])],
+        GroupState[S]) => Iterator[(Boolean, Option[L], Option[R])]):
+      (Option[K], Iterator[(Boolean, Option[L], Option[R])],
+        GroupState[S]) => Iterator[(Boolean, Option[L], Option[R])] =
+    (k, els, st) => {
+      if (st.hasTimedOut) {
+        st.remove()
+        Iterator.empty
+      } else {
+        val out =
           if (k.isDefined) fn(k, els, st)
           else els.flatMap {
             case (c, Some(l), _) if leftOuter =>
@@ -271,8 +295,13 @@ object NonWindowJoin {
               Iterator((c, Option.empty[L], Option(r)))
             case _ => Iterator.empty
           }
-        })
-  }
+        // fn builds its output eagerly, so the state write (if any)
+        // already happened — re-arm the idle timer on live keys
+        idleTtlMs.foreach(ttl =>
+          if (st.exists) st.setTimeoutDuration(ttl))
+        out
+      }
+    }
 
   /** Dataset surface for APPEND inputs (a Spark source stream is
     * append-only; retract-stream inputs arise from upstream aggregates
@@ -281,7 +310,8 @@ object NonWindowJoin {
     * rows never create state and, when their side is outer-preserved,
     * surface as one immediate null-padded insert. */
   def unboundedOuterJoin[K, L, R](left: Dataset[L], right: Dataset[R],
-      lk: L => Option[K], rk: R => Option[K], joinType: String)(
+      lk: L => Option[K], rk: R => Option[K], joinType: String,
+      idleTtlMs: Option[Long] = None)(
       implicit tagE: Encoder[(Option[K], Boolean, Option[L], Option[R])],
       kE: Encoder[Option[K]],
       outE: Encoder[(Boolean, Option[L], Option[R])],
@@ -290,7 +320,7 @@ object NonWindowJoin {
     val (leftOuter, rightOuter) = outerFlags(joinType)
     val fn = joinFn[Option[K], L, R](joinType)
     runJoin[K, L, R, SideState[L, R]](left, right, lk, rk,
-      leftOuter, rightOuter, fn)
+      leftOuter, rightOuter, idleTtlMs, fn)
   }
 
   /** [[unboundedOuterJoin]] with a residual non-equi predicate inside
@@ -299,7 +329,8 @@ object NonWindowJoin {
     * null-pad exactly like the reference's setNullCheck outer contract. */
   def unboundedOuterJoin[K, L, R](left: Dataset[L], right: Dataset[R],
       lk: L => Option[K], rk: R => Option[K], joinType: String,
-      cond: (L, R) => Boolean)(
+      cond: (L, R) => Boolean,
+      idleTtlMs: Option[Long])(
       implicit tagE: Encoder[(Option[K], Boolean, Option[L], Option[R])],
       kE: Encoder[Option[K]],
       outE: Encoder[(Boolean, Option[L], Option[R])],
@@ -308,6 +339,17 @@ object NonWindowJoin {
     val (leftOuter, rightOuter) = outerFlags(joinType)
     val fn = joinFnNonEqui[Option[K], L, R](joinType, cond)
     runJoin[K, L, R, NESideState[L, R]](left, right, lk, rk,
-      leftOuter, rightOuter, fn)
+      leftOuter, rightOuter, idleTtlMs, fn)
   }
+
+  /** Non-equi overload with retention off (the reference's default). */
+  def unboundedOuterJoin[K, L, R](left: Dataset[L], right: Dataset[R],
+      lk: L => Option[K], rk: R => Option[K], joinType: String,
+      cond: (L, R) => Boolean)(
+      implicit tagE: Encoder[(Option[K], Boolean, Option[L], Option[R])],
+      kE: Encoder[Option[K]],
+      outE: Encoder[(Boolean, Option[L], Option[R])],
+      se: Encoder[NESideState[L, R]]):
+      Dataset[(Boolean, Option[L], Option[R])] =
+    unboundedOuterJoin(left, right, lk, rk, joinType, cond, None)
 }

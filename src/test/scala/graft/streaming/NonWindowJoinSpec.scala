@@ -274,6 +274,35 @@ class NonWindowJoinSpec extends SparkSuite {
     assert(mat.rows === expected.sorted)
   }
 
+  test("idle-state retention drops an idle key's rows silently and re-arms on activity") {
+    // the reference's queryConfig minRetention posture: an idle key's
+    // state expires on a processing-time timer; cleaning is SILENT (no
+    // retraction of already-emitted results), and any activity re-arms
+    type E = String
+    val ttl = 1000L
+    val harness = new VirtualClockHarness[Option[Int],
+      (Boolean, Option[E], Option[E]), NonWindowJoin.SideState[E, E],
+      (Boolean, Option[E], Option[E])](
+      GroupStateTimeout.ProcessingTimeTimeout(),
+      NonWindowJoin.guardedFn[Int, E, E, NonWindowJoin.SideState[E, E]](
+        leftOuter = true, rightOuter = false, Some(ttl),
+        NonWindowJoin.joinFn[Option[Int], E, E]("left_outer")))
+    val k = Option(0)
+    assert(harness.input(k, (true, Some("l1"), None)) ===
+      Seq((true, Some("l1"), None)))
+    assert(harness.timerOf(k).isDefined) // idle timer armed
+    // activity before expiry re-arms: another left row at t+600
+    harness.advanceTo(600)
+    harness.input(k, (true, Some("l2"), None))
+    harness.advanceTo(1200) // original deadline passed — but re-armed
+    assert(harness.stateOf(k).isDefined)
+    // full ttl of silence: the timer fires, state drops, NO output
+    assert(harness.advanceTo(1700) === Seq.empty)
+    assert(harness.stateOf(k).isEmpty)
+    // the lefts are gone: a matching right now emits nothing at all
+    assert(harness.input(k, (true, None, Some("r1"))) === Seq.empty)
+  }
+
   test("exact retract/restore protocol per element (left join, one key)") {
     type E = String
     val harness = new VirtualClockHarness[Int,
