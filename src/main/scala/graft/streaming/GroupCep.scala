@@ -1830,9 +1830,11 @@ object GroupCep {
     * format generation raises the named [[CepStateVersionException]]
     * instead of an opaque KryoException (layout change) or a silent
     * wrong resume (semantic change with unchanged layout). Bump
-    * [[CepStateCodec.Version]] whenever this class or its meaning
-    * changes; the recovery posture stays the standard Spark one —
-    * restart from a fresh checkpoint after reprocessing. */
+    * [[CepStateCodec.GroupVersion]] whenever this class or its meaning
+    * changes (versions are PER FAMILY — the linear engine's
+    * [[CepStateCodec.ArrivalVersion]] is independent); the recovery
+    * posture stays the standard Spark one — restart from a fresh
+    * checkpoint after reprocessing. */
   final case class GStreamState[E](confs: Vector[GConf[E]],
       pending: Vector[Vector[(Int, E)]],
       pendingSel: Vector[Vector[(Int, E)]] = Vector.empty)

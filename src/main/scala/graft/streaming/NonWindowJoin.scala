@@ -237,37 +237,47 @@ object NonWindowJoin {
 
   /** Shared Dataset scaffolding: ONE tagging pass per side (a second
     * null-key flatMap over each source would re-scan it every
-    * micro-batch), grouped by Option[K] — the None group holds every
-    * SQL-null-keyed row and is handled statelessly inside the wrapper
-    * (null keys never match anything: outer-side rows null-pad
-    * immediately, the rest drop; its state is never created).
-    *
-    * Join state is PRODUCT-encoded, not an opaque kryo envelope: the
-    * state row's schema (map columns of concrete row types) is visible
-    * to Spark's StateSchemaCompatibilityChecker, which raises its own
-    * named error on a layout change across checkpoints — the guarantee
-    * the CEP drivers need the version envelope for, at codegen'd
-    * encode cost instead of per-key kryo. */
+    * micro-batch). The group key is (Option[K], salt): real keys ride
+    * salt 0; SQL-null keys — stateless, order-free, interaction-free —
+    * are SALTED across [[NullKeySalt]] groups so a high-null-fraction
+    * input doesn't serialize through one reducer, and the wrapper
+    * handles any None group without ever creating state (see the class
+    * doc for the PRODUCT-encoded state rationale). */
+  private[streaming] val NullKeySalt = 64
   private def runJoin[K, L, R, S](left: Dataset[L], right: Dataset[R],
       lk: L => Option[K], rk: R => Option[K],
       leftOuter: Boolean, rightOuter: Boolean, idleTtlMs: Option[Long],
       fn: (Option[K], Iterator[(Boolean, Option[L], Option[R])],
         GroupState[S]) => Iterator[(Boolean, Option[L], Option[R])])(
-      implicit tagE: Encoder[(Option[K], Boolean, Option[L], Option[R])],
-      kE: Encoder[Option[K]],
+      implicit tagE: Encoder[((Option[K], Int), Boolean, Option[L], Option[R])],
+      kE: Encoder[(Option[K], Int)],
       outE: Encoder[(Boolean, Option[L], Option[R])],
       se: Encoder[S]): Dataset[(Boolean, Option[L], Option[R])] = {
-    val tl = left.map(l => (lk(l), true, Option(l), Option.empty[R]))
-    val tr = right.map(r => (rk(r), true, Option.empty[L], Option(r)))
+    idleTtlMs.foreach(ttl => require(ttl > 0,
+      s"idleTtlMs must be positive, got $ttl — a non-positive duration " +
+        "would fail inside the running query's first stateful batch"))
+    val nSalt = NullKeySalt // primitive capture: the lambdas must not
+                            // close over this (non-serializable) object
+    val tl = left.map { l =>
+      val k = lk(l)
+      val salt = if (k.isDefined) 0 else (l.hashCode & 0x7fffffff) % nSalt
+      ((k, salt), true, Option(l), Option.empty[R])
+    }
+    val tr = right.map { r =>
+      val k = rk(r)
+      val salt = if (k.isDefined) 0 else (r.hashCode & 0x7fffffff) % nSalt
+      ((k, salt), true, Option.empty[L], Option(r))
+    }
     val timeoutConf =
       if (idleTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     val g = guardedFn[K, L, R, S](leftOuter, rightOuter, idleTtlMs, fn)
     tl.union(tr).groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
-        (k: Option[K],
-            rows: Iterator[(Option[K], Boolean, Option[L], Option[R])],
-            st: GroupState[S]) => g(k, rows.map(t => (t._2, t._3, t._4)), st))
+        (k: (Option[K], Int),
+            rows: Iterator[((Option[K], Int), Boolean, Option[L], Option[R])],
+            st: GroupState[S]) =>
+          g(k._1, rows.map(t => (t._2, t._3, t._4)), st))
   }
 
   /** The per-key wrapper [[runJoin]] installs around the transition fn:
@@ -312,8 +322,8 @@ object NonWindowJoin {
   def unboundedOuterJoin[K, L, R](left: Dataset[L], right: Dataset[R],
       lk: L => Option[K], rk: R => Option[K], joinType: String,
       idleTtlMs: Option[Long] = None)(
-      implicit tagE: Encoder[(Option[K], Boolean, Option[L], Option[R])],
-      kE: Encoder[Option[K]],
+      implicit tagE: Encoder[((Option[K], Int), Boolean, Option[L], Option[R])],
+      kE: Encoder[(Option[K], Int)],
       outE: Encoder[(Boolean, Option[L], Option[R])],
       se: Encoder[SideState[L, R]]):
       Dataset[(Boolean, Option[L], Option[R])] = {
@@ -331,8 +341,8 @@ object NonWindowJoin {
       lk: L => Option[K], rk: R => Option[K], joinType: String,
       cond: (L, R) => Boolean,
       idleTtlMs: Option[Long])(
-      implicit tagE: Encoder[(Option[K], Boolean, Option[L], Option[R])],
-      kE: Encoder[Option[K]],
+      implicit tagE: Encoder[((Option[K], Int), Boolean, Option[L], Option[R])],
+      kE: Encoder[(Option[K], Int)],
       outE: Encoder[(Boolean, Option[L], Option[R])],
       se: Encoder[NESideState[L, R]]):
       Dataset[(Boolean, Option[L], Option[R])] = {
@@ -346,8 +356,8 @@ object NonWindowJoin {
   def unboundedOuterJoin[K, L, R](left: Dataset[L], right: Dataset[R],
       lk: L => Option[K], rk: R => Option[K], joinType: String,
       cond: (L, R) => Boolean)(
-      implicit tagE: Encoder[(Option[K], Boolean, Option[L], Option[R])],
-      kE: Encoder[Option[K]],
+      implicit tagE: Encoder[((Option[K], Int), Boolean, Option[L], Option[R])],
+      kE: Encoder[(Option[K], Int)],
       outE: Encoder[(Boolean, Option[L], Option[R])],
       se: Encoder[NESideState[L, R]]):
       Dataset[(Boolean, Option[L], Option[R])] =
