@@ -47,6 +47,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the CEP drivers need [[CepStateEnvelope]] for, at codegen'd encode
   * cost instead of per-key kryo.
   *
+  * `"inner"` is also accepted — the reference's NonWindowInnerJoin,
+  * the retract-correct inner join for retract-stream INPUTS (no
+  * null-padding; a plain Spark join already covers append inputs).
+  *
   * Deliberately NOT a batch query surface: on bounded inputs a plain
   * `df.join(..., "full_outer")` is the right plan (codegen'd SMJ/HJ —
   * measured ~2-3× faster than pushing rows through this typed stateful
@@ -62,11 +66,16 @@ object NonWindowJoin {
 
   private def outerFlags(joinType: String): (Boolean, Boolean) =
     joinType match {
+      // "inner" is the reference's NonWindowInnerJoin — needed (over a
+      // plain Spark join) only when the INPUTS are retract streams
+      // (upstream aggregates): a retracted input row must retract its
+      // previously emitted pairs. No null-padding on either side.
+      case "inner"       => (false, false)
       case "left_outer"  => (true, false)
       case "right_outer" => (false, true)
       case "full_outer"  => (true, true)
       case other => throw new IllegalArgumentException(
-        "outer join type expected (left_outer/right_outer/full_outer), " +
+        "join type expected (inner/left_outer/right_outer/full_outer), " +
           s"got $other")
     }
 

@@ -369,6 +369,38 @@ class NonWindowJoinSpec extends SparkSuite {
     assert(feed(2, true, None, Some("bbb")) === exp((true, "", "bbb")))
   }
 
+  test("port: JoinHarnessTest testNonWindowInnerJoinWithRetract (emission script)") {
+    // the retract-correct INNER join (NonWindowInnerJoin): needed over
+    // a plain Spark join only when the inputs are retract streams — a
+    // retracted input row must retract its previously emitted pairs.
+    // Exactly three records survive the script (the reference's
+    // expected list): state-entry counts are granularity-specific and
+    // not ported.
+    type E = String
+    val harness = new VirtualClockHarness[Int,
+      (Boolean, Option[E], Option[E]), NonWindowJoin.SideState[E, E],
+      (Boolean, Option[E], Option[E])](
+      GroupStateTimeout.NoTimeout(),
+      NonWindowJoin.joinFn[Int, E, E]("inner"))
+    def in(k: Int, c: Boolean, l: Option[E], r: Option[E]) =
+      harness.input(k, (c, l, r)).toList
+    assert(in(1, true, Some("aaa"), None) === Nil)  // no null-pads, ever
+    assert(in(1, true, Some("aaa"), None) === Nil)
+    assert(in(2, true, Some("bbb"), None) === Nil)
+    assert(in(1, false, Some("aaa"), None) === Nil) // count 2 -> 1
+    // one aaa left: ONE pair out; its retraction takes the pair back
+    assert(in(1, true, None, Some("Hi1")) ===
+      List((true, Some("aaa"), Some("Hi1"))))
+    assert(in(1, false, None, Some("Hi1")) ===
+      List((false, Some("aaa"), Some("Hi1"))))
+    assert(in(2, true, None, Some("Hello1")) ===
+      List((true, Some("bbb"), Some("Hello1"))))
+    assert(in(1, false, Some("aaa"), None) === Nil) // last aaa leaves
+    // rights arriving against an empty left side emit nothing (inner)
+    assert(in(1, true, None, Some("Hi2")) === Nil)
+    assert(in(1, false, None, Some("Hi2")) === Nil)
+  }
+
   test("exact retract/restore protocol per element (left join, one key)") {
     type E = String
     val harness = new VirtualClockHarness[Int,
