@@ -369,6 +369,91 @@ class NonWindowJoinSpec extends SparkSuite {
     assert(feed(2, true, None, Some("bbb")) === exp((true, "", "bbb")))
   }
 
+  test("randomized differential: materialized retract stream equals brute-force join " +
+      "(join type x cond x duplicates x retractions)") {
+    // The strongest equivalence available: for ANY interleaving of
+    // inserts and retractions, folding the operator's change stream
+    // must land on exactly the join of the SURVIVING row multisets —
+    // computed here by an independent brute-force nested loop. Also
+    // cross-checks joinFn vs joinFnNonEqui(cond = always-true): the
+    // recordNum and joinCnt machineries must materialize identically.
+    type E = (Int, Int) // (key, payload)
+    val rnd = new scala.util.Random(4111)
+    def bruteForce(lefts: Seq[E], rights: Seq[E], lo: Boolean,
+        ro: Boolean, cond: (E, E) => Boolean): Map[(Option[E], Option[E]), Int] = {
+      val pairs = for {
+        l <- lefts; r <- rights
+        if l._1 == r._1 && cond(l, r)
+      } yield (Option(l), Option(r))
+      val lNull = if (lo) lefts.filterNot(l => rights.exists(r =>
+        r._1 == l._1 && cond(l, r))).map(l => (Option(l), Option.empty[E]))
+      else Nil
+      val rNull = if (ro) rights.filterNot(r => lefts.exists(l =>
+        l._1 == r._1 && cond(l, r))).map(r => (Option.empty[E], Option(r)))
+      else Nil
+      (pairs ++ lNull ++ rNull).groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val conds: Seq[Option[(E, E) => Boolean]] =
+      Seq(None, Some((_, _) => true), Some((l, r) => l._2 <= r._2))
+    for {
+      joinType <- Seq("inner", "left_outer", "right_outer", "full_outer")
+      condOpt <- conds
+      trial <- 1 to 4
+    } {
+      val cond = condOpt.getOrElse((_: E, _: E) => true)
+      def randRows(n: Int): Seq[E] =
+        Seq.fill(n)((rnd.nextInt(3), rnd.nextInt(4)))
+      val insL = randRows(4 + rnd.nextInt(5))
+      val insR = randRows(4 + rnd.nextInt(5))
+      // retract a random subset of what was inserted
+      val retL = insL.filter(_ => rnd.nextBoolean())
+      val retR = insR.filter(_ => rnd.nextBoolean())
+      // one interleaved element script: all inserts shuffled, then all
+      // retractions shuffled (retracting before inserting would be an
+      // invalid retract stream)
+      val script: Seq[(Boolean, Option[E], Option[E])] =
+        rnd.shuffle(insL.map(l => (true, Option(l), Option.empty[E])) ++
+          insR.map(r => (true, Option.empty[E], Option(r)))) ++
+        rnd.shuffle(retL.map(l => (false, Option(l), Option.empty[E])) ++
+          retR.map(r => (false, Option.empty[E], Option(r))))
+      val harness = condOpt match {
+        case None => new VirtualClockHarness[Int,
+          (Boolean, Option[E], Option[E]), NonWindowJoin.SideState[E, E],
+          (Boolean, Option[E], Option[E])](
+          GroupStateTimeout.NoTimeout(), NonWindowJoin.joinFn[Int, E, E](joinType))
+        case Some(c) => new VirtualClockHarness[Int,
+          (Boolean, Option[E], Option[E]), NonWindowJoin.NESideState[E, E],
+          (Boolean, Option[E], Option[E])](
+          GroupStateTimeout.NoTimeout(),
+          NonWindowJoin.joinFnNonEqui[Int, E, E](joinType, c))
+      }
+      val got = scala.collection.mutable.Map
+        .empty[(Option[E], Option[E]), Int]
+      script.foreach { el =>
+        val k = el._2.orElse(el._3).get._1
+        harness.input(k, el).foreach { case (c, l, r) =>
+          val n = got.getOrElse((l, r), 0) + (if (c) 1 else -1)
+          assert(n >= 0, s"negative multiplicity for ($l, $r)")
+          if (n == 0) got.remove((l, r)) else got.update((l, r), n)
+        }
+      }
+      val (lo, ro) = joinType match {
+        case "inner" => (false, false)
+        case "left_outer" => (true, false)
+        case "right_outer" => (false, true)
+        case "full_outer" => (true, true)
+      }
+      val survL = retL.foldLeft(insL) { (acc, x) =>
+        val i = acc.indexOf(x); acc.patch(i, Nil, 1) }
+      val survR = retR.foldLeft(insR) { (acc, x) =>
+        val i = acc.indexOf(x); acc.patch(i, Nil, 1) }
+      val expected = bruteForce(survL, survR, lo, ro, cond)
+      assert(got.toMap === expected,
+        s"$joinType cond=${condOpt.isDefined} trial=$trial: " +
+          s"insL=$insL insR=$insR retL=$retL retR=$retR")
+    }
+  }
+
   test("port: JoinHarnessTest testNonWindowInnerJoinWithRetract (emission script)") {
     // the retract-correct INNER join (NonWindowInnerJoin): needed over
     // a plain Spark join only when the inputs are retract streams — a
