@@ -364,7 +364,8 @@ class NonWindowJoinSpec extends SparkSuite {
     assert(harness.advanceTo(9) === Seq.empty)
     assert(harness.stateOf(Option(1)).isEmpty)
     assert(harness.stateOf(Option(2)).isEmpty)
-    // time 8 tail: fresh arrivals join from scratch (nothing survived)
+    // the reference's time-8 tail (here fed at clock 9, past the same
+    // expiry): fresh arrivals join from scratch — nothing survived
     assert(feed(1, true, Some("bbb"), None) === exp((true, "bbb", "")))
     assert(feed(2, true, None, Some("bbb")) === exp((true, "", "bbb")))
   }
@@ -401,21 +402,34 @@ class NonWindowJoinSpec extends SparkSuite {
       trial <- 1 to 4
     } {
       val cond = condOpt.getOrElse((_: E, _: E) => true)
-      def randRows(n: Int): Seq[E] =
-        Seq.fill(n)((rnd.nextInt(3), rnd.nextInt(4)))
-      val insL = randRows(4 + rnd.nextInt(5))
-      val insR = randRows(4 + rnd.nextInt(5))
-      // retract a random subset of what was inserted
-      val retL = insL.filter(_ => rnd.nextBoolean())
-      val retR = insR.filter(_ => rnd.nextBoolean())
-      // one interleaved element script: all inserts shuffled, then all
-      // retractions shuffled (retracting before inserting would be an
-      // invalid retract stream)
-      val script: Seq[(Boolean, Option[E], Option[E])] =
-        rnd.shuffle(insL.map(l => (true, Option(l), Option.empty[E])) ++
-          insR.map(r => (true, Option.empty[E], Option(r)))) ++
-        rnd.shuffle(retL.map(l => (false, Option(l), Option.empty[E])) ++
-          retR.map(r => (false, Option.empty[E], Option(r))))
+      // build a VALID retract stream with retractions INTERLEAVED among
+      // inserts (a retraction may target any currently-live row): this
+      // exercises insert-after-retract transitions — joinCnt re-flips
+      // 0→1→0→1, recordNum re-crossings — that an inserts-then-retracts
+      // script never reaches
+      val liveL = scala.collection.mutable.ArrayBuffer.empty[E]
+      val liveR = scala.collection.mutable.ArrayBuffer.empty[E]
+      val script = scala.collection.mutable.ArrayBuffer
+        .empty[(Boolean, Option[E], Option[E])]
+      val steps = 12 + rnd.nextInt(10)
+      (1 to steps).foreach { _ =>
+        val leftSide = rnd.nextBoolean()
+        val (live, mkEl) =
+          if (leftSide) (liveL,
+            (c: Boolean, e: E) => (c, Option(e), Option.empty[E]))
+          else (liveR,
+            (c: Boolean, e: E) => (c, Option.empty[E], Option(e)))
+        if (live.nonEmpty && rnd.nextInt(3) == 0) {
+          val i = rnd.nextInt(live.size)
+          script += mkEl(false, live.remove(i))
+        } else {
+          val e = (rnd.nextInt(3), rnd.nextInt(4))
+          live += e
+          script += mkEl(true, e)
+        }
+      }
+      val survL = liveL.toSeq
+      val survR = liveR.toSeq
       val harness = condOpt match {
         case None => new VirtualClockHarness[Int,
           (Boolean, Option[E], Option[E]), NonWindowJoin.SideState[E, E],
@@ -443,14 +457,10 @@ class NonWindowJoinSpec extends SparkSuite {
         case "right_outer" => (false, true)
         case "full_outer" => (true, true)
       }
-      val survL = retL.foldLeft(insL) { (acc, x) =>
-        val i = acc.indexOf(x); acc.patch(i, Nil, 1) }
-      val survR = retR.foldLeft(insR) { (acc, x) =>
-        val i = acc.indexOf(x); acc.patch(i, Nil, 1) }
       val expected = bruteForce(survL, survR, lo, ro, cond)
       assert(got.toMap === expected,
         s"$joinType cond=${condOpt.isDefined} trial=$trial: " +
-          s"insL=$insL insR=$insR retL=$retL retR=$retR")
+          s"script=$script")
     }
   }
 
