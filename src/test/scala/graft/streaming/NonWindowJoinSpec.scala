@@ -464,6 +464,82 @@ class NonWindowJoinSpec extends SparkSuite {
     }
   }
 
+  test("port: JoinHarnessTest testNonWindowLeftJoinWithoutNonEqualPred (pre-expiry emissions)") {
+    // the equi left join's per-element script through processing time 4
+    // (the time-5+ tail exercises the reference's PER-SIDE retention,
+    // which our per-key idle TTL replaces — covered by the TTL tests)
+    type E = String
+    val harness = new VirtualClockHarness[Int,
+      (Boolean, Option[E], Option[E]), NonWindowJoin.SideState[E, E],
+      (Boolean, Option[E], Option[E])](
+      GroupStateTimeout.NoTimeout(),
+      NonWindowJoin.joinFn[Int, E, E]("left_outer"))
+    def in(k: Int, c: Boolean, l: Option[E], r: Option[E]) =
+      harness.input(k, (c, l, r)).toList.sortBy(_.toString)
+    def exp(rows: (Boolean, String, String)*) =
+      rows.toList.map { case (c, l, r) =>
+        (c, Option(l).filter(_.nonEmpty), Option(r).filter(_.nonEmpty))
+      }.sortBy(_.toString)
+    in(1, true, Some("aaa"), None)
+    in(1, true, Some("aaa"), None)
+    in(2, true, Some("bbb"), None)
+    // retract one copy of aaa: with no rights its null-pad retracts
+    assert(in(1, false, Some("aaa"), None) === exp((false, "aaa", "")))
+    // first right: the surviving aaa's null-pad flips, pair emits
+    assert(in(1, true, None, Some("Hi1")) === exp(
+      (false, "aaa", ""), (true, "aaa", "Hi1")))
+    // right retracts: pair retracts, null-pad restores
+    assert(in(1, false, None, Some("Hi1")) === exp(
+      (false, "aaa", "Hi1"), (true, "aaa", "")))
+    assert(in(2, true, None, Some("Hello1")) === exp(
+      (false, "bbb", ""), (true, "bbb", "Hello1")))
+    // last aaa retracts: its (restored) null-pad goes with it
+    assert(in(1, false, Some("aaa"), None) === exp((false, "aaa", "")))
+  }
+
+  test("port: JoinHarnessTest testNonWindowLeftJoinWithNonEqualPred (pre-expiry emissions)") {
+    // the joinCnt left join (cond: l.str > r.str, ASCII — lowercase
+    // beats uppercase) through processing time 4; includes the script's
+    // retraction of a right row that was never inserted (state no-op,
+    // no matching lefts, no output)
+    type E = String
+    val harness = new VirtualClockHarness[Int,
+      (Boolean, Option[E], Option[E]), NonWindowJoin.NESideState[E, E],
+      (Boolean, Option[E], Option[E])](
+      GroupStateTimeout.NoTimeout(),
+      NonWindowJoin.joinFnNonEqui[Int, E, E]("left_outer", _ > _))
+    def in(k: Int, c: Boolean, l: Option[E], r: Option[E]) =
+      harness.input(k, (c, l, r)).toList.sortBy(_.toString)
+    def exp(rows: (Boolean, String, String)*) =
+      rows.toList.map { case (c, l, r) =>
+        (c, Option(l).filter(_.nonEmpty), Option(r).filter(_.nonEmpty))
+      }.sortBy(_.toString)
+    assert(in(1, true, Some("aaa"), None) === exp((true, "aaa", "")))
+    assert(in(1, false, Some("aaa"), None) === exp((false, "aaa", "")))
+    assert(in(1, true, Some("bbb"), None) === exp((true, "bbb", "")))
+    assert(in(1, true, Some("aaa"), None) === exp((true, "aaa", "")))
+    assert(in(2, true, Some("bbb"), None) === exp((true, "bbb", "")))
+    // Hi1 matches BOTH lefts (aaa > Hi1, bbb > Hi1): both null-pads flip
+    assert(in(1, true, None, Some("Hi1")) === exp(
+      (false, "aaa", ""), (false, "bbb", ""),
+      (true, "aaa", "Hi1"), (true, "bbb", "Hi1")))
+    // retracting a right row never inserted: removes nothing, matches
+    // nothing (bbb > bbb is false), emits nothing
+    assert(in(1, false, None, Some("bbb")) === Nil)
+    // ccc matches no left on key 2 (bbb > ccc is false): silence
+    assert(in(2, true, None, Some("ccc")) === Nil)
+    assert(in(2, true, None, Some("Hello")) === exp(
+      (false, "bbb", ""), (true, "bbb", "Hello")))
+    // aaa leaves: its pair with Hi1 retracts (bbb's stays)
+    assert(in(1, false, Some("aaa"), None) === exp((false, "aaa", "Hi1")))
+    // Hi2 raises bbb's joinCnt to 2 — no flip, just the pair
+    assert(in(1, true, None, Some("Hi2")) === exp((true, "bbb", "Hi2")))
+    assert(in(1, false, None, Some("Hi2")) === exp((false, "bbb", "Hi2")))
+    // losing the LAST match (Hi1) restores bbb's null-pad
+    assert(in(1, false, None, Some("Hi1")) === exp(
+      (false, "bbb", "Hi1"), (true, "bbb", "")))
+  }
+
   test("port: JoinHarnessTest testNonWindowInnerJoinWithRetract (emission script)") {
     // the retract-correct INNER join (NonWindowInnerJoin): needed over
     // a plain Spark join only when the inputs are retract streams — a
