@@ -34,7 +34,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (the same guarantee the reference's parallel channels give; its
   * ITCases assert the RetractingSink's materialized state, as do ours).
   *
-  * Scale: one hash Exchange per side into the stateful operator; state
+  * Scale: one hash Exchange per side into the stateful operator, and
+  * O(1) output buffering — a hot key holding N distinct other-side
+  * rows emits its O(N) rows per arriving element LAZILY (the memory
+  * ceiling is the key's state, never its output; the reference streams
+  * the same expansion through its collector,
+  * NonWindowOuterJoin.scala:84-101). State
   * is retained forever per the reference's default contract, with the
   * reference's StreamQueryConfig retention available as `idleTtlMs`
   * (per-key idle expiry over a processing-time timer — the established
@@ -64,7 +69,7 @@ object NonWindowJoin {
   /** Per-key two-side state: distinct row → multiplicity. */
   final case class SideState[L, R](lefts: Map[L, Long], rights: Map[R, Long])
 
-  private def outerFlags(joinType: String): (Boolean, Boolean) =
+  private[streaming] def outerFlags(joinType: String): (Boolean, Boolean) =
     joinType match {
       // "inner" is the reference's NonWindowInnerJoin — needed (over a
       // plain Spark join) only when the INPUTS are retract streams
@@ -79,11 +84,31 @@ object NonWindowJoin {
           s"got $other")
     }
 
+  /** `n` lazy copies of `v` — the multiplicity expansion, O(1) memory
+    * (the reference streams the same expansion through its collector —
+    * NonWindowOuterJoin.scala:84-101 has no per-key output buffer). */
+  private def repeatIt[T](n: Long, v: T): Iterator[T] = new Iterator[T] {
+    private var i = 0L
+    def hasNext: Boolean = i < n
+    def next(): T = { i += 1; v }
+  }
+
   /** The per-key state-transition function — change-tagged elements
     * (exactly one side set) in, change-tagged joined rows out. Exposed
     * for harness-level conformance drives (retract-stream INPUTS, the
     * upstream-aggregate shape of the reference's
-    * testLeftJoinWithRetractionInput). */
+    * testLeftJoinWithRetractionInput).
+    *
+    * Emission is LAZY per element: a hot key whose state holds N
+    * distinct other-side rows yields its O(N) output rows one at a
+    * time instead of materializing them (the operator's memory ceiling
+    * is the key's STATE, never its output). Protocol order holds —
+    * each element's own-side count updates eagerly when the element is
+    * pulled, before any of its emissions are produced — and the final
+    * state write rides output-iterator exhaustion, the contract
+    * Spark's FlatMapGroupsWithStateExec commits state under (its
+    * CompletionIterator applies GroupState changes after the returned
+    * iterator drains). */
   def joinFn[K, L, R](joinType: String):
       (K, Iterator[(Boolean, Option[L], Option[R])],
         GroupState[SideState[L, R]]) =>
@@ -94,11 +119,8 @@ object NonWindowJoin {
       var st = state.getOption.getOrElse(SideState[L, R](Map.empty, Map.empty))
       var lTotal = st.lefts.valuesIterator.sum
       var rTotal = st.rights.valuesIterator.sum
-      val out = Vector.newBuilder[(Boolean, Option[L], Option[R])]
-      def times(n: Long)(f: => Unit): Unit = {
-        var i = 0L; while (i < n) { f; i += 1 }
-      }
-      it.foreach { case (c, lo, ro) =>
+      type Out = (Boolean, Option[L], Option[R])
+      val core: Iterator[Out] = it.flatMap { case (c, lo, ro) =>
         if (lo.isDefined) {
           val l = lo.get
           val old = st.lefts.getOrElse(l, 0L)
@@ -108,14 +130,26 @@ object NonWindowJoin {
           lTotal += (if (c) 1L else -1L)
           val recordNum = math.min(lTotal, 2L)
           var matched = 0L
-          st.rights.foreach { case (r, n) =>
-            if (rightOuter && c && recordNum == 1)
-              times(n)(out += ((false, None, Some(r))))
-            times(n)(out += ((c, Some(l), Some(r)))); matched += n
-            if (rightOuter && !c && recordNum == 0)
-              times(n)(out += ((true, None, Some(r))))
+          // snapshot: the next element is only pulled after this
+          // element's iterator exhausts, but pin the map anyway
+          val rights = st.rights
+          val pairs: Iterator[Out] = rights.iterator.flatMap { case (r, n) =>
+            matched += n
+            val pre: Iterator[Out] =
+              if (rightOuter && c && recordNum == 1)
+                repeatIt(n, (false, Option.empty[L], Option(r)))
+              else Iterator.empty
+            val post: Iterator[Out] =
+              if (rightOuter && !c && recordNum == 0)
+                repeatIt(n, (true, Option.empty[L], Option(r)))
+              else Iterator.empty
+            pre ++ repeatIt(n, (c, Option(l), Option(r))) ++ post
           }
-          if (matched == 0 && leftOuter) out += ((c, Some(l), None))
+          // `++`'s by-name tail: `matched` is read only once pairs drain
+          pairs ++ (
+            if (matched == 0 && leftOuter)
+              Iterator.single((c, Option(l), Option.empty[R]))
+            else Iterator.empty[Out])
         } else {
           val r = ro.get
           val old = st.rights.getOrElse(r, 0L)
@@ -125,19 +159,31 @@ object NonWindowJoin {
           rTotal += (if (c) 1L else -1L)
           val recordNum = math.min(rTotal, 2L)
           var matched = 0L
-          st.lefts.foreach { case (l, n) =>
-            if (leftOuter && c && recordNum == 1)
-              times(n)(out += ((false, Some(l), None)))
-            times(n)(out += ((c, Some(l), Some(r)))); matched += n
-            if (leftOuter && !c && recordNum == 0)
-              times(n)(out += ((true, Some(l), None)))
+          val lefts = st.lefts
+          val pairs: Iterator[Out] = lefts.iterator.flatMap { case (l, n) =>
+            matched += n
+            val pre: Iterator[Out] =
+              if (leftOuter && c && recordNum == 1)
+                repeatIt(n, (false, Option(l), Option.empty[R]))
+              else Iterator.empty
+            val post: Iterator[Out] =
+              if (leftOuter && !c && recordNum == 0)
+                repeatIt(n, (true, Option(l), Option.empty[R]))
+              else Iterator.empty
+            pre ++ repeatIt(n, (c, Option(l), Option(r))) ++ post
           }
-          if (matched == 0 && rightOuter) out += ((c, None, Some(r)))
+          pairs ++ (
+            if (matched == 0 && rightOuter)
+              Iterator.single((c, Option.empty[L], Option(r)))
+            else Iterator.empty[Out])
         }
       }
-      if (st.lefts.isEmpty && st.rights.isEmpty) state.remove()
-      else state.update(st)
-      out.result().iterator
+      core ++ {
+        // runs once per invocation, when the output drains: commit state
+        if (st.lefts.isEmpty && st.rights.isEmpty) state.remove()
+        else state.update(st)
+        Iterator.empty[Out]
+      }
     }
   }
 
@@ -170,11 +216,8 @@ object NonWindowJoin {
         state: GroupState[NESideState[L, R]]) => {
       var st = state.getOption.getOrElse(
         NESideState[L, R](Map.empty, Map.empty, Map.empty, Map.empty))
-      val out = Vector.newBuilder[(Boolean, Option[L], Option[R])]
-      def times(n: Long)(f: => Unit): Unit = {
-        var i = 0L; while (i < n) { f; i += 1 }
-      }
-      it.foreach { case (c, lo, ro) =>
+      type Out = (Boolean, Option[L], Option[R])
+      val core: Iterator[Out] = it.flatMap { case (c, lo, ro) =>
         if (lo.isDefined) {
           val l = lo.get
           val old = st.lefts.getOrElse(l, 0L)
@@ -183,30 +226,48 @@ object NonWindowJoin {
             if (now <= 0) st.lefts - l else st.lefts.updated(l, now))
           if (!c && now <= 0) st = st.copy(leftJoinCnt = st.leftJoinCnt - l)
           var matched = 0L
-          if (rightOuter) {
+          val rights = st.rights
+          val pairs: Iterator[Out] = if (rightOuter) {
             // each distinct r is visited once per element, so joinCnt
             // updates accumulate locally and land in ONE state rebuild
-            // (a per-row st.copy would allocate O(matching rows) states)
+            // (a per-row st.copy would allocate O(matching rows) states);
+            // the rebuild happens in the by-name tail below, after the
+            // lazy pair emission drains
             val jcNew = scala.collection.mutable.HashMap.empty[R, Long]
-            st.rights.foreach { case (r, n) =>
+            val jcOld = st.rightJoinCnt
+            rights.iterator.flatMap { case (r, n) =>
               if (cond(l, r)) {
-                val jc = st.rightJoinCnt.getOrElse(r, 0L)
+                val jc = jcOld.getOrElse(r, 0L)
                 jcNew.update(r, if (c) jc + 1 else jc - 1)
-                if (c && jc == 0) times(n)(out += ((false, None, Some(r))))
-                times(n)(out += ((c, Some(l), Some(r)))); matched += n
-                if (!c && jc == 1) times(n)(out += ((true, None, Some(r))))
-              }
+                matched += n
+                val pre: Iterator[Out] =
+                  if (c && jc == 0)
+                    repeatIt(n, (false, Option.empty[L], Option(r)))
+                  else Iterator.empty
+                val post: Iterator[Out] =
+                  if (!c && jc == 1)
+                    repeatIt(n, (true, Option.empty[L], Option(r)))
+                  else Iterator.empty
+                pre ++ repeatIt(n, (c, Option(l), Option(r))) ++ post
+              } else Iterator.empty[Out]
+            } ++ {
+              if (jcNew.nonEmpty)
+                st = st.copy(rightJoinCnt = st.rightJoinCnt ++ jcNew)
+              Iterator.empty[Out]
             }
-            if (jcNew.nonEmpty)
-              st = st.copy(rightJoinCnt = st.rightJoinCnt ++ jcNew)
-          } else st.rights.foreach { case (r, n) =>
+          } else rights.iterator.flatMap { case (r, n) =>
             if (cond(l, r)) {
-              times(n)(out += ((c, Some(l), Some(r)))); matched += n
-            }
+              matched += n
+              repeatIt(n, (c, Option(l), Option(r)))
+            } else Iterator.empty[Out]
           }
-          if (leftOuter && c && now == 1)
-            st = st.copy(leftJoinCnt = st.leftJoinCnt.updated(l, matched))
-          if (matched == 0 && leftOuter) out += ((c, Some(l), None))
+          pairs ++ {
+            if (leftOuter && c && now == 1)
+              st = st.copy(leftJoinCnt = st.leftJoinCnt.updated(l, matched))
+            if (matched == 0 && leftOuter)
+              Iterator.single((c, Option(l), Option.empty[R]))
+            else Iterator.empty[Out]
+          }
         } else {
           val r = ro.get
           val old = st.rights.getOrElse(r, 0L)
@@ -215,32 +276,50 @@ object NonWindowJoin {
             if (now <= 0) st.rights - r else st.rights.updated(r, now))
           if (!c && now <= 0) st = st.copy(rightJoinCnt = st.rightJoinCnt - r)
           var matched = 0L
-          if (leftOuter) {
+          val lefts = st.lefts
+          val pairs: Iterator[Out] = if (leftOuter) {
             val jcNew = scala.collection.mutable.HashMap.empty[L, Long]
-            st.lefts.foreach { case (l, n) =>
+            val jcOld = st.leftJoinCnt
+            lefts.iterator.flatMap { case (l, n) =>
               if (cond(l, r)) {
-                val jc = st.leftJoinCnt.getOrElse(l, 0L)
+                val jc = jcOld.getOrElse(l, 0L)
                 jcNew.update(l, if (c) jc + 1 else jc - 1)
-                if (c && jc == 0) times(n)(out += ((false, Some(l), None)))
-                times(n)(out += ((c, Some(l), Some(r)))); matched += n
-                if (!c && jc == 1) times(n)(out += ((true, Some(l), None)))
-              }
+                matched += n
+                val pre: Iterator[Out] =
+                  if (c && jc == 0)
+                    repeatIt(n, (false, Option(l), Option.empty[R]))
+                  else Iterator.empty
+                val post: Iterator[Out] =
+                  if (!c && jc == 1)
+                    repeatIt(n, (true, Option(l), Option.empty[R]))
+                  else Iterator.empty
+                pre ++ repeatIt(n, (c, Option(l), Option(r))) ++ post
+              } else Iterator.empty[Out]
+            } ++ {
+              if (jcNew.nonEmpty)
+                st = st.copy(leftJoinCnt = st.leftJoinCnt ++ jcNew)
+              Iterator.empty[Out]
             }
-            if (jcNew.nonEmpty)
-              st = st.copy(leftJoinCnt = st.leftJoinCnt ++ jcNew)
-          } else st.lefts.foreach { case (l, n) =>
+          } else lefts.iterator.flatMap { case (l, n) =>
             if (cond(l, r)) {
-              times(n)(out += ((c, Some(l), Some(r)))); matched += n
-            }
+              matched += n
+              repeatIt(n, (c, Option(l), Option(r)))
+            } else Iterator.empty[Out]
           }
-          if (rightOuter && c && now == 1)
-            st = st.copy(rightJoinCnt = st.rightJoinCnt.updated(r, matched))
-          if (matched == 0 && rightOuter) out += ((c, None, Some(r)))
+          pairs ++ {
+            if (rightOuter && c && now == 1)
+              st = st.copy(rightJoinCnt = st.rightJoinCnt.updated(r, matched))
+            if (matched == 0 && rightOuter)
+              Iterator.single((c, Option.empty[L], Option(r)))
+            else Iterator.empty[Out]
+          }
         }
       }
-      if (st.lefts.isEmpty && st.rights.isEmpty) state.remove()
-      else state.update(st)
-      out.result().iterator
+      core ++ {
+        if (st.lefts.isEmpty && st.rights.isEmpty) state.remove()
+        else state.update(st)
+        Iterator.empty[Out]
+      }
     }
   }
 
@@ -314,11 +393,15 @@ object NonWindowJoin {
               Iterator((c, Option.empty[L], Option(r)))
             case _ => Iterator.empty
           }
-        // fn builds its output eagerly, so the state write (if any)
-        // already happened — re-arm the idle timer on live keys
-        idleTtlMs.foreach(ttl =>
-          if (st.exists) st.setTimeoutDuration(ttl))
-        out
+        // fn emits lazily and commits its state write when its output
+        // drains — so the idle-timer re-arm must ride the SAME
+        // exhaustion (a by-name `++` tail evaluates after `out`,
+        // including fn's own commit tail, is exhausted)
+        out ++ {
+          idleTtlMs.foreach(ttl =>
+            if (st.exists) st.setTimeoutDuration(ttl))
+          Iterator.empty[(Boolean, Option[L], Option[R])]
+        }
       }
     }
 

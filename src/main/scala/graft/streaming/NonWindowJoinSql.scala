@@ -1,0 +1,187 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, BasePredicate, BindReferences, Expression, Predicate => CatalystPredicate}
+import org.apache.spark.sql.catalyst.plans.logical.Project
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+
+/** Column-expression surface for [[NonWindowJoin]] — the user-facing
+  * twin of the reference's SQL form `l JOIN r ON a = d AND b <= h`
+  * planned through DataStreamJoin (flink-table
+  * plan/nodes/datastream/DataStreamJoin.scala:46 — the equi-keys drive
+  * keyBy, the residual runs inside the generated join function). The
+  * typed surface takes Scala lambdas for keys and the residual; this
+  * one takes `Seq[Column]` equi-key pairs and an optional residual
+  * `Column` predicate and COMPILES them to those lambdas, so the
+  * semantics (eager null-pad + retraction, joinCnt for non-equi,
+  * SQL-null keys never joining, null-key salting, idle-TTL) are
+  * exactly [[NonWindowJoin.joinFn]] / [[NonWindowJoin.joinFnNonEqui]]'s
+  * — conformance-ported through this surface in NonWindowJoinSpec.
+  *
+  * Output: `change BOOLEAN` + left's columns + right's columns
+  * (null-padded on the preserved side) — the change-tagged stream whose
+  * running multiset is the join's current result.
+  *
+  * Contracts:
+  *  - key Columns and the residual must be built from plain column
+  *    references (`col("a")` / `$"a"` / `expr(...)`) — they resolve
+  *    against this operator's internal plan, not the input Datasets';
+  *  - key pairs must agree pairwise on DataType (named error — the SQL
+  *    planner's implicit cast insertion is the caller's job here);
+  *  - the residual resolves against the CONCATENATED schema (left's
+  *    fields then right's), so names it references must be unambiguous
+  *    across the two sides — the reference's SQL form shares this
+  *    constraint — and it must be a deterministic BOOLEAN (it
+  *    re-evaluates on retraction and must hit the same pairs).
+  *
+  * The residual is evaluated per candidate pair as a catalyst
+  * predicate over the concatenated row (the reference codegens this
+  * callback into its join function); the hot cost — the per-key state
+  * scan — is identical to the typed surface's. Equi-keys group as one
+  * canonical JSON string per row (same DataTypes both sides ⇒ equal
+  * values serialize identically); any null key component makes the
+  * whole key SQL-null, which never joins. State rides the kryo
+  * encoder here (generic `Row` state cannot be product-encoded); the
+  * typed surface keeps its schema-visible product encoding. */
+object NonWindowJoinSql {
+
+  /** Residual predicate compiled once on the driver, evaluated per
+    * candidate pair on executors (interpreted/codegen per catalyst's
+    * own fallback; instantiated lazily per task). A null predicate
+    * result is false — the SQL join-condition contract. */
+  private final class RowPairPredicate(bound: Expression,
+      schema: StructType) extends ((Row, Row) => Boolean)
+      with Serializable {
+    @transient private lazy val pred: BasePredicate =
+      CatalystPredicate.create(bound)
+    @transient private lazy val conv =
+      CatalystTypeConverters.createToCatalystConverter(schema)
+    def apply(l: Row, r: Row): Boolean =
+      pred.eval(conv(Row.fromSeq(l.toSeq ++ r.toSeq))
+        .asInstanceOf[InternalRow])
+  }
+
+  private def compileResidual(left: DataFrame, right: DataFrame,
+      residual: Column): (Row, Row) => Boolean = {
+    val combined = StructType(left.schema.fields ++ right.schema.fields)
+    val spark = left.sparkSession
+    val dummy = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], combined)
+    val analyzed = dummy.select(residual.as("__p"))
+      .queryExecution.analyzed
+    val (expr, childOut) = analyzed match {
+      case p: Project =>
+        val e = p.projectList.head match {
+          case a: Alias => a.child
+          case e        => e
+        }
+        (e, p.child.output)
+      case other => throw new IllegalArgumentException(
+        s"residual did not analyze to a projection: $other")
+    }
+    require(expr.dataType == BooleanType,
+      s"residual must be BOOLEAN, got ${expr.dataType.sql} — $residual")
+    require(expr.deterministic,
+      "residual must be deterministic — it re-evaluates on retraction " +
+        s"and the retract must hit the same pairs: $residual")
+    new RowPairPredicate(BindReferences.bindReference(expr, childOut),
+      combined)
+  }
+
+  /** [[NonWindowJoin.unboundedOuterJoin]] for DataFrames with
+    * Column-expression equi-keys and an optional residual — see the
+    * object doc for contracts and semantics. */
+  def unboundedOuterJoin(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[Column], rightKeys: Seq[Column], joinType: String,
+      residual: Option[Column] = None,
+      idleTtlMs: Option[Long] = None): DataFrame = {
+    val (leftOuter, rightOuter) = NonWindowJoin.outerFlags(joinType)
+    require(leftKeys.nonEmpty, "at least one equi-key pair is required")
+    require(leftKeys.size == rightKeys.size,
+      s"equi-key arity mismatch: ${leftKeys.size} left vs " +
+        s"${rightKeys.size} right")
+    val lKeyTypes = left.select(leftKeys: _*).schema.map(_.dataType)
+    val rKeyTypes = right.select(rightKeys: _*).schema.map(_.dataType)
+    require(lKeyTypes == rKeyTypes,
+      "equi-key types must match pairwise (insert casts on the " +
+        s"caller side): left $lKeyTypes vs right $rKeyTypes")
+
+    val lSchema = left.schema
+    val rSchema = right.schema
+    val cond = residual.map(compileResidual(left, right, _))
+
+    // canonical grouping key: one JSON string over the key tuple; any
+    // null component nulls the whole key (SQL-null keys never join)
+    def keyCol(keys: Seq[Column]): Column = when(
+      keys.map(_.isNull).reduce(_ || _), lit(null).cast("string"))
+      .otherwise(to_json(struct(
+        keys.zipWithIndex.map { case (k, i) => k.as("k" + i) }: _*)))
+
+    val lTagged = left.select(keyCol(leftKeys).as("__key"),
+      lit(true).as("__change"), struct(col("*")).as("__l"),
+      lit(null).cast(rSchema).as("__r"))
+    val rTagged = right.select(keyCol(rightKeys).as("__key"),
+      lit(true).as("__change"), lit(null).cast(lSchema).as("__l"),
+      struct(col("*")).as("__r"))
+
+    implicit val keyEnc: Encoder[(Option[String], Int)] =
+      Encoders.product[(Option[String], Int)]
+    val nSalt = NonWindowJoin.NullKeySalt
+    val grouped = lTagged.unionByName(rTagged).groupByKey { row =>
+      val k = if (row.isNullAt(0)) None else Some(row.getString(0))
+      val salt =
+        if (k.isDefined) 0
+        else {
+          val side = if (!row.isNullAt(2)) row.getStruct(2)
+                     else row.getStruct(3)
+          (side.hashCode & 0x7fffffff) % nSalt
+        }
+      (k, salt)
+    }
+
+    def asTuple(row: Row): (Boolean, Option[Row], Option[Row]) = (
+      row.getBoolean(1),
+      if (row.isNullAt(2)) None else Some(row.getStruct(2)),
+      if (row.isNullAt(3)) None else Some(row.getStruct(3)))
+    def asRow(t: (Boolean, Option[Row], Option[Row])): Row =
+      Row(t._1, t._2.orNull, t._3.orNull)
+
+    implicit val outEnc: Encoder[Row] = Encoders.row(StructType(Seq(
+      StructField("change", BooleanType, nullable = false),
+      StructField("__l", lSchema, nullable = true),
+      StructField("__r", rSchema, nullable = true))))
+    val timeoutConf =
+      if (idleTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+
+    def run[S](fn: (Option[String],
+        Iterator[(Boolean, Option[Row], Option[Row])],
+        org.apache.spark.sql.streaming.GroupState[S]) =>
+          Iterator[(Boolean, Option[Row], Option[Row])])(
+        implicit stEnc: Encoder[S]): Dataset[Row] = {
+      val g = NonWindowJoin.guardedFn[String, Row, Row, S](
+        leftOuter, rightOuter, idleTtlMs, fn)
+      grouped.flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), timeoutConf) {
+        (k: (Option[String], Int), rows: Iterator[Row],
+            st: org.apache.spark.sql.streaming.GroupState[S]) =>
+          g(k._1, rows.map(asTuple), st).map(asRow)
+      }(stEnc, outEnc)
+    }
+
+    val nested: Dataset[Row] = cond match {
+      case None => run(NonWindowJoin.joinFn[Option[String], Row, Row](
+        joinType))(Encoders.kryo[NonWindowJoin.SideState[Row, Row]])
+      case Some(c) => run(NonWindowJoin.joinFnNonEqui[Option[String],
+        Row, Row](joinType, c))(
+        Encoders.kryo[NonWindowJoin.NESideState[Row, Row]])
+    }
+
+    nested.select(col("change") +:
+      (lSchema.fieldNames.map(n => col("__l").getField(n).as(n)) ++
+        rSchema.fieldNames.map(n => col("__r").getField(n).as(n))).toSeq: _*)
+  }
+}

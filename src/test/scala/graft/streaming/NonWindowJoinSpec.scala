@@ -47,32 +47,58 @@ class NonWindowJoinSpec extends SparkSuite {
 
   /** Run one ITCase port: stream both fixtures through
     * unboundedOuterJoin on (a,b)==(d,h) — or on a==d with a residual
-    * non-equi `cond` — project (c, g), materialize. */
+    * non-equi `cond` — project (c, g), materialize. With `viaCols` the
+    * SAME port runs through the Column-expression surface
+    * ([[NonWindowJoinSql]]): keys as `Seq[Column]`, the residual as a
+    * `Column` predicate (`colResidual`), output read back from the
+    * flattened change-tagged DataFrame. */
   private def runPort(joinType: String, ds1: Seq[T3], ds2: Seq[T5],
-      cond: Option[(T3, T5) => Boolean] = None): Seq[String] = {
+      cond: Option[(T3, T5) => Boolean] = None,
+      viaCols: Boolean = false,
+      colResidual: Option[org.apache.spark.sql.Column] = None): Seq[String] = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
     val in1 = MemoryStream[T3]
     val in2 = MemoryStream[T5]
     val mat = new Materializer
-    val joined = cond match {
-      case None => NonWindowJoin.unboundedOuterJoin[(Int, Long), T3, T5](
-        in1.toDS(), in2.toDS(),
-        l => l._1.map(a => (a, l._2)),
-        r => r._1.map(d => (d, r._5)),
-        joinType)
-      case Some(c) => NonWindowJoin.unboundedOuterJoin[Int, T3, T5](
-        in1.toDS(), in2.toDS(),
-        l => l._1, r => r._1, joinType, c)
-    }
-    val q = joined.writeStream.outputMode("append")
-      .foreachBatch {
-        (df: org.apache.spark.sql.Dataset[(Boolean, Option[T3], Option[T5])],
-            _: Long) =>
-          df.collect().foreach { case (c, lo, ro) =>
-            mat(c, lo.map(_._3).getOrElse("null") + "," +
-              ro.map(_._4).getOrElse("null"))
+    val q = if (viaCols) {
+      val lDf = in1.toDS().toDF("a", "b", "c")
+      val rDf = in2.toDS().toDF("d", "e", "f", "g", "h")
+      val joined = colResidual match {
+        case None => NonWindowJoinSql.unboundedOuterJoin(lDf, rDf,
+          Seq(col("a"), col("b")), Seq(col("d"), col("h")), joinType)
+        case Some(res) => NonWindowJoinSql.unboundedOuterJoin(lDf, rDf,
+          Seq(col("a")), Seq(col("d")), joinType, Some(res))
+      }
+      joined.writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach { row =>
+            val c = Option(row.getAs[String]("c")).getOrElse("null")
+            val g = Option(row.getAs[String]("g")).getOrElse("null")
+            mat(row.getAs[Boolean]("change"), c + "," + g)
           }
-      }.start()
+        }.start()
+    } else {
+      val joined = cond match {
+        case None => NonWindowJoin.unboundedOuterJoin[(Int, Long), T3, T5](
+          in1.toDS(), in2.toDS(),
+          l => l._1.map(a => (a, l._2)),
+          r => r._1.map(d => (d, r._5)),
+          joinType)
+        case Some(c) => NonWindowJoin.unboundedOuterJoin[Int, T3, T5](
+          in1.toDS(), in2.toDS(),
+          l => l._1, r => r._1, joinType, c)
+      }
+      joined.writeStream.outputMode("append")
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(Boolean, Option[T3], Option[T5])],
+              _: Long) =>
+            df.collect().foreach { case (c, lo, ro) =>
+              mat(c, lo.map(_._3).getOrElse("null") + "," +
+                ro.map(_._4).getOrElse("null"))
+            }
+        }.start()
+    }
     try {
       // three interleaved chunks so null-pads genuinely retract across
       // micro-batches (not an artifact of one-shot evaluation)
@@ -185,6 +211,56 @@ class NonWindowJoinSpec extends SparkSuite {
     assert(runPort("full_outer", t3Opt(nullAt21 = false),
       t5Opt(nullAtE15 = false),
       Some((l: T3, r: T5) => l._2 <= r._5)) === expected.sorted)
+  }
+
+  test("Column surface: testLeftJoinWithMultipleKeys via Seq[Column] equi-keys") {
+    // the same ported ITCase, driven through NonWindowJoinSql — the
+    // Seq[Column] keys compile to the typed key lambdas, so the
+    // materialized retract state must be identical to the typed run
+    val expected = Seq(
+      "Hi,Hallo", "Hello,Hallo Welt", "Hello world,Hallo Welt wie gehts?",
+      "Hello world,ABC", "Hello world, how are you?,null", "I am fine.,HIJ",
+      "I am fine.,IJK", "Luke Skywalker,null", "Comment#1,null",
+      "Comment#2,null", "Comment#3,null", "Comment#4,null", "Comment#5,null",
+      "Comment#6,null", "Comment#7,null", "Comment#8,null", "Comment#9,null",
+      "Comment#10,null", "Comment#11,null", "Comment#12,null",
+      "Comment#13,null", "Comment#14,null", "Comment#15,null")
+    assert(runPort("left_outer", t3Opt(nullAt21 = true),
+      t5Opt(nullAtE15 = true), viaCols = true) === expected.sorted)
+  }
+
+  test("Column surface: testFullJoinWithNonEquiJoinPred via Column residual (ON a = d AND b <= h)") {
+    import org.apache.spark.sql.functions.col
+    val expected = Seq(
+      "Hi,Hallo", "Hello,Hallo Welt", "Hello world,Hallo Welt wie gehts?",
+      "Hello world,ABC", "Hello world,BCD", "I am fine.,HIJ",
+      "I am fine.,IJK",
+      "Hello world, how are you?,null", "Luke Skywalker,null",
+      "null,Hallo Welt wie", "null,CDE", "null,DEF", "null,EFG",
+      "null,FGH", "null,GHI", "null,JKL", "null,KLM") ++ comments
+    assert(runPort("full_outer", t3Opt(nullAt21 = false),
+      t5Opt(nullAtE15 = false), viaCols = true,
+      colResidual = Some(col("b") <= col("h"))) === expected.sorted)
+  }
+
+  test("Column surface rejections: key arity/type mismatch, non-boolean or nondeterministic residual") {
+    import org.apache.spark.sql.functions.{col, rand}
+    val lDf = Seq((1, 1L, "x")).toDF("a", "b", "c")
+    val rDf = Seq((1, "y", 2L)).toDF("d", "g", "h")
+    def named(body: => Any): String =
+      intercept[IllegalArgumentException](body).getMessage
+    assert(named(NonWindowJoinSql.unboundedOuterJoin(lDf, rDf,
+      Seq(col("a"), col("b")), Seq(col("d")), "left_outer"))
+      .contains("arity"))
+    assert(named(NonWindowJoinSql.unboundedOuterJoin(lDf, rDf,
+      Seq(col("b")), Seq(col("d")), "left_outer"))
+      .contains("types must match"))
+    assert(named(NonWindowJoinSql.unboundedOuterJoin(lDf, rDf,
+      Seq(col("a")), Seq(col("d")), "left_outer",
+      residual = Some(col("h")))).contains("BOOLEAN"))
+    assert(named(NonWindowJoinSql.unboundedOuterJoin(lDf, rDf,
+      Seq(col("a")), Seq(col("d")), "left_outer",
+      residual = Some(rand() > 0.5))).contains("deterministic"))
   }
 
   test("port: JoinITCase testFullJoinWithLeftLocalPred (a=d AND b>=2 AND h=1)") {
