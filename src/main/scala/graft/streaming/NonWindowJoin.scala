@@ -41,11 +41,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the same expansion through its collector,
   * NonWindowOuterJoin.scala:84-101). State
   * is retained forever per the reference's default contract, with the
-  * reference's StreamQueryConfig retention available as `idleTtlMs`
-  * (per-key idle expiry over a processing-time timer — the established
-  * TTL pattern, see [[StreamOps.runningAggWithTtl]]; the reference's
-  * granularity is per ROW expire stamps swept by a per-key timer, ours
-  * drops the whole idle key — both are silent cleanups). State is
+  * reference's StreamQueryConfig retention available as `idleTtlMs` at
+  * the reference's own PER-ROW granularity: each row carries an expiry
+  * stamp refreshed on its own arrival (MapState[Row, (cnt, expiry)] —
+  * NonWindowJoin.scala:95-100), rows past their stamp are swept while
+  * iterating the other side (after joining once more — the "clear
+  * after join" order) and by the per-key idle timer, so a key kept hot
+  * by one side does not retain the other side's stale rows. Expiry is
+  * SILENT — no retraction of previously emitted results. State is
   * PRODUCT-encoded (map columns of concrete row types): its schema is
   * visible to Spark's StateSchemaCompatibilityChecker, which raises its
   * own named error on layout change across checkpoints — the property
@@ -66,8 +69,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * streaming-only operator. */
 object NonWindowJoin {
 
-  /** Per-key two-side state: distinct row → multiplicity. */
-  final case class SideState[L, R](lefts: Map[L, Long], rights: Map[R, Long])
+  /** Per-key two-side state: distinct row → (multiplicity, expiry).
+    * The expiry stamp is the reference's PER-ROW retention granularity
+    * (MapState[Row, JTuple2[cnt, expiredTime]] — NonWindowJoin.scala:
+    * 95-100): refreshed when the row itself re-arrives, `-1` when
+    * retention is off. Expired rows are swept lazily while iterating
+    * the other side (AFTER joining once more — the reference's "clear
+    * after join" order) and by the idle timer. */
+  final case class SideState[L, R](lefts: Map[L, (Long, Long)],
+      rights: Map[R, (Long, Long)])
 
   private[streaming] def outerFlags(joinType: String): (Boolean, Boolean) =
     joinType match {
@@ -112,70 +122,108 @@ object NonWindowJoin {
   def joinFn[K, L, R](joinType: String):
       (K, Iterator[(Boolean, Option[L], Option[R])],
         GroupState[SideState[L, R]]) =>
+        Iterator[(Boolean, Option[L], Option[R])] =
+    joinFn(joinType, None)
+
+  /** [[joinFn]] with the reference's PER-ROW idle-state retention:
+    * when `idleTtlMs` is set, each row's expiry stamp refreshes on its
+    * own arrival, and rows past their stamp are swept while iterating
+    * the other side — AFTER joining them once more, the reference's
+    * "clear after join" order (NonWindowOuterJoin.scala:92-95) — so a
+    * key kept hot by one side no longer retains the other side's stale
+    * rows. Pair with [[guardedFn]] carrying the same ttl: its timer
+    * sweep drops only rows past their stamps. */
+  def joinFn[K, L, R](joinType: String, idleTtlMs: Option[Long]):
+      (K, Iterator[(Boolean, Option[L], Option[R])],
+        GroupState[SideState[L, R]]) =>
         Iterator[(Boolean, Option[L], Option[R])] = {
     val (leftOuter, rightOuter) = outerFlags(joinType)
+    val cleaning = idleTtlMs.isDefined
+    val ttl = idleTtlMs.getOrElse(0L)
     (_: K, it: Iterator[(Boolean, Option[L], Option[R])],
         state: GroupState[SideState[L, R]]) => {
       var st = state.getOption.getOrElse(SideState[L, R](Map.empty, Map.empty))
-      var lTotal = st.lefts.valuesIterator.sum
-      var rTotal = st.rights.valuesIterator.sum
+      var lTotal = st.lefts.valuesIterator.map(_._1).sum
+      var rTotal = st.rights.valuesIterator.map(_._1).sum
+      val nowMs = if (cleaning) state.getCurrentProcessingTimeMs() else 0L
+      val newExp = if (cleaning) nowMs + ttl else -1L
       type Out = (Boolean, Option[L], Option[R])
       val core: Iterator[Out] = it.flatMap { case (c, lo, ro) =>
         if (lo.isDefined) {
           val l = lo.get
-          val old = st.lefts.getOrElse(l, 0L)
+          val old = st.lefts.get(l).map(_._1).getOrElse(0L)
           val now = if (c) old + 1 else old - 1
           st = st.copy(lefts =
-            if (now <= 0) st.lefts - l else st.lefts.updated(l, now))
+            if (now <= 0) st.lefts - l
+            else st.lefts.updated(l, (now, newExp)))
           lTotal += (if (c) 1L else -1L)
           val recordNum = math.min(lTotal, 2L)
           var matched = 0L
+          var sweptCnt = 0L
+          val swept = List.newBuilder[R]
           // snapshot: the next element is only pulled after this
           // element's iterator exhausts, but pin the map anyway
           val rights = st.rights
-          val pairs: Iterator[Out] = rights.iterator.flatMap { case (r, n) =>
-            matched += n
-            val pre: Iterator[Out] =
-              if (rightOuter && c && recordNum == 1)
-                repeatIt(n, (false, Option.empty[L], Option(r)))
-              else Iterator.empty
-            val post: Iterator[Out] =
-              if (rightOuter && !c && recordNum == 0)
-                repeatIt(n, (true, Option.empty[L], Option(r)))
-              else Iterator.empty
-            pre ++ repeatIt(n, (c, Option(l), Option(r))) ++ post
+          val pairs: Iterator[Out] = rights.iterator.flatMap {
+            case (r, (n, exp)) =>
+              matched += n
+              if (cleaning && nowMs >= exp) { swept += r; sweptCnt += n }
+              val pre: Iterator[Out] =
+                if (rightOuter && c && recordNum == 1)
+                  repeatIt(n, (false, Option.empty[L], Option(r)))
+                else Iterator.empty
+              val post: Iterator[Out] =
+                if (rightOuter && !c && recordNum == 0)
+                  repeatIt(n, (true, Option.empty[L], Option(r)))
+                else Iterator.empty
+              pre ++ repeatIt(n, (c, Option(l), Option(r))) ++ post
           }
-          // `++`'s by-name tail: `matched` is read only once pairs drain
-          pairs ++ (
+          // `++`'s by-name tail: `matched`/`swept` read once pairs drain
+          pairs ++ {
+            val ex = swept.result()
+            if (ex.nonEmpty) {
+              st = st.copy(rights = st.rights -- ex); rTotal -= sweptCnt
+            }
             if (matched == 0 && leftOuter)
               Iterator.single((c, Option(l), Option.empty[R]))
-            else Iterator.empty[Out])
+            else Iterator.empty[Out]
+          }
         } else {
           val r = ro.get
-          val old = st.rights.getOrElse(r, 0L)
+          val old = st.rights.get(r).map(_._1).getOrElse(0L)
           val now = if (c) old + 1 else old - 1
           st = st.copy(rights =
-            if (now <= 0) st.rights - r else st.rights.updated(r, now))
+            if (now <= 0) st.rights - r
+            else st.rights.updated(r, (now, newExp)))
           rTotal += (if (c) 1L else -1L)
           val recordNum = math.min(rTotal, 2L)
           var matched = 0L
+          var sweptCnt = 0L
+          val swept = List.newBuilder[L]
           val lefts = st.lefts
-          val pairs: Iterator[Out] = lefts.iterator.flatMap { case (l, n) =>
-            matched += n
-            val pre: Iterator[Out] =
-              if (leftOuter && c && recordNum == 1)
-                repeatIt(n, (false, Option(l), Option.empty[R]))
-              else Iterator.empty
-            val post: Iterator[Out] =
-              if (leftOuter && !c && recordNum == 0)
-                repeatIt(n, (true, Option(l), Option.empty[R]))
-              else Iterator.empty
-            pre ++ repeatIt(n, (c, Option(l), Option(r))) ++ post
+          val pairs: Iterator[Out] = lefts.iterator.flatMap {
+            case (l, (n, exp)) =>
+              matched += n
+              if (cleaning && nowMs >= exp) { swept += l; sweptCnt += n }
+              val pre: Iterator[Out] =
+                if (leftOuter && c && recordNum == 1)
+                  repeatIt(n, (false, Option(l), Option.empty[R]))
+                else Iterator.empty
+              val post: Iterator[Out] =
+                if (leftOuter && !c && recordNum == 0)
+                  repeatIt(n, (true, Option(l), Option.empty[R]))
+                else Iterator.empty
+              pre ++ repeatIt(n, (c, Option(l), Option(r))) ++ post
           }
-          pairs ++ (
+          pairs ++ {
+            val ex = swept.result()
+            if (ex.nonEmpty) {
+              st = st.copy(lefts = st.lefts -- ex); lTotal -= sweptCnt
+            }
             if (matched == 0 && rightOuter)
               Iterator.single((c, Option.empty[L], Option(r)))
-            else Iterator.empty[Out])
+            else Iterator.empty[Out]
+          }
         }
       }
       core ++ {
@@ -187,12 +235,37 @@ object NonWindowJoin {
     }
   }
 
+  /** Timer-sweep for [[SideState]]: keep only rows whose expiry stamp
+    * is still ahead of the firing time (`-1` stamps — written with
+    * retention off — count as expired under an armed timer: the legacy
+    * whole-key drop). `None` = nothing survives. */
+  def sweepSideState[L, R](s: SideState[L, R],
+      now: Long): Option[SideState[L, R]] = {
+    val l2 = s.lefts.filter { case (_, (_, exp)) => exp > now }
+    val r2 = s.rights.filter { case (_, (_, exp)) => exp > now }
+    if (l2.isEmpty && r2.isEmpty) None else Some(SideState(l2, r2))
+  }
+
+  /** Timer-sweep for [[NESideState]]: like [[sweepSideState]], also
+    * dropping swept rows' joinCnt entries (the reference's
+    * expireOutTimeRow overload removes them in the same pass —
+    * NonWindowOuterJoinWithNonEquiPredicates.scala:156-157). */
+  def sweepNESideState[L, R](s: NESideState[L, R],
+      now: Long): Option[NESideState[L, R]] = {
+    val l2 = s.lefts.filter { case (_, (_, exp)) => exp > now }
+    val r2 = s.rights.filter { case (_, (_, exp)) => exp > now }
+    if (l2.isEmpty && r2.isEmpty) None
+    else Some(NESideState(l2, r2,
+      s.leftJoinCnt.filter { case (l, _) => l2.contains(l) },
+      s.rightJoinCnt.filter { case (r, _) => r2.contains(r) }))
+  }
+
   /** Two-side state for the NON-EQUI variant: row multisets plus, per
     * OUTER-preserved distinct row, the multiplicity of condition-matching
     * other-side rows (the reference's joinCntState —
     * NonWindowOuterJoinWithNonEquiPredicates.scala:59). */
-  final case class NESideState[L, R](lefts: Map[L, Long],
-      rights: Map[R, Long], leftJoinCnt: Map[L, Long],
+  final case class NESideState[L, R](lefts: Map[L, (Long, Long)],
+      rights: Map[R, (Long, Long)], leftJoinCnt: Map[L, Long],
       rightJoinCnt: Map[R, Long])
 
   /** [[joinFn]] with a residual non-equi predicate inside the OUTER join
@@ -210,22 +283,41 @@ object NonWindowJoin {
   def joinFnNonEqui[K, L, R](joinType: String, cond: (L, R) => Boolean):
       (K, Iterator[(Boolean, Option[L], Option[R])],
         GroupState[NESideState[L, R]]) =>
+        Iterator[(Boolean, Option[L], Option[R])] =
+    joinFnNonEqui(joinType, cond, None)
+
+  /** [[joinFnNonEqui]] with the reference's PER-ROW retention (see the
+    * ttl overload of [[joinFn]]). One granularity choice beyond the
+    * reference: the lazy in-iteration sweep also drops the swept row's
+    * joinCnt entry (the reference leaves it for its timer sweep to
+    * collect — expireOutTimeRow removes both together); dropping
+    * eagerly leaks nothing and a re-inserted row re-seeds its count. */
+  def joinFnNonEqui[K, L, R](joinType: String, cond: (L, R) => Boolean,
+      idleTtlMs: Option[Long]):
+      (K, Iterator[(Boolean, Option[L], Option[R])],
+        GroupState[NESideState[L, R]]) =>
         Iterator[(Boolean, Option[L], Option[R])] = {
     val (leftOuter, rightOuter) = outerFlags(joinType)
+    val cleaning = idleTtlMs.isDefined
+    val ttl = idleTtlMs.getOrElse(0L)
     (_: K, it: Iterator[(Boolean, Option[L], Option[R])],
         state: GroupState[NESideState[L, R]]) => {
       var st = state.getOption.getOrElse(
         NESideState[L, R](Map.empty, Map.empty, Map.empty, Map.empty))
+      val nowMs = if (cleaning) state.getCurrentProcessingTimeMs() else 0L
+      val newExp = if (cleaning) nowMs + ttl else -1L
       type Out = (Boolean, Option[L], Option[R])
       val core: Iterator[Out] = it.flatMap { case (c, lo, ro) =>
         if (lo.isDefined) {
           val l = lo.get
-          val old = st.lefts.getOrElse(l, 0L)
+          val old = st.lefts.get(l).map(_._1).getOrElse(0L)
           val now = if (c) old + 1 else old - 1
           st = st.copy(lefts =
-            if (now <= 0) st.lefts - l else st.lefts.updated(l, now))
+            if (now <= 0) st.lefts - l
+            else st.lefts.updated(l, (now, newExp)))
           if (!c && now <= 0) st = st.copy(leftJoinCnt = st.leftJoinCnt - l)
           var matched = 0L
+          val swept = List.newBuilder[R]
           val rights = st.rights
           val pairs: Iterator[Out] = if (rightOuter) {
             // each distinct r is visited once per element, so joinCnt
@@ -235,7 +327,8 @@ object NonWindowJoin {
             // lazy pair emission drains
             val jcNew = scala.collection.mutable.HashMap.empty[R, Long]
             val jcOld = st.rightJoinCnt
-            rights.iterator.flatMap { case (r, n) =>
+            rights.iterator.flatMap { case (r, (n, exp)) =>
+              if (cleaning && nowMs >= exp) swept += r
               if (cond(l, r)) {
                 val jc = jcOld.getOrElse(r, 0L)
                 jcNew.update(r, if (c) jc + 1 else jc - 1)
@@ -255,13 +348,17 @@ object NonWindowJoin {
                 st = st.copy(rightJoinCnt = st.rightJoinCnt ++ jcNew)
               Iterator.empty[Out]
             }
-          } else rights.iterator.flatMap { case (r, n) =>
+          } else rights.iterator.flatMap { case (r, (n, exp)) =>
+            if (cleaning && nowMs >= exp) swept += r
             if (cond(l, r)) {
               matched += n
               repeatIt(n, (c, Option(l), Option(r)))
             } else Iterator.empty[Out]
           }
           pairs ++ {
+            val ex = swept.result()
+            if (ex.nonEmpty) st = st.copy(rights = st.rights -- ex,
+              rightJoinCnt = st.rightJoinCnt -- ex)
             if (leftOuter && c && now == 1)
               st = st.copy(leftJoinCnt = st.leftJoinCnt.updated(l, matched))
             if (matched == 0 && leftOuter)
@@ -270,17 +367,20 @@ object NonWindowJoin {
           }
         } else {
           val r = ro.get
-          val old = st.rights.getOrElse(r, 0L)
+          val old = st.rights.get(r).map(_._1).getOrElse(0L)
           val now = if (c) old + 1 else old - 1
           st = st.copy(rights =
-            if (now <= 0) st.rights - r else st.rights.updated(r, now))
+            if (now <= 0) st.rights - r
+            else st.rights.updated(r, (now, newExp)))
           if (!c && now <= 0) st = st.copy(rightJoinCnt = st.rightJoinCnt - r)
           var matched = 0L
+          val swept = List.newBuilder[L]
           val lefts = st.lefts
           val pairs: Iterator[Out] = if (leftOuter) {
             val jcNew = scala.collection.mutable.HashMap.empty[L, Long]
             val jcOld = st.leftJoinCnt
-            lefts.iterator.flatMap { case (l, n) =>
+            lefts.iterator.flatMap { case (l, (n, exp)) =>
+              if (cleaning && nowMs >= exp) swept += l
               if (cond(l, r)) {
                 val jc = jcOld.getOrElse(l, 0L)
                 jcNew.update(l, if (c) jc + 1 else jc - 1)
@@ -300,13 +400,17 @@ object NonWindowJoin {
                 st = st.copy(leftJoinCnt = st.leftJoinCnt ++ jcNew)
               Iterator.empty[Out]
             }
-          } else lefts.iterator.flatMap { case (l, n) =>
+          } else lefts.iterator.flatMap { case (l, (n, exp)) =>
+            if (cleaning && nowMs >= exp) swept += l
             if (cond(l, r)) {
               matched += n
               repeatIt(n, (c, Option(l), Option(r)))
             } else Iterator.empty[Out]
           }
           pairs ++ {
+            val ex = swept.result()
+            if (ex.nonEmpty) st = st.copy(lefts = st.lefts -- ex,
+              leftJoinCnt = st.leftJoinCnt -- ex)
             if (rightOuter && c && now == 1)
               st = st.copy(rightJoinCnt = st.rightJoinCnt.updated(r, matched))
             if (matched == 0 && rightOuter)
@@ -336,7 +440,8 @@ object NonWindowJoin {
       lk: L => Option[K], rk: R => Option[K],
       leftOuter: Boolean, rightOuter: Boolean, idleTtlMs: Option[Long],
       fn: (Option[K], Iterator[(Boolean, Option[L], Option[R])],
-        GroupState[S]) => Iterator[(Boolean, Option[L], Option[R])])(
+        GroupState[S]) => Iterator[(Boolean, Option[L], Option[R])],
+      sweep: (S, Long) => Option[S])(
       implicit tagE: Encoder[((Option[K], Int), Boolean, Option[L], Option[R])],
       kE: Encoder[(Option[K], Int)],
       outE: Encoder[(Boolean, Option[L], Option[R])],
@@ -359,7 +464,8 @@ object NonWindowJoin {
     val timeoutConf =
       if (idleTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    val g = guardedFn[K, L, R, S](leftOuter, rightOuter, idleTtlMs, fn)
+    val g = guardedFn[K, L, R, S](leftOuter, rightOuter, idleTtlMs, fn,
+      sweep)
     tl.union(tr).groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
         (k: (Option[K], Int),
@@ -370,18 +476,32 @@ object NonWindowJoin {
 
   /** The per-key wrapper [[runJoin]] installs around the transition fn:
     * the stateless None-key (SQL-null) group, idle-state retention
-    * (the reference's queryConfig minRetention — expiry is SILENT, no
+    * (the reference's queryConfig retention — expiry is SILENT, no
     * retraction of previously emitted results, exactly like
-    * expireOutTimeRow), and the idle-timer re-arm on live keys. */
+    * expireOutTimeRow), and the idle-timer re-arm on live keys. The
+    * timer fires the PER-ROW `sweep` (the reference's expireOutTimeRow
+    * loop): survivors keep their state and re-arm; an emptied key is
+    * removed. Omitting `sweep` keeps the legacy whole-key drop —
+    * correct only for transition fns that do not stamp rows. */
   private[streaming] def guardedFn[K, L, R, S](leftOuter: Boolean,
       rightOuter: Boolean, idleTtlMs: Option[Long],
       fn: (Option[K], Iterator[(Boolean, Option[L], Option[R])],
-        GroupState[S]) => Iterator[(Boolean, Option[L], Option[R])]):
+        GroupState[S]) => Iterator[(Boolean, Option[L], Option[R])],
+      sweep: (S, Long) => Option[S] = null):
       (Option[K], Iterator[(Boolean, Option[L], Option[R])],
         GroupState[S]) => Iterator[(Boolean, Option[L], Option[R])] =
     (k, els, st) => {
       if (st.hasTimedOut) {
-        st.remove()
+        if (sweep == null) st.remove()
+        else {
+          val now = st.getCurrentProcessingTimeMs()
+          st.getOption.flatMap(sweep(_, now)) match {
+            case Some(s2) =>
+              st.update(s2)
+              idleTtlMs.foreach(ttl => st.setTimeoutDuration(ttl))
+            case None => st.remove()
+          }
+        }
         Iterator.empty
       } else {
         val out =
@@ -420,9 +540,9 @@ object NonWindowJoin {
       se: Encoder[SideState[L, R]]):
       Dataset[(Boolean, Option[L], Option[R])] = {
     val (leftOuter, rightOuter) = outerFlags(joinType)
-    val fn = joinFn[Option[K], L, R](joinType)
+    val fn = joinFn[Option[K], L, R](joinType, idleTtlMs)
     runJoin[K, L, R, SideState[L, R]](left, right, lk, rk,
-      leftOuter, rightOuter, idleTtlMs, fn)
+      leftOuter, rightOuter, idleTtlMs, fn, sweepSideState[L, R])
   }
 
   /** [[unboundedOuterJoin]] with a residual non-equi predicate inside
@@ -439,9 +559,9 @@ object NonWindowJoin {
       se: Encoder[NESideState[L, R]]):
       Dataset[(Boolean, Option[L], Option[R])] = {
     val (leftOuter, rightOuter) = outerFlags(joinType)
-    val fn = joinFnNonEqui[Option[K], L, R](joinType, cond)
+    val fn = joinFnNonEqui[Option[K], L, R](joinType, cond, idleTtlMs)
     runJoin[K, L, R, NESideState[L, R]](left, right, lk, rk,
-      leftOuter, rightOuter, idleTtlMs, fn)
+      leftOuter, rightOuter, idleTtlMs, fn, sweepNESideState[L, R])
   }
 
   /** Non-equi overload with retention off (the reference's default). */

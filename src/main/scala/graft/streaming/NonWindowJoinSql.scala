@@ -160,10 +160,11 @@ object NonWindowJoinSql {
     def run[S](fn: (Option[String],
         Iterator[(Boolean, Option[Row], Option[Row])],
         org.apache.spark.sql.streaming.GroupState[S]) =>
-          Iterator[(Boolean, Option[Row], Option[Row])])(
+          Iterator[(Boolean, Option[Row], Option[Row])],
+        sweep: (S, Long) => Option[S])(
         implicit stEnc: Encoder[S]): Dataset[Row] = {
       val g = NonWindowJoin.guardedFn[String, Row, Row, S](
-        leftOuter, rightOuter, idleTtlMs, fn)
+        leftOuter, rightOuter, idleTtlMs, fn, sweep)
       grouped.flatMapGroupsWithState[S, Row](
         OutputMode.Append(), timeoutConf) {
         (k: (Option[String], Int), rows: Iterator[Row],
@@ -173,10 +174,14 @@ object NonWindowJoinSql {
     }
 
     val nested: Dataset[Row] = cond match {
-      case None => run(NonWindowJoin.joinFn[Option[String], Row, Row](
-        joinType))(Encoders.kryo[NonWindowJoin.SideState[Row, Row]])
-      case Some(c) => run(NonWindowJoin.joinFnNonEqui[Option[String],
-        Row, Row](joinType, c))(
+      case None => run(
+        NonWindowJoin.joinFn[Option[String], Row, Row](joinType, idleTtlMs),
+        NonWindowJoin.sweepSideState[Row, Row])(
+        Encoders.kryo[NonWindowJoin.SideState[Row, Row]])
+      case Some(c) => run(
+        NonWindowJoin.joinFnNonEqui[Option[String], Row, Row](
+          joinType, c, idleTtlMs),
+        NonWindowJoin.sweepNESideState[Row, Row])(
         Encoders.kryo[NonWindowJoin.NESideState[Row, Row]])
     }
 

@@ -1,0 +1,126 @@
+package graft
+
+import graft.streaming.NonWindowJoin
+import org.apache.spark.api.java.Optional
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+
+/** Scale measurement for the unbounded streaming outer join
+  * ([[NonWindowJoin]]) — the operator has no batch/oracle surface, so
+  * ScaleUpBench's SparkEntry protocol cannot reach it; this drives it
+  * the two ways that matter at cluster scale:
+  *
+  *  1. KEY SCALE (the real Dataset surface over MemoryStream): the
+  *     operator's parallelism story is hash partitioning on the join
+  *     key, so wall time at K vs 10K keys (same per-key state size)
+  *     should grow ~linearly in input — the same
+  *     disjoint-shards regime ScaleUpBench measures for queries.
+  *  2. HOT-KEY STRESS (the transition fn driven directly, output
+  *     consumed WITHOUT materializing): one key holding `stateRows`
+  *     distinct left rows receives a full batch of right-side
+  *     arrivals, each of which emits O(stateRows) rows. Emission is
+  *     lazy per element, so the only O(stateRows × arrivals) object is
+  *     the consumed stream itself — this run materializes nothing but
+  *     a counter, which is exactly what a downstream sink sees. The
+  *     per-key state scan is the reference's own cost profile
+  *     (NonWindowOuterJoin.scala:84-101); what this measures is that
+  *     output cost is throughput, not memory.
+  *
+  * Run: Test/runMain graft.JoinScaleBench [keys] [stateRows] [arrivals]
+  * Prints one JSON line + a markdown table for ENGINE.md.
+  */
+object JoinScaleBench {
+
+  type E = (Int, Int)
+
+  /** Drive the Dataset surface end-to-end at `keys` distinct keys,
+    * `perSide` rows per key per side, split across two micro-batches
+    * (state must carry across). Returns (seconds, rows emitted). */
+  def keyScale(spark: SparkSession, keys: Int, perSide: Int): (Double, Long) = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in1 = MemoryStream[E]
+    val in2 = MemoryStream[E]
+    val emitted = new java.util.concurrent.atomic.AtomicLong
+    val joined = NonWindowJoin.unboundedOuterJoin[Int, E, E](
+      in1.toDS(), in2.toDS(), l => Some(l._1), r => Some(r._1),
+      "full_outer")
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[(Boolean, Option[E], Option[E])],
+            _: Long) => emitted.addAndGet(df.count()); ()
+      }.start()
+    val rows = for (k <- 0 until keys; i <- 0 until perSide)
+      yield (k, k * perSide + i)
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    val t0 = System.nanoTime()
+    try {
+      in1.addData(h1: _*); in2.addData(h1: _*)
+      q.processAllAvailable()
+      in1.addData(h2: _*); in2.addData(h2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    ((System.nanoTime() - t0) / 1e9, emitted.get())
+  }
+
+  /** Drive joinFn directly on ONE key: seed `stateRows` distinct left
+    * rows, then time a single batch of `arrivals` right rows — each
+    * joins the full left state. Output consumed row-at-a-time. */
+  def hotKey(stateRows: Int, arrivals: Int): (Double, Long) = {
+    val fn = NonWindowJoin.joinFn[Int, E, E]("left_outer")
+    var state = Optional.empty[NonWindowJoin.SideState[E, E]]()
+    def drive(els: Iterator[(Boolean, Option[E], Option[E])]): Long = {
+      val st = TestGroupState.create[NonWindowJoin.SideState[E, E]](
+        state, GroupStateTimeout.NoTimeout(), 0L,
+        Optional.empty[Long](), hasTimedOut = false)
+      var n = 0L
+      fn(0, els, st).foreach(_ => n += 1)
+      state = if (st.isRemoved) Optional.empty()
+              else if (st.isUpdated) Optional.of(st.get)
+              else state
+      n
+    }
+    drive((0 until stateRows).iterator.map(i => (true, Some((i, i)), None)))
+    val t0 = System.nanoTime()
+    val emitted = drive((0 until arrivals).iterator.map(j =>
+      (true, None, Some((stateRows + j, j)))))
+    ((System.nanoTime() - t0) / 1e9, emitted)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val keys = args.headOption.map(_.toInt).getOrElse(4000)
+    val stateRows = args.lift(1).map(_.toInt).getOrElse(100000)
+    val arrivals = args.lift(2).map(_.toInt).getOrElse(200)
+    val perSide = 8
+    val spark = Engine.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+
+    // warm the streaming machinery once
+    keyScale(spark, 50, perSide)
+    val (t1, n1) = keyScale(spark, keys, perSide)
+    val (t10, n10) = keyScale(spark, keys * 10, perSide)
+    val ratio = t10 / t1
+
+    // hot-key: warm then measure
+    hotKey(10000, 20)
+    val (th, nh) = hotKey(stateRows, arrivals)
+    val thrpt = nh / th
+
+    println(f"[joinscale] keys=$keys%d 1x $t1%6.2fs ($n1%d rows) | " +
+      f"10x $t10%6.2fs ($n10%d rows) | ratio $ratio%5.2f")
+    println(f"[joinscale] hotkey state=$stateRows%d arrivals=$arrivals%d " +
+      f"$th%6.2fs $nh%d rows ${thrpt / 1e6}%5.2fM rows/s")
+    println(f"""{"metric":"joinscale","keys":$keys,"x1_sec":$t1%.3f,""" +
+      f""""x10_sec":$t10%.3f,"ratio":$ratio%.2f,"x1_rows":$n1,""" +
+      f""""x10_rows":$n10,"hotkey_state":$stateRows,""" +
+      f""""hotkey_arrivals":$arrivals,"hotkey_sec":$th%.3f,""" +
+      f""""hotkey_rows":$nh,"hotkey_rows_per_sec":${thrpt.toLong}}""")
+    println()
+    println("| scenario | size | seconds | rows emitted |")
+    println("|---|---|---|---|")
+    println(f"| key-scale 1x | $keys keys x $perSide/side | $t1%.2fs | $n1 |")
+    println(f"| key-scale 10x | ${keys * 10} keys x $perSide/side | $t10%.2fs | $n10 |")
+    println(f"| hot key, one batch | $stateRows state rows x $arrivals arrivals | $th%.2fs | $nh |")
+  }
+}

@@ -276,6 +276,102 @@ class NonWindowJoinSpec extends SparkSuite {
       Some((l: T3, r: T5) => l._2 >= 2L && r._5 == 1L)) === expected.sorted)
   }
 
+  test("end-to-end retract composition: two RUNNING update-mode aggregates drive the join across micro-batches") {
+    // The reference chains agg→join inside ONE SQL query
+    // (stream/table/JoinITCase.scala:497 testLeftJoinWithRetractionInput:
+    // the planner feeds DataStreamGroupAggregate's retract stream into
+    // DataStreamJoin). Spark cannot place a second stateful operator
+    // downstream of an update-mode streaming aggregate in one query, so
+    // the achievable composition is foreachBatch: each aggregate runs as
+    // a REAL update-mode streaming query; its per-batch updated rows are
+    // change-tagged against the previously delivered value
+    // (retract(old) + insert(new) — exactly the reference's retract
+    // stream) and pushed through joinFn's keyed state held across
+    // batches. The materialized multiset must equal the batch answer
+    // whatever the micro-batch splits are — asserted under 3 random
+    // splits.
+    type Agg = (Long, Long) // (key, count)
+    import org.apache.spark.sql.functions.col
+    val batchExpected: Seq[String] = {
+      val lAgg = TestData.t5Rows.toDF("d", "e", "f", "g", "h")
+        .groupBy(col("e")).count().withColumnRenamed("count", "cnt_l")
+      val rAgg = TestData.t3Rows.toDF("a", "b", "c")
+        .groupBy(col("b")).count().withColumnRenamed("count", "cnt_r")
+      lAgg.join(rAgg, col("e") === col("b"), "left_outer")
+        .select(col("e"), col("cnt_l"), col("cnt_r")).collect()
+        .map(r => s"${r.getLong(0)},${r.getLong(1)}," +
+          (if (r.isNullAt(2)) "null" else r.getLong(2).toString))
+        .toSeq.sorted
+    }
+    val rnd = new scala.util.Random(421)
+    (1 to 3).foreach { run =>
+      val harness = new VirtualClockHarness[Long,
+        (Boolean, Option[Agg], Option[Agg]),
+        NonWindowJoin.SideState[Agg, Agg],
+        (Boolean, Option[Agg], Option[Agg])](
+        GroupStateTimeout.NoTimeout(),
+        NonWindowJoin.joinFn[Long, Agg, Agg]("left_outer"))
+      val mat = new Materializer
+      val lock = new Object
+      val prevL = mutable.Map.empty[Long, Long]
+      val prevR = mutable.Map.empty[Long, Long]
+      def feed(k: Long, el: (Boolean, Option[Agg], Option[Agg])): Unit =
+        harness.input(k, el).foreach { case (c, lo, ro) =>
+          mat(c, lo.map(t => s"${t._1},${t._2}").getOrElse("null,null") +
+            "," + ro.map(_._2.toString).getOrElse("null"))
+        }
+      // the update→retract bridge: an updated (key, cnt) becomes
+      // retract(key, prevCnt) + insert(key, cnt)
+      def tagAndFeed(prev: mutable.Map[Long, Long], isLeft: Boolean)(
+          rows: Seq[(Long, Long)]): Unit = lock.synchronized {
+        rows.foreach { case (k, cnt) =>
+          prev.get(k).foreach { old =>
+            feed(k, (false,
+              if (isLeft) Some((k, old)) else None,
+              if (isLeft) None else Some((k, old))))
+          }
+          prev(k) = cnt
+          feed(k, (true,
+            if (isLeft) Some((k, cnt)) else None,
+            if (isLeft) None else Some((k, cnt))))
+        }
+      }
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in5 = MemoryStream[(Int, Long, Int, String, Long)]
+      val in3 = MemoryStream[(Int, Long, String)]
+      val q5 = in5.toDS().toDF("d", "e", "f", "g", "h")
+        .groupBy(col("e")).count()
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          tagAndFeed(prevL, isLeft = true)(
+            df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+        }.start()
+      val q3 = in3.toDS().toDF("a", "b", "c")
+        .groupBy(col("b")).count()
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          tagAndFeed(prevR, isLeft = false)(
+            df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+        }.start()
+      try {
+        def cuts(n: Int): Seq[Int] = {
+          val a = 1 + rnd.nextInt(n - 2)
+          val b = a + 1 + rnd.nextInt(n - a - 1)
+          Seq(a, b, n)
+        }
+        val c5 = cuts(TestData.t5Rows.size)
+        val c3 = cuts(TestData.t3Rows.size)
+        var p5 = 0; var p3 = 0
+        c5.zip(c3).foreach { case (u5, u3) =>
+          in5.addData(TestData.t5Rows.slice(p5, u5): _*); p5 = u5
+          in3.addData(TestData.t3Rows.slice(p3, u3): _*); p3 = u3
+          q5.processAllAvailable(); q3.processAllAvailable()
+        }
+      } finally { q5.stop(); q3.stop() }
+      assert(mat.rows === batchExpected, s"splits run $run")
+    }
+  }
+
   test("non-equi retract/restore protocol rides joinCnt, not side totals") {
     // two rights with the same key, only one passing cond: the left's
     // null-pad must flip on the MATCHING right's arrival/retraction and
@@ -362,7 +458,8 @@ class NonWindowJoinSpec extends SparkSuite {
       GroupStateTimeout.ProcessingTimeTimeout(),
       NonWindowJoin.guardedFn[Int, E, E, NonWindowJoin.SideState[E, E]](
         leftOuter = true, rightOuter = false, Some(ttl),
-        NonWindowJoin.joinFn[Option[Int], E, E]("left_outer")))
+        NonWindowJoin.joinFn[Option[Int], E, E]("left_outer", Some(ttl)),
+        NonWindowJoin.sweepSideState[E, E]))
     val k = Option(0)
     assert(harness.input(k, (true, Some("l1"), None)) ===
       Seq((true, Some("l1"), None)))
@@ -379,15 +476,86 @@ class NonWindowJoinSpec extends SparkSuite {
     assert(harness.input(k, (true, None, Some("r1"))) === Seq.empty)
   }
 
+  test("per-row idle retention: an active key sweeps only rows past their own stamps") {
+    // the reference's granularity (NonWindowJoin.scala:95-100 per-row
+    // (cnt, expiredTime); NonWindowOuterJoin.scala:92-95 clear-after-
+    // join): a key kept hot by one side must expire the other side's
+    // stale rows individually — after joining them ONE last time —
+    // while the hot side's arrivals refresh only their own stamps
+    type E = String
+    val ttl = 10L
+    val harness = new VirtualClockHarness[Option[Int],
+      (Boolean, Option[E], Option[E]), NonWindowJoin.SideState[E, E],
+      (Boolean, Option[E], Option[E])](
+      GroupStateTimeout.ProcessingTimeTimeout(),
+      NonWindowJoin.guardedFn[Int, E, E, NonWindowJoin.SideState[E, E]](
+        leftOuter = true, rightOuter = false, Some(ttl),
+        NonWindowJoin.joinFn[Option[Int], E, E]("left_outer", Some(ttl)),
+        NonWindowJoin.sweepSideState[E, E]))
+    val k = Option(0)
+    // t0: right r1 (stamp 10); no emission on the inner side
+    assert(harness.input(k, (true, None, Some("r1"))) === Seq.empty)
+    assert(harness.input(k, (true, Some("l1"), None)) ===
+      Seq((true, Some("l1"), Some("r1"))))
+    harness.advanceTo(5)
+    assert(harness.input(k, (true, Some("l2"), None)) ===
+      Seq((true, Some("l2"), Some("r1"))))
+    // t12: r1 is past its stamp — joins ONE last time, then sweeps
+    harness.advanceTo(12)
+    assert(harness.input(k, (true, Some("l3"), None)) ===
+      Seq((true, Some("l3"), Some("r1"))))
+    assert(harness.stateOf(k).get.rights.isEmpty)
+    assert(harness.stateOf(k).get.lefts.keySet === Set("l1", "l2", "l3"))
+    // t13: the key is still hot, but r1 is gone — fresh left null-pads
+    harness.advanceTo(13)
+    assert(harness.input(k, (true, Some("l4"), None)) ===
+      Seq((true, Some("l4"), None)))
+    // only FULL idle fires the timer sweep; every stamp has passed by
+    // then, so the key drops (silently, like the reference's onTimer)
+    assert(harness.advanceTo(24) === Seq.empty)
+    assert(harness.stateOf(k).isEmpty)
+  }
+
+  test("per-row retention non-equi: sweeping a preserved row drops its joinCnt entry") {
+    type E = (String, Long)
+    val ttl = 10L
+    val harness = new VirtualClockHarness[Option[Int],
+      (Boolean, Option[E], Option[E]), NonWindowJoin.NESideState[E, E],
+      (Boolean, Option[E], Option[E])](
+      GroupStateTimeout.ProcessingTimeTimeout(),
+      NonWindowJoin.guardedFn[Int, E, E, NonWindowJoin.NESideState[E, E]](
+        leftOuter = true, rightOuter = false, Some(ttl),
+        NonWindowJoin.joinFnNonEqui[Option[Int], E, E]("left_outer",
+          (l, r) => l._2 <= r._2, Some(ttl)),
+        NonWindowJoin.sweepNESideState[E, E]))
+    val k = Option(0)
+    val l1 = ("l1", 5L)
+    assert(harness.input(k, (true, Some(l1), None)) ===
+      Seq((true, Some(l1), None)))
+    harness.advanceTo(3)
+    assert(harness.input(k, (true, None, Some(("rHi", 9L)))) ===
+      Seq((false, Some(l1), None), (true, Some(l1), Some(("rHi", 9L)))))
+    assert(harness.stateOf(k).get.leftJoinCnt === Map(l1 -> 1L))
+    // t12: l1 (stamp 10) expired — a fresh right joins it once more,
+    // then sweeps the row together with its joinCnt entry
+    harness.advanceTo(12)
+    assert(harness.input(k, (true, None, Some(("rHi2", 9L)))) ===
+      Seq((true, Some(l1), Some(("rHi2", 9L)))))
+    assert(harness.stateOf(k).get.lefts.isEmpty)
+    assert(harness.stateOf(k).get.leftJoinCnt.isEmpty)
+  }
+
   test("port: JoinHarnessTest testNonWindowFullJoinWithNonEqualPred (emission script + expiry revival)") {
     // The reference's harness script for the full join with a residual
     // predicate (l.str < r.str), including RETRACT inputs on both sides
     // — the joinCnt path's sharpest scenario. Emissions are compared
     // SORTED per feed (the reference's RowResultSortComparator). Its
-    // per-row state-entry/timer counts are granularity-specific and not
+    // per-row state-entry/timer counts are harness-internal and not
     // ported; the time-8 tail (rows arriving AFTER retention expired
-    // everything re-join from scratch) runs against our per-key idle
-    // TTL instead. Note: the reference seeds a full join's joinCnt from
+    // everything re-join from scratch) runs against the same per-row
+    // stamps + timer sweep the Dataset surface wires
+    // (joinFnNonEqui(ttl) + sweepNESideState). Note: the reference
+    // seeds a full join's joinCnt from
     // its flip-inclusive output count (the documented divergence) — in
     // this script that seed is never read before its row retracts, so
     // the expected emissions are identical under the corrected seeding.
@@ -400,7 +568,8 @@ class NonWindowJoinSpec extends SparkSuite {
       NonWindowJoin.guardedFn[Int, E, E, NonWindowJoin.NESideState[E, E]](
         leftOuter = true, rightOuter = true, Some(ttl),
         NonWindowJoin.joinFnNonEqui[Option[Int], E, E]("full_outer",
-          (l, r) => l < r)))
+          (l, r) => l < r, Some(ttl)),
+        NonWindowJoin.sweepNESideState[E, E]))
     def feed(k: Int, c: Boolean, l: Option[E], r: Option[E]) =
       harness.input(Option(k), (c, l, r)).toList.sortBy(_.toString)
     def exp(rows: (Boolean, String, String)*) =
