@@ -251,6 +251,14 @@ object GroupCepPlan {
           if (aRows) Array.tabulate(compiled.slotCount)(
             s => names.indexOf(compiled.stepNameOf(s)))
           else null
+        // unreachable from the MatchRecognize gate (distinct flat
+        // PVars), but a future caller with a slot name missing from
+        // stepNames should get a named error, not perStep(-1)
+        if (slotStep != null) require(slotStep.forall(_ >= 0),
+          "ALL ROWS emission requires every capture slot's step name " +
+            s"in stepNames: ${(0 until compiled.slotCount)
+              .filter(slotStep(_) < 0)
+              .map(compiled.stepNameOf).distinct.mkString(", ")} missing")
 
         new Iterator[InternalRow] {
           private val queue = new scala.collection.mutable.Queue[InternalRow]

@@ -430,7 +430,7 @@ object GroupCep {
       * dedup pass (a tuple key + hash insert per branch per event) is
       * provably a no-op and is skipped. Completions keep their dedup:
       * they are rare and the reasoning there is subtler. */
-    private[GroupCep] val noEpsilonDup: Boolean = {
+    private[graft] val noEpsilonDup: Boolean = {
       def ok(el: GElem[E]): Boolean = el match {
         case l: GLeaf[E] => l.mode != TillAny
         case g: GGroup[E] => !g.optional && g.min >= 1 &&
@@ -443,6 +443,12 @@ object GroupCep {
       // events make "distinct sources stay distinct" hold
       pattern.arrivalTagged && pattern.elems.forall(ok)
     }
+    /** Test seam (ADVICE r13): run the per-event branch dedup even when
+      * [[noEpsilonDup]] would skip it, so the differential property
+      * (PropertySpec) can assert the skip's precondition directly —
+      * identical branch evolution and match sequences with the pass
+      * forced on vs skipped. Never set outside tests. */
+    @transient private[graft] var forceEpsilonDedup: Boolean = false
     @transient private val slotNames = Vector.newBuilder[String]
     @transient private val slotPreds = Vector.newBuilder[E => Boolean]
     @transient private val untilsB = Vector.newBuilder[E => Boolean]
@@ -1103,7 +1109,7 @@ object GroupCep {
     }
     var outConfs = {
       val o = out.result()
-      if (c.noEpsilonDup) o
+      if (c.noEpsilonDup && !c.forceEpsilonDedup) o
       else dedupBy(o)(c =>
         (c.slot, c.mode, c.reps, c.startTs, c.fresh, c.guard,
           ops.length(c.captured)))
@@ -1538,10 +1544,17 @@ object GroupCep {
     * through both and asserts identical match sequences, which the
     * drivers' automatic `strictSpans` routing is not directly testable
     * for (they pick one representation). */
+  /** Test seam: whether the lifted form of `pattern` takes the
+    * [[Compiled.noEpsilonDup]] dedup skip — the differential property
+    * asserts its patterns actually exercise the skip. */
+  private[graft] def noEpsilonDupForTest[E](pattern: GPattern[E]): Boolean =
+    compile(liftG(pattern)).noEpsilonDup
+
   private[graft] def runKeyRepForTest[E](events: Vector[E], ts: E => Long,
-      pattern: GPattern[E], skip: Cep.AfterMatchSkip, useSpans: Boolean)
-      : Vector[Map[String, Seq[E]]] = {
+      pattern: GPattern[E], skip: Cep.AfterMatchSkip, useSpans: Boolean,
+      forceDedup: Boolean = false): Vector[Map[String, Seq[E]]] = {
     val compiled = compile(liftG(pattern))
+    compiled.forceEpsilonDedup = forceDedup
     require(!useSpans || compiled.strictSpans,
       "span representation requires an all-strict pattern")
     val wrapped = events.zipWithIndex.map { case (e, i) => (e, i.toLong) }

@@ -1130,17 +1130,25 @@ object MatchRecognize {
       quantsOk(elems) &&
       (skip == Cep.NoSkip || hasReluctant || sqlGreedy) &&
       prevVars.isEmpty && subsets.isEmpty &&
-      measures.nonEmpty && measures.forall { m =>
-        (m match { case FinalMeasure(i) => i; case o => o }) match {
-          // LAST over a quantified variable needs the last captured
-          // row, which the final block does not carry
-          case PosMeasure(v, _, _, last, 0) => !last || !qVars(v)
-          case CountMeasure(_, _) => true
-          case MatchNumMeasure(_) => true
-          // FINAL CLASSIFIER (the match's last variable) is not in the
-          // block; the RUNNING default is the row's own variable
-          case ClassifierMeasure(_) => !m.isFinal
-          case _ => false
+      measures.nonEmpty && {
+        // a measure over a variable NOT in PATTERN stays on the library
+        // path, which gives it the SQL-defined degenerate results
+        // (COUNT = 0, null positional) — the planned lowering indexes
+        // steps by name and would have no slot for it
+        val patVars = elems.collect { case PVar(v, _) => v }.toSet
+        measures.forall { m =>
+          (m match { case FinalMeasure(i) => i; case o => o }) match {
+            // LAST over a quantified variable needs the last captured
+            // row, which the final block does not carry
+            case PosMeasure(v, _, _, last, 0) =>
+              patVars(v) && (!last || !qVars(v))
+            case CountMeasure(v, _) => patVars(v)
+            case MatchNumMeasure(_) => true
+            // FINAL CLASSIFIER (the match's last variable) is not in
+            // the block; the RUNNING default is the row's own variable
+            case ClassifierMeasure(_) => !m.isFinal
+            case _ => false
+          }
         }
       }
     if (allRowsPlanRoutable) {

@@ -202,6 +202,47 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("group CEP: per-event branch dedup forced on vs skipped is a no-op for eligible patterns") {
+    // ADVICE r13: noEpsilonDup skips the per-event outConfs dedup on a
+    // structural argument (arrival-tagged, no alternation forks, no
+    // optional/min-0 entries, no TillAny). Drive ELIGIBLE patterns with
+    // the pass FORCED ON vs skipped — across both capture
+    // representations — and assert identical match sequences: if the
+    // precondition ever under-approximates, the runs diverge here
+    // instead of surfacing indirectly through a SQL oracle.
+    import graft.streaming.{Cep, GroupCep}
+    import graft.streaming.GroupCep.GPattern
+    type E = (String, Long)
+    def pv(s: String) = (e: E) => e._1 == s
+    def anyB = (e: E) => e._1 != "d" // wide middle: heavy branch churn
+    def p1 = GPattern.begin[E]("v")(pv("a"))
+      .next("b")(anyB).oneOrMore.consecutive.next("e")(pv("d"))
+    def p2 = GPattern.begin[E]("s")(pv("c"))
+      .next(GPattern.begin[E]("m1")(pv("a")).next("m2")(pv("b")))
+      .times(1, 2).consecutive.next("e")(pv("d"))
+    def p3 = p1.greedySelect
+    def p4 = p1.reluctant
+    def p5 = p1.within(6L)
+    val pats = Vector(() => p1, () => p2, () => p3, () => p4, () => p5)
+    // every driven pattern must actually take the skip being tested
+    pats.foreach(p => assert(GroupCep.noEpsilonDupForTest(p()),
+      "pattern not eligible for the dedup skip — property is vacuous"))
+    val skips = Vector(Cep.NoSkip, Cep.SkipPastLastEvent,
+      Cep.SkipToFirst("b"), Cep.SkipToLast("b"))
+    val namesGen = Gen.listOfN(22, Gen.oneOf("a", "b", "c", "d", "x"))
+    check(Prop.forAll(namesGen, Gen.choose(0, pats.size - 1),
+      Gen.choose(0, skips.size - 1)) { (names, pi, si) =>
+      val events: Vector[E] =
+        names.zipWithIndex.map { case (n, i) => (n, i.toLong) }.toVector
+      def run(spans: Boolean, dedup: Boolean) =
+        GroupCep.runKeyRepForTest[E](events, _._2, pats(pi)(), skips(si),
+          useSpans = spans, forceDedup = dedup)
+      val base = run(spans = false, dedup = false)
+      base == run(spans = false, dedup = true) &&
+        base == run(spans = true, dedup = true)
+    })
+  }
+
   test("linear CEP streaming is split-invariant (arrival counter + skip queue + negation gate)") {
     // the linear-engine twin, with within-horizons + terminal negation in
     // the pool; split points also land INSIDE same-value duplicate runs

@@ -166,6 +166,29 @@ class MatchRecognizeSpec extends SparkSuite {
     assert(single === Seq((1L, 1L, 2L)))
   }
 
+  test("MEASURES over a variable not in PATTERN keeps the library path's defined results (ADVICE r13)") {
+    // this shape would route PLANNED (flat distinct PVars, ALL ROWS)
+    // if every measure variable were a pattern step; the unknown Z must
+    // instead keep the library path — which defines COUNT(Z.*) = 0 and
+    // a null positional — rather than crash at plan time on the step
+    // index lookup
+    val df = Seq(
+      (1L, 10L, "view", 1L), (2L, 20L, "click", 1L)
+    ).toDF("event_id", "ts", "event_type", "user_id")
+    val got = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES COUNT(Z.*) AS zn, Z.event_id AS z_id,
+        |  V.event_id AS v_id
+        |ALL ROWS PER MATCH
+        |PATTERN (V C)
+        |DEFINE V AS event_type = 'view',
+        |       C AS event_type = 'click'""".stripMargin)
+      .select("zn", "z_id", "v_id")
+      .as[(Long, Option[Long], Long)].collect().toSeq
+    assert(got === Seq((0L, None, 1L), (0L, None, 1L)))
+  }
+
   test("{- -} exclusion removes rows from ALL ROWS output but not from measures (round 9)") {
     val df = Seq(
       (1L, 10L, "view", 1L), (2L, 20L, "click", 1L), (3L, 30L, "click", 1L),
