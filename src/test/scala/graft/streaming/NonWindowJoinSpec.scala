@@ -276,6 +276,50 @@ class NonWindowJoinSpec extends SparkSuite {
       Some((l: T3, r: T5) => l._2 >= 2L && r._5 == 1L)) === expected.sorted)
   }
 
+  test("join state survives a checkpointed stop/restart (product-encoded schema)") {
+    // a left row buffered by one query incarnation must pair with a
+    // right row arriving in the NEXT — a real checkpoint round-trip
+    // through the state store. The state is product-encoded (maps of
+    // concrete row types), so Spark's StateSchemaCompatibilityChecker
+    // owns cross-version layout errors; this pins the within-version
+    // recovery the schema visibility exists for.
+    import scala.jdk.CollectionConverters._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_join_resume").toString
+    val in1 = MemoryStream[(Int, String)]
+    val in2 = MemoryStream[(Int, String)]
+    val got = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Boolean, String, String)]()
+    def start() = NonWindowJoin.unboundedOuterJoin[Int, (Int, String), (Int, String)](
+      in1.toDS(), in2.toDS(), l => Some(l._1), r => Some(r._1),
+      "left_outer")
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[(Boolean, Option[(Int, String)], Option[(Int, String)])],
+            _: Long) =>
+          df.collect().foreach { case (c, lo, ro) =>
+            got.add((c, lo.map(_._2).getOrElse("null"),
+              ro.map(_._2).getOrElse("null"))); ()
+          }
+      }.start()
+    val q1 = start()
+    try {
+      in1.addData((7, "l1"))
+      q1.processAllAvailable()
+      assert(got.asScala.toSet === Set((true, "l1", "null")))
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      in2.addData((7, "r1"))
+      q2.processAllAvailable()
+      // the restored left pairs: its null-pad retracts, the pair lands
+      assert(got.asScala.toSet === Set((true, "l1", "null"),
+        (false, "l1", "null"), (true, "l1", "r1")))
+    } finally q2.stop()
+  }
+
   test("end-to-end retract composition: two RUNNING update-mode aggregates drive the join across micro-batches") {
     // The reference chains agg→join inside ONE SQL query
     // (stream/table/JoinITCase.scala:497 testLeftJoinWithRetractionInput:
