@@ -53,8 +53,12 @@ def main() -> None:
         "totals": [round(r["value"], 3) for r in results],
         "total_median": round(statistics.median(
             [r["value"] for r in results]), 3),
+        # Bench records -1.0 for a failed query; min over SUCCESSFUL
+        # runs only (falls back to -1.0 when every run failed)
         "queries_min": {
-            n: round(min(r["queries"][n] for r in results), 3)
+            n: round(min(
+                [r["queries"][n] for r in results if r["queries"][n] >= 0]
+                or [-1.0]), 3)
             for n in names},
         "suspect_flags": [bool(r.get("suspect")) for r in results],
         "failed": sorted({q for r in results for q in r.get("failed", [])}),

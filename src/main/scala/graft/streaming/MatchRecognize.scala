@@ -1039,6 +1039,17 @@ object MatchRecognize {
       case PAlt(bs, q) => q.forall(quantOf(_).isDefined) && bs.forall(quantsOk)
     }
     val qVars = quantifiedVars(elems, inQuant = false)
+    // every variable name appearing anywhere in PATTERN — measures over
+    // a variable NOT in this set stay on the library path, which gives
+    // them the SQL-defined degenerate results (COUNT = 0, null
+    // positional); the planned routes lower measures to columns named
+    // after pattern steps and have no column for an unknown variable
+    def allPatternVars(es: Vector[PElem]): Set[String] = es.flatMap {
+      case PVar(v, _) => Seq(v)
+      case PGrp(in, _) => allPatternVars(in)
+      case PAlt(bs, _) => bs.flatMap(allPatternVars)
+    }.toSet
+    val patternVars = allPatternVars(elems)
     // round 11: the reluctant compositions route planned — ^/$ anchors
     // (buffer-to-run-end gate-before-selection) and non-default skip
     // both live in GroupCepExec via the same GroupRunEmitter the
@@ -1055,8 +1066,9 @@ object MatchRecognize {
       AllRowsRe.findFirstMatchIn(clause).isEmpty &&
       measures.nonEmpty && measures.forall { m =>
         (m match { case FinalMeasure(i) => i; case o => o }) match {
-          case PosMeasure(v, _, _, last, 0) => !qVars(v) || !last
-          case CountMeasure(_, _) => true
+          case PosMeasure(v, _, _, last, 0) =>
+            patternVars(v) && (!qVars(v) || !last)
+          case CountMeasure(v, _) => patternVars(v)
           // round 10: GroupCepExec emits the per-key match ordinal, so
           // MATCH_NUMBER() queries take the planned route too
           case MatchNumMeasure(_) => true
@@ -1130,25 +1142,19 @@ object MatchRecognize {
       quantsOk(elems) &&
       (skip == Cep.NoSkip || hasReluctant || sqlGreedy) &&
       prevVars.isEmpty && subsets.isEmpty &&
-      measures.nonEmpty && {
-        // a measure over a variable NOT in PATTERN stays on the library
-        // path, which gives it the SQL-defined degenerate results
-        // (COUNT = 0, null positional) — the planned lowering indexes
-        // steps by name and would have no slot for it
-        val patVars = elems.collect { case PVar(v, _) => v }.toSet
-        measures.forall { m =>
-          (m match { case FinalMeasure(i) => i; case o => o }) match {
-            // LAST over a quantified variable needs the last captured
-            // row, which the final block does not carry
-            case PosMeasure(v, _, _, last, 0) =>
-              patVars(v) && (!last || !qVars(v))
-            case CountMeasure(v, _) => patVars(v)
-            case MatchNumMeasure(_) => true
-            // FINAL CLASSIFIER (the match's last variable) is not in
-            // the block; the RUNNING default is the row's own variable
-            case ClassifierMeasure(_) => !m.isFinal
-            case _ => false
-          }
+      measures.nonEmpty && measures.forall { m =>
+        (m match { case FinalMeasure(i) => i; case o => o }) match {
+          // LAST over a quantified variable needs the last captured
+          // row, which the final block does not carry; unknown
+          // variables (not in patternVars) keep the library path
+          case PosMeasure(v, _, _, last, 0) =>
+            patternVars(v) && (!last || !qVars(v))
+          case CountMeasure(v, _) => patternVars(v)
+          case MatchNumMeasure(_) => true
+          // FINAL CLASSIFIER (the match's last variable) is not in
+          // the block; the RUNNING default is the row's own variable
+          case ClassifierMeasure(_) => !m.isFinal
+          case _ => false
         }
       }
     if (allRowsPlanRoutable) {

@@ -38,11 +38,17 @@ import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
   *    re-evaluates on retraction and must hit the same pairs).
   *
   * The residual is evaluated per candidate pair as a catalyst
-  * predicate over the concatenated row (the reference codegens this
-  * callback into its join function); the hot cost — the per-key state
-  * scan — is identical to the typed surface's. Equi-keys group as one
-  * canonical JSON string per row (same DataTypes both sides ⇒ equal
-  * values serialize identically); any null key component makes the
+  * predicate over a JoinedRow of the two sides (the reference codegens
+  * this callback into its join function); the per-pair cost is one
+  * conversion of the state row plus the predicate — the arriving
+  * element converts once per element through an identity cache, so the
+  * hot cost stays the per-key state scan. Equi-keys group as one
+  * canonical JSON string per row: same DataTypes both sides ⇒ equal
+  * values serialize identically, top-level float/double keys normalize
+  * signed zero to match SQL join-key semantics (nested float fields
+  * inside struct-typed keys stay bitwise), and MAP-typed keys are
+  * rejected (no canonical order — Spark SQL joins reject them too);
+  * any null key component makes the
   * whole key SQL-null, which never joins. State rides the kryo
   * encoder here (generic `Row` state cannot be product-encoded); the
   * typed surface keeps its schema-visible product encoding. */
@@ -51,17 +57,38 @@ object NonWindowJoinSql {
   /** Residual predicate compiled once on the driver, evaluated per
     * candidate pair on executors (interpreted/codegen per catalyst's
     * own fallback; instantiated lazily per task). A null predicate
-    * result is false — the SQL join-condition contract. */
+    * result is false — the SQL join-condition contract.
+    *
+    * Each side converts to catalyst SEPARATELY and the bound expression
+    * evaluates over a JoinedRow, with a one-entry identity cache per
+    * side: the operator's state scan calls cond(l, r) with the SAME
+    * arriving element against every state row, so the fixed side
+    * converts once per element, not once per pair — the per-pair cost
+    * is one conversion of the state row plus the predicate itself. */
   private final class RowPairPredicate(bound: Expression,
-      schema: StructType) extends ((Row, Row) => Boolean)
-      with Serializable {
+      lSchema: StructType, rSchema: StructType)
+      extends ((Row, Row) => Boolean) with Serializable {
     @transient private lazy val pred: BasePredicate =
       CatalystPredicate.create(bound)
-    @transient private lazy val conv =
-      CatalystTypeConverters.createToCatalystConverter(schema)
-    def apply(l: Row, r: Row): Boolean =
-      pred.eval(conv(Row.fromSeq(l.toSeq ++ r.toSeq))
-        .asInstanceOf[InternalRow])
+    @transient private lazy val lConv =
+      CatalystTypeConverters.createToCatalystConverter(lSchema)
+    @transient private lazy val rConv =
+      CatalystTypeConverters.createToCatalystConverter(rSchema)
+    @transient private lazy val joined =
+      new org.apache.spark.sql.catalyst.expressions.JoinedRow
+    @transient private var lastL: Row = _
+    @transient private var lastLC: InternalRow = _
+    @transient private var lastR: Row = _
+    @transient private var lastRC: InternalRow = _
+    def apply(l: Row, r: Row): Boolean = {
+      if (l ne lastL) {
+        lastLC = lConv(l).asInstanceOf[InternalRow]; lastL = l
+      }
+      if (r ne lastR) {
+        lastRC = rConv(r).asInstanceOf[InternalRow]; lastR = r
+      }
+      pred.eval(joined(lastLC, lastRC))
+    }
   }
 
   private def compileResidual(left: DataFrame, right: DataFrame,
@@ -88,7 +115,7 @@ object NonWindowJoinSql {
       "residual must be deterministic — it re-evaluates on retraction " +
         s"and the retract must hit the same pairs: $residual")
     new RowPairPredicate(BindReferences.bindReference(expr, childOut),
-      combined)
+      left.schema, right.schema)
   }
 
   /** [[NonWindowJoin.unboundedOuterJoin]] for DataFrames with
@@ -113,12 +140,35 @@ object NonWindowJoinSql {
     val rSchema = right.schema
     val cond = residual.map(compileResidual(left, right, _))
 
+    // map-typed keys have no canonical serialization order (Spark SQL
+    // joins reject them too) — named error instead of silent non-joins
+    def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.MapType => true
+        case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          containsMap(a.elementType)
+        case _ => false
+      }
+    require(!lKeyTypes.exists(containsMap),
+      s"equi-keys must not contain MAP types (no canonical order): " +
+        s"$lKeyTypes")
+
     // canonical grouping key: one JSON string over the key tuple; any
-    // null component nulls the whole key (SQL-null keys never join)
-    def keyCol(keys: Seq[Column]): Column = when(
-      keys.map(_.isNull).reduce(_ || _), lit(null).cast("string"))
-      .otherwise(to_json(struct(
-        keys.zipWithIndex.map { case (k, i) => k.as("k" + i) }: _*)))
+    // null component nulls the whole key (SQL-null keys never join).
+    // Top-level float/double keys normalize signed zero (+0.0) so
+    // -0.0 joins 0.0, the SQL join-key semantics
+    // (NormalizeFloatingNumbers)
+    def keyCol(keys: Seq[Column]): Column = {
+      val norm = keys.zip(lKeyTypes).map {
+        case (k, org.apache.spark.sql.types.DoubleType) => k + lit(0.0)
+        case (k, org.apache.spark.sql.types.FloatType) => k + lit(0.0f)
+        case (k, _) => k
+      }
+      when(keys.map(_.isNull).reduce(_ || _), lit(null).cast("string"))
+        .otherwise(to_json(struct(
+          norm.zipWithIndex.map { case (k, i) => k.as("k" + i) }: _*)))
+    }
 
     val lTagged = left.select(keyCol(leftKeys).as("__key"),
       lit(true).as("__change"), struct(col("*")).as("__l"),

@@ -35,8 +35,11 @@ object JoinScaleBench {
   type E = (Int, Int)
 
   /** Drive the Dataset surface end-to-end at `keys` distinct keys,
-    * `perSide` rows per key per side, split across two micro-batches
-    * (state must carry across). Returns (seconds, rows emitted). */
+    * `perSide` rows per key per side: micro-batch 1 delivers every
+    * LEFT row (each null-pads into state), micro-batch 2 every RIGHT
+    * row (each scans the buffered lefts, retracting the pads) — so
+    * every key's state genuinely carries across the batch boundary.
+    * Returns (seconds, rows emitted). */
   def keyScale(spark: SparkSession, keys: Int, perSide: Int): (Double, Long) = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -53,12 +56,11 @@ object JoinScaleBench {
       }.start()
     val rows = for (k <- 0 until keys; i <- 0 until perSide)
       yield (k, k * perSide + i)
-    val (h1, h2) = rows.splitAt(rows.size / 2)
     val t0 = System.nanoTime()
     try {
-      in1.addData(h1: _*); in2.addData(h1: _*)
+      in1.addData(rows: _*)
       q.processAllAvailable()
-      in1.addData(h2: _*); in2.addData(h2: _*)
+      in2.addData(rows: _*)
       q.processAllAvailable()
     } finally q.stop()
     ((System.nanoTime() - t0) / 1e9, emitted.get())

@@ -187,6 +187,21 @@ class MatchRecognizeSpec extends SparkSuite {
       .select("zn", "z_id", "v_id")
       .as[(Long, Option[Long], Long)].collect().toSeq
     assert(got === Seq((0L, None, 1L), (0L, None, 1L)))
+
+    // the ONE ROW PER MATCH planned route has the same gate: unknown Z
+    // must fall back to the library path's defined results, not an
+    // unresolved-column crash
+    val one = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES COUNT(Z.*) AS zn, Z.event_id AS z_id,
+        |  V.event_id AS v_id
+        |PATTERN (V C)
+        |DEFINE V AS event_type = 'view',
+        |       C AS event_type = 'click'""".stripMargin)
+      .select("zn", "z_id", "v_id")
+      .as[(Long, Option[Long], Long)].collect().toSeq
+    assert(one === Seq((0L, None, 1L)))
   }
 
   test("{- -} exclusion removes rows from ALL ROWS output but not from measures (round 9)") {

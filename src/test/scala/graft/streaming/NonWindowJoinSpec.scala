@@ -261,6 +261,36 @@ class NonWindowJoinSpec extends SparkSuite {
     assert(named(NonWindowJoinSql.unboundedOuterJoin(lDf, rDf,
       Seq(col("a")), Seq(col("d")), "left_outer",
       residual = Some(rand() > 0.5))).contains("deterministic"))
+    // MAP-typed keys: no canonical serialization order — named error
+    import org.apache.spark.sql.functions.map
+    val lMap = lDf.withColumn("m", map(col("a"), col("b")))
+    val rMap = rDf.withColumn("m", map(col("d"), col("h")))
+    assert(named(NonWindowJoinSql.unboundedOuterJoin(lMap, rMap,
+      Seq(col("m")), Seq(col("m")), "left_outer")).contains("MAP"))
+  }
+
+  test("Column surface: -0.0 and 0.0 double keys join (SQL join-key normalization)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val in1 = MemoryStream[(Double, String)]
+    val in2 = MemoryStream[(Double, String)]
+    val mat = new Materializer
+    val joined = NonWindowJoinSql.unboundedOuterJoin(
+      in1.toDS().toDF("k", "l"), in2.toDS().toDF("j", "r"),
+      Seq(col("k")), Seq(col("j")), "inner")
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(row => mat(row.getAs[Boolean]("change"),
+          row.getAs[String]("l") + "," + row.getAs[String]("r")))
+      }.start()
+    try {
+      in1.addData((-0.0, "lNegZero"))
+      in2.addData((0.0, "rPosZero"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // a plain Spark join normalizes -0.0 == 0.0 (NormalizeFloatingNumbers);
+    // the canonical key string must too
+    assert(mat.rows === Seq("lNegZero,rPosZero"))
   }
 
   test("port: JoinITCase testFullJoinWithLeftLocalPred (a=d AND b>=2 AND h=1)") {
