@@ -965,14 +965,25 @@ object MatchRecognize {
     // can't express (quantifiers, groups, alternation, ALL ROWS,
     // MATCH_NUMBER, PREV, aggregate/subset measures, non-default skip)
     // stays on the library path below.
+    // every variable name appearing anywhere in PATTERN — measures over
+    // a variable NOT in this set stay on the library path, which gives
+    // them the SQL-defined degenerate results (COUNT = 0, null
+    // positional); the planned routes lower measures to columns named
+    // after pattern steps and have no column for an unknown variable
+    def allPatternVars(es: Vector[PElem]): Set[String] = es.flatMap {
+      case PVar(v, _) => Seq(v)
+      case PGrp(in, _) => allPatternVars(in)
+      case PAlt(bs, _) => bs.flatMap(allPatternVars)
+    }.toSet
+    val patternVars = allPatternVars(elems)
     val plannedRoutable = !streamingIn && !nested && !neverMatches &&
       !sqlGreedy && droppedVars.isEmpty &&
       elems.forall(e => e.quant.isEmpty && e.isInstanceOf[PVar]) &&
       skip == Cep.NoSkip && prevVars.isEmpty && subsets.isEmpty &&
       AllRowsRe.findFirstMatchIn(clause).isEmpty &&
       measures.nonEmpty && measures.forall {
-        case PosMeasure(_, _, _, _, 0) => true
-        case FinalMeasure(PosMeasure(_, _, _, _, 0)) => true
+        case PosMeasure(v, _, _, _, 0) => patternVars(v)
+        case FinalMeasure(PosMeasure(v, _, _, _, 0)) => patternVars(v)
         // round 10: CepExec emits the per-key match ordinal too
         case MatchNumMeasure(_) => true
         case FinalMeasure(MatchNumMeasure(_)) => true
@@ -1039,17 +1050,6 @@ object MatchRecognize {
       case PAlt(bs, q) => q.forall(quantOf(_).isDefined) && bs.forall(quantsOk)
     }
     val qVars = quantifiedVars(elems, inQuant = false)
-    // every variable name appearing anywhere in PATTERN — measures over
-    // a variable NOT in this set stay on the library path, which gives
-    // them the SQL-defined degenerate results (COUNT = 0, null
-    // positional); the planned routes lower measures to columns named
-    // after pattern steps and have no column for an unknown variable
-    def allPatternVars(es: Vector[PElem]): Set[String] = es.flatMap {
-      case PVar(v, _) => Seq(v)
-      case PGrp(in, _) => allPatternVars(in)
-      case PAlt(bs, _) => bs.flatMap(allPatternVars)
-    }.toSet
-    val patternVars = allPatternVars(elems)
     // round 11: the reluctant compositions route planned — ^/$ anchors
     // (buffer-to-run-end gate-before-selection) and non-default skip
     // both live in GroupCepExec via the same GroupRunEmitter the

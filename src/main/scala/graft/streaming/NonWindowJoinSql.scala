@@ -153,6 +153,30 @@ object NonWindowJoinSql {
     require(!lKeyTypes.exists(containsMap),
       s"equi-keys must not contain MAP types (no canonical order): " +
         s"$lKeyTypes")
+    // signed zero normalizes only at top level; a float inside a
+    // struct/array key would keep bitwise -0.0 and silently never join
+    // its 0.0 counterpart — named error instead (Spark SQL's
+    // NormalizeFloatingNumbers recurses; this surface does not)
+    def nestedFloat(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      def anyFloat(d: org.apache.spark.sql.types.DataType): Boolean =
+        d match {
+          case org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType => true
+          case s: StructType => s.fields.exists(f => anyFloat(f.dataType))
+          case a: org.apache.spark.sql.types.ArrayType =>
+            anyFloat(a.elementType)
+          case _ => false
+        }
+      dt match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => false // normalized
+        case other => anyFloat(other)
+      }
+    }
+    require(!lKeyTypes.exists(nestedFloat),
+      "equi-keys must not nest FLOAT/DOUBLE fields inside struct/array " +
+        "types — signed zeros would not normalize (use top-level " +
+        s"float keys or cast): $lKeyTypes")
 
     // canonical grouping key: one JSON string over the key tuple; any
     // null component nulls the whole key (SQL-null keys never join).

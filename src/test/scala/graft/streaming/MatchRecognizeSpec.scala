@@ -202,6 +202,20 @@ class MatchRecognizeSpec extends SparkSuite {
       .select("zn", "z_id", "v_id")
       .as[(Long, Option[Long], Long)].collect().toSeq
     assert(one === Seq((0L, None, 1L)))
+
+    // the FLAT CepExec route (positional-only measures, no COUNT) has
+    // the same gate — a COUNT-free unknown-variable clause previously
+    // slipped through it
+    val flat = MatchRecognize(df,
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES Z.event_id AS z_id, V.event_id AS v_id
+        |PATTERN (V C)
+        |DEFINE V AS event_type = 'view',
+        |       C AS event_type = 'click'""".stripMargin)
+      .select("z_id", "v_id")
+      .as[(Option[Long], Long)].collect().toSeq
+    assert(flat === Seq((None, 1L)))
   }
 
   test("{- -} exclusion removes rows from ALL ROWS output but not from measures (round 9)") {

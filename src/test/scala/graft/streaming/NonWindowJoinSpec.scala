@@ -267,6 +267,16 @@ class NonWindowJoinSpec extends SparkSuite {
     val rMap = rDf.withColumn("m", map(col("d"), col("h")))
     assert(named(NonWindowJoinSql.unboundedOuterJoin(lMap, rMap,
       Seq(col("m")), Seq(col("m")), "left_outer")).contains("MAP"))
+    // nested float inside a struct key: signed zeros would not
+    // normalize — named error (top-level doubles are fine, see the
+    // -0.0/0.0 join test)
+    import org.apache.spark.sql.functions.struct
+    val lStr = lDf.withColumn("s",
+      struct(col("b").cast("double").as("x"), col("a").as("y")))
+    val rStr = rDf.withColumn("s",
+      struct(col("h").cast("double").as("x"), col("d").as("y")))
+    assert(named(NonWindowJoinSql.unboundedOuterJoin(lStr, rStr,
+      Seq(col("s")), Seq(col("s")), "left_outer")).contains("nest"))
   }
 
   test("Column surface: -0.0 and 0.0 double keys join (SQL join-key normalization)") {
