@@ -90,6 +90,32 @@ object JoinScaleBench {
     ((System.nanoTime() - t0) / 1e9, emitted)
   }
 
+  /** [[hotKey]] for the NON-EQUI variant — the per-pair residual
+    * predicate + joinCnt bookkeeping is the operator's most expensive
+    * path; same one-batch shape, left_outer with a cond every pair
+    * passes (worst case: every state row emits AND updates joinCnt). */
+  def hotKeyNonEqui(stateRows: Int, arrivals: Int): (Double, Long) = {
+    val fn = NonWindowJoin.joinFnNonEqui[Int, E, E]("left_outer",
+      (l, r) => l._2 <= r._2)
+    var state = Optional.empty[NonWindowJoin.NESideState[E, E]]()
+    def drive(els: Iterator[(Boolean, Option[E], Option[E])]): Long = {
+      val st = TestGroupState.create[NonWindowJoin.NESideState[E, E]](
+        state, GroupStateTimeout.NoTimeout(), 0L,
+        Optional.empty[Long](), hasTimedOut = false)
+      var n = 0L
+      fn(0, els, st).foreach(_ => n += 1)
+      state = if (st.isRemoved) Optional.empty()
+              else if (st.isUpdated) Optional.of(st.get)
+              else state
+      n
+    }
+    drive((0 until stateRows).iterator.map(i => (true, Some((i, 0)), None)))
+    val t0 = System.nanoTime()
+    val emitted = drive((0 until arrivals).iterator.map(j =>
+      (true, None, Some((stateRows + j, 1)))))
+    ((System.nanoTime() - t0) / 1e9, emitted)
+  }
+
   def main(args: Array[String]): Unit = {
     val keys = args.headOption.map(_.toInt).getOrElse(4000)
     val stateRows = args.lift(1).map(_.toInt).getOrElse(100000)
@@ -108,21 +134,29 @@ object JoinScaleBench {
     hotKey(10000, 20)
     val (th, nh) = hotKey(stateRows, arrivals)
     val thrpt = nh / th
+    hotKeyNonEqui(10000, 20)
+    val (tne, nne) = hotKeyNonEqui(stateRows, arrivals)
+    val neThrpt = nne / tne
 
     println(f"[joinscale] keys=$keys%d 1x $t1%6.2fs ($n1%d rows) | " +
       f"10x $t10%6.2fs ($n10%d rows) | ratio $ratio%5.2f")
     println(f"[joinscale] hotkey state=$stateRows%d arrivals=$arrivals%d " +
       f"$th%6.2fs $nh%d rows ${thrpt / 1e6}%5.2fM rows/s")
+    println(f"[joinscale] hotkeyNE state=$stateRows%d arrivals=$arrivals%d " +
+      f"$tne%6.2fs $nne%d rows ${neThrpt / 1e6}%5.2fM rows/s")
     println(f"""{"metric":"joinscale","keys":$keys,"x1_sec":$t1%.3f,""" +
       f""""x10_sec":$t10%.3f,"ratio":$ratio%.2f,"x1_rows":$n1,""" +
       f""""x10_rows":$n10,"hotkey_state":$stateRows,""" +
       f""""hotkey_arrivals":$arrivals,"hotkey_sec":$th%.3f,""" +
-      f""""hotkey_rows":$nh,"hotkey_rows_per_sec":${thrpt.toLong}}""")
+      f""""hotkey_rows":$nh,"hotkey_rows_per_sec":${thrpt.toLong},""" +
+      f""""hotkey_ne_sec":$tne%.3f,"hotkey_ne_rows":$nne,""" +
+      f""""hotkey_ne_rows_per_sec":${neThrpt.toLong}}""")
     println()
     println("| scenario | size | seconds | rows emitted |")
     println("|---|---|---|---|")
     println(f"| key-scale 1x | $keys keys x $perSide/side | $t1%.2fs | $n1 |")
     println(f"| key-scale 10x | ${keys * 10} keys x $perSide/side | $t10%.2fs | $n10 |")
     println(f"| hot key, one batch | $stateRows state rows x $arrivals arrivals | $th%.2fs | $nh |")
+    println(f"| hot key non-equi | $stateRows state rows x $arrivals arrivals | $tne%.2fs | $nne |")
   }
 }

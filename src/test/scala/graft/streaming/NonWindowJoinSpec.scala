@@ -793,6 +793,76 @@ class NonWindowJoinSpec extends SparkSuite {
     }
   }
 
+  test("randomized differential: un-expired retention is emission-inert (ttl stamps vs none)") {
+    // the per-row stamps (round 14) must be PURE BOOKKEEPING until a
+    // row actually expires: for ANY interleaving of inserts/retracts
+    // on both sides, a ttl-armed fn whose rows never reach their
+    // stamps must emit EXACTLY the no-ttl fn's sequence, element by
+    // element — including under clock advances that refresh stamps to
+    // differing values. Catches any stamp-handling leak into the
+    // recordNum/joinCnt/emission machinery.
+    type E = (Int, Int)
+    val rnd = new scala.util.Random(1447)
+    val hugeTtl = 1000L * 1000 * 1000
+    for {
+      joinType <- Seq("inner", "left_outer", "right_outer", "full_outer")
+      useCond <- Seq(false, true)
+      trial <- 1 to 3
+    } {
+      val cond = (l: E, r: E) => l._2 <= r._2
+      def mkEqui(ttl: Option[Long]) = new VirtualClockHarness[Int,
+        (Boolean, Option[E], Option[E]), NonWindowJoin.SideState[E, E],
+        (Boolean, Option[E], Option[E])](
+        GroupStateTimeout.NoTimeout(),
+        NonWindowJoin.joinFn[Int, E, E](joinType, ttl))
+      def mkNE(ttl: Option[Long]) = new VirtualClockHarness[Int,
+        (Boolean, Option[E], Option[E]), NonWindowJoin.NESideState[E, E],
+        (Boolean, Option[E], Option[E])](
+        GroupStateTimeout.NoTimeout(),
+        NonWindowJoin.joinFnNonEqui[Int, E, E](joinType, cond, ttl))
+      // (base no-ttl, ttl at clock 0, ttl under random clock advances)
+      val drives: Seq[(VirtualClockHarness[Int, (Boolean, Option[E],
+        Option[E]), _, (Boolean, Option[E], Option[E])], Boolean)] =
+        if (useCond) Seq((mkNE(None), false), (mkNE(Some(hugeTtl)), false),
+          (mkNE(Some(hugeTtl)), true))
+        else Seq((mkEqui(None), false), (mkEqui(Some(hugeTtl)), false),
+          (mkEqui(Some(hugeTtl)), true))
+      val liveL = scala.collection.mutable.ArrayBuffer.empty[E]
+      val liveR = scala.collection.mutable.ArrayBuffer.empty[E]
+      val script = scala.collection.mutable.ArrayBuffer
+        .empty[(Boolean, Option[E], Option[E])]
+      (1 to 14 + rnd.nextInt(8)).foreach { _ =>
+        val leftSide = rnd.nextBoolean()
+        val (live, mkEl) =
+          if (leftSide) (liveL,
+            (c: Boolean, e: E) => (c, Option(e), Option.empty[E]))
+          else (liveR,
+            (c: Boolean, e: E) => (c, Option.empty[E], Option(e)))
+        if (live.nonEmpty && rnd.nextInt(3) == 0) {
+          val i = rnd.nextInt(live.size)
+          script += mkEl(false, live.remove(i))
+        } else {
+          val e = (rnd.nextInt(3), rnd.nextInt(4))
+          live += e
+          script += mkEl(true, e)
+        }
+      }
+      val clockSteps = script.indices.map(_ => rnd.nextInt(50).toLong)
+      val outs = drives.map { case (h, advance) =>
+        var clock = 0L
+        script.zip(clockSteps).map { case (el, step) =>
+          if (advance) { clock += step; h.advanceTo(clock) }
+          val k = el._2.orElse(el._3).get._1
+          h.input(k, el).toList
+        }
+      }
+      assert(outs(1) === outs(0),
+        s"$joinType cond=$useCond trial=$trial: ttl@clock0 diverged")
+      assert(outs(2) === outs(0),
+        s"$joinType cond=$useCond trial=$trial: ttl+advances diverged")
+    }
+  }
+
   test("port: JoinHarnessTest testNonWindowLeftJoinWithoutNonEqualPred (pre-expiry emissions)") {
     // the equi left join's per-element script through processing time 4
     // (the time-5+ tail exercises the reference's PER-SIDE retention,
