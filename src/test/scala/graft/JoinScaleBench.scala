@@ -66,14 +66,18 @@ object JoinScaleBench {
     ((System.nanoTime() - t0) / 1e9, emitted.get())
   }
 
-  /** Drive joinFn directly on ONE key: seed `stateRows` distinct left
-    * rows, then time a single batch of `arrivals` right rows — each
-    * joins the full left state. Output consumed row-at-a-time. */
-  def hotKey(stateRows: Int, arrivals: Int): (Double, Long) = {
-    val fn = NonWindowJoin.joinFn[Int, E, E]("left_outer")
-    var state = Optional.empty[NonWindowJoin.SideState[E, E]]()
+  /** One-key driver shared by the hot-key scenarios: seed the left
+    * state, then time a single batch of right arrivals — each joins
+    * the full left state. Output consumed row-at-a-time. */
+  private def hotKeyDrive[S](
+      fn: (Int, Iterator[(Boolean, Option[E], Option[E])],
+        org.apache.spark.sql.streaming.GroupState[S]) =>
+          Iterator[(Boolean, Option[E], Option[E])],
+      stateRows: Int, arrivals: Int,
+      seedPayload: Int => Int, arrivalPayload: Int => Int): (Double, Long) = {
+    var state = Optional.empty[S]()
     def drive(els: Iterator[(Boolean, Option[E], Option[E])]): Long = {
-      val st = TestGroupState.create[NonWindowJoin.SideState[E, E]](
+      val st = TestGroupState.create[S](
         state, GroupStateTimeout.NoTimeout(), 0L,
         Optional.empty[Long](), hasTimedOut = false)
       var n = 0L
@@ -83,38 +87,27 @@ object JoinScaleBench {
               else state
       n
     }
-    drive((0 until stateRows).iterator.map(i => (true, Some((i, i)), None)))
+    drive((0 until stateRows).iterator.map(i =>
+      (true, Some((i, seedPayload(i))), None)))
     val t0 = System.nanoTime()
     val emitted = drive((0 until arrivals).iterator.map(j =>
-      (true, None, Some((stateRows + j, j)))))
+      (true, None, Some((stateRows + j, arrivalPayload(j))))))
     ((System.nanoTime() - t0) / 1e9, emitted)
   }
+
+  /** Equi hot key: one key, `stateRows` distinct lefts, one batch of
+    * `arrivals` rights each joining the full left state. */
+  def hotKey(stateRows: Int, arrivals: Int): (Double, Long) =
+    hotKeyDrive(NonWindowJoin.joinFn[Int, E, E]("left_outer"),
+      stateRows, arrivals, identity, identity)
 
   /** [[hotKey]] for the NON-EQUI variant — the per-pair residual
     * predicate + joinCnt bookkeeping is the operator's most expensive
     * path; same one-batch shape, left_outer with a cond every pair
     * passes (worst case: every state row emits AND updates joinCnt). */
-  def hotKeyNonEqui(stateRows: Int, arrivals: Int): (Double, Long) = {
-    val fn = NonWindowJoin.joinFnNonEqui[Int, E, E]("left_outer",
-      (l, r) => l._2 <= r._2)
-    var state = Optional.empty[NonWindowJoin.NESideState[E, E]]()
-    def drive(els: Iterator[(Boolean, Option[E], Option[E])]): Long = {
-      val st = TestGroupState.create[NonWindowJoin.NESideState[E, E]](
-        state, GroupStateTimeout.NoTimeout(), 0L,
-        Optional.empty[Long](), hasTimedOut = false)
-      var n = 0L
-      fn(0, els, st).foreach(_ => n += 1)
-      state = if (st.isRemoved) Optional.empty()
-              else if (st.isUpdated) Optional.of(st.get)
-              else state
-      n
-    }
-    drive((0 until stateRows).iterator.map(i => (true, Some((i, 0)), None)))
-    val t0 = System.nanoTime()
-    val emitted = drive((0 until arrivals).iterator.map(j =>
-      (true, None, Some((stateRows + j, 1)))))
-    ((System.nanoTime() - t0) / 1e9, emitted)
-  }
+  def hotKeyNonEqui(stateRows: Int, arrivals: Int): (Double, Long) =
+    hotKeyDrive(NonWindowJoin.joinFnNonEqui[Int, E, E]("left_outer",
+      (l, r) => l._2 <= r._2), stateRows, arrivals, _ => 0, _ => 1)
 
   def main(args: Array[String]): Unit = {
     val keys = args.headOption.map(_.toInt).getOrElse(4000)

@@ -243,6 +243,26 @@ class NonWindowJoinSpec extends SparkSuite {
       colResidual = Some(col("b") <= col("h"))) === expected.sorted)
   }
 
+  // shared by the typed port and its Column-surface twin
+  private lazy val fullJoinLeftLocalPredExpected = Seq(
+    "Hello,Hallo Welt wie", "Hello world, how are you?,DEF",
+    "Hello world, how are you?,EFG", "I am fine.,GHI",
+    "Hi,null", "Hello world,null", "Luke Skywalker,null",
+    "null,Hallo", "null,Hallo Welt", "null,Hallo Welt wie gehts?",
+    "null,ABC", "null,BCD", "null,CDE", "null,FGH", "null,HIJ",
+    "null,IJK", "null,JKL", "null,KLM") ++ comments
+
+  test("Column surface: testFullJoinWithLeftLocalPred via Column residual (b >= 2 AND h = 1)") {
+    // a residual made of per-side LOCAL predicates (still evaluated
+    // inside the outer-join condition, never pushed as filters — the
+    // SQL outer-join contract the typed port pins)
+    import org.apache.spark.sql.functions.col
+    assert(runPort("full_outer", t3Opt(nullAt21 = false),
+      t5Opt(nullAtE15 = false), viaCols = true,
+      colResidual = Some(col("b") >= 2L && col("h") === 1L)) ===
+      fullJoinLeftLocalPredExpected.sorted)
+  }
+
   test("Column surface rejections: key arity/type mismatch, non-boolean or nondeterministic residual") {
     import org.apache.spark.sql.functions.{col, rand}
     val lDf = Seq((1, 1L, "x")).toDF("a", "b", "c")
@@ -304,16 +324,10 @@ class NonWindowJoinSpec extends SparkSuite {
   }
 
   test("port: JoinITCase testFullJoinWithLeftLocalPred (a=d AND b>=2 AND h=1)") {
-    val expected = Seq(
-      "Hello,Hallo Welt wie", "Hello world, how are you?,DEF",
-      "Hello world, how are you?,EFG", "I am fine.,GHI",
-      "Hi,null", "Hello world,null", "Luke Skywalker,null",
-      "null,Hallo", "null,Hallo Welt", "null,Hallo Welt wie gehts?",
-      "null,ABC", "null,BCD", "null,CDE", "null,FGH", "null,HIJ",
-      "null,IJK", "null,JKL", "null,KLM") ++ comments
     assert(runPort("full_outer", t3Opt(nullAt21 = false),
       t5Opt(nullAtE15 = false),
-      Some((l: T3, r: T5) => l._2 >= 2L && r._5 == 1L)) === expected.sorted)
+      Some((l: T3, r: T5) => l._2 >= 2L && r._5 == 1L)) ===
+      fullJoinLeftLocalPredExpected.sorted)
   }
 
   test("join state survives a checkpointed stop/restart (product-encoded schema)") {
@@ -851,7 +865,13 @@ class NonWindowJoinSpec extends SparkSuite {
       val outs = drives.map { case (h, advance) =>
         var clock = 0L
         script.zip(clockSteps).map { case (el, step) =>
-          if (advance) { clock += step; h.advanceTo(clock) }
+          if (advance) {
+            clock += step
+            // joinFn never arms timers itself — any output here would
+            // mean stamps leaked into the timeout machinery
+            assert(h.advanceTo(clock).isEmpty,
+              "clock advance produced output without a timer")
+          }
           val k = el._2.orElse(el._3).get._1
           h.input(k, el).toList
         }
