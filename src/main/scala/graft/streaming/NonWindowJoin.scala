@@ -48,7 +48,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * iterating the other side (after joining once more — the "clear
   * after join" order) and by the per-key idle timer, so a key kept hot
   * by one side does not retain the other side's stale rows. Expiry is
-  * SILENT — no retraction of previously emitted results. State is
+  * SILENT — no retraction of previously emitted results. Ops note:
+  * pair `idleTtlMs` with a trigger interval
+  * (`.trigger(Trigger.ProcessingTime(...))`) — a ProcessingTimeTimeout
+  * query under the default as-fast-as-possible trigger re-triggers
+  * empty micro-batches continuously to serve its timers. State is
   * PRODUCT-encoded (map columns of concrete row types): its schema is
   * visible to Spark's StateSchemaCompatibilityChecker, which raises its
   * own named error on layout change across checkpoints — the property

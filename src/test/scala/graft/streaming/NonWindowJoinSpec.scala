@@ -299,6 +299,28 @@ class NonWindowJoinSpec extends SparkSuite {
       Seq(col("s")), Seq(col("s")), "left_outer")).contains("nest"))
   }
 
+  test("RetractBridge expands update batches into the reference's retract stream") {
+    val b = new RetractBridge[String, Long]
+    // first sighting: insert only
+    assert(b.tag(Seq(("a", 1L))) === Seq((true, "a", 1L)))
+    // update: retract(old) BEFORE insert(new) — the join's null-pad
+    // flips depend on this order
+    assert(b.tag(Seq(("a", 2L), ("b", 5L))) ===
+      Seq((false, "a", 1L), (true, "a", 2L), (true, "b", 5L)))
+    assert(b.size === 2)
+    // drop retracts the remembered value once
+    assert(b.drop("a") === Seq((false, "a", 2L)))
+    assert(b.drop("a") === Seq.empty)
+    assert(b.size === 1)
+  }
+
+  // NOTE: no end-to-end TTL query here by design — a ProcessingTime-
+  // Timeout query under the default trigger spins continuous empty
+  // micro-batches to serve its timers (observed: StateStoreCoordinator
+  // churn, processAllAvailable never settles), which is the documented
+  // reason TTL semantics verify through the VirtualClockHarness; the
+  // Column surface's timeout wiring is line-identical to runJoin's.
+
   test("Column surface: -0.0 and 0.0 double keys join (SQL join-key normalization)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions.col
@@ -411,25 +433,19 @@ class NonWindowJoinSpec extends SparkSuite {
         NonWindowJoin.joinFn[Long, Agg, Agg]("left_outer"))
       val mat = new Materializer
       val lock = new Object
-      val prevL = mutable.Map.empty[Long, Long]
-      val prevR = mutable.Map.empty[Long, Long]
+      val bridgeL = new RetractBridge[Long, Long]
+      val bridgeR = new RetractBridge[Long, Long]
       def feed(k: Long, el: (Boolean, Option[Agg], Option[Agg])): Unit =
         harness.input(k, el).foreach { case (c, lo, ro) =>
           mat(c, lo.map(t => s"${t._1},${t._2}").getOrElse("null,null") +
             "," + ro.map(_._2.toString).getOrElse("null"))
         }
-      // the update→retract bridge: an updated (key, cnt) becomes
-      // retract(key, prevCnt) + insert(key, cnt)
-      def tagAndFeed(prev: mutable.Map[Long, Long], isLeft: Boolean)(
+      // the library's update→retract bridge: an updated (key, cnt)
+      // becomes retract(key, prevCnt) + insert(key, cnt)
+      def tagAndFeed(bridge: RetractBridge[Long, Long], isLeft: Boolean)(
           rows: Seq[(Long, Long)]): Unit = lock.synchronized {
-        rows.foreach { case (k, cnt) =>
-          prev.get(k).foreach { old =>
-            feed(k, (false,
-              if (isLeft) Some((k, old)) else None,
-              if (isLeft) None else Some((k, old))))
-          }
-          prev(k) = cnt
-          feed(k, (true,
+        bridge.tag(rows).foreach { case (c, k, cnt) =>
+          feed(k, (c,
             if (isLeft) Some((k, cnt)) else None,
             if (isLeft) None else Some((k, cnt))))
         }
@@ -441,14 +457,14 @@ class NonWindowJoinSpec extends SparkSuite {
         .groupBy(col("e")).count()
         .writeStream.outputMode("update")
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          tagAndFeed(prevL, isLeft = true)(
+          tagAndFeed(bridgeL, isLeft = true)(
             df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
         }.start()
       val q3 = in3.toDS().toDF("a", "b", "c")
         .groupBy(col("b")).count()
         .writeStream.outputMode("update")
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          tagAndFeed(prevR, isLeft = false)(
+          tagAndFeed(bridgeR, isLeft = false)(
             df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
         }.start()
       try {
