@@ -223,6 +223,76 @@ object CurationQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Corpus-INTERNAL exact-substring dedup (round 14) — the
+    // "Deduplicating Training Data Makes Language Models Better"
+    // action qp24's machinery implies: instead of cutting spans that
+    // match an external benchmark, cut spans duplicated ACROSS
+    // DOCUMENTS, keeping one canonical copy. Each n-gram (trigrams,
+    // qp9/qp24's fixture geometry; production uses ~50-grams) elects
+    // the MIN doc_id holding it as owner; in every other document the
+    // gram's token span is banned, overlapping bans union per document
+    // (DISTINCT positions), and the text rebuilds without them — an
+    // exact duplicate of an earlier document loses its entire text.
+    // Scale shape: the owner table comes from ONE gram-keyed partial
+    // aggregate of the corpus gram stream and joins back on the gram
+    // key — a shuffle equi-join on both ends (the duplicated-gram set
+    // is corpus-sized, NOT broadcastable at 100 TB), then one
+    // per-document partial agg; no window, no self-join, no all-pairs.
+    q("qp26_substring_dedup",
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |gp AS (SELECT doc_id, CAST(g.i AS INT) AS p,
+        |    ws[g.i] || ' ' || ws[g.i + 1] || ' ' || ws[g.i + 2] AS g
+        |  FROM tk, UNNEST(generate_series(1, len(ws) - 2)) AS g(i)
+        |  WHERE len(ws) >= 3),
+        |own AS (SELECT g, MIN(doc_id) AS owner FROM gp
+        |  GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1),
+        |banned AS (SELECT DISTINCT d.doc_id, u.bp
+        |  FROM gp d JOIN own o ON d.g = o.g AND d.doc_id <> o.owner,
+        |    UNNEST([d.p, d.p + 1, d.p + 2]) AS u(bp)),
+        |agg AS (SELECT doc_id, list(bp) AS bps,
+        |    CAST(COUNT(*) AS BIGINT) AS n_removed
+        |  FROM banned GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_removed,
+        |  COALESCE(array_to_string(list_filter(
+        |    list_transform(generate_series(1, len(t.ws)), i ->
+        |      CASE WHEN list_contains(a.bps, CAST(i AS INT)) THEN NULL
+        |           ELSE t.ws[i] END),
+        |    x -> x IS NOT NULL), ' '), '') AS clean_text
+        |FROM agg a JOIN tk t ON t.doc_id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      val tk = t(s, d, "documents")
+        .selectExpr("doc_id", "filter(split(text, ' '), x -> x <> '') AS ws")
+      val gp = tk.where("size(ws) >= 3")
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(ws) - 3), i -> " +
+            "concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))"))
+          .as(Seq("p", "g")))
+      val own = gp.groupBy("g")
+        .agg(min("doc_id").as("owner"),
+          countDistinct("doc_id").as("nd"))
+        .where(col("nd") > 1)
+        .select("g", "owner")
+      // 0-based here vs 1-based in the oracle — each side rebuilds from
+      // its own indexing; the output text and counts are identical
+      val banned = gp.join(own, "g")
+        .where(col("doc_id") =!= col("owner"))
+        .select(col("doc_id"),
+          explode(expr("array(p, p + 1, p + 2)")).as("bp"))
+        .distinct()
+      val agg = banned.groupBy("doc_id")
+        .agg(collect_set("bp").as("bps"),
+          count(lit(1)).cast("long").as("n_removed"))
+      agg.join(tk, "doc_id")
+        .select(col("doc_id"), col("n_removed"),
+          expr("""array_join(filter(
+            |  transform(sequence(0, size(ws) - 1), i ->
+            |    IF(array_contains(bps, i), NULL, ws[i])),
+            |  x -> x IS NOT NULL), ' ')""".stripMargin).as("clean_text"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic stratified sampling — the data-mixing primitive: each
     // language keeps a different fraction (downsample the dominant 'en' to
     // 5%, keep half of everything else), decided per row by an md5-prefix

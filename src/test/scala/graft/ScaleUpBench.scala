@@ -105,7 +105,11 @@ object ScaleUpBench {
     // the expected wall ratio is ~linear in input. qc38 adds the
     // output-heavy ALL ROWS twin (emitted rows ~ #input x avg span).
     "qc34_mr_sql_greedy", "qc35_mr_sql_greedy_multi",
-    "qc38_mr_greedy_all_rows")
+    "qc38_mr_greedy_all_rows",
+    // round 14: corpus-internal substring dedup — the gram-owner
+    // shuffle join is the scale-critical stage (owner table is
+    // corpus-sized, not broadcastable)
+    "qp26_substring_dedup")
 
   private def timeQuery(spark: SparkSession, name: String,
       dir: String): (Double, Double) = {
