@@ -15,6 +15,37 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries extends QueryModule {
 
+  /** Shared tokenize + gram-position machinery for the span operators
+    * (qp24 decontamination, qp26 substring dedup): `tk` = (doc_id, ws)
+    * word arrays, `gp` = (doc_id, p, g) 0-based trigram positions. */
+  private def tokensAndGrams(docs: org.apache.spark.sql.DataFrame):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val tk = docs
+      .selectExpr("doc_id", "filter(split(text, ' '), x -> x <> '') AS ws")
+    val gp = tk.where("size(ws) >= 3")
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(ws) - 3), i -> " +
+          "concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))"))
+        .as(Seq("p", "g")))
+    (tk, gp)
+  }
+
+  /** Per-document span removal shared by qp24/qp26: union the banned
+    * 0-based positions, count them, rebuild the text without them. */
+  private def removeSpans(tk: org.apache.spark.sql.DataFrame,
+      banned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val agg = banned.groupBy("doc_id")
+      .agg(collect_set("bp").as("bps"),
+        count(lit(1)).cast("long").as("n_removed"))
+    agg.join(tk, "doc_id")
+      .select(col("doc_id"), col("n_removed"),
+        expr("""array_join(filter(
+          |  transform(sequence(0, size(ws) - 1), i ->
+          |    IF(array_contains(bps, i), NULL, ws[i])),
+          |  x -> x IS NOT NULL), ' ')""".stripMargin).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(
     q("qp7_curation_pipeline",
       s"""${DedupQueries.duckSig},
@@ -195,13 +226,7 @@ object CurationQueries extends QueryModule {
         |    x -> x IS NOT NULL), ' '), '') AS clean_text
         |FROM agg a JOIN tk t ON t.doc_id = a.doc_id
         |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
-      val tk = t(s, d, "documents")
-        .selectExpr("doc_id", "filter(split(text, ' '), x -> x <> '') AS ws")
-      val gp = tk.where("size(ws) >= 3")
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, size(ws) - 3), i -> " +
-            "concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))"))
-          .as(Seq("p", "g")))
+      val (tk, gp) = tokensAndGrams(t(s, d, "documents"))
       val bench = gp.where(col("doc_id") % 97 === 0)
         .select(col("g")).distinct()
       // 0-based here vs 1-based in the oracle — each side rebuilds from
@@ -211,16 +236,7 @@ object CurationQueries extends QueryModule {
         .select(col("doc_id"),
           explode(expr("array(p, p + 1, p + 2)")).as("bp"))
         .distinct()
-      val agg = banned.groupBy("doc_id")
-        .agg(collect_set("bp").as("bps"),
-          count(lit(1)).cast("long").as("n_removed"))
-      agg.join(tk, "doc_id")
-        .select(col("doc_id"), col("n_removed"),
-          expr("""array_join(filter(
-            |  transform(sequence(0, size(ws) - 1), i ->
-            |    IF(array_contains(bps, i), NULL, ws[i])),
-            |  x -> x IS NOT NULL), ' ')""".stripMargin).as("clean_text"))
-        .orderBy("doc_id")
+      removeSpans(tk, banned)
     },
 
     // Corpus-INTERNAL exact-substring dedup (round 14) — the
@@ -233,11 +249,13 @@ object CurationQueries extends QueryModule {
     // gram's token span is banned, overlapping bans union per document
     // (DISTINCT positions), and the text rebuilds without them — an
     // exact duplicate of an earlier document loses its entire text.
-    // Scale shape: the owner table comes from ONE gram-keyed partial
-    // aggregate of the corpus gram stream and joins back on the gram
-    // key — a shuffle equi-join on both ends (the duplicated-gram set
-    // is corpus-sized, NOT broadcastable at 100 TB), then one
-    // per-document partial agg; no window, no self-join, no all-pairs.
+    // Scale shape: ONE window pass over the gram stream — owner =
+    // min(doc_id) OVER (PARTITION BY g); a row in a non-owner document
+    // is banned iff its doc_id differs from the partition min (which
+    // by itself proves >1 distinct docs hold the gram). One shuffle on
+    // the gram key, a single corpus scan, then one per-document
+    // partial agg; no join against a corpus-sized gram set (NOT
+    // broadcastable at 100 TB), no self-join, no all-pairs.
     q("qp26_substring_dedup",
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
@@ -262,35 +280,19 @@ object CurationQueries extends QueryModule {
         |    x -> x IS NOT NULL), ' '), '') AS clean_text
         |FROM agg a JOIN tk t ON t.doc_id = a.doc_id
         |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
-      val tk = t(s, d, "documents")
-        .selectExpr("doc_id", "filter(split(text, ' '), x -> x <> '') AS ws")
-      val gp = tk.where("size(ws) >= 3")
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, size(ws) - 3), i -> " +
-            "concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))"))
-          .as(Seq("p", "g")))
-      val own = gp.groupBy("g")
-        .agg(min("doc_id").as("owner"),
-          countDistinct("doc_id").as("nd"))
-        .where(col("nd") > 1)
-        .select("g", "owner")
+      val (tk, gp) = tokensAndGrams(t(s, d, "documents"))
       // 0-based here vs 1-based in the oracle — each side rebuilds from
-      // its own indexing; the output text and counts are identical
-      val banned = gp.join(own, "g")
+      // its own indexing; the output text and counts are identical.
+      // doc_id != min(doc_id) over the gram partition already implies
+      // the gram spans >1 distinct document
+      val banned = gp
+        .withColumn("owner", min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g")))
         .where(col("doc_id") =!= col("owner"))
         .select(col("doc_id"),
           explode(expr("array(p, p + 1, p + 2)")).as("bp"))
         .distinct()
-      val agg = banned.groupBy("doc_id")
-        .agg(collect_set("bp").as("bps"),
-          count(lit(1)).cast("long").as("n_removed"))
-      agg.join(tk, "doc_id")
-        .select(col("doc_id"), col("n_removed"),
-          expr("""array_join(filter(
-            |  transform(sequence(0, size(ws) - 1), i ->
-            |    IF(array_contains(bps, i), NULL, ws[i])),
-            |  x -> x IS NOT NULL), ' ')""".stripMargin).as("clean_text"))
-        .orderBy("doc_id")
+      removeSpans(tk, banned)
     },
 
     // Deterministic stratified sampling — the data-mixing primitive: each

@@ -30,9 +30,32 @@ import scala.collection.mutable
   * (aggregates compress input to one row per group key). Thread-safe:
   * concurrent foreachBatch callbacks from two upstream queries may tag
   * through their own bridges under one downstream lock (the spec's
-  * composition shape). */
-final class RetractBridge[K, V] extends Serializable {
+  * composition shape).
+  *
+  * RECOVERY: bridge state is in-memory and does NOT survive a driver
+  * restart — a restarted composition must either [[seed]] the bridge
+  * from the downstream's materialized state (the sink knows each key's
+  * last delivered value) or restart the downstream from empty state
+  * alongside the fresh bridge; resuming a durable downstream against
+  * an unseeded bridge would emit insert-without-retract on every key's
+  * first post-restart update. Deliberately NOT Serializable: the
+  * bridge must live where foreachBatch runs (the driver) — capturing
+  * it in an executor-side closure would fork `prev` per task and
+  * silently compute retractions against stale history, so that misuse
+  * fails fast at closure serialization instead. */
+final class RetractBridge[K, V] {
   private val prev = mutable.Map.empty[K, V]
+
+  /** Rehydrate after a restart: install each key's last DELIVERED
+    * value (typically read back from the downstream sink) without
+    * emitting anything. */
+  def seed(entries: Iterable[(K, V)]): Unit = synchronized {
+    entries.foreach { case (k, v) => prev(k) = v }
+  }
+
+  /** The remembered last-delivered values (for checkpointing the
+    * bridge alongside the composition's own state). */
+  def snapshot: Map[K, V] = synchronized(prev.toMap)
 
   /** Change-tag one update batch: per updated key, retract the
     * previously delivered value (if any), then insert the new one. */

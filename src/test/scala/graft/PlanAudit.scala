@@ -194,6 +194,13 @@ object PlanAudit {
     check("qp24 gram set broadcasts; no cartesian",
       qp24.contains("BroadcastHashJoin") &&
         !qp24.contains("CartesianProduct"))
+    // substring dedup: the owner comes from ONE window pass over the
+    // gram stream (no join against the corpus-sized gram set at all)
+    val qp26 = plan("qp26_substring_dedup")
+    check("qp26 owner via window; no cartesian/BNLJ",
+      qp26.contains("Window") &&
+        !qp26.contains("CartesianProduct") &&
+        !qp26.contains("BroadcastNestedLoopJoin"))
     // Gram-identity diversity: one partial-aggregated pass, the only
     // join is over the per-label reduced tables
     val qe10 = plan("qe10_sample_diversity")

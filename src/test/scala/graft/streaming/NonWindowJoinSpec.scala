@@ -312,6 +312,12 @@ class NonWindowJoinSpec extends SparkSuite {
     assert(b.drop("a") === Seq((false, "a", 2L)))
     assert(b.drop("a") === Seq.empty)
     assert(b.size === 1)
+    // restart rehydration: seed installs last-delivered values without
+    // emitting, so the next update retracts correctly
+    val b2 = new RetractBridge[String, Long]
+    b2.seed(b.snapshot)
+    assert(b2.size === 1)
+    assert(b2.tag(Seq(("b", 6L))) === Seq((false, "b", 5L), (true, "b", 6L)))
   }
 
   // NOTE: no end-to-end TTL query here by design — a ProcessingTime-
