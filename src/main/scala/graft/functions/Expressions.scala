@@ -46,6 +46,8 @@ object GraftFunctions {
       exprs => HyperplaneBands(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_split_rows",
       exprs => SplitRows(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      exprs => NfcNormalize(exprs.head), "scala_udf")
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -55,6 +57,44 @@ object GraftFunctions {
   def simhash64(spark: SparkSession, tokens: Column): Column = {
     register(spark); call_function("graft_simhash64", tokens)
   }
+
+  def nfc(spark: SparkSession, s: Column): Column = {
+    register(spark); call_function("graft_nfc", s)
+  }
+}
+
+/** Unicode NFC normalization as a codegen'd string expression — the
+  * canonical text-cleanup step a training pipeline runs BEFORE
+  * tokenizing/fingerprinting, so visually identical text (composed
+  * `é` vs decomposed `e` + U+0301) dedups and counts identically.
+  * Spark ships no normalizer builtin; `java.text.Normalizer`
+  * implements the same Unicode standard DuckDB's `nfc_normalize`
+  * does, which oracles the function bit-exactly (qt15). Codegen emits
+  * one static call per row inside the whole-stage loop; already-NFC
+  * ASCII passes through via the Normalizer's quick-check fast path. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc expects string, got $other")
+  }
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($c.toString(),
+         |    java.text.Normalizer.Form.NFC));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class FloatDotProduct(left: Expression, right: Expression)

@@ -67,6 +67,35 @@ object TextQueries extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Unicode NFC normalization (round 14) — the canonical cleanup
+    // BEFORE tokenizing/fingerprinting: decomposed sequences (e +
+    // U+0301) fold to their composed forms so visually identical text
+    // dedups and counts identically. Runs the codegen'd
+    // [[graft.functions.NfcNormalize]] expression (Spark has no
+    // normalizer builtin); the oracle is DuckDB's nfc_normalize — both
+    // implement the same Unicode standard, compared bit-exactly. The
+    // fixture corpus is ASCII (NFC-identity), so the query PREPENDS a
+    // decomposed prefix to every document: the composed output must
+    // be one character shorter than the raw input, per row.
+    q("qt15_unicode_nfc",
+      """WITH r AS (SELECT doc_id,
+        |    'Cafee' || chr(769) || ' ' || substr(text, 1, 24) AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS norm,
+        |  CAST(length(raw) AS BIGINT) AS n_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_norm
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val raw = concat(lit("Cafee\u0301 "), substring(col("text"), 1, 24))
+      t(s, d, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.nfc(s, col("raw")).as("norm"),
+          length(col("raw")).cast("long").as("n_raw"),
+          length(graft.functions.GraftFunctions.nfc(s, col("raw")))
+            .cast("long").as("n_norm"))
+        .orderBy(col("doc_id"))
+    },
+
     // Quality score: bounded length score + stopword signal + token-length
     // sanity, combined with fixed weights (all double arithmetic in an
     // identical evaluation order in both engines).

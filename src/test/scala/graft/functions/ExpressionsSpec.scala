@@ -22,6 +22,29 @@ class ExpressionsSpec extends SparkSuite {
     assert(got.head._1 == 32.0)
   }
 
+  test("graft_nfc: NFC composition, identity on ASCII, null pass-through (codegen + interpreted)") {
+    GraftFunctions.register(spark)
+    // decomposed e + U+0301 composes; composed input is a fixed point;
+    // ASCII untouched; Hangul Jamo compose (the multi-char NFC case)
+    val decomposed = "Cafee\u0301"
+    val composed = "Cafe\u00e9"
+    val jamo = "\u1100\u1161\u11a8" // G + A + K
+    val syllable = "\uac01"
+    val rows = Seq(decomposed, composed, "plain ascii text", jamo, null)
+    val df = rows.toDF("s")
+    val got = df.select(expr("graft_nfc(s)")).as[String].collect().toSeq
+    assert(got === Seq(composed, composed, "plain ascii text",
+      syllable, null))
+    // interpreted path (eval) agrees with the codegen'd column
+    val interp = rows.filter(_ != null).map { s =>
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.catalyst.expressions.Literal(s))
+        .eval(null).toString
+    }
+    assert(interp === Seq(composed, composed, "plain ascii text",
+      syllable))
+  }
+
   test("graft_dot on the embeddings table equals the qe1 norm column") {
     GraftFunctions.register(spark)
     val e = graft.Engine.table(spark, sf, "embeddings")
