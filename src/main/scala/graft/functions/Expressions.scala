@@ -68,8 +68,14 @@ object GraftFunctions {
   * tokenizing/fingerprinting, so visually identical text (composed
   * `é` vs decomposed `e` + U+0301) dedups and counts identically.
   * Spark ships no normalizer builtin; `java.text.Normalizer`
-  * implements the same Unicode standard DuckDB's `nfc_normalize`
-  * does, which oracles the function bit-exactly (qt15). Codegen emits
+  * implements the same Unicode NFC algorithm DuckDB's `nfc_normalize`
+  * (utf8proc) does, which oracles the function bit-exactly (qt15) —
+  * with the caveat that the two engines freeze DIFFERENT Unicode
+  * table versions: codepoints whose composition behavior was
+  * added/changed after the older table froze can normalize
+  * differently across engines (immaterial for the BMP sequences the
+  * oracle constructs; flagged for anyone pointing qt15 at arbitrary
+  * corpus text). Codegen emits
   * one static call per row inside the whole-stage loop; already-NFC
   * ASCII passes through via the Normalizer's quick-check fast path. */
 case class NfcNormalize(child: Expression) extends UnaryExpression {

@@ -35,7 +35,7 @@ class ExpressionsSpec extends SparkSuite {
     val got = df.select(expr("graft_nfc(s)")).as[String].collect().toSeq
     assert(got === Seq(composed, composed, "plain ascii text",
       syllable, null))
-    // interpreted path (eval) agrees with the codegen'd column
+    // direct interpreted path (eval) agrees
     val interp = rows.filter(_ != null).map { s =>
       graft.functions.NfcNormalize(
         org.apache.spark.sql.catalyst.expressions.Literal(s))
@@ -43,6 +43,21 @@ class ExpressionsSpec extends SparkSuite {
     }
     assert(interp === Seq(composed, composed, "plain ascii text",
       syllable))
+    // force the WHOLE-STAGE-CODEGEN path: a LocalRelation select folds
+    // to interpreted projection at optimization time, so run the
+    // function over the parquet-backed fixture (the graft_dot pattern)
+    // with a decomposed prefix concatenated in
+    val docs = graft.Engine.table(spark, sf, "documents")
+    val viaCodegen = docs
+      .select(expr(s"graft_nfc(concat('$decomposed ', substr(text, 1, 8)))")
+        .as("n"), expr("substr(text, 1, 8)").as("t"))
+      .as[(String, String)].collect()
+    assert(viaCodegen.nonEmpty)
+    viaCodegen.foreach { case (n, t) =>
+      assert(n === java.text.Normalizer.normalize(decomposed + " " + t,
+        java.text.Normalizer.Form.NFC))
+      assert(n.startsWith(composed))
+    }
   }
 
   test("graft_dot on the embeddings table equals the qe1 norm column") {
