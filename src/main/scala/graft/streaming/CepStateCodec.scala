@@ -73,18 +73,27 @@ object CepStateCodec {
     s
   }
 
-  def enc[S](version: Int, s: S): CepStateEnvelope = {
+  /** Raw kryo payload helpers — shared with [[JoinStateCodec]], which
+    * wraps the same serializer in its own (version, fingerprint)
+    * envelope. */
+  private[streaming] def toBytes[S](s: S): Array[Byte] = {
     val bb = ser().serialize(s)(ClassTag.AnyRef.asInstanceOf[ClassTag[S]])
     val arr = new Array[Byte](bb.remaining())
     bb.get(arr)
-    CepStateEnvelope(version, arr)
+    arr
   }
+
+  private[streaming] def fromBytes[S](b: Array[Byte]): S =
+    ser().deserialize(ByteBuffer.wrap(b))(
+      ClassTag.AnyRef.asInstanceOf[ClassTag[S]])
+
+  def enc[S](version: Int, s: S): CepStateEnvelope =
+    CepStateEnvelope(version, toBytes(s))
 
   def dec[S](e: CepStateEnvelope, version: Int, what: String): S = {
     if (e.version != version)
       throw new CepStateVersionException(e.version, version, what)
-    ser().deserialize(ByteBuffer.wrap(e.blob))(
-      ClassTag.AnyRef.asInstanceOf[ClassTag[S]])
+    fromBytes[S](e.blob)
   }
 
   /** Adapt an S-typed state-transition function to the envelope-typed

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Versioned + schema-fingerprinted envelope for the COLUMN-surface
+  * unbounded join's keyed state ([[NonWindowJoinSql]]).
+  *
+  * The typed Dataset surface persists [[NonWindowJoin.SideState]] /
+  * [[NonWindowJoin.NESideState]] PRODUCT-encoded, so its state schema is
+  * visible to Spark's StateSchemaCompatibilityChecker and a layout
+  * change across a checkpoint fails by name. The Column surface cannot:
+  * its state holds generic `Row`s, which only the kryo encoder carries —
+  * and a bare kryo column has no runtime-detectable marker, so a resumed
+  * checkpoint whose state predates a layout change dies as a raw
+  * KryoException deep in the state store (or, worse, a semantic change
+  * with an unchanged layout resumes silently wrong). The reference
+  * versions its keyed state for exactly this reason
+  * (flink-core/.../VersionedIOReadableWritable.java:30 writes a version
+  * header every serializer snapshot checks on restore).
+  *
+  * This envelope restores both guards the product encoding would have
+  * given:
+  *   - `version` — the state-class format generation; a checkpoint
+  *     written by a different generation raises the named
+  *     [[JoinStateVersionException]] BEFORE kryo touches the payload;
+  *   - `schemaFp` — the DDL fingerprint of the two input schemas; a
+  *     query resumed against inputs whose schema changed (same state
+  *     class, different `Row` layouts inside it) raises the named
+  *     [[JoinStateSchemaException]] instead of deserializing garbage —
+  *     the check the typed surface gets from
+  *     StateSchemaCompatibilityChecker.
+  * Both columns are product-encoded primitives whose own schema never
+  * changes, so the envelope row is readable against any envelope-era
+  * checkpoint and the checks run before the opaque blob is interpreted. */
+final case class JoinStateEnvelope(version: Int, schemaFp: String,
+    blob: Array[Byte])
+
+/** Named restore-time failure: the checkpointed Column-surface join
+  * state was written by a different format generation than this build
+  * reads. */
+final class JoinStateVersionException(val found: Int, val expected: Int,
+    what: String) extends RuntimeException(
+  s"unbounded-join state '$what' has format version $found but this " +
+    s"build reads version $expected; the checkpointed state cannot be " +
+    "resumed — restart the query from a fresh checkpoint after " +
+    "reprocessing")
+
+/** Named restore-time failure: the checkpointed Column-surface join
+  * state was written against different input schemas than the resumed
+  * query's — the `Row`s inside the kryo blob would not line up with the
+  * current plan (the failure StateSchemaCompatibilityChecker raises for
+  * product-encoded state). */
+final class JoinStateSchemaException(val found: String,
+    val expected: String, what: String) extends RuntimeException(
+  s"unbounded-join state '$what' was checkpointed with input schemas\n" +
+    s"  $found\nbut this query reads\n  $expected\n" +
+    "the checkpointed state cannot be resumed against the changed " +
+    "schema — restart the query from a fresh checkpoint after " +
+    "reprocessing")
+
+object JoinStateCodec {
+
+  /** Format generations for the Column surface's two state families.
+    * The version space is SHARED so that a query switched between the
+    * equi and non-equi variants across a checkpoint (the residual added
+    * or dropped — a different state class under the same envelope
+    * schema) also fails by name, not in kryo. Bump the changed family
+    * to the next FREE integer on any change to its state class's layout
+    * or meaning. History: 1 — SideState[Row,Row] (round 15, envelope
+    * introduced); 2 — NESideState[Row,Row] (same). */
+  val EquiVersion = 1     // NonWindowJoin.SideState[Row, Row]
+  val NonEquiVersion = 2  // NonWindowJoin.NESideState[Row, Row]
+
+  /** Canonical fingerprint of the join's two input schemas: one DDL
+    * string over a two-field struct wrapping them (injective — field
+    * names and nullability included, no ambiguous concatenation). */
+  def fingerprint(l: StructType, r: StructType): String =
+    StructType(Seq(StructField("l", l), StructField("r", r))).toDDL
+
+  /** The envelope's product encoder — stable (int, string, binary)
+    * columns, never a kryo-opaque single column. */
+  def envelopeEncoder: Encoder[JoinStateEnvelope] =
+    Encoders.product[JoinStateEnvelope]
+
+  def enc[S](version: Int, fp: String, s: S): JoinStateEnvelope =
+    JoinStateEnvelope(version, fp, CepStateCodec.toBytes(s))
+
+  def dec[S](e: JoinStateEnvelope, version: Int, fp: String,
+      what: String): S = {
+    if (e.version != version)
+      throw new JoinStateVersionException(e.version, version, what)
+    if (e.schemaFp != fp)
+      throw new JoinStateSchemaException(e.schemaFp, fp, what)
+    CepStateCodec.fromBytes[S](e.blob)
+  }
+
+  /** Adapt an S-typed state-transition function to the envelope-typed
+    * state the Column-surface driver actually persists. The view checks
+    * version + fingerprint on every read and stamps both on every
+    * write; lazy-update semantics pass through (the wrapped fn may call
+    * update/remove in a by-name iterator tail — the view delegates
+    * immediately to the underlying GroupState, whose changes Spark
+    * commits on output exhaustion). */
+  def versionedFn[K, E, O, S](what: String, version: Int, fp: String,
+      fn: (K, Iterator[E], GroupState[S]) => Iterator[O]):
+      (K, Iterator[E], GroupState[JoinStateEnvelope]) => Iterator[O] =
+    (k: K, it: Iterator[E], gs: GroupState[JoinStateEnvelope]) =>
+      fn(k, it, new JoinStateView[S](gs, version, fp, what))
+
+  /** Adapt a per-row timer sweep to the envelope: decode (checked),
+    * sweep, re-encode survivors. */
+  def versionedSweep[S](what: String, version: Int, fp: String,
+      sweep: (S, Long) => Option[S]):
+      (JoinStateEnvelope, Long) => Option[JoinStateEnvelope] =
+    (e, now) => sweep(dec[S](e, version, fp, what), now)
+      .map(enc(version, fp, _))
+}
+
+/** [[GroupState]] view decoding/encoding the join envelope at the
+  * access boundary (version + fingerprint checks run on every read). */
+private[streaming] final class JoinStateView[S](
+    u: GroupState[JoinStateEnvelope], version: Int, fp: String,
+    what: String) extends GroupState[S] {
+  def exists: Boolean = u.exists
+  def get: S = JoinStateCodec.dec[S](u.get, version, fp, what)
+  def getOption: Option[S] =
+    u.getOption.map(JoinStateCodec.dec[S](_, version, fp, what))
+  def update(s: S): Unit = u.update(JoinStateCodec.enc(version, fp, s))
+  def remove(): Unit = u.remove()
+  def hasTimedOut: Boolean = u.hasTimedOut
+  def setTimeoutDuration(ms: Long): Unit = u.setTimeoutDuration(ms)
+  def setTimeoutDuration(d: String): Unit = u.setTimeoutDuration(d)
+  def setTimeoutTimestamp(ms: Long): Unit = u.setTimeoutTimestamp(ms)
+  def setTimeoutTimestamp(ms: Long, d: String): Unit =
+    u.setTimeoutTimestamp(ms, d)
+  def setTimeoutTimestamp(t: java.sql.Date): Unit = u.setTimeoutTimestamp(t)
+  def setTimeoutTimestamp(t: java.sql.Date, d: String): Unit =
+    u.setTimeoutTimestamp(t, d)
+  def getCurrentWatermarkMs(): Long = u.getCurrentWatermarkMs()
+  def getCurrentProcessingTimeMs(): Long = u.getCurrentProcessingTimeMs()
+}

@@ -363,6 +363,19 @@ object NonWindowJoin {
             val ex = swept.result()
             if (ex.nonEmpty) st = st.copy(rights = st.rights -- ex,
               rightJoinCnt = st.rightJoinCnt -- ex)
+            // `matched` includes rows swept in THIS pass (they joined
+            // once more before expiring — the clear-after-join order),
+            // whose retractions will never arrive: a preserved row
+            // seeded while matches expire under it keeps an inflated
+            // joinCnt, so its null-pad re-emission can stay suppressed
+            // after the last live match retracts. Reference-faithful:
+            // preservedJoin seeds from the same pre-expiry scan
+            // (NonWindowOuterJoinWithNonEquiPredicates.scala:89 with
+            // the expire sweep folded into the joined iteration) —
+            // pinned by the "seeding counts rows swept in the same
+            // pass" harness test. Expiry is SILENT by contract, so the
+            // suppressed null-pad is the same class of staleness as
+            // every other unretracted pre-expiry emission.
             if (leftOuter && c && now == 1)
               st = st.copy(leftJoinCnt = st.leftJoinCnt.updated(l, matched))
             if (matched == 0 && leftOuter)
@@ -415,6 +428,9 @@ object NonWindowJoin {
             val ex = swept.result()
             if (ex.nonEmpty) st = st.copy(lefts = st.lefts -- ex,
               leftJoinCnt = st.leftJoinCnt -- ex)
+            // `matched` counts same-pass swept rows too — see the
+            // mirrored left-arrival site for the reference-faithful
+            // inflation rationale
             if (rightOuter && c && now == 1)
               st = st.copy(rightJoinCnt = st.rightJoinCnt.updated(r, matched))
             if (matched == 0 && rightOuter)

@@ -49,9 +49,13 @@ import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
   * inside struct-typed keys stay bitwise), and MAP-typed keys are
   * rejected (no canonical order — Spark SQL joins reject them too);
   * any null key component makes the
-  * whole key SQL-null, which never joins. State rides the kryo
-  * encoder here (generic `Row` state cannot be product-encoded); the
-  * typed surface keeps its schema-visible product encoding. */
+  * whole key SQL-null, which never joins. State rides the kryo encoder
+  * here (generic `Row` state cannot be product-encoded) wrapped in
+  * [[JoinStateEnvelope]] — a (version, schema-fingerprint, blob) row
+  * whose checks restore the named cross-checkpoint failure modes the
+  * typed surface gets from its product encoding: a state-layout change
+  * raises [[JoinStateVersionException]], an input-schema change raises
+  * [[JoinStateSchemaException]], both BEFORE kryo touches the payload. */
 object NonWindowJoinSql {
 
   /** Residual predicate compiled once on the driver, evaluated per
@@ -231,32 +235,42 @@ object NonWindowJoinSql {
       if (idleTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
 
-    def run[S](fn: (Option[String],
-        Iterator[(Boolean, Option[Row], Option[Row])],
-        org.apache.spark.sql.streaming.GroupState[S]) =>
+    // state rides kryo inside the versioned + schema-fingerprinted
+    // envelope (generic Row state cannot be product-encoded) — a
+    // checkpoint resumed across a state-layout or input-schema change
+    // fails by the named JoinState*Exception instead of a raw
+    // KryoException (see JoinStateCodec)
+    val fp = JoinStateCodec.fingerprint(lSchema, rSchema)
+    def run[S](version: Int, what: String,
+        fn: (Option[String],
           Iterator[(Boolean, Option[Row], Option[Row])],
-        sweep: (S, Long) => Option[S])(
-        implicit stEnc: Encoder[S]): Dataset[Row] = {
-      val g = NonWindowJoin.guardedFn[String, Row, Row, S](
-        leftOuter, rightOuter, idleTtlMs, fn, sweep)
-      grouped.flatMapGroupsWithState[S, Row](
+          org.apache.spark.sql.streaming.GroupState[S]) =>
+            Iterator[(Boolean, Option[Row], Option[Row])],
+        sweep: (S, Long) => Option[S]): Dataset[Row] = {
+      val vFn = JoinStateCodec.versionedFn[Option[String],
+        (Boolean, Option[Row], Option[Row]),
+        (Boolean, Option[Row], Option[Row]), S](what, version, fp, fn)
+      val vSweep = JoinStateCodec.versionedSweep[S](what, version, fp, sweep)
+      val g = NonWindowJoin.guardedFn[String, Row, Row, JoinStateEnvelope](
+        leftOuter, rightOuter, idleTtlMs, vFn, vSweep)
+      grouped.flatMapGroupsWithState[JoinStateEnvelope, Row](
         OutputMode.Append(), timeoutConf) {
         (k: (Option[String], Int), rows: Iterator[Row],
-            st: org.apache.spark.sql.streaming.GroupState[S]) =>
+            st: org.apache.spark.sql.streaming.GroupState[JoinStateEnvelope]) =>
           g(k._1, rows.map(asTuple), st).map(asRow)
-      }(stEnc, outEnc)
+      }(JoinStateCodec.envelopeEncoder, outEnc)
     }
 
     val nested: Dataset[Row] = cond match {
-      case None => run(
+      case None => run(JoinStateCodec.EquiVersion,
+        "NonWindowJoinSql equi",
         NonWindowJoin.joinFn[Option[String], Row, Row](joinType, idleTtlMs),
-        NonWindowJoin.sweepSideState[Row, Row])(
-        Encoders.kryo[NonWindowJoin.SideState[Row, Row]])
-      case Some(c) => run(
+        NonWindowJoin.sweepSideState[Row, Row])
+      case Some(c) => run(JoinStateCodec.NonEquiVersion,
+        "NonWindowJoinSql non-equi",
         NonWindowJoin.joinFnNonEqui[Option[String], Row, Row](
           joinType, c, idleTtlMs),
-        NonWindowJoin.sweepNESideState[Row, Row])(
-        Encoders.kryo[NonWindowJoin.NESideState[Row, Row]])
+        NonWindowJoin.sweepNESideState[Row, Row])
     }
 
     nested.select(col("change") +:

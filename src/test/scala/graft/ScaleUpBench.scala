@@ -106,9 +106,11 @@ object ScaleUpBench {
     // output-heavy ALL ROWS twin (emitted rows ~ #input x avg span).
     "qc34_mr_sql_greedy", "qc35_mr_sql_greedy_multi",
     "qc38_mr_greedy_all_rows",
-    // round 14: corpus-internal substring dedup — the gram-owner
-    // shuffle join is the scale-critical stage (owner table is
-    // corpus-sized, not broadcastable)
+    // round 14: corpus-internal substring dedup — the scale-critical
+    // stage is ONE window pass over the gram stream (owner =
+    // min(doc_id) OVER (PARTITION BY gram), a single gram-key
+    // shuffle); there is no join against the gram set (PlanAudit
+    // asserts Window and no-join — the gram set is corpus-sized)
     "qp26_substring_dedup")
 
   private def timeQuery(spark: SparkSession, name: String,

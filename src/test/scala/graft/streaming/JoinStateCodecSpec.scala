@@ -1,0 +1,224 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.api.java.Optional
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQueryException, TestGroupState}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+/** The versioned + schema-fingerprinted envelope the Column-surface
+  * unbounded join persists its keyed state through
+  * ([[NonWindowJoinSql]] → [[JoinStateCodec]]): roundtrip fidelity,
+  * both named restore-time errors raised BEFORE kryo touches the
+  * payload, the view's write stamping, and the two end-to-end
+  * scenarios the envelope exists for — a checkpointed stop/restart
+  * through the Column surface (state written by one query incarnation
+  * joins in the next) and a restore against CHANGED input schemas
+  * failing by name instead of deserializing garbage. */
+class JoinStateCodecSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val lSchema = StructType(Seq(
+    StructField("a", IntegerType), StructField("l", StringType)))
+  private val rSchema = StructType(Seq(
+    StructField("d", IntegerType), StructField("r", StringType)))
+  private val fp = JoinStateCodec.fingerprint(lSchema, rSchema)
+
+  test("envelope roundtrips generic-Row join state bit-faithfully") {
+    val st = NonWindowJoin.SideState[Row, Row](
+      lefts = Map(Row(7, "l1") -> ((2L, -1L))),
+      rights = Map(Row(7, "r1") -> ((1L, 500L))))
+    val env = JoinStateCodec.enc(JoinStateCodec.EquiVersion, fp, st)
+    assert(env.version == JoinStateCodec.EquiVersion)
+    assert(env.schemaFp == fp)
+    val back = JoinStateCodec.dec[NonWindowJoin.SideState[Row, Row]](
+      env, JoinStateCodec.EquiVersion, fp, "spec")
+    assert(back == st)
+  }
+
+  test("fingerprint is one injective DDL over both schemas") {
+    assert(fp.contains("STRUCT"))
+    assert(JoinStateCodec.fingerprint(lSchema, rSchema) == fp)
+    assert(JoinStateCodec.fingerprint(rSchema, lSchema) != fp)
+    val widened = StructType(lSchema.fields :+ StructField("x", LongType))
+    assert(JoinStateCodec.fingerprint(widened, rSchema) != fp)
+  }
+
+  test("wrong version and wrong fingerprint raise the named errors before kryo decodes") {
+    // corrupt payloads prove the checks run FIRST: a decode attempt
+    // would throw a kryo buffer error, not these
+    val garbage = Array[Byte](1, 2, 3)
+    val vEx = intercept[JoinStateVersionException] {
+      JoinStateCodec.dec[AnyRef](
+        JoinStateEnvelope(JoinStateCodec.NonEquiVersion, fp, garbage),
+        JoinStateCodec.EquiVersion, fp, "equi spec")
+    }
+    assert(vEx.found == JoinStateCodec.NonEquiVersion)
+    assert(vEx.expected == JoinStateCodec.EquiVersion)
+    assert(vEx.getMessage.contains("equi spec"))
+    assert(vEx.getMessage.contains("fresh checkpoint"))
+    val otherFp = JoinStateCodec.fingerprint(rSchema, lSchema)
+    val sEx = intercept[JoinStateSchemaException] {
+      JoinStateCodec.dec[AnyRef](
+        JoinStateEnvelope(JoinStateCodec.EquiVersion, otherFp, garbage),
+        JoinStateCodec.EquiVersion, fp, "schema spec")
+    }
+    assert(sEx.found == otherFp)
+    assert(sEx.expected == fp)
+    assert(sEx.getMessage.contains("schema spec"))
+    // version is checked before the fingerprint: both wrong → version
+    intercept[JoinStateVersionException] {
+      JoinStateCodec.dec[AnyRef](
+        JoinStateEnvelope(JoinStateCodec.NonEquiVersion, otherFp, garbage),
+        JoinStateCodec.EquiVersion, fp, "both")
+    }
+  }
+
+  test("versionedFn stamps writes and surfaces stale reads through a driver invocation") {
+    val fn: (Long, Iterator[Long], GroupState[Vector[Long]]) =>
+        Iterator[Long] =
+      (_, it, state) => {
+        val acc = state.getOption.getOrElse(Vector.empty) ++ it
+        state.update(acc)
+        acc.iterator
+      }
+    val wrapped = JoinStateCodec.versionedFn("spec-state",
+      JoinStateCodec.EquiVersion, fp, fn)
+    val fresh = TestGroupState.create[JoinStateEnvelope](
+      Optional.empty[JoinStateEnvelope](), GroupStateTimeout.NoTimeout(),
+      0L, Optional.empty[Long](), hasTimedOut = false)
+    assert(wrapped(1L, Iterator(5L), fresh).toList == List(5L))
+    assert(fresh.get.version == JoinStateCodec.EquiVersion)
+    assert(fresh.get.schemaFp == fp)
+    // a checkpoint whose state predates this build's format: named error
+    val staleV = TestGroupState.create[JoinStateEnvelope](
+      Optional.of(fresh.get.copy(version = 99)),
+      GroupStateTimeout.NoTimeout(), 0L, Optional.empty[Long](),
+      hasTimedOut = false)
+    intercept[JoinStateVersionException] {
+      wrapped(1L, Iterator(6L), staleV).toList
+    }
+    // a checkpoint written against different input schemas: named error
+    val staleFp = TestGroupState.create[JoinStateEnvelope](
+      Optional.of(fresh.get.copy(schemaFp = "l STRUCT<other: INT>")),
+      GroupStateTimeout.NoTimeout(), 0L, Optional.empty[Long](),
+      hasTimedOut = false)
+    intercept[JoinStateSchemaException] {
+      wrapped(1L, Iterator(7L), staleFp).toList
+    }
+  }
+
+  test("versionedSweep decodes (checked), sweeps, re-encodes survivors") {
+    val st = NonWindowJoin.SideState[Row, Row](
+      lefts = Map(Row(1, "keep") -> ((1L, 100L)),
+        Row(2, "drop") -> ((1L, 10L))),
+      rights = Map.empty)
+    val env = JoinStateCodec.enc(JoinStateCodec.EquiVersion, fp, st)
+    val sweep = JoinStateCodec.versionedSweep[NonWindowJoin.SideState[Row, Row]](
+      "sweep spec", JoinStateCodec.EquiVersion, fp,
+      NonWindowJoin.sweepSideState[Row, Row])
+    val swept = sweep(env, 50L)
+    assert(swept.isDefined)
+    assert(swept.get.version == JoinStateCodec.EquiVersion)
+    assert(swept.get.schemaFp == fp)
+    val back = JoinStateCodec.dec[NonWindowJoin.SideState[Row, Row]](
+      swept.get, JoinStateCodec.EquiVersion, fp, "sweep spec")
+    assert(back.lefts.keySet == Set(Row(1, "keep")))
+    // everything expired → None (the key drops)
+    assert(sweep(env, 1000L).isEmpty)
+    // stale envelope fails by name inside the timer path too
+    intercept[JoinStateVersionException] {
+      sweep(env.copy(version = 99), 50L)
+    }
+  }
+
+  test("Column-surface join state survives a checkpointed stop/restart through the envelope") {
+    // mirror of the typed surface's restart spec: a left row buffered
+    // by one query incarnation must pair with a right row arriving in
+    // the NEXT — a real checkpoint round-trip through the state store,
+    // with the envelope (version, fingerprint, blob) doing the carry
+    import scala.jdk.CollectionConverters._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_joinsql_resume").toString
+    val in1 = MemoryStream[(Int, String)]
+    val in2 = MemoryStream[(Int, String)]
+    val got = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Boolean, String, String)]()
+    def start() = NonWindowJoinSql.unboundedOuterJoin(
+      in1.toDS().toDF("a", "l"), in2.toDS().toDF("d", "r"),
+      Seq(col("a")), Seq(col("d")), "left_outer")
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach { row =>
+          got.add((row.getAs[Boolean]("change"),
+            Option(row.getAs[String]("l")).getOrElse("null"),
+            Option(row.getAs[String]("r")).getOrElse("null"))); ()
+        }
+      }.start()
+    val q1 = start()
+    try {
+      in1.addData((7, "l1"))
+      q1.processAllAvailable()
+      assert(got.asScala.toSet === Set((true, "l1", "null")))
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      in2.addData((7, "r1"))
+      q2.processAllAvailable()
+      // the restored left pairs: its null-pad retracts, the pair lands
+      assert(got.asScala.toSet === Set((true, "l1", "null"),
+        (false, "l1", "null"), (true, "l1", "r1")))
+    } finally q2.stop()
+  }
+
+  test("a checkpoint resumed against changed input schemas fails by the named schema error") {
+    // the scenario the fingerprint exists for: same state class, same
+    // envelope schema (so Spark's StateSchemaCompatibilityChecker
+    // passes), but the Rows INSIDE the blob were written against a
+    // different input schema — kryo would deserialize garbage; the
+    // envelope raises JoinStateSchemaException on the first state read
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_joinsql_schema").toString
+    val in1 = MemoryStream[(Int, String)]
+    val in2 = MemoryStream[(Int, String)]
+    val sink = (df: org.apache.spark.sql.DataFrame, _: Long) => {
+      df.collect(); ()
+    }
+    val q1 = NonWindowJoinSql.unboundedOuterJoin(
+      in1.toDS().toDF("a", "l"), in2.toDS().toDF("d", "r"),
+      Seq(col("a")), Seq(col("d")), "left_outer")
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").foreachBatch(sink).start()
+    try {
+      in1.addData((7, "l1"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // incarnation 2 reads a WIDER left schema against the same
+    // checkpoint; the restored key's first read must fail by name
+    val in1b = MemoryStream[(Int, String, Long)]
+    val in2b = MemoryStream[(Int, String)]
+    val q2 = NonWindowJoinSql.unboundedOuterJoin(
+      in1b.toDS().toDF("a", "l", "extra"), in2b.toDS().toDF("d", "r"),
+      Seq(col("a")), Seq(col("d")), "left_outer")
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").foreachBatch(sink).start()
+    val ex = intercept[StreamingQueryException] {
+      try {
+        in2b.addData((7, "r1"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    val named = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(20)
+      .collectFirst { case e: JoinStateSchemaException => e }
+    assert(named.isDefined,
+      s"expected JoinStateSchemaException in the cause chain, got $ex")
+    assert(named.get.expected.contains("extra"))
+    assert(!named.get.found.contains("extra"))
+  }
+}

@@ -665,6 +665,54 @@ class NonWindowJoinSpec extends SparkSuite {
     assert(harness.stateOf(k).get.leftJoinCnt.isEmpty)
   }
 
+  test("non-equi joinCnt seeding counts rows swept in the same pass (reference-faithful inflation)") {
+    // Pins the documented quirk at joinFnNonEqui's seeding site: a
+    // preserved row inserted while matching rows expire under it seeds
+    // its joinCnt from `matched`, which includes the swept rows'
+    // multiplicities (they joined one last time — clear-after-join) —
+    // and their retractions never arrive, so the count stays inflated
+    // and the null-pad re-emission is suppressed after the last LIVE
+    // match retracts. The reference's preservedJoin seeds from the same
+    // pre-expiry scan; expiry is silent by contract, so this is the
+    // same staleness class as any unretracted pre-expiry emission.
+    type E = (String, Long)
+    val ttl = 10L
+    val harness = new VirtualClockHarness[Option[Int],
+      (Boolean, Option[E], Option[E]), NonWindowJoin.NESideState[E, E],
+      (Boolean, Option[E], Option[E])](
+      GroupStateTimeout.ProcessingTimeTimeout(),
+      NonWindowJoin.guardedFn[Int, E, E, NonWindowJoin.NESideState[E, E]](
+        leftOuter = true, rightOuter = false, Some(ttl),
+        NonWindowJoin.joinFnNonEqui[Option[Int], E, E]("left_outer",
+          (l, r) => l._2 <= r._2, Some(ttl)),
+        NonWindowJoin.sweepNESideState[E, E]))
+    val k = Option(0)
+    val rOld = ("rOld", 9L)
+    val rLive = ("rLive", 9L)
+    val l1 = ("l1", 5L)
+    // t0: rOld (stamp 10); t5: rLive (stamp 15) — non-preserved side,
+    // no emissions
+    assert(harness.input(k, (true, None, Some(rOld))) === Seq.empty)
+    harness.advanceTo(5)
+    assert(harness.input(k, (true, None, Some(rLive))) === Seq.empty)
+    // t12: l1 inserts. rOld is past its stamp — it joins one last time
+    // and sweeps; matched = 2 seeds the INFLATED joinCnt (the pin)
+    harness.advanceTo(12)
+    assert(harness.input(k, (true, Some(l1), None)).sortBy(_.toString) ===
+      Seq((true, Some(l1), Some(rLive)), (true, Some(l1), Some(rOld)))
+        .sortBy((t: (Boolean, Option[E], Option[E])) => t.toString))
+    assert(harness.stateOf(k).get.rights.keySet === Set(rLive))
+    assert(harness.stateOf(k).get.leftJoinCnt === Map(l1 -> 2L))
+    // t13: rLive retracts — l1 now has ZERO live matches, but the
+    // inflated count reads 2→1, so the null-pad re-insert that a
+    // correct-count seed (1→0) would emit stays suppressed
+    harness.advanceTo(13)
+    assert(harness.input(k, (false, None, Some(rLive))) ===
+      Seq((false, Some(l1), Some(rLive))))
+    assert(harness.stateOf(k).get.rights.isEmpty)
+    assert(harness.stateOf(k).get.leftJoinCnt === Map(l1 -> 1L))
+  }
+
   test("port: JoinHarnessTest testNonWindowFullJoinWithNonEqualPred (emission script + expiry revival)") {
     // The reference's harness script for the full join with a residual
     // predicate (l.str < r.str), including RETRACT inputs on both sides
