@@ -492,6 +492,86 @@ class NonWindowJoinSpec extends SparkSuite {
     }
   }
 
+  test("RetractBridge stop/seed/resume: a restarted composition recovers via seed from the sink, unseeded corrupts") {
+    // The documented recovery story (RetractBridge.scala scaladoc),
+    // driven end-to-end: the bridge's in-memory state does NOT survive
+    // a driver restart, so a restarted composition must rebuild it via
+    // `seed` from the downstream's materialized state — the sink knows
+    // each key's last delivered value. The aggregate query itself
+    // resumes from its checkpoint (its counts persist); only the
+    // bridge forgets. Seeded: the materialized multiset equals the
+    // batch answer. Unseeded (the control): every key updated after
+    // the restart emits insert-WITHOUT-retract, so its stale pre-stop
+    // row survives next to the new one — the exact anomaly the
+    // scaladoc names.
+    type Agg = (Long, Long) // (key, count)
+    import org.apache.spark.sql.functions.col
+    val batchExpected: Seq[String] = TestData.t5Rows.groupBy(_._5)
+      .map { case (h, rows) => s"$h,${rows.size},null" }.toSeq.sorted
+    val splitAt = 10 // all three h-keys update on BOTH sides of the stop
+    def runScenario(seeded: Boolean): Seq[String] = {
+      val harness = new VirtualClockHarness[Long,
+        (Boolean, Option[Agg], Option[Agg]),
+        NonWindowJoin.SideState[Agg, Agg],
+        (Boolean, Option[Agg], Option[Agg])](
+        GroupStateTimeout.NoTimeout(),
+        NonWindowJoin.joinFn[Long, Agg, Agg]("left_outer"))
+      val mat = new Materializer
+      val lock = new Object
+      def feed(k: Long, el: (Boolean, Option[Agg], Option[Agg])): Unit =
+        harness.input(k, el).foreach { case (c, lo, ro) =>
+          mat(c, lo.map(t => s"${t._1},${t._2}").getOrElse("null,null") +
+            "," + ro.map(_._2.toString).getOrElse("null"))
+        }
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_bridge_resume").toString
+      val in5 = MemoryStream[(Int, Long, Int, String, Long)]
+      def start(bridge: RetractBridge[Long, Long]) =
+        in5.toDS().toDF("d", "e", "f", "g", "h")
+          .groupBy(col("h")).count()
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            lock.synchronized {
+              bridge.tag(df.collect()
+                .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+                .foreach { case (c, k, cnt) =>
+                  feed(k, (c, Some((k, cnt)), None))
+                }
+            }
+          }.start()
+      val q1 = start(new RetractBridge[Long, Long])
+      try {
+        in5.addData(TestData.t5Rows.take(splitAt): _*)
+        q1.processAllAvailable()
+      } finally q1.stop() // driver "restart": the bridge's memory is gone
+      val bridge2 = new RetractBridge[Long, Long]
+      if (seeded) {
+        // rebuild from the SINK's materialized state: one live row per
+        // key, "k,cnt,null" — the last delivered value per key
+        bridge2.seed(mat.rows.map { row =>
+          val p = row.split(",")
+          (p(0).toLong, p(1).toLong)
+        })
+      }
+      val q2 = start(bridge2)
+      try {
+        in5.addData(TestData.t5Rows.drop(splitAt): _*)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      mat.rows
+    }
+    assert(runScenario(seeded = true) === batchExpected)
+    val corrupted = runScenario(seeded = false)
+    assert(corrupted !== batchExpected)
+    // the anomaly's signature: a key updated across the restart holds
+    // BOTH its stale pre-stop count and its final one
+    val keysWithTwoRows = corrupted.map(_.split(",")(0))
+      .groupBy(identity).collect { case (k, rs) if rs.size > 1 => k }
+    assert(keysWithTwoRows.nonEmpty)
+  }
+
   test("non-equi retract/restore protocol rides joinCnt, not side totals") {
     // two rights with the same key, only one passing cond: the left's
     // null-pad must flip on the MATCHING right's arrival/retraction and
