@@ -122,6 +122,74 @@ object NonWindowJoinSql {
       left.schema, right.schema)
   }
 
+  /** SQL-text entry point — the reference's `l JOIN r ON a = d AND
+    * b <= h` condition form (flink-table
+    * plan/nodes/datastream/DataStreamJoin.scala:46: the planner splits
+    * the join condition into equi-keys, which drive keyBy, and a
+    * residual evaluated inside the generated join function). The ON
+    * text parses through Spark's own expression parser, splits into
+    * top-level conjuncts, and classifies the same way: an `x = y`
+    * conjunct whose two bare column references resolve to OPPOSITE
+    * inputs becomes an equi-key pair; every other conjunct (non-equi
+    * comparisons, same-side equalities, local predicates) joins the
+    * residual. At least one cross-side equi conjunct is required (the
+    * keys drive the stateful partitioning, the reference's keyBy
+    * contract); references must be bare column names resolving to
+    * exactly ONE input — qualified, unknown, and ambiguous names raise
+    * named errors before any stream starts. Name matching is
+    * case-insensitive (Spark's default resolution). Everything
+    * downstream — key canonicalization, rejections, state enveloping,
+    * TTL — is [[unboundedOuterJoin]]'s. */
+  def unboundedOuterJoinOn(left: DataFrame, right: DataFrame,
+      onClause: String, joinType: String,
+      idleTtlMs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShim
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+    val parsed = GraftSqlShim.expr(expr(onClause))
+    // upfront resolution: every reference must land on exactly one
+    // input, so errors carry the COLUMN NAME instead of surfacing as a
+    // downstream analysis failure against the operator's internal plan
+    def resolve(u: UnresolvedAttribute): Either[String, String] = {
+      require(u.nameParts.size == 1,
+        "ON clause references must be bare column names (the two " +
+          s"inputs are unaliased here): `${u.name}`")
+      val n = u.nameParts.head
+      val lHit = left.schema.fieldNames.toSeq.filter(_.equalsIgnoreCase(n))
+      val rHit = right.schema.fieldNames.toSeq.filter(_.equalsIgnoreCase(n))
+      (lHit, rHit) match {
+        case (Seq(a), Seq()) => Left(a)
+        case (Seq(), Seq(b)) => Right(b)
+        case (Seq(), Seq()) => throw new IllegalArgumentException(
+          s"ON clause column `$n` exists in neither input")
+        case _ => throw new IllegalArgumentException(
+          s"ON clause column `$n` is ambiguous across the two inputs " +
+            "— rename one side")
+      }
+    }
+    parsed.collect { case u: UnresolvedAttribute => u }.foreach(resolve)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    val (pairs, residuals) = conjuncts(parsed).partitionMap {
+      case eq @ EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        (resolve(a), resolve(b)) match {
+          case (Left(la), Right(rb)) => Left((col(la), col(rb)))
+          case (Right(ra), Left(lb)) => Left((col(lb), col(ra)))
+          case _ => Right(eq) // same-side equality: a local predicate
+        }
+      case other => Right(other)
+    }
+    require(pairs.nonEmpty,
+      "ON clause needs at least one cross-side equi-key conjunct " +
+        s"(the keys drive the stateful partitioning): $onClause")
+    val residual = residuals.reduceOption(And.apply)
+      .map(GraftSqlShim.column)
+    unboundedOuterJoin(left, right, pairs.map(_._1), pairs.map(_._2),
+      joinType, residual, idleTtlMs)
+  }
+
   /** [[NonWindowJoin.unboundedOuterJoin]] for DataFrames with
     * Column-expression equi-keys and an optional residual — see the
     * object doc for contracts and semantics. */

@@ -21,4 +21,8 @@ object GraftSqlShim {
     * column node lazily, which is unevaluable at runtime. */
   def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** The inverse: wrap a Catalyst expression as a Column. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

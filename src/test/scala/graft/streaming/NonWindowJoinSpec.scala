@@ -55,19 +55,22 @@ class NonWindowJoinSpec extends SparkSuite {
   private def runPort(joinType: String, ds1: Seq[T3], ds2: Seq[T5],
       cond: Option[(T3, T5) => Boolean] = None,
       viaCols: Boolean = false,
-      colResidual: Option[org.apache.spark.sql.Column] = None): Seq[String] = {
+      colResidual: Option[org.apache.spark.sql.Column] = None,
+      onText: Option[String] = None): Seq[String] = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions.col
     val in1 = MemoryStream[T3]
     val in2 = MemoryStream[T5]
     val mat = new Materializer
-    val q = if (viaCols) {
+    val q = if (viaCols || onText.isDefined) {
       val lDf = in1.toDS().toDF("a", "b", "c")
       val rDf = in2.toDS().toDF("d", "e", "f", "g", "h")
-      val joined = colResidual match {
-        case None => NonWindowJoinSql.unboundedOuterJoin(lDf, rDf,
+      val joined = (onText, colResidual) match {
+        case (Some(t), _) =>
+          NonWindowJoinSql.unboundedOuterJoinOn(lDf, rDf, t, joinType)
+        case (None, None) => NonWindowJoinSql.unboundedOuterJoin(lDf, rDf,
           Seq(col("a"), col("b")), Seq(col("d"), col("h")), joinType)
-        case Some(res) => NonWindowJoinSql.unboundedOuterJoin(lDf, rDf,
+        case (None, Some(res)) => NonWindowJoinSql.unboundedOuterJoin(lDf, rDf,
           Seq(col("a")), Seq(col("d")), joinType, Some(res))
       }
       joined.writeStream.outputMode("append")
@@ -297,6 +300,70 @@ class NonWindowJoinSpec extends SparkSuite {
       struct(col("h").cast("double").as("x"), col("d").as("y")))
     assert(named(NonWindowJoinSql.unboundedOuterJoin(lStr, rStr,
       Seq(col("s")), Seq(col("s")), "left_outer")).contains("nest"))
+  }
+
+  test("SQL-text surface: testLeftJoinWithMultipleKeys via ON a = d AND b = h") {
+    // the reference's exact SQL condition text, parsed and split into
+    // equi-keys + residual the way its planner does — same ported
+    // ITCase, same materialized state as the typed and Column runs
+    val expected = Seq(
+      "Hi,Hallo", "Hello,Hallo Welt", "Hello world,Hallo Welt wie gehts?",
+      "Hello world,ABC", "Hello world, how are you?,null", "I am fine.,HIJ",
+      "I am fine.,IJK", "Luke Skywalker,null", "Comment#1,null",
+      "Comment#2,null", "Comment#3,null", "Comment#4,null", "Comment#5,null",
+      "Comment#6,null", "Comment#7,null", "Comment#8,null", "Comment#9,null",
+      "Comment#10,null", "Comment#11,null", "Comment#12,null",
+      "Comment#13,null", "Comment#14,null", "Comment#15,null")
+    assert(runPort("left_outer", t3Opt(nullAt21 = true),
+      t5Opt(nullAtE15 = true),
+      onText = Some("a = d AND b = h")) === expected.sorted)
+  }
+
+  test("SQL-text surface: testFullJoinWithNonEquiJoinPred via ON a = d AND b <= h") {
+    val expected = Seq(
+      "Hi,Hallo", "Hello,Hallo Welt", "Hello world,Hallo Welt wie gehts?",
+      "Hello world,ABC", "Hello world,BCD", "I am fine.,HIJ",
+      "I am fine.,IJK",
+      "Hello world, how are you?,null", "Luke Skywalker,null",
+      "null,Hallo Welt wie", "null,CDE", "null,DEF", "null,EFG",
+      "null,FGH", "null,GHI", "null,JKL", "null,KLM") ++ comments
+    assert(runPort("full_outer", t3Opt(nullAt21 = false),
+      t5Opt(nullAtE15 = false),
+      onText = Some("a = d AND b <= h")) === expected.sorted)
+  }
+
+  test("SQL-text surface: equality-to-literal conjuncts stay in the residual (ON a = d AND b = 2)") {
+    // b = 2 is an equality but not a cross-side key pair — it must run
+    // INSIDE the outer-join condition (never pushed as a filter), the
+    // ported testLeftJoinWithLeftLocalPred semantics
+    val expected = Seq(
+      "Hello,Hallo Welt", "Hello,Hallo Welt wie",
+      "Hello world,Hallo Welt wie gehts?", "Hello world,ABC",
+      "Hello world,BCD", "Hi,null", "Hello world, how are you?,null",
+      "I am fine.,null", "Luke Skywalker,null") ++ comments
+    assert(runPort("left_outer", t3Opt(nullAt21 = false),
+      t5Opt(nullAtE15 = false),
+      onText = Some("a = d AND b = 2")) === expected.sorted)
+  }
+
+  test("SQL-text surface rejections: missing equi conjunct, unknown/ambiguous/qualified names") {
+    val lDf = Seq((1, 1L, "x")).toDF("a", "b", "c")
+    val rDf = Seq((1, "y", 2L)).toDF("d", "g", "h")
+    def named(body: => Any): String =
+      intercept[IllegalArgumentException](body).getMessage
+    // no cross-side equi pair: non-equi alone cannot key the state
+    assert(named(NonWindowJoinSql.unboundedOuterJoinOn(lDf, rDf,
+      "b <= h", "left_outer")).contains("equi-key"))
+    // same-side equality does not count as a key either
+    assert(named(NonWindowJoinSql.unboundedOuterJoinOn(lDf, rDf,
+      "a = b AND b <= h", "left_outer")).contains("equi-key"))
+    assert(named(NonWindowJoinSql.unboundedOuterJoinOn(lDf, rDf,
+      "a = nosuch", "left_outer")).contains("neither"))
+    val rAmb = Seq((1, "y", 2L)).toDF("a", "g", "h")
+    assert(named(NonWindowJoinSql.unboundedOuterJoinOn(lDf, rAmb,
+      "a = g", "left_outer")).contains("ambiguous"))
+    assert(named(NonWindowJoinSql.unboundedOuterJoinOn(lDf, rDf,
+      "l.a = d", "left_outer")).contains("bare"))
   }
 
   test("RetractBridge expands update batches into the reference's retract stream") {
