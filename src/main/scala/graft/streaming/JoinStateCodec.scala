@@ -25,15 +25,21 @@ import org.apache.spark.sql.types.{StructField, StructType}
   *   - `version` — the state-class format generation; a checkpoint
   *     written by a different generation raises the named
   *     [[JoinStateVersionException]] BEFORE kryo touches the payload;
-  *   - `schemaFp` — the DDL fingerprint of the two input schemas; a
-  *     query resumed against inputs whose schema changed (same state
-  *     class, different `Row` layouts inside it) raises the named
+  *   - `schemaFp` — a fingerprint of the two input schemas; a query
+  *     resumed against inputs whose schema changed (same state class,
+  *     different `Row` layouts inside it) raises the named
   *     [[JoinStateSchemaException]] instead of deserializing garbage —
   *     the check the typed surface gets from
   *     StateSchemaCompatibilityChecker.
   * Both columns are product-encoded primitives whose own schema never
   * changes, so the envelope row is readable against any envelope-era
-  * checkpoint and the checks run before the opaque blob is interpreted. */
+  * checkpoint and the checks run before the opaque blob is interpreted.
+  * The fingerprint is an MD5 digest of the combined DDL, NOT the DDL
+  * itself: the envelope is stored ONCE PER KEY in the state store, and
+  * a wide input's DDL (KBs) would dominate small per-key states at
+  * scale — the digest is a constant 32 chars per key row. The error
+  * message reports the RESUMED query's full DDL (recomputed, not
+  * stored) next to the two digests. */
 final case class JoinStateEnvelope(version: Int, schemaFp: String,
     blob: Array[Byte])
 
@@ -51,11 +57,15 @@ final class JoinStateVersionException(val found: Int, val expected: Int,
   * state was written against different input schemas than the resumed
   * query's — the `Row`s inside the kryo blob would not line up with the
   * current plan (the failure StateSchemaCompatibilityChecker raises for
-  * product-encoded state). */
+  * product-encoded state). `found`/`expected` are the stored digests;
+  * `expectedDdl` is the RESUMED query's combined input DDL (the
+  * checkpointed original is not stored — only its digest is). */
 final class JoinStateSchemaException(val found: String,
-    val expected: String, what: String) extends RuntimeException(
-  s"unbounded-join state '$what' was checkpointed with input schemas\n" +
-    s"  $found\nbut this query reads\n  $expected\n" +
+    val expected: String, what: String, expectedDdl: String)
+    extends RuntimeException(
+  s"unbounded-join state '$what' was checkpointed against input " +
+    s"schemas with fingerprint $found, but this query's inputs " +
+    s"fingerprint as $expected —\n  $expectedDdl\n" +
     "the checkpointed state cannot be resumed against the changed " +
     "schema — restart the query from a fresh checkpoint after " +
     "reprocessing")
@@ -73,11 +83,21 @@ object JoinStateCodec {
   val EquiVersion = 1     // NonWindowJoin.SideState[Row, Row]
   val NonEquiVersion = 2  // NonWindowJoin.NESideState[Row, Row]
 
-  /** Canonical fingerprint of the join's two input schemas: one DDL
-    * string over a two-field struct wrapping them (injective — field
-    * names and nullability included, no ambiguous concatenation). */
-  def fingerprint(l: StructType, r: StructType): String =
+  /** Canonical DDL of the join's two input schemas: one DDL string
+    * over a two-field struct wrapping them (injective — field names
+    * and nullability included, no ambiguous concatenation). Carried in
+    * error messages; the state stores only its digest. */
+  def fingerprintDdl(l: StructType, r: StructType): String =
     StructType(Seq(StructField("l", l), StructField("r", r))).toDDL
+
+  /** The fingerprint the envelope stores: an MD5 digest of
+    * [[fingerprintDdl]] — constant 32 chars per key row (the full DDL
+    * of a wide input would dominate small per-key states at scale). */
+  def fingerprint(l: StructType, r: StructType): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(fingerprintDdl(l, r).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
 
   /** The envelope's product encoder — stable (int, string, binary)
     * columns, never a kryo-opaque single column. */
@@ -88,11 +108,11 @@ object JoinStateCodec {
     JoinStateEnvelope(version, fp, CepStateCodec.toBytes(s))
 
   def dec[S](e: JoinStateEnvelope, version: Int, fp: String,
-      what: String): S = {
+      what: String, currentDdl: String): S = {
     if (e.version != version)
       throw new JoinStateVersionException(e.version, version, what)
     if (e.schemaFp != fp)
-      throw new JoinStateSchemaException(e.schemaFp, fp, what)
+      throw new JoinStateSchemaException(e.schemaFp, fp, what, currentDdl)
     CepStateCodec.fromBytes[S](e.blob)
   }
 
@@ -102,19 +122,21 @@ object JoinStateCodec {
     * write; lazy-update semantics pass through (the wrapped fn may call
     * update/remove in a by-name iterator tail — the view delegates
     * immediately to the underlying GroupState, whose changes Spark
-    * commits on output exhaustion). */
+    * commits on output exhaustion). `currentDdl` rides along only for
+    * the schema-mismatch error message. */
   def versionedFn[K, E, O, S](what: String, version: Int, fp: String,
+      currentDdl: String,
       fn: (K, Iterator[E], GroupState[S]) => Iterator[O]):
       (K, Iterator[E], GroupState[JoinStateEnvelope]) => Iterator[O] =
     (k: K, it: Iterator[E], gs: GroupState[JoinStateEnvelope]) =>
-      fn(k, it, new JoinStateView[S](gs, version, fp, what))
+      fn(k, it, new JoinStateView[S](gs, version, fp, what, currentDdl))
 
   /** Adapt a per-row timer sweep to the envelope: decode (checked),
     * sweep, re-encode survivors. */
   def versionedSweep[S](what: String, version: Int, fp: String,
-      sweep: (S, Long) => Option[S]):
+      currentDdl: String, sweep: (S, Long) => Option[S]):
       (JoinStateEnvelope, Long) => Option[JoinStateEnvelope] =
-    (e, now) => sweep(dec[S](e, version, fp, what), now)
+    (e, now) => sweep(dec[S](e, version, fp, what, currentDdl), now)
       .map(enc(version, fp, _))
 }
 
@@ -122,11 +144,11 @@ object JoinStateCodec {
   * access boundary (version + fingerprint checks run on every read). */
 private[streaming] final class JoinStateView[S](
     u: GroupState[JoinStateEnvelope], version: Int, fp: String,
-    what: String) extends GroupState[S] {
+    what: String, currentDdl: String) extends GroupState[S] {
   def exists: Boolean = u.exists
-  def get: S = JoinStateCodec.dec[S](u.get, version, fp, what)
+  def get: S = JoinStateCodec.dec[S](u.get, version, fp, what, currentDdl)
   def getOption: Option[S] =
-    u.getOption.map(JoinStateCodec.dec[S](_, version, fp, what))
+    u.getOption.map(JoinStateCodec.dec[S](_, version, fp, what, currentDdl))
   def update(s: S): Unit = u.update(JoinStateCodec.enc(version, fp, s))
   def remove(): Unit = u.remove()
   def hasTimedOut: Boolean = u.hasTimedOut

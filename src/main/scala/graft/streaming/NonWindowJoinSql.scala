@@ -309,6 +309,7 @@ object NonWindowJoinSql {
     // fails by the named JoinState*Exception instead of a raw
     // KryoException (see JoinStateCodec)
     val fp = JoinStateCodec.fingerprint(lSchema, rSchema)
+    val fpDdl = JoinStateCodec.fingerprintDdl(lSchema, rSchema)
     def run[S](version: Int, what: String,
         fn: (Option[String],
           Iterator[(Boolean, Option[Row], Option[Row])],
@@ -317,8 +318,9 @@ object NonWindowJoinSql {
         sweep: (S, Long) => Option[S]): Dataset[Row] = {
       val vFn = JoinStateCodec.versionedFn[Option[String],
         (Boolean, Option[Row], Option[Row]),
-        (Boolean, Option[Row], Option[Row]), S](what, version, fp, fn)
-      val vSweep = JoinStateCodec.versionedSweep[S](what, version, fp, sweep)
+        (Boolean, Option[Row], Option[Row]), S](what, version, fp, fpDdl, fn)
+      val vSweep = JoinStateCodec.versionedSweep[S](what, version, fp,
+        fpDdl, sweep)
       val g = NonWindowJoin.guardedFn[String, Row, Row, JoinStateEnvelope](
         leftOuter, rightOuter, idleTtlMs, vFn, vSweep)
       grouped.flatMapGroupsWithState[JoinStateEnvelope, Row](

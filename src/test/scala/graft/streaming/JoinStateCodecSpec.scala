@@ -34,16 +34,22 @@ class JoinStateCodecSpec extends SparkSuite {
     assert(env.version == JoinStateCodec.EquiVersion)
     assert(env.schemaFp == fp)
     val back = JoinStateCodec.dec[NonWindowJoin.SideState[Row, Row]](
-      env, JoinStateCodec.EquiVersion, fp, "spec")
+      env, JoinStateCodec.EquiVersion, fp, "spec", "ddl")
     assert(back == st)
   }
 
-  test("fingerprint is one injective DDL over both schemas") {
-    assert(fp.contains("STRUCT"))
+  test("fingerprint digests one injective DDL over both schemas (constant width per key row)") {
+    // the DDL is injective (field names + nullability, unambiguous
+    // wrapping); the STORED fingerprint is its 32-char MD5 — the
+    // envelope rides once per key in the state store, so a wide
+    // input's DDL must not
+    assert(JoinStateCodec.fingerprintDdl(lSchema, rSchema).contains("STRUCT"))
+    assert(fp.length == 32)
     assert(JoinStateCodec.fingerprint(lSchema, rSchema) == fp)
     assert(JoinStateCodec.fingerprint(rSchema, lSchema) != fp)
     val widened = StructType(lSchema.fields :+ StructField("x", LongType))
     assert(JoinStateCodec.fingerprint(widened, rSchema) != fp)
+    assert(JoinStateCodec.fingerprint(widened, rSchema).length == 32)
   }
 
   test("wrong version and wrong fingerprint raise the named errors before kryo decodes") {
@@ -53,7 +59,7 @@ class JoinStateCodecSpec extends SparkSuite {
     val vEx = intercept[JoinStateVersionException] {
       JoinStateCodec.dec[AnyRef](
         JoinStateEnvelope(JoinStateCodec.NonEquiVersion, fp, garbage),
-        JoinStateCodec.EquiVersion, fp, "equi spec")
+        JoinStateCodec.EquiVersion, fp, "equi spec", "ddl")
     }
     assert(vEx.found == JoinStateCodec.NonEquiVersion)
     assert(vEx.expected == JoinStateCodec.EquiVersion)
@@ -63,16 +69,20 @@ class JoinStateCodecSpec extends SparkSuite {
     val sEx = intercept[JoinStateSchemaException] {
       JoinStateCodec.dec[AnyRef](
         JoinStateEnvelope(JoinStateCodec.EquiVersion, otherFp, garbage),
-        JoinStateCodec.EquiVersion, fp, "schema spec")
+        JoinStateCodec.EquiVersion, fp, "schema spec",
+        JoinStateCodec.fingerprintDdl(lSchema, rSchema))
     }
     assert(sEx.found == otherFp)
     assert(sEx.expected == fp)
     assert(sEx.getMessage.contains("schema spec"))
+    // the resumed query's full DDL rides the message (the original is
+    // not stored — only its digest)
+    assert(sEx.getMessage.contains("STRUCT"))
     // version is checked before the fingerprint: both wrong → version
     intercept[JoinStateVersionException] {
       JoinStateCodec.dec[AnyRef](
         JoinStateEnvelope(JoinStateCodec.NonEquiVersion, otherFp, garbage),
-        JoinStateCodec.EquiVersion, fp, "both")
+        JoinStateCodec.EquiVersion, fp, "both", "ddl")
     }
   }
 
@@ -85,7 +95,7 @@ class JoinStateCodecSpec extends SparkSuite {
         acc.iterator
       }
     val wrapped = JoinStateCodec.versionedFn("spec-state",
-      JoinStateCodec.EquiVersion, fp, fn)
+      JoinStateCodec.EquiVersion, fp, "ddl", fn)
     val fresh = TestGroupState.create[JoinStateEnvelope](
       Optional.empty[JoinStateEnvelope](), GroupStateTimeout.NoTimeout(),
       0L, Optional.empty[Long](), hasTimedOut = false)
@@ -117,14 +127,14 @@ class JoinStateCodecSpec extends SparkSuite {
       rights = Map.empty)
     val env = JoinStateCodec.enc(JoinStateCodec.EquiVersion, fp, st)
     val sweep = JoinStateCodec.versionedSweep[NonWindowJoin.SideState[Row, Row]](
-      "sweep spec", JoinStateCodec.EquiVersion, fp,
+      "sweep spec", JoinStateCodec.EquiVersion, fp, "ddl",
       NonWindowJoin.sweepSideState[Row, Row])
     val swept = sweep(env, 50L)
     assert(swept.isDefined)
     assert(swept.get.version == JoinStateCodec.EquiVersion)
     assert(swept.get.schemaFp == fp)
     val back = JoinStateCodec.dec[NonWindowJoin.SideState[Row, Row]](
-      swept.get, JoinStateCodec.EquiVersion, fp, "sweep spec")
+      swept.get, JoinStateCodec.EquiVersion, fp, "sweep spec", "ddl")
     assert(back.lefts.keySet == Set(Row(1, "keep")))
     // everything expired → None (the key drops)
     assert(sweep(env, 1000L).isEmpty)
@@ -218,7 +228,9 @@ class JoinStateCodecSpec extends SparkSuite {
       .collectFirst { case e: JoinStateSchemaException => e }
     assert(named.isDefined,
       s"expected JoinStateSchemaException in the cause chain, got $ex")
-    assert(named.get.expected.contains("extra"))
-    assert(!named.get.found.contains("extra"))
+    // digests differ; the message carries the RESUMED query's DDL,
+    // which includes the new column
+    assert(named.get.expected != named.get.found)
+    assert(named.get.getMessage.contains("extra"))
   }
 }
