@@ -106,16 +106,19 @@ object CepStateCodec {
       fn(k, it, new VersionedStateView[S](gs, version, what))
 }
 
-/** [[GroupState]] view decoding/encoding the envelope at the access
-  * boundary (the version check runs on every read). */
-private[streaming] final class VersionedStateView[S](
-    u: GroupState[CepStateEnvelope], version: Int, what: String)
-    extends GroupState[S] {
+/** Shared [[GroupState]] view scaffolding for envelope-typed state:
+  * subclasses supply the decode (checks run on every read) and encode
+  * (stamps run on every write); everything else delegates, so
+  * lazy-update semantics pass straight through to the underlying
+  * GroupState (whose changes Spark commits on output exhaustion). */
+private[streaming] abstract class EnvelopeStateView[Env, S](
+    u: GroupState[Env]) extends GroupState[S] {
+  protected def decode(e: Env): S
+  protected def encode(s: S): Env
   def exists: Boolean = u.exists
-  def get: S = CepStateCodec.dec[S](u.get, version, what)
-  def getOption: Option[S] =
-    u.getOption.map(CepStateCodec.dec[S](_, version, what))
-  def update(s: S): Unit = u.update(CepStateCodec.enc(version, s))
+  def get: S = decode(u.get)
+  def getOption: Option[S] = u.getOption.map(decode)
+  def update(s: S): Unit = u.update(encode(s))
   def remove(): Unit = u.remove()
   def hasTimedOut: Boolean = u.hasTimedOut
   def setTimeoutDuration(ms: Long): Unit = u.setTimeoutDuration(ms)
@@ -128,4 +131,15 @@ private[streaming] final class VersionedStateView[S](
     u.setTimeoutTimestamp(t, d)
   def getCurrentWatermarkMs(): Long = u.getCurrentWatermarkMs()
   def getCurrentProcessingTimeMs(): Long = u.getCurrentProcessingTimeMs()
+}
+
+/** [[GroupState]] view decoding/encoding the envelope at the access
+  * boundary (the version check runs on every read). */
+private[streaming] final class VersionedStateView[S](
+    u: GroupState[CepStateEnvelope], version: Int, what: String)
+    extends EnvelopeStateView[CepStateEnvelope, S](u) {
+  protected def decode(e: CepStateEnvelope): S =
+    CepStateCodec.dec[S](e, version, what)
+  protected def encode(s: S): CepStateEnvelope =
+    CepStateCodec.enc(version, s)
 }

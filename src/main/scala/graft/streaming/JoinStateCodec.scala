@@ -29,11 +29,22 @@ import org.apache.spark.sql.types.{StructField, StructType}
   *     resumed against inputs whose schema changed (same state class,
   *     different `Row` layouts inside it) raises the named
   *     [[JoinStateSchemaException]] instead of deserializing garbage —
-  *     the check the typed surface gets from
-  *     StateSchemaCompatibilityChecker.
+  *     serving the role StateSchemaCompatibilityChecker plays for the
+  *     typed surface's product-encoded state. DELIBERATELY STRICTER
+  *     than that checker: the fingerprint hashes exact field names and
+  *     nullability, so a pure rename or nullability flip (which the
+  *     positional kryo blobs would tolerate) also fails — the blobs
+  *     carry no per-field metadata to validate against, and
+  *     exact-schema equality is the conservative check that can never
+  *     silently mis-decode.
   * Both columns are product-encoded primitives whose own schema never
   * changes, so the envelope row is readable against any envelope-era
   * checkpoint and the checks run before the opaque blob is interpreted.
+  * TIMING: the checks run at each key's first post-resume state access
+  * (flatMapGroupsWithState exposes no eager whole-store scan at query
+  * start), so a schema-changed resume fails when the first
+  * pre-change key receives an element or fires its timer — not at
+  * startup; keys never touched again never raise.
   * The fingerprint is an MD5 digest of the combined DDL, NOT the DDL
   * itself: the envelope is stored ONCE PER KEY in the state store, and
   * a wide input's DDL (KBs) would dominate small per-key states at
@@ -144,22 +155,10 @@ object JoinStateCodec {
   * access boundary (version + fingerprint checks run on every read). */
 private[streaming] final class JoinStateView[S](
     u: GroupState[JoinStateEnvelope], version: Int, fp: String,
-    what: String, currentDdl: String) extends GroupState[S] {
-  def exists: Boolean = u.exists
-  def get: S = JoinStateCodec.dec[S](u.get, version, fp, what, currentDdl)
-  def getOption: Option[S] =
-    u.getOption.map(JoinStateCodec.dec[S](_, version, fp, what, currentDdl))
-  def update(s: S): Unit = u.update(JoinStateCodec.enc(version, fp, s))
-  def remove(): Unit = u.remove()
-  def hasTimedOut: Boolean = u.hasTimedOut
-  def setTimeoutDuration(ms: Long): Unit = u.setTimeoutDuration(ms)
-  def setTimeoutDuration(d: String): Unit = u.setTimeoutDuration(d)
-  def setTimeoutTimestamp(ms: Long): Unit = u.setTimeoutTimestamp(ms)
-  def setTimeoutTimestamp(ms: Long, d: String): Unit =
-    u.setTimeoutTimestamp(ms, d)
-  def setTimeoutTimestamp(t: java.sql.Date): Unit = u.setTimeoutTimestamp(t)
-  def setTimeoutTimestamp(t: java.sql.Date, d: String): Unit =
-    u.setTimeoutTimestamp(t, d)
-  def getCurrentWatermarkMs(): Long = u.getCurrentWatermarkMs()
-  def getCurrentProcessingTimeMs(): Long = u.getCurrentProcessingTimeMs()
+    what: String, currentDdl: String)
+    extends EnvelopeStateView[JoinStateEnvelope, S](u) {
+  protected def decode(e: JoinStateEnvelope): S =
+    JoinStateCodec.dec[S](e, version, fp, what, currentDdl)
+  protected def encode(s: S): JoinStateEnvelope =
+    JoinStateCodec.enc(version, fp, s)
 }

@@ -132,14 +132,18 @@ object NonWindowJoinSql {
     * conjunct whose two bare column references resolve to OPPOSITE
     * inputs becomes an equi-key pair; every other conjunct (non-equi
     * comparisons, same-side equalities, local predicates) joins the
-    * residual. At least one cross-side equi conjunct is required (the
-    * keys drive the stateful partitioning, the reference's keyBy
-    * contract); references must be bare column names resolving to
-    * exactly ONE input — qualified, unknown, and ambiguous names raise
-    * named errors before any stream starts. Name matching is
-    * case-insensitive (Spark's default resolution). Everything
-    * downstream — key canonicalization, rejections, state enveloping,
-    * TTL — is [[unboundedOuterJoin]]'s. */
+    * residual. A cross-side pair whose column types differ gets the
+    * SQL planner's implicit cast (both sides cast to the tightest
+    * common type — the reference planner inserts the same casts; no
+    * common type is a named error). At least one cross-side equi
+    * conjunct is required (the keys drive the stateful partitioning,
+    * the reference's keyBy contract); references must be bare column
+    * names resolving to exactly ONE input — qualified, unknown, and
+    * ambiguous names raise named errors before any stream starts.
+    * Name matching honors the session's `spark.sql.caseSensitive`
+    * resolution (insensitive by default). Everything downstream — key
+    * canonicalization, rejections, state enveloping, TTL — is
+    * [[unboundedOuterJoin]]'s. */
   def unboundedOuterJoinOn(left: DataFrame, right: DataFrame,
       onClause: String, joinType: String,
       idleTtlMs: Option[Long] = None): DataFrame = {
@@ -147,6 +151,9 @@ object NonWindowJoinSql {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
     val parsed = GraftSqlShim.expr(expr(onClause))
+    // the session's own resolver, so a caseSensitive=true session
+    // distinguishes names Spark's analyzer would too
+    val res = left.sparkSession.sessionState.conf.resolver
     // upfront resolution: every reference must land on exactly one
     // input, so errors carry the COLUMN NAME instead of surfacing as a
     // downstream analysis failure against the operator's internal plan
@@ -155,35 +162,63 @@ object NonWindowJoinSql {
         "ON clause references must be bare column names (the two " +
           s"inputs are unaliased here): `${u.name}`")
       val n = u.nameParts.head
-      val lHit = left.schema.fieldNames.toSeq.filter(_.equalsIgnoreCase(n))
-      val rHit = right.schema.fieldNames.toSeq.filter(_.equalsIgnoreCase(n))
+      val lHit = left.schema.fieldNames.toSeq.filter(res(_, n))
+      val rHit = right.schema.fieldNames.toSeq.filter(res(_, n))
       (lHit, rHit) match {
         case (Seq(a), Seq()) => Left(a)
         case (Seq(), Seq(b)) => Right(b)
         case (Seq(), Seq()) => throw new IllegalArgumentException(
           s"ON clause column `$n` exists in neither input")
+        case (l, r) if l.size > 1 || r.size > 1 =>
+          throw new IllegalArgumentException(
+            s"ON clause column `$n` is ambiguous WITHIN the " +
+              s"${if (l.size > 1) "left" else "right"} input " +
+              s"(matches ${(if (l.size > 1) l else r).mkString(", ")})")
         case _ => throw new IllegalArgumentException(
           s"ON clause column `$n` is ambiguous across the two inputs " +
             "— rename one side")
       }
     }
     parsed.collect { case u: UnresolvedAttribute => u }.foreach(resolve)
+    // exact-name Columns (col(name) would RE-PARSE dots/backticks and
+    // could resolve a field named "a.b" as struct access a.b)
+    def lCol(n: String): Column =
+      GraftSqlShim.column(UnresolvedAttribute(Seq(n)))
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(a, b) => conjuncts(a) ++ conjuncts(b)
       case other => Seq(other)
     }
+    // a cross-side pair with differing column types gets the SQL
+    // planner's implicit cast to the tightest common type (the
+    // reference inserts the same casts; the Column surface leaves
+    // casting to the caller by contract, the TEXT surface is the
+    // planner-parity route and must not)
+    def keyPair(la: String, rb: String): (Column, Column) = {
+      val lt = left.schema(la).dataType
+      val rt = right.schema(rb).dataType
+      if (lt == rt) (lCol(la), lCol(rb))
+      else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+        .findTightestCommonType(lt, rt) match {
+        case Some(t) => (lCol(la).cast(t), lCol(rb).cast(t))
+        case None => throw new IllegalArgumentException(
+          s"equi-key pair `$la` = `$rb` has no common type to coerce " +
+            s"to: ${lt.sql} vs ${rt.sql}")
+      }
+    }
     val (pairs, residuals) = conjuncts(parsed).partitionMap {
       case eq @ EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
         (resolve(a), resolve(b)) match {
-          case (Left(la), Right(rb)) => Left((col(la), col(rb)))
-          case (Right(ra), Left(lb)) => Left((col(lb), col(ra)))
+          case (Left(la), Right(rb)) => Left(keyPair(la, rb))
+          case (Right(ra), Left(lb)) => Left(keyPair(lb, ra))
           case _ => Right(eq) // same-side equality: a local predicate
         }
       case other => Right(other)
     }
     require(pairs.nonEmpty,
-      "ON clause needs at least one cross-side equi-key conjunct " +
-        s"(the keys drive the stateful partitioning): $onClause")
+      "ON clause needs at least one cross-side equi-key conjunct — a " +
+        "bare `x = y` between the two inputs; cast-wrapped or computed " +
+        "equalities run in the residual and do not count as keys (the " +
+        s"keys drive the stateful partitioning): $onClause")
     val residual = residuals.reduceOption(And.apply)
       .map(GraftSqlShim.column)
     unboundedOuterJoin(left, right, pairs.map(_._1), pairs.map(_._2),

@@ -361,9 +361,50 @@ class NonWindowJoinSpec extends SparkSuite {
       "a = nosuch", "left_outer")).contains("neither"))
     val rAmb = Seq((1, "y", 2L)).toDF("a", "g", "h")
     assert(named(NonWindowJoinSql.unboundedOuterJoinOn(lDf, rAmb,
-      "a = g", "left_outer")).contains("ambiguous"))
+      "a = g", "left_outer")).contains("across the two inputs"))
+    // duplicate match INSIDE one input (case-insensitive default
+    // resolution): the error must say WHICH input, not "rename one side"
+    val lDup = Seq((1, 2, "x")).toDF("A", "a", "c")
+    assert(named(NonWindowJoinSql.unboundedOuterJoinOn(lDup, rDf,
+      "a = d", "left_outer")).contains("WITHIN the left"))
     assert(named(NonWindowJoinSql.unboundedOuterJoinOn(lDf, rDf,
       "l.a = d", "left_outer")).contains("bare"))
+    // a cross-side pair with NO common type: named coercion error, not
+    // a downstream type-mismatch
+    val rStr = Seq(("1", "y")).toDF("d", "g")
+    assert(named(NonWindowJoinSql.unboundedOuterJoinOn(lDf, rStr,
+      "a = d", "left_outer")).contains("no common type"))
+  }
+
+  test("SQL-text surface: implicit key coercion (INT = BIGINT) and exact dotted names") {
+    // the planner-parity route inserts the implicit cast the reference
+    // planner does: a = d with a:INT, d:BIGINT keys on the tightest
+    // common type instead of rejecting
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in1 = MemoryStream[(Int, String)]
+    val in2 = MemoryStream[(Long, String)]
+    val mat = new Materializer
+    val joined = NonWindowJoinSql.unboundedOuterJoinOn(
+      in1.toDS().toDF("a", "l"), in2.toDS().toDF("d", "r"), "a = d",
+      "inner")
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(row => mat(row.getAs[Boolean]("change"),
+          row.getAs[String]("l") + "," + row.getAs[String]("r")))
+      }.start()
+    try {
+      in1.addData((7, "lA"))
+      in2.addData((7L, "rA"), (8L, "rB"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(mat.rows === Seq("lA,rA"))
+    // a column literally named "a.b": backquoted in the ON text, built
+    // as an EXACT attribute (col("a.b") would re-parse the dot as
+    // struct-field access) — construction must succeed
+    val lDot = Seq((1, "x")).toDF("a.b", "l")
+    val rDot = Seq((1, "y")).toDF("d", "r")
+    NonWindowJoinSql.unboundedOuterJoinOn(lDot, rDot,
+      "`a.b` = d", "left_outer")
   }
 
   test("RetractBridge expands update batches into the reference's retract stream") {
