@@ -95,6 +95,39 @@ object JoinScaleBench {
     ((System.nanoTime() - t0) / 1e9, emitted)
   }
 
+  /** [[keyScale]] through the COLUMN surface ([[graft.streaming.NonWindowJoinSql]])
+    * — the same protocol over DataFrames, so the state rides the
+    * versioned + fingerprinted kryo envelope (one JoinStateEnvelope
+    * encode/decode per touched key per micro-batch) instead of the
+    * typed surface's product encoding. The wall ratio vs [[keyScale]]
+    * bounds the whole Column-surface stack's overhead: envelope + kryo
+    * + generic-Row handling + the canonical JSON grouping key. */
+  def keyScaleSql(spark: SparkSession, keys: Int, perSide: Int): (Double, Long) = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val in1 = MemoryStream[E]
+    val in2 = MemoryStream[E]
+    val emitted = new java.util.concurrent.atomic.AtomicLong
+    val joined = graft.streaming.NonWindowJoinSql.unboundedOuterJoin(
+      in1.toDS().toDF("k", "v"), in2.toDS().toDF("j", "w"),
+      Seq(col("k")), Seq(col("j")), "full_outer")
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        emitted.addAndGet(df.count()); ()
+      }.start()
+    val rows = for (k <- 0 until keys; i <- 0 until perSide)
+      yield (k, k * perSide + i)
+    val t0 = System.nanoTime()
+    try {
+      in1.addData(rows: _*)
+      q.processAllAvailable()
+      in2.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    ((System.nanoTime() - t0) / 1e9, emitted.get())
+  }
+
   /** Equi hot key: one key, `stateRows` distinct lefts, one batch of
     * `arrivals` rights each joining the full left state. */
   def hotKey(stateRows: Int, arrivals: Int): (Double, Long) =
@@ -123,6 +156,13 @@ object JoinScaleBench {
     val (t10, n10) = keyScale(spark, keys * 10, perSide)
     val ratio = t10 / t1
 
+    // Column surface (envelope-wrapped kryo state): same protocol
+    keyScaleSql(spark, 50, perSide)
+    val (s1, m1) = keyScaleSql(spark, keys, perSide)
+    val (s10, m10) = keyScaleSql(spark, keys * 10, perSide)
+    val sqlRatio = s10 / s1
+    val envOverhead = s1 / t1
+
     // hot-key: warm then measure
     hotKey(10000, 20)
     val (th, nh) = hotKey(stateRows, arrivals)
@@ -133,6 +173,9 @@ object JoinScaleBench {
 
     println(f"[joinscale] keys=$keys%d 1x $t1%6.2fs ($n1%d rows) | " +
       f"10x $t10%6.2fs ($n10%d rows) | ratio $ratio%5.2f")
+    println(f"[joinscale] SQL surface keys=$keys%d 1x $s1%6.2fs " +
+      f"($m1%d rows) | 10x $s10%6.2fs ($m10%d rows) | ratio " +
+      f"$sqlRatio%5.2f | overhead vs typed $envOverhead%5.2fx")
     println(f"[joinscale] hotkey state=$stateRows%d arrivals=$arrivals%d " +
       f"$th%6.2fs $nh%d rows ${thrpt / 1e6}%5.2fM rows/s")
     println(f"[joinscale] hotkeyNE state=$stateRows%d arrivals=$arrivals%d " +
@@ -143,12 +186,16 @@ object JoinScaleBench {
       f""""hotkey_arrivals":$arrivals,"hotkey_sec":$th%.3f,""" +
       f""""hotkey_rows":$nh,"hotkey_rows_per_sec":${thrpt.toLong},""" +
       f""""hotkey_ne_sec":$tne%.3f,"hotkey_ne_rows":$nne,""" +
-      f""""hotkey_ne_rows_per_sec":${neThrpt.toLong}}""")
+      f""""hotkey_ne_rows_per_sec":${neThrpt.toLong},""" +
+      f""""sql_x1_sec":$s1%.3f,"sql_x10_sec":$s10%.3f,""" +
+      f""""sql_ratio":$sqlRatio%.2f,"sql_overhead":$envOverhead%.2f}""")
     println()
     println("| scenario | size | seconds | rows emitted |")
     println("|---|---|---|---|")
     println(f"| key-scale 1x | $keys keys x $perSide/side | $t1%.2fs | $n1 |")
     println(f"| key-scale 10x | ${keys * 10} keys x $perSide/side | $t10%.2fs | $n10 |")
+    println(f"| SQL-surface key-scale 1x | $keys keys x $perSide/side | $s1%.2fs | $m1 |")
+    println(f"| SQL-surface key-scale 10x | ${keys * 10} keys x $perSide/side | $s10%.2fs | $m10 |")
     println(f"| hot key, one batch | $stateRows state rows x $arrivals arrivals | $th%.2fs | $nh |")
     println(f"| hot key non-equi | $stateRows state rows x $arrivals arrivals | $tne%.2fs | $nne |")
   }
