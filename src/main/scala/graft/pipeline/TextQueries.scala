@@ -125,6 +125,60 @@ object TextQueries extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Hard quality-rule gate (round 15) — the Gopher-style RULE
+    // cascade (Rae et al. 2021 §A1.1: word-count bounds, mean-word-
+    // length bounds, a stopword floor, a repetition cap), distinct
+    // from qt2's weighted SCORE: each rule is a named boolean and keep
+    // is their conjunction, the filter shape production pipelines
+    // apply before scoring. Every rule is INTEGER arithmetic (ratio
+    // thresholds as cross-products, e.g. 8*topcnt <= nt instead of
+    // topcnt/nt <= 0.125) so the oracle compare carries no float
+    // determinism risk. Shuffle-free column expressions; the
+    // repetition rule's per-row distinct-count scan is bounded by the
+    // document's own token count.
+    q("qt16_gopher_rules",
+      s"""WITH f AS (SELECT doc_id,
+         |    len(string_split(text, ' ')) AS nt,
+         |    length(text) AS nc,
+         |    len(list_intersect(string_split(text, ' '),
+         |        [$stopList])) AS nstop,
+         |    list_max(list_transform(list_distinct(string_split(text, ' ')),
+         |        w -> len(list_filter(string_split(text, ' '),
+         |                             x -> x = w)))) AS topcnt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  nt BETWEEN 20 AND 120 AS word_ok,
+         |  (4 * nt <= nc - (nt - 1) AND nc - (nt - 1) <= 6 * nt) AS len_ok,
+         |  nstop >= 2 AS stop_ok,
+         |  8 * topcnt <= nt AS rep_ok,
+         |  (nt BETWEEN 20 AND 120
+         |   AND 4 * nt <= nc - (nt - 1) AND nc - (nt - 1) <= 6 * nt
+         |   AND nstop >= 2 AND 8 * topcnt <= nt) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("tk", split(col("text"), " "))
+        .withColumn("nt", size(col("tk")))
+        .withColumn("nc", length(col("text")))
+        .withColumn("nstop",
+          size(array_intersect(col("tk"),
+            array(Stopwords.map(lit): _*))))
+        .withColumn("topcnt", expr(
+          "array_max(transform(array_distinct(tk), " +
+            "w -> size(filter(tk, x -> x = w))))"))
+        .select(col("doc_id"),
+          col("nt").between(20, 120).as("word_ok"),
+          (lit(4) * col("nt") <= col("nc") - (col("nt") - 1) &&
+            col("nc") - (col("nt") - 1) <= lit(6) * col("nt")).as("len_ok"),
+          (col("nstop") >= 2).as("stop_ok"),
+          (lit(8) * col("topcnt") <= col("nt")).as("rep_ok"),
+          (col("nt").between(20, 120) &&
+            lit(4) * col("nt") <= col("nc") - (col("nt") - 1) &&
+            col("nc") - (col("nt") - 1) <= lit(6) * col("nt") &&
+            col("nstop") >= 2 &&
+            lit(8) * col("topcnt") <= col("nt")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // N-gram/marker-word language-ID heuristic: count marker hits per
     // language profile, argmax with fixed tie order, then confusion counts
     // against the labeled lang column.

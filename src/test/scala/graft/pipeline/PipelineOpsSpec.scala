@@ -63,6 +63,38 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("qt16 gopher rules equal a driver-side recompute; every rule discriminates") {
+    // recompute all five booleans from (doc_id, text) in plain Scala —
+    // integer arithmetic only, mirroring the query's cross-product
+    // thresholds exactly
+    val stop = Set("the", "a", "of", "and", "in")
+    val expected = Engine.table(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val tk = text.split(" ", -1)
+        val nt = tk.length
+        val nc = text.length
+        val letters = nc - (nt - 1)
+        val topcnt = tk.groupBy(identity).values.map(_.length).max
+        val wordOk = nt >= 20 && nt <= 120
+        val lenOk = 4 * nt <= letters && letters <= 6 * nt
+        val stopOk = tk.toSet.count(stop) >= 2
+        val repOk = 8 * topcnt <= nt
+        (id, wordOk, lenOk, stopOk, repOk,
+          wordOk && lenOk && stopOk && repOk)
+      }.sortBy(_._1).toSeq
+    val got = run("qt16_gopher_rules")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    assert(got == expected)
+    // each rule individually discriminates on the fixture (both values
+    // occur), and the gate actually drops documents
+    Seq[((Long, Boolean, Boolean, Boolean, Boolean, Boolean)) => Boolean](
+      _._2, _._3, _._4, _._5, _._6).foreach { f =>
+      assert(got.exists(f) && got.exists(r => !f(r)))
+    }
+  }
+
   test("qp13 water-filling: budget exhausted, caps respected, one knee") {
     val rows = run("qp13_token_budget")
       .as[(String, Long, Double, Double)].collect()
