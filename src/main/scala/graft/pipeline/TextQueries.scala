@@ -145,16 +145,16 @@ object TextQueries extends QueryModule {
          |    list_max(list_transform(list_distinct(string_split(text, ' ')),
          |        w -> len(list_filter(string_split(text, ' '),
          |                             x -> x = w)))) AS topcnt
-         |  FROM documents)
-         |SELECT doc_id,
-         |  nt BETWEEN 20 AND 120 AS word_ok,
-         |  (4 * nt <= nc - (nt - 1) AND nc - (nt - 1) <= 6 * nt) AS len_ok,
-         |  nstop >= 2 AS stop_ok,
-         |  8 * topcnt <= nt AS rep_ok,
-         |  (nt BETWEEN 20 AND 120
-         |   AND 4 * nt <= nc - (nt - 1) AND nc - (nt - 1) <= 6 * nt
-         |   AND nstop >= 2 AND 8 * topcnt <= nt) AS keep
-         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+         |  FROM documents),
+         |rules AS (SELECT doc_id,
+         |    nt BETWEEN 20 AND 120 AS word_ok,
+         |    (4 * nt <= nc - (nt - 1) AND nc - (nt - 1) <= 6 * nt) AS len_ok,
+         |    nstop >= 2 AS stop_ok,
+         |    8 * topcnt <= nt AS rep_ok
+         |  FROM f)
+         |SELECT doc_id, word_ok, len_ok, stop_ok, rep_ok,
+         |  (word_ok AND len_ok AND stop_ok AND rep_ok) AS keep
+         |FROM rules ORDER BY doc_id""".stripMargin) { (s, d) =>
       t(s, d, "documents")
         .withColumn("tk", split(col("text"), " "))
         .withColumn("nt", size(col("tk")))
@@ -165,17 +165,16 @@ object TextQueries extends QueryModule {
         .withColumn("topcnt", expr(
           "array_max(transform(array_distinct(tk), " +
             "w -> size(filter(tk, x -> x = w))))"))
-        .select(col("doc_id"),
-          col("nt").between(20, 120).as("word_ok"),
-          (lit(4) * col("nt") <= col("nc") - (col("nt") - 1) &&
-            col("nc") - (col("nt") - 1) <= lit(6) * col("nt")).as("len_ok"),
-          (col("nstop") >= 2).as("stop_ok"),
-          (lit(8) * col("topcnt") <= col("nt")).as("rep_ok"),
-          (col("nt").between(20, 120) &&
-            lit(4) * col("nt") <= col("nc") - (col("nt") - 1) &&
-            col("nc") - (col("nt") - 1) <= lit(6) * col("nt") &&
-            col("nstop") >= 2 &&
-            lit(8) * col("topcnt") <= col("nt")).as("keep"))
+        .withColumn("word_ok", col("nt").between(20, 120))
+        .withColumn("len_ok",
+          lit(4) * col("nt") <= col("nc") - (col("nt") - 1) &&
+            col("nc") - (col("nt") - 1) <= lit(6) * col("nt"))
+        .withColumn("stop_ok", col("nstop") >= 2)
+        .withColumn("rep_ok", lit(8) * col("topcnt") <= col("nt"))
+        .select(col("doc_id"), col("word_ok"), col("len_ok"),
+          col("stop_ok"), col("rep_ok"),
+          (col("word_ok") && col("len_ok") && col("stop_ok") &&
+            col("rep_ok")).as("keep"))
         .orderBy(col("doc_id"))
     },
 

@@ -133,15 +133,19 @@ object NonWindowJoinSql {
     * inputs becomes an equi-key pair; every other conjunct (non-equi
     * comparisons, same-side equalities, local predicates) joins the
     * residual. A cross-side pair whose column types differ gets the
-    * SQL planner's implicit cast (both sides cast to the tightest
-    * common type — the reference planner inserts the same casts; no
-    * common type is a named error). At least one cross-side equi
-    * conjunct is required (the keys drive the stateful partitioning,
-    * the reference's keyBy contract); references must be bare column
-    * names resolving to exactly ONE input — qualified, unknown, and
-    * ambiguous names raise named errors before any stream starts.
-    * Name matching honors the session's `spark.sql.caseSensitive`
-    * resolution (insensitive by default). Everything downstream — key
+    * planner's implicit cast to the wider common type (numeric
+    * precedence + decimal widening); a pair mixing STRING with a
+    * non-STRING type is a named rejection (string promotion would key
+    * on textual representations — cast the input explicitly), as is a
+    * pair with no common type. At least one cross-side equi conjunct
+    * is required (the keys drive the stateful partitioning, the
+    * reference's keyBy contract). Key references must be bare column
+    * names; multi-part references (`s.x`) are struct-field access on
+    * the head column and are legal in the RESIDUAL only. Every
+    * reference's head must resolve to exactly ONE input — unknown and
+    * ambiguous names raise named errors before any stream starts,
+    * honoring the session's `spark.sql.caseSensitive` resolution
+    * (insensitive by default). Everything downstream — key
     * canonicalization, rejections, state enveloping, TTL — is
     * [[unboundedOuterJoin]]'s. */
   def unboundedOuterJoinOn(left: DataFrame, right: DataFrame,
@@ -154,13 +158,13 @@ object NonWindowJoinSql {
     // the session's own resolver, so a caseSensitive=true session
     // distinguishes names Spark's analyzer would too
     val res = left.sparkSession.sessionState.conf.resolver
-    // upfront resolution: every reference must land on exactly one
-    // input, so errors carry the COLUMN NAME instead of surfacing as a
-    // downstream analysis failure against the operator's internal plan
+    // upfront resolution: every reference's HEAD must land on exactly
+    // one input, so errors carry the COLUMN NAME instead of surfacing
+    // as a downstream analysis failure against the operator's internal
+    // plan. Multi-part references are struct-field access (s.x) on the
+    // head column — legal in the RESIDUAL (compileResidual resolves
+    // the tail against the column's struct type), never as a key.
     def resolve(u: UnresolvedAttribute): Either[String, String] = {
-      require(u.nameParts.size == 1,
-        "ON clause references must be bare column names (the two " +
-          s"inputs are unaliased here): `${u.name}`")
       val n = u.nameParts.head
       val lHit = left.schema.fieldNames.toSeq.filter(res(_, n))
       val rHit = right.schema.fieldNames.toSeq.filter(res(_, n))
@@ -188,17 +192,26 @@ object NonWindowJoinSql {
       case And(a, b) => conjuncts(a) ++ conjuncts(b)
       case other => Seq(other)
     }
-    // a cross-side pair with differing column types gets the SQL
-    // planner's implicit cast to the tightest common type (the
-    // reference inserts the same casts; the Column surface leaves
-    // casting to the caller by contract, the TEXT surface is the
-    // planner-parity route and must not)
+    // a cross-side pair with differing column types gets the planner's
+    // implicit cast to the wider common type (numeric precedence +
+    // decimal widening — what Spark's own join analysis inserts).
+    // Mixed STRING/non-STRING pairs are a NAMED rejection instead:
+    // string promotion would key on textual representations ("01" vs
+    // "1" never joining), a cross-engine hazard the caller must
+    // resolve with an explicit cast on the input
     def keyPair(la: String, rb: String): (Column, Column) = {
       val lt = left.schema(la).dataType
       val rt = right.schema(rb).dataType
+      import org.apache.spark.sql.types.StringType
       if (lt == rt) (lCol(la), lCol(rb))
+      else if (lt == StringType || rt == StringType)
+        throw new IllegalArgumentException(
+          s"equi-key pair `$la` = `$rb` mixes STRING and ${
+            (if (lt == StringType) rt else lt).sql} — string promotion " +
+            "would join on textual representations; cast the input " +
+            "column explicitly")
       else org.apache.spark.sql.catalyst.analysis.TypeCoercion
-        .findTightestCommonType(lt, rt) match {
+        .findWiderTypeForTwo(lt, rt) match {
         case Some(t) => (lCol(la).cast(t), lCol(rb).cast(t))
         case None => throw new IllegalArgumentException(
           s"equi-key pair `$la` = `$rb` has no common type to coerce " +
@@ -206,7 +219,8 @@ object NonWindowJoinSql {
       }
     }
     val (pairs, residuals) = conjuncts(parsed).partitionMap {
-      case eq @ EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+      case eq @ EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+          if a.nameParts.size == 1 && b.nameParts.size == 1 =>
         (resolve(a), resolve(b)) match {
           case (Left(la), Right(rb)) => Left(keyPair(la, rb))
           case (Right(ra), Left(lb)) => Left(keyPair(lb, ra))

@@ -150,16 +150,17 @@ object JoinScaleBench {
     val spark = Engine.session(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
 
-    // warm the streaming machinery once
+    // warm BOTH surfaces before timing either, then interleave the
+    // sizes (typed 1x, SQL 1x, typed 10x, SQL 10x) — timing one
+    // surface's runs entirely after the other's would hand the second
+    // surface a fully JIT-hot session and bias the overhead ratio
     keyScale(spark, 50, perSide)
-    val (t1, n1) = keyScale(spark, keys, perSide)
-    val (t10, n10) = keyScale(spark, keys * 10, perSide)
-    val ratio = t10 / t1
-
-    // Column surface (envelope-wrapped kryo state): same protocol
     keyScaleSql(spark, 50, perSide)
+    val (t1, n1) = keyScale(spark, keys, perSide)
     val (s1, m1) = keyScaleSql(spark, keys, perSide)
+    val (t10, n10) = keyScale(spark, keys * 10, perSide)
     val (s10, m10) = keyScaleSql(spark, keys * 10, perSide)
+    val ratio = t10 / t1
     val sqlRatio = s10 / s1
     val envOverhead = s1 / t1
 

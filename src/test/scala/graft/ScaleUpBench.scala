@@ -109,8 +109,9 @@ object ScaleUpBench {
     // round 14: corpus-internal substring dedup — the scale-critical
     // stage is ONE window pass over the gram stream (owner =
     // min(doc_id) OVER (PARTITION BY gram), a single gram-key
-    // shuffle); there is no join against the gram set (PlanAudit
-    // asserts Window and no-join — the gram set is corpus-sized)
+    // shuffle); there is no join against the corpus-sized gram set
+    // (PlanAudit asserts the Window is present and the plan has no
+    // cartesian/broadcast-nested-loop join)
     "qp26_substring_dedup")
 
   private def timeQuery(spark: SparkSession, name: String,

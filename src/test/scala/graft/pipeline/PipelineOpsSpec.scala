@@ -73,7 +73,11 @@ class PipelineOpsSpec extends SparkSuite {
       .map { case (id, text) =>
         val tk = text.split(" ", -1)
         val nt = tk.length
-        val nc = text.length
+        // CODE POINTS, not UTF-16 units — Spark/DuckDB length() counts
+        // code points, and String.length diverges above U+FFFF (the
+        // round-11 collation lesson; fixture is ASCII today, but the
+        // recompute must not silently depend on that)
+        val nc = text.codePointCount(0, text.length)
         val letters = nc - (nt - 1)
         val topcnt = tk.groupBy(identity).values.map(_.length).max
         val wordOk = nt >= 20 && nt <= 120

@@ -367,13 +367,14 @@ class NonWindowJoinSpec extends SparkSuite {
     val lDup = Seq((1, 2, "x")).toDF("A", "a", "c")
     assert(named(NonWindowJoinSql.unboundedOuterJoinOn(lDup, rDf,
       "a = d", "left_outer")).contains("WITHIN the left"))
+    // a qualified-looking reference: its HEAD must be a real column
     assert(named(NonWindowJoinSql.unboundedOuterJoinOn(lDf, rDf,
-      "l.a = d", "left_outer")).contains("bare"))
-    // a cross-side pair with NO common type: named coercion error, not
-    // a downstream type-mismatch
+      "l.a = d", "left_outer")).contains("neither"))
+    // a cross-side pair mixing STRING with numeric: named rejection
+    // (string promotion would key on textual representations)
     val rStr = Seq(("1", "y")).toDF("d", "g")
     assert(named(NonWindowJoinSql.unboundedOuterJoinOn(lDf, rStr,
-      "a = d", "left_outer")).contains("no common type"))
+      "a = d", "left_outer")).contains("STRING"))
   }
 
   test("SQL-text surface: implicit key coercion (INT = BIGINT) and exact dotted names") {
@@ -405,6 +406,24 @@ class NonWindowJoinSpec extends SparkSuite {
     val rDot = Seq((1, "y")).toDF("d", "r")
     NonWindowJoinSql.unboundedOuterJoinOn(lDot, rDot,
       "`a.b` = d", "left_outer")
+    // INT = DECIMAL coerces through decimal widening (the tightest-
+    // common-type lattice alone would reject it)
+    import org.apache.spark.sql.functions.col
+    val lInt = Seq((1, "x")).toDF("a", "l")
+    val rDec = Seq((1L, "y")).toDF("d", "r")
+      .withColumn("d", col("d").cast("decimal(10,0)"))
+    NonWindowJoinSql.unboundedOuterJoinOn(lInt, rDec,
+      "a = d", "left_outer")
+    // struct-field access in the RESIDUAL (multi-part reference on the
+    // head column) — legal, matching the Column surface's residual
+    // language
+    val lStruct = Seq((1, 2, "x")).toDF("a", "x0", "l")
+      .withColumn("s", org.apache.spark.sql.functions.struct(
+        col("x0").as("x")))
+      .select("a", "s", "l")
+    val rPlain = Seq((1, "y")).toDF("d", "r")
+    NonWindowJoinSql.unboundedOuterJoinOn(lStruct, rPlain,
+      "a = d AND s.x = 2", "left_outer")
   }
 
   test("RetractBridge expands update batches into the reference's retract stream") {
