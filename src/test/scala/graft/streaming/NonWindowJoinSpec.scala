@@ -990,6 +990,72 @@ class NonWindowJoinSpec extends SparkSuite {
     assert(feed(2, true, None, Some("bbb")) === exp((true, "", "bbb")))
   }
 
+  test("randomized differential: SQL-text route materializes Spark's batch join of the same ON text") {
+    // the text route's classification (key pairs vs residual) is
+    // checked against Spark SQL's OWN semantics for the identical
+    // condition text: the materialized retract multiset after all
+    // input is delivered (across a two-batch split, so state genuinely
+    // carries) must equal `lDf.join(rDf, expr(onText), joinType)` —
+    // including null join keys (never match, outer-preserved) and
+    // local predicates inside the outer-join condition (never pushed
+    // as filters)
+    import org.apache.spark.sql.functions.{col, lit, expr => sexpr, when => swhen}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(1511)
+    val condTexts = Seq("a = d", "a = d AND b = h", "a = d AND b <= h",
+      "a = d AND b = 2", "a = d AND c < g")
+    val combos = rnd.shuffle(for {
+      jt <- Seq("inner", "left_outer", "right_outer", "full_outer")
+      ct <- condTexts
+    } yield (jt, ct)).take(10)
+    def fmt(row: org.apache.spark.sql.Row): String =
+      (0 until row.length).map(i =>
+        if (row.isNullAt(i)) "·" else row.get(i).toString).mkString("|")
+    combos.foreach { case (joinType, onText) =>
+      // sentinel -1 becomes a SQL-null key on both sides
+      def rows(n: Int): Seq[(Int, Long, String)] = Seq.fill(n)((
+        rnd.nextInt(5) - 1, rnd.nextLong(4), "s" + rnd.nextInt(3)))
+      val lRows = rows(12 + rnd.nextInt(8))
+      val rRows = rows(12 + rnd.nextInt(8))
+      def nullify(df: org.apache.spark.sql.DataFrame, k: String) =
+        df.withColumn(k, swhen(col(k) === -1, lit(null)).otherwise(col(k)))
+      val lBatch = nullify(lRows.toDF("a", "b", "c"), "a")
+      val rBatch = nullify(rRows.toDF("d", "h", "g"), "d")
+      val expected = lBatch.join(rBatch, sexpr(onText), joinType)
+        .collect().map(fmt).sorted.toSeq
+      val in1 = MemoryStream[(Int, Long, String)]
+      val in2 = MemoryStream[(Int, Long, String)]
+      val got = scala.collection.mutable.Map.empty[String, Int]
+      val joined = NonWindowJoinSql.unboundedOuterJoinOn(
+        nullify(in1.toDS().toDF("a", "b", "c"), "a"),
+        nullify(in2.toDS().toDF("d", "h", "g"), "d"), onText, joinType)
+      val q = joined.writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach { row =>
+            val key = fmt(org.apache.spark.sql.Row.fromSeq(
+              row.toSeq.drop(1))) // drop the change flag
+            got.synchronized {
+              val n = got.getOrElse(key, 0) +
+                (if (row.getBoolean(0)) 1 else -1)
+              assert(n >= 0, s"negative multiplicity for $key")
+              if (n == 0) got.remove(key) else got.update(key, n)
+            }
+          }
+        }.start()
+      try {
+        in1.addData(lRows.take(lRows.size / 2): _*)
+        in2.addData(rRows.take(rRows.size / 2): _*)
+        q.processAllAvailable()
+        in1.addData(lRows.drop(lRows.size / 2): _*)
+        in2.addData(rRows.drop(rRows.size / 2): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val gotRows = got.toSeq.flatMap { case (k, n) => Seq.fill(n)(k) }
+        .sorted
+      assert(gotRows == expected, s"$joinType ON $onText")
+    }
+  }
+
   test("randomized differential: materialized retract stream equals brute-force join " +
       "(join type x cond x duplicates x retractions)") {
     // The strongest equivalence available: for ANY interleaving of
