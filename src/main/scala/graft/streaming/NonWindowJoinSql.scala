@@ -132,12 +132,14 @@ object NonWindowJoinSql {
     * conjunct whose two bare column references resolve to OPPOSITE
     * inputs becomes an equi-key pair; every other conjunct (non-equi
     * comparisons, same-side equalities, local predicates) joins the
-    * residual. A cross-side pair whose column types differ gets the
-    * planner's implicit cast to the wider common type (numeric
-    * precedence + decimal widening); a pair mixing STRING with a
-    * non-STRING type is a named rejection (string promotion would key
-    * on textual representations — cast the input explicitly), as is a
-    * pair with no common type. At least one cross-side equi conjunct
+    * residual. A cross-side pair whose column types differ gets an
+    * implicit cast to the wider common type (numeric precedence +
+    * decimal widening, recursing through nested types); any promotion
+    * TO STRING — top-level or nested — is a named rejection (it would
+    * key on textual representations — cast the input explicitly), as
+    * is a pair outside the widening lattice (e.g. DATE = TIMESTAMP,
+    * which Spark's analyzer coerces via separate datetime rules not
+    * mirrored here). At least one cross-side equi conjunct
     * is required (the keys drive the stateful partitioning, the
     * reference's keyBy contract). Key references must be bare column
     * names; multi-part references (`s.x`) are struct-field access on
@@ -192,30 +194,46 @@ object NonWindowJoinSql {
       case And(a, b) => conjuncts(a) ++ conjuncts(b)
       case other => Seq(other)
     }
-    // a cross-side pair with differing column types gets the planner's
-    // implicit cast to the wider common type (numeric precedence +
-    // decimal widening — what Spark's own join analysis inserts).
-    // Mixed STRING/non-STRING pairs are a NAMED rejection instead:
-    // string promotion would key on textual representations ("01" vs
-    // "1" never joining), a cross-engine hazard the caller must
-    // resolve with an explicit cast on the input
+    // a cross-side pair with differing column types gets an implicit
+    // cast to the wider common type (numeric precedence + decimal
+    // widening, recursing through struct/array/map keys). Any
+    // promotion TO STRING — top-level or nested — is a NAMED rejection
+    // instead: keying a non-string through its textual representation
+    // ("01" vs "1" never joining) is a cross-engine hazard the caller
+    // must resolve with an explicit cast. Pairs outside the widening
+    // lattice (e.g. DATE = TIMESTAMP, which Spark's own analysis
+    // coerces via separate datetime rules) are likewise named
+    // rejections, not silent differences — cast the input explicitly.
     def keyPair(la: String, rb: String): (Column, Column) = {
+      import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType}
+      // did widening turn a non-string position into STRING?
+      def promoted(in: DataType, w: DataType): Boolean = (in, w) match {
+        case (i, StringType) => i != StringType
+        case (i: StructType, ws: StructType) =>
+          i.fields.zip(ws.fields).exists { case (a, b) =>
+            promoted(a.dataType, b.dataType) }
+        case (i: ArrayType, wa: ArrayType) =>
+          promoted(i.elementType, wa.elementType)
+        case (i: MapType, wm: MapType) =>
+          promoted(i.keyType, wm.keyType) ||
+            promoted(i.valueType, wm.valueType)
+        case _ => false
+      }
       val lt = left.schema(la).dataType
       val rt = right.schema(rb).dataType
-      import org.apache.spark.sql.types.StringType
       if (lt == rt) (lCol(la), lCol(rb))
-      else if (lt == StringType || rt == StringType)
-        throw new IllegalArgumentException(
-          s"equi-key pair `$la` = `$rb` mixes STRING and ${
-            (if (lt == StringType) rt else lt).sql} — string promotion " +
-            "would join on textual representations; cast the input " +
-            "column explicitly")
       else org.apache.spark.sql.catalyst.analysis.TypeCoercion
         .findWiderTypeForTwo(lt, rt) match {
+        case Some(t) if promoted(lt, t) || promoted(rt, t) =>
+          throw new IllegalArgumentException(
+            s"equi-key pair `$la` = `$rb` (${lt.sql} vs ${rt.sql}) " +
+              "would coerce through STRING promotion and join on " +
+              "textual representations; cast the input column " +
+              "explicitly")
         case Some(t) => (lCol(la).cast(t), lCol(rb).cast(t))
         case None => throw new IllegalArgumentException(
           s"equi-key pair `$la` = `$rb` has no common type to coerce " +
-            s"to: ${lt.sql} vs ${rt.sql}")
+            s"to: ${lt.sql} vs ${rt.sql} — cast the input explicitly")
       }
     }
     val (pairs, residuals) = conjuncts(parsed).partitionMap {

@@ -375,6 +375,14 @@ class NonWindowJoinSpec extends SparkSuite {
     val rStr = Seq(("1", "y")).toDF("d", "g")
     assert(named(NonWindowJoinSql.unboundedOuterJoinOn(lDf, rStr,
       "a = d", "left_outer")).contains("STRING"))
+    // ...including promotion of a NESTED field: struct<x:STRING> vs
+    // struct<x:INT> widens to struct<x:STRING> — same hazard, same
+    // named rejection (the top-level types are both STRUCT)
+    import org.apache.spark.sql.functions.{col, struct}
+    val lNest = lDf.withColumn("sl", struct(col("c").as("x")))
+    val rNest = rDf.withColumn("sr", struct(col("d").as("x")))
+    assert(named(NonWindowJoinSql.unboundedOuterJoinOn(lNest, rNest,
+      "sl = sr", "left_outer")).contains("STRING"))
   }
 
   test("SQL-text surface: implicit key coercion (INT = BIGINT) and exact dotted names") {
@@ -1004,10 +1012,12 @@ class NonWindowJoinSpec extends SparkSuite {
     val rnd = new scala.util.Random(1511)
     val condTexts = Seq("a = d", "a = d AND b = h", "a = d AND b <= h",
       "a = d AND b = 2", "a = d AND c < g")
-    val combos = rnd.shuffle(for {
+    // the FULL 20-combo cross product — a fixed random subset would
+    // deterministically skip the same combos every run
+    val combos = for {
       jt <- Seq("inner", "left_outer", "right_outer", "full_outer")
       ct <- condTexts
-    } yield (jt, ct)).take(10)
+    } yield (jt, ct)
     def fmt(row: org.apache.spark.sql.Row): String =
       (0 until row.length).map(i =>
         if (row.isNullAt(i)) "·" else row.get(i).toString).mkString("|")
