@@ -295,6 +295,68 @@ object CurationQueries extends QueryModule {
       removeSpans(tk, banned)
     },
 
+    // Cross-source contamination matrix (round 15): pairwise shared-
+    // trigram Jaccard between sources — the audit run before mixing
+    // corpora (how much of source B is already inside source A?).
+    // Scale shape: ONE distinct pass over (source, gram), then the
+    // per-gram source SET (bounded by #sources, not corpus size)
+    // expands to its ordered pairs and a tiny (src_a, src_b)
+    // aggregation; per-source totals broadcast into the final join.
+    // No corpus-vs-corpus join, no per-pair rescan of the grams — the
+    // work is one gram-key shuffle regardless of how many sources
+    // are compared (the oracle's equi-self-join form is equivalent
+    // here because per-gram cardinality is bounded by #sources).
+    // Jaccard is ONE division of exact BIGINTs per pair — identical
+    // doubles in both engines.
+    q("qp27_source_overlap",
+      """WITH tk AS (SELECT source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |grams AS (SELECT source,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2), i ->
+        |      ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1]
+        |        || ' ' || ws[CAST(i AS INTEGER) + 2])) AS g
+        |  FROM tk WHERE len(ws) >= 3),
+        |gs AS (SELECT DISTINCT source, g FROM grams),
+        |tot AS (SELECT source, COUNT(*) AS n FROM gs GROUP BY source),
+        |sh AS (SELECT x.source AS src_a, y.source AS src_b,
+        |    COUNT(*) AS shared_grams
+        |  FROM gs x JOIN gs y ON x.g = y.g AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared_grams,
+        |  CAST(shared_grams AS DOUBLE) / (ta.n + tb.n - shared_grams)
+        |    AS jaccard
+        |FROM sh
+        |JOIN tot ta ON sh.src_a = ta.source
+        |JOIN tot tb ON sh.src_b = tb.source
+        |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      val gs = t(s, d, "documents")
+        .selectExpr("source",
+          "filter(split(text, ' '), x -> x <> '') AS ws")
+        .where("size(ws) >= 3")
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(ws) - 3), i -> " +
+            "concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))")).as("g"))
+        .distinct()
+      val tot = gs.groupBy("source").agg(count(lit(1)).as("n"))
+      val sh = gs.groupBy("g")
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .select(explode(expr(
+          "flatten(transform(ss, (a, i) -> " +
+            "transform(slice(ss, i + 2, size(ss) - i - 1), b -> " +
+            "named_struct('src_a', a, 'src_b', b))))")).as("p"))
+        .select(col("p.src_a"), col("p.src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared_grams"))
+      sh.join(broadcast(tot.withColumnRenamed("source", "src_a")
+          .withColumnRenamed("n", "na")), "src_a")
+        .join(broadcast(tot.withColumnRenamed("source", "src_b")
+          .withColumnRenamed("n", "nb")), "src_b")
+        .select(col("src_a"), col("src_b"), col("shared_grams"),
+          (col("shared_grams").cast("double") /
+            (col("na") + col("nb") - col("shared_grams"))).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+
     // Deterministic stratified sampling — the data-mixing primitive: each
     // language keeps a different fraction (downsample the dominant 'en' to
     // 5%, keep half of everything else), decided per row by an md5-prefix

@@ -201,6 +201,15 @@ object PlanAudit {
       qp26.contains("Window") &&
         !qp26.contains("CartesianProduct") &&
         !qp26.contains("BroadcastNestedLoopJoin"))
+    // source-overlap matrix: pairs come from the per-gram source SET
+    // (collect_set, bounded by #sources) — never a corpus-vs-corpus
+    // join; the per-source totals broadcast into the final join
+    val qp27 = plan("qp27_source_overlap")
+    check("qp27 per-gram collect_set + broadcast totals; no cartesian/BNLJ",
+      qp27.contains("collect_set") &&
+        qp27.contains("BroadcastHashJoin") &&
+        !qp27.contains("CartesianProduct") &&
+        !qp27.contains("BroadcastNestedLoopJoin"))
     // Gram-identity diversity: one partial-aggregated pass, the only
     // join is over the per-label reduced tables
     val qe10 = plan("qe10_sample_diversity")

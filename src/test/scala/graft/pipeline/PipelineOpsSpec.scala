@@ -99,6 +99,33 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("qp27 source-overlap matrix equals a driver-side set recompute") {
+    // independent ground truth: build each source's distinct trigram
+    // SET in plain Scala, intersect pairwise, and compare counts and
+    // the single-division jaccard exactly
+    val bySource = Engine.table(spark, sf, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues { docs =>
+        docs.flatMap { case (_, text) =>
+          val ws = text.split(" ").filter(_.nonEmpty)
+          if (ws.length < 3) Seq.empty
+          else (0 to ws.length - 3).map(i =>
+            s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
+        }.toSet
+      }.toMap
+    val sources = bySource.keys.toSeq.sorted
+    val expected = for {
+      i <- sources.indices; j <- (i + 1) until sources.size
+      a = sources(i); b = sources(j)
+      shared = (bySource(a) & bySource(b)).size if shared > 0
+    } yield (a, b, shared.toLong, shared.toDouble /
+      (bySource(a).size + bySource(b).size - shared))
+    val got = run("qp27_source_overlap")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty) // the fixture's sources genuinely overlap
+  }
+
   test("qp13 water-filling: budget exhausted, caps respected, one knee") {
     val rows = run("qp13_token_budget")
       .as[(String, Long, Double, Double)].collect()
