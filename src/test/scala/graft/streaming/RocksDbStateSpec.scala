@@ -60,6 +60,54 @@ class RocksDbStateSpec extends SparkSuite {
     }
   }
 
+  test("Column-surface join envelope state runs green under RocksDBStateStoreProvider") {
+    // the other kryo-carrying state shape: NonWindowJoinSql's
+    // JoinStateEnvelope (version, schema digest, blob) rows must cross
+    // micro-batch boundaries through RocksDB exactly like the CEP
+    // ArrivalState does — a buffered left null-pads in batch 1 and
+    // retracts/pairs when its right arrives in batch 2
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val before = spark.conf.getOption(ProviderConf)
+    spark.conf.set(ProviderConf, Engine.RocksDbProvider)
+    try {
+      val in1 = MemoryStream[(Int, String)]
+      val in2 = MemoryStream[(Int, String)]
+      val got = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(Boolean, String, String)]()
+      val joined = NonWindowJoinSql.unboundedOuterJoin(
+        in1.toDS().toDF("a", "l"), in2.toDS().toDF("d", "r"),
+        Seq(col("a")), Seq(col("d")), "left_outer")
+      val q = joined.writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach { row =>
+            got.add((row.getAs[Boolean]("change"),
+              Option(row.getAs[String]("l")).getOrElse("null"),
+              Option(row.getAs[String]("r")).getOrElse("null"))); ()
+          }
+        }.start()
+      try {
+        in1.addData((7, "l1"))
+        q.processAllAvailable()
+        // asScala via the class's own JSetOps (KeySetView is a j.u.Set)
+        assert(got.asScala.toSet === Set((true, "l1", "null")))
+        in2.addData((7, "r1"))
+        q.processAllAvailable()
+        assert(got.asScala.toSet === Set((true, "l1", "null"),
+          (false, "l1", "null"), (true, "l1", "r1")))
+        val metrics = q.lastProgress.stateOperators.apply(0).customMetrics
+        assert(metrics.keySet().asScala.exists(_.startsWith("rocksdb")),
+          s"no rocksdb metrics in ${metrics.keySet()}")
+      } finally q.stop()
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(ProviderConf, v)
+        case None => spark.conf.unset(ProviderConf)
+      }
+    }
+  }
+
   private implicit class JSetOps[T](s: java.util.Set[T]) {
     def asScala: Iterable[T] = {
       import scala.jdk.CollectionConverters._
