@@ -43,21 +43,48 @@ object AsofOps {
     * NULL, and so does this.)
     */
   def asofJoin(probe: DataFrame, build: DataFrame, key: String, ts: String,
-      payload: Seq[String], leftJoin: Boolean = false): DataFrame = {
+      payload: Seq[String], leftJoin: Boolean = false): DataFrame =
+    asofCore(probe, build, key, ts, payload, leftJoin, forward = false)
+
+  /** The FORWARD direction (pandas merge_asof direction='forward'): for
+    * every probe row, the payload of the *earliest* build row with
+    * `build.ts >= probe.ts` (inclusive) — "the next version at or after
+    * this instant", the shape label-attribution and next-event feature
+    * pipelines need. Same one-shuffle union+window plan mirrored: build
+    * rows sort AFTER probe rows at equal timestamps (so an exactly-
+    * simultaneous build row matches) and the running aggregate is a
+    * `first(...)` over the (currentRow, unboundedFollowing) frame.
+    * Output schema and null/determinism contracts are [[asofJoin]]'s. */
+  def asofJoinForward(probe: DataFrame, build: DataFrame, key: String,
+      ts: String, payload: Seq[String],
+      leftJoin: Boolean = false): DataFrame =
+    asofCore(probe, build, key, ts, payload, leftJoin, forward = true)
+
+  private def asofCore(probe: DataFrame, build: DataFrame, key: String,
+      ts: String, payload: Seq[String], leftJoin: Boolean,
+      forward: Boolean): DataFrame = {
     val probeRest = probe.columns.toSeq.filterNot(c => c == key || c == ts)
+    // tags order the build row onto the probe row's matching side of an
+    // equal timestamp: backward = build first (0 < 1, frame reaches
+    // back), forward = build last (1 > 0, frame reaches ahead)
+    val (bTag, pTag) = if (forward) (1, 0) else (0, 1)
     val bSide = build.select(
-      (col(key) +: col(ts).as("_ts") +: lit(0).as("_tag") +:
+      (col(key) +: col(ts).as("_ts") +: lit(bTag).as("_tag") +:
         probeRest.map(c => lit(null).cast(probe.schema(c).dataType).as(c))) :+
         struct(col(ts).as("__asof_ts") +: payload.map(col): _*).as("_b"): _*)
     val pSide = probe.select(
-      (col(key) +: col(ts).as("_ts") +: lit(1).as("_tag") +:
+      (col(key) +: col(ts).as("_ts") +: lit(pTag).as("_tag") +:
         probeRest.map(col)) :+
         lit(null).cast(bSide.schema("_b").dataType).as("_b"): _*)
-    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Window.partitionBy(key).orderBy(col("_ts"), col("_tag"))
+    val matchCol =
+      if (forward) first(col("_b"), ignoreNulls = true)
+        .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else last(col("_b"), ignoreNulls = true)
+        .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val matched = bSide.unionByName(pSide)
-      .withColumn("_match", last(col("_b"), ignoreNulls = true).over(w))
-      .where(col("_tag") === 1)
+      .withColumn("_match", matchCol)
+      .where(col("_tag") === pTag)
     val joined = if (leftJoin) matched else matched.where(col("_match").isNotNull)
     joined.select(
       (col(key) +: col("_ts").as(ts) +: probeRest.map(col)) ++:

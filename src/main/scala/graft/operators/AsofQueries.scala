@@ -35,6 +35,30 @@ object AsofQueries extends QueryModule {
         .orderBy(col("event_id"))
     },
 
+    // FORWARD as-of (round 15): each purchase joined to the user's
+    // EARLIEST view at-or-after the purchase instant (pandas
+    // merge_asof direction='forward'; DuckDB expresses it natively
+    // with the inequality flipped — an independent oracle again).
+    // Same one-shuffle union+window plan, frame mirrored.
+    q("qj6_asof_forward",
+      """WITH v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  v.ts AS asof_ts, v.value AS asof_value
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsofOps.asofJoinForward(purchases, views, "user_id", "ts",
+          Seq("value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts"), col("asof_value"))
+        .orderBy(col("event_id"))
+    },
+
     // Views within the 7 days before each purchase (inclusive bounds),
     // counted by a single RANGE-frame window pass — the batch twin of the
     // streaming interval join, without the per-key quadratic of a

@@ -32,6 +32,34 @@ class AsofSpec extends SparkSuite {
     assert(out === Seq((100L, 10.0), (101L, 12.0)))
   }
 
+  test("asofJoinForward picks earliest build at-or-after probe ts, inner drops unmatched") {
+    // 100 @11:00 -> next build 12:00 (12.0); 101 @12:00 -> inclusive,
+    // 12.0; 102 @10:30 on key 2 -> 11:00 (21.0); 103 on key 3 -> drops
+    val out = AsofOps.asofJoinForward(probe, build, "user_id", "ts",
+        Seq("value"))
+      .orderBy("event_id")
+      .select("event_id", "asof_value").as[(Long, Double)].collect()
+    assert(out === Seq((100L, 12.0), (101L, 12.0), (102L, 21.0)))
+  }
+
+  test("asofJoinForward left keeps unmatched probes; probe AFTER every build drops in inner") {
+    // a probe after the last build on its key has no forward match —
+    // the mirror of backward's before-any-build case
+    val late = Seq((104L, 1L, ts("2024-01-01 13:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    assert(AsofOps.asofJoinForward(late, build, "user_id", "ts",
+      Seq("value")).count() === 0L)
+    val row = AsofOps.asofJoinForward(late, build, "user_id", "ts",
+      Seq("value"), leftJoin = true).collect().head
+    assert(row.getAs[Long]("event_id") === 104L)
+    assert(row.isNullAt(row.fieldIndex("asof_value")))
+    // match timestamp carries the build row's own ts
+    val m = AsofOps.asofJoinForward(probe, build, "user_id", "ts",
+      Seq("value")).where($"event_id" === 100L).collect().head
+    assert(m.getAs[java.sql.Timestamp]("asof_ts") ===
+      ts("2024-01-01 12:00:00"))
+  }
+
   test("asofJoin left keeps unmatched probes with null payload") {
     val out = AsofOps.asofJoin(probe, build, "user_id", "ts", Seq("value"),
         leftJoin = true)
