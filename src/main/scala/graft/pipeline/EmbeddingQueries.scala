@@ -534,6 +534,102 @@ object EmbeddingQueries extends QueryModule {
         .orderBy("qid")
     },
 
+    // INT8 QUANTIZED RETRIEVAL RECALL (round 15) — the embedding-
+    // compression audit: symmetric tensor-wise int8 quantization
+    // (q = floor(x * 127/absmax), the standard public recipe) shrinks
+    // a 100 TB float corpus 4x and makes the dot product an INTEGER
+    // sum (SIMD-friendly, exactly reproducible — no float accumulation
+    // at query time); this query measures what that costs, as top-5
+    // recall of the quantized-dot ranking against the exact float-dot
+    // ranking per probe. Determinism: absmax is an exact float max,
+    // the quantized values are floors of identically-ordered double
+    // products, quantized dots are exact BIGINT sums, and the exact
+    // side is the sequential double fold (graft_dot) floored at 1e-6 —
+    // every compared value is bit-identical cross-engine. Scale shape:
+    // the scale scalar and probe vectors broadcast; the scored scan is
+    // the brute-force leg (the qe2 posture — the banded/IVF variants
+    // qe3/qe7 are the candidate-generation path at scale).
+    q("qe12_int8_recall", {
+      val qdot = (a: String, b: String) =>
+        s"""list_reduce(list_transform(generate_series(1, len($a)), i ->
+           |  $a[i] * $b[i]), (x, y) -> x + y)""".stripMargin
+      val fdot = (a: String, b: String) =>
+        s"""list_reduce(list_transform(generate_series(1, len($a)), i ->
+           |  CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+           |  (x, y) -> x + y)""".stripMargin
+      s"""WITH sc AS (SELECT MAX(list_max(list_transform(embedding,
+         |    x -> abs(x)))) AS scale FROM embeddings),
+         |qv AS (SELECT vec_id, list_transform(embedding, x ->
+         |    CAST(floor(CAST(x AS DOUBLE)
+         |      * (127.0 / CAST(scale AS DOUBLE))) AS BIGINT)) AS qvec
+         |  FROM embeddings, sc),
+         |qs AS (SELECT vec_id AS qid, qvec AS qq FROM qv
+         |  WHERE vec_id IN (42, 123, 321)),
+         |qd AS (SELECT q.qid, v.vec_id, ${qdot("q.qq", "v.qvec")} AS qdot
+         |  FROM qv v CROSS JOIN qs q WHERE v.vec_id <> q.qid),
+         |qtop AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY qdot DESC, vec_id) AS rk FROM qd) z
+         |  WHERE rk <= 5),
+         |rq AS (SELECT vec_id AS qid, embedding AS rqv FROM embeddings
+         |  WHERE vec_id IN (42, 123, 321)),
+         |ed AS (SELECT q.qid, e.vec_id,
+         |    CAST(floor(${fdot("q.rqv", "e.embedding")}
+         |      * 1000000.0) AS BIGINT) AS c6
+         |  FROM embeddings e CROSS JOIN rq q WHERE e.vec_id <> q.qid),
+         |ex AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY c6 DESC, vec_id) AS rk FROM ed) z
+         |  WHERE rk <= 5),
+         |h AS (SELECT ex.qid, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM ex JOIN qtop ON qtop.qid = ex.qid
+         |    AND qtop.vec_id = ex.vec_id
+         |  GROUP BY ex.qid)
+         |SELECT r.qid, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.n, 0) * 20 AS BIGINT) AS recall_pct
+         |FROM rq r LEFT JOIN h ON h.qid = r.qid
+         |ORDER BY r.qid""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val sc = emb.agg(
+        max(expr("array_max(transform(embedding, x -> abs(x)))"))
+          .as("scale"))
+      val qv = emb.crossJoin(broadcast(sc)).select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * " +
+          "(CAST(127.0 AS DOUBLE) / CAST(scale AS DOUBLE))) AS BIGINT))")
+        .as("qvec"))
+      val qs = qv.where(col("vec_id").isin(42, 123, 321))
+        .select(col("vec_id").as("qid"), col("qvec").as("qq"))
+      val qtop = qv.crossJoin(broadcast(qs))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), expr(
+          "aggregate(zip_with(qq, qvec, (x, y) -> x * y), 0L, " +
+            "(acc, v) -> acc + v)").as("qdot"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("qdot").desc, col("vec_id"))))
+        .where(col("rk") <= 5).select(col("qid"), col("vec_id"))
+      val rq = emb.where(col("vec_id").isin(42, 123, 321))
+        .select(col("vec_id").as("qid"), col("embedding").as("rqv"))
+      val ex = emb.crossJoin(broadcast(rq))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          floor(expr("graft_dot(rqv, embedding)") * 1000000.0)
+            .cast("long").as("c6"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("c6").desc, col("vec_id"))))
+        .where(col("rk") <= 5).select(col("qid"), col("vec_id"))
+      val hits = ex.join(qtop, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n"))
+      rq.select(col("qid")).join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_hits"))
+        .withColumn("recall_pct", (col("n_hits") * 20).cast("long"))
+        .orderBy("qid")
+    },
+
     // EMBEDDING-BASED DECONTAMINATION (round 10) — the semantic twin of
     // qp9's n-gram membership test: flag a training vector when its max
     // cosine against the (small) benchmark slice clears a threshold —

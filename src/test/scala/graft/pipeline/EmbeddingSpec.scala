@@ -104,6 +104,34 @@ class EmbeddingSpec extends SparkSuite {
       "planting produced too few strong near-dups to be a meaningful test")
   }
 
+  test("qe12 int8 recall equals a driver-side quantize-and-rank recompute") {
+    // independent ground truth in plain Scala: symmetric int8
+    // quantization at the corpus absmax, integer-dot top-5 vs exact
+    // double-dot top-5 (both tie-broken on vec_id), per-query overlap
+    val scale = vecs.values.flatten.map(x => math.abs(x.toFloat)).max
+    val qmult = 127.0 / scale.toDouble
+    val quant: Map[Long, Array[Long]] = vecs.view.mapValues(_.map(x =>
+      math.floor(x.toDouble * qmult).toLong)).toMap
+    def top5(q: Long, score: Long => Double): Seq[Long] =
+      vecs.keys.filter(_ != q).toSeq
+        .map(id => (id, score(id)))
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    val expected = Seq(42L, 123L, 321L).map { q =>
+      val qi = top5(q, id =>
+        quant(q).zip(quant(id)).map { case (a, b) => a * b }.sum.toDouble)
+      val exF = top5(q, id => math.floor(
+        vecs(q).zip(vecs(id)).foldLeft(0.0) { case (acc, (a, b)) =>
+          acc + a.toDouble * b.toDouble } * 1e6))
+      (q, exF.toSet.intersect(qi.toSet).size.toLong)
+    }
+    val got = run("qe12_int8_recall")
+      .select($"qid", $"n_hits").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == expected.sorted)
+    // the quantization genuinely perturbs at least one ranking on the
+    // fixture (recall below 100 somewhere) while staying high overall
+    assert(got.map(_._2).sum < 15 && got.map(_._2).sum >= 10)
+  }
+
   test("qe3 LSH buckets: same-bucket pairs are more similar than average") {
     val buckets = run("qe3_lsh_buckets").select($"vec_id", $"bucket")
       .as[(Long, Long)].collect()
