@@ -52,8 +52,14 @@ object AsofOps {
     * this instant", the shape label-attribution and next-event feature
     * pipelines need. Same one-shuffle union+window plan mirrored: build
     * rows sort AFTER probe rows at equal timestamps (so an exactly-
-    * simultaneous build row matches) and the running aggregate is a
-    * `first(...)` over the (currentRow, unboundedFollowing) frame.
+    * simultaneous build row matches) and the partition is sorted
+    * DESCENDING so the match stays a running `last(...)` over
+    * (unboundedPreceding, currentRow). A (currentRow,
+    * unboundedFollowing) frame would express the same result, but Spark
+    * evaluates that frame shape by re-scanning the remainder of the
+    * partition for every output row — O(n²) on a hot key — while the
+    * running frame is incremental O(n); flipping the sort keeps the
+    * forward direction on the same cost curve as backward.
     * Output schema and null/determinism contracts are [[asofJoin]]'s. */
   def asofJoinForward(probe: DataFrame, build: DataFrame, key: String,
       ts: String, payload: Seq[String],
@@ -76,12 +82,18 @@ object AsofOps {
       (col(key) +: col(ts).as("_ts") +: lit(pTag).as("_tag") +:
         probeRest.map(col)) :+
         lit(null).cast(bSide.schema("_b").dataType).as("_b"): _*)
-    val base = Window.partitionBy(key).orderBy(col("_ts"), col("_tag"))
-    val matchCol =
-      if (forward) first(col("_b"), ignoreNulls = true)
-        .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
-      else last(col("_b"), ignoreNulls = true)
-        .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    // both directions run the O(n) incremental (unboundedPreceding,
+    // currentRow) frame; forward flips the sort instead of the frame (a
+    // following-unbounded frame is O(n²) per key in Spark — see the
+    // asofJoinForward scaladoc). Descending (_ts, _tag) puts the builds
+    // at-or-after a probe BEFORE it, build first at equal ts (tag 1 > 0),
+    // so the running last() is the earliest at-or-after build.
+    val base =
+      if (forward)
+        Window.partitionBy(key).orderBy(col("_ts").desc, col("_tag").desc)
+      else Window.partitionBy(key).orderBy(col("_ts"), col("_tag"))
+    val matchCol = last(col("_b"), ignoreNulls = true)
+      .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val matched = bSide.unionByName(pSide)
       .withColumn("_match", matchCol)
       .where(col("_tag") === pTag)

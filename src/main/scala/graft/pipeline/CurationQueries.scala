@@ -15,18 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries extends QueryModule {
 
+  /** The word tokenizer and 0-based trigram builder shared by EVERY
+    * gram-space operator (qp24 decontamination, qp26 substring dedup,
+    * qp27 source overlap) — single definitions so a tokenization tweak
+    * can never silently diverge one operator's gram space from the
+    * others'. `TrigramsExpr` expects a `ws` word-array column. */
+  private val WordsExpr = "filter(split(text, ' '), x -> x <> '')"
+  private val TrigramsExpr =
+    "transform(sequence(0, size(ws) - 3), i -> " +
+      "concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))"
+
   /** Shared tokenize + gram-position machinery for the span operators
     * (qp24 decontamination, qp26 substring dedup): `tk` = (doc_id, ws)
     * word arrays, `gp` = (doc_id, p, g) 0-based trigram positions. */
   private def tokensAndGrams(docs: org.apache.spark.sql.DataFrame):
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val tk = docs
-      .selectExpr("doc_id", "filter(split(text, ' '), x -> x <> '') AS ws")
+    val tk = docs.selectExpr("doc_id", s"$WordsExpr AS ws")
     val gp = tk.where("size(ws) >= 3")
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, size(ws) - 3), i -> " +
-          "concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))"))
-        .as(Seq("p", "g")))
+      .select(col("doc_id"), posexplode(expr(TrigramsExpr)).as(Seq("p", "g")))
     (tk, gp)
   }
 
@@ -140,11 +146,9 @@ object CurationQueries extends QueryModule {
         |FROM hits
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val grams = t(s, d, "documents")
-        .selectExpr("doc_id", "filter(split(text, ' '), x -> x <> '') AS ws")
+        .selectExpr("doc_id", s"$WordsExpr AS ws")
         .where("size(ws) >= 3")
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ws) - 3), i -> " +
-            "concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))")).as("g"))
+        .select(col("doc_id"), explode(expr(TrigramsExpr)).as("g"))
       val bench = grams.where(col("doc_id") % 97 === 0)
         .select(col("g")).distinct()
       grams.where(col("doc_id") % 97 =!= 0)
@@ -331,12 +335,9 @@ object CurationQueries extends QueryModule {
         |JOIN tot tb ON sh.src_b = tb.source
         |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
       val gs = t(s, d, "documents")
-        .selectExpr("source",
-          "filter(split(text, ' '), x -> x <> '') AS ws")
+        .selectExpr("source", s"$WordsExpr AS ws")
         .where("size(ws) >= 3")
-        .select(col("source"), explode(expr(
-          "transform(sequence(0, size(ws) - 3), i -> " +
-            "concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))")).as("g"))
+        .select(col("source"), explode(expr(TrigramsExpr)).as("g"))
         .distinct()
       val tot = gs.groupBy("source").agg(count(lit(1)).as("n"))
       val sh = gs.groupBy("g")

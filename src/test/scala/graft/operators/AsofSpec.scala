@@ -34,12 +34,17 @@ class AsofSpec extends SparkSuite {
 
   test("asofJoinForward picks earliest build at-or-after probe ts, inner drops unmatched") {
     // 100 @11:00 -> next build 12:00 (12.0); 101 @12:00 -> inclusive,
-    // 12.0; 102 @10:30 on key 2 -> 11:00 (21.0); 103 on key 3 -> drops
-    val out = AsofOps.asofJoinForward(probe, build, "user_id", "ts",
-        Seq("value"))
+    // 12.0; 102 @10:30 on key 2 -> 11:00 (21.0); 103 on key 3 -> drops;
+    // 105 @09:00 on key 1 has TWO future builds (10:00 and 12:00) and
+    // must take the EARLIEST (10.0) — the case that separates
+    // "earliest at-or-after" from "any/latest after"
+    val early = Seq((105L, 1L, ts("2024-01-01 09:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = AsofOps.asofJoinForward(probe.unionByName(early), build,
+        "user_id", "ts", Seq("value"))
       .orderBy("event_id")
       .select("event_id", "asof_value").as[(Long, Double)].collect()
-    assert(out === Seq((100L, 12.0), (101L, 12.0), (102L, 21.0)))
+    assert(out === Seq((100L, 12.0), (101L, 12.0), (102L, 21.0), (105L, 10.0)))
   }
 
   test("asofJoinForward left keeps unmatched probes; probe AFTER every build drops in inner") {

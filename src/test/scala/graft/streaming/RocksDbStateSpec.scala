@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.{Engine, SparkSuite}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Round-9 scale knob: the stateful streaming drivers must run unchanged
   * under Spark's RocksDB state store (Engine.session(rocksdbState=true) /
@@ -15,12 +16,30 @@ class RocksDbStateSpec extends SparkSuite {
 
   private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
 
+  /** Runs `body` with the session's state-store provider set to RocksDB,
+    * restoring (or unsetting) the previous value afterwards. */
+  private def withRocksDbProvider[A](body: => A): A = {
+    val before = spark.conf.getOption(ProviderConf)
+    spark.conf.set(ProviderConf, Engine.RocksDbProvider)
+    try body
+    finally before match {
+      case Some(v) => spark.conf.set(ProviderConf, v)
+      case None => spark.conf.unset(ProviderConf)
+    }
+  }
+
+  /** Proves the provider was actually RocksDB, not a silent fallback: the
+    * query's state-operator custom metrics are rocksdb-prefixed. */
+  private def assertRocksDbMetrics(q: StreamingQuery): Unit = {
+    val metrics = q.lastProgress.stateOperators.apply(0).customMetrics
+    assert(metrics.keySet().asScala.exists(_.startsWith("rocksdb")),
+      s"no rocksdb metrics in ${metrics.keySet()}")
+  }
+
   test("streaming CEP keyed state runs green under RocksDBStateStoreProvider") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val before = spark.conf.getOption(ProviderConf)
-    spark.conf.set(ProviderConf, Engine.RocksDbProvider)
-    try {
+    withRocksDbProvider {
       val input = MemoryStream[(Long, Long, String, Long)]
       val sdf = input.toDF().toDF("event_id", "ts", "event_type", "user_id")
       // the MATCH_RECOGNIZE surface: kryo-encoded GArrivalState-free flat
@@ -46,17 +65,8 @@ class RocksDbStateSpec extends SparkSuite {
         q.processAllAvailable()
         assert(spark.table("rocksdb_cep_out").as[(Long, Long, Long)]
           .collect().toSet === Set((1L, 1L, 2L), (2L, 3L, 4L)))
-        // prove the provider was actually RocksDB, not a silent fallback:
-        // its state-operator custom metrics are rocksdb-prefixed
-        val metrics = q.lastProgress.stateOperators.apply(0).customMetrics
-        assert(metrics.keySet().asScala.exists(_.startsWith("rocksdb")),
-          s"no rocksdb metrics in ${metrics.keySet()}")
+        assertRocksDbMetrics(q)
       } finally q.stop()
-    } finally {
-      before match {
-        case Some(v) => spark.conf.set(ProviderConf, v)
-        case None => spark.conf.unset(ProviderConf)
-      }
     }
   }
 
@@ -69,9 +79,7 @@ class RocksDbStateSpec extends SparkSuite {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
-    val before = spark.conf.getOption(ProviderConf)
-    spark.conf.set(ProviderConf, Engine.RocksDbProvider)
-    try {
+    withRocksDbProvider {
       val in1 = MemoryStream[(Int, String)]
       val in2 = MemoryStream[(Int, String)]
       val got = java.util.concurrent.ConcurrentHashMap
@@ -96,15 +104,8 @@ class RocksDbStateSpec extends SparkSuite {
         q.processAllAvailable()
         assert(got.asScala.toSet === Set((true, "l1", "null"),
           (false, "l1", "null"), (true, "l1", "r1")))
-        val metrics = q.lastProgress.stateOperators.apply(0).customMetrics
-        assert(metrics.keySet().asScala.exists(_.startsWith("rocksdb")),
-          s"no rocksdb metrics in ${metrics.keySet()}")
+        assertRocksDbMetrics(q)
       } finally q.stop()
-    } finally {
-      before match {
-        case Some(v) => spark.conf.set(ProviderConf, v)
-        case None => spark.conf.unset(ProviderConf)
-      }
     }
   }
 
