@@ -66,22 +66,50 @@ object AsofOps {
       leftJoin: Boolean = false): DataFrame =
     asofCore(probe, build, key, ts, payload, leftJoin, forward = true)
 
+  /** The NEAREST direction (pandas merge_asof direction='nearest'): for
+    * every probe row, the build row minimizing |build.ts - probe.ts| on
+    * the same key, either side; an exactly-equidistant before/after pair
+    * resolves to the EARLIER (backward) row — a documented tie rule, pure
+    * integer-micros comparison. Plan: the same single key shuffle, then
+    * TWO in-partition sort+running-frame passes (ascending backward,
+    * descending forward — both the O(n) incremental frame, see
+    * [[asofJoinForward]]) and a per-row distance pick; no join, no
+    * following-unbounded frame, so the hot-key cost stays O(n log n).
+    * Output schema and null/determinism contracts are [[asofJoin]]'s. */
+  def asofJoinNearest(probe: DataFrame, build: DataFrame, key: String,
+      ts: String, payload: Seq[String],
+      leftJoin: Boolean = false): DataFrame = {
+    val (bSide, pSide, probeRest) =
+      taggedSides(probe, build, key, ts, payload, bTag = 0, pTag = 1)
+    // build tag 0 sorts before probe tag 1 under BOTH orderings (the
+    // descending pass flips only _ts), so an equal-ts build lands in both
+    // running frames at distance 0 and the backward tie rule returns it
+    val wBack = Window.partitionBy(key).orderBy(col("_ts"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(key).orderBy(col("_ts").desc, col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dBack = unix_micros(col("_ts")) - unix_micros(col("_back.__asof_ts"))
+    val dFwd = unix_micros(col("_fwd.__asof_ts")) - unix_micros(col("_ts"))
+    val matched = bSide.unionByName(pSide)
+      .withColumn("_back", last(col("_b"), ignoreNulls = true).over(wBack))
+      .withColumn("_fwd", last(col("_b"), ignoreNulls = true).over(wFwd))
+      .where(col("_tag") === 1)
+      .withColumn("_match",
+        when(col("_back").isNotNull &&
+          (col("_fwd").isNull || dBack <= dFwd), col("_back"))
+          .otherwise(col("_fwd")))
+    projectMatch(matched, key, ts, probeRest, payload, leftJoin)
+  }
+
   private def asofCore(probe: DataFrame, build: DataFrame, key: String,
       ts: String, payload: Seq[String], leftJoin: Boolean,
       forward: Boolean): DataFrame = {
-    val probeRest = probe.columns.toSeq.filterNot(c => c == key || c == ts)
     // tags order the build row onto the probe row's matching side of an
-    // equal timestamp: backward = build first (0 < 1, frame reaches
-    // back), forward = build last (1 > 0, frame reaches ahead)
+    // equal timestamp: backward = build first ascending (0 < 1, frame
+    // reaches back), forward = build first DESCENDING (1 > 0)
     val (bTag, pTag) = if (forward) (1, 0) else (0, 1)
-    val bSide = build.select(
-      (col(key) +: col(ts).as("_ts") +: lit(bTag).as("_tag") +:
-        probeRest.map(c => lit(null).cast(probe.schema(c).dataType).as(c))) :+
-        struct(col(ts).as("__asof_ts") +: payload.map(col): _*).as("_b"): _*)
-    val pSide = probe.select(
-      (col(key) +: col(ts).as("_ts") +: lit(pTag).as("_tag") +:
-        probeRest.map(col)) :+
-        lit(null).cast(bSide.schema("_b").dataType).as("_b"): _*)
+    val (bSide, pSide, probeRest) =
+      taggedSides(probe, build, key, ts, payload, bTag, pTag)
     // both directions run the O(n) incremental (unboundedPreceding,
     // currentRow) frame; forward flips the sort instead of the frame (a
     // following-unbounded frame is O(n²) per key in Spark — see the
@@ -92,11 +120,37 @@ object AsofOps {
       if (forward)
         Window.partitionBy(key).orderBy(col("_ts").desc, col("_tag").desc)
       else Window.partitionBy(key).orderBy(col("_ts"), col("_tag"))
-    val matchCol = last(col("_b"), ignoreNulls = true)
-      .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val matched = bSide.unionByName(pSide)
-      .withColumn("_match", matchCol)
+      .withColumn("_match", last(col("_b"), ignoreNulls = true)
+        .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .where(col("_tag") === pTag)
+    projectMatch(matched, key, ts, probeRest, payload, leftJoin)
+  }
+
+  /** Union legs for the tagged one-shuffle plan: the build side carries
+    * its payload as ONE struct `_b` (null probe columns), the probe side
+    * carries its columns (null `_b`). Returns (bSide, pSide, probeRest). */
+  private def taggedSides(probe: DataFrame, build: DataFrame, key: String,
+      ts: String, payload: Seq[String], bTag: Int,
+      pTag: Int): (DataFrame, DataFrame, Seq[String]) = {
+    val probeRest = probe.columns.toSeq.filterNot(c => c == key || c == ts)
+    val bSide = build.select(
+      (col(key) +: col(ts).as("_ts") +: lit(bTag).as("_tag") +:
+        probeRest.map(c => lit(null).cast(probe.schema(c).dataType).as(c))) :+
+        struct(col(ts).as("__asof_ts") +: payload.map(col): _*).as("_b"): _*)
+    val pSide = probe.select(
+      (col(key) +: col(ts).as("_ts") +: lit(pTag).as("_tag") +:
+        probeRest.map(col)) :+
+        lit(null).cast(bSide.schema("_b").dataType).as("_b"): _*)
+    (bSide, pSide, probeRest)
+  }
+
+  /** Inner/left filtering + the shared output projection over a `_match`
+    * struct column: probe columns back under their names, `asof_ts` +
+    * `asof_<c>` from the matched build row. */
+  private def projectMatch(matched: DataFrame, key: String, ts: String,
+      probeRest: Seq[String], payload: Seq[String],
+      leftJoin: Boolean): DataFrame = {
     val joined = if (leftJoin) matched else matched.where(col("_match").isNotNull)
     joined.select(
       (col(key) +: col("_ts").as(ts) +: probeRest.map(col)) ++:

@@ -59,6 +59,42 @@ object AsofQueries extends QueryModule {
         .orderBy(col("event_id"))
     },
 
+    // NEAREST as-of (round 15): each purchase joined to the user's view
+    // CLOSEST in time, either side; equidistant resolves backward. DuckDB
+    // has no nearest direction, so the oracle composes its backward and
+    // forward ASOF joins with the same integer-micros distance pick — an
+    // independent implementation built from two independently-verified
+    // primitives. Inner form: users with no views at all drop. All
+    // compared values are raw data; the distance math is exact BIGINTs.
+    q("qj7_asof_nearest",
+      """WITH v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |bk AS (SELECT p.event_id, v.ts AS bts, v.value AS bval
+        |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts),
+        |fw AS (SELECT p.event_id, v.ts AS fts, v.value AS fval
+        |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  CASE WHEN bts IS NOT NULL AND (fts IS NULL
+        |      OR epoch_us(p.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(p.ts))
+        |    THEN bts ELSE fts END AS asof_ts,
+        |  CASE WHEN bts IS NOT NULL AND (fts IS NULL
+        |      OR epoch_us(p.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(p.ts))
+        |    THEN bval ELSE fval END AS asof_value
+        |FROM p JOIN bk USING (event_id) JOIN fw USING (event_id)
+        |WHERE bts IS NOT NULL OR fts IS NOT NULL
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsofOps.asofJoinNearest(purchases, views, "user_id", "ts",
+          Seq("value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts"), col("asof_value"))
+        .orderBy(col("event_id"))
+    },
+
     // Views within the 7 days before each purchase (inclusive bounds),
     // counted by a single RANGE-frame window pass — the batch twin of the
     // streaming interval join, without the per-key quadratic of a

@@ -210,6 +210,17 @@ object PlanAudit {
         qp27.contains("BroadcastHashJoin") &&
         !qp27.contains("CartesianProduct") &&
         !qp27.contains("BroadcastNestedLoopJoin"))
+    // nearest as-of: ONE key shuffle feeds both direction passes (the
+    // output ORDER BY adds its own range exchange, excluded here) —
+    // NO join of any kind, and both window frames are the O(n)
+    // running shape, never the O(n²) unbounded-following frame
+    val qj7 = plan("qj7_asof_nearest")
+    check("qj7 one key shuffle, two running frames, no join",
+      qj7.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1 &&
+        qj7.contains("unboundedpreceding$(), currentrow$()") &&
+        !qj7.contains("unboundedfollowing$()") &&
+        !qj7.contains("Join") && !qj7.contains("CartesianProduct"))
+
     // Gram-identity diversity: one partial-aggregated pass, the only
     // join is over the per-label reduced tables
     val qe10 = plan("qe10_sample_diversity")

@@ -65,6 +65,39 @@ class AsofSpec extends SparkSuite {
       ts("2024-01-01 12:00:00"))
   }
 
+  test("asofJoinNearest picks the closer side, resolves exact ties backward") {
+    // key 1 builds at 10:00 (10.0) and 12:00 (12.0):
+    //   110 @10:30 -> closer to 10:00 (30m vs 90m) -> 10.0
+    //   111 @11:30 -> closer to 12:00 (30m) -> 12.0
+    //   112 @11:00 -> EXACT tie (60m both sides) -> backward -> 10.0
+    //   113 @09:00 -> only forward matches exist -> 10.0
+    //   114 @13:00 -> only backward matches exist -> 12.0
+    //   115 on key 3 -> no builds -> drops (inner)
+    val p = Seq(
+      (110L, 1L, ts("2024-01-01 10:30:00")),
+      (111L, 1L, ts("2024-01-01 11:30:00")),
+      (112L, 1L, ts("2024-01-01 11:00:00")),
+      (113L, 1L, ts("2024-01-01 09:00:00")),
+      (114L, 1L, ts("2024-01-01 13:00:00")),
+      (115L, 3L, ts("2024-01-01 11:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = AsofOps.asofJoinNearest(p, build, "user_id", "ts", Seq("value"))
+      .orderBy("event_id")
+      .select("event_id", "asof_value").as[(Long, Double)].collect()
+    assert(out === Seq((110L, 10.0), (111L, 12.0), (112L, 10.0),
+      (113L, 10.0), (114L, 12.0)))
+    // left form keeps the no-build probe with nulls
+    val left = AsofOps.asofJoinNearest(p, build, "user_id", "ts",
+      Seq("value"), leftJoin = true).where($"event_id" === 115L)
+      .collect().head
+    assert(left.isNullAt(left.fieldIndex("asof_value")))
+    // equal-ts build matches at distance 0 (inclusive both directions)
+    val eq = AsofOps.asofJoinNearest(
+      Seq((116L, 1L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts"),
+      build, "user_id", "ts", Seq("value")).collect().head
+    assert(eq.getAs[Double]("asof_value") === 12.0)
+  }
+
   test("asofJoin left keeps unmatched probes with null payload") {
     val out = AsofOps.asofJoin(probe, build, "user_id", "ts", Seq("value"),
         leftJoin = true)
