@@ -358,6 +358,97 @@ object CurationQueries extends QueryModule {
         .orderBy("src_a", "src_b")
     },
 
+    // CCNet-style perplexity-bucket filter (round 15): score every doc
+    // under the corpus add-one bigram LM (qt12's exact machinery —
+    // avg_lp6 = floor-scaled mean log-likelihood, all-BIGINT), split the
+    // corpus into EXACT terciles of that score, and drop the worst
+    // (highest-perplexity) third — the head/middle keep CCNet applies
+    // with its KenLM. Scale shape: the tercile cutoffs come from a
+    // distributed two-phase prefix sum over the VALUE-grouped score
+    // distribution (the qp17 pattern): scores group to (avg_lp6, count),
+    // coarse buckets of 65536 score units cumulate in a bucket-table
+    // window (bounded by score RANGE / 65536 ≈ hundreds of rows, by
+    // construction — not corpus size), within-bucket windows partition
+    // BY bucket (≤ 65536 distinct integer scores each, by construction),
+    // and the two cutoff scalars broadcast onto the corpus map-side. No
+    // global corpus-sized sort/window anywhere. Ties share a bucket
+    // (value-based cutoffs), so the split is deterministic; every
+    // compared value is a BIGINT (the one float op is qt12's proven
+    // floor-scaled ln). Docs with no bigrams are unscoreable and out of
+    // scope, as in qt12.
+    q("qp28_perplexity_buckets",
+      """WITH arr AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |  FROM documents),
+        |big AS MATERIALIZED (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+        |  FROM arr, UNNEST(generate_series(1, len(a) - 1)) AS g(i)),
+        |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM big GROUP BY w1, w2),
+        |uc AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu
+        |  FROM bc GROUP BY w1),
+        |v AS (SELECT CAST(COUNT(DISTINCT u.w) AS BIGINT) AS vsz
+        |  FROM (SELECT UNNEST(a) AS w FROM arr) u),
+        |sc AS (SELECT b.doc_id,
+        |    CAST(SUM(CAST(floor(ln((COALESCE(bc.cb, 0) + 1.0)
+        |      / (COALESCE(uc.cu, 0) + v.vsz))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) // COUNT(*) AS avg_lp6
+        |  FROM big b LEFT JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+        |    LEFT JOIN uc ON b.w1 = uc.w1 CROSS JOIN v
+        |  GROUP BY b.doc_id),
+        |dist AS (SELECT avg_lp6 AS s, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(floor(CAST(avg_lp6 AS DOUBLE) / 65536.0) AS BIGINT) AS bkt
+        |  FROM sc GROUP BY 1),
+        |bk AS (SELECT bkt, SUM(c) AS cb2 FROM dist GROUP BY bkt),
+        |bases AS (SELECT bkt, COALESCE(SUM(cb2) OVER (ORDER BY bkt
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+        |  FROM bk),
+        |cum AS (SELECT d.s, bases.base + SUM(d.c) OVER (PARTITION BY d.bkt
+        |    ORDER BY d.s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cm
+        |  FROM dist d JOIN bases ON d.bkt = bases.bkt),
+        |n AS (SELECT SUM(c) AS nt FROM dist),
+        |cuts AS (SELECT MIN(CASE WHEN cm * 3 >= n.nt THEN s END) AS c1,
+        |    MIN(CASE WHEN cm * 3 >= 2 * n.nt THEN s END) AS c2
+        |  FROM cum CROSS JOIN n)
+        |SELECT sc.doc_id, sc.avg_lp6,
+        |  CAST(CASE WHEN avg_lp6 <= c1 THEN 0
+        |    WHEN avg_lp6 <= c2 THEN 1 ELSE 2 END AS INT) AS bucket,
+        |  avg_lp6 > c1 AS keep
+        |FROM sc CROSS JOIN cuts ORDER BY sc.doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val big = TextQueries.bigramRows(docs).cache()
+      val (bc, uc, v) = TextQueries.bigramLm(big, docs)
+      val scored = TextQueries.scoreBigramLm(big, bc, uc, v)
+        .select(col("doc_id"), col("avg_lp6"))
+      val dist = scored.groupBy(col("avg_lp6").as("s"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("bkt",
+          floor(col("s").cast("double") / 65536.0).cast("long"))
+      val bk = dist.groupBy("bkt").agg(sum("c").as("cb2"))
+      // bucket-table cumulative: bounded by score range / 65536 by
+      // construction (a few hundred rows) — the documented
+      // tiny-aggregate-table single-partition window
+      val bases = bk.withColumn("base",
+        coalesce(sum("cb2").over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val cum = dist.join(broadcast(bases.select("bkt", "base")), "bkt")
+        .withColumn("cm", col("base") +
+          sum("c").over(Window.partitionBy("bkt").orderBy("s")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val nTab = dist.agg(sum("c").as("nt"))
+      val cuts = cum.crossJoin(broadcast(nTab))
+        .agg(min(when(col("cm") * 3 >= col("nt"), col("s"))).as("c1"),
+          min(when(col("cm") * 3 >= col("nt") * 2, col("s"))).as("c2"))
+      scored.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("avg_lp6"),
+          when(col("avg_lp6") <= col("c1"), 0)
+            .when(col("avg_lp6") <= col("c2"), 1).otherwise(2)
+            .cast("int").as("bucket"),
+          (col("avg_lp6") > col("c1")).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic stratified sampling — the data-mixing primitive: each
     // language keeps a different fraction (downsample the dominant 'en' to
     // 5%, keep half of everything else), decided per row by an md5-prefix

@@ -221,6 +221,16 @@ object PlanAudit {
         !qj7.contains("unboundedfollowing$()") &&
         !qj7.contains("Join") && !qj7.contains("CartesianProduct"))
 
+    // perplexity terciles: the within-bucket cumulative window is
+    // PARTITIONED (distributed), the cutoffs broadcast, and there is no
+    // CartesianProduct — the only nested-loop joins are the broadcast
+    // one-row scalar attachments (cuts/n), the adjudicated pattern
+    val qp28 = plan("qp28_perplexity_buckets")
+    check("qp28 partitioned bucket window + broadcast cutoffs; no cartesian",
+      qp28.contains("windowspecdefinition(bkt") &&
+        qp28.contains("BroadcastExchange") &&
+        !qp28.contains("CartesianProduct"))
+
     // Gram-identity diversity: one partial-aggregated pass, the only
     // join is over the per-label reduced tables
     val qe10 = plan("qe10_sample_diversity")
