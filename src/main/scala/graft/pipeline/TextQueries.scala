@@ -178,6 +178,51 @@ object TextQueries extends QueryModule {
         .orderBy(col("doc_id"))
     },
 
+    // Token-distribution entropy per document (round 15) — the
+    // repetitiousness signal the hard rule gates (qt16) and top-word
+    // caps (qt7) approximate: H = Σ (c/T)·ln(T/c) over the doc's token
+    // counts, low for template/boilerplate docs, high for diverse prose.
+    // Determinism: the only float op is the established floor-scaled ln
+    // of ONE exact integer ratio (T/c); each term then rides as
+    // c·floor(ln(T/c)·1e6) — a BIGINT product — and the per-doc total
+    // divides by T in integer math. Scale shape: one (doc, word)
+    // partial-agg groupBy, one per-doc rollup, one co-keyed join of the
+    // two reduced tables — no window, no corpus-sized broadcast; an
+    // all-identical-tokens doc scores exactly 0. Empty docs have no
+    // tokens and are out of scope (absent), as in qt12.
+    q("qt17_token_entropy",
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS w
+        |  FROM documents),
+        |wc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY doc_id, w),
+        |t AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot,
+        |    CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM wc GROUP BY doc_id)
+        |SELECT t.doc_id, t.tot AS n_tokens, t.nd AS n_distinct,
+        |  CAST(SUM(c * CAST(floor(ln(CAST(t.tot AS DOUBLE) / c)
+        |    * 1000000.0) AS BIGINT)) AS BIGINT) // t.tot AS entropy6
+        |FROM wc JOIN t USING (doc_id)
+        |GROUP BY t.doc_id, t.tot, t.nd
+        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val wc = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val tt = wc.groupBy("doc_id")
+        .agg(sum("c").as("tot"), count(lit(1)).as("nd"))
+      wc.join(tt, "doc_id")
+        .groupBy(col("doc_id"), col("tot"), col("nd"))
+        .agg(sum(col("c") *
+          floor(log(col("tot").cast("double") / col("c")) * 1000000.0)
+            .cast("long")).cast("long").as("tsum"))
+        .select(col("doc_id"), col("tot").as("n_tokens"),
+          col("nd").as("n_distinct"),
+          expr("tsum div tot").as("entropy6"))
+        .orderBy("doc_id")
+    },
+
     // N-gram/marker-word language-ID heuristic: count marker hits per
     // language profile, argmax with fixed tie order, then confusion counts
     // against the labeled lang column.

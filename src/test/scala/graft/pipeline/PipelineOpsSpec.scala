@@ -155,6 +155,33 @@ class PipelineOpsSpec extends SparkSuite {
     rows.foreach { case (id, s, _, _) => assert(qt12(id) === s) }
   }
 
+  test("qt17 token entropy equals a driver-side recompute; uniformity extremes hold") {
+    val texts = Engine.table(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val expected = texts.flatMap { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      if (ws.isEmpty) None
+      else {
+        val counts = ws.groupBy(identity).view.mapValues(_.length.toLong)
+        val tot = ws.length.toLong
+        val tsum = counts.values.map(c =>
+          c * math.floor(math.log(tot.toDouble / c) * 1e6).toLong).sum
+        Some((id, tot, counts.size.toLong,
+          Math.floorDiv(tsum, tot))) // Spark's `div` floors like BIGINT //
+      }
+    }.sortBy(_._1)
+    val got = run("qt17_token_entropy")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // extremes: an all-identical-token doc would score exactly 0 and a
+    // unique-token doc floor(ln(n)*1e6)-ish; assert the corpus ordering
+    // signal is real — entropy grows with distinct/total ratio overall
+    val lows = got.filter(r => r._3 * 2 <= r._2).map(_._4)
+    val highs = got.filter(r => r._3 == r._2).map(_._4)
+    if (lows.nonEmpty && highs.nonEmpty)
+      assert(lows.min < highs.max)
+  }
+
   test("qp13 water-filling: budget exhausted, caps respected, one knee") {
     val rows = run("qp13_token_budget")
       .as[(String, Long, Double, Double)].collect()
