@@ -112,7 +112,13 @@ object ScaleUpBench {
     // shuffle); there is no join against the corpus-sized gram set
     // (PlanAudit asserts the Window is present and the plan has no
     // cartesian/broadcast-nested-loop join)
-    "qp26_substring_dedup")
+    "qp26_substring_dedup",
+    // round 15: the CCNet perplexity filter — LM training + scoring
+    // joins + the two-phase tercile prefix sum; every stage is keyed
+    // or bounded-by-construction, so expected wall is ~linear. The
+    // nearest as-of join rides one key shuffle + two in-partition
+    // sorts (both O(n) running frames after the qj6 frame fix).
+    "qp28_perplexity_buckets", "qj7_asof_nearest")
 
   private def timeQuery(spark: SparkSession, name: String,
       dir: String): (Double, Double) = {
