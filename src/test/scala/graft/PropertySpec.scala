@@ -47,6 +47,41 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("nearest as-of matches brute force incl. exact ties (backward wins)") {
+    import graft.operators.AsofOps
+    import org.apache.spark.sql.functions.expr
+    // tiny key/ts ranges force collisions, equal timestamps, and exact
+    // equidistant ties; build side deduped per (key, ts) — the operator's
+    // documented determinism contract
+    val keyGen = Gen.choose(0, 4)
+    val tsGen = Gen.choose(0L, 40L)
+    val buildGen = Gen.listOf(Gen.zip(keyGen, tsGen, Gen.choose(0L, 100L)))
+    val probeGen = Gen.listOf(Gen.zip(keyGen, tsGen))
+    check(Prop.forAll(buildGen, probeGen) { (b0, p0) =>
+      val b = b0.groupBy(t => (t._1, t._2)).map(_._2.head).toList
+      val p = p0.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val bdf = b.toDF("user_id", "tsu", "value")
+        .select($"user_id", expr("timestamp_micros(tsu)").as("ts"), $"value")
+      val pdf = p.toDF("event_id", "user_id", "tsu")
+        .select($"event_id", $"user_id",
+          expr("timestamp_micros(tsu)").as("ts"))
+      val got = AsofOps.asofJoinNearest(pdf, bdf, "user_id", "ts",
+          Seq("value"))
+        .select($"event_id", expr("unix_micros(asof_ts)"), $"asof_value")
+        .as[(Long, Long, Long)].collect().toList.sorted
+      val exp = p.flatMap { case (id, k, t) =>
+        val cands = b.filter(_._1 == k)
+        if (cands.isEmpty) None
+        else {
+          val best = cands.minBy { case (_, bt, _) =>
+            (math.abs(bt - t), if (bt <= t) 0 else 1) }
+          Some((id, best._2, best._3))
+        }
+      }.sorted
+      got == exp
+    })
+  }
+
   test("exceptAll / intersectAll have multiset semantics") {
     val vals = Gen.listOfN(40, Gen.choose(0, 8))
     check(Prop.forAll(vals, vals) { (a, b) =>
