@@ -17,11 +17,12 @@ object CurationQueries extends QueryModule {
 
   /** The word tokenizer and 0-based trigram builder shared by EVERY
     * gram-space operator (qp24 decontamination, qp26 substring dedup,
-    * qp27 source overlap) — single definitions so a tokenization tweak
-    * can never silently diverge one operator's gram space from the
-    * others'. `TrigramsExpr` expects a `ws` word-array column. */
-  private val WordsExpr = "filter(split(text, ' '), x -> x <> '')"
-  private val TrigramsExpr =
+    * qp27 source overlap, qp29 containment) — single definitions so a
+    * tokenization tweak can never silently diverge one operator's gram
+    * space from the others'. `TrigramsExpr` expects a `ws` word-array
+    * column. */
+  private[pipeline] val WordsExpr = "filter(split(text, ' '), x -> x <> '')"
+  private[pipeline] val TrigramsExpr =
     "transform(sequence(0, size(ws) - 3), i -> " +
       "concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))"
 

@@ -650,6 +650,77 @@ object DedupQueries extends QueryModule {
               .hashBucket(col("rep_id"), "split|") < "e666", "train")
             .otherwise("heldout"))
         .orderBy(col("doc_id"))
+    },
+
+    // CONTAINMENT near-dup (round 15) — the asymmetric complement to
+    // qp5's Jaccard: c(A,B) = |G_A ∩ G_B| / min(|G_A|, |G_B|) flags a
+    // small doc embedded in a big one (quotes, boilerplate prepends),
+    // which symmetric Jaccard dilutes below any threshold. MinHash-LSH
+    // can't propose these (it estimates Jaccard), so the candidate
+    // generator is the inverted gram index with DF PRUNING as the scale
+    // lever: a gram present in k docs proposes k(k-1)/2 pairs, so
+    // stop-grams (df > 10) are EXCLUDED BY DEFINITION from the metric —
+    // the operator computes containment over informative grams only
+    // (df ≤ 10; df = 1 grams count toward sizes but cannot propose).
+    // Per-gram candidate fan-out is then ≤ 45 pairs BY CONSTRUCTION, the
+    // same bounded collect_set expansion as qp27 — one gram-key shuffle,
+    // one pair-key aggregation, two keyed joins against the reduced
+    // per-doc size table; no all-pairs, nothing corpus-sized broadcast.
+    // Determinism: counts are exact BIGINTs; containment is one division.
+    q("qp29_containment_dedup",
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |gs AS (SELECT DISTINCT doc_id, g
+        |  FROM (SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS g
+        |    FROM tk WHERE len(ws) >= 3) u),
+        |df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM gs GROUP BY g),
+        |sz AS (SELECT gs.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM gs JOIN df ON gs.g = df.g WHERE df.df <= 10
+        |  GROUP BY gs.doc_id),
+        |sh AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM gs x JOIN df ON x.g = df.g
+        |    JOIN gs y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  WHERE df.df BETWEEN 2 AND 10
+        |  GROUP BY 1, 2)
+        |SELECT sh.doc_a, sh.doc_b, sh.shared, sa.n AS na, sb.n AS nb,
+        |  CAST(sh.shared AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+        |FROM sh JOIN sz sa ON sh.doc_a = sa.doc_id
+        |  JOIN sz sb ON sh.doc_b = sb.doc_id
+        |WHERE sh.shared * 2 >= LEAST(sa.n, sb.n)
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val gs = t(s, d, "documents")
+        .selectExpr("doc_id", s"${CurationQueries.WordsExpr} AS ws")
+        .where("size(ws) >= 3")
+        .select(col("doc_id"),
+          explode(expr(CurationQueries.TrigramsExpr)).as("g"))
+        .distinct()
+      val df = gs.groupBy("g").agg(count(lit(1)).as("df"))
+      val kept = gs.join(df.where(col("df") <= 10), "g")
+      val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // pair expansion from the per-gram doc SET (bounded ≤ 10 by the
+      // df filter — qp27's pattern), not a gram self-join
+      val sh = kept.where(col("df") >= 2)
+        .groupBy("g").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .select(explode(expr(
+          "flatten(transform(ds, (a, i) -> " +
+            "transform(slice(ds, i + 2, size(ds) - i - 1), b -> " +
+            "named_struct('doc_a', a, 'doc_b', b))))")).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      sh.join(sz.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n", "na"), "doc_a")
+        .join(sz.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n", "nb"), "doc_b")
+        .where(col("shared") * 2 >= least(col("na"), col("nb")))
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("na"),
+          col("nb"),
+          (col("shared").cast("double") /
+            least(col("na"), col("nb"))).as("containment"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 

@@ -231,6 +231,15 @@ object PlanAudit {
         qp28.contains("BroadcastExchange") &&
         !qp28.contains("CartesianProduct"))
 
+    // containment dedup: candidates from the per-gram doc SET (bounded
+    // ≤ 10 by the df filter — collect_set expansion), never a gram
+    // self-join; no cartesian/BNLJ anywhere
+    val qp29 = plan("qp29_containment_dedup")
+    check("qp29 bounded collect_set pair expansion; no cartesian/BNLJ",
+      qp29.contains("collect_set") &&
+        !qp29.contains("CartesianProduct") &&
+        !qp29.contains("BroadcastNestedLoopJoin"))
+
     // Gram-identity diversity: one partial-aggregated pass, the only
     // join is over the per-label reduced tables
     val qe10 = plan("qe10_sample_diversity")

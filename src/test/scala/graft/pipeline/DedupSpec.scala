@@ -114,4 +114,38 @@ class DedupSpec extends SparkSuite {
     assert(pairs.forall { case (a, b) => a < b })
     assert(pairs.distinct.length == pairs.length)
   }
+
+  test("qp29 containment equals a driver-side recompute with df pruning") {
+    // independent ground truth over the real corpus: distinct trigram
+    // sets per doc, document frequency per gram, sizes over df<=10
+    // grams, shared over 2<=df<=10 grams, threshold shared*2 >= min
+    val texts = graft.Engine.table(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val gsets = texts.map { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      id -> (if (ws.length < 3) Set.empty[String]
+             else (0 to ws.length - 3)
+               .map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").toSet)
+    }.toMap
+    val dfc = gsets.values.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    val sz = gsets.view.mapValues(_.count(g => dfc(g) <= 10)).toMap
+    val ids = texts.map(_._1).sorted
+    val expected = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.size
+      a = ids(i); b = ids(j)
+      shared = (gsets(a) & gsets(b)).count(g =>
+        dfc(g) >= 2 && dfc(g) <= 10)
+      mn = math.min(sz(a), sz(b))
+      if shared > 0 && shared * 2 >= mn
+    } yield (a, b, shared.toLong, sz(a).toLong, sz(b).toLong,
+      shared.toDouble / mn)).toSeq
+    val got = run("qp29_containment_dedup")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty) // the corpus genuinely contains embedded docs
+    // asymmetry: at least one flagged pair has na != nb — the case
+    // Jaccard dilutes but containment catches
+    assert(got.exists(r => r._4 != r._5))
+  }
 }
