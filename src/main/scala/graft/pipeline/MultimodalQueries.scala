@@ -147,6 +147,60 @@ object MultimodalQueries extends QueryModule {
           expr("fk div 100000").as("first_doc"),
           expr("fk % 100000").as("first_frame"))
         .orderBy(col("frame_md5"))
+    },
+
+    // Scene-cut detection (round 15) — the clip-boundary primitive a
+    // video curation pipeline runs before sampling training clips: a
+    // per-frame STUB energy (sum of frame byte values — a real decoder
+    // would produce a luma histogram), the frame-to-frame |delta| via
+    // LAG within each media item, cuts where the delta jumps, and a
+    // per-item summary. Scale shape: frames explode distributed (array
+    // sequence, the qm2 pattern), energy is a pure column expression,
+    // the LAG window partitions BY media item (bounded by the item's
+    // own frame count — never corpus-wide), and the summary is one
+    // partial-aggregated groupBy. All-integer math throughout. The
+    // energy reads the ASCII stand-in via string slicing on both
+    // engines (the qm2 byte==char note); a real pipeline slices bytes.
+    q("qm5_scene_cuts",
+      s"""WITH f AS (SELECT doc_id, text,
+         |    octet_length(encode(text)) // $FrameBytes AS n_frames
+         |  FROM documents),
+         |fr AS (SELECT doc_id, CAST(g.i AS INT) AS frame_id,
+         |    CAST(list_aggregate(list_transform(
+         |        generate_series(1, $FrameBytes),
+         |        j -> ord(substr(substring(text,
+         |          CAST(g.i AS INT) * $FrameBytes + 1, $FrameBytes),
+         |          j, 1))), 'sum') AS BIGINT) AS energy
+         |  FROM f, UNNEST(generate_series(0, CAST(n_frames AS INT) - 1))
+         |    AS g(i)
+         |  WHERE n_frames > 0),
+         |d AS (SELECT doc_id, energy - lag(energy) OVER (
+         |    PARTITION BY doc_id ORDER BY frame_id) AS delta
+         |  FROM fr)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |  CAST(COALESCE(SUM(CASE WHEN abs(delta) >= 300 THEN 1 END), 0)
+         |    AS BIGINT) AS n_cuts,
+         |  CAST(COALESCE(MAX(abs(delta)), 0) AS BIGINT) AS max_delta
+         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val fr = t(s, d, "documents")
+        .withColumn("n_frames",
+          floor(length(col("text").cast("binary")) / FrameBytes).cast("int"))
+        .where(col("n_frames") > 0)
+        .withColumn("frame_id", explode(expr("sequence(0, n_frames - 1)")))
+        .withColumn("energy", expr(
+          s"""aggregate(transform(sequence(1, $FrameBytes),
+             |  j -> CAST(ascii(substring(
+             |    substring(text, frame_id * $FrameBytes + 1, $FrameBytes),
+             |    j, 1)) AS BIGINT)), 0L, (a, x) -> a + x)""".stripMargin))
+      fr.withColumn("delta", col("energy") - lag(col("energy"), 1)
+          .over(Window.partitionBy("doc_id").orderBy("frame_id")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          coalesce(sum(when(abs(col("delta")) >= 300, 1L)), lit(0L))
+            .as("n_cuts"),
+          coalesce(max(abs(col("delta"))), lit(0L)).as("max_delta"))
+        .orderBy("doc_id")
     }
   )
 }

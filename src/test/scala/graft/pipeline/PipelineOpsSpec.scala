@@ -182,6 +182,29 @@ class PipelineOpsSpec extends SparkSuite {
       assert(lows.min < highs.max)
   }
 
+  test("qm5 scene cuts equal a driver-side frame-energy recompute") {
+    val texts = Engine.table(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val expected = texts.flatMap { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val nf = bytes.length / 64
+      if (nf == 0) None
+      else {
+        val energies = (0 until nf).map(i =>
+          bytes.slice(i * 64, i * 64 + 64).map(_.toLong & 0xffL).sum)
+        val deltas =
+          if (energies.size < 2) Seq.empty[Long]
+          else energies.sliding(2).map(p => math.abs(p(1) - p(0))).toSeq
+        Some((id, nf.toLong, deltas.count(_ >= 300).toLong,
+          if (deltas.isEmpty) 0L else deltas.max))
+      }
+    }.sortBy(_._1)
+    val got = run("qm5_scene_cuts")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("qp13 water-filling: budget exhausted, caps respected, one knee") {
     val rows = run("qp13_token_budget")
       .as[(String, Long, Double, Double)].collect()
