@@ -26,6 +26,16 @@ object CurationQueries extends QueryModule {
     "transform(sequence(0, size(ws) - 3), i -> " +
       "concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))"
 
+  /** Ordered-pair expansion over a sorted array column `arr`: every
+    * (a, b) with a strictly before b, as named_struct(aField, bField).
+    * Shared by qp27 (per-gram source sets) and qp29 (per-gram doc sets)
+    * — ONE definition of the subtle 1-based slice indexing. */
+  private[pipeline] def pairExpansionExpr(arr: String, aField: String,
+      bField: String): String =
+    s"flatten(transform($arr, (a, i) -> " +
+      s"transform(slice($arr, i + 2, size($arr) - i - 1), b -> " +
+      s"named_struct('$aField', a, '$bField', b))))"
+
   /** Shared tokenize + gram-position machinery for the span operators
     * (qp24 decontamination, qp26 substring dedup): `tk` = (doc_id, ws)
     * word arrays, `gp` = (doc_id, p, g) 0-based trigram positions. */
@@ -343,10 +353,8 @@ object CurationQueries extends QueryModule {
       val tot = gs.groupBy("source").agg(count(lit(1)).as("n"))
       val sh = gs.groupBy("g")
         .agg(sort_array(collect_set(col("source"))).as("ss"))
-        .select(explode(expr(
-          "flatten(transform(ss, (a, i) -> " +
-            "transform(slice(ss, i + 2, size(ss) - i - 1), b -> " +
-            "named_struct('src_a', a, 'src_b', b))))")).as("p"))
+        .select(explode(
+          expr(pairExpansionExpr("ss", "src_a", "src_b"))).as("p"))
         .select(col("p.src_a"), col("p.src_b"))
         .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared_grams"))
       sh.join(broadcast(tot.withColumnRenamed("source", "src_a")
@@ -420,8 +428,12 @@ object CurationQueries extends QueryModule {
       val docs = t(s, d, "documents")
       val big = TextQueries.bigramRows(docs).cache()
       val (bc, uc, v) = TextQueries.bigramLm(big, docs)
+      // scored feeds BOTH the cutoff subtree and the final projection —
+      // cache it (per-doc sized) so the corpus-scale scoring joins run
+      // once, not twice
       val scored = TextQueries.scoreBigramLm(big, bc, uc, v)
         .select(col("doc_id"), col("avg_lp6"))
+        .cache()
       val dist = scored.groupBy(col("avg_lp6").as("s"))
         .agg(count(lit(1)).as("c"))
         .withColumn("bkt",

@@ -706,9 +706,7 @@ object DedupQueries extends QueryModule {
       val sh = kept.where(col("df") >= 2)
         .groupBy("g").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
         .select(explode(expr(
-          "flatten(transform(ds, (a, i) -> " +
-            "transform(slice(ds, i + 2, size(ds) - i - 1), b -> " +
-            "named_struct('doc_a', a, 'doc_b', b))))")).as("p"))
+          CurationQueries.pairExpansionExpr("ds", "doc_a", "doc_b"))).as("p"))
         .select(col("p.doc_a"), col("p.doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
       sh.join(sz.withColumnRenamed("doc_id", "doc_a")

@@ -208,7 +208,7 @@ object TextQueries extends QueryModule {
         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
       val wc = t(s, d, "documents")
         .select(col("doc_id"),
-          explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
+          explode(expr(CurationQueries.WordsExpr)).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       val tt = wc.groupBy("doc_id")
         .agg(sum("c").as("tot"), count(lit(1)).as("nd"))

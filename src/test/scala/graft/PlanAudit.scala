@@ -226,8 +226,13 @@ object PlanAudit {
     // CartesianProduct — the only nested-loop joins are the broadcast
     // one-row scalar attachments (cuts/n), the adjudicated pattern
     val qp28 = plan("qp28_perplexity_buckets")
-    check("qp28 partitioned bucket window + broadcast cutoffs; no cartesian",
-      qp28.contains("windowspecdefinition(bkt") &&
+    // the within-bucket window must be PARTITIONED by bkt and ordered by
+    // s — "windowspecdefinition(bkt#NNN, s#NNN ASC" pins exactly that
+    // shape (the order-only bases window over the tiny bucket table
+    // reads "windowspecdefinition(bkt#NNN ASC" and cannot satisfy it)
+    check("qp28 bkt-partitioned s-ordered window + broadcast cutoffs; no cartesian",
+      "windowspecdefinition\\(bkt#\\d+L?, s#\\d+L? ASC".r
+        .findFirstIn(qp28).isDefined &&
         qp28.contains("BroadcastExchange") &&
         !qp28.contains("CartesianProduct"))
 

@@ -132,23 +132,26 @@ class PipelineOpsSpec extends SparkSuite {
     assert(rows.nonEmpty)
     val n = rows.size
     val scores = rows.map(_._2).sorted
-    // recompute the cutoffs from first principles: smallest score whose
-    // rank (count of scores <= it) reaches n/3 and 2n/3
+    // two independent cutoff formulations that must agree: positional
+    // (the value at sorted index ceil(n/3)-1) and rank-based (smallest
+    // score whose count-of-scores-at-or-below reaches n/3) — equal for
+    // any multiset, so cross-checking them guards both recomputes
     val c1 = scores(((n + 2) / 3) - 1)
     def rankOf(s: Long) = scores.count(_ <= s)
     val expC1 = scores.find(s => rankOf(s) * 3 >= n).get
     val expC2 = scores.find(s => rankOf(s) * 3 >= 2 * n).get
-    assert(c1 <= expC1) // sanity: positional pick can't exceed value pick
+    assert(c1 === expC1)
     rows.foreach { case (_, s, bucket, keep) =>
       val expected = if (s <= expC1) 0 else if (s <= expC2) 1 else 2
       assert(bucket === expected, s"score $s")
       assert(keep === (bucket >= 1))
     }
     // all three buckets are populated and roughly balanced (ties can
-    // skew, but never empty a tercile on this corpus)
+    // skew, but never empty a tercile on this corpus); bucket 0 is the
+    // DROPPED highest-perplexity tail, buckets 1-2 the CCNet keep
     val sizes = rows.groupBy(_._3).view.mapValues(_.size).toMap
     assert(sizes.keySet === Set(0, 1, 2))
-    assert(sizes(0) * 3 >= n / 2, s"head tercile unexpectedly small: $sizes")
+    assert(sizes(0) * 3 >= n / 2, s"tail tercile unexpectedly small: $sizes")
     // scores agree with qt12's (same LM, same docs)
     val qt12 = run("qt12_bigram_logprob")
       .select($"doc_id", $"avg_lp6").as[(Long, Long)].collect().toMap
