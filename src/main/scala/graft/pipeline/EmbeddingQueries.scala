@@ -630,6 +630,88 @@ object EmbeddingQueries extends QueryModule {
         .orderBy("qid")
     },
 
+    // TRUNCATED-DIMENSION (Matryoshka) retrieval audit (round 15) — the
+    // dimension-budget twin of qe12's quantization audit: MRL-style
+    // embeddings let a pipeline retrieve with only the FIRST k dims
+    // (k·4 bytes instead of 256, proportionally cheaper dots); this
+    // query measures the cost as top-5 recall of the k-dim ranking
+    // against the full 64-dim exact ranking, per probe and per k ∈
+    // {16, 32} — the recall-vs-dims curve that picks the serving
+    // truncation. Determinism: BOTH legs are the sequential double
+    // fold (graft_dot = DuckDB list_reduce order) over float slices,
+    // floored at 1e-6; ranking ties break on vec_id. Scale shape: the
+    // probe slices broadcast (same brute-force audit posture as
+    // qe12/qe9 — run over a sampled probe set at 100 TB; qe3/qe7 are
+    // the serving path).
+    q("qe13_mrl_recall", {
+      val fdot = (a: String, b: String) =>
+        s"""list_reduce(list_transform(generate_series(1, len($a)), i ->
+           |  CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+           |  (x, y) -> x + y)""".stripMargin
+      s"""WITH ks AS (SELECT unnest([16, 32]) AS k),
+         |rq AS (SELECT vec_id AS qid, embedding AS rqv FROM embeddings
+         |  WHERE vec_id IN (42, 123, 321)),
+         |tq AS (SELECT qid, k, list_slice(rqv, 1, k) AS qs
+         |  FROM rq CROSS JOIN ks),
+         |td AS (SELECT t.qid, t.k, e.vec_id,
+         |    CAST(floor(${fdot("t.qs", "list_slice(e.embedding, 1, t.k)")}
+         |      * 1000000.0) AS BIGINT) AS c6
+         |  FROM embeddings e CROSS JOIN tq t WHERE e.vec_id <> t.qid),
+         |ttop AS (SELECT qid, k, vec_id FROM (
+         |    SELECT qid, k, vec_id, row_number() OVER (PARTITION BY qid, k
+         |      ORDER BY c6 DESC, vec_id) AS rk FROM td) z
+         |  WHERE rk <= 5),
+         |ed AS (SELECT q.qid, e.vec_id,
+         |    CAST(floor(${fdot("q.rqv", "e.embedding")}
+         |      * 1000000.0) AS BIGINT) AS c6
+         |  FROM embeddings e CROSS JOIN rq q WHERE e.vec_id <> q.qid),
+         |ex AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY c6 DESC, vec_id) AS rk FROM ed) z
+         |  WHERE rk <= 5),
+         |h AS (SELECT t.qid, t.k, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM ttop t JOIN ex ON ex.qid = t.qid AND ex.vec_id = t.vec_id
+         |  GROUP BY t.qid, t.k)
+         |SELECT q.qid, CAST(q.k AS BIGINT) AS k_dims,
+         |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.n, 0) * 20 AS BIGINT) AS recall_pct
+         |FROM tq q LEFT JOIN h ON h.qid = q.qid AND h.k = q.k
+         |ORDER BY q.qid, k_dims""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val ks = s.range(1).selectExpr("explode(array(16, 32)) AS k")
+      val rq = emb.where(col("vec_id").isin(42, 123, 321))
+        .select(col("vec_id").as("qid"), col("embedding").as("rqv"))
+      val tq = rq.crossJoin(ks)
+        .select(col("qid"), col("k"), expr("slice(rqv, 1, k)").as("qs"))
+      val ttop = emb.crossJoin(broadcast(tq))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("k"), col("vec_id"),
+          floor(expr("graft_dot(qs, slice(embedding, 1, k))") * 1000000.0)
+            .cast("long").as("c6"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid"), col("k"))
+            .orderBy(col("c6").desc, col("vec_id"))))
+        .where(col("rk") <= 5).select(col("qid"), col("k"), col("vec_id"))
+      val ex = emb.crossJoin(broadcast(rq))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          floor(expr("graft_dot(rqv, embedding)") * 1000000.0)
+            .cast("long").as("c6"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("c6").desc, col("vec_id"))))
+        .where(col("rk") <= 5).select(col("qid"), col("vec_id"))
+      val hits = ttop.join(ex, Seq("qid", "vec_id"))
+        .groupBy("qid", "k").agg(count(lit(1)).as("n"))
+      tq.select(col("qid"), col("k")).join(hits, Seq("qid", "k"), "left")
+        .select(col("qid"), col("k").cast("long").as("k_dims"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_hits"))
+        .withColumn("recall_pct", (col("n_hits") * 20).cast("long"))
+        .orderBy("qid", "k_dims")
+    },
+
     // EMBEDDING-BASED DECONTAMINATION (round 10) — the semantic twin of
     // qp9's n-gram membership test: flag a training vector when its max
     // cosine against the (small) benchmark slice clears a threshold —

@@ -132,6 +132,34 @@ class EmbeddingSpec extends SparkSuite {
     assert(got.map(_._2).sum < 15 && got.map(_._2).sum >= 10)
   }
 
+  test("qe13 MRL recall equals a driver-side truncate-and-rank recompute") {
+    // independent ground truth: k-dim prefix double-dot top-5 vs exact
+    // full-dim top-5 (both floor-scaled and tie-broken on vec_id)
+    def top5(q: Long, score: Long => Double): Seq[Long] =
+      vecs.keys.filter(_ != q).toSeq
+        .map(id => (id, score(id)))
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    def fdot(a: Array[Float], b: Array[Float], k: Int): Double =
+      math.floor(a.take(k).zip(b.take(k)).foldLeft(0.0) {
+        case (acc, (x, y)) => acc + x.toDouble * y.toDouble } * 1e6)
+    val expected = (for {
+      q <- Seq(42L, 123L, 321L); k <- Seq(16, 32)
+    } yield {
+      val ex = top5(q, id => fdot(vecs(q), vecs(id), 64))
+      val tk = top5(q, id => fdot(vecs(q), vecs(id), k))
+      (q, k.toLong, ex.toSet.intersect(tk.toSet).size.toLong)
+    }).sorted
+    val got = run("qe13_mrl_recall")
+      .select($"qid", $"k_dims", $"n_hits")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got == expected)
+    // more dims never hurt on this fixture: per probe, k=32 recall >=
+    // k=16 recall — the monotonicity that makes the curve actionable
+    val byProbe = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3)).toMap
+    byProbe.values.foreach(rs => assert(rs(0) <= rs(1)))
+  }
+
   test("qe3 LSH buckets: same-bucket pairs are more similar than average") {
     val buckets = run("qe3_lsh_buckets").select($"vec_id", $"bucket")
       .as[(Long, Long)].collect()
