@@ -101,6 +101,32 @@ object AsofOps {
     projectMatch(matched, key, ts, probeRest, payload, leftJoin)
   }
 
+  /** Backward as-of with a TOLERANCE bound (pandas merge_asof
+    * `tolerance=`): the latest at-or-before build row matches ONLY if
+    * `probe.ts - build.ts <= toleranceMicros` (inclusive); a nearest
+    * match that is too stale does NOT fall back to an even older row —
+    * the match is rejected (dropped when `leftJoin = false`, nulled
+    * otherwise). Stale feature values are worse than missing ones in a
+    * training pipeline; this is the operator form of that rule. Same
+    * one-shuffle union+window plan as [[asofJoin]] plus one map-side
+    * gap comparison in exact integer micros. */
+  def asofJoinWithin(probe: DataFrame, build: DataFrame, key: String,
+      ts: String, payload: Seq[String], toleranceMicros: Long,
+      leftJoin: Boolean = false): DataFrame = {
+    require(toleranceMicros >= 0, s"negative tolerance: $toleranceMicros")
+    val all = asofCore(probe, build, key, ts, payload, leftJoin = true,
+      forward = false)
+    val ok = col("asof_ts").isNotNull &&
+      unix_micros(col(ts)) - unix_micros(col("asof_ts")) <= toleranceMicros
+    if (leftJoin)
+      all.select(all.columns.map { c =>
+        if (c == "asof_ts" || payload.map("asof_" + _).contains(c))
+          when(ok, col(c)).otherwise(lit(null)).as(c)
+        else col(c)
+      }: _*)
+    else all.where(ok)
+  }
+
   private def asofCore(probe: DataFrame, build: DataFrame, key: String,
       ts: String, payload: Seq[String], leftJoin: Boolean,
       forward: Boolean): DataFrame = {

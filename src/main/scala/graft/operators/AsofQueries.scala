@@ -95,6 +95,35 @@ object AsofQueries extends QueryModule {
         .orderBy(col("event_id"))
     },
 
+    // TOLERANCE-bounded as-of (round 15, pandas merge_asof tolerance=):
+    // the latest view matches only when it is at most 2 days stale;
+    // older matches are REJECTED, not replaced — stale features are
+    // worse than missing ones. LEFT form exercises the nulling path;
+    // the matched time travels as nullable epoch micros (qj5 posture).
+    // The oracle post-filters DuckDB's backward ASOF with the same
+    // inclusive integer-micros gap rule.
+    q("qj8_asof_tolerance",
+      """WITH v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 172800000000
+        |    THEN epoch_us(v.ts) END AS asof_ts_us,
+        |  CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 172800000000
+        |    THEN v.value END AS asof_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsofOps.asofJoinWithin(purchases, views, "user_id", "ts",
+          Seq("value"), 2L * 86400 * 1000000, leftJoin = true)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("asof_ts")).as("asof_ts_us"), col("asof_value"))
+        .orderBy(col("event_id"))
+    },
+
     // Views within the 7 days before each purchase (inclusive bounds),
     // counted by a single RANGE-frame window pass — the batch twin of the
     // streaming interval join, without the per-key quadratic of a

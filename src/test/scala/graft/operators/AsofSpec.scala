@@ -98,6 +98,33 @@ class AsofSpec extends SparkSuite {
     assert(eq.getAs[Double]("asof_value") === 12.0)
   }
 
+  test("asofJoinWithin rejects stale matches, keeps exact-boundary ones") {
+    // key 1 builds at 10:00 and 12:00; tolerance 90 minutes:
+    //   120 @11:00 -> 10:00 is 60m stale -> within, 10.0
+    //   121 @11:30 -> 10:00 is exactly 90m stale -> INCLUSIVE, 10.0
+    //   122 @11:45 -> 10:00 is 105m stale -> rejected (no fallback)
+    //   123 @13:29 -> 12:00 within -> 12.0
+    val p = Seq(
+      (120L, 1L, ts("2024-01-01 11:00:00")),
+      (121L, 1L, ts("2024-01-01 11:30:00")),
+      (122L, 1L, ts("2024-01-01 11:45:00")),
+      (123L, 1L, ts("2024-01-01 13:29:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val tol = 90L * 60 * 1000000
+    val inner = AsofOps.asofJoinWithin(p, build, "user_id", "ts",
+        Seq("value"), tol)
+      .orderBy("event_id")
+      .select("event_id", "asof_value").as[(Long, Double)].collect()
+    assert(inner === Seq((120L, 10.0), (121L, 10.0), (123L, 12.0)))
+    // left form NULLS the rejected match instead of dropping the probe
+    val left = AsofOps.asofJoinWithin(p, build, "user_id", "ts",
+        Seq("value"), tol, leftJoin = true).orderBy("event_id").collect()
+    assert(left.length === 4)
+    val r122 = left.find(_.getAs[Long]("event_id") == 122L).get
+    assert(r122.isNullAt(r122.fieldIndex("asof_ts")))
+    assert(r122.isNullAt(r122.fieldIndex("asof_value")))
+  }
+
   test("asofJoin left keeps unmatched probes with null payload") {
     val out = AsofOps.asofJoin(probe, build, "user_id", "ts", Seq("value"),
         leftJoin = true)
