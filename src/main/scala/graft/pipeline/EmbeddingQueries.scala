@@ -32,6 +32,15 @@ object EmbeddingQueries extends QueryModule {
   private val duckNorm =
     "list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)"
 
+  /** DuckDB twin of [[dotExpr]] — the zero-seeded left fold whose
+    * summation order must stay bit-identical to graft_dot's. ONE
+    * definition shared by qe12/qe13 so the oracle contract cannot
+    * silently diverge between the audits. */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, len($a)), i ->
+       |  CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+       |  (x, y) -> x + y)""".stripMargin
+
   /** The qe7 IVF probe search as a reusable pipeline stage (qe9 evaluates
     * its recall against the exact scan): fixed pivots broadcast, nearest
     * cell via partial-agg min-struct, nprobe=2, exact cosine re-rank of
@@ -553,10 +562,7 @@ object EmbeddingQueries extends QueryModule {
       val qdot = (a: String, b: String) =>
         s"""list_reduce(list_transform(generate_series(1, len($a)), i ->
            |  $a[i] * $b[i]), (x, y) -> x + y)""".stripMargin
-      val fdot = (a: String, b: String) =>
-        s"""list_reduce(list_transform(generate_series(1, len($a)), i ->
-           |  CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
-           |  (x, y) -> x + y)""".stripMargin
+      val fdot = duckDot _
       s"""WITH sc AS (SELECT MAX(list_max(list_transform(embedding,
          |    x -> abs(x)))) AS scale FROM embeddings),
          |qv AS (SELECT vec_id, list_transform(embedding, x ->
@@ -644,10 +650,7 @@ object EmbeddingQueries extends QueryModule {
     // qe12/qe9 — run over a sampled probe set at 100 TB; qe3/qe7 are
     // the serving path).
     q("qe13_mrl_recall", {
-      val fdot = (a: String, b: String) =>
-        s"""list_reduce(list_transform(generate_series(1, len($a)), i ->
-           |  CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
-           |  (x, y) -> x + y)""".stripMargin
+      val fdot = duckDot _
       s"""WITH ks AS (SELECT unnest([16, 32]) AS k),
          |rq AS (SELECT vec_id AS qid, embedding AS rqv FROM embeddings
          |  WHERE vec_id IN (42, 123, 321)),
