@@ -715,6 +715,127 @@ object EmbeddingQueries extends QueryModule {
         .orderBy("qid", "k_dims")
     },
 
+    // FILTERED ANN audit (round 15) — metadata-filtered vector search,
+    // the retrieval shape every production vector store serves ("top-k
+    // WHERE label = X"): the cheap strategy POST-FILTERS the IVF probe
+    // candidates (reusing qe7's pivots/cells/nprobe=2), which loses
+    // recall two ways — probed cells may hold few label-matching rows,
+    // and the filter shrinks an already-approximate candidate set.
+    // This query measures exactly that, as top-5 recall of the
+    // post-filtered IVF ranking against the PRE-FILTERED exact scan
+    // (restrict corpus to the label, then brute cosine — correct by
+    // construction). Scale shape: pivots and probes broadcast, the
+    // label filter is a map-side predicate on the candidate join, the
+    // exact leg is the qe2 broadcast audit posture (sampled probes at
+    // 100 TB). Determinism: the qe7 floor-scaled cosine + vec_id ties.
+    q("qe14_filtered_ann", {
+      val d2 = (a: String, b: String) =>
+        s"(${duckDot(a, a)} - 2.0 * ${duckDot(a, b)} + ${duckDot(b, b)})"
+      s"""WITH piv AS (SELECT vec_id AS pid, embedding AS pvec
+         |  FROM embeddings WHERE vec_id < 8),
+         |ad AS (SELECT e.vec_id, p.pid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${d2("e.embedding", "p.pvec")}, p.pid) AS rn
+         |  FROM embeddings e CROSS JOIN piv p),
+         |cells AS (SELECT vec_id, pid AS cell FROM ad WHERE rn = 1),
+         |qs AS (SELECT vec_id AS qid, embedding AS qvec
+         |  FROM embeddings WHERE vec_id IN (42, 123, 321)),
+         |qd AS (SELECT q.qid, p.pid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${d2("q.qvec", "p.pvec")}, p.pid) AS pr
+         |  FROM qs q CROSS JOIN piv p),
+         |probe AS (SELECT qid, pid FROM qd WHERE pr <= 2),
+         |cand AS (SELECT pr.qid, c.vec_id
+         |  FROM probe pr JOIN cells c ON c.cell = pr.pid),
+         |post AS (SELECT qid, vec_id FROM (
+         |    SELECT sc.qid, sc.vec_id, row_number() OVER (
+         |      PARTITION BY sc.qid ORDER BY sc.c6 DESC, sc.vec_id) AS rk
+         |    FROM (SELECT cand.qid, cand.vec_id,
+         |        CAST(floor(${duckDot("q.qvec", "e.embedding")}
+         |          / sqrt(${duckDot("q.qvec", "q.qvec")}
+         |                 * ${duckDot("e.embedding", "e.embedding")})
+         |          * 1000000.0) AS BIGINT) AS c6
+         |      FROM cand JOIN qs q ON q.qid = cand.qid
+         |        JOIN embeddings e ON e.vec_id = cand.vec_id
+         |      WHERE cand.vec_id <> cand.qid AND e.label = 3
+         |        AND ${duckDot("e.embedding", "e.embedding")} > 0) sc) z
+         |  WHERE rk <= 5),
+         |ex AS (SELECT qid, vec_id FROM (
+         |    SELECT q.qid, e.vec_id, row_number() OVER (
+         |      PARTITION BY q.qid ORDER BY
+         |        CAST(floor(${duckDot("q.qvec", "e.embedding")}
+         |          / sqrt(${duckDot("q.qvec", "q.qvec")}
+         |                 * ${duckDot("e.embedding", "e.embedding")})
+         |          * 1000000.0) AS BIGINT) DESC, e.vec_id) AS rk
+         |    FROM embeddings e CROSS JOIN qs q
+         |    WHERE e.vec_id <> q.qid AND e.label = 3
+         |      AND ${duckDot("e.embedding", "e.embedding")} > 0) z
+         |  WHERE rk <= 5),
+         |np AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_post
+         |  FROM post GROUP BY qid),
+         |h AS (SELECT p.qid, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM post p JOIN ex ON ex.qid = p.qid AND ex.vec_id = p.vec_id
+         |  GROUP BY p.qid)
+         |SELECT q.qid, CAST(COALESCE(np.n_post, 0) AS BIGINT) AS n_post,
+         |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.n, 0) * 20 AS BIGINT) AS recall_pct
+         |FROM qs q LEFT JOIN np ON np.qid = q.qid
+         |  LEFT JOIN h ON h.qid = q.qid
+         |ORDER BY q.qid""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      def d2e(a: String, b: String) =
+        s"(graft_dot($a, $a) - 2.0D * graft_dot($a, $b) + graft_dot($b, $b))"
+      val embL = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val emb = embL.select(col("vec_id"), col("embedding"))
+      val piv = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+      val cells = emb.crossJoin(broadcast(piv))
+        .select(col("vec_id"), col("pid"),
+          expr(d2e("embedding", "pvec")).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("pid"))).as("m"))
+        .select(col("vec_id"), col("m.pid").as("cell"))
+      val qs = emb.where(col("vec_id").isin(42, 123, 321))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val probe = qs.crossJoin(broadcast(piv))
+        .select(col("qid"), col("pid"), expr(d2e("qvec", "pvec")).as("d2"))
+        .withColumn("pr", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d2"), col("pid"))))
+        .where(col("pr") <= 2).select(col("qid"), col("pid"))
+      val cand = probe.join(cells, col("cell") === col("pid"))
+        .select(col("qid"), col("vec_id"))
+      val c6 = floor(expr("graft_dot(qvec, embedding)")
+        / sqrt(expr("graft_dot(qvec, qvec)")
+          * expr("graft_dot(embedding, embedding)")) * 1000000.0)
+        .cast("long")
+      val post = cand.join(broadcast(qs), "qid").join(embL, "vec_id")
+        .where(col("vec_id") =!= col("qid") && col("label") === 3
+          && expr("graft_dot(embedding, embedding)") > 0)
+        .select(col("qid"), col("vec_id"), c6.as("c6"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("c6").desc, col("vec_id"))))
+        .where(col("rk") <= 5).select(col("qid"), col("vec_id"))
+      val ex = embL.where(col("label") === 3).crossJoin(broadcast(qs))
+        .where(col("vec_id") =!= col("qid")
+          && expr("graft_dot(embedding, embedding)") > 0)
+        .select(col("qid"), col("vec_id"), c6.as("c6"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("c6").desc, col("vec_id"))))
+        .where(col("rk") <= 5).select(col("qid"), col("vec_id"))
+      val np = post.groupBy("qid").agg(count(lit(1)).as("n_post"))
+      val hits = post.join(ex, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n"))
+      qs.select(col("qid")).join(np, Seq("qid"), "left")
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_post"), lit(0L)).cast("long").as("n_post"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_hits"))
+        .withColumn("recall_pct", (col("n_hits") * 20).cast("long"))
+        .orderBy("qid")
+    },
+
     // EMBEDDING-BASED DECONTAMINATION (round 10) — the semantic twin of
     // qp9's n-gram membership test: flag a training vector when its max
     // cosine against the (small) benchmark slice clears a threshold —

