@@ -223,6 +223,72 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // N-gram novelty curve (round 15) — the Heaps-law corpus-health
+    // check at trigram granularity: cumulative distinct-trigram count
+    // and the NEW-gram delta at 25/50/75/100% doc-id checkpoints. A
+    // healthy diverse corpus keeps minting novel n-grams; a
+    // template-heavy source's novelty rate collapses — the curve you
+    // read before deciding a source is mined out (word-level vocab
+    // saturates trivially; the gram space is where diversity lives).
+    // Scale shape: the naive form is four conditional DISTINCT
+    // aggregates (four gram shuffles); this runs ONE groupBy instead —
+    // first_seen = MIN(doc_id) per gram (a single gram-keyed
+    // partial-agg shuffle, the qp26-family key), then every checkpoint
+    // statistic is a count over first_seen buckets against a broadcast
+    // 4-row checkpoint table. All counts exact BIGINTs; checkpoints
+    // derive from MAX(doc_id) by integer arithmetic.
+    q("qt18_gram_novelty",
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |gs AS (SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS g
+        |  FROM tk WHERE len(ws) >= 3),
+        |fs AS (SELECT g, CAST(MIN(doc_id) AS BIGINT) AS first_seen
+        |  FROM gs GROUP BY g),
+        |mx AS (SELECT MAX(doc_id) AS md FROM documents),
+        |cp AS (SELECT q AS quartile, (mx.md * q) // 4 AS cutoff,
+        |    CASE WHEN q = 1 THEN -1
+        |      ELSE (mx.md * (q - 1)) // 4 END AS prev_cutoff
+        |  FROM (SELECT unnest([1, 2, 3, 4]) AS q) u CROSS JOIN mx)
+        |SELECT CAST(cp.quartile AS INT) AS quartile,
+        |  CAST(cp.cutoff AS BIGINT) AS doc_cutoff,
+        |  CAST(COUNT(*) FILTER (WHERE fs.first_seen <= cp.cutoff)
+        |    AS BIGINT) AS gram_vocab,
+        |  CAST(COUNT(*) FILTER (WHERE fs.first_seen <= cp.cutoff
+        |    AND fs.first_seen > cp.prev_cutoff) AS BIGINT) AS new_grams
+        |FROM cp CROSS JOIN fs
+        |GROUP BY cp.quartile, cp.cutoff, cp.prev_cutoff
+        |ORDER BY quartile""".stripMargin) { (s, d) =>
+      val fs = t(s, d, "documents")
+        .selectExpr("doc_id", s"${CurationQueries.WordsExpr} AS ws")
+        .where("size(ws) >= 3")
+        .select(col("doc_id"),
+          explode(expr(CurationQueries.TrigramsExpr)).as("g"))
+        .groupBy("g").agg(min("doc_id").as("first_seen"))
+      val mx = t(s, d, "documents").agg(max("doc_id").as("md"))
+      val cp = s.range(1, 5).toDF("quartile")
+        .crossJoin(broadcast(mx))
+        .select(col("quartile"),
+          expr("(md * quartile) div 4").as("cutoff"),
+          // quartile 1's lower bound sits BELOW the smallest doc_id
+          // (doc_id 0 exists — its first-seen grams must land in q1)
+          expr("IF(quartile = 1, -1L, (md * (quartile - 1)) div 4)")
+            .as("prev_cutoff"))
+      fs.crossJoin(broadcast(cp))
+        .groupBy(col("quartile"), col("cutoff"), col("prev_cutoff"))
+        .agg(count(when(col("first_seen") <= col("cutoff"), 1))
+            .as("gram_vocab"),
+          count(when(col("first_seen") <= col("cutoff")
+            && col("first_seen") > col("prev_cutoff"), 1)).as("new_grams"))
+        .select(col("quartile").cast("int").as("quartile"),
+          col("cutoff").as("doc_cutoff"),
+          col("gram_vocab").cast("long").as("gram_vocab"),
+          col("new_grams").cast("long").as("new_grams"))
+        .orderBy("quartile")
+    },
+
     // N-gram/marker-word language-ID heuristic: count marker hits per
     // language profile, argmax with fixed tie order, then confusion counts
     // against the labeled lang column.

@@ -208,6 +208,37 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("qt18 gram novelty equals a driver-side first-seen recompute") {
+    val texts = Engine.table(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val firstSeen = scala.collection.mutable.Map.empty[String, Long]
+    texts.sortBy(_._1).foreach { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      if (ws.length >= 3)
+        (0 to ws.length - 3).foreach { i =>
+          val g = s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}"
+          if (!firstSeen.contains(g)) firstSeen(g) = id
+        }
+    }
+    val md = texts.map(_._1).max
+    val expected = (1 to 4).map { q =>
+      val cut = md * q / 4
+      val prev = if (q == 1) -1L else md * (q - 1) / 4 // q1 includes doc 0
+      (q, cut,
+        firstSeen.values.count(_ <= cut).toLong,
+        firstSeen.values.count(v => v <= cut && v > prev).toLong)
+    }
+    val got = run("qt18_gram_novelty")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the signal is real on this corpus: cumulative vocab strictly
+    // grows, and the curve saturates (later novelty <= the first burst)
+    assert(got.map(_._3) == got.map(_._3).sorted)
+    assert(got.last._4 <= got.head._4)
+    // deltas partition the cumulative total
+    assert(got.map(_._4).sum == got.last._3)
+  }
+
   test("qp13 water-filling: budget exhausted, caps respected, one knee") {
     val rows = run("qp13_token_budget")
       .as[(String, Long, Double, Double)].collect()
