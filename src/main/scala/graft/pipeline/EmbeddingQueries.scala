@@ -41,12 +41,21 @@ object EmbeddingQueries extends QueryModule {
        |  CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
        |  (x, y) -> x + y)""".stripMargin
 
-  /** The qe7 IVF probe search as a reusable pipeline stage (qe9 evaluates
-    * its recall against the exact scan): fixed pivots broadcast, nearest
-    * cell via partial-agg min-struct, nprobe=2, exact cosine re-rank of
-    * probed candidates, top-5 per query. */
-  private def ivfProbeTop5(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
+  /** The floor-scaled exact cosine used by every re-rank leg. */
+  private val cosine6 =
+    floor(expr("graft_dot(qvec, embedding)")
+      / sqrt(expr("graft_dot(qvec, qvec)")
+        * expr("graft_dot(embedding, embedding)")) * 1000000.0)
+      .cast("long")
+
+  /** The IVF candidate-generation stage shared by qe7 (unfiltered probe
+    * search) and qe14 (label-post-filtered search): fixed pivots
+    * (vec_id < 8) broadcast, nearest cell via partial-agg min-struct,
+    * nprobe=2 for the fixed probe set. ONE definition so a pivot-count
+    * or nprobe change can never desynchronize the audits' candidate
+    * universes. Returns (cand = (qid, vec_id), qs = (qid, qvec)). */
+  private def ivfCandidates(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     def d2(a: String, b: String) =
       s"(graft_dot($a, $a) - 2.0D * graft_dot($a, $b) + graft_dot($b, $b))"
@@ -70,14 +79,20 @@ object EmbeddingQueries extends QueryModule {
       .select(col("qid"), col("pid"))
     val cand = probe.join(cells, col("cell") === col("pid"))
       .select(col("qid"), col("vec_id"))
+    (cand, qs)
+  }
+
+  /** The qe7 IVF probe search as a reusable pipeline stage (qe9 evaluates
+    * its recall against the exact scan): [[ivfCandidates]] + exact cosine
+    * re-rank of probed candidates, top-5 per query. */
+  private def ivfProbeTop5(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val (cand, qs) = ivfCandidates(s, d)
+    val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
     cand.join(broadcast(qs), "qid").join(emb, "vec_id")
       .where(col("vec_id") =!= col("qid")
         && expr("graft_dot(embedding, embedding)") > 0)
-      .select(col("qid"), col("vec_id"),
-        floor(expr("graft_dot(qvec, embedding)")
-          / sqrt(expr("graft_dot(qvec, qvec)")
-            * expr("graft_dot(embedding, embedding)"))
-          * 1000000.0).cast("long").as("c6"))
+      .select(col("qid"), col("vec_id"), cosine6.as("c6"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("c6").desc, col("vec_id"))))
@@ -783,44 +798,20 @@ object EmbeddingQueries extends QueryModule {
          |  LEFT JOIN h ON h.qid = q.qid
          |ORDER BY q.qid""".stripMargin
     }) { (s, d) =>
-      graft.functions.GraftFunctions.register(s)
-      def d2e(a: String, b: String) =
-        s"(graft_dot($a, $a) - 2.0D * graft_dot($a, $b) + graft_dot($b, $b))"
+      val (cand, qs) = ivfCandidates(s, d)
       val embL = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"), col("label"))
-      val emb = embL.select(col("vec_id"), col("embedding"))
-      val piv = emb.where(col("vec_id") < 8)
-        .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
-      val cells = emb.crossJoin(broadcast(piv))
-        .select(col("vec_id"), col("pid"),
-          expr(d2e("embedding", "pvec")).as("d2"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("pid"))).as("m"))
-        .select(col("vec_id"), col("m.pid").as("cell"))
-      val qs = emb.where(col("vec_id").isin(42, 123, 321))
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val probe = qs.crossJoin(broadcast(piv))
-        .select(col("qid"), col("pid"), expr(d2e("qvec", "pvec")).as("d2"))
-        .withColumn("pr", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("d2"), col("pid"))))
-        .where(col("pr") <= 2).select(col("qid"), col("pid"))
-      val cand = probe.join(cells, col("cell") === col("pid"))
-        .select(col("qid"), col("vec_id"))
-      val c6 = floor(expr("graft_dot(qvec, embedding)")
-        / sqrt(expr("graft_dot(qvec, qvec)")
-          * expr("graft_dot(embedding, embedding)")) * 1000000.0)
-        .cast("long")
       val post = cand.join(broadcast(qs), "qid").join(embL, "vec_id")
         .where(col("vec_id") =!= col("qid") && col("label") === 3
           && expr("graft_dot(embedding, embedding)") > 0)
-        .select(col("qid"), col("vec_id"), c6.as("c6"))
+        .select(col("qid"), col("vec_id"), cosine6.as("c6"))
         .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("c6").desc, col("vec_id"))))
         .where(col("rk") <= 5).select(col("qid"), col("vec_id"))
       val ex = embL.where(col("label") === 3).crossJoin(broadcast(qs))
         .where(col("vec_id") =!= col("qid")
           && expr("graft_dot(embedding, embedding)") > 0)
-        .select(col("qid"), col("vec_id"), c6.as("c6"))
+        .select(col("qid"), col("vec_id"), cosine6.as("c6"))
         .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("c6").desc, col("vec_id"))))
         .where(col("rk") <= 5).select(col("qid"), col("vec_id"))

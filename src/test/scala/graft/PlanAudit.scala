@@ -245,6 +245,22 @@ object PlanAudit {
         !qp29.contains("CartesianProduct") &&
         !qp29.contains("BroadcastNestedLoopJoin"))
 
+    // filtered ANN: pivots/probes broadcast; the only nested-loop joins
+    // are the broadcast probe attachments (qe2 posture), no cartesian
+    val qe14 = plan("qe14_filtered_ann")
+    check("qe14 broadcast pivots/probes; no cartesian",
+      qe14.contains("BroadcastExchange") &&
+        !qe14.contains("CartesianProduct"))
+
+    // gram novelty: first_seen is ONE map-side-combined gram groupBy
+    // (partial_min before the shuffle), checkpoints broadcast —
+    // never four conditional-DISTINCT shuffles
+    val qt18 = plan("qt18_gram_novelty")
+    check("qt18 partial_min gram pass + broadcast checkpoints; no cartesian",
+      qt18.contains("partial_min") &&
+        qt18.contains("BroadcastExchange") &&
+        !qt18.contains("CartesianProduct"))
+
     // Gram-identity diversity: one partial-aggregated pass, the only
     // join is over the per-label reduced tables
     val qe10 = plan("qe10_sample_diversity")

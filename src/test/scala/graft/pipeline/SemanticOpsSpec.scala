@@ -144,25 +144,39 @@ class SemanticOpsSpec extends SparkSuite {
             * 1000000.0).toLong)
         }.sortBy(t => (-t._2, t._1)).take(5).map(_._1).toSet
     }.toMap
-    // the post-filter leg can only DEGRADE recall vs the exact leg, and
-    // n_hits must equal |post ∩ exact| when post is recomputed as the
-    // label-filtered re-rank of qe7's probed candidate ids
-    val probed = run("qe7_ivf_probe").collect()
-      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
-      .map { case (q, v) => q -> v.map(_._2).toSet }
-    val labels = emb.map(t => t._1 -> t._3).toMap
+    // recompute the POST leg from first principles over the SAME
+    // candidate universe: every vector sharing a probed cell with the
+    // query (the qe14 cand set — nprobe=2 over the vec_id<8 pivots),
+    // label-filtered, cosine re-ranked, top-5. n_post and n_hits must
+    // match exactly — a dropped label filter, wrong cell join, or
+    // changed nprobe all break this
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+    val pivots = emb.filter(_._1 < 8).map(t => (t._1, t._2)).toSeq
+    def cellOf(v: Array[Float]): Long =
+      pivots.map { case (pid, pv) => (d2(v, pv), pid) }.min._2
+    val cellIndex = emb.map(t => t._1 -> cellOf(t._2)).toMap
+    val postExp = Seq(42L, 123L, 321L).map { qid =>
+      val qv = emb.find(_._1 == qid).get._2
+      val qn = dot(qv, qv)
+      val probedCells = pivots.map { case (pid, pv) => (d2(qv, pv), pid) }
+        .sorted.take(2).map(_._2).toSet
+      qid -> emb.filter { case (id, v, l) =>
+          id != qid && l == 3 && probedCells.contains(cellIndex(id)) &&
+            dot(v, v) > 0 }
+        .map { case (id, v, _) =>
+          (id, math.floor(dot(qv, v) / math.sqrt(qn * dot(v, v))
+            * 1000000.0).toLong)
+        }.sortBy(t => (-t._2, t._1)).take(5).map(_._1).toSet
+    }.toMap
     val got = run("qe14_filtered_ann").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.map(_._1).toSeq == Seq(42L, 123L, 321L))
     got.foreach { case (qid, nPost, nHits, pct) =>
       assert(pct == nHits * 20)
-      assert(nHits <= nPost && nPost <= 5)
-      assert(nHits <= exact(qid).size)
-      // sanity on the candidate universe: qe7's UNFILTERED top-5 is a
-      // subset of the probed cells, so the filtered result can't
-      // contain a vector outside label 3 (checked via the exact set
-      // membership below when recall is 100%)
-      if (nHits == 5) assert(exact(qid).forall(id => labels(id) == 3))
+      assert(nPost == postExp(qid).size.toLong, s"n_post for $qid")
+      assert(nHits == (postExp(qid) & exact(qid)).size.toLong,
+        s"n_hits for $qid")
     }
     // the audit is non-vacuous on this corpus: post-filtering costs
     // recall for at least one probe
