@@ -118,7 +118,14 @@ object ScaleUpBench {
     // or bounded-by-construction, so expected wall is ~linear. The
     // nearest as-of join rides one key shuffle + two in-partition
     // sorts (both O(n) running frames after the qj6 frame fix).
-    "qp28_perplexity_buckets", "qj7_asof_nearest")
+    "qp28_perplexity_buckets", "qj7_asof_nearest",
+    // round 15 continuation: containment dedup (df-pruned inverted
+    // index — the df ≤ 10 cap bounds per-gram fan-out, and disjoint
+    // shards add new grams rather than deepening existing ones),
+    // token entropy + gram novelty (each ONE gram/token-keyed
+    // partial-agg shuffle), scene cuts (frames explode + per-item LAG)
+    "qp29_containment_dedup", "qt17_token_entropy",
+    "qt18_gram_novelty", "qm5_scene_cuts")
 
   private def timeQuery(spark: SparkSession, name: String,
       dir: String): (Double, Double) = {
