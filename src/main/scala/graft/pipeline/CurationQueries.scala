@@ -345,11 +345,14 @@ object CurationQueries extends QueryModule {
         |JOIN tot ta ON sh.src_a = ta.source
         |JOIN tot tb ON sh.src_b = tb.source
         |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      // gs feeds the per-source totals AND the pair expansion — cache
+      // so the gram explode+distinct runs once, not twice
       val gs = t(s, d, "documents")
         .selectExpr("source", s"$WordsExpr AS ws")
         .where("size(ws) >= 3")
         .select(col("source"), explode(expr(TrigramsExpr)).as("g"))
         .distinct()
+        .cache()
       val tot = gs.groupBy("source").agg(count(lit(1)).as("n"))
       val sh = gs.groupBy("g")
         .agg(sort_array(collect_set(col("source"))).as("ss"))

@@ -692,14 +692,18 @@ object DedupQueries extends QueryModule {
         |  JOIN sz sb ON sh.doc_b = sb.doc_id
         |WHERE sh.shared * 2 >= LEAST(sa.n, sb.n)
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      // gs feeds df AND the kept join, kept feeds sizes AND pairs —
+      // cache both (MEMORY_AND_DISK, spills at scale) so the gram
+      // explode+distinct runs once, not once per consumer
       val gs = t(s, d, "documents")
         .selectExpr("doc_id", s"${CurationQueries.WordsExpr} AS ws")
         .where("size(ws) >= 3")
         .select(col("doc_id"),
           explode(expr(CurationQueries.TrigramsExpr)).as("g"))
         .distinct()
+        .cache()
       val df = gs.groupBy("g").agg(count(lit(1)).as("df"))
-      val kept = gs.join(df.where(col("df") <= 10), "g")
+      val kept = gs.join(df.where(col("df") <= 10), "g").cache()
       val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // pair expansion from the per-gram doc SET (bounded ≤ 10 by the
       // df filter — qp27's pattern), not a gram self-join

@@ -206,10 +206,14 @@ object TextQueries extends QueryModule {
         |FROM wc JOIN t USING (doc_id)
         |GROUP BY t.doc_id, t.tot, t.nd
         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      // wc feeds the per-doc rollup AND the scoring join — cache the
+      // reduced (doc, word, count) table so the token explode+groupBy
+      // runs once
       val wc = t(s, d, "documents")
         .select(col("doc_id"),
           explode(expr(CurationQueries.WordsExpr)).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .cache()
       val tt = wc.groupBy("doc_id")
         .agg(sum("c").as("tot"), count(lit(1)).as("nd"))
       wc.join(tt, "doc_id")
