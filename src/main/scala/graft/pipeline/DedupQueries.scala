@@ -514,11 +514,14 @@ object DedupQueries extends QueryModule {
           col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .agg(count(lit(1)).as("i"))
+      // truth and cand each feed a join AND their own count — cache the
+      // reduced pair tables so their shuffles run once per table
       val truth = iv
         .join(sz.select(col("doc_id").as("a"), col("ns").as("na")), Seq("a"))
         .join(sz.select(col("doc_id").as("b"), col("ns").as("nb")), Seq("b"))
         .where(expr("i * 1000000 div (na + nb - i) >= 500000"))
         .select(col("a"), col("b"))
+        .cache()
       val bands = docs.select(col("doc_id"),
         posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
       val cand = bands.as("x").join(bands.as("y"),
@@ -526,6 +529,7 @@ object DedupQueries extends QueryModule {
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
+        .cache()
       val hit = truth.join(cand, Seq("a", "b"))
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(cand.agg(count(lit(1)).as("n_cand")))

@@ -47,6 +47,10 @@ object PackingQueries extends QueryModule {
     val bucketed = base.withColumn("pid", substring(col("h"), 1, 2))
     val wLocal = Window.partitionBy("pid").orderBy("h", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // local feeds the bucket totals AND the final join, but its two
+    // occurrences share ONE identical Exchange — Spark's ReusedExchange
+    // already materializes that shuffle once, so an explicit cache here
+    // only adds a copy (measured: 0.19s -> 0.50s at 1x with .cache())
     val local = bucketed.withColumn("local_end", sum("n_tok").over(wLocal))
     val bases = local.groupBy("pid").agg(sum("n_tok").as("ptot"))
     val wBase = Window.orderBy("pid")
