@@ -82,6 +82,50 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("forward and tolerance-bounded as-of match brute force") {
+    import graft.operators.AsofOps
+    import org.apache.spark.sql.functions.expr
+    val keyGen = Gen.choose(0, 4)
+    val tsGen = Gen.choose(0L, 40L)
+    val buildGen = Gen.listOf(Gen.zip(keyGen, tsGen, Gen.choose(0L, 100L)))
+    val probeGen = Gen.listOf(Gen.zip(keyGen, tsGen))
+    val tolGen = Gen.choose(0L, 12L)
+    check(Prop.forAll(buildGen, probeGen, tolGen) { (b0, p0, tol) =>
+      val b = b0.groupBy(t => (t._1, t._2)).map(_._2.head).toList
+      val p = p0.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val bdf = b.toDF("user_id", "tsu", "value")
+        .select($"user_id", expr("timestamp_micros(tsu)").as("ts"), $"value")
+      val pdf = p.toDF("event_id", "user_id", "tsu")
+        .select($"event_id", $"user_id",
+          expr("timestamp_micros(tsu)").as("ts"))
+      // forward: earliest build at-or-after
+      val gotF = AsofOps.asofJoinForward(pdf, bdf, "user_id", "ts",
+          Seq("value"))
+        .select($"event_id", expr("unix_micros(asof_ts)"), $"asof_value")
+        .as[(Long, Long, Long)].collect().toList.sorted
+      val expF = p.flatMap { case (id, k, t) =>
+        val cands = b.filter(x => x._1 == k && x._2 >= t)
+        if (cands.isEmpty) None
+        else { val m = cands.minBy(_._2); Some((id, m._2, m._3)) }
+      }.sorted
+      // tolerance: latest at-or-before, REJECTED (not replaced) if the
+      // gap exceeds tol — inclusive boundary
+      val gotW = AsofOps.asofJoinWithin(pdf, bdf, "user_id", "ts",
+          Seq("value"), tol)
+        .select($"event_id", expr("unix_micros(asof_ts)"), $"asof_value")
+        .as[(Long, Long, Long)].collect().toList.sorted
+      val expW = p.flatMap { case (id, k, t) =>
+        val cands = b.filter(x => x._1 == k && x._2 <= t)
+        if (cands.isEmpty) None
+        else {
+          val m = cands.maxBy(_._2)
+          if (t - m._2 <= tol) Some((id, m._2, m._3)) else None
+        }
+      }.sorted
+      gotF == expF && gotW == expW
+    })
+  }
+
   test("exceptAll / intersectAll have multiset semantics") {
     val vals = Gen.listOfN(40, Gen.choose(0, 8))
     check(Prop.forAll(vals, vals) { (a, b) =>
