@@ -47,28 +47,39 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  // Shared as-of property machinery: tiny key/ts ranges force
+  // collisions, equal timestamps, and exact boundary gaps; the build
+  // side dedups per (key, ts) — the operators' documented determinism
+  // contract. Returns (build rows, probe rows, build DF, probe DF).
+  private val asofKeyGen = Gen.choose(0, 4)
+  private val asofTsGen = Gen.choose(0L, 40L)
+  private val asofBuildGen =
+    Gen.listOf(Gen.zip(asofKeyGen, asofTsGen, Gen.choose(0L, 100L)))
+  private val asofProbeGen = Gen.listOf(Gen.zip(asofKeyGen, asofTsGen))
+  private def asofInputs(b0: List[(Int, Long, Long)],
+      p0: List[(Int, Long)]) = {
+    import org.apache.spark.sql.functions.expr
+    val b = b0.groupBy(t => (t._1, t._2)).map(_._2.head).toList
+    val p = p0.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+    val bdf = b.toDF("user_id", "tsu", "value")
+      .select($"user_id", expr("timestamp_micros(tsu)").as("ts"), $"value")
+    val pdf = p.toDF("event_id", "user_id", "tsu")
+      .select($"event_id", $"user_id",
+        expr("timestamp_micros(tsu)").as("ts"))
+    (b, p, bdf, pdf)
+  }
+  private def asofCollect(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions.expr
+    df.select($"event_id", expr("unix_micros(asof_ts)"), $"asof_value")
+      .as[(Long, Long, Long)].collect().toList.sorted
+  }
+
   test("nearest as-of matches brute force incl. exact ties (backward wins)") {
     import graft.operators.AsofOps
-    import org.apache.spark.sql.functions.expr
-    // tiny key/ts ranges force collisions, equal timestamps, and exact
-    // equidistant ties; build side deduped per (key, ts) — the operator's
-    // documented determinism contract
-    val keyGen = Gen.choose(0, 4)
-    val tsGen = Gen.choose(0L, 40L)
-    val buildGen = Gen.listOf(Gen.zip(keyGen, tsGen, Gen.choose(0L, 100L)))
-    val probeGen = Gen.listOf(Gen.zip(keyGen, tsGen))
-    check(Prop.forAll(buildGen, probeGen) { (b0, p0) =>
-      val b = b0.groupBy(t => (t._1, t._2)).map(_._2.head).toList
-      val p = p0.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
-      val bdf = b.toDF("user_id", "tsu", "value")
-        .select($"user_id", expr("timestamp_micros(tsu)").as("ts"), $"value")
-      val pdf = p.toDF("event_id", "user_id", "tsu")
-        .select($"event_id", $"user_id",
-          expr("timestamp_micros(tsu)").as("ts"))
-      val got = AsofOps.asofJoinNearest(pdf, bdf, "user_id", "ts",
-          Seq("value"))
-        .select($"event_id", expr("unix_micros(asof_ts)"), $"asof_value")
-        .as[(Long, Long, Long)].collect().toList.sorted
+    check(Prop.forAll(asofBuildGen, asofProbeGen) { (b0, p0) =>
+      val (b, p, bdf, pdf) = asofInputs(b0, p0)
+      val got = asofCollect(
+        AsofOps.asofJoinNearest(pdf, bdf, "user_id", "ts", Seq("value")))
       val exp = p.flatMap { case (id, k, t) =>
         val cands = b.filter(_._1 == k)
         if (cands.isEmpty) None
@@ -82,39 +93,31 @@ class PropertySpec extends SparkSuite {
     })
   }
 
-  test("forward and tolerance-bounded as-of match brute force") {
+  test("forward as-of matches brute force (earliest at-or-after)") {
     import graft.operators.AsofOps
-    import org.apache.spark.sql.functions.expr
-    val keyGen = Gen.choose(0, 4)
-    val tsGen = Gen.choose(0L, 40L)
-    val buildGen = Gen.listOf(Gen.zip(keyGen, tsGen, Gen.choose(0L, 100L)))
-    val probeGen = Gen.listOf(Gen.zip(keyGen, tsGen))
-    val tolGen = Gen.choose(0L, 12L)
-    check(Prop.forAll(buildGen, probeGen, tolGen) { (b0, p0, tol) =>
-      val b = b0.groupBy(t => (t._1, t._2)).map(_._2.head).toList
-      val p = p0.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
-      val bdf = b.toDF("user_id", "tsu", "value")
-        .select($"user_id", expr("timestamp_micros(tsu)").as("ts"), $"value")
-      val pdf = p.toDF("event_id", "user_id", "tsu")
-        .select($"event_id", $"user_id",
-          expr("timestamp_micros(tsu)").as("ts"))
-      // forward: earliest build at-or-after
-      val gotF = AsofOps.asofJoinForward(pdf, bdf, "user_id", "ts",
-          Seq("value"))
-        .select($"event_id", expr("unix_micros(asof_ts)"), $"asof_value")
-        .as[(Long, Long, Long)].collect().toList.sorted
-      val expF = p.flatMap { case (id, k, t) =>
+    check(Prop.forAll(asofBuildGen, asofProbeGen) { (b0, p0) =>
+      val (b, p, bdf, pdf) = asofInputs(b0, p0)
+      val got = asofCollect(
+        AsofOps.asofJoinForward(pdf, bdf, "user_id", "ts", Seq("value")))
+      val exp = p.flatMap { case (id, k, t) =>
         val cands = b.filter(x => x._1 == k && x._2 >= t)
         if (cands.isEmpty) None
         else { val m = cands.minBy(_._2); Some((id, m._2, m._3)) }
       }.sorted
-      // tolerance: latest at-or-before, REJECTED (not replaced) if the
-      // gap exceeds tol — inclusive boundary
-      val gotW = AsofOps.asofJoinWithin(pdf, bdf, "user_id", "ts",
-          Seq("value"), tol)
-        .select($"event_id", expr("unix_micros(asof_ts)"), $"asof_value")
-        .as[(Long, Long, Long)].collect().toList.sorted
-      val expW = p.flatMap { case (id, k, t) =>
+      got == exp
+    })
+  }
+
+  test("tolerance as-of matches brute force (stale matches rejected, not replaced)") {
+    import graft.operators.AsofOps
+    val tolGen = Gen.choose(0L, 12L)
+    check(Prop.forAll(asofBuildGen, asofProbeGen, tolGen) { (b0, p0, tol) =>
+      val (b, p, bdf, pdf) = asofInputs(b0, p0)
+      val got = asofCollect(AsofOps.asofJoinWithin(pdf, bdf, "user_id",
+        "ts", Seq("value"), tol))
+      // latest at-or-before, REJECTED (not replaced) if the gap exceeds
+      // tol — inclusive boundary
+      val exp = p.flatMap { case (id, k, t) =>
         val cands = b.filter(x => x._1 == k && x._2 <= t)
         if (cands.isEmpty) None
         else {
@@ -122,7 +125,7 @@ class PropertySpec extends SparkSuite {
           if (t - m._2 <= tol) Some((id, m._2, m._3)) else None
         }
       }.sorted
-      gotF == expF && gotW == expW
+      got == exp
     })
   }
 
