@@ -91,6 +91,21 @@ object Engine {
 final case class Q(name: String, oracle: Option[String])(
     val run: (SparkSession, String) => DataFrame)
 
+/** A module of named, oracled queries.
+  *
+  * CACHE CONTRACT: a query lambda may `.cache()` a subtree that feeds
+  * multiple DIFFERENT downstream shapes (see ENGINE.md's scale-up notes
+  * for when that helps vs when ReusedExchange already covers it — e.g.
+  * qp23's pair tables, qp27/qp29's gram tables, qp28's scored table,
+  * qt17's reduced word counts). Those caches are registered in the
+  * session's CacheManager and are NOT unpersisted inside the lambda —
+  * the lambda returns an unexecuted plan, so there is no post-execution
+  * point inside it to release them. Every harness caller therefore owns
+  * `spark.catalog.clearCache()` after consuming a query's result
+  * (Bench per sample, Verify/VerifyOne/ScaleUpBench/BaselineCompare per
+  * query). A direct caller embedding a query lambda in a long-lived
+  * session must do the same, or corpus-scale cached tables stay pinned
+  * for the session's lifetime. */
 trait QueryModule {
   def all: Seq[Q]
   protected def q(name: String, oracle: String)(

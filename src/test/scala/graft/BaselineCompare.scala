@@ -19,6 +19,24 @@ package graft
   * those queries (fast targeted ratio checks while iterating).
   */
 object BaselineCompare {
+
+  /** Loaded ratios above this trigger an AUTOMATIC same-session solo
+    * re-measure (the round-16 protocol rule, from VERDICT r15: the
+    * greedy-CEP class's sub-0.5s spark.sql baselines swing with JIT
+    * heat — qc34 read 1.95× loaded vs 1.09× solo in the SAME session,
+    * and the loaded band's ceiling drifted up three rounds straight
+    * while the engine side stood still; the ratio protocol, not the
+    * engine, was the fragile part). The re-measure runs at the END of
+    * the sweep with fresh per-side warmups and a fresh median-of-3;
+    * BOTH readings print (`CMP` and `CMP-SOLO`) and both are recorded
+    * at round close — a loaded breach whose solo reading is at parity
+    * is band noise, not a regression. */
+  val SoloRetryRatio = 1.8
+  /** Extra untimed warmups per side for the solo re-measure (the
+    * baseline side of a sub-0.5s query needs more than one run before
+    * the JIT stops moving the denominator). */
+  val SoloWarmups = 2
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = Engine.session(8)
@@ -37,6 +55,7 @@ object BaselineCompare {
     val only: Option[Set[String]] =
       args.drop(1).headOption.map(_.split(",").map(_.trim).toSet)
     var engTotal = 0.0; var baseTotal = 0.0
+    val measured = Seq.newBuilder[(String, String, Double, Double)]
     SparkEntry.oracleSql.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
       .foreach { case (name, sql) =>
@@ -50,13 +69,41 @@ object BaselineCompare {
           val b = median3(spark.sql(sql).count())
           val e = median3(SparkEntry.queries(name)(spark, sfDir).count())
           engTotal += e; baseTotal += b
+          measured += ((name, sql, e, b))
           println(f"CMP $name%-28s engine=$e%7.2fs baseline=$b%7.2fs ratio=${e / b}%5.2f")
         } catch { case ex: Throwable =>
           println(s"CMP $name RUN-FAIL ${ex.getMessage.take(80)}")
         }
+        // query-scoped caches end with the query (the Bench posture):
+        // a query's own warm+timed runs share its caches, but caches
+        // never accumulate across the sweep — see QueryModule's cache
+        // contract
+        spark.catalog.clearCache()
       }
     }
     println(f"CMP TOTAL engine=$engTotal%.2f baseline=$baseTotal%.2f ratio=${engTotal / baseTotal}%.2f")
+
+    // The >SoloRetryRatio rule: re-measure every breaching query solo,
+    // in this same session, and print both readings.
+    val hot = measured.result().filter { case (_, _, e, b) =>
+      b > 0 && e / b > SoloRetryRatio }
+    hot.foreach { case (name, sql, le, lb) =>
+      try {
+        (1 to SoloWarmups).foreach { _ =>
+          spark.sql(sql).count()
+          SparkEntry.queries(name)(spark, sfDir).count()
+        }
+        val b = median3(spark.sql(sql).count())
+        val e = median3(SparkEntry.queries(name)(spark, sfDir).count())
+        println(f"CMP-SOLO $name%-23s engine=$e%7.2fs baseline=$b%7.2fs " +
+          f"ratio=${e / b}%5.2f (loaded was ${le / lb}%5.2f)")
+      } catch { case ex: Throwable =>
+        println(s"CMP-SOLO $name RUN-FAIL ${ex.getMessage.take(80)}")
+      }
+      spark.catalog.clearCache()
+    }
+    if (hot.isEmpty)
+      println(f"CMP-SOLO none (no loaded ratio over $SoloRetryRatio%.1f)")
     spark.stop()
   }
 }

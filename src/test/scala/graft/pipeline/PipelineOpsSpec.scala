@@ -188,6 +188,18 @@ class PipelineOpsSpec extends SparkSuite {
   test("qm5 scene cuts equal a driver-side frame-energy recompute") {
     val texts = Engine.table(spark, sf, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    // qm5's frame energy slices CHARACTERS on both engines (the qm2
+    // byte==char note: DuckDB 1.0 cannot substring BLOBs) while this
+    // recompute slices BYTES — the two agree only while the corpus is
+    // pure ASCII. Assert that precondition BY NAME so a future
+    // non-ASCII fixture fails here with the cause stated, not as an
+    // opaque value mismatch below (ADVICE r15).
+    val nonAscii = texts.filter { case (_, tx) =>
+      tx.getBytes("UTF-8").length != tx.length }
+    assert(nonAscii.isEmpty,
+      "qm5 assumes a pure-ASCII corpus (its engine-side energy slices " +
+        "characters, this recompute slices bytes); non-ASCII doc_ids: " +
+        nonAscii.map(_._1).take(5).mkString(", "))
     val expected = texts.flatMap { case (id, text) =>
       val bytes = text.getBytes("UTF-8")
       val nf = bytes.length / 64
