@@ -125,7 +125,13 @@ object ScaleUpBench {
     // token entropy + gram novelty (each ONE gram/token-keyed
     // partial-agg shuffle), scene cuts (frames explode + per-item LAG)
     "qp29_containment_dedup", "qt17_token_entropy",
-    "qt18_gram_novelty", "qm5_scene_cuts")
+    "qt18_gram_novelty", "qm5_scene_cuts",
+    // round 16 (VERDICT r15 #2): qp27's own row — the prose claimed the
+    // single-materialization cache fix but only qt17's ratio was
+    // recorded. Its per-gram source sets are bounded by #sources;
+    // disjoint shards add new grams (suffixed words), so expected work
+    // grows linearly with input while pair cardinality stays #sources².
+    "qp27_source_overlap")
 
   private def timeQuery(spark: SparkSession, name: String,
       dir: String): (Double, Double) = {
