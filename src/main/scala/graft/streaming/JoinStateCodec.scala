@@ -40,11 +40,18 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * Both columns are product-encoded primitives whose own schema never
   * changes, so the envelope row is readable against any envelope-era
   * checkpoint and the checks run before the opaque blob is interpreted.
-  * TIMING: the checks run at each key's first post-resume state access
-  * (flatMapGroupsWithState exposes no eager whole-store scan at query
-  * start), so a schema-changed resume fails when the first
-  * pre-change key receives an element or fires its timer — not at
-  * startup; keys never touched again never raise.
+  * TIMING: the per-KEY checks run at that key's first post-resume
+  * state access (flatMapGroupsWithState exposes no eager whole-store
+  * scan at query start). Left alone that made a schema-changed resume
+  * fail only when the first pre-change key received an element or
+  * fired its timer — a rarely-touched key could fail days later. The
+  * driver wiring therefore adds an EAGER SENTINEL
+  * ([[NonWindowJoinSql.SentinelKey]]): a reserved key that receives
+  * one synthetic element every micro-batch and validates its own
+  * envelope on each, so a version- or schema-changed resume fails
+  * store-wide at the FIRST post-resume batch even when no data key is
+  * touched (the reference posture — VersionedIOReadableWritable
+  * checks eagerly at snapshot-restore time — restored).
   * The fingerprint is an MD5 digest of the combined DDL, NOT the DDL
   * itself: the envelope is stored ONCE PER KEY in the state store, and
   * a wide input's DDL (KBs) would dominate small per-key states at

@@ -233,4 +233,104 @@ class JoinStateCodecSpec extends SparkSuite {
     assert(named.get.expected != named.get.found)
     assert(named.get.getMessage.contains("extra"))
   }
+
+  test("a schema-changed resume fails at the FIRST micro-batch even when no pre-change key is touched (eager sentinel)") {
+    // VERDICT r15 #4: the per-key envelope checks are lazy, so before
+    // the sentinel a resume that only ever received NEW keys ran
+    // silently until some pre-change key was touched. The sentinel
+    // group (stamped on batch 0, validated every batch) turns that
+    // into store-wide fail-at-first-batch: incarnation 2 feeds ONLY
+    // key 99 — a key with no checkpointed state, whose own read can
+    // raise nothing — and must still fail by the named schema error,
+    // raised by the sentinel.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_joinsql_sentinel").toString
+    val sink = (df: org.apache.spark.sql.DataFrame, _: Long) => {
+      df.collect(); ()
+    }
+    val in1 = MemoryStream[(Int, String)]
+    val in2 = MemoryStream[(Int, String)]
+    val q1 = NonWindowJoinSql.unboundedOuterJoin(
+      in1.toDS().toDF("a", "l"), in2.toDS().toDF("d", "r"),
+      Seq(col("a")), Seq(col("d")), "left_outer")
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").foreachBatch(sink).start()
+    try {
+      in1.addData((7, "l1"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // incarnation 2: WIDER left schema, data only for a never-seen key
+    val in1b = MemoryStream[(Int, String, Long)]
+    val in2b = MemoryStream[(Int, String)]
+    val q2 = NonWindowJoinSql.unboundedOuterJoin(
+      in1b.toDS().toDF("a", "l", "extra"), in2b.toDS().toDF("d", "r"),
+      Seq(col("a")), Seq(col("d")), "left_outer")
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").foreachBatch(sink).start()
+    val ex = intercept[StreamingQueryException] {
+      try {
+        // data on the RIGHT side (whose checkpointed offset has
+        // headroom — the left MemoryStream's batch-0 offset already
+        // covers a fresh instance's first element, so left-side data
+        // would not trigger a batch at all)
+        in2b.addData((99, "r-new"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    val named = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(20)
+      .collectFirst { case e: JoinStateSchemaException => e }
+    assert(named.isDefined,
+      s"expected JoinStateSchemaException in the cause chain, got $ex")
+    // the SENTINEL raised it (key 99 has no state to check against)
+    assert(named.get.getMessage.contains("sentinel"))
+  }
+
+  test("an equi-to-non-equi variant switch across a checkpoint fails at the first batch by the named version error") {
+    // the shared-version-space guarantee, now EAGER: incarnation 1
+    // checkpoints equi-family sentinel state (version 1); incarnation
+    // 2 adds a residual (non-equi family, version 2) and feeds only a
+    // never-seen key — the sentinel raises the named version error at
+    // the first batch, before any data key's blob is misread.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_joinsql_sentinel_v").toString
+    val sink = (df: org.apache.spark.sql.DataFrame, _: Long) => {
+      df.collect(); ()
+    }
+    val in1 = MemoryStream[(Int, String)]
+    val in2 = MemoryStream[(Int, String)]
+    val q1 = NonWindowJoinSql.unboundedOuterJoin(
+      in1.toDS().toDF("a", "l"), in2.toDS().toDF("d", "r"),
+      Seq(col("a")), Seq(col("d")), "left_outer")
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").foreachBatch(sink).start()
+    try {
+      in1.addData((7, "l1"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val in1b = MemoryStream[(Int, String)]
+    val in2b = MemoryStream[(Int, String)]
+    val q2 = NonWindowJoinSql.unboundedOuterJoin(
+      in1b.toDS().toDF("a", "l"), in2b.toDS().toDF("d", "r"),
+      Seq(col("a")), Seq(col("d")), "left_outer",
+      residual = Some(col("l") <= col("r")))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").foreachBatch(sink).start()
+    val ex = intercept[StreamingQueryException] {
+      try {
+        in2b.addData((99, "r-new")) // right side: offset headroom
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    val named = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(20)
+      .collectFirst { case e: JoinStateVersionException => e }
+    assert(named.isDefined,
+      s"expected JoinStateVersionException in the cause chain, got $ex")
+    assert(named.get.found === JoinStateCodec.EquiVersion)
+    assert(named.get.expected === JoinStateCodec.NonEquiVersion)
+    assert(named.get.getMessage.contains("sentinel"))
+  }
 }
