@@ -47,6 +47,71 @@ object CurationQueries extends QueryModule {
     (tk, gp)
   }
 
+  /** qp30's per-domain document cap (RefinedWeb-style host cap). */
+  private[pipeline] val DomainCap = 15
+
+  /** qp30's rollup body, parameterized by cap so the spec can drive the
+    * keep-all branch (n_docs <= cap) on a synthetic small domain — the
+    * fixture domains all hold more than [[DomainCap]] docs.
+    *
+    * Shape: ONE corpus shuffle (the (source, h4) partial agg, ≤
+    * #domains × 65536 reduced rows by construction); domain totals,
+    * thresholds, and the capped re-aggregation all run over that cached
+    * reduced table with the threshold table broadcast. The threshold is
+    * all-integer — (65536·cap) div n_docs rendered as 4 lowercase hex
+    * chars — compared lexicographically against the doc's md5 prefix
+    * (fixed-width hex compare ≡ numeric compare). When n_docs <= cap
+    * the keep-all disjunct short-circuits; th4 is then 5 hex chars and
+    * the two engines render it differently (lpad truncates, printf
+    * doesn't) but neither ever compares it. */
+  private[pipeline] def domainRollup(docs: org.apache.spark.sql.DataFrame,
+      cap: Int): org.apache.spark.sql.DataFrame = {
+    val perDoc = docs.select(col("source"),
+        expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long")
+          .as("nt"),
+        length(col("text")).cast("long").as("nc"),
+        expr("size(filter(split(text, ' '), " +
+          "w -> w IN ('the', 'a', 'of', 'and', 'in')))").cast("long")
+          .as("ns"),
+        substring(md5(concat(lit("domcap|"), col("doc_id").cast("string"))),
+          1, 4).as("h4"))
+      .where(col("nt") > 0)
+      // qp7's quality formula, floor-scaled to an exact BIGINT (the
+      // Det "dirty double" rule: floor(q * 1e6) is a pure binary op,
+      // identical in both engines)
+      .withColumn("q6", floor((
+        lit(0.4) * least(col("nc").cast("double") / 500.0, lit(1.0))
+          + lit(0.3) * least(col("ns").cast("double")
+            / col("nt").cast("double") * 5.0, lit(1.0))
+          + lit(0.3) * least(((col("nc").cast("double")
+            - (col("nt").cast("double") - 1.0))
+            / col("nt").cast("double")) / 8.0, lit(1.0))
+        ) * 1000000.0).cast("long"))
+    // the reduced cell table feeds the totals AND the capped pass —
+    // cache it (house rule: cache the REDUCED table, bounded by
+    // #domains × 65536, never the corpus-sized input)
+    val red = perDoc.groupBy("source", "h4")
+      .agg(count(lit(1)).as("cnt"), sum("nt").as("tok"),
+        sum("q6").as("qs"))
+      .cache()
+    val tot = red.groupBy("source")
+      .agg(sum("cnt").as("n_docs"), sum("tok").as("total_tokens"),
+        sum("qs").as("q6sum"))
+    val th = tot.withColumn("th4",
+      lpad(lower(hex(expr(s"(65536 * $cap) div n_docs"))), 4, "0"))
+    val kept = red
+      .join(broadcast(th.select("source", "n_docs", "th4")), "source")
+      .where(col("n_docs") <= cap || col("h4") < col("th4"))
+      .groupBy("source")
+      .agg(sum("cnt").as("n_kept"), sum("tok").as("kept_tokens"))
+    th.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        expr("q6sum div n_docs").as("avg_q6"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
   /** Per-document span removal shared by qp24/qp26: union the banned
     * 0-based positions, count them, rebuild the text without them. */
   private def removeSpans(tk: org.apache.spark.sql.DataFrame,
@@ -463,6 +528,68 @@ object CurationQueries extends QueryModule {
             .cast("int").as("bucket"),
           (col("avg_lp6") > col("c1")).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // Domain-level curation rollup (round 16, VERDICT r15 #5) — the
+    // C4/RefinedWeb per-domain action the qp set lacked: aggregate
+    // quality per domain (`source` stands in for the URL host) and
+    // enforce a PER-DOMAIN DOCUMENT CAP so no single domain dominates
+    // the mix — RefinedWeb samples domains down; C4 dedupes and caps
+    // by host. Cap selection is deterministic hash-rate sampling (the
+    // qp11 machinery with a PER-DOMAIN threshold): a doc survives iff
+    // its 4-hex md5 prefix falls under the domain's keep rate
+    // cap/n_docs scaled into the 16-bit hash space — membership is a
+    // pure function of (doc_id, the domain's size), reproducible
+    // across engines and cluster sizes, no RNG. Scale shape (the qp28
+    // value-grouped pattern): the corpus reduces in ONE partial-agg
+    // shuffle to (source, h4) cells — bounded by #domains × 65536 BY
+    // CONSTRUCTION, never corpus size — and every later stage (domain
+    // totals, thresholds, the capped re-aggregation) runs on that
+    // reduced table with thresholds broadcast; no corpus-wide window,
+    // no per-domain row_number (a hot domain at 100 TB would skew it).
+    // Quality is qp7's floor-scaled formula; every output is a BIGINT
+    // (avg_q6 by integer division), so the compare is exact.
+    q("qp30_domain_rollup",
+      s"""WITH d AS (SELECT source, doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |        x -> x <> '')) AS BIGINT) AS nt,
+         |    CAST(length(text) AS BIGINT) AS nc,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |        w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS BIGINT)
+         |      AS ns,
+         |    substr(md5('domcap|' || CAST(doc_id AS STRING)), 1, 4) AS h4
+         |  FROM documents),
+         |sc AS (SELECT source, h4, nt,
+         |    CAST(floor((0.4 * least(CAST(nc AS DOUBLE) / 500.0, 1.0)
+         |      + 0.3 * least((CAST(ns AS DOUBLE) / CAST(nt AS DOUBLE))
+         |          * 5.0, 1.0)
+         |      + 0.3 * least(((CAST(nc AS DOUBLE)
+         |          - (CAST(nt AS DOUBLE) - 1.0)) / CAST(nt AS DOUBLE))
+         |          / 8.0, 1.0)) * 1000000.0) AS BIGINT) AS q6
+         |  FROM d WHERE nt > 0),
+         |red AS (SELECT source, h4, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(SUM(nt) AS BIGINT) AS tok, CAST(SUM(q6) AS BIGINT) AS qs
+         |  FROM sc GROUP BY source, h4),
+         |tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+         |    CAST(SUM(tok) AS BIGINT) AS total_tokens,
+         |    CAST(SUM(qs) AS BIGINT) AS q6sum
+         |  FROM red GROUP BY source),
+         |th AS (SELECT source, n_docs, total_tokens, q6sum,
+         |    printf('%04x', CAST((65536 * $DomainCap) // n_docs AS INT))
+         |      AS th4
+         |  FROM tot),
+         |kept AS (SELECT r.source, CAST(SUM(r.cnt) AS BIGINT) AS n_kept,
+         |    CAST(SUM(r.tok) AS BIGINT) AS kept_tokens
+         |  FROM red r JOIN th ON r.source = th.source
+         |  WHERE th.n_docs <= $DomainCap OR r.h4 < th.th4
+         |  GROUP BY r.source)
+         |SELECT t.source, t.n_docs, t.total_tokens,
+         |  t.q6sum // t.n_docs AS avg_q6,
+         |  COALESCE(k.n_kept, 0) AS n_kept,
+         |  COALESCE(k.kept_tokens, 0) AS kept_tokens
+         |FROM th t LEFT JOIN kept k ON t.source = k.source
+         |ORDER BY t.source""".stripMargin) { (s, d) =>
+      domainRollup(t(s, d, "documents"), DomainCap)
     },
 
     // Deterministic stratified sampling — the data-mixing primitive: each

@@ -245,6 +245,18 @@ object PlanAudit {
         !qp29.contains("CartesianProduct") &&
         !qp29.contains("BroadcastNestedLoopJoin"))
 
+    // domain rollup: the corpus reduces through ONE partial-aggregated
+    // (source, h4) pass; the per-domain thresholds BROADCAST into the
+    // capped re-aggregation; and there is NO window anywhere — the cap
+    // is hash-rate selection, never a per-domain row_number (a hot
+    // domain at scale would skew a window partition)
+    val qp30 = plan("qp30_domain_rollup")
+    check("qp30 partial-agg reduce + broadcast thresholds; no window/cartesian",
+      qp30.contains("partial_sum") &&
+        qp30.contains("BroadcastHashJoin") &&
+        !qp30.contains("Window") &&
+        !qp30.contains("CartesianProduct"))
+
     // filtered ANN: pivots/probes broadcast; the only nested-loop joins
     // are the broadcast probe attachments (qe2 posture), no cartesian
     val qe14 = plan("qe14_filtered_ann")

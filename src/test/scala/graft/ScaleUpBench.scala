@@ -131,7 +131,11 @@ object ScaleUpBench {
     // recorded. Its per-gram source sets are bounded by #sources;
     // disjoint shards add new grams (suffixed words), so expected work
     // grows linearly with input while pair cardinality stays #sources².
-    "qp27_source_overlap")
+    "qp27_source_overlap",
+    // round 16: domain rollup — one corpus partial-agg to (source, h4)
+    // cells (bounded by #domains × 65536), thresholds broadcast; the
+    // corpus pass is the only stage that grows with input
+    "qp30_domain_rollup")
 
   private def timeQuery(spark: SparkSession, name: String,
       dir: String): (Double, Double) = {

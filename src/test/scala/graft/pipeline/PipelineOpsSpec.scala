@@ -220,6 +220,69 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("qp30 domain rollup equals a driver-side recompute; the cap bites") {
+    val rows = Engine.table(spark, sf, "documents")
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect().toSeq
+    val cap = CurationQueries.DomainCap
+    val stop = Set("the", "a", "of", "and", "in")
+    val per = rows.flatMap { case (id, src, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      if (ws.isEmpty) None
+      else {
+        val nt = ws.length.toLong
+        val nc = text.length.toLong
+        val ns = ws.count(stop).toLong
+        // qp7's formula in the engine's exact operand order — every op
+        // a pure IEEE double op, so the floor-scaled BIGINT matches
+        val q = 0.4 * math.min(nc / 500.0, 1.0) +
+          0.3 * math.min(ns.toDouble / nt * 5.0, 1.0) +
+          0.3 * math.min((nc - (nt - 1.0)) / nt / 8.0, 1.0)
+        Some((src, nt, math.floor(q * 1000000.0).toLong,
+          md5hex(s"domcap|$id").substring(0, 4)))
+      }
+    }
+    val expected = per.groupBy(_._1).toSeq.map { case (src, ds) =>
+      val n = ds.size.toLong
+      val th4 = f"${65536L * cap / n}%04x"
+      val kept = if (n <= cap) ds else ds.filter(_._4 < th4)
+      (src, n, ds.map(_._2).sum, ds.map(_._3).sum / n,
+        kept.size.toLong, kept.map(_._2).sum)
+    }.sortBy(_._1)
+    val got = run("qp30_domain_rollup")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the cap actually bites on this corpus (every fixture domain holds
+    // more than DomainCap docs), no domain empties, and the hash-rate
+    // selection lands near cap (within the 16-bit thresholding's
+    // granularity + hash variance; exactness is the recompute above)
+    got.foreach { r =>
+      assert(r._2 > cap, s"${r._1}: fixture domain too small for the cap test")
+      assert(r._5 > 0 && r._5 < r._2, s"${r._1}: kept ${r._5} of ${r._2}")
+    }
+    assert(got.map(_._5).sum < got.map(_._2).sum)
+  }
+
+  test("qp30 keep-all branch: a domain at or under the cap keeps every doc") {
+    // the fixture never exercises n_docs <= cap, so drive the helper on
+    // a synthetic corpus: d1 holds 2 docs (== cap), d2 holds 3 (> cap)
+    val tiny = Seq(
+      (1L, "d1", "alpha beta the gamma"),
+      (2L, "d1", "of delta epsilon"),
+      (3L, "d2", "x y z w"),
+      (4L, "d2", "p q r"),
+      (5L, "d2", "m n o and")).toDF("doc_id", "source", "text")
+    val got = CurationQueries.domainRollup(tiny, cap = 2)
+      .select($"source", $"n_docs", $"n_kept")
+      .as[(String, Long, Long)].collect()
+      .map { case (s, n, k) => s -> ((n, k)) }.toMap
+    assert(got("d1") === ((2L, 2L))) // n_docs == cap → keep all
+    // d2: threshold = (65536 * 2) div 3 = 43690 = 'aaaa'
+    val keptD2 = Seq(3L, 4L, 5L).count(id =>
+      md5hex(s"domcap|$id").substring(0, 4) < "aaaa").toLong
+    assert(got("d2") === ((3L, keptD2)))
+  }
+
   test("qt18 gram novelty equals a driver-side first-seen recompute") {
     val texts = Engine.table(spark, sf, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
