@@ -827,6 +827,103 @@ object EmbeddingQueries extends QueryModule {
         .orderBy("qid")
     },
 
+    // BINARY-QUANTIZATION retrieval audit (round 16) — the 1-bit
+    // extreme of qe12's int8 audit: sign-bit quantization packs a
+    // 64-dim float vector into TWO 32-bit words (32x smaller than
+    // float32, 4x smaller than int8) and similarity becomes hamming
+    // distance — bit_count(xor) over machine words, the cheapest
+    // candidate scorer there is (the public RaBitQ/BQ serving recipe:
+    // binary first pass, exact re-rank). This query measures what the
+    // 1-bit pass alone costs, as top-5 recall of the hamming ranking
+    // against the exact float-dot ranking per probe. Determinism:
+    // every bit is a sign test on the raw float, hamming is exact
+    // integer popcount, ranking ties break on vec_id; the exact side
+    // is qe12's floored sequential fold. Packing uses 32-bit words
+    // (not one 64-bit word) so no shift ever touches the sign bit —
+    // identical two's-complement traps on both engines are never in
+    // play. Scale shape: packing is a map-only column expression, the
+    // probe words broadcast, and the scored scan is the brute-force
+    // audit leg (the qe12 posture — sampled probes at 100 TB;
+    // qe3/qe7 are the serving path).
+    q("qe15_binary_recall", {
+      val fdot = duckDot _
+      def duckPack(lo: Int, hi: Int) =
+        s"""list_reduce(list_transform(generate_series($lo, $hi), i ->
+           |  CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - $lo))
+           |    ELSE 0::BIGINT END), (x, y) -> x | y)""".stripMargin
+      s"""WITH bp AS (SELECT vec_id,
+         |    ${duckPack(1, 32)} AS w1,
+         |    ${duckPack(33, 64)} AS w2
+         |  FROM embeddings),
+         |qb AS (SELECT vec_id AS qid, w1 AS pw1, w2 AS pw2 FROM bp
+         |  WHERE vec_id IN (42, 123, 321)),
+         |hd AS (SELECT q.qid, b.vec_id,
+         |    bit_count(xor(b.w1, q.pw1)) + bit_count(xor(b.w2, q.pw2))
+         |      AS ham
+         |  FROM bp b CROSS JOIN qb q WHERE b.vec_id <> q.qid),
+         |btop AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY ham, vec_id) AS rk FROM hd) z
+         |  WHERE rk <= 5),
+         |rq AS (SELECT vec_id AS qid, embedding AS rqv FROM embeddings
+         |  WHERE vec_id IN (42, 123, 321)),
+         |ed AS (SELECT q.qid, e.vec_id,
+         |    CAST(floor(${fdot("q.rqv", "e.embedding")}
+         |      * 1000000.0) AS BIGINT) AS c6
+         |  FROM embeddings e CROSS JOIN rq q WHERE e.vec_id <> q.qid),
+         |ex AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY c6 DESC, vec_id) AS rk FROM ed) z
+         |  WHERE rk <= 5),
+         |h AS (SELECT ex.qid, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM ex JOIN btop ON btop.qid = ex.qid
+         |    AND btop.vec_id = ex.vec_id
+         |  GROUP BY ex.qid)
+         |SELECT r.qid, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.n, 0) * 20 AS BIGINT) AS recall_pct
+         |FROM rq r LEFT JOIN h ON h.qid = r.qid
+         |ORDER BY r.qid""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      def pack(lo: Int, hi: Int) =
+        s"""aggregate(transform(sequence($lo, $hi), i ->
+           |  IF(embedding[i] > 0, shiftleft(1L, i - $lo), 0L)),
+           |  0L, (a, x) -> a | x)""".stripMargin
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val bp = emb.select(col("vec_id"),
+        expr(pack(0, 31)).as("w1"), expr(pack(32, 63)).as("w2"))
+      val qb = bp.where(col("vec_id").isin(42, 123, 321))
+        .select(col("vec_id").as("qid"),
+          col("w1").as("pw1"), col("w2").as("pw2"))
+      val btop = bp.crossJoin(broadcast(qb))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (bit_count(expr("w1 ^ pw1")) + bit_count(expr("w2 ^ pw2")))
+            .as("ham"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("ham"), col("vec_id"))))
+        .where(col("rk") <= 5).select(col("qid"), col("vec_id"))
+      val rq = emb.where(col("vec_id").isin(42, 123, 321))
+        .select(col("vec_id").as("qid"), col("embedding").as("rqv"))
+      val ex = emb.crossJoin(broadcast(rq))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          floor(expr("graft_dot(rqv, embedding)") * 1000000.0)
+            .cast("long").as("c6"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("c6").desc, col("vec_id"))))
+        .where(col("rk") <= 5).select(col("qid"), col("vec_id"))
+      val hits = ex.join(btop, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n"))
+      rq.select(col("qid")).join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_hits"))
+        .withColumn("recall_pct", (col("n_hits") * 20).cast("long"))
+        .orderBy("qid")
+    },
+
     // EMBEDDING-BASED DECONTAMINATION (round 10) — the semantic twin of
     // qp9's n-gram membership test: flag a training vector when its max
     // cosine against the (small) benchmark slice clears a threshold —

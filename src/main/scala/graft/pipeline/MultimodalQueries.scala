@@ -18,6 +18,58 @@ object MultimodalQueries extends QueryModule {
 
   private val FrameBytes = 64
 
+  /** qm6's activity threshold on the per-frame STUB energy (a real
+    * audio pipeline thresholds RMS/dB). Sits at the fixture's median
+    * frame energy so both the active and inactive branches are
+    * exercised at every sf. */
+  private[pipeline] val ActiveEnergy = 6050L
+
+  /** The scene-cut threshold on the frame-to-frame |energy delta| —
+    * ONE definition shared by qm5 (cut counting) and qm7 (cut-aligned
+    * clip selection) so the two queries' scene boundaries cannot
+    * diverge. */
+  private[pipeline] val CutDelta = 300L
+
+  /** The per-frame STUB energy table shared by qm5/qm6/qm7: one row
+    * per (doc_id, frame_id) with the frame's unsigned-byte-value sum.
+    * ONE definition so the queries' frame spaces cannot silently
+    * diverge (the WordsExpr house rule). The engine slices the BINARY
+    * payload directly and sums bytes through the codegen'd
+    * graft_bytesum loop (the interpreted 64-lambda ascii chain it
+    * replaces measured 2.4s for the sf0.1 frame scan vs ~0.3s); the
+    * DuckDB oracle slices CHARACTERS (DuckDB 1.0 cannot substring
+    * BLOBs) — equal because the corpus is ASCII, which the qm5/qm6
+    * specs assert BY NAME (ADVICE r15). */
+  private def frameEnergies(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_frames",
+        floor(length(col("payload")) / FrameBytes).cast("int"))
+      .where(col("n_frames") > 0)
+      .withColumn("frame_id", explode(expr("sequence(0, n_frames - 1)")))
+      .withColumn("energy", expr(s"graft_bytesum(substring(payload, " +
+        s"frame_id * $FrameBytes + 1, $FrameBytes))"))
+      .select(col("doc_id"), col("frame_id"), col("energy"))
+  }
+
+  /** DuckDB twin of [[frameEnergies]] — the `fr` CTE text shared by
+    * qm5's and qm6's oracles. */
+  private val DuckFrameCte =
+    s"""f AS (SELECT doc_id, text,
+       |    octet_length(encode(text)) // $FrameBytes AS n_frames
+       |  FROM documents),
+       |fr AS (SELECT doc_id, CAST(g.i AS INT) AS frame_id,
+       |    CAST(list_aggregate(list_transform(
+       |        generate_series(1, $FrameBytes),
+       |        j -> ord(substr(substring(text,
+       |          CAST(g.i AS INT) * $FrameBytes + 1, $FrameBytes),
+       |          j, 1))), 'sum') AS BIGINT) AS energy
+       |  FROM f, UNNEST(generate_series(0, CAST(n_frames AS INT) - 1))
+       |    AS g(i)
+       |  WHERE n_frames > 0)""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // Metadata extraction over a binary payload column: byte length,
@@ -158,48 +210,142 @@ object MultimodalQueries extends QueryModule {
     // sequence, the qm2 pattern), energy is a pure column expression,
     // the LAG window partitions BY media item (bounded by the item's
     // own frame count — never corpus-wide), and the summary is one
-    // partial-aggregated groupBy. All-integer math throughout. The
-    // energy reads the ASCII stand-in via string slicing on both
-    // engines (the qm2 byte==char note); a real pipeline slices bytes.
+    // partial-aggregated groupBy. All-integer math throughout. Frame
+    // energies come from the ONE shared [[frameEnergies]] definition
+    // (qm6 reads the same table).
     q("qm5_scene_cuts",
-      s"""WITH f AS (SELECT doc_id, text,
-         |    octet_length(encode(text)) // $FrameBytes AS n_frames
-         |  FROM documents),
-         |fr AS (SELECT doc_id, CAST(g.i AS INT) AS frame_id,
-         |    CAST(list_aggregate(list_transform(
-         |        generate_series(1, $FrameBytes),
-         |        j -> ord(substr(substring(text,
-         |          CAST(g.i AS INT) * $FrameBytes + 1, $FrameBytes),
-         |          j, 1))), 'sum') AS BIGINT) AS energy
-         |  FROM f, UNNEST(generate_series(0, CAST(n_frames AS INT) - 1))
-         |    AS g(i)
-         |  WHERE n_frames > 0),
+      s"""WITH $DuckFrameCte,
          |d AS (SELECT doc_id, energy - lag(energy) OVER (
          |    PARTITION BY doc_id ORDER BY frame_id) AS delta
          |  FROM fr)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
-         |  CAST(COALESCE(SUM(CASE WHEN abs(delta) >= 300 THEN 1 END), 0)
-         |    AS BIGINT) AS n_cuts,
+         |  CAST(COALESCE(SUM(CASE WHEN abs(delta) >= $CutDelta THEN 1 END),
+         |    0) AS BIGINT) AS n_cuts,
          |  CAST(COALESCE(MAX(abs(delta)), 0) AS BIGINT) AS max_delta
          |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val fr = t(s, d, "documents")
-        .withColumn("n_frames",
-          floor(length(col("text").cast("binary")) / FrameBytes).cast("int"))
-        .where(col("n_frames") > 0)
-        .withColumn("frame_id", explode(expr("sequence(0, n_frames - 1)")))
-        .withColumn("energy", expr(
-          s"""aggregate(transform(sequence(1, $FrameBytes),
-             |  j -> CAST(ascii(substring(
-             |    substring(text, frame_id * $FrameBytes + 1, $FrameBytes),
-             |    j, 1)) AS BIGINT)), 0L, (a, x) -> a + x)""".stripMargin))
-      fr.withColumn("delta", col("energy") - lag(col("energy"), 1)
+      frameEnergies(t(s, d, "documents"))
+        .withColumn("delta", col("energy") - lag(col("energy"), 1)
           .over(Window.partitionBy("doc_id").orderBy("frame_id")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_frames"),
-          coalesce(sum(when(abs(col("delta")) >= 300, 1L)), lit(0L))
+          coalesce(sum(when(abs(col("delta")) >= CutDelta, 1L)), lit(0L))
             .as("n_cuts"),
           coalesce(max(abs(col("delta"))), lit(0L)).as("max_delta"))
+        .orderBy("doc_id")
+    },
+
+    // Activity-run segmentation (round 16) — the VAD-style primitive an
+    // audio curation pipeline runs to find speech/silence runs before
+    // clipping training segments: frames whose STUB energy clears
+    // [[ActiveEnergy]] are "active", maximal consecutive runs of active
+    // frames become segments (gaps-and-islands: frame_id minus the
+    // active-frame row_number is constant within a run), and each item
+    // summarizes to its segment count, longest run, and active-frame
+    // total. Items whose frames never clear the threshold keep a row
+    // with zeros (the left join) — silence is a signal, not an absent
+    // row. Scale shape: the island window and the run rollup both
+    // partition BY media item (bounded by the item's own frame count,
+    // never corpus-wide), the final join co-keys two doc-reduced
+    // tables, and everything else is column math — no corpus window,
+    // nothing driver-side. All-integer throughout.
+    q("qm6_energy_segments",
+      s"""WITH $DuckFrameCte,
+         |base AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+         |  FROM fr GROUP BY doc_id),
+         |act AS (SELECT doc_id, frame_id,
+         |    frame_id - CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY frame_id) AS INT) AS island
+         |  FROM fr WHERE energy >= $ActiveEnergy),
+         |seg AS (SELECT doc_id, island,
+         |    CAST(COUNT(*) AS BIGINT) AS seg_len
+         |  FROM act GROUP BY doc_id, island),
+         |ds AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+         |    CAST(MAX(seg_len) AS BIGINT) AS longest_run,
+         |    CAST(SUM(seg_len) AS BIGINT) AS active_frames
+         |  FROM seg GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_frames,
+         |  COALESCE(ds.n_segments, 0) AS n_segments,
+         |  COALESCE(ds.longest_run, 0) AS longest_run,
+         |  COALESCE(ds.active_frames, 0) AS active_frames
+         |FROM base b LEFT JOIN ds ON b.doc_id = ds.doc_id
+         |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val fr = frameEnergies(t(s, d, "documents"))
+      val base = fr.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+      val seg = fr.where(col("energy") >= ActiveEnergy)
+        .withColumn("island", col("frame_id")
+          - row_number().over(Window.partitionBy("doc_id")
+            .orderBy("frame_id")))
+        .groupBy("doc_id", "island").agg(count(lit(1)).as("seg_len"))
+      val ds = seg.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+          max("seg_len").as("longest_run"),
+          sum("seg_len").as("active_frames"))
+      base.join(ds, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+          coalesce(col("active_frames"), lit(0L)).as("active_frames"))
+        .orderBy("doc_id")
+    },
+
+    // Scene-aligned clip selection (round 16) — the sampling action
+    // qm5's cut detection exists FOR: split each item's frame stream
+    // into scenes at the cut boundaries (running sum of cut flags —
+    // [[CutDelta]] is ONE shared definition with qm5, so the scene
+    // space is qm5's by construction) and emit a per-item clip
+    // manifest: the longest scene, ties to the earliest (the
+    // deterministic "sample one representative clip per item" recipe —
+    // a real video pipeline would hand (doc_id, clip_start, clip_len)
+    // to the decoder). Scale shape: all three windows (LAG, running
+    // scene id, the argmax rank) partition BY media item — the first
+    // two over the item's own frames, the rank over its scene-reduced
+    // rows — and the rank≤1 gets the WindowGroupLimit pushdown; no
+    // corpus-wide window, no join, all-integer.
+    q("qm7_clip_manifest",
+      s"""WITH $DuckFrameCte,
+         |d AS (SELECT doc_id, frame_id, energy - lag(energy) OVER (
+         |    PARTITION BY doc_id ORDER BY frame_id) AS delta
+         |  FROM fr),
+         |sc AS (SELECT doc_id, frame_id,
+         |    SUM(CASE WHEN delta IS NOT NULL AND abs(delta) >= $CutDelta
+         |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+         |      ORDER BY frame_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene
+         |  FROM d),
+         |scenes AS (SELECT doc_id, scene,
+         |    CAST(MIN(frame_id) AS BIGINT) AS clip_start,
+         |    CAST(COUNT(*) AS BIGINT) AS clip_len
+         |  FROM sc GROUP BY doc_id, scene),
+         |pick AS (SELECT doc_id, clip_start, clip_len,
+         |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT)
+         |      AS n_scenes,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY clip_len DESC, clip_start) AS rk
+         |  FROM scenes)
+         |SELECT doc_id, n_scenes, clip_start, clip_len
+         |FROM pick WHERE rk = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byDoc = Window.partitionBy("doc_id")
+      val scenes = frameEnergies(t(s, d, "documents"))
+        .withColumn("delta", col("energy") - lag(col("energy"), 1)
+          .over(byDoc.orderBy("frame_id")))
+        .withColumn("scene",
+          sum(when(col("delta").isNotNull
+              && abs(col("delta")) >= CutDelta, 1L).otherwise(0L))
+            .over(byDoc.orderBy("frame_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "scene")
+        .agg(min("frame_id").cast("long").as("clip_start"),
+          count(lit(1)).as("clip_len"))
+      scenes
+        .withColumn("n_scenes", count(lit(1)).over(byDoc))
+        .withColumn("rk", row_number().over(
+          byDoc.orderBy(col("clip_len").desc, col("clip_start"))))
+        .where(col("rk") === 1)
+        .select(col("doc_id"), col("n_scenes"),
+          col("clip_start"), col("clip_len"))
         .orderBy("doc_id")
     }
   )

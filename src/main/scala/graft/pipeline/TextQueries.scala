@@ -29,6 +29,13 @@ object TextQueries extends QueryModule {
       pattern: String): org.apache.spark.sql.Column =
     size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
 
+  /** qt19's head-rank cap: the Zipf fit uses only the top-N ranks per
+    * source. Doubles as the scale bound — every per-source moment sum
+    * is ≤ this many bounded terms regardless of corpus size — and as a
+    * tested code path: the fixture vocab (~30 words/source) exceeds it,
+    * so the cap bites at sf0.01 already. */
+  private[pipeline] val ZipfRankCap = 20
+
   private val Stopwords = Seq("the", "a", "of", "and", "in")
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -291,6 +298,150 @@ object TextQueries extends QueryModule {
           col("gram_vocab").cast("long").as("gram_vocab"),
           col("new_grams").cast("long").as("new_grams"))
         .orderBy("quartile")
+    },
+
+    // Zipf rank-frequency fit (round 16) — the per-source corpus-health
+    // twin of qt18's novelty curve: natural text follows freq ∝ 1/rank
+    // (log-log slope ≈ −1); template-mined or boilerplate-heavy sources
+    // flatten the head (slope → 0) and synthetic spam steepens it. The
+    // fit is an OLS slope of ln(freq) on ln(rank) over the HEAD ranks
+    // only (rank ≤ [[ZipfRankCap]]) — the head is where Zipf holds (the
+    // singleton tail always deviates) and the cap makes every per-source
+    // moment sum ≤ cap terms, so the BIGINT accumulators cannot overflow
+    // at ANY corpus size (ln values floor-scale at 1e3: x ≤ ~10, y ≤
+    // ~30 even at 10^13 tokens — products stay under 2^53, sums exact).
+    // Determinism: ranks and counts are exact integers; the only float
+    // ops are the established floored ln of each (qt17's rule) and ONE
+    // final division of two exactly-representable BIGINTs (< 2^53),
+    // floored at 1e-6. Scale shape: ONE (source, word) partial-agg
+    // shuffle reduces the corpus; the ranking window partitions by
+    // source over that vocab-bounded table (never corpus rows), the
+    // head filter caps it at [[ZipfRankCap]] rows per source, and the
+    // moment rollup is one more partial agg — no corpus window, no
+    // join, nothing driver-side.
+    q("qt19_zipf_slope",
+      s"""WITH tok AS (SELECT source,
+         |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+         |      AS w
+         |  FROM documents),
+         |wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY source, w),
+         |rk AS (SELECT source, c, row_number() OVER (PARTITION BY source
+         |    ORDER BY c DESC, w) AS r,
+         |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS vocab
+         |  FROM wc),
+         |xy AS (SELECT source, vocab,
+         |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+         |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000.0) AS BIGINT) AS y
+         |  FROM rk WHERE r <= $ZipfRankCap),
+         |m AS (SELECT source, vocab, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM xy GROUP BY source, vocab)
+         |SELECT source, vocab, n AS n_fit,
+         |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0) AS BIGINT)
+         |    AS slope6
+         |FROM m WHERE n >= 2 ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wc = t(s, d, "documents")
+        .select(col("source"),
+          explode(expr(CurationQueries.WordsExpr)).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val rk = wc
+        .withColumn("r", row_number().over(Window.partitionBy("source")
+          .orderBy(col("c").desc, col("w"))))
+        .withColumn("vocab",
+          count(lit(1)).over(Window.partitionBy("source")))
+      val xy = rk.where(col("r") <= ZipfRankCap)
+        .select(col("source"), col("vocab"),
+          floor(log(col("r").cast("double")) * 1000.0).cast("long")
+            .as("x"),
+          floor(log(col("c").cast("double")) * 1000.0).cast("long")
+            .as("y"))
+      xy.groupBy("source", "vocab")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .where(col("n") >= 2)
+        .select(col("source"), col("vocab"), col("n").as("n_fit"),
+          floor((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") * 1000000.0).cast("long").as("slope6"))
+        .orderBy("source")
+    },
+
+    // Per-source distribution drift (round 16) — KL(source ‖ corpus)
+    // over unigram distributions: the crawl-health audit a pipeline
+    // runs to catch a source whose snapshot shifted (new template, new
+    // language mix, spam injection) before mixing it in. KL(P‖Q) =
+    // Σ p·ln(p/q) with P the source's word distribution and Q the
+    // corpus's — every source word exists in the corpus (g ≥ c), so q
+    // never zeroes. Determinism (qt17's rule): the only float ops are
+    // the floored ln of ONE ratio per word and the two exact-integer
+    // divisions composing it — (c/T_s)·(T/g), divisions BEFORE the
+    // multiply so both factors stay near 1 and no BIGINT product can
+    // overflow at any corpus size; each term then rides as
+    // c·floor(ln(·)·1e6), a BIGINT, and the per-source total divides
+    // by T_s in integer math. Scale shape: ONE (source, word)
+    // partial-agg shuffle reduces the corpus; the global word table,
+    // source totals, and corpus total all DERIVE from that cached
+    // reduced table (three aggregations, no second corpus pass); the
+    // scoring join is word-keyed over vocab-bounded tables with the
+    // 1-row corpus total and per-source totals broadcast. The summed
+    // term CAN go slightly negative for a near-identical source (true
+    // KL ≥ 0, but each term carries the floor's ≤1e-6 downward bias);
+    // DuckDB's BIGINT `//` and Spark's `div` both truncate toward
+    // zero, so the engines agree on signed totals (verified: -7//2 =
+    // -7 div 2 = -3).
+    q("qt20_source_kl_drift",
+      """WITH tok AS (SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS w
+        |  FROM documents),
+        |wcs AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY source, w),
+        |ts AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tsrc
+        |  FROM wcs GROUP BY source),
+        |wg AS (SELECT w, CAST(SUM(c) AS BIGINT) AS g FROM wcs GROUP BY w),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM wcs)
+        |SELECT wcs.source, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(c * CAST(floor(ln(
+        |      (CAST(c AS DOUBLE) / CAST(tsrc AS DOUBLE))
+        |      * (CAST(t AS DOUBLE) / CAST(g AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT)) AS BIGINT) // tsrc AS kl6
+        |FROM wcs
+        |JOIN ts ON ts.source = wcs.source
+        |JOIN wg ON wg.w = wcs.w
+        |CROSS JOIN tot
+        |GROUP BY wcs.source, tsrc
+        |ORDER BY wcs.source""".stripMargin) { (s, d) =>
+      // wcs feeds FOUR consumers (ts, wg, tot, the scoring join) —
+      // cache the vocab-bounded reduced table (the house rule: cache
+      // the reduced table, never the corpus input); harness callers
+      // clearCache() per the QueryModule contract
+      val wcs = t(s, d, "documents")
+        .select(col("source"),
+          explode(expr(CurationQueries.WordsExpr)).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .cache()
+      val ts = wcs.groupBy("source").agg(sum("c").as("tsrc"))
+      val wg = wcs.groupBy("w").agg(sum("c").as("g"))
+      val tot = wcs.agg(sum("c").as("t"))
+      wcs.join(broadcast(ts), "source")
+        .join(wg, "w")
+        .crossJoin(broadcast(tot))
+        .withColumn("term", col("c") * floor(log(
+          (col("c").cast("double") / col("tsrc").cast("double"))
+            * (col("t").cast("double") / col("g").cast("double")))
+          * 1000000.0).cast("long"))
+        .groupBy("source", "tsrc")
+        .agg(count(lit(1)).as("n_words"), sum("term").as("klsum"))
+        .select(col("source"), col("n_words"),
+          expr("klsum div tsrc").as("kl6"))
+        .orderBy("source")
     },
 
     // N-gram/marker-word language-ID heuristic: count marker hits per

@@ -257,6 +257,56 @@ object PlanAudit {
         !qp30.contains("Window") &&
         !qp30.contains("CartesianProduct"))
 
+    // zipf fit: the corpus reduces through ONE map-side-combined
+    // (source, word) pass, the rank windows run after ONE source
+    // shuffle, and the moments rollup REUSES that partitioning (a
+    // source partition clusters (source, vocab) too) — exactly two
+    // hash exchanges, no join anywhere
+    val qt19 = plan("qt19_zipf_slope")
+    check("qt19 two hash exchanges, map-side combine, windows, no join",
+      qt19.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2
+        && qt19.contains("partial_count") && qt19.contains("Window")
+        && !qt19.contains("Join"))
+
+    // energy segments: frames explode distributed, the island window
+    // and BOTH run rollups share the one doc_id partitioning (two hash
+    // exchanges total), and the doc-reduced segment summary BROADCASTS
+    // into the left join — never a corpus-wide shuffle join
+    val qm6 = plan("qm6_energy_segments")
+    check("qm6 doc-bounded window, broadcast summary join, two exchanges",
+      qm6.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2
+        && qm6.contains("Window") && qm6.contains("BroadcastHashJoin")
+        && !qm6.contains("CartesianProduct"))
+
+    // KL drift: the cached (source, word) reduce feeds all four
+    // consumers (one corpus scan materialized once), every aggregate
+    // map-side combines, totals broadcast; the only nested-loop join
+    // is the 1-row corpus-total attachment — no cartesian
+    val qt20 = plan("qt20_source_kl_drift")
+    check("qt20 cached single reduce + broadcast totals; no cartesian",
+      qt20.contains("InMemoryRelation") && qt20.contains("partial_sum")
+        && qt20.contains("BroadcastExchange")
+        && !qt20.contains("CartesianProduct"))
+
+    // clip manifest: ONE doc_id exchange serves the LAG window, the
+    // running scene-id window, the scene rollup, the n_scenes window,
+    // AND the argmax rank — which also gets the WindowGroupLimit
+    // rank<=1 pushdown; no join anywhere
+    val qm7 = plan("qm7_clip_manifest")
+    check("qm7 one doc exchange for all windows + WindowGroupLimit, no join",
+      qm7.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1
+        && qm7.contains("WindowGroupLimit") && !qm7.contains("Join"))
+
+    // binary-quantization audit: probe words broadcast (the qe2
+    // 3-row-build posture), and BOTH top-5 windows get the
+    // WindowGroupLimit rank<=5 pushdown — candidates prune partial
+    // AND final, before and after the qid shuffle
+    val qe15 = plan("qe15_binary_recall")
+    check("qe15 broadcast probes + WindowGroupLimit top-5 both legs",
+      qe15.contains("BroadcastExchange")
+        && qe15.linesIterator.count(_.contains("WindowGroupLimit")) >= 4
+        && !qe15.contains("CartesianProduct"))
+
     // filtered ANN: pivots/probes broadcast; the only nested-loop joins
     // are the broadcast probe attachments (qe2 posture), no cartesian
     val qe14 = plan("qe14_filtered_ann")

@@ -135,7 +135,19 @@ object ScaleUpBench {
     // round 16: domain rollup — one corpus partial-agg to (source, h4)
     // cells (bounded by #domains × 65536), thresholds broadcast; the
     // corpus pass is the only stage that grows with input
-    "qp30_domain_rollup")
+    "qp30_domain_rollup",
+    // round 16: zipf fit (one (source, word) partial-agg — suffixed
+    // shard words grow the vocab 10x while the head cap bounds the fit
+    // itself) and energy segments (frames explode + per-item islands;
+    // same frame pattern as qm5 plus the doc-reduced broadcast join).
+    // qe15 is excluded like qe2: embeddings replicate as-is, so its
+    // input would not grow.
+    "qt19_zipf_slope", "qm6_energy_segments",
+    // round 16 batch 2: KL drift (the cached (source, word) reduce is
+    // the only corpus-growing stage; the scoring join is vocab-bounded
+    // on both sides) and the clip manifest (one doc exchange, windows
+    // bounded per item)
+    "qt20_source_kl_drift", "qm7_clip_manifest")
 
   private def timeQuery(spark: SparkSession, name: String,
       dir: String): (Double, Double) = {

@@ -160,6 +160,44 @@ class EmbeddingSpec extends SparkSuite {
     byProbe.values.foreach(rs => assert(rs(0) <= rs(1)))
   }
 
+  test("qe15 binary recall equals a driver-side sign-pack-and-rank recompute") {
+    // independent ground truth: hamming distance is the count of
+    // sign-bit disagreements (no packing needed on the driver — the
+    // packed-word XOR popcount the engines run is definitionally the
+    // same count), top-5 by (hamming asc, vec_id) vs the exact
+    // floored double-dot top-5
+    def ham(a: Array[Float], b: Array[Float]): Int =
+      a.zip(b).count { case (x, y) => (x > 0) != (y > 0) }
+    def fdot(a: Array[Float], b: Array[Float]): Double =
+      math.floor(a.zip(b).foldLeft(0.0) {
+        case (acc, (x, y)) => acc + x.toDouble * y.toDouble } * 1e6)
+    val expected = Seq(42L, 123L, 321L).map { q =>
+      val bt = vecs.keys.filter(_ != q).toSeq
+        .map(id => (id, ham(vecs(q), vecs(id))))
+        .sortBy { case (id, h) => (h, id) }.take(5).map(_._1)
+      val ex = vecs.keys.filter(_ != q).toSeq
+        .map(id => (id, fdot(vecs(q), vecs(id))))
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+      (q, ex.toSet.intersect(bt.toSet).size.toLong)
+    }.sorted
+    val got = run("qe15_binary_recall")
+      .select($"qid", $"n_hits").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == expected)
+    // the 1-bit pass is genuinely lossier than qe12's int8 pass on
+    // this fixture, but still carries signal: each probe's hamming
+    // top-5 is more similar (exact dot) than the corpus average
+    assert(got.map(_._2).sum < 10)
+    Seq(42L, 123L, 321L).foreach { q =>
+      val others = vecs.keys.filter(_ != q).toSeq
+      val byHam = others.map(id => (id, ham(vecs(q), vecs(id))))
+        .sortBy { case (id, h) => (h, id) }.take(5).map(_._1)
+      val meanTop = byHam.map(id => fdot(vecs(q), vecs(id))).sum / 5
+      val meanAll = others.map(id => fdot(vecs(q), vecs(id))).sum /
+        others.size
+      assert(meanTop > meanAll, s"probe $q: hamming top-5 carries no signal")
+    }
+  }
+
   test("qe3 LSH buckets: same-bucket pairs are more similar than average") {
     val buckets = run("qe3_lsh_buckets").select($"vec_id", $"bucket")
       .as[(Long, Long)].collect()

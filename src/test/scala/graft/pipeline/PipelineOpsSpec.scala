@@ -315,6 +315,161 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got.map(_._4).sum == got.last._3)
   }
 
+  test("qt19 zipf slope equals a driver-side OLS recompute; the cap bites") {
+    val rows = Engine.table(spark, sf, "documents")
+      .select($"source", $"text").as[(String, String)].collect().toSeq
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      val counts = ds.flatMap(_._2.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      val vocab = counts.size.toLong
+      // rank by (count desc, word asc) — ASCII corpus, so Scala's
+      // UTF-16 string order equals both engines' binary orders
+      val head = counts.sortBy { case (w, c) => (-c, w) }
+        .take(TextQueries.ZipfRankCap).zipWithIndex
+        .map { case ((_, c), i) =>
+          (math.floor(math.log((i + 1).toDouble) * 1e3).toLong,
+            math.floor(math.log(c.toDouble) * 1e3).toLong)
+        }
+      val n = head.size.toLong
+      if (n < 2) None
+      else {
+        val sx = head.map(_._1).sum; val sy = head.map(_._2).sum
+        val sxy = head.map(p => p._1 * p._2).sum
+        val sxx = head.map(p => p._1 * p._1).sum
+        val slope6 = math.floor((n * sxy - sx * sy).toDouble
+          / (n * sxx - sx * sx).toDouble * 1e6).toLong
+        Some((src, vocab, n, slope6))
+      }
+    }.sortBy(_._1)
+    val got = run("qt19_zipf_slope")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the head cap genuinely bites on this fixture (vocab exceeds it)
+    // and every fitted slope is negative (frequency falls with rank)
+    assert(got.exists(r => r._2 > TextQueries.ZipfRankCap))
+    got.filter(_._2 > TextQueries.ZipfRankCap)
+      .foreach(r => assert(r._3 == TextQueries.ZipfRankCap.toLong))
+    got.foreach(r => assert(r._4 < 0, s"${r._1} slope not negative"))
+  }
+
+  test("qt20 KL drift equals a driver-side recompute; a planted shift scores high") {
+    val rows = Engine.table(spark, sf, "documents")
+      .select($"source", $"text").as[(String, String)].collect().toSeq
+    val perSrc = rows.groupBy(_._1).view.mapValues(
+      _.flatMap(_._2.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap).toMap
+    val global = perSrc.values.flatten
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val t = global.values.sum
+    val expected = perSrc.toSeq.map { case (src, wc) =>
+      val tsrc = wc.values.sum
+      val klsum = wc.map { case (w, c) =>
+        c * math.floor(math.log(
+          (c.toDouble / tsrc.toDouble)
+            * (t.toDouble / global(w).toDouble)) * 1e6).toLong
+      }.sum
+      (src, wc.size.toLong, klsum / tsrc) // both engines truncate to 0
+    }.sortBy(_._1)
+    val got = run("qt20_source_kl_drift")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the statistic discriminates: recompute KL for a PLANTED drifted
+    // source (one fixture source's counts with one word's mass tripled)
+    // and assert it scores above that source's real drift
+    val (src0, wc0) = perSrc.head
+    val hot = wc0.keys.head
+    val shifted = wc0.updated(hot, wc0(hot) * 3 + 10)
+    val tS = shifted.values.sum
+    val gS = global.updated(hot, global(hot) + shifted(hot) - wc0(hot))
+    val ttS = t + shifted(hot) - wc0(hot)
+    val klShift = shifted.map { case (w, c) =>
+      c * math.floor(math.log(
+        (c.toDouble / tS.toDouble) * (ttS.toDouble / gS(w).toDouble))
+        * 1e6).toLong
+    }.sum / tS
+    val klOrig = got.find(_._1 == src0).get._3
+    assert(klShift > klOrig,
+      s"planted drift ($klShift) should exceed the real drift ($klOrig)")
+  }
+
+  test("qm6 energy segments equal a driver-side run-length recompute") {
+    val texts = Engine.table(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    // same byte==char precondition as qm5's spec: the engine slices
+    // characters, this recompute slices bytes
+    val nonAscii = texts.filter { case (_, tx) =>
+      tx.getBytes("UTF-8").length != tx.length }
+    assert(nonAscii.isEmpty,
+      "qm6 assumes a pure-ASCII corpus; non-ASCII doc_ids: " +
+        nonAscii.map(_._1).take(5).mkString(", "))
+    val expected = texts.flatMap { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val nf = bytes.length / 64
+      if (nf == 0) None
+      else {
+        val active = (0 until nf).map(i =>
+          bytes.slice(i * 64, i * 64 + 64).map(_.toLong & 0xffL).sum
+            >= MultimodalQueries.ActiveEnergy)
+        // run-length encode the active flags
+        val runs = active.foldLeft(List.empty[(Boolean, Long)]) {
+          case ((f, len) :: tl, a) if f == a => (f, len + 1) :: tl
+          case (acc, a) => (a, 1L) :: acc
+        }.filter(_._1).map(_._2)
+        Some((id, nf.toLong, runs.size.toLong,
+          if (runs.isEmpty) 0L else runs.max,
+          runs.sum))
+      }
+    }.sortBy(_._1)
+    val got = run("qm6_energy_segments")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the fixture exercises every branch: a zero-active item (the left
+    // join's coalesce row), a multi-segment item, and the invariant
+    // that runs never exceed the frame budget
+    assert(got.exists(_._3 == 0))
+    assert(got.exists(_._3 > 1))
+    got.foreach(r => assert(r._5 <= r._2 && r._4 <= r._5))
+  }
+
+  test("qm7 clip manifest picks the longest earliest scene; boundaries are qm5's") {
+    val texts = Engine.table(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val expected = texts.flatMap { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val nf = bytes.length / 64
+      if (nf == 0) None
+      else {
+        val energies = (0 until nf).map(i =>
+          bytes.slice(i * 64, i * 64 + 64).map(_.toLong & 0xffL).sum)
+        // scene id = running count of cut boundaries (first frame is
+        // never a cut)
+        val sceneIds = energies.indices.map { i =>
+          (1 to i).count(j =>
+            math.abs(energies(j) - energies(j - 1))
+              >= MultimodalQueries.CutDelta)
+        }
+        val scenes = sceneIds.zipWithIndex.groupBy(_._1).values.toSeq
+          .map(fs => (fs.map(_._2).min.toLong, fs.size.toLong))
+        val (start, len) = scenes
+          .sortBy { case (st, ln) => (-ln, st) }.head
+        Some((id, scenes.size.toLong, start, len))
+      }
+    }.sortBy(_._1)
+    val got = run("qm7_clip_manifest")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // scene boundaries are EXACTLY qm5's: n_scenes = its n_cuts + 1,
+    // per item — the shared-CutDelta contract, asserted cross-query
+    val qm5 = run("qm5_scene_cuts")
+      .select($"doc_id", $"n_cuts").as[(Long, Long)].collect().toMap
+    got.foreach(r => assert(r._2 == qm5(r._1) + 1,
+      s"doc ${r._1}: scene count diverges from qm5's cut count"))
+    // multi-scene items exist and every clip fits its item
+    assert(got.exists(_._2 > 1))
+  }
+
   test("qp13 water-filling: budget exhausted, caps respected, one knee") {
     val rows = run("qp13_token_budget")
       .as[(String, Long, Double, Double)].collect()
