@@ -48,14 +48,16 @@ object EmbeddingQueries extends QueryModule {
         * expr("graft_dot(embedding, embedding)")) * 1000000.0)
       .cast("long")
 
-  /** The IVF candidate-generation stage shared by qe7 (unfiltered probe
-    * search) and qe14 (label-post-filtered search): fixed pivots
+  /** The IVF assignment + ranked probe list shared by EVERY IVF
+    * consumer — qe7 (unfiltered probe search), qe14 (label-post-
+    * filtered search), and qe16 (the nprobe curve): fixed pivots
     * (vec_id < 8) broadcast, nearest cell via partial-agg min-struct,
-    * nprobe=2 for the fixed probe set. ONE definition so a pivot-count
-    * or nprobe change can never desynchronize the audits' candidate
-    * universes. Returns (cand = (qid, vec_id), qs = (qid, qvec)). */
-  private def ivfCandidates(s: org.apache.spark.sql.SparkSession,
-      d: String): (DataFrame, DataFrame) = {
+    * probes RANKED per query (not yet cut). ONE definition so a
+    * pivot-count or distance change can never desynchronize the
+    * audits' candidate universes. Returns (cells = (vec_id, cell),
+    * probeRanked = (qid, pid, pr), qs = (qid, qvec)). */
+  private def ivfRanked(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     def d2(a: String, b: String) =
       s"(graft_dot($a, $a) - 2.0D * graft_dot($a, $b) + graft_dot($b, $b))"
@@ -70,14 +72,22 @@ object EmbeddingQueries extends QueryModule {
       .select(col("vec_id"), col("m.pid").as("cell"))
     val qs = emb.where(col("vec_id").isin(42, 123, 321))
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val probe = qs.crossJoin(broadcast(piv))
+    val probeRanked = qs.crossJoin(broadcast(piv))
       .select(col("qid"), col("pid"),
         expr(d2("qvec", "pvec")).as("d2"))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("d2"), col("pid"))))
-      .where(col("pr") <= 2)
-      .select(col("qid"), col("pid"))
-    val cand = probe.join(cells, col("cell") === col("pid"))
+      .select(col("qid"), col("pid"), col("pr"))
+    (cells, probeRanked, qs)
+  }
+
+  /** [[ivfRanked]] cut at the serving nprobe=2 — the qe7/qe14 stage.
+    * Returns (cand = (qid, vec_id), qs = (qid, qvec)). */
+  private def ivfCandidates(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val (cells, probeRanked, qs) = ivfRanked(s, d)
+    val cand = probeRanked.where(col("pr") <= 2)
+      .join(cells, col("cell") === col("pid"))
       .select(col("qid"), col("vec_id"))
     (cand, qs)
   }
@@ -922,6 +932,110 @@ object EmbeddingQueries extends QueryModule {
           coalesce(col("n"), lit(0L)).cast("long").as("n_hits"))
         .withColumn("recall_pct", (col("n_hits") * 20).cast("long"))
         .orderBy("qid")
+    },
+
+    // IVF NPROBE TUNING CURVE (round 16) — the knob the serving path
+    // (qe7) fixes at 2, swept: recall@5 AND candidate count per
+    // nprobe ∈ {1, 2, 4}. This is the cost/recall tradeoff an
+    // operator reads to pick the serving probe count — n_cand is the
+    // vectors actually re-ranked (the query-time cost axis), recall
+    // is what it buys; qe13 is the same curve over dimensions, qe16
+    // over probes. The candidate universe derives from the SAME
+    // ivfRanked stage qe7/qe14 cut at 2 (one definition, the shared-
+    // stage house rule), so the curve's nprobe=2 row IS the serving
+    // path's recall. Determinism: distances and cosines are the
+    // graft_dot sequential fold (floored at 1e-6), ranking ties on
+    // vec_id/pid. Scale shape: pivots and probes broadcast; the cell
+    // scan is the serving IVF leg (cells prune the corpus), the
+    // re-rank is bounded by the probed cells' population.
+    q("qe16_nprobe_curve", {
+      val d2 = (a: String, b: String) =>
+        s"(${duckDot(a, a)} - 2.0 * ${duckDot(a, b)} + ${duckDot(b, b)})"
+      s"""WITH piv AS (SELECT vec_id AS pid, embedding AS pvec
+         |  FROM embeddings WHERE vec_id < 8),
+         |ad AS (SELECT e.vec_id, p.pid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${d2("e.embedding", "p.pvec")}, p.pid) AS rn
+         |  FROM embeddings e CROSS JOIN piv p),
+         |cells AS (SELECT vec_id, pid AS cell FROM ad WHERE rn = 1),
+         |qs AS (SELECT vec_id AS qid, embedding AS qvec
+         |  FROM embeddings WHERE vec_id IN (42, 123, 321)),
+         |qd AS (SELECT q.qid, p.pid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${d2("q.qvec", "p.pvec")}, p.pid) AS pr
+         |  FROM qs q CROSS JOIN piv p),
+         |ks AS (SELECT CAST(unnest([1, 2, 4]) AS INT) AS nprobe),
+         |probe AS (SELECT qd.qid, ks.nprobe, qd.pid
+         |  FROM qd CROSS JOIN ks WHERE qd.pr <= ks.nprobe),
+         |sc AS (SELECT pr.qid, pr.nprobe, c.vec_id,
+         |    CAST(floor(${duckDot("q.qvec", "e.embedding")}
+         |      / sqrt(${duckDot("q.qvec", "q.qvec")}
+         |             * ${duckDot("e.embedding", "e.embedding")})
+         |      * 1000000.0) AS BIGINT) AS c6
+         |  FROM probe pr JOIN cells c ON c.cell = pr.pid
+         |    JOIN qs q ON q.qid = pr.qid
+         |    JOIN embeddings e ON e.vec_id = c.vec_id
+         |  WHERE c.vec_id <> pr.qid
+         |    AND ${duckDot("e.embedding", "e.embedding")} > 0),
+         |nc AS (SELECT qid, nprobe, CAST(COUNT(*) AS BIGINT) AS n_cand
+         |  FROM sc GROUP BY qid, nprobe),
+         |itop AS (SELECT qid, nprobe, vec_id FROM (
+         |    SELECT qid, nprobe, vec_id, row_number() OVER (
+         |      PARTITION BY qid, nprobe ORDER BY c6 DESC, vec_id) AS rk
+         |    FROM sc) z WHERE rk <= 5),
+         |ex AS (SELECT qid, vec_id FROM (
+         |    SELECT q.qid, e.vec_id, row_number() OVER (
+         |      PARTITION BY q.qid ORDER BY
+         |        CAST(floor(${duckDot("q.qvec", "e.embedding")}
+         |          / sqrt(${duckDot("q.qvec", "q.qvec")}
+         |                 * ${duckDot("e.embedding", "e.embedding")})
+         |          * 1000000.0) AS BIGINT) DESC, e.vec_id) AS rk
+         |    FROM embeddings e CROSS JOIN qs q
+         |    WHERE e.vec_id <> q.qid
+         |      AND ${duckDot("e.embedding", "e.embedding")} > 0) z
+         |  WHERE rk <= 5),
+         |h AS (SELECT i.qid, i.nprobe, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM itop i JOIN ex ON ex.qid = i.qid
+         |    AND ex.vec_id = i.vec_id
+         |  GROUP BY i.qid, i.nprobe)
+         |SELECT q.qid, CAST(ks.nprobe AS BIGINT) AS nprobe,
+         |  CAST(COALESCE(nc.n_cand, 0) AS BIGINT) AS n_cand,
+         |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.n, 0) * 20 AS BIGINT) AS recall_pct
+         |FROM qs q CROSS JOIN ks
+         |LEFT JOIN nc ON nc.qid = q.qid AND nc.nprobe = ks.nprobe
+         |LEFT JOIN h ON h.qid = q.qid AND h.nprobe = ks.nprobe
+         |ORDER BY q.qid, nprobe""".stripMargin
+    }) { (s, d) =>
+      val (cells, probeRanked, qs) = ivfRanked(s, d)
+      val ks = s.range(0, 3)
+        .select(expr("shiftleft(1, CAST(id AS INT))").as("nprobe"))
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val sc = probeRanked.crossJoin(broadcast(ks))
+        .where(col("pr") <= col("nprobe"))
+        .join(cells, col("cell") === col("pid"))
+        .join(broadcast(qs), "qid")
+        .join(emb, "vec_id")
+        .where(col("vec_id") =!= col("qid")
+          && expr("graft_dot(embedding, embedding)") > 0)
+        .select(col("qid"), col("nprobe"), col("vec_id"), cosine6.as("c6"))
+      val nc = sc.groupBy("qid", "nprobe").agg(count(lit(1)).as("n_cand"))
+      val itop = sc
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid"), col("nprobe"))
+            .orderBy(col("c6").desc, col("vec_id"))))
+        .where(col("rk") <= 5)
+        .select(col("qid"), col("nprobe"), col("vec_id"))
+      val hits = itop.join(exactTop5(s, d), Seq("qid", "vec_id"))
+        .groupBy("qid", "nprobe").agg(count(lit(1)).as("n"))
+      qs.select(col("qid")).crossJoin(ks)
+        .join(nc, Seq("qid", "nprobe"), "left")
+        .join(hits, Seq("qid", "nprobe"), "left")
+        .select(col("qid"), col("nprobe").cast("long").as("nprobe"),
+          coalesce(col("n_cand"), lit(0L)).cast("long").as("n_cand"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_hits"))
+        .withColumn("recall_pct", (col("n_hits") * 20).cast("long"))
+        .orderBy("qid", "nprobe")
     },
 
     // EMBEDDING-BASED DECONTAMINATION (round 10) — the semantic twin of

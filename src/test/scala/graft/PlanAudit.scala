@@ -314,6 +314,13 @@ object PlanAudit {
       qe14.contains("BroadcastExchange") &&
         !qe14.contains("CartesianProduct"))
 
+    // nprobe curve: same shared ivfRanked stage (pivots/probes/nprobe
+    // levels broadcast), cells prune the re-rank; no cartesian
+    val qe16 = plan("qe16_nprobe_curve")
+    check("qe16 broadcast pivots/probes/levels; no cartesian",
+      qe16.contains("BroadcastExchange") &&
+        !qe16.contains("CartesianProduct"))
+
     // gram novelty: first_seen is ONE map-side-combined gram groupBy
     // (partial_min before the shuffle), checkpoints broadcast —
     // never four conditional-DISTINCT shuffles

@@ -198,6 +198,53 @@ class EmbeddingSpec extends SparkSuite {
     }
   }
 
+  test("qe16 nprobe curve equals a driver-side IVF recompute; wider probes never hurt") {
+    // independent ground truth: pivot assignment by exact d2 (ties to
+    // pid), probe ranking per query, candidates from the top-np cells,
+    // cosine re-rank, overlap vs the exact top-5
+    def fdot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble }
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      fdot(a, a) - 2.0 * fdot(a, b) + fdot(b, b)
+    def cos6(a: Array[Float], b: Array[Float]): Long =
+      math.floor(fdot(a, b) / math.sqrt(fdot(a, a) * fdot(b, b))
+        * 1e6).toLong
+    val pivots = vecs.filter(_._1 < 8)
+    val cell: Map[Long, Long] = vecs.view.mapValues { v =>
+      pivots.toSeq.map { case (pid, pv) => (d2(v, pv), pid) }.min._2
+    }.toMap
+    val expected = (for (q <- Seq(42L, 123L, 321L); np <- Seq(1, 2, 4))
+      yield {
+        val probed = pivots.toSeq
+          .map { case (pid, pv) => (d2(vecs(q), pv), pid) }
+          .sorted.take(np).map(_._2).toSet
+        val cand = vecs.keys.filter(id => id != q
+          && probed.contains(cell(id))
+          && fdot(vecs(id), vecs(id)) > 0).toSeq
+        val top5 = cand.map(id => (id, cos6(vecs(q), vecs(id))))
+          .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+        val exact = vecs.keys.filter(id => id != q
+            && fdot(vecs(id), vecs(id)) > 0).toSeq
+          .map(id => (id, cos6(vecs(q), vecs(id))))
+          .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+        (q, np.toLong, cand.size.toLong,
+          exact.toSet.intersect(top5.toSet).size.toLong)
+      }).sorted
+    val got = run("qe16_nprobe_curve")
+      .select($"qid", $"nprobe", $"n_cand", $"n_hits")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == expected)
+    // the curve is actionable: per probe, candidates strictly grow
+    // with nprobe and recall never falls
+    got.groupBy(_._1).values.foreach { rs =>
+      val byNp = rs.sortBy(_._2)
+      assert(byNp.map(_._3) == byNp.map(_._3).sorted)
+      assert(byNp.sliding(2).forall(p => p(0)._3 < p(1)._3))
+      assert(byNp.map(_._4) == byNp.map(_._4).sorted)
+    }
+  }
+
   test("qe3 LSH buckets: same-bucket pairs are more similar than average") {
     val buckets = run("qe3_lsh_buckets").select($"vec_id", $"bucket")
       .as[(Long, Long)].collect()

@@ -188,17 +188,19 @@ class PipelineOpsSpec extends SparkSuite {
   test("qm5 scene cuts equal a driver-side frame-energy recompute") {
     val texts = Engine.table(spark, sf, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
-    // qm5's frame energy slices CHARACTERS on both engines (the qm2
-    // byte==char note: DuckDB 1.0 cannot substring BLOBs) while this
-    // recompute slices BYTES — the two agree only while the corpus is
-    // pure ASCII. Assert that precondition BY NAME so a future
-    // non-ASCII fixture fails here with the cause stated, not as an
-    // opaque value mismatch below (ADVICE r15).
+    // The engine slices the BINARY payload (graft_bytesum, round 16 —
+    // this recompute matches it byte-for-byte) but the DuckDB ORACLE
+    // still slices CHARACTERS (DuckDB 1.0 cannot substring BLOBs) —
+    // oracle and engine agree only while the corpus is pure ASCII.
+    // Assert that precondition BY NAME so a future non-ASCII fixture
+    // fails here with the cause stated, not as an opaque oracle
+    // mismatch (ADVICE r15).
     val nonAscii = texts.filter { case (_, tx) =>
       tx.getBytes("UTF-8").length != tx.length }
     assert(nonAscii.isEmpty,
-      "qm5 assumes a pure-ASCII corpus (its engine-side energy slices " +
-        "characters, this recompute slices bytes); non-ASCII doc_ids: " +
+      "qm5 assumes a pure-ASCII corpus (its DuckDB oracle slices " +
+        "characters, the engine and this recompute slice bytes); " +
+        "non-ASCII doc_ids: " +
         nonAscii.map(_._1).take(5).mkString(", "))
     val expected = texts.flatMap { case (id, text) =>
       val bytes = text.getBytes("UTF-8")
@@ -397,8 +399,8 @@ class PipelineOpsSpec extends SparkSuite {
   test("qm6 energy segments equal a driver-side run-length recompute") {
     val texts = Engine.table(spark, sf, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
-    // same byte==char precondition as qm5's spec: the engine slices
-    // characters, this recompute slices bytes
+    // same byte==char precondition as qm5's spec: the DuckDB oracle
+    // slices characters, the engine and this recompute slice bytes
     val nonAscii = texts.filter { case (_, tx) =>
       tx.getBytes("UTF-8").length != tx.length }
     assert(nonAscii.isEmpty,
