@@ -63,6 +63,134 @@ object DedupQueries extends QueryModule {
        |  FROM shx)""".stripMargin
   }
 
+  /** qp8's cluster assignment — LSH band pairs → hash-min connected
+    * components → (doc_id, canonical_id = min doc in cluster) — as ONE
+    * shared stage so qp8 (the assignment itself) and qp31 (the
+    * cluster-mass histogram) mine the same cluster space. Only docs
+    * appearing in at least one candidate pair are present (every
+    * mined cluster has size ≥ 2). */
+  private def dupClusters(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val bands = withShingles(t(s, d, "documents"))
+      .select(col("doc_id"),
+        posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
+    val pairs = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+      .distinct()
+    graft.graph.GraphOps.connectedComponents(s, pairs)
+      .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
+  }
+
+  /** DuckDB twin of [[dupClusters]] — the recursive-CTE chain through
+    * `cl(doc_id, canonical_id)`, shared by qp8's and qp31's oracles. */
+  private val DuckClusterCte: String =
+    s"""${duckSig.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |bands AS (SELECT doc_id, b.band,
+       |    CASE b.band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+       |                WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bv
+       |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       |e AS (SELECT a AS src, b AS dst FROM pairs
+       |  UNION SELECT b, a FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM e
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+       |cl AS (SELECT CAST(id AS BIGINT) AS doc_id,
+       |    CAST(MIN(r) AS BIGINT) AS canonical_id
+       |  FROM reach GROUP BY id)""".stripMargin
+
+  /** qp5's verified candidate-pair statistics — LSH band candidates
+    * with exact shingle-set intersection and per-doc set sizes,
+    * (lang, doc_a, doc_b, ni, na, nb) — as ONE shared stage so qp5
+    * (jaccard ranking) and qp32 (the dedup threshold curve) score the
+    * same pair universe. Caches: shingle arrays once (every branch
+    * re-runs the lambda otherwise — a checkpoint table at 100 TB),
+    * band rows (both sides of the self-join), and the 8-byte
+    * md5-prefix shingle surrogate rows (~3× narrower shuffle keys;
+    * bit-identical in both engines, and a collision would affect both
+    * sides identically). Harness callers clearCache() per the
+    * QueryModule contract. */
+  private def lshPairStats(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = withShingles(t(s, d, "documents"))
+      .select(col("doc_id"), col("lang"), col("sh")).cache()
+    val bands = docs.select(col("doc_id"), col("lang"),
+      posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
+      .where(col("bv") =!= "")
+      .cache()
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.lang") === col("y.lang") && col("x.band") === col("y.band")
+          && col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.lang").as("lang"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+      .distinct()
+    val shd = docs.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"),
+        unhex(substring(md5(col("s0")), 1, 16)).as("s"))
+      .distinct()
+      .cache()
+    val cnt = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(shd.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(shd.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy(col("lang"), col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("ni"))
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("lang"), col("doc_a"), col("doc_b"), col("ni"),
+        col("ca.n").as("na"), col("cb.n").as("nb"))
+  }
+
+  /** DuckDB twin of [[lshPairStats]] — the lang-aware CTE chain
+    * through `pstats(lang, doc_a, doc_b, ni, na, nb)`, shared by
+    * qp5's and qp32's oracles. */
+  private val DuckPairCte: String = {
+    val hs = (0 until NumHashes).map { k =>
+      val j = k / 2
+      val off = if (k % 2 == 0) 1 else 17
+      s"coalesce(list_aggregate(list_transform(sh, x -> substr(md5('s$j|' || x), $off, 16)), 'min'), '') AS h$k"
+    }.mkString(",\n    ")
+    s"""WITH tkx AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+       |shx AS (SELECT doc_id, lang, CASE WHEN len(tk) >= 3
+       |    THEN list_transform(generate_series(1, len(tk) - 2),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+       |    ELSE [] END AS sh FROM tkx),
+       |sigl AS (SELECT doc_id, lang,
+       |    $hs
+       |  FROM shx),
+       |bands AS (SELECT doc_id, lang, b.band,
+       |    CASE b.band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+       |                WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bv
+       |  FROM sigl, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |cand AS (SELECT DISTINCT x.lang, x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.lang = y.lang AND x.band = y.band AND x.bv = y.bv
+       |    AND x.doc_id < y.doc_id
+       |  WHERE x.bv <> ''),
+       |shd AS (SELECT DISTINCT doc_id,
+       |    unhex(substr(md5(s0), 1, 16)) AS s
+       |  FROM (SELECT doc_id, unnest(sh) AS s0 FROM shx) u),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+       |inter AS (SELECT c.lang, c.doc_a, c.doc_b, COUNT(*) AS ni
+       |  FROM cand c JOIN shd a ON a.doc_id = c.doc_a
+       |              JOIN shd b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY c.lang, c.doc_a, c.doc_b),
+       |pstats AS (SELECT i.lang, i.doc_a, i.doc_b, i.ni,
+       |    ca.n AS na, cb.n AS nb
+       |  FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+       |               JOIN cnt cb ON cb.doc_id = i.doc_b)""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
 
     // Exact dedup via content-hash groupBy: keep lowest doc_id per distinct
@@ -139,95 +267,85 @@ object DedupQueries extends QueryModule {
     // all-pairs, no hot-shingle quadratics), exact Jaccard verifies, top-5
     // most similar pairs per language reported. The oracle replicates the
     // full candidates→verify pipeline in SQL.
-    q("qp5_ngram_jaccard", {
-      val hs = (0 until NumHashes).map { k =>
-        val j = k / 2
-        val off = if (k % 2 == 0) 1 else 17
-        s"coalesce(list_aggregate(list_transform(sh, x -> substr(md5('s$j|' || x), $off, 16)), 'min'), '') AS h$k"
-      }.mkString(",\n    ")
-      s"""WITH tkx AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
-         |shx AS (SELECT doc_id, lang, CASE WHEN len(tk) >= 3
-         |    THEN list_transform(generate_series(1, len(tk) - 2),
-         |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-         |    ELSE [] END AS sh FROM tkx),
-         |sigl AS (SELECT doc_id, lang,
-         |    $hs
-         |  FROM shx),
-         |bands AS (SELECT doc_id, lang, b.band,
-         |    CASE b.band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
-         |                WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bv
-         |  FROM sigl, (SELECT unnest([0, 1, 2, 3]) AS band) b),
-         |cand AS (SELECT DISTINCT x.lang, x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.lang = y.lang AND x.band = y.band AND x.bv = y.bv
-         |    AND x.doc_id < y.doc_id
-         |  WHERE x.bv <> ''),
-         |shd AS (SELECT DISTINCT doc_id,
-         |    unhex(substr(md5(s0), 1, 16)) AS s
-         |  FROM (SELECT doc_id, unnest(sh) AS s0 FROM shx) u),
-         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
-         |inter AS (SELECT c.lang, c.doc_a, c.doc_b, COUNT(*) AS ni
-         |  FROM cand c JOIN shd a ON a.doc_id = c.doc_a
-         |              JOIN shd b ON b.doc_id = c.doc_b AND b.s = a.s
-         |  GROUP BY c.lang, c.doc_a, c.doc_b),
-         |jac AS (SELECT i.lang, i.doc_a, i.doc_b,
-         |    CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard
-         |  FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
-         |               JOIN cnt cb ON cb.doc_id = i.doc_b),
+    q("qp5_ngram_jaccard",
+      s"""$DuckPairCte,
+         |jac AS (SELECT lang, doc_a, doc_b,
+         |    CAST(ni AS DOUBLE) / (na + nb - ni) AS jaccard
+         |  FROM pstats),
          |r AS (SELECT lang, doc_a, doc_b, jaccard, CAST(row_number() OVER (
          |    PARTITION BY lang ORDER BY jaccard DESC, doc_a, doc_b) AS BIGINT) AS rnk
          |  FROM jac)
          |SELECT lang, doc_a, doc_b, jaccard, rnk FROM r WHERE rnk <= 5
          |ORDER BY lang, rnk""".stripMargin
-    }) { (s, d) =>
+    ) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      graft.functions.GraftFunctions.register(s)
-      // materialize the shingle arrays once: every downstream branch
-      // (bands x2, shd x3) would otherwise re-run the shingling lambda —
-      // and a Generate over the raw expression re-evaluates it per output
-      // row. At 100 TB this cache is a checkpoint table.
-      val docs = withShingles(t(s, d, "documents"))
-        .select(col("doc_id"), col("lang"), col("sh")).cache()
-      val bands = docs.select(col("doc_id"), col("lang"),
-        posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
-        .where(col("bv") =!= "")
-        .cache() // reused by both sides of the candidate self-join
-      val cand = bands.as("x")
-        .join(bands.as("y"),
-          col("x.lang") === col("y.lang") && col("x.band") === col("y.band")
-            && col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.lang").as("lang"), col("x.doc_id").as("doc_a"),
-          col("y.doc_id").as("doc_b"))
-        .distinct()
-      // inverted-index rows carry an 8-byte md5-prefix surrogate instead
-      // of the shingle STRING: ~3× narrower join/shuffle keys for the
-      // verify join. unhex(substr(md5, 1, 16)) is bit-identical in both
-      // engines, so even a (astronomically unlikely, ~2^-37 here) 64-bit
-      // collision affects both sides identically and the oracle stays
-      // exact.
-      val shd = docs.select(col("doc_id"), explode(col("sh")).as("s0"))
-        .select(col("doc_id"),
-          unhex(substring(md5(col("s0")), 1, 16)).as("s"))
-        .distinct()
-        .cache() // reused by cnt and both intersection sides
-      val cnt = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(shd.as("a"), col("doc_a") === col("a.doc_id"))
-        .join(shd.as("b"),
-          col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
-        .groupBy(col("lang"), col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("ni"))
-      val jac = inter
-        .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      val jac = lshPairStats(s, d)
         .select(col("lang"), col("doc_a"), col("doc_b"),
           (col("ni").cast("double")
-            / (col("ca.n") + col("cb.n") - col("ni"))).as("jaccard"))
+            / (col("na") + col("nb") - col("ni"))).as("jaccard"))
       val w = Window.partitionBy(col("lang"))
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       jac.withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= 5)
         .orderBy(col("lang"), col("rnk"))
+    },
+
+    // Dedup threshold tuning curve (round 16) — the knob every
+    // near-dup run must set, swept at three postures: t=0% (every
+    // overlapping LSH candidate — the no-verification baseline, false
+    // positives included), t=80% (the standard aggressive setting),
+    // t=99% (near-exact only). Per threshold: passing pairs and
+    // implicated documents (the removal-mass upper bound — every
+    // implicated doc except one per cluster would go). The 0→80 gap
+    // is the LSH false-positive mass verification exists to remove;
+    // the 80→99 gap is what tightening to near-exact forfeits. qp31
+    // reads cluster structure at the shipped setting; this reads the
+    // aggressiveness curve across settings — together the report a
+    // curation run files before deleting anything. The pair universe
+    // is [[lshPairStats]], the SAME verified candidates qp5 ranks
+    // (the shared-stage house rule). Determinism: the threshold test
+    // is the all-integer cross-product 100·ni ≥ t·(na+nb−ni) — the
+    // qt16 posture, zero float risk. Scale shape: the curve runs on
+    // the PAIR-reduced table (bounded by LSH candidates, not the
+    // corpus) crossed with a broadcast 3-row threshold table;
+    // implicated docs count through one explode+distinct of passing
+    // pairs.
+    q("qp32_dedup_threshold_curve",
+      s"""$DuckPairCte,
+         |th AS (SELECT unnest([0, 80, 99]) AS t),
+         |p AS (SELECT th.t, ps.doc_a, ps.doc_b
+         |  FROM pstats ps CROSS JOIN th
+         |  WHERE 100 * ps.ni >= th.t * (ps.na + ps.nb - ps.ni)),
+         |np AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM p GROUP BY t),
+         |docs AS (SELECT t, doc_a AS d FROM p
+         |  UNION SELECT t, doc_b FROM p),
+         |nd AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM docs GROUP BY t)
+         |SELECT CAST(th.t AS BIGINT) AS thresh_pct,
+         |  COALESCE(np.n_pairs, 0) AS n_pairs,
+         |  COALESCE(nd.n_docs, 0) AS n_docs
+         |FROM th LEFT JOIN np ON np.t = th.t
+         |  LEFT JOIN nd ON nd.t = th.t
+         |ORDER BY thresh_pct""".stripMargin) { (s, d) =>
+      val ps = lshPairStats(s, d)
+      val th = s.range(0, 3)
+        .select(expr("element_at(array(0, 80, 99), CAST(id AS INT) + 1)")
+          .as("t"))
+      val p = ps.crossJoin(broadcast(th))
+        .where(lit(100) * col("ni")
+          >= col("t") * (col("na") + col("nb") - col("ni")))
+        .select(col("t"), col("doc_a"), col("doc_b"))
+      val np = p.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+      val nd = p.select(col("t"), col("doc_a").as("d"))
+        .unionByName(p.select(col("t"), col("doc_b").as("d")))
+        .distinct()
+        .groupBy("t").agg(count(lit(1)).as("n_docs"))
+      th.join(np, Seq("t"), "left").join(nd, Seq("t"), "left")
+        .select(col("t").cast("long").as("thresh_pct"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy("thresh_pct")
     },
 
     // The dedup END-GAME: LSH candidate pairs → connected components →
@@ -237,36 +355,55 @@ object DedupQueries extends QueryModule {
     // (O(log d) rounds); the oracle walks the same pairs with a
     // recursive CTE. Output: every clustered doc with its canonical id.
     q("qp8_dedup_clusters",
-      s"""${duckSig.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |bands AS (SELECT doc_id, b.band,
-         |    CASE b.band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
-         |                WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bv
-         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
-         |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
-         |e AS (SELECT a AS src, b AS dst FROM pairs
-         |  UNION SELECT b, a FROM pairs),
-         |reach AS (
-         |  SELECT src AS id, src AS r FROM e
-         |  UNION
-         |  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r)
-         |SELECT CAST(id AS BIGINT) AS doc_id,
-         |  CAST(MIN(r) AS BIGINT) AS canonical_id
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      graft.functions.GraftFunctions.register(s)
-      val bands = withShingles(t(s, d, "documents"))
-        .select(col("doc_id"),
-          posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
-      val pairs = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
-        .distinct()
-      graft.graph.GraphOps.connectedComponents(s, pairs)
-        .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
-        .orderBy(col("doc_id"))
+      s"""$DuckClusterCte
+         |SELECT doc_id, canonical_id FROM cl ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      dupClusters(s, d).orderBy(col("doc_id"))
+    },
+
+    // Dup-cluster mass histogram (round 16) — the corpus-health read
+    // on qp8's clusters: how many clusters exist at each size and how
+    // much document MASS they hold. Natural near-dup graphs are
+    // power-law-ish; a giant cluster means a template/mirror family
+    // that exact removal math must know about (removing all-but-one
+    // of a 10k-doc cluster is 10k−1 docs gone — the histogram is the
+    // number a curation run reports before pulling that trigger).
+    // Docs in no candidate pair surface as the size-1 row (corpus
+    // total minus clustered docs — the reach CTE only ever sees
+    // paired docs, so size ≥ 2 for every mined cluster and the rows
+    // cannot collide). Scale shape: everything downstream of qp8's CC
+    // runs on CLUSTER-reduced tables (sizes, then size-keyed counts —
+    // bounded by the largest cluster, not the corpus); the corpus
+    // total is one broadcast scalar.
+    q("qp31_cluster_histogram",
+      s"""$DuckClusterCte,
+         |cs AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM cl GROUP BY canonical_id),
+         |hist AS (SELECT sz AS cluster_size,
+         |    CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |    CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+         |  FROM cs GROUP BY sz),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS td FROM documents),
+         |cd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM cl)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS cluster_size,
+         |    td - nd AS n_clusters, td - nd AS n_docs
+         |  FROM tot CROSS JOIN cd
+         |  UNION ALL
+         |  SELECT cluster_size, n_clusters, n_docs FROM hist) u
+         |ORDER BY cluster_size""".stripMargin) { (s, d) =>
+      val cl = dupClusters(s, d)
+      val hist = cl.groupBy("canonical_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).as("n_docs"))
+      val tot = t(s, d, "documents").agg(count(lit(1)).as("td"))
+      val cd = cl.agg(count(lit(1)).as("nd"))
+      val singles = tot.crossJoin(cd)
+        .select(lit(1L).as("cluster_size"),
+          (col("td") - col("nd")).as("n_clusters"),
+          (col("td") - col("nd")).as("n_docs"))
+      singles.unionByName(hist).orderBy("cluster_size")
     },
 
     // SimHash-64 near-dup fingerprint: per-token md5-derived 60-bit hash,

@@ -278,6 +278,18 @@ object PlanAudit {
         && qm6.contains("Window") && qm6.contains("BroadcastHashJoin")
         && !qm6.contains("CartesianProduct"))
 
+    // dedup threshold curve: the pair universe is qp5's shared stage
+    // (cached shingle/band/surrogate tables — the InMemoryRelations);
+    // the threshold attachment is the 3-row broadcast BNLJ with the
+    // integer cross-product test PUSHED INTO its join condition (the
+    // qe2 posture — each pair row scans 3 broadcast rows); no
+    // cartesian
+    val qp32 = plan("qp32_dedup_threshold_curve")
+    check("qp32 cached pair stage + conditioned 3-row threshold BNLJ",
+      qp32.contains("InMemoryRelation")
+        && qp32.contains("BroadcastNestedLoopJoin BuildRight, Cross, ((ni")
+        && !qp32.contains("CartesianProduct"))
+
     // KL drift: the cached (source, word) reduce feeds all four
     // consumers (one corpus scan materialized once), every aggregate
     // map-side combines, totals broadcast; the only nested-loop join

@@ -147,7 +147,17 @@ object ScaleUpBench {
     // the only corpus-growing stage; the scoring join is vocab-bounded
     // on both sides) and the clip manifest (one doc exchange, windows
     // bounded per item)
-    "qt20_source_kl_drift", "qm7_clip_manifest")
+    "qt20_source_kl_drift", "qm7_clip_manifest",
+    // round 16 batch 3: the cluster-mass histogram (qp8's LSH + CC
+    // machinery — disjoint shards add clusters, not cluster depth —
+    // plus cluster-reduced rollups). qp32 is EXCLUDED as unmeasurable
+    // under the count() protocol: its final LEFT JOINs onto the 3-row
+    // threshold table have unique aggregate keys, so count() eliminates
+    // the outer joins and never executes the pair stage (measured
+    // 0.26s flat at 1x AND 10x — a join-elimination artifact, not
+    // scale evidence); its corpus-growing stage is qp5's, which has
+    // its own measured row.
+    "qp31_cluster_histogram")
 
   private def timeQuery(spark: SparkSession, name: String,
       dir: String): (Double, Double) = {

@@ -148,4 +148,86 @@ class DedupSpec extends SparkSuite {
     // Jaccard dilutes but containment catches
     assert(got.exists(r => r._4 != r._5))
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Driver-side replica of the qp5/qp32 LSH pair-stats chain over the
+    * real corpus: Spark-split tokens (split(text, " ", -1) keeps empty
+    * tokens, matching Spark's split), trigram shingles, 8 minhash
+    * components (two 64-bit halves per md5), 4 bands, same-lang
+    * same-band candidates, exact md5-prefix shingle-set intersection.
+    * Returns (doc_a, doc_b, ni, na, nb) for pairs with ni >= 1 (inner
+    * join semantics — zero-overlap candidates are absent in pstats). */
+  private def pairStatsReplica(): Seq[(Long, Long, Int, Int, Int)] = {
+    val texts = graft.Engine.table(spark, sf, "documents")
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect().toSeq
+    val sh = texts.map { case (id, lang, text) =>
+      val tk = text.split(" ", -1)
+      val grams = if (tk.length < 3) Seq.empty[String]
+        else (0 to tk.length - 3).map(i =>
+          s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}")
+      (id, lang, grams)
+    }
+    val bands = sh.flatMap { case (id, lang, grams) =>
+      if (grams.isEmpty) Seq.empty
+      else {
+        val hs = (0 until 4).flatMap { j =>
+          val ds = grams.map(g => md5hex(s"s$j|$g"))
+          Seq(ds.map(_.substring(0, 16)).min, ds.map(_.substring(16)).min)
+        }
+        (0 until 4).map(b => ((lang, b, hs(2 * b) + hs(2 * b + 1)), id))
+      }
+    }
+    val cands = bands.groupBy(_._1).values.flatMap { g =>
+      val ids = g.map(_._2).distinct.sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.size)
+        yield (ids(i), ids(j))
+    }.toSet
+    val sets = sh.map { case (id, _, grams) =>
+      id -> grams.map(g => md5hex(g).substring(0, 16)).toSet
+    }.toMap
+    cands.toSeq.sorted.flatMap { case (a, b) =>
+      val ni = (sets(a) & sets(b)).size
+      if (ni == 0) None
+      else Some((a, b, ni, sets(a).size, sets(b).size))
+    }
+  }
+
+  test("qp32 threshold curve equals a driver-side LSH replica; the curve discriminates") {
+    val ps = pairStatsReplica()
+    val expected = Seq(0, 80, 99).map { t =>
+      val pass = ps.filter { case (_, _, ni, na, nb) =>
+        100L * ni >= t.toLong * (na + nb - ni) }
+      (t.toLong, pass.size.toLong,
+        pass.flatMap(p => Seq(p._1, p._2)).distinct.size.toLong)
+    }
+    val got = run("qp32_dedup_threshold_curve")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // monotone: tightening never adds pairs, and the fixture
+    // discriminates (the no-verify baseline keeps more than t=99)
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse)
+    assert(got.head._2 > got.last._2)
+  }
+
+  test("qp31 histogram partitions the corpus and matches qp8's clusters") {
+    val clusters = run("qp8_dedup_clusters")
+      .as[(Long, Long)].collect().toSeq
+    val total = graft.Engine.table(spark, sf, "documents").count()
+    val sizes = clusters.groupBy(_._2).values.map(_.size.toLong).toSeq
+    val expected = ((1L, total - clusters.size, total - clusters.size) +:
+      sizes.groupBy(identity).toSeq.map { case (sz, g) =>
+        (sz, g.size.toLong, sz * g.size) }).sortBy(_._1)
+    val got = run("qp31_cluster_histogram")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // every mined cluster has size >= 2 (the singleton row is the only
+    // size-1 entry) and the histogram's doc mass partitions the corpus
+    assert(sizes.forall(_ >= 2))
+    assert(got.map(_._3).sum == total)
+    assert(got.exists(r => r._1 >= 2 && r._2 > 0))
+  }
 }
