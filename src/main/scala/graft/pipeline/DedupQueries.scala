@@ -46,13 +46,21 @@ object DedupQueries extends QueryModule {
           s"coalesce(array_min(transform(sh, x -> substr(md5(concat('s$j|', x)), 17, 16))), '')"))
     }
 
-  /** Shared DuckDB CTE prefix: tokens → shingles → signature columns. */
-  private[pipeline] val duckSig: String = {
-    val hs = (0 until NumHashes).map { k =>
+  /** The h0..h7 DuckDB signature-column expressions — ONE builder
+    * shared by [[duckSig]] (qp2/qp3/qp4/qp8's lang-free chain) and
+    * [[DuckPairCte]] (qp5/qp32's lang-aware chain), so the two CTE
+    * families' minhash spaces cannot silently diverge from each other
+    * (or from [[withSig]]'s engine-side seeds). */
+  private def duckHashCols: String =
+    (0 until NumHashes).map { k =>
       val j = k / 2
       val off = if (k % 2 == 0) 1 else 17
       s"coalesce(list_aggregate(list_transform(sh, x -> substr(md5('s$j|' || x), $off, 16)), 'min'), '') AS h$k"
     }.mkString(",\n    ")
+
+  /** Shared DuckDB CTE prefix: tokens → shingles → signature columns. */
+  private[pipeline] val duckSig: String = {
+    val hs = duckHashCols
     s"""WITH tkx AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |shx AS (SELECT doc_id, CASE WHEN len(tk) >= 3
        |    THEN list_transform(generate_series(1, len(tk) - 2),
@@ -155,11 +163,7 @@ object DedupQueries extends QueryModule {
     * through `pstats(lang, doc_a, doc_b, ni, na, nb)`, shared by
     * qp5's and qp32's oracles. */
   private val DuckPairCte: String = {
-    val hs = (0 until NumHashes).map { k =>
-      val j = k / 2
-      val off = if (k % 2 == 0) 1 else 17
-      s"coalesce(list_aggregate(list_transform(sh, x -> substr(md5('s$j|' || x), $off, 16)), 'min'), '') AS h$k"
-    }.mkString(",\n    ")
+    val hs = duckHashCols
     s"""WITH tkx AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
        |shx AS (SELECT doc_id, lang, CASE WHEN len(tk) >= 3
        |    THEN list_transform(generate_series(1, len(tk) - 2),

@@ -109,6 +109,56 @@ class RocksDbStateSpec extends SparkSuite {
     }
   }
 
+  test("the eager sentinel raises the named schema error through RocksDB state") {
+    // the round-16 sentinel's failure path under the scale provider: a
+    // schema-changed resume against a ROCKSDB-persisted checkpoint must
+    // fail at the first post-resume micro-batch via the sentinel key
+    // (only never-seen data keys are fed), with the named error intact
+    // through the RocksDB read path + the StreamingQueryException chain
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDbProvider {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_rocksdb_sentinel").toString
+      val sink = (df: org.apache.spark.sql.DataFrame, _: Long) => {
+        df.collect(); ()
+      }
+      val in1 = MemoryStream[(Int, String)]
+      val in2 = MemoryStream[(Int, String)]
+      val q1 = NonWindowJoinSql.unboundedOuterJoin(
+        in1.toDS().toDF("a", "l"), in2.toDS().toDF("d", "r"),
+        Seq(col("a")), Seq(col("d")), "left_outer")
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("append").foreachBatch(sink).start()
+      try {
+        in1.addData((7, "l1"))
+        q1.processAllAvailable()
+        assertRocksDbMetrics(q1)
+      } finally q1.stop()
+      val in1b = MemoryStream[(Int, String, Long)]
+      val in2b = MemoryStream[(Int, String)]
+      val q2 = NonWindowJoinSql.unboundedOuterJoin(
+        in1b.toDS().toDF("a", "l", "extra"), in2b.toDS().toDF("d", "r"),
+        Seq(col("a")), Seq(col("d")), "left_outer")
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("append").foreachBatch(sink).start()
+      val ex = intercept[StreamingQueryException] {
+        try {
+          in2b.addData((99, "r-new"))
+          q2.processAllAvailable()
+        } finally q2.stop()
+      }
+      val named = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(20)
+        .collectFirst { case e: JoinStateSchemaException => e }
+      assert(named.isDefined,
+        s"expected JoinStateSchemaException in the cause chain, got $ex")
+      assert(named.get.getMessage.contains("sentinel"))
+    }
+  }
+
   private implicit class JSetOps[T](s: java.util.Set[T]) {
     def asScala: Iterable[T] = {
       import scala.jdk.CollectionConverters._
