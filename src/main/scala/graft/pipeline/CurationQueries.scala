@@ -51,34 +51,37 @@ object CurationQueries extends QueryModule {
   private[pipeline] val DomainCap = 15
 
   /** qp30's rollup body, parameterized by cap so the spec can drive the
-    * keep-all branch (n_docs <= cap) on a synthetic small domain — the
-    * fixture domains all hold more than [[DomainCap]] docs.
+    * keep-all branch (n_docs <= cap) on a synthetic small domain and
+    * the over-granularity regime on a synthetic huge one — the fixture
+    * domains all hold more than [[DomainCap]] docs.
     *
-    * Shape: ONE corpus shuffle (the (source, h4) partial agg, ≤
-    * #domains × 65536 reduced rows by construction); domain totals,
-    * thresholds, and the capped re-aggregation all run over that cached
-    * reduced table with the threshold table broadcast. The threshold is
-    * all-integer — (65536·cap) div n_docs rendered as 4 lowercase hex
-    * chars — compared lexicographically against the doc's md5 prefix
-    * (fixed-width hex compare ≡ numeric compare). When n_docs <= cap
-    * the keep-all disjunct short-circuits; th4 is then 5 hex chars and
-    * the two engines render it differently (lpad truncates, printf
-    * doesn't) but neither ever compares it. */
+    * Shape: two map-side-combined corpus passes (domain totals; the
+    * threshold-filtered kept rollup), both reducing to ~#domains rows,
+    * with the threshold table broadcast between them. The threshold is
+    * all-integer — greatest((2^32·cap) div n_docs, 1) rendered as 8
+    * lowercase hex chars — compared lexicographically against the
+    * doc's 8-hex md5 prefix (fixed-width hex compare ≡ numeric
+    * compare). When n_docs <= cap the keep-all disjunct short-circuits;
+    * th8 is then 9+ hex chars and the two engines render it
+    * differently (lpad truncates, printf doesn't) but neither ever
+    * compares it. */
   private[pipeline] def domainRollup(docs: org.apache.spark.sql.DataFrame,
       cap: Int): org.apache.spark.sql.DataFrame = {
     val perDoc = docs.select(col("source"),
-        expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long")
-          .as("nt"),
+        expr(s"size($WordsExpr)").cast("long").as("nt"),
         length(col("text")).cast("long").as("nc"),
         expr("size(filter(split(text, ' '), " +
           "w -> w IN ('the', 'a', 'of', 'and', 'in')))").cast("long")
           .as("ns"),
         substring(md5(concat(lit("domcap|"), col("doc_id").cast("string"))),
-          1, 4).as("h4"))
+          1, 8).as("h8"))
       .where(col("nt") > 0)
-      // qp7's quality formula, floor-scaled to an exact BIGINT (the
-      // Det "dirty double" rule: floor(q * 1e6) is a pure binary op,
-      // identical in both engines)
+      // qp7's quality formula SHAPE (same three weighted terms, same
+      // IEEE operand order) over WordsExpr token counts (qp7 itself
+      // counts the raw split including empty tokens — the two scores
+      // agree except on consecutive-space docs), floor-scaled to an
+      // exact BIGINT (the Det "dirty double" rule: floor(q * 1e6) is
+      // a pure binary op, identical in both engines)
       .withColumn("q6", floor((
         lit(0.4) * least(col("nc").cast("double") / 500.0, lit(1.0))
           + lit(0.3) * least(col("ns").cast("double")
@@ -87,23 +90,30 @@ object CurationQueries extends QueryModule {
             - (col("nt").cast("double") - 1.0))
             / col("nt").cast("double")) / 8.0, lit(1.0))
         ) * 1000000.0).cast("long"))
-    // the reduced cell table feeds the totals AND the capped pass —
-    // cache it (house rule: cache the REDUCED table, bounded by
-    // #domains × 65536, never the corpus-sized input)
-    val red = perDoc.groupBy("source", "h4")
-      .agg(count(lit(1)).as("cnt"), sum("nt").as("tok"),
-        sum("q6").as("qs"))
-      .cache()
-    val tot = red.groupBy("source")
-      .agg(sum("cnt").as("n_docs"), sum("tok").as("total_tokens"),
-        sum("qs").as("q6sum"))
-    val th = tot.withColumn("th4",
-      lpad(lower(hex(expr(s"(65536 * $cap) div n_docs"))), 4, "0"))
-    val kept = red
-      .join(broadcast(th.select("source", "n_docs", "th4")), "source")
-      .where(col("n_docs") <= cap || col("h4") < col("th4"))
+    // perDoc feeds the totals pass AND the capped pass: both are
+    // map-side-combined partial aggs to ~#domains rows, and perDoc is
+    // a narrow map — the recorded recompute-over-materialize rule
+    // (qp24/qp26), so no cache. The 32-BIT hash space (h8, threshold
+    // (2^32·cap) div n_docs) replaces round 16's original 16-bit one,
+    // whose threshold floored to 0 for any domain over 65536·cap
+    // (983k) docs and silently dropped the WHOLE domain — exactly the
+    // hot-domain case the query targets (review r16). With 2^32 cells
+    // the kept count sits within n_docs/2^32 of cap up to 2^32·cap
+    // (~64 billion) docs per domain, and the greatest(…, 1) floor
+    // makes the threshold never reach zero beyond it — a domain too
+    // big for the granularity keeps ~n_docs/2^32 ≥ cap docs
+    // (graceful overshoot), never zero.
+    val tot = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("total_tokens"),
+        sum("q6").as("q6sum"))
+    val th = tot.withColumn("th8",
+      lpad(lower(hex(expr(s"greatest((4294967296L * $cap) div n_docs, 1L)"))),
+        8, "0"))
+    val kept = perDoc
+      .join(broadcast(th.select("source", "n_docs", "th8")), "source")
+      .where(col("n_docs") <= cap || col("h8") < col("th8"))
       .groupBy("source")
-      .agg(sum("cnt").as("n_kept"), sum("tok").as("kept_tokens"))
+      .agg(count(lit(1)).as("n_kept"), sum("nt").as("kept_tokens"))
     th.join(kept, Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("total_tokens"),
         expr("q6sum div n_docs").as("avg_q6"),
@@ -537,18 +547,22 @@ object CurationQueries extends QueryModule {
     // the mix — RefinedWeb samples domains down; C4 dedupes and caps
     // by host. Cap selection is deterministic hash-rate sampling (the
     // qp11 machinery with a PER-DOMAIN threshold): a doc survives iff
-    // its 4-hex md5 prefix falls under the domain's keep rate
-    // cap/n_docs scaled into the 16-bit hash space — membership is a
+    // its 8-hex md5 prefix falls under the domain's keep rate
+    // cap/n_docs scaled into the 32-BIT hash space — membership is a
     // pure function of (doc_id, the domain's size), reproducible
-    // across engines and cluster sizes, no RNG. Scale shape (the qp28
-    // value-grouped pattern): the corpus reduces in ONE partial-agg
-    // shuffle to (source, h4) cells — bounded by #domains × 65536 BY
-    // CONSTRUCTION, never corpus size — and every later stage (domain
-    // totals, thresholds, the capped re-aggregation) runs on that
-    // reduced table with thresholds broadcast; no corpus-wide window,
+    // across engines and cluster sizes, no RNG. (Round 16's first cut
+    // used a 16-bit space, whose threshold floored to 0 for any
+    // domain over 65536·cap docs and silently dropped the WHOLE
+    // domain; 32 bits + the greatest(…,1) floor keep ~cap up to 64
+    // billion docs per domain and overshoot gracefully beyond —
+    // review r16, spec-pinned in the over-granularity test.) Scale
+    // shape: two map-side-combined corpus passes (totals; the
+    // threshold-filtered kept rollup), each reducing to ~#domains
+    // rows, thresholds broadcast between them; no corpus-wide window,
     // no per-domain row_number (a hot domain at 100 TB would skew it).
-    // Quality is qp7's floor-scaled formula; every output is a BIGINT
-    // (avg_q6 by integer division), so the compare is exact.
+    // Quality is qp7's floor-scaled formula shape over WordsExpr
+    // counts; every output is a BIGINT (avg_q6 by integer division),
+    // so the compare is exact.
     q("qp30_domain_rollup",
       s"""WITH d AS (SELECT source, doc_id,
          |    CAST(len(list_filter(string_split(text, ' '),
@@ -557,9 +571,9 @@ object CurationQueries extends QueryModule {
          |    CAST(len(list_filter(string_split(text, ' '),
          |        w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS BIGINT)
          |      AS ns,
-         |    substr(md5('domcap|' || CAST(doc_id AS STRING)), 1, 4) AS h4
+         |    substr(md5('domcap|' || CAST(doc_id AS STRING)), 1, 8) AS h8
          |  FROM documents),
-         |sc AS (SELECT source, h4, nt,
+         |sc AS (SELECT source, h8, nt,
          |    CAST(floor((0.4 * least(CAST(nc AS DOUBLE) / 500.0, 1.0)
          |      + 0.3 * least((CAST(ns AS DOUBLE) / CAST(nt AS DOUBLE))
          |          * 5.0, 1.0)
@@ -567,22 +581,19 @@ object CurationQueries extends QueryModule {
          |          - (CAST(nt AS DOUBLE) - 1.0)) / CAST(nt AS DOUBLE))
          |          / 8.0, 1.0)) * 1000000.0) AS BIGINT) AS q6
          |  FROM d WHERE nt > 0),
-         |red AS (SELECT source, h4, CAST(COUNT(*) AS BIGINT) AS cnt,
-         |    CAST(SUM(nt) AS BIGINT) AS tok, CAST(SUM(q6) AS BIGINT) AS qs
-         |  FROM sc GROUP BY source, h4),
-         |tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
-         |    CAST(SUM(tok) AS BIGINT) AS total_tokens,
-         |    CAST(SUM(qs) AS BIGINT) AS q6sum
-         |  FROM red GROUP BY source),
+         |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(nt) AS BIGINT) AS total_tokens,
+         |    CAST(SUM(q6) AS BIGINT) AS q6sum
+         |  FROM sc GROUP BY source),
          |th AS (SELECT source, n_docs, total_tokens, q6sum,
-         |    printf('%04x', CAST((65536 * $DomainCap) // n_docs AS INT))
-         |      AS th4
+         |    printf('%08x', greatest(
+         |      (4294967296 * $DomainCap) // n_docs, 1)) AS th8
          |  FROM tot),
-         |kept AS (SELECT r.source, CAST(SUM(r.cnt) AS BIGINT) AS n_kept,
-         |    CAST(SUM(r.tok) AS BIGINT) AS kept_tokens
-         |  FROM red r JOIN th ON r.source = th.source
-         |  WHERE th.n_docs <= $DomainCap OR r.h4 < th.th4
-         |  GROUP BY r.source)
+         |kept AS (SELECT sc.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    CAST(SUM(sc.nt) AS BIGINT) AS kept_tokens
+         |  FROM sc JOIN th ON sc.source = th.source
+         |  WHERE th.n_docs <= $DomainCap OR sc.h8 < th.th8
+         |  GROUP BY sc.source)
          |SELECT t.source, t.n_docs, t.total_tokens,
          |  t.q6sum // t.n_docs AS avg_q6,
          |  COALESCE(k.n_kept, 0) AS n_kept,

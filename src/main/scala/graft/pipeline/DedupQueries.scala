@@ -80,9 +80,15 @@ object DedupQueries extends QueryModule {
   private def dupClusters(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // bv <> '': a doc with < 3 tokens has no shingles and FOUR empty
+    // band values — without the guard every such doc band-matches
+    // every other one, welding all short docs into one O(n²) artifact
+    // mega-cluster (the lshPairStats guard, re-established here after
+    // the round-16 extraction dropped it; review r16)
     val bands = withShingles(t(s, d, "documents"))
       .select(col("doc_id"),
         posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
+      .where(col("bv") =!= "")
     val pairs = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
@@ -103,7 +109,8 @@ object DedupQueries extends QueryModule {
        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |  WHERE x.bv <> ''),
        |e AS (SELECT a AS src, b AS dst FROM pairs
        |  UNION SELECT b, a FROM pairs),
        |reach AS (
@@ -249,13 +256,18 @@ object DedupQueries extends QueryModule {
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |FROM bands x JOIN bands y
          |  ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+         |WHERE x.bv <> ''
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       // cache: the self-join would otherwise evaluate the MinHash scan
-      // twice (at 100 TB this materialization is a checkpoint table)
+      // twice (at 100 TB this materialization is a checkpoint table).
+      // bv <> '': shingle-less (<3-token) docs would otherwise all
+      // band-match each other through their four empty band values —
+      // the same O(n²) artifact guard as lshPairStats/dupClusters
       val bands = withShingles(t(s, d, "documents"))
         .select(col("doc_id"),
           posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
+        .where(col("bv") =!= "")
         .cache()
       bands.as("x")
         .join(bands.as("y"),

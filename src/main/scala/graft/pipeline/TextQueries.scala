@@ -393,9 +393,13 @@ object TextQueries extends QueryModule {
     // 1-row corpus total and per-source totals broadcast. The summed
     // term CAN go slightly negative for a near-identical source (true
     // KL ≥ 0, but each term carries the floor's ≤1e-6 downward bias);
-    // DuckDB's BIGINT `//` and Spark's `div` both truncate toward
-    // zero, so the engines agree on signed totals (verified: -7//2 =
-    // -7 div 2 = -3).
+    // DuckDB's `//` and Spark's `div` both truncate toward zero (on
+    // HUGEINT and DECIMAL alike; verified -7//2 = -7 div 2 = -3), so
+    // the engines agree on signed totals. The term products and their
+    // sum ride EXACT 128-bit integers (Spark DECIMAL(38,0) / DuckDB
+    // HUGEINT — c·floor(ln·1e6) reaches ~3.5e20 for a 10^13-token
+    // source, past BIGINT), and only the final per-source quotient
+    // (≤ |ln|·1e6) narrows back to BIGINT.
     q("qt20_source_kl_drift",
       """WITH tok AS (SELECT source,
         |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
@@ -408,10 +412,10 @@ object TextQueries extends QueryModule {
         |wg AS (SELECT w, CAST(SUM(c) AS BIGINT) AS g FROM wcs GROUP BY w),
         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM wcs)
         |SELECT wcs.source, CAST(COUNT(*) AS BIGINT) AS n_words,
-        |  CAST(SUM(c * CAST(floor(ln(
+        |  CAST(SUM(CAST(c AS HUGEINT) * CAST(floor(ln(
         |      (CAST(c AS DOUBLE) / CAST(tsrc AS DOUBLE))
         |      * (CAST(t AS DOUBLE) / CAST(g AS DOUBLE)))
-        |    * 1000000.0) AS BIGINT)) AS BIGINT) // tsrc AS kl6
+        |    * 1000000.0) AS BIGINT)) // tsrc AS BIGINT) AS kl6
         |FROM wcs
         |JOIN ts ON ts.source = wcs.source
         |JOIN wg ON wg.w = wcs.w
@@ -433,14 +437,16 @@ object TextQueries extends QueryModule {
       wcs.join(broadcast(ts), "source")
         .join(wg, "w")
         .crossJoin(broadcast(tot))
-        .withColumn("term", col("c") * floor(log(
-          (col("c").cast("double") / col("tsrc").cast("double"))
-            * (col("t").cast("double") / col("g").cast("double")))
-          * 1000000.0).cast("long"))
+        .withColumn("term",
+          col("c").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * floor(log(
+              (col("c").cast("double") / col("tsrc").cast("double"))
+                * (col("t").cast("double") / col("g").cast("double")))
+              * 1000000.0).cast("long"))
         .groupBy("source", "tsrc")
         .agg(count(lit(1)).as("n_words"), sum("term").as("klsum"))
         .select(col("source"), col("n_words"),
-          expr("klsum div tsrc").as("kl6"))
+          expr("CAST(klsum div tsrc AS BIGINT)").as("kl6"))
         .orderBy("source")
     },
 

@@ -241,13 +241,13 @@ class PipelineOpsSpec extends SparkSuite {
           0.3 * math.min(ns.toDouble / nt * 5.0, 1.0) +
           0.3 * math.min((nc - (nt - 1.0)) / nt / 8.0, 1.0)
         Some((src, nt, math.floor(q * 1000000.0).toLong,
-          md5hex(s"domcap|$id").substring(0, 4)))
+          md5hex(s"domcap|$id").substring(0, 8)))
       }
     }
     val expected = per.groupBy(_._1).toSeq.map { case (src, ds) =>
       val n = ds.size.toLong
-      val th4 = f"${65536L * cap / n}%04x"
-      val kept = if (n <= cap) ds else ds.filter(_._4 < th4)
+      val th8 = f"${math.max(4294967296L * cap / n, 1L)}%08x"
+      val kept = if (n <= cap) ds else ds.filter(_._4 < th8)
       (src, n, ds.map(_._2).sum, ds.map(_._3).sum / n,
         kept.size.toLong, kept.map(_._2).sum)
     }.sortBy(_._1)
@@ -256,7 +256,7 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got == expected)
     // the cap actually bites on this corpus (every fixture domain holds
     // more than DomainCap docs), no domain empties, and the hash-rate
-    // selection lands near cap (within the 16-bit thresholding's
+    // selection lands near cap (within the 32-bit thresholding's
     // granularity + hash variance; exactness is the recompute above)
     got.foreach { r =>
       assert(r._2 > cap, s"${r._1}: fixture domain too small for the cap test")
@@ -279,10 +279,34 @@ class PipelineOpsSpec extends SparkSuite {
       .as[(String, Long, Long)].collect()
       .map { case (s, n, k) => s -> ((n, k)) }.toMap
     assert(got("d1") === ((2L, 2L))) // n_docs == cap → keep all
-    // d2: threshold = (65536 * 2) div 3 = 43690 = 'aaaa'
+    // d2: threshold = (2^32 * 2) div 3 = 2863311530 = 'aaaaaaaa'
     val keptD2 = Seq(3L, 4L, 5L).count(id =>
-      md5hex(s"domcap|$id").substring(0, 4) < "aaaa").toLong
+      md5hex(s"domcap|$id").substring(0, 8) < "aaaaaaaa").toLong
     assert(got("d2") === ((3L, keptD2)))
+  }
+
+  test("qp30 over-granularity regime: a domain past 65536*cap docs still keeps ~cap") {
+    // regression for the round-16 review catch: with the original
+    // 16-BIT hash space, (65536*cap) div n_docs floored to 0 for any
+    // domain over 65536*cap docs, so 'hot' — the query's own target
+    // case — silently kept NOTHING. The 32-bit space keeps ~cap:
+    // expected count recomputed exactly from the same md5 prefixes.
+    val cap = 2
+    val n = 200000L // > 65536 * cap = 131072 — the old scheme kept 0
+    val big = spark.range(0, n)
+      .selectExpr("id AS doc_id", "'hot' AS source", "'a b c' AS text")
+    val th8 = f"${math.max(4294967296L * cap / n, 1L)}%08x"
+    val expectedKept = (0L until n).count(id =>
+      md5hex(s"domcap|$id").substring(0, 8) < th8).toLong
+    val got = CurationQueries.domainRollup(big, cap = cap)
+      .select($"n_docs", $"n_kept").as[(Long, Long)].head()
+    assert(got._1 === n)
+    assert(got._2 === expectedKept)
+    // the whole point: NOT zero, and within hash variance of cap
+    assert(expectedKept > 0L,
+      "over-granularity domain kept nothing — the 16-bit cliff is back")
+    assert(expectedKept <= 4L * cap,
+      s"kept $expectedKept, expected ~$cap — rate selection off")
   }
 
   test("qt18 gram novelty equals a driver-side first-seen recompute") {
@@ -438,6 +462,14 @@ class PipelineOpsSpec extends SparkSuite {
   test("qm7 clip manifest picks the longest earliest scene; boundaries are qm5's") {
     val texts = Engine.table(spark, sf, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    // same byte==char precondition as qm5/qm6's specs: the DuckDB
+    // oracle slices characters, the engine and this recompute slice
+    // bytes (review r16 — qm7 initially shipped without this assert)
+    val nonAscii = texts.filter { case (_, tx) =>
+      tx.getBytes("UTF-8").length != tx.length }
+    assert(nonAscii.isEmpty,
+      "qm7 assumes a pure-ASCII corpus; non-ASCII doc_ids: " +
+        nonAscii.map(_._1).take(5).mkString(", "))
     val expected = texts.flatMap { case (id, text) =>
       val bytes = text.getBytes("UTF-8")
       val nf = bytes.length / 64
