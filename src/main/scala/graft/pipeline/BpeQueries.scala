@@ -222,7 +222,12 @@ object BpeQueries extends QueryModule {
          |FROM tok t JOIN wl ON wl.word = t.w
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      val vocab = wordVocab(docs)
+      // materialize the word vocabulary ONCE: learnMerges checkpoints
+      // its own copy internally, but encode() below consumes this
+      // DataFrame too — without the checkpoint the corpus-sized
+      // explode+groupBy (the module's declared only-corpus-sized
+      // stage) would execute a second time (review r16)
+      val vocab = wordVocab(docs).localCheckpoint()
       val merges = learnMerges(vocab, Steps)
         .map(m => (m._2, m._3))
       val wl = encode(vocab.select("word"), "word", merges)

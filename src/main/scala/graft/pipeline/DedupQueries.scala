@@ -700,23 +700,9 @@ object DedupQueries extends QueryModule {
     // table to doc metadata + one partial-aggregated argmax per cluster
     // (min-struct — no window over the corpus).
     q("qp22_dedup_best_survivor",
-      s"""${duckSig.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |bands AS (SELECT doc_id, b.band,
-         |    CASE b.band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
-         |                WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bv
-         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
-         |prs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
-         |e AS (SELECT a AS src, b AS dst FROM prs
-         |  UNION SELECT b, a FROM prs),
-         |reach AS (
-         |  SELECT src AS id, src AS r FROM e
-         |  UNION
-         |  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
-         |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
-         |j AS (SELECT c.rep, c.id, d.n_chars
-         |  FROM comp c JOIN documents d ON d.doc_id = c.id),
+      s"""$DuckClusterCte,
+         |j AS (SELECT c.canonical_id AS rep, c.doc_id AS id, d.n_chars
+         |  FROM cl c JOIN documents d ON d.doc_id = c.doc_id),
          |rk AS (SELECT rep, id, n_chars,
          |    ROW_NUMBER() OVER (PARTITION BY rep
          |      ORDER BY n_chars DESC, id) AS rn
@@ -724,22 +710,15 @@ object DedupQueries extends QueryModule {
          |SELECT CAST(rep AS BIGINT) AS cluster_rep,
          |  CAST(id AS BIGINT) AS keep_id,
          |  CAST(n_chars AS BIGINT) AS keep_chars,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM comp c2
-         |   WHERE c2.rep = rk.rep) AS n_docs
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cl c2
+         |   WHERE c2.canonical_id = rk.rep) AS n_docs
          |FROM rk WHERE rn = 1 ORDER BY cluster_rep""".stripMargin) {
       (s, d) =>
-      graft.functions.GraftFunctions.register(s)
-      val bands = withShingles(t(s, d, "documents"))
-        .select(col("doc_id"),
-          posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
-      val prs = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
-        .distinct()
-      val comp = graft.graph.GraphOps.connectedComponents(s, prs)
-        .select(col("id"), col("comp").as("rep"))
+      // cluster mining is [[dupClusters]] — ONE definition with
+      // qp8/qp31 (review r16: the former inline copy had already
+      // missed the round's bv <> '' guard)
+      val comp = dupClusters(s, d)
+        .select(col("doc_id").as("id"), col("canonical_id").as("rep"))
       comp.join(t(s, d, "documents")
           .select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
         .groupBy(col("rep"))
@@ -764,40 +743,19 @@ object DedupQueries extends QueryModule {
     // step is one broadcast-ready left join of docs against the (small)
     // clustered-docs table.
     q("qp19_split_leakage_safe",
-      s"""${duckSig.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |bands AS (SELECT doc_id, b.band,
-         |    CASE b.band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
-         |                WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bv
-         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
-         |prs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
-         |e AS (SELECT a AS src, b AS dst FROM prs
-         |  UNION SELECT b, a FROM prs),
-         |reach AS (
-         |  SELECT src AS id, src AS r FROM e
-         |  UNION
-         |  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
-         |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+      s"""$DuckClusterCte
          |SELECT d.doc_id,
-         |  CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS rep_id,
-         |  CASE WHEN substr(md5('split|' || COALESCE(c.rep, d.doc_id)),
-         |         1, 4) < 'e666'
+         |  CAST(COALESCE(c.canonical_id, d.doc_id) AS BIGINT) AS rep_id,
+         |  CASE WHEN substr(md5('split|'
+         |         || COALESCE(c.canonical_id, d.doc_id)), 1, 4) < 'e666'
          |       THEN 'train' ELSE 'heldout' END AS side
-         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |FROM documents d LEFT JOIN cl c ON c.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
-      graft.functions.GraftFunctions.register(s)
-      val bands = withShingles(t(s, d, "documents"))
-        .select(col("doc_id"),
-          posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
-      val prs = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
-        .distinct()
-      val comp = graft.graph.GraphOps.connectedComponents(s, prs)
-        .select(col("id"), col("comp").as("rep"))
+      // cluster mining is [[dupClusters]] — ONE definition with
+      // qp8/qp22/qp31 (review r16: the former inline copy had already
+      // missed the round's bv <> '' guard)
+      val comp = dupClusters(s, d)
+        .select(col("doc_id").as("id"), col("canonical_id").as("rep"))
       t(s, d, "documents").select(col("doc_id"))
         .join(broadcast(comp), col("doc_id") === col("id"), "left")
         .select(col("doc_id"),

@@ -96,13 +96,17 @@ object MultimodalQueries extends QueryModule {
 
     // Overlapping analysis windows (audio-style: 64-byte frames with 50%
     // hop): each byte offset 0, 32, 64, … starts a frame while a full
-    // frame fits. Oracled via generate_series over hop positions.
+    // frame fits. Oracled via a PER-ROW generate_series bounded by the
+    // document's own byte length (the original constant-bound series
+    // capped at 100,000 and would have silently dropped oracle-side
+    // frames for any doc past 100,064 bytes — review r16).
     q("qm3_overlap_frames",
-      """SELECT doc_id, CAST(h AS INTEGER) AS frame_start,
-        |  CAST(least(blen - h, 64) AS INTEGER) AS frame_len
-        |FROM (SELECT doc_id, octet_length(encode(text)) AS blen FROM documents),
-        |  generate_series(0, 100000, 32) g(h)
-        |WHERE h + 64 <= blen AND doc_id < 50
+      """SELECT doc_id, CAST(g.h AS INTEGER) AS frame_start,
+        |  CAST(least(blen - g.h, 64) AS INTEGER) AS frame_len
+        |FROM (SELECT doc_id, octet_length(encode(text)) AS blen
+        |      FROM documents WHERE doc_id < 50) t,
+        |  UNNEST(generate_series(0, CAST(blen AS BIGINT), 32)) AS g(h)
+        |WHERE g.h + 64 <= blen
         |ORDER BY doc_id, frame_start""".stripMargin) { (s, d) =>
       t(s, d, "documents")
         .where(col("doc_id") < 50)
@@ -159,8 +163,12 @@ object MultimodalQueries extends QueryModule {
     // groupBy(hash) over the frame rows — the same fingerprint-keyed
     // shuffle as exact text dedup (qp1), applied to binary content; at
     // 100 TB the reduce side sees one row per (hash, partial). The
-    // earliest occurrence packs into MIN(doc_id·10⁵ + frame_id) so the
-    // argmin needs no window or second pass.
+    // earliest occurrence is MIN over a (doc_id, frame_id) STRUCT —
+    // both engines compare structs field-lexicographically, so the
+    // argmin needs no window or second pass and no packing arithmetic
+    // (the original MIN(doc_id·10⁵ + frame_id) packing corrupted both
+    // fields once any payload reached 100k frames / 6.4 MB — a real
+    // video-scale size; review r16).
     q("qm4_duplicate_frames",
       s"""WITH f AS (SELECT doc_id, text,
          |    octet_length(encode(text)) // $FrameBytes AS n_frames
@@ -175,10 +183,11 @@ object MultimodalQueries extends QueryModule {
          |agg AS (SELECT frame_md5,
          |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |    CAST(COUNT(*) AS BIGINT) AS n_occur,
-         |    CAST(MIN(doc_id * 100000 + frame_id) AS BIGINT) AS fk
+         |    MIN({'d': doc_id, 'f': frame_id}) AS m
          |  FROM fr GROUP BY frame_md5)
          |SELECT frame_md5, n_docs, n_occur,
-         |  fk // 100000 AS first_doc, fk % 100000 AS first_frame
+         |  CAST(m.d AS BIGINT) AS first_doc,
+         |  CAST(m.f AS BIGINT) AS first_frame
          |FROM agg WHERE n_docs >= 2
          |ORDER BY frame_md5""".stripMargin) { (s, d) =>
       t(s, d, "documents")
@@ -193,11 +202,12 @@ object MultimodalQueries extends QueryModule {
         .groupBy(col("frame_md5"))
         .agg(count_distinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occur"),
-          min(col("doc_id") * 100000 + col("frame_id")).as("fk"))
+          min(struct(col("doc_id").as("d"), col("frame_id").as("f")))
+            .as("m"))
         .where(col("n_docs") >= 2)
         .select(col("frame_md5"), col("n_docs"), col("n_occur"),
-          expr("fk div 100000").as("first_doc"),
-          expr("fk % 100000").as("first_frame"))
+          col("m.d").cast("long").as("first_doc"),
+          col("m.f").cast("long").as("first_frame"))
         .orderBy(col("frame_md5"))
     },
 

@@ -31,10 +31,17 @@ object SamplingOps {
   }
 
   /** Uniform keep filter at `permil`/1000 — the unstratified special
-    * case (hex threshold precomputed from the rate). */
+    * case (hex threshold precomputed from the rate). permil = 1000
+    * short-circuits to keep-everything: its threshold value 65536
+    * renders as the FIVE-char string "10000", which compares BELOW
+    * almost every 4-char bucket lexicographically and would silently
+    * keep only ~6% (review r16). */
   def uniformKeep(id: Column, permil: Int, salt: String = "samp|"): Column = {
     require(permil >= 0 && permil <= 1000, s"permil out of range: $permil")
-    val th = f"${(permil * 65536) / 1000}%04x"
-    hashBucket(id, salt) < lit(th)
+    if (permil == 1000) lit(true)
+    else {
+      val th = f"${(permil * 65536) / 1000}%04x"
+      hashBucket(id, salt) < lit(th)
+    }
   }
 }

@@ -22,14 +22,35 @@ object SimilarityOps {
 
   final case class IvfIndex(assigned: DataFrame, centroids: Array[(Int, Array[Double])])
 
-  /** Fit the coarse quantizer and assign every row to a bucket. */
+  /** Rows the quantizer fit may consume — k-means iterates its input
+    * maxIter times, so the fit runs on a deterministic hash sample
+    * capped near this size while ASSIGNMENT still covers every row
+    * (the class doc's scale contract, made real in review r16). */
+  private val FitSampleTarget = 65536L
+
+  /** Fit the coarse quantizer (on a bounded deterministic sample) and
+    * assign every row to a bucket. */
   def ivfIndex(spark: SparkSession, embeddings: DataFrame, idCol: String,
       arrCol: String, k: Int = 16): IvfIndex = {
     val withVec = embeddings.withColumn("__vec",
       array_to_vector(col(arrCol).cast("array<double>")))
+    // deterministic md5-rate sample for the fit: 10 k-means iterations
+    // over the FULL corpus would be 10 corpus passes at 100 TB; the
+    // centroids need only a representative sample. Membership is the
+    // SamplingOps hash machinery (pure function of the id), so the
+    // fit set — hence the index — is reproducible across runs and
+    // cluster sizes. Small inputs keep every row (permil floors at
+    // 1000 when the corpus is under the target).
+    val n = withVec.count()
+    val permil = math.min(1000L, math.max(1L,
+      FitSampleTarget * 1000L / math.max(n, 1L))).toInt
+    val fitSet =
+      if (permil >= 1000) withVec
+      else withVec.where(
+        SamplingOps.uniformKeep(col(idCol), permil, salt = "ivf|"))
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("__vec").setPredictionCol("__bucket")
-      .fit(withVec)
+      .fit(fitSet)
     val assigned = model.transform(withVec)
       .select(col(idCol), col(arrCol), col("__bucket").as("bucket"))
     val centroids = model.clusterCenters.zipWithIndex
@@ -67,6 +88,10 @@ object SimilarityOps {
       .select(col(idCol).as("nid"), col(arrCol).as("ne"), col("bucket")),
       Seq("bucket"))
       .where($"nid" =!= $"qid")
+      // zero-norm guard (every other cosine path has it): a zero
+      // vector's cosine is 0/0 = NaN, and Spark sorts NaN ABOVE every
+      // real double, so it would take rnk=1 in each shared bucket
+      .where(expr("graft_dot(ne, ne)") > 0)
       .withColumn("cosine",
         expr("graft_dot(qe, ne)")
           / (sqrt(expr("graft_dot(qe, qe)")) * sqrt(expr("graft_dot(ne, ne)"))))

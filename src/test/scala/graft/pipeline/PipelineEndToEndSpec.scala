@@ -49,4 +49,29 @@ class PipelineEndToEndSpec extends SparkSuite {
     val nDocs = graft.Engine.table(spark, sf, "documents").count()
     assert(a.length < nDocs)
   }
+
+  test("uniformKeep boundary rates: 1000 permil keeps ALL, 0 keeps none, mid is exact") {
+    // regression (review r16): permil=1000's threshold value 65536
+    // rendered as the FIVE-char string "10000", which lexicographically
+    // sits below most 4-char buckets — keep-everything silently kept
+    // ~6%. The helper now short-circuits the full rate.
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Engine.table(spark, sf, "documents")
+    val n = docs.count()
+    assert(docs.where(
+      SamplingOps.uniformKeep(col("doc_id"), 1000)).count() == n)
+    assert(docs.where(
+      SamplingOps.uniformKeep(col("doc_id"), 0)).count() == 0L)
+    // a mid rate matches the exact md5-threshold recompute
+    import spark.implicits._
+    val ids = docs.select($"doc_id").as[Long].collect()
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val th = f"${(250 * 65536) / 1000}%04x"
+    val expected = ids.count(id =>
+      md5hex(s"samp|$id").substring(0, 4) < th).toLong
+    assert(docs.where(
+      SamplingOps.uniformKeep(col("doc_id"), 250)).count() == expected)
+  }
 }
