@@ -28,19 +28,33 @@ object Compat {
   private[functions] def similarToRegex(pattern: String): String = {
     val sb = new StringBuilder
     var i = 0
+    var inClass = false
     while (i < pattern.length) {
       val c = pattern.charAt(i)
       c match {
-        case '\\' if i + 1 < pattern.length =>
-          sb.append(java.util.regex.Pattern.quote(pattern.charAt(i + 1).toString))
-          i += 1
-        case '%' => sb.append(".*")
-        case '_' => sb.append('.')
+        case '\\' =>
+          // i+1 >= length: a dangling trailing backslash is itself a
+          // literal '\' — quote it so it cannot escape the appended
+          // '$' anchor (review r16)
+          val lit =
+            if (i + 1 < pattern.length) { i += 1; pattern.charAt(i) }
+            else '\\'
+          sb.append(java.util.regex.Pattern.quote(lit.toString))
+        case '%' if !inClass => sb.append(".*")
+        case '_' if !inClass => sb.append('.')
         // shared metacharacters pass through (SQL-standard SIMILAR TO
         // supports these with regex meaning)
-        case '[' | ']' | '(' | ')' | '|' | '*' | '+' | '?' | '{' | '}' | '^' | '-' =>
+        case '[' => inClass = true; sb.append(c)
+        case ']' => inClass = false; sb.append(c)
+        case '(' | ')' | '|' | '*' | '+' | '?' | '{' | '}' | '-' =>
           sb.append(c)
-        case '.' | '$' => sb.append('\\').append(c) // literal in SQL
+        // '^' negates inside a character class (shared with regex) but
+        // is an ORDINARY character elsewhere in SIMILAR TO — while in
+        // regex it would anchor; same for '$' and '.', which SQL
+        // treats literally (review r16: the original pass-through list
+        // carried '^' unconditionally, so "a^b" could never match)
+        case '^' if inClass => sb.append(c)
+        case '.' | '$' | '^' => sb.append('\\').append(c)
         case other => sb.append(other)
       }
       i += 1

@@ -165,13 +165,22 @@ case class FloatDotProduct(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
 
+  // NULL on length mismatch or a null element — the zip_with/aggregate
+  // lambda parity semantics (zip_with pads the shorter side with nulls
+  // and the additive fold null-propagates), not a silent truncation
+  // that would turn ragged embeddings into plausible numbers (review
+  // r16). Always nullable so codegen's isNull slot is assignable.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -183,13 +192,20 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n && !$bad; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; }
+         |    else { $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i); }
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -215,12 +231,17 @@ case class SimHash64(child: Expression)
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < tokens.numElements()) {
-      val tok = tokens.getUTF8String(i)
-      val h = SimHash64.tokenHash(md, tok)
-      var b = 0
-      while (b < 64) {
-        votes(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)
-        b += 1
+      // null elements cast no vote — the SQL-lambda parity semantics
+      // (md5(NULL) is NULL and the vote sums skip NULLs); the raw
+      // getUTF8String would NPE in tokenHash (review r16)
+      if (!tokens.isNullAt(i)) {
+        val tok = tokens.getUTF8String(i)
+        val h = SimHash64.tokenHash(md, tok)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)
+          b += 1
+        }
       }
       i += 1
     }
@@ -277,24 +298,33 @@ case class MinHashBands(child: Expression)
       val minHigh = new Array[String](NumSeeds)
       var i = 0
       while (i < n) {
-        val sh = shingles.getUTF8String(i).getBytes
-        var j = 0
-        while (j < NumSeeds) {
-          md.reset()
-          md.update(seedPrefixes(j))
-          md.update(sh)
-          val hex = MinHashBands.toHex(md.digest())
-          val low = hex.substring(0, 16)
-          val high = hex.substring(16, 32)
-          if (minLow(j) == null || low < minLow(j)) minLow(j) = low
-          if (minHigh(j) == null || high < minHigh(j)) minHigh(j) = high
-          j += 1
+        // null shingles contribute no hash — the SQL-lambda parity
+        // semantics (array_min skips the NULL md5(NULL) produces);
+        // the raw getUTF8String would NPE (review r16)
+        if (!shingles.isNullAt(i)) {
+          val sh = shingles.getUTF8String(i).getBytes
+          var j = 0
+          while (j < NumSeeds) {
+            md.reset()
+            md.update(seedPrefixes(j))
+            md.update(sh)
+            val hex = MinHashBands.toHex(md.digest())
+            val low = hex.substring(0, 16)
+            val high = hex.substring(16, 32)
+            if (minLow(j) == null || low < minLow(j)) minLow(j) = low
+            if (minHigh(j) == null || high < minHigh(j)) minHigh(j) = high
+            j += 1
+          }
         }
         i += 1
       }
       var b = 0
       while (b < NumSeeds) {
-        out(b) = UTF8String.fromString(minLow(b) + minHigh(b))
+        // all-null input degenerates like the empty array: the lambda's
+        // coalesce(array_min(...), '') yields the '' band
+        out(b) =
+          if (minLow(b) == null) UTF8String.EMPTY_UTF8
+          else UTF8String.fromString(minLow(b) + minHigh(b))
         b += 1
       }
     }

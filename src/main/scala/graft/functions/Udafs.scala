@@ -127,8 +127,17 @@ object Udafs {
     * [[KllAgg]]) and the MinHash/SimHash expressions — rendered
     * bit-identically in DuckDB as a hex-nibble positional sum (qs10/qs11
     * oracles). */
+  // one digest per thread, reset per call: getInstance does a provider
+  // lookup + allocation, and hash60 sits in the per-ROW reduce path of
+  // five sketch aggregators (review r16 — the sibling expressions
+  // already reuse one digest per eval)
+  private[functions] val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   private[functions] def hash60(v: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
+    md.reset()
     val d = md.digest(v.getBytes("UTF-8"))
     var h = 0L
     var i = 0
@@ -569,11 +578,11 @@ object Udafs {
   class ReservoirAgg(k: Int = 8, salt: String = "rsv|")
       extends Aggregator[String, Array[(String, String)], Array[String]] {
     private def hex(id: String): String = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest((salt + id).getBytes("UTF-8"))
-      val sb = new StringBuilder(32)
-      d.foreach(b => sb.append(f"${b & 0xFF}%02x"))
-      sb.toString
+      // per-thread digest + the shared allocation-free hex encoder —
+      // this sits in the per-row reduce path (review r16)
+      val md = Udafs.md5Local.get()
+      md.reset()
+      MinHashBands.toHex(md.digest((salt + id).getBytes("UTF-8")))
     }
     def zero: Array[(String, String)] = Array.empty
     def reduce(buf: Array[(String, String)],

@@ -105,8 +105,10 @@ object GraphOps {
     labels
   }
 
-  /** Single-source shortest (hop-count or weighted) paths via iterative
-    * relaxation; unreachable vertices are absent from the result. */
+  /** Single-source shortest HOP-COUNT paths via iterative relaxation
+    * (every edge costs 1.0 — a weight column, if present, is ignored;
+    * the scaladoc previously promised weighted paths it never computed,
+    * review r16); unreachable vertices are absent from the result. */
   def sssp(spark: SparkSession, edges: DataFrame, source: Long,
       maxIter: Int = 50): DataFrame = {
     val und = undirect(edges).cache()
@@ -343,6 +345,10 @@ object GraphOps {
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
     val n = vertices.count()
+    if (n == 0) { // empty graph: no vertices, and `dangling / n` would
+      e.unpersist(); vertices.unpersist() // divide by zero (review r16)
+      return vertices.withColumn("rank", lit(scale))
+    }
     val outDeg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg")).cache()
     var ranks = vertices.withColumn("rank", lit(scale))

@@ -15,19 +15,30 @@ object GraphQueries extends QueryModule {
 
   private val Threshold = 4
 
-  private val duckEdges =
-    s"""edges0 AS (
-       |  SELECT c.c_custkey * 2 AS src, su.s_suppkey * 2 + 1 AS dst
+  /** The qualifying (cust, supp) pair CTE — the ONE 4-table join +
+    * count-threshold text every oracle edge projection derives from
+    * (the DuckDB twin of [[qualifyingPairs]]; review r16: duckEdges,
+    * duckCo, duckDirectedEdges and four inline copies each carried
+    * their own verbatim copy of this join). */
+  private val duckTe =
+    s"""te AS (
+       |  SELECT c.c_custkey AS cust, su.s_suppkey AS supp
        |  FROM lineitem l
        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
        |  JOIN customer c ON o.o_custkey = c.c_custkey
        |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
-       |  GROUP BY 1, 2 HAVING COUNT(*) >= $Threshold),
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $Threshold)""".stripMargin
+
+  private val duckEdges =
+    s"""$duckTe,
+       |edges0 AS (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM te),
        |edges AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0)""".stripMargin
 
-  /** Edge list (src, dst) as longs — built with three shuffle joins and a
-    * count filter; at scale AQE handles the join sizing. */
-  private[graft] def tradeEdges(s: SparkSession, d: String): DataFrame =
+  /** The qualifying (customer, supplier) trade pairs — the ONE 4-table
+    * join + count-threshold chain every graph projection derives from
+    * (review r16: tradeEdges and coPurchaseEdges each carried their own
+    * copy, so a threshold or join-key change had to land twice). */
+  private def qualifyingPairs(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
@@ -35,8 +46,14 @@ object GraphQueries extends QueryModule {
       .groupBy(col("c_custkey"), col("s_suppkey"))
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= Threshold)
-      .select((col("c_custkey") * 2).cast("long").as("src"),
-        (col("s_suppkey") * 2 + 1).cast("long").as("dst"))
+      .select(col("c_custkey").as("cust"), col("s_suppkey").as("supp"))
+
+  /** Edge list (src, dst) as longs — built with three shuffle joins and a
+    * count filter; at scale AQE handles the join sizing. */
+  private[graft] def tradeEdges(s: SparkSession, d: String): DataFrame =
+    qualifyingPairs(s, d)
+      .select((col("cust") * 2).cast("long").as("src"),
+        (col("supp") * 2 + 1).cast("long").as("dst"))
 
   def all: Seq[Q] = Seq(
 
@@ -129,15 +146,7 @@ object GraphQueries extends QueryModule {
     // joins customers sharing a qualifying supplier; triangles are the
     // classic e1⋈e2⋈e3 with a < b < c (each triangle listed once).
     q("qg4_triangles",
-      s"""WITH te AS (
-         |  SELECT c.c_custkey AS cust, su.s_suppkey AS supp
-         |  FROM lineitem l
-         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-         |  JOIN customer c ON o.o_custkey = c.c_custkey
-         |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= $Threshold),
-         |co AS (SELECT DISTINCT a.cust AS a, b.cust AS b
-         |  FROM te a JOIN te b ON a.supp = b.supp AND a.cust < b.cust)
+      s"""WITH $duckCo
          |SELECT CAST(e1.a AS BIGINT) AS a, CAST(e1.b AS BIGINT) AS b,
          |  CAST(e2.b AS BIGINT) AS c
          |FROM co e1 JOIN co e2 ON e2.a = e1.b
@@ -158,15 +167,7 @@ object GraphQueries extends QueryModule {
     // neighborhood overlap of the edge's endpoints in the co-purchase
     // graph. Pure integer-ratio arithmetic — deterministic.
     q("qg5_jaccard_index",
-      s"""WITH te AS (
-         |  SELECT c.c_custkey AS cust, su.s_suppkey AS supp
-         |  FROM lineitem l
-         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-         |  JOIN customer c ON o.o_custkey = c.c_custkey
-         |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= $Threshold),
-         |co AS (SELECT DISTINCT a.cust AS a, b.cust AS b
-         |  FROM te a JOIN te b ON a.supp = b.supp AND a.cust < b.cust),
+      s"""WITH $duckCo,
          |nbr AS (SELECT a AS v, b AS n FROM co UNION ALL SELECT b, a FROM co),
          |deg AS (SELECT v, COUNT(*) AS d FROM nbr GROUP BY v),
          |inter AS (SELECT e.a, e.b, COUNT(*) AS ni
@@ -208,15 +209,7 @@ object GraphQueries extends QueryModule {
     q("qg6_label_propagation", {
       val iters = LpaIters
       val sb = new StringBuilder(
-        s"""WITH te AS (
-           |  SELECT c.c_custkey AS cust, su.s_suppkey AS supp
-           |  FROM lineitem l
-           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-           |  JOIN customer c ON o.o_custkey = c.c_custkey
-           |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
-           |  GROUP BY 1, 2 HAVING COUNT(*) >= $Threshold),
-           |co AS (SELECT DISTINCT a.cust AS a, b.cust AS b
-           |  FROM te a JOIN te b ON a.supp = b.supp AND a.cust < b.cust),
+        s"""WITH $duckCo,
            |e AS (SELECT a AS src, b AS dst FROM co UNION ALL SELECT b, a FROM co),
            |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e)""".stripMargin)
       for (i <- 1 to iters) sb.append(
@@ -247,15 +240,7 @@ object GraphQueries extends QueryModule {
     // neighbors, Σ 1/ln(deg(common neighbor)), each term floor-scaled to
     // 10^6 so the aggregate sums exact integers (Det dirty-double rule).
     q("qg7_adamic_adar",
-      s"""WITH te AS (
-         |  SELECT c.c_custkey AS cust, su.s_suppkey AS supp
-         |  FROM lineitem l
-         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-         |  JOIN customer c ON o.o_custkey = c.c_custkey
-         |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= $Threshold),
-         |co AS (SELECT DISTINCT a.cust AS a, b.cust AS b
-         |  FROM te a JOIN te b ON a.supp = b.supp AND a.cust < b.cust),
+      s"""WITH $duckCo,
          |nbr AS (SELECT a AS v, b AS n FROM co UNION ALL SELECT b, a FROM co),
          |deg AS (SELECT n, COUNT(*) AS d FROM nbr GROUP BY n),
          |w AS (SELECT v, n, CAST(FLOOR(1000000.0 / ln(d)) AS BIGINT) AS w
@@ -439,7 +424,7 @@ object GraphQueries extends QueryModule {
       val blocks = (1 to KCoreUnroll).map { i =>
         s"""d_$i AS MATERIALIZED (SELECT src, COUNT(*) AS dg
            |  FROM e_${i - 1} GROUP BY src),
-           |kp_$i AS MATERIALIZED (SELECT src FROM d_$i WHERE dg >= 80),
+           |kp_$i AS MATERIALIZED (SELECT src FROM d_$i WHERE dg >= $KCoreK),
            |e_$i AS MATERIALIZED (SELECT e.src, e.dst FROM e_${i - 1} e
            |  JOIN kp_$i a ON e.src = a.src
            |  JOIN kp_$i b ON e.dst = b.src)""".stripMargin
@@ -484,37 +469,19 @@ object GraphQueries extends QueryModule {
 
   /** Shared DuckDB CTE: co-purchase projection (a < b, distinct). */
   private val duckCo =
-    s"""te AS (
-       |  SELECT c.c_custkey AS cust, su.s_suppkey AS supp
-       |  FROM lineitem l
-       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-       |  JOIN customer c ON o.o_custkey = c.c_custkey
-       |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
-       |  GROUP BY 1, 2 HAVING COUNT(*) >= $Threshold),
+    s"""$duckTe,
        |co AS (SELECT DISTINCT a.cust AS a, b.cust AS b
        |  FROM te a JOIN te b ON a.supp = b.supp AND a.cust < b.cust)""".stripMargin
 
   /** Directed customer→supplier edge CTE shared by the HITS oracle. */
   private val duckDirectedEdges =
-    s"""de AS (
-       |  SELECT c.c_custkey * 2 AS src, su.s_suppkey * 2 + 1 AS dst
-       |  FROM lineitem l
-       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-       |  JOIN customer c ON o.o_custkey = c.c_custkey
-       |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
-       |  GROUP BY 1, 2 HAVING COUNT(*) >= $Threshold)""".stripMargin
+    s"""$duckTe,
+       |de AS (SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM te)""".stripMargin
 
   /** Customer co-purchase projection of the trade graph: customers linked
     * by a shared qualifying supplier (a < b, distinct). */
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val te = t(s, d, "lineitem")
-      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("c_custkey"), col("s_suppkey"))
-      .agg(count(lit(1)).as("w"))
-      .where(col("w") >= Threshold)
-      .select(col("c_custkey").as("cust"), col("s_suppkey").as("supp"))
+    val te = qualifyingPairs(s, d)
     te.as("x").join(te.as("y"),
       col("x.supp") === col("y.supp") && col("x.cust") < col("y.cust"))
       .select(col("x.cust").as("a"), col("y.cust").as("b"))

@@ -31,11 +31,18 @@ object SqlQueries extends QueryModule {
   private def sqlBoth(name: String, text: String): Q =
     Q(name, Some(text)) { (s: SparkSession, d: String) =>
       registered.keySet.removeIf(_.sparkContext.isStopped)
+      // ANALYZE inside the same compute() the views register under:
+      // temp views are session-global, so a concurrent query for a
+      // DIFFERENT dir re-registering between this query's registration
+      // and its s.sql would silently resolve against the other dir's
+      // tables (review r16) — compute() serializes per session key
+      var df: org.apache.spark.sql.DataFrame = null
       registered.compute(s, (_, prev) => {
         if (prev != d) tables.foreach(n => t(s, d, n).createOrReplaceTempView(n))
+        df = s.sql(text)
         d
       })
-      s.sql(text)
+      df
     }
 
   def all: Seq[Q] = Seq(

@@ -21,6 +21,23 @@ class CompatSpec extends SparkSuite {
     assert(cls == Set("axc", "a.c")) // character class passes through
   }
 
+  test("SIMILAR TO: '^' literal outside classes, negation inside; trailing backslash") {
+    // review r16: '^' previously passed through as a regex anchor, so
+    // "a^b" could never match its own literal text
+    val df = Seq("a^b", "ab", "axc", "abc").toDF("s")
+    assert(df.where(Compat.similarTo($"s", "a^b")).as[String]
+      .collect().toSet == Set("a^b"))
+    // inside a class '^' still negates (shared with regex)
+    assert(df.where(Compat.similarTo($"s", "a[^x]c")).as[String]
+      .collect().toSet == Set("abc"))
+    // a dangling trailing backslash is a literal '\', not an escape of
+    // the appended '$' anchor
+    assert(Compat.similarToRegex("abc\\") == "^abc\\Q\\\\E$")
+    val df2 = Seq("abc\\", "abc$x").toDF("s")
+    assert(df2.where(Compat.similarTo($"s", "abc\\")).as[String]
+      .collect().toSet == Set("abc\\"))
+  }
+
   test("temporalOverlaps: half-open interval semantics") {
     val df = Seq(
       (1, "2024-01-01 00:00:00", "2024-01-01 02:00:00",

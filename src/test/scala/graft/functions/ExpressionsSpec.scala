@@ -22,6 +22,38 @@ class ExpressionsSpec extends SparkSuite {
     assert(got.head._1 == 32.0)
   }
 
+  test("graft_dot null parity: length mismatch and null elements yield NULL, not truncation") {
+    // review r16: the expression silently truncated to the shorter
+    // array where the documented-equivalent lambda fold null-propagates
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f))
+    ).toDF("a", "b")
+    val got = df.select(expr("graft_dot(a, b)")).collect()
+    assert(got(0).isNullAt(0), "length mismatch must be NULL")
+    assert(got(1).getDouble(0) == 5.0)
+    val withNull = spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT))," +
+        " array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))")
+    assert(withNull.collect().head.isNullAt(0), "null element must be NULL")
+  }
+
+  test("simhash/minhash skip null array elements instead of crashing") {
+    // review r16: a null element NPE'd the task; parity semantics skip
+    // it (array_min / the vote sum ignore the NULL md5(NULL) yields)
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_simhash64(array('a', CAST(NULL AS STRING), 'b'))," +
+        " graft_simhash64(array('a', 'b'))," +
+        " graft_minhash_bands(array('x y z', CAST(NULL AS STRING)))," +
+        " graft_minhash_bands(array('x y z'))," +
+        " graft_minhash_bands(array(CAST(NULL AS STRING)))").collect().head
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getSeq[String](2) == r.getSeq[String](3))
+    assert(r.getSeq[String](4).forall(_.isEmpty)) // all-null = empty bands
+  }
+
   test("graft_nfc: NFC composition, identity on ASCII, null pass-through (codegen + interpreted)") {
     GraftFunctions.register(spark)
     // decomposed e + U+0301 composes; composed input is a fixed point;
