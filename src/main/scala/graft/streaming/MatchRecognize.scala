@@ -255,8 +255,12 @@ object MatchRecognize {
 
   private val PartitionRe = """(?is)PARTITION\s+BY\s+(\w+)""".r
   private val OrderRe = """(?is)ORDER\s+BY\s+(\w+)(?:\s*,\s*(\w+))?""".r
+  // WITHIN terminates the body too: clauses parse order-insensitively,
+  // and without it a "MEASURES … WITHIN INTERVAL …" ordering absorbed
+  // the WITHIN text into the last measure's alias — a silent misparse,
+  // the one wrong option (review r16)
   private val MeasuresRe =
-    """(?is)MEASURES\s+(.*?)\s*(?:ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN\s*\()""".r
+    """(?is)MEASURES\s+(.*?)\s*(?:ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN\s*\(|WITHIN\s+INTERVAL)""".r
   private val AllRowsRe = """(?is)ALL\s+ROWS\s+PER\s+MATCH""".r
   private val UnmatchedRe =
     """(?is)ALL\s+ROWS\s+PER\s+MATCH\s+WITH\s+UNMATCHED\s+ROWS""".r

@@ -200,6 +200,16 @@ object NonWindowJoinSql {
             "— rename one side")
       }
     }
+    // NOTE on higher-order residuals (exists(tags, t -> …)): EVERY
+    // bare name inside a lambda body — the bound variable AND any
+    // outer-column reference — parses as UnresolvedNamedLambdaVariable
+    // (not UnresolvedAttribute), so this pre-analysis pass neither
+    // rejects nor validates them; which body names are lambda
+    // variables vs columns is decided by ResolveLambdaVariables during
+    // the residual's own analysis, which stays the final authority
+    // there (its error also names the column). Verified against the
+    // parsed tree in review r16 — the upfront named-error contract
+    // covers every reference OUTSIDE lambda bodies.
     parsed.collect { case u: UnresolvedAttribute => u }.foreach(resolve)
     // exact-name Columns (col(name) would RE-PARSE dots/backticks and
     // could resolve a field named "a.b" as struct access a.b)

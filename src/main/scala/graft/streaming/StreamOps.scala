@@ -437,7 +437,12 @@ object StreamOps {
     val tagged = routes.map { case (tag, pred) => tag -> df.where(pred) }
     defaultTag match {
       case Some(tag) =>
-        val noneMatch = routes.values.map(!_).reduce(_ && _)
+        // coalesce each predicate to false: a NULL-valued predicate
+        // fails its own route's filter AND !pred under three-valued
+        // logic, so without the coalesce such rows vanished from every
+        // branch instead of landing under defaultTag (review r16)
+        val noneMatch = routes.values
+          .map(p => !coalesce(p, lit(false))).reduce(_ && _)
         tagged + (tag -> df.where(noneMatch))
       case None => tagged
     }
@@ -541,9 +546,13 @@ object StreamOps {
         }
         flush() // tail session: same watermark finality test
         val remaining = keep.result()
-        state.update(remaining)
-        if (remaining.nonEmpty)
+        // drop the key's state row entirely when nothing carries over —
+        // update(empty) left one empty row per key forever (the only
+        // stateful op here that did; review r16)
+        if (remaining.nonEmpty) {
+          state.update(remaining)
           state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        } else state.remove()
         out.result().iterator
     }
 
@@ -887,7 +896,16 @@ object StreamOps {
         new Iterator[O] {
           def hasNext: Boolean = inFlight > 0
           def next(): O = {
-            val r = cs.take().get() // first COMPLETED, not first submitted
+            // first COMPLETED, not first submitted; unwrap the
+            // ExecutionException so fn's own failure surfaces exactly
+            // like asyncMapOrdered's rethrow (review r16)
+            val r =
+              try cs.take().get()
+              catch {
+                case e: java.util.concurrent.ExecutionException =>
+                  pool.shutdown()
+                  throw e.getCause
+              }
             inFlight -= 1
             fill()
             if (inFlight == 0) pool.shutdown()

@@ -141,30 +141,41 @@ object Windowing {
       evictor: Option[Evictor[I]] = None,
       retain: Option[Int] = None)(
       emit: (K, Seq[I]) => O)(
-      implicit stateEnc: Encoder[(Seq[I], Option[I], Long)]): Dataset[O] =
-    ds.groupByKey(key).flatMapGroupsWithState[(Seq[I], Option[I], Long), O](
+      implicit stateEnc: Encoder[(Seq[I], Option[I], Long, Option[I])])
+      : Dataset[O] =
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[(Seq[I], Option[I], Long, Option[I]), O](
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-      (k: K, it: Iterator[I], state: GroupState[(Seq[I], Option[I], Long)]) =>
-        var (buf, lastFired, cnt) = state.getOption.getOrElse(
-          (Seq.empty[I], Option.empty[I], 0L))
+      (k: K, it: Iterator[I],
+          state: GroupState[(Seq[I], Option[I], Long, Option[I])]) =>
+        var (buf, lastFired, cnt, firstElem) = state.getOption.getOrElse(
+          (Seq.empty[I], Option.empty[I], 0L, Option.empty[I]))
         val out = scala.collection.mutable.ArrayBuffer.empty[O]
         it.foreach { e =>
+          // the window's true first element, tracked SEPARATELY from the
+          // buffer: with a retain cap, buf.head is merely the oldest
+          // RETAINED element, and using it as DeltaTrigger's reference
+          // silently re-based the delta after every truncation
+          // (review r16)
+          if (buf.isEmpty) firstElem = Some(e)
           buf = buf :+ e
           retain.foreach(r => if (buf.size > r) buf = buf.takeRight(r))
           cnt += 1
           // DeltaTrigger's reference: last firing element, else the
           // window's first element (only meaningful when e isn't it)
-          val ref = lastFired.orElse(if (buf.size > 1) buf.headOption else None)
+          val ref = lastFired.orElse(if (cnt > 1) firstElem else None)
           trigger.onElement(e, cnt, ref) match {
             case Continue => ()
             case fire =>
               val window = evictor.fold(buf)(_.evict(buf))
               out += emit(k, window)
               lastFired = Some(e)
-              if (fire == FireAndPurge) { buf = Seq.empty; cnt = 0 }
+              if (fire == FireAndPurge) {
+                buf = Seq.empty; cnt = 0; firstElem = None
+              }
           }
         }
-        state.update((buf, lastFired, cnt))
+        state.update((buf, lastFired, cnt, firstElem))
         out.iterator
     }
 
@@ -176,7 +187,8 @@ object Windowing {
   def countSlideWindow[K: Encoder, I, O: Encoder](
       ds: Dataset[I], key: I => K, size: Int, slide: Int)(
       emit: (K, Seq[I]) => O)(
-      implicit stateEnc: Encoder[(Seq[I], Option[I], Long)]): Dataset[O] =
+      implicit stateEnc: Encoder[(Seq[I], Option[I], Long, Option[I])])
+      : Dataset[O] =
     triggeredWindow(ds, key,
       Triggers.count[I](slide, purge = false),
       Some(Evictors.count[I](size)),

@@ -385,6 +385,26 @@ class NonWindowJoinSpec extends SparkSuite {
       "sl = sr", "left_outer")).contains("STRING"))
   }
 
+  test("SQL-text surface: higher-order residuals construct; body names defer to analysis") {
+    // review r16 verified against the parsed tree: EVERY bare name in
+    // a lambda body (bound variable or outer column) parses as
+    // UnresolvedNamedLambdaVariable, so the upfront pass neither
+    // rejects nor validates them — legal HOF residuals construct, and
+    // a bad body name surfaces through the residual's own analysis
+    // (which also names the column), not the upfront named error
+    import org.apache.spark.sql.functions.{array, lit}
+    val lDf = Seq((1, "x")).toDF("a", "c")
+      .withColumn("tags", array(lit("vip"), lit("new")))
+    val rDf = Seq((1, "y")).toDF("d", "g")
+    val df = NonWindowJoinSql.unboundedOuterJoinOn(lDf, rDf,
+      "a = d AND exists(tags, t -> t = 'vip')", "left_outer")
+    assert(df.columns.contains("change"))
+    val ex = intercept[org.apache.spark.sql.AnalysisException](
+      NonWindowJoinSql.unboundedOuterJoinOn(lDf, rDf,
+        "a = d AND exists(tags, t -> t = nosuch)", "left_outer"))
+    assert(ex.getMessage.contains("nosuch"))
+  }
+
   test("SQL-text surface: implicit key coercion (INT = BIGINT) and exact dotted names") {
     // the planner-parity route inserts the implicit cast the reference
     // planner does: a = d with a:INT, d:BIGINT keys on the tightest

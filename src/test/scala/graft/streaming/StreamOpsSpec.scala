@@ -748,6 +748,18 @@ class StreamOpsSpec extends SparkSuite {
     assert(routed("other").as[Click].head().kind == "error")
   }
 
+  test("sideOutputs: a NULL-valued predicate row lands under defaultTag, not nowhere") {
+    // review r16: !NULL is NULL under three-valued logic, so a row
+    // whose routing predicate evaluated NULL failed its own route AND
+    // the default's !pred conjunction — vanishing from every branch
+    val df = Seq((1, Some(150)), (2, Some(50)), (3, None))
+      .toDF("id", "amount")
+    val routed = StreamOps.sideOutputs(df,
+      Map("big" -> ($"amount" > 100)), defaultTag = Some("rest"))
+    assert(routed("big").select("id").as[Int].collect().toSet == Set(1))
+    assert(routed("rest").select("id").as[Int].collect().toSet == Set(2, 3))
+  }
+
   test("dynamic-gap sessions merge on max(ts+gap) across elements") {
     // gap after "view" is 10s, after "error" is 2s. The horizon is the
     // MAX(ts+gap) over the merged session (DynamicEventTimeSessionWindows
