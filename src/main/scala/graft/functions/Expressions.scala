@@ -50,6 +50,10 @@ object GraftFunctions {
       exprs => NfcNormalize(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bytesum",
       exprs => ByteSum(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_signpack",
+      exprs => SignPack(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -144,6 +148,76 @@ case class ByteSum(child: Expression) extends UnaryExpression {
          |  $acc += ($c[$i] & 0xffL);
          |}
          |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Pack the SIGNS of array<float> elements [lo..hi] (0-based, inclusive,
+  * ≤64 wide) into a long — bit (i - lo) is set iff element i exists, is
+  * non-null, and is > 0. The 1-bit (binary) quantization step of qe15's
+  * RaBitQ-style retrieval audit. Replaces the interpreted
+  * `aggregate(transform(sequence(lo, hi), i -> IF(a[i] > 0,
+  * shiftleft(1L, i-lo), 0L)), 0L, (a, x) -> a | x)` chain — two
+  * 32-element closure-per-element folds per row, the third measured
+  * instance of the graft_dot/graft_bytesum lesson class — with one
+  * codegen'd primitive loop. Missing (out-of-range) and NULL elements
+  * contribute a 0 bit — the lambda's semantics with the `get(a, i)`
+  * accessor (`a[i]` itself ANSI-throws past the end; qe15's corpus is
+  * always 64-dim so the accessors agree there, and the expression
+  * takes the tolerant reading); a NULL ARRAY yields NULL
+  * (the lambda folds it to 0L — divergence documented and spec-pinned,
+  * NULL is the honest answer for "the signs of no vector"). NaN packs
+  * 1: both SQL engines' total order puts NaN above every number, so
+  * the lambda's `> 0` is TRUE there — the eval/codegen below must
+  * test `v > 0 || isNaN(v)`, not Java's NaN-false comparison. */
+case class SignPack(child: Expression, lo: Int, hi: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if lo >= 0 && hi >= lo && hi - lo < 64 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
+      s"graft_signpack range [$lo, $hi] must satisfy 0 <= lo <= hi < lo + 64")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_signpack expects array<float>, got $other")
+  }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var w = 0L
+    var i = lo
+    while (i <= hi && i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = arr.getFloat(i)
+        if (v > 0.0f || java.lang.Float.isNaN(v)) w |= 1L << (i - lo)
+      }
+      i += 1
+    }
+    w
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val w = ctx.freshName("w")
+      s"""
+         |int $n = $c.numElements();
+         |long $w = 0L;
+         |for (int $i = $lo; $i <= $hi && $i < $n; $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    float ${w}_v = $c.getFloat($i);
+         |    if (${w}_v > 0.0f || java.lang.Float.isNaN(${w}_v)) {
+         |      $w |= 1L << ($i - $lo);
+         |    }
+         |  }
+         |}
+         |${ev.value} = $w;
        """.stripMargin
     })
 

@@ -895,10 +895,10 @@ object EmbeddingQueries extends QueryModule {
          |ORDER BY r.qid""".stripMargin
     }) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
-      def pack(lo: Int, hi: Int) =
-        s"""aggregate(transform(sequence($lo, $hi), i ->
-           |  IF(embedding[i] > 0, shiftleft(1L, i - $lo), 0L)),
-           |  0L, (a, x) -> a | x)""".stripMargin
+      // codegen'd sign-pack (ExpressionsSpec pins the equivalence to the
+      // interpreted aggregate(transform(sequence...)) lambda this replaced
+      // — the closure-per-element lesson class, third instance)
+      def pack(lo: Int, hi: Int) = s"graft_signpack(embedding, $lo, $hi)"
       val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val bp = emb.select(col("vec_id"),
         expr(pack(0, 31)).as("w1"), expr(pack(32, 63)).as("w2"))

@@ -903,8 +903,11 @@ object StreamOps {
               try cs.take().get()
               catch {
                 case e: java.util.concurrent.ExecutionException =>
-                  pool.shutdown()
-                  throw e.getCause
+                  // cancel the still-running siblings — the failure
+                  // aborts the task, nothing should keep computing
+                  pool.shutdownNow()
+                  val c = e.getCause
+                  throw (if (c != null) c else e)
               }
             inFlight -= 1
             fill()

@@ -39,6 +39,41 @@ class ExpressionsSpec extends SparkSuite {
     assert(withNull.collect().head.isNullAt(0), "null element must be NULL")
   }
 
+  test("graft_signpack equals the SQL lambda formulation (codegen + interpreted)") {
+    // qe15's 1-bit quantization step — the interpreted
+    // aggregate(transform(sequence...)) chain it replaced is the pinned
+    // reference semantics (the graft_dot/graft_bytesum lesson class)
+    GraftFunctions.register(spark)
+    // get(a, i) — not a[i], which ANSI-throws past the end — so the
+    // lambda states the missing-element-is-a-0-bit semantics on the
+    // short-array rows too (qe15's corpus is always 64-dim, where the
+    // two element accessors agree)
+    def lambda(lo: Int, hi: Int) =
+      s"""aggregate(transform(sequence($lo, $hi), i ->
+         |  IF(get(a, i) > 0, shiftleft(1L, i - $lo), 0L)),
+         |  0L, (acc, x) -> acc | x)""".stripMargin
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)(Array.fill(64)(rnd.nextFloat() - 0.5f)) ++ Seq(
+      Array(1.0f, -1.0f, 0.0f), // shorter than the range: missing bits 0
+      Array.empty[Float],
+      Array.fill(64)(0.0f),
+      Array(Float.NaN, 1.0f)) // NaN sets its bit: SQL total order puts
+    // NaN above every number, so the lambda's `> 0` is TRUE there
+    val got = rows.toDF("a").select(
+      expr("graft_signpack(a, 0, 31)").as("n1"), expr(lambda(0, 31)).as("l1"),
+      expr("graft_signpack(a, 32, 63)").as("n2"), expr(lambda(32, 63)).as("l2"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == rows.length)
+    got.foreach { case (n1, l1, n2, l2) => assert(n1 == l1 && n2 == l2) }
+    // null ELEMENT contributes a 0 bit in both formulations; a null ARRAY
+    // is the documented divergence (NULL natively, 0L from the lambda)
+    val r = spark.sql(
+      "SELECT graft_signpack(array(CAST(NULL AS FLOAT), CAST(2.0 AS FLOAT)), 0, 31)," +
+        " graft_signpack(CAST(NULL AS ARRAY<FLOAT>), 0, 31)").collect().head
+    assert(r.getLong(0) == 2L)
+    assert(r.isNullAt(1))
+  }
+
   test("simhash/minhash skip null array elements instead of crashing") {
     // review r16: a null element NPE'd the task; parity semantics skip
     // it (array_min / the vote sum ignore the NULL md5(NULL) yields)
