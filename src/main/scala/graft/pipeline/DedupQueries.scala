@@ -838,6 +838,104 @@ object DedupQueries extends QueryModule {
           (col("shared").cast("double") /
             least(col("na"), col("nb"))).as("containment"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // INCREMENTAL near-dup gate (round 17) — the dedup shape a 100 TB
+    // pipeline actually runs DAILY: a new crawl increment screened
+    // against the EXISTING corpus, not a whole-corpus self-join
+    // (qp4/qp8 are the full-rebuild posture; qp15/qp16 gate EXACT dups
+    // only). The increment here is a deterministic hash slice of
+    // documents (~1/8, the SamplingOps membership function — a pure
+    // function of doc_id, so both engines and any later rerun agree);
+    // production swaps in the day's arrivals. Every increment doc
+    // emits one verdict row: LSH band candidates against corpus-side
+    // bands only, exact-Jaccard verified at the qp32 production point
+    // (100·ni ≥ 80·(na+nb−ni), all-integer), then 'dup' with its
+    // lowest verified corpus match or 'new'. Scale shape: the band
+    // join's left side is bounded by the INCREMENT (bands are
+    // corpus-wide but the join output is increment × collisions —
+    // never corpus × corpus; PlanAudit asserts no self-equal sides);
+    // the exact verify runs on the candidate-reduced pair table; the
+    // one corpus-wide stage is the shingle surrogate table every LSH
+    // query already pays (at 100 TB the corpus band/shingle tables
+    // are precomputed artifacts the daily run only READS — this query
+    // is the read path's plan).
+    q("qp33_incremental_neardup",
+      s"""$duckSig,
+         |inc AS (SELECT doc_id,
+         |    substr(md5('incr|' || CAST(doc_id AS VARCHAR)), 1, 4)
+         |      < '2000' AS is_incr
+         |  FROM documents),
+         |bands AS (SELECT s.doc_id, b.band,
+         |    CASE b.band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+         |                WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bv
+         |  FROM sig s, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+         |  FROM bands x JOIN inc ix ON ix.doc_id = x.doc_id
+         |  JOIN bands y ON y.band = x.band AND y.bv = x.bv
+         |  JOIN inc iy ON iy.doc_id = y.doc_id
+         |  WHERE ix.is_incr AND NOT iy.is_incr AND x.bv <> ''),
+         |shd AS (SELECT DISTINCT doc_id,
+         |    unhex(substr(md5(s0), 1, 16)) AS s
+         |  FROM (SELECT doc_id, unnest(sh) AS s0 FROM shx) u),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+         |inter AS (SELECT c.new_id, c.old_id, COUNT(*) AS ni
+         |  FROM cand c JOIN shd a ON a.doc_id = c.new_id
+         |              JOIN shd b ON b.doc_id = c.old_id AND b.s = a.s
+         |  GROUP BY c.new_id, c.old_id),
+         |ver AS (SELECT i.new_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_dups,
+         |    CAST(MIN(i.old_id) AS BIGINT) AS dup_of
+         |  FROM inter i JOIN cnt ca ON ca.doc_id = i.new_id
+         |               JOIN cnt cb ON cb.doc_id = i.old_id
+         |  WHERE 100 * i.ni >= 80 * (ca.n + cb.n - i.ni)
+         |  GROUP BY i.new_id)
+         |SELECT d.doc_id, COALESCE(v.n_dups, 0) AS n_dups, v.dup_of,
+         |  CASE WHEN v.new_id IS NULL THEN 'new' ELSE 'dup' END AS status
+         |FROM documents d JOIN inc ON inc.doc_id = d.doc_id
+         |LEFT JOIN ver v ON v.new_id = d.doc_id
+         |WHERE inc.is_incr
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val docs = withShingles(t(s, d, "documents"))
+        .select(col("doc_id"), col("sh"),
+          (SamplingOps.hashBucket(col("doc_id"), "incr|") < "2000")
+            .as("is_incr"))
+        .cache()
+      val bands = docs.select(col("doc_id"), col("is_incr"),
+          posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
+        .where(col("bv") =!= "")
+      val cand = bands.where(col("is_incr"))
+        .select(col("doc_id").as("new_id"), col("band"), col("bv"))
+        .join(bands.where(!col("is_incr"))
+          .select(col("doc_id").as("old_id"), col("band"), col("bv")),
+          Seq("band", "bv"))
+        .select(col("new_id"), col("old_id"))
+        .distinct()
+      val shd = docs.select(col("doc_id"), explode(col("sh")).as("s0"))
+        .select(col("doc_id"),
+          unhex(substring(md5(col("s0")), 1, 16)).as("s"))
+        .distinct()
+        .cache()
+      val cnt = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val ver = cand
+        .join(shd.as("a"), col("new_id") === col("a.doc_id"))
+        .join(shd.as("b"),
+          col("old_id") === col("b.doc_id") && col("a.s") === col("b.s"))
+        .groupBy(col("new_id"), col("old_id")).agg(count(lit(1)).as("ni"))
+        .join(cnt.as("ca"), col("new_id") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("old_id") === col("cb.doc_id"))
+        .where(lit(100) * col("ni")
+          >= lit(80) * (col("ca.n") + col("cb.n") - col("ni")))
+        .groupBy(col("new_id"))
+        .agg(count(lit(1)).as("n_dups"), min(col("old_id")).as("dup_of"))
+      docs.where(col("is_incr")).select(col("doc_id"))
+        .join(ver, col("doc_id") === col("new_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          col("dup_of"),
+          when(col("new_id").isNull, "new").otherwise("dup").as("status"))
+        .orderBy("doc_id")
     }
   )
 

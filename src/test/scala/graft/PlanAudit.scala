@@ -333,6 +333,19 @@ object PlanAudit {
       qe16.contains("BroadcastExchange") &&
         !qe16.contains("CartesianProduct"))
 
+    // incremental near-dup: the candidate join is an equi-join on
+    // (band, bv) whose two sides are COMPLEMENTARY slices of the
+    // cached doc table (Filter is_incr vs Filter NOT is_incr) — never
+    // the full-corpus self-join qp4/qp8 run; no cartesian/BNLJ
+    val qp33 = plan("qp33_incremental_neardup")
+    check("qp33 band join is increment-vs-corpus (complementary filters), no self-join",
+      qp33.contains("Join [band") &&
+        qp33.contains("NOT is_incr") &&
+        qp33.linesIterator.exists(l => l.contains("Filter (")
+          && l.contains(" is_incr") && !l.contains("NOT is_incr")) &&
+        !qp33.contains("CartesianProduct") &&
+        !qp33.contains("BroadcastNestedLoopJoin"))
+
     // gram novelty: first_seen is ONE map-side-combined gram groupBy
     // (partial_min before the shuffle), checkpoints broadcast —
     // never four conditional-DISTINCT shuffles

@@ -158,6 +158,13 @@ object ScaleUpBench {
     // scale evidence); its corpus-growing stage is qp5's, which has
     // its own measured row.
     "qp31_cluster_histogram")
+    // round 17: qp33_incremental_neardup is EXCLUDED for qp32's exact
+    // reason — its final per-doc verdict is a LEFT JOIN onto the
+    // unique-keyed `ver` aggregate, which count() eliminates, so the
+    // band/verify chain never runs under the protocol; its
+    // corpus-growing stages (band explode, shingle surrogate table)
+    // are qp4/qp5's, which have their own measured rows, and the
+    // increment-bounded join is the plan fact PlanAudit asserts.
 
   private def timeQuery(spark: SparkSession, name: String,
       dir: String): (Double, Double) = {
