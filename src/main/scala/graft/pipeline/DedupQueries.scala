@@ -936,6 +936,72 @@ object DedupQueries extends QueryModule {
           col("dup_of"),
           when(col("new_id").isNull, "new").otherwise("dup").as("status"))
         .orderBy("doc_id")
+    },
+
+    // WINNOWING fingerprints (round 17) — the Schleimer–Wilkerson–
+    // Aiken local-minimum rolling-hash selection (the MOSS algorithm):
+    // per sliding window of W=4 consecutive shingle hashes keep the
+    // window MINIMUM, guaranteeing any shared run of ≥ W+2 tokens
+    // shares a selected fingerprint while storing only ~2/(W+1) of the
+    // gram stream — the sparse middle ground between qp2's one-hash
+    // whole-doc fingerprint and qp26's every-gram index. Docs sharing
+    // ≥ 2 rare fingerprints surface as overlap candidates. Shingle
+    // space is the ONE withShingles/duckSig definition (the house
+    // rule); fingerprints are fixed-width 16-hex md5 prefixes so
+    // lexicographic MIN == numeric MIN in both engines; a doc with
+    // fewer than W shingles keeps one fingerprint (min of all — the
+    // algorithm's short-input degeneration) and a shingle-less doc
+    // keeps none, so short docs cannot weld into an artifact cluster
+    // (the qp8 empty-band lesson). Scale shape: the per-doc window
+    // scan is doc-bounded; the pair join runs on the fingerprint-keyed
+    // table with ubiquitous prints dropped (df ≤ 10, the qp29
+    // boilerplate cap — a fixture template's shared boilerplate is
+    // exactly what winnowing must NOT pair the corpus on), so
+    // per-print fan-out is bounded and there is never a corpus
+    // product.
+    // The engine side is the native one-pass graft_winnow expression
+    // (hash + sliding min + distinct fused — ExpressionsSpec pins its
+    // equivalence to the stacked SQL-lambda formulation the oracle
+    // restates); the oracle walks the same chain in list functions.
+    q("qp34_winnow_fingerprints",
+      s"""$duckSig,
+         |hsx AS (SELECT doc_id,
+         |    list_transform(sh, x -> substr(md5(x), 1, 16)) AS hs
+         |  FROM shx),
+         |fp0 AS (SELECT doc_id, unnest(
+         |    CASE WHEN len(hs) = 0 THEN []
+         |    WHEN len(hs) < 4 THEN [list_aggregate(hs, 'min')]
+         |    ELSE list_distinct(list_transform(
+         |      generate_series(1, len(hs) - 3),
+         |      j -> list_aggregate(hs[j:j+3], 'min'))) END) AS fp
+         |  FROM hsx),
+         |dfq AS (SELECT fp FROM fp0 GROUP BY fp
+         |  HAVING COUNT(*) BETWEEN 2 AND 10),
+         |rare AS (SELECT f.doc_id, f.fp
+         |  FROM fp0 f JOIN dfq ON dfq.fp = f.fp)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM rare a JOIN rare b
+         |  ON b.fp = a.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val fps = withShingles(t(s, d, "documents"))
+        .select(col("doc_id"),
+          explode(expr("graft_winnow(sh, 4)")).as("fp"))
+        .cache() // feeds the df cap AND both pair-join sides once
+      val rare = fps.join(
+        fps.groupBy("fp").agg(count(lit(1)).as("df"))
+          .where(col("df").between(2, 10)).select("fp"),
+        Seq("fp"))
+      rare.as("a")
+        .join(rare.as("b"),
+          col("a.fp") === col("b.fp")
+            && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .orderBy("doc_a", "doc_b")
     }
   )
 

@@ -346,6 +346,18 @@ object PlanAudit {
         !qp33.contains("CartesianProduct") &&
         !qp33.contains("BroadcastNestedLoopJoin"))
 
+    // winnowing: the pair join is keyed on the fingerprint with the
+    // df <= 10 boilerplate cap filtering BOTH sides (bounded per-print
+    // fan-out), the window-scanned fp table materializes once (cached),
+    // and nothing degenerates to a cartesian
+    val qp34 = plan("qp34_winnow_fingerprints")
+    check("qp34 fp-keyed capped pair join over the cached fp table; no cartesian",
+      qp34.contains("Join [fp") &&
+        qp34.contains("<= 10)") &&
+        qp34.contains("InMemoryRelation") &&
+        !qp34.contains("CartesianProduct") &&
+        !qp34.contains("BroadcastNestedLoopJoin"))
+
     // gram novelty: first_seen is ONE map-side-combined gram groupBy
     // (partial_min before the shuffle), checkpoints broadcast —
     // never four conditional-DISTINCT shuffles

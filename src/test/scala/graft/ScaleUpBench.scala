@@ -157,7 +157,14 @@ object ScaleUpBench {
     // 0.26s flat at 1x AND 10x — a join-elimination artifact, not
     // scale evidence); its corpus-growing stage is qp5's, which has
     // its own measured row.
-    "qp31_cluster_histogram")
+    "qp31_cluster_histogram",
+    // round 17: winnowing — the per-doc window scan grows with input,
+    // the pair join with the number of rare shared fingerprints;
+    // disjoint shards (suffixed words → disjoint shingles → disjoint
+    // fingerprints) add prints, never deepen a print's df, so
+    // expected wall is ~linear. (Unlike qp32/qp33 the verdict tail is
+    // an inner-join aggregate — count() cannot eliminate it.)
+    "qp34_winnow_fingerprints")
     // round 17: qp33_incremental_neardup is EXCLUDED for qp32's exact
     // reason — its final per-doc verdict is a LEFT JOIN onto the
     // unique-keyed `ver` aggregate, which count() eliminates, so the

@@ -74,6 +74,35 @@ class ExpressionsSpec extends SparkSuite {
     assert(r.isNullAt(1))
   }
 
+  test("graft_winnow equals the stacked SQL lambda formulation") {
+    // qp34's fingerprint selection — the MOSS window-minimum scheme.
+    // Reference semantics: hash each shingle to its 16-hex md5 prefix,
+    // keep each w-window's min, distinct; < w shingles keep one print
+    // (min of all), zero keep none.
+    GraftFunctions.register(spark)
+    val w = 4
+    val lambda =
+      s"""CASE WHEN size(hs) = 0 THEN array()
+         |WHEN size(hs) < $w THEN array(array_min(hs))
+         |ELSE array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
+         |  j -> array_min(slice(hs, j, $w)))) END""".stripMargin
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(40)(
+      Array.fill(3 + rnd.nextInt(40))(s"tok${rnd.nextInt(30)} x y")) ++ Seq(
+      Array.empty[String], // no shingles -> no prints
+      Array("a b c"), // short input -> one print
+      Array("a b c", "b c d", "c d e"), // still < w
+      Array("a b c", "b c d", "c d e", "d e f")) // exactly one window
+    val got = rows.toDF("sh")
+      .withColumn("hs", expr("transform(sh, x -> substr(md5(x), 1, 16))"))
+      .select(expr("graft_winnow(sh, 4)").as("native"),
+        expr(lambda).as("viaLambda"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(got.length == rows.length)
+    got.foreach { case (n, l) => assert(n == l) }
+    assert(got.takeRight(4).map(_._1.size).toSeq == Seq(0, 1, 1, 1))
+  }
+
   test("simhash/minhash skip null array elements instead of crashing") {
     // review r16: a null element NPE'd the task; parity semantics skip
     // it (array_min / the vote sum ignore the NULL md5(NULL) yields)
