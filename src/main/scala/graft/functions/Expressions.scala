@@ -52,12 +52,25 @@ object GraftFunctions {
       exprs => ByteSum(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_signpack",
       exprs => SignPack(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+        litInt(exprs, 1, "graft_signpack(arr, lo, hi)"),
+        litInt(exprs, 2, "graft_signpack(arr, lo, hi)")), "scala_udf")
     reg.createOrReplaceTempFunction("graft_winnow",
       exprs => WinnowPrints(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+        litInt(exprs, 1, "graft_winnow(arr, w)")), "scala_udf")
   }
+
+  /** Extract a required integer-literal argument at builder time with a
+    * named error — a bare eval() on a missing or non-literal argument
+    * dies with IndexOutOfBounds/ClassCast instead of saying what the
+    * function expects (review r17). */
+  private def litInt(exprs: Seq[Expression], i: Int, usage: String): Int =
+    exprs.lift(i) match {
+      case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _)) =>
+        v.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$usage: argument ${i + 1} must be an integer literal, got " +
+          other.map(_.sql).getOrElse("nothing"))
+    }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark); call_function("graft_dot", a, b)
@@ -422,13 +435,21 @@ case class MinHashBands(child: Expression)
   * array per window; the graft_dot/bytesum/signpack lesson class, which
   * this expression declines to instance a fourth time). Eval-only with
   * CodegenFallback — md5 dominates, the MinHashBands rationale.
-  * Degenerations match the SQL/oracle formulation: an empty (or
-  * all-null) shingle array keeps NO fingerprint (a shingle-less doc
-  * cannot weld into an artifact cluster — the qp8 empty-band lesson);
-  * fewer than `w` shingles keep exactly one (the min of all, the
-  * algorithm's short-input form); null shingle elements are skipped
-  * like the lambda's null-propagating md5. Fixed-width lowercase hex
-  * keeps lexicographic MIN == numeric MIN. */
+  * Degenerations match the SQL/oracle formulation on NULL-FREE
+  * shingle arrays (all the withShingles surface produces — its
+  * transform concatenates split() tokens, which are never null): an
+  * empty array keeps NO fingerprint (a shingle-less doc cannot weld
+  * into an artifact cluster — the qp8 empty-band lesson); fewer than
+  * `w` shingles keep exactly one (the min of all, the algorithm's
+  * short-input form). Null shingle ELEMENTS are a documented
+  * divergence from the lambda, spec-pinned: the expression COMPACTS
+  * them out before windowing (a null shingle is "no shingle" — the
+  * MinHashBands contract), so window boundaries are drawn over the
+  * real shingles, whereas the lambda keeps the null's slot (array_min
+  * skips it inside each window) and its all-null short-input case
+  * emits a NULL print the declared containsNull=false output could
+  * not carry. Fixed-width lowercase hex keeps lexicographic MIN ==
+  * numeric MIN. */
 case class WinnowPrints(child: Expression, w: Int)
   extends UnaryExpression
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {

@@ -44,4 +44,21 @@ object SamplingOps {
       hashBucket(id, salt) < lit(th)
     }
   }
+
+  /** Keep filter targeting ~`target` rows out of `n` on an 8-hex
+    * (32-bit) hash space — the CONSTANT-SIZE sampling shape (a rate
+    * like [[uniformKeep]]'s, floored at 1‰, would grow the sample as
+    * n/1000 forever; ADVICE r17). `n <= target` keeps everything.
+    * Expected keep = n·th/2^32 ≈ target; past n ≈ target·2^32 the
+    * max(…,1) floor keeps ~n/2^32 rows (graceful over-granularity,
+    * never zero — the qp30 lesson). Same md5 membership contract as
+    * the rest of the module: a pure function of (salt, id). */
+  def targetKeep(id: Column, n: Long, target: Long,
+      salt: String = "samp|"): Column =
+    if (n <= target) lit(true)
+    else {
+      val th = f"${math.max(1L, math.min(0xffffffffL,
+        (target.toDouble * 4294967296.0 / n).toLong))}%08x"
+      substring(md5(concat(lit(salt), id.cast("string"))), 1, 8) < lit(th)
+    }
 }

@@ -36,28 +36,19 @@ object SimilarityOps {
       array_to_vector(col(arrCol).cast("array<double>")))
     // deterministic md5-rate sample for the fit: 10 k-means iterations
     // over the FULL corpus would be 10 corpus passes at 100 TB; the
-    // centroids need only a representative sample. Membership is a
-    // pure function of the id (the SamplingOps posture), so the fit
-    // set — hence the index — is reproducible across runs and cluster
-    // sizes. The threshold lives on an 8-hex (32-bit) space so the
-    // sample stays ~FitSampleTarget at ANY corpus size — a permil
-    // rate floored at 1 would grow the fit as n/1000 past ~65.5M rows
-    // (ADVICE r17). The count is column-pruned (id only), which a
-    // parquet-backed source answers from footer metadata, not a data
-    // pass.
+    // centroids need only a representative sample. Membership is
+    // SamplingOps.targetKeep (a pure function of the id on a 32-bit
+    // hash space), so the fit set — hence the index — is reproducible
+    // across runs and cluster sizes AND stays ~FitSampleTarget at any
+    // corpus size (a permil rate floored at 1 would grow the fit as
+    // n/1000 past ~65.5M rows; ADVICE r17). The count is
+    // column-pruned (id only), which a parquet-backed source answers
+    // from footer metadata, not a data pass.
     val n = embeddings.select(col(idCol)).count()
     val fitSet =
       if (n <= FitSampleTarget) withVec
-      else {
-        // expected keep = n * th / 2^32 ≈ FitSampleTarget; the max(…,1)
-        // floor keeps the sample non-empty (and ~n/2^32) in the
-        // over-granularity regime past ~2.8e14 rows rather than zero
-        val th = f"${math.max(1L, math.min(0xffffffffL,
-          (FitSampleTarget.toDouble * 4294967296.0 / n).toLong))}%08x"
-        withVec.where(
-          substring(md5(concat(lit("ivf|"), col(idCol).cast("string"))),
-            1, 8) < lit(th))
-      }
+      else withVec.where(SamplingOps.targetKeep(
+        col(idCol), n, FitSampleTarget, salt = "ivf|"))
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("__vec").setPredictionCol("__bucket")
       .fit(fitSet)

@@ -101,6 +101,21 @@ class ExpressionsSpec extends SparkSuite {
     assert(got.length == rows.length)
     got.foreach { case (n, l) => assert(n == l) }
     assert(got.takeRight(4).map(_._1.size).toSeq == Seq(0, 1, 1, 1))
+    // null ELEMENTS: the documented divergence — the expression
+    // compacts nulls out BEFORE windowing (a null shingle is "no
+    // shingle", the MinHashBands contract), the lambda keeps the
+    // null's slot; and an all-null array keeps NO print (the lambda's
+    // short-input branch would emit a NULL one). Pinned so the
+    // contract can't silently drift (review r17; withShingles never
+    // produces null elements, so the oracled surface is unaffected).
+    val nulls = spark.sql(
+      "SELECT graft_winnow(array('a b c', CAST(NULL AS STRING), 'b c d'," +
+        " 'c d e', 'd e f'), 4) AS compacted," +
+        " graft_winnow(array(CAST(NULL AS STRING), CAST(NULL AS STRING)), 4)" +
+        " AS allNull").collect().head
+    // 4 non-null shingles -> exactly one window over the compacted run
+    assert(nulls.getSeq[String](0).size == 1)
+    assert(nulls.getSeq[String](1).isEmpty)
   }
 
   test("simhash/minhash skip null array elements instead of crashing") {

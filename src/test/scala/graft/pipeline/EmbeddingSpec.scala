@@ -22,6 +22,23 @@ class EmbeddingSpec extends SparkSuite {
     dot / math.sqrt(na * nb)
   }
 
+  test("FIXTURE PRECONDITION: embeddings are non-null 64-dim vectors with no null elements") {
+    // The qe family's engine/oracle parity assumes it BY NAME (the qm
+    // ASCII posture): graft_signpack yields NULL for a NULL vector
+    // where qe15's DuckDB oracle folds it to 0, graft_dot
+    // null-propagates where list_reduce would, and desc NULL ordering
+    // differs across engines — none of which a hash gate can see until
+    // a fixture ships a null vector. This assertion makes that fixture
+    // change fail HERE, by name, instead of as an opaque mismatch
+    // (review r17).
+    val bad = Engine.table(spark, sf, "embeddings")
+      .where(col("embedding").isNull
+        || size(col("embedding")) =!= 64
+        || exists(col("embedding"), _.isNull))
+      .count()
+    assert(bad == 0L, "embeddings fixture violates the non-null 64-dim precondition")
+  }
+
   test("qe1 norms match a direct Scala computation") {
     val got = run("qe1_embed_norm").as[(Long, Double)].collect().toMap
     vecs.take(20).foreach { case (id, v) =>
