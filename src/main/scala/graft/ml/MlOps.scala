@@ -167,9 +167,17 @@ object MlOps {
         else ds.zip(aff).iterator.map { case ((j, _), a) => (j, a / sumA) }
     }.toDF("j", "b")
     // outlier prob of j = Π over senders i of (1 - b_ij): high when no
-    // other point binds to j (the SOS paper's f(x); product via log-sum)
+    // other point binds to j (the SOS paper's f(x); product via
+    // log-sum). A sender that binds j with b = 1 EXACTLY (its only
+    // neighbor, or every other affinity underflowed) makes that factor
+    // log(0) = NULL, which sum() silently DROPS — inflating the
+    // probability of precisely the most-bound point (and a 2-point
+    // input went all-NULL); any b >= 1 means the product is 0 by
+    // inspection, so guard before the log (review r17)
     bindings.groupBy(col("j").as(idCol))
-      .agg(exp(sum(log(lit(1.0) - col("b")))).as("outlier_prob"))
+      .agg(when(max(col("b")) >= 1.0, lit(0.0))
+        .otherwise(exp(sum(log(lit(1.0) - col("b")))))
+        .as("outlier_prob"))
   }
 
   /** Linear regression pipeline (reference: MultipleLinearRegression). */

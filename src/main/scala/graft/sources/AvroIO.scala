@@ -306,10 +306,14 @@ object AvroIO {
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
       w.create(schema, out)
-      it.foreach { row =>
-        w.append(toAvro(row, schema).asInstanceOf[GenericRecord])
-      }
-      w.close()
+      // close on failure too: an abandoned writer pins its stream for
+      // the executor's lifetime, and a retry re-creates the file
+      // (overwrite=true) so the close loses nothing (review r17)
+      try {
+        it.foreach { row =>
+          w.append(toAvro(row, schema).asInstanceOf[GenericRecord])
+        }
+      } finally w.close()
       Iterator.single(pid)
     }.count(): Unit
   }
@@ -331,8 +335,13 @@ object AvroIO {
       .flatMap { case (_, pds) =>
         val schema = new Schema.Parser().parse(avroJson)
         val in = pds.open()
+        // the head file's schema rides as the READER (expected) schema:
+        // a part written under a different schema then fails with avro's
+        // named resolution error instead of fromAvro silently walking
+        // the wrong field layout (review r17; the write contract says
+        // all parts share one schema — this makes a violation loud)
         val reader = new DataFileStream[GenericRecord](in,
-          new GenericDatumReader[GenericRecord]())
+          new GenericDatumReader[GenericRecord](null, schema))
         new Iterator[Row] {
           def hasNext: Boolean = {
             val h = reader.hasNext

@@ -118,6 +118,30 @@ class MlOpsSpec extends SparkSuite {
     assert(outlierProb > 0.5)
   }
 
+  test("SOS fully-bound points score 0, not NULL or an inflated product") {
+    // review r17: b = 1 made its factor log(0) = NULL, which sum()
+    // silently dropped — the most-bound (least outlying) point got the
+    // HIGHEST surviving product, and a 2-point input went all-NULL.
+    // Two points: each is the other's only neighbor (b = 1 regardless
+    // of beta) -> both fully bound -> outlier_prob 0 exactly.
+    val two = Seq((1L, Array(0f, 0f)), (2L, Array(1f, 1f))).toDF("id", "v")
+    val gotTwo = MlOps.stochasticOutlierSelection(two, "id", "v")
+      .as[(Long, Double)].collect().toMap
+    assert(gotTwo == Map(1L -> 0.0, 2L -> 0.0), s"two-point case: $gotTwo")
+    // Identical twins + one point far enough that exp(-d2*beta)
+    // UNDERFLOWS at any solved beta: each twin binds its twin with
+    // b = 1 exactly while the far point still sends b = 0.5 to each
+    // twin. Without the guard the NULL factor dropped and the twins
+    // read 0.5; fully bound means 0. The far point receives b = 0
+    // from both -> outlier_prob 1 exactly.
+    val tri = Seq((1L, Array(0f, 0f)), (2L, Array(0f, 0f)),
+      (3L, Array(1e30f, 1e30f))).toDF("id", "v")
+    val gotTri = MlOps.stochasticOutlierSelection(tri, "id", "v")
+      .as[(Long, Double)].collect().toMap
+    assert(gotTri(1L) == 0.0 && gotTri(2L) == 0.0, s"twins: $gotTri")
+    assert(gotTri(3L) == 1.0, s"unbound far point: $gotTri")
+  }
+
   test("linear regression recovers a known linear relationship") {
     val train = spark.range(200).select(
       $"id".cast("double").as("x"))

@@ -330,4 +330,26 @@ class CepPlanSpec extends SparkSuite {
         anchorEnd = true)
     }
   }
+
+  test("composite/binary keys are rejected by name (evaluated-path equality)") {
+    // review r17: struct/array/map evaluate to InternalRow/ArrayData —
+    // identity equality on the run-boundary check would silently open a
+    // new run per row; binary keys (Array[Byte]) likewise. Both planned
+    // operators reject the shape at construction.
+    val steps = Seq(("v", col("event_type") === "view", false))
+    for (badKey <- Seq(struct(col("user_id"), col("event_type")),
+        array(col("user_id")), col("event_type").cast("binary"))) {
+      val e = intercept[IllegalArgumentException] {
+        CepPlan.matchPattern(events, badKey, col("ts"), col("event_id"),
+          steps)
+      }
+      assert(e.getMessage.contains("value equality"), e.getMessage)
+      val g = intercept[IllegalArgumentException] {
+        GroupCepPlan.matchGroupPattern(events, badKey, col("ts"),
+          col("event_id"),
+          Seq(GroupCepPlan.GLeafSpec("v", col("event_type") === "view")))
+      }
+      assert(g.getMessage.contains("value equality"), g.getMessage)
+    }
+  }
 }
