@@ -450,6 +450,131 @@ object TextQueries extends QueryModule {
         .orderBy("source")
     },
 
+    // Heaps' law vocabulary-growth fit (round 17) — the SECOND classical
+    // corpus law beside qt19's Zipf: V(N) ≈ K·N^β (β ≈ 0.4–0.6 for
+    // natural text; β → 0 flags a template/boilerplate source whose
+    // vocabulary saturates, β → 1 flags id/hash spam where every token
+    // is new). The fit is an OLS slope of ln(cumulative vocab) on
+    // ln(cumulative tokens) at 8 per-source document checkpoints
+    // (doc-count octiles in doc_id order — a bounded, deterministic
+    // point set at ANY corpus size, the qt19 cap posture). Determinism:
+    // cumulative counts are exact integers off window prefix sums; the
+    // only float ops are the established floored ln (qt17's rule) and
+    // one final division of two < 2^53 BIGINTs, floored at 1e-6; a
+    // degenerate all-equal-x point set is filtered by the integer
+    // denominator test, not left to NaN. Scale shape: TWO token-stream
+    // partial-agg passes — word first-occurrence and per-doc counts —
+    // each one shuffle (the explode is recomputed per consumer: the
+    // recorded qp24/qp26 lesson — a narrow map/explode is cheaper to
+    // recompute than to materialize); everything downstream runs on
+    // DOC- or VOCAB-reduced tables, the checkpoint table is
+    // #sources × 8 rows and broadcasts into its join.
+    q("qt21_heaps_fit",
+      """WITH tok AS (SELECT source, doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS w
+        |  FROM documents),
+        |fw AS (SELECT source, w, MIN(doc_id) AS fd
+        |  FROM tok GROUP BY source, w),
+        |v AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab
+        |  FROM fw GROUP BY source),
+        |nv AS (SELECT source, fd AS doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS newv
+        |  FROM fw GROUP BY source, fd),
+        |tc AS (SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS tcnt
+        |  FROM tok GROUP BY source, doc_id),
+        |dd AS (SELECT tc.source, tc.doc_id, tc.tcnt,
+        |    COALESCE(nv.newv, 0) AS newv
+        |  FROM tc LEFT JOIN nv
+        |    ON nv.source = tc.source AND nv.doc_id = tc.doc_id),
+        |wd AS (SELECT source, doc_id,
+        |    CAST(SUM(tcnt) OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS cumn,
+        |    CAST(SUM(newv) OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS cumv,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS r,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS nd
+        |  FROM dd),
+        |cp AS (SELECT DISTINCT source, nd, (nd * k.k + 7) // 8 AS r
+        |  FROM (SELECT DISTINCT source, nd FROM wd) s
+        |  CROSS JOIN (SELECT CAST(unnest([1, 2, 3, 4, 5, 6, 7, 8])
+        |      AS BIGINT) AS k) k),
+        |xy AS (SELECT wd.source, wd.nd,
+        |    CAST(floor(ln(CAST(cumn AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(cumv AS DOUBLE)) * 1000.0) AS BIGINT) AS y
+        |  FROM wd JOIN cp ON cp.source = wd.source AND cp.r = wd.r
+        |  WHERE cumn > 0 AND cumv > 0),
+        |m AS (SELECT source, MAX(nd) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM xy GROUP BY source)
+        |SELECT m.source, CAST(n_docs AS BIGINT) AS n_docs, v.vocab,
+        |  n AS n_fit,
+        |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0) AS BIGINT)
+        |    AS beta6
+        |FROM m JOIN v ON v.source = m.source
+        |WHERE n >= 2 AND n * sxx - sx * sx <> 0
+        |ORDER BY m.source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // cache contract (qp29 lesson, qt20's rationale): fw feeds the
+      // vocab rollup AND the new-word table, dd feeds the window AND
+      // the per-source doc counts — without the caches the corpus
+      // token explode re-ran FIVE times (measured: 5 FileScans, zero
+      // ReusedExchange); with them it runs exactly twice (tc, fw).
+      // Harness callers clearCache() per the QueryModule contract.
+      val tok = t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(expr(CurationQueries.WordsExpr)).as("w"))
+      val fw = tok.groupBy("source", "w").agg(min("doc_id").as("fd"))
+        .cache()
+      val v = fw.groupBy("source").agg(count(lit(1)).as("vocab"))
+      val nv = fw.groupBy(col("source"), col("fd").as("doc_id"))
+        .agg(count(lit(1)).as("newv"))
+      val tc = tok.groupBy("source", "doc_id")
+        .agg(count(lit(1)).as("tcnt"))
+      val dd = tc.join(nv, Seq("source", "doc_id"), "left")
+        .select(col("source"), col("doc_id"), col("tcnt"),
+          coalesce(col("newv"), lit(0L)).as("newv"))
+        .cache()
+      val nds = dd.groupBy("source").agg(count(lit(1)).as("nd"))
+      val byDoc = Window.partitionBy("source").orderBy("doc_id")
+      val wd = dd.select(col("source"), col("doc_id"),
+        sum("tcnt").over(byDoc).as("cumn"),
+        sum("newv").over(byDoc).as("cumv"),
+        row_number().over(byDoc).cast("long").as("r"))
+      val ks = s.range(1, 9).select(col("id").as("k"))
+      val cp = nds.crossJoin(ks)
+        .select(col("source"), expr("(nd * k + 7) div 8").as("r"))
+        .distinct()
+      val xy = wd.join(broadcast(cp), Seq("source", "r"))
+        .where(col("cumn") > 0 && col("cumv") > 0)
+        .select(col("source"),
+          floor(log(col("cumn").cast("double")) * 1000.0).cast("long")
+            .as("x"),
+          floor(log(col("cumv").cast("double")) * 1000.0).cast("long")
+            .as("y"))
+      val m = xy.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .where(col("n") >= 2
+          && col("n") * col("sxx") - col("sx") * col("sx") =!= 0)
+      m.join(broadcast(nds.select(col("source"), col("nd").as("n_docs"))),
+          "source")
+        .join(broadcast(v), "source")
+        .select(col("source"), col("n_docs").cast("long"),
+          col("vocab"), col("n").as("n_fit"),
+          floor((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") * 1000000.0).cast("long").as("beta6"))
+        .orderBy("source")
+    },
+
     // N-gram/marker-word language-ID heuristic: count marker hits per
     // language profile, argmax with fixed tie order, then confusion counts
     // against the labeled lang column.

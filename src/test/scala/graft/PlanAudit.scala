@@ -346,6 +346,17 @@ object PlanAudit {
         !qp33.contains("CartesianProduct") &&
         !qp33.contains("BroadcastNestedLoopJoin"))
 
+    // Heaps fit: the two reduced tables cache (fw, dd — without them
+    // the token explode re-ran five times), the prefix sums ride ONE
+    // window over the cached doc-reduced table, and the 8-point
+    // checkpoint table broadcasts; no cartesian
+    val qt21 = plan("qt21_heaps_fit")
+    check("qt21 cached reduced tables + ONE window + broadcast checkpoints",
+      qt21.linesIterator.count(_.contains("Window [")) == 1 &&
+        qt21.contains("InMemoryRelation") &&
+        qt21.contains("BroadcastHashJoin [source") &&
+        !qt21.contains("CartesianProduct"))
+
     // winnowing: the pair join is keyed on the fingerprint with the
     // df <= 10 boilerplate cap filtering BOTH sides (bounded per-print
     // fan-out), the window-scanned fp table materializes once (cached),

@@ -164,7 +164,11 @@ object ScaleUpBench {
     // fingerprints) add prints, never deepen a print's df, so
     // expected wall is ~linear. (Unlike qp32/qp33 the verdict tail is
     // an inner-join aggregate — count() cannot eliminate it.)
-    "qp34_winnow_fingerprints")
+    "qp34_winnow_fingerprints",
+    // round 17: Heaps fit — two cached token-stream partial-agg passes
+    // dominate; suffixed shard words grow both the vocab and the doc
+    // set 10x while the checkpoint fit stays 8 points/source
+    "qt21_heaps_fit")
     // round 17: qp33_incremental_neardup is EXCLUDED for qp32's exact
     // reason — its final per-doc verdict is a LEFT JOIN onto the
     // unique-keyed `ver` aggregate, which count() eliminates, so the

@@ -379,6 +379,57 @@ class PipelineOpsSpec extends SparkSuite {
     got.foreach(r => assert(r._4 < 0, s"${r._1} slope not negative"))
   }
 
+  test("qt21 Heaps fit equals a driver recompute and discriminates planted growth") {
+    // The fixture's 31-word vocabulary saturates at the first octile
+    // (beta ~ 0 everywhere — the template regime the query exists to
+    // flag), so discrimination needs planted sources: one whose every
+    // doc is all-new words (V = N, beta -> 1) and one whose docs reuse
+    // a fixed 10-word set (beta -> 0). The driver recompute replicates
+    // the whole chain: octile checkpoints, floored lns, integer OLS.
+    val docs = (0 until 64).map { i =>
+      (i.toLong, "growing", (0 until 10).map(j => s"g_${i}_$j").mkString(" "))
+    } ++ (0 until 64).map { i =>
+      (100L + i, "flat", (0 until 10).map(j => s"f_$j").mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("qt21spec").toString
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("qt21_heaps_fit")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val sorted = ds.sortBy(_._1)
+      val seen = scala.collection.mutable.Set.empty[String]
+      var cumn = 0L; var cumv = 0L
+      val cums = sorted.map { case (_, _, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        cumn += ws.length
+        ws.foreach(w => if (seen.add(w)) cumv += 1)
+        (cumn, cumv)
+      }
+      val ndDocs = sorted.size.toLong
+      val rs = (1L to 8L).map(k => (ndDocs * k + 7) / 8).distinct
+      val pts = rs.map(r => cums(r.toInt - 1))
+        .filter(p => p._1 > 0 && p._2 > 0)
+        .map { case (n0, v0) =>
+          (math.floor(math.log(n0.toDouble) * 1000.0).toLong,
+            math.floor(math.log(v0.toDouble) * 1000.0).toLong)
+        }
+      val n = pts.size.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val beta6 = math.floor((n * sxy - sx * sy).toDouble
+        / (n * sxx - sx * sx).toDouble * 1e6).toLong
+      src -> ((src, ndDocs, seen.size.toLong, n, beta6))
+    }
+    assert(got == expected)
+    // beta separates the regimes: all-new words ~ 1.0, fixed vocab ~ 0
+    assert(got("growing")._5 > 900000L, s"growing: ${got("growing")}")
+    assert(got("flat")._5 < 100000L, s"flat: ${got("flat")}")
+    spark.catalog.clearCache()
+  }
+
   test("qt20 KL drift equals a driver-side recompute; a planted shift scores high") {
     val rows = Engine.table(spark, sf, "documents")
       .select($"source", $"text").as[(String, String)].collect().toSeq
