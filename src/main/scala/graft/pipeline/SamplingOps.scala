@@ -56,9 +56,15 @@ object SamplingOps {
   def targetKeep(id: Column, n: Long, target: Long,
       salt: String = "samp|"): Column =
     if (n <= target) lit(true)
-    else {
-      val th = f"${math.max(1L, math.min(0xffffffffL,
-        (target.toDouble * 4294967296.0 / n).toLong))}%08x"
-      substring(md5(concat(lit(salt), id.cast("string"))), 1, 8) < lit(th)
-    }
+    else
+      substring(md5(concat(lit(salt), id.cast("string"))), 1, 8) <
+        lit(targetThreshold(n, target))
+
+  /** The 8-hex threshold [[targetKeep]] compares against — exposed so
+    * the floor regimes are directly assertable (expected keep =
+    * n·th/2^32 ≈ target; max(…,1) keeps ~n/2^32 past n ≈ target·2^32
+    * instead of zero — the qp30 lesson). */
+  private[pipeline] def targetThreshold(n: Long, target: Long): String =
+    f"${math.max(1L, math.min(0xffffffffL,
+      (target.toDouble * 4294967296.0 / n).toLong))}%08x"
 }

@@ -74,4 +74,41 @@ class PipelineEndToEndSpec extends SparkSuite {
     assert(docs.where(
       SamplingOps.uniformKeep(col("doc_id"), 250)).count() == expected)
   }
+
+  test("targetKeep: constant-size sample, exact threshold recompute, floor regimes") {
+    // ADVICE r17: the permil scheme's 1-permil floor grew the fit
+    // sample as n/1000 forever; targetKeep's 8-hex threshold keeps the
+    // sample ~target at any n. Verified against an exact driver-side
+    // md5 recompute on real ids.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = graft.Engine.table(spark, sf, "documents")
+    val n = docs.count()
+    // n <= target short-circuits to keep-everything
+    assert(docs.where(
+      SamplingOps.targetKeep(col("doc_id"), n, n)).count() == n)
+    // a thresholded rate matches the exact 8-hex md5 recompute
+    val target = n / 4
+    val ids = docs.select($"doc_id").as[Long].collect()
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val th = SamplingOps.targetThreshold(n, target)
+    val expected = ids.count(id =>
+      md5hex(s"samp|$id").substring(0, 8) < th).toLong
+    val got = docs.where(
+      SamplingOps.targetKeep(col("doc_id"), n, target)).count()
+    assert(got == expected)
+    // the rate lands near target (binomial tolerance on a small corpus)
+    assert(math.abs(got - target) <= math.max(12L, target / 2),
+      s"got $got for target $target of $n")
+    // threshold regimes, asserted on the formula itself: proportional
+    // in the normal band; clamped to the 8-hex minimum '00000001'
+    // (never zero — the qp30 lesson) in the over-granularity regime;
+    // capped at the hash-space maximum just below keep-all
+    assert(SamplingOps.targetThreshold(1L << 20, 1L << 18) == "40000000")
+    assert(SamplingOps.targetThreshold(1L << 40, 1L) == "00000001")
+    assert(SamplingOps.targetThreshold(1L << 40, (1L << 40) - 1)
+      == "ffffffff")
+  }
 }
