@@ -1002,6 +1002,68 @@ object DedupQueries extends QueryModule {
         .agg(count(lit(1)).as("n_shared"))
         .where(col("n_shared") >= 2)
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Dedup SURVIVORSHIP-BIAS audit (round 17) — the per-source ledger
+    // a curation run reads BEFORE executing qp8's removal: near-dup
+    // clusters span sources, and the min-doc_id survivor rule
+    // silently concentrates survivors wherever the ids are low — a
+    // source can lose far more than its duplication rate suggests.
+    // Per source: total docs, docs implicated in any cluster, docs the
+    // removal would DROP (clustered, not the canonical survivor), the
+    // dropped TOKEN mass, and the keep rate in exact permil
+    // (all-integer: floor(kept·1000/total) — no float anywhere).
+    // Cluster space is the ONE shared dupClusters stage (qp8/qp22/
+    // qp31's — the house rule). Scale shape: everything downstream of
+    // the CC runs on the cluster-reduced table; the source attribution
+    // is one doc_id-keyed join against the documents projection; the
+    // token mass is a map-only size() over that projection (no
+    // explode); the rollup partial-aggs to #sources rows.
+    q("qp35_dedup_survivorship",
+      s"""$DuckClusterCte,
+         |docs AS (SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      x -> x <> '')) AS BIGINT) AS ntok
+         |  FROM documents),
+         |lab AS (SELECT d.source, d.ntok, cl.doc_id IS NOT NULL
+         |      AS clustered,
+         |    CASE WHEN cl.doc_id IS NOT NULL
+         |      AND cl.canonical_id <> d.doc_id THEN 1 ELSE 0 END
+         |      AS dropped
+         |  FROM docs d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clustered,
+         |  CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+         |  CAST(SUM(CASE WHEN dropped = 1 THEN ntok ELSE 0 END)
+         |    AS BIGINT) AS dropped_tokens,
+         |  CAST((COUNT(*) - SUM(dropped)) * 1000 // COUNT(*) AS BIGINT)
+         |    AS keep_permil
+         |FROM lab GROUP BY source ORDER BY source""".stripMargin) {
+      (s, d) =>
+      val cl = dupClusters(s, d)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(expr(CurationQueries.WordsExpr)).cast("long").as("ntok"))
+      val lab = docs.join(
+          cl.withColumnRenamed("doc_id", "cl_doc"),
+          col("doc_id") === col("cl_doc"), "left")
+        .select(col("source"), col("ntok"),
+          col("cl_doc").isNotNull.as("clustered"),
+          when(col("cl_doc").isNotNull
+            && col("canonical_id") =!= col("doc_id"), 1L)
+            .otherwise(0L).as("dropped"))
+      lab.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("clustered"), 1L).otherwise(0L)).as("n_clustered"),
+          sum(col("dropped")).as("n_dropped"),
+          sum(when(col("dropped") === 1L, col("ntok")).otherwise(0L))
+            .as("dropped_tokens"))
+        .select(col("source"), col("n_docs"), col("n_clustered"),
+          col("n_dropped"), col("dropped_tokens"),
+          expr("CAST((n_docs - n_dropped) * 1000 div n_docs AS BIGINT)")
+            .as("keep_permil"))
+        .orderBy("source")
     }
   )
 

@@ -357,6 +357,16 @@ object PlanAudit {
         qt21.contains("BroadcastHashJoin [source") &&
         !qt21.contains("CartesianProduct"))
 
+    // survivorship audit: the rollup partial-aggregates BELOW the
+    // source shuffle (map-side combine of all four ledger sums), the
+    // cluster attribution is one doc_id-keyed outer join, no cartesian
+    val qp35 = plan("qp35_dedup_survivorship")
+    check("qp35 map-side-combined ledger + doc-keyed cluster join, no cartesian",
+      qp35.contains("partial_count") && qp35.contains("partial_sum")
+        && qp35.contains("Join [doc_id")
+        && !qp35.contains("CartesianProduct")
+        && !qp35.contains("BroadcastNestedLoopJoin"))
+
     // winnowing: the pair join is keyed on the fingerprint with the
     // df <= 10 boilerplate cap filtering BOTH sides (bounded per-print
     // fan-out), the window-scanned fp table materializes once (cached),

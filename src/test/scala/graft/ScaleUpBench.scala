@@ -168,7 +168,12 @@ object ScaleUpBench {
     // round 17: Heaps fit — two cached token-stream partial-agg passes
     // dominate; suffixed shard words grow both the vocab and the doc
     // set 10x while the checkpoint fit stays 8 points/source
-    "qt21_heaps_fit")
+    "qt21_heaps_fit",
+    // round 17: survivorship audit — dominated by the shared
+    // dupClusters stage (qp31's row measures the same chain; this row
+    // adds the doc-keyed attribution join + map-side ledger on top,
+    // so the DELTA over qp31 is the new shape being measured)
+    "qp35_dedup_survivorship")
     // round 17: qp33_incremental_neardup is EXCLUDED for qp32's exact
     // reason — its final per-doc verdict is a LEFT JOIN onto the
     // unique-keyed `ver` aggregate, which count() eliminates, so the
