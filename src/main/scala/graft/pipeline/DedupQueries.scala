@@ -1067,6 +1067,40 @@ object DedupQueries extends QueryModule {
     }
   )
 
+  /** The (doc_id, band, bv) LSH band table of a documents frame —
+    * [[withShingles]] + the native `graft_minhash_bands` expression +
+    * the empty-band guard (the qp8 mega-cluster lesson), as ONE
+    * public definition. Stateless column expressions only, so it runs
+    * identically on a batch frame and a STREAMING one; at 100 TB the
+    * corpus-side result is the precomputed artifact qp33's read path
+    * consumes. */
+  def docBands(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    withShingles(docs)
+      .select(col("doc_id"),
+        posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
+      .where(col("bv") =!= "")
+  }
+
+  /** qp33's read path as a STREAM-STATIC gate: incoming documents
+    * (doc_id, text) band-match against a PRECOMPUTED static corpus
+    * band table ([[docBands]] output) — the on-ingest form of the
+    * daily increment screen. Emits DISTINCT (doc_id, old_id) LSH
+    * candidate pairs; everything is a stateless transform + a
+    * stream-static inner join + dropDuplicates, so the same code runs
+    * batch and streaming (append mode; StreamingPipelineSpec pins
+    * stream == batch). Exact-Jaccard confirmation of the flagged
+    * pairs is the batch qp33 leg — the gate's job is the cheap
+    * first-pass cut, exactly like the qp15/qp16 Bloom gates for
+    * exact dups. */
+  def nearDupGate(incoming: DataFrame, corpusBands: DataFrame): DataFrame =
+    docBands(incoming)
+      .join(corpusBands
+        .select(col("doc_id").as("old_id"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .select(col("doc_id"), col("old_id"))
+      .dropDuplicates("doc_id", "old_id")
+
   /** Blank-line paragraph segmentation — the canonical splitter for
     * corpora with layout structure (reference pipelines split on `\n\n+`,
     * normalize whitespace, drop empties). Returns (doc_id, idx, para)

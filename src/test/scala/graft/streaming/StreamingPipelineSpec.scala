@@ -78,6 +78,45 @@ class StreamingPipelineSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("nearDupGate flags an incoming near-dup against a STATIC corpus " +
+      "band table (stream-static, append); stream == batch") {
+    // qp33's read path on ingest: the corpus band table is the
+    // precomputed artifact, arriving docs band-match against it.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.DedupQueries
+    val corpus = (0L until 40L).map(i =>
+      (i, s"template alpha bravo charlie delta echo variant$i " +
+        s"foxtrot golf hotel india"))
+    val corpusBands = DedupQueries.docBands(
+      corpus.toDF("doc_id", "text")).cache()
+    // incoming: 1000 = exact copy of corpus doc 7 (every band equal),
+    // 1001 = novel text sharing no shingles
+    val incoming = Seq(
+      (1000L, corpus(7)._2),
+      (1001L, "completely different words about unrelated topics here"))
+    val input = MemoryStream[(Long, String)]
+    val q = DedupQueries.nearDupGate(
+        input.toDF().toDF("doc_id", "text"), corpusBands)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_stream").start()
+    try {
+      input.addData(incoming.head)
+      q.processAllAvailable()
+      input.addData(incoming.last)
+      q.processAllAvailable()
+      val got = spark.table("neardup_stream")
+        .as[(Long, Long)].collect().toSet
+      val expected = DedupQueries.nearDupGate(
+          incoming.toDF("doc_id", "text"), corpusBands)
+        .as[(Long, Long)].collect().toSet
+      assert(got == expected)
+      // the exact copy hits its template (and the whole template
+      // family sharing bands); the novel doc hits nothing
+      assert(got.contains((1000L, 7L)))
+      assert(!got.exists(_._1 == 1001L))
+    } finally { q.stop(); spark.catalog.clearCache() }
+  }
+
   test("bigram LM scoring of NEW documents: unseen bigrams take the " +
       "add-one smoothed floor instead of dropping from the sums") {
     val corpusDf = Seq((0L, "a b")).toDF("doc_id", "text")
