@@ -57,6 +57,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_winnow",
       exprs => WinnowPrints(exprs(0),
         litInt(exprs, 1, "graft_winnow(arr, w)")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot_int",
+      exprs => LongDotProduct(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Extract a required integer-literal argument at builder time with a
@@ -293,6 +295,73 @@ case class FloatDotProduct(left: Expression, right: Expression)
          |  for (int $i = 0; $i < $n && !$bad; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; }
          |    else { $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i); }
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact integer dot product over two array<bigint> columns — the
+  * INT8-quantized twin of [[FloatDotProduct]] (qe12's recall audit
+  * ranks candidates by the quantized dot; 127·127·dim stays far under
+  * a long). Retires the last `aggregate(zip_with(...))` fold lambda in
+  * any query path — the fourth and final instance of the
+  * closure-per-element lesson class. Null parity matches
+  * FloatDotProduct (and the lambda it replaces): NULL on length
+  * mismatch or any null element, never a silent truncation. */
+case class LongDotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot_int expects two array<bigint> args, got " +
+        s"${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n && !$bad; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; }
+         |    else { $acc += $a.getLong($i) * $b.getLong($i); }
          |  }
          |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |}

@@ -634,9 +634,11 @@ object EmbeddingQueries extends QueryModule {
         .select(col("vec_id").as("qid"), col("qvec").as("qq"))
       val qtop = qv.crossJoin(broadcast(qs))
         .where(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), expr(
-          "aggregate(zip_with(qq, qvec, (x, y) -> x * y), 0L, " +
-            "(acc, v) -> acc + v)").as("qdot"))
+        // codegen'd integer dot (ExpressionsSpec pins the equivalence
+        // to the aggregate(zip_with(...)) fold this replaced — the
+        // lesson class's last query instance)
+        .select(col("qid"), col("vec_id"),
+          expr("graft_dot_int(qq, qvec)").as("qdot"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("qid"))
             .orderBy(col("qdot").desc, col("vec_id"))))

@@ -39,6 +39,30 @@ class ExpressionsSpec extends SparkSuite {
     assert(withNull.collect().head.isNullAt(0), "null element must be NULL")
   }
 
+  test("graft_dot_int matches the zip_with fold and null-propagates") {
+    // qe12's quantized ranking dot — exact integer, same null parity as
+    // graft_dot (NULL on mismatch/null element, never truncation)
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1L, -2L, 3L), Array(4L, 5L, -6L)),
+      (Array(127L, 127L), Array(127L, 127L)),
+      (Array.empty[Long], Array.empty[Long])
+    ).toDF("a", "b")
+    val got = df.select(
+      expr("graft_dot_int(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, " +
+        "(acc, v) -> acc + v)").as("viaLambda"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, l) => assert(n == l) }
+    assert(got(0)._1 == 4L - 10L - 18L)
+    assert(got(1)._1 == 2L * 127L * 127L)
+    val nulls = spark.sql(
+      "SELECT graft_dot_int(array(1L, 2L), array(1L, 2L, 3L))," +
+        " graft_dot_int(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L))")
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("graft_signpack equals the SQL lambda formulation (codegen + interpreted)") {
     // qe15's 1-bit quantization step — the interpreted
     // aggregate(transform(sequence...)) chain it replaced is the pinned
