@@ -61,18 +61,24 @@ object GraftFunctions {
       exprs => LongDotProduct(exprs(0), exprs(1)), "scala_udf")
   }
 
-  /** Extract a required integer-literal argument at builder time with a
-    * named error — a bare eval() on a missing or non-literal argument
-    * dies with IndexOutOfBounds/ClassCast instead of saying what the
-    * function expects (review r17). */
-  private def litInt(exprs: Seq[Expression], i: Int, usage: String): Int =
-    exprs.lift(i) match {
-      case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _)) =>
-        v.intValue()
-      case other => throw new IllegalArgumentException(
-        s"$usage: argument ${i + 1} must be an integer literal, got " +
-          other.map(_.sql).getOrElse("nothing"))
+  /** Extract a required constant-integer argument at builder time with
+    * a named error — a bare eval() on a missing or non-constant
+    * argument dies with IndexOutOfBounds/ClassCast instead of saying
+    * what the function expects (review r17). Accepts any FOLDABLE
+    * integer expression (a literal, `2 + 2`, a negated literal — the
+    * shapes eval() always handled), not just a bare Literal (the first
+    * fix's over-narrowing, review r17 pass 2). */
+  private def litInt(exprs: Seq[Expression], i: Int, usage: String): Int = {
+    val v = exprs.lift(i).flatMap { e =>
+      try if (e.foldable) Option(e.eval()) else None
+      catch { case _: Exception => None }
     }
+    v match {
+      case Some(n: Number) => n.intValue()
+      case _ => throw new IllegalArgumentException(
+        s"$usage: argument ${i + 1} must be a constant integer")
+    }
+  }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark); call_function("graft_dot", a, b)

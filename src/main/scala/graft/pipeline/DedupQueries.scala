@@ -46,6 +46,20 @@ object DedupQueries extends QueryModule {
           s"coalesce(array_min(transform(sh, x -> substr(md5(concat('s$j|', x)), 17, 16))), '')"))
     }
 
+  /** The (doc_id [, extra...], band, bv) LSH band rows of a
+    * WITH-SHINGLES frame — the ONE band-table definition. The
+    * `bv <> ''` guard rides HERE so no copy can drop it again: a doc
+    * with < 3 tokens has no shingles and four empty band values, and
+    * without the guard every such doc band-matches every other one —
+    * the O(n²) artifact mega-cluster (review r16), found dropped in
+    * two more inline copies (qp16, qp23) when review r17 consolidated
+    * the seven call sites onto this definition. */
+  private[pipeline] def bandsOf(withSh: DataFrame,
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    withSh.select((col("doc_id") +: extra) :+
+        posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")): _*)
+      .where(col("bv") =!= "")
+
   /** The h0..h7 DuckDB signature-column expressions — ONE builder
     * shared by [[duckSig]] (qp2/qp3/qp4/qp8's lang-free chain) and
     * [[DuckPairCte]] (qp5/qp32's lang-aware chain), so the two CTE
@@ -80,15 +94,7 @@ object DedupQueries extends QueryModule {
   private def dupClusters(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    // bv <> '': a doc with < 3 tokens has no shingles and FOUR empty
-    // band values — without the guard every such doc band-matches
-    // every other one, welding all short docs into one O(n²) artifact
-    // mega-cluster (the lshPairStats guard, re-established here after
-    // the round-16 extraction dropped it; review r16)
-    val bands = withShingles(t(s, d, "documents"))
-      .select(col("doc_id"),
-        posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
-      .where(col("bv") =!= "")
+    val bands = bandsOf(withShingles(t(s, d, "documents")))
     val pairs = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
@@ -137,10 +143,7 @@ object DedupQueries extends QueryModule {
     graft.functions.GraftFunctions.register(s)
     val docs = withShingles(t(s, d, "documents"))
       .select(col("doc_id"), col("lang"), col("sh")).cache()
-    val bands = docs.select(col("doc_id"), col("lang"),
-      posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
-      .where(col("bv") =!= "")
-      .cache()
+    val bands = bandsOf(docs, Seq(col("lang"))).cache()
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.lang") === col("y.lang") && col("x.band") === col("y.band")
@@ -261,14 +264,7 @@ object DedupQueries extends QueryModule {
       graft.functions.GraftFunctions.register(s)
       // cache: the self-join would otherwise evaluate the MinHash scan
       // twice (at 100 TB this materialization is a checkpoint table).
-      // bv <> '': shingle-less (<3-token) docs would otherwise all
-      // band-match each other through their four empty band values —
-      // the same O(n²) artifact guard as lshPairStats/dupClusters
-      val bands = withShingles(t(s, d, "documents"))
-        .select(col("doc_id"),
-          posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
-        .where(col("bv") =!= "")
-        .cache()
+      val bands = bandsOf(withShingles(t(s, d, "documents"))).cache()
       bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
@@ -586,7 +582,8 @@ object DedupQueries extends QueryModule {
          |                WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bv
          |  FROM sig s JOIN sn ON sn.doc_id = s.doc_id,
          |    (SELECT unnest([0, 1, 2, 3]) AS band) b),
-         |hh AS (SELECT doc_id, sn, band, ${hv("bv")} AS h FROM bands),
+         |hh AS (SELECT doc_id, sn, band, ${hv("bv")} AS h
+         |  FROM bands WHERE bv <> ''),
          |hp AS (SELECT * FROM (VALUES (0, 1103515245, 12345),
          |    (1, 1299709, 7919), (2, 104729, 271), (3, 97, 31)) t(j, a, b)),
          |hist AS (SELECT DISTINCT
@@ -597,23 +594,35 @@ object DedupQueries extends QueryModule {
          |    BOOL_AND(((CAST(hp.a AS BIGINT) * (hh.h % 2147483647) + hp.b)
          |      % 2147483647) % 1048576 IN (SELECT p FROM hist)) AS hit
          |  FROM hh CROSS JOIN hp WHERE hh.sn >= 10
-         |  GROUP BY hh.doc_id, hh.band)
-         |SELECT doc_id, BOOL_OR(hit) AS maybe_near
-         |FROM chk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |  GROUP BY hh.doc_id, hh.band),
+         |mn AS (SELECT doc_id, BOOL_OR(hit) AS mn
+         |  FROM chk GROUP BY doc_id)
+         |SELECT s.doc_id, COALESCE(mn.mn, FALSE) AS maybe_near
+         |FROM sn s LEFT JOIN mn ON mn.doc_id = s.doc_id
+         |WHERE s.sn >= 10 ORDER BY s.doc_id""".stripMargin
     }) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       graft.functions.Udafs.register(s)
-      val b = withShingles(t(s, d, "documents")
-          .withColumn("sn", expr("CAST(substring(source, 4, 10) AS BIGINT)")))
-        .select(col("doc_id"), col("sn"),
-          posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
+      // bandsOf carries the bv <> '' guard (review r17: this inline copy
+      // had dropped it — a short HISTORICAL doc poisoned the bloom with
+      // the '' band and every short incoming doc false-flagged); a
+      // bandless incoming doc now keeps its verdict row as
+      // maybe_near = FALSE ("definitely new") via the left join instead
+      // of vanishing from the gate output
+      val withSn = t(s, d, "documents")
+        .withColumn("sn", expr("CAST(substring(source, 4, 10) AS BIGINT)"))
+      val b = bandsOf(withShingles(withSn), Seq(col("sn")))
       val bloom = b.where(col("sn") < 10)
         .agg(expr("graft_bloom(bv)").as("bf"))
-      b.where(col("sn") >= 10)
+      val verdict = b.where(col("sn") >= 10)
         .crossJoin(broadcast(bloom))
         .selectExpr("doc_id", "graft_bloom_contains(bf, bv) AS hit")
         .groupBy(col("doc_id"))
-        .agg(expr("bool_or(hit)").as("maybe_near"))
+        .agg(expr("bool_or(hit)").as("mn"))
+      withSn.where(col("sn") >= 10).select(col("doc_id"))
+        .join(verdict, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("mn"), lit(false)).as("maybe_near"))
         .orderBy(col("doc_id"))
     },
 
@@ -646,7 +655,8 @@ object DedupQueries extends QueryModule {
          |  WHERE doc_id < 500),
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+         |  WHERE x.bv <> ''),
          |hit AS (SELECT t.a, t.b FROM truth t
          |  JOIN cand c ON c.a = t.a AND c.b = t.b)
          |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
@@ -675,8 +685,10 @@ object DedupQueries extends QueryModule {
         .where(expr("i * 1000000 div (na + nb - i) >= 500000"))
         .select(col("a"), col("b"))
         .cache()
-      val bands = docs.select(col("doc_id"),
-        posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
+      // bandsOf carries the bv <> '' guard (review r17: this inline copy
+      // had dropped it — shingle-less docs would weld into candidate
+      // pairs through their empty bands and poison the precision score)
+      val bands = bandsOf(docs)
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
             && col("x.doc_id") < col("y.doc_id"))
@@ -902,9 +914,7 @@ object DedupQueries extends QueryModule {
           (SamplingOps.hashBucket(col("doc_id"), "incr|") < "2000")
             .as("is_incr"))
         .cache()
-      val bands = docs.select(col("doc_id"), col("is_incr"),
-          posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
-        .where(col("bv") =!= "")
+      val bands = bandsOf(docs, Seq(col("is_incr")))
       val cand = bands.where(col("is_incr"))
         .select(col("doc_id").as("new_id"), col("band"), col("bv"))
         .join(bands.where(!col("is_incr"))
@@ -1074,12 +1084,9 @@ object DedupQueries extends QueryModule {
     * identically on a batch frame and a STREAMING one; at 100 TB the
     * corpus-side result is the precomputed artifact qp33's read path
     * consumes. */
-  def docBands(docs: DataFrame): DataFrame = {
+  def docBands(docs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    withShingles(docs)
-      .select(col("doc_id"),
-        posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
-      .where(col("bv") =!= "")
+    bandsOf(withShingles(docs), extra.map(col))
   }
 
   /** qp33's read path as a STREAM-STATIC gate: incoming documents
@@ -1087,19 +1094,42 @@ object DedupQueries extends QueryModule {
     * band table ([[docBands]] output) — the on-ingest form of the
     * daily increment screen. Emits DISTINCT (doc_id, old_id) LSH
     * candidate pairs; everything is a stateless transform + a
-    * stream-static inner join + dropDuplicates, so the same code runs
-    * batch and streaming (append mode; StreamingPipelineSpec pins
+    * stream-static inner join, so the same code runs batch and
+    * streaming (append mode; StreamingPipelineSpec pins
     * stream == batch). Exact-Jaccard confirmation of the flagged
     * pairs is the batch qp33 leg — the gate's job is the cheap
     * first-pass cut, exactly like the qp15/qp16 Bloom gates for
-    * exact dups. */
-  def nearDupGate(incoming: DataFrame, corpusBands: DataFrame): DataFrame =
-    docBands(incoming)
+    * exact dups.
+    *
+    * Dedup state is WATERMARK-BOUNDED on a stream (review r17 pass 2:
+    * a plain dropDuplicates keeps one state entry per distinct pair
+    * FOREVER — a long-running gate would grow without bound): a
+    * streaming caller passes `eventTimeCol` (a watermarked timestamp
+    * column on `incoming`) and the dedup runs
+    * dropDuplicatesWithinWatermark, evicting pair state once the
+    * watermark passes — lossless here because a doc_id arrives in one
+    * micro-batch, so its duplicate pairs (one per colliding band) are
+    * always within the delay. A streaming call WITHOUT the column is
+    * rejected by name rather than allowed to leak. Batch frames use
+    * plain dropDuplicates (no state). */
+  def nearDupGate(incoming: DataFrame, corpusBands: DataFrame,
+      eventTimeCol: Option[String] = None): DataFrame = {
+    val keep = eventTimeCol.toSeq
+    val cand = docBands(incoming, keep)
       .join(corpusBands
         .select(col("doc_id").as("old_id"), col("band"), col("bv")),
         Seq("band", "bv"))
-      .select(col("doc_id"), col("old_id"))
-      .dropDuplicates("doc_id", "old_id")
+      .select((Seq("doc_id", "old_id") ++ keep).map(col): _*)
+    val deduped =
+      if (!incoming.isStreaming) cand.dropDuplicates("doc_id", "old_id")
+      else if (eventTimeCol.isDefined)
+        cand.dropDuplicatesWithinWatermark("doc_id", "old_id")
+      else throw new IllegalArgumentException(
+        "streaming nearDupGate requires eventTimeCol (a watermarked " +
+          "timestamp column on the input) so dedup state is " +
+          "watermark-bounded instead of growing forever")
+    deduped.select(col("doc_id"), col("old_id"))
+  }
 
   /** Blank-line paragraph segmentation — the canonical splitter for
     * corpora with layout structure (reference pipelines split on `\n\n+`,

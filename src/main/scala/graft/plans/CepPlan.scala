@@ -437,31 +437,10 @@ object CepPlan {
               IllegalArgumentException(s"column ${u.name} not in ${child.output}"))
       }
     val keyE = resolve(key)
-    // the run-boundary check compares EVALUATED key values with
-    // Objects.equals: struct/array/map evaluate to InternalRow/ArrayData
-    // (identity equality — every row would silently open a new run) and
-    // binary to Array[Byte] (same); reject those shapes by name rather
-    // than mis-group (review r17; MATCH_RECOGNIZE only ever routes a
+    // reject keys without value equality on the evaluated path (the
+    // shared PlanKeys contract; MATCH_RECOGNIZE only ever routes a
     // single atomic PARTITION BY column here)
-    val keyType =
-      // a bare struct(...) carries a NamePlaceholder whose dataType
-      // throws pre-analysis — same composite shape, same rejection
-      try keyE.dataType
-      catch {
-        case _: org.apache.spark.sql.catalyst.analysis.UnresolvedException =>
-          org.apache.spark.sql.types.StructType(Nil)
-      }
-    keyType match {
-      case _: org.apache.spark.sql.types.StructType |
-           _: org.apache.spark.sql.types.ArrayType |
-           _: org.apache.spark.sql.types.MapType |
-           org.apache.spark.sql.types.BinaryType =>
-        throw new IllegalArgumentException(
-          s"planned CEP key type ${keyType.simpleString} has no " +
-            "value equality on the evaluated path; key on an atomic " +
-            "column (concat composite keys into one string/long)")
-      case _ => ()
-    }
+    PlanKeys.requireValueEqualityKey(keyE)
     // match_number = 1-based per-key match ordinal in emission order
     // (the GroupCepExec twin): MATCH_NUMBER() queries route planned
     // without the routing decision changing semantics

@@ -594,29 +594,9 @@ object GroupCepPlan {
     }
     val stepNames = elems.flatMap(leafNames).distinct
     val keyE = resolve(key)
-    // same named rejection as CepPlan.matchPattern: the evaluated-path
-    // run-boundary check (Objects.equals) has identity semantics for
-    // struct/array/map/binary keys — mis-grouping, not an error, so
-    // reject the shape up front (review r17)
-    val keyType =
-      // a bare struct(...) carries a NamePlaceholder whose dataType
-      // throws pre-analysis — same composite shape, same rejection
-      try keyE.dataType
-      catch {
-        case _: org.apache.spark.sql.catalyst.analysis.UnresolvedException =>
-          org.apache.spark.sql.types.StructType(Nil)
-      }
-    keyType match {
-      case _: org.apache.spark.sql.types.StructType |
-           _: org.apache.spark.sql.types.ArrayType |
-           _: org.apache.spark.sql.types.MapType |
-           org.apache.spark.sql.types.BinaryType =>
-        throw new IllegalArgumentException(
-          s"planned CEP key type ${keyType.simpleString} has no " +
-            "value equality on the evaluated path; key on an atomic " +
-            "column (concat composite keys into one string/long)")
-      case _ => ()
-    }
+    // reject keys without value equality on the evaluated path (the
+    // shared PlanKeys contract — one definition with CepPlan)
+    PlanKeys.requireValueEqualityKey(keyE)
     // match_number = 1-based per-key match ordinal in emission order —
     // the SAME ordinal the library drivers produce (batch) and carry in
     // keyed state (streaming), so MATCH_NUMBER() queries route planned

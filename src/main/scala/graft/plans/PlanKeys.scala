@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedException, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Expression}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
+
+/** Shared key-shape validation for the two planned CEP operators — ONE
+  * definition so their key contracts cannot drift (review r17 pass 2:
+  * the block had been pasted verbatim into both builders). */
+private[plans] object PlanKeys {
+
+  /** Reject key expressions whose EVALUATED values lack value equality:
+    * the physical operators' run-boundary check compares with
+    * Objects.equals, which is identity equality for the
+    * InternalRow/ArrayData/MapData that struct/array/map keys evaluate
+    * to, and for binary's Array[Byte] — a composite key would silently
+    * open a new run per row (review r17). A bare `struct(...)` column
+    * carries a NamePlaceholder whose dataType throws pre-analysis —
+    * that exact shape maps to the same rejection; any OTHER unresolved
+    * key rethrows its own UnresolvedException so the real error (an
+    * unregistered UDF, a typo'd function) surfaces instead of a
+    * misleading composite-key message (review r17 pass 2). */
+  def requireValueEqualityKey(keyE: Expression): Unit = {
+    val keyType =
+      try keyE.dataType
+      catch {
+        case e: UnresolvedException =>
+          // the Column API builds struct(...)/array(...)/map(...) as
+          // UnresolvedFunction nodes pre-analysis (probed on this Spark
+          // version) — map those composite BUILDERS to the matching
+          // rejected type; any OTHER unresolved key rethrows so the
+          // real error (an unregistered UDF) surfaces
+          import org.apache.spark.sql.types.NullType
+          val composite = keyE.collectFirst {
+            case _: CreateNamedStruct => StructType(Nil)
+            case f: UnresolvedFunction
+                if Set("struct", "named_struct", "array", "map",
+                  "create_map").contains(
+                  f.nameParts.last.toLowerCase(java.util.Locale.ROOT)) =>
+              f.nameParts.last.toLowerCase(java.util.Locale.ROOT) match {
+                case "array" => ArrayType(NullType)
+                case "map" | "create_map" => MapType(NullType, NullType)
+                case _ => StructType(Nil)
+              }
+          }
+          composite.getOrElse(throw e)
+      }
+    keyType match {
+      case _: StructType | _: ArrayType | _: MapType | BinaryType =>
+        throw new IllegalArgumentException(
+          s"planned CEP key type ${keyType.simpleString} has no " +
+            "value equality on the evaluated path; key on an atomic " +
+            "column (concat composite keys into one string/long)")
+      case _ => ()
+    }
+  }
+}

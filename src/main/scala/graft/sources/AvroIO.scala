@@ -305,15 +305,27 @@ object AvroIO {
       val out = fs.create(new Path(path, f"part-$pid%05d.avro"), true)
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
-      w.create(schema, out)
-      // close on failure too: an abandoned writer pins its stream for
-      // the executor's lifetime, and a retry re-creates the file
-      // (overwrite=true) so the close loses nothing (review r17)
+      // close on failure too — INCLUDING a failure writing the container
+      // header in create() (review r17 pass 2: the first fix started the
+      // try after create, so a header-write IO error still leaked the
+      // stream): an abandoned writer pins its stream for the executor's
+      // lifetime, and a retry re-creates the file (overwrite=true) so
+      // the close loses nothing. A close() failure on the broken-stream
+      // path is SUPPRESSED onto the root cause rather than masking it.
       try {
+        w.create(schema, out)
         it.foreach { row =>
           w.append(toAvro(row, schema).asInstanceOf[GenericRecord])
         }
-      } finally w.close()
+      } catch {
+        case t: Throwable =>
+          try w.close()
+          catch { case c: Throwable if c ne t => t.addSuppressed(c) }
+          try out.close()
+          catch { case c: Throwable if c ne t => t.addSuppressed(c) }
+          throw t
+      }
+      w.close()
       Iterator.single(pid)
     }.count(): Unit
   }

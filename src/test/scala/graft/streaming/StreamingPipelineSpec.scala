@@ -90,13 +90,18 @@ class StreamingPipelineSpec extends SparkSuite {
     val corpusBands = DedupQueries.docBands(
       corpus.toDF("doc_id", "text")).cache()
     // incoming: 1000 = exact copy of corpus doc 7 (every band equal),
-    // 1001 = novel text sharing no shingles
+    // 1001 = novel text sharing no shingles. The stream carries a
+    // watermarked timestamp so the gate's dedup state is
+    // watermark-bounded (the streaming contract).
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
     val incoming = Seq(
-      (1000L, corpus(7)._2),
-      (1001L, "completely different words about unrelated topics here"))
-    val input = MemoryStream[(Long, String)]
+      (1000L, corpus(7)._2, t0),
+      (1001L, "completely different words about unrelated topics here", t0))
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
     val q = DedupQueries.nearDupGate(
-        input.toDF().toDF("doc_id", "text"), corpusBands)
+        input.toDF().toDF("doc_id", "text", "ts")
+          .withWatermark("ts", "10 seconds"),
+        corpusBands, eventTimeCol = Some("ts"))
       .writeStream.outputMode("append")
       .format("memory").queryName("neardup_stream").start()
     try {
@@ -107,13 +112,21 @@ class StreamingPipelineSpec extends SparkSuite {
       val got = spark.table("neardup_stream")
         .as[(Long, Long)].collect().toSet
       val expected = DedupQueries.nearDupGate(
-          incoming.toDF("doc_id", "text"), corpusBands)
+          incoming.map(r => (r._1, r._2)).toDF("doc_id", "text"),
+          corpusBands)
         .as[(Long, Long)].collect().toSet
       assert(got == expected)
       // the exact copy hits its template (and the whole template
       // family sharing bands); the novel doc hits nothing
       assert(got.contains((1000L, 7L)))
       assert(!got.exists(_._1 == 1001L))
+      // a streaming call without the watermark contract is rejected by
+      // name (unbounded dedup state otherwise)
+      val e = intercept[IllegalArgumentException] {
+        DedupQueries.nearDupGate(
+          input.toDF().toDF("doc_id", "text", "ts"), corpusBands)
+      }
+      assert(e.getMessage.contains("watermark"))
     } finally { q.stop(); spark.catalog.clearCache() }
   }
 
