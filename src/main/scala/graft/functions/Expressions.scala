@@ -67,14 +67,25 @@ object GraftFunctions {
     * what the function expects (review r17). Accepts any FOLDABLE
     * integer expression (a literal, `2 + 2`, a negated literal — the
     * shapes eval() always handled), not just a bare Literal (the first
-    * fix's over-narrowing, review r17 pass 2). */
+    * fix's over-narrowing, review r17 pass 2). Only INTEGRAL evaluated
+    * values qualify — the prior `Number` match silently truncated
+    * `graft_signpack(a, 1.5, 3)` to lo=1 via intValue(), and wrapped a
+    * constant long outside Int range, instead of erroring (ADVICE
+    * r17); a fractional or out-of-Int-range constant now throws the
+    * same named IllegalArgumentException. */
   private def litInt(exprs: Seq[Expression], i: Int, usage: String): Int = {
     val v = exprs.lift(i).flatMap { e =>
       try if (e.foldable) Option(e.eval()) else None
       catch { case _: Exception => None }
     }
     v match {
-      case Some(n: Number) => n.intValue()
+      case Some(n: java.lang.Byte) => n.intValue()
+      case Some(n: java.lang.Short) => n.intValue()
+      case Some(n: java.lang.Integer) => n.intValue()
+      case Some(n: java.lang.Long) if n.longValue() == n.intValue() =>
+        n.intValue()
+      case Some(n: java.lang.Long) => throw new IllegalArgumentException(
+        s"$usage: argument ${i + 1} is out of Int range ($n)")
       case _ => throw new IllegalArgumentException(
         s"$usage: argument ${i + 1} must be a constant integer")
     }

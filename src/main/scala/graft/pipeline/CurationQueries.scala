@@ -169,10 +169,11 @@ object CurationQueries extends QueryModule {
          |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       val docs = t(s, d, "documents")
-      val bands = DedupQueries.withShingles(docs)
-        .select(col("doc_id"),
-          posexplode(expr("graft_minhash_bands(sh)")).as(Seq("band", "bv")))
-        .where(col("bv") =!= "")
+      // band rows come ONLY from the shared guarded definition (review
+      // r18: this was the last inline construction left standing after
+      // the r17 consolidation — it carried the guard, but the
+      // BandInvariantSpec source invariant now closes the class)
+      val bands = DedupQueries.bandsOf(DedupQueries.withShingles(docs))
         .cache()
       val drops = bands.as("x")
         .join(bands.as("y"),

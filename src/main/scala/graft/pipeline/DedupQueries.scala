@@ -1131,6 +1131,64 @@ object DedupQueries extends QueryModule {
     deduped.select(col("doc_id"), col("old_id"))
   }
 
+  /** The corpus band-artifact WRITE path — the other half of the daily
+    * increment loop (qp33/[[nearDupGate]] are the READ path): once an
+    * increment's docs pass the gate and are ACCEPTED, their bands must
+    * append to the corpus artifact so TOMORROW'S gate screens against
+    * today's admissions. Each call writes exactly ONE epoch partition
+    * (`<root>/epoch=<n>`) with mode=overwrite, so the epoch directory
+    * is both the atomic commit unit and the idempotence key: a retried
+    * epoch replaces ITSELF, never duplicates — the Spark-native form
+    * of the reference's per-checkpoint atomic file promotion
+    * (flink-connectors/flink-connector-filesystem/src/main/java/org/
+    * apache/flink/streaming/connectors/fs/bucketing/BucketingSink.java:164,
+    * in-progress files promoted exactly once per completed checkpoint).
+    *
+    * Batch callers pass their own increment number (a date-stamped
+    * long, a ledger id); [[corpusBandAppender]] wires the streaming
+    * epochId into the same contract. One writer owns an artifact
+    * root's epoch space — two writers with colliding epochs would
+    * overwrite each other (the same single-committer contract every
+    * epoch-keyed idempotent sink carries).
+    *
+    * At 100 TB this is the lifecycle that keeps the gate cheap: the
+    * corpus-side band table is NEVER recomputed from corpus text —
+    * each day appends only the accepted increment's bands (one
+    * map-only pass over the increment), and the read path prunes
+    * nothing per-epoch (the gate wants ALL corpus bands, so epoch
+    * partitioning costs nothing on read and buys idempotent writes).
+    */
+  def appendCorpusBands(accepted: DataFrame, artifactRoot: String,
+      epoch: Long): Unit =
+    docBands(accepted).write.mode("overwrite")
+      .parquet(s"$artifactRoot/epoch=$epoch")
+
+  /** Read the corpus band artifact back as the (doc_id, band, bv)
+    * frame [[nearDupGate]] consumes (the inferred `epoch` partition
+    * column pruned away — the gate screens against every epoch). */
+  def readCorpusBands(spark: SparkSession, artifactRoot: String): DataFrame =
+    spark.read.parquet(artifactRoot).select("doc_id", "band", "bv")
+
+  /** The streaming form of [[appendCorpusBands]]: accepted docs arrive
+    * as a stream, each micro-batch's bands land in that batch's epoch
+    * partition via foreachBatch. Structured Streaming replays a failed
+    * epoch with the SAME epochId, and the epoch-directory overwrite
+    * makes the replay a no-op-equivalent rewrite — exactly-once
+    * artifact contents from at-least-once batch delivery. The caller
+    * sets checkpointLocation (epochId continuity across restarts rides
+    * on it) and starts the returned writer. */
+  def corpusBandAppender(accepted: DataFrame,
+      artifactRoot: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(accepted.isStreaming,
+      "corpusBandAppender is the streaming form; batch callers use " +
+        "appendCorpusBands(df, root, epoch) with their own epoch key")
+    accepted.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       epochId: Long) =>
+        appendCorpusBands(batch, artifactRoot, epochId)
+    }
+  }
+
   /** Blank-line paragraph segmentation — the canonical splitter for
     * corpora with layout structure (reference pipelines split on `\n\n+`,
     * normalize whitespace, drop empties). Returns (doc_id, idx, para)

@@ -28,20 +28,33 @@ private[plans] object PlanKeys {
           // the Column API builds struct(...)/array(...)/map(...) as
           // UnresolvedFunction nodes pre-analysis (probed on this Spark
           // version) — map those composite BUILDERS to the matching
-          // rejected type; any OTHER unresolved key rethrows so the
-          // real error (an unregistered UDF) surfaces
+          // rejected type, but ONLY when the builder IS the key's
+          // top-level evaluated expression (Alias-unwrapped root): a
+          // collectFirst over the whole tree mis-rejected
+          // `hash(struct(a, b))` — an atomic int with value equality —
+          // because the NESTED struct() matched (ADVICE r17). Any
+          // other unresolved key rethrows so the real error (an
+          // unregistered UDF, a typo'd function) surfaces
+          import org.apache.spark.sql.catalyst.expressions.Alias
           import org.apache.spark.sql.types.NullType
-          val composite = keyE.collectFirst {
-            case _: CreateNamedStruct => StructType(Nil)
+          @annotation.tailrec def root(x: Expression): Expression =
+            x match {
+              case a: Alias => root(a.child)
+              case other => other
+            }
+          val composite = root(keyE) match {
+            case _: CreateNamedStruct => Some(StructType(Nil))
             case f: UnresolvedFunction
                 if Set("struct", "named_struct", "array", "map",
                   "create_map").contains(
                   f.nameParts.last.toLowerCase(java.util.Locale.ROOT)) =>
               f.nameParts.last.toLowerCase(java.util.Locale.ROOT) match {
-                case "array" => ArrayType(NullType)
-                case "map" | "create_map" => MapType(NullType, NullType)
-                case _ => StructType(Nil)
+                case "array" => Some(ArrayType(NullType))
+                case "map" | "create_map" =>
+                  Some(MapType(NullType, NullType))
+                case _ => Some(StructType(Nil))
               }
+            case _ => None
           }
           composite.getOrElse(throw e)
       }

@@ -30,7 +30,20 @@ object BaselineCompare {
     * the sweep with fresh per-side warmups and a fresh median-of-3;
     * BOTH readings print (`CMP` and `CMP-SOLO`) and both are recorded
     * at round close — a loaded breach whose solo reading is at parity
-    * is band noise, not a regression. */
+    * is band noise, not a regression.
+    *
+    * The in-session solo is NOT the final word (VERDICT r17 #2): it
+    * still inherits a JIT-hot baseline DENOMINATOR from the full
+    * sweep — r17's qc39 read 2.11× loaded and 1.78× "solo" in the
+    * same session (baseline 0.37s, heated by 104 prior queries), but
+    * a FRESH-SESSION targeted run read 1.08× (baseline 0.69s) with
+    * the engine side identical (0.67–0.75s) across all three
+    * readings; only the sub-second denominator moved. So whenever
+    * CMP-SOLO fires, the run prints a `CMP-FRESH` directive naming
+    * the exact targeted command (`Test/runMain graft.BaselineCompare
+    * <sfDir> <names>` — a fresh JVM, the adjudicating reading), and
+    * the close protocol records all three: loaded, in-session solo,
+    * fresh. */
   val SoloRetryRatio = 1.8
   /** Extra untimed warmups per side for the solo re-measure (the
     * baseline side of a sub-0.5s query needs more than one run before
@@ -104,6 +117,13 @@ object BaselineCompare {
     }
     if (hot.isEmpty)
       println(f"CMP-SOLO none (no loaded ratio over $SoloRetryRatio%.1f)")
+    else {
+      // the adjudicating reading runs in a FRESH JVM (see scaladoc:
+      // the in-session solo's denominator is still sweep-heated)
+      val names = hot.map(_._1).mkString(",")
+      println("CMP-FRESH rerun required to adjudicate: " +
+        s"""sbt -batch "Test/runMain graft.BaselineCompare $sfDir $names"""")
+    }
     spark.stop()
   }
 }

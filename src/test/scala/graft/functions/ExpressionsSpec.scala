@@ -98,6 +98,34 @@ class ExpressionsSpec extends SparkSuite {
     assert(r.isNullAt(1))
   }
 
+  test("constant-int builder args: named errors for non-constant, fractional, out-of-range") {
+    // ADVICE r17: the Number match silently truncated 1.5 to lo=1 via
+    // intValue() and wrapped a constant long outside Int range. Only
+    // integral in-range constants qualify; everything else gets the
+    // named builder-time IllegalArgumentException, never a silent
+    // truncation.
+    GraftFunctions.register(spark)
+    val df = Seq(Array(1.0f, -1.0f)).toDF("a")
+    for (bad <- Seq(
+        "graft_signpack(a, 1.5, 3)", // fractional: was lo=1 silently
+        "graft_signpack(a, 0, 4294967296)", // long wraps to 0 via intValue
+        "graft_signpack(a, 0, CAST('3' AS DOUBLE))", // foldable non-integral
+        "graft_winnow(a, 2.5)")) {
+      val e = intercept[Exception] { df.select(expr(bad)).collect() }
+      // Spark may wrap the builder error; the named message must survive
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("must be a constant integer") ||
+        msg.contains("out of Int range"), s"$bad -> $msg")
+    }
+    // the shapes eval() always handled still build: arithmetic constants,
+    // negation, and an exact-valued long
+    val ok = df.select(
+      expr("graft_signpack(a, 2 - 2, CAST(31 AS BIGINT))").as("p"),
+      expr("graft_winnow(array('x y z'), 2 + 2)").as("w")).collect()
+    assert(ok.nonEmpty)
+  }
+
   test("graft_winnow equals the stacked SQL lambda formulation") {
     // qp34's fingerprint selection — the MOSS window-minimum scheme.
     // Reference semantics: hash each shingle to its 16-hex md5 prefix,

@@ -352,4 +352,21 @@ class CepPlanSpec extends SparkSuite {
       assert(g.getMessage.contains("value equality"), g.getMessage)
     }
   }
+
+  test("a NESTED composite builder under an atomic root is not mis-rejected (ADVICE r17)") {
+    // hash(struct(a, b)) evaluates to an atomic int WITH value
+    // equality; the old collectFirst scanned the whole key tree and
+    // mis-rejected it with the composite-key message because the
+    // nested struct() builder matched. Root-only mapping now lets the
+    // key's OWN unresolved error surface instead — and for a key shape
+    // whose root resolves pre-analysis there is nothing to map at all.
+    val e = intercept[Throwable] {
+      CepPlan.matchPattern(events,
+        expr("hash(struct(user_id, event_type))"), col("ts"),
+        col("event_id"),
+        Seq(("v", col("event_type") === "view", false)))
+    }
+    assert(!Option(e.getMessage).getOrElse("").contains("value equality"),
+      s"nested struct() must not trigger the composite-key rejection: $e")
+  }
 }
