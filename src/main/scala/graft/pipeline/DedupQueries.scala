@@ -996,10 +996,10 @@ object DedupQueries extends QueryModule {
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
-      val fps = withShingles(t(s, d, "documents"))
-        .select(col("doc_id"),
-          explode(expr("graft_winnow(sh, 4)")).as("fp"))
-        .cache() // feeds the df cap AND both pair-join sides once
+      // ONE print-table definition (docPrints — the bandsOf rule for
+      // the span family); cache feeds the df cap AND both pair-join
+      // sides once
+      val fps = docPrints(t(s, d, "documents")).cache()
       val rare = fps.join(
         fps.groupBy("fp").agg(count(lit(1)).as("df"))
           .where(col("df").between(2, 10)).select("fp"),
@@ -1120,12 +1120,24 @@ object DedupQueries extends QueryModule {
         .select(col("doc_id").as("old_id"), col("band"), col("bv")),
         Seq("band", "bv"))
       .select((Seq("doc_id", "old_id") ++ keep).map(col): _*)
+    gatePairs(cand, incoming.isStreaming, eventTimeCol, "nearDupGate")
+  }
+
+  /** Shared tail of every stream-static candidate gate: distinct
+    * (doc_id, old_id) pairs, with dedup state WATERMARK-BOUNDED on a
+    * stream (the r17 review contract — a plain dropDuplicates keeps
+    * one state entry per distinct pair FOREVER; lossless here because
+    * a doc_id arrives in one micro-batch, so its duplicate pairs are
+    * always within the delay). A streaming call without the watermark
+    * column is rejected BY NAME instead of allowed to leak. */
+  private def gatePairs(cand: DataFrame, streaming: Boolean,
+      eventTimeCol: Option[String], gateName: String): DataFrame = {
     val deduped =
-      if (!incoming.isStreaming) cand.dropDuplicates("doc_id", "old_id")
+      if (!streaming) cand.dropDuplicates("doc_id", "old_id")
       else if (eventTimeCol.isDefined)
         cand.dropDuplicatesWithinWatermark("doc_id", "old_id")
       else throw new IllegalArgumentException(
-        "streaming nearDupGate requires eventTimeCol (a watermarked " +
+        s"streaming $gateName requires eventTimeCol (a watermarked " +
           "timestamp column on the input) so dedup state is " +
           "watermark-bounded instead of growing forever")
     deduped.select(col("doc_id"), col("old_id"))
@@ -1160,8 +1172,14 @@ object DedupQueries extends QueryModule {
     */
   def appendCorpusBands(accepted: DataFrame, artifactRoot: String,
       epoch: Long): Unit =
-    docBands(accepted).write.mode("overwrite")
-      .parquet(s"$artifactRoot/epoch=$epoch")
+    writeEpoch(docBands(accepted), artifactRoot, epoch)
+
+  /** The one epoch-partition writer both artifact families share: the
+    * epoch directory is the atomic commit unit AND the idempotence
+    * key (mode=overwrite replaces a retried epoch's own partition). */
+  private def writeEpoch(rows: DataFrame, artifactRoot: String,
+      epoch: Long): Unit =
+    rows.write.mode("overwrite").parquet(s"$artifactRoot/epoch=$epoch")
 
   /** Read the corpus band artifact back as the (doc_id, band, bv)
     * frame [[nearDupGate]] consumes (the inferred `epoch` partition
@@ -1186,6 +1204,88 @@ object DedupQueries extends QueryModule {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
        epochId: Long) =>
         appendCorpusBands(batch, artifactRoot, epochId)
+    }
+  }
+
+  /** The (doc_id, fp) winnowing fingerprint table of a documents frame
+    * — qp34's Schleimer–Wilkerson–Aiken selection (W=4 window minimum
+    * over shingle-hash streams via the native `graft_winnow`) as ONE
+    * public definition, [[docBands]]'s twin for the SPAN-OVERLAP
+    * family: any shared token run of ≥ W+2 = 6 words shares a selected
+    * print. Stateless column expressions only, so it runs identically
+    * batch and streaming; a shingle-less doc keeps no print (the
+    * expression returns an empty array — the qp8 empty-band lesson by
+    * construction, and prints are md5 prefixes, never ''). */
+  def docPrints(docs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    withShingles(docs).select((col("doc_id") +: extra.map(col)) :+
+      explode(expr("graft_winnow(sh, 4)")).as("fp"): _*)
+  }
+
+  /** The df-capped VIEW of a corpus print artifact a [[winnowGate]]
+    * screens against: prints occurring in more than `maxDf` corpus
+    * docs are template boilerplate — exactly what a span gate must NOT
+    * pair the stream on (the qp29/qp34 cap) — and dropping them bounds
+    * per-print join fan-out at ≤ maxDf BY DEFINITION. Document
+    * frequency is a corpus-wide property, so the cap applies at READ
+    * time, not append time (a print rare today may be boilerplate
+    * after next week's crawl); at 100 TB this view is a periodically
+    * refreshed materialization beside the raw artifact — df drifts
+    * only as fast as the corpus grows, so the refresh cadence is the
+    * append cadence, not the query cadence. */
+  def rareCorpusPrints(corpusPrints: DataFrame, maxDf: Int = 10): DataFrame =
+    corpusPrints.join(
+      corpusPrints.groupBy("fp").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf).select("fp"),
+      Seq("fp"))
+
+  /** qp34's read path as a STREAM-STATIC gate — the span-level
+    * member of the ingest-gate family (exact: qp15/qp16 Bloom;
+    * near-dup: [[nearDupGate]]; span overlap: this): incoming docs'
+    * winnowing prints join a PRECOMPUTED df-capped corpus print table
+    * ([[rareCorpusPrints]] over [[readCorpusPrints]]), flagging
+    * DISTINCT (doc_id, old_id) pairs that share ANY rare print — a
+    * guaranteed hit for any copied run of ≥ 6 tokens whose print
+    * stays under the df cap. Like the other gates, this is the cheap
+    * first-pass cut; span-level verification of flagged pairs is the
+    * batch qp26/qp34 leg. Same watermark contract as [[nearDupGate]]
+    * (state bounded via dropDuplicatesWithinWatermark; a streaming
+    * call without `eventTimeCol` is rejected by name). */
+  def winnowGate(incoming: DataFrame, corpusPrints: DataFrame,
+      eventTimeCol: Option[String] = None): DataFrame = {
+    val keep = eventTimeCol.toSeq
+    val cand = docPrints(incoming, keep)
+      .join(corpusPrints.select(col("doc_id").as("old_id"), col("fp")),
+        Seq("fp"))
+      .select((Seq("doc_id", "old_id") ++ keep).map(col): _*)
+    gatePairs(cand, incoming.isStreaming, eventTimeCol, "winnowGate")
+  }
+
+  /** [[appendCorpusBands]]'s twin for the print artifact: one epoch
+    * partition of the accepted docs' (doc_id, fp) rows, same
+    * overwrite-self idempotence contract. The RAW prints append here;
+    * the df cap is a read-time view ([[rareCorpusPrints]] scaladoc). */
+  def appendCorpusPrints(accepted: DataFrame, artifactRoot: String,
+      epoch: Long): Unit =
+    writeEpoch(docPrints(accepted), artifactRoot, epoch)
+
+  /** Read the corpus print artifact back as the raw (doc_id, fp) frame
+    * (epoch partition column pruned; feed through [[rareCorpusPrints]]
+    * before gating). */
+  def readCorpusPrints(spark: SparkSession, artifactRoot: String): DataFrame =
+    spark.read.parquet(artifactRoot).select("doc_id", "fp")
+
+  /** The streaming form of [[appendCorpusPrints]] — foreachBatch at
+    * the epochId, exactly as [[corpusBandAppender]]. */
+  def corpusPrintAppender(accepted: DataFrame,
+      artifactRoot: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(accepted.isStreaming,
+      "corpusPrintAppender is the streaming form; batch callers use " +
+        "appendCorpusPrints(df, root, epoch) with their own epoch key")
+    accepted.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       epochId: Long) =>
+        appendCorpusPrints(batch, artifactRoot, epochId)
     }
   }
 

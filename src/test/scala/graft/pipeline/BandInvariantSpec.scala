@@ -67,6 +67,26 @@ class BandInvariantSpec extends AnyFunSuite {
       l.contains("graft_minhash_bands") && l.contains("explode")))
   }
 
+  test("winnowing print rows are built ONLY by DedupQueries.docPrints") {
+    // the span family's twin rule (round 18): graft_winnow's exploded
+    // (doc_id, fp) rows come from the ONE docPrints definition, so the
+    // W/window choice and the empty-input contract can never fork
+    // between qp34, winnowGate, and the print artifact writers
+    val offenders = scalaFiles(sourceRoot).filter { f =>
+      read(f).contains("graft_winnow") &&
+        !Set("DedupQueries.scala", "Expressions.scala").contains(f.getName)
+    }
+    assert(offenders.isEmpty,
+      s"graft_winnow referenced outside docPrints: ${offenders.mkString(", ")}")
+    val dedup = read(new File(sourceRoot, "pipeline/DedupQueries.scala"))
+    val explodes = dedup.linesIterator.zipWithIndex.filter { case (l, _) =>
+      l.contains("graft_winnow") && l.contains("explode")
+    }.toSeq
+    assert(explodes.size == 1,
+      s"expected exactly ONE explode(graft_winnow) — docPrints — found " +
+        explodes.map { case (_, i) => s"line ${i + 1}" }.mkString(", "))
+  }
+
   test("every DuckDB band-CASE oracle construction carries a bv <> '' guard nearby") {
     // the oracle side of the same weld: each inline band CTE (the
     // `CASE b.band WHEN 0 THEN h0 || h1 ...` construction) must filter

@@ -68,6 +68,45 @@ class CorpusArtifactSpec extends SparkSuite {
     assert(after == expected)
   }
 
+  test("print artifact lifecycle: append, df-capped read view, gate-after-append") {
+    // the span family's twin of the band lifecycle: RAW prints append
+    // per epoch; the df cap is a READ-time view (df is a corpus-wide
+    // property — a print rare today may be boilerplate after the next
+    // crawl, so capping at append time would freeze a stale df).
+    val root = tmpRoot("corpus_prints")
+    val docs = (0L until 20L).map(i =>
+      (i, s"alpha bravo charlie u${i}a u${i}b u${i}c u${i}d u${i}e " +
+        "golf hotel india"))
+    DedupQueries.appendCorpusPrints(docs.toDF("doc_id", "text"), root, 0L)
+    val raw = DedupQueries.readCorpusPrints(spark, root)
+    // raw artifact == direct computation
+    val direct = DedupQueries.docPrints(docs.toDF("doc_id", "text"))
+    assert(raw.count() == direct.count() &&
+      raw.except(direct).isEmpty && direct.except(raw).isEmpty)
+    // the capped view equals a driver-side df filter of the raw table
+    val dfOf = direct.as[(Long, String)].collect()
+      .groupBy(_._2).map { case (fp, v) => fp -> v.length }
+    val keptDriver = direct.as[(Long, String)].collect()
+      .filter(r => dfOf(r._2) <= 1).toSet
+    val keptView = DedupQueries.rareCorpusPrints(raw, maxDf = 1)
+      .select("doc_id", "fp").as[(Long, String)].collect().toSet
+    assert(keptView == keptDriver && keptView.nonEmpty)
+    // idempotent epoch replay + gate-after-append, as with bands
+    val novel = Seq((500L,
+      "completely new sentence with words v1 v2 v3 v4 v5 end cap tail"))
+    DedupQueries.appendCorpusPrints(novel.toDF("doc_id", "text"), root, 1L)
+    DedupQueries.appendCorpusPrints(novel.toDF("doc_id", "text"), root, 1L)
+    val after = DedupQueries.readCorpusPrints(spark, root)
+    assert(after.count() == DedupQueries.docPrints(
+      (docs ++ novel).toDF("doc_id", "text")).count())
+    val hits = DedupQueries.winnowGate(
+        Seq((900L, novel.head._2)).toDF("doc_id", "text"),
+        DedupQueries.rareCorpusPrints(after, maxDf = 1))
+      .as[(Long, Long)].collect().toSet
+    assert(hits == Set((900L, 500L)),
+      s"gate-after-append must flag the accepted doc's span source: $hits")
+  }
+
   test("streaming appender lands each micro-batch in its epochId partition") {
     implicit val sqlCtx = spark.sqlContext
     val root = tmpRoot("corpus_bands_stream")

@@ -130,6 +130,57 @@ class StreamingPipelineSpec extends SparkSuite {
     } finally { q.stop(); spark.catalog.clearCache() }
   }
 
+  test("winnowGate flags span-level overlap against a STATIC corpus " +
+      "print table (stream-static, append); stream == batch") {
+    // qp34's read path on ingest — the span-overlap member of the gate
+    // family beside the exact Bloom gates and nearDupGate. Corpus docs
+    // share head/tail boilerplate but carry a 5-token unique span, so
+    // windows 2-5 of each doc's shingle-hash stream are all-unique and
+    // every doc keeps >= 1 df=1 print DETERMINISTICALLY (no assumption
+    // about which hash wins a mixed window). maxDf=1 keeps only those,
+    // so an exact copy of doc 7 hits EXACTLY doc 7: any cross-doc
+    // shared print is boilerplate selected by >= 2 docs, df >= 2, cut.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.DedupQueries
+    val corpus = (0L until 40L).map(i =>
+      (i, s"alpha bravo charlie u${i}a u${i}b u${i}c u${i}d u${i}e " +
+        "golf hotel india"))
+    val rare = DedupQueries.rareCorpusPrints(
+      DedupQueries.docPrints(corpus.toDF("doc_id", "text")),
+      maxDf = 1).cache()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val incoming = Seq(
+      (1000L, corpus(7)._2, t0), // exact copy: shares doc 7's rare prints
+      (1001L, "totally fresh words nobody wrote before anywhere at all", t0))
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = DedupQueries.winnowGate(
+        input.toDF().toDF("doc_id", "text", "ts")
+          .withWatermark("ts", "10 seconds"),
+        rare, eventTimeCol = Some("ts"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("winnow_stream").start()
+    try {
+      input.addData(incoming.head)
+      q.processAllAvailable()
+      input.addData(incoming.last)
+      q.processAllAvailable()
+      val got = spark.table("winnow_stream")
+        .as[(Long, Long)].collect().toSet
+      val expected = DedupQueries.winnowGate(
+          incoming.map(r => (r._1, r._2)).toDF("doc_id", "text"), rare)
+        .as[(Long, Long)].collect().toSet
+      assert(got == expected)
+      assert(got == Set((1000L, 7L)),
+        s"copy must hit exactly its template under maxDf=1: $got")
+      // the watermark contract is the shared gate tail
+      val e = intercept[IllegalArgumentException] {
+        DedupQueries.winnowGate(
+          input.toDF().toDF("doc_id", "text", "ts"), rare)
+      }
+      assert(e.getMessage.contains("watermark"))
+    } finally { q.stop(); spark.catalog.clearCache() }
+  }
+
   test("bigram LM scoring of NEW documents: unseen bigrams take the " +
       "add-one smoothed floor instead of dropping from the sums") {
     val corpusDf = Seq((0L, "a b")).toDF("doc_id", "text")
