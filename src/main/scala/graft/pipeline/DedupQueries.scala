@@ -1014,6 +1014,100 @@ object DedupQueries extends QueryModule {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Winnow-gate EVAL (round 18) — the span family's qp23: how well do
+    // df-capped winnowing-print candidates (winnowGate's corpus-wide
+    // batch form, built from the SAME docPrints/rareCorpusPrints
+    // machinery the gate runs) recover exact rare-span overlap? Truth =
+    // pairs sharing a 6-token run (the W+2 winnowing guarantee length)
+    // whose hexagram df ≤ 10 — rare spans are the pairs a pipeline
+    // wants; boilerplate spans are what the cap exists to IGNORE, so
+    // they are excluded from truth and cand symmetrically. Recall loss
+    // is the documented cap trade: a rare hexagram's selected print is
+    // a TRIGRAM hash whose df can exceed the hexagram's (boilerplate
+    // trigram inside a rare span) and fall to the print cap. Like
+    // qp23, the exact truth self-join runs on a doc_id slice (the
+    // audit-sample posture — at 100 TB this eval runs on a sample, the
+    // gate on everything); counts are exact BIGINTs, percentages
+    // integer div.
+    q("qp36_winnow_eval",
+      s"""$duckSig,
+         |hsx AS (SELECT doc_id,
+         |    list_transform(sh, x -> substr(md5(x), 1, 16)) AS hs
+         |  FROM shx WHERE doc_id < 500),
+         |fp0 AS (SELECT doc_id, unnest(
+         |    CASE WHEN len(hs) = 0 THEN []
+         |    WHEN len(hs) < 4 THEN [list_aggregate(hs, 'min')]
+         |    ELSE list_distinct(list_transform(
+         |      generate_series(1, len(hs) - 3),
+         |      j -> list_aggregate(hs[j:j+3], 'min'))) END) AS fp
+         |  FROM hsx),
+         |dfq AS (SELECT fp FROM fp0 GROUP BY fp HAVING COUNT(*) <= 10),
+         |rare AS (SELECT f.doc_id, f.fp
+         |  FROM fp0 f JOIN dfq ON dfq.fp = f.fp),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM rare a JOIN rare b
+         |    ON b.fp = a.fp AND a.doc_id < b.doc_id),
+         |hx AS (SELECT DISTINCT doc_id,
+         |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+         |    tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] AS g
+         |  FROM tkx, UNNEST(generate_series(1, len(tk) - 5)) AS t(i)
+         |  WHERE len(tk) >= 6 AND doc_id < 500),
+         |rg AS (SELECT g FROM hx GROUP BY g HAVING COUNT(*) <= 10),
+         |hxr AS (SELECT hx.doc_id, hx.g FROM hx JOIN rg ON rg.g = hx.g),
+         |truth AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM hxr a JOIN hxr b ON b.g = a.g AND a.doc_id < b.doc_id),
+         |hit AS (SELECT t.a, t.b FROM truth t
+         |  JOIN cand c ON c.a = t.a AND c.b = t.b)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) * 100
+         |    // greatest((SELECT COUNT(*) FROM truth), 1) AS recall_pct,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) * 100
+         |    // greatest((SELECT COUNT(*) FROM cand), 1) AS precision_pct
+         |""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, d, "documents").where(col("doc_id") < 500)
+      // the gate's own machinery: ONE print definition + the read-time
+      // df cap, then the corpus-wide pair form of winnowGate's join
+      val prints = docPrints(docs).cache()
+      val rare = rareCorpusPrints(prints, maxDf = 10)
+      val cand = rare.as("a")
+        .join(rare.as("b"),
+          col("a.fp") === col("b.fp")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+        .distinct()
+        .cache()
+      val hx = docs
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .where(size(col("tk")) >= 6)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(tk) - 6), i ->
+            |  concat(tk[i], ' ', tk[i+1], ' ', tk[i+2], ' ',
+            |         tk[i+3], ' ', tk[i+4], ' ', tk[i+5]))""".stripMargin))
+          .as("g"))
+        .distinct()
+        .cache()
+      val rg = hx.groupBy("g").agg(count(lit(1)).as("df"))
+        .where(col("df") <= 10).select("g")
+      val hxr = hx.join(rg, Seq("g"))
+      val truth = hxr.as("a")
+        .join(hxr.as("b"),
+          col("a.g") === col("b.g")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+        .distinct()
+        .cache()
+      val hit = truth.join(cand, Seq("a", "b"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          expr("n_hit * 100 div greatest(n_truth, 1L)").as("recall_pct"),
+          expr("n_hit * 100 div greatest(n_cand, 1L)").as("precision_pct"))
+    },
+
     // Dedup SURVIVORSHIP-BIAS audit (round 17) — the per-source ledger
     // a curation run reads BEFORE executing qp8's removal: near-dup
     // clusters span sources, and the min-doc_id survivor rule
