@@ -379,6 +379,19 @@ object PlanAudit {
         !qp34.contains("CartesianProduct") &&
         !qp34.contains("BroadcastNestedLoopJoin"))
 
+    // winnow-gate eval: both pair universes are KEYED joins (prints on
+    // fp, hexagram truth on g) over cached reduced tables with the
+    // df <= 10 caps; the only nested-loop joins are the three 1-row
+    // count aggregates crossing at the end (broadcast, trivial) — a
+    // CartesianProduct anywhere means a pair stage degenerated
+    val qp36 = plan("qp36_winnow_eval")
+    check("qp36 fp- and gram-keyed pair joins over cached capped tables; no cartesian",
+      qp36.contains("Join [fp") &&
+        qp36.contains("Join [g") &&
+        qp36.contains("<= 10)") &&
+        qp36.contains("InMemoryRelation") &&
+        !qp36.contains("CartesianProduct"))
+
     // gram novelty: first_seen is ONE map-side-combined gram groupBy
     // (partial_min before the shuffle), checkpoints broadcast —
     // never four conditional-DISTINCT shuffles
