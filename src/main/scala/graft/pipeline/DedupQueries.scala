@@ -1242,13 +1242,16 @@ object DedupQueries extends QueryModule {
     * increment's docs pass the gate and are ACCEPTED, their bands must
     * append to the corpus artifact so TOMORROW'S gate screens against
     * today's admissions. Each call writes exactly ONE epoch partition
-    * (`<root>/epoch=<n>`) with mode=overwrite, so the epoch directory
-    * is both the atomic commit unit and the idempotence key: a retried
-    * epoch replaces ITSELF, never duplicates — the Spark-native form
-    * of the reference's per-checkpoint atomic file promotion
+    * (`<root>/epoch=<n>`), and the epoch is the idempotence key with
+    * commit-once semantics: a COMMITTED epoch is immutable (a replay
+    * skips it — readers never see committed rows vanish), an
+    * uncommitted partial one is overwritten on retry — the same
+    * publish-exactly-once-per-epoch contract as the reference's
+    * per-checkpoint file promotion
     * (flink-connectors/flink-connector-filesystem/src/main/java/org/
     * apache/flink/streaming/connectors/fs/bucketing/BucketingSink.java:164,
-    * in-progress files promoted exactly once per completed checkpoint).
+    * in-progress files promoted exactly once per completed checkpoint,
+    * and never unpublished).
     *
     * Batch callers pass their own increment number (a date-stamped
     * long, a ledger id); [[corpusBandAppender]] wires the streaming
@@ -1268,12 +1271,27 @@ object DedupQueries extends QueryModule {
       epoch: Long): Unit =
     writeEpoch(docBands(accepted), artifactRoot, epoch)
 
-  /** The one epoch-partition writer both artifact families share: the
-    * epoch directory is the atomic commit unit AND the idempotence
-    * key (mode=overwrite replaces a retried epoch's own partition). */
+  /** The one epoch-partition writer both artifact families share. A
+    * COMMITTED epoch (its `_SUCCESS` marker exists) is immutable: a
+    * replay returns without touching it, so concurrent gate readers
+    * never see a committed epoch's rows vanish mid-rewrite (review
+    * r18: a plain mode=overwrite is delete-then-write — a replayed
+    * epoch would be ABSENT from reads for the whole job, and a crash
+    * between the delete and the commit left it empty forever). Only an
+    * UNCOMMITTED partial epoch (files but no marker — a crashed first
+    * attempt) is overwritten on retry. Readers racing the FIRST write
+    * of an epoch may see a partial prefix of it — the daily-DAG
+    * posture sequences the append before the gate run, and a
+    * foreachBatch replay re-enters here with the same epochId, where
+    * the marker check makes it a no-op. */
   private def writeEpoch(rows: DataFrame, artifactRoot: String,
-      epoch: Long): Unit =
-    rows.write.mode("overwrite").parquet(s"$artifactRoot/epoch=$epoch")
+      epoch: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$artifactRoot/epoch=$epoch")
+    val fs = dir.getFileSystem(
+      rows.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) return
+    rows.write.mode("overwrite").parquet(dir.toString)
+  }
 
   /** Read the corpus band artifact back as the (doc_id, band, bv)
     * frame [[nearDupGate]] consumes (the inferred `epoch` partition
@@ -1284,9 +1302,10 @@ object DedupQueries extends QueryModule {
   /** The streaming form of [[appendCorpusBands]]: accepted docs arrive
     * as a stream, each micro-batch's bands land in that batch's epoch
     * partition via foreachBatch. Structured Streaming replays a failed
-    * epoch with the SAME epochId, and the epoch-directory overwrite
-    * makes the replay a no-op-equivalent rewrite — exactly-once
-    * artifact contents from at-least-once batch delivery. The caller
+    * epoch with the SAME epochId, and the commit-once marker check in
+    * the writer makes a replay of a committed epoch a true no-op (an
+    * uncommitted partial write is redone) — exactly-once artifact
+    * contents from at-least-once batch delivery. The caller
     * sets checkpointLocation (epochId continuity across restarts rides
     * on it) and starts the returned writer. */
   def corpusBandAppender(accepted: DataFrame,
@@ -1344,12 +1363,25 @@ object DedupQueries extends QueryModule {
     * first-pass cut; span-level verification of flagged pairs is the
     * batch qp26/qp34 leg. Same watermark contract as [[nearDupGate]]
     * (state bounded via dropDuplicatesWithinWatermark; a streaming
-    * call without `eventTimeCol` is rejected by name). */
+    * call without `eventTimeCol` is rejected by name).
+    *
+    * The df cap applies INSIDE the gate by default (review r18: the
+    * natural pairing `winnowGate(in, readCorpusPrints(...))` would
+    * otherwise silently accept the RAW artifact, and one boilerplate
+    * print shared by 100k corpus docs fans every incoming print into
+    * 100k pairs — the exact blowup the cap exists to prevent). A
+    * caller holding a PRECOMPUTED capped view — the production
+    * posture, since a stream-static join re-evaluates an uncached
+    * static side every micro-batch — passes `maxDf <= 0` to skip the
+    * internal cap (and caches that view). Double-capping is
+    * idempotent, so the default is safe either way. */
   def winnowGate(incoming: DataFrame, corpusPrints: DataFrame,
-      eventTimeCol: Option[String] = None): DataFrame = {
+      eventTimeCol: Option[String] = None, maxDf: Int = 10): DataFrame = {
     val keep = eventTimeCol.toSeq
+    val corpus =
+      if (maxDf <= 0) corpusPrints else rareCorpusPrints(corpusPrints, maxDf)
     val cand = docPrints(incoming, keep)
-      .join(corpusPrints.select(col("doc_id").as("old_id"), col("fp")),
+      .join(corpus.select(col("doc_id").as("old_id"), col("fp")),
         Seq("fp"))
       .select((Seq("doc_id", "old_id") ++ keep).map(col): _*)
     gatePairs(cand, incoming.isStreaming, eventTimeCol, "winnowGate")

@@ -56,7 +56,29 @@ private[plans] object PlanKeys {
               }
             case _ => None
           }
-          composite.getOrElse(throw e)
+          composite.getOrElse {
+            // a composite builder NESTED under an unresolvable wrapper
+            // (coalesce(struct(..), struct(..))) still rethrows the
+            // wrapper's own error — root-only mapping cannot tell a
+            // composite-typed wrapper from an atomic one like hash() —
+            // but the rethrow carries a suppressed hint so the
+            // value-equality diagnosis stays discoverable (review r18)
+            if (keyE.exists {
+                case _: CreateNamedStruct => true
+                case f: UnresolvedFunction => Set("struct", "named_struct",
+                  "array", "map", "create_map").contains(
+                  f.nameParts.last.toLowerCase(java.util.Locale.ROOT))
+                case _ => false
+              }) {
+              e.addSuppressed(new IllegalArgumentException(
+                "note: the key contains a struct/array/map builder; if " +
+                  "the key EVALUATES to a composite value it has no " +
+                  "value equality on the run-boundary check — key on an " +
+                  "atomic column (concat composite keys into one " +
+                  "string/long)"))
+            }
+            throw e
+          }
       }
     keyType match {
       case _: StructType | _: ArrayType | _: MapType | BinaryType =>

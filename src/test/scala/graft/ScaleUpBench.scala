@@ -181,6 +181,12 @@ object ScaleUpBench {
     // corpus-growing stages (band explode, shingle surrogate table)
     // are qp4/qp5's, which have their own measured rows, and the
     // increment-bounded join is the plan fact PlanAudit asserts.
+    // round 18: qp36_winnow_eval is EXCLUDED like qp23 (neither has a
+    // row): both evaluate on the FIXED doc_id < 500 audit slice, which
+    // salted-shard scaling does not grow (salted ids land outside the
+    // slice), so a measurement would read flat by construction — slice
+    // constancy, not scale evidence. Their corpus-growing machinery
+    // (the print table / band table) is qp34's / qp4's measured row.
 
   private def timeQuery(spark: SparkSession, name: String,
       dir: String): (Double, Double) = {

@@ -66,6 +66,25 @@ class CorpusArtifactSpec extends SparkSuite {
     val expected = DedupQueries.docBands(
       (corpus ++ inc).toDF("doc_id", "text")).count()
     assert(after == expected)
+    // commit-once, sharpened (review r18): a committed epoch is
+    // IMMUTABLE — a replay carrying different rows is skipped, so
+    // readers can never observe a committed epoch's rows vanish
+    // during a delete-then-write rewrite
+    val other = corpus.take(3).map { case (i, t) => (i + 900L, t) }
+    DedupQueries.appendCorpusBands(other.toDF("doc_id", "text"), root, 1L)
+    assert(DedupQueries.readCorpusBands(spark, root).count() == after,
+      "a replay of a committed epoch must be a no-op")
+    // ...while a crashed FIRST attempt (files but no _SUCCESS marker)
+    // is redone on retry instead of left permanently in place
+    val stale = new java.io.File(s"$root/epoch=2")
+    assert(stale.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/epoch=2/part-stale.parquet"),
+      Array[Byte](1, 2, 3))
+    DedupQueries.appendCorpusBands(other.toDF("doc_id", "text"), root, 2L)
+    val withEpoch2 = DedupQueries.readCorpusBands(spark, root).count()
+    assert(withEpoch2 == after +
+      DedupQueries.docBands(other.toDF("doc_id", "text")).count())
   }
 
   test("print artifact lifecycle: append, df-capped read view, gate-after-append") {
@@ -101,10 +120,16 @@ class CorpusArtifactSpec extends SparkSuite {
       (docs ++ novel).toDF("doc_id", "text")).count())
     val hits = DedupQueries.winnowGate(
         Seq((900L, novel.head._2)).toDF("doc_id", "text"),
-        DedupQueries.rareCorpusPrints(after, maxDf = 1))
+        DedupQueries.rareCorpusPrints(after, maxDf = 1), maxDf = 0)
       .as[(Long, Long)].collect().toSet
     assert(hits == Set((900L, 500L)),
       s"gate-after-append must flag the accepted doc's span source: $hits")
+    // the RAW artifact through the gate's default internal cap agrees
+    // (the accepted doc's prints are df=1 — under any cap they survive)
+    val hitsRaw = DedupQueries.winnowGate(
+        Seq((900L, novel.head._2)).toDF("doc_id", "text"), after)
+      .as[(Long, Long)].collect().toSet
+    assert(hitsRaw == Set((900L, 500L)))
   }
 
   test("streaming appender lands each micro-batch in its epochId partition") {

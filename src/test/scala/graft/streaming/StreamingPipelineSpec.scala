@@ -134,10 +134,12 @@ class StreamingPipelineSpec extends SparkSuite {
       "print table (stream-static, append); stream == batch") {
     // qp34's read path on ingest — the span-overlap member of the gate
     // family beside the exact Bloom gates and nearDupGate. Corpus docs
-    // share head/tail boilerplate but carry a 5-token unique span, so
-    // windows 2-5 of each doc's shingle-hash stream are all-unique and
-    // every doc keeps >= 1 df=1 print DETERMINISTICALLY (no assumption
-    // about which hash wins a mixed window). maxDf=1 keeps only those,
+    // share head/tail boilerplate but carry a 5-token unique span: of
+    // the 6 length-4 windows over the 9 shingles, the 4 middle ones
+    // touch neither the shared head shingle nor the shared tail
+    // shingle, so their minima are unique-shingle hashes and every doc
+    // keeps >= 1 df=1 print DETERMINISTICALLY (no assumption about
+    // which hash wins a mixed window). maxDf=1 keeps only those,
     // so an exact copy of doc 7 hits EXACTLY doc 7: any cross-doc
     // shared print is boilerplate selected by >= 2 docs, df >= 2, cut.
     implicit val sqlCtx = spark.sqlContext
@@ -153,10 +155,12 @@ class StreamingPipelineSpec extends SparkSuite {
       (1000L, corpus(7)._2, t0), // exact copy: shares doc 7's rare prints
       (1001L, "totally fresh words nobody wrote before anywhere at all", t0))
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // maxDf = 0: the production posture — the corpus side is a
+    // PRECOMPUTED capped view (cached above), not re-capped per batch
     val q = DedupQueries.winnowGate(
         input.toDF().toDF("doc_id", "text", "ts")
           .withWatermark("ts", "10 seconds"),
-        rare, eventTimeCol = Some("ts"))
+        rare, eventTimeCol = Some("ts"), maxDf = 0)
       .writeStream.outputMode("append")
       .format("memory").queryName("winnow_stream").start()
     try {
@@ -167,7 +171,8 @@ class StreamingPipelineSpec extends SparkSuite {
       val got = spark.table("winnow_stream")
         .as[(Long, Long)].collect().toSet
       val expected = DedupQueries.winnowGate(
-          incoming.map(r => (r._1, r._2)).toDF("doc_id", "text"), rare)
+          incoming.map(r => (r._1, r._2)).toDF("doc_id", "text"), rare,
+          maxDf = 0)
         .as[(Long, Long)].collect().toSet
       assert(got == expected)
       assert(got == Set((1000L, 7L)),
@@ -178,6 +183,16 @@ class StreamingPipelineSpec extends SparkSuite {
           input.toDF().toDF("doc_id", "text", "ts"), rare)
       }
       assert(e.getMessage.contains("watermark"))
+      // the RAW artifact with the default internal cap reads the same
+      // here (review r18: the natural raw pairing must not be silently
+      // unbounded — the gate caps by default; the copy's prints are
+      // df=1 in the corpus, so the hit set is identical)
+      val raw = DedupQueries.docPrints(corpus.toDF("doc_id", "text"))
+      val viaRaw = DedupQueries.winnowGate(
+          incoming.map(r => (r._1, r._2)).toDF("doc_id", "text"), raw,
+          maxDf = 1)
+        .as[(Long, Long)].collect().toSet
+      assert(viaRaw == got)
     } finally { q.stop(); spark.catalog.clearCache() }
   }
 
