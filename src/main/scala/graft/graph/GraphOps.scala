@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -54,7 +54,7 @@ object GraphOps {
     * 1000-executor cluster against a high-diameter graph (web chains, long
     * user journeys) that difference is the whole game: each round is two
     * key-partitioned shuffles, so total work is O(E log d), not O(E d). */
-  def connectedComponents(spark: SparkSession, edges: DataFrame,
+  def connectedComponents(edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
     val und = undirect(edges)
     // self-edges fold "min over neighbors ∪ self" into ONE aggregate (no
@@ -84,32 +84,45 @@ object GraphOps {
         .select(nbr("id"),
           least(nbr("comp"), coalesce(col("pcomp"), nbr("comp"))).as("comp"))
     }
-    while (!done && i < maxIter) {
-      i += 1
-      // one propagation round per materialization: batching two rounds
-      // per checkpoint was measured 2× SLOWER at sf0.1 (the deeper lazy
-      // plan defeats exchange reuse on the pointer-jump self-join, which
-      // then recomputes the aggregate)
-      val next = materialize(round(labels))
-      val sum0 = next
-        .agg(sum(col("comp").cast(DecimalType(38, 0)))).first()
-        .getDecimal(0)
-      done = sum0 == null || // empty graph
-        (prevSum != null && prevSum.compareTo(sum0) == 0)
-      prevSum = sum0
-      labels = next
-    }
-    // the final labels plan is a LogicalRDD with no reference to selfed,
-    // so releasing the input cache cannot invalidate the result
-    selfed.unpersist()
-    labels
+    // try/finally: a mid-loop job failure must still release the input
+    // cache, or the blocks pin for the session lifetime (review r18 —
+    // Verify runs every query in ONE session, so a single failed graph
+    // query would degrade every later query's memory)
+    try {
+      while (!done && i < maxIter) {
+        i += 1
+        // one propagation round per materialization: batching two rounds
+        // per checkpoint was measured 2× SLOWER at sf0.1 (the deeper lazy
+        // plan defeats exchange reuse on the pointer-jump self-join, which
+        // then recomputes the aggregate)
+        val next = materialize(round(labels))
+        val sum0 = next
+          .agg(sum(col("comp").cast(DecimalType(38, 0)))).first()
+          .getDecimal(0)
+        done = sum0 == null || // empty graph
+          (prevSum != null && prevSum.compareTo(sum0) == 0)
+        prevSum = sum0
+        labels = next
+      }
+      // the final labels plan is a LogicalRDD with no reference to selfed,
+      // so releasing the input cache cannot invalidate the result
+      labels
+    } finally selfed.unpersist()
   }
 
   /** Single-source shortest HOP-COUNT paths via iterative relaxation
     * (every edge costs 1.0 — a weight column, if present, is ignored;
     * the scaladoc previously promised weighted paths it never computed,
-    * review r16); unreachable vertices are absent from the result. */
-  def sssp(spark: SparkSession, edges: DataFrame, source: Long,
+    * review r16); unreachable vertices are absent from the result.
+    *
+    * Edges are treated as UNDIRECTED — every edge is traversable both
+    * ways (review r18: this was silent). The referenced Gelly
+    * SingleSourceShortestPaths runs on DIRECTED graphs; this
+    * implementation undirects because the qg2 fixture graph is
+    * symmetric. A caller needing directed reachability gets SHORTER
+    * distances than the directed truth here — no directed variant is
+    * shipped (none of the reference's own test graphs exercise one). */
+  def sssp(edges: DataFrame, source: Long,
       maxIter: Int = 50): DataFrame = {
     val und = undirect(edges).cache()
     var dist = und.sparkSession.range(1)
@@ -117,27 +130,30 @@ object GraphOps {
     // Convergence in ONE scalar action per round (the CC pattern): the
     // frontier only grows vertices and only lowers distances, so the
     // (count, exact-decimal dist sum) pair changes iff any vertex was
-    // added or improved — no second join-and-count action needed.
+    // added or improved — no second join-and-count action needed. (The
+    // source row is always present, so count >= 1 every round; an
+    // edgeless graph converges by the unchanged-pair test in round 2.)
     var prevCount = -1L
     var prevSum: java.math.BigDecimal = null
     var done = false
     var i = 0
-    while (!done && i < maxIter) {
-      i += 1
-      val relaxed = und.join(dist, und("src") === dist("id"))
-        .select(col("dst").as("id"), (col("dist") + 1.0).as("dist"))
-      val next = materialize(dist.union(relaxed)
-        .groupBy(col("id")).agg(min(col("dist")).as("dist")))
-      val row = next.agg(count(lit(1)),
-        sum(col("dist").cast(DecimalType(38, 8)))).first()
-      val (n, s) = (row.getLong(0), row.getDecimal(1))
-      done = n == 0 ||
-        (n == prevCount && prevSum != null && prevSum.compareTo(s) == 0)
-      prevCount = n; prevSum = s
-      dist = next
-    }
-    und.unpersist()
-    dist
+    try {
+      while (!done && i < maxIter) {
+        i += 1
+        val relaxed = und.join(dist, und("src") === dist("id"))
+          .select(col("dst").as("id"), (col("dist") + 1.0).as("dist"))
+        val next = materialize(dist.union(relaxed)
+          .groupBy(col("id")).agg(min(col("dist")).as("dist")))
+        val row = next.agg(count(lit(1)),
+          sum(col("dist").cast(DecimalType(38, 8)))).first()
+        val (n, s) = (row.getLong(0), row.getDecimal(1))
+        done =
+          n == prevCount && prevSum != null && prevSum.compareTo(s) == 0
+        prevCount = n; prevSum = s
+        dist = next
+      }
+      dist
+    } finally und.unpersist()
   }
 
   /** PageRank with damping 0.85, fixed iteration count (the reference's
@@ -150,9 +166,18 @@ object GraphOps {
     * and runs (IEEE double ops are deterministic once operand order is
     * fixed; only aggregation order ever varies). The fold buffers one
     * in-neighborhood per vertex — O(max in-degree) per task versus the
-    * default's constant-space partial aggregation — so the default stays
-    * the production mode and the fold is the conformance mode. */
-  def pageRank(spark: SparkSession, edges: DataFrame,
+    * default's constant-space partial aggregation — AND folds the
+    * GLOBAL dangling mass in one id-sorted list on a single task:
+    * O(|dangling|) memory there, strictly worse than the per-vertex
+    * buffering (review r18 named it; on the qg3 trade graph every
+    * supplier is dangling). Recorded decision: the fold is the
+    * CONFORMANCE mode — it exists so the DuckDB oracle can replicate
+    * the exact fold order at verification scale — and the default
+    * (deterministic = false, constant-space partial float sums) stays
+    * the only production mode; a bucketed two-level fold would bound
+    * the task but forces the same bucketing into every oracle unroll
+    * for a mode that never runs at production scale. */
+  def pageRank(edges: DataFrame,
       iters: Int = 10, damping: Double = 0.85,
       deterministic: Boolean = false): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -163,6 +188,7 @@ object GraphOps {
     val outDeg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).cast("double").as("deg")).cache()
     var ranks = vertices.withColumn("rank", lit(1.0))
+    try {
     for (i <- 1 to iters) {
       val withDeg = ranks.join(outDeg, Seq("id"), "left")
       val contribs = withDeg.where(col("deg").isNotNull)
@@ -190,8 +216,8 @@ object GraphOps {
           .as("rank"))
       ranks = materialize(next)
     }
-    e.unpersist(); vertices.unpersist(); outDeg.unpersist()
     ranks
+    } finally { e.unpersist(); vertices.unpersist(); outDeg.unpersist() }
   }
 
   /** Vertex-centric (scatter-gather / Pregel) iteration surface
@@ -217,7 +243,7 @@ object GraphOps {
     *                 symmetric propagation
     * @param initial  (id, state) initial vertex states
     */
-  def scatterGather(spark: SparkSession, edges: DataFrame, initial: DataFrame,
+  def scatterGather(edges: DataFrame, initial: DataFrame,
       supersteps: Int)(
       msg: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       merge: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
@@ -227,15 +253,17 @@ object GraphOps {
       .cache()
     var verts = materialize(
       initial.select(col("id").cast("long"), col("state")))
-    for (_ <- 1 to supersteps) {
-      val msgs = e.join(verts, e("src") === verts("id"))
-        .select(col("dst").as("mid"), msg(col("state")).as("m"))
-        .groupBy(col("mid")).agg(merge(col("m")).as("msg"))
-      verts = materialize(verts.join(msgs, verts("id") === col("mid"), "left")
-        .select(col("id"), update(col("state"), col("msg")).as("state")))
-    }
-    e.unpersist()
-    verts
+    try {
+      for (_ <- 1 to supersteps) {
+        val msgs = e.join(verts, e("src") === verts("id"))
+          .select(col("dst").as("mid"), msg(col("state")).as("m"))
+          .groupBy(col("mid")).agg(merge(col("m")).as("msg"))
+        verts = materialize(
+          verts.join(msgs, verts("id") === col("mid"), "left")
+            .select(col("id"), update(col("state"), col("msg")).as("state")))
+      }
+      verts
+    } finally e.unpersist()
   }
 
   /** Gather-Sum-Apply iteration surface (reference:
@@ -258,7 +286,7 @@ object GraphOps {
     * @param edges (src, dst[, weight]) — a missing weight column gathers
     *              NULL (unweighted graphs ignore it)
     */
-  def gatherSumApply(spark: SparkSession, edges: DataFrame,
+  def gatherSumApply(edges: DataFrame,
       initial: DataFrame, supersteps: Int)(
       gather: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
         => org.apache.spark.sql.Column,
@@ -271,16 +299,18 @@ object GraphOps {
       w.as("weight")).cache()
     var verts = materialize(
       initial.select(col("id").cast("long"), col("state")))
-    for (_ <- 1 to supersteps) {
-      val partials = e.join(verts, e("src") === verts("id"))
-        .select(col("dst").as("mid"),
-          gather(col("state"), col("weight")).as("g"))
-      val msgs = partials.groupBy(col("mid")).agg(sum(col("g")).as("msg"))
-      verts = materialize(verts.join(msgs, verts("id") === col("mid"), "left")
-        .select(col("id"), apply(col("state"), col("msg")).as("state")))
-    }
-    e.unpersist()
-    verts
+    try {
+      for (_ <- 1 to supersteps) {
+        val partials = e.join(verts, e("src") === verts("id"))
+          .select(col("dst").as("mid"),
+            gather(col("state"), col("weight")).as("g"))
+        val msgs = partials.groupBy(col("mid")).agg(sum(col("g")).as("msg"))
+        verts = materialize(
+          verts.join(msgs, verts("id") === col("mid"), "left")
+            .select(col("id"), apply(col("state"), col("msg")).as("state")))
+      }
+      verts
+    } finally e.unpersist()
   }
 
   /** Pregel / vertex-centric compute surface (reference:
@@ -298,7 +328,7 @@ object GraphOps {
     * mirrors the reference's own guidance (vertex-centric is the most
     * general, most expensive model).
     */
-  def pregel(spark: SparkSession, edges: DataFrame, initial: DataFrame,
+  def pregel(edges: DataFrame, initial: DataFrame,
       supersteps: Int)(
       sendToDst: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
         org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
@@ -311,22 +341,25 @@ object GraphOps {
       w.as("weight")).cache()
     var verts = materialize(
       initial.select(col("id").cast("long"), col("state")))
-    for (_ <- 1 to supersteps) {
-      val srcSide = verts.select(col("id").as("sid"),
-        col("state").as("srcState"))
-      val dstSide = verts.select(col("id").as("did"),
-        col("state").as("dstState"))
-      val msgs = e.join(srcSide, e("src") === col("sid"))
-        .join(dstSide, e("dst") === col("did"))
-        .select(col("dst").as("mid"),
-          sendToDst(col("srcState"), col("dstState"), col("weight")).as("m"))
-        .where(col("m").isNotNull) // NULL = no message sent
-        .groupBy(col("mid")).agg(combine(col("m")).as("msg"))
-      verts = materialize(verts.join(msgs, verts("id") === col("mid"), "left")
-        .select(col("id"), vprog(col("state"), col("msg")).as("state")))
-    }
-    e.unpersist()
-    verts
+    try {
+      for (_ <- 1 to supersteps) {
+        val srcSide = verts.select(col("id").as("sid"),
+          col("state").as("srcState"))
+        val dstSide = verts.select(col("id").as("did"),
+          col("state").as("dstState"))
+        val msgs = e.join(srcSide, e("src") === col("sid"))
+          .join(dstSide, e("dst") === col("did"))
+          .select(col("dst").as("mid"),
+            sendToDst(col("srcState"), col("dstState"), col("weight"))
+              .as("m"))
+          .where(col("m").isNotNull) // NULL = no message sent
+          .groupBy(col("mid")).agg(combine(col("m")).as("msg"))
+        verts = materialize(
+          verts.join(msgs, verts("id") === col("mid"), "left")
+            .select(col("id"), vprog(col("state"), col("msg")).as("state")))
+      }
+      verts
+    } finally e.unpersist()
   }
 
   /** Integer-scaled PageRank (the oracle-able twin of [[pageRank]], same
@@ -338,38 +371,41 @@ object GraphOps {
     * rank'(v) = (15·scale) DIV 100 + (85 · (c(v) + D DIV n)) DIV 100.
     * The floor error vs float PageRank is ≤ n·iters ulps of 1/scale —
     * irrelevant for ranking, decisive for cross-engine verification. */
-  def pageRankScaled(spark: SparkSession, edges: DataFrame,
+  def pageRankScaled(edges: DataFrame,
       iters: Int = 3, scale: Long = 1000000L): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src") =!= col("dst")).distinct().cache()
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
-    val n = vertices.count()
-    if (n == 0) { // empty graph: no vertices, and `dangling / n` would
-      e.unpersist(); vertices.unpersist() // divide by zero (review r16)
-      return vertices.withColumn("rank", lit(scale))
-    }
-    val outDeg = e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("deg")).cache()
-    var ranks = vertices.withColumn("rank", lit(scale))
-    val base = scale * 15 / 100
-    for (_ <- 1 to iters) {
-      val withDeg = ranks.join(outDeg, Seq("id"), "left")
-      val contribs = withDeg.where(col("deg").isNotNull)
-        .join(e, col("id") === e("src"))
-        .select(col("dst").as("cid"), expr("rank DIV deg").as("c"))
-      val dangling = withDeg.where(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0L))).first().getLong(0)
-      val dShare = dangling / n // integer floor, matches SQL DIV
-      val gathered = vertices.join(
-        contribs.groupBy(col("cid")).agg(sum(col("c")).as("cin")),
-        vertices("id") === col("cid"), "left")
-      ranks = materialize(gathered.select(col("id"),
-        (lit(base) + expr(s"(85 * (coalesce(cin, 0L) + $dShare)) DIV 100"))
-          .as("rank")))
-    }
-    e.unpersist(); vertices.unpersist(); outDeg.unpersist()
-    ranks
+    try {
+      val n = vertices.count()
+      if (n == 0) { // empty graph: no vertices, and `dangling / n` would
+        return vertices.withColumn("rank", lit(scale)) // div0 (review r16)
+      }
+      val outDeg = e.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg")).cache()
+      try {
+        var ranks = vertices.withColumn("rank", lit(scale))
+        val base = scale * 15 / 100
+        for (_ <- 1 to iters) {
+          val withDeg = ranks.join(outDeg, Seq("id"), "left")
+          val contribs = withDeg.where(col("deg").isNotNull)
+            .join(e, col("id") === e("src"))
+            .select(col("dst").as("cid"), expr("rank DIV deg").as("c"))
+          val dangling = withDeg.where(col("deg").isNull)
+            .agg(coalesce(sum(col("rank")), lit(0L))).first().getLong(0)
+          val dShare = dangling / n // integer floor, matches SQL DIV
+          val gathered = vertices.join(
+            contribs.groupBy(col("cid")).agg(sum(col("c")).as("cin")),
+            vertices("id") === col("cid"), "left")
+          ranks = materialize(gathered.select(col("id"),
+            (lit(base) +
+              expr(s"(85 * (coalesce(cin, 0L) + $dShare)) DIV 100"))
+              .as("rank")))
+        }
+        ranks
+      } finally outDeg.unpersist()
+    } finally { e.unpersist(); vertices.unpersist() }
   }
 
   /** HITS hubs-and-authorities (reference: flink-gelly
@@ -381,40 +417,72 @@ object GraphOps {
     * in any engine (the qg6 determinism pattern; the reference's
     * epsilon-convergent normalized variant is a driver-side rescale away).
     * Each round is two key-partitioned shuffles — O(E) bytes.
-    * Sums accumulate in DECIMAL(38,0) (a long would overflow first at
-    * high degree × iterations).
+    * Scores live in DECIMAL(38,0) THROUGH the iterations and cast to
+    * BIGINT only at the end, with a loud overflow error (review r18:
+    * the former per-round `.cast("long")` turned an over-Long sum into
+    * NULL in non-ANSI mode, which the coalesce then silently rewrote
+    * to score 0 — a wrong answer where the DuckDB oracle errors).
     *
     * @param edges directed (src, dst) edge DataFrame
     * @return (id, hub, auth) with BIGINT scores
     */
-  def hits(spark: SparkSession, edges: DataFrame, iters: Int = 3): DataFrame = {
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().cache()
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
-    var scores = vertices
-      .withColumn("hub", lit(1L)).withColumn("auth", lit(1L))
     val dec = DecimalType(38, 0)
-    for (_ <- 1 to iters) {
-      val auth = e.join(scores.select(col("id"), col("hub")),
-          e("src") === col("id"))
-        .groupBy(col("dst").as("aid"))
-        .agg(sum(col("hub").cast(dec)).cast("long").as("auth"))
-      val withAuth = vertices
-        .join(auth, vertices("id") === col("aid"), "left")
-        .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"))
-      val hub = e.join(withAuth.select(col("id").as("hid"), col("auth")),
-          e("dst") === col("hid"))
-        .groupBy(col("src").as("sid"))
-        .agg(sum(col("auth").cast(dec)).cast("long").as("hub"))
-      scores = materialize(withAuth
-        .join(hub, withAuth("id") === col("sid"), "left")
-        .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"),
-          col("auth")))
-    }
-    e.unpersist(); vertices.unpersist()
-    scores
+    val zero = lit(0L).cast(dec)
+    var scores = vertices
+      .withColumn("hub", lit(1L).cast(dec))
+      .withColumn("auth", lit(1L).cast(dec))
+    try {
+      for (_ <- 1 to iters) {
+        // each group has >= 1 row of non-null decimals, so a NULL sum
+        // here means exactly one thing: DECIMAL(38,0) overflow — raise
+        // it BEFORE the left join, whose own nulls legitimately mean
+        // "no in-edges" and coalesce to 0
+        val auth = e.join(scores.select(col("id"), col("hub")),
+            e("src") === col("id"))
+          .groupBy(col("dst").as("aid"))
+          .agg(sum(col("hub")).cast(dec).as("auth"))
+          .select(col("aid"), decOrError("auth"))
+        val withAuth = vertices
+          .join(auth, vertices("id") === col("aid"), "left")
+          .select(col("id"), coalesce(col("auth"), zero).as("auth"))
+        val hub = e.join(withAuth.select(col("id").as("hid"), col("auth")),
+            e("dst") === col("hid"))
+          .groupBy(col("src").as("sid"))
+          .agg(sum(col("auth")).cast(dec).as("hub"))
+          .select(col("sid"), decOrError("hub"))
+        scores = materialize(withAuth
+          .join(hub, withAuth("id") === col("sid"), "left")
+          .select(col("id"), coalesce(col("hub"), zero).as("hub"),
+            col("auth")))
+      }
+      scores.select(col("id"), bigintOrError("hub"), bigintOrError("auth"))
+    } finally { e.unpersist(); vertices.unpersist() }
   }
+
+  /** Guarded DECIMAL(38,0) → BIGINT projection: values past Long.MAX
+    * raise a NAMED error instead of the silent NULL a non-ANSI cast
+    * produces (the DuckDB oracle errors loudly on the same overflow —
+    * review r18 aligned the engines' failure mode). */
+  private def bigintOrError(name: String): org.apache.spark.sql.Column =
+    expr(s"""CASE WHEN $name IS NULL OR $name > 9223372036854775807
+            |  THEN CAST(raise_error(concat('graft hits/census count `$name`',
+            |    ' exceeds BIGINT — the declared output type cannot',
+            |    ' represent it (NULL = the DECIMAL(38) intermediate',
+            |    ' itself overflowed)')) AS BIGINT)
+            |  ELSE CAST($name AS BIGINT) END""".stripMargin).as(name)
+
+  /** NULL-sum guard for a non-empty all-non-null DECIMAL aggregate,
+    * where NULL can only mean DECIMAL(38,0) overflow. */
+  private def decOrError(name: String): org.apache.spark.sql.Column =
+    expr(s"""CASE WHEN $name IS NULL
+            |  THEN CAST(raise_error(concat('graft hits score `$name`',
+            |    ' overflowed DECIMAL(38,0)')) AS DECIMAL(38,0))
+            |  ELSE $name END""".stripMargin).as(name)
 
   /** Adamic–Adar similarity (reference: flink-gelly
     * library/similarity/AdamicAdar.java): for vertex pairs sharing
@@ -431,7 +499,7 @@ object GraphOps {
     * @return (a, b, score_scaled) where score_scaled =
     *         Σ floor(1e6 / ln(deg(w))) as BIGINT
     */
-  def adamicAdar(spark: SparkSession, edges: DataFrame): DataFrame = {
+  def adamicAdar(edges: DataFrame): DataFrame = {
     val und = undirect(edges.select(col("a").as("src"), col("b").as("dst")))
       .select(col("src").as("v"), col("dst").as("n"))
     val deg = und.groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -461,27 +529,59 @@ object GraphOps {
     * @param edges undirected (a, b) with a < b, deduplicated
     * @return single row (t0, t1, t2, t3)
     */
-  def triadicCensus(spark: SparkSession, edges: DataFrame): DataFrame = {
+  def triadicCensus(edges: DataFrame): DataFrame = {
     val co = edges.select(col("a").cast("long"), col("b").cast("long"))
-    val nbr = co.select(col("a").as("v"))
-      .unionAll(co.select(col("b").as("v")))
-    val deg = nbr.groupBy(col("v")).agg(count(lit(1)).as("d"))
-    val stats = deg.agg(count(lit(1)).as("n"),
-      sum(expr("d * (d - 1) DIV 2")).cast("long").as("w"))
+    // COALESCE the wedge sum: an EMPTY graph (sum over no rows = NULL)
+    // must read as an all-zero census, not NULL-propagate — review r18
+    // found the NULLs had silently round-tripped the hash gate because
+    // the oracle propagated them identically (the sf0.1 co-purchase
+    // graph is empty at the qualifying threshold)
+    val stats = endpointDegrees(co).agg(count(lit(1)).as("n"),
+      coalesce(sum(expr("d * (d - 1) DIV 2")), lit(0L)).cast("long").as("w"))
     val m = co.agg(count(lit(1)).as("m"))
-    val t = co.as("e1")
+    val t = triangles(co).agg(count(lit(1)).as("t"))
+    // identities computed in DECIMAL(38,0): the BIGINT form wrapped
+    // silently past n ≈ 2.1M vertices (n·(n−1)·(n−2) > Long.MAX) where
+    // the DuckDB oracle errors loudly — review r18. n(n−1)(n−2) is
+    // divisible by 6 exactly, so the decimal division is exact; the
+    // guarded cast raises a NAMED error if a count itself exceeds
+    // BIGINT instead of returning wrapped garbage.
+    stats.crossJoin(m).crossJoin(t)
+      .selectExpr(
+        "CAST(n AS DECIMAL(38,0)) AS nd",
+        "CAST(m AS DECIMAL(38,0)) AS md",
+        "CAST(w AS DECIMAL(38,0)) AS wd",
+        "CAST(t AS DECIMAL(38,0)) AS td")
+      .selectExpr(
+        "nd * (nd - 1) * (nd - 2) / 6 - (md * (nd - 2) - 2 * wd + 3 * td)" +
+          " - (wd - 3 * td) - td AS t0",
+        "md * (nd - 2) - 2 * wd + 3 * td AS t1",
+        "wd - 3 * td AS t2",
+        "td AS t3")
+      .select(bigintOrError("t0"), bigintOrError("t1"),
+        bigintOrError("t2"), bigintOrError("t3"))
+  }
+
+  /** The a<b triangle enumeration join — ONE definition (review r18:
+    * it was pasted verbatim here, in [[localClusteringCoefficient]],
+    * and in qg4's listing; a semantics fix must not need three
+    * landings). Input: undirected (a, b) with a < b, deduplicated;
+    * output one row (ta < tb < tc) per triangle. */
+  private[graft] def triangles(co: DataFrame): DataFrame =
+    co.as("e1")
       .join(co.as("e2"), col("e2.a") === col("e1.b"))
       .join(co.as("e3"),
         col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-      .agg(count(lit(1)).as("t"))
-    stats.crossJoin(m).crossJoin(t)
-      .selectExpr(
-        "n * (n - 1) * (n - 2) DIV 6 - (m * (n - 2) - 2 * w + 3 * t) " +
-          "- (w - 3 * t) - t AS t0",
-        "m * (n - 2) - 2 * w + 3 * t AS t1",
-        "w - 3 * t AS t2",
-        "t AS t3")
-  }
+      .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
+        col("e2.b").as("tc"))
+
+  /** Endpoint-union degree count over an a<b edge list — the second
+    * block [[triadicCensus]] and [[localClusteringCoefficient]] had
+    * each hand-copied. */
+  private[graft] def endpointDegrees(co: DataFrame): DataFrame =
+    co.select(col("a").as("v"))
+      .unionAll(co.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
 
   /** Local clustering coefficient (reference: flink-gelly
     * library/clustering/undirected/LocalClusteringCoefficient.java): per
@@ -493,17 +593,10 @@ object GraphOps {
     * @return (v, triangles, degree, coeff) per vertex, coeff = 0 for
     *         degree < 2
     */
-  def localClusteringCoefficient(spark: SparkSession,
-      edges: DataFrame): DataFrame = {
+  def localClusteringCoefficient(edges: DataFrame): DataFrame = {
     val co = edges.select(col("a").cast("long"), col("b").cast("long"))
-    val deg = co.select(col("a").as("v"))
-      .unionAll(co.select(col("b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    val tri = co.as("e1")
-      .join(co.as("e2"), col("e2.a") === col("e1.b"))
-      .join(co.as("e3"),
-        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-      .select(col("e1.a").as("ta"), col("e1.b").as("tb"), col("e2.b").as("tc"))
+    val deg = endpointDegrees(co)
+    val tri = triangles(co)
     val perVertex = tri.select(col("ta").as("v"))
       .unionAll(tri.select(col("tb").as("v")))
       .unionAll(tri.select(col("tc").as("v")))
@@ -526,7 +619,7 @@ object GraphOps {
     * @param group vertex id → group id column expression
     * @return (ga, gb, n_edges) with ga <= gb
     */
-  def summarize(spark: SparkSession, edges: DataFrame,
+  def summarize(edges: DataFrame,
       group: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val grouped = edges.select(group(col("a").cast("long")).as("g1"),
       group(col("b").cast("long")).as("g2"))
@@ -542,26 +635,27 @@ object GraphOps {
     * score decays by `delta` per hop. Fixed iteration count and total
     * tie-breaks keep it deterministic (scores stay in exact 0.5 steps for
     * the default delta). */
-  def communityDetection(spark: SparkSession, edges: DataFrame,
+  def communityDetection(edges: DataFrame,
       iterations: Int = 4, delta: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val und = undirect(edges).cache()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).withColumn("score", lit(1.0))
-    for (_ <- 1 to iterations) {
-      val sums = und.join(labels, und("src") === labels("id"))
-        .groupBy(col("dst").as("v"), col("lbl"))
-        .agg(sum(col("score")).as("s"), max(col("score")).as("mx"))
-      val w = Window.partitionBy(col("v"))
-        .orderBy(col("s").desc, col("lbl").asc)
-      val next = sums.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("v").as("id"), col("lbl"),
-          greatest(col("mx") - delta, lit(0.0)).as("score"))
-      labels = materialize(next)
-    }
-    und.unpersist()
-    labels.select(col("id"), col("lbl"))
+    try {
+      for (_ <- 1 to iterations) {
+        val sums = und.join(labels, und("src") === labels("id"))
+          .groupBy(col("dst").as("v"), col("lbl"))
+          .agg(sum(col("score")).as("s"), max(col("score")).as("mx"))
+        val w = Window.partitionBy(col("v"))
+          .orderBy(col("s").desc, col("lbl").asc)
+        val next = sums.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("v").as("id"), col("lbl"),
+            greatest(col("mx") - delta, lit(0.0)).as("score"))
+        labels = materialize(next)
+      }
+      labels.select(col("id"), col("lbl"))
+    } finally und.unpersist()
   }
 
   /** Synchronous label propagation (community detection — reference:
@@ -578,25 +672,26 @@ object GraphOps {
     * per-vertex argmax window — all hash-shuffles on vertex id, no
     * all-pairs step, so the round cost is O(E) shuffled bytes at any
     * cluster size. */
-  def labelPropagation(spark: SparkSession, edges: DataFrame,
+  def labelPropagation(edges: DataFrame,
       iterations: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val und = undirect(edges).cache()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-    for (i <- 1 to iterations) {
-      val counts = und.join(labels, und("src") === labels("id"))
-        .groupBy(col("dst").as("v"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("v"))
-        .orderBy(col("c").desc, col("lbl").asc)
-      val next = counts.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("v").as("id"), col("lbl"))
-      labels = materialize(next)
-    }
-    und.unpersist()
-    labels
+    try {
+      for (i <- 1 to iterations) {
+        val counts = und.join(labels, und("src") === labels("id"))
+          .groupBy(col("dst").as("v"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("v"))
+          .orderBy(col("c").desc, col("lbl").asc)
+        val next = counts.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("v").as("id"), col("lbl"))
+        labels = materialize(next)
+      }
+      labels
+    } finally und.unpersist()
   }
 
   /** k-core decomposition by iterative peeling (Matula–Beck; beyond the
@@ -608,8 +703,8 @@ object GraphOps {
     * scalar is the per-round edge count, the graph-loop pattern).
     * Returns (id, core_deg): the k-core's vertices with their
     * within-core degree. */
-  def kCore(spark: SparkSession, edges: DataFrame, k: Int): DataFrame =
-    kCoreWithRounds(spark, edges, k)._1
+  def kCore(edges: DataFrame, k: Int): DataFrame =
+    kCoreWithRounds(edges, k)._1
 
   /** [[kCore]] plus the number of peel rounds it ran to reach fixpoint
     * (the final no-change round included). qg14's DuckDB oracle unrolls
@@ -617,7 +712,7 @@ object GraphOps {
     * round count stays within that unroll depth — the coupling fails
     * loudly instead of silently diverging on a slower-converging
     * fixture. */
-  def kCoreWithRounds(spark: SparkSession, edges: DataFrame,
+  def kCoreWithRounds(edges: DataFrame,
       k: Int): (DataFrame, Int) = {
     var e = materialize(undirect(edges))
     var n = e.count()

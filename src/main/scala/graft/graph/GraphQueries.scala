@@ -68,7 +68,7 @@ object GraphQueries extends QueryModule {
          |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
          |SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS comp
          |FROM reach GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
-      GraphOps.connectedComponents(s, tradeEdges(s, d))
+      GraphOps.connectedComponents(tradeEdges(s, d))
         .select(col("id"), col("comp"))
         .orderBy(col("id"))
     },
@@ -89,7 +89,7 @@ object GraphQueries extends QueryModule {
       // undirected edge list, i.e. all endpoints)
       val source = edges.agg(least(min(col("src")), min(col("dst"))))
         .first().getLong(0)
-      GraphOps.sssp(s, edges, source)
+      GraphOps.sssp(edges, source)
         .select(col("id"), col("dist"))
         .orderBy(col("id"))
     },
@@ -136,7 +136,7 @@ object GraphQueries extends QueryModule {
            |SELECT CAST(id AS BIGINT) AS id, rank FROM r10 ORDER BY id""".stripMargin)
       sb.toString
     }) { (s, d) =>
-      GraphOps.pageRank(s, tradeEdges(s, d), deterministic = true)
+      GraphOps.pageRank(tradeEdges(s, d), deterministic = true)
         .select(col("id"), col("rank"))
         .orderBy(col("id"))
     },
@@ -227,7 +227,7 @@ object GraphQueries extends QueryModule {
       sb.toString
     }) { (s, d) =>
       val co = coPurchaseEdges(s, d)
-      GraphOps.labelPropagation(s,
+      GraphOps.labelPropagation(
           co.select(col("a").as("src"), col("b").as("dst")), LpaIters)
         .select(col("id").cast("long").as("id"),
           col("lbl").cast("long").as("label"))
@@ -249,7 +249,7 @@ object GraphQueries extends QueryModule {
          |  CAST(SUM(x.w) AS BIGINT) AS score_scaled
          |FROM w x JOIN w y ON x.n = y.n AND x.v < y.v
          |GROUP BY 1, 2 ORDER BY a, b""".stripMargin) { (s, d) =>
-      GraphOps.adamicAdar(s, coPurchaseEdges(s, d))
+      GraphOps.adamicAdar(coPurchaseEdges(s, d))
         .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
           col("score_scaled"))
         .orderBy(col("a"), col("b"))
@@ -284,7 +284,7 @@ object GraphQueries extends QueryModule {
            |FROM h$HitsIters ORDER BY id""".stripMargin)
       sb.toString
     }) { (s, d) =>
-      GraphOps.hits(s, tradeEdges(s, d), HitsIters)
+      GraphOps.hits(tradeEdges(s, d), HitsIters)
         .select(col("id"), col("hub"), col("auth"))
         .orderBy(col("id"))
     },
@@ -317,7 +317,7 @@ object GraphQueries extends QueryModule {
            |ORDER BY id""".stripMargin)
       sb.toString
     }) { (s, d) =>
-      GraphOps.pageRankScaled(s, tradeEdges(s, d), PrIters)
+      GraphOps.pageRankScaled(tradeEdges(s, d), PrIters)
         .select(col("id"), col("rank"))
         .orderBy(col("id"))
     },
@@ -330,7 +330,7 @@ object GraphQueries extends QueryModule {
          |nbr AS (SELECT a AS v FROM co UNION ALL SELECT b FROM co),
          |deg AS (SELECT v, COUNT(*) AS d FROM nbr GROUP BY v),
          |s AS (SELECT COUNT(*) AS n,
-         |  CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w FROM deg),
+         |  CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) AS w FROM deg),
          |mm AS (SELECT COUNT(*) AS m FROM co),
          |tri AS (SELECT COUNT(*) AS t FROM co e1
          |  JOIN co e2 ON e2.a = e1.b
@@ -342,7 +342,7 @@ object GraphQueries extends QueryModule {
          |  CAST(w - 3 * t AS BIGINT) AS t2,
          |  CAST(t AS BIGINT) AS t3
          |FROM s, mm, tri""".stripMargin) { (s, d) =>
-      GraphOps.triadicCensus(s, coPurchaseEdges(s, d))
+      GraphOps.triadicCensus(coPurchaseEdges(s, d))
     },
 
     // Local clustering coefficient (reference: clustering/undirected/
@@ -366,7 +366,7 @@ object GraphQueries extends QueryModule {
          |    ELSE 0.0 END AS coeff
          |FROM deg LEFT JOIN tc ON tc.v = deg.v
          |ORDER BY v""".stripMargin) { (s, d) =>
-      GraphOps.localClusteringCoefficient(s, coPurchaseEdges(s, d))
+      GraphOps.localClusteringCoefficient(coPurchaseEdges(s, d))
         .select(col("v"), col("triangles"), col("degree"), col("coeff"))
         .orderBy(col("v"))
     },
@@ -380,7 +380,7 @@ object GraphQueries extends QueryModule {
          |  CAST(GREATEST(a % 10, b % 10) AS BIGINT) AS gb,
          |  COUNT(*) AS n_edges
          |FROM co GROUP BY 1, 2 ORDER BY ga, gb""".stripMargin) { (s, d) =>
-      GraphOps.summarize(s, coPurchaseEdges(s, d), v => v % 10)
+      GraphOps.summarize(coPurchaseEdges(s, d), v => v % 10)
         .select(col("ga"), col("gb"), col("n_edges"))
         .orderBy(col("ga"), col("gb"))
     },
@@ -439,7 +439,7 @@ object GraphQueries extends QueryModule {
          |SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS core_deg
          |FROM e_$KCoreUnroll GROUP BY src ORDER BY id""".stripMargin
     }) { (s, d) =>
-      GraphOps.kCore(s, partsCoPurchase(s, d), KCoreK).orderBy("id")
+      GraphOps.kCore(partsCoPurchase(s, d), KCoreK).orderBy("id")
     }
   )
 

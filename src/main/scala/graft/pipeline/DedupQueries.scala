@@ -101,7 +101,7 @@ object DedupQueries extends QueryModule {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
       .distinct()
-    graft.graph.GraphOps.connectedComponents(s, pairs)
+    graft.graph.GraphOps.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
   }
 

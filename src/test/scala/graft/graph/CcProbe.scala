@@ -19,11 +19,11 @@ object CcProbe {
     val cached = time("edges.cache")(edges.cache())
     time("edges.count cached")(cached.count())
     time("cc-on-cached") {
-      val cc = GraphOps.connectedComponents(spark, cached)
+      val cc = GraphOps.connectedComponents(cached)
       println("vertices=" + cc.count())
     }
     time("cc-again") {
-      val cc = GraphOps.connectedComponents(spark, cached)
+      val cc = GraphOps.connectedComponents(cached)
       println("vertices=" + cc.count())
     }
     spark.stop()

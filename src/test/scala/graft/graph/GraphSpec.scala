@@ -15,14 +15,14 @@ class GraphSpec extends SparkSuite {
   ).toDF("src", "dst")
 
   test("connectedComponents labels components by min vertex id") {
-    val comp = GraphOps.connectedComponents(spark, edges)
+    val comp = GraphOps.connectedComponents(edges)
       .as[(Long, Long)].collect().toMap
     assert(Seq(1L, 2L, 3L, 10L, 11L, 12L).forall(comp(_) == 1L))
     assert(comp(20L) == 20L && comp(21L) == 20L)
   }
 
   test("sssp computes hop distances and omits unreachable vertices") {
-    val dist = GraphOps.sssp(spark, edges, 1L)
+    val dist = GraphOps.sssp(edges, 1L)
       .as[(Long, Double)].collect().toMap
     assert(dist(1L) == 0.0 && dist(2L) == 1.0 && dist(3L) == 1.0)
     assert(dist(10L) == 2.0 && dist(11L) == 3.0)
@@ -30,7 +30,7 @@ class GraphSpec extends SparkSuite {
   }
 
   test("pageRank: ranks sum to |V| and the bridge hubs rank highest") {
-    val pr = GraphOps.pageRank(spark, edges, iters = 15)
+    val pr = GraphOps.pageRank(edges, iters = 15)
       .as[(Long, Double)].collect().toMap
     assert(math.abs(pr.values.sum - pr.size) < 1e-6)
     // edges are directed: 10 is the only vertex with two in-edges (from 12
@@ -40,14 +40,14 @@ class GraphSpec extends SparkSuite {
   }
 
   test("labelPropagation: labels stay within the component, dense side wins") {
-    val lbl = GraphOps.labelPropagation(spark, edges, iterations = 4)
+    val lbl = GraphOps.labelPropagation(edges, iterations = 4)
       .as[(Long, Long)].collect().toMap
     // a vertex's label is always some vertex id of its own component
     val compA = Set(1L, 2L, 3L, 10L, 11L, 12L)
     assert(compA.forall(v => compA.contains(lbl(v))))
     assert(Set(20L, 21L).forall(v => Set(20L, 21L).contains(lbl(v))))
     // deterministic: a second run yields the identical assignment
-    val again = GraphOps.labelPropagation(spark, edges, iterations = 4)
+    val again = GraphOps.labelPropagation(edges, iterations = 4)
       .as[(Long, Long)].collect().toMap
     assert(again === lbl)
   }
@@ -55,7 +55,7 @@ class GraphSpec extends SparkSuite {
   test("hits: integer scores match the hand-computed fixpoint rounds") {
     // star: 1→3, 2→3 plus 3→4: hubs 1,2 point at the authority 3
     val star = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
-    val got = GraphOps.hits(spark, star, iters = 1)
+    val got = GraphOps.hits(star, iters = 1)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     // round 1: auth = in-hub sums (3: 1+1=2, 4: 1), then hub = out-auth
     // sums with NEW auths (1: 2, 2: 2, 3: 1)
@@ -67,7 +67,7 @@ class GraphSpec extends SparkSuite {
   test("adamicAdar scores pairs by inverse-log degree of shared neighbors") {
     // 1-3, 2-3 (common neighbor 3, deg 3); 3 also joins 4; 1-2 not linked
     val g = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
-    val got = GraphOps.adamicAdar(spark, g)
+    val got = GraphOps.adamicAdar(g)
       .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
     val w3 = math.floor(1e6 / math.log(3)).toLong // deg(3) = 3
     // pairs sharing neighbor 3: (1,2), (1,4), (2,4) — each scores w3
@@ -75,7 +75,7 @@ class GraphSpec extends SparkSuite {
   }
 
   test("communityDetection assigns one community per dense cluster, deterministically") {
-    val lbl = GraphOps.communityDetection(spark, edges, iterations = 4)
+    val lbl = GraphOps.communityDetection(edges, iterations = 4)
       .as[(Long, Long)].collect().toMap
     // labels stay within the component
     val compA = Set(1L, 2L, 3L, 10L, 11L, 12L)
@@ -85,7 +85,7 @@ class GraphSpec extends SparkSuite {
     assert(Set(1L, 2L, 3L).map(lbl).size == 1)
     assert(Set(10L, 11L, 12L).map(lbl).size == 1)
     // deterministic across runs
-    val again = GraphOps.communityDetection(spark, edges, iterations = 4)
+    val again = GraphOps.communityDetection(edges, iterations = 4)
       .as[(Long, Long)].collect().toMap
     assert(again === lbl)
   }
@@ -96,12 +96,12 @@ class GraphSpec extends SparkSuite {
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
     val initial = und.select($"src".as("id")).distinct()
       .withColumn("state", $"id")
-    val sg = GraphOps.scatterGather(spark, und, initial, supersteps = 10)(
+    val sg = GraphOps.scatterGather(und, initial, supersteps = 10)(
       msg = identity,
       merge = min,
       update = (state, msg) => least(state, coalesce(msg, state)))
       .as[(Long, Long)].collect().toMap
-    val cc = GraphOps.connectedComponents(spark, edges)
+    val cc = GraphOps.connectedComponents(edges)
       .as[(Long, Long)].collect().toMap
     assert(sg === cc)
   }
@@ -112,13 +112,13 @@ class GraphSpec extends SparkSuite {
     val initial = und.select($"src".as("id")).distinct()
       .withColumn("state",
         when($"id" === 1L, 0.0).otherwise(lit(Double.MaxValue)))
-    val sg = GraphOps.scatterGather(spark, und, initial, supersteps = 10)(
+    val sg = GraphOps.scatterGather(und, initial, supersteps = 10)(
       msg = s => when(s < Double.MaxValue, s + 1.0).otherwise(s),
       merge = min,
       update = (state, msg) => least(state, coalesce(msg, state)))
       .where($"state" < Double.MaxValue)
       .as[(Long, Double)].collect().toMap
-    val dist = GraphOps.sssp(spark, edges, 1L)
+    val dist = GraphOps.sssp(edges, 1L)
       .as[(Long, Double)].collect().toMap
     assert(sg === dist)
   }
@@ -134,7 +134,7 @@ class GraphSpec extends SparkSuite {
     val initial = und.select($"src".as("id")).distinct()
       .withColumn("state",
         when($"id" === 1L, 0.0).otherwise(lit(Double.MaxValue)))
-    val gsa = GraphOps.gatherSumApply(spark, und, initial, supersteps = 6)(
+    val gsa = GraphOps.gatherSumApply(und, initial, supersteps = 6)(
       gather = (s, w) => when(s < Double.MaxValue, s + w).otherwise(s),
       sum = min,
       apply = (state, msg) => least(state, coalesce(msg, state)))
@@ -152,13 +152,13 @@ class GraphSpec extends SparkSuite {
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
     val initial = und.select($"src".as("id")).distinct()
       .withColumn("state", $"id")
-    val pr = GraphOps.pregel(spark, und, initial, supersteps = 10)(
+    val pr = GraphOps.pregel(und, initial, supersteps = 10)(
       sendToDst = (srcState, dstState, _) =>
         when(srcState < dstState, srcState), // otherwise NULL → no message
       combine = min,
       vprog = (state, msg) => least(state, coalesce(msg, state)))
       .as[(Long, Long)].collect().toMap
-    val cc = GraphOps.connectedComponents(spark, edges)
+    val cc = GraphOps.connectedComponents(edges)
       .as[(Long, Long)].collect().toMap
     assert(pr === cc)
   }
@@ -169,13 +169,25 @@ class GraphSpec extends SparkSuite {
     assert(e.forall { case (s2, d2) => s2 % 2 == 0 && d2 % 2 == 1 })
   }
 
+  test("triadic census of an EMPTY graph is exact zeros, not NULLs (review r18)") {
+    // the sf0.1 co-purchase graph is empty at the qualifying threshold;
+    // the former NULL wedge sum NULL-propagated through every identity
+    // and round-tripped the hash gate unseen because the oracle
+    // propagated identically — the census now coalesces to an all-zero
+    // row and the overflow guard raises rather than wraps
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val row = GraphOps.triadicCensus(empty)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(row.toSeq == Seq((0L, 0L, 0L, 0L)))
+  }
+
   test("qg14 coupling: kCore fixpoint rounds fit the oracle's unroll depth") {
     // the oracle unrolls a FIXED number of peel blocks; if a fixture
     // ever needs more rounds than that, this must fail loudly here
     // rather than silently diverge at the driver gate (sf0.01 is the
     // driver's verify scale)
     val d = "/root/testdata/sf0.01"
-    val (_, rounds) = GraphOps.kCoreWithRounds(spark,
+    val (_, rounds) = GraphOps.kCoreWithRounds(
       GraphQueries.partsCoPurchase(spark, d), GraphQueries.KCoreK)
     assert(rounds <= GraphQueries.KCoreUnroll,
       s"oracle unrolls ${GraphQueries.KCoreUnroll} peel blocks but the " +
