@@ -418,10 +418,12 @@ object GraphOps {
     * epsilon-convergent normalized variant is a driver-side rescale away).
     * Each round is two key-partitioned shuffles — O(E) bytes.
     * Scores live in DECIMAL(38,0) THROUGH the iterations and cast to
-    * BIGINT only at the end, with a loud overflow error (review r18:
-    * the former per-round `.cast("long")` turned an over-Long sum into
-    * NULL in non-ANSI mode, which the coalesce then silently rewrote
-    * to score 0 — a wrong answer where the DuckDB oracle errors).
+    * BIGINT only at the end, with a NAMED overflow error (review r18:
+    * the former per-round `.cast("long")` failed at the first round
+    * whose sum passed Long.MAX — an unnamed ANSI CAST_OVERFLOW deep in
+    * an iteration, where decimal-through scoring stays exact to 10^38
+    * and the guarded final cast names exactly which score column no
+    * longer fits the declared BIGINT output).
     *
     * @param edges directed (src, dst) edge DataFrame
     * @return (id, hub, auth) with BIGINT scores
@@ -477,7 +479,9 @@ object GraphOps {
             |  ELSE CAST($name AS BIGINT) END""".stripMargin).as(name)
 
   /** NULL-sum guard for a non-empty all-non-null DECIMAL aggregate,
-    * where NULL can only mean DECIMAL(38,0) overflow. */
+    * where NULL can only mean DECIMAL(38,0) overflow. Under this
+    * build's default ANSI mode the sum THROWS before producing NULL,
+    * so this is the belt for non-ANSI deployments of the library. */
   private def decOrError(name: String): org.apache.spark.sql.Column =
     expr(s"""CASE WHEN $name IS NULL
             |  THEN CAST(raise_error(concat('graft hits score `$name`',
@@ -540,12 +544,15 @@ object GraphOps {
       coalesce(sum(expr("d * (d - 1) DIV 2")), lit(0L)).cast("long").as("w"))
     val m = co.agg(count(lit(1)).as("m"))
     val t = triangles(co).agg(count(lit(1)).as("t"))
-    // identities computed in DECIMAL(38,0): the BIGINT form wrapped
-    // silently past n ≈ 2.1M vertices (n·(n−1)·(n−2) > Long.MAX) where
-    // the DuckDB oracle errors loudly — review r18. n(n−1)(n−2) is
-    // divisible by 6 exactly, so the decimal division is exact; the
-    // guarded cast raises a NAMED error if a count itself exceeds
-    // BIGINT instead of returning wrapped garbage.
+    // identities computed in DECIMAL(38,0): the BIGINT form died with
+    // ANSI ARITHMETIC_OVERFLOW past n ≈ 2.1M vertices (this Spark
+    // runs ANSI by default — probed r18) on the n·(n−1)·(n−2)
+    // INTERMEDIATE even though the final census still fits BIGINT up
+    // to n ≈ 3.8M, and DuckDB overflows at the same point — decimal
+    // carries the headroom so every representable census computes;
+    // n(n−1)(n−2) is divisible by 6 exactly, so the decimal division
+    // is exact; the guarded cast raises a NAMED error only when a
+    // count itself exceeds BIGINT.
     stats.crossJoin(m).crossJoin(t)
       .selectExpr(
         "CAST(n AS DECIMAL(38,0)) AS nd",

@@ -5,9 +5,12 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token statistics,
-  * quality scoring, n-gram-heuristic language ID, and tokenizer counting.
-  * All are pure column expressions (array lambdas / regexes) — fully
-  * parallel, shuffle-free, codegen-friendly.
+  * quality scoring, n-gram-heuristic language ID, tokenizer counting,
+  * corpus-frequency/novelty statistics, and the classical corpus-law
+  * fits. The PER-ROW queries (qt1/qt2/qt4/qt7/qt8/qt15/qt16) are pure
+  * column expressions — fully parallel, shuffle-free, codegen-friendly;
+  * the corpus-statistics queries (qt6, qt9–qt14, qt17–qt21) aggregate
+  * and shuffle, each with its scale shape documented at the query.
   */
 object TextQueries extends QueryModule {
 
@@ -619,18 +622,24 @@ object TextQueries extends QueryModule {
     },
 
     // Tokenizer counting: whitespace tokens vs a BPE-ish regex tokenizer
-    // (letter runs / single digits / single punctuation).
+    // (letter runs / single digits / single punctuation). Whitespace is
+    // the EXPLICIT class [ \t\n\f\r\x0B], not \s (review r18: \s is NOT
+    // in the Java∩RE2 subset the module header mandates — Java's \s
+    // includes vertical tab U+000B, RE2's does not, so a document
+    // containing a VT split differently in the two engines; the
+    // explicit class names the same five-plus-one characters in both).
     q("qt4_token_count",
       """SELECT doc_id,
-        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
-        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |  CAST(len(string_split_regex(text, '[ \t\n\f\r\x0B]+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 \t\n\f\r\x0B]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
-          size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
+          size(split(col("text"), "[ \\t\\n\\f\\r\\x0B]+")).cast("long")
+            .as("ws_tokens"),
           size(regexp_extract_all(col("text"),
-            lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long")
-            .as("bpe_tokens"))
+            lit("[a-z]+|[0-9]|[^a-z0-9 \\t\\n\\f\\r\\x0B]"), lit(0)))
+            .cast("long").as("bpe_tokens"))
         .orderBy(col("doc_id"))
     },
 
@@ -739,8 +748,13 @@ object TextQueries extends QueryModule {
     // corpus carries no PII, so the contact text is CONSTRUCTED from the
     // customer table by the same SQL in both engines — the operator under
     // test is the scrubber, not the generator.
+    // ONE pattern definition governs BOTH sides (review r18: the
+    // oracle carried hand-copied pattern text, so a pattern edit could
+    // silently fork the two scrubbers while the fixture kept passing;
+    // the constants interpolate verbatim — they are Java∩RE2 and
+    // contain nothing a SQL single-quoted literal reinterprets)
     q("qt8_pii_redaction",
-      """WITH raw AS (SELECT c_custkey,
+      s"""WITH raw AS (SELECT c_custkey,
         |    'Contact ' || c_name || ' <user' || CAST(c_custkey AS VARCHAR)
         |      || '@example.com> phone +1-555-'
         |      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
@@ -749,16 +763,14 @@ object TextQueries extends QueryModule {
         |  FROM customer)
         |SELECT c_custkey,
         |  regexp_replace(regexp_replace(regexp_replace(txt,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g'),
-        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
-        |  CAST(len(regexp_extract_all(txt,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |      '$PiiEmail', '<EMAIL>', 'g'),
+        |      '$PiiPhone', '<PHONE>', 'g'),
+        |      '$PiiIp', '<IP>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(txt, '$PiiEmail')) AS BIGINT)
         |    AS n_email,
-        |  CAST(len(regexp_extract_all(txt,
-        |      '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
-        |  CAST(len(regexp_extract_all(txt,
-        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
+        |  CAST(len(regexp_extract_all(txt, '$PiiPhone')) AS BIGINT)
+        |    AS n_phone,
+        |  CAST(len(regexp_extract_all(txt, '$PiiIp')) AS BIGINT) AS n_ip
         |FROM raw ORDER BY c_custkey""".stripMargin) { (s, d) =>
       t(s, d, "customer")
         .withColumn("txt", concat(
@@ -935,9 +947,14 @@ object TextQueries extends QueryModule {
     // Scale shape: bigram + token counts are two partial-aggregated
     // groupBys; scoring joins run on the REDUCED count tables (vocab-
     // sized, not corpus-sized); top-15 is a TakeOrdered. Determinism:
-    // the ln argument is ONE division of two exact int64→double casts
-    // (all products < 2^53 at these scales), then the floor-scaled-ln
-    // rule; min-support cb ≥ 5 keeps the statistic meaningful.
+    // each FACTOR casts to double BEFORE multiplying (review r18: the
+    // former exact-int64 products cb·nt² / bt·c1·c2 hit ANSI
+    // ARITHMETIC_OVERFLOW — and DuckDB's int64 overflow error — once
+    // the corpus passes ~15M tokens, a hard ceiling the 100 TB
+    // posture cannot carry; IEEE double multiply/divide in the SAME
+    // operand order is bit-identical across engines and never
+    // overflows), then the floor-scaled-ln rule; min-support cb ≥ 5
+    // keeps the statistic meaningful.
     q("qt13_pmi_collocations",
       """WITH tok AS MATERIALIZED (SELECT doc_id,
         |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
@@ -955,8 +972,11 @@ object TextQueries extends QueryModule {
         |  GROUP BY w1, w2),
         |b AS (SELECT CAST(SUM(cb) AS BIGINT) AS bt FROM bc),
         |s AS (SELECT bc.w1, bc.w2, bc.cb,
-        |    CAST(floor(ln(CAST(bc.cb * n.nt * n.nt AS DOUBLE)
-        |      / CAST(b.bt * x1.c * x2.c AS DOUBLE)) * 1000000.0)
+        |    CAST(floor(ln(
+        |      (CAST(bc.cb AS DOUBLE) * CAST(n.nt AS DOUBLE)
+        |        * CAST(n.nt AS DOUBLE))
+        |      / (CAST(b.bt AS DOUBLE) * CAST(x1.c AS DOUBLE)
+        |        * CAST(x2.c AS DOUBLE))) * 1000000.0)
         |      AS BIGINT) AS pmi6
         |  FROM bc JOIN wc x1 ON bc.w1 = x1.w
         |    JOIN wc x2 ON bc.w2 = x2.w
@@ -978,8 +998,10 @@ object TextQueries extends QueryModule {
         .join(wc.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
         .crossJoin(broadcast(n)).crossJoin(broadcast(b))
         .select(col("w1"), col("w2"), col("cb"),
-          floor(log((col("cb") * col("nt") * col("nt")).cast("double")
-            / (col("bt") * col("c1") * col("c2")).cast("double"))
+          floor(log((col("cb").cast("double") * col("nt").cast("double")
+              * col("nt").cast("double"))
+            / (col("bt").cast("double") * col("c1").cast("double")
+              * col("c2").cast("double")))
             * 1000000.0).cast("long").as("pmi6"))
         .orderBy(col("pmi6").desc, col("w1"), col("w2"))
         .limit(15)

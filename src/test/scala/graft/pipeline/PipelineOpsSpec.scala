@@ -685,4 +685,20 @@ class PipelineOpsSpec extends SparkSuite {
         s"label $label dim $dim")
     }
   }
+
+  test("qt4 tokenizers split vertical tab as whitespace (Java∩RE2 explicit class)") {
+    // review r18: \s is NOT engine-portable — Java's includes U+000B,
+    // RE2's does not, so a VT document counted differently in Spark vs
+    // the DuckDB oracle (oracle-blind: the fixture carries no VT). The
+    // explicit class [ \t\n\f\r\x0B] names the same characters in both;
+    // this pin holds the Spark side to the VT-splits reading.
+    val rows = Seq((1L, "a\u000Bb c"), (2L, "x\ty z"), (3L, "plain"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        size(split(col("text"), "[ \\t\\n\\f\\r\\x0B]+")).as("ws"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]|[^a-z0-9 \\t\\n\\f\\r\\x0B]"), lit(0))).as("bpe"))
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 3, 3), (2L, 3, 3), (3L, 1, 1)))
+  }
 }
