@@ -41,6 +41,14 @@ object EmbeddingQueries extends QueryModule {
        |  CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
        |  (x, y) -> x + y)""".stripMargin
 
+  /** Squared Euclidean distance as one canonical expression — ONE
+    * definition for the IVF family (review r18: three hand-copies had
+    * grown — two here, one in SimilarityOps with a different term
+    * order; float addition is not associative, so divergent orders can
+    * flip near-tie probe rankings between the paths). */
+  private[pipeline] def d2Expr(a: String, b: String): String =
+    s"(graft_dot($a, $a) - 2.0D * graft_dot($a, $b) + graft_dot($b, $b))"
+
   /** The floor-scaled exact cosine used by every re-rank leg. */
   private val cosine6 =
     floor(expr("graft_dot(qvec, embedding)")
@@ -59,8 +67,7 @@ object EmbeddingQueries extends QueryModule {
   private def ivfRanked(s: org.apache.spark.sql.SparkSession,
       d: String): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
-    def d2(a: String, b: String) =
-      s"(graft_dot($a, $a) - 2.0D * graft_dot($a, $b) + graft_dot($b, $b))"
+    def d2(a: String, b: String) = d2Expr(a, b)
     val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
     val piv = emb.where(col("vec_id") < 8)
       .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
@@ -412,8 +419,7 @@ object EmbeddingQueries extends QueryModule {
          |FROM r WHERE rk <= 2 ORDER BY cell, rk""".stripMargin
     }) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
-      def d2(a: String, b: String) =
-        s"(graft_dot($a, $a) - 2.0D * graft_dot($a, $b) + graft_dot($b, $b))"
+      def d2(a: String, b: String) = d2Expr(a, b)
       val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val piv = emb.where(col("vec_id") < 16)
         .select(col("vec_id").as("pid"), col("embedding").as("pvec"))

@@ -80,6 +80,48 @@ class EmbeddingSpec extends SparkSuite {
     assert(meanRecall >= 0.5, s"IVF mean recall@3 was $meanRecall")
   }
 
+  test("IVF hardening: double arrays build, mixed magnitudes keep recall, " +
+      "zero-norm queries return nothing, empty input errors by name") {
+    // review r18 contracts: (1) the quantizer buckets NORMALIZED
+    // vectors, so a corpus where half the vectors are 10x-scaled still
+    // buckets by DIRECTION (raw-Euclidean bucketing split by norm and
+    // collapsed cosine recall); (2) array<double> input is cast at
+    // build instead of failing analysis at first search; (3) a
+    // zero-norm query is dropped, not handed topK NaN-ranked rows;
+    // (4) an empty corpus fails by name before KMeans.
+    val rnd = new scala.util.Random(7)
+    val arch = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 200).map { i =>
+      val v = arch(i % 4).map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      val scaled = if (i % 2 == 0) v else v.map(_ * 10f)
+      (i.toLong, scaled.map(_.toDouble)) // DOUBLE arrays on purpose
+    } :+ (999L -> Array.fill(16)(0.0))
+    val df = rows.toDF("vec_id", "embedding")
+    val index = SimilarityOps.ivfIndex(spark, df, "vec_id", "embedding",
+      k = 4)
+    val res = SimilarityOps.ivfSearch(spark, index,
+        Seq(0L, 1L, 2L, 3L, 999L), "vec_id", "embedding",
+        topK = 5, nprobe = 1)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSeq
+    // the zero-norm query got nothing (its cosines would all be NaN)
+    assert(!res.exists(_._1 == 999L))
+    // direction recall at nprobe=1: every returned neighbor shares the
+    // query's archetype even though half its family is 10x scaled —
+    // normalized bucketing keeps both scales of a direction together
+    for (q <- 0L until 4L) {
+      val ns = res.filter(_._1 == q).map(_._2)
+      assert(ns.size == 5, s"query $q returned ${ns.size} rows")
+      assert(ns.forall(n => n % 4 == q % 4),
+        s"query $q (archetype ${q % 4}) got cross-direction neighbors: $ns")
+    }
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.ivfIndex(spark, df.where("vec_id < 0"),
+        "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("empty"))
+    index.assigned.unpersist()
+  }
+
   test("qe5 LSH candidate path finds planted near-duplicates, exactly verified") {
     // qe5's bucketed plan is only meaningful where near-dups exist; the
     // testdata embeddings are near-orthogonal (max pairwise cosine ~0.6),
