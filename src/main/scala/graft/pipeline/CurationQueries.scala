@@ -22,6 +22,27 @@ object CurationQueries extends QueryModule {
     * space from the others'. `TrigramsExpr` expects a `ws` word-array
     * column. */
   private[pipeline] val WordsExpr = "filter(split(text, ' '), x -> x <> '')"
+
+  /** The three-term weighted quality score (0.4·length + 0.3·stopword
+    * + 0.3·word-shape, each least()-capped at 1) — ONE expression for
+    * BOTH consumers (review r18: qp7 and qp30 each hand-held a copy of
+    * the Spark tree AND of the oracle text, four maintained copies of
+    * an IEEE-operand-order-sensitive formula). Inputs are DOUBLE
+    * columns; the operand order fixed here is the cross-engine
+    * contract. */
+  private def qualityCol(nc: org.apache.spark.sql.Column,
+      nt: org.apache.spark.sql.Column,
+      ns: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lit(0.4) * least(nc / 500.0, lit(1.0)) +
+      lit(0.3) * least((ns / nt) * 5.0, lit(1.0)) +
+      lit(0.3) * least(((nc - (nt - 1.0)) / nt) / 8.0, lit(1.0))
+
+  /** DuckDB text of [[qualityCol]] — same shape, parameterized by the
+    * (already-DOUBLE) operand SQL. */
+  private def QualitySql(nc: String, nt: String, ns: String): String =
+    s"(0.4 * least($nc / 500.0, 1.0)" +
+      s" + 0.3 * least(($ns / $nt) * 5.0, 1.0)" +
+      s" + 0.3 * least((($nc - ($nt - 1.0)) / $nt) / 8.0, 1.0))"
   private[pipeline] val TrigramsExpr =
     "transform(sequence(0, size(ws) - 3), i -> " +
       "concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))"
@@ -67,10 +88,17 @@ object CurationQueries extends QueryModule {
     * compares it. */
   private[pipeline] def domainRollup(docs: org.apache.spark.sql.DataFrame,
       cap: Int): org.apache.spark.sql.DataFrame = {
-    val perDoc = docs.select(col("source"),
-        expr(s"size($WordsExpr)").cast("long").as("nt"),
+    // split(text) binds ONCE (review r18: the former shape evaluated
+    // the split inside both the nt and ns lambdas, and subexpression
+    // elimination does not reliably dedupe higher-order functions — up
+    // to four tokenizations per doc across this stage's two passes);
+    // filter(tk, x -> x <> '') is WordsExpr over the bound array
+    val perDoc = docs
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("source"),
+        expr("size(filter(tk, x -> x <> ''))").cast("long").as("nt"),
         length(col("text")).cast("long").as("nc"),
-        expr("size(filter(split(text, ' '), " +
+        expr("size(filter(tk, " +
           "w -> w IN ('the', 'a', 'of', 'and', 'in')))").cast("long")
           .as("ns"),
         substring(md5(concat(lit("domcap|"), col("doc_id").cast("string"))),
@@ -82,14 +110,9 @@ object CurationQueries extends QueryModule {
       // agree except on consecutive-space docs), floor-scaled to an
       // exact BIGINT (the Det "dirty double" rule: floor(q * 1e6) is
       // a pure binary op, identical in both engines)
-      .withColumn("q6", floor((
-        lit(0.4) * least(col("nc").cast("double") / 500.0, lit(1.0))
-          + lit(0.3) * least(col("ns").cast("double")
-            / col("nt").cast("double") * 5.0, lit(1.0))
-          + lit(0.3) * least(((col("nc").cast("double")
-            - (col("nt").cast("double") - 1.0))
-            / col("nt").cast("double")) / 8.0, lit(1.0))
-        ) * 1000000.0).cast("long"))
+      .withColumn("q6", floor(qualityCol(col("nc").cast("double"),
+        col("nt").cast("double"), col("ns").cast("double"))
+        * 1000000.0).cast("long"))
     // perDoc feeds the totals pass AND the capped pass: both are
     // map-side-combined partial aggs to ~#domains rows, and perDoc is
     // a narrow map — the recorded recompute-over-materialize rule
@@ -157,12 +180,10 @@ object CurationQueries extends QueryModule {
          |  FROM documents d
          |  WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.doc_id = d.doc_id)),
          |quality AS (SELECT doc_id, lang, nt,
-         |    (0.4 * least(nc / 500.0, 1.0)
-         |     + 0.3 * least((ns / nt) * 5.0, 1.0)
-         |     + 0.3 * least(((nc - (nt - 1.0)) / nt) / 8.0, 1.0)) AS q
+         |    ${QualitySql("nc", "nt", "ns")} AS q
          |  FROM scored)
          |SELECT lang, COUNT(*) AS n_docs,
-         |  CAST(SUM(CAST(nt AS DECIMAL(30,8))) AS DOUBLE) AS total_tokens,
+         |  ${Det.DSUM("nt")} AS total_tokens,
          |  ((CAST(SUM(CAST(floor(q * 1000000.0) AS BIGINT)) AS DOUBLE)
          |      / COUNT(*)) / 1000000.0) AS avg_quality
          |FROM quality WHERE q >= 0.5
@@ -190,10 +211,7 @@ object CurationQueries extends QueryModule {
           "size(filter(tk, w -> w IN ('the', 'a', 'of', 'and', 'in')))")
           .cast("double"))
       val quality = scored.withColumn("q",
-        lit(0.4) * least(col("nc") / 500.0, lit(1.0))
-          + lit(0.3) * least((col("ns") / col("nt")) * 5.0, lit(1.0))
-          + lit(0.3) * least(((col("nc") - (col("nt") - 1.0)) / col("nt")) / 8.0,
-            lit(1.0)))
+        qualityCol(col("nc"), col("nt"), col("ns")))
       // avg over floor-scaled integers: a computed ("dirty") double cast to
       // DECIMAL can round differently across engines (shortest-repr vs true
       // binary), but floor(q * 1e6) is a pure binary-double op — identical
@@ -232,10 +250,13 @@ object CurationQueries extends QueryModule {
         |SELECT doc_id, n_hits, n_hits >= 2 AS contaminated
         |FROM hits
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val grams = t(s, d, "documents")
-        .selectExpr("doc_id", s"$WordsExpr AS ws")
-        .where("size(ws) >= 3")
-        .select(col("doc_id"), explode(expr(TrigramsExpr)).as("g"))
+      // gram space comes from the ONE shared tokensAndGrams machinery
+      // (review r18: this inline copy duplicated the size >= 3 guard
+      // and explode wiring qp24/qp26 route through the helper — the
+      // decontamination gram space must never drift from the
+      // span-removal one)
+      val grams = tokensAndGrams(t(s, d, "documents"))._2
+        .select(col("doc_id"), col("g"))
       val bench = grams.where(col("doc_id") % 97 === 0)
         .select(col("g")).distinct()
       grams.where(col("doc_id") % 97 =!= 0)
@@ -575,12 +596,9 @@ object CurationQueries extends QueryModule {
          |    substr(md5('domcap|' || CAST(doc_id AS STRING)), 1, 8) AS h8
          |  FROM documents),
          |sc AS (SELECT source, h8, nt,
-         |    CAST(floor((0.4 * least(CAST(nc AS DOUBLE) / 500.0, 1.0)
-         |      + 0.3 * least((CAST(ns AS DOUBLE) / CAST(nt AS DOUBLE))
-         |          * 5.0, 1.0)
-         |      + 0.3 * least(((CAST(nc AS DOUBLE)
-         |          - (CAST(nt AS DOUBLE) - 1.0)) / CAST(nt AS DOUBLE))
-         |          / 8.0, 1.0)) * 1000000.0) AS BIGINT) AS q6
+         |    CAST(floor(${QualitySql("CAST(nc AS DOUBLE)",
+              "CAST(nt AS DOUBLE)", "CAST(ns AS DOUBLE)")}
+         |      * 1000000.0) AS BIGINT) AS q6
          |  FROM d WHERE nt > 0),
          |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |    CAST(SUM(nt) AS BIGINT) AS total_tokens,
@@ -766,12 +784,19 @@ object CurationQueries extends QueryModule {
       val lens = t(s, d, "documents")
         .selectExpr("doc_id", "lang",
           "CAST(size(filter(split(text, ' '), x -> x <> '')) AS DOUBLE) AS lv")
+      // EMPTY input: the global agg still yields one row whose sample
+      // is an empty array, and element_at(sample, 0) throws Spark's
+      // array-indices-start-at-1 error where the oracle returns zero
+      // rows; NULL lo/hi make the keep predicate false everywhere —
+      // both engines now read empty as empty (review r18)
       val th = lens
         .selectExpr("CAST(doc_id AS STRING) AS id", "lv")
         .agg(expr("graft_kll(id, lv)").as("sample"))
         .selectExpr(
-          "element_at(sample, int(ceil(0.05 * size(sample)))) AS lo",
-          "element_at(sample, int(ceil(0.95 * size(sample)))) AS hi")
+          "IF(size(sample) = 0, CAST(NULL AS DOUBLE)," +
+            " element_at(sample, int(ceil(0.05 * size(sample))))) AS lo",
+          "IF(size(sample) = 0, CAST(NULL AS DOUBLE)," +
+            " element_at(sample, int(ceil(0.95 * size(sample))))) AS hi")
       lens.crossJoin(broadcast(th))
         .where(col("lv") >= col("lo") && col("lv") <= col("hi"))
         .groupBy(col("lang"))
