@@ -30,6 +30,30 @@ object MultimodalQueries extends QueryModule {
     * diverge. */
   private[pipeline] val CutDelta = 300L
 
+  /** The pre-explode document view of the frame space: (doc_id,
+    * payload, n_frames) with the n_frames > 0 guard — the ONE place
+    * the frame-count formula lives (review r18: qm2 and qm4 carried
+    * inline copies of the cast/count/guard/explode chain whose engine
+    * and oracle sides would have drifted TOGETHER, invisible to the
+    * hash gate — the qp19/qp22 class). Also qm6's closed-form frame
+    * count: COUNT(*) of the exploded rows per doc equals n_frames by
+    * construction, so the summary side never re-runs the explode. */
+  private def frameDocs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_frames",
+        floor(length(col("payload")) / FrameBytes).cast("int"))
+      .where(col("n_frames") > 0)
+
+  /** One row per (doc_id, frame_id) with the payload riding along —
+    * [[frameDocs]] exploded; the shared frame space of qm2/qm4 and
+    * (through [[frameEnergies]]) qm5/qm6/qm7. */
+  private def frameRows(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    frameDocs(docs)
+      .withColumn("frame_id", explode(expr("sequence(0, n_frames - 1)")))
+
   /** The per-frame STUB energy table shared by qm5/qm6/qm7: one row
     * per (doc_id, frame_id) with the frame's unsigned-byte-value sum.
     * ONE definition so the queries' frame spaces cannot silently
@@ -38,28 +62,30 @@ object MultimodalQueries extends QueryModule {
     * graft_bytesum loop (the interpreted 64-lambda ascii chain it
     * replaces measured 2.4s for the sf0.1 frame scan vs ~0.3s); the
     * DuckDB oracle slices CHARACTERS (DuckDB 1.0 cannot substring
-    * BLOBs) — equal because the corpus is ASCII, which the qm5/qm6
-    * specs assert BY NAME (ADVICE r15). */
+    * BLOBs) — equal because the corpus is ASCII, which the qm specs
+    * assert BY NAME (ADVICE r15; qm2/qm4 gained the same assert in
+    * review r18). */
   private def frameEnergies(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs
-      .withColumn("payload", col("text").cast("binary"))
-      .withColumn("n_frames",
-        floor(length(col("payload")) / FrameBytes).cast("int"))
-      .where(col("n_frames") > 0)
-      .withColumn("frame_id", explode(expr("sequence(0, n_frames - 1)")))
+    frameRows(docs)
       .withColumn("energy", expr(s"graft_bytesum(substring(payload, " +
         s"frame_id * $FrameBytes + 1, $FrameBytes))"))
       .select(col("doc_id"), col("frame_id"), col("energy"))
   }
 
+  /** DuckDB twin of [[frameDocs]] — the `f` CTE prefix every qm oracle
+    * shares, so the frame-count formula has one definition on the
+    * oracle side too. */
+  private val DuckFDoc =
+    s"""f AS (SELECT doc_id, text,
+       |    octet_length(encode(text)) // $FrameBytes AS n_frames
+       |  FROM documents)""".stripMargin
+
   /** DuckDB twin of [[frameEnergies]] — the `fr` CTE text shared by
     * qm5's and qm6's oracles. */
   private val DuckFrameCte =
-    s"""f AS (SELECT doc_id, text,
-       |    octet_length(encode(text)) // $FrameBytes AS n_frames
-       |  FROM documents),
+    s"""$DuckFDoc,
        |fr AS (SELECT doc_id, CAST(g.i AS INT) AS frame_id,
        |    CAST(list_aggregate(list_transform(
        |        generate_series(1, $FrameBytes),
@@ -76,12 +102,12 @@ object MultimodalQueries extends QueryModule {
     // content hash, STUB-parsed "dimensions" derived from the byte length
     // (a real decoder would read the container header).
     q("qm1_media_meta",
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS content_md5,
         |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS stub_width,
         |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS stub_height,
-        |  CAST(octet_length(encode(text)) // 64 AS BIGINT) AS n_frames
+        |  CAST(octet_length(encode(text)) // $FrameBytes AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       t(s, d, "documents")
         .withColumn("payload", col("text").cast("binary"))
@@ -101,22 +127,24 @@ object MultimodalQueries extends QueryModule {
     // capped at 100,000 and would have silently dropped oracle-side
     // frames for any doc past 100,064 bytes — review r16).
     q("qm3_overlap_frames",
-      """SELECT doc_id, CAST(g.h AS INTEGER) AS frame_start,
-        |  CAST(least(blen - g.h, 64) AS INTEGER) AS frame_len
+      s"""SELECT doc_id, CAST(g.h AS INTEGER) AS frame_start,
+        |  CAST(least(blen - g.h, $FrameBytes) AS INTEGER) AS frame_len
         |FROM (SELECT doc_id, octet_length(encode(text)) AS blen
         |      FROM documents WHERE doc_id < 50) t,
-        |  UNNEST(generate_series(0, CAST(blen AS BIGINT), 32)) AS g(h)
-        |WHERE g.h + 64 <= blen
+        |  UNNEST(generate_series(0, CAST(blen AS BIGINT), ${FrameBytes / 2}))
+        |    AS g(h)
+        |WHERE g.h + $FrameBytes <= blen
         |ORDER BY doc_id, frame_start""".stripMargin) { (s, d) =>
       t(s, d, "documents")
         .where(col("doc_id") < 50)
         .withColumn("payload", col("text").cast("binary"))
         .withColumn("blen", length(col("payload")))
         .withColumn("frame_start",
-          explode(expr("sequence(0, greatest(blen - 64, 0), 32)")))
-        .where(col("frame_start") + 64 <= col("blen"))
+          explode(expr(s"sequence(0, greatest(blen - $FrameBytes, 0), " +
+            s"${FrameBytes / 2})")))
+        .where(col("frame_start") + FrameBytes <= col("blen"))
         .select(col("doc_id"), col("frame_start"),
-          length(expr("substring(payload, frame_start + 1, 64)"))
+          length(expr(s"substring(payload, frame_start + 1, $FrameBytes)"))
             .as("frame_len"))
         .orderBy(col("doc_id"), col("frame_start"))
     },
@@ -130,9 +158,7 @@ object MultimodalQueries extends QueryModule {
     // ASCII (verified: octet_length == length for every row at every SF);
     // the Spark side stays byte-true for arbitrary binary payloads.
     q("qm2_frame_sample",
-      s"""WITH f AS (SELECT doc_id, text,
-         |    octet_length(encode(text)) // $FrameBytes AS n_frames
-         |  FROM documents),
+      s"""WITH $DuckFDoc,
          |fr AS (SELECT doc_id, text,
          |    unnest(generate_series(0, CAST(n_frames AS INT) - 1)) AS frame_id
          |  FROM f WHERE n_frames > 0)
@@ -141,12 +167,7 @@ object MultimodalQueries extends QueryModule {
          |  CAST(length(substring(text, frame_id * $FrameBytes + 1, $FrameBytes)) AS BIGINT) AS frame_len
          |FROM fr WHERE frame_id % 4 = 0
          |ORDER BY doc_id, frame_id""".stripMargin) { (s, d) =>
-      t(s, d, "documents")
-        .withColumn("payload", col("text").cast("binary"))
-        .withColumn("n_frames", floor(length(col("payload")) / FrameBytes).cast("int"))
-        .where(col("n_frames") > 0)
-        .withColumn("frame_id",
-          explode(expr("sequence(0, n_frames - 1)")))
+      frameRows(t(s, d, "documents"))
         .where(col("frame_id") % 4 === 0) // sample every 4th frame
         .withColumn("frame_bytes",
           expr(s"substring(payload, frame_id * $FrameBytes + 1, $FrameBytes)"))
@@ -170,9 +191,7 @@ object MultimodalQueries extends QueryModule {
     // fields once any payload reached 100k frames / 6.4 MB — a real
     // video-scale size; review r16).
     q("qm4_duplicate_frames",
-      s"""WITH f AS (SELECT doc_id, text,
-         |    octet_length(encode(text)) // $FrameBytes AS n_frames
-         |  FROM documents),
+      s"""WITH $DuckFDoc,
          |fr AS (SELECT doc_id,
          |    md5(substring(text, CAST(g.i AS INT) * $FrameBytes + 1,
          |        $FrameBytes)) AS frame_md5,
@@ -190,12 +209,7 @@ object MultimodalQueries extends QueryModule {
          |  CAST(m.f AS BIGINT) AS first_frame
          |FROM agg WHERE n_docs >= 2
          |ORDER BY frame_md5""".stripMargin) { (s, d) =>
-      t(s, d, "documents")
-        .withColumn("payload", col("text").cast("binary"))
-        .withColumn("n_frames",
-          floor(length(col("payload")) / FrameBytes).cast("int"))
-        .where(col("n_frames") > 0)
-        .withColumn("frame_id", explode(expr("sequence(0, n_frames - 1)")))
+      frameRows(t(s, d, "documents"))
         .select(col("doc_id"), col("frame_id"),
           md5(expr(s"substring(payload, frame_id * $FrameBytes + 1, " +
             s"$FrameBytes)")).as("frame_md5"))
@@ -282,7 +296,12 @@ object MultimodalQueries extends QueryModule {
          |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val fr = frameEnergies(t(s, d, "documents"))
-      val base = fr.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+      // closed form, not a second explode (review r18: the former
+      // count-of-exploded-rows re-ran the whole frame scan just for
+      // n_frames; per doc the count equals n_frames by construction
+      // of frameRows, so the summary side reads only doc metadata)
+      val base = frameDocs(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"))
       val seg = fr.where(col("energy") >= ActiveEnergy)
         .withColumn("island", col("frame_id")
           - row_number().over(Window.partitionBy("doc_id")

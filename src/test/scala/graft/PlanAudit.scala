@@ -272,9 +272,15 @@ object PlanAudit {
     // and BOTH run rollups share the one doc_id partitioning (two hash
     // exchanges total), and the doc-reduced segment summary BROADCASTS
     // into the left join — never a corpus-wide shuffle join
+    // review r18 re-pin: the frame-count summary side is now the
+    // CLOSED FORM over frameDocs (doc metadata only), so the plan
+    // carries exactly ONE Generate (the single frame explode — the
+    // former shape ran it twice) and ONE exchange (the island window's
+    // doc_id partitioning, which both downstream groupBys reuse)
     val qm6 = plan("qm6_energy_segments")
-    check("qm6 doc-bounded window, broadcast summary join, two exchanges",
-      qm6.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2
+    check("qm6 one frame explode, one doc-bounded exchange, broadcast summary join",
+      qm6.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1
+        && qm6.linesIterator.count(_.contains("Generate explode")) == 1
         && qm6.contains("Window") && qm6.contains("BroadcastHashJoin")
         && !qm6.contains("CartesianProduct"))
 

@@ -686,6 +686,36 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("qm2/qm4 assume a pure-ASCII corpus — asserted by name, with a frame-space recompute") {
+    // review r18: qm5/qm6/qm7 each assert the byte==char precondition
+    // BY NAME (their oracles slice VARCHAR characters where the engine
+    // slices BINARY bytes), but qm2/qm4 — same precondition — failed
+    // only as an opaque hash mismatch. Same assert here, plus a driver
+    // recompute of qm2's sampled frame space so the shared frameRows
+    // definition is pinned independently of the oracle.
+    val texts = Engine.table(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val nonAscii = texts.filter { case (_, tx) =>
+      tx.getBytes("UTF-8").length != tx.length }
+    assert(nonAscii.isEmpty,
+      "qm2/qm4 assume a pure-ASCII corpus (their DuckDB oracles slice " +
+        "characters, the engine slices bytes); non-ASCII doc_ids: " +
+        nonAscii.map(_._1).take(5).mkString(", "))
+    val expected = texts.flatMap { case (id, tx) =>
+      val bytes = tx.getBytes("UTF-8")
+      val nf = bytes.length / 64
+      (0 until nf).filter(_ % 4 == 0).map { i =>
+        val frame = bytes.slice(i * 64, i * 64 + 64)
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(frame).map("%02x".format(_)).mkString
+        (id, i, h, 64L)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = run("qm2_frame_sample")
+      .as[(Long, Int, String, Long)].collect().toSeq
+    assert(got == expected && expected.nonEmpty)
+  }
+
   test("qt4 tokenizers split vertical tab as whitespace (Java∩RE2 explicit class)") {
     // review r18: \s is NOT engine-portable — Java's includes U+000B,
     // RE2's does not, so a VT document counted differently in Spark vs
