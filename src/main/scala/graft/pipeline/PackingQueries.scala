@@ -35,22 +35,40 @@ object PackingQueries extends QueryModule {
 
   private val SeqLen = 64
   private val Head = 120
+  /** qp21's mix budget M (take_s = min(n_s, M·√n_s/Σ√n_t)) and the
+    * sqrt fixed-point scale — NAMED and interpolated into BOTH sides
+    * like SeqLen/Head (review r18: they lived as raw literals in the
+    * oracle string AND the DataFrame code, retunable out of lockstep). */
+  private val MixBudget = 200
+  private val SqrtScale = "1000000.0"
 
   /** (doc_id, n_tok, tok_offset) in the deterministic md5 corpus order —
     * the distributed two-phase prefix sum shared by qp17/qp20 (see the
-    * class doc). */
+    * class doc). NULL text counts as an empty document (review r18:
+    * unguarded, a NULL row's n_tok NULL-propagated into its own
+    * tok_offset on the engine side while the oracle's COALESCE'd
+    * window emitted a concrete offset — engines diverged on the first
+    * nullable fixture; both sides now COALESCE the text, so every row
+    * carries a defined width). */
   private[pipeline] def packedOffsets(docs: DataFrame): DataFrame = {
     val base = docs.select(
       col("doc_id"),
-      (size(split(col("text"), " ")) + 1).cast("long").as("n_tok"),
+      (size(split(coalesce(col("text"), lit("")), " ")) + 1)
+        .cast("long").as("n_tok"),
       md5(concat(lit("pack|"), col("doc_id").cast("string"))).as("h"))
     val bucketed = base.withColumn("pid", substring(col("h"), 1, 2))
     val wLocal = Window.partitionBy("pid").orderBy("h", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // local feeds the bucket totals AND the final join, but its two
-    // occurrences share ONE identical Exchange — Spark's ReusedExchange
-    // already materializes that shuffle once, so an explicit cache here
-    // only adds a copy (measured: 0.19s -> 0.50s at 1x with .cache())
+    // local feeds the bucket totals AND the final join. The bases
+    // branch RE-SCANS the pruned corpus (review r18 corrected the
+    // recorded mechanism: no ReusedExchange fires here — column
+    // pruning removes the window from that branch, so its exchange is
+    // NOT identical to local's; PlanAudit asserts the separate
+    // partial-agg shuffle). The measured cache verdict stands for the
+    // corrected reason: the bases recompute is one narrow
+    // (doc_id-width) scan + md5 feeding a 256-row aggregate — cheaper
+    // than materializing the corpus-order window rows (0.19s -> 0.50s
+    // at 1x WITH .cache()).
     val local = bucketed.withColumn("local_end", sum("n_tok").over(wLocal))
     val bases = local.groupBy("pid").agg(sum("n_tok").as("ptot"))
     val wBase = Window.orderBy("pid")
@@ -68,7 +86,8 @@ object PackingQueries extends QueryModule {
   private[pipeline] val duckOffsets: String =
     """tk AS (
       |  SELECT doc_id,
-      |         CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tok,
+      |         CAST(len(string_split(COALESCE(text, ''), ' ')) + 1
+      |           AS BIGINT) AS n_tok,
       |         md5('pack|' || doc_id) AS h
       |  FROM documents),
       |o AS (
@@ -136,11 +155,11 @@ object PackingQueries extends QueryModule {
     q("qp21_temperature_mix",
       s"""WITH ns AS (
          |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
-         |         CAST(floor(sqrt(COUNT(*)) * 1000000.0) AS BIGINT) AS s6
+         |         CAST(floor(sqrt(COUNT(*)) * $SqrtScale) AS BIGINT) AS s6
          |  FROM documents GROUP BY source),
          |tot AS (SELECT CAST(SUM(s6) AS BIGINT) AS ts6 FROM ns),
          |takes AS (
-         |  SELECT source, least(n, 200 * s6 // ts6) AS take_n
+         |  SELECT source, least(n, $MixBudget * s6 // ts6) AS take_n
          |  FROM ns CROSS JOIN tot),
          |rk AS (
          |  SELECT doc_id, source,
@@ -154,11 +173,11 @@ object PackingQueries extends QueryModule {
       val docs = t(s, d, "documents")
       val ns = docs.groupBy("source")
         .agg(count(lit(1)).as("n"),
-          floor(sqrt(count(lit(1))) * 1000000.0).cast("long").as("s6"))
+          floor(sqrt(count(lit(1))) * expr(SqrtScale)).cast("long").as("s6"))
       val tot = ns.agg(sum("s6").cast("long").as("ts6"))
       val takes = ns.crossJoin(broadcast(tot))
         .select(col("source"),
-          least(col("n"), expr("200 * s6 div ts6")).as("take_n"))
+          least(col("n"), expr(s"$MixBudget * s6 div ts6")).as("take_n"))
       val rk = docs
         .select(col("doc_id"), col("source"),
           md5(concat(lit("temp|"), col("doc_id").cast("string"))).as("hm"))
