@@ -1224,7 +1224,7 @@ object DedupQueries extends QueryModule {
     * a doc_id arrives in one micro-batch, so its duplicate pairs are
     * always within the delay). A streaming call without the watermark
     * column is rejected BY NAME instead of allowed to leak. */
-  private def gatePairs(cand: DataFrame, streaming: Boolean,
+  private[pipeline] def gatePairs(cand: DataFrame, streaming: Boolean,
       eventTimeCol: Option[String], gateName: String): DataFrame = {
     val deduped =
       if (!streaming) cand.dropDuplicates("doc_id", "old_id")
@@ -1284,7 +1284,7 @@ object DedupQueries extends QueryModule {
     * posture sequences the append before the gate run, and a
     * foreachBatch replay re-enters here with the same epochId, where
     * the marker check makes it a no-op. */
-  private def writeEpoch(rows: DataFrame, artifactRoot: String,
+  private[pipeline] def writeEpoch(rows: DataFrame, artifactRoot: String,
       epoch: Long): Unit = {
     val dir = new org.apache.hadoop.fs.Path(s"$artifactRoot/epoch=$epoch")
     val fs = dir.getFileSystem(

@@ -1081,6 +1081,116 @@ object EmbeddingQueries extends QueryModule {
         .select(col("embedding").as("eb"), col("nrm").as("nb"))
       embedDecontaminate(e.where(col("vec_id") % 41 =!= 0), bench)
         .orderBy("vec_id")
+    },
+
+    // INCREMENTAL SEMANTIC DEDUP (round 18) — qp33's daily-increment
+    // posture in EMBEDDING space, and the batch plan of
+    // SimilarityOps.semanticGate's read path: a deterministic ~1/8
+    // hash-slice of vectors plays today's arrivals; each probes its
+    // nprobe=2 nearest IVF cells (the qe7 fixed-pivot quantizer, so
+    // every step is deterministic and oracled) and screens against
+    // CORPUS-side cell members only, flagging exact cosine ≥ 0.8 (the
+    // qe5 dedup threshold) — 'dup' with its lowest corpus match and
+    // best score, or 'new'. Scale shape: increment and corpus cells
+    // are COMPLEMENTARY is_incr filters of ONE cached normed table
+    // (never corpus × corpus — a pair meets in at most one cell since
+    // a corpus vector lives in exactly one); the corpus assignment is
+    // the partial-agg min-struct (map-side combined), the probe
+    // ranking a window over the INCREMENT slice only; pivots
+    // broadcast. At 100 TB the corpus cell table is the precomputed
+    // vector artifact (SimilarityOps.docVectors) the daily run only
+    // READS — this query is that read path's plan. Threshold: the
+    // qe11 semantic-screen point (cosine >= 0.4) — the fixture's
+    // embeddings are near-random (max cross-slice cosine ~0.53 at
+    // sf0.1), so the qe5 dedup point (0.8) would never exercise the
+    // dup branch; 0.4 yields a real dup population at both scales.
+    q("qe17_incremental_semdedup", {
+      val dot = (a: String, b: String) =>
+        s"""list_reduce(list_transform(generate_series(1, len($a)), i ->
+           |  CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+           |  (x, y) -> x + y)""".stripMargin
+      val d2 = (a: String, b: String) =>
+        s"(${dot(a, a)} - 2.0 * ${dot(a, b)} + ${dot(b, b)})"
+      s"""WITH base AS MATERIALIZED (SELECT vec_id, embedding,
+         |    $duckNorm AS nrm,
+         |    substr(md5('einc|' || CAST(vec_id AS VARCHAR)), 1, 4)
+         |      < '2000' AS is_incr
+         |  FROM embeddings),
+         |piv AS MATERIALIZED (SELECT vec_id AS pid, embedding AS pvec
+         |  FROM embeddings WHERE vec_id < 8),
+         |ad AS MATERIALIZED (SELECT b.vec_id, b.embedding, b.nrm,
+         |    b.is_incr, p.pid,
+         |    row_number() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${d2("b.embedding", "p.pvec")}, p.pid) AS rn
+         |  FROM base b CROSS JOIN piv p WHERE b.nrm > 0),
+         |cells AS (SELECT vec_id AS old_id, embedding AS eb, nrm AS nb,
+         |    pid AS cell
+         |  FROM ad WHERE NOT is_incr AND rn = 1),
+         |probes AS (SELECT vec_id AS new_id, embedding AS ea, nrm AS na,
+         |    pid AS cell
+         |  FROM ad WHERE is_incr AND rn <= 2),
+         |pc AS (SELECT p.new_id, c.old_id,
+         |    CAST(floor(${dot("p.ea", "c.eb")} / sqrt(p.na * c.nb)
+         |      * 1000000.0) AS BIGINT) AS c6
+         |  FROM probes p JOIN cells c ON c.cell = p.cell),
+         |ver AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+         |    CAST(MIN(old_id) AS BIGINT) AS dup_of, MAX(c6) AS best_c6
+         |  FROM pc WHERE c6 >= 400000 GROUP BY new_id)
+         |SELECT b.vec_id, COALESCE(v.n_dups, 0) AS n_dups, v.dup_of,
+         |  v.best_c6,
+         |  CASE WHEN v.new_id IS NULL THEN 'new' ELSE 'dup' END AS status
+         |FROM base b LEFT JOIN ver v ON v.new_id = b.vec_id
+         |WHERE b.is_incr ORDER BY b.vec_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      def d2(a: String, b: String) = d2Expr(a, b)
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr(normExpr("embedding")).as("nrm"),
+          (SamplingOps.hashBucket(col("vec_id"), "einc|") < "2000")
+            .as("is_incr"))
+        .cache()
+      val piv = t(s, d, "embeddings").where(col("vec_id") < 8)
+        .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+      // corpus side: nearest-1 cell via partial-agg min-struct (the
+      // qe8 shape — map-side combined, no corpus-wide window)
+      val cells = base.where(!col("is_incr") && col("nrm") > 0)
+        .crossJoin(broadcast(piv))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("pid"),
+          expr(d2("embedding", "pvec")).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("pid"))).as("m"),
+          first(col("embedding")).as("eb"), first(col("nrm")).as("nb"))
+        .select(col("vec_id").as("old_id"), col("eb"), col("nb"),
+          col("m.pid").as("cell"))
+      // increment side: nprobe=2 ranked probes — the window runs over
+      // the INCREMENT slice only, never the corpus
+      val probes = base.where(col("is_incr") && col("nrm") > 0)
+        .crossJoin(broadcast(piv))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("pid"),
+          expr(d2("embedding", "pvec")).as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("pid"))))
+        .where(col("rn") <= 2)
+        .select(col("vec_id").as("new_id"), col("embedding").as("ea"),
+          col("nrm").as("na"), col("pid").as("cell"))
+      // a (new, old) pair meets in AT MOST one cell (old lives in
+      // exactly one), so the join needs no distinct
+      val pc = probes.join(cells, "cell")
+        .select(col("new_id"), col("old_id"),
+          floor(expr(dotExpr("ea", "eb")) / sqrt(col("na") * col("nb"))
+            * 1000000.0).cast("long").as("c6"))
+      val ver = pc.where(col("c6") >= 400000L)
+        .groupBy(col("new_id"))
+        .agg(count(lit(1)).as("n_dups"), min(col("old_id")).as("dup_of"),
+          max(col("c6")).as("best_c6"))
+      base.where(col("is_incr")).select(col("vec_id"))
+        .join(ver, col("vec_id") === col("new_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          col("dup_of"), col("best_c6"),
+          when(col("new_id").isNull, "new").otherwise("dup").as("status"))
+        .orderBy("vec_id")
     }
   )
 

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,13 +48,7 @@ object SimilarityOps {
   def ivfIndex(spark: SparkSession, embeddings: DataFrame, idCol: String,
       arrCol: String, k: Int = 16): IvfIndex = {
     graft.functions.GraftFunctions.register(spark)
-    val base = embeddings
-      .select(col(idCol), col(arrCol).cast("array<float>").as(arrCol))
-      .withColumn("__n2", expr(s"graft_dot(`$arrCol`, `$arrCol`)"))
-      .withColumn("__unit", expr(
-        s"""CASE WHEN __n2 > 0
-           |  THEN transform(`$arrCol`, x -> CAST(x / sqrt(__n2) AS FLOAT))
-           |  ELSE `$arrCol` END""".stripMargin))
+    val base = unitized(embeddings, idCol, arrCol)
     // deterministic md5-rate sample for the fit: 10 k-means iterations
     // over the FULL corpus would be 10 corpus passes at 100 TB; the
     // centroids need only a representative sample. Membership is
@@ -133,5 +127,161 @@ object SimilarityOps {
       .withColumn("rnk", row_number().over(rankW))
       .where($"rnk" <= topK)
       .select($"qid", $"nid", $"cosine", $"rnk")
+  }
+
+  // ---------------------------------------------------------------------
+  // The SEMANTIC ingest gate + corpus vector artifact — the embedding
+  // member of the stream-static gate family (exact: qp15/qp16 Bloom;
+  // near-dup: DedupQueries.nearDupGate; span overlap: winnowGate;
+  // semantic: this). The corpus side is a PRECOMPUTED artifact of
+  // (doc_id, unit, bucket) rows — unit-normalized vectors IVF-assigned
+  // to their nearest centroid — appended one idempotent epoch per
+  // accepted increment exactly like the band/print artifacts. Incoming
+  // docs probe the `nprobe` nearest buckets and flag any corpus vector
+  // whose cosine clears the SemDeDup threshold. Everything on the
+  // stream side is a row-local column expression (the nearest-bucket
+  // selection happens INSIDE an array_sort over a literal centroid
+  // array, never a window or aggregate), so the same code runs batch
+  // and streaming (append mode).
+  // ---------------------------------------------------------------------
+
+  /** Column-level squared Euclidean distance, term-for-term identical
+    * to [[EmbeddingQueries.d2Expr]] (float addition is non-associative;
+    * one term order across the IVF family keeps near-tie probe
+    * rankings consistent between the artifact's bucket assignment and
+    * the gate's probe ranking). */
+  private def d2c(a: Column, b: Column): Column =
+    call_function("graft_dot", a, a) -
+      lit(2.0d) * call_function("graft_dot", a, b) +
+      call_function("graft_dot", b, b)
+
+  /** (id[, extra...], __n2, __unit) of an embeddings frame — the ONE
+    * normalization every vector-artifact producer and consumer shares
+    * (ivfIndex's inlined form refactored onto it), so a doc appended to
+    * the artifact and the same doc arriving at the gate normalize
+    * identically. Zero-norm vectors keep their raw array and __n2 = 0
+    * for the caller to filter. */
+  private def unitized(df: DataFrame, idCol: String, arrCol: String,
+      extra: Seq[String] = Nil): DataFrame =
+    df.select((col(idCol) +: extra.map(col)) :+
+        col(arrCol).cast("array<float>").as(arrCol): _*)
+      .withColumn("__n2", expr(s"graft_dot(`$arrCol`, `$arrCol`)"))
+      .withColumn("__unit", expr(
+        s"""CASE WHEN __n2 > 0
+           |  THEN transform(`$arrCol`, x -> CAST(x / sqrt(__n2) AS FLOAT))
+           |  ELSE `$arrCol` END""".stripMargin))
+
+  /** The `nprobe` nearest centroid buckets of a unit vector as ONE
+    * row-local array expression: d2 to every centroid of a LITERAL
+    * broadcast-free centroid array, array_sort on (d2, bucket), slice.
+    * No window, no aggregate — legal in a streaming append plan, which
+    * is the whole reason the gate can share code batch/stream. */
+  private def nearestBuckets(unit: Column,
+      centroids: Array[(Int, Array[Double])], nprobe: Int): Column = {
+    require(centroids.nonEmpty, "nearestBuckets: empty centroid set")
+    val centArr = array(centroids.toSeq.map { case (b, c) =>
+      struct(lit(b).as("bucket"),
+        typedLit(c.map(_.toFloat).toSeq).as("cvec"))
+    }: _*)
+    val ranked = array_sort(transform(centArr, c =>
+      struct(d2c(unit, c.getField("cvec")).as("d2"),
+        c.getField("bucket").as("bucket"))))
+    transform(slice(ranked, 1, nprobe), x => x.getField("bucket"))
+  }
+
+  /** The (doc_id, unit, bucket) corpus vector table of an embeddings
+    * frame — [[docBands]]/[[docPrints]]'s twin for the semantic family:
+    * unit-normalized vectors assigned to their nearest-centroid IVF
+    * bucket, zero-norm vectors DROPPED (cosine is undefined for them —
+    * they can neither be nor have a semantic duplicate). Stateless
+    * column expressions only (the assignment is [[nearestBuckets]] at
+    * nprobe = 1), so it runs identically batch and streaming; at 100 TB
+    * the corpus-side result is the precomputed artifact the gate's
+    * stream-static join consumes, and the centroid set is the small
+    * fit-time artifact ([[ivfIndex]].centroids) that rides beside it. */
+  def docVectors(docs: DataFrame, centroids: Array[(Int, Array[Double])],
+      idCol: String = "doc_id", arrCol: String = "embedding",
+      extra: Seq[String] = Nil): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    unitized(docs, idCol, arrCol, extra)
+      .where(col("__n2") > 0)
+      .select((col(idCol).as("doc_id") +: extra.map(col)) ++ Seq(
+        col("__unit").as("unit"),
+        element_at(nearestBuckets(col("__unit"), centroids, 1), 1)
+          .as("bucket")): _*)
+  }
+
+  /** The semantic ingest gate: incoming docs' embeddings probe the
+    * `nprobe` nearest IVF buckets of a PRECOMPUTED corpus vector table
+    * ([[docVectors]] output / [[readCorpusVectors]]) and flag DISTINCT
+    * (doc_id, old_id) pairs whose exact cosine clears `tau6` (a
+    * floor-scaled 1e6 fixed-point threshold — 950000 = cosine ≥ 0.95,
+    * the SemDeDup screening posture). Both sides are unit vectors, so
+    * the dot IS the cosine. Like the other gates this is the cheap
+    * first-pass cut — candidates come from the probed buckets only, so
+    * a pair can be missed exactly when IVF recall misses it (the qe9
+    * audit measures that); the batch qe5/qe8 legs are the exhaustive
+    * form. Same watermark contract as nearDupGate/winnowGate (dedup
+    * state bounded via dropDuplicatesWithinWatermark; a streaming call
+    * without `eventTimeCol` is rejected by name). Zero-norm incoming
+    * vectors emit no pairs. */
+  def semanticGate(incoming: DataFrame, corpusVectors: DataFrame,
+      centroids: Array[(Int, Array[Double])], tau6: Long = 950000L,
+      nprobe: Int = 2, eventTimeCol: Option[String] = None,
+      idCol: String = "doc_id", arrCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(incoming.sparkSession)
+    val keep = eventTimeCol.toSeq
+    val cand = unitized(incoming, idCol, arrCol, keep)
+      .where(col("__n2") > 0)
+      .select((col(idCol).as("doc_id") +: keep.map(col)) ++ Seq(
+        col("__unit").as("qu"),
+        explode(nearestBuckets(col("__unit"), centroids, nprobe))
+          .as("bucket")): _*)
+      .join(corpusVectors
+        .select(col("doc_id").as("old_id"), col("unit").as("nu"),
+          col("bucket")),
+        Seq("bucket"))
+      .where(floor(call_function("graft_dot", col("qu"), col("nu"))
+        * lit(1000000.0d)).cast("long") >= tau6)
+      .select((Seq("doc_id", "old_id") ++ keep).map(col): _*)
+    DedupQueries.gatePairs(cand, incoming.isStreaming, eventTimeCol,
+      "semanticGate")
+  }
+
+  /** [[DedupQueries.appendCorpusBands]]'s twin for the vector artifact:
+    * one epoch partition of the accepted docs' (doc_id, unit, bucket)
+    * rows, same commit-once idempotence contract (the shared
+    * writeEpoch). The centroid set must be THE corpus index's — mixing
+    * centroid generations inside one artifact root would bucket epochs
+    * inconsistently, so a quantizer refresh rewrites the artifact under
+    * a new root (df-view footnote of the print family, vector form). */
+  def appendCorpusVectors(accepted: DataFrame, artifactRoot: String,
+      epoch: Long, centroids: Array[(Int, Array[Double])],
+      idCol: String = "doc_id", arrCol: String = "embedding"): Unit =
+    DedupQueries.writeEpoch(
+      docVectors(accepted, centroids, idCol, arrCol), artifactRoot, epoch)
+
+  /** Read the corpus vector artifact back as the (doc_id, unit, bucket)
+    * frame [[semanticGate]] consumes (epoch partition column pruned —
+    * the gate screens against every epoch). */
+  def readCorpusVectors(spark: SparkSession, artifactRoot: String): DataFrame =
+    spark.read.parquet(artifactRoot).select("doc_id", "unit", "bucket")
+
+  /** The streaming form of [[appendCorpusVectors]] — foreachBatch at
+    * the epochId, exactly as corpusBandAppender/corpusPrintAppender. */
+  def corpusVectorAppender(accepted: DataFrame, artifactRoot: String,
+      centroids: Array[(Int, Array[Double])],
+      idCol: String = "doc_id", arrCol: String = "embedding"
+      ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(accepted.isStreaming,
+      "corpusVectorAppender is the streaming form; batch callers use " +
+        "appendCorpusVectors(df, root, epoch, centroids) with their own " +
+        "epoch key")
+    accepted.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       epochId: Long) =>
+        appendCorpusVectors(batch, artifactRoot, epochId, centroids,
+          idCol, arrCol)
+    }
   }
 }

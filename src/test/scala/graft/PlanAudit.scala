@@ -398,6 +398,24 @@ object PlanAudit {
         qp36.contains("InMemoryRelation") &&
         !qp36.contains("CartesianProduct"))
 
+    // incremental semantic dedup: the cell join's two sides are
+    // COMPLEMENTARY is_incr filters of the ONE cached normed table
+    // (never corpus × corpus — qp33's posture in embedding space),
+    // the corpus cell assignment partial-aggregates (min-struct,
+    // map-side combined), and the 8-row pivot set broadcasts (its
+    // BNLJ over a constant side is the intended qe7 shape)
+    val qe17 = plan("qe17_incremental_semdedup")
+    check("qe17 cell join is increment-vs-corpus over the cached base; " +
+        "pivots broadcast; corpus assignment partial-aggregates",
+      qe17.contains("Join [cell") &&
+        qe17.contains("NOT is_incr") &&
+        qe17.linesIterator.exists(l => l.contains("Filter (")
+          && l.contains(" is_incr") && !l.contains("NOT is_incr")) &&
+        qe17.contains("partial_min") &&
+        qe17.contains("InMemoryRelation") &&
+        qe17.contains("Broadcast") &&
+        !qe17.contains("CartesianProduct"))
+
     // gram novelty: first_seen is ONE map-side-combined gram groupBy
     // (partial_min before the shuffle), checkpoints broadcast —
     // never four conditional-DISTINCT shuffles

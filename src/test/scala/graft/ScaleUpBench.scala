@@ -181,6 +181,13 @@ object ScaleUpBench {
     // corpus-growing stages (band explode, shingle surrogate table)
     // are qp4/qp5's, which have their own measured rows, and the
     // increment-bounded join is the plan fact PlanAudit asserts.
+    // round 18 continuation: qe17_incremental_semdedup is EXCLUDED on
+    // BOTH standing grounds — embeddings replicate as-is under the
+    // shard protocol (the qe2/qe15 reason: its input would not grow)
+    // AND its final per-vec verdict is a LEFT JOIN onto the
+    // unique-keyed `ver` aggregate that count() eliminates (the
+    // qp32/qp33 reason); the increment-vs-corpus cell join is the plan
+    // fact PlanAudit asserts (fact 152).
     // round 18: qp36_winnow_eval is EXCLUDED like qp23 (neither has a
     // row): both evaluate on the FIXED doc_id < 500 audit slice, which
     // salted-shard scaling does not grow (salted ids land outside the
