@@ -220,14 +220,19 @@ object DedupQueries extends QueryModule {
     },
 
     // Normalized content fingerprint (lowercase + whitespace collapse →
-    // md5): catches trivially-reformatted duplicates.
+    // md5): catches trivially-reformatted duplicates. Whitespace is the
+    // EXPLICIT class [ \t\n\f\r\x0B], not \s (the qt4 lesson: \s is not
+    // in the Java∩RE2 subset — Java's includes vertical tab U+000B,
+    // RE2's does not, so a VT document would fingerprint differently in
+    // the two engines and the dup verdict would silently diverge).
     q("qp2_fingerprint",
       """SELECT doc_id,
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |  md5(trim(regexp_replace(lower(text), '[ \t\n\f\r\x0B]+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
-          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+          md5(trim(regexp_replace(lower(col("text")),
+            "[ \\t\\n\\f\\r\\x0B]+", " ")))
             .as("fingerprint"))
         .orderBy(col("doc_id"))
     },
@@ -477,7 +482,7 @@ object DedupQueries extends QueryModule {
     // scope in ENGINE.md.)
     q("qp10_paragraph_dedup",
       """WITH nw AS (SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |    string_split(trim(regexp_replace(lower(text), '[ \t\n\f\r\x0B]+', ' ', 'g')), ' ') AS w
         |  FROM documents WHERE length(trim(text)) > 0),
         |ix AS (SELECT doc_id, w,
         |    unnest(generate_series(0, (len(w) + 23) // 24 - 1)) AS idx FROM nw),
@@ -493,7 +498,8 @@ object DedupQueries extends QueryModule {
         t(s, d, "documents")
           .where(length(trim(col("text"))) > 0)
           .withColumn("w",
-            split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+            split(trim(regexp_replace(lower(col("text")),
+              "[ \\t\\n\\f\\r\\x0B]+", " ")), " "))
           .select(col("doc_id"), posexplode(expr(
             """transform(sequence(0, (size(w) + 23) div 24 - 1),
               |  i -> array_join(slice(w, i * 24 + 1, 24), ' '))""".stripMargin)))
@@ -526,7 +532,7 @@ object DedupQueries extends QueryModule {
            |        * (CAST(1 AS BIGINT)
            |           << CAST((15 - i) * 4 AS INTEGER))), 'sum')""".stripMargin
       s"""WITH fp AS (SELECT doc_id, CAST(substr(source, 4) AS BIGINT) AS sn,
-         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS k
+         |    md5(trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g'))) AS k
          |  FROM documents),
          |hh AS (SELECT doc_id, sn, ${hv("k")} AS h FROM fp),
          |hp AS (SELECT * FROM (VALUES (0, 1103515245, 12345),
@@ -547,7 +553,8 @@ object DedupQueries extends QueryModule {
       val fp = t(s, d, "documents")
         .withColumn("sn", expr("CAST(substring(source, 4, 10) AS BIGINT)"))
         .withColumn("k",
-          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+          md5(trim(regexp_replace(lower(col("text")),
+            "[ \\t\\n\\f\\r\\x0B]+", " "))))
       val bloom = fp.where(col("sn") < 10)
         .agg(expr("graft_bloom(k)").as("bf"))
       fp.where(col("sn") >= 10)
@@ -1426,7 +1433,7 @@ object DedupQueries extends QueryModule {
     docs
       .select(col(idCol).as("doc_id"), posexplode(
         expr(s"""filter(transform(split(`$textCol`, '\\\\n{2,}'),
-                |  p -> trim(regexp_replace(p, '\\\\s+', ' '))),
+                |  p -> trim(regexp_replace(p, '[ \\\\t\\\\n\\\\f\\\\r\\\\x0B]+', ' '))),
                 |  p -> p != '')""".stripMargin)))
       .toDF("doc_id", "idx", "para")
 }

@@ -731,4 +731,24 @@ class PipelineOpsSpec extends SparkSuite {
       .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
     assert(rows == Seq((1L, 3, 3), (2L, 3, 3), (3L, 1, 1)))
   }
+
+  test("fingerprint normalization collapses vertical tab (qp2/qp10/qp15 " +
+      "share the Java∩RE2 explicit whitespace class)") {
+    // round 18 continuation: the qt4 lesson applied to the dedup
+    // fingerprint family — its \s+ normalization was the same
+    // oracle-blind trap (Java's \s includes U+000B, RE2's does not, so
+    // a VT document fingerprinted differently in the two engines and
+    // the dup verdict silently diverged). The explicit class holds the
+    // VT-is-whitespace reading: texts differing only VT-vs-space must
+    // fingerprint IDENTICALLY.
+    val fps = Seq((1L, "hello\u000Bworld"), (2L, "hello world"),
+        (3L, "hello  world"), (4L, "helloworld"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")),
+          "[ \\t\\n\\f\\r\\x0B]+", " "))).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L) && fps(2L) == fps(3L))
+    assert(fps(4L) != fps(1L))
+  }
 }
