@@ -56,6 +56,84 @@ object EmbeddingQueries extends QueryModule {
         * expr("graft_dot(embedding, embedding)")) * 1000000.0)
       .cast("long")
 
+  /** The semantic-dup screening threshold shared by qe17 (the verdict)
+    * and qe18 (the truth leg), interpolated into BOTH engines' texts —
+    * one definition so the read path and its own eval cannot drift
+    * apart. The qe11 screen point (cosine ≥ 0.4): the fixture's
+    * embeddings are near-random (max cross-slice cosine ~0.53 at
+    * sf0.1), so the qe5 dedup point (0.8) would never exercise a dup
+    * branch on this data. */
+  private val SemDupC6 = 400000L
+
+  /** The fixed-pivot incremental-IVF CTE chain (base → piv → ad →
+    * cells → probes) shared by qe17/qe18 — ONE definition so the read
+    * path and its eval score the SAME candidate universe (the bandsOf
+    * house rule, embedding form): ~1/8 md5 increment slice, pivots
+    * vec_id < 8, corpus side nearest-1 cell, increment side nprobe=2
+    * ranked probes, zero-norm vectors excluded from both. */
+  private def duckIncrCells: String = {
+    val d2 = (a: String, b: String) =>
+      s"(${duckDot(a, a)} - 2.0 * ${duckDot(a, b)} + ${duckDot(b, b)})"
+    s"""WITH base AS MATERIALIZED (SELECT vec_id, embedding,
+       |    $duckNorm AS nrm,
+       |    substr(md5('einc|' || CAST(vec_id AS VARCHAR)), 1, 4)
+       |      < '2000' AS is_incr
+       |  FROM embeddings),
+       |piv AS MATERIALIZED (SELECT vec_id AS pid, embedding AS pvec
+       |  FROM embeddings WHERE vec_id < 8),
+       |ad AS MATERIALIZED (SELECT b.vec_id, b.embedding, b.nrm,
+       |    b.is_incr, p.pid,
+       |    row_number() OVER (PARTITION BY b.vec_id
+       |      ORDER BY ${d2("b.embedding", "p.pvec")}, p.pid) AS rn
+       |  FROM base b CROSS JOIN piv p WHERE b.nrm > 0),
+       |cells AS MATERIALIZED (SELECT vec_id AS old_id, embedding AS eb,
+       |    nrm AS nb, pid AS cell
+       |  FROM ad WHERE NOT is_incr AND rn = 1),
+       |probes AS MATERIALIZED (SELECT vec_id AS new_id, embedding AS ea,
+       |    nrm AS na, pid AS cell
+       |  FROM ad WHERE is_incr AND rn <= 2)""".stripMargin
+  }
+
+  /** Engine twin of [[duckIncrCells]]: (base, cells, probes) — base is
+    * CACHED (both branches and the callers' verdict/truth legs consume
+    * it; the harness's clearCache releases it per query). */
+  private def incrCells(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    def d2(a: String, b: String) = d2Expr(a, b)
+    val base = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr(normExpr("embedding")).as("nrm"),
+        (SamplingOps.hashBucket(col("vec_id"), "einc|") < "2000")
+          .as("is_incr"))
+      .cache()
+    val piv = t(s, d, "embeddings").where(col("vec_id") < 8)
+      .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+    // corpus side: nearest-1 cell via partial-agg min-struct (the
+    // qe8 shape — map-side combined, no corpus-wide window)
+    val cells = base.where(!col("is_incr") && col("nrm") > 0)
+      .crossJoin(broadcast(piv))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("pid"),
+        expr(d2("embedding", "pvec")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("pid"))).as("m"),
+        first(col("embedding")).as("eb"), first(col("nrm")).as("nb"))
+      .select(col("vec_id").as("old_id"), col("eb"), col("nb"),
+        col("m.pid").as("cell"))
+    // increment side: nprobe=2 ranked probes — the window runs over
+    // the INCREMENT slice only, never the corpus
+    val probes = base.where(col("is_incr") && col("nrm") > 0)
+      .crossJoin(broadcast(piv))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("pid"),
+        expr(d2("embedding", "pvec")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("pid"))))
+      .where(col("rn") <= 2)
+      .select(col("vec_id").as("new_id"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("pid").as("cell"))
+    (base, cells, probes)
+  }
+
   /** The IVF assignment + ranked probe list shared by EVERY IVF
     * consumer — qe7 (unfiltered probe search), qe14 (label-post-
     * filtered search), and qe16 (the nprobe curve): fixed pivots
@@ -1089,9 +1167,9 @@ object EmbeddingQueries extends QueryModule {
     // hash-slice of vectors plays today's arrivals; each probes its
     // nprobe=2 nearest IVF cells (the qe7 fixed-pivot quantizer, so
     // every step is deterministic and oracled) and screens against
-    // CORPUS-side cell members only, flagging exact cosine ≥ 0.8 (the
-    // qe5 dedup threshold) — 'dup' with its lowest corpus match and
-    // best score, or 'new'. Scale shape: increment and corpus cells
+    // CORPUS-side cell members only, flagging exact cosine clearing
+    // the shared SemDupC6 threshold — 'dup' with its lowest corpus
+    // match and best score, or 'new'. Scale shape: increment and corpus cells
     // are COMPLEMENTARY is_incr filters of ONE cached normed table
     // (never corpus × corpus — a pair meets in at most one cell since
     // a corpus vector lives in exactly one); the corpus assignment is
@@ -1104,83 +1182,28 @@ object EmbeddingQueries extends QueryModule {
     // embeddings are near-random (max cross-slice cosine ~0.53 at
     // sf0.1), so the qe5 dedup point (0.8) would never exercise the
     // dup branch; 0.4 yields a real dup population at both scales.
-    q("qe17_incremental_semdedup", {
-      val dot = (a: String, b: String) =>
-        s"""list_reduce(list_transform(generate_series(1, len($a)), i ->
-           |  CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
-           |  (x, y) -> x + y)""".stripMargin
-      val d2 = (a: String, b: String) =>
-        s"(${dot(a, a)} - 2.0 * ${dot(a, b)} + ${dot(b, b)})"
-      s"""WITH base AS MATERIALIZED (SELECT vec_id, embedding,
-         |    $duckNorm AS nrm,
-         |    substr(md5('einc|' || CAST(vec_id AS VARCHAR)), 1, 4)
-         |      < '2000' AS is_incr
-         |  FROM embeddings),
-         |piv AS MATERIALIZED (SELECT vec_id AS pid, embedding AS pvec
-         |  FROM embeddings WHERE vec_id < 8),
-         |ad AS MATERIALIZED (SELECT b.vec_id, b.embedding, b.nrm,
-         |    b.is_incr, p.pid,
-         |    row_number() OVER (PARTITION BY b.vec_id
-         |      ORDER BY ${d2("b.embedding", "p.pvec")}, p.pid) AS rn
-         |  FROM base b CROSS JOIN piv p WHERE b.nrm > 0),
-         |cells AS (SELECT vec_id AS old_id, embedding AS eb, nrm AS nb,
-         |    pid AS cell
-         |  FROM ad WHERE NOT is_incr AND rn = 1),
-         |probes AS (SELECT vec_id AS new_id, embedding AS ea, nrm AS na,
-         |    pid AS cell
-         |  FROM ad WHERE is_incr AND rn <= 2),
+    q("qe17_incremental_semdedup",
+      s"""$duckIncrCells,
          |pc AS (SELECT p.new_id, c.old_id,
-         |    CAST(floor(${dot("p.ea", "c.eb")} / sqrt(p.na * c.nb)
+         |    CAST(floor(${duckDot("p.ea", "c.eb")} / sqrt(p.na * c.nb)
          |      * 1000000.0) AS BIGINT) AS c6
          |  FROM probes p JOIN cells c ON c.cell = p.cell),
          |ver AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
          |    CAST(MIN(old_id) AS BIGINT) AS dup_of, MAX(c6) AS best_c6
-         |  FROM pc WHERE c6 >= 400000 GROUP BY new_id)
+         |  FROM pc WHERE c6 >= $SemDupC6 GROUP BY new_id)
          |SELECT b.vec_id, COALESCE(v.n_dups, 0) AS n_dups, v.dup_of,
          |  v.best_c6,
          |  CASE WHEN v.new_id IS NULL THEN 'new' ELSE 'dup' END AS status
          |FROM base b LEFT JOIN ver v ON v.new_id = b.vec_id
-         |WHERE b.is_incr ORDER BY b.vec_id""".stripMargin
-    }) { (s, d) =>
-      graft.functions.GraftFunctions.register(s)
-      def d2(a: String, b: String) = d2Expr(a, b)
-      val base = t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          expr(normExpr("embedding")).as("nrm"),
-          (SamplingOps.hashBucket(col("vec_id"), "einc|") < "2000")
-            .as("is_incr"))
-        .cache()
-      val piv = t(s, d, "embeddings").where(col("vec_id") < 8)
-        .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
-      // corpus side: nearest-1 cell via partial-agg min-struct (the
-      // qe8 shape — map-side combined, no corpus-wide window)
-      val cells = base.where(!col("is_incr") && col("nrm") > 0)
-        .crossJoin(broadcast(piv))
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("pid"),
-          expr(d2("embedding", "pvec")).as("d2"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("pid"))).as("m"),
-          first(col("embedding")).as("eb"), first(col("nrm")).as("nb"))
-        .select(col("vec_id").as("old_id"), col("eb"), col("nb"),
-          col("m.pid").as("cell"))
-      // increment side: nprobe=2 ranked probes — the window runs over
-      // the INCREMENT slice only, never the corpus
-      val probes = base.where(col("is_incr") && col("nrm") > 0)
-        .crossJoin(broadcast(piv))
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("pid"),
-          expr(d2("embedding", "pvec")).as("d2"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("pid"))))
-        .where(col("rn") <= 2)
-        .select(col("vec_id").as("new_id"), col("embedding").as("ea"),
-          col("nrm").as("na"), col("pid").as("cell"))
+         |WHERE b.is_incr ORDER BY b.vec_id""".stripMargin) { (s, d) =>
+      val (base, cells, probes) = incrCells(s, d)
       // a (new, old) pair meets in AT MOST one cell (old lives in
       // exactly one), so the join needs no distinct
       val pc = probes.join(cells, "cell")
         .select(col("new_id"), col("old_id"),
           floor(expr(dotExpr("ea", "eb")) / sqrt(col("na") * col("nb"))
             * 1000000.0).cast("long").as("c6"))
-      val ver = pc.where(col("c6") >= 400000L)
+      val ver = pc.where(col("c6") >= SemDupC6)
         .groupBy(col("new_id"))
         .agg(count(lit(1)).as("n_dups"), min(col("old_id")).as("dup_of"),
           max(col("c6")).as("best_c6"))
@@ -1191,6 +1214,71 @@ object EmbeddingQueries extends QueryModule {
           col("dup_of"), col("best_c6"),
           when(col("new_id").isNull, "new").otherwise("dup").as("status"))
         .orderBy("vec_id")
+    },
+
+    // SEMANTIC-DEDUP GATE EVALUATION (round 18 continuation) — the
+    // semantic family's qp23/qp36: score the IVF bucket-collision
+    // candidate universe (qe17's EXACT machinery via the shared
+    // incrCells/duckIncrCells definition) against EXHAUSTIVE cosine
+    // truth over the same increment-vs-corpus slice, reporting recall
+    // and precision at the shared SemDupC6 production point — the
+    // numbers that justify a pivot-count/nprobe choice before running
+    // at scale. Truth leg is the qe2/qe11 broadcast audit posture: the
+    // small increment slice broadcasts, the corpus streams map-side
+    // (at 100 TB you run this on a sampled increment — the slice IS
+    // the sample here). Unlike qp23/qp36 the two universes are the
+    // production read path's own (no separate doc_id audit cap):
+    // embeddings stay fixture-sized at every SF, so exhaustive truth
+    // is affordable and the eval is exact for qe17's verdicts, not a
+    // slice proxy. All-integer counts and permil ratios.
+    q("qe18_semdedup_eval",
+      s"""$duckIncrCells,
+         |cand AS MATERIALIZED (SELECT p.new_id, c.old_id
+         |  FROM probes p JOIN cells c ON c.cell = p.cell),
+         |truth AS MATERIALIZED (SELECT i.vec_id AS new_id,
+         |    o.vec_id AS old_id
+         |  FROM base i JOIN base o
+         |    ON i.is_incr AND NOT o.is_incr
+         |      AND i.nrm > 0 AND o.nrm > 0
+         |  WHERE CAST(floor(${duckDot("i.embedding", "o.embedding")}
+         |      / sqrt(i.nrm * o.nrm) * 1000000.0) AS BIGINT)
+         |    >= $SemDupC6),
+         |hit AS (SELECT t.new_id, t.old_id FROM truth t
+         |  JOIN cand c ON c.new_id = t.new_id AND c.old_id = t.old_id)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) * 1000
+         |    // greatest((SELECT COUNT(*) FROM truth), 1) AS recall_permil,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) * 1000
+         |    // greatest((SELECT COUNT(*) FROM cand), 1) AS precision_permil
+         |""".stripMargin) { (s, d) =>
+      val (base, cells, probes) = incrCells(s, d)
+      // the gate's candidate universe: bucket-collision pairs, unique
+      // by construction (a corpus vector lives in exactly one cell) —
+      // cached: feeds the hit join AND its own count
+      val cand = probes.join(cells, "cell")
+        .select(col("new_id"), col("old_id"))
+        .cache()
+      val inc = base.where(col("is_incr") && col("nrm") > 0)
+        .select(col("vec_id").as("new_id"), col("embedding").as("ea"),
+          col("nrm").as("na"))
+      val corp = base.where(!col("is_incr") && col("nrm") > 0)
+        .select(col("vec_id").as("old_id"), col("embedding").as("eb"),
+          col("nrm").as("nb"))
+      val truth = corp.crossJoin(broadcast(inc))
+        .where(floor(expr(dotExpr("ea", "eb")) / sqrt(col("na") * col("nb"))
+          * 1000000.0).cast("long") >= SemDupC6)
+        .select(col("new_id"), col("old_id"))
+        .cache()
+      val hit = truth.join(cand, Seq("new_id", "old_id"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          expr("n_hit * 1000 div greatest(n_truth, 1L)").as("recall_permil"),
+          expr("n_hit * 1000 div greatest(n_cand, 1L)")
+            .as("precision_permil"))
     }
   )
 

@@ -416,6 +416,21 @@ object PlanAudit {
         qe17.contains("Broadcast") &&
         !qe17.contains("CartesianProduct"))
 
+    // semantic-dedup eval: the candidate leg is the cell-keyed join
+    // over the SAME cached base as qe17 (the shared incrCells
+    // definition), and the truth leg is the broadcast audit cross
+    // join (small increment side broadcast — BNLJ over a broadcast
+    // side is the intended qe2/qe11 shape); the hit join is keyed on
+    // the pair; no CartesianProduct anywhere
+    val qe18 = plan("qe18_semdedup_eval")
+    check("qe18 cell-keyed candidates over the cached base + broadcast " +
+        "truth cross join; no cartesian",
+      qe18.contains("Join [cell") &&
+        qe18.contains("BroadcastNestedLoopJoin") &&
+        qe18.contains("InMemoryRelation") &&
+        qe18.contains("partial_min") &&
+        !qe18.contains("CartesianProduct"))
+
     // gram novelty: first_seen is ONE map-side-combined gram groupBy
     // (partial_min before the shuffle), checkpoints broadcast —
     // never four conditional-DISTINCT shuffles

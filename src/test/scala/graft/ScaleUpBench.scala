@@ -187,7 +187,10 @@ object ScaleUpBench {
     // AND its final per-vec verdict is a LEFT JOIN onto the
     // unique-keyed `ver` aggregate that count() eliminates (the
     // qp32/qp33 reason); the increment-vs-corpus cell join is the plan
-    // fact PlanAudit asserts (fact 152).
+    // fact PlanAudit asserts (fact 152). qe18_semdedup_eval is
+    // EXCLUDED on the same embeddings-replicate-as-is ground (and like
+    // qp23/qp36, an eval over a fixed universe reads flat by
+    // construction).
     // round 18: qp36_winnow_eval is EXCLUDED like qp23 (neither has a
     // row): both evaluate on the FIXED doc_id < 500 audit slice, which
     // salted-shard scaling does not grow (salted ids land outside the
