@@ -67,7 +67,7 @@ object ScalarQueries extends QueryModule {
         |  round(ln(l_extendedprice), 6) AS ln_price,
         |  round(log10(l_extendedprice), 6) AS log10_price,
         |  round(pow(1.0 + l_discount, 2.0), 6) AS pow_disc,
-        |  CAST(l_quantity AS INTEGER) % 7 AS qty_mod7,
+        |  CAST(floor(l_quantity) AS INTEGER) % 7 AS qty_mod7,
         |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_disc,
         |  l_extendedprice * 0.1 AS price_tenth,
         |  round(sin(l_discount), 6) AS sin_disc,
@@ -90,7 +90,9 @@ object ScalarQueries extends QueryModule {
         round(log(col("l_extendedprice")), 6).as("ln_price"),
         round(log10(col("l_extendedprice")), 6).as("log10_price"),
         round(pow(lit(1.0) + col("l_discount"), 2.0), 6).as("pow_disc"),
-        (col("l_quantity").cast("int") % 7).as("qty_mod7"),
+        // floor before the int cast — DuckDB's double→int cast ROUNDS where
+        // Spark's TRUNCATES; flooring first pins one semantics in both
+        (floor(col("l_quantity")).cast("int") % 7).as("qty_mod7"),
         signum(col("l_discount") - 0.05).as("sign_disc"),
         (col("l_extendedprice") * 0.1).as("price_tenth"),
         round(sin(col("l_discount")), 6).as("sin_disc"),
@@ -247,7 +249,7 @@ object ScalarQueries extends QueryModule {
     // CollectAggFunction.scala / SQL COLLECT → MULTISET), rendered as a
     // canonical "value:count" string for the hash compare.
     q("qs7_collect_multiset",
-      """WITH c AS (SELECT l_orderkey, CAST(l_quantity AS INTEGER) AS qty,
+      """WITH c AS (SELECT l_orderkey, CAST(floor(l_quantity) AS INTEGER) AS qty,
         |    COUNT(*) AS n
         |  FROM lineitem GROUP BY 1, 2)
         |SELECT l_orderkey,
@@ -256,7 +258,7 @@ object ScalarQueries extends QueryModule {
       graft.functions.Udafs.register(s)
       t(s, d, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(expr("graft_multiset(CAST(l_quantity AS INT))").as("ms"))
+        .agg(expr("graft_multiset(CAST(floor(l_quantity) AS INT))").as("ms"))
         .select(col("l_orderkey"), expr(
           """array_join(transform(array_sort(map_entries(ms)),
             |  e -> concat(CAST(e.key AS STRING), ':', CAST(e.value AS STRING))), ',')""".stripMargin)

@@ -512,31 +512,35 @@ object BatchQueries extends QueryModule {
     },
 
     // Multiset variants (reference: DataSetIntersect/Minus with all=true).
+    // Both sides floor() before the int cast: DuckDB CAST(double AS INT)
+    // ROUNDS (2.6 → 3) where Spark's cast TRUNCATES (2.6 → 2) — identical
+    // only because fixture quantities are integral; flooring first makes the
+    // cast semantics explicit and engine-independent.
     q("q26_intersect_all",
       """SELECT qty FROM (
-        |  SELECT CAST(l_quantity AS INTEGER) AS qty FROM lineitem WHERE l_returnflag = 'A'
+        |  SELECT CAST(floor(l_quantity) AS INTEGER) AS qty FROM lineitem WHERE l_returnflag = 'A'
         |  INTERSECT ALL
-        |  SELECT CAST(l_quantity AS INTEGER) AS qty FROM lineitem WHERE l_returnflag = 'N')
+        |  SELECT CAST(floor(l_quantity) AS INTEGER) AS qty FROM lineitem WHERE l_returnflag = 'N')
         |ORDER BY qty""".stripMargin) { (s, d) =>
       val li = t(s, d, "lineitem")
       li.where(col("l_returnflag") === "A")
-        .select(col("l_quantity").cast("int").as("qty"))
+        .select(floor(col("l_quantity")).cast("int").as("qty"))
         .intersectAll(li.where(col("l_returnflag") === "N")
-          .select(col("l_quantity").cast("int").as("qty")))
+          .select(floor(col("l_quantity")).cast("int").as("qty")))
         .orderBy(col("qty"))
     },
 
     q("q27_except_all",
       """SELECT qty FROM (
-        |  SELECT CAST(l_quantity AS INTEGER) AS qty FROM lineitem WHERE l_returnflag = 'A'
+        |  SELECT CAST(floor(l_quantity) AS INTEGER) AS qty FROM lineitem WHERE l_returnflag = 'A'
         |  EXCEPT ALL
-        |  SELECT CAST(l_quantity AS INTEGER) AS qty FROM lineitem WHERE l_returnflag = 'R')
+        |  SELECT CAST(floor(l_quantity) AS INTEGER) AS qty FROM lineitem WHERE l_returnflag = 'R')
         |ORDER BY qty""".stripMargin) { (s, d) =>
       val li = t(s, d, "lineitem")
       li.where(col("l_returnflag") === "A")
-        .select(col("l_quantity").cast("int").as("qty"))
+        .select(floor(col("l_quantity")).cast("int").as("qty"))
         .exceptAll(li.where(col("l_returnflag") === "R")
-          .select(col("l_quantity").cast("int").as("qty")))
+          .select(floor(col("l_quantity")).cast("int").as("qty")))
         .orderBy(col("qty"))
     },
 
