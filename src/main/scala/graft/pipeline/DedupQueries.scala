@@ -1175,6 +1175,88 @@ object DedupQueries extends QueryModule {
           expr("CAST((n_docs - n_dropped) * 1000 div n_docs AS BIGINT)")
             .as("keep_permil"))
         .orderBy("source")
+    },
+
+    // THE INGEST DECISION (round 18 continuation) — the gate quartet
+    // composed into the one verdict a daily pipeline acts on: the
+    // incoming slice (sn >= 10, the qp15/qp16 split) screened by the
+    // REAL exactGate/nearDupGate/winnowGate read paths against
+    // corpus-side (sn < 10) artifacts built by the same docFps/docBands/
+    // docPrints definitions the appenders write, then reduced to one
+    // row per incoming doc: per-gate match counts, the most severe
+    // firing gate (GateSeverity precedence — an exact copy fires ALL
+    // text gates; the most specific reason is the actionable one), and
+    // that gate's lowest-id corpus match for dup routing. The semantic
+    // leg is structurally identical (qe17/SemanticGateSpec cover it)
+    // but runs on the embeddings table's separate id space, so this
+    // oracled composition exercises the three text gates and pins
+    // n_semantic = 0. The oracle restates all three joins and the
+    // precedence CASE over the shared duckSig/band/print CTE chains.
+    q("qp37_ingest_decision",
+      s"""$duckSig,
+         |sb AS (SELECT doc_id, CAST(substr(source, 4) AS BIGINT) >= 10
+         |    AS inc FROM documents),
+         |xf AS (SELECT doc_id, md5(trim(regexp_replace(lower(text),
+         |    '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g'))) AS xfp FROM documents),
+         |bandsx AS (SELECT * FROM (SELECT s.doc_id, b.band,
+         |    CASE b.band WHEN 0 THEN h0 || h1 WHEN 1 THEN h2 || h3
+         |                WHEN 2 THEN h4 || h5 ELSE h6 || h7 END AS bv
+         |  FROM sig s, (SELECT unnest([0, 1, 2, 3]) AS band) b)
+         |  WHERE bv <> ''),
+         |hsx AS (SELECT doc_id,
+         |    list_transform(sh, x -> substr(md5(x), 1, 16)) AS hs
+         |  FROM shx),
+         |fp0 AS (SELECT doc_id, unnest(
+         |    CASE WHEN len(hs) = 0 THEN []
+         |    WHEN len(hs) < 4 THEN [list_aggregate(hs, 'min')]
+         |    ELSE list_distinct(list_transform(
+         |      generate_series(1, len(hs) - 3),
+         |      j -> list_aggregate(hs[j:j+3], 'min'))) END) AS fp
+         |  FROM hsx),
+         |cdf AS (SELECT fp FROM fp0 f JOIN sb ON sb.doc_id = f.doc_id
+         |  WHERE NOT sb.inc GROUP BY fp HAVING COUNT(*) <= 10),
+         |exl AS (SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(MIN(c.doc_id) AS BIGINT) AS o
+         |  FROM xf i JOIN sb bi ON bi.doc_id = i.doc_id AND bi.inc
+         |  JOIN xf c ON c.xfp = i.xfp
+         |  JOIN sb bc ON bc.doc_id = c.doc_id AND NOT bc.inc
+         |  GROUP BY i.doc_id),
+         |nrp AS (SELECT DISTINCT i.doc_id AS did, c.doc_id AS old
+         |  FROM bandsx i JOIN sb bi ON bi.doc_id = i.doc_id AND bi.inc
+         |  JOIN bandsx c ON c.band = i.band AND c.bv = i.bv
+         |  JOIN sb bc ON bc.doc_id = c.doc_id AND NOT bc.inc),
+         |nrl AS (SELECT did AS doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(MIN(old) AS BIGINT) AS o FROM nrp GROUP BY 1),
+         |spp AS (SELECT DISTINCT i.doc_id AS did, c.doc_id AS old
+         |  FROM fp0 i JOIN sb bi ON bi.doc_id = i.doc_id AND bi.inc
+         |  JOIN fp0 c ON c.fp = i.fp
+         |  JOIN cdf ON cdf.fp = c.fp
+         |  JOIN sb bc ON bc.doc_id = c.doc_id AND NOT bc.inc),
+         |spl AS (SELECT did AS doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(MIN(old) AS BIGINT) AS o FROM spp GROUP BY 1)
+         |SELECT b.doc_id,
+         |  COALESCE(e.n, 0) AS n_exact, COALESCE(nr.n, 0) AS n_near,
+         |  COALESCE(sp.n, 0) AS n_span, CAST(0 AS BIGINT) AS n_semantic,
+         |  CASE WHEN e.n > 0 THEN 'exact' WHEN nr.n > 0 THEN 'near'
+         |       WHEN sp.n > 0 THEN 'span' ELSE 'accept' END AS verdict,
+         |  CASE WHEN e.n > 0 THEN e.o WHEN nr.n > 0 THEN nr.o
+         |       WHEN sp.n > 0 THEN sp.o END AS dup_of
+         |FROM sb b LEFT JOIN exl e ON e.doc_id = b.doc_id
+         |LEFT JOIN nrl nr ON nr.doc_id = b.doc_id
+         |LEFT JOIN spl sp ON sp.doc_id = b.doc_id
+         |WHERE b.inc ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val withSn = t(s, d, "documents")
+        .withColumn("sn", expr("CAST(substring(source, 4, 10) AS BIGINT)"))
+      val corpus = withSn.where(col("sn") < 10)
+      val inc = withSn.where(col("sn") >= 10)
+      // in-memory stand-ins for the parquet artifacts the appenders
+      // write — cached because the winnow leg reads its table twice
+      // (df cap + join) and the composition is the production read path
+      val cFps = docFps(corpus).cache()
+      val cBands = docBands(corpus).cache()
+      val cPrints = docPrints(corpus).cache()
+      ingestDecision(inc, cFps, cBands, cPrints).orderBy("doc_id")
     }
   )
 
@@ -1420,6 +1502,139 @@ object DedupQueries extends QueryModule {
        epochId: Long) =>
         appendCorpusPrints(batch, artifactRoot, epochId)
     }
+  }
+
+  /** The (doc_id, xfp) normalized exact fingerprint of a documents frame
+    * — the EXACT member of the artifact family ([[docBands]] near,
+    * [[docPrints]] span, SimilarityOps.docVectors semantic): md5 of the
+    * lowercased, whitespace-collapsed text (the qp1/qp15 normalization;
+    * explicit class `[ \t\n\f\r\x0B]`, never `\s` — the qt4 dialect
+    * lesson). The column is `xfp`, NOT the print family's `fp`, so the
+    * two artifacts are schema-distinguishable and wiring one into the
+    * other's gate fails analysis instead of silently pairing unrelated
+    * hash spaces. A NULL-text doc keeps a NULL xfp and emits no pairs
+    * (both engines' md5(NULL) is NULL and equi-joins skip it). Pure
+    * column expressions — identical batch and streaming. */
+  def docFps(docs: DataFrame, extra: Seq[String] = Nil): DataFrame =
+    docs.select((col("doc_id") +: extra.map(col)) :+
+      md5(trim(regexp_replace(lower(col("text")),
+        "[ \\t\\n\\f\\r\\x0B]+", " "))).as("xfp"): _*)
+
+  /** The EXACT ingest gate — qp15's verdict as a stream-static join
+    * instead of a broadcast Bloom: incoming docs' normalized
+    * fingerprints ([[docFps]]) equi-join a PRECOMPUTED corpus
+    * fingerprint artifact, emitting DISTINCT (doc_id, old_id) exact-dup
+    * pairs. Unlike the other three gates this is not a first-pass cut —
+    * fingerprint equality IS the verdict (modulo md5 collision), and
+    * the pair carries WHICH corpus doc matched, which the Bloom form
+    * cannot answer. The Bloom gates (qp15/qp16) remain the cheaper
+    * map-only posture when only a boolean is needed; this form is the
+    * quartet-uniform one the artifact lifecycle and
+    * [[ingestDecision]] compose. Same watermark contract as the other
+    * gates (a streaming call without `eventTimeCol` is rejected by
+    * name). */
+  def exactGate(incoming: DataFrame, corpusFps: DataFrame,
+      eventTimeCol: Option[String] = None): DataFrame = {
+    val keep = eventTimeCol.toSeq
+    val cand = docFps(incoming, keep)
+      .join(corpusFps.select(col("doc_id").as("old_id"), col("xfp")),
+        Seq("xfp"))
+      .select((Seq("doc_id", "old_id") ++ keep).map(col): _*)
+    gatePairs(cand, incoming.isStreaming, eventTimeCol, "exactGate")
+  }
+
+  /** [[appendCorpusBands]]'s twin for the exact-fingerprint artifact:
+    * one epoch partition of the accepted docs' (doc_id, xfp) rows,
+    * same commit-once idempotence contract (the shared writeEpoch). */
+  def appendCorpusFps(accepted: DataFrame, artifactRoot: String,
+      epoch: Long): Unit =
+    writeEpoch(docFps(accepted), artifactRoot, epoch)
+
+  /** Read the corpus fingerprint artifact back as the (doc_id, xfp)
+    * frame [[exactGate]] consumes (epoch partition column pruned). */
+  def readCorpusFps(spark: SparkSession, artifactRoot: String): DataFrame =
+    spark.read.parquet(artifactRoot).select("doc_id", "xfp")
+
+  /** The streaming form of [[appendCorpusFps]] — foreachBatch at the
+    * epochId, exactly as corpusBandAppender/corpusPrintAppender. */
+  def corpusFpAppender(accepted: DataFrame,
+      artifactRoot: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(accepted.isStreaming,
+      "corpusFpAppender is the streaming form; batch callers use " +
+        "appendCorpusFps(df, root, epoch) with their own epoch key")
+    accepted.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       epochId: Long) =>
+        appendCorpusFps(batch, artifactRoot, epochId)
+    }
+  }
+
+  /** Verdict severity order of [[ingestDecision]], most severe first.
+    * Exact beats near beats span beats semantic: an exact copy fires
+    * every text gate, and the most specific reason is the actionable
+    * one (an exact dup is dropped outright; a near/span/semantic flag
+    * routes to its family's batch verify leg — qp5 Jaccard, qp26/qp34
+    * span confirm, qe5/qe8 exact cosine). */
+  val GateSeverity: Seq[String] = Seq("exact", "near", "span", "semantic")
+
+  /** One-call BATCH ingest decision over the dedup gate quartet: each
+    * incoming doc is screened by [[exactGate]], [[nearDupGate]],
+    * [[winnowGate]] and (when `vectors` provides the corpus vector
+    * artifact + its centroid set) SimilarityOps.semanticGate, and
+    * reduced to ONE verdict row
+    * (doc_id, n_exact, n_near, n_span, n_semantic, verdict, dup_of):
+    * per-gate distinct corpus-match counts, the most severe firing
+    * gate's name per [[GateSeverity]] ('accept' when none fired), and
+    * that gate's lowest-id corpus match for dup routing. Without a
+    * vector leg, n_semantic is a constant 0 so the schema is stable.
+    *
+    * BATCH ONLY, rejected by name on a stream: the final per-doc
+    * reduction is an aggregate over stream-derived joins, which no
+    * append-mode stream can carry — a streaming ingest composes the
+    * per-gate surfaces directly (each is stream-static legal) and
+    * resolves precedence in its sink. Scale shape: each leg is the
+    * already-audited gate join against its precomputed artifact; the
+    * reduction adds one partial-agg shuffle per leg at INCREMENT arity
+    * (a day's docs, not the corpus) plus increment-keyed left joins —
+    * nothing touches corpus cardinality beyond the gates themselves. */
+  def ingestDecision(incoming: DataFrame,
+      corpusFps: DataFrame, corpusBands: DataFrame, corpusPrints: DataFrame,
+      vectors: Option[(DataFrame, Array[(Int, Array[Double])])] = None,
+      tau6: Long = 950000L, nprobe: Int = 2, maxDf: Int = 10,
+      arrCol: String = "embedding"): DataFrame = {
+    require(!incoming.isStreaming,
+      "ingestDecision is the batch composition (its per-doc verdict " +
+        "reduction is an aggregate no append-mode stream can carry); a " +
+        "streaming ingest composes exactGate/nearDupGate/winnowGate/" +
+        "semanticGate directly")
+    val legs: Seq[(String, DataFrame)] = Seq(
+      ("exact", exactGate(incoming, corpusFps)),
+      ("near", nearDupGate(incoming, corpusBands)),
+      ("span", winnowGate(incoming, corpusPrints, maxDf = maxDf))) ++
+      vectors.map { case (cv, cents) =>
+        ("semantic", SimilarityOps.semanticGate(incoming, cv, cents,
+          tau6, nprobe, arrCol = arrCol))
+      }
+    val joined = legs.foldLeft(incoming.select(col("doc_id"))) {
+      case (acc, (nm, pairs)) =>
+        acc.join(pairs.groupBy("doc_id")
+            .agg(count(lit(1)).as(s"n_$nm"),
+              min(col("old_id")).as(s"of_$nm")),
+          Seq("doc_id"), "left")
+    }
+    val full = if (vectors.isDefined) joined
+      else joined.withColumn("n_semantic", lit(0L))
+        .withColumn("of_semantic", lit(null).cast("long"))
+    val n = GateSeverity.map(g => coalesce(col(s"n_$g"), lit(0L)))
+    full.select(
+      col("doc_id") +:
+        GateSeverity.zip(n).map { case (g, c) => c.as(s"n_$g") } :+
+        GateSeverity.zip(n).foldRight(lit("accept")) {
+          case ((g, c), acc) => when(c > 0, g).otherwise(acc)
+        }.as("verdict") :+
+        GateSeverity.zip(n).foldRight(lit(null).cast("long")) {
+          case ((g, c), acc) => when(c > 0, col(s"of_$g")).otherwise(acc)
+        }.as("dup_of"): _*)
   }
 
   /** Blank-line paragraph segmentation — the canonical splitter for

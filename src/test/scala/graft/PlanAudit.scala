@@ -431,6 +431,21 @@ object PlanAudit {
         qe18.contains("partial_min") &&
         !qe18.contains("CartesianProduct"))
 
+    // ingest decision: all three gate legs are KEYED joins over the
+    // cached corpus artifacts (exact on xfp, near on (band, bv), span
+    // on fp — never a doc product), each leg's per-doc verdict
+    // reduction partial-aggregates (map-side count+min before the
+    // doc_id shuffle), and no CartesianProduct anywhere
+    val qp37 = plan("qp37_ingest_decision")
+    check("qp37 keyed gate joins over cached artifacts + partial-agg " +
+        "verdict reduction; no cartesian",
+      qp37.contains("Join [xfp") &&
+        qp37.contains("Join [band") &&
+        qp37.contains("Join [fp") &&
+        qp37.contains("partial_min") &&
+        qp37.contains("InMemoryRelation") &&
+        !qp37.contains("CartesianProduct"))
+
     // gram novelty: first_seen is ONE map-side-combined gram groupBy
     // (partial_min before the shuffle), checkpoints broadcast —
     // never four conditional-DISTINCT shuffles

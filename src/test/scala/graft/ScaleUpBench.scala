@@ -197,6 +197,13 @@ object ScaleUpBench {
     // slice), so a measurement would read flat by construction — slice
     // constancy, not scale evidence. Their corpus-growing machinery
     // (the print table / band table) is qp34's / qp4's measured row.
+    // round 18 continuation: qp37_ingest_decision is EXCLUDED for the
+    // qp32/qp33 reason — its verdict rows are LEFT JOINs onto the
+    // unique-keyed per-gate aggregates, which count() eliminates, so
+    // none of the gate legs would run under the protocol; each leg's
+    // corpus-growing machinery has its own measured row (qp1 exact
+    // fingerprints, qp4 bands, qp34 prints) and the keyed
+    // increment-vs-corpus join structure is PlanAudit fact 154.
 
   private def timeQuery(spark: SparkSession, name: String,
       dir: String): (Double, Double) = {
