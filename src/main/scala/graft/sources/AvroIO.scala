@@ -354,6 +354,15 @@ object AvroIO {
         // all parts share one schema — this makes a violation loud)
         val reader = new DataFileStream[GenericRecord](in,
           new GenericDatumReader[GenericRecord](null, schema))
+        // exhaustion closes the stream below, but an early-terminated
+        // consumer (limit/take, a downstream failure) never reaches it —
+        // the write path's r17 leak lesson, read form: tie the close to
+        // task completion so no partition pins its input stream for the
+        // executor's lifetime (double-close is a no-op on DataFileStream)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit] { _ =>
+            try reader.close() catch { case _: java.io.IOException => () }
+          })
         new Iterator[Row] {
           def hasNext: Boolean = {
             val h = reader.hasNext
