@@ -163,7 +163,13 @@ object SqlQueries extends QueryModule {
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
 
     // TPC-H Q17 shape: correlated scalar AGGREGATE subquery against the
-    // outer join's dimension key inside a WHERE comparison
+    // outer join's dimension key inside a WHERE comparison.
+    // The raw AVG(l_quantity) here — and the raw SUM(l_quantity) in
+    // qsql10/qsql15 — is deliberate, NOT a missed Det.DAVG: quantities
+    // are integral-valued doubles, and integer sums stay exact in IEEE
+    // double (every partial sum is an integer < 2^53), so the aggregate
+    // is order-independent without the decimal detour. Contrast qsql6,
+    // whose cents-valued o_totalprice needs it.
     sqlBoth("qsql9_small_quantity_revenue",
       """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8)))
         |    AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
