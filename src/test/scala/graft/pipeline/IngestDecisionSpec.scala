@@ -68,6 +68,23 @@ class IngestDecisionSpec extends SparkSuite {
     assert(got == Set((100L, 2L)),
       s"exactGate must flag the normalized variant only: $got")
 
+    // corpus-INTERNAL duplicates: when the artifact holds two copies of
+    // a text, an incoming copy pairs with BOTH (n_exact counts matches,
+    // dup_of routes to the lowest id) — the n > 1 path of the verdict
+    // reduction
+    val artDup = art.union(DedupQueries.docFps(
+      Seq((50L, corpusText(2)._2)).toDF("doc_id", "text")))
+    val both = DedupQueries.exactGate(incoming, artDup)
+      .as[(Long, Long)].collect().toSet
+    assert(both == Set((100L, 2L), (100L, 50L)),
+      s"an incoming copy must pair with every corpus copy: $both")
+    val decDup = DedupQueries.ingestDecision(incoming, artDup,
+        DedupQueries.docBands(corpusDf), DedupQueries.docPrints(corpusDf))
+      .where(col("doc_id") === 100L)
+      .select("n_exact", "dup_of").as[(Long, Option[Long])].collect().head
+    assert(decDup == ((2L, Some(2L))),
+      s"n_exact must count both copies and dup_of take the lowest: $decDup")
+
     // stream-static: same verdicts, and the no-watermark call is
     // rejected by name (the shared gatePairs contract)
     implicit val sqlCtx = spark.sqlContext
