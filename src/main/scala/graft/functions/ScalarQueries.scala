@@ -216,6 +216,11 @@ object ScalarQueries extends QueryModule {
 
     // Array/collection function catalog over real array data (tokens):
     // sort, distinct, contains, position, min/max, slice, flatten.
+    // Dialect alignment (adversarial-fixture check): DuckDB's
+    // array_to_string([], sep) is NULL where Spark's array_join([], sep)
+    // is '' — the mid_slice CASE pins empty-slice → '' while keeping a
+    // NULL input array NULL in both engines (a < 2-token doc's [2:4]
+    // slice is empty; the benign fixture never produces one).
     q("qs8_array_funcs",
       """WITH tk AS (SELECT doc_id, string_split(text, ' ')[1:8] AS a
         |  FROM documents WHERE doc_id < 100)
@@ -226,7 +231,8 @@ object ScalarQueries extends QueryModule {
         |  CAST(coalesce(list_position(a, 'data'), 0) AS INTEGER) AS data_pos,
         |  list_min(a) AS min_tok,
         |  list_max(a) AS max_tok,
-        |  array_to_string(a[2:4], '|') AS mid_slice,
+        |  CASE WHEN a IS NULL THEN NULL
+        |    ELSE coalesce(array_to_string(a[2:4], '|'), '') END AS mid_slice,
         |  array_to_string(flatten([a[1:2], a[3:4]]), ',') AS flat
         |FROM tk ORDER BY doc_id""".stripMargin) { (s, d) =>
       t(s, d, "documents")
@@ -236,7 +242,12 @@ object ScalarQueries extends QueryModule {
           array_join(array_sort(col("a")), " ").as("sorted_tokens"),
           size(array_distinct(col("a"))).as("n_distinct"),
           array_contains(col("a"), "the").as("has_the"),
-          array_position(col("a"), "data").cast("int").as("data_pos"),
+          // coalesce aligns the NULL-ARRAY input (null text) with the
+          // oracle's coalesce: Spark's array_position returns 0 for an
+          // absent element but NULL for a null array, where the oracle's
+          // list_position is NULL for both and coalesces to 0
+          coalesce(array_position(col("a"), "data"), lit(0L)).cast("int")
+            .as("data_pos"),
           array_min(col("a")).as("min_tok"),
           array_max(col("a")).as("max_tok"),
           array_join(expr("slice(a, 2, 3)"), "|").as("mid_slice"),
@@ -248,12 +259,18 @@ object ScalarQueries extends QueryModule {
     // COLLECT multiset via the Aggregator-based UDAF (reference:
     // CollectAggFunction.scala / SQL COLLECT → MULTISET), rendered as a
     // canonical "value:count" string for the hash compare.
+    // NULL alignment (adversarial-fixture check): the UDAF skips NULL
+    // inputs (SQL aggregate semantics), string_agg's NULL elements drop
+    // on the oracle side, and a group whose EVERY quantity is NULL
+    // renders the empty multiset '' in both engines (the COALESCE —
+    // string_agg over all-NULLs is NULL where array_join of an empty
+    // map is '').
     q("qs7_collect_multiset",
       """WITH c AS (SELECT l_orderkey, CAST(floor(l_quantity) AS INTEGER) AS qty,
         |    COUNT(*) AS n
         |  FROM lineitem GROUP BY 1, 2)
         |SELECT l_orderkey,
-        |  string_agg(qty || ':' || n, ',' ORDER BY qty) AS multiset
+        |  COALESCE(string_agg(qty || ':' || n, ',' ORDER BY qty), '') AS multiset
         |FROM c GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
       graft.functions.Udafs.register(s)
       t(s, d, "lineitem")
@@ -330,6 +347,9 @@ object ScalarQueries extends QueryModule {
     // hex-nibble hash, bottom-64 by hash, rank over the sample). Median
     // and p90 are rank statistics of the sample; `value` is a raw
     // 2-decimal data column, so the doubles compare exactly.
+    // NULL metrics are excluded on BOTH sides (adversarial-fixture
+    // check): the sketch skips NULL-valued inputs like every SQL
+    // quantile aggregate, and the oracle filters them before sampling.
     q("qs11_kll_quantiles",
       """WITH h AS (SELECT event_type, value AS v,
         |    list_aggregate(list_transform(generate_series(1, 15), i ->
@@ -338,7 +358,7 @@ object ScalarQueries extends QueryModule {
         |            CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
         |        * (CAST(1 AS BIGINT) << CAST((15 - i) * 4 AS INTEGER))),
         |      'sum') AS hv
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |d AS (SELECT event_type, hv, MIN(v) AS v FROM h GROUP BY 1, 2),
         |r AS (SELECT event_type, v,
         |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn

@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions.udaf
   */
 object Udafs {
 
-  /** SQL COLLECT: multiset of ints as a value→count map. */
-  class MultisetAgg extends Aggregator[Int, Map[Int, Int], Map[Int, Int]] {
+  /** SQL COLLECT: multiset of ints as a value→count map. Boxed input:
+    * a primitive-Int Aggregator silently UNBOXES a NULL row to 0 and
+    * counts it (found by the adversarial-fixture check — a NULL
+    * quantity minted a phantom '0:1' entry); SQL aggregates skip NULL
+    * inputs, as every other aggregator in this file already does. */
+  class MultisetAgg
+      extends Aggregator[java.lang.Integer, Map[Int, Int], Map[Int, Int]] {
     def zero: Map[Int, Int] = Map.empty
-    def reduce(b: Map[Int, Int], a: Int): Map[Int, Int] =
-      b.updated(a, b.getOrElse(a, 0) + 1)
+    def reduce(b: Map[Int, Int], a: java.lang.Integer): Map[Int, Int] =
+      if (a == null) b else b.updated(a.intValue,
+        b.getOrElse(a.intValue, 0) + 1)
     def merge(x: Map[Int, Int], y: Map[Int, Int]): Map[Int, Int] =
       y.foldLeft(x) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0) + v) }
     def finish(b: Map[Int, Int]): Map[Int, Int] = b
@@ -285,7 +291,11 @@ object Udafs {
 
   /** Input row for [[KllAgg]]: a row-unique id (the sampling key) and
     * the measured value. */
-  final case class KllIn(id: String, v: Double)
+  /** Boxed value (adversarial-fixture check): a primitive field made
+    * the udaf input conversion coerce a schema-legal NULL metric to
+    * 0.0 and sketch a phantom sample row; SQL quantile aggregates skip
+    * NULL inputs. */
+  final case class KllIn(id: String, v: java.lang.Double)
 
   /** Mergeable QUANTILE sketch — the third seat in the 100 TB dashboard
     * trio (distinct = [[HllAgg]]/[[KmvAgg]], quantile = this), filled by
@@ -315,7 +325,7 @@ object Udafs {
 
     def reduce(buf: (Array[Long], Array[Double]), in: KllIn):
         (Array[Long], Array[Double]) = {
-      if (in == null || in.id == null) return buf
+      if (in == null || in.id == null || in.v == null) return buf
       val (hs, vs) = buf
       val h = hash60(in.id)
       val i = java.util.Arrays.binarySearch(hs, h)
@@ -620,7 +630,7 @@ object Udafs {
     if (spark.sessionState.functionRegistry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("graft_multiset")))
       return
-    spark.udf.register("graft_multiset", udaf(new MultisetAgg))
+    spark.udf.register("graft_multiset", udaf(new MultisetAgg, Encoders.INT))
     spark.udf.register("graft_weighted_avg",
       udaf(new WeightedAvgAgg, Encoders.product[WeightedIn]))
     spark.udf.register("graft_hll", udaf(new HllAgg, Encoders.STRING))
@@ -645,12 +655,20 @@ object Udafs {
     spark.udf.register("graft_cms_str",
       udaf(new CmsStrAgg, Encoders.STRING))
     spark.udf.register("graft_cms_est_str",
-      (sk: Seq[Long], key: String) => cmsEstStr(sk.toArray, key))
+      (sk: Seq[Long], key: String) =>
+        if (key == null) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(cmsEstStr(sk.toArray, key)))
     spark.udf.register("graft_reservoir",
       udaf(new ReservoirAgg, Encoders.STRING))
     spark.udf.register("graft_bloom",
       udaf(new BloomAgg, Encoders.STRING))
+    // null guard (adversarial-fixture check): a NULL key previously
+    // reached hash60(null) and threw NPE mid-query; SQL semantics make
+    // membership-of-NULL unknown → NULL, which is also what the qp15
+    // oracle's three-valued BOOL_AND(p IN ...) yields for it
     spark.udf.register("graft_bloom_contains",
-      (sk: Seq[Long], key: String) => bloomContains(sk.toArray, key))
+      (sk: Seq[Long], key: String) =>
+        if (key == null) null.asInstanceOf[java.lang.Boolean]
+        else java.lang.Boolean.valueOf(bloomContains(sk.toArray, key)))
   }
 }

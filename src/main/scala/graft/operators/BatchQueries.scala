@@ -515,19 +515,24 @@ object BatchQueries extends QueryModule {
     // Both sides floor() before the int cast: DuckDB CAST(double AS INT)
     // ROUNDS (2.6 → 3) where Spark's cast TRUNCATES (2.6 → 2) — identical
     // only because fixture quantities are integral; flooring first makes the
-    // cast semantics explicit and engine-independent.
+    // cast semantics explicit and engine-independent. The ORDER BY carries
+    // an explicit NULLS FIRST (adversarial-fixture check): qty derives from
+    // the NULLABLE l_quantity, set ops match NULLs null-safely in both
+    // engines, and the two engines' implicit defaults DIFFER (Spark ASC =
+    // NULLS FIRST, DuckDB ASC = NULLS LAST) — a surviving NULL row would
+    // land at opposite ends of the output.
     q("q26_intersect_all",
       """SELECT qty FROM (
         |  SELECT CAST(floor(l_quantity) AS INTEGER) AS qty FROM lineitem WHERE l_returnflag = 'A'
         |  INTERSECT ALL
         |  SELECT CAST(floor(l_quantity) AS INTEGER) AS qty FROM lineitem WHERE l_returnflag = 'N')
-        |ORDER BY qty""".stripMargin) { (s, d) =>
+        |ORDER BY qty NULLS FIRST""".stripMargin) { (s, d) =>
       val li = t(s, d, "lineitem")
       li.where(col("l_returnflag") === "A")
         .select(floor(col("l_quantity")).cast("int").as("qty"))
         .intersectAll(li.where(col("l_returnflag") === "N")
           .select(floor(col("l_quantity")).cast("int").as("qty")))
-        .orderBy(col("qty"))
+        .orderBy(col("qty").asc_nulls_first)
     },
 
     q("q27_except_all",
@@ -535,13 +540,13 @@ object BatchQueries extends QueryModule {
         |  SELECT CAST(floor(l_quantity) AS INTEGER) AS qty FROM lineitem WHERE l_returnflag = 'A'
         |  EXCEPT ALL
         |  SELECT CAST(floor(l_quantity) AS INTEGER) AS qty FROM lineitem WHERE l_returnflag = 'R')
-        |ORDER BY qty""".stripMargin) { (s, d) =>
+        |ORDER BY qty NULLS FIRST""".stripMargin) { (s, d) =>
       val li = t(s, d, "lineitem")
       li.where(col("l_returnflag") === "A")
         .select(floor(col("l_quantity")).cast("int").as("qty"))
         .exceptAll(li.where(col("l_returnflag") === "R")
           .select(floor(col("l_quantity")).cast("int").as("qty")))
-        .orderBy(col("qty"))
+        .orderBy(col("qty").asc_nulls_first)
     },
 
     // Null-safe equi-join (IS NOT DISTINCT FROM / <=> — reference

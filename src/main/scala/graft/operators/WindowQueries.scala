@@ -146,12 +146,19 @@ object WindowQueries extends QueryModule {
     // SESSION group window, 10-minute gap, per user (reference: Session DSL
     // windows.scala:335; merging assigner MergingWindowAssigner.java).
     // Oracle = classic gaps-and-islands; session start = first event ts.
+    // The gap boundary is INCLUSIVE on the merge side (adversarial-
+    // fixture check): an event arriving EXACTLY gap after its
+    // predecessor extends the session in Spark's session_window AND in
+    // the reference (TimeWindow.intersects uses <=), so the oracle
+    // breaks only on strictly-greater gaps — the benign fixture's
+    // second-granular timestamps never landed on the exact boundary,
+    // hiding the >= off-by-one.
     q("qw7_session",
       s"""WITH g AS (
          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
          |    CASE WHEN CAST(ts AS TIMESTAMP)
          |      - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
-         |      >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk
+         |      > INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk
          |  FROM events),
          |sess AS (
          |  SELECT user_id, ts, value,

@@ -456,8 +456,11 @@ object DedupQueries extends QueryModule {
         .withColumn("tk", split(col("text"), " "))
         // native single-pass expression (graft.functions.SimHash64); the
         // equivalent SQL-lambda formulation is kept bit-identical by
-        // ExpressionsSpec
-        .withColumn("simhash", expr("graft_simhash64(tk)"))
+        // ExpressionsSpec. coalesce: a NULL-text doc (null token array)
+        // gets the zero-content simhash 0 — the value the oracle's
+        // all-votes-negative fold produces for it — instead of
+        // null-propagating (adversarial-fixture check)
+        .withColumn("simhash", coalesce(expr("graft_simhash64(tk)"), lit(0L)))
         .select(col("doc_id"), col("simhash"),
           col("simhash").bitwiseAND(lit(0xFFFFL)).as("band0"),
           shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)).as("band1"),
@@ -540,7 +543,8 @@ object DedupQueries extends QueryModule {
          |hist AS (SELECT DISTINCT
          |    ((CAST(hp.a AS BIGINT) * (hh.h % 2147483647) + hp.b)
          |      % 2147483647) % 1048576 AS p
-         |  FROM hh CROSS JOIN hp WHERE hh.sn < 10),
+         |  FROM hh CROSS JOIN hp
+         |  WHERE hh.sn < 10 AND hh.h IS NOT NULL),
          |chk AS (SELECT hh.doc_id,
          |    ((CAST(hp.a AS BIGINT) * (hh.h % 2147483647) + hp.b)
          |      % 2147483647) % 1048576 AS p

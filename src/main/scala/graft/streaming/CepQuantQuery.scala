@@ -9,7 +9,7 @@ import java.sql.Timestamp
   * of the user is also an error.
   */
 object CepQuantQuery extends QueryModule {
-  import CepQueries.EventRow
+  import CepQueries.SlimRow
 
   final case class PairOut(user_id: Long, first_ts: Timestamp, second_ts: Timestamp)
 
@@ -27,15 +27,15 @@ object CepQuantQuery extends QueryModule {
         |ORDER BY user_id, first_ts, second_ts""".stripMargin) { (s, d) =>
       import s.implicits._
       val ds = t(s, d, "events")
-        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
-        .as[EventRow]
-      val pattern = Cep.Pattern.begin[EventRow]("err")(_.event_type == "error")
+        .selectExpr("event_id", "ts", "user_id", "event_type")
+        .as[SlimRow]
+      val pattern = Cep.Pattern.begin[SlimRow]("err")(_.event_type == "error")
         .times(2)
       def micros(t: Timestamp): Long =
         t.getTime * 1000 + (t.getNanos / 1000) % 1000
-      Cep.matchBatchGroups(ds, (e: EventRow) => e.user_id,
-        (e: EventRow) => micros(e.ts), pattern,
-        tie = (e: EventRow) => e.event_id) { (u, m) =>
+      Cep.matchBatchGroups(ds, (e: SlimRow) => e.user_id,
+        (e: SlimRow) => micros(e.ts), pattern,
+        tie = (e: SlimRow) => e.event_id) { (u, m) =>
         val errs = m("err")
         PairOut(u, errs.head.ts, errs(1).ts)
       }.toDF().orderBy("user_id", "first_ts", "second_ts")
@@ -66,15 +66,15 @@ object CepQuantQuery extends QueryModule {
         |ORDER BY m.user_id, m.first_ts, last_ts""".stripMargin) { (s, d) =>
       import s.implicits._
       val ds = t(s, d, "events")
-        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
-        .as[EventRow]
-      val pattern = Cep.Pattern.begin[EventRow]("err")(_.event_type == "error")
+        .selectExpr("event_id", "ts", "user_id", "event_type")
+        .as[SlimRow]
+      val pattern = Cep.Pattern.begin[SlimRow]("err")(_.event_type == "error")
         .times(2, 3)
       def micros(t: Timestamp): Long =
         t.getTime * 1000 + (t.getNanos / 1000) % 1000
-      Cep.matchBatchGroups(ds, (e: EventRow) => e.user_id,
-        (e: EventRow) => micros(e.ts), pattern,
-        tie = (e: EventRow) => e.event_id) { (u, m) =>
+      Cep.matchBatchGroups(ds, (e: SlimRow) => e.user_id,
+        (e: SlimRow) => micros(e.ts), pattern,
+        tie = (e: SlimRow) => e.event_id) { (u, m) =>
         val errs = m("err")
         (u, errs.head.ts, errs.last.ts)
       }.toDF("user_id", "first_ts", "last_ts")
@@ -97,17 +97,17 @@ object CepQuantQuery extends QueryModule {
         |ORDER BY user_id, first_ts, second_ts""".stripMargin) { (s, d) =>
       import s.implicits._
       val ds = t(s, d, "events")
-        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
-        .as[EventRow]
+        .selectExpr("event_id", "ts", "user_id", "event_type")
+        .as[SlimRow]
       val pattern = Cep.Pattern
-        .begin[EventRow]("bad")(_.event_type == "error")
+        .begin[SlimRow]("bad")(_.event_type == "error")
         .or(_.event_type == "purchase")
         .times(2).consecutive
       def micros(t: Timestamp): Long =
         t.getTime * 1000 + (t.getNanos / 1000) % 1000
-      Cep.matchBatchGroups(ds, (e: EventRow) => e.user_id,
-        (e: EventRow) => micros(e.ts), pattern,
-        tie = (e: EventRow) => e.event_id) { (u, m) =>
+      Cep.matchBatchGroups(ds, (e: SlimRow) => e.user_id,
+        (e: SlimRow) => micros(e.ts), pattern,
+        tie = (e: SlimRow) => e.event_id) { (u, m) =>
         val g = m("bad")
         PairOut(u, g.head.ts, g(1).ts)
       }.toDF("user_id", "first_ts", "second_ts")

@@ -15,8 +15,12 @@ import java.sql.Timestamp
   */
 object CepQueries extends QueryModule {
 
-  final case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
-      event_type: String, value: Double)
+  /** The CEP event projection: exactly the columns a pattern reads.
+    * Never carry `value` (or other metric columns) through a CEP
+    * encoder: none of the patterns reference it, and a primitive
+    * field makes a schema-legal NULL metric CRASH the deserializer
+    * ([NOT_NULL_ASSERT_VIOLATION] — adversarial-fixture check) besides
+    * defeating column pruning at the scan. */
   final case class SlimRow(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String)
   final case class CepMatch(user_id: Long, start_ts: Timestamp, end_ts: Timestamp)
