@@ -37,12 +37,19 @@ object GraphOps {
   private def materialize(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = true)
 
-  /** Undirected view of an edge list (plus self-loops removed). */
-  private def undirect(edges: DataFrame): DataFrame = {
+  /** Undirected view of an edge list (plus self-loops removed).
+    * `dedup = false` skips the `.distinct()` — ONLY for callers that (a)
+    * prove the input is already deduplicated with at most one orientation
+    * per undirected edge (so the reversed union cannot create duplicates)
+    * AND (b) feed a duplicate-insensitive consumer (min-label/min-dist
+    * propagation). The distinct is a full 2E-row exchange + aggregate; on
+    * an already-distinct input it is a pure pre-loop tax (optimization
+    * r18, guide §2.4 "a distinct on data that is already unique"). */
+  private def undirect(edges: DataFrame, dedup: Boolean = true): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val u = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
-      .distinct()
+    if (dedup) u.distinct() else u
   }
 
   /** Min-label propagation with pointer jumping until fixpoint: every
@@ -54,18 +61,37 @@ object GraphOps {
     * 1000-executor cluster against a high-diameter graph (web chains, long
     * user journeys) that difference is the whole game: each round is two
     * key-partitioned shuffles, so total work is O(E log d), not O(E d). */
+  /** @param edgesDistinct caller-asserted: the input edge list is already
+    *   deduplicated and carries at most one orientation per undirected
+    *   edge, so `undirect` may skip its full-data `.distinct()` pass
+    *   (optimization r18). Min-label propagation is duplicate-INSENSITIVE,
+    *   so a wrong assertion degrades only performance, never the result.
+    *   Both in-repo callers qualify provably: qg1's tradeEdges is a
+    *   groupBy output over a bipartite even/odd id split (reversal flips
+    *   parity — orientations cannot collide) and dupClusters' pairs are
+    *   DISTINCT with src < dst strict. */
   def connectedComponents(edges: DataFrame,
-      maxIter: Int = 50): DataFrame = {
-    val und = undirect(edges)
+      maxIter: Int = 50, edgesDistinct: Boolean = false): DataFrame = {
+    val und = undirect(edges, dedup = !edgesDistinct)
     // self-edges fold "min over neighbors ∪ self" into ONE aggregate (no
     // left-join back onto the labels), and guarantee every vertex appears
-    // in the aggregate output
+    // in the aggregate output. The cache is REPARTITIONED BY src — the
+    // per-round join key — so every round's join reads the cached side
+    // with no exchange (optimization r18, guide §2.4 "two operations
+    // keyed the same way share one exchange"): one build-time shuffle of
+    // E+V rows replaces one per-round shuffle of the same rows, a net
+    // win for every graph (rounds >= 2 always — convergence needs one
+    // unchanged round).
     val selfed = und.unionAll(
         und.select(col("src")).distinct()
           .select(col("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .cache()
-    var labels = selfed.select(col("dst").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // initial labels = the self-edge rows (exactly one per vertex, by the
+    // distinct above) — a FILTER over the cache instead of the former
+    // full distinct exchange over it (optimization r18)
+    var labels = selfed.where(col("src") === col("dst"))
+      .select(col("src").as("id"), col("src").as("comp"))
     var prevSum: java.math.BigDecimal = null
     var done = false
     var i = 0
@@ -123,8 +149,13 @@ object GraphOps {
     * distances than the directed truth here — no directed variant is
     * shipped (none of the reference's own test graphs exercise one). */
   def sssp(edges: DataFrame, source: Long,
-      maxIter: Int = 50): DataFrame = {
-    val und = undirect(edges).cache()
+      maxIter: Int = 50, edgesDistinct: Boolean = false): DataFrame = {
+    // same r18 optimizations as connectedComponents: caller-asserted
+    // distinctness skips the pre-loop dedup exchange (min-dist relaxation
+    // is duplicate-insensitive), and the cache is partitioned by the
+    // per-round join key so each relaxation round reads it exchange-free
+    val und = undirect(edges, dedup = !edgesDistinct)
+      .repartition(col("src")).cache()
     var dist = und.sparkSession.range(1)
       .select(lit(source).as("id"), lit(0.0).as("dist"))
     // Convergence in ONE scalar action per round (the CC pattern): the

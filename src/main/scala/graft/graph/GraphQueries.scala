@@ -68,7 +68,10 @@ object GraphQueries extends QueryModule {
          |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
          |SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS comp
          |FROM reach GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
-      GraphOps.connectedComponents(tradeEdges(s, d))
+      // edgesDistinct: tradeEdges is a groupBy output (distinct pairs) over
+      // the bipartite even/odd id split — reversal flips parity, so the
+      // undirected union cannot create duplicates (optimization r18)
+      GraphOps.connectedComponents(tradeEdges(s, d), edgesDistinct = true)
         .select(col("id"), col("comp"))
         .orderBy(col("id"))
     },
@@ -89,7 +92,7 @@ object GraphQueries extends QueryModule {
       // undirected edge list, i.e. all endpoints)
       val source = edges.agg(least(min(col("src")), min(col("dst"))))
         .first().getLong(0)
-      GraphOps.sssp(edges, source)
+      GraphOps.sssp(edges, source, edgesDistinct = true) // same proof as qg1
         .select(col("id"), col("dist"))
         .orderBy(col("id"))
     },

@@ -101,7 +101,9 @@ object DedupQueries extends QueryModule {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
       .distinct()
-    graft.graph.GraphOps.connectedComponents(pairs)
+    // edgesDistinct: pairs is DISTINCT with doc_a < doc_b strict, so the
+    // undirected union cannot create duplicates (optimization r18)
+    graft.graph.GraphOps.connectedComponents(pairs, edgesDistinct = true)
       .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
   }
 

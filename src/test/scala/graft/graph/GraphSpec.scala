@@ -21,6 +21,29 @@ class GraphSpec extends SparkSuite {
     assert(comp(20L) == 20L && comp(21L) == 20L)
   }
 
+  test("connectedComponents/sssp edgesDistinct fast path matches default, " +
+      "and stays correct even when the assertion is false") {
+    // the fixture is distinct single-orientation — the assertion holds
+    val viaFlag = GraphOps.connectedComponents(edges, edgesDistinct = true)
+      .as[(Long, Long)].collect().toMap
+    val viaDefault = GraphOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(viaFlag === viaDefault)
+    // a LYING caller (duplicates + both orientations) degrades only
+    // performance: min-label propagation is duplicate-insensitive
+    val messy = edges.unionAll(edges)
+      .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
+    val viaLie = GraphOps.connectedComponents(messy, edgesDistinct = true)
+      .as[(Long, Long)].collect().toMap
+    assert(viaLie === viaDefault)
+    val d1 = GraphOps.sssp(edges, 1L, edgesDistinct = true)
+      .as[(Long, Double)].collect().toMap
+    val d2 = GraphOps.sssp(messy, 1L, edgesDistinct = true)
+      .as[(Long, Double)].collect().toMap
+    val d0 = GraphOps.sssp(edges, 1L).as[(Long, Double)].collect().toMap
+    assert(d1 === d0 && d2 === d0)
+  }
+
   test("sssp computes hop distances and omits unreachable vertices") {
     val dist = GraphOps.sssp(edges, 1L)
       .as[(Long, Double)].collect().toMap
