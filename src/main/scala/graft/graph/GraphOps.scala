@@ -211,8 +211,11 @@ object GraphOps {
   def pageRank(edges: DataFrame,
       iters: Int = 10, damping: Double = 0.85,
       deterministic: Boolean = false): DataFrame = {
+    // cache partitioned by src — the contribs join key — so each of the
+    // `iters` rounds reads the edge cache exchange-free (optimization r18)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .where(col("src") =!= col("dst")).distinct().cache()
+      .where(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).cache()
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
     val n = vertices.count().toDouble
@@ -280,8 +283,10 @@ object GraphOps {
       merge: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       update: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
         => org.apache.spark.sql.Column): DataFrame = {
+    // src-partitioned cache: the per-superstep scatter join reads it
+    // exchange-free (optimization r18)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .cache()
+      .repartition(col("src")).cache()
     var verts = materialize(
       initial.select(col("id").cast("long"), col("state")))
     try {
@@ -327,7 +332,7 @@ object GraphOps {
     val w = if (edges.columns.contains("weight")) col("weight")
       else lit(null).cast("double")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
-      w.as("weight")).cache()
+      w.as("weight")).repartition(col("src")).cache() // r18: superstep key
     var verts = materialize(
       initial.select(col("id").cast("long"), col("state")))
     try {
@@ -369,7 +374,7 @@ object GraphOps {
     val w = if (edges.columns.contains("weight")) col("weight")
       else lit(null).cast("double")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
-      w.as("weight")).cache()
+      w.as("weight")).repartition(col("src")).cache() // r18: triplet src key
     var verts = materialize(
       initial.select(col("id").cast("long"), col("state")))
     try {
@@ -404,8 +409,11 @@ object GraphOps {
     * irrelevant for ranking, decisive for cross-engine verification. */
   def pageRankScaled(edges: DataFrame,
       iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    // src-partitioned cache: per-round contribs join reads it
+    // exchange-free (optimization r18, same as pageRank)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .where(col("src") =!= col("dst")).distinct().cache()
+      .where(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).cache()
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
     try {
@@ -460,8 +468,11 @@ object GraphOps {
     * @return (id, hub, auth) with BIGINT scores
     */
   def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
+    // src-partitioned cache: the auth-gather join (e.src = id) reads it
+    // exchange-free each round; the hub-gather join keys by dst and still
+    // shuffles — one key has to lose (optimization r18)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().cache()
+      .distinct().repartition(col("src")).cache()
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
     val dec = DecimalType(38, 0)
@@ -676,7 +687,10 @@ object GraphOps {
   def communityDetection(edges: DataFrame,
       iterations: Int = 4, delta: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val und = undirect(edges).cache()
+    // src-partitioned cache: the per-round vote join reads it
+    // exchange-free (optimization r18). The score sum stays exact at any
+    // aggregation order (multiples of 0.5 well inside the double mantissa).
+    val und = undirect(edges).repartition(col("src")).cache()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).withColumn("score", lit(1.0))
     try {
@@ -713,7 +727,8 @@ object GraphOps {
   def labelPropagation(edges: DataFrame,
       iterations: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val und = undirect(edges).cache()
+    // src-partitioned cache, same rationale as communityDetection
+    val und = undirect(edges).repartition(col("src")).cache()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     try {
