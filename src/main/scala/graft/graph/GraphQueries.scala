@@ -345,7 +345,11 @@ object GraphQueries extends QueryModule {
          |  CAST(w - 3 * t AS BIGINT) AS t2,
          |  CAST(t AS BIGINT) AS t3
          |FROM s, mm, tri""".stripMargin) { (s, d) =>
-      GraphOps.triadicCensus(coPurchaseEdges(s, d))
+      // cache: triadicCensus reads its edge input three ways (degree
+      // aggregate, edge count, triangle self-join) — uncached, the whole
+      // 4-table co-purchase build repeated per consumer (optimization
+      // r18; qg4/qg5 already cached for the same reason)
+      GraphOps.triadicCensus(coPurchaseEdges(s, d).cache())
     },
 
     // Local clustering coefficient (reference: clustering/undirected/
@@ -369,7 +373,10 @@ object GraphQueries extends QueryModule {
          |    ELSE 0.0 END AS coeff
          |FROM deg LEFT JOIN tc ON tc.v = deg.v
          |ORDER BY v""".stripMargin) { (s, d) =>
-      GraphOps.localClusteringCoefficient(coPurchaseEdges(s, d))
+      // cache: the coefficient reads its edge input three ways too
+      // (degrees, triangle self-join, per-vertex membership counts) —
+      // same recompute class as qg9 (optimization r18)
+      GraphOps.localClusteringCoefficient(coPurchaseEdges(s, d).cache())
         .select(col("v"), col("triangles"), col("degree"), col("coeff"))
         .orderBy(col("v"))
     },
