@@ -34,7 +34,7 @@ object GraphOps {
     * count), registers nothing in the CacheManager, and the previous
     * round's blocks become GC-reclaimable the moment the driver drops its
     * reference (ContextCleaner unpersists them). */
-  private def materialize(df: DataFrame): DataFrame =
+  private[graph] def materialize(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = true)
 
   /** Undirected view of an edge list (plus self-loops removed).
@@ -72,7 +72,18 @@ object GraphOps {
     *   DISTINCT with src < dst strict. */
   def connectedComponents(edges: DataFrame,
       maxIter: Int = 50, edgesDistinct: Boolean = false): DataFrame = {
-    val und = undirect(edges, dedup = !edgesDistinct)
+    // Materialize the caller's edge PIPELINE once before fanning out: the
+    // selfed construction below reads the edge input four times (two
+    // orientation branches + the vertex distinct), and with edgesDistinct
+    // there is no exchange at the undirect level for ReuseExchange to
+    // share — a caller passing a join/aggregate pipeline (qg1's 4-table
+    // trade join; dupClusters' LSH pairs) would recompute its post-shuffle
+    // tail once per read (optimization r18, guide §1.2 "don't compute
+    // things you throw away" / §3.3 plan-truncation note; measured: the
+    // qg1 pre-loop cache build dominated the query at 4x one edge pass)
+    val und = undirect(materialize(
+        edges.select(col("src").cast("long"), col("dst").cast("long"))),
+      dedup = !edgesDistinct)
     // self-edges fold "min over neighbors ∪ self" into ONE aggregate (no
     // left-join back onto the labels), and guarantee every vertex appears
     // in the aggregate output. The cache is REPARTITIONED BY src — the
@@ -152,9 +163,13 @@ object GraphOps {
       maxIter: Int = 50, edgesDistinct: Boolean = false): DataFrame = {
     // same r18 optimizations as connectedComponents: caller-asserted
     // distinctness skips the pre-loop dedup exchange (min-dist relaxation
-    // is duplicate-insensitive), and the cache is partitioned by the
-    // per-round join key so each relaxation round reads it exchange-free
-    val und = undirect(edges, dedup = !edgesDistinct)
+    // is duplicate-insensitive), the edge pipeline is materialized ONCE
+    // before the two orientation reads, and the cache is partitioned by
+    // the per-round join key so each relaxation round reads it
+    // exchange-free
+    val und = undirect(materialize(
+        edges.select(col("src").cast("long"), col("dst").cast("long"))),
+      dedup = !edgesDistinct)
       .repartition(col("src")).cache()
     var dist = und.sparkSession.range(1)
       .select(lit(source).as("id"), lit(0.0).as("dist"))

@@ -87,7 +87,11 @@ object GraphQueries extends QueryModule {
          |    JOIN edges e ON e.src = p.id WHERE p.dist < 30)
          |SELECT CAST(id AS BIGINT) AS id, CAST(MIN(dist) AS DOUBLE) AS dist
          |FROM paths GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
-      val edges = tradeEdges(s, d)
+      // materialize the 4-table trade join once: the source aggregate
+      // below is its own action, and sssp reads the edge input again —
+      // without this the whole join pipeline ran once per consumer
+      // (optimization r18, same class as the CC entry materialization)
+      val edges = GraphOps.materialize(tradeEdges(s, d))
       // smallest vertex id overall (the oracle's MIN(src) ranges over the
       // undirected edge list, i.e. all endpoints)
       val source = edges.agg(least(min(col("src")), min(col("dst"))))

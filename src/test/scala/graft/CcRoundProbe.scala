@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Per-phase timing of the connectedComponents loop internals (replica of
-  * GraphOps.connectedComponents with stopwatches). Measurement only.
+  * GraphOps.connectedComponents with stopwatches — kept in sync with the
+  * CURRENT optimized shape: edgesDistinct skip, src-partitioned cache,
+  * label seed via self-edge filter). Measurement only.
   * Run: Test/runMain graft.CcRoundProbe [sfDir] [cpus]
   */
 object CcRoundProbe {
@@ -25,21 +27,25 @@ object CcRoundProbe {
     s.catalog.clearCache()
 
     val edges = graft.graph.GraphQueries.tradeEdges(s, sfDir)
-    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    val und = timed("undirect (union+distinct) into cache") {
-      val u = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .where(col("src") =!= col("dst")).distinct()
-      u.count(); u
+    // current shape: entry materialization of the edge pipeline, then
+    // edgesDistinct=true — no distinct, just the reversal
+    val e0 = timed("edge pipeline localCheckpoint") {
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .localCheckpoint(eager = true)
     }
-    val selfed = timed("selfed cache population") {
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+    val selfed = timed("selfed cache (edges build + repartition + cache)") {
       val sf = und.unionAll(
         und.select(col("src")).distinct()
-          .select(col("src"), col("src").as("dst"))).cache()
+          .select(col("src"), col("src").as("dst")))
+        .repartition(col("src"))
+        .cache()
       sf.count(); sf
     }
-    var labels = timed("labels init") {
-      val l = selfed.select(col("dst").as("id")).distinct()
-        .withColumn("comp", col("id"))
+    var labels = timed("labels seed (self-edge filter)") {
+      val l = selfed.where(col("src") === col("dst"))
+        .select(col("src").as("id"), col("src").as("comp"))
       l.count(); l
     }
     var prevSum: java.math.BigDecimal = null
