@@ -136,10 +136,10 @@ object DedupQueries extends QueryModule {
     * same pair universe. Caches: shingle arrays once (every branch
     * re-runs the lambda otherwise — a checkpoint table at 100 TB),
     * band rows (both sides of the self-join), and the 8-byte
-    * md5-prefix shingle surrogate rows (~3× narrower shuffle keys;
-    * bit-identical in both engines, and a collision would affect both
-    * sides identically). Harness callers clearCache() per the
-    * QueryModule contract. */
+    * md5-prefix shingle surrogate SETS in array form (~3× narrower
+    * shuffle keys; bit-identical in both engines, and a collision
+    * would affect both sides identically). Harness callers
+    * clearCache() per the QueryModule contract. */
   private def lshPairStats(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -153,12 +153,20 @@ object DedupQueries extends QueryModule {
       .select(col("x.lang").as("lang"), col("x.doc_id").as("doc_a"),
         col("y.doc_id").as("doc_b"))
       .distinct()
-    val shd = docs.select(col("doc_id"), explode(col("sh")).as("s0"))
-      .select(col("doc_id"),
-        unhex(substring(md5(col("s0")), 1, 16)).as("s"))
-      .distinct()
+    // per-doc DISTINCT shingle surrogates, deduplicated map-side in the
+    // array domain: array_distinct removes within-doc repeats BEFORE the
+    // explode, so the former corpus-wide DISTINCT exchange disappears,
+    // and the per-doc set size is size(ds) — a map-side projection
+    // replacing the former groupBy exchange (optimization r18, guide
+    // §2.3 "aggregate before you shuffle" / §2.4). Distinctness is on
+    // the same 8-byte surrogate the old (doc_id, s) DISTINCT keyed, so
+    // the set per doc — and every downstream count — is bit-identical.
+    val dsets = docs.select(col("doc_id"),
+        array_distinct(expr(
+          "transform(sh, x -> unhex(substr(md5(x), 1, 16)))")).as("ds"))
       .cache()
-    val cnt = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shd = dsets.select(col("doc_id"), explode(col("ds")).as("s"))
+    val cnt = dsets.select(col("doc_id"), size(col("ds")).cast("long").as("n"))
     cand
       .join(shd.as("a"), col("doc_a") === col("a.doc_id"))
       .join(shd.as("b"),
