@@ -196,11 +196,26 @@ object CurationQueries extends QueryModule {
       // BandInvariantSpec source invariant now closes the class)
       val bands = DedupQueries.bandsOf(DedupQueries.withShingles(docs))
         .cache()
-      val drops = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("y.doc_id").as("doc_id"))
+      // a doc is dropped iff SOME band bucket holds a smaller doc_id,
+      // i.e. iff it is not its bucket's minimum: per-bucket min
+      // aggregate (map-side combined), joined back onto the band rows.
+      // Replaces the former pairwise band self-join (optimization r18,
+      // guide §2.5): a hot bucket of k docs now flows k rows through
+      // the aggregate instead of k²/2 join pairs, so a template/mirror
+      // family cannot blow the stage up quadratically. The drop set is
+      // provably identical — y joins some x < y in a bucket exactly
+      // when y > min(bucket). (A min-WINDOW computes the same thing in
+      // one exchange but full-sorts the band table — measured 0.25s
+      // slower at sf0.1; the agg form broadcasts the minima locally
+      // and reuses the agg's (band, bv) partitioning at scale.) The
+      // band table feeds both the agg and the join-back, so it keeps
+      // its cache.
+      val minima = bands.groupBy(col("band"), col("bv"))
+        .agg(min(col("doc_id")).as("mn"))
+      val drops = bands
+        .join(minima, Seq("band", "bv"))
+        .where(col("doc_id") > col("mn"))
+        .select(col("doc_id"))
         .distinct()
       val scored = docs
         .join(drops, Seq("doc_id"), "left_anti")
