@@ -956,21 +956,29 @@ object DedupQueries extends QueryModule {
           Seq("band", "bv"))
         .select(col("new_id"), col("old_id"))
         .distinct()
-      val shd = docs.select(col("doc_id"), explode(col("sh")).as("s0"))
-        .select(col("doc_id"),
-          unhex(substring(md5(col("s0")), 1, 16)).as("s"))
-        .distinct()
+      // exact verify = per-pair set intersection on the per-doc DISTINCT
+      // surrogate arrays (the qp5/lshPairStats shape, optimization r18):
+      // array_distinct dedups map-side where the former explode+DISTINCT
+      // paid a corpus-wide exchange, set sizes are projections, and the
+      // inverted-index join + (pair) re-aggregate collapse into one
+      // row-local array_intersect per candidate. An ni = 0 pair (md5
+      // collision) fails the 80% threshold exactly as it vanished from
+      // the former inner join — na, nb ≥ 1 for any banded doc.
+      val dsets = docs.select(col("doc_id"),
+          array_distinct(expr(
+            "transform(sh, x -> unhex(substr(md5(x), 1, 16)))")).as("ds"))
         .cache()
-      val cnt = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val ver = cand
-        .join(shd.as("a"), col("new_id") === col("a.doc_id"))
-        .join(shd.as("b"),
-          col("old_id") === col("b.doc_id") && col("a.s") === col("b.s"))
-        .groupBy(col("new_id"), col("old_id")).agg(count(lit(1)).as("ni"))
-        .join(cnt.as("ca"), col("new_id") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("old_id") === col("cb.doc_id"))
+        .join(dsets.select(col("doc_id").as("new_id"), col("ds").as("da")),
+          "new_id")
+        .join(dsets.select(col("doc_id").as("old_id"), col("ds").as("db")),
+          "old_id")
+        .select(col("new_id"), col("old_id"),
+          size(array_intersect(col("da"), col("db"))).cast("long").as("ni"),
+          size(col("da")).cast("long").as("na"),
+          size(col("db")).cast("long").as("nb"))
         .where(lit(100) * col("ni")
-          >= lit(80) * (col("ca.n") + col("cb.n") - col("ni")))
+          >= lit(80) * (col("na") + col("nb") - col("ni")))
         .groupBy(col("new_id"))
         .agg(count(lit(1)).as("n_dups"), min(col("old_id")).as("dup_of"))
       docs.where(col("is_incr")).select(col("doc_id"))
