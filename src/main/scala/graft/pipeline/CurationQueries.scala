@@ -725,11 +725,17 @@ object CurationQueries extends QueryModule {
         |       THEN 1.0 ELSE cap.c / r.toks END AS keep_rate
         |FROM r CROSS JOIN cap ORDER BY r.source""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // cache the per-source reduced table: tot, r's window chain, knee,
+      // cap and the final projection all re-derive from it, and uncached
+      // each re-derivation re-ran the CORPUS token-count pass — scan-audit
+      // counted documents scanned 6× (optimization r18; the qt17/qt21
+      // reduced-table rule)
       val toks = t(s, d, "documents")
         .select(col("source"), expr(
           "CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)")
           .as("tk"))
         .groupBy(col("source")).agg(sum(col("tk")).as("toks"))
+        .cache()
       val tot = toks.agg(sum(col("toks")).cast("long").as("total"),
         count(lit(1)).as("n"))
       // unpartitioned window over the per-source table (rows = sources,

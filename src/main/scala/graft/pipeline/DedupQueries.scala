@@ -645,7 +645,10 @@ object DedupQueries extends QueryModule {
       // of vanishing from the gate output
       val withSn = t(s, d, "documents")
         .withColumn("sn", expr("CAST(substring(source, 4, 10) AS BIGINT)"))
-      val b = bandsOf(withShingles(withSn), Seq(col("sn")))
+      // cache: the historical (bloom-build) and incoming (check) branches
+      // each read the band table — uncached, the MinHash pass ran twice
+      // (scan-audit; optimization r18)
+      val b = bandsOf(withShingles(withSn), Seq(col("sn"))).cache()
       val bloom = b.where(col("sn") < 10)
         .agg(expr("graft_bloom(bv)").as("bf"))
       val verdict = b.where(col("sn") >= 10)

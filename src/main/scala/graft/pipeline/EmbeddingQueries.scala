@@ -149,12 +149,18 @@ object EmbeddingQueries extends QueryModule {
     val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
     val piv = emb.where(col("vec_id") < 8)
       .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+    // cache the corpus-wide assignment: qe14 consumes it once per label
+    // filter and qe16 once per nprobe point — uncached, the full-corpus
+    // pivot distance pass re-ran per consumer (scan-audit: embeddings
+    // scanned 15× in qe14/qe16; at 100 TB this table is the precomputed
+    // IVF artifact, so computing it once per query is the honest mimic)
     val cells = emb.crossJoin(broadcast(piv))
       .select(col("vec_id"), col("pid"),
         expr(d2("embedding", "pvec")).as("d2"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("pid"))).as("m"))
       .select(col("vec_id"), col("m.pid").as("cell"))
+      .cache()
     val qs = emb.where(col("vec_id").isin(42, 123, 321))
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val probeRanked = qs.crossJoin(broadcast(piv))
@@ -710,10 +716,16 @@ object EmbeddingQueries extends QueryModule {
       val sc = emb.agg(
         max(expr("array_max(transform(embedding, x -> abs(x)))"))
           .as("scale"))
+      // cache the quantized corpus table: the probe slice and the
+      // quantized ranking scan both read it — uncached, the corpus
+      // quantization (and the scale-scalar pass under it) re-ran per
+      // consumer (scan-audit; optimization r18). At 100 TB this table
+      // IS the int8 artifact a pipeline persists once.
       val qv = emb.crossJoin(broadcast(sc)).select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * " +
           "(CAST(127.0 AS DOUBLE) / CAST(scale AS DOUBLE))) AS BIGINT))")
         .as("qvec"))
+        .cache()
       val qs = qv.where(col("vec_id").isin(42, 123, 321))
         .select(col("vec_id").as("qid"), col("qvec").as("qq"))
       val qtop = qv.crossJoin(broadcast(qs))

@@ -171,9 +171,13 @@ object PackingQueries extends QueryModule {
          |WHERE rk.r <= takes.take_n
          |ORDER BY rk.source, rk.r""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
+      // cache the per-source reduced table: tot and takes both re-derive
+      // from it, re-running the corpus count pass per consumer otherwise
+      // (scan-audit; optimization r18)
       val ns = docs.groupBy("source")
         .agg(count(lit(1)).as("n"),
           floor(sqrt(count(lit(1))) * expr(SqrtScale)).cast("long").as("s6"))
+        .cache()
       val tot = ns.agg(sum("s6").cast("long").as("ts6"))
       val takes = ns.crossJoin(broadcast(tot))
         .select(col("source"),

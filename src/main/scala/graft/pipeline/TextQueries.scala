@@ -986,11 +986,17 @@ object TextQueries extends QueryModule {
         |ORDER BY pmi6 DESC, w1, w2 LIMIT 15""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       val big = bigramRows(docs)
-      val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      // cache the two vocab-reduced count tables: bc feeds its own total
+      // AND the scoring join, wc feeds the token total AND both per-side
+      // joins — uncached, the corpus explode+aggregate passes re-ran per
+      // consumer (scan-audit: documents scanned 5×; optimization r18,
+      // the qt17/qt21 reduced-table rule)
+      val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb")).cache()
       val wc = docs
         .select(explode(expr("filter(split(text, ' '), x -> x <> '')"))
           .as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
+        .cache()
       val n = wc.agg(sum("c").cast("long").as("nt"))
       val b = bc.agg(sum("cb").cast("long").as("bt"))
       bc.where(col("cb") >= 5)
