@@ -212,11 +212,15 @@ object CurationQueries extends QueryModule {
       // its cache.
       val minima = bands.groupBy(col("band"), col("bv"))
         .agg(min(col("doc_id")).as("mn"))
+      // no DISTINCT on the drop set: it feeds a LEFT ANTI join, which is
+      // duplicate-insensitive on its build side — a doc dropped in k > 1
+      // buckets just appears k (≤ 4) times there. The former .distinct()
+      // was a doc_id exchange + two HashAggregates of pure tax
+      // (optimization r19, guide §2.4 "remove shuffles outright").
       val drops = bands
         .join(minima, Seq("band", "bv"))
         .where(col("doc_id") > col("mn"))
         .select(col("doc_id"))
-        .distinct()
       val scored = docs
         .join(drops, Seq("doc_id"), "left_anti")
         .withColumn("tk", split(col("text"), " "))
